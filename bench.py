@@ -1,0 +1,70 @@
+"""Benchmark runner — times every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {"tpch_q1": sec, ...}, "sf": 0.1}
+
+Each query is timed as plan-build + execution to completion (count-style
+action that materializes the full result but keeps collection driver-light).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0
+
+    from hyrise_spark.session import get_spark
+    from hyrise_spark.registry import all_queries
+
+    spark = get_spark("hyrise_spark_bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = all_queries()
+    # Warm the JVM + parquet footers once so per-query times measure the
+    # engine, not first-touch session setup.
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    times: dict[str, float] = {}
+    for name in sorted(qs):
+        qd = qs[name]
+        t0 = time.perf_counter()
+        try:
+            df = qd.builder(spark, sf_dir)
+            # Materialize every row/column without funneling rows to the driver.
+            df.write.format("noop").mode("overwrite").save()
+            times[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # keep benching; a failed query reads as -1
+            print(f"bench: {name} failed: {exc}", file=sys.stderr)
+            times[name] = -1.0
+
+    total = round(sum(t for t in times.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

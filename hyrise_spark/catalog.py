@@ -1,0 +1,103 @@
+"""Catalog — named-table registry over Spark's catalog.
+
+Reference: StorageManager (/root/reference/src/lib/storage/storage_manager.hpp)
+keeps named tables, LQP views (lqp_view.hpp) and prepared plans
+(prepared_plan.hpp). Here the same roles map onto `spark.catalog` temp views;
+tables are parquet-backed DataFrames so Catalyst gets column pruning,
+predicate pushdown and partition pruning for free (the reference's GetTable
+chunk/column pruning, get_table.hpp:23).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+# The driver's synthetic star schema (TESTDATA.md).
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES
+) -> dict[str, DataFrame]:
+    """Load parquet tables from a scale-factor directory and register temp views.
+
+    Lazy: nothing is scanned until an action; filters/projections written
+    against these DataFrames push down into the parquet scan.
+    """
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = spark.read.parquet(path)
+            df.createOrReplaceTempView(name)
+            out[name] = df
+    return out
+
+
+class Catalog:
+    """Named tables + views, mirroring StorageManager's add/drop/has surface
+    (storage_manager.hpp: add_table/drop_table/get_table/has_table and the
+    *_view equivalents)."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._tables: dict[str, DataFrame] = {}
+        self._views: dict[str, str] = {}  # name -> SQL text (LQP view analog)
+
+    # -- tables ------------------------------------------------------------
+    def add_table(self, name: str, df: DataFrame) -> None:
+        if name in self._tables:
+            raise ValueError(f"table {name!r} already exists")
+        self._tables[name] = df
+        df.createOrReplaceTempView(name)
+
+    def replace_table(self, name: str, df: DataFrame) -> None:
+        self._tables[name] = df
+        df.createOrReplaceTempView(name)
+
+    def drop_table(self, name: str) -> None:
+        if name not in self._tables:
+            raise KeyError(f"table {name!r} does not exist")
+        del self._tables[name]
+        self.spark.catalog.dropTempView(name)
+
+    def get_table(self, name: str) -> DataFrame:
+        return self._tables[name]
+
+    def has_table(self, name: str) -> bool:
+        return name in self._tables
+
+    def table_names(self) -> list[str]:
+        return sorted(self._tables)
+
+    # -- views (stored logical plans) --------------------------------------
+    def add_view(self, name: str, sql: str) -> None:
+        if name in self._views or name in self._tables:
+            raise ValueError(f"view/table {name!r} already exists")
+        self._views[name] = sql
+        self.spark.sql(sql).createOrReplaceTempView(name)
+
+    def drop_view(self, name: str) -> None:
+        if name not in self._views:
+            raise KeyError(f"view {name!r} does not exist")
+        del self._views[name]
+        self.spark.catalog.dropTempView(name)
+
+    def has_view(self, name: str) -> bool:
+        return name in self._views
+
+    def view_names(self) -> list[str]:
+        return sorted(self._views)

@@ -1,0 +1,52 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference runs one NUMA-aware in-process scheduler
+(/root/reference/src/lib/scheduler/node_queue_scheduler.hpp:11-50); on Spark the
+equivalent knobs are shuffle parallelism, AQE and broadcast thresholds. These
+defaults are tuned so the same code runs on local[N] for tests and scales to a
+multi-executor cluster unchanged: AQE coalesces small shuffle partitions and
+re-plans skew joins at runtime, and the session timezone is pinned to UTC so
+timestamp semantics are stable across drivers/executors (and match DuckDB).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "hyrise_spark", cpus: int | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    `cpus` controls local parallelism only; on a real cluster the master/config
+    come from spark-submit and the builder leaves them untouched.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    builder = (
+        SparkSession.builder.appName(app_name)
+        # AQE: runtime partition coalescing + skew-join splitting. At 100 TB the
+        # static shuffle.partitions value is always wrong for some stage; AQE
+        # resizes from observed map output instead.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Shuffle width ~ cores in local mode; a cluster deployment overrides
+        # this (or relies on AQE's coalescing from a higher initial value).
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 4)))
+        .config("spark.default.parallelism", str(max(cpus, 4)))
+        # Arrow for any pandas_udf / toPandas path (the only Python hot paths
+        # we allow — see pipeline/*).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Deterministic timestamp semantics; matches DuckDB's naive-UTC.
+        .config("spark.sql.session.timeZone", "UTC")
+        # Small dimension tables (region/nation/supplier at any SF) broadcast.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # ANSI off: the reference's expression evaluator is permissive
+        # (NULL-propagating arithmetic, no overflow errors).
+        .config("spark.sql.ansi.enabled", "false")
+    )
+    if not os.environ.get("SPARK_MASTER") and "SPARK_ENV_LOADED" not in os.environ:
+        builder = builder.master(f"local[{cpus}]")
+    return builder.getOrCreate()
