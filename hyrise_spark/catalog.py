@@ -41,10 +41,33 @@ def load_tables(
     for name in names:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
-            df = spark.read.parquet(path)
+            df = _read_parquet(spark, path)
             df.createOrReplaceTempView(name)
             out[name] = df
     return out
+
+
+def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet read that tolerates TIMESTAMP(NANOS) columns.
+
+    Spark rejects nanosecond parquet timestamps outright; the fallback reads
+    them as raw nanos (legacy conf) and rebuilds a proper timestamp with
+    integer division (double division would lose ~2^10 ns of precision at
+    2024-era epochs).
+    """
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+
+    nano_cols = [
+        f.name for f in pq.read_schema(path) if str(f.type).startswith("timestamp[ns")
+    ]
+    if not nano_cols:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in nano_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
 
 
 class Catalog:

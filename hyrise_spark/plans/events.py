@@ -1,0 +1,233 @@
+"""Time-series / event analytics over the `events` table.
+
+The reference has NO streaming or time-series operators (SURVEY.md §2.9);
+these are net-new Spark-first capabilities. Batch forms live here with DuckDB
+oracles; the structured-streaming forms of the same pipelines are in
+hyrise_spark/streaming/ (watermarks + windowed aggs, tested separately since
+streams aren't SQL-oracle-able).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.window import Window
+
+from hyrise_spark.catalog import load_tables
+from hyrise_spark.registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    tabs = load_tables(spark, sf_dir, names)
+    return [tabs[n] for n in names]
+
+
+# Tumbling-window aggregation (streaming's windowed agg in batch form).
+@register(
+    "events_tumbling_window",
+    oracle="""
+    SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS total_value,
+           COUNT(DISTINCT user_id) AS users
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("events", "window-agg"),
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.count_distinct(F.col("user_id")).alias("users"),
+        )
+    )
+
+
+# Sessionization: gap > 30 min starts a new session (lag + cumulative sum —
+# the batch twin of streaming session_window; pyspark_guide.md pattern).
+@register(
+    "events_sessionize",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                       LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM marked
+    )
+    SELECT user_id, CAST(session_id AS INT) AS session_id, COUNT(*) AS n_events,
+           STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    tags=("events", "sessionize"),
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        prev_ts.isNull() | (F.col("ts").cast("long") - prev_ts.cast("long") > 1800), 1
+    ).otherwise(0)
+    return (
+        events.withColumn("new_session", new_session)
+        .withColumn("session_id", F.sum("new_session").over(w_run).cast("int"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        )
+    )
+
+
+# Funnel: users who did view -> click -> purchase in order (min-ts chain).
+@register(
+    "events_funnel",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT
+      COUNT(*) AS n_users,
+      CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS viewed,
+      CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view THEN 1 ELSE 0 END) AS BIGINT) AS clicked_after_view,
+      CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view AND t_purchase > t_click
+               THEN 1 ELSE 0 END) AS BIGINT) AS purchased_after_click
+    FROM per_user
+    """,
+    tags=("events", "funnel"),
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(F.col("t_view").isNotNull(), 1).otherwise(0)).cast("long").alias("viewed"),
+        F.sum(
+            F.when(F.col("t_view").isNotNull() & (F.col("t_click") > F.col("t_view")), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("clicked_after_view"),
+        F.sum(
+            F.when(
+                F.col("t_view").isNotNull()
+                & (F.col("t_click") > F.col("t_view"))
+                & (F.col("t_purchase") > F.col("t_click")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("purchased_after_click"),
+    )
+
+
+# JSON extraction from the props column (semi-structured payloads; net-new —
+# the reference has no nested/JSON types, all_type_variant.hpp:34-40).
+@register(
+    "events_json_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+           COUNT(*) AS n
+    FROM events
+    WHERE CAST(json_extract(props, '$.k') AS INT) > 50
+    GROUP BY event_type
+    """,
+    tags=("events", "json"),
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        events.withColumn("k", k)
+        .filter(F.col("k") > 50)
+        .groupBy("event_type")
+        .agg(F.sum("k").cast("long").alias("sum_k"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+# As-of join: each event matched to the most recent prior order of the same
+# "customer" (user_id % customer-key space). The reference has no as-of join
+# (SURVEY §2.3 "No as-of / interval / range-join specializations"); idiomatic
+# Spark = union-tag + window last_value, scalable (no per-row subquery).
+@register(
+    "events_asof_join_orders",
+    oracle="""
+    SELECT e.event_id, e.user_id,
+           (SELECT MAX(o.o_orderkey)
+            FROM orders o
+            WHERE o.o_custkey = e.user_id % 100 AND o.o_orderdate <= e.ts
+              AND o.o_orderdate = (SELECT MAX(o2.o_orderdate) FROM orders o2
+                                   WHERE o2.o_custkey = e.user_id % 100 AND o2.o_orderdate <= e.ts)
+           ) AS last_orderkey
+    FROM events e
+    WHERE e.event_id < 500
+    """,
+    tags=("events", "asof-join"),
+)
+def events_asof_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events, orders = _t(spark, sf_dir, "events", "orders")
+    ev = events.filter(F.col("event_id") < 500).select(
+        "event_id", "user_id", (F.col("user_id") % 100).alias("join_key"), F.col("ts").alias("t")
+    )
+    od = orders.select(
+        F.col("o_custkey").alias("join_key"),
+        F.col("o_orderdate").alias("t"),
+        "o_orderkey",
+    )
+    # Union-tag approach: interleave both streams on (key, time), carry the
+    # running max orderkey of the latest order date seen so far. One shuffle
+    # on join_key — scales linearly, no row-by-row probing.
+    tagged = ev.select(
+        "join_key", "t", F.lit(None).cast("long").alias("o_orderkey"), "event_id", "user_id",
+        F.lit(1).alias("is_event"),
+    ).unionByName(
+        od.select(
+            "join_key", "t", "o_orderkey",
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(None).cast("long").alias("user_id"),
+            F.lit(0).alias("is_event"),
+        )
+    )
+    # Orders sort before events at identical timestamps (is_event ASC) so an
+    # order dated exactly at the event ts counts as "prior or equal".
+    w = (
+        Window.partitionBy("join_key")
+        .orderBy("t", "is_event")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # max_by over (o_orderdate, o_orderkey): emulate with struct max — the
+    # latest order date wins, ties broken by highest orderkey.
+    packed = F.when(
+        F.col("is_event") == 0, F.struct(F.col("t").alias("od"), F.col("o_orderkey").alias("ok"))
+    )
+    return (
+        tagged.withColumn("last_order", F.max(packed).over(w))
+        .filter(F.col("is_event") == 1)
+        .select("event_id", "user_id", F.col("last_order.ok").alias("last_orderkey"))
+    )

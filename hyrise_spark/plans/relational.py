@@ -392,7 +392,7 @@ def scan_column_vs_column(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(MIN(l_extendedprice), 2)        AS min_price,
            ROUND(MAX(l_extendedprice), 2)        AS max_price,
            ROUND(SUM(l_quantity), 2)             AS sum_qty,
-           ROUND(AVG(l_quantity), 4)             AS avg_qty,
+           ROUND(SUM(l_quantity), 2) / COUNT(l_quantity) AS avg_qty,
            COUNT(*)                              AS cnt_all,
            COUNT(l_quantity)                     AS cnt_qty,
            COUNT(DISTINCT l_suppkey)             AS distinct_supp,
@@ -408,7 +408,7 @@ def aggregate_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("l_extendedprice"), 2).alias("min_price"),
         F.round(F.max("l_extendedprice"), 2).alias("max_price"),
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        (F.round(F.sum("l_quantity"), 2) / F.count("l_quantity")).alias("avg_qty"),
         F.count(F.lit(1)).alias("cnt_all"),
         F.count("l_quantity").alias("cnt_qty"),
         F.count_distinct(F.col("l_suppkey")).alias("distinct_supp"),
@@ -617,17 +617,22 @@ def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "setop_except",
     oracle="""
-    SELECT n_nationkey AS k FROM nation
+    SELECT c_custkey AS k FROM customer WHERE c_custkey < 100
     EXCEPT
-    SELECT s_nationkey AS k FROM supplier
+    SELECT o_custkey AS k FROM orders WHERE o_totalprice > 420000
     """,
     tags=("setop",),
 )
 def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    nation, supp = _t(spark, sf_dir, "nation", "supplier")
+    cust, orders = _t(spark, sf_dir, "customer", "orders")
     return (
-        nation.select(F.col("n_nationkey").alias("k"))
-        .exceptAll(supp.select(F.col("s_nationkey").alias("k")).distinct())
+        cust.filter(F.col("c_custkey") < 100)
+        .select(F.col("c_custkey").alias("k"))
+        .exceptAll(
+            orders.filter(F.col("o_totalprice") > 420000)
+            .select(F.col("o_custkey").alias("k"))
+            .distinct()
+        )
         .distinct()
     )
 
@@ -675,13 +680,13 @@ def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
     FROM orders
-    WHERE o_totalprice > 2.0 * (SELECT AVG(o_totalprice) FROM orders)
+    WHERE o_totalprice > 1.8 * (SELECT AVG(o_totalprice) FROM orders)
     """,
     tags=("subquery",),
 )
 def subquery_scalar_uncorrelated(spark: SparkSession, sf_dir: str) -> DataFrame:
     (orders,) = _t(spark, sf_dir, "orders")
-    avg_df = orders.agg((F.lit(2.0) * F.avg("o_totalprice")).alias("thr"))
+    avg_df = orders.agg((F.lit(1.8) * F.avg("o_totalprice")).alias("thr"))
     return (
         orders.join(F.broadcast(avg_df))
         .filter(F.col("o_totalprice") > F.col("thr"))
@@ -701,7 +706,7 @@ def subquery_scalar_uncorrelated(spark: SparkSession, sf_dir: str) -> DataFrame:
 def subquery_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     (orders,) = _t(spark, sf_dir, "orders")
     per_cust = orders.groupBy(F.col("o_custkey").alias("ck")).agg(
-        (F.lit(2.0) * F.avg("o_totalprice")).alias("thr")
+        (F.lit(1.8) * F.avg("o_totalprice")).alias("thr")
     )
     return (
         orders.join(per_cust, F.col("o_custkey") == F.col("ck"))

@@ -44,9 +44,11 @@ def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
            ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
            ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
            ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-           ROUND(AVG(l_quantity), 2)                                        AS avg_qty,
-           ROUND(AVG(l_extendedprice), 2)                                   AS avg_price,
-           ROUND(AVG(l_discount), 2)                                        AS avg_disc,
+           -- ROUND(SUM)/COUNT (not ROUND(AVG)): deterministic across engines;
+           -- see plans/windows.py moving_avg note.
+           ROUND(SUM(l_quantity), 2) / COUNT(*)                             AS avg_qty,
+           ROUND(SUM(l_extendedprice), 2) / COUNT(*)                        AS avg_price,
+           ROUND(SUM(l_discount), 2) / COUNT(*)                             AS avg_disc,
            COUNT(*)                                                         AS count_order
     FROM lineitem
     WHERE l_shipdate <= DATE '2001-09-02'
@@ -65,9 +67,9 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), R2).alias("sum_base_price"),
             F.round(F.sum(disc_price), R2).alias("sum_disc_price"),
             F.round(F.sum(disc_price * (1 + F.col("l_tax"))), R2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), R2).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), R2).alias("avg_price"),
-            F.round(F.avg("l_discount"), R2).alias("avg_disc"),
+            (F.round(F.sum("l_quantity"), R2) / F.count(F.lit(1))).alias("avg_qty"),
+            (F.round(F.sum("l_extendedprice"), R2) / F.count(F.lit(1))).alias("avg_price"),
+            (F.round(F.sum("l_discount"), R2) / F.count(F.lit(1))).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -270,8 +272,8 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q8",
     oracle="""
     SELECT o_year,
-           ROUND(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END) / SUM(volume), 4)
-             AS mkt_share
+           ROUND(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END), 2)
+             / ROUND(SUM(volume), 2) AS mkt_share
     FROM (
       SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
              l_extendedprice * (1 - l_discount) AS volume,
@@ -315,10 +317,12 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return df.groupBy("o_year").agg(
-        F.round(
-            F.sum(F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(F.lit(0.0)))
-            / F.sum("volume"),
-            4,
+        (
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(F.lit(0.0))),
+                2,
+            )
+            / F.round(F.sum("volume"), 2)
         ).alias("mkt_share")
     )
 
@@ -468,9 +472,9 @@ def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q14",
     oracle="""
-    SELECT ROUND(100.00 * SUM(CASE WHEN p_type = 'PROMO'
-                                   THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-                 / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+    SELECT 100.00 * ROUND(SUM(CASE WHEN p_type = 'PROMO'
+                                   THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2)
+                 / ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS promo_revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= DATE '1996-09-01' AND l_shipdate < DATE '1996-10-01'
     """,
@@ -483,11 +487,10 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter((F.col("l_shipdate") >= F.lit("1996-09-01")) & (F.col("l_shipdate") < F.lit("1996-10-01")))
         .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
-            F.round(
+            (
                 F.lit(100.0)
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
-                / F.sum(rev),
-                4,
+                * F.round(F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))), 2)
+                / F.round(F.sum(rev), 2)
             ).alias("promo_revenue")
         )
     )
@@ -567,7 +570,7 @@ def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q17",
     oracle="""
-    SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+    SELECT ROUND(SUM(l_extendedprice), 2) / 7.0 AS avg_yearly
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE p_brand = 'Brand#3'
       AND l_quantity < (SELECT 0.5 * AVG(l_quantity) FROM lineitem l2
@@ -585,7 +588,7 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part.filter(F.col("p_brand") == "Brand#3")), F.col("p_partkey") == F.col("l_partkey"))
         .join(part_avg, F.col("l_partkey") == F.col("pa_partkey"))
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))
-        .agg(F.round(F.sum("l_extendedprice") / F.lit(7.0), R2).alias("avg_yearly"))
+        .agg((F.round(F.sum("l_extendedprice"), R2) / F.lit(7.0)).alias("avg_yearly"))
     )
 
 

@@ -1,0 +1,193 @@
+"""Window functions — the surface the reference declares but cannot execute.
+
+Reference: full SQL:2003 window parsing/translation exists
+(src/lib/expression/window_expression.hpp:55, frame types at :30;
+src/lib/sql/sql_translator.cpp:2010-2060; planned as WindowNode) but physical
+translation fails with "Hyrise does not yet support window functions."
+(src/lib/logical_query_plan/lqp_translator.cpp:523-526). Functions enumerated
+at window_function_expression.hpp:27-33: CUME_DIST, DENSE_RANK, PERCENT_RANK,
+RANK, ROW_NUMBER, plus every aggregate as a window function.
+
+Spark executes all of it natively; DuckDB arbitrates correctness
+(SURVEY.md §2.5). GROUPS frames are excluded (Spark has no GROUPS mode).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.window import Window
+
+from hyrise_spark.catalog import load_tables
+from hyrise_spark.registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    tabs = load_tables(spark, sf_dir, names)
+    return [tabs[n] for n in names]
+
+
+# All five ranking functions in one pass over a partitioned/ordered window.
+@register(
+    "window_ranking_functions",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           ROW_NUMBER()   OVER w AS rn,
+           RANK()         OVER w AS rnk,
+           DENSE_RANK()   OVER w AS drnk,
+           ROUND(PERCENT_RANK() OVER w, 6) AS prnk,
+           ROUND(CUME_DIST()    OVER w, 6) AS cdist
+    FROM orders
+    WHERE o_custkey < 50
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    tags=("window",),
+)
+def window_ranking_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return orders.filter(F.col("o_custkey") < 50).select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+# Aggregates over a ROWS frame (running totals / moving averages).
+@register(
+    "window_rows_frame",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(SUM(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty,
+           -- ROUND(SUM)/COUNT, not ROUND(AVG): a 3-row avg of 2-decimal money
+           -- can sit exactly on a .xx5 boundary where engine summation-order
+           -- ULP differences flip the rounding; rounded sums never do.
+           ROUND(SUM(l_extendedprice) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+                 ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING), 2)
+             / COUNT(*) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+                 ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS moving_avg_price,
+           COUNT(*) OVER (PARTITION BY l_orderkey) AS n_lines
+    FROM lineitem
+    WHERE l_orderkey < 1000
+    """,
+    tags=("window", "frame"),
+)
+def window_rows_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = _t(spark, sf_dir, "lineitem")
+    w_run = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_mov = Window.partitionBy("l_orderkey").orderBy("l_linenumber").rowsBetween(-1, 1)
+    w_all = Window.partitionBy("l_orderkey")
+    return li.filter(F.col("l_orderkey") < 1000).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sum("l_quantity").over(w_run), 2).alias("running_qty"),
+        (
+            F.round(F.sum("l_extendedprice").over(w_mov), 2)
+            / F.count(F.lit(1)).over(w_mov)
+        ).alias("moving_avg_price"),
+        F.count(F.lit(1)).over(w_all).alias("n_lines"),
+    )
+
+
+# RANGE frame keyed on a numeric ORDER BY (value-based bounds).
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           COUNT(*) OVER (PARTITION BY o_custkey ORDER BY CAST(o_totalprice AS DOUBLE)
+                 RANGE BETWEEN 50000 PRECEDING AND 50000 FOLLOWING) AS near_price_cnt
+    FROM orders
+    WHERE o_custkey < 30
+    """,
+    tags=("window", "frame"),
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_totalprice").cast("double"))
+        .rangeBetween(-50000, 50000)
+    )
+    return orders.filter(F.col("o_custkey") < 30).select(
+        "o_orderkey", "o_custkey", F.count(F.lit(1)).over(w).alias("near_price_cnt")
+    )
+
+
+# LAG/LEAD + FIRST_VALUE/LAST_VALUE (value window functions; beyond the
+# reference's enumerated five — declared-surface superset).
+@register(
+    "window_value_functions",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           LAG(o_orderkey)  OVER w AS prev_order,
+           LEAD(o_orderkey) OVER w AS next_order,
+           FIRST_VALUE(o_orderkey) OVER w AS first_order,
+           LAST_VALUE(o_orderkey)  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order
+    FROM orders
+    WHERE o_custkey < 40
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=("window",),
+)
+def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.filter(F.col("o_custkey") < 40).select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w_full).alias("last_order"),
+    )
+
+
+# Top-K per group via row_number (the reference's Sort+Limit has no per-group
+# equivalent; this is the idiomatic Spark pattern).
+@register(
+    "window_topk_per_group",
+    oracle="""
+    SELECT c_nationkey, c_custkey, ROUND(c_acctbal, 2) AS c_acctbal FROM (
+      SELECT c_nationkey, c_custkey, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer
+    ) WHERE rn <= 3
+    """,
+    tags=("window", "topk"),
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (cust,) = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        cust.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_nationkey", "c_custkey", F.round("c_acctbal", 2).alias("c_acctbal"))
+    )
+
+
+# NTILE bucketing (window_function_expression.hpp aggregate-as-window family).
+@register(
+    "window_ntile",
+    oracle="""
+    SELECT o_orderkey, NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
+    FROM orders WHERE o_orderkey < 400
+    """,
+    tags=("window",),
+)
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return orders.filter(F.col("o_orderkey") < 400).select(
+        "o_orderkey", F.ntile(4).over(w).alias("quartile")
+    )
