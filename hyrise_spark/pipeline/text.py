@@ -1,0 +1,250 @@
+"""Text analysis operators over the `documents` table — language ID, quality
+scoring, token counting, fingerprinting.
+
+Net-new Spark-first capabilities (the reference has no text operators or UDF
+surface, SURVEY.md §2.9). Everything here is built from JVM-side built-in
+functions — no Python UDFs in the hot path — so the plans whole-stage-codegen
+and scale linearly: per-document work only, no shuffles except the final
+aggregations.
+
+Design for 100 TB: each operator is a narrow map over `documents`
+(project + regexp/hash built-ins). Filters push into the parquet scan;
+aggregations are partial-agg friendly (small group cardinality: lang,
+source, score buckets).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from hyrise_spark.catalog import load_tables
+from hyrise_spark.registry import register
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, ("documents",))["documents"]
+
+
+# Stopword lists per language for the n-gram/stopword heuristic language ID.
+# Tiny on purpose: broadcast as a literal into both engines' SQL.
+_STOPWORDS = {
+    "en": ("the", "and", "a"),
+    "es": ("el", "la", "de"),
+    "de": ("der", "und", "die"),
+    "fr": ("le", "la", "et"),
+    "zh": ("de", "le", "shi"),  # pinyin-ish for the synthetic corpus
+}
+
+
+def _sw_count_sql(word: str) -> str:
+    # Count whole-word occurrences of `word` (DuckDB side).
+    return (
+        "len(string_split_regex(' ' || lower(text) || ' ', "
+        f"'[^a-z]{word}[^a-z]')) - 1"
+    )
+
+
+def _sw_count_spark(word: str):
+    padded = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+    return F.size(F.split(padded, f"[^a-z]{word}[^a-z]")) - 1
+
+
+# ---------------------------------------------------------------------------
+# Token counting: whitespace tokens + a BPE-ish subword proxy (runs of
+# letters/digits/punctuation as separate tokens).
+@register(
+    "text_token_count",
+    oracle="""
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS bpe_ish_tokens,
+           length(text) AS n_chars_actual
+    FROM documents
+    WHERE doc_id < 200
+    """,
+    tags=("text", "tokens"),
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.filter(F.col("doc_id") < 200).select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("ws_tokens"),
+        F.size(
+            F.expr(r"regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]', 0)")
+        ).alias("bpe_ish_tokens"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring: length, punctuation ratio, stopword ratio, mean word
+# length — the standard cheap pre-filters for LLM training corpora.
+@register(
+    "text_quality_score",
+    oracle="""
+    WITH feats AS (
+      SELECT doc_id, lang,
+             length(text) AS n,
+             len(string_split_regex(trim(text), '\\s+')) AS n_words,
+             length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+             (len(string_split_regex(' ' || lower(text) || ' ', '[^a-z]the[^a-z]')) - 1
+              + len(string_split_regex(' ' || lower(text) || ' ', '[^a-z]and[^a-z]')) - 1
+              + len(string_split_regex(' ' || lower(text) || ' ', '[^a-z]a[^a-z]')) - 1) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, lang, n_words,
+           ROUND(CAST(n_punct AS DOUBLE) * 1000, 2) / n AS punct_per_kchar,
+           ROUND(CAST(n_stop AS DOUBLE) * 100, 2) / n_words AS stop_pct,
+           CASE WHEN n BETWEEN 100 AND 5000
+                 AND CAST(n_stop AS DOUBLE) / n_words > 0.01 THEN 1 ELSE 0 END AS passes_quality
+    FROM feats
+    WHERE doc_id < 300
+    """,
+    tags=("text", "quality"),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    n = F.length("text")
+    n_words = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    n_punct = n - F.length(F.regexp_replace("text", r"[.,!?;:]", ""))
+    n_stop = (
+        _sw_count_spark("the") + _sw_count_spark("and") + _sw_count_spark("a")
+    )
+    feats = docs.select(
+        "doc_id", "lang", n.alias("n"), n_words.alias("n_words"),
+        n_punct.alias("n_punct"), n_stop.alias("n_stop"),
+    )
+    return feats.filter(F.col("doc_id") < 300).select(
+        "doc_id",
+        "lang",
+        "n_words",
+        (F.round(F.col("n_punct").cast("double") * 1000, 2) / F.col("n")).alias("punct_per_kchar"),
+        (F.round(F.col("n_stop").cast("double") * 100, 2) / F.col("n_words")).alias("stop_pct"),
+        F.when(
+            F.col("n").between(100, 5000)
+            & (F.col("n_stop").cast("double") / F.col("n_words") > 0.01),
+            1,
+        )
+        .otherwise(0)
+        .alias("passes_quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language identification: stopword-count heuristic over the 5 corpus
+# languages; argmax by count with deterministic tie-break on language code.
+@register(
+    "text_lang_id",
+    oracle=f"""
+    WITH scores AS (
+      SELECT doc_id, lang AS lang_true, s.key AS lang_pred, s.cnt
+      FROM documents, LATERAL (
+        SELECT * FROM (VALUES
+          {",".join(
+            "('" + lang + "', " + " + ".join(_sw_count_sql(w) for w in words) + ")"
+            for lang, words in sorted(_STOPWORDS.items())
+          )}
+        ) AS t(key, cnt)
+      ) s
+    ), ranked AS (
+      SELECT doc_id, lang_true, lang_pred, cnt,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, lang_pred) AS rn
+      FROM scores
+    )
+    SELECT lang_true, lang_pred, COUNT(*) AS n
+    FROM ranked WHERE rn = 1
+    GROUP BY lang_true, lang_pred
+    """,
+    tags=("text", "langid"),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir)
+    scores = docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_true"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(lang).alias("lang_pred"),
+                        sum(
+                            (_sw_count_spark(w) for w in words),
+                            F.lit(0),
+                        ).alias("cnt"),
+                    )
+                    for lang, words in sorted(_STOPWORDS.items())
+                ]
+            )
+        ).alias("s"),
+    ).select("doc_id", "lang_true", "s.lang_pred", "s.cnt")
+    w = Window.partitionBy("doc_id").orderBy(F.col("cnt").desc(), F.col("lang_pred"))
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("lang_true", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting: md5 of the normalized text (lowercase, collapse
+# whitespace, strip punctuation) — the canonical-form hash used for exact
+# dedup at corpus scale. md5 exists in both engines with identical output.
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+               ' +', ' ', 'g')) AS fingerprint
+    FROM documents
+    WHERE doc_id < 100
+    """,
+    tags=("text", "fingerprint"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    normalized = F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
+    )
+    return docs.filter(F.col("doc_id") < 100).select(
+        "doc_id", F.md5(normalized).alias("fingerprint")
+    )
+
+
+# Rolling-hash shingle fingerprint (winnowing-style): minimum md5 over all
+# 8-token shingles — a single representative fingerprint robust to small
+# edits at either end of the document.
+@register(
+    "text_shingle_min_fingerprint",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+      FROM documents WHERE doc_id < 100
+    ), shingles AS (
+      SELECT doc_id, md5(array_to_string(w[i:i+7], ' ')) AS h
+      FROM toks, LATERAL (SELECT UNNEST(generate_series(1, len(w) - 7)) AS i)
+    )
+    SELECT doc_id, MIN(h) AS min_shingle_hash FROM shingles GROUP BY doc_id
+    """,
+    tags=("text", "fingerprint"),
+)
+def text_shingle_min_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = docs.filter(F.col("doc_id") < 100).select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("w")
+    )
+    # Build all 8-token shingles JVM-side with transform over an index array,
+    # then MIN(md5) per doc — no Python, no shuffle beyond the final agg.
+    shingles = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - 8),
+                lambda i: F.md5(F.array_join(F.slice(F.col("w"), i + 1, 8), " ")),
+            )
+        ).alias("h"),
+    )
+    return shingles.groupBy("doc_id").agg(F.min("h").alias("min_shingle_hash"))

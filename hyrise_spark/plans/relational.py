@@ -706,7 +706,7 @@ def subquery_scalar_uncorrelated(spark: SparkSession, sf_dir: str) -> DataFrame:
 def subquery_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     (orders,) = _t(spark, sf_dir, "orders")
     per_cust = orders.groupBy(F.col("o_custkey").alias("ck")).agg(
-        (F.lit(1.8) * F.avg("o_totalprice")).alias("thr")
+        (F.lit(2.0) * F.avg("o_totalprice")).alias("thr")
     )
     return (
         orders.join(per_cust, F.col("o_custkey") == F.col("ck"))
