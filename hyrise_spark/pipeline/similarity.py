@@ -105,13 +105,17 @@ def _bucket_sql(vec_expr: str) -> str:
 
 
 def _bucket_spark(vec: Column) -> Column:
-    total = F.lit(0)
-    for p, plane in enumerate(_PLANES):
-        proj = F.lit(0.0)
-        for d, w in enumerate(plane):
-            proj = proj + F.lit(float(w)) * vec[d]
-        total = total + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return total
+    # Planes as one nested array literal + higher-order functions: the
+    # projection loop runs inside codegen instead of a 512-node expression
+    # tree (which costs seconds of Catalyst analysis at plan time).
+    planes = F.lit([[float(w) for w in plane] for plane in _PLANES])
+    # Bit order differs from the oracle's (1 << p) packing, but bucket values
+    # are only join keys within one engine — any bijection of signatures
+    # produces the identical candidate-pair set.
+    bits = F.transform(
+        planes, lambda plane: F.when(_dot(vec, plane) > 0, F.lit(1)).otherwise(F.lit(0))
+    )
+    return F.aggregate(bits, F.lit(0), lambda acc, b: acc * 2 + b)
 
 
 @register(

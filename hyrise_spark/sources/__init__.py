@@ -1,0 +1,46 @@
+"""Sources & sinks — IMPORT/EXPORT surface.
+
+Reference FileType enum: Csv, Tbl, Binary, Auto
+(/root/reference/src/lib/import_export/file_type.hpp:9); Import/Export
+operators at src/lib/operators/import.hpp:23 / export.hpp:24. The reference's
+proprietary `.bin` chunk format maps to parquet (the columnar binary format
+of this stack).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hyrise_spark.sources.tbl import read_tbl, write_tbl
+from hyrise_spark.sources.csv_meta import read_csv_with_meta, write_csv_with_meta
+
+__all__ = [
+    "read_tbl",
+    "write_tbl",
+    "read_csv_with_meta",
+    "write_csv_with_meta",
+    "read_any",
+    "write_any",
+]
+
+
+def read_any(spark: SparkSession, path: str) -> DataFrame:
+    """FileType::Auto dispatch by extension (file_type.hpp:9)."""
+    if path.endswith(".tbl"):
+        return read_tbl(spark, path)
+    if path.endswith(".csv"):
+        return read_csv_with_meta(spark, path)
+    if path.endswith((".parquet", ".bin")):
+        return spark.read.parquet(path)
+    raise ValueError(f"cannot infer file type of {path!r} (want .tbl/.csv/.parquet)")
+
+
+def write_any(df: DataFrame, path: str) -> None:
+    if path.endswith(".tbl"):
+        write_tbl(df, path)
+    elif path.endswith(".csv"):
+        write_csv_with_meta(df, path)
+    elif path.endswith((".parquet", ".bin")):
+        df.write.mode("overwrite").parquet(path)
+    else:
+        raise ValueError(f"cannot infer file type of {path!r} (want .tbl/.csv/.parquet)")

@@ -1,0 +1,88 @@
+"""Structured Streaming pipelines over the events table.
+
+Net-new surface (the reference has no streaming, SURVEY.md §2.9). The same
+aggregations as plans/events.py, expressed as streams: file-source ->
+watermark -> windowed agg / session_window -> sink. Tests run them with
+availableNow=True (bounded backfill) and compare against the batch results —
+the streaming/batch parity check Structured Streaming is designed for.
+
+Scale notes: at production scale the source swaps for Kafka with the same
+plan (readStream options change, the DAG does not). Watermarks bound state;
+session_window state is per (user_id, open session) only.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """File-source stream of event batches (parquet files dropped into a dir)."""
+    return spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+
+
+def windowed_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window count/sum per event_type with late-data watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sessionized(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Session windows per user (gap-based), the streaming twin of
+    plans/events.py::events_sessionize."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_to_completion(stream_df: DataFrame, out_table: str) -> None:
+    """Drain all available input into an in-memory sink (availableNow)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(out_table)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

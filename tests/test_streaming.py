@@ -1,0 +1,72 @@
+"""Structured Streaming parity tests: stream the events table through
+windowed aggregation + sessionization with availableNow and compare with the
+equivalent batch plans."""
+
+from __future__ import annotations
+
+import glob
+import shutil
+
+import pyspark.sql.functions as F
+import pytest
+
+from hyrise_spark.streaming.events_stream import (
+    read_events_stream,
+    run_to_completion,
+    sessionized,
+    windowed_counts,
+)
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    # Re-encode the ns-timestamp parquet into a stream-source dir with
+    # microsecond timestamps (a streaming file source wants uniform schema).
+    import pyarrow.parquet as pq
+    import pyarrow.compute as pc
+    import pyarrow as pa
+
+    src = f"{SF_DIR}/events.parquet"
+    d = tmp_path_factory.mktemp("events_stream")
+    t = pq.read_table(src)
+    # events carry true nanosecond precision; truncation to us is intended
+    ts_us = pc.cast(t["ts"], pa.timestamp("us"), safe=False)
+    t = t.set_column(t.schema.get_field_index("ts"), "ts", ts_us)
+    # Split into 3 files to exercise multi-batch ingestion.
+    n = t.num_rows
+    for i in range(3):
+        pq.write_table(t.slice(i * n // 3, (i + 1) * n // 3 - i * n // 3), d / f"part{i}.parquet")
+    return str(d)
+
+
+def test_windowed_counts_stream_matches_batch(spark, events_dir):
+    stream = windowed_counts(read_events_stream(spark, events_dir))
+    run_to_completion(stream, "stream_counts")
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in spark.table("stream_counts").collect()
+    }
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("tv"))
+        .collect()
+    )
+    want = {(r["h"], r["event_type"]): (r["n"], r["tv"]) for r in batch}
+    assert got == want
+
+
+def test_sessionized_stream_runs(spark, events_dir):
+    stream = sessionized(read_events_stream(spark, events_dir))
+    run_to_completion(stream, "stream_sessions")
+    out = spark.table("stream_sessions")
+    assert out.count() > 0
+    # session integrity: no user has overlapping sessions
+    w = out.orderBy("user_id", "session_start").collect()
+    by_user: dict[int, list] = {}
+    for r in w:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for sess in by_user.values():
+        for a, b in zip(sess, sess[1:]):
+            assert a["session_end"] <= b["session_start"]
