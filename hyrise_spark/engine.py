@@ -32,6 +32,19 @@ _CREATE_VIEW_RE = re.compile(
 )
 _DROP_VIEW_RE = re.compile(r"^\s*DROP\s+VIEW\s+(?P<name>\w+)\s*$", re.I)
 _DROP_TABLE_RE = re.compile(r"^\s*DROP\s+TABLE\s+(?P<name>\w+)\s*$", re.I)
+_CREATE_TABLE_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?P<name>\w+)\s+AS\s+(?P<sql>.+)$", re.I | re.S
+)
+_INSERT_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+(?P<table>\w+)\s+(?P<rest>.+)$", re.I | re.S
+)
+_DELETE_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+(?P<table>\w+)(?:\s+WHERE\s+(?P<cond>.+))?\s*$", re.I | re.S
+)
+_UPDATE_RE = re.compile(
+    r"^\s*UPDATE\s+(?P<table>\w+)\s+SET\s+(?P<sets>.+?)(?:\s+WHERE\s+(?P<cond>.+))?\s*$",
+    re.I | re.S,
+)
 
 
 class Engine:
@@ -89,11 +102,94 @@ class Engine:
         if m:
             self.catalog.drop_table(m["name"])
             return None
+        m = _CREATE_TABLE_RE.match(stmt)
+        if m:
+            self.catalog.add_table(m["name"], self.spark.sql(m["sql"]))
+            return None
+        m = _INSERT_RE.match(stmt)
+        if m:
+            return self._insert(m["table"], m["rest"])
+        m = _DELETE_RE.match(stmt)
+        if m:
+            return self._delete(m["table"], m["cond"])
+        m = _UPDATE_RE.match(stmt)
+        if m:
+            return self._update(m["table"], m["sets"], m["cond"])
         if stmt.lower().startswith("select") and "meta_" in stmt:
             self._materialize_meta_tables(stmt)
         if args is not None:
             return self.spark.sql(stmt, args=args)
         return self.spark.sql(stmt)
+
+    # -- DML (Insert/Delete/Update operators, SURVEY.md §2.8) ---------------
+    # The reference mutates MVCC chunks in place (insert.hpp:17-22,
+    # delete.hpp:14-18, update.hpp:17-27 delete+insert composite); here DML is
+    # single-statement autocommit over immutable DataFrames: each statement
+    # derives a new DataFrame and re-registers the table — a snapshot
+    # semantics equivalent for the autocommit case (SURVEY.md §7 risk 6).
+    # At warehouse scale this maps 1:1 onto a table format's MERGE/append.
+    def _insert(self, table: str, rest: str):
+        cur = self.catalog.get_table(table)
+        rest = rest.strip()
+        if rest.upper().startswith("VALUES"):
+            new_rows = self.spark.sql(f"SELECT * FROM ({rest})").toDF(*cur.columns)
+        else:  # INSERT INTO t SELECT ...
+            new_rows = self.spark.sql(rest).toDF(*cur.columns)
+        self.catalog.replace_table(table, cur.unionByName(new_rows))
+        return None
+
+    def _delete(self, table: str, cond: str | None):
+        import pyspark.sql.functions as F
+
+        cur = self.catalog.get_table(table)
+        kept = cur.filter(~F.expr(cond)) if cond else cur.limit(0)
+        self.catalog.replace_table(table, kept)
+        return None
+
+    def _update(self, table: str, sets: str, cond: str | None):
+        import pyspark.sql.functions as F
+
+        cur = self.catalog.get_table(table)
+        assignments: dict[str, str] = {}
+        for part in self._split_assignments(sets):
+            col, expr = part.split("=", 1)
+            assignments[col.strip()] = expr.strip()
+        match = F.expr(cond) if cond else F.lit(True)
+        updated = cur.select(
+            *[
+                F.when(match, F.expr(assignments[c])).otherwise(F.col(c)).alias(c)
+                if c in assignments
+                else F.col(c)
+                for c in cur.columns
+            ]
+        )
+        self.catalog.replace_table(table, updated)
+        return None
+
+    @staticmethod
+    def _split_assignments(sets: str) -> list[str]:
+        parts, buf, depth, quote = [], [], 0, None
+        for ch in sets:
+            if quote:
+                buf.append(ch)
+                if ch == quote:
+                    quote = None
+            elif ch in ("'", '"'):
+                quote = ch
+                buf.append(ch)
+            elif ch == "(":
+                depth += 1
+                buf.append(ch)
+            elif ch == ")":
+                depth -= 1
+                buf.append(ch)
+            elif ch == "," and depth == 0:
+                parts.append("".join(buf))
+                buf = []
+            else:
+                buf.append(ch)
+        parts.append("".join(buf))
+        return [p for p in (s.strip() for s in parts) if p]
 
     # -- prepared statements (prepared_plan.hpp) ----------------------------
     def prepare(self, name: str, sql: str) -> None:
