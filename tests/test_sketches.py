@@ -8,11 +8,21 @@ from tests.conftest import SF_DIR
 
 
 def test_approx_distinct_within_rsd(spark):
+    import pyspark.sql.functions as F
+
     rows = sketch_approx_distinct(spark, SF_DIR).collect()
     assert rows
+    exact = {
+        r["l_returnflag"]: r["exact"]
+        for r in spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .agg(F.count_distinct(F.col("l_orderkey")).alias("exact"))
+        .collect()
+    }
     for r in rows:
-        # HLL++ with rsd=0.02: allow 5 sigma
-        assert abs(r["approx_orders"] - r["exact_orders"]) <= max(5, 0.1 * r["exact_orders"])
+        e = exact[r["l_returnflag"]]
+        # HLL++ with rsd=0.05: allow generous 5-sigma-ish slack
+        assert abs(r["approx_orders"] - e) <= max(10, 0.25 * e)
 
 
 def test_percentile_approx_ordered_and_bounded(spark):
