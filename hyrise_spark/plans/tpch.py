@@ -781,3 +781,81 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(F.count(F.lit(1)).alias("numcust"), F.round(F.sum("c_acctbal"), R2).alias("totacctbal"))
     )
+
+
+# --------------------------------------------------------------------------
+# Q2 — minimum-cost supplier (correlated MIN subquery + 5-way join).
+# partsupp is absent: "supply cost" = a supplier's avg extended price for the
+# part from lineitem; same correlated-min + join shape as the original.
+@register(
+    "tpch_q2",
+    oracle="""
+    WITH supply AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             ROUND(SUM(l_extendedprice), 2) / COUNT(*) AS ps_supplycost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s_name, p_partkey, p_name, ROUND(ps_supplycost, 2) AS cost, n_name
+    FROM part JOIN supply ON p_partkey = ps_partkey
+              JOIN supplier ON s_suppkey = ps_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+    WHERE p_size = 10 AND r_name = 'EUROPE'
+      AND ps_supplycost = (SELECT MIN(ps_supplycost) FROM supply s2
+                           WHERE s2.ps_partkey = p_partkey)
+    """,
+    tags=("tpch", "correlated-subquery"),
+)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part, li, supp, nation, region = _t(
+        spark, sf_dir, "part", "lineitem", "supplier", "nation", "region"
+    )
+    supply = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
+    ).agg((F.round(F.sum("l_extendedprice"), R2) / F.count(F.lit(1))).alias("ps_supplycost"))
+    min_cost = supply.groupBy(F.col("ps_partkey").alias("mc_partkey")).agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    return (
+        supply.join(F.broadcast(part.filter(F.col("p_size") == 10)), F.col("p_partkey") == F.col("ps_partkey"))
+        .join(min_cost, (F.col("mc_partkey") == F.col("ps_partkey")) & (F.col("ps_supplycost") == F.col("min_cost")))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("ps_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.filter(F.col("r_name") == "EUROPE")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_name", "p_partkey", "p_name", F.round("ps_supplycost", R2).alias("cost"), "n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q11 — important stock identification (group agg vs global scalar fraction).
+@register(
+    "tpch_q11",
+    oracle="""
+    WITH supply_value AS (
+      SELECT l_partkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS value
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                    JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey, value
+    FROM supply_value
+    WHERE value > (SELECT 2.0 * SUM(value) / COUNT(*) FROM supply_value)
+    """,
+    tags=("tpch", "scalar-subquery", "having"),
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, supp, nation = _t(spark, sf_dir, "lineitem", "supplier", "nation")
+    nat = nation.filter(F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3"))
+    supply_value = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("l_partkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), R2).alias("value"))
+    )
+    threshold = supply_value.agg((F.lit(2.0) * F.sum("value") / F.count(F.lit(1))).alias("thr"))
+    return (
+        supply_value.join(F.broadcast(threshold))
+        .filter(F.col("value") > F.col("thr"))
+        .select("l_partkey", "value")
+    )

@@ -1,0 +1,85 @@
+"""Custom operator tests: as-of join (vs pandas.merge_asof), range join
+(vs naive cross-join filter), salted join (vs plain join)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+
+from hyrise_spark.operators.joins import asof_join, range_join, salted_join
+
+
+def test_asof_join_backward_matches_pandas(spark):
+    left = pd.DataFrame(
+        {"k": [1, 1, 1, 2, 2, 3], "t": [5, 10, 15, 3, 30, 1], "lid": [0, 1, 2, 3, 4, 5]}
+    )
+    right = pd.DataFrame(
+        {"k": [1, 1, 2, 2, 4], "rt": [4, 10, 10, 20, 1], "val": [100, 200, 300, 400, 500]}
+    )
+    got = (
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            on="k",
+            left_time="t",
+            right_time="rt",
+            value_cols=["val"],
+        )
+        .orderBy("lid")
+        .toPandas()
+    )
+    want = pd.merge_asof(
+        left.sort_values("t"),
+        right.rename(columns={"rt": "t"}).sort_values("t"),
+        on="t",
+        by="k",
+    ).sort_values("lid")
+    assert list(got["val"].fillna(-1)) == list(want["val"].fillna(-1))
+
+
+def test_asof_join_forward(spark):
+    left = spark.createDataFrame([(1, 5, 0), (1, 11, 1)], "k int, t int, lid int")
+    right = spark.createDataFrame([(1, 4, 10), (1, 10, 20), (1, 30, 30)], "k int, rt int, v int")
+    got = {
+        r["lid"]: r["v"]
+        for r in asof_join(
+            left, right, on="k", left_time="t", right_time="rt", value_cols=["v"],
+            direction="forward",
+        ).collect()
+    }
+    assert got == {0: 20, 1: 30}  # earliest right >= left time
+
+
+def test_range_join_matches_naive(spark):
+    import random
+
+    random.seed(7)
+    pts = [(i, random.uniform(0, 100)) for i in range(200)]
+    ivs = [
+        (j, lo, lo + random.uniform(0, 10))
+        for j, lo in ((j, random.uniform(0, 95)) for j in range(50))
+    ]
+    left = spark.createDataFrame(pts, "pid int, x double")
+    right = spark.createDataFrame(ivs, "iid int, lo double, hi double")
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in range_join(left, right, "x", "lo", "hi", bucket_width=5.0).collect()
+    )
+    naive = sorted(
+        (r["pid"], r["iid"])
+        for r in left.crossJoin(right)
+        .filter((F.col("x") >= F.col("lo")) & (F.col("x") <= F.col("hi")))
+        .collect()
+    )
+    assert got == naive and len(got) > 0
+
+
+def test_salted_join_matches_plain(spark):
+    # skewed left: 90% of rows share key 0
+    left = spark.createDataFrame(
+        [(0 if i % 10 else i, i) for i in range(1000)], "k long, payload long"
+    )
+    right = spark.createDataFrame([(i, i * 100) for i in range(100)], "k long, rv long")
+    got = sorted(map(tuple, salted_join(left, right, on="k", salt=8).collect()))
+    want = sorted(map(tuple, left.join(right, "k").collect()))
+    assert got == want
