@@ -214,6 +214,15 @@ class Engine:
 
         write_any(self.spark.table(name), path)
 
+    # -- plan introspection (console `visualize` analog, SURVEY §3.3) -------
+    def explain(self, sql: str, mode: str = "formatted") -> str:
+        """Return the physical plan text for a SQL statement (the reference's
+        LQP/PQP visualizer maps to Catalyst's explain output)."""
+        df = self.spark.sql(sql)
+        return df._jdf.queryExecution().explainString(
+            self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+        )
+
     # -- meta tables --------------------------------------------------------
     def _materialize_meta_tables(self, stmt: str) -> None:
         from hyrise_spark.meta.tables import register_meta_tables

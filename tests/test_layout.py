@@ -1,0 +1,63 @@
+"""Bucketed-layout tests: a join between co-bucketed tables must plan
+without a shuffle (Exchange) on either side."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from hyrise_spark.layout import bucketize_star_schema
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def bucketed(spark, tmp_path_factory):
+    # warehouse dir is a static conf; tables land in ./spark-warehouse
+    # (gitignored) and are dropped on teardown
+    names = bucketize_star_schema(spark, SF_DIR, n_buckets=8, prefix="t_bl_")
+    yield names
+    for t in names.values():
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed):
+    li = spark.table(bucketed["lineitem"])
+    orders = spark.table(bucketed["orders"])
+    joined = li.join(orders.hint("merge"), li["l_orderkey"] == orders["o_orderkey"]).groupBy(
+        "o_orderstatus"
+    ).agg(F.sum("l_quantity").alias("q"))
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    # the join itself must not re-shuffle either bucketed side: the only
+    # Exchange allowed is for the final aggregation
+    join_part = plan.split("HashAggregate")[-1]
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
+
+
+def test_bucketed_join_matches_unbucketed(spark, bucketed):
+    li_b = spark.table(bucketed["lineitem"])
+    orders_b = spark.table(bucketed["orders"])
+    got = (
+        li_b.join(orders_b, li_b["l_orderkey"] == orders_b["o_orderkey"])
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    want = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_engine_explain(spark):
+    from hyrise_spark.engine import Engine
+
+    eng = Engine(spark)
+    txt = eng.explain("SELECT 1 AS x")
+    assert "Physical Plan" in txt or "Project" in txt
