@@ -76,6 +76,53 @@ def sessionized(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 
     )
 
 
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState.
+
+    Maintains per-user running (event count, value total) across micro-batches
+    — the "custom stateful operator" path for semantics Spark's built-in
+    streaming aggregates can't express (arbitrary per-key state machines).
+    State is one (long, double) pair per user: bounded, skew-safe, and
+    partitioned by the grouping key, so a 1000-executor deployment shards
+    state horizontally with no driver involvement.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("total", DoubleType())]
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def deduped_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup on event_id within the watermark horizon —
+    the streaming twin of pipeline/dedup.py::dedup_exact. State holds only
+    ids newer than the watermark, so memory is bounded by event rate x
+    horizon, not by stream history."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
 def run_to_completion(stream_df: DataFrame, out_table: str) -> None:
     """Drain all available input into an in-memory sink (availableNow)."""
     q = (

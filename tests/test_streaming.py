@@ -11,9 +11,11 @@ import pyspark.sql.functions as F
 import pytest
 
 from hyrise_spark.streaming.events_stream import (
+    deduped_stream,
     read_events_stream,
     run_to_completion,
     sessionized,
+    stateful_user_totals,
     windowed_counts,
 )
 from tests.conftest import SF_DIR
@@ -55,6 +57,67 @@ def test_windowed_counts_stream_matches_batch(spark, events_dir):
     )
     want = {(r["h"], r["event_type"]): (r["n"], r["tv"]) for r in batch}
     assert got == want
+
+
+def test_stateful_user_totals_matches_batch(spark, events_dir):
+    """applyInPandasWithState running totals == batch groupBy at stream end.
+
+    The memory sink in update mode appends one row per (user, micro-batch);
+    the LAST row per user carries the final state."""
+    stream = stateful_user_totals(read_events_stream(spark, events_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("stream_user_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final: dict[int, tuple] = {}
+    for r in spark.table("stream_user_totals").collect():
+        prev = final.get(r["user_id"])
+        # n_events is monotone per user; keep the max = last micro-batch
+        if prev is None or r["n_events"] > prev[0]:
+            final[r["user_id"]] = (r["n_events"], r["total_value"])
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("tv"))
+        .collect()
+    )
+    want = {r["user_id"]: (r["n"], r["tv"]) for r in batch}
+    assert len(final) == len(want)
+    for uid, (n, tv) in want.items():
+        gn, gtv = final[uid]
+        assert gn == n, (uid, gn, n)
+        assert abs(gtv - tv) < 0.05, (uid, gtv, tv)
+
+
+def test_deduped_stream_removes_reingested_file(spark, events_dir, tmp_path):
+    """Copy one source file twice into the stream dir -> exact-dup events;
+    dropDuplicates on event_id must restore the original cardinality."""
+    import shutil
+
+    d = tmp_path / "dup_events"
+    d.mkdir()
+    for f in glob.glob(f"{events_dir}/part*.parquet"):
+        shutil.copy(f, d / f.split("/")[-1])
+    shutil.copy(f"{events_dir}/part0.parquet", d / "part0_again.parquet")
+    stream = deduped_stream(read_events_stream(spark, str(d))).select(
+        "event_id", "ts", "user_id"
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("stream_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_unique = spark.read.parquet(events_dir).select("event_id").distinct().count()
+    out = spark.table("stream_dedup")
+    assert out.count() == n_unique
+    assert out.select("event_id").distinct().count() == n_unique
 
 
 def test_sessionized_stream_runs(spark, events_dir):
