@@ -2,12 +2,15 @@
 
 from __future__ import annotations
 
+import decimal
 import math
 
 
 def normalize(v):
     if v is None:
         return "NULL"
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
