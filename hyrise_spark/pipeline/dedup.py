@@ -199,62 +199,59 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("sh"),
     ).distinct()
-    # signature: per (doc, i) min of md5-int over shingles
+    # All K signature components in ONE aggregation (no K-way row explode, no
+    # per-(doc,i) shuffle): K min-columns packed into an array. At 100 TB the
+    # signature stage is a single groupBy(doc_id) over shingles.
+    mins = [
+        F.min(
+            _md5_int_spark(F.concat(F.lit(f"{i}|"), F.col("sh")))
+        ).alias(f"m{i}")
+        for i in range(_K)
+    ]
     sig = (
-        shingles.select(
-            "doc_id",
-            F.explode(F.sequence(F.lit(0), F.lit(_K - 1))).alias("i"),
-            "sh",
-        )
-        .select(
-            "doc_id",
-            "i",
-            _md5_int_spark(
-                F.concat(F.col("i").cast("string"), F.lit("|"), F.col("sh"))
-            ).alias("h"),
-        )
-        .groupBy("doc_id", "i")
-        .agg(F.min("h").alias("mh"))
+        shingles.groupBy("doc_id")
+        .agg(*mins)
+        .select("doc_id", F.array(*[f"m{i}" for i in range(_K)]).alias("sig"))
     )
-    bands = (
-        sig.withColumn("band", F.expr(f"i div {_ROWS_PER_BAND}"))
-        .groupBy("doc_id", "band")
-        .agg(
+    # Band keys from array slices; each band row CARRIES the signature so the
+    # candidate join needs no extra signature joins afterwards.
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
             F.md5(
                 F.array_join(
                     F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct(F.col("i"), F.col("mh")))
-                        ),
-                        lambda s: s["mh"].cast("string"),
+                        F.slice("sig", b * _ROWS_PER_BAND + 1, _ROWS_PER_BAND),
+                        lambda x: x.cast("string"),
                     ),
                     ",",
                 )
-            ).alias("band_key")
+            ).alias("band_key"),
         )
+        for b in range(_BANDS)
+    ]
+    bands = sig.select(
+        "doc_id", "sig", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    b1 = bands.select(
+        F.col("doc_id").alias("d1"), F.col("sig").alias("sig1"), "band", "band_key"
     )
-    b1 = bands.select(F.col("doc_id").alias("d1"), "band", "band_key")
-    b2 = bands.select(F.col("doc_id").alias("d2"), "band", "band_key")
-    cand = (
+    b2 = bands.select(
+        F.col("doc_id").alias("d2"), F.col("sig").alias("sig2"), "band", "band_key"
+    )
+    matches = F.size(
+        F.filter(F.zip_with("sig1", "sig2", lambda a, b: a == b), lambda x: x)
+    )
+    return (
         b1.join(b2, ["band", "band_key"])
         .filter(F.col("d1") < F.col("d2"))
-        .select("d1", "d2")
-        .distinct()
-    )
-    s1 = sig.select(F.col("doc_id").alias("d1"), "i", F.col("mh").alias("mh1"))
-    s2 = sig.select(F.col("doc_id").alias("d2"), "i", F.col("mh").alias("mh2"))
-    est = (
-        cand.join(s1, "d1")
-        .join(s2, ["d2", "i"])
-        .groupBy("d1", "d2")
-        .agg(
-            (
-                F.sum(F.when(F.col("mh1") == F.col("mh2"), 1).otherwise(0)).cast("double")
-                / F.lit(_K)
-            ).alias("est_jaccard")
+        .dropDuplicates(["d1", "d2"])
+        .select(
+            "d1",
+            "d2",
+            F.round(matches.cast("double") / _K, 4).alias("est_jaccard"),
         )
     )
-    return est.select("d1", "d2", F.round("est_jaccard", 4).alias("est_jaccard"))
 
 
 # ---------------------------------------------------------------------------

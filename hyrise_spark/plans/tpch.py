@@ -810,15 +810,19 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     part, li, supp, nation, region = _t(
         spark, sf_dir, "part", "lineitem", "supplier", "nation", "region"
     )
+    from pyspark.sql import Window
+
     supply = li.groupBy(
         F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
     ).agg((F.round(F.sum("l_extendedprice"), R2) / F.count(F.lit(1))).alias("ps_supplycost"))
-    min_cost = supply.groupBy(F.col("ps_partkey").alias("mc_partkey")).agg(
-        F.min("ps_supplycost").alias("min_cost")
-    )
+    # One lineitem aggregation only: restrict supply to qualifying parts via a
+    # broadcast join (keeps every supplier row for those partkeys, so the
+    # per-part MIN is unchanged), then take the per-partkey min as a window —
+    # the window input is |suppliers x matching parts|, not |lineitem|.
     return (
         supply.join(F.broadcast(part.filter(F.col("p_size") == 10)), F.col("p_partkey") == F.col("ps_partkey"))
-        .join(min_cost, (F.col("mc_partkey") == F.col("ps_partkey")) & (F.col("ps_supplycost") == F.col("min_cost")))
+        .withColumn("min_cost", F.min("ps_supplycost").over(Window.partitionBy("ps_partkey")))
+        .filter(F.col("ps_supplycost") == F.col("min_cost"))
         .join(F.broadcast(supp), F.col("s_suppkey") == F.col("ps_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region.filter(F.col("r_name") == "EUROPE")), F.col("n_regionkey") == F.col("r_regionkey"))
