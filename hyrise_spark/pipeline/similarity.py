@@ -161,10 +161,107 @@ def sim_lsh_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _centroids(e: DataFrame) -> DataFrame:
+    """label -> centroid vector (per-dim mean, rounded 6 for cross-engine
+    determinism), packed back into an array."""
+    per_dim = (
+        e.select("label", F.posexplode("v").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("x"), 6).alias("m"))
+    )
+    return per_dim.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
+        ).alias("centv")
+    )
+
+
+_NPROBE = 2
+
+
+
 # ---------------------------------------------------------------------------
 # Per-label centroid similarity (IVF coarse-quantizer building block):
 # centroids as mean vectors per label, then each query scored against every
 # centroid — the "assign to nearest cell" step of an IVF index.
+@register(
+    "sim_ivf_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    per_dim AS (
+      SELECT label, u.i AS dim, ROUND(AVG(v[u.i]), 6) AS m
+      FROM e, LATERAL (SELECT UNNEST(generate_series(1, {_DIM})) AS i) u
+      GROUP BY label, u.i
+    ), cent AS (
+      SELECT label, list(m ORDER BY dim) AS centv FROM per_dim GROUP BY label
+    ),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {_N_QUERIES}),
+    c AS (SELECT vec_id AS cid, v AS cv, label FROM e WHERE vec_id >= {_N_QUERIES}),
+    qcell AS (
+      SELECT qid, label,
+             ROW_NUMBER() OVER (
+               PARTITION BY qid
+               ORDER BY ROUND(list_inner_product(qv, centv) /
+                 (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(centv, centv))), 6) DESC,
+                 label) AS rn
+      FROM q CROSS JOIN cent
+    ),
+    probe AS (SELECT qid, label FROM qcell WHERE rn <= {_NPROBE}),
+    cand AS (
+      SELECT p.qid, c.cid,
+             list_inner_product(q.qv, c.cv) /
+               (sqrt(list_inner_product(q.qv, q.qv)) * sqrt(list_inner_product(c.cv, c.cv))) AS cs
+      FROM probe p JOIN c ON p.label = c.label JOIN q ON q.qid = p.qid
+    ), ranked AS (
+      SELECT qid, cid, cs,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ROUND(cs, 6) DESC, cid) AS rn
+      FROM cand
+    )
+    SELECT qid, cid, ROUND(cs, 4) AS cos_sim, CAST(rn AS INT) AS rank
+    FROM ranked WHERE rn <= {_TOP_K}
+    """,
+    tags=("similarity", "ivf", "topk"),
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF search: coarse-quantize queries to their {_NPROBE} nearest
+    label cells, exact cosine ONLY within probed cells.
+
+    The 100 TB shape: centroids are O(cells) and broadcast; the corpus is
+    (or would be, with a writer) partitioned by cell so a probe touches
+    nprobe/cells of the data — the brute-force cross join never happens.
+    """
+    emb = _emb(spark, sf_dir)
+    e = emb.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
+    cent = _centroids(e)
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    c = e.filter(F.col("vec_id") >= _N_QUERIES).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"), "label"
+    )
+    wq = Window.partitionBy("qid").orderBy(
+        F.round(_cos(F.col("qv"), F.col("centv")), 6).desc(), F.col("label")
+    )
+    probe = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(cent))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= _NPROBE)
+        .select("qid", "qv", "label")
+    )
+    cand = F.broadcast(probe).join(c, "label").withColumn(
+        "cs", _cos(F.col("qv"), F.col("cv"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.round(F.col("cs"), 6).desc(), F.col("cid"))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select(
+            "qid", "cid", F.round("cs", 4).alias("cos_sim"), F.col("rn").cast("int").alias("rank")
+        )
+    )
+
+
 @register(
     "sim_label_centroids",
     oracle=f"""
