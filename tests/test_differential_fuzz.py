@@ -1,0 +1,111 @@
+"""Property-based differential fuzzing: random predicate + aggregation
+queries executed by BOTH spark.sql and DuckDB over the same tables.
+
+Extends the fixed corpora (test_sql_corpus, test_join_matrix) with generated
+cases — the same idea as the reference's configuration-matrix sweeps
+(join_test_runner.cpp) but over the predicate/aggregation space.
+`derandomize=True` keeps CI deterministic.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from tests.conftest import SF_DIR, TABLES
+from tests.oracle_utils import canon
+
+# -- predicate space over `orders` ------------------------------------------
+_NUM_COLS = ["o_totalprice", "o_custkey", "o_orderkey"]
+_NUM_OPS = ["<", "<=", ">", ">=", "=", "<>"]
+_STR_COLS = ["o_orderstatus", "o_orderpriority"]
+_STATUS = ["'O'", "'F'", "'P'"]
+_PRIO = ["'1-URGENT'", "'2-HIGH'", "'3-MEDIUM'", "'4-NOT SPECIFIED'", "'5-LOW'"]
+
+
+@st.composite
+def predicate(draw) -> str:
+    kind = draw(st.integers(0, 3))
+    if kind == 0:
+        col = draw(st.sampled_from(_NUM_COLS))
+        op = draw(st.sampled_from(_NUM_OPS))
+        val = draw(st.integers(0, 20000))
+        return f"{col} {op} {val}"
+    if kind == 1:
+        col = draw(st.sampled_from(_STR_COLS))
+        vals = _STATUS if col == "o_orderstatus" else _PRIO
+        v = draw(st.sampled_from(vals))
+        return f"{col} {draw(st.sampled_from(['=', '<>']))} {v}"
+    if kind == 2:
+        lo = draw(st.integers(0, 10000))
+        hi = lo + draw(st.integers(0, 10000))
+        return f"o_totalprice BETWEEN {lo} AND {hi}"
+    month = draw(st.integers(1, 12))
+    year = draw(st.integers(1995, 2001))
+    return f"o_orderdate >= DATE '{year}-{month:02d}-01'"
+
+
+@st.composite
+def where_clause(draw) -> str:
+    n = draw(st.integers(1, 3))
+    preds = [draw(predicate()) for _ in range(n)]
+    conj = draw(st.sampled_from([" AND ", " OR "]))
+    return conj.join(f"({p})" for p in preds)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _views(spark):
+    from hyrise_spark.catalog import load_tables
+
+    for name, df in load_tables(spark, SF_DIR, TABLES).items():
+        df.createOrReplaceTempView(name)
+
+
+def _run_both(spark, duck, sql: str):
+    sdf = spark.sql(sql)
+    scols = [c.lower() for c in sdf.columns]
+    srows = [tuple(r) for r in sdf.collect()]
+    res = duck.execute(sql)
+    ocols = [d[0].lower() for d in res.description]
+    orows = res.fetchall()
+    assert len(srows) == len(orows), f"rowcount {len(srows)} vs {len(orows)}\n{sql}"
+    assert canon(scols, srows) == canon(ocols, orows), sql
+
+
+_SETTINGS = settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@_SETTINGS
+@given(w=where_clause())
+def test_fuzz_filtered_count(spark, duck, w):
+    _run_both(spark, duck, f"SELECT COUNT(*) AS n FROM orders WHERE {w}")
+
+
+@_SETTINGS
+@given(w=where_clause(), key=st.sampled_from(_STR_COLS))
+def test_fuzz_grouped_agg(spark, duck, w, key):
+    _run_both(
+        spark,
+        duck,
+        f"""SELECT {key}, CAST(COUNT(*) AS BIGINT) AS n,
+                   ROUND(SUM(o_totalprice), 2) AS s
+            FROM orders WHERE {w} GROUP BY {key}""",
+    )
+
+
+@_SETTINGS
+@given(w=where_clause())
+def test_fuzz_join_agg(spark, duck, w):
+    _run_both(
+        spark,
+        duck,
+        f"""SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            WHERE {w} GROUP BY c_mktsegment""",
+    )
