@@ -35,9 +35,21 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = all_queries()
-    # Warm the JVM + parquet footers once so per-query times measure the
-    # engine, not first-touch session setup.
-    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    # Warm the JVM, parquet footers, and the codegen/shuffle/broadcast paths
+    # once so per-query times measure the engine, not first-touch setup (the
+    # first groupBy/join otherwise absorbs several seconds of one-time
+    # compilation that a long-lived session never pays again).
+    from hyrise_spark.catalog import load_tables
+    import pyspark.sql.functions as F
+
+    warm = load_tables(spark, sf_dir, ("lineitem", "orders"))
+    (
+        warm["lineitem"]
+        .join(F.broadcast(warm["orders"].limit(1000)), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_quantity"))
+        .write.format("noop").mode("overwrite").save()
+    )
 
     times: dict[str, float] = {}
     for name in sorted(qs):

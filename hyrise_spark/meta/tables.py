@@ -14,6 +14,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -98,11 +99,44 @@ def meta_settings(spark: SparkSession, catalog=None) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+def meta_system_utilization(spark: SparkSession, catalog=None) -> DataFrame:
+    """meta_system_utilization (meta_system_utilization_table.hpp): one row of
+    cluster capacity/usage as Spark sees it — executor count, core count, and
+    JVM memory — the cluster analog of the reference's per-node CPU/RAM rows."""
+    import os
+
+    sc = spark.sparkContext
+    jvm_rt = spark._jvm.java.lang.Runtime.getRuntime()
+    mem_status = sc._jsc.sc().getExecutorMemoryStatus()
+    rows = [
+        (
+            int(sc.defaultParallelism),
+            int(mem_status.size()),  # executors (driver included in local mode)
+            int(os.cpu_count() or 0),
+            int(jvm_rt.totalMemory()),
+            int(jvm_rt.freeMemory()),
+            int(jvm_rt.maxMemory()),
+        )
+    ]
+    schema = StructType(
+        [
+            StructField("default_parallelism", IntegerType()),
+            StructField("n_executors", IntegerType()),
+            StructField("host_cpu_count", IntegerType()),
+            StructField("jvm_total_memory", LongType()),
+            StructField("jvm_free_memory", LongType()),
+            StructField("jvm_max_memory", LongType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
 META_TABLES = {
     "meta_tables": meta_tables,
     "meta_columns": meta_columns,
     "meta_partitions": meta_partitions,
     "meta_settings": meta_settings,
+    "meta_system_utilization": meta_system_utilization,
 }
 
 

@@ -328,23 +328,24 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
-    e = emb.filter(F.col("vec_id") < 300).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
 
     def dot(x: Column, y: Column) -> Column:
         return F.aggregate(
             F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, z: acc + z
         )
 
-    a = e.select(F.col("vec_id").alias("id1"), F.col("v").alias("v1"))
-    b = e.select(F.col("vec_id").alias("id2"), F.col("v").alias("v2"))
-    cos = dot(F.col("v1"), F.col("v2")) / (
-        F.sqrt(dot(F.col("v1"), F.col("v1"))) * F.sqrt(dot(F.col("v2"), F.col("v2")))
+    # Pre-normalize once per ROW (O(N) work) so each of the O(N^2) pairs costs
+    # ONE dot product instead of three — cos(a, b) == dot(a/|a|, b/|b|).
+    v = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(dot(v, v))
+    e = emb.filter(F.col("vec_id") < 300).select(
+        "vec_id", F.transform(v, lambda x: x / norm).alias("vn")
     )
+    a = e.select(F.col("vec_id").alias("id1"), F.col("vn").alias("vn1"))
+    b = e.select(F.col("vec_id").alias("id2"), F.col("vn").alias("vn2"))
     return (
         a.join(b, F.col("id1") < F.col("id2"))
-        .withColumn("cos_sim_raw", cos)
+        .withColumn("cos_sim_raw", dot(F.col("vn1"), F.col("vn2")))
         .filter(F.col("cos_sim_raw") > 0.35)
         .select("id1", "id2", F.round("cos_sim_raw", 4).alias("cos_sim"))
     )
