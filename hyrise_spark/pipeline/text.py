@@ -159,31 +159,23 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "langid"),
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     docs = _docs(spark, sf_dir)
-    scores = docs.select(
-        "doc_id",
-        F.col("lang").alias("lang_true"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(lang).alias("lang_pred"),
-                        sum(
-                            (_sw_count_spark(w) for w in words),
-                            F.lit(0),
-                        ).alias("cnt"),
-                    )
-                    for lang, words in sorted(_STOPWORDS.items())
-                ]
-            )
-        ).alias("s"),
-    ).select("doc_id", "lang_true", "s.lang_pred", "s.cnt")
-    w = Window.partitionBy("doc_id").orderBy(F.col("cnt").desc(), F.col("lang_pred"))
+    # Per-doc argmax WITHOUT explode/window: the 5 language scores live in one
+    # array of (cnt, -alphabetical_rank, lang) structs; array_max's struct
+    # ordering = highest cnt, ties to the alphabetically-first language —
+    # identical to the oracle's ROW_NUMBER(ORDER BY cnt DESC, lang_pred).
+    # A pure projection: no shuffle until the tiny confusion-matrix groupBy.
+    lang_scores = [
+        F.struct(
+            sum((_sw_count_spark(w) for w in words), F.lit(0)).alias("cnt"),
+            F.lit(-i).alias("tie"),
+            F.lit(lang).alias("lang_pred"),
+        )
+        for i, (lang, words) in enumerate(sorted(_STOPWORDS.items()))
+    ]
+    best = F.array_max(F.array(*lang_scores))
     return (
-        scores.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        docs.select(F.col("lang").alias("lang_true"), best["lang_pred"].alias("lang_pred"))
         .groupBy("lang_true", "lang_pred")
         .agg(F.count(F.lit(1)).alias("n"))
     )
