@@ -183,7 +183,59 @@ CORPUS: dict[str, str] = {
         WITH a AS (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey),
              b AS (SELECT * FROM a WHERE n >= 5)
         SELECT CAST(COUNT(*) AS BIGINT) AS n_heavy FROM b""",
+    # ---- additional edge cases -------------------------------------------
+    "in_list_with_null_3vl": """
+        SELECT COUNT(*) AS n FROM part WHERE p_size IN (1, 2, NULL)""",
+    "not_in_list_with_null_3vl": """
+        SELECT COUNT(*) AS n FROM part WHERE p_size NOT IN (1, 2, NULL)""",
+    "scalar_subquery_in_select": """
+        SELECT r_name,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM nation WHERE n_regionkey = r_regionkey) AS n_nations
+        FROM region ORDER BY r_name""",
+    "cte_referenced_twice": """
+        WITH s AS (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_above
+        FROM s WHERE n > (SELECT SUM(n) / COUNT(*) FROM s)""",
+    "limit_offset": """
+        SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 10 OFFSET 25""",
+    "order_by_expression": """
+        SELECT p_partkey, p_size FROM part WHERE p_partkey <= 50
+        ORDER BY p_size * -1, p_partkey""",
+    "boolean_precedence": """
+        SELECT COUNT(*) AS n FROM part
+        WHERE p_size < 10 OR p_size > 40 AND p_type = 'PROMO'""",
+    "nested_derived_tables": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM (
+          SELECT * FROM (SELECT o_custkey, o_totalprice FROM orders WHERE o_totalprice > 100) a
+          WHERE o_custkey % 2 = 0) b""",
+    "exists_or_predicate": """
+        SELECT COUNT(*) AS n FROM customer c
+        WHERE c_acctbal > 9000
+           OR EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_totalprice > 9000)""",
+    "union_inside_cte": """
+        WITH keys AS (
+          SELECT n_nationkey AS k FROM nation WHERE n_regionkey = 0
+          UNION SELECT n_nationkey AS k FROM nation WHERE n_regionkey = 1
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer WHERE c_nationkey IN (SELECT k FROM keys)""",
     # ---- window functions in SQL (§2.5) ----------------------------------
+    "win_range_frame": """
+        SELECT o_orderkey,
+               CAST(COUNT(*) OVER (ORDER BY o_totalprice
+                    RANGE BETWEEN 100 PRECEDING AND 100 FOLLOWING) AS BIGINT) AS near_n
+        FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey""",
+    "win_first_last_value": """
+        SELECT o_orderkey,
+               FIRST_VALUE(o_orderkey) OVER w AS first_k,
+               LAST_VALUE(o_orderkey) OVER w AS last_k
+        FROM orders WHERE o_custkey <= 20
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        ORDER BY o_orderkey""",
+    "win_ntile": """
+        SELECT o_orderkey, NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
+        FROM orders WHERE o_orderkey <= 100 ORDER BY o_orderkey""",
     "win_row_number": """
         SELECT o_orderkey, rn FROM (
           SELECT o_orderkey,
