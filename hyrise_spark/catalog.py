@@ -70,6 +70,13 @@ def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
     them as raw nanos (legacy conf) and rebuilds a proper timestamp with
     integer division (double division would lose ~2^10 ns of precision at
     2024-era epochs).
+
+    NOTE: `spark.sql.legacy.parquet.nanosAsLong` is a SESSION-WIDE mutation
+    and stays set once a nanos file has been read (it must still be true when
+    the lazy plan executes, so a save/restore around construction would be
+    unsound). Consequence: a later direct `spark.read.parquet` of a nanos
+    file that bypasses this function silently yields LONG columns instead of
+    failing loudly — always read through the catalog (load_tables/_read_parquet).
     """
     import pyarrow.parquet as pq
     import pyspark.sql.functions as F

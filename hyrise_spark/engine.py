@@ -142,7 +142,10 @@ class Engine:
         import pyspark.sql.functions as F
 
         cur = self.catalog.get_table(table)
-        kept = cur.filter(~F.expr(cond)) if cond else cur.limit(0)
+        # SQL deletes only rows where the condition is TRUE; rows where it
+        # evaluates to NULL must be KEPT (3VL — delete.hpp:14-18 operates on a
+        # Validate output whose scan already dropped NULL matches).
+        kept = cur.filter(~F.coalesce(F.expr(cond), F.lit(False))) if cond else cur.limit(0)
         self.catalog.replace_table(table, kept)
         return None
 

@@ -134,7 +134,18 @@ def salted_join(
     """Equi-join with the left (large, skewed) side salted: left keys get a
     random salt in [0, salt); the right side is replicated `salt` times so
     every (key, salt) partition finds its match. Use when one key's row count
-    dwarfs an executor's share and AQE skew-splitting isn't available."""
+    dwarfs an executor's share and AQE skew-splitting isn't available.
+
+    Only modes that never emit unmatched RIGHT rows are sound: the right side
+    is replicated `salt` times, so right/full outer (or right-semi/anti) would
+    emit every unmatched right row `salt` times.
+    """
+    sound = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti", "semi", "anti"}
+    if how.lower().replace(" ", "_") not in sound:
+        raise ValueError(
+            f"salted_join: how={how!r} replicates unmatched right rows {salt}x; "
+            f"use one of {sorted(sound)}"
+        )
     l = left.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
     r = right.withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
     return l.join(r, [on, "__salt"], how).drop("__salt")

@@ -50,6 +50,24 @@ _NORMALIZE_SQL = (
 )
 
 
+def _shingle_array(n: int) -> Column:
+    """All n-token shingles of the token array `w`.
+
+    Docs shorter than n tokens yield an EMPTY array: without the guard,
+    `F.sequence(0, size(w) - n)` has start > stop and Spark defaults to step
+    -1 — a descending index array that feeds negative starts into slice()
+    (spurious shingles / runtime error). DuckDB's generate_series is
+    empty-safe, so only the Spark side needs the guard.
+    """
+    return F.when(
+        F.size("w") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size("w") - n),
+            lambda i: F.array_join(F.slice(F.col("w"), i + 1, n), " "),
+        ),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+
+
 def _normalize_spark() -> Column:
     return F.regexp_replace(
         F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
@@ -82,48 +100,30 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # n-gram Jaccard near-dup: distinct 3-token shingles, equi-join on shingle,
 # |A∩B| from match count, Jaccard from set sizes.
-_SHINGLE_SQL = """
-      SELECT doc_id, DISTINCT ON? NULL
-"""  # (oracle is inline below; kept here only to document the shape)
+#
+# Skew guard: shingles appearing in > _NGRAM_MAX_DF documents (boilerplate —
+# license headers, templated footers) are dropped BEFORE the self-join. One
+# shingle shared by k docs otherwise produces k^2 candidate pairs, the classic
+# all-pairs blowup at 100 TB. Jaccard is then computed over the filtered
+# shingle space (hot shingles count toward neither intersection nor set size —
+# the stopword-removal convention). Production would set the cap to
+# max(_NGRAM_MAX_DF, 1% of corpus size); fixed here for oracle determinism.
+_NGRAM_MAX_DF = 10
 
 
-@register(
-    "dedup_ngram_jaccard",
-    oracle="""
-    WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
-      FROM documents WHERE doc_id < 300
-    ), shingles AS (
-      SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS sh
-      FROM toks, LATERAL (SELECT UNNEST(generate_series(1, len(w) - 2)) AS i)
-    ), sizes AS (
-      SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id
-    ), pairs AS (
-      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
-      FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
+def _ngram_jaccard_pairs(toks: DataFrame, max_df: int = _NGRAM_MAX_DF) -> DataFrame:
+    """Jaccard > 0.12 pairs from (doc_id, w=token-array) rows, df-capped."""
+    shingles = toks.select("doc_id", F.explode(_shingle_array(3)).alias("sh")).distinct()
+    # Document-frequency cap: the df table is tiny relative to shingles (one
+    # row per distinct shingle), and the semi-join prunes hot keys before any
+    # pair is generated.
+    cold = (
+        shingles.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("sh")
     )
-    SELECT d1, d2,
-           ROUND(CAST(inter AS DOUBLE) / (s1.n + s2.n - inter), 4) AS jaccard
-    FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
-    WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) > 0.12
-    """,
-    tags=("dedup", "jaccard"),
-)
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
-    toks = docs.filter(F.col("doc_id") < 300).select(
-        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("w")
-    )
-    shingles = toks.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("w") - 3),
-                lambda i: F.array_join(F.slice(F.col("w"), i + 1, 3), " "),
-            )
-        ).alias("sh"),
-    ).distinct()
+    shingles = shingles.join(cold, "sh", "left_semi")
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = shingles.select(F.col("doc_id").alias("d1"), "sh")
     b = shingles.select(F.col("doc_id").alias("d2"), "sh")
@@ -142,6 +142,62 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac > 0.12)
         .select("d1", "d2", F.round(jac, 4).alias("jaccard"))
     )
+
+
+def _ngram_oracle(text_expr: str) -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower({text_expr})), '\\s+') AS w
+      FROM documents WHERE doc_id < 300
+    ), all_shingles AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS sh
+      FROM toks, LATERAL (SELECT UNNEST(generate_series(1, len(w) - 2)) AS i)
+    ), cold AS (
+      SELECT sh FROM all_shingles GROUP BY sh HAVING COUNT(*) <= {_NGRAM_MAX_DF}
+    ), shingles AS (
+      SELECT s.doc_id, s.sh FROM all_shingles s JOIN cold USING (sh)
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+      FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT d1, d2,
+           ROUND(CAST(inter AS DOUBLE) / (s1.n + s2.n - inter), 4) AS jaccard
+    FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+    WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) > 0.12
+    """
+
+
+@register("dedup_ngram_jaccard", oracle=_ngram_oracle("text"), tags=("dedup", "jaccard"))
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = docs.filter(F.col("doc_id") < 300).select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("w")
+    )
+    return _ngram_jaccard_pairs(toks)
+
+
+# Every document gets the same 12-token boilerplate footer appended — its
+# shingles hit df = n_docs, far above the cap, and MUST be dropped by the
+# guard. Without the guard this query's self-join would generate all ~300^2/2
+# candidate pairs; with it, output stays near the base query's pairs.
+_HOT_FOOTER = "end of transmission all rights reserved do not reply to this message"
+
+
+@register(
+    "dedup_ngram_jaccard_hot_shingle",
+    oracle=_ngram_oracle(f"text || ' ' || '{_HOT_FOOTER}'"),
+    tags=("dedup", "jaccard", "skew"),
+)
+def dedup_ngram_jaccard_hot_shingle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    boilerplated = F.concat(F.col("text"), F.lit(" " + _HOT_FOOTER))
+    toks = docs.filter(F.col("doc_id") < 300).select(
+        "doc_id", F.split(F.trim(F.lower(boilerplated)), r"\s+").alias("w")
+    )
+    return _ngram_jaccard_pairs(toks)
 
 
 # ---------------------------------------------------------------------------
@@ -190,15 +246,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.filter(F.col("doc_id") < 300).select(
         "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("w")
     )
-    shingles = toks.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("w") - 3),
-                lambda i: F.array_join(F.slice(F.col("w"), i + 1, 3), " "),
-            )
-        ).alias("sh"),
-    ).distinct()
+    shingles = toks.select("doc_id", F.explode(_shingle_array(3)).alias("sh")).distinct()
     # All K signature components in ONE aggregation (no K-way row explode, no
     # per-(doc,i) shuffle): K min-columns packed into an array. At 100 TB the
     # signature stage is a single groupBy(doc_id) over shingles.

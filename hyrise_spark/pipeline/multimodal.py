@@ -113,7 +113,9 @@ def extract_media_features(media: DataFrame) -> DataFrame:
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
            CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS fake_width,
            CAST(octet_length(encode(text)) % 480 + 1 AS INT) AS fake_height,
-           lower(hex(encode(substr(text, 1, 4)))) AS header_hex
+           -- first 4 BYTES of the encoded payload (= first 8 hex chars), so
+           -- the invariant holds for multi-byte text too
+           lower(substring(hex(encode(text)), 1, 8)) AS header_hex
     FROM documents
     WHERE doc_id < 200
     """,

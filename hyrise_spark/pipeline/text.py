@@ -230,13 +230,20 @@ def text_shingle_min_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Build all 8-token shingles JVM-side with transform over an index array,
     # then MIN(md5) per doc — no Python, no shuffle beyond the final agg.
+    # Docs shorter than 8 tokens get an empty shingle array (without the
+    # guard, sequence(0, size-8) with start > stop descends and slice() gets
+    # negative starts) and drop out of the MIN — matching the oracle's
+    # empty generate_series.
     shingles = toks.select(
         "doc_id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("w") - 8),
-                lambda i: F.md5(F.array_join(F.slice(F.col("w"), i + 1, 8), " ")),
-            )
+            F.when(
+                F.size("w") >= 8,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("w") - 8),
+                    lambda i: F.md5(F.array_join(F.slice(F.col("w"), i + 1, 8), " ")),
+                ),
+            ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
         ).alias("h"),
     )
     return shingles.groupBy("doc_id").agg(F.min("h").alias("min_shingle_hash"))

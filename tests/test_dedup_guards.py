@@ -1,0 +1,62 @@
+"""Unit tests for the dedup pipeline's scale/correctness guards:
+
+- short-document shingle guard: docs with fewer tokens than the shingle size
+  yield an EMPTY shingle array (not a descending-sequence artifact);
+- hot-shingle df cap: shingles shared by more than _NGRAM_MAX_DF docs are
+  excluded from candidate generation (the k^2 all-pairs blowup guard).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from hyrise_spark.pipeline.dedup import (
+    _NGRAM_MAX_DF,
+    _ngram_jaccard_pairs,
+    _shingle_array,
+)
+
+
+def _toks(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("w")
+    )
+
+
+def test_short_docs_yield_empty_shingle_arrays(spark):
+    rows = [(1, "one"), (2, "one two"), (3, "one two three"), (4, "a b c d")]
+    got = {
+        r["doc_id"]: r["sh"]
+        for r in _toks(spark, rows).select("doc_id", _shingle_array(3).alias("sh")).collect()
+    }
+    assert got[1] == [] and got[2] == []
+    assert got[3] == ["one two three"]
+    assert got[4] == ["a b c", "b c d"]
+
+
+def test_ngram_pairs_survive_short_docs(spark):
+    # Without the guard this raises (slice with negative start) or emits
+    # spurious shingles; with it, short docs simply contribute nothing.
+    rows = [(1, "x"), (2, "a b"), (3, "p q r s t u v w"), (4, "p q r s t u v z")]
+    pairs = _ngram_jaccard_pairs(_toks(spark, rows)).collect()
+    assert {(r["d1"], r["d2"]) for r in pairs} == {(3, 4)}
+
+
+def test_hot_shingle_dropped_from_candidates(spark):
+    # 30 docs all ending in the same boilerplate: its shingles have df=30 >
+    # cap and must NOT generate the ~30^2/2 candidate pairs. Docs 0/1 share
+    # genuine (cold) content and must still pair.
+    footer = "common footer shared by every document in this corpus"
+    rows = [(0, "alpha beta gamma delta epsilon zeta " + footer),
+            (1, "alpha beta gamma delta epsilon eta " + footer)] + [
+        (i, f"unique{i} token{i} word{i} filler{i} " + footer) for i in range(2, 30)
+    ]
+    toks = _toks(spark, rows)
+    pairs = _ngram_jaccard_pairs(toks).collect()
+    assert {(r["d1"], r["d2"]) for r in pairs} == {(0, 1)}
+    # And directly: no shingle entering the join exceeds the df cap.
+    shingles = toks.select("doc_id", F.explode(_shingle_array(3)).alias("sh")).distinct()
+    hot = (
+        shingles.groupBy("sh").count().filter(F.col("count") > _NGRAM_MAX_DF).count()
+    )
+    assert hot > 0  # the fixture really does contain hot shingles

@@ -57,6 +57,16 @@ def test_update_all(engine):
     assert all(v == 0 for _, v in _rows(engine))
 
 
+def test_delete_null_predicate_keeps_null_rows(engine):
+    # SQL 3VL: DELETE removes rows where the condition is TRUE; rows where it
+    # evaluates to NULL must survive (ADVICE r1: `~expr` alone drops them).
+    engine.execute("INSERT INTO dml_t VALUES (99, NULL)")
+    engine.execute("DELETE FROM dml_t WHERE v > 15")
+    rows = _rows(engine)
+    assert (99, None) in rows  # NULL predicate -> kept
+    assert rows == [(0, 0), (1, 10), (99, None)]
+
+
 def test_multi_statement_dml(engine):
     engine.execute(
         "INSERT INTO dml_t VALUES (20, 200); DELETE FROM dml_t WHERE k < 2; "

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pyspark.sql.functions as F
+import pytest
 
 from hyrise_spark.operators.joins import asof_join, range_join, salted_join
 
@@ -83,3 +84,19 @@ def test_salted_join_matches_plain(spark):
     got = sorted(map(tuple, salted_join(left, right, on="k", salt=8).collect()))
     want = sorted(map(tuple, left.join(right, "k").collect()))
     assert got == want
+
+
+def test_salted_join_left_anti(spark):
+    left = spark.createDataFrame([(i, i) for i in range(20)], "k long, payload long")
+    right = spark.createDataFrame([(i,) for i in range(0, 20, 2)], "k long")
+    got = sorted(r["k"] for r in salted_join(left, right, on="k", how="left_anti").collect())
+    assert got == list(range(1, 20, 2))
+
+
+def test_salted_join_rejects_right_replicating_modes(spark):
+    # right/full replicate unmatched right rows `salt` times -> must raise.
+    left = spark.createDataFrame([(1, 1)], "k long, payload long")
+    right = spark.createDataFrame([(2, 2)], "k long, rv long")
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(left, right, on="k", how=how)
