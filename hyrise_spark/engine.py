@@ -45,6 +45,11 @@ _UPDATE_RE = re.compile(
     r"^\s*UPDATE\s+(?P<table>\w+)\s+SET\s+(?P<sets>.+?)(?:\s+WHERE\s+(?P<cond>.+))?\s*$",
     re.I | re.S,
 )
+_TXN_RE = re.compile(
+    r"^\s*(?:BEGIN|START\s+TRANSACTION|COMMIT|ROLLBACK)(?:\s+(?:TRANSACTION|WORK))?\s*$",
+    re.I,
+)
+_META_REF_RE = re.compile(r"\bmeta_\w+", re.I)
 
 
 class Engine:
@@ -83,6 +88,12 @@ class Engine:
         return [p.strip() for p in parts if p.strip()]
 
     def _execute_one(self, stmt: str, args) -> DataFrame | None:
+        if _TXN_RE.match(stmt):
+            # BEGIN/COMMIT/ROLLBACK are routed in the reference
+            # (sql_translator.cpp:377-380); this engine is single-statement
+            # autocommit (SURVEY.md §7 risk 6), so they are documented no-ops
+            # — accepted for compatibility, never a parse error.
+            return None
         m = _IMPORT_RE.match(stmt)
         if m:
             return self.import_table(m["path"], m["table"])
@@ -129,6 +140,8 @@ class Engine:
     # semantics equivalent for the autocommit case (SURVEY.md §7 risk 6).
     # At warehouse scale this maps 1:1 onto a table format's MERGE/append.
     def _insert(self, table: str, rest: str):
+        if table.lower() == "meta_settings":
+            return self._change_meta_settings("insert", rest=rest)
         cur = self.catalog.get_table(table)
         rest = rest.strip()
         if rest.upper().startswith("VALUES"):
@@ -141,6 +154,8 @@ class Engine:
     def _delete(self, table: str, cond: str | None):
         import pyspark.sql.functions as F
 
+        if table.lower() == "meta_settings":
+            return self._change_meta_settings("delete", cond=cond)
         cur = self.catalog.get_table(table)
         # SQL deletes only rows where the condition is TRUE; rows where it
         # evaluates to NULL must be KEPT (3VL — delete.hpp:14-18 operates on a
@@ -152,6 +167,8 @@ class Engine:
     def _update(self, table: str, sets: str, cond: str | None):
         import pyspark.sql.functions as F
 
+        if table.lower() == "meta_settings":
+            return self._change_meta_settings("update", sets=sets, cond=cond)
         cur = self.catalog.get_table(table)
         assignments: dict[str, str] = {}
         for part in self._split_assignments(sets):
@@ -194,6 +211,45 @@ class Engine:
         parts.append("".join(buf))
         return [p for p in (s.strip() for s in parts) if p]
 
+    # -- ChangeMetaTable (change_meta_table.hpp:26) -------------------------
+    # DML against `meta_settings` mutates SESSION CONFS, mirroring the
+    # reference's writable settings meta table: INSERT adds a conf, UPDATE
+    # rewrites matching values, DELETE unsets. The settings "table" is tiny
+    # and driver-derived, so evaluating the predicate on it is scan-free.
+    def _change_meta_settings(self, kind: str, rest=None, sets=None, cond=None):
+        import pyspark.sql.functions as F
+
+        from hyrise_spark.meta.tables import meta_settings
+
+        if kind == "insert":
+            rest = rest.strip()
+            src = f"SELECT * FROM ({rest})" if rest.upper().startswith("VALUES") else rest
+            for r in self.spark.sql(src).toDF("name", "value").collect():
+                self.spark.conf.set(r["name"], r["value"])
+            return None
+        cur = meta_settings(self.spark)
+        match = (
+            F.coalesce(F.expr(cond), F.lit(False)) if cond else F.lit(True)
+        )  # 3VL: only rows where the condition is TRUE are affected
+        if kind == "delete":
+            for r in cur.filter(match).collect():
+                try:
+                    self.spark.conf.unset(r["name"])
+                except Exception:
+                    pass  # static confs can't be unset; leave them
+            return None
+        assignments: dict[str, str] = {}
+        for part in self._split_assignments(sets):
+            col, expr = part.split("=", 1)
+            assignments[col.strip()] = expr.strip()
+        if set(assignments) != {"value"}:
+            raise ValueError("UPDATE meta_settings supports SET value = <expr> only")
+        for r in cur.filter(match).select(
+            "name", F.expr(assignments["value"]).alias("v")
+        ).collect():
+            self.spark.conf.set(r["name"], r["v"])
+        return None
+
     # -- prepared statements (prepared_plan.hpp) ----------------------------
     def prepare(self, name: str, sql: str) -> None:
         self._prepared[name] = sql
@@ -230,4 +286,7 @@ class Engine:
     def _materialize_meta_tables(self, stmt: str) -> None:
         from hyrise_spark.meta.tables import register_meta_tables
 
-        register_meta_tables(self.spark, self.catalog)
+        # Lazy: only the meta views the statement references get built — a
+        # settings lookup must not pay for every table's file listing.
+        referenced = {m.lower() for m in _META_REF_RE.findall(stmt)}
+        register_meta_tables(self.spark, self.catalog, only=referenced)

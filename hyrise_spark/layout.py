@@ -18,7 +18,52 @@ write-time shuffle across every subsequent query.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _drop_managed(spark: SparkSession, table_name: str) -> None:
+    """Drop a managed table AND its warehouse directory.
+
+    The in-memory catalog forgets tables between sessions but leaves their
+    warehouse dirs behind; a later saveAsTable then fails with
+    LOCATION_ALREADY_EXISTS. (A metastore-backed deployment doesn't hit this.)
+    """
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    path = os.path.join(warehouse.removeprefix("file:"), table_name.lower())
+    if os.path.isdir(path):
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def create_analyzed_tables(
+    spark: SparkSession,
+    sf_dir: str,
+    names: tuple[str, ...] = ("region", "nation", "customer", "orders", "lineitem"),
+    prefix: str = "st_",
+) -> dict[str, str]:
+    """Persist parquet inputs as managed tables with FULL column statistics.
+
+    This is the reference's attribute-statistics generation
+    (src/lib/statistics/generate_pruning_statistics.hpp + histogram build in
+    cardinality_estimator.hpp) done at layout time: `ANALYZE TABLE ... FOR ALL
+    COLUMNS` computes row counts, per-column NDV/min/max/null counts and
+    equi-height histograms (spark.sql.statistics.histogram.enabled), which the
+    CBO uses for join reordering. Returns {logical_name: stats_table_name}.
+    """
+    from hyrise_spark.catalog import load_tables
+
+    tabs = load_tables(spark, sf_dir, names)
+    out: dict[str, str] = {}
+    for name in names:
+        tname = f"{prefix}{name}"
+        _drop_managed(spark, tname)
+        tabs[name].write.mode("overwrite").format("parquet").saveAsTable(tname)
+        spark.sql(f"ANALYZE TABLE {tname} COMPUTE STATISTICS FOR ALL COLUMNS")
+        out[name] = tname
+    return out
 
 
 def write_bucketed(
@@ -29,6 +74,7 @@ def write_bucketed(
     sort_col: str | None = None,
 ) -> None:
     """Persist as a bucketed (+ optionally sorted) managed table."""
+    _drop_managed(df.sparkSession, table_name)
     writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
     writer = writer.sortBy(sort_col or bucket_col)
     writer.format("parquet").saveAsTable(table_name)

@@ -55,48 +55,76 @@ def meta_columns(spark: SparkSession, catalog) -> DataFrame:
 
 
 def meta_partitions(spark: SparkSession, catalog) -> DataFrame:
-    """Chunk-analog: one row per Spark partition with row counts
-    (meta_chunks_table.hpp maps to partitions here)."""
+    """Chunk-analog: one row per backing parquet file with row counts
+    (meta_chunks_table.hpp maps to files-as-partitions here).
+
+    SCAN-FREE by design: file lists come from the plan's FileIndex
+    (`df.inputFiles()`, a listing — no job) and row counts from parquet
+    FOOTER metadata via pyarrow. An introspection query must never read the
+    warehouse — at 100 TB the old groupBy(spark_partition_id()).count()
+    formulation would scan every registered table. Tables not backed by
+    files (createDataFrame results) report a single row with NULL count
+    rather than executing their plan.
+    """
+    import pyarrow.parquet as pq
+
     out = []
     for name in catalog.table_names():
         df = catalog.get_table(name)
-        counts = (
-            df.select(F.spark_partition_id().alias("pid"))
-            .groupBy("pid")
-            .count()
-            .collect()
-        )
-        for r in counts:
-            out.append((name, int(r["pid"]), int(r["count"])))
+        try:
+            files = sorted(df.inputFiles())
+        except Exception:
+            files = []
+        if not files:
+            out.append((name, 0, None, None))
+            continue
+        for i, f in enumerate(files):
+            path = f.removeprefix("file:")
+            try:
+                nrows = int(pq.ParquetFile(path).metadata.num_rows)
+            except Exception:
+                nrows = None  # non-parquet source: footer unavailable
+            out.append((name, i, nrows, f))
     schema = StructType(
         [
             StructField("table_name", StringType()),
             StructField("partition_id", LongType()),
             StructField("row_count", LongType()),
+            StructField("location", StringType()),
         ]
     )
     return spark.createDataFrame(out, schema)
 
 
 def meta_settings(spark: SparkSession, catalog=None) -> DataFrame:
-    """meta_settings (meta_settings_table.hpp): engine-relevant Spark confs."""
+    """meta_settings (meta_settings_table.hpp): session confs as a table.
+
+    Rows = every explicitly-set SQL conf (`SET` output — includes settings
+    written via the ChangeMetaTable analog, Engine INSERT/UPDATE on this
+    view) plus a fixed set of engine-relevant keys resolved to their
+    effective values. Driver-derived; no executor work.
+    """
     keys = [
         "spark.sql.shuffle.partitions",
         "spark.sql.adaptive.enabled",
         "spark.sql.autoBroadcastJoinThreshold",
         "spark.sql.session.timeZone",
         "spark.sql.ansi.enabled",
+        "spark.sql.cbo.enabled",
     ]
-    rows = []
+    vals: dict[str, str | None] = {
+        r["key"]: r["value"] for r in spark.sql("SET").collect()
+    }
     for k in keys:
-        try:
-            rows.append((k, str(spark.conf.get(k))))
-        except Exception:
-            rows.append((k, None))
+        if k not in vals:
+            try:
+                vals[k] = str(spark.conf.get(k))
+            except Exception:
+                vals[k] = None
     schema = StructType(
         [StructField("name", StringType()), StructField("value", StringType())]
     )
-    return spark.createDataFrame(rows, schema)
+    return spark.createDataFrame(sorted(vals.items()), schema)
 
 
 def meta_system_utilization(spark: SparkSession, catalog=None) -> DataFrame:
@@ -140,6 +168,16 @@ META_TABLES = {
 }
 
 
-def register_meta_tables(spark: SparkSession, catalog) -> None:
+def register_meta_tables(
+    spark: SparkSession, catalog, only: set[str] | None = None
+) -> None:
+    """Register meta views — LAZILY: only the ones the statement references.
+
+    Building all five eagerly made `SELECT * FROM meta_settings` pay for
+    every table's file listing; the engine passes the referenced names so an
+    introspection query costs exactly what it asks for.
+    """
     for name, builder in META_TABLES.items():
+        if only is not None and name not in only:
+            continue
         builder(spark, catalog).createOrReplaceTempView(name)

@@ -46,6 +46,16 @@ def get_spark(app_name: str = "hyrise_spark", cpus: int | None = None) -> SparkS
         # ANSI off: the reference's expression evaluator is permissive
         # (NULL-propagating arithmetic, no overflow errors).
         .config("spark.sql.ansi.enabled", "false")
+        # CBO: the reference's join-order optimizer + histogram cardinality
+        # estimation (src/lib/optimizer/join_ordering/dp_ccp.cpp,
+        # statistics/cardinality_estimator.hpp:37) map to Spark's cost-based
+        # optimizer over ANALYZE TABLE stats (layout.create_analyzed_tables).
+        # Equi-height histograms during ANALYZE mirror the reference's
+        # EqualDistinctCountHistogram. No-op for stat-less temp views; at
+        # 100 TB (metastore-backed tables) this drives 6-way join graphs.
+        .config("spark.sql.cbo.enabled", "true")
+        .config("spark.sql.cbo.joinReorder.enabled", "true")
+        .config("spark.sql.statistics.histogram.enabled", "true")
     )
     if not os.environ.get("SPARK_MASTER") and "SPARK_ENV_LOADED" not in os.environ:
         builder = builder.master(f"local[{cpus}]")

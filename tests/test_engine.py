@@ -70,3 +70,71 @@ def test_meta_tables(engine, spark):
     assert [(r["column_name"], r["data_type"]) for r in cols] == [("id", "bigint")]
     settings = engine.execute("SELECT * FROM meta_settings").collect()
     assert any(r["name"] == "spark.sql.adaptive.enabled" and r["value"] == "true" for r in settings)
+
+
+def test_transaction_statements_are_autocommit_noops(engine, spark):
+    # BEGIN/COMMIT/ROLLBACK are routed (sql_translator.cpp:377-380) — here
+    # documented autocommit no-ops, never parse errors.
+    spark.range(3).createOrReplaceTempView("txn_base")
+    out = engine.execute("BEGIN; SELECT COUNT(*) AS n FROM txn_base")
+    assert out.collect()[0]["n"] == 3
+    # a trailing COMMIT is the last statement -> pipeline result is None,
+    # but the wrapped DML still applied
+    assert engine.execute("BEGIN TRANSACTION; SELECT 1 AS x; COMMIT") is None
+    assert engine.execute("START TRANSACTION") is None
+    assert engine.execute("ROLLBACK WORK") is None
+
+
+def test_meta_settings_is_writable(engine, spark):
+    # ChangeMetaTable analog (change_meta_table.hpp:26): DML on meta_settings
+    # mutates session confs.
+    engine.execute("UPDATE meta_settings SET value = '123' WHERE name = 'spark.sql.shuffle.partitions'")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "123"
+    engine.execute("UPDATE meta_settings SET value = '8' WHERE name = 'spark.sql.shuffle.partitions'")
+    engine.execute("INSERT INTO meta_settings VALUES ('hyrise_spark.custom_flag', 'on')")
+    assert spark.conf.get("hyrise_spark.custom_flag") == "on"
+    rows = engine.execute(
+        "SELECT value FROM meta_settings WHERE name = 'hyrise_spark.custom_flag'"
+    ).collect()
+    assert rows and rows[0]["value"] == "on"
+    engine.execute("DELETE FROM meta_settings WHERE name = 'hyrise_spark.custom_flag'")
+    assert spark.conf.get("hyrise_spark.custom_flag", None) is None
+
+
+def test_meta_queries_are_scan_free(engine, spark):
+    # A poisoned table whose execution would raise: introspection queries
+    # must complete without ever running it (meta_partitions reads parquet
+    # FOOTERS / file listings, not table data).
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import IntegerType
+
+    boom = F.udf(lambda x: 1 // 0, IntegerType())
+    engine.catalog.replace_table("mt_poison", spark.range(10).select(boom("id").alias("x")))
+    try:
+        engine.execute("SELECT * FROM meta_settings").collect()
+        engine.execute("SELECT * FROM meta_tables").collect()
+        engine.execute("SELECT * FROM meta_columns WHERE table_name = 'mt_poison'").collect()
+        parts = engine.execute(
+            "SELECT * FROM meta_partitions WHERE table_name = 'mt_poison'"
+        ).collect()
+        assert len(parts) == 1 and parts[0]["row_count"] is None
+    finally:
+        engine.catalog.drop_table("mt_poison")
+
+
+def test_meta_partitions_footer_row_counts(engine, spark):
+    from tests.conftest import SF_DIR
+
+    from hyrise_spark.catalog import load_tables
+
+    engine.catalog.replace_table(
+        "mt_nation", load_tables(spark, SF_DIR, ("nation",))["nation"]
+    )
+    try:
+        rows = engine.execute(
+            "SELECT * FROM meta_partitions WHERE table_name = 'mt_nation'"
+        ).collect()
+        assert sum(r["row_count"] for r in rows) == 25  # footer counts, no scan
+        assert all(r["location"] for r in rows)
+    finally:
+        engine.catalog.drop_table("mt_nation")

@@ -109,3 +109,65 @@ def test_sort_limit_becomes_topk(spark):
     """ORDER BY + LIMIT compiles to TakeOrderedAndProject, not a global sort."""
     plan = _plan(spark, "tpch_q3")
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_cbo_stats_drive_join_reorder(spark):
+    """CBO end-to-end: ANALYZE'd tables + cbo.joinReorder rewrite a
+    deliberately bad 5-way join order (fact first) so the filtered dims join
+    first — the reference's DpCcp join-order optimizer over histogram
+    cardinalities (dp_ccp.cpp, cardinality_estimator.hpp:37). At 100 TB this
+    is the hours-vs-minutes knob for 6-way join graphs."""
+    import re
+
+    from hyrise_spark.layout import create_analyzed_tables
+
+    assert spark.conf.get("spark.sql.cbo.enabled") == "true"
+    names = create_analyzed_tables(spark, SF_DIR, prefix="t_cbo_")
+    try:
+        q = """
+        SELECT r.r_name, count(*) AS n
+        FROM t_cbo_lineitem l
+        JOIN t_cbo_orders o ON l.l_orderkey = o.o_orderkey
+        JOIN t_cbo_customer c ON o.o_custkey = c.c_custkey
+        JOIN t_cbo_nation n ON c.c_nationkey = n.n_nationkey
+        JOIN t_cbo_region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+        GROUP BY r.r_name
+        """
+
+        def leaf_order(plan: str) -> list[str]:
+            return re.findall(r"Relation spark_catalog\.default\.(t_cbo_\w+)", plan)
+
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+        p_off = spark.sql(q)._jdf.queryExecution().optimizedPlan().toString()
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+        qe_on = spark.sql(q)._jdf.queryExecution()
+        p_on = qe_on.optimizedPlan().toString()
+        # stats propagate through the whole join tree (cardinality estimation
+        # is live, not just sizeInBytes fallback)
+        assert qe_on.optimizedPlan().stats().rowCount().isDefined()
+        # and the reorder actually moved the dims ahead of the fact table
+        order_on = leaf_order(p_on)
+        assert leaf_order(p_off)[0] == "t_cbo_lineitem"
+        assert order_on.index("t_cbo_nation") < order_on.index("t_cbo_lineitem"), order_on
+    finally:
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+        for t in names.values():
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_analyzed_table_has_column_stats(spark):
+    """ANALYZE ... FOR ALL COLUMNS records row count + per-column NDV."""
+    from hyrise_spark.layout import create_analyzed_tables
+
+    names = create_analyzed_tables(spark, SF_DIR, names=("nation",), prefix="t_st_")
+    try:
+        desc = {
+            r["info_name"]: r["info_value"]
+            for r in spark.sql(f"DESCRIBE TABLE EXTENDED {names['nation']} n_nationkey").collect()
+        }
+        assert desc.get("distinct_count") not in (None, "NULL"), desc
+        assert desc.get("histogram") not in (None, "NULL"), desc
+    finally:
+        for t in names.values():
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
