@@ -44,6 +44,7 @@ def all_queries() -> dict[str, QueryDef]:
     import hyrise_spark.plans.tpch  # noqa: F401
     import hyrise_spark.plans.ssb  # noqa: F401
     import hyrise_spark.plans.tpcds  # noqa: F401
+    import hyrise_spark.plans.tpcds_real  # noqa: F401
     import hyrise_spark.plans.relational  # noqa: F401
     import hyrise_spark.plans.windows  # noqa: F401
     import hyrise_spark.plans.events  # noqa: F401
