@@ -15,8 +15,10 @@ Design for 100 TB:
 - SimHash: per-document bit-vote aggregation (explode is 64x row inflation
   but stays map-side until the tiny groupBy).
 - n-gram Jaccard: pairs come from an equi-join on shared shingles — skew
-  guard = drop shingles appearing in > 1% of docs (stopword shingles),
-  standard practice for LSH-free candidate generation.
+  guard = drop shingles with document frequency > _NGRAM_MAX_DF (stopword /
+  boilerplate shingles; production cap = max(_NGRAM_MAX_DF, 1% of corpus)),
+  standard practice for LSH-free candidate generation. Implemented in
+  _ngram_jaccard_pairs; exercised by dedup_ngram_jaccard_hot_shingle.
 """
 
 from __future__ import annotations

@@ -55,6 +55,26 @@ def test_bucketed_join_matches_unbucketed(spark, bucketed):
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
 
 
+def test_bucketed_q18_variant_has_no_orderkey_exchange(spark):
+    """tpch_q18_bucketed: every orderkey hop (HAVING agg, semi join, re-join,
+    final groupBy) must ride the bucketing — no exchange on either fact."""
+    from hyrise_spark.registry import all_queries
+
+    df = all_queries()["tpch_q18_bucketed"].builder(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning(l_orderkey" not in plan, plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan, plan
+
+
+def test_bucketed_variant_matches_plain(spark):
+    from hyrise_spark.registry import all_queries
+
+    qs = all_queries()
+    got = qs["tpch_q18_bucketed"].builder(spark, SF_DIR).collect()
+    want = qs["tpch_q18"].builder(spark, SF_DIR).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
 def test_engine_explain(spark):
     from hyrise_spark.engine import Engine
 
