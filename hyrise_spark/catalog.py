@@ -102,6 +102,8 @@ class Catalog:
         self.spark = spark
         self._tables: dict[str, DataFrame] = {}
         self._views: dict[str, str] = {}  # name -> SQL text (LQP view analog)
+        # driver-side statement ring buffer surfaced as meta_log
+        self.statement_log: list[dict] = []
 
     # -- tables ------------------------------------------------------------
     def add_table(self, name: str, df: DataFrame) -> None:

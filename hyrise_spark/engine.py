@@ -64,8 +64,32 @@ class Engine:
     def execute(self, sql: str, args: dict | list | None = None) -> DataFrame | None:
         result: DataFrame | None = None
         for stmt in self._split(sql):
-            result = self._execute_one(stmt, args)
+            result = self._logged_execute(stmt, args)
         return result
+
+    def _logged_execute(self, stmt: str, args) -> DataFrame | None:
+        """Run one statement and append to the meta_log ring buffer
+        (meta_log_table.hpp analog — driver-side, capped at 1000 entries)."""
+        import datetime
+        import time as _time
+
+        log = self.catalog.statement_log
+        entry = {
+            "timestamp": datetime.datetime.now(datetime.timezone.utc).isoformat(),
+            "statement": stmt,
+            "status": "ok",
+            "duration_ms": 0,
+        }
+        t0 = _time.perf_counter()
+        try:
+            return self._execute_one(stmt, args)
+        except Exception:
+            entry["status"] = "error"
+            raise
+        finally:
+            entry["duration_ms"] = int((_time.perf_counter() - t0) * 1000)
+            log.append(entry)
+            del log[:-1000]
 
     @staticmethod
     def _split(sql: str) -> list[str]:

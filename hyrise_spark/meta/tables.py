@@ -159,12 +159,173 @@ def meta_system_utilization(spark: SparkSession, catalog=None) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+def meta_segments(spark: SparkSession, catalog) -> DataFrame:
+    """meta_segments (meta_segments_table.cpp:16-29): one row per
+    (chunk, column) with encoding + size. Chunk -> parquet row group; the
+    reference's encoding_type / vector_compression_type map to parquet
+    encodings / codec; sizes and null counts come from FOOTER metadata —
+    scan-free, like meta_partitions."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for name in catalog.table_names():
+        df = catalog.get_table(name)
+        try:
+            files = sorted(df.inputFiles())
+        except Exception:
+            files = []
+        chunk_id = 0
+        for f in files:
+            path = f.removeprefix("file:")
+            try:
+                meta = pq.ParquetFile(path).metadata
+            except Exception:
+                continue  # non-parquet source: no footer
+            for rg in range(meta.num_row_groups):
+                rgm = meta.row_group(rg)
+                for col in range(rgm.num_columns):
+                    c = rgm.column(col)
+                    stats = c.statistics
+                    out.append(
+                        (
+                            name,
+                            chunk_id,
+                            col,
+                            c.path_in_schema,
+                            str(c.physical_type),
+                            ",".join(str(e) for e in c.encodings),
+                            str(c.compression),
+                            int(c.total_compressed_size),
+                            int(c.num_values),
+                            int(stats.null_count) if stats is not None and stats.has_null_count else None,
+                        )
+                    )
+                chunk_id += 1
+    schema = StructType(
+        [
+            StructField("table_name", StringType()),
+            StructField("chunk_id", IntegerType()),
+            StructField("column_id", IntegerType()),
+            StructField("column_name", StringType()),
+            StructField("column_data_type", StringType()),
+            StructField("encoding_type", StringType()),
+            StructField("compression_type", StringType()),
+            StructField("estimated_size_in_bytes", LongType()),
+            StructField("value_count", LongType()),
+            StructField("null_count", LongType()),
+        ]
+    )
+    return spark.createDataFrame(out, schema)
+
+
+def meta_chunk_sort_orders(spark: SparkSession, catalog) -> DataFrame:
+    """meta_chunk_sort_orders (meta_chunk_sort_orders_table.hpp): per-chunk
+    declared sort order. Parquet analog: row-group sorting_columns metadata
+    (populated by sortBy writers); footer-only, scan-free."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for name in catalog.table_names():
+        df = catalog.get_table(name)
+        try:
+            files = sorted(df.inputFiles())
+        except Exception:
+            files = []
+        chunk_id = 0
+        for f in files:
+            path = f.removeprefix("file:")
+            try:
+                pf = pq.ParquetFile(path)
+                meta = pf.metadata
+                names = pf.schema_arrow.names
+            except Exception:
+                continue
+            for rg in range(meta.num_row_groups):
+                sorting = getattr(meta.row_group(rg), "sorting_columns", None) or []
+                for sc in sorting:
+                    out.append(
+                        (
+                            name,
+                            chunk_id,
+                            names[sc.column_index] if sc.column_index < len(names) else str(sc.column_index),
+                            "desc" if sc.descending else "asc",
+                        )
+                    )
+                chunk_id += 1
+    schema = StructType(
+        [
+            StructField("table_name", StringType()),
+            StructField("chunk_id", IntegerType()),
+            StructField("column_name", StringType()),
+            StructField("sort_mode", StringType()),
+        ]
+    )
+    return spark.createDataFrame(out, schema)
+
+
+def meta_system_information(spark: SparkSession, catalog=None) -> DataFrame:
+    """meta_system_information (meta_system_information_table.hpp): static
+    host/cluster facts (the utilization table holds the moving numbers)."""
+    import os
+    import platform
+
+    sc = spark.sparkContext
+    rows = [
+        (
+            platform.node(),
+            platform.system().lower(),
+            int(os.cpu_count() or 0),
+            int(spark._jvm.java.lang.Runtime.getRuntime().maxMemory()),
+            sc.version,
+            sc.master,
+        )
+    ]
+    schema = StructType(
+        [
+            StructField("hostname", StringType()),
+            StructField("os", StringType()),
+            StructField("cpu_count", IntegerType()),
+            StructField("jvm_max_memory_bytes", LongType()),
+            StructField("spark_version", StringType()),
+            StructField("master", StringType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def meta_log(spark: SparkSession, catalog) -> DataFrame:
+    """meta_log (meta_log_table.hpp): the engine's statement log — one row
+    per statement routed through Engine.execute (driver-side ring buffer on
+    the catalog; no executor work)."""
+    entries = list(getattr(catalog, "statement_log", ()))
+    schema = StructType(
+        [
+            StructField("log_id", LongType()),
+            StructField("timestamp", StringType()),
+            StructField("statement", StringType()),
+            StructField("status", StringType()),
+            StructField("duration_ms", LongType()),
+        ]
+    )
+    return spark.createDataFrame(
+        [
+            (i, e["timestamp"], e["statement"], e["status"], e["duration_ms"])
+            for i, e in enumerate(entries)
+        ],
+        schema,
+    )
+
+
 META_TABLES = {
     "meta_tables": meta_tables,
     "meta_columns": meta_columns,
     "meta_partitions": meta_partitions,
     "meta_settings": meta_settings,
     "meta_system_utilization": meta_system_utilization,
+    "meta_segments": meta_segments,
+    "meta_chunk_sort_orders": meta_chunk_sort_orders,
+    "meta_system_information": meta_system_information,
+    "meta_log": meta_log,
 }
 
 

@@ -122,6 +122,54 @@ def test_meta_queries_are_scan_free(engine, spark):
         engine.catalog.drop_table("mt_poison")
 
 
+def test_meta_segments_from_parquet_footers(engine, spark):
+    from tests.conftest import SF_DIR
+
+    from hyrise_spark.catalog import load_tables
+
+    engine.catalog.replace_table(
+        "mt_seg_nation", load_tables(spark, SF_DIR, ("nation",))["nation"]
+    )
+    try:
+        rows = engine.execute(
+            "SELECT * FROM meta_segments WHERE table_name = 'mt_seg_nation' ORDER BY chunk_id, column_id"
+        ).collect()
+        assert {r["column_name"] for r in rows} == {"n_nationkey", "n_name", "n_regionkey"}
+        assert all(r["estimated_size_in_bytes"] > 0 for r in rows)
+        assert all(r["encoding_type"] for r in rows)
+        assert sum(r["value_count"] for r in rows if r["column_name"] == "n_name") == 25
+    finally:
+        engine.catalog.drop_table("mt_seg_nation")
+
+
+def test_meta_log_records_statements(engine, spark):
+    engine.execute("SELECT 42 AS answer")
+    rows = engine.execute(
+        "SELECT * FROM meta_log ORDER BY log_id"
+    ).collect()
+    stmts = [r["statement"] for r in rows]
+    assert "SELECT 42 AS answer" in stmts
+    assert all(r["status"] == "ok" for r in rows if r["statement"] == "SELECT 42 AS answer")
+    # failing statements are logged with status=error
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        engine.execute("SELECT * FROM definitely_missing_table_xyz")
+    rows = engine.execute("SELECT * FROM meta_log WHERE status = 'error'").collect()
+    assert any("definitely_missing_table_xyz" in r["statement"] for r in rows)
+
+
+def test_meta_system_information(engine):
+    rows = engine.execute("SELECT * FROM meta_system_information").collect()
+    assert len(rows) == 1 and rows[0]["cpu_count"] > 0 and rows[0]["spark_version"]
+
+
+def test_meta_chunk_sort_orders_queryable(engine):
+    # synthetic parquet has no declared sorting_columns -> empty but valid
+    rows = engine.execute("SELECT * FROM meta_chunk_sort_orders").collect()
+    assert isinstance(rows, list)
+
+
 def test_meta_partitions_footer_row_counts(engine, spark):
     from tests.conftest import SF_DIR
 
