@@ -443,3 +443,439 @@ def tpcds_q96(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+# ==========================================================================
+# Batch 2 — ten more queries from the reference's included set.
+#   Q17 quantity count/avg/stdev split by return status per brand
+#   Q28 six quantity bands x (avg price, count, distinct parts)
+#   Q31 quarter-over-quarter growth, web channel vs store channel
+#   Q37 parts in a price/size band with sales inside a 60-day window
+#   Q41 DISTINCT part names whose brand carries qualifying attribute combos
+#   Q45 nation revenue where key IN list OR brand IN subquery
+#   Q50 ship-latency bucket counts per supplier nation
+#   Q79 each customer's single highest-revenue order
+#   Q92 excessive discount: rows discounted > 1.3x their part's average
+#   Q93 per-customer net sales excluding returned lineitems
+# Channel mapping for Q31: "store" = order priorities 1-2, "web" = 4-5.
+
+
+# --------------------------------------------------------------------------
+# Q17: per-brand quantity statistics (count / avg / stddev_samp), kept vs
+# returned lineitems in one year. HAVING >= 2 on both sides keeps
+# stddev_samp non-NULL and cross-engine stable.
+@register(
+    "tpcds_q17",
+    oracle="""
+    SELECT p_brand,
+           CAST(SUM(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END) AS BIGINT) AS kept_cnt,
+           ROUND(AVG(CASE WHEN l_returnflag <> 'R' THEN l_quantity END), 2) AS kept_avg,
+           ROUND(STDDEV_SAMP(CASE WHEN l_returnflag <> 'R' THEN l_quantity END), 4) AS kept_std,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS ret_cnt,
+           ROUND(AVG(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS ret_avg,
+           ROUND(STDDEV_SAMP(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 4) AS ret_std
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE EXTRACT(YEAR FROM l_shipdate) = 1997
+    GROUP BY p_brand
+    HAVING SUM(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END) >= 2
+       AND SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) >= 2
+    ORDER BY p_brand
+    """,
+    tags=("tpcds", "tpcds-real"),
+)
+def tpcds_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, part = _t(spark, sf_dir, "lineitem", "part")
+    kept = F.when(F.col("l_returnflag") != "R", F.col("l_quantity"))
+    ret = F.when(F.col("l_returnflag") == "R", F.col("l_quantity"))
+    return (
+        li.filter(F.year("l_shipdate") == 1997)
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.when(F.col("l_returnflag") != "R", 1).otherwise(0)).alias("kept_cnt"),
+            F.round(F.avg(kept), R2).alias("kept_avg"),
+            F.round(F.stddev_samp(kept), 4).alias("kept_std"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("ret_cnt"),
+            F.round(F.avg(ret), R2).alias("ret_avg"),
+            F.round(F.stddev_samp(ret), 4).alias("ret_std"),
+        )
+        .filter((F.col("kept_cnt") >= 2) & (F.col("ret_cnt") >= 2))
+        .orderBy("p_brand")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q28: six quantity bands, each reporting avg price / row count / distinct
+# part count. Canonical Q28 cross-joins six scalar-subquery scans; grouped
+# conditional aggregation computes the same measures in ONE pass.
+@register(
+    "tpcds_q28",
+    oracle="""
+    SELECT CAST(FLOOR((l_quantity - 1) / 8) AS INTEGER) AS band,
+           ROUND(AVG(l_extendedprice), 2) AS avg_price,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS distinct_parts
+    FROM lineitem
+    WHERE l_quantity BETWEEN 1 AND 48
+    GROUP BY 1 ORDER BY band
+    """,
+    tags=("tpcds", "tpcds-real"),
+)
+def tpcds_q28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_quantity").between(1, 48))
+        .groupBy(F.floor((F.col("l_quantity") - 1) / 8).cast("int").alias("band"))
+        .agg(
+            F.round(F.avg("l_extendedprice"), R2).alias("avg_price"),
+            F.count(F.lit(1)).alias("cnt"),
+            F.countDistinct("l_partkey").alias("distinct_parts"),
+        )
+        .orderBy("band")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q31: nations where the "web" channel (priorities 4-5) grew faster than the
+# "store" channel (priorities 1-2) across consecutive quarters of 1997.
+@register(
+    "tpcds_q31",
+    oracle="""
+    WITH sales AS (
+      SELECT n_name,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'store' ELSE 'web' END AS channel,
+             CAST(EXTRACT(QUARTER FROM o_orderdate) AS INTEGER) AS q,
+             SUM(o_totalprice) AS rev
+      FROM orders JOIN customer ON o_custkey = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey
+      WHERE EXTRACT(YEAR FROM o_orderdate) = 1997
+        AND o_orderpriority IN ('1-URGENT', '2-HIGH', '4-NOT SPECIFIED', '5-LOW')
+      GROUP BY 1, 2, 3
+    ), pivoted AS (
+      SELECT n_name,
+             SUM(CASE WHEN channel = 'store' AND q = 1 THEN rev ELSE 0 END) AS ss1,
+             SUM(CASE WHEN channel = 'store' AND q = 2 THEN rev ELSE 0 END) AS ss2,
+             SUM(CASE WHEN channel = 'web' AND q = 1 THEN rev ELSE 0 END) AS ws1,
+             SUM(CASE WHEN channel = 'web' AND q = 2 THEN rev ELSE 0 END) AS ws2
+      FROM sales GROUP BY n_name
+    )
+    SELECT n_name,
+           ROUND(ws2 / ws1, 4) AS web_growth,
+           ROUND(ss2 / ss1, 4) AS store_growth
+    FROM pivoted
+    WHERE ws1 > 0 AND ss1 > 0 AND ws2 / ws1 > ss2 / ss1
+    ORDER BY n_name
+    """,
+    tags=("tpcds", "tpcds-real"),
+)
+def tpcds_q31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, cust, nation = _t(spark, sf_dir, "orders", "customer", "nation")
+    prio = F.col("o_orderpriority")
+    sales = (
+        orders.filter(
+            (F.year("o_orderdate") == 1997)
+            & prio.isin("1-URGENT", "2-HIGH", "4-NOT SPECIFIED", "5-LOW")
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            F.when(prio.isin("1-URGENT", "2-HIGH"), "store").otherwise("web").alias("channel"),
+            F.quarter("o_orderdate").cast("int").alias("q"),
+            "o_totalprice",
+        )
+    )
+    piv = sales.groupBy("n_name").agg(
+        *[
+            F.sum(
+                F.when((F.col("channel") == ch) & (F.col("q") == q), F.col("o_totalprice")).otherwise(0.0)
+            ).alias(f"{ch[0]}s{q}")
+            for ch in ("store", "web")
+            for q in (1, 2)
+        ]
+    )
+    return (
+        piv.filter(
+            (F.col("ws1") > 0) & (F.col("ss1") > 0)
+            & (F.col("ws2") / F.col("ws1") > F.col("ss2") / F.col("ss1"))
+        )
+        .select(
+            "n_name",
+            F.round(F.col("ws2") / F.col("ws1"), 4).alias("web_growth"),
+            F.round(F.col("ss2") / F.col("ss1"), 4).alias("store_growth"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q37: parts in a price band and size band ("inventory level") that actually
+# sold inside a 60-day window — the semi-join-on-window shape.
+@register(
+    "tpcds_q37",
+    oracle="""
+    SELECT p_name, ROUND(p_retailprice, 2) AS p_retailprice
+    FROM part
+    WHERE p_retailprice BETWEEN 920 AND 960 AND p_size BETWEEN 5 AND 25
+      AND p_partkey IN (
+        SELECT l_partkey FROM lineitem
+        WHERE l_shipdate >= DATE '1997-03-01' AND l_shipdate < DATE '1997-04-30'
+      )
+    GROUP BY p_name, p_retailprice
+    ORDER BY p_name LIMIT 100
+    """,
+    tags=("tpcds", "tpcds-real"),
+)
+def tpcds_q37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, part = _t(spark, sf_dir, "lineitem", "part")
+    sold = li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01")) & (F.col("l_shipdate") < F.lit("1997-04-30"))
+    ).select("l_partkey")
+    return (
+        part.filter(F.col("p_retailprice").between(920, 960) & F.col("p_size").between(5, 25))
+        .join(sold, F.col("p_partkey") == F.col("l_partkey"), "left_semi")
+        .groupBy("p_name", F.round("p_retailprice", R2).alias("p_retailprice"))
+        .agg(F.lit(1))
+        .select("p_name", "p_retailprice")
+        .orderBy("p_name")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q41: DISTINCT part names in a size band whose BRAND also carries parts
+# matching OR'd attribute combos (correlated COUNT > 0 -> semi join on the
+# qualifying-brand set).
+@register(
+    "tpcds_q41",
+    oracle="""
+    SELECT DISTINCT p_name
+    FROM part p1
+    WHERE p_size BETWEEN 10 AND 20
+      AND (SELECT COUNT(*) FROM part p2
+           WHERE p2.p_brand = p1.p_brand
+             AND ((p2.p_type = 'PROMO' AND p2.p_size BETWEEN 1 AND 15)
+               OR (p2.p_type = 'ECONOMY' AND p2.p_size BETWEEN 20 AND 35))) > 0
+    ORDER BY p_name LIMIT 100
+    """,
+    tags=("tpcds", "tpcds-real"),
+)
+def tpcds_q41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (part,) = _t(spark, sf_dir, "part")
+    qualifying = part.filter(
+        ((F.col("p_type") == "PROMO") & F.col("p_size").between(1, 15))
+        | ((F.col("p_type") == "ECONOMY") & F.col("p_size").between(20, 35))
+    ).select(F.col("p_brand").alias("q_brand")).distinct()
+    return (
+        part.filter(F.col("p_size").between(10, 20))
+        .join(F.broadcast(qualifying), F.col("p_brand") == F.col("q_brand"), "left_semi")
+        .select("p_name")
+        .distinct()
+        .orderBy("p_name")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q45: nation revenue for one quarter where the part key is in an explicit
+# list OR its brand comes from a subquery (the canonical zip-list OR
+# item-subquery disjunction).
+@register(
+    "tpcds_q45",
+    oracle="""
+    SELECT n_name, ROUND(SUM(l_extendedprice), 2) AS total_sales
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN part ON l_partkey = p_partkey
+    WHERE (l_partkey IN (2, 11, 24, 37, 49)
+           OR p_brand IN (SELECT p_brand FROM part WHERE p_size = 1))
+      AND EXTRACT(YEAR FROM o_orderdate) = 1998 AND EXTRACT(QUARTER FROM o_orderdate) = 1
+    GROUP BY n_name ORDER BY n_name LIMIT 100
+    """,
+    tags=("tpcds", "tpcds-real"),
+)
+def tpcds_q45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders, cust, nation, part = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation", "part"
+    )
+    brands = [r["p_brand"] for r in part.filter(F.col("p_size") == 1).select("p_brand").distinct().collect()]
+    return (
+        li.join(
+            orders.filter((F.year("o_orderdate") == 1998) & (F.quarter("o_orderdate") == 1)),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(F.col("l_partkey").isin(2, 11, 24, 37, 49) | F.col("p_brand").isin(brands))
+        .groupBy("n_name")
+        .agg(F.round(F.sum("l_extendedprice"), R2).alias("total_sales"))
+        .orderBy("n_name")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q50: ship-latency bucket counts (order date -> ship date) per supplier
+# nation — the canonical 30/60/90/120/120+ day histogram.
+@register(
+    "tpcds_q50",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+           CAST(SUM(CASE WHEN date_diff('day', o_orderdate, l_shipdate) BETWEEN 31 AND 60 THEN 1 ELSE 0 END) AS BIGINT) AS d60,
+           CAST(SUM(CASE WHEN date_diff('day', o_orderdate, l_shipdate) BETWEEN 61 AND 90 THEN 1 ELSE 0 END) AS BIGINT) AS d90,
+           CAST(SUM(CASE WHEN date_diff('day', o_orderdate, l_shipdate) BETWEEN 91 AND 120 THEN 1 ELSE 0 END) AS BIGINT) AS d120,
+           CAST(SUM(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 120 THEN 1 ELSE 0 END) AS BIGINT) AS d_over_120
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE EXTRACT(YEAR FROM o_orderdate) = 1997
+    GROUP BY n_name ORDER BY n_name
+    """,
+    tags=("tpcds", "tpcds-real"),
+)
+def tpcds_q50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders, supp, nation = _t(spark, sf_dir, "lineitem", "orders", "supplier", "nation")
+    lat = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+
+    def band(cond, name):
+        return F.sum(F.when(cond, 1).otherwise(0)).alias(name)
+
+    return (
+        li.join(
+            orders.filter(F.year("o_orderdate") == 1997),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            band(lat <= 30, "d30"),
+            band(lat.between(31, 60), "d60"),
+            band(lat.between(61, 90), "d90"),
+            band(lat.between(91, 120), "d120"),
+            band(lat > 120, "d_over_120"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q79: each customer's single highest-revenue order (greatest-per-group via
+# ranked window, deterministic tie-break on orderkey).
+@register(
+    "tpcds_q79",
+    oracle="""
+    WITH per_order AS (
+      SELECT c_custkey, c_name, o_orderkey,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS rev
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE EXTRACT(YEAR FROM o_orderdate) = 1997
+      GROUP BY c_custkey, c_name, o_orderkey
+    ), ranked AS (
+      SELECT c_custkey, c_name, o_orderkey, rev,
+             ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY rev DESC, o_orderkey) AS rn
+      FROM per_order
+    )
+    SELECT c_custkey, c_name, o_orderkey AS top_orderkey, rev
+    FROM ranked WHERE rn = 1
+    ORDER BY c_custkey LIMIT 100
+    """,
+    tags=("tpcds", "tpcds-real"),
+)
+def tpcds_q79(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li, orders, cust = _t(spark, sf_dir, "lineitem", "orders", "customer")
+    per_order = (
+        li.join(
+            orders.filter(F.year("o_orderdate") == 1997),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "o_orderkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), R2).alias("rev"))
+    )
+    w = Window.partitionBy("c_custkey").orderBy(F.col("rev").desc(), F.col("o_orderkey"))
+    return (
+        per_order.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("c_custkey", "c_name", F.col("o_orderkey").alias("top_orderkey"), "rev")
+        .orderBy("c_custkey")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q92: excessive discount — total discount amount on lineitems discounted
+# more than 1.3x their part's average discount over the period.
+@register(
+    "tpcds_q92",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS excess_discount_amount
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_type = 'PROMO'
+      AND EXTRACT(YEAR FROM l_shipdate) = 1997
+      AND l_discount > 1.3 * (
+        SELECT AVG(l2.l_discount) FROM lineitem l2
+        WHERE l2.l_partkey = lineitem.l_partkey
+          AND EXTRACT(YEAR FROM l2.l_shipdate) = 1997
+      )
+    """,
+    tags=("tpcds", "tpcds-real"),
+)
+def tpcds_q92(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, part = _t(spark, sf_dir, "lineitem", "part")
+    li97 = li.filter(F.year("l_shipdate") == 1997)
+    part_avg = li97.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
+        (F.lit(1.3) * F.avg("l_discount")).alias("disc_threshold")
+    )
+    return (
+        li97.join(F.broadcast(part.filter(F.col("p_type") == "PROMO")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part_avg, F.col("l_partkey") == F.col("pa_partkey"))
+        .filter(F.col("l_discount") > F.col("disc_threshold"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), R2).alias("excess_discount_amount"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q93: per-customer net sales counting only non-returned lineitems.
+@register(
+    "tpcds_q93",
+    oracle="""
+    SELECT c_custkey,
+           ROUND(SUM(CASE WHEN l_returnflag <> 'R' THEN l_quantity * l_extendedprice ELSE 0 END), 2) AS act_sales
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey
+    ORDER BY act_sales DESC, c_custkey LIMIT 100
+    """,
+    tags=("tpcds", "tpcds-real"),
+)
+def tpcds_q93(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders, cust = _t(spark, sf_dir, "lineitem", "orders", "customer")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("l_returnflag") != "R",
+                        F.col("l_quantity") * F.col("l_extendedprice"),
+                    ).otherwise(0.0)
+                ),
+                R2,
+            ).alias("act_sales")
+        )
+        .orderBy(F.col("act_sales").desc(), "c_custkey")
+        .limit(100)
+    )
