@@ -1,5 +1,5 @@
-"""Ten REAL TPC-DS queries from the reference's included set, adapted to the
-driver schema.
+"""REAL TPC-DS queries from the reference's included set, adapted to the
+driver schema (three batches: Q1..Q96, Q17..Q93, Q10..Q97 — 33 total).
 
 The reference runs ~45 actual TPC-DS queries (the `#`-commented entries in
 /root/reference/resources/benchmark/tpcds/query_excludelist.cfg are the
@@ -878,4 +878,603 @@ def tpcds_q93(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("act_sales").desc(), "c_custkey")
         .limit(100)
+    )
+
+
+# ==========================================================================
+# Batch 3 — thirteen more queries from the reference's included set
+# (resources/benchmark/tpcds/query_excludelist.cfg; tpcds_benchmark.cpp:22).
+#   Q10 customers active in BOTH channels, counted by segment
+#   Q16 orders with a second distinct supplier and no returns (EXISTS/NOT EXISTS)
+#   Q25 three-channel join: store buy -> return -> web re-buy per customer
+#   Q34 orders with 6-8 lineitems for customers in selected nations
+#   Q39 quantity coefficient-of-variation, consecutive-month self-join
+#   Q43 revenue by day-of-week per supplier nation
+#   Q48 quantity under OR'd segment x price-band x nation x qty-band filters
+#   Q65 (supplier, part) revenue at most 30% of the supplier's average
+#   Q69 store-channel-only customers (EXISTS + NOT EXISTS), by segment
+#   Q88 eight half-hour activity slots in one single-pass conditional agg
+#   Q91 returns loss by supplier nation x month for overdrawn customers
+#   Q97 store/web customer-item overlap via FULL OUTER JOIN
+# Channel mapping (as Q31): "store" = priorities 1-2, "web" = 4-5.
+# Q26/Q62/Q94 were considered and skipped as exact shape-duplicates of
+# Q7/Q50/Q16 under this schema; Q25/Q35/Q69/Q91 taken instead.
+
+
+# --------------------------------------------------------------------------
+# Q10: customers in selected nations active in the store channel AND the web
+# channel in H1/1997, counted by segment (two EXISTS -> two semi joins).
+@register(
+    "tpcds_q10",
+    oracle="""
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM customer
+    WHERE c_nationkey IN (0, 1, 2, 3, 4, 5)
+      AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  AND EXTRACT(YEAR FROM o_orderdate) = 1997
+                  AND EXTRACT(QUARTER FROM o_orderdate) <= 2)
+      AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderpriority IN ('4-NOT SPECIFIED', '5-LOW')
+                  AND EXTRACT(YEAR FROM o_orderdate) = 1997
+                  AND EXTRACT(QUARTER FROM o_orderdate) <= 2)
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    tags=("tpcds", "tpcds-real"),
+)
+def tpcds_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, cust = _t(spark, sf_dir, "orders", "customer")
+    h1 = orders.filter((F.year("o_orderdate") == 1997) & (F.quarter("o_orderdate") <= 2))
+    store = h1.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")).select("o_custkey")
+    web = h1.filter(F.col("o_orderpriority").isin("4-NOT SPECIFIED", "5-LOW")).select(
+        F.col("o_custkey").alias("w_custkey")
+    )
+    return (
+        cust.filter(F.col("c_nationkey").isin(0, 1, 2, 3, 4, 5))
+        .join(store, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .join(web, F.col("c_custkey") == F.col("w_custkey"), "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("c_mktsegment")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q16: orders in a 60-day window shipped by >= 2 distinct suppliers with no
+# returned lineitem — COUNT(DISTINCT order), SUM(price). The canonical
+# EXISTS(other supplier) / NOT EXISTS(return) pair collapses to ONE
+# per-order aggregate in the Spark plan (countDistinct >= 2 iff some other
+# row has a different supplier) — the TPC-H Q21 decorrelation trick.
+@register(
+    "tpcds_q16",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS order_count,
+           ROUND(SUM(l_extendedprice), 2) AS total_price
+    FROM lineitem l1 JOIN orders ON l1.l_orderkey = o_orderkey
+    WHERE o_orderdate >= DATE '1997-02-01' AND o_orderdate < DATE '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_returnflag = 'R')
+    """,
+    tags=("tpcds", "tpcds-real"),
+)
+def tpcds_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders = _t(spark, sf_dir, "lineitem", "orders")
+    ord_stats = li.groupBy(F.col("l_orderkey").alias("os_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("nsup"),
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("has_r"),
+    )
+    win = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1997-02-01")) & (F.col("o_orderdate") < F.lit("1997-04-01"))
+    )
+    return (
+        li.join(win, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(ord_stats, F.col("l_orderkey") == F.col("os_orderkey"))
+        .filter((F.col("nsup") >= 2) & (F.col("has_r") == 0))
+        .agg(
+            F.countDistinct("o_orderkey").alias("order_count"),
+            F.round(F.sum("l_extendedprice"), R2).alias("total_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q25: three-channel chain — customers who bought in the store channel in
+# April 1997, returned something in Apr-Oct, and bought again on the web
+# channel in Apr-Oct; channel revenues summed by customer nation. The
+# canonical item+customer correlation is coarsened to customer grain (the
+# synthetic data has no correlated re-purchases of the same part).
+@register(
+    "tpcds_q25",
+    oracle="""
+    WITH ss AS (
+      SELECT o_custkey AS cust, l_extendedprice AS price
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_returnflag <> 'R' AND EXTRACT(YEAR FROM o_orderdate) = 1997
+        AND EXTRACT(MONTH FROM o_orderdate) = 4
+        AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+    ), sr AS (
+      SELECT o_custkey AS cust, l_extendedprice AS ret_price
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_returnflag = 'R' AND EXTRACT(YEAR FROM o_orderdate) = 1997
+        AND EXTRACT(MONTH FROM o_orderdate) BETWEEN 4 AND 10
+    ), ws AS (
+      SELECT o_custkey AS cust, l_extendedprice AS web_price
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_returnflag <> 'R' AND EXTRACT(YEAR FROM o_orderdate) = 1997
+        AND EXTRACT(MONTH FROM o_orderdate) BETWEEN 4 AND 10
+        AND o_orderpriority IN ('4-NOT SPECIFIED', '5-LOW')
+    )
+    SELECT n_name,
+           ROUND(SUM(price), 2) AS store_sales,
+           ROUND(SUM(ret_price), 2) AS return_amt,
+           ROUND(SUM(web_price), 2) AS web_sales
+    FROM ss JOIN sr USING (cust) JOIN ws USING (cust)
+    JOIN customer ON cust = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name ORDER BY n_name
+    """,
+    tags=("tpcds", "tpcds-real"),
+)
+def tpcds_q25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders, cust, nation = _t(spark, sf_dir, "lineitem", "orders", "customer", "nation")
+    lo = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).filter(
+        F.year("o_orderdate") == 1997
+    )
+    ss = lo.filter(
+        (F.col("l_returnflag") != "R")
+        & (F.month("o_orderdate") == 4)
+        & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    ).select(F.col("o_custkey").alias("cust"), F.col("l_extendedprice").alias("price"))
+    sr = lo.filter(
+        (F.col("l_returnflag") == "R") & F.month("o_orderdate").between(4, 10)
+    ).select(F.col("o_custkey").alias("cust"), F.col("l_extendedprice").alias("ret_price"))
+    ws = lo.filter(
+        (F.col("l_returnflag") != "R")
+        & F.month("o_orderdate").between(4, 10)
+        & F.col("o_orderpriority").isin("4-NOT SPECIFIED", "5-LOW")
+    ).select(F.col("o_custkey").alias("cust"), F.col("l_extendedprice").alias("web_price"))
+    return (
+        ss.join(sr, "cust")
+        .join(ws, "cust")
+        .join(F.broadcast(cust), F.col("cust") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("price"), R2).alias("store_sales"),
+            F.round(F.sum("ret_price"), R2).alias("return_amt"),
+            F.round(F.sum("web_price"), R2).alias("web_sales"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q34: store-channel orders carrying 6-8 lineitems for customers in selected
+# nations (the "big basket" per-ticket count band).
+@register(
+    "tpcds_q34",
+    oracle="""
+    WITH per_order AS (
+      SELECT o_orderkey, o_custkey, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      GROUP BY 1, 2
+      HAVING COUNT(*) BETWEEN 6 AND 8
+    )
+    SELECT c_custkey, c_name, o_orderkey, cnt
+    FROM per_order JOIN customer ON o_custkey = c_custkey
+    WHERE c_nationkey IN (0, 3, 7, 11, 15, 19, 23)
+    ORDER BY c_custkey, o_orderkey LIMIT 100
+    """,
+    tags=("tpcds", "tpcds-real"),
+)
+def tpcds_q34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders, cust = _t(spark, sf_dir, "lineitem", "orders", "customer")
+    per_order = (
+        li.join(
+            orders.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt").between(6, 8))
+    )
+    return (
+        per_order.join(
+            F.broadcast(cust.filter(F.col("c_nationkey").isin(0, 3, 7, 11, 15, 19, 23))),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select("c_custkey", "c_name", "o_orderkey", "cnt")
+        .orderBy("c_custkey", "o_orderkey")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q35: customers active in both channels in 1997, with count / avg / max /
+# sum of account balance per nation (the demographic-stats sibling of Q10).
+@register(
+    "tpcds_q35",
+    oracle="""
+    SELECT n_name, CAST(COUNT(*) AS BIGINT) AS cnt,
+           ROUND(ROUND(SUM(c_acctbal), 2) / COUNT(*), 2) AS avg_bal,
+           ROUND(MAX(c_acctbal), 2) AS max_bal,
+           ROUND(SUM(c_acctbal), 2) AS sum_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  AND EXTRACT(YEAR FROM o_orderdate) = 1997)
+      AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderpriority IN ('4-NOT SPECIFIED', '5-LOW')
+                  AND EXTRACT(YEAR FROM o_orderdate) = 1997)
+    GROUP BY n_name ORDER BY n_name
+    """,
+    tags=("tpcds", "tpcds-real"),
+)
+def tpcds_q35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, cust, nation = _t(spark, sf_dir, "orders", "customer", "nation")
+    o97 = orders.filter(F.year("o_orderdate") == 1997)
+    store = o97.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")).select("o_custkey")
+    web = o97.filter(F.col("o_orderpriority").isin("4-NOT SPECIFIED", "5-LOW")).select(
+        F.col("o_custkey").alias("w_custkey")
+    )
+    return (
+        cust.join(store, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .join(web, F.col("c_custkey") == F.col("w_custkey"), "left_semi")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            # avg from the 2dp-rounded sum: raw AVG can land on a .xx5
+            # round-half tie whose direction depends on summation order
+            F.round(F.round(F.sum("c_acctbal"), R2) / F.count(F.lit(1)), R2).alias("avg_bal"),
+            F.round(F.max("c_acctbal"), R2).alias("max_bal"),
+            F.round(F.sum("c_acctbal"), R2).alias("sum_bal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q39: quantity coefficient of variation per (supplier, month); keep
+# suppliers whose cov stays > 0.5 across consecutive months (the inventory
+# volatility self-join). Filter uses the ROUNDED cov on both engines so the
+# threshold compare is bit-stable cross-engine.
+@register(
+    "tpcds_q39",
+    oracle="""
+    WITH inv AS (
+      SELECT l_suppkey, CAST(EXTRACT(MONTH FROM l_shipdate) AS INTEGER) AS m,
+             ROUND(STDDEV_SAMP(l_quantity) / AVG(l_quantity), 4) AS cov
+      FROM lineitem WHERE EXTRACT(YEAR FROM l_shipdate) = 1997
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    )
+    SELECT i1.l_suppkey AS suppkey, i1.m AS m1, i1.cov AS cov1,
+           i2.m AS m2, i2.cov AS cov2
+    FROM inv i1 JOIN inv i2 ON i1.l_suppkey = i2.l_suppkey AND i2.m = i1.m + 1
+    WHERE i1.cov > 0.5 AND i2.cov > 0.5
+    ORDER BY suppkey, m1 LIMIT 100
+    """,
+    tags=("tpcds", "tpcds-real"),
+)
+def tpcds_q39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = _t(spark, sf_dir, "lineitem")
+    inv = (
+        li.filter(F.year("l_shipdate") == 1997)
+        .groupBy("l_suppkey", F.month("l_shipdate").cast("int").alias("m"))
+        .agg(
+            F.round(F.stddev_samp("l_quantity") / F.avg("l_quantity"), 4).alias("cov"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(F.col("n") >= 2)
+        .drop("n")
+    )
+    i1 = inv.select(
+        F.col("l_suppkey").alias("suppkey"), F.col("m").alias("m1"), F.col("cov").alias("cov1")
+    )
+    i2 = inv.select(
+        F.col("l_suppkey").alias("s2"), F.col("m").alias("m2"), F.col("cov").alias("cov2")
+    )
+    return (
+        i1.join(i2, (F.col("suppkey") == F.col("s2")) & (F.col("m2") == F.col("m1") + 1))
+        .filter((F.col("cov1") > 0.5) & (F.col("cov2") > 0.5))
+        .select("suppkey", "m1", "cov1", "m2", "cov2")
+        .orderBy("suppkey", "m1")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q43: 1997 revenue by day-of-week per supplier nation, pivoted to seven
+# columns (DuckDB DOW: 0=Sunday; Spark dayofweek: 1=Sunday, hence -1).
+@register(
+    "tpcds_q43",
+    oracle="""
+    SELECT n_name,
+           ROUND(SUM(CASE WHEN EXTRACT(DOW FROM l_shipdate) = 0 THEN l_extendedprice ELSE 0 END), 2) AS sun_sales,
+           ROUND(SUM(CASE WHEN EXTRACT(DOW FROM l_shipdate) = 1 THEN l_extendedprice ELSE 0 END), 2) AS mon_sales,
+           ROUND(SUM(CASE WHEN EXTRACT(DOW FROM l_shipdate) = 2 THEN l_extendedprice ELSE 0 END), 2) AS tue_sales,
+           ROUND(SUM(CASE WHEN EXTRACT(DOW FROM l_shipdate) = 3 THEN l_extendedprice ELSE 0 END), 2) AS wed_sales,
+           ROUND(SUM(CASE WHEN EXTRACT(DOW FROM l_shipdate) = 4 THEN l_extendedprice ELSE 0 END), 2) AS thu_sales,
+           ROUND(SUM(CASE WHEN EXTRACT(DOW FROM l_shipdate) = 5 THEN l_extendedprice ELSE 0 END), 2) AS fri_sales,
+           ROUND(SUM(CASE WHEN EXTRACT(DOW FROM l_shipdate) = 6 THEN l_extendedprice ELSE 0 END), 2) AS sat_sales
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE EXTRACT(YEAR FROM l_shipdate) = 1997
+    GROUP BY n_name ORDER BY n_name
+    """,
+    tags=("tpcds", "tpcds-real"),
+)
+def tpcds_q43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, supp, nation = _t(spark, sf_dir, "lineitem", "supplier", "nation")
+    dow = F.dayofweek("l_shipdate") - 1
+    names = ["sun", "mon", "tue", "wed", "thu", "fri", "sat"]
+    return (
+        li.filter(F.year("l_shipdate") == 1997)
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            *[
+                F.round(
+                    F.sum(F.when(dow == i, F.col("l_extendedprice")).otherwise(0.0)), R2
+                ).alias(f"{names[i]}_sales")
+                for i in range(7)
+            ]
+        )
+        .orderBy("n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q48: total quantity under OR'd (segment x price band) AND OR'd
+# (nation-set x quantity band) disjunctions — the canonical
+# demographic/address double-disjunction scan.
+@register(
+    "tpcds_q48",
+    oracle="""
+    SELECT ROUND(SUM(l_quantity), 2) AS total_qty
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE EXTRACT(YEAR FROM o_orderdate) = 1997
+      AND ((c_mktsegment = 'BUILDING' AND l_extendedprice BETWEEN 1000 AND 20000)
+        OR (c_mktsegment = 'MACHINERY' AND l_extendedprice BETWEEN 5000 AND 40000)
+        OR (c_mktsegment = 'AUTOMOBILE' AND l_extendedprice BETWEEN 10000 AND 50000))
+      AND ((c_nationkey IN (0, 1, 2) AND l_quantity BETWEEN 0 AND 25)
+        OR (c_nationkey IN (5, 6, 7) AND l_quantity BETWEEN 10 AND 40)
+        OR (c_nationkey IN (10, 11, 12) AND l_quantity BETWEEN 20 AND 50))
+    """,
+    tags=("tpcds", "tpcds-real"),
+)
+def tpcds_q48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders, cust = _t(spark, sf_dir, "lineitem", "orders", "customer")
+    seg, price, qty, nk = (
+        F.col("c_mktsegment"),
+        F.col("l_extendedprice"),
+        F.col("l_quantity"),
+        F.col("c_nationkey"),
+    )
+    return (
+        li.join(orders.filter(F.year("o_orderdate") == 1997), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            (
+                ((seg == "BUILDING") & price.between(1000, 20000))
+                | ((seg == "MACHINERY") & price.between(5000, 40000))
+                | ((seg == "AUTOMOBILE") & price.between(10000, 50000))
+            )
+            & (
+                (nk.isin(0, 1, 2) & qty.between(0, 25))
+                | (nk.isin(5, 6, 7) & qty.between(10, 40))
+                | (nk.isin(10, 11, 12) & qty.between(20, 50))
+            )
+        )
+        .agg(F.round(F.sum("l_quantity"), R2).alias("total_qty"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q65: (supplier, part) pairs whose revenue is at most 30% of that
+# supplier's average per-part revenue — two-level aggregation + broadcast
+# of the tiny per-supplier averages.
+@register(
+    "tpcds_q65",
+    oracle="""
+    WITH sp AS (
+      SELECT l_suppkey, l_partkey, SUM(l_extendedprice) AS rev
+      FROM lineitem GROUP BY 1, 2
+    ), sa AS (
+      SELECT l_suppkey, AVG(rev) AS avg_rev FROM sp GROUP BY 1
+    )
+    SELECT s_name, p_name, ROUND(rev, 2) AS rev
+    FROM sp
+    JOIN sa USING (l_suppkey)
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN part ON l_partkey = p_partkey
+    WHERE rev <= 0.3 * avg_rev
+    ORDER BY s_name, p_name LIMIT 100
+    """,
+    tags=("tpcds", "tpcds-real"),
+)
+def tpcds_q65(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, supp, part = _t(spark, sf_dir, "lineitem", "supplier", "part")
+    sp = li.groupBy("l_suppkey", "l_partkey").agg(F.sum("l_extendedprice").alias("rev"))
+    sa = sp.groupBy(F.col("l_suppkey").alias("sa_suppkey")).agg(F.avg("rev").alias("avg_rev"))
+    return (
+        sp.join(F.broadcast(sa), F.col("l_suppkey") == F.col("sa_suppkey"))
+        .filter(F.col("rev") <= 0.3 * F.col("avg_rev"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select("s_name", "p_name", F.round("rev", R2).alias("rev"))
+        .orderBy("s_name", "p_name")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q69: store-channel-only customers — bought in the store channel in 1997
+# but never in the web channel that year (EXISTS + NOT EXISTS -> semi +
+# anti join), counted by segment with average balance.
+@register(
+    "tpcds_q69",
+    oracle="""
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS cnt,
+           ROUND(AVG(c_acctbal), 2) AS avg_bal
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  AND EXTRACT(YEAR FROM o_orderdate) = 1997)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderpriority IN ('4-NOT SPECIFIED', '5-LOW')
+                      AND EXTRACT(YEAR FROM o_orderdate) = 1997)
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    tags=("tpcds", "tpcds-real"),
+)
+def tpcds_q69(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, cust = _t(spark, sf_dir, "orders", "customer")
+    o97 = orders.filter(F.year("o_orderdate") == 1997)
+    store = o97.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")).select("o_custkey")
+    web = o97.filter(F.col("o_orderpriority").isin("4-NOT SPECIFIED", "5-LOW")).select(
+        F.col("o_custkey").alias("w_custkey")
+    )
+    return (
+        cust.join(store, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .join(web, F.col("c_custkey") == F.col("w_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.avg("c_acctbal"), R2).alias("avg_bal"))
+        .orderBy("c_mktsegment")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q88: eight half-hour activity slots (8:00-12:00) for two segments.
+# Canonical Q88 cross-joins eight scalar COUNT(*) subqueries; the
+# Spark-first form is ONE pass of conditional counts over events.
+@register(
+    "tpcds_q88",
+    oracle="""
+    SELECT CAST(SUM(CASE WHEN h = 8 AND m < 30 THEN 1 ELSE 0 END) AS BIGINT) AS h8_00,
+           CAST(SUM(CASE WHEN h = 8 AND m >= 30 THEN 1 ELSE 0 END) AS BIGINT) AS h8_30,
+           CAST(SUM(CASE WHEN h = 9 AND m < 30 THEN 1 ELSE 0 END) AS BIGINT) AS h9_00,
+           CAST(SUM(CASE WHEN h = 9 AND m >= 30 THEN 1 ELSE 0 END) AS BIGINT) AS h9_30,
+           CAST(SUM(CASE WHEN h = 10 AND m < 30 THEN 1 ELSE 0 END) AS BIGINT) AS h10_00,
+           CAST(SUM(CASE WHEN h = 10 AND m >= 30 THEN 1 ELSE 0 END) AS BIGINT) AS h10_30,
+           CAST(SUM(CASE WHEN h = 11 AND m < 30 THEN 1 ELSE 0 END) AS BIGINT) AS h11_00,
+           CAST(SUM(CASE WHEN h = 11 AND m >= 30 THEN 1 ELSE 0 END) AS BIGINT) AS h11_30
+    FROM (
+      SELECT EXTRACT(HOUR FROM ts) AS h, EXTRACT(MINUTE FROM ts) AS m
+      FROM events JOIN customer ON user_id = c_custkey
+      WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+    )
+    """,
+    tags=("tpcds", "tpcds-real"),
+)
+def tpcds_q88(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events, cust = _t(spark, sf_dir, "events", "customer")
+    h, m = F.hour("ts"), F.minute("ts")
+    slots = [(8, 0), (8, 30), (9, 0), (9, 30), (10, 0), (10, 30), (11, 0), (11, 30)]
+    return (
+        events.join(
+            F.broadcast(cust.filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))),
+            F.col("user_id") == F.col("c_custkey"),
+        )
+        .agg(
+            *[
+                F.sum(
+                    F.when(
+                        (h == hh) & ((m < 30) if mm == 0 else (m >= 30)), 1
+                    ).otherwise(0)
+                ).alias(f"h{hh}_{mm:02d}")
+                for hh, mm in slots
+            ]
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q91: returns loss by supplier nation ("call center") x month for
+# overdrawn customers (c_acctbal < 0), 1997.
+@register(
+    "tpcds_q91",
+    oracle="""
+    SELECT n_name, CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS m,
+           ROUND(SUM(l_extendedprice), 2) AS returns_loss
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE l_returnflag = 'R' AND c_acctbal < 0
+      AND EXTRACT(YEAR FROM o_orderdate) = 1997
+    GROUP BY 1, 2
+    ORDER BY returns_loss DESC, n_name, m LIMIT 100
+    """,
+    tags=("tpcds", "tpcds-real"),
+)
+def tpcds_q91(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders, cust, supp, nation = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation"
+    )
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(orders.filter(F.year("o_orderdate") == 1997), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust.filter(F.col("c_acctbal") < 0)), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", F.month("o_orderdate").cast("int").alias("m"))
+        .agg(F.round(F.sum("l_extendedprice"), R2).alias("returns_loss"))
+        .orderBy(F.col("returns_loss").desc(), "n_name", "m")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q97: store/web customer-item overlap — DISTINCT (customer, part) sets per
+# channel, FULL OUTER joined, counted into store-only / web-only / both.
+@register(
+    "tpcds_q97",
+    oracle="""
+    WITH ssci AS (
+      SELECT DISTINCT o_custkey AS cust, l_partkey AS pk
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    ), wsci AS (
+      SELECT DISTINCT o_custkey AS cust, l_partkey AS pk
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority IN ('4-NOT SPECIFIED', '5-LOW')
+    )
+    SELECT CAST(SUM(CASE WHEN s.cust IS NOT NULL AND w.cust IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS store_only,
+           CAST(SUM(CASE WHEN s.cust IS NULL AND w.cust IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS web_only,
+           CAST(SUM(CASE WHEN s.cust IS NOT NULL AND w.cust IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS store_and_web
+    FROM ssci s FULL OUTER JOIN wsci w ON s.cust = w.cust AND s.pk = w.pk
+    """,
+    tags=("tpcds", "tpcds-real"),
+)
+def tpcds_q97(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders = _t(spark, sf_dir, "lineitem", "orders")
+
+    def channel(prios):
+        return (
+            li.join(
+                orders.filter(F.col("o_orderpriority").isin(*prios)),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("pk"))
+            .distinct()
+        )
+
+    s = channel(["1-URGENT", "2-HIGH"])
+    w = channel(["4-NOT SPECIFIED", "5-LOW"]).select(
+        F.col("cust").alias("w_cust"), F.col("pk").alias("w_pk")
+    )
+    j = s.join(w, (F.col("cust") == F.col("w_cust")) & (F.col("pk") == F.col("w_pk")), "full_outer")
+    return j.agg(
+        F.sum(F.when(F.col("cust").isNotNull() & F.col("w_cust").isNull(), 1).otherwise(0)).alias("store_only"),
+        F.sum(F.when(F.col("cust").isNull() & F.col("w_cust").isNotNull(), 1).otherwise(0)).alias("web_only"),
+        F.sum(F.when(F.col("cust").isNotNull() & F.col("w_cust").isNotNull(), 1).otherwise(0)).alias("store_and_web"),
     )
