@@ -1,0 +1,448 @@
+"""Join Order Benchmark (JOB) — shaped query suite.
+
+The reference ships the Join Order Benchmark as a first-class suite
+(src/benchmark/join_order_benchmark.cpp; 113 queries over the IMDB dataset,
+Leis et al. "How good are query optimizers, really?"). The IMDB data is not
+available here, so this module reproduces what JOB actually *measures* — the
+optimizer's join-ordering quality — on the driver schema:
+
+  * 5-9 way join graphs (chains, stars, diamonds, and a clique edge),
+  * the same dimension joined twice under different aliases (JOB joins
+    `name`/`title` repeatedly; here `nation`/`region` play that role),
+  * correlated, selective predicates on dimension attributes,
+  * MIN(...) result rows (JOB's signature single-row aggregates).
+
+The Spark plans are written in the NAIVE join order exactly as JOB queries
+are — picking a better order is the optimizer's job, and the session enables
+CBO + joinReorder (session.py) with ANALYZE'd stats (layout.py); the
+plan-quality test test_cbo_stats_drive_join_reorder pins that machinery.
+Tiny dims (nation 25 rows, region 5 rows) are broadcast explicitly; the
+fact-to-fact orders are left to CBO/AQE.
+
+All queries are DuckDB-oracle-checked (single- or few-row outputs, like JOB).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from hyrise_spark.catalog import load_tables
+from hyrise_spark.registry import register
+
+R2 = 2
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    tabs = load_tables(spark, sf_dir, names)
+    return [tabs[n] for n in names]
+
+
+# --------------------------------------------------------------------------
+# JOB 1a analog: 5-way chain, selective filter at the far end of the chain.
+@register(
+    "job_q1",
+    oracle="""
+    SELECT CAST(MIN(o_orderkey) AS BIGINT) AS min_orderkey,
+           MIN(c_name) AS min_cust,
+           ROUND(MIN(o_totalprice), 2) AS min_price
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_type = 'PROMO' AND p_size < 5
+      AND c_mktsegment = 'BUILDING'
+      AND EXTRACT(YEAR FROM l_shipdate) = 1997
+    """,
+    tags=("job",),
+)
+def job_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders, cust, part = _t(spark, sf_dir, "lineitem", "orders", "customer", "part")
+    return (
+        li.filter(F.year("l_shipdate") == 1997)
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust.filter(F.col("c_mktsegment") == "BUILDING"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(part.filter((F.col("p_type") == "PROMO") & (F.col("p_size") < 5)), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.min("o_orderkey").alias("min_orderkey"),
+            F.min("c_name").alias("min_cust"),
+            F.round(F.min("o_totalprice"), R2).alias("min_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# JOB 6a analog: 9-way with nation/region joined TWICE under aliases —
+# customer side pinned to ASIA, supplier side pinned to EUROPE.
+@register(
+    "job_q2",
+    oracle="""
+    SELECT CAST(MIN(l_orderkey) AS BIGINT) AS min_orderkey,
+           MIN(cn.n_name) AS min_cust_nation,
+           MIN(sn.n_name) AS min_supp_nation,
+           ROUND(MIN(l_extendedprice), 2) AS min_price
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN region cr ON cn.n_regionkey = cr.r_regionkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN region sr ON sn.n_regionkey = sr.r_regionkey
+    JOIN part ON l_partkey = p_partkey
+    WHERE cr.r_name = 'ASIA' AND sr.r_name = 'EUROPE'
+      AND p_retailprice > 990
+      AND EXTRACT(YEAR FROM o_orderdate) = 1998
+    """,
+    tags=("job",),
+)
+def job_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders, cust, nation, region, supp, part = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation", "region", "supplier", "part"
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cn_name"), F.col("n_regionkey").alias("cn_reg")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("sn_name"), F.col("n_regionkey").alias("sn_reg")
+    )
+    cr = region.filter(F.col("r_name") == "ASIA").select(F.col("r_regionkey").alias("cr_key"))
+    sr = region.filter(F.col("r_name") == "EUROPE").select(F.col("r_regionkey").alias("sr_key"))
+    return (
+        li.join(orders.filter(F.year("o_orderdate") == 1998), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(cr), F.col("cn_reg") == F.col("cr_key"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(sr), F.col("sn_reg") == F.col("sr_key"))
+        .join(part.filter(F.col("p_retailprice") > 990), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.min("l_orderkey").alias("min_orderkey"),
+            F.min("cn_name").alias("min_cust_nation"),
+            F.min("sn_name").alias("min_supp_nation"),
+            F.round(F.min("l_extendedprice"), R2).alias("min_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# JOB 3b analog: 6-way star with IN-lists and a range band on the fact.
+@register(
+    "job_q3",
+    oracle="""
+    SELECT CAST(MIN(l_orderkey) AS BIGINT) AS min_orderkey,
+           MIN(p_brand) AS min_brand,
+           MIN(s_name) AS min_supp
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+      AND p_size BETWEEN 10 AND 30
+      AND s_acctbal > 5000
+      AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+      AND l_quantity BETWEEN 20 AND 30
+    """,
+    tags=("job",),
+)
+def job_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, part, supp, orders, cust, nation = _t(
+        spark, sf_dir, "lineitem", "part", "supplier", "orders", "customer", "nation"
+    )
+    return (
+        li.filter(F.col("l_quantity").between(20, 30))
+        .join(
+            part.filter(F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3") & F.col("p_size").between(10, 30)),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(supp.filter(F.col("s_acctbal") > 5000), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .agg(
+            F.min("l_orderkey").alias("min_orderkey"),
+            F.min("p_brand").alias("min_brand"),
+            F.min("s_name").alias("min_supp"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# JOB 11c analog: clique edge — customer and supplier must share a nation
+# (c_nationkey = s_nationkey joins two branches of the graph directly).
+@register(
+    "job_q4",
+    oracle="""
+    SELECT CAST(MIN(l_orderkey) AS BIGINT) AS min_orderkey,
+           MIN(n_name) AS min_nation,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE EXTRACT(YEAR FROM o_orderdate) = 1997
+      AND o_totalprice > 100000
+    """,
+    tags=("job",),
+)
+def job_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders, cust, supp, nation = _t(spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation")
+    return (
+        li.join(
+            orders.filter((F.year("o_orderdate") == 1997) & (F.col("o_totalprice") > 100000)),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            supp,
+            (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .agg(
+            F.min("l_orderkey").alias("min_orderkey"),
+            F.min("n_name").alias("min_nation"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# JOB 13d analog: anti-correlated predicates — expensive lineitems of cheap
+# parts (forces the optimizer to see that neither filter alone is selective
+# but their conjunction through the join is).
+@register(
+    "job_q5",
+    oracle="""
+    SELECT CAST(MIN(l_orderkey) AS BIGINT) AS min_orderkey,
+           MIN(p_name) AS min_part,
+           ROUND(MAX(l_extendedprice), 2) AS max_price
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE p_retailprice < 920 AND l_extendedprice > 95000
+      AND r_name IN ('AFRICA', 'AMERICA')
+    """,
+    tags=("job",),
+)
+def job_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, part, supp, nation, region = _t(spark, sf_dir, "lineitem", "part", "supplier", "nation", "region")
+    return (
+        li.filter(F.col("l_extendedprice") > 95000)
+        .join(part.filter(F.col("p_retailprice") < 920), F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.filter(F.col("r_name").isin("AFRICA", "AMERICA"))), F.col("n_regionkey") == F.col("r_regionkey"))
+        .agg(
+            F.min("l_orderkey").alias("min_orderkey"),
+            F.min("p_name").alias("min_part"),
+            F.round(F.max("l_extendedprice"), R2).alias("max_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# JOB 8a analog: LIKE predicates on two different dims in one graph.
+@register(
+    "job_q6",
+    oracle="""
+    SELECT CAST(MIN(o_orderkey) AS BIGINT) AS min_orderkey,
+           MIN(p_name) AS min_part,
+           MIN(n_name) AS min_nation
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_name LIKE 'red%' AND n_name LIKE 'NATION_1%'
+      AND o_orderstatus = 'F'
+    """,
+    tags=("job",),
+)
+def job_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders, part, supp, nation = _t(spark, sf_dir, "lineitem", "orders", "part", "supplier", "nation")
+    return (
+        li.join(orders.filter(F.col("o_orderstatus") == "F"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(part.filter(F.col("p_name").like("red%")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation.filter(F.col("n_name").like("NATION_1%"))), F.col("s_nationkey") == F.col("n_nationkey"))
+        .agg(
+            F.min("o_orderkey").alias("min_orderkey"),
+            F.min("p_name").alias("min_part"),
+            F.min("n_name").alias("min_nation"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# JOB 16b analog: 6-way through a second fact (events) — behavioral join
+# chain events -> customer -> orders -> lineitem with dim filters.
+@register(
+    "job_q7",
+    oracle="""
+    SELECT CAST(MIN(event_id) AS BIGINT) AS min_event,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_orderkey,
+           MIN(n_name) AS min_nation
+    FROM events
+    JOIN customer ON user_id = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    JOIN orders ON o_custkey = c_custkey
+    WHERE event_type = 'purchase' AND r_name = 'AMERICA'
+      AND EXTRACT(YEAR FROM o_orderdate) = 1997
+      AND o_totalprice > 150000
+    """,
+    tags=("job",),
+)
+def job_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events, cust, nation, region, orders = _t(spark, sf_dir, "events", "customer", "nation", "region", "orders")
+    return (
+        events.filter(F.col("event_type") == "purchase")
+        .join(cust, F.col("user_id") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.filter(F.col("r_name") == "AMERICA")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(
+            orders.filter((F.year("o_orderdate") == 1997) & (F.col("o_totalprice") > 150000)),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .agg(
+            F.min("event_id").alias("min_event"),
+            F.min("o_orderkey").alias("min_orderkey"),
+            F.min("n_name").alias("min_nation"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# JOB 17e analog: diamond — orders joins lineitem twice transitively
+# (customer branch and supplier branch), both branches constrained to the
+# same region via two region aliases with an equality between them.
+@register(
+    "job_q8",
+    oracle="""
+    SELECT CAST(MIN(l_orderkey) AS BIGINT) AS min_orderkey,
+           MIN(cn.n_name) AS min_nation,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE cn.n_regionkey = sn.n_regionkey
+      AND EXTRACT(YEAR FROM l_shipdate) = 1998
+      AND l_discount > 0.08
+    """,
+    tags=("job",),
+)
+def job_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders, cust, nation, supp = _t(spark, sf_dir, "lineitem", "orders", "customer", "nation", "supplier")
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cn_name"), F.col("n_regionkey").alias("cn_reg")
+    )
+    sn = nation.select(F.col("n_nationkey").alias("sn_key"), F.col("n_regionkey").alias("sn_reg"))
+    return (
+        li.filter((F.year("l_shipdate") == 1998) & (F.col("l_discount") > 0.08))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .filter(F.col("cn_reg") == F.col("sn_reg"))
+        .agg(
+            F.min("l_orderkey").alias("min_orderkey"),
+            F.min("cn_name").alias("min_nation"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# JOB 20a analog: one branch is itself an aggregate (big customers), the
+# optimizer must place the derived relation correctly in the graph.
+@register(
+    "job_q9",
+    oracle="""
+    WITH big AS (
+      SELECT o_custkey FROM orders GROUP BY o_custkey
+      HAVING SUM(o_totalprice) > 2000000
+    )
+    SELECT CAST(MIN(l_orderkey) AS BIGINT) AS min_orderkey,
+           MIN(c_name) AS min_cust,
+           ROUND(MIN(l_extendedprice), 2) AS min_price
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN big ON big.o_custkey = c_custkey
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_type IN ('ECONOMY', 'PROMO') AND EXTRACT(YEAR FROM o_orderdate) = 1996
+    """,
+    tags=("job",),
+)
+def job_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders, cust, part = _t(spark, sf_dir, "lineitem", "orders", "customer", "part")
+    big = (
+        orders.groupBy(F.col("o_custkey").alias("big_custkey"))
+        .agg(F.sum("o_totalprice").alias("tot"))
+        .filter(F.col("tot") > 2000000)
+        .select("big_custkey")
+    )
+    return (
+        li.join(orders.filter(F.year("o_orderdate") == 1996), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(big, F.col("big_custkey") == F.col("c_custkey"))
+        .join(part.filter(F.col("p_type").isin("ECONOMY", "PROMO")), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.min("l_orderkey").alias("min_orderkey"),
+            F.min("c_name").alias("min_cust"),
+            F.round(F.min("l_extendedprice"), R2).alias("min_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# JOB 29a analog: widest graph — 8 relations, every join edge used, three
+# selective dim filters at different depths.
+@register(
+    "job_q10",
+    oracle="""
+    SELECT CAST(MIN(l_orderkey) AS BIGINT) AS min_orderkey,
+           MIN(p_brand) AS min_brand,
+           MIN(s_name) AS min_supp,
+           MIN(r_name) AS min_region
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN part ON l_partkey = p_partkey
+    WHERE r_name <> 'ASIA' AND p_size = 25 AND s_acctbal < 1000
+      AND o_orderstatus = 'O' AND l_quantity < 10
+    """,
+    tags=("job",),
+)
+def job_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders, cust, nation, region, supp, part = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation", "region", "supplier", "part"
+    )
+    return (
+        li.filter(F.col("l_quantity") < 10)
+        .join(orders.filter(F.col("o_orderstatus") == "O"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.filter(F.col("r_name") != "ASIA")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(supp.filter(F.col("s_acctbal") < 1000), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(part.filter(F.col("p_size") == 25), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.min("l_orderkey").alias("min_orderkey"),
+            F.min("p_brand").alias("min_brand"),
+            F.min("s_name").alias("min_supp"),
+            F.min("r_name").alias("min_region"),
+        )
+    )
