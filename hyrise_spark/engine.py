@@ -42,7 +42,7 @@ _DELETE_RE = re.compile(
     r"^\s*DELETE\s+FROM\s+(?P<table>\w+)(?:\s+WHERE\s+(?P<cond>.+))?\s*$", re.I | re.S
 )
 _UPDATE_RE = re.compile(
-    r"^\s*UPDATE\s+(?P<table>\w+)\s+SET\s+(?P<sets>.+?)(?:\s+WHERE\s+(?P<cond>.+))?\s*$",
+    r"^\s*UPDATE\s+(?P<table>\w+)\s+SET\s+(?P<rest>.+)$",
     re.I | re.S,
 )
 _TXN_RE = re.compile(
@@ -149,7 +149,8 @@ class Engine:
             return self._delete(m["table"], m["cond"])
         m = _UPDATE_RE.match(stmt)
         if m:
-            return self._update(m["table"], m["sets"], m["cond"])
+            sets, cond = self._split_top_level_where(m["rest"])
+            return self._update(m["table"], sets, cond)
         if stmt.lower().startswith("select") and "meta_" in stmt:
             self._materialize_meta_tables(stmt)
         if args is not None:
@@ -176,21 +177,26 @@ class Engine:
         return None
 
     def _delete(self, table: str, cond: str | None):
-        import pyspark.sql.functions as F
-
         if table.lower() == "meta_settings":
             return self._change_meta_settings("delete", cond=cond)
         cur = self.catalog.get_table(table)
+        if cond is None:
+            self.catalog.replace_table(table, cur.limit(0))
+            return None
         # SQL deletes only rows where the condition is TRUE; rows where it
         # evaluates to NULL must be KEPT (3VL — delete.hpp:14-18 operates on a
-        # Validate output whose scan already dropped NULL matches).
-        kept = cur.filter(~F.coalesce(F.expr(cond), F.lit(False))) if cond else cur.limit(0)
+        # Validate output whose scan already dropped NULL matches). Routed
+        # through spark.sql over a snapshot view so the predicate may contain
+        # scalar subqueries (spark.sql resolves the view eagerly, so later
+        # reuse of the view name cannot retarget this plan).
+        cur.createOrReplaceTempView("__hs_dml_src")
+        kept = self.spark.sql(
+            f"SELECT * FROM __hs_dml_src WHERE NOT COALESCE(({cond}), FALSE)"
+        )
         self.catalog.replace_table(table, kept)
         return None
 
     def _update(self, table: str, sets: str, cond: str | None):
-        import pyspark.sql.functions as F
-
         if table.lower() == "meta_settings":
             return self._change_meta_settings("update", sets=sets, cond=cond)
         cur = self.catalog.get_table(table)
@@ -198,17 +204,47 @@ class Engine:
         for part in self._split_assignments(sets):
             col, expr = part.split("=", 1)
             assignments[col.strip()] = expr.strip()
-        match = F.expr(cond) if cond else F.lit(True)
-        updated = cur.select(
-            *[
-                F.when(match, F.expr(assignments[c])).otherwise(F.col(c)).alias(c)
-                if c in assignments
-                else F.col(c)
-                for c in cur.columns
-            ]
+        # Build one SELECT over a snapshot view: CASE keeps 3VL (NULL match ->
+        # old value), and going through spark.sql lets assignments and the
+        # condition contain scalar subqueries (TPC-C Delivery's
+        # `SET c_balance = c_balance + (SELECT ...)`), which F.expr cannot.
+        match = f"COALESCE(({cond}), FALSE)" if cond else "TRUE"
+        cols = ", ".join(
+            f"CASE WHEN {match} THEN ({assignments[c]}) ELSE {c} END AS {c}"
+            if c in assignments
+            else c
+            for c in cur.columns
         )
+        cur.createOrReplaceTempView("__hs_dml_src")
+        updated = self.spark.sql(f"SELECT {cols} FROM __hs_dml_src")
         self.catalog.replace_table(table, updated)
         return None
+
+    @staticmethod
+    def _split_top_level_where(rest: str) -> tuple[str, str | None]:
+        """Split `SET <assignments> [WHERE <cond>]` at the first WHERE that is
+        outside parentheses and quotes — a WHERE inside a scalar subquery in
+        the SET list must NOT split (the router-fragility case: `UPDATE t SET
+        x = (SELECT ... WHERE ...) WHERE k = 1`)."""
+        depth, quote, i, n = 0, None, 0, len(rest)
+        while i < n:
+            ch = rest[i]
+            if quote:
+                if ch == quote:
+                    quote = None
+            elif ch in ("'", '"'):
+                quote = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0 and rest[i : i + 5].upper() == "WHERE":
+                before_ok = i == 0 or rest[i - 1].isspace()
+                after_ok = i + 5 >= n or rest[i + 5].isspace()
+                if before_ok and after_ok:
+                    return rest[:i].strip(), rest[i + 5 :].strip()
+            i += 1
+        return rest.strip(), None
 
     @staticmethod
     def _split_assignments(sets: str) -> list[str]:

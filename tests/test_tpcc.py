@@ -1,0 +1,136 @@
+"""TPC-C transaction procedures as Engine DML sequences.
+
+The reference's five TPC-C procedures (src/benchmarklib/tpcc/procedures/*)
+map here to multi-statement Engine sequences wrapped in BEGIN/COMMIT (routed
+as autocommit no-ops, sql_translator.cpp:377-380 analog). The read-only
+procedures (OrderStatus, StockLevel) are registered oracle-checked queries in
+plans/tpcc.py; these tests cover the read-write ones plus a consistency
+check in the spirit of tpcc_benchmark.cpp's --consistency_checks.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from hyrise_spark.engine import Engine
+
+
+@pytest.fixture()
+def engine(spark):
+    eng = Engine(spark)
+    eng.execute(
+        """
+        CREATE TABLE tpcc_customer AS
+        SELECT id AS c_custkey, CONCAT('Customer#', id) AS c_name,
+               CAST(1000.0 AS DOUBLE) AS c_balance, CAST(0.0 AS DOUBLE) AS c_ytd_payment
+        FROM RANGE(4)
+        """
+    )
+    eng.execute(
+        """
+        CREATE TABLE tpcc_orders AS
+        SELECT id AS o_orderkey, id % 4 AS o_custkey, 'O' AS o_orderstatus,
+               CAST(100.0 + id AS DOUBLE) AS o_totalprice
+        FROM RANGE(8)
+        """
+    )
+    eng.execute(
+        """
+        CREATE TABLE tpcc_order_line AS
+        SELECT id AS ol_id, id % 8 AS ol_orderkey, id % 5 AS ol_partkey,
+               CAST(10.0 AS DOUBLE) AS ol_amount
+        FROM RANGE(16)
+        """
+    )
+    yield eng
+    for t in ("tpcc_customer", "tpcc_orders", "tpcc_order_line"):
+        eng.execute(f"DROP TABLE {t}")
+
+
+def _one(engine, sql):
+    return engine.execute(sql).collect()[0]
+
+
+def test_new_order_procedure(engine):
+    """NewOrder: insert an order header + its lines in one transaction."""
+    engine.execute(
+        """
+        BEGIN;
+        INSERT INTO tpcc_orders VALUES (100, 1, 'O', 55.5);
+        INSERT INTO tpcc_order_line VALUES (100, 100, 2, 30.0), (101, 100, 3, 25.5);
+        COMMIT
+        """
+    )
+    assert _one(engine, "SELECT COUNT(*) AS c FROM tpcc_orders WHERE o_orderkey = 100")["c"] == 1
+    assert (
+        _one(engine, "SELECT COUNT(*) AS c FROM tpcc_order_line WHERE ol_orderkey = 100")["c"] == 2
+    )
+
+
+def test_payment_procedure(engine):
+    """Payment: decrement balance, increment YTD payment for one customer."""
+    engine.execute(
+        """
+        BEGIN;
+        UPDATE tpcc_customer SET c_balance = c_balance - 250.0,
+                                 c_ytd_payment = c_ytd_payment + 250.0
+        WHERE c_custkey = 2;
+        COMMIT
+        """
+    )
+    row = _one(engine, "SELECT * FROM tpcc_customer WHERE c_custkey = 2")
+    assert row["c_balance"] == 750.0 and row["c_ytd_payment"] == 250.0
+    untouched = _one(engine, "SELECT * FROM tpcc_customer WHERE c_custkey = 1")
+    assert untouched["c_balance"] == 1000.0
+
+
+def test_delivery_procedure(engine):
+    """Delivery: mark the customer's oldest open order fulfilled and credit
+    its amount to the customer's balance (delete+insert composite in the
+    reference's update.hpp:17-27 maps to two UPDATEs here)."""
+    oldest = _one(
+        engine,
+        """
+        SELECT MIN(o_orderkey) AS k FROM tpcc_orders
+        WHERE o_custkey = 3 AND o_orderstatus = 'O'
+        """,
+    )["k"]
+    engine.execute(
+        f"""
+        BEGIN;
+        UPDATE tpcc_orders SET o_orderstatus = 'F' WHERE o_orderkey = {oldest};
+        UPDATE tpcc_customer SET c_balance = c_balance +
+          (SELECT o_totalprice FROM tpcc_orders WHERE o_orderkey = {oldest})
+        WHERE c_custkey = 3;
+        COMMIT
+        """
+    )
+    assert (
+        _one(engine, f"SELECT o_orderstatus AS s FROM tpcc_orders WHERE o_orderkey = {oldest}")["s"]
+        == "F"
+    )
+    assert _one(engine, "SELECT c_balance AS b FROM tpcc_customer WHERE c_custkey = 3")["b"] == 1103.0
+
+
+def test_rollback_is_accepted(engine):
+    """ROLLBACK parses and no-ops (autocommit emulation: the statement
+    BEFORE it has already committed — documented SURVEY §7 risk 6)."""
+    engine.execute("BEGIN; ROLLBACK")
+    assert _one(engine, "SELECT COUNT(*) AS c FROM tpcc_customer")["c"] == 4
+
+
+def test_consistency_check_balance_vs_ytd(engine):
+    """tpcc_benchmark.cpp --consistency_checks analog: after any sequence of
+    payments, balance + ytd_payment is invariant per customer."""
+    for amount, key in ((100.0, 0), (35.5, 1), (64.5, 1)):
+        engine.execute(
+            f"""
+            UPDATE tpcc_customer SET c_balance = c_balance - {amount},
+                                     c_ytd_payment = c_ytd_payment + {amount}
+            WHERE c_custkey = {key}
+            """
+        )
+    rows = engine.execute(
+        "SELECT c_balance + c_ytd_payment AS inv FROM tpcc_customer"
+    ).collect()
+    assert all(r["inv"] == 1000.0 for r in rows)
