@@ -48,6 +48,7 @@ def all_queries() -> dict[str, QueryDef]:
     import hyrise_spark.plans.tpcds_real  # noqa: F401
     import hyrise_spark.plans.job  # noqa: F401
     import hyrise_spark.plans.tpcc  # noqa: F401
+    import hyrise_spark.plans.jcch  # noqa: F401
     import hyrise_spark.plans.relational  # noqa: F401
     import hyrise_spark.plans.windows  # noqa: F401
     import hyrise_spark.plans.events  # noqa: F401
