@@ -167,6 +167,8 @@ class Engine:
     def _insert(self, table: str, rest: str):
         if table.lower() == "meta_settings":
             return self._change_meta_settings("insert", rest=rest)
+        if table.lower() == "meta_exec":
+            return self._exec_meta_function(rest)
         cur = self.catalog.get_table(table)
         rest = rest.strip()
         if rest.upper().startswith("VALUES"):
@@ -308,6 +310,22 @@ class Engine:
             "name", F.expr(assignments["value"]).alias("v")
         ).collect():
             self.spark.conf.set(r["name"], r["v"])
+        return None
+
+    # -- meta_exec (meta_exec_table.cpp:44-48) ------------------------------
+    # INSERT INTO meta_exec VALUES ('plugin', 'function') EXECUTES the named
+    # admin function, mirroring MetaExecTable::_on_insert ->
+    # PluginManager::exec_user_function.
+    def _exec_meta_function(self, rest: str):
+        from hyrise_spark.meta.tables import EXEC_FUNCTIONS
+
+        rest = rest.strip()
+        src = f"SELECT * FROM ({rest})" if rest.upper().startswith("VALUES") else rest
+        for r in self.spark.sql(src).toDF("plugin_name", "function_name").collect():
+            key = (r["plugin_name"], r["function_name"])
+            if key not in EXEC_FUNCTIONS:
+                raise ValueError(f"meta_exec: unknown function {key!r}")
+            EXEC_FUNCTIONS[key](self.spark, self.catalog)
         return None
 
     # -- prepared statements (prepared_plan.hpp) ----------------------------

@@ -316,6 +316,131 @@ def meta_log(spark: SparkSession, catalog) -> DataFrame:
     )
 
 
+def meta_chunks(spark: SparkSession, catalog) -> DataFrame:
+    """meta_chunks (meta_chunks_table.cpp:16-20): reference-shaped chunk
+    rows — table_name / chunk_id / row_count / invalid_row_count /
+    cleanup_commit_id. Chunk -> backing parquet file; row counts from footer
+    metadata (scan-free, like meta_partitions). There is no MVCC here, so
+    invalid_row_count is always 0 and cleanup_commit_id NULL."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for name in catalog.table_names():
+        df = catalog.get_table(name)
+        try:
+            files = sorted(df.inputFiles())
+        except Exception:
+            files = []
+        for i, f in enumerate(files):
+            path = f.removeprefix("file:")
+            try:
+                nrows = int(pq.ParquetFile(path).metadata.num_rows)
+            except Exception:
+                nrows = None
+            out.append((name, i, nrows, 0, None))
+    schema = StructType(
+        [
+            StructField("table_name", StringType()),
+            StructField("chunk_id", IntegerType()),
+            StructField("row_count", LongType()),
+            StructField("invalid_row_count", LongType()),
+            StructField("cleanup_commit_id", LongType()),
+        ]
+    )
+    return spark.createDataFrame(out, schema)
+
+
+def meta_plugins(spark: SparkSession, catalog=None) -> DataFrame:
+    """meta_plugins (meta_plugins_table.cpp): loaded extensions. Spark
+    analog: the session's configured plugin/extension/jar entries — the
+    things a Spark deployment "loads" the way the reference loads .so
+    plugins. Driver-derived, scan-free."""
+    entries: list[tuple[str, str]] = []
+    for conf, kind in (
+        ("spark.plugins", "spark_plugin"),
+        ("spark.sql.extensions", "sql_extension"),
+        ("spark.jars", "jar"),
+        ("spark.jars.packages", "package"),
+    ):
+        try:
+            val = spark.conf.get(conf)
+        except Exception:
+            val = None
+        if val:
+            entries.extend((item.strip(), kind) for item in val.split(",") if item.strip())
+    schema = StructType(
+        [StructField("name", StringType()), StructField("kind", StringType())]
+    )
+    return spark.createDataFrame(entries, schema)
+
+
+#: Admin functions executable via `INSERT INTO meta_exec` — the analog of
+#: the reference's user-executable plugin functions (meta_exec_table.cpp:36,
+#: PluginManager::exec_user_function). Each maps to a Spark admin action.
+EXEC_FUNCTIONS: dict[tuple[str, str], "callable"] = {
+    ("spark", "clear_cache"): lambda spark, catalog: spark.catalog.clearCache(),
+    ("spark", "refresh_tables"): lambda spark, catalog: [
+        spark.catalog.refreshTable(n)
+        for n in catalog.table_names()
+        if spark.catalog.tableExists(n)
+    ],
+    ("engine", "clear_statement_log"): lambda spark, catalog: catalog.statement_log.clear(),
+}
+
+
+def meta_exec(spark: SparkSession, catalog=None) -> DataFrame:
+    """meta_exec (meta_exec_table.cpp:20-27): the catalog of user-executable
+    admin functions, writable — `INSERT INTO meta_exec VALUES (plugin, fn)`
+    EXECUTES the function (routed by Engine._insert), mirroring
+    MetaExecTable::_on_insert."""
+    schema = StructType(
+        [StructField("plugin_name", StringType()), StructField("function_name", StringType())]
+    )
+    return spark.createDataFrame(sorted(EXEC_FUNCTIONS.keys()), schema)
+
+
+def meta_segments_accurate(spark: SparkSession, catalog) -> DataFrame:
+    """meta_segments_accurate (meta_segments_accurate_table.cpp): the
+    EXACT-statistics variant of meta_segments. The reference documents this
+    one as expensive (it walks every segment); here it runs ONE aggregation
+    job per table computing exact distinct/null counts per column — the only
+    meta table that is not scan-free, by contract, and it is only built when
+    a statement references it (lazy registration)."""
+    out = []
+    for name in catalog.table_names():
+        df = catalog.get_table(name)
+        aggs = []
+        for f in df.schema.fields:
+            c = f.name
+            aggs.append(F.countDistinct(F.col(c)).alias(f"__d_{c}"))
+            aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__n_{c}"))
+        if not aggs:
+            continue
+        row = df.agg(*aggs).collect()[0]
+        for i, f in enumerate(df.schema.fields):
+            out.append(
+                (
+                    name,
+                    i,
+                    f.name,
+                    f.dataType.simpleString(),
+                    int(row[f"__d_{f.name}"]),
+                    int(row[f"__n_{f.name}"]),
+                )
+            )
+    schema = StructType(
+        [
+            StructField("table_name", StringType()),
+            StructField("column_id", IntegerType()),
+            StructField("column_name", StringType()),
+            StructField("column_data_type", StringType()),
+            StructField("distinct_value_count", LongType()),
+            StructField("null_value_count", LongType()),
+        ]
+    )
+    return spark.createDataFrame(out, schema)
+
+
 META_TABLES = {
     "meta_tables": meta_tables,
     "meta_columns": meta_columns,
@@ -326,6 +451,10 @@ META_TABLES = {
     "meta_chunk_sort_orders": meta_chunk_sort_orders,
     "meta_system_information": meta_system_information,
     "meta_log": meta_log,
+    "meta_chunks": meta_chunks,
+    "meta_plugins": meta_plugins,
+    "meta_exec": meta_exec,
+    "meta_segments_accurate": meta_segments_accurate,
 }
 
 

@@ -186,3 +186,62 @@ def test_meta_partitions_footer_row_counts(engine, spark):
         assert all(r["location"] for r in rows)
     finally:
         engine.catalog.drop_table("mt_nation")
+
+
+def test_meta_chunks_reference_shape(engine, spark):
+    from tests.conftest import SF_DIR
+
+    from hyrise_spark.catalog import load_tables
+
+    engine.catalog.replace_table(
+        "mt_chunk_nation", load_tables(spark, SF_DIR, ("nation",))["nation"]
+    )
+    try:
+        rows = engine.execute(
+            "SELECT * FROM meta_chunks WHERE table_name = 'mt_chunk_nation'"
+        ).collect()
+        assert rows and sum(r["row_count"] for r in rows) == 25
+        # no MVCC: invalid rows always 0, cleanup commit always NULL
+        assert all(r["invalid_row_count"] == 0 and r["cleanup_commit_id"] is None for r in rows)
+    finally:
+        engine.catalog.drop_table("mt_chunk_nation")
+
+
+def test_meta_exec_lists_and_executes(engine, spark):
+    rows = engine.execute("SELECT * FROM meta_exec ORDER BY plugin_name, function_name").collect()
+    assert ("spark", "clear_cache") in [(r["plugin_name"], r["function_name"]) for r in rows]
+    # INSERT executes the admin function (MetaExecTable::_on_insert analog):
+    # clear_cache drops a cached table from the cache manager.
+    spark.range(5).createOrReplaceTempView("mt_exec_cached")
+    spark.catalog.cacheTable("mt_exec_cached")
+    assert spark.catalog.isCached("mt_exec_cached")
+    engine.execute("INSERT INTO meta_exec VALUES ('spark', 'clear_cache')")
+    assert not spark.catalog.isCached("mt_exec_cached")
+    with pytest.raises(ValueError):
+        engine.execute("INSERT INTO meta_exec VALUES ('spark', 'no_such_fn')")
+
+
+def test_meta_plugins_lists_extensions(engine, spark):
+    # local test session has no plugins configured — the table exists and is
+    # empty (or lists whatever the session was started with), never errors.
+    rows = engine.execute("SELECT * FROM meta_plugins").collect()
+    assert all(r["kind"] in {"spark_plugin", "sql_extension", "jar", "package"} for r in rows)
+
+
+def test_meta_segments_accurate_exact_stats(engine, spark):
+    from tests.conftest import SF_DIR
+
+    from hyrise_spark.catalog import load_tables
+
+    engine.catalog.replace_table(
+        "mt_acc_nation", load_tables(spark, SF_DIR, ("nation",))["nation"]
+    )
+    try:
+        rows = engine.execute(
+            "SELECT * FROM meta_segments_accurate WHERE table_name = 'mt_acc_nation' ORDER BY column_id"
+        ).collect()
+        by_col = {r["column_name"]: r for r in rows}
+        assert by_col["n_nationkey"]["distinct_value_count"] == 25
+        assert by_col["n_name"]["null_value_count"] == 0
+    finally:
+        engine.catalog.drop_table("mt_acc_nation")
