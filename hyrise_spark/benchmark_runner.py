@@ -1,0 +1,145 @@
+"""File-based benchmark runner — the reference BenchmarkRunner analog.
+
+Reference: `src/benchmark/file_based_benchmark.cpp` discovers `*.sql` query
+files and table files from directories and hands them to `BenchmarkRunner`
+(src/benchmarklib/benchmark_runner.hpp), which warms up, times each item
+over N runs, and (with `--verify`) cross-checks results against SQLite
+(src/benchmarklib/sqlite_wrapper.hpp). This module does the same on Spark:
+
+  * queries: every `<name>.sql` in --queries (multi-statement files run
+    through Engine; the LAST statement's result is the benchmark item)
+  * tables: every `<name>.parquet` / `.csv` / `.tbl` in --tables registers
+    as a view named `<name>` (sources.read_any dispatch)
+  * timing: one un-timed warmup run (codegen/broadcast priming), then
+    --runs timed runs; per-item best and mean wall seconds
+  * --verify: the same SQL runs on DuckDB over the same table files and the
+    results hash-compare order-insensitively (the SQLite-verification
+    analog; DuckDB is this repo's oracle engine throughout)
+
+CLI:
+    python -m hyrise_spark.benchmark_runner \
+        --queries bench_queries/ --tables /root/testdata/sf0.01 \
+        --runs 3 --verify
+
+Output: one JSON object {"items": {name: {"best_s": .., "mean_s": ..,
+"rows": .., "verified": true|false|null}}, "total_s": ..}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+
+
+def discover_queries(query_dir: str | Path) -> dict[str, str]:
+    """name -> SQL text for every *.sql file (sorted, reference item order)."""
+    return {
+        p.stem: p.read_text().strip()
+        for p in sorted(Path(query_dir).glob("*.sql"))
+    }
+
+
+def register_tables(spark: SparkSession, table_dir: str | Path) -> list[str]:
+    """Register every table file in table_dir as a temp view named after the
+    file stem. Parquet goes through catalog.load_tables (nanos handling);
+    csv/tbl through sources.read_any."""
+    from hyrise_spark.catalog import load_tables
+    from hyrise_spark.sources import read_any
+
+    table_dir = Path(table_dir)
+    names: list[str] = []
+    parquet = sorted(table_dir.glob("*.parquet"))
+    if parquet:
+        loaded = load_tables(spark, str(table_dir), tuple(p.stem for p in parquet))
+        for name, df in loaded.items():
+            df.createOrReplaceTempView(name)
+            names.append(name)
+    for p in sorted(table_dir.iterdir()):
+        if p.suffix in (".csv", ".tbl") and p.stem not in names:
+            read_any(spark, str(p)).createOrReplaceTempView(p.stem)
+            names.append(p.stem)
+    return names
+
+
+def _verify_duckdb(table_dir: str | Path, sql: str, sdf) -> bool:
+    """Run `sql` on DuckDB over the same parquet files; order-insensitive
+    compare (BenchmarkRunner --verify / sqlite_wrapper analog)."""
+    import duckdb
+
+    from tests.oracle_utils import canon
+
+    con = duckdb.connect()
+    for p in sorted(Path(table_dir).glob("*.parquet")):
+        con.execute(
+            f"CREATE VIEW {p.stem} AS SELECT * FROM read_parquet('{p}')"
+        )
+    res = con.execute(sql)
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    if sorted(scols) != sorted(ocols) or len(srows) != len(orows):
+        return False
+    return canon(scols, srows) == canon(ocols, orows)
+
+
+def run(
+    spark: SparkSession,
+    query_dir: str | Path,
+    table_dir: str | Path,
+    runs: int = 3,
+    verify: bool = False,
+) -> dict:
+    from hyrise_spark.engine import Engine
+
+    engine = Engine(spark)
+    register_tables(spark, table_dir)
+    items: dict[str, dict] = {}
+    t_total = time.perf_counter()
+    for name, sql in discover_queries(query_dir).items():
+        df = engine.execute(sql)
+        rows = df.collect() if df is not None else []  # warmup (un-timed)
+        times = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            df = engine.execute(sql)
+            if df is not None:
+                rows = df.collect()
+            times.append(time.perf_counter() - t0)
+        verified = None
+        if verify and df is not None:
+            verified = _verify_duckdb(table_dir, sql, df)
+        items[name] = {
+            "best_s": round(min(times), 4),
+            "mean_s": round(sum(times) / len(times), 4),
+            "rows": len(rows),
+            "verified": verified,
+        }
+    return {"items": items, "total_s": round(time.perf_counter() - t_total, 3)}
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--queries", required=True, help="directory of *.sql files")
+    ap.add_argument("--tables", required=True, help="directory of table files")
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--verify", action="store_true", help="cross-check on DuckDB")
+    ap.add_argument("--cpus", type=int, default=8)
+    args = ap.parse_args(argv)
+
+    from hyrise_spark.session import get_spark
+
+    spark = get_spark(app_name="file_based_benchmark", cpus=args.cpus)
+    result = run(spark, args.queries, args.tables, runs=args.runs, verify=args.verify)
+    print(json.dumps(result))
+    if args.verify and any(v["verified"] is False for v in result["items"].values()):
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

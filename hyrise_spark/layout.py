@@ -73,11 +73,27 @@ def write_bucketed(
     n_buckets: int = 16,
     sort_col: str | None = None,
 ) -> None:
-    """Persist as a bucketed (+ optionally sorted) managed table."""
+    """Persist as a bucketed + sorted managed table with ONE FILE PER BUCKET.
+
+    The single-file-per-bucket repartition matters: Spark only propagates the
+    bucket files' sort order into the plan (skipping the per-query Sort under
+    a sort-merge join) when each bucket is exactly one file. Repartitioning by
+    the bucket column uses the same hash as bucketBy, so every write task
+    holds exactly one bucket's rows. Without this, every SMJ over the
+    "sorted" table re-sorts both sides per query — at 100 TB that is the
+    whole amortization lost.
+    """
+    import pyspark.sql.functions as F
+
     _drop_managed(df.sparkSession, table_name)
-    writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
-    writer = writer.sortBy(sort_col or bucket_col)
-    writer.format("parquet").saveAsTable(table_name)
+    (
+        df.repartition(n_buckets, F.col(bucket_col))
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(sort_col or bucket_col)
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
 
 
 def bucketize_star_schema(

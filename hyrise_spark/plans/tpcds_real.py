@@ -961,17 +961,22 @@ def tpcds_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("tpcds", "tpcds-real"),
 )
 def tpcds_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
     li, orders = _t(spark, sf_dir, "lineitem", "orders")
-    ord_stats = li.groupBy(F.col("l_orderkey").alias("os_orderkey")).agg(
-        F.countDistinct("l_suppkey").alias("nsup"),
-        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("has_r"),
-    )
     win = orders.filter(
         (F.col("o_orderdate") >= F.lit("1997-02-01")) & (F.col("o_orderdate") < F.lit("1997-04-01"))
     )
+    # The date window is an ORDER-level predicate, so per-order supplier /
+    # return stats computed on the filtered join equal stats on the full
+    # table — ONE lineitem scan + one shuffle of the window subset, not an
+    # extra full-table aggregation (the EXISTS/NOT EXISTS pair collapses to
+    # window functions over the orderkey partition).
+    w = Window.partitionBy("l_orderkey")
     return (
         li.join(win, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(ord_stats, F.col("l_orderkey") == F.col("os_orderkey"))
+        .withColumn("nsup", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn("has_r", F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).over(w))
         .filter((F.col("nsup") >= 2) & (F.col("has_r") == 0))
         .agg(
             F.countDistinct("o_orderkey").alias("order_count"),
@@ -2085,19 +2090,21 @@ def tpcds_q85(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("tpcds", "tpcds-real"),
 )
 def tpcds_q94(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
     li, orders = _t(spark, sf_dir, "lineitem", "orders")
-    ord_stats = li.groupBy(F.col("l_orderkey").alias("os_orderkey")).agg(
-        F.countDistinct("l_suppkey").alias("nsup"),
-        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("has_r"),
-    )
     win = orders.filter(
         (F.col("o_orderdate") >= F.lit("1998-05-01"))
         & (F.col("o_orderdate") < F.lit("1998-07-01"))
         & F.col("o_orderpriority").isin("4-NOT SPECIFIED", "5-LOW")
     )
+    # order-level predicates -> per-order stats on the filtered join (one
+    # lineitem scan; see tpcds_q16)
+    w = Window.partitionBy("l_orderkey")
     return (
         li.join(win, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(ord_stats, F.col("l_orderkey") == F.col("os_orderkey"))
+        .withColumn("nsup", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn("has_r", F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).over(w))
         .filter((F.col("nsup") >= 2) & (F.col("has_r") == 0))
         .agg(
             F.countDistinct("o_orderkey").alias("order_count"),
@@ -2125,19 +2132,19 @@ def tpcds_q94(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("tpcds", "tpcds-real"),
 )
 def tpcds_q95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
     li, orders = _t(spark, sf_dir, "lineitem", "orders")
-    ord_stats = li.groupBy(F.col("l_orderkey").alias("os_orderkey")).agg(
-        F.countDistinct("l_suppkey").alias("nsup"),
-        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("has_r"),
-    )
     win = orders.filter(
         (F.col("o_orderdate") >= F.lit("1998-05-01"))
         & (F.col("o_orderdate") < F.lit("1998-07-01"))
         & F.col("o_orderpriority").isin("4-NOT SPECIFIED", "5-LOW")
     )
+    w = Window.partitionBy("l_orderkey")
     return (
         li.join(win, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(ord_stats, F.col("l_orderkey") == F.col("os_orderkey"))
+        .withColumn("nsup", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn("has_r", F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).over(w))
         .filter((F.col("nsup") >= 2) & (F.col("has_r") == 1))
         .agg(
             F.countDistinct("o_orderkey").alias("order_count"),

@@ -1,0 +1,66 @@
+"""File-based benchmark runner (file_based_benchmark.cpp / BenchmarkRunner
+analog): query discovery, table registration, timing, and --verify."""
+
+from __future__ import annotations
+
+from hyrise_spark.benchmark_runner import discover_queries, run
+from tests.conftest import SF_DIR
+
+
+def _write_queries(tmp_path):
+    (tmp_path / "q_count.sql").write_text(
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nation"
+    )
+    (tmp_path / "q_join.sql").write_text(
+        """
+        SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name
+        """
+    )
+    return tmp_path
+
+
+def test_discover_queries_sorted(tmp_path):
+    _write_queries(tmp_path)
+    qs = discover_queries(tmp_path)
+    assert list(qs) == ["q_count", "q_join"]
+    assert qs["q_count"].startswith("SELECT")
+
+
+def test_run_times_and_counts(spark, tmp_path):
+    _write_queries(tmp_path)
+    out = run(spark, tmp_path, SF_DIR, runs=2)
+    assert set(out["items"]) == {"q_count", "q_join"}
+    assert out["items"]["q_count"]["rows"] == 1
+    assert out["items"]["q_join"]["rows"] == 5
+    assert all(v["best_s"] <= v["mean_s"] for v in out["items"].values())
+    assert all(v["verified"] is None for v in out["items"].values())
+
+
+def test_run_verify_against_duckdb(spark, tmp_path):
+    _write_queries(tmp_path)
+    out = run(spark, tmp_path, SF_DIR, runs=1, verify=True)
+    assert all(v["verified"] is True for v in out["items"].values())
+
+
+def test_verify_catches_divergence(spark, tmp_path):
+    # A query whose Spark and DuckDB results genuinely differ must be flagged:
+    # exploit an engine-dependent expression? No — use a statement sequence
+    # whose last statement reads engine-local state (a CREATE TABLE AS only
+    # Spark sees), so DuckDB errors / mismatches and verified=False.
+    (tmp_path / "q_div.sql").write_text(
+        "SELECT CAST(1 AS BIGINT) AS n FROM nation LIMIT 2"
+    )
+    out = run(spark, tmp_path, SF_DIR, runs=1, verify=True)
+    assert out["items"]["q_div"]["verified"] is True  # sanity: identical SQL matches
+    (tmp_path / "q_div.sql").write_text(
+        "SELECT CAST(COUNT(*) + 1 AS BIGINT) AS n FROM nation"
+    )
+    # simulate divergence by comparing against a different oracle: rewrite the
+    # file between Spark run and verify is not possible through run(), so
+    # instead check the comparator directly.
+    from hyrise_spark.benchmark_runner import _verify_duckdb
+
+    sdf = spark.sql("SELECT CAST(26 AS BIGINT) AS n")
+    assert _verify_duckdb(SF_DIR, "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nation", sdf) is False

@@ -65,16 +65,18 @@ def test_dimension_joins_broadcast(spark, name):
     assert "BroadcastHashJoin" in plan, f"{name}: no broadcast join in plan"
 
 
+_RELATIONAL_TAGS = {"tpch", "ssb", "tpcds", "tpcds-real", "job", "tpcc", "jcch"}
+
+
 @pytest.mark.parametrize(
     "name",
     sorted(
-        n
-        for n, qd in QUERIES.items()
-        if ("tpch" in qd.tags or "ssb" in qd.tags)
+        n for n, qd in QUERIES.items() if _RELATIONAL_TAGS.intersection(qd.tags)
     ),
 )
 def test_relational_queries_stay_jvm_side(spark, name):
-    """No Python-eval nodes in any TPC-H / SSB plan (UDFs are the slow path)."""
+    """No Python-eval nodes in any relational-suite plan (TPC-H, SSB, TPC-DS,
+    JOB, TPC-C, JCC-H) — UDFs are the slow path."""
     plan = _plan(spark, name)
     for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
         assert bad not in plan, f"{name}: {bad} in relational plan"
