@@ -399,3 +399,111 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_sim_raw") > 0.35)
         .select("id1", "id2", F.round("cos_sim_raw", 4).alias("cos_sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster canonicalization: near-dup PAIRS -> connected components ->
+# canonical (minimum) doc per cluster. This is the step after candidate
+# generation in a real dedup pipeline: LSH/Jaccard emit pairs, but dedup
+# must keep ONE document per transitive group (A~B, B~C => drop two of
+# {A,B,C} even if A~C was never emitted).
+#
+# Algorithm: iterative min-label propagation over the undirected pair graph
+# — each round every node takes min(own label, neighbors' labels); converges
+# in O(diameter) rounds. Near-dup clusters are shallow (boilerplate families,
+# re-posts), so the loop exits after 1-3 rounds here; the driver-side loop
+# runs one tiny count() per round on a frame that only shrinks. At 100 TB
+# use the same loop per partition-bounded component or switch to the
+# large-star/small-star variant (Kiveris et al., "Connected Components in
+# MapReduce and Beyond") — the per-round dataflow below is unchanged.
+@register(
+    "dedup_cluster_canonical",
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+      FROM documents WHERE doc_id < 300
+    ), all_shingles AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS sh
+      FROM toks, LATERAL (SELECT UNNEST(generate_series(1, len(w) - 2)) AS i)
+    ), cold AS (
+      SELECT sh FROM all_shingles GROUP BY sh HAVING COUNT(*) <= {_NGRAM_MAX_DF}
+    ), shingles AS (
+      SELECT s.doc_id, s.sh FROM all_shingles s JOIN cold USING (sh)
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+      FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), dup AS (
+      SELECT d1, d2
+      FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+      WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) > 0.12
+    ), edges AS (
+      SELECT d1 AS a, d2 AS b FROM dup UNION SELECT d2, d1 FROM dup
+    ), reach(src, dst) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    )
+    SELECT src AS doc_id,
+           CAST(LEAST(src, MIN(dst)) AS BIGINT) AS canonical_id
+    FROM reach GROUP BY src ORDER BY doc_id
+    """,
+    tags=("dedup", "cluster"),
+)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = docs.filter(F.col("doc_id") < 300).select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("w")
+    )
+    pairs = _ngram_jaccard_pairs(toks).select("d1", "d2")
+    return cluster_canonical(pairs, "d1", "d2")
+
+
+def cluster_canonical(
+    pairs: DataFrame, left: str = "d1", right: str = "d2", max_rounds: int = 20
+) -> DataFrame:
+    """(doc_id, canonical_id) for every node in the undirected pair graph —
+    canonical = minimum doc id reachable. Min-label propagation to fixpoint."""
+    edges = (
+        pairs.select(F.col(left).alias("a"), F.col(right).alias("b"))
+        .union(pairs.select(F.col(right).alias("a"), F.col(left).alias("b")))
+        .distinct()
+    )
+    labels = edges.select(F.col("a").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    labels.cache()
+    # Fixpoint detection: labels only ever DECREASE (least of own + neighbor
+    # min), so the label sum strictly decreases until convergence — one
+    # scalar per round, and no self-join of a frame with its own derivation
+    # (whose column resolution is ambiguous in Spark).
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_rounds):
+        neighbor_min = (
+            edges.join(labels, edges["b"] == labels["node"])
+            .groupBy("a")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["a"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
+            )
+        )
+        # Truncate lineage each round: without this the logical plan nests
+        # one join level per round and the OPTIMIZER (not the data) blows the
+        # heap after ~10 rounds. localCheckpoint materializes the round;
+        # production would use reliable checkpoint() on cluster storage.
+        new_labels = new_labels.localCheckpoint(eager=True)
+        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("canonical_id")
+    ).orderBy("doc_id")

@@ -156,7 +156,20 @@ def sim_lsh_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Bucket bits come from the RAW vector (sign of a dot product is
     # scale-invariant, so raw vs normalized gives identical buckets); the
     # stored vector is pre-normalized so in-bucket cosine is one dot product.
-    sig = emb.select("vec_id", _normalize(v).alias("v"), _bucket_spark(v).alias("bucket"))
+    # Signatures are materialized ONCE at the self-join boundary
+    # (localCheckpoint): both branches then read the computed relation. This
+    # matches production ANN (signatures are built once and persisted), halves
+    # the signature arithmetic versus recomputing per branch — and sidesteps a
+    # Catalyst defect: self-joining a plan whose projection captures an outer
+    # attribute inside NESTED higher-order-function lambdas (_bucket_spark's
+    # transform->when->aggregate->zip_with over `vec`) makes the
+    # DeduplicateRelations rewrite mis-bind that attribute
+    # (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND at run time, dependent on the
+    # session's exprId history). After the checkpoint no lambda expressions
+    # remain in the joined plan.
+    sig = emb.select(
+        "vec_id", _normalize(v).alias("v"), _bucket_spark(v).alias("bucket")
+    ).localCheckpoint(eager=False)
     q = sig.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv"), "bucket"
     )

@@ -60,3 +60,27 @@ def test_hot_shingle_dropped_from_candidates(spark):
         shingles.groupBy("sh").count().filter(F.col("count") > _NGRAM_MAX_DF).count()
     )
     assert hot > 0  # the fixture really does contain hot shingles
+
+
+def test_cluster_canonical_transitive_chain(spark):
+    """A~B, B~C, D~E: {A,B,C} collapse to A and {D,E} to D even though A~C
+    was never an emitted pair — the transitive-closure contract."""
+    from hyrise_spark.pipeline.dedup import cluster_canonical
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (5, 4)], ["d1", "d2"]
+    )
+    got = {(r["doc_id"], r["canonical_id"]) for r in cluster_canonical(pairs).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 4), (5, 4)}
+
+
+def test_cluster_canonical_long_path_converges(spark):
+    """A 12-node path graph needs multiple propagation rounds; the fixpoint
+    loop must carry the min label end-to-end."""
+    from hyrise_spark.pipeline.dedup import cluster_canonical
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], ["d1", "d2"]
+    )
+    rows = cluster_canonical(pairs).collect()
+    assert all(r["canonical_id"] == 1 for r in rows) and len(rows) == 12
