@@ -133,3 +133,62 @@ def run_to_completion(stream_df: DataFrame, out_table: str) -> None:
         .start()
     )
     q.awaitTermination()
+
+
+def purchase_click_attribution(
+    events: DataFrame,
+    events2: DataFrame,
+    max_lag: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: each purchase joins the same user's
+    clicks from the preceding `max_lag` — streaming last-touch attribution.
+
+    Both sides carry watermarks and the join condition bounds event time on
+    both ends, so Spark can expire join state (docs: stream-stream joins
+    REQUIRE this to avoid unbounded buffers). State per side is bounded by
+    rate x (watermark + lag). Pass the same source twice (two independent
+    readStream handles — a self-join on one handle is disallowed for
+    streaming).
+    """
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("amount"),
+        )
+    )
+    clicks = (
+        events2.filter(F.col("event_type") == "click")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {max_lag}")),
+        "inner",
+    ).select("purchase_id", "click_id", F.col("p_user").alias("user_id"), "p_ts", "c_ts", "amount")
+
+
+def enriched_stream(events: DataFrame, customers: DataFrame) -> DataFrame:
+    """Stream-static join: events enriched with the customer dimension.
+
+    The static side re-resolves per micro-batch (picking up dim updates) and
+    broadcasts under the session threshold — the canonical streaming
+    enrichment pattern; no state is kept for the static side.
+    """
+    dim = customers.select(
+        F.col("c_custkey").alias("d_custkey"), "c_name", "c_mktsegment"
+    )
+    return events.join(
+        F.broadcast(dim), F.col("user_id") == F.col("d_custkey"), "left"
+    ).select("event_id", "ts", "user_id", "event_type", "value", "c_name", "c_mktsegment")

@@ -133,3 +133,123 @@ def test_sessionized_stream_runs(spark, events_dir):
     for sess in by_user.values():
         for a, b in zip(sess, sess[1:]):
             assert a["session_end"] <= b["session_start"]
+
+
+def test_stream_stream_attribution_matches_batch(spark, events_dir):
+    """Stream-stream interval join == the same join run in batch."""
+    from hyrise_spark.streaming.events_stream import purchase_click_attribution
+
+    stream = purchase_click_attribution(
+        read_events_stream(spark, events_dir), read_events_stream(spark, events_dir)
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("stream_attr")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["purchase_id"], r["click_id"]) for r in spark.table("stream_attr").collect()
+    }
+    ev = spark.read.parquet(events_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"), F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    want = {
+        (r["pid"], r["cid"])
+        for r in p.join(
+            c,
+            (F.col("pu") == F.col("cu"))
+            & (F.col("cts") <= F.col("pts"))
+            & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 1 hour")),
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_stream_static_enrichment(spark, events_dir):
+    """Stream-static broadcast join enriches every event; unmatched users
+    keep NULL dims (left join semantics)."""
+    from hyrise_spark.catalog import load_tables
+    from hyrise_spark.streaming.events_stream import enriched_stream
+
+    customers = load_tables(spark, SF_DIR, ("customer",))["customer"]
+    stream = enriched_stream(read_events_stream(spark, events_dir), customers)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("stream_enriched")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table("stream_enriched")
+    n_events = spark.read.parquet(events_dir).count()
+    assert out.count() == n_events  # left join: no row loss
+    matched = out.filter(F.col("c_name").isNotNull()).count()
+    assert 0 < matched <= n_events
+
+
+def test_late_data_dropped_by_watermark(spark, tmp_path):
+    """An event arriving later than the watermark horizon behind the stream's
+    max event time must be DROPPED from append-mode windowed aggregation —
+    the late-data contract that bounds state at scale. Driven as ONE logical
+    query over a checkpoint with two availableNow passes (parquet sink; the
+    memory sink cannot recover from checkpoints)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "late_events"
+    d.mkdir()
+    out_dir = str(tmp_path / "late_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write(name, rows):
+        df = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        df["ts"] = pd.to_datetime(df["ts"])
+        tbl = pa.Table.from_pandas(df, preserve_index=False)
+        tbl = tbl.set_column(
+            tbl.schema.get_field_index("ts"),
+            "ts",
+            tbl["ts"].cast(pa.timestamp("us")),
+        )
+        pq.write_table(tbl, d / name)
+
+    def drain():
+        q = (
+            windowed_counts(
+                read_events_stream(spark, str(d)), window="1 hour", watermark="1 hour"
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # pass 1: on-time events; max event time 12:00 -> watermark 11:00, the
+    # 09:00-10:00 window closes and is emitted with n=1
+    write(
+        "b1.parquet",
+        [
+            (1, "2024-01-01 09:30:00", 1, "click", 1.0, "{}"),
+            (2, "2024-01-01 12:00:00", 1, "click", 1.0, "{}"),
+        ],
+    )
+    drain()
+    # pass 2: a 09:45 event arrives — behind the watermark, must be dropped
+    write("b2.parquet", [(3, "2024-01-01 09:45:00", 1, "click", 1.0, "{}")])
+    drain()
+    rows = spark.read.parquet(out_dir).collect()
+    nine = [r for r in rows if str(r["window_start"]).startswith("2024-01-01 09")]
+    assert len(nine) == 1 and nine[0]["n"] == 1, rows
