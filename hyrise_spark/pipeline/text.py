@@ -247,3 +247,112 @@ def text_shingle_min_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("h"),
     )
     return shingles.groupBy("doc_id").agg(F.min("h").alias("min_shingle_hash"))
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing: regex redaction of emails, IPv4 addresses, and long digit
+# runs (phone/account numbers) — the pre-training privacy pass. The synthetic
+# corpus carries no PII, so the query INJECTS a deterministic PII suffix per
+# document and proves the scrub removes it (same construction as the
+# hot-shingle dedup case). Patterns use the Java/RE2-shared subset so both
+# engines compile them identically.
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_IPV4 = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+_PII_DIGITS = "[0-9]{7,}"
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.1 ref 9' || CAST(1000000 + doc_id AS VARCHAR) AS text
+      FROM documents WHERE doc_id < 500
+    ), scrubbed AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                 '{_PII_IPV4}', '<IP>', 'g'),
+               '{_PII_DIGITS}', '<NUM>', 'g') AS clean
+      FROM seeded
+    )
+    SELECT doc_id, md5(clean) AS clean_md5,
+           CAST(clean LIKE '%<EMAIL>%' AND clean LIKE '%<IP>%'
+                AND clean LIKE '%<NUM>%' AS VARCHAR) AS fully_redacted
+    FROM scrubbed ORDER BY doc_id
+    """,
+    tags=("text", "pii"),
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    seeded = docs.filter(F.col("doc_id") < 500).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10.0."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1 ref 9"), (F.col("doc_id") + 1000000).cast("string"),
+        ).alias("text"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _PII_EMAIL, "<EMAIL>"),
+            _PII_IPV4, "<IP>"),
+        _PII_DIGITS, "<NUM>")
+    return (
+        seeded.select("doc_id", clean.alias("clean"))
+        .select(
+            "doc_id",
+            F.md5("clean").alias("clean_md5"),
+            (
+                F.col("clean").like("%<EMAIL>%")
+                & F.col("clean").like("%<IP>%")
+                & F.col("clean").like("%<NUM>%")
+            ).cast("string").alias("fully_redacted"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus bigram frequency: the classic corpus-statistics scan (vocabulary /
+# n-gram distribution for tokenizer training). Top 50 bigrams by count.
+# Partial-agg friendly: shuffle is O(distinct bigrams), never O(tokens).
+@register(
+    "text_top_bigrams",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+      FROM documents
+    ), bigrams AS (
+      SELECT w[i] || ' ' || w[i+1] AS bg
+      FROM toks, LATERAL (SELECT UNNEST(generate_series(1, len(w) - 1)) AS i)
+    )
+    SELECT bg, CAST(COUNT(*) AS BIGINT) AS n
+    FROM bigrams GROUP BY bg
+    ORDER BY n DESC, bg LIMIT 50
+    """,
+    tags=("text",),
+)
+def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    w = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    idx = F.when(F.size(w) >= 2, F.sequence(F.lit(0), F.size(w) - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bigrams = docs.select(w.alias("w"), idx.alias("idx")).select(
+        F.explode("idx").alias("i"), "w"
+    ).select(
+        F.concat(
+            F.element_at("w", F.col("i") + 1), F.lit(" "), F.element_at("w", F.col("i") + 2)
+        ).alias("bg")
+    )
+    return (
+        bigrams.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "bg")
+        .limit(50)
+    )
