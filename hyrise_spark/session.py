@@ -56,6 +56,13 @@ def get_spark(app_name: str = "hyrise_spark", cpus: int | None = None) -> SparkS
         .config("spark.sql.cbo.enabled", "true")
         .config("spark.sql.cbo.joinReorder.enabled", "true")
         .config("spark.sql.statistics.histogram.enabled", "true")
+        # Runtime Bloom-filter injection: the reference's JoinHash builds
+        # Bloom filters from the build side to skip probe rows
+        # (join_hash_steps.hpp:924); Spark's analog injects a bloom filter
+        # from the filtered build side into the probe-side SCAN. Size
+        # thresholds (creationSideThreshold / scan-size) gate it so tiny
+        # local inputs don't pay — it kicks in exactly at warehouse scale.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     )
     if not os.environ.get("SPARK_MASTER") and "SPARK_ENV_LOADED" not in os.environ:
         builder = builder.master(f"local[{cpus}]")

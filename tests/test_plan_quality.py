@@ -196,3 +196,33 @@ def test_salted_agg_is_two_phase(spark):
     plan = _plan(spark, "jcch_skewed_group_agg")
     assert plan.count("HashAggregate") >= 4, plan
     assert "__salt" in plan
+
+
+def test_runtime_bloom_filter_injects(spark):
+    """JoinHash Bloom-filter analog (join_hash_steps.hpp:924): a selective
+    build side injects a BloomFilterMightContain predicate into the probe
+    scan. Size thresholds gate it in production; lowered here to observe the
+    injection on test-scale data."""
+    import pyspark.sql.functions as F
+
+    from hyrise_spark.catalog import load_tables
+
+    assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    old_create = spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+    old_scan = spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10MB")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    # the probe side must be above the broadcast threshold for a bloom filter
+    # to be worthwhile; disable auto-broadcast for this plan only
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        tabs = load_tables(spark, SF_DIR, ("lineitem", "orders"))
+        filtered = tabs["orders"].filter(F.col("o_orderpriority") == "1-URGENT")
+        joined = tabs["lineitem"].join(filtered, F.col("l_orderkey") == F.col("o_orderkey"))
+        plan = _formatted(spark, joined)
+        assert "bloom" in plan.lower(), plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", old_create)
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", old_scan)
