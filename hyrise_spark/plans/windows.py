@@ -9,7 +9,8 @@ at window_function_expression.hpp:27-33: CUME_DIST, DENSE_RANK, PERCENT_RANK,
 RANK, ROW_NUMBER, plus every aggregate as a window function.
 
 Spark executes all of it natively; DuckDB arbitrates correctness
-(SURVEY.md §2.5). GROUPS frames are excluded (Spark has no GROUPS mode).
+(SURVEY.md §2.5). GROUPS frames have no native Spark mode but are
+implemented via the rank-rewrite (`window_groups_frame` below).
 """
 
 from __future__ import annotations
@@ -190,4 +191,54 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("o_totalprice", "o_orderkey")
     return orders.filter(F.col("o_orderkey") < 400).select(
         "o_orderkey", F.ntile(4).over(w).alias("quartile")
+    )
+
+
+# GROUPS frames (window_expression.hpp:30 FrameType::Groups): Spark has no
+# native GROUPS mode, but GROUPS is exactly a RANGE frame over DENSE_RANK —
+# peers (rows tied on the ORDER BY key) share one rank, so "N groups
+# preceding/following" = rank distance N. Two-pass emulation: dense_rank in
+# pass one, numeric RANGE frame over the rank in pass two. DuckDB has no
+# GROUPS mode either, so the oracle applies the SAME rank-based rewrite —
+# the rewrite is engine-portable, and the differential check proves the two
+# implementations of it agree (tie-group sums, running peer-group counts).
+@register(
+    "window_groups_frame",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag,
+             DENSE_RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS dr
+      FROM lineitem WHERE l_orderkey < 300
+    )
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           ROUND(SUM(l_extendedprice) OVER (
+             PARTITION BY l_returnflag ORDER BY dr
+             RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING), 2) AS grp_sum,
+           CAST(COUNT(*) OVER (
+             PARTITION BY l_returnflag ORDER BY dr
+             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS grp_running_cnt
+    FROM ranked
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    tags=("window", "groups"),
+)
+def window_groups_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = _t(spark, sf_dir, "lineitem")
+    base = li.filter(F.col("l_orderkey") < 300)
+    order_w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    ranked = base.withColumn("__dr", F.dense_rank().over(order_w))
+    by_rank = Window.partitionBy("l_returnflag").orderBy("__dr")
+    return (
+        ranked.select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            F.round(
+                F.sum("l_extendedprice").over(by_rank.rangeBetween(-1, 1)), 2
+            ).alias("grp_sum"),
+            F.count(F.lit(1))
+            .over(by_rank.rangeBetween(Window.unboundedPreceding, 0))
+            .alias("grp_running_cnt"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
     )
