@@ -470,40 +470,41 @@ def cluster_canonical(
         pairs.select(F.col(left).alias("a"), F.col(right).alias("b"))
         .union(pairs.select(F.col(right).alias("a"), F.col(left).alias("b")))
         .distinct()
+        .localCheckpoint(eager=False)  # edges re-read every round: scan once
     )
-    labels = edges.select(F.col("a").alias("node")).distinct().withColumn(
-        "label", F.col("node")
+    # Round 0 fused into initialization: label = min(node, direct neighbors)
+    # — one aggregation instead of a full propagate round.
+    labels = edges.groupBy(F.col("a").alias("node")).agg(
+        F.least(F.col("a"), F.min("b")).alias("label")
     )
-    labels.cache()
-    # Fixpoint detection: labels only ever DECREASE (least of own + neighbor
-    # min), so the label sum strictly decreases until convergence — one
-    # scalar per round, and no self-join of a frame with its own derivation
-    # (whose column resolution is ambiguous in Spark).
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    prev_sum = None
     for _ in range(max_rounds):
+        # Fixpoint detection: labels only ever DECREASE (least of own +
+        # neighbor min), so the label sum strictly decreases until
+        # convergence — one scalar per round, and no self-join of a frame
+        # with its own derivation (whose column resolution is ambiguous in
+        # Spark). Lineage is truncated each round (lazy localCheckpoint,
+        # materialized by the sum action — one job per round): without this
+        # the plan nests one join level per round and the OPTIMIZER (not the
+        # data) blows the heap after ~10 rounds. Production would use
+        # reliable checkpoint() on cluster storage.
+        labels = labels.localCheckpoint(eager=False)
+        new_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
         neighbor_min = (
             edges.join(labels, edges["b"] == labels["node"])
             .groupBy("a")
             .agg(F.min("label").alias("nlabel"))
         )
-        new_labels = (
+        labels = (
             labels.join(neighbor_min, labels["node"] == neighbor_min["a"], "left")
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
             )
         )
-        # Truncate lineage each round: without this the logical plan nests
-        # one join level per round and the OPTIMIZER (not the data) blows the
-        # heap after ~10 rounds. localCheckpoint materializes the round;
-        # production would use reliable checkpoint() on cluster storage.
-        new_labels = new_labels.localCheckpoint(eager=True)
-        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
-        labels.unpersist()
-        labels = new_labels
-        if new_sum == prev_sum:
-            break
-        prev_sum = new_sum
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("canonical_id")
     ).orderBy("doc_id")
