@@ -396,3 +396,61 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(_dot(cv, cv), 4).alias("centroid_sq_norm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization — the 100 TB embedding STORAGE path: a float32
+# vector compresses 4x to int8 + one float scale per vector
+# (q[i] = round(v[i] * 127 / max|v|), v ≈ q * scale). Pure JVM transforms.
+# The query reports per-vector reconstruction error, proving the codec's
+# bound (max abs error <= scale/2) holds over the corpus.
+@register(
+    "sim_quantize_int8",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 200
+    ), scaled AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      FROM e
+    ), q AS (
+      SELECT vec_id, scale,
+             list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INTEGER)) AS qv,
+             v
+      FROM scaled WHERE scale > 0
+    )
+    SELECT vec_id, ROUND(scale, 6) AS scale,
+           CAST(list_max(list_transform(qv, x -> abs(x))) AS INTEGER) AS max_q,
+           ROUND(list_max(list_transform(list_zip(v, qv),
+                 p -> abs(p[1] - p[2] * scale))), 6) AS max_abs_err
+    FROM q ORDER BY vec_id
+    """,
+    tags=("similarity", "quantize"),
+)
+def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    v = F.col("embedding").cast("array<double>")
+    scaled = emb.filter(F.col("vec_id") < 200).select(
+        "vec_id",
+        v.alias("v"),
+        (F.array_max(F.transform(v, lambda x: F.abs(x))) / 127.0).alias("scale"),
+    )
+    # floor(q + 0.5), not round(): the engines' round() disagree on exact
+    # .5 ties; floor of the identical IEEE quotient is bit-deterministic in
+    # both.
+    q = scaled.filter(F.col("scale") > 0).withColumn(
+        "qv", F.transform("v", lambda x: F.floor(x / F.col("scale") + 0.5).cast("int"))
+    )
+    # The error column is computed in its OWN projection: putting the
+    # lambda-captured F.col("scale") in the same select as a rounded sibling
+    # alias `scale` makes the capture resolve to the ROUNDED alias (observed:
+    # err inflated by 127 * the 5e-7 rounding shift).
+    q = q.withColumn(
+        "err", F.array_max(F.zip_with("v", "qv", lambda a, b: F.abs(a - b * F.col("scale"))))
+    )
+    return q.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.array_max(F.transform("qv", lambda x: F.abs(x))).alias("max_q"),
+        F.round("err", 6).alias("max_abs_err"),
+    ).orderBy("vec_id")

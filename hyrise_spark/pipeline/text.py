@@ -356,3 +356,66 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "bg")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation filter — the composition a real pre-training pipeline
+# runs: keep documents that (1) pass the length/stopword quality gate,
+# (2) are tagged English, and (3) are the CANONICAL copy among exact
+# duplicates (the min-doc_id keeper per md5 fingerprint — dedup_exact's
+# decision applied as a filter). One pass of narrow maps + one fingerprint
+# groupBy; the anti-join side is the tiny duplicate-keeper map, broadcast.
+@register(
+    "pipeline_curation_filter",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, lang, text,
+             md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint
+      FROM documents
+    ), keepers AS (
+      SELECT fingerprint, MIN(doc_id) AS keeper FROM fp GROUP BY fingerprint
+    ), gated AS (
+      SELECT f.doc_id, f.lang,
+             length(f.text) AS n,
+             len(string_split_regex(trim(f.text), '\\s+')) AS n_words,
+             (len(string_split_regex(' ' || lower(f.text) || ' ', '[^a-z]the[^a-z]')) - 1
+              + len(string_split_regex(' ' || lower(f.text) || ' ', '[^a-z]and[^a-z]')) - 1
+              + len(string_split_regex(' ' || lower(f.text) || ' ', '[^a-z]a[^a-z]')) - 1) AS n_stop
+      FROM fp f JOIN keepers k ON f.fingerprint = k.fingerprint AND f.doc_id = k.keeper
+    )
+    SELECT doc_id, lang, CAST(n_words AS BIGINT) AS n_words
+    FROM gated
+    WHERE lang = 'en' AND n BETWEEN 100 AND 5000
+      AND CAST(n_stop AS DOUBLE) / n_words > 0.01
+    ORDER BY doc_id
+    """,
+    tags=("text", "pipeline"),
+)
+def pipeline_curation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    fp = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.md5(F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")).alias("fingerprint"),
+    )
+    keepers = fp.groupBy(F.col("fingerprint").alias("k_fp")).agg(
+        F.min("doc_id").alias("keeper")
+    )
+    n = F.length("text")
+    n_words = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    n_stop = _sw_count_spark("the") + _sw_count_spark("and") + _sw_count_spark("a")
+    return (
+        fp.join(
+            F.broadcast(keepers),
+            (F.col("fingerprint") == F.col("k_fp")) & (F.col("doc_id") == F.col("keeper")),
+        )
+        .select("doc_id", "lang", n.alias("n"), n_words.alias("n_words"), n_stop.alias("n_stop"))
+        .filter(
+            (F.col("lang") == "en")
+            & F.col("n").between(100, 5000)
+            & (F.col("n_stop").cast("double") / F.col("n_words") > 0.01)
+        )
+        .select("doc_id", "lang", F.col("n_words").cast("long").alias("n_words"))
+        .orderBy("doc_id")
+    )
