@@ -32,7 +32,14 @@ def read_any(spark: SparkSession, path: str) -> DataFrame:
         return read_csv_with_meta(spark, path)
     if path.endswith((".parquet", ".bin")):
         return spark.read.parquet(path)
-    raise ValueError(f"cannot infer file type of {path!r} (want .tbl/.csv/.parquet)")
+    if path.endswith((".json", ".jsonl", ".ndjson")):
+        # line-delimited JSON (the training-data interchange default)
+        return spark.read.json(path)
+    if path.endswith(".orc"):
+        return spark.read.orc(path)
+    raise ValueError(
+        f"cannot infer file type of {path!r} (want .tbl/.csv/.parquet/.json/.orc)"
+    )
 
 
 def write_any(df: DataFrame, path: str) -> None:
@@ -42,5 +49,11 @@ def write_any(df: DataFrame, path: str) -> None:
         write_csv_with_meta(df, path)
     elif path.endswith((".parquet", ".bin")):
         df.write.mode("overwrite").parquet(path)
+    elif path.endswith((".json", ".jsonl", ".ndjson")):
+        df.write.mode("overwrite").json(path)
+    elif path.endswith(".orc"):
+        df.write.mode("overwrite").orc(path)
     else:
-        raise ValueError(f"cannot infer file type of {path!r} (want .tbl/.csv/.parquet)")
+        raise ValueError(
+            f"cannot infer file type of {path!r} (want .tbl/.csv/.parquet/.json/.orc)"
+        )

@@ -70,3 +70,25 @@ def test_read_any_dispatch(spark, tbl_file, tmp_path):
 def test_parse_tbl_header_rejects_bad_type():
     with pytest.raises(ValueError):
         parse_tbl_header("a|b", "int|decimal")
+
+
+def test_json_roundtrip(spark, tmp_path):
+    """Beyond-reference format: line-delimited JSON via read_any/write_any."""
+    from hyrise_spark.sources import read_any, write_any
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "s"])
+    path = str(tmp_path / "t.jsonl")
+    write_any(df, path)
+    back = read_any(spark, path)
+    assert sorted((r["k"], r["s"]) for r in back.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    """Beyond-reference format: ORC via read_any/write_any."""
+    from hyrise_spark.sources import read_any, write_any
+
+    df = spark.createDataFrame([(1, 1.5), (2, 2.5)], ["k", "v"])
+    path = str(tmp_path / "t.orc")
+    write_any(df, path)
+    back = read_any(spark, path)
+    assert back.count() == 2 and set(back.columns) == {"k", "v"}
