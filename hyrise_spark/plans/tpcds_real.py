@@ -1,9 +1,9 @@
-"""REAL TPC-DS queries adapted to the driver schema — 59 total:
+"""REAL TPC-DS queries adapted to the driver schema — 63 total:
 the reference's COMPLETE included set (all 49 entries of
 query_excludelist.cfg's `#`-commented list, 48 distinct + the 39a/39b pair,
-batches 1-4) PLUS ten of the EXCLUDED queries the reference cannot execute
-(window/ROLLUP family, batch 5) — both halves of the reference's TPC-DS
-split.
+batches 1-4) PLUS fourteen of the EXCLUDED queries the reference cannot
+execute (window/ROLLUP family, batch 5: Q5 12 22 36 47 51 53 57 67 70 74
+86 89 98) — both halves of the reference's TPC-DS split.
 
 The reference runs ~45 actual TPC-DS queries (the `#`-commented entries in
 /root/reference/resources/benchmark/tpcds/query_excludelist.cfg are the
@@ -2758,5 +2758,225 @@ def tpcds_q98(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("itemrevenue") * 100.0 / F.sum("itemrevenue").over(w), 4).alias("revenueratio"),
         )
         .orderBy("p_type", "p_name")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q22 (excluded set): average quantity ROLLUP over the part hierarchy
+# (brand > type > size band) — the inventory-rollup query.
+@register(
+    "tpcds_q22",
+    oracle="""
+    SELECT p_brand, p_type, CAST(FLOOR(p_size / 10) AS INTEGER) AS size_band,
+           ROUND(AVG(l_quantity), 4) AS qoh
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE EXTRACT(YEAR FROM l_shipdate) = 1997
+    GROUP BY ROLLUP (p_brand, p_type, CAST(FLOOR(p_size / 10) AS INTEGER))
+    ORDER BY qoh, p_brand NULLS FIRST, p_type NULLS FIRST, size_band NULLS FIRST
+    LIMIT 100
+    """,
+    tags=("tpcds", "tpcds-excluded-real"),
+)
+def tpcds_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, part = _t(spark, sf_dir, "lineitem", "part")
+    return (
+        li.filter(F.year("l_shipdate") == 1997)
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .withColumn("size_band", F.floor(F.col("p_size") / 10).cast("int"))
+        .rollup("p_brand", "p_type", "size_band")
+        .agg(F.round(F.avg("l_quantity"), 4).alias("qoh"))
+        .orderBy(
+            "qoh",
+            F.col("p_brand").asc_nulls_first(),
+            F.col("p_type").asc_nulls_first(),
+            F.col("size_band").asc_nulls_first(),
+        )
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q53 (excluded set): quarterly manufacturer (brand) sales vs the brand's
+# average quarter — kept where the ratio deviates.
+@register(
+    "tpcds_q53",
+    oracle="""
+    WITH quarterly AS (
+      SELECT p_brand, CAST(EXTRACT(QUARTER FROM l_shipdate) AS INTEGER) AS q,
+             ROUND(SUM(l_extendedprice), 2) AS sum_sales
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE EXTRACT(YEAR FROM l_shipdate) = 1997 AND p_type IN ('PROMO', 'ECONOMY')
+      GROUP BY 1, 2
+    ), win AS (
+      SELECT p_brand, q, sum_sales,
+             ROUND(AVG(sum_sales) OVER (PARTITION BY p_brand), 2) AS avg_quarterly_sales
+      FROM quarterly
+    )
+    SELECT p_brand, q, sum_sales, avg_quarterly_sales
+    FROM win
+    WHERE avg_quarterly_sales > 0
+      AND ABS(sum_sales - avg_quarterly_sales) / avg_quarterly_sales > 0.05
+    ORDER BY avg_quarterly_sales, sum_sales, p_brand, q LIMIT 100
+    """,
+    tags=("tpcds", "tpcds-excluded-real"),
+)
+def tpcds_q53(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li, part = _t(spark, sf_dir, "lineitem", "part")
+    quarterly = (
+        li.filter(F.year("l_shipdate") == 1997)
+        .join(
+            F.broadcast(part.filter(F.col("p_type").isin("PROMO", "ECONOMY"))),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", F.quarter("l_shipdate").cast("int").alias("q"))
+        .agg(F.round(F.sum("l_extendedprice"), R2).alias("sum_sales"))
+    )
+    w = Window.partitionBy("p_brand")
+    win = quarterly.withColumn("avg_quarterly_sales", F.round(F.avg("sum_sales").over(w), R2))
+    return (
+        win.filter(
+            (F.col("avg_quarterly_sales") > 0)
+            & (
+                F.abs(F.col("sum_sales") - F.col("avg_quarterly_sales")) / F.col("avg_quarterly_sales")
+                > 0.05
+            )
+        )
+        .orderBy("avg_quarterly_sales", "sum_sales", "p_brand", "q")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q57 (excluded set): Q47's sibling at supplier-nation grain — monthly
+# nation sales vs yearly average with neighbor months.
+@register(
+    "tpcds_q57",
+    oracle="""
+    WITH monthly AS (
+      SELECT n_name, CAST(EXTRACT(MONTH FROM l_shipdate) AS INTEGER) AS m,
+             ROUND(SUM(l_extendedprice), 2) AS sum_sales
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE EXTRACT(YEAR FROM l_shipdate) = 1998
+      GROUP BY 1, 2
+    ), win AS (
+      SELECT n_name, m, sum_sales,
+             ROUND(AVG(sum_sales) OVER (PARTITION BY n_name), 2) AS avg_monthly_sales,
+             LAG(sum_sales) OVER (PARTITION BY n_name ORDER BY m) AS psum,
+             LEAD(sum_sales) OVER (PARTITION BY n_name ORDER BY m) AS nsum
+      FROM monthly
+    )
+    SELECT n_name, m, sum_sales, avg_monthly_sales, psum, nsum
+    FROM win
+    WHERE avg_monthly_sales > 0
+      AND ABS(sum_sales - avg_monthly_sales) / avg_monthly_sales > 0.1
+    ORDER BY n_name, m LIMIT 100
+    """,
+    tags=("tpcds", "tpcds-excluded-real"),
+)
+def tpcds_q57(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li, supp, nation = _t(spark, sf_dir, "lineitem", "supplier", "nation")
+    monthly = (
+        li.filter(F.year("l_shipdate") == 1998)
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", F.month("l_shipdate").cast("int").alias("m"))
+        .agg(F.round(F.sum("l_extendedprice"), R2).alias("sum_sales"))
+    )
+    wp = Window.partitionBy("n_name")
+    wo = wp.orderBy("m")
+    win = monthly.select(
+        "n_name",
+        "m",
+        "sum_sales",
+        F.round(F.avg("sum_sales").over(wp), R2).alias("avg_monthly_sales"),
+        F.lag("sum_sales").over(wo).alias("psum"),
+        F.lead("sum_sales").over(wo).alias("nsum"),
+    )
+    return (
+        win.filter(
+            (F.col("avg_monthly_sales") > 0)
+            & (F.abs(F.col("sum_sales") - F.col("avg_monthly_sales")) / F.col("avg_monthly_sales") > 0.1)
+        )
+        .orderBy("n_name", "m")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q74 (excluded set): customers whose web-channel year-over-year growth
+# beats their store-channel growth (per-customer two-year two-channel
+# pivot + ratio compare — the year-over-year self-join family).
+@register(
+    "tpcds_q74",
+    oracle="""
+    WITH totals AS (
+      SELECT o_custkey,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'store' ELSE 'web' END AS channel,
+             CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS y,
+             SUM(o_totalprice) AS total
+      FROM orders
+      WHERE EXTRACT(YEAR FROM o_orderdate) IN (1997, 1998)
+        AND o_orderpriority IN ('1-URGENT', '2-HIGH', '4-NOT SPECIFIED', '5-LOW')
+      GROUP BY 1, 2, 3
+    ), piv AS (
+      SELECT o_custkey,
+             SUM(CASE WHEN channel = 'store' AND y = 1997 THEN total ELSE 0 END) AS s1,
+             SUM(CASE WHEN channel = 'store' AND y = 1998 THEN total ELSE 0 END) AS s2,
+             SUM(CASE WHEN channel = 'web' AND y = 1997 THEN total ELSE 0 END) AS w1,
+             SUM(CASE WHEN channel = 'web' AND y = 1998 THEN total ELSE 0 END) AS w2
+      FROM totals GROUP BY o_custkey
+    )
+    SELECT p.o_custkey AS c_custkey, c_name,
+           ROUND(w2 / w1, 4) AS web_growth, ROUND(s2 / s1, 4) AS store_growth
+    FROM piv p JOIN customer ON p.o_custkey = c_custkey
+    WHERE s1 > 0 AND w1 > 0 AND s2 > 0 AND w2 > 0 AND w2 / w1 > s2 / s1
+    ORDER BY c_custkey LIMIT 100
+    """,
+    tags=("tpcds", "tpcds-excluded-real"),
+)
+def tpcds_q74(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, cust = _t(spark, sf_dir, "orders", "customer")
+    prio = F.col("o_orderpriority")
+    totals = (
+        orders.filter(
+            F.year("o_orderdate").isin(1997, 1998)
+            & prio.isin("1-URGENT", "2-HIGH", "4-NOT SPECIFIED", "5-LOW")
+        )
+        .select(
+            "o_custkey",
+            F.when(prio.isin("1-URGENT", "2-HIGH"), "store").otherwise("web").alias("channel"),
+            F.year("o_orderdate").cast("int").alias("y"),
+            "o_totalprice",
+        )
+    )
+    piv = totals.groupBy("o_custkey").agg(
+        *[
+            F.sum(
+                F.when((F.col("channel") == ch) & (F.col("y") == y), F.col("o_totalprice")).otherwise(0.0)
+            ).alias(f"{ch[0]}{i+1}")
+            for ch in ("store", "web")
+            for i, y in enumerate((1997, 1998))
+        ]
+    )
+    return (
+        piv.filter(
+            (F.col("s1") > 0) & (F.col("w1") > 0) & (F.col("s2") > 0) & (F.col("w2") > 0)
+            & (F.col("w2") / F.col("w1") > F.col("s2") / F.col("s1"))
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            "c_name",
+            F.round(F.col("w2") / F.col("w1"), 4).alias("web_growth"),
+            F.round(F.col("s2") / F.col("s1"), 4).alias("store_growth"),
+        )
+        .orderBy("c_custkey")
         .limit(100)
     )
