@@ -1,9 +1,10 @@
-"""REAL TPC-DS queries adapted to the driver schema — 63 total:
+"""REAL TPC-DS queries adapted to the driver schema — 69 total:
 the reference's COMPLETE included set (all 49 entries of
 query_excludelist.cfg's `#`-commented list, 48 distinct + the 39a/39b pair,
-batches 1-4) PLUS fourteen of the EXCLUDED queries the reference cannot
-execute (window/ROLLUP family, batch 5: Q5 12 22 36 47 51 53 57 67 70 74
-86 89 98) — both halves of the reference's TPC-DS split.
+batches 1-4) PLUS twenty of the EXCLUDED queries the reference cannot
+execute (window/ROLLUP/set-op family, batch 5: Q5 12 22 27 36 38 47 51 53
+57 59 67 70 74 75 76 86 87 89 98) — both halves of the reference's TPC-DS
+split.
 
 The reference runs ~45 actual TPC-DS queries (the `#`-commented entries in
 /root/reference/resources/benchmark/tpcds/query_excludelist.cfg are the
@@ -2980,3 +2981,282 @@ def tpcds_q74(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("c_custkey")
         .limit(100)
     )
+
+
+# --------------------------------------------------------------------------
+# Q27 (excluded set): demographic-slice averages rolled up over customer
+# nation (ROLLUP variant of Q7's shape).
+@register(
+    "tpcds_q27",
+    oracle="""
+    SELECT n_name,
+           ROUND(AVG(l_quantity), 2) AS agg1,
+           ROUND(AVG(l_extendedprice), 2) AS agg2,
+           ROUND(AVG(l_discount), 2) AS agg3
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_mktsegment = 'BUILDING' AND EXTRACT(YEAR FROM o_orderdate) = 1997
+    GROUP BY ROLLUP (n_name)
+    ORDER BY n_name NULLS FIRST
+    """,
+    tags=("tpcds", "tpcds-excluded-real"),
+)
+def tpcds_q27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders, cust, nation = _t(spark, sf_dir, "lineitem", "orders", "customer", "nation")
+    return (
+        li.join(orders.filter(F.year("o_orderdate") == 1997), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .rollup("n_name")
+        .agg(
+            F.round(F.avg("l_quantity"), R2).alias("agg1"),
+            F.round(F.avg("l_extendedprice"), R2).alias("agg2"),
+            F.round(F.avg("l_discount"), R2).alias("agg3"),
+        )
+        .orderBy(F.col("n_name").asc_nulls_first())
+    )
+
+
+# --------------------------------------------------------------------------
+# Q38 (excluded set): customers active in ALL THREE priority channels in
+# one year — INTERSECT chain.
+@register(
+    "tpcds_q38",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+      SELECT o_custkey FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') AND EXTRACT(YEAR FROM o_orderdate) = 1997
+      INTERSECT
+      SELECT o_custkey FROM orders
+      WHERE o_orderpriority = '3-MEDIUM' AND EXTRACT(YEAR FROM o_orderdate) = 1997
+      INTERSECT
+      SELECT o_custkey FROM orders
+      WHERE o_orderpriority IN ('4-NOT SPECIFIED', '5-LOW') AND EXTRACT(YEAR FROM o_orderdate) = 1997
+    )
+    """,
+    tags=("tpcds", "tpcds-excluded-real"),
+)
+def tpcds_q38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    o97 = orders.filter(F.year("o_orderdate") == 1997)
+
+    def ch(*prios):
+        return o97.filter(F.col("o_orderpriority").isin(*prios)).select("o_custkey")
+
+    three = (
+        ch("1-URGENT", "2-HIGH")
+        .intersect(ch("3-MEDIUM"))
+        .intersect(ch("4-NOT SPECIFIED", "5-LOW"))
+    )
+    return three.agg(F.count(F.lit(1)).alias("cnt"))
+
+
+# --------------------------------------------------------------------------
+# Q59 (excluded set): weekly revenue per supplier nation, 1997 vs 1998
+# pivoted into per-week ratio columns (the week-over-week YoY query).
+@register(
+    "tpcds_q59",
+    oracle="""
+    WITH weekly AS (
+      SELECT n_name, CAST(EXTRACT(YEAR FROM l_shipdate) AS INTEGER) AS y,
+             CAST(EXTRACT(WEEK FROM l_shipdate) AS INTEGER) AS wk,
+             SUM(l_extendedprice) AS rev
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE EXTRACT(YEAR FROM l_shipdate) IN (1997, 1998)
+      GROUP BY 1, 2, 3
+    )
+    SELECT a.n_name, a.wk, ROUND(a.rev, 2) AS rev_1997, ROUND(b.rev, 2) AS rev_1998,
+           ROUND(b.rev / a.rev, 4) AS yoy
+    FROM weekly a JOIN weekly b ON a.n_name = b.n_name AND a.wk = b.wk
+    WHERE a.y = 1997 AND b.y = 1998 AND a.rev > 0
+    ORDER BY a.n_name, a.wk LIMIT 200
+    """,
+    tags=("tpcds", "tpcds-excluded-real"),
+)
+def tpcds_q59(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, supp, nation = _t(spark, sf_dir, "lineitem", "supplier", "nation")
+    weekly = (
+        li.filter(F.year("l_shipdate").isin(1997, 1998))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            "n_name",
+            F.year("l_shipdate").cast("int").alias("y"),
+            F.weekofyear("l_shipdate").cast("int").alias("wk"),
+        )
+        .agg(F.sum("l_extendedprice").alias("rev"))
+    )
+    a = weekly.filter(F.col("y") == 1997).select(
+        "n_name", "wk", F.col("rev").alias("rev_a")
+    )
+    b = weekly.filter(F.col("y") == 1998).select(
+        F.col("n_name").alias("b_n"), F.col("wk").alias("b_wk"), F.col("rev").alias("rev_b")
+    )
+    return (
+        a.join(b, (F.col("n_name") == F.col("b_n")) & (F.col("wk") == F.col("b_wk")))
+        .filter(F.col("rev_a") > 0)
+        .select(
+            "n_name",
+            "wk",
+            F.round("rev_a", R2).alias("rev_1997"),
+            F.round("rev_b", R2).alias("rev_1998"),
+            F.round(F.col("rev_b") / F.col("rev_a"), 4).alias("yoy"),
+        )
+        .orderBy("n_name", "wk")
+        .limit(200)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q75 (excluded set): year-over-year net sales (returns negated) per brand;
+# brands whose 1998 net fell below 90% of 1997.
+@register(
+    "tpcds_q75",
+    oracle="""
+    WITH t AS (
+      SELECT p_brand, CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS y,
+             SUM(CASE WHEN l_returnflag = 'R' THEN -l_extendedprice ELSE l_extendedprice END) AS amt
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN part ON l_partkey = p_partkey
+      WHERE EXTRACT(YEAR FROM o_orderdate) IN (1997, 1998)
+      GROUP BY 1, 2
+    )
+    SELECT cur.p_brand,
+           ROUND(prev.amt, 2) AS prev_amt, ROUND(cur.amt, 2) AS cur_amt,
+           ROUND(cur.amt - prev.amt, 2) AS sales_delta
+    FROM t cur JOIN t prev ON cur.p_brand = prev.p_brand
+    WHERE cur.y = 1998 AND prev.y = 1997 AND prev.amt > 0 AND cur.amt < prev.amt * 0.9
+    ORDER BY sales_delta, cur.p_brand LIMIT 100
+    """,
+    tags=("tpcds", "tpcds-excluded-real"),
+)
+def tpcds_q75(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders, part = _t(spark, sf_dir, "lineitem", "orders", "part")
+    net = F.when(F.col("l_returnflag") == "R", -F.col("l_extendedprice")).otherwise(
+        F.col("l_extendedprice")
+    )
+    t = (
+        li.join(
+            orders.filter(F.year("o_orderdate").isin(1997, 1998)),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", F.year("o_orderdate").cast("int").alias("y"))
+        .agg(F.sum(net).alias("amt"))
+    )
+    cur = t.filter(F.col("y") == 1998).select("p_brand", F.col("amt").alias("cur_amt_raw"))
+    prev = t.filter(F.col("y") == 1997).select(
+        F.col("p_brand").alias("prev_brand"), F.col("amt").alias("prev_amt_raw")
+    )
+    return (
+        cur.join(prev, F.col("p_brand") == F.col("prev_brand"))
+        .filter((F.col("prev_amt_raw") > 0) & (F.col("cur_amt_raw") < F.col("prev_amt_raw") * 0.9))
+        .select(
+            "p_brand",
+            F.round("prev_amt_raw", R2).alias("prev_amt"),
+            F.round("cur_amt_raw", R2).alias("cur_amt"),
+            F.round(F.col("cur_amt_raw") - F.col("prev_amt_raw"), R2).alias("sales_delta"),
+        )
+        .orderBy("sales_delta", "p_brand")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q76 (excluded set): UNION ALL of channel slices with a literal channel
+# column, counted per (channel, year, quarter) — the all-channels census.
+@register(
+    "tpcds_q76",
+    oracle="""
+    WITH unioned AS (
+      SELECT 'store' AS channel, o_orderdate, l_extendedprice
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      UNION ALL
+      SELECT 'web' AS channel, o_orderdate, l_extendedprice
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority IN ('4-NOT SPECIFIED', '5-LOW')
+      UNION ALL
+      SELECT 'catalog' AS channel, o_orderdate, l_extendedprice
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority = '3-MEDIUM'
+    )
+    SELECT channel, CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS y,
+           CAST(EXTRACT(QUARTER FROM o_orderdate) AS INTEGER) AS q,
+           CAST(COUNT(*) AS BIGINT) AS sales_cnt,
+           ROUND(SUM(l_extendedprice), 2) AS sales_amt
+    FROM unioned
+    WHERE EXTRACT(YEAR FROM o_orderdate) = 1997
+    GROUP BY 1, 2, 3 ORDER BY channel, y, q
+    """,
+    tags=("tpcds", "tpcds-excluded-real"),
+)
+def tpcds_q76(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders = _t(spark, sf_dir, "lineitem", "orders")
+    lo = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+
+    def ch(name, *prios):
+        return lo.filter(F.col("o_orderpriority").isin(*prios)).select(
+            F.lit(name).alias("channel"), "o_orderdate", "l_extendedprice"
+        )
+
+    unioned = (
+        ch("store", "1-URGENT", "2-HIGH")
+        .unionAll(ch("web", "4-NOT SPECIFIED", "5-LOW"))
+        .unionAll(ch("catalog", "3-MEDIUM"))
+    )
+    return (
+        unioned.filter(F.year("o_orderdate") == 1997)
+        .groupBy(
+            "channel",
+            F.year("o_orderdate").cast("int").alias("y"),
+            F.quarter("o_orderdate").cast("int").alias("q"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("sales_cnt"),
+            F.round(F.sum("l_extendedprice"), R2).alias("sales_amt"),
+        )
+        .orderBy("channel", "y", "q")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q87 (excluded set): store customers NOT in the catalog channel and NOT in
+# the web channel — EXCEPT chain (Q38's dual).
+@register(
+    "tpcds_q87",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') AND EXTRACT(YEAR FROM o_orderdate) = 1997
+      EXCEPT
+      SELECT o_custkey FROM orders
+      WHERE o_orderpriority = '3-MEDIUM' AND EXTRACT(YEAR FROM o_orderdate) = 1997
+      EXCEPT
+      SELECT o_custkey FROM orders
+      WHERE o_orderpriority IN ('4-NOT SPECIFIED', '5-LOW') AND EXTRACT(YEAR FROM o_orderdate) = 1997
+    )
+    """,
+    tags=("tpcds", "tpcds-excluded-real"),
+)
+def tpcds_q87(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    o97 = orders.filter(F.year("o_orderdate") == 1997)
+
+    def ch(*prios):
+        return o97.filter(F.col("o_orderpriority").isin(*prios)).select("o_custkey")
+
+    only_store = (
+        ch("1-URGENT", "2-HIGH").distinct()
+        .exceptAll(ch("3-MEDIUM").distinct())
+        .exceptAll(ch("4-NOT SPECIFIED", "5-LOW").distinct())
+    )
+    return only_store.agg(F.count(F.lit(1)).alias("cnt"))
