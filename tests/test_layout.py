@@ -81,3 +81,36 @@ def test_engine_explain(spark):
     eng = Engine(spark)
     txt = eng.explain("SELECT 1 AS x")
     assert "Physical Plan" in txt or "Project" in txt
+
+
+def test_date_partitioned_scan_prunes_partitions(spark):
+    """A time-band predicate on a date-partitioned table must appear as
+    PartitionFilters (directory pruning), not merely PushedFilters."""
+    import pyspark.sql.functions as F
+
+    from hyrise_spark.catalog import load_tables
+    from hyrise_spark.layout import write_date_partitioned
+    from tests.conftest import SF_DIR
+
+    orders = load_tables(spark, SF_DIR, ("orders",))["orders"]
+    write_date_partitioned(orders, "lp_orders", "o_orderdate", "month")
+    try:
+        q = spark.table("lp_orders").filter(
+            (F.col("__pdate") >= "1997-01-01") & (F.col("__pdate") < "1997-04-01")
+        )
+        plan = q._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        seg = plan.split("PartitionFilters: [", 1)
+        assert len(seg) == 2, plan
+        assert "__pdate" in seg[1].split("]", 1)[0]
+        # and the pruned read returns exactly the banded rows
+        import pyspark.sql.functions as F2
+
+        want = orders.filter(
+            (F2.date_trunc("month", "o_orderdate") >= "1997-01-01")
+            & (F2.date_trunc("month", "o_orderdate") < "1997-04-01")
+        ).count()
+        assert q.count() == want and want > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS lp_orders")
