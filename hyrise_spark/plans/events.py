@@ -83,9 +83,12 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.unboundedPreceding, Window.currentRow
     )
     prev_ts = F.lag("ts").over(w)
-    new_session = F.when(
-        prev_ts.isNull() | (F.col("ts").cast("long") - prev_ts.cast("long") > 1800), 1
-    ).otherwise(0)
+    # timestamp_diff is NTZ-safe: parquet `ts` has no UTC adjustment, so PySpark 4.x
+    # reads it as TIMESTAMP_NTZ and forbids CAST(ts AS BIGINT). Diff at MICROSECOND
+    # precision — the 30-minute cutoff is an exact interval comparison, and the data
+    # carries sub-second timestamps, so whole-second truncation drops boundary gaps.
+    gap_us = F.timestamp_diff("MICROSECOND", prev_ts, F.col("ts"))
+    new_session = F.when(prev_ts.isNull() | (gap_us > 1800 * 1_000_000), 1).otherwise(0)
     return (
         events.withColumn("new_session", new_session)
         .withColumn("session_id", F.sum("new_session").over(w_run).cast("int"))
