@@ -705,7 +705,18 @@ def tpcds_q45(spark: SparkSession, sf_dir: str) -> DataFrame:
     li, orders, cust, nation, part = _t(
         spark, sf_dir, "lineitem", "orders", "customer", "nation", "part"
     )
-    brands = [r["p_brand"] for r in part.filter(F.col("p_size") == 1).select("p_brand").distinct().collect()]
+    # Brand-subquery disjunction stays relational: flag qualifying brands on the
+    # (already-broadcast) part side instead of collecting them to the driver —
+    # the flag join is brand-level and tiny, so the whole dim stays broadcastable.
+    q_brands = (
+        part.filter(F.col("p_size") == 1)
+        .select(F.col("p_brand").alias("q_brand"))
+        .distinct()
+        .withColumn("brand_qualifies", F.lit(True))
+    )
+    part_flagged = part.join(
+        F.broadcast(q_brands), F.col("p_brand") == F.col("q_brand"), "left"
+    ).drop("q_brand")
     return (
         li.join(
             orders.filter((F.year("o_orderdate") == 1998) & (F.quarter("o_orderdate") == 1)),
@@ -713,8 +724,11 @@ def tpcds_q45(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .filter(F.col("l_partkey").isin(2, 11, 24, 37, 49) | F.col("p_brand").isin(brands))
+        .join(F.broadcast(part_flagged), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(
+            F.col("l_partkey").isin(2, 11, 24, 37, 49)
+            | F.col("brand_qualifies").isNotNull()
+        )
         .groupBy("n_name")
         .agg(F.round(F.sum("l_extendedprice"), R2).alias("total_sales"))
         .orderBy("n_name")
