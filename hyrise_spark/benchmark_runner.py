@@ -66,17 +66,36 @@ def register_tables(spark: SparkSession, table_dir: str | Path) -> list[str]:
 
 
 def _verify_duckdb(table_dir: str | Path, sql: str, sdf) -> bool:
-    """Run `sql` on DuckDB over the same parquet files; order-insensitive
+    """Run `sql` on DuckDB over the same table files; order-insensitive
     compare (BenchmarkRunner --verify / sqlite_wrapper analog)."""
     import duckdb
 
-    from tests.oracle_utils import canon
+    from hyrise_spark.oracle import canon
 
     con = duckdb.connect()
+    seen: set[str] = set()
     for p in sorted(Path(table_dir).glob("*.parquet")):
-        con.execute(
-            f"CREATE VIEW {p.stem} AS SELECT * FROM read_parquet('{p}')"
-        )
+        con.execute(f"CREATE VIEW {p.stem} AS SELECT * FROM read_parquet('{p}')")
+        seen.add(p.stem)
+    for p in sorted(Path(table_dir).iterdir()):
+        # csv/tbl tables register too, mirroring register_tables() on the
+        # Spark side — previously --verify silently saw only parquet.
+        if p.stem in seen:
+            continue
+        if p.suffix == ".csv":
+            con.execute(f"CREATE VIEW {p.stem} AS SELECT * FROM read_csv_auto('{p}')")
+            seen.add(p.stem)
+        elif p.suffix == ".tbl":
+            # Hyrise .tbl: row 1 = names, row 2 = types (load_table.hpp).
+            with open(p) as fh:
+                names = fh.readline().rstrip("\n").split("|")
+            name_list = "[" + ", ".join(f"'{n}'" for n in names) + "]"
+            con.execute(
+                f"CREATE VIEW {p.stem} AS SELECT * FROM read_csv_auto("
+                f"'{p}', delim='|', header=false, skip=2, nullstr='null', "
+                f"names={name_list})"
+            )
+            seen.add(p.stem)
     res = con.execute(sql)
     ocols = [d[0] for d in res.description]
     orows = res.fetchall()

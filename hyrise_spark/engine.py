@@ -80,6 +80,8 @@ class Engine:
             "status": "ok",
             "duration_ms": 0,
         }
+        if re.match(r"^\s*ROLLBACK\b", stmt, re.I):
+            entry["status"] = "unsupported"
         t0 = _time.perf_counter()
         try:
             return self._execute_one(stmt, args)
@@ -113,10 +115,22 @@ class Engine:
 
     def _execute_one(self, stmt: str, args) -> DataFrame | None:
         if _TXN_RE.match(stmt):
-            # BEGIN/COMMIT/ROLLBACK are routed in the reference
-            # (sql_translator.cpp:377-380); this engine is single-statement
-            # autocommit (SURVEY.md §7 risk 6), so they are documented no-ops
-            # — accepted for compatibility, never a parse error.
+            # BEGIN/COMMIT are routed in the reference (sql_translator.cpp:
+            # 377-380); this engine is single-statement autocommit (SURVEY.md
+            # §7 risk 6), so they are accepted no-ops. ROLLBACK, however,
+            # cannot be honored — the statements inside the transaction have
+            # already been applied — so silently ignoring it would keep
+            # partial writes the caller asked to abort. Warn loudly; the
+            # meta_log entry is marked status='unsupported' by the caller.
+            if re.match(r"^\s*ROLLBACK\b", stmt, re.I):
+                import warnings
+
+                warnings.warn(
+                    "ROLLBACK is not supported: this engine runs autocommit "
+                    "(each statement is already applied); the transaction "
+                    "cannot be aborted",
+                    stacklevel=3,
+                )
             return None
         m = _IMPORT_RE.match(stmt)
         if m:

@@ -212,7 +212,7 @@ _NPROBE = 2
 # repartitioned by cell, both materialized); `sim_ivf_topk` probes the cached
 # index, so its bench time measures probe cost — matching the production
 # claim. At 100 TB the cache is a parquet layout partitioned by cell.
-_IVF_INDEX: dict[tuple[int, str], tuple[DataFrame, DataFrame]] = {}
+_IVF_INDEX: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
 
 
 def ivf_build_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
@@ -222,7 +222,10 @@ def ivf_build_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFr
     corpus:    (cid, cv, label) — normalized vectors co-located by label
                (repartition = the write-time clustering), cached.
     """
-    key = (id(spark), sf_dir)
+    # applicationId is unique per SparkContext lifetime — unlike id(spark),
+    # which CPython can reuse after a stopped session is garbage-collected,
+    # serving cached DataFrames bound to a dead session.
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _IVF_INDEX:
         emb = _emb(spark, sf_dir)
         e = emb.select(

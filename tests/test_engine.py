@@ -82,7 +82,21 @@ def test_transaction_statements_are_autocommit_noops(engine, spark):
     # but the wrapped DML still applied
     assert engine.execute("BEGIN TRANSACTION; SELECT 1 AS x; COMMIT") is None
     assert engine.execute("START TRANSACTION") is None
-    assert engine.execute("ROLLBACK WORK") is None
+
+
+def test_rollback_warns_and_logs_unsupported(engine):
+    # ROLLBACK cannot be honored under autocommit — already-applied statements
+    # stay applied. It must warn (not silently no-op) and mark the meta_log
+    # entry status='unsupported' so the abort is auditable.
+    import warnings
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        assert engine.execute("ROLLBACK WORK") is None
+    assert any("ROLLBACK" in str(w.message) for w in caught)
+    last = engine.catalog.statement_log[-1]
+    assert last["statement"].startswith("ROLLBACK")
+    assert last["status"] == "unsupported"
 
 
 def test_meta_settings_is_writable(engine, spark):
