@@ -3,10 +3,14 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": <total_sec>, "unit": "sec",
-   "queries": {"tpch_q1": sec, ...}, "sf": 0.1}
+   "queries": {"tpch_q1": sec, ...}, "sf": 0.1, "runs": 3, "agg": "median"}
 
-Each query is timed as plan-build + execution to completion (count-style
-action that materializes the full result but keeps collection driver-light).
+Each query is timed as plan-build + execution to completion (noop sink:
+materializes every row without funneling them to the driver), repeated
+$SPARK_GRAFT_RUNS times (default 3); the reported figure is the per-query
+MEDIAN. Single runs proved untrustworthy: across r2/r3, byte-identical code
+moved -56%..+117% per query on single-run timings (VERDICT r3), so anything
+finer than ~2x was noise. The median of 3 warm runs bounds that.
 """
 
 from __future__ import annotations
@@ -57,15 +61,20 @@ def main() -> None:
 
     ensure_bucketed(spark, sf_dir)
 
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_RUNS", "3")))
     times: dict[str, float] = {}
     for name in sorted(qs):
         qd = qs[name]
-        t0 = time.perf_counter()
+        samples: list[float] = []
         try:
-            df = qd.builder(spark, sf_dir)
-            # Materialize every row/column without funneling rows to the driver.
-            df.write.format("noop").mode("overwrite").save()
-            times[name] = round(time.perf_counter() - t0, 3)
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                df = qd.builder(spark, sf_dir)
+                # Materialize every row/column without funneling rows to the driver.
+                df.write.format("noop").mode("overwrite").save()
+                samples.append(time.perf_counter() - t0)
+            samples.sort()
+            times[name] = round(samples[len(samples) // 2], 3)
         except Exception as exc:  # keep benching; a failed query reads as -1
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             times[name] = -1.0
@@ -79,6 +88,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "runs": runs,
+                "agg": "median",
             }
         )
     )

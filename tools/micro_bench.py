@@ -119,7 +119,8 @@ def run(spark, sf_dir: str, runs: int = 3) -> dict:
                 t0 = time.perf_counter()
                 build().write.format("noop").mode("overwrite").save()
                 times.append(time.perf_counter() - t0)
-            out[name] = round(min(times), 4)
+            times.sort()
+            out[name] = round(times[len(times) // 2], 4)  # warm-run median
         finally:
             for k, v in saved.items():
                 spark.conf.set(k, v)
