@@ -3274,3 +3274,549 @@ def tpcds_q87(spark: SparkSession, sf_dir: str) -> DataFrame:
         .exceptAll(ch("4-NOT SPECIFIED", "5-LOW").distinct())
     )
     return only_store.agg(F.count(F.lit(1)).alias("cnt"))
+
+
+# ==========================================================================
+# Round-4 batch: the remaining 31 excluded-set queries -> TPC-DS 99/99.
+# Channel convention throughout (established by Q10/Q74/Q76): store =
+# priorities 1-URGENT/2-HIGH, catalog = 3-MEDIUM, web = 4-NOT SPECIFIED/5-LOW
+# (tpcds_benchmark.cpp loads the real channels; query_excludelist.cfg marks
+# these queries as unexecutable in the reference).
+# ==========================================================================
+
+_STORE = ("1-URGENT", "2-HIGH")
+_CATALOG = ("3-MEDIUM",)
+_WEB = ("4-NOT SPECIFIED", "5-LOW")
+_DOW_NAMES = ("sun", "mon", "tue", "wed", "thu", "fri", "sat")
+
+
+# --------------------------------------------------------------------------
+# Q2 (excluded set): web+catalog revenue per (year, week) pivoted to the
+# seven weekdays; 1998-over-1997 ratio per weekday, week-aligned.
+@register(
+    "tpcds_q2",
+    oracle="""
+    WITH sales AS (
+      SELECT EXTRACT(YEAR FROM o_orderdate) AS y, EXTRACT(WEEK FROM o_orderdate) AS w,
+             EXTRACT(DOW FROM o_orderdate) AS dow, l_extendedprice AS price
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority IN ('3-MEDIUM', '4-NOT SPECIFIED', '5-LOW')
+    ), wk AS (
+      SELECT y, w,
+             SUM(CASE WHEN dow = 0 THEN price ELSE 0 END) AS sun,
+             SUM(CASE WHEN dow = 1 THEN price ELSE 0 END) AS mon,
+             SUM(CASE WHEN dow = 2 THEN price ELSE 0 END) AS tue,
+             SUM(CASE WHEN dow = 3 THEN price ELSE 0 END) AS wed,
+             SUM(CASE WHEN dow = 4 THEN price ELSE 0 END) AS thu,
+             SUM(CASE WHEN dow = 5 THEN price ELSE 0 END) AS fri,
+             SUM(CASE WHEN dow = 6 THEN price ELSE 0 END) AS sat
+      FROM sales GROUP BY y, w
+    )
+    SELECT CAST(a.w AS INTEGER) AS wk,
+           ROUND(b.sun / NULLIF(a.sun, 0), 4) AS sun_r,
+           ROUND(b.mon / NULLIF(a.mon, 0), 4) AS mon_r,
+           ROUND(b.tue / NULLIF(a.tue, 0), 4) AS tue_r,
+           ROUND(b.wed / NULLIF(a.wed, 0), 4) AS wed_r,
+           ROUND(b.thu / NULLIF(a.thu, 0), 4) AS thu_r,
+           ROUND(b.fri / NULLIF(a.fri, 0), 4) AS fri_r,
+           ROUND(b.sat / NULLIF(a.sat, 0), 4) AS sat_r
+    FROM wk a JOIN wk b ON a.w = b.w AND a.y = 1997 AND b.y = 1998
+    ORDER BY wk
+    """,
+    tags=("tpcds", "tpcds-excluded-real"),
+)
+def tpcds_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders = _t(spark, sf_dir, "lineitem", "orders")
+    sales = li.join(
+        orders.filter(F.col("o_orderpriority").isin(*(_CATALOG + _WEB))),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select(
+        F.year("o_orderdate").alias("y"),
+        F.weekofyear("o_orderdate").alias("w"),
+        (F.dayofweek("o_orderdate") - 1).alias("dow"),
+        F.col("l_extendedprice").alias("price"),
+    )
+    wk = sales.groupBy("y", "w").agg(
+        *[
+            F.sum(F.when(F.col("dow") == d, F.col("price")).otherwise(0.0)).alias(n)
+            for d, n in enumerate(_DOW_NAMES)
+        ]
+    )
+    a, b = wk.filter(F.col("y") == 1997).alias("a"), wk.filter(F.col("y") == 1998).alias("b")
+
+    def ratio(n):
+        num, den = F.col(f"b.{n}"), F.col(f"a.{n}")
+        return F.round(num / F.when(den != 0.0, den), 4).alias(f"{n}_r")
+
+    return (
+        a.join(b, F.col("a.w") == F.col("b.w"))
+        .select(F.col("a.w").alias("wk"), *[ratio(n) for n in _DOW_NAMES])
+        .orderBy("wk")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q4 (excluded set): customers whose catalog-channel year-over-year growth
+# beats BOTH their store and web growth (three-channel Q74 extension; net
+# lineitem revenue, not order totals).
+@register(
+    "tpcds_q4",
+    oracle="""
+    WITH yt AS (
+      SELECT o_custkey AS ck,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'store'
+                  WHEN o_orderpriority = '3-MEDIUM' THEN 'catalog' ELSE 'web' END AS channel,
+             EXTRACT(YEAR FROM o_orderdate) AS y,
+             SUM(l_extendedprice * (1 - l_discount)) AS total
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE EXTRACT(YEAR FROM o_orderdate) IN (1997, 1998)
+      GROUP BY 1, 2, 3
+    ), p AS (
+      SELECT ck,
+             SUM(CASE WHEN channel = 'store' AND y = 1997 THEN total ELSE 0 END) AS s1,
+             SUM(CASE WHEN channel = 'store' AND y = 1998 THEN total ELSE 0 END) AS s2,
+             SUM(CASE WHEN channel = 'catalog' AND y = 1997 THEN total ELSE 0 END) AS c1,
+             SUM(CASE WHEN channel = 'catalog' AND y = 1998 THEN total ELSE 0 END) AS c2,
+             SUM(CASE WHEN channel = 'web' AND y = 1997 THEN total ELSE 0 END) AS w1,
+             SUM(CASE WHEN channel = 'web' AND y = 1998 THEN total ELSE 0 END) AS w2
+      FROM yt GROUP BY ck
+    )
+    SELECT c_custkey, c_name
+    FROM p JOIN customer ON ck = c_custkey
+    WHERE s1 > 0 AND c1 > 0 AND w1 > 0
+      AND c2 / c1 > s2 / s1 AND c2 / c1 > w2 / w1
+    ORDER BY c_custkey LIMIT 100
+    """,
+    tags=("tpcds", "tpcds-excluded-real"),
+)
+def tpcds_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders, cust = _t(spark, sf_dir, "lineitem", "orders", "customer")
+    prio = F.col("o_orderpriority")
+    yt = (
+        li.join(
+            orders.filter(F.year("o_orderdate").isin(1997, 1998)),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("o_custkey").alias("ck"),
+            F.when(prio.isin(*_STORE), "store")
+            .when(prio.isin(*_CATALOG), "catalog")
+            .otherwise("web")
+            .alias("channel"),
+            F.year("o_orderdate").alias("y"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net"),
+        )
+        .groupBy("ck", "channel", "y")
+        .agg(F.sum("net").alias("total"))
+    )
+
+    def piv(ch, y, alias):
+        return F.sum(
+            F.when((F.col("channel") == ch) & (F.col("y") == y), F.col("total")).otherwise(0.0)
+        ).alias(alias)
+
+    p = yt.groupBy("ck").agg(
+        piv("store", 1997, "s1"), piv("store", 1998, "s2"),
+        piv("catalog", 1997, "c1"), piv("catalog", 1998, "c2"),
+        piv("web", 1997, "w1"), piv("web", 1998, "w2"),
+    )
+    return (
+        p.filter((F.col("s1") > 0) & (F.col("c1") > 0) & (F.col("w1") > 0))
+        .filter(
+            (F.col("c2") / F.col("c1") > F.col("s2") / F.col("s1"))
+            & (F.col("c2") / F.col("c1") > F.col("w2") / F.col("w1"))
+        )
+        .join(F.broadcast(cust), F.col("ck") == F.col("c_custkey"))
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q8 (excluded set): supplier-nation revenue restricted to nations that are
+# BOTH in a literal list AND have >= 10 preferred (high-balance) customers —
+# the zip-list INTERSECT preferred-customer-zips shape.
+@register(
+    "tpcds_q8",
+    oracle="""
+    WITH pref AS (
+      SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+      WHERE c_acctbal > 7000 GROUP BY n_name HAVING COUNT(*) >= 10
+    ), chosen AS (
+      SELECT n_name FROM (VALUES ('NATION_1'), ('NATION_3'), ('NATION_5'), ('NATION_7'),
+                                 ('NATION_9'), ('NATION_11'), ('NATION_13'), ('NATION_15'),
+                                 ('NATION_17'), ('NATION_19'), ('NATION_21'), ('NATION_23')) v(n_name)
+      INTERSECT SELECT n_name FROM pref
+    )
+    SELECT n_name, ROUND(SUM(l_extendedprice), 2) AS net_profit
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN chosen USING (n_name)
+    WHERE EXTRACT(YEAR FROM l_shipdate) = 1997 AND EXTRACT(QUARTER FROM l_shipdate) = 1
+    GROUP BY n_name ORDER BY n_name
+    """,
+    tags=("tpcds", "tpcds-excluded-real"),
+)
+def tpcds_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, supp, nation, cust = _t(spark, sf_dir, "lineitem", "supplier", "nation", "customer")
+    literal = spark.createDataFrame(
+        [(f"NATION_{i}",) for i in range(1, 25, 2)], ["n_name"]
+    )
+    pref = (
+        cust.filter(F.col("c_acctbal") > 7000)
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_pref"))
+        .filter(F.col("n_pref") >= 10)
+        .select("n_name")
+    )
+    chosen = literal.intersect(pref)
+    return (
+        li.filter((F.year("l_shipdate") == 1997) & (F.quarter("l_shipdate") == 1))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(chosen), "n_name", "left_semi")
+        .groupBy("n_name")
+        .agg(F.round(F.sum("l_extendedprice"), R2).alias("net_profit"))
+        .orderBy("n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q11 (excluded set): customers whose web-channel year-over-year NET-revenue
+# growth beats their store growth (Q74 at order-total grain; this one at
+# discounted lineitem grain, reporting names).
+@register(
+    "tpcds_q11",
+    oracle="""
+    WITH yt AS (
+      SELECT o_custkey AS ck,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'store'
+                  WHEN o_orderpriority = '3-MEDIUM' THEN 'catalog' ELSE 'web' END AS channel,
+             EXTRACT(YEAR FROM o_orderdate) AS y,
+             SUM(l_extendedprice * (1 - l_discount)) AS total
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE EXTRACT(YEAR FROM o_orderdate) IN (1997, 1998)
+      GROUP BY 1, 2, 3
+    ), p AS (
+      SELECT ck,
+             SUM(CASE WHEN channel = 'store' AND y = 1997 THEN total ELSE 0 END) AS s1,
+             SUM(CASE WHEN channel = 'store' AND y = 1998 THEN total ELSE 0 END) AS s2,
+             SUM(CASE WHEN channel = 'web' AND y = 1997 THEN total ELSE 0 END) AS w1,
+             SUM(CASE WHEN channel = 'web' AND y = 1998 THEN total ELSE 0 END) AS w2
+      FROM yt GROUP BY ck
+    )
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM p JOIN customer ON ck = c_custkey
+    WHERE s1 > 0 AND w1 > 0 AND w2 / w1 > s2 / s1
+    ORDER BY c_custkey LIMIT 100
+    """,
+    tags=("tpcds", "tpcds-excluded-real"),
+)
+def tpcds_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders, cust = _t(spark, sf_dir, "lineitem", "orders", "customer")
+    prio = F.col("o_orderpriority")
+    yt = (
+        li.join(
+            orders.filter(F.year("o_orderdate").isin(1997, 1998)),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("o_custkey").alias("ck"),
+            F.when(prio.isin(*_STORE), "store")
+            .when(prio.isin(*_CATALOG), "catalog")
+            .otherwise("web")
+            .alias("channel"),
+            F.year("o_orderdate").alias("y"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net"),
+        )
+        .groupBy("ck", "channel", "y")
+        .agg(F.sum("net").alias("total"))
+    )
+
+    def piv(ch, y, alias):
+        return F.sum(
+            F.when((F.col("channel") == ch) & (F.col("y") == y), F.col("total")).otherwise(0.0)
+        ).alias(alias)
+
+    p = yt.groupBy("ck").agg(
+        piv("store", 1997, "s1"), piv("store", 1998, "s2"),
+        piv("web", 1997, "w1"), piv("web", 1998, "w2"),
+    )
+    return (
+        p.filter((F.col("s1") > 0) & (F.col("w1") > 0))
+        .filter(F.col("w2") / F.col("w1") > F.col("s2") / F.col("s1"))
+        .join(F.broadcast(cust), F.col("ck") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q14 (excluded set): cross_items = parts sold through ALL THREE channels in
+# 1997 (INTERSECT chain); 1998 per-(channel, brand) sales of those parts kept
+# only above the 1997 all-channel average sale (scalar subquery threshold).
+@register(
+    "tpcds_q14",
+    oracle="""
+    WITH store_pk AS (
+      SELECT DISTINCT l_partkey AS pk FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') AND EXTRACT(YEAR FROM o_orderdate) = 1997
+    ), cat_pk AS (
+      SELECT DISTINCT l_partkey AS pk FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority = '3-MEDIUM' AND EXTRACT(YEAR FROM o_orderdate) = 1997
+    ), web_pk AS (
+      SELECT DISTINCT l_partkey AS pk FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority IN ('4-NOT SPECIFIED', '5-LOW') AND EXTRACT(YEAR FROM o_orderdate) = 1997
+    ), cross_items AS (
+      SELECT pk FROM store_pk INTERSECT SELECT pk FROM cat_pk INTERSECT SELECT pk FROM web_pk
+    ), avg_sales AS (
+      SELECT AVG(l_quantity * l_extendedprice) AS average_sales
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE EXTRACT(YEAR FROM o_orderdate) = 1997
+    ), ch AS (
+      SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'store'
+                  WHEN o_orderpriority = '3-MEDIUM' THEN 'catalog' ELSE 'web' END AS channel,
+             p_brand, SUM(l_quantity * l_extendedprice) AS sales,
+             COUNT(*) AS number_sales
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN part ON l_partkey = p_partkey
+      WHERE EXTRACT(YEAR FROM o_orderdate) = 1998
+        AND l_partkey IN (SELECT pk FROM cross_items)
+      GROUP BY 1, 2
+    )
+    SELECT channel, p_brand, ROUND(sales, 2) AS sales,
+           CAST(number_sales AS BIGINT) AS number_sales
+    FROM ch, avg_sales WHERE sales > average_sales
+    ORDER BY channel, p_brand LIMIT 100
+    """,
+    tags=("tpcds", "tpcds-excluded-real"),
+)
+def tpcds_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders, part = _t(spark, sf_dir, "lineitem", "orders", "part")
+    prio = F.col("o_orderpriority")
+    lo97 = li.join(
+        orders.filter(F.year("o_orderdate") == 1997),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+
+    def chan_pk(prios):
+        return lo97.filter(prio.isin(*prios)).select(F.col("l_partkey").alias("pk")).distinct()
+
+    cross_items = chan_pk(_STORE).intersect(chan_pk(_CATALOG)).intersect(chan_pk(_WEB))
+    avg_sales = lo97.agg(
+        F.avg(F.col("l_quantity") * F.col("l_extendedprice")).alias("average_sales")
+    )
+    ch = (
+        li.join(
+            orders.filter(F.year("o_orderdate") == 1998),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cross_items), F.col("l_partkey") == F.col("pk"), "left_semi")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            F.when(prio.isin(*_STORE), "store")
+            .when(prio.isin(*_CATALOG), "catalog")
+            .otherwise("web")
+            .alias("channel"),
+            "p_brand",
+            (F.col("l_quantity") * F.col("l_extendedprice")).alias("amt"),
+        )
+        .groupBy("channel", "p_brand")
+        .agg(F.sum("amt").alias("sales"), F.count(F.lit(1)).alias("number_sales"))
+    )
+    return (
+        ch.crossJoin(F.broadcast(avg_sales))
+        .filter(F.col("sales") > F.col("average_sales"))
+        .select(
+            "channel", "p_brand", F.round("sales", R2).alias("sales"), "number_sales"
+        )
+        .orderBy("channel", "p_brand")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q18 (excluded set): catalog-channel averages (quantity, price, discount,
+# account balance) ROLLUP'd over region > nation > segment.
+@register(
+    "tpcds_q18",
+    oracle="""
+    -- averages computed as exact-decimal SUM -> double -> /COUNT, truncated
+    -- with FLOOR(x*100)/100: every step is IEEE double arithmetic on
+    -- identical inputs, so both engines agree bit-for-bit. (ROUND diverges:
+    -- a count=2 average of 2-decimal values lands on exact .005 midpoints,
+    -- where DuckDB's scaled-multiply rounds down and Spark's BigDecimal
+    -- rounds up.)
+    SELECT r_name, n_name, c_mktsegment AS segment,
+           FLOOR(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) * 100) / 100 AS agg1,
+           FLOOR(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) * 100) / 100 AS agg2,
+           FLOOR(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) * 100) / 100 AS agg3,
+           FLOOR(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) * 100) / 100 AS agg4
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE o_orderpriority = '3-MEDIUM' AND EXTRACT(YEAR FROM o_orderdate) = 1998
+    GROUP BY ROLLUP (r_name, n_name, c_mktsegment)
+    ORDER BY r_name NULLS FIRST, n_name NULLS FIRST, segment NULLS FIRST
+    LIMIT 100
+    """,
+    tags=("tpcds", "tpcds-excluded-real"),
+)
+def tpcds_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders, cust, nation, region = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation", "region"
+    )
+    base = (
+        li.join(
+            orders.filter(
+                (prio := F.col("o_orderpriority")).isin(*_CATALOG)
+                & (F.year("o_orderdate") == 1998)
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            "r_name", "n_name", F.col("c_mktsegment").alias("segment"),
+            "l_quantity", "l_extendedprice", "l_discount", "c_acctbal",
+        )
+    )
+    return (
+        base.rollup("r_name", "n_name", "segment")
+        .agg(
+            *[
+                (
+                    F.floor(
+                        F.sum(F.col(c).cast("decimal(18,4)")).cast("double")
+                        / F.count(F.lit(1))
+                        * 100
+                    )
+                    / F.lit(100.0)
+                ).alias(f"agg{i}")
+                for i, c in enumerate(
+                    ("l_quantity", "l_extendedprice", "l_discount", "c_acctbal"), 1
+                )
+            ]
+        )
+        .orderBy(
+            F.col("r_name").asc_nulls_first(),
+            F.col("n_name").asc_nulls_first(),
+            F.col("segment").asc_nulls_first(),
+        )
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q20 (excluded set): catalog-channel revenue share of each part within its
+# type over a 30-day ship window (Q12/Q98's catalog sibling).
+@register(
+    "tpcds_q20",
+    oracle="""
+    WITH s AS (
+      SELECT p_name, p_type, p_retailprice, SUM(l_extendedprice) AS rev
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority = '3-MEDIUM'
+        AND p_type IN ('ECONOMY', 'PROMO', 'STANDARD')
+        AND l_shipdate >= TIMESTAMP '1997-02-01' AND l_shipdate < TIMESTAMP '1997-03-03'
+      GROUP BY 1, 2, 3
+    )
+    SELECT p_name, p_type, p_retailprice, ROUND(rev, 2) AS itemrevenue,
+           ROUND(rev * 100.0 / SUM(rev) OVER (PARTITION BY p_type), 4) AS revenueratio
+    FROM s ORDER BY p_type, revenueratio DESC, p_name LIMIT 100
+    """,
+    tags=("tpcds", "tpcds-excluded-real"),
+)
+def tpcds_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li, part, orders = _t(spark, sf_dir, "lineitem", "part", "orders")
+    s = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-02-01"))
+            & (F.col("l_shipdate") < F.lit("1997-03-03"))
+        )
+        .join(
+            F.broadcast(part.filter(F.col("p_type").isin("ECONOMY", "PROMO", "STANDARD"))),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            orders.filter(F.col("o_orderpriority").isin(*_CATALOG)),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("p_name", "p_type", "p_retailprice")
+        .agg(F.sum("l_extendedprice").alias("rev"))
+    )
+    w = Window.partitionBy("p_type")
+    return (
+        s.select(
+            "p_name", "p_type", "p_retailprice",
+            F.round("rev", R2).alias("itemrevenue"),
+            F.round(F.col("rev") * 100.0 / F.sum("rev").over(w), 4).alias("revenueratio"),
+        )
+        .orderBy("p_type", F.col("revenueratio").desc(), "p_name")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q21 (excluded set): per (supplier-nation "warehouse", brand) shipped
+# quantity in the 30 days before vs after a pivot date; keep ratios within
+# [2/3, 3/2] — the inventory before/after balance check.
+@register(
+    "tpcds_q21",
+    oracle="""
+    WITH m AS (
+      SELECT n_name, p_brand,
+             SUM(CASE WHEN l_shipdate < TIMESTAMP '1997-06-15' THEN l_quantity ELSE 0 END) AS inv_before,
+             SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-06-15' THEN l_quantity ELSE 0 END) AS inv_after
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1997-05-16' AND l_shipdate < TIMESTAMP '1997-07-15'
+      GROUP BY 1, 2
+    )
+    SELECT n_name, p_brand, ROUND(inv_before, 2) AS inv_before, ROUND(inv_after, 2) AS inv_after
+    FROM m
+    WHERE inv_before > 0 AND inv_after / inv_before >= 2.0 / 3.0
+      AND inv_after / inv_before <= 3.0 / 2.0
+    ORDER BY n_name, p_brand LIMIT 100
+    """,
+    tags=("tpcds", "tpcds-excluded-real"),
+)
+def tpcds_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, supp, nation, part = _t(spark, sf_dir, "lineitem", "supplier", "nation", "part")
+    pivot = F.lit("1997-06-15")
+    m = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-05-16"))
+            & (F.col("l_shipdate") < F.lit("1997-07-15"))
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("n_name", "p_brand")
+        .agg(
+            F.sum(F.when(F.col("l_shipdate") < pivot, F.col("l_quantity")).otherwise(0.0)).alias("inv_before"),
+            F.sum(F.when(F.col("l_shipdate") >= pivot, F.col("l_quantity")).otherwise(0.0)).alias("inv_after"),
+        )
+    )
+    ratio = F.col("inv_after") / F.col("inv_before")
+    return (
+        m.filter((F.col("inv_before") > 0) & (ratio >= 2.0 / 3.0) & (ratio <= 3.0 / 2.0))
+        .select("n_name", "p_brand", F.round("inv_before", R2).alias("inv_before"),
+                F.round("inv_after", R2).alias("inv_after"))
+        .orderBy("n_name", "p_brand")
+        .limit(100)
+    )
