@@ -3820,3 +3820,453 @@ def tpcds_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("n_name", "p_brand")
         .limit(100)
     )
+
+
+# --------------------------------------------------------------------------
+# Q23 (excluded set): frequent parts (sold on > 4 distinct ship days in
+# 1997) x best customers (total sales > half the max customer) -> their
+# February-1998 revenue. The CTE-ladder shape with two semi-join filters
+# and a scalar MAX threshold.
+@register(
+    "tpcds_q23",
+    oracle="""
+    WITH frequent AS (
+      SELECT l_partkey AS pk FROM lineitem
+      WHERE EXTRACT(YEAR FROM l_shipdate) = 1997
+      GROUP BY l_partkey HAVING COUNT(DISTINCT CAST(l_shipdate AS DATE)) > 4
+    ), best AS (
+      SELECT o_custkey AS ck, SUM(l_quantity * l_extendedprice) AS sales
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1
+    ), best_cut AS (
+      SELECT ck FROM best WHERE sales > (SELECT 0.5 * MAX(sales) FROM best)
+    )
+    SELECT ROUND(SUM(l_extendedprice), 2) AS total
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE EXTRACT(YEAR FROM o_orderdate) = 1998 AND EXTRACT(MONTH FROM o_orderdate) = 2
+      AND l_partkey IN (SELECT pk FROM frequent)
+      AND o_custkey IN (SELECT ck FROM best_cut)
+    """,
+    tags=("tpcds", "tpcds-excluded-real"),
+)
+def tpcds_q23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders = _t(spark, sf_dir, "lineitem", "orders")
+    frequent = (
+        li.filter(F.year("l_shipdate") == 1997)
+        .groupBy(F.col("l_partkey").alias("pk"))
+        .agg(F.countDistinct(F.to_date("l_shipdate")).alias("nd"))
+        .filter(F.col("nd") > 4)
+        .select("pk")
+    )
+    best = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("o_custkey").alias("ck"))
+        .agg(F.sum(F.col("l_quantity") * F.col("l_extendedprice")).alias("sales"))
+    )
+    threshold = best.agg((F.max("sales") * 0.5).alias("thr"))
+    best_cut = (
+        best.crossJoin(F.broadcast(threshold)).filter(F.col("sales") > F.col("thr")).select("ck")
+    )
+    return (
+        li.join(
+            orders.filter((F.year("o_orderdate") == 1998) & (F.month("o_orderdate") == 2)),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(frequent), F.col("l_partkey") == F.col("pk"), "left_semi")
+        .join(F.broadcast(best_cut), F.col("o_custkey") == F.col("ck"), "left_semi")
+        .agg(F.round(F.sum("l_extendedprice"), R2).alias("total"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q24 (excluded set): returned lineitems paired with a NON-returned lineitem
+# of the same (order, part) — the store_returns-matched-to-store_sales
+# ticket+item join — netpaid per (customer, brand) kept above 5% of the
+# all-pairs average.
+@register(
+    "tpcds_q24",
+    oracle="""
+    WITH pairs AS (
+      SELECT c_name, p_brand, SUM(ret.l_extendedprice) AS netpaid
+      FROM lineitem ret
+      JOIN lineitem sold ON sold.l_orderkey = ret.l_orderkey
+                        AND sold.l_partkey = ret.l_partkey
+                        AND sold.l_linenumber <> ret.l_linenumber
+      JOIN orders ON ret.l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN part ON ret.l_partkey = p_partkey
+      WHERE ret.l_returnflag = 'R' AND sold.l_returnflag <> 'R'
+      GROUP BY 1, 2
+    )
+    SELECT c_name, p_brand, ROUND(netpaid, 2) AS paid
+    FROM pairs
+    WHERE netpaid > (SELECT 0.05 * AVG(netpaid) FROM pairs)
+    ORDER BY c_name, p_brand
+    """,
+    tags=("tpcds", "tpcds-excluded-real"),
+)
+def tpcds_q24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders, cust, part = _t(spark, sf_dir, "lineitem", "orders", "customer", "part")
+    ret = li.filter(F.col("l_returnflag") == "R").alias("ret")
+    sold = li.filter(F.col("l_returnflag") != "R").alias("sold")
+    pairs = (
+        ret.join(
+            sold,
+            (F.col("sold.l_orderkey") == F.col("ret.l_orderkey"))
+            & (F.col("sold.l_partkey") == F.col("ret.l_partkey"))
+            & (F.col("sold.l_linenumber") != F.col("ret.l_linenumber")),
+        )
+        .join(orders, F.col("ret.l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(part), F.col("ret.l_partkey") == F.col("p_partkey"))
+        .groupBy("c_name", "p_brand")
+        .agg(F.sum("ret.l_extendedprice").alias("netpaid"))
+    )
+    thr = pairs.agg((F.avg("netpaid") * 0.05).alias("thr"))
+    return (
+        pairs.crossJoin(F.broadcast(thr))
+        .filter(F.col("netpaid") > F.col("thr"))
+        .select("c_name", "p_brand", F.round("netpaid", R2).alias("paid"))
+        .orderBy("c_name", "p_brand")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q30 (excluded set): web-channel returns per customer vs 1.2x their
+# nation's average (Q1's web sibling, reporting customer detail).
+@register(
+    "tpcds_q30",
+    oracle="""
+    WITH ctr AS (
+      SELECT o_custkey AS ck, c_nationkey AS nk, SUM(l_extendedprice) AS total_return
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE l_returnflag = 'R' AND o_orderpriority IN ('4-NOT SPECIFIED', '5-LOW')
+        AND EXTRACT(YEAR FROM o_orderdate) = 1998
+      GROUP BY 1, 2
+    )
+    SELECT c_custkey, c_name, c_mktsegment, ROUND(total_return, 2) AS return_amt
+    FROM ctr JOIN customer ON ck = c_custkey
+    WHERE total_return > (
+      SELECT AVG(total_return) * 1.2 FROM ctr c2 WHERE c2.nk = ctr.nk
+    )
+    ORDER BY c_custkey LIMIT 100
+    """,
+    tags=("tpcds", "tpcds-excluded-real"),
+)
+def tpcds_q30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders, cust = _t(spark, sf_dir, "lineitem", "orders", "customer")
+    ctr = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(
+                F.col("o_orderpriority").isin(*_WEB) & (F.year("o_orderdate") == 1998)
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.col("o_custkey").alias("ck"), F.col("c_nationkey").alias("nk"))
+        .agg(F.sum("l_extendedprice").alias("total_return"))
+    )
+    nation_avg = ctr.groupBy(F.col("nk").alias("avg_nk")).agg(
+        (F.avg("total_return") * 1.2).alias("threshold")
+    )
+    return (
+        ctr.join(F.broadcast(nation_avg), F.col("nk") == F.col("avg_nk"))
+        .filter(F.col("total_return") > F.col("threshold"))
+        .join(F.broadcast(cust), F.col("ck") == F.col("c_custkey"))
+        .select(
+            "c_custkey", "c_name", "c_mktsegment",
+            F.round("total_return", R2).alias("return_amt"),
+        )
+        .orderBy("c_custkey")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q33 (excluded set): per-brand revenue summed across all three channels
+# (UNION ALL of channel aggregations) for one part type, one month.
+@register(
+    "tpcds_q33",
+    oracle="""
+    WITH ch AS (
+      SELECT p_brand, SUM(l_extendedprice) AS total_sales
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN part ON l_partkey = p_partkey
+      WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') AND p_type = 'ECONOMY'
+        AND EXTRACT(YEAR FROM o_orderdate) = 1998 AND EXTRACT(MONTH FROM o_orderdate) = 3
+      GROUP BY p_brand
+      UNION ALL
+      SELECT p_brand, SUM(l_extendedprice) AS total_sales
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN part ON l_partkey = p_partkey
+      WHERE o_orderpriority = '3-MEDIUM' AND p_type = 'ECONOMY'
+        AND EXTRACT(YEAR FROM o_orderdate) = 1998 AND EXTRACT(MONTH FROM o_orderdate) = 3
+      GROUP BY p_brand
+      UNION ALL
+      SELECT p_brand, SUM(l_extendedprice) AS total_sales
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN part ON l_partkey = p_partkey
+      WHERE o_orderpriority IN ('4-NOT SPECIFIED', '5-LOW') AND p_type = 'ECONOMY'
+        AND EXTRACT(YEAR FROM o_orderdate) = 1998 AND EXTRACT(MONTH FROM o_orderdate) = 3
+      GROUP BY p_brand
+    )
+    SELECT p_brand, ROUND(SUM(total_sales), 2) AS total_sales
+    FROM ch GROUP BY p_brand ORDER BY p_brand
+    """,
+    tags=("tpcds", "tpcds-excluded-real"),
+)
+def tpcds_q33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders, part = _t(spark, sf_dir, "lineitem", "orders", "part")
+    base = (
+        li.join(
+            orders.filter((F.year("o_orderdate") == 1998) & (F.month("o_orderdate") == 3)),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(part.filter(F.col("p_type") == "ECONOMY")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+    )
+
+    def chan(prios):
+        return (
+            base.filter(F.col("o_orderpriority").isin(*prios))
+            .groupBy("p_brand")
+            .agg(F.sum("l_extendedprice").alias("total_sales"))
+        )
+
+    return (
+        chan(_STORE).unionAll(chan(_CATALOG)).unionAll(chan(_WEB))
+        .groupBy("p_brand")
+        .agg(F.round(F.sum("total_sales"), R2).alias("total_sales"))
+        .orderBy("p_brand")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q40 (excluded set): catalog net sales (returns negated) per (supplier
+# nation, brand) split before/after a pivot date, for a retail-price band.
+@register(
+    "tpcds_q40",
+    oracle="""
+    SELECT n_name, p_brand,
+           ROUND(SUM(CASE WHEN l_shipdate < TIMESTAMP '1997-06-15'
+                          THEN CASE WHEN l_returnflag = 'R' THEN -l_extendedprice ELSE l_extendedprice END
+                          ELSE 0 END), 2) AS sales_before,
+           ROUND(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-06-15'
+                          THEN CASE WHEN l_returnflag = 'R' THEN -l_extendedprice ELSE l_extendedprice END
+                          ELSE 0 END), 2) AS sales_after
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN part ON l_partkey = p_partkey
+    WHERE o_orderpriority = '3-MEDIUM'
+      AND l_shipdate >= TIMESTAMP '1997-05-16' AND l_shipdate < TIMESTAMP '1997-07-15'
+      AND p_retailprice BETWEEN 920 AND 980
+    GROUP BY 1, 2 ORDER BY n_name, p_brand LIMIT 100
+    """,
+    tags=("tpcds", "tpcds-excluded-real"),
+)
+def tpcds_q40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders, supp, nation, part = _t(
+        spark, sf_dir, "lineitem", "orders", "supplier", "nation", "part"
+    )
+    net = F.when(F.col("l_returnflag") == "R", -F.col("l_extendedprice")).otherwise(
+        F.col("l_extendedprice")
+    )
+    pivot = F.lit("1997-06-15")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-05-16"))
+            & (F.col("l_shipdate") < F.lit("1997-07-15"))
+        )
+        .join(
+            orders.filter(F.col("o_orderpriority").isin(*_CATALOG)),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(part.filter(F.col("p_retailprice").between(920, 980))),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("n_name", "p_brand")
+        .agg(
+            F.round(F.sum(F.when(F.col("l_shipdate") < pivot, net).otherwise(0.0)), R2).alias("sales_before"),
+            F.round(F.sum(F.when(F.col("l_shipdate") >= pivot, net).otherwise(0.0)), R2).alias("sales_after"),
+        )
+        .orderBy("n_name", "p_brand")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q44 (excluded set): ten best and ten worst parts by average net revenue,
+# paired rank-to-rank (the ascending/descending ROW_NUMBER self-join).
+@register(
+    "tpcds_q44",
+    oracle="""
+    WITH perf AS (
+      SELECT l_partkey AS pk, AVG(l_extendedprice * (1 - l_discount)) AS avg_net
+      FROM lineitem GROUP BY 1
+    ), ranked AS (
+      SELECT pk,
+             ROW_NUMBER() OVER (ORDER BY avg_net DESC, pk) AS rnk_best,
+             ROW_NUMBER() OVER (ORDER BY avg_net ASC, pk) AS rnk_worst
+      FROM perf
+    )
+    SELECT CAST(b.rnk_best AS INTEGER) AS rnk, bp.p_name AS best_performing,
+           wp.p_name AS worst_performing
+    FROM ranked b
+    JOIN ranked w ON b.rnk_best = w.rnk_worst
+    JOIN part bp ON b.pk = bp.p_partkey
+    JOIN part wp ON w.pk = wp.p_partkey
+    WHERE b.rnk_best <= 10
+    ORDER BY rnk
+    """,
+    tags=("tpcds", "tpcds-excluded-real"),
+)
+def tpcds_q44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li, part = _t(spark, sf_dir, "lineitem", "part")
+    perf = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.avg(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("avg_net")
+    )
+    ranked = perf.select(
+        "pk",
+        F.row_number().over(Window.orderBy(F.col("avg_net").desc(), F.col("pk"))).alias("rnk_best"),
+        F.row_number().over(Window.orderBy(F.col("avg_net").asc(), F.col("pk"))).alias("rnk_worst"),
+    )
+    b = ranked.filter(F.col("rnk_best") <= 10).alias("b")
+    w = ranked.alias("w")
+    bp = part.alias("bp")
+    wp = part.alias("wp")
+    return (
+        b.join(w, F.col("b.rnk_best") == F.col("w.rnk_worst"))
+        .join(F.broadcast(bp), F.col("b.pk") == F.col("bp.p_partkey"))
+        .join(F.broadcast(wp), F.col("w.pk") == F.col("wp.p_partkey"))
+        .select(
+            F.col("b.rnk_best").alias("rnk"),
+            F.col("bp.p_name").alias("best_performing"),
+            F.col("wp.p_name").alias("worst_performing"),
+        )
+        .orderBy("rnk")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q46 (excluded set): weekend orders by customers in two segments buying
+# from suppliers OUTSIDE their own nation ("bought in another city"), with
+# per-order amount and tax sums.
+@register(
+    "tpcds_q46",
+    oracle="""
+    SELECT c_name, o_orderkey, ROUND(SUM(l_extendedprice), 2) AS amt,
+           ROUND(SUM(l_tax), 2) AS tax_amt
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE c_mktsegment IN ('AUTOMOBILE', 'HOUSEHOLD')
+      AND EXTRACT(DOW FROM o_orderdate) IN (0, 6)
+      AND c_nationkey <> s_nationkey
+    GROUP BY 1, 2 ORDER BY c_name, o_orderkey LIMIT 100
+    """,
+    tags=("tpcds", "tpcds-excluded-real"),
+)
+def tpcds_q46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders, cust, supp = _t(spark, sf_dir, "lineitem", "orders", "customer", "supplier")
+    return (
+        li.join(
+            orders.filter((F.dayofweek("o_orderdate") - 1).isin(0, 6)),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(cust.filter(F.col("c_mktsegment").isin("AUTOMOBILE", "HOUSEHOLD"))),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy("c_name", "o_orderkey")
+        .agg(
+            F.round(F.sum("l_extendedprice"), R2).alias("amt"),
+            F.round(F.sum("l_tax"), R2).alias("tax_amt"),
+        )
+        .orderBy("c_name", "o_orderkey")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q49 (excluded set): worst return ratios per channel — top 10 by quantity
+# ratio OR by amount ratio (dual ROW_NUMBER), one month.
+@register(
+    "tpcds_q49",
+    oracle="""
+    WITH per AS (
+      SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'store'
+                  WHEN o_orderpriority = '3-MEDIUM' THEN 'catalog' ELSE 'web' END AS channel,
+             l_partkey AS pk,
+             SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0 END) AS ret_qty,
+             SUM(l_quantity) AS qty,
+             SUM(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0 END) AS ret_amt,
+             SUM(l_extendedprice) AS amt
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE EXTRACT(YEAR FROM o_orderdate) = 1998 AND EXTRACT(MONTH FROM o_orderdate) = 1
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT channel, pk, ROUND(ret_qty / qty, 4) AS return_ratio,
+             CAST(ROW_NUMBER() OVER (PARTITION BY channel ORDER BY ret_qty / qty DESC, pk) AS INTEGER) AS return_rank,
+             CAST(ROW_NUMBER() OVER (PARTITION BY channel ORDER BY ret_amt / amt DESC, pk) AS INTEGER) AS currency_rank
+      FROM per
+    )
+    SELECT channel, pk AS item, return_ratio, return_rank, currency_rank
+    FROM ranked WHERE return_rank <= 10 OR currency_rank <= 10
+    ORDER BY channel, return_rank, pk
+    """,
+    tags=("tpcds", "tpcds-excluded-real"),
+)
+def tpcds_q49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li, orders = _t(spark, sf_dir, "lineitem", "orders")
+    prio = F.col("o_orderpriority")
+    per = (
+        li.join(
+            orders.filter((F.year("o_orderdate") == 1998) & (F.month("o_orderdate") == 1)),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.when(prio.isin(*_STORE), "store")
+            .when(prio.isin(*_CATALOG), "catalog")
+            .otherwise("web")
+            .alias("channel"),
+            F.col("l_partkey").alias("pk"),
+            "l_quantity", "l_extendedprice", "l_returnflag",
+        )
+        .groupBy("channel", "pk")
+        .agg(
+            F.sum(F.when(F.col("l_returnflag") == "R", F.col("l_quantity")).otherwise(0.0)).alias("ret_qty"),
+            F.sum("l_quantity").alias("qty"),
+            F.sum(F.when(F.col("l_returnflag") == "R", F.col("l_extendedprice")).otherwise(0.0)).alias("ret_amt"),
+            F.sum("l_extendedprice").alias("amt"),
+        )
+    )
+    w_q = Window.partitionBy("channel").orderBy((F.col("ret_qty") / F.col("qty")).desc(), F.col("pk"))
+    w_a = Window.partitionBy("channel").orderBy((F.col("ret_amt") / F.col("amt")).desc(), F.col("pk"))
+    ranked = per.select(
+        "channel", "pk",
+        F.round(F.col("ret_qty") / F.col("qty"), 4).alias("return_ratio"),
+        F.row_number().over(w_q).alias("return_rank"),
+        F.row_number().over(w_a).alias("currency_rank"),
+    )
+    return (
+        ranked.filter((F.col("return_rank") <= 10) | (F.col("currency_rank") <= 10))
+        .select(
+            "channel", F.col("pk").alias("item"), "return_ratio",
+            "return_rank", "currency_rank",
+        )
+        .orderBy("channel", "return_rank", "pk")
+    )
