@@ -4270,3 +4270,459 @@ def tpcds_q49(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel", "return_rank", "pk")
     )
+
+
+# --------------------------------------------------------------------------
+# Q54 (excluded set): customers who bought in catalog/web in March 1997,
+# bucketed by their store-channel revenue in the following quarter
+# ($5000-wide revenue segments, count per segment).
+@register(
+    "tpcds_q54",
+    oracle="""
+    WITH my_customers AS (
+      SELECT DISTINCT o_custkey AS ck FROM orders
+      WHERE o_orderpriority IN ('3-MEDIUM', '4-NOT SPECIFIED', '5-LOW')
+        AND EXTRACT(YEAR FROM o_orderdate) = 1997 AND EXTRACT(MONTH FROM o_orderdate) = 3
+    ), rev AS (
+      SELECT ck, SUM(l_extendedprice) AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN my_customers ON o_custkey = ck
+      WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        AND o_orderdate >= TIMESTAMP '1997-04-01' AND o_orderdate < TIMESTAMP '1997-07-01'
+      GROUP BY ck
+    )
+    SELECT CAST(FLOOR(revenue / 5000) AS INTEGER) AS segment,
+           CAST(COUNT(*) AS BIGINT) AS num_customers
+    FROM rev GROUP BY 1 ORDER BY segment
+    """,
+    tags=("tpcds", "tpcds-excluded-real"),
+)
+def tpcds_q54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders = _t(spark, sf_dir, "lineitem", "orders")
+    my_customers = (
+        orders.filter(
+            F.col("o_orderpriority").isin(*(_CATALOG + _WEB))
+            & (F.year("o_orderdate") == 1997)
+            & (F.month("o_orderdate") == 3)
+        )
+        .select(F.col("o_custkey").alias("ck"))
+        .distinct()
+    )
+    rev = (
+        li.join(
+            orders.filter(
+                F.col("o_orderpriority").isin(*_STORE)
+                & (F.col("o_orderdate") >= F.lit("1997-04-01"))
+                & (F.col("o_orderdate") < F.lit("1997-07-01"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(my_customers), F.col("o_custkey") == F.col("ck"), "left_semi")
+        .groupBy("o_custkey")
+        .agg(F.sum("l_extendedprice").alias("revenue"))
+    )
+    return (
+        rev.select(F.floor(F.col("revenue") / 5000).cast("int").alias("segment"))
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("num_customers"))
+        .orderBy("segment")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q56 (excluded set): Q33's sibling at part-name grain for the color-prefixed
+# parts (p_name = '<color> <noun>'), February 1998, three channels summed.
+@register(
+    "tpcds_q56",
+    oracle="""
+    WITH ch AS (
+      SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'store'
+                  WHEN o_orderpriority = '3-MEDIUM' THEN 'catalog' ELSE 'web' END AS channel,
+             p_name, SUM(l_extendedprice) AS total_sales
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN part ON l_partkey = p_partkey
+      WHERE (p_name LIKE 'red %' OR p_name LIKE 'blue %' OR p_name LIKE 'green %')
+        AND EXTRACT(YEAR FROM o_orderdate) = 1998 AND EXTRACT(MONTH FROM o_orderdate) = 2
+      GROUP BY 1, 2
+    )
+    SELECT p_name, ROUND(SUM(total_sales), 2) AS total_sales
+    FROM ch GROUP BY p_name ORDER BY p_name
+    """,
+    tags=("tpcds", "tpcds-excluded-real"),
+)
+def tpcds_q56(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders, part = _t(spark, sf_dir, "lineitem", "orders", "part")
+    prio = F.col("o_orderpriority")
+    colored = part.filter(
+        F.col("p_name").like("red %")
+        | F.col("p_name").like("blue %")
+        | F.col("p_name").like("green %")
+    )
+    ch = (
+        li.join(
+            orders.filter((F.year("o_orderdate") == 1998) & (F.month("o_orderdate") == 2)),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(colored), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            F.when(prio.isin(*_STORE), "store")
+            .when(prio.isin(*_CATALOG), "catalog")
+            .otherwise("web")
+            .alias("channel"),
+            F.col("p_name"),
+        )
+        .agg(F.sum("l_extendedprice").alias("total_sales"))
+    )
+    return (
+        ch.groupBy("p_name")
+        .agg(F.round(F.sum("total_sales"), R2).alias("total_sales"))
+        .orderBy("p_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q58 (excluded set): parts whose revenue is BALANCED across all three
+# channels over 1997 — each channel within 90%-110% of the three-channel
+# average (a single month is too sparse at test SFs to balance).
+@register(
+    "tpcds_q58",
+    oracle="""
+    WITH per AS (
+      SELECT l_partkey AS pk,
+             SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN l_extendedprice ELSE 0 END) AS ss_rev,
+             SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN l_extendedprice ELSE 0 END) AS cs_rev,
+             SUM(CASE WHEN o_orderpriority IN ('4-NOT SPECIFIED', '5-LOW') THEN l_extendedprice ELSE 0 END) AS ws_rev
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE EXTRACT(YEAR FROM o_orderdate) = 1997
+      GROUP BY 1
+    )
+    SELECT pk AS item, ROUND(ss_rev, 2) AS ss_rev, ROUND(cs_rev, 2) AS cs_rev,
+           ROUND(ws_rev, 2) AS ws_rev
+    FROM per
+    WHERE ss_rev BETWEEN 0.9 * (ss_rev + cs_rev + ws_rev) / 3 AND 1.1 * (ss_rev + cs_rev + ws_rev) / 3
+      AND cs_rev BETWEEN 0.9 * (ss_rev + cs_rev + ws_rev) / 3 AND 1.1 * (ss_rev + cs_rev + ws_rev) / 3
+      AND ws_rev BETWEEN 0.9 * (ss_rev + cs_rev + ws_rev) / 3 AND 1.1 * (ss_rev + cs_rev + ws_rev) / 3
+    ORDER BY item
+    """,
+    tags=("tpcds", "tpcds-excluded-real"),
+)
+def tpcds_q58(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders = _t(spark, sf_dir, "lineitem", "orders")
+    prio = F.col("o_orderpriority")
+    per = (
+        li.join(
+            orders.filter(F.year("o_orderdate") == 1997),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(F.col("l_partkey").alias("pk"))
+        .agg(
+            F.sum(F.when(prio.isin(*_STORE), F.col("l_extendedprice")).otherwise(0.0)).alias("ss_rev"),
+            F.sum(F.when(prio.isin(*_CATALOG), F.col("l_extendedprice")).otherwise(0.0)).alias("cs_rev"),
+            F.sum(F.when(prio.isin(*_WEB), F.col("l_extendedprice")).otherwise(0.0)).alias("ws_rev"),
+        )
+    )
+    avg3 = (F.col("ss_rev") + F.col("cs_rev") + F.col("ws_rev")) / 3
+    balanced = (
+        F.col("ss_rev").between(0.9 * avg3, 1.1 * avg3)
+        & F.col("cs_rev").between(0.9 * avg3, 1.1 * avg3)
+        & F.col("ws_rev").between(0.9 * avg3, 1.1 * avg3)
+    )
+    return (
+        per.filter(balanced)
+        .select(
+            F.col("pk").alias("item"),
+            F.round("ss_rev", R2).alias("ss_rev"),
+            F.round("cs_rev", R2).alias("cs_rev"),
+            F.round("ws_rev", R2).alias("ws_rev"),
+        )
+        .orderBy("item")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q60 (excluded set): Q33/Q56's sibling — per part-name revenue summed over
+# the three channels for one part type, September 1997.
+@register(
+    "tpcds_q60",
+    oracle="""
+    WITH ch AS (
+      SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'store'
+                  WHEN o_orderpriority = '3-MEDIUM' THEN 'catalog' ELSE 'web' END AS channel,
+             p_name, SUM(l_extendedprice) AS total_sales
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN part ON l_partkey = p_partkey
+      WHERE p_type = 'MEDIUM'
+        AND EXTRACT(YEAR FROM o_orderdate) = 1997 AND EXTRACT(MONTH FROM o_orderdate) = 9
+      GROUP BY 1, 2
+    )
+    SELECT p_name, ROUND(SUM(total_sales), 2) AS total_sales
+    FROM ch GROUP BY p_name ORDER BY total_sales DESC, p_name LIMIT 100
+    """,
+    tags=("tpcds", "tpcds-excluded-real"),
+)
+def tpcds_q60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders, part = _t(spark, sf_dir, "lineitem", "orders", "part")
+    prio = F.col("o_orderpriority")
+    ch = (
+        li.join(
+            orders.filter((F.year("o_orderdate") == 1997) & (F.month("o_orderdate") == 9)),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(part.filter(F.col("p_type") == "MEDIUM")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy(
+            F.when(prio.isin(*_STORE), "store")
+            .when(prio.isin(*_CATALOG), "catalog")
+            .otherwise("web")
+            .alias("channel"),
+            F.col("p_name"),
+        )
+        .agg(F.sum("l_extendedprice").alias("total_sales"))
+    )
+    return (
+        ch.groupBy("p_name")
+        .agg(F.round(F.sum("total_sales"), R2).alias("total_sales"))
+        .orderBy(F.col("total_sales").desc(), "p_name")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q61 (excluded set): promotional share of revenue — PROMO-part sales vs all
+# sales for one region, one month (the two-scalar ratio report).
+@register(
+    "tpcds_q61",
+    oracle="""
+    SELECT ROUND(SUM(CASE WHEN p_type = 'PROMO' THEN l_extendedprice ELSE 0 END), 2) AS promotions,
+           ROUND(SUM(l_extendedprice), 2) AS total,
+           ROUND(SUM(CASE WHEN p_type = 'PROMO' THEN l_extendedprice ELSE 0 END) * 100.0
+                 / SUM(l_extendedprice), 4) AS promo_pct
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA' AND EXTRACT(YEAR FROM o_orderdate) = 1998
+      AND EXTRACT(MONTH FROM o_orderdate) = 11
+    """,
+    tags=("tpcds", "tpcds-excluded-real"),
+)
+def tpcds_q61(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, part, orders, cust, nation, region = _t(
+        spark, sf_dir, "lineitem", "part", "orders", "customer", "nation", "region"
+    )
+    promo = F.when(F.col("p_type") == "PROMO", F.col("l_extendedprice")).otherwise(0.0)
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            orders.filter((F.year("o_orderdate") == 1998) & (F.month("o_orderdate") == 11)),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .agg(
+            F.round(F.sum(promo), R2).alias("promotions"),
+            F.round(F.sum("l_extendedprice"), R2).alias("total"),
+            F.round(F.sum(promo) * 100.0 / F.sum("l_extendedprice"), 4).alias("promo_pct"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q63 (excluded set): monthly sales per part-size band ("manager") vs that
+# band's yearly monthly average; keep months deviating by more than 10%.
+@register(
+    "tpcds_q63",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(FLOOR((p_size - 1) / 10) AS INTEGER) AS mgr,
+             CAST(EXTRACT(MONTH FROM l_shipdate) AS INTEGER) AS mo,
+             SUM(l_extendedprice) AS sales
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE EXTRACT(YEAR FROM l_shipdate) = 1997
+        AND p_type IN ('ECONOMY', 'STANDARD', 'PROMO')
+      GROUP BY 1, 2
+    ), w AS (
+      SELECT mgr, mo, sales, AVG(sales) OVER (PARTITION BY mgr) AS avg_monthly
+      FROM m
+    )
+    SELECT mgr, mo, ROUND(sales, 2) AS sum_sales, ROUND(avg_monthly, 2) AS avg_monthly_sales
+    FROM w
+    WHERE avg_monthly > 0 AND ABS(sales - avg_monthly) / avg_monthly > 0.1
+    ORDER BY mgr, mo
+    """,
+    tags=("tpcds", "tpcds-excluded-real"),
+)
+def tpcds_q63(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li, part = _t(spark, sf_dir, "lineitem", "part")
+    m = (
+        li.filter(F.year("l_shipdate") == 1997)
+        .join(
+            F.broadcast(part.filter(F.col("p_type").isin("ECONOMY", "STANDARD", "PROMO"))),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy(
+            F.floor((F.col("p_size") - 1) / 10).cast("int").alias("mgr"),
+            F.month("l_shipdate").alias("mo"),
+        )
+        .agg(F.sum("l_extendedprice").alias("sales"))
+    )
+    w = m.withColumn("avg_monthly", F.avg("sales").over(Window.partitionBy("mgr")))
+    return (
+        w.filter(
+            (F.col("avg_monthly") > 0)
+            & (F.abs(F.col("sales") - F.col("avg_monthly")) / F.col("avg_monthly") > 0.1)
+        )
+        .select(
+            "mgr", "mo", F.round("sales", R2).alias("sum_sales"),
+            F.round("avg_monthly", R2).alias("avg_monthly_sales"),
+        )
+        .orderBy("mgr", "mo")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q64 (excluded set): two-year (part, supplier-nation) store-channel net
+# revenue for parts that were returned at least once — the same-item
+# cross-year self-join where the later year must not grow.
+@register(
+    "tpcds_q64",
+    oracle="""
+    WITH returned_pk AS (
+      SELECT DISTINCT l_partkey AS rpk FROM lineitem WHERE l_returnflag = 'R'
+    ), sales AS (
+      SELECT l_partkey AS pk, s_nationkey AS nk, EXTRACT(YEAR FROM o_orderdate) AS y,
+             SUM(l_extendedprice * (1 - l_discount)) AS rev
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        AND EXTRACT(YEAR FROM o_orderdate) IN (1997, 1998)
+        AND l_partkey IN (SELECT rpk FROM returned_pk)
+      GROUP BY 1, 2, 3
+    )
+    SELECT p_name, n_name, ROUND(s1.rev, 2) AS rev_1997, ROUND(s2.rev, 2) AS rev_1998
+    FROM sales s1
+    JOIN sales s2 ON s1.pk = s2.pk AND s1.nk = s2.nk AND s1.y = 1997 AND s2.y = 1998
+    JOIN part ON s1.pk = p_partkey
+    JOIN nation ON s1.nk = n_nationkey
+    WHERE s2.rev <= s1.rev
+    ORDER BY p_name, n_name LIMIT 100
+    """,
+    tags=("tpcds", "tpcds-excluded-real"),
+)
+def tpcds_q64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders, supp, part, nation = _t(
+        spark, sf_dir, "lineitem", "orders", "supplier", "part", "nation"
+    )
+    returned_pk = (
+        li.filter(F.col("l_returnflag") == "R").select(F.col("l_partkey").alias("rpk")).distinct()
+    )
+    sales = (
+        li.join(
+            orders.filter(
+                F.col("o_orderpriority").isin(*_STORE) & F.year("o_orderdate").isin(1997, 1998)
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(returned_pk), F.col("l_partkey") == F.col("rpk"), "left_semi")
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.col("l_partkey").alias("pk"),
+            F.col("s_nationkey").alias("nk"),
+            F.year("o_orderdate").alias("y"),
+        )
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+    )
+    s1 = sales.filter(F.col("y") == 1997).alias("s1")
+    s2 = sales.filter(F.col("y") == 1998).alias("s2")
+    return (
+        s1.join(
+            s2,
+            (F.col("s1.pk") == F.col("s2.pk")) & (F.col("s1.nk") == F.col("s2.nk")),
+        )
+        .filter(F.col("s2.rev") <= F.col("s1.rev"))
+        .join(F.broadcast(part), F.col("s1.pk") == F.col("p_partkey"))
+        .join(F.broadcast(nation), F.col("s1.nk") == F.col("n_nationkey"))
+        .select(
+            "p_name", "n_name",
+            F.round(F.col("s1.rev"), R2).alias("rev_1997"),
+            F.round(F.col("s2.rev"), R2).alias("rev_1998"),
+        )
+        .orderBy("p_name", "n_name")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q66 (excluded set): supplier-nation ("warehouse") shipped quantity pivoted
+# into 12 monthly columns, web + store channels combined (UNION ALL), 1997.
+@register(
+    "tpcds_q66",
+    oracle="""
+    WITH both_ch AS (
+      SELECT n_name, EXTRACT(MONTH FROM l_shipdate) AS mo, l_quantity AS qty
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') AND EXTRACT(YEAR FROM l_shipdate) = 1997
+      UNION ALL
+      SELECT n_name, EXTRACT(MONTH FROM l_shipdate) AS mo, l_quantity AS qty
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE o_orderpriority IN ('4-NOT SPECIFIED', '5-LOW') AND EXTRACT(YEAR FROM l_shipdate) = 1997
+    )
+    SELECT n_name,
+           ROUND(SUM(CASE WHEN mo = 1 THEN qty ELSE 0 END), 2) AS jan,
+           ROUND(SUM(CASE WHEN mo = 2 THEN qty ELSE 0 END), 2) AS feb,
+           ROUND(SUM(CASE WHEN mo = 3 THEN qty ELSE 0 END), 2) AS mar,
+           ROUND(SUM(CASE WHEN mo = 4 THEN qty ELSE 0 END), 2) AS apr,
+           ROUND(SUM(CASE WHEN mo = 5 THEN qty ELSE 0 END), 2) AS may,
+           ROUND(SUM(CASE WHEN mo = 6 THEN qty ELSE 0 END), 2) AS jun,
+           ROUND(SUM(CASE WHEN mo = 7 THEN qty ELSE 0 END), 2) AS jul,
+           ROUND(SUM(CASE WHEN mo = 8 THEN qty ELSE 0 END), 2) AS aug,
+           ROUND(SUM(CASE WHEN mo = 9 THEN qty ELSE 0 END), 2) AS sep,
+           ROUND(SUM(CASE WHEN mo = 10 THEN qty ELSE 0 END), 2) AS oct,
+           ROUND(SUM(CASE WHEN mo = 11 THEN qty ELSE 0 END), 2) AS nov,
+           ROUND(SUM(CASE WHEN mo = 12 THEN qty ELSE 0 END), 2) AS dec
+    FROM both_ch GROUP BY n_name ORDER BY n_name
+    """,
+    tags=("tpcds", "tpcds-excluded-real"),
+)
+def tpcds_q66(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders, supp, nation = _t(spark, sf_dir, "lineitem", "orders", "supplier", "nation")
+    base = (
+        li.filter(F.year("l_shipdate") == 1997)
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("n_name", F.month("l_shipdate").alias("mo"), F.col("l_quantity").alias("qty"),
+                "o_orderpriority")
+    )
+    both_ch = base.filter(F.col("o_orderpriority").isin(*_STORE)).unionAll(
+        base.filter(F.col("o_orderpriority").isin(*_WEB))
+    )
+    months = ("jan", "feb", "mar", "apr", "may", "jun", "jul", "aug", "sep", "oct", "nov", "dec")
+    return (
+        both_ch.groupBy("n_name")
+        .agg(
+            *[
+                F.round(
+                    F.sum(F.when(F.col("mo") == i, F.col("qty")).otherwise(0.0)), R2
+                ).alias(n)
+                for i, n in enumerate(months, 1)
+            ]
+        )
+        .orderBy("n_name")
+    )
