@@ -3442,7 +3442,7 @@ def tpcds_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH pref AS (
       SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
-      WHERE c_acctbal > 7000 GROUP BY n_name HAVING COUNT(*) >= 10
+      WHERE c_acctbal > 5000 GROUP BY n_name HAVING COUNT(*) >= 3
     ), chosen AS (
       SELECT n_name FROM (VALUES ('NATION_1'), ('NATION_3'), ('NATION_5'), ('NATION_7'),
                                  ('NATION_9'), ('NATION_11'), ('NATION_13'), ('NATION_15'),
@@ -3465,11 +3465,11 @@ def tpcds_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(f"NATION_{i}",) for i in range(1, 25, 2)], ["n_name"]
     )
     pref = (
-        cust.filter(F.col("c_acctbal") > 7000)
+        cust.filter(F.col("c_acctbal") > 5000)
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(F.count(F.lit(1)).alias("n_pref"))
-        .filter(F.col("n_pref") >= 10)
+        .filter(F.col("n_pref") >= 3)
         .select("n_name")
     )
     chosen = literal.intersect(pref)
@@ -4063,7 +4063,7 @@ def tpcds_q33(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN part ON l_partkey = p_partkey
     WHERE o_orderpriority = '3-MEDIUM'
       AND l_shipdate >= TIMESTAMP '1997-05-16' AND l_shipdate < TIMESTAMP '1997-07-15'
-      AND p_retailprice BETWEEN 920 AND 980
+      AND p_retailprice BETWEEN 905 AND 995
     GROUP BY 1, 2 ORDER BY n_name, p_brand LIMIT 100
     """,
     tags=("tpcds", "tpcds-excluded-real"),
@@ -4088,7 +4088,7 @@ def tpcds_q40(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(
-            F.broadcast(part.filter(F.col("p_retailprice").between(920, 980))),
+            F.broadcast(part.filter(F.col("p_retailprice").between(905, 995))),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .groupBy("n_name", "p_brand")
@@ -4725,4 +4725,332 @@ def tpcds_q66(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
         .orderBy("n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q68 (excluded set): Q46's sibling — month-start orders for two other
+# segments with out-of-nation suppliers, reporting price and tax per order.
+@register(
+    "tpcds_q68",
+    oracle="""
+    SELECT c_name, o_orderkey, ROUND(SUM(l_extendedprice), 2) AS extended_price,
+           ROUND(SUM(l_extendedprice * l_tax), 2) AS extended_tax
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+      AND EXTRACT(DAY FROM o_orderdate) <= 3
+      AND c_nationkey <> s_nationkey
+    GROUP BY 1, 2 ORDER BY c_name, o_orderkey LIMIT 100
+    """,
+    tags=("tpcds", "tpcds-excluded-real"),
+)
+def tpcds_q68(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders, cust, supp = _t(spark, sf_dir, "lineitem", "orders", "customer", "supplier")
+    return (
+        li.join(
+            orders.filter(F.dayofmonth("o_orderdate") <= 3),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(cust.filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy("c_name", "o_orderkey")
+        .agg(
+            F.round(F.sum("l_extendedprice"), R2).alias("extended_price"),
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_tax")), R2).alias("extended_tax"),
+        )
+        .orderBy("c_name", "o_orderkey")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q71 (excluded set): revenue by hour inside the breakfast and dinner
+# dayparts, per "brand" (event type) — on events, the only sub-day
+# timestamps in the schema (time_dim analog; Q88/Q96 use the same mapping).
+@register(
+    "tpcds_q71",
+    oracle="""
+    SELECT event_type, CAST(EXTRACT(HOUR FROM ts) AS INTEGER) AS hr,
+           CASE WHEN EXTRACT(HOUR FROM ts) BETWEEN 7 AND 8 THEN 'breakfast' ELSE 'dinner' END AS meal,
+           ROUND(SUM(value), 2) AS ext_price
+    FROM events
+    WHERE EXTRACT(HOUR FROM ts) BETWEEN 7 AND 8 OR EXTRACT(HOUR FROM ts) BETWEEN 17 AND 18
+    GROUP BY 1, 2, 3 ORDER BY event_type, hr
+    """,
+    tags=("tpcds", "tpcds-excluded-real"),
+)
+def tpcds_q71(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    hr = F.hour("ts")
+    return (
+        events.filter(hr.between(7, 8) | hr.between(17, 18))
+        .groupBy(
+            "event_type",
+            hr.alias("hr"),
+            F.when(hr.between(7, 8), "breakfast").otherwise("dinner").alias("meal"),
+        )
+        .agg(F.round(F.sum("value"), R2).alias("ext_price"))
+        .orderBy("event_type", "hr")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q72 (excluded set): store-channel lineitems whose quantity exceeds 1.5x
+# the supplier's average shipped quantity (the inventory-shortfall join),
+# counted per (supplier nation, week).
+@register(
+    "tpcds_q72",
+    oracle="""
+    WITH sup_avg AS (
+      SELECT l_suppkey AS sk, AVG(l_quantity) AS avg_qty FROM lineitem GROUP BY 1
+    )
+    SELECT n_name, CAST(EXTRACT(WEEK FROM o_orderdate) AS INTEGER) AS wk,
+           CAST(COUNT(*) AS BIGINT) AS shortfall_cnt
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN sup_avg ON l_suppkey = sk
+    WHERE EXTRACT(YEAR FROM o_orderdate) = 1998
+      AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+      AND l_quantity > 1.5 * avg_qty
+    GROUP BY 1, 2 ORDER BY n_name, wk LIMIT 100
+    """,
+    tags=("tpcds", "tpcds-excluded-real"),
+)
+def tpcds_q72(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders, supp, nation = _t(spark, sf_dir, "lineitem", "orders", "supplier", "nation")
+    sup_avg = li.groupBy(F.col("l_suppkey").alias("sk")).agg(F.avg("l_quantity").alias("avg_qty"))
+    return (
+        li.join(
+            orders.filter(
+                (F.year("o_orderdate") == 1998) & F.col("o_orderpriority").isin(*_STORE)
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(sup_avg), F.col("l_suppkey") == F.col("sk"))
+        .filter(F.col("l_quantity") > 1.5 * F.col("avg_qty"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", F.weekofyear("o_orderdate").alias("wk"))
+        .agg(F.count(F.lit(1)).alias("shortfall_cnt"))
+        .orderBy("n_name", "wk")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q77 (excluded set): per-channel sales / returns / profit by supplier
+# nation with a ROLLUP total over (channel, nation) — the channel census
+# with grand totals.
+@register(
+    "tpcds_q77",
+    oracle="""
+    WITH per AS (
+      SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'store'
+                  WHEN o_orderpriority = '3-MEDIUM' THEN 'catalog' ELSE 'web' END AS channel,
+             s_nationkey AS nk,
+             SUM(CASE WHEN l_returnflag <> 'R' THEN l_extendedprice ELSE 0 END) AS sales,
+             SUM(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0 END) AS returns
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      WHERE EXTRACT(YEAR FROM o_orderdate) = 1997
+      GROUP BY 1, 2
+    )
+    SELECT channel, nk AS id, ROUND(SUM(sales), 2) AS sales,
+           ROUND(SUM(returns), 2) AS returns,
+           ROUND(SUM(sales) - SUM(returns), 2) AS profit
+    FROM per GROUP BY ROLLUP (channel, nk)
+    ORDER BY channel NULLS FIRST, id NULLS FIRST LIMIT 100
+    """,
+    tags=("tpcds", "tpcds-excluded-real"),
+)
+def tpcds_q77(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders, supp = _t(spark, sf_dir, "lineitem", "orders", "supplier")
+    prio = F.col("o_orderpriority")
+    per = (
+        li.join(
+            orders.filter(F.year("o_orderdate") == 1997),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.when(prio.isin(*_STORE), "store")
+            .when(prio.isin(*_CATALOG), "catalog")
+            .otherwise("web")
+            .alias("channel"),
+            F.col("s_nationkey").alias("nk"),
+        )
+        .agg(
+            F.sum(F.when(F.col("l_returnflag") != "R", F.col("l_extendedprice")).otherwise(0.0)).alias("sales"),
+            F.sum(F.when(F.col("l_returnflag") == "R", F.col("l_extendedprice")).otherwise(0.0)).alias("returns"),
+        )
+    )
+    return (
+        per.rollup("channel", "nk")
+        .agg(
+            F.round(F.sum("sales"), R2).alias("sales"),
+            F.round(F.sum("returns"), R2).alias("returns"),
+            F.round(F.sum("sales") - F.sum("returns"), R2).alias("profit"),
+        )
+        .withColumnRenamed("nk", "id")
+        .orderBy(F.col("channel").asc_nulls_first(), F.col("id").asc_nulls_first())
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q78 (excluded set): store vs web quantity per (year, customer) counting
+# only never-returned lineitems; store/web ratio per customer-year.
+@register(
+    "tpcds_q78",
+    oracle="""
+    WITH nr AS (SELECT * FROM lineitem WHERE l_returnflag <> 'R'),
+    ss AS (
+      SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS y, o_custkey AS ck,
+             SUM(l_quantity) AS qty, SUM(l_extendedprice) AS amt
+      FROM nr JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      GROUP BY 1, 2
+    ), ws AS (
+      SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS y, o_custkey AS ck,
+             SUM(l_quantity) AS qty, SUM(l_extendedprice) AS amt
+      FROM nr JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority IN ('4-NOT SPECIFIED', '5-LOW')
+      GROUP BY 1, 2
+    )
+    SELECT ss.y AS y, ss.ck AS ck, ROUND(ss.qty, 2) AS ss_qty, ROUND(ws.qty, 2) AS ws_qty,
+           ROUND(ss.qty / ws.qty, 4) AS ratio
+    FROM ss JOIN ws ON ss.y = ws.y AND ss.ck = ws.ck
+    WHERE ws.qty > 0
+    ORDER BY y, ck LIMIT 100
+    """,
+    tags=("tpcds", "tpcds-excluded-real"),
+)
+def tpcds_q78(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders = _t(spark, sf_dir, "lineitem", "orders")
+    nr = li.filter(F.col("l_returnflag") != "R")
+
+    def chan(prios):
+        return (
+            nr.join(
+                orders.filter(F.col("o_orderpriority").isin(*prios)),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy(F.year("o_orderdate").alias("y"), F.col("o_custkey").alias("ck"))
+            .agg(F.sum("l_quantity").alias("qty"), F.sum("l_extendedprice").alias("amt"))
+        )
+
+    ss, ws = chan(_STORE).alias("ss"), chan(_WEB).alias("ws")
+    return (
+        ss.join(ws, (F.col("ss.y") == F.col("ws.y")) & (F.col("ss.ck") == F.col("ws.ck")))
+        .filter(F.col("ws.qty") > 0)
+        .select(
+            F.col("ss.y").alias("y"), F.col("ss.ck").alias("ck"),
+            F.round(F.col("ss.qty"), R2).alias("ss_qty"),
+            F.round(F.col("ws.qty"), R2).alias("ws_qty"),
+            F.round(F.col("ss.qty") / F.col("ws.qty"), 4).alias("ratio"),
+        )
+        .orderBy("y", "ck")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q80 (excluded set): Q77's item-grain sibling — per-channel sales / returns
+# / profit ROLLUP'd over (channel, brand) for high-price parts, one quarter.
+@register(
+    "tpcds_q80",
+    oracle="""
+    WITH per AS (
+      SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'store'
+                  WHEN o_orderpriority = '3-MEDIUM' THEN 'catalog' ELSE 'web' END AS channel,
+             p_brand,
+             SUM(CASE WHEN l_returnflag <> 'R' THEN l_extendedprice ELSE 0 END) AS sales,
+             SUM(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0 END) AS returns
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN part ON l_partkey = p_partkey
+      WHERE EXTRACT(YEAR FROM o_orderdate) = 1998 AND EXTRACT(QUARTER FROM o_orderdate) = 2
+        AND p_retailprice > 910
+      GROUP BY 1, 2
+    )
+    SELECT channel, p_brand, ROUND(SUM(sales), 2) AS sales,
+           ROUND(SUM(returns), 2) AS returns,
+           ROUND(SUM(sales) - SUM(returns), 2) AS profit
+    FROM per GROUP BY ROLLUP (channel, p_brand)
+    ORDER BY channel NULLS FIRST, p_brand NULLS FIRST LIMIT 100
+    """,
+    tags=("tpcds", "tpcds-excluded-real"),
+)
+def tpcds_q80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders, part = _t(spark, sf_dir, "lineitem", "orders", "part")
+    prio = F.col("o_orderpriority")
+    per = (
+        li.join(
+            orders.filter((F.year("o_orderdate") == 1998) & (F.quarter("o_orderdate") == 2)),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(part.filter(F.col("p_retailprice") > 910)),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy(
+            F.when(prio.isin(*_STORE), "store")
+            .when(prio.isin(*_CATALOG), "catalog")
+            .otherwise("web")
+            .alias("channel"),
+            "p_brand",
+        )
+        .agg(
+            F.sum(F.when(F.col("l_returnflag") != "R", F.col("l_extendedprice")).otherwise(0.0)).alias("sales"),
+            F.sum(F.when(F.col("l_returnflag") == "R", F.col("l_extendedprice")).otherwise(0.0)).alias("returns"),
+        )
+    )
+    return (
+        per.rollup("channel", "p_brand")
+        .agg(
+            F.round(F.sum("sales"), R2).alias("sales"),
+            F.round(F.sum("returns"), R2).alias("returns"),
+            F.round(F.sum("sales") - F.sum("returns"), R2).alias("profit"),
+        )
+        .orderBy(F.col("channel").asc_nulls_first(), F.col("p_brand").asc_nulls_first())
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q90 (excluded set): morning-vs-evening activity ratio — the am/pm count
+# ratio over the sub-day event stream (web_page analog).
+@register(
+    "tpcds_q90",
+    oracle="""
+    SELECT ROUND(CAST(am.cnt AS DOUBLE) / pm.cnt, 4) AS am_pm_ratio
+    FROM (SELECT COUNT(*) AS cnt FROM events
+          WHERE EXTRACT(HOUR FROM ts) BETWEEN 8 AND 9 AND event_type = 'view') am,
+         (SELECT COUNT(*) AS cnt FROM events
+          WHERE EXTRACT(HOUR FROM ts) BETWEEN 19 AND 20 AND event_type = 'view') pm
+    WHERE pm.cnt > 0
+    """,
+    tags=("tpcds", "tpcds-excluded-real"),
+)
+def tpcds_q90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    views = events.filter(F.col("event_type") == "view")
+    am = views.filter(F.hour("ts").between(8, 9)).agg(F.count(F.lit(1)).alias("am_cnt"))
+    pm = views.filter(F.hour("ts").between(19, 20)).agg(F.count(F.lit(1)).alias("pm_cnt"))
+    return (
+        am.crossJoin(F.broadcast(pm))
+        .filter(F.col("pm_cnt") > 0)
+        .select(
+            F.round(F.col("am_cnt").cast("double") / F.col("pm_cnt"), 4).alias("am_pm_ratio")
+        )
     )
