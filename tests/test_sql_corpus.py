@@ -261,6 +261,744 @@ CORPUS: dict[str, str] = {
 }
 
 
+# ---------------------------------------------------------------------------
+# Systematic families (round 4): widen the corpus toward the reference's
+# 518-statement sqlite_testrunner breadth. Each entry is still ONE SQL string
+# in the shared Spark/DuckDB dialect, executed verbatim by both engines.
+# ---------------------------------------------------------------------------
+
+# Comparison-operator matrix over numeric and string columns (table_scan
+# col-vs-value impls, types.hpp:160-178).
+for _op, _tag in (("=", "eq"), ("<>", "ne"), ("<", "lt"), ("<=", "le"),
+                  (">", "gt"), (">=", "ge")):
+    CORPUS[f"cmp_int_{_tag}"] = (
+        f"SELECT COUNT(*) AS n FROM part WHERE p_size {_op} 25"
+    )
+    CORPUS[f"cmp_str_{_tag}"] = (
+        f"SELECT COUNT(*) AS n FROM nation WHERE n_name {_op} 'NATION_2'"
+    )
+    CORPUS[f"cmp_float_{_tag}"] = (
+        f"SELECT COUNT(*) AS n FROM customer WHERE c_acctbal {_op} 5000.0"
+    )
+    CORPUS[f"cmp_colcol_{_tag}"] = (
+        f"SELECT COUNT(*) AS n FROM lineitem WHERE l_discount {_op} l_tax"
+    )
+
+# Aggregate-function matrix x grouping shapes (aggregate_hash.cpp).
+for _fn, _tag, _nd in (("SUM", "sum", 2), ("MIN", "min", 2), ("MAX", "max", 2),
+                       ("STDDEV_SAMP", "stddev", 2), ("VAR_SAMP", "var", 1)):
+    CORPUS[f"aggm_{_tag}_flag"] = (
+        f"SELECT l_returnflag, ROUND({_fn}(l_quantity), {_nd}) AS v "
+        "FROM lineitem GROUP BY l_returnflag"
+    )
+    CORPUS[f"aggm_{_tag}_global"] = (
+        f"SELECT ROUND({_fn}(l_quantity), {_nd}) AS v FROM lineitem"
+    )
+for _fn, _tag in (("COUNT", "count"),):
+    CORPUS[f"aggm_{_tag}_flag"] = (
+        f"SELECT l_returnflag, CAST({_fn}(l_quantity) AS BIGINT) AS v "
+        "FROM lineitem GROUP BY l_returnflag"
+    )
+CORPUS["aggm_avg_exact"] = (
+    "SELECT l_returnflag, ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)"
+    " / COUNT(*), 2) AS v FROM lineitem GROUP BY l_returnflag"
+)
+CORPUS["aggm_bool"] = (
+    "SELECT l_returnflag, BOOL_AND(l_quantity > 0) AS ba, BOOL_OR(l_discount > 0.09) AS bo "
+    "FROM lineitem GROUP BY l_returnflag"
+)
+CORPUS["aggm_filter_clause"] = (
+    "SELECT CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS nf, "
+    "CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS no_ FROM orders"
+)
+CORPUS["aggm_sum_filter"] = (
+    "SELECT ROUND(SUM(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT'), 2) AS s "
+    "FROM orders"
+)
+CORPUS["aggm_count_star_vs_col"] = (
+    "SELECT CAST(COUNT(*) AS BIGINT) AS all_rows, "
+    "CAST(COUNT(CASE WHEN o_orderkey % 10 = 0 THEN NULL ELSE o_orderkey END) AS BIGINT) AS non_null "
+    "FROM orders WHERE o_orderkey <= 200"
+)
+
+# Join-mode matrix on the dims (abstract_join_operator.hpp modes).
+CORPUS["joinm_inner"] = (
+    "SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey "
+    "WHERE n_nationkey < 8 ORDER BY n_name"
+)
+CORPUS["joinm_left"] = (
+    "SELECT n_name, r_name FROM nation LEFT JOIN region "
+    "ON n_regionkey = r_regionkey AND r_regionkey < 2 ORDER BY n_name"
+)
+CORPUS["joinm_right"] = (
+    "SELECT n_name, r_name FROM nation RIGHT JOIN region "
+    "ON n_regionkey = r_regionkey AND n_nationkey < 3 ORDER BY r_name, n_name"
+)
+CORPUS["joinm_full"] = (
+    "SELECT n_name, r_name FROM nation FULL JOIN region "
+    "ON n_regionkey = r_regionkey AND n_nationkey < 3 ORDER BY r_name, n_name"
+)
+CORPUS["joinm_cross_small"] = (
+    "SELECT a.r_name AS r1, b.r_name AS r2 FROM region a CROSS JOIN region b "
+    "ORDER BY r1, r2"
+)
+CORPUS["joinm_semi_exists"] = (
+    "SELECT r_name FROM region r WHERE EXISTS "
+    "(SELECT 1 FROM nation n WHERE n.n_regionkey = r.r_regionkey AND n.n_nationkey > 20) "
+    "ORDER BY r_name"
+)
+CORPUS["joinm_anti_not_exists"] = (
+    "SELECT r_name FROM region r WHERE NOT EXISTS "
+    "(SELECT 1 FROM nation n WHERE n.n_regionkey = r.r_regionkey AND n.n_nationkey > 20) "
+    "ORDER BY r_name"
+)
+CORPUS["joinm_theta_ineq"] = (
+    "SELECT COUNT(*) AS n FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey"
+)
+CORPUS["joinm_multi_cond"] = (
+    "SELECT COUNT(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "AND l_shipdate > o_orderdate"
+)
+CORPUS["joinm_three_way"] = (
+    "SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n FROM customer "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name ORDER BY r_name"
+)
+
+# Window-function matrix (window_function_evaluator parity, plans/windows.py).
+for _fn, _tag in (("ROW_NUMBER()", "row_number"), ("RANK()", "rank"),
+                  ("DENSE_RANK()", "dense_rank"), ("NTILE(4)", "ntile")):
+    CORPUS[f"winm_{_tag}"] = (
+        f"SELECT o_orderkey, CAST({_fn} OVER (PARTITION BY o_orderstatus "
+        "ORDER BY o_orderkey) AS INTEGER) AS w "
+        "FROM orders WHERE o_orderkey <= 120 ORDER BY o_orderkey"
+    )
+for _fn, _tag in (("PERCENT_RANK()", "percent_rank"), ("CUME_DIST()", "cume_dist")):
+    CORPUS[f"winm_{_tag}"] = (
+        f"SELECT o_orderkey, ROUND({_fn} OVER (PARTITION BY o_orderstatus "
+        "ORDER BY o_orderkey), 6) AS w "
+        "FROM orders WHERE o_orderkey <= 120 ORDER BY o_orderkey"
+    )
+CORPUS["winm_first_last_value"] = (
+    "SELECT o_orderkey, FIRST_VALUE(o_orderkey) OVER w AS fv, "
+    "LAST_VALUE(o_orderkey) OVER w AS lv FROM orders WHERE o_orderkey <= 80 "
+    "WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) ORDER BY o_orderkey"
+)
+CORPUS["winm_nth_value"] = (
+    "SELECT o_orderkey, NTH_VALUE(o_orderkey, 2) OVER "
+    "(PARTITION BY o_orderstatus ORDER BY o_orderkey "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nv "
+    "FROM orders WHERE o_orderkey <= 80 ORDER BY o_orderkey"
+)
+CORPUS["winm_rows_sliding"] = (
+    "SELECT o_orderkey, ROUND(SUM(o_totalprice) OVER (ORDER BY o_orderkey "
+    "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS s "
+    "FROM orders WHERE o_orderkey <= 60 ORDER BY o_orderkey"
+)
+CORPUS["winm_rows_following"] = (
+    "SELECT o_orderkey, ROUND(SUM(o_totalprice) OVER (ORDER BY o_orderkey "
+    "ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING), 2) AS s "
+    "FROM orders WHERE o_orderkey <= 60 ORDER BY o_orderkey"
+)
+CORPUS["winm_range_unbounded"] = (
+    "SELECT o_orderkey, ROUND(SUM(o_totalprice) OVER (ORDER BY o_orderkey "
+    "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS s "
+    "FROM orders WHERE o_orderkey <= 60 ORDER BY o_orderkey"
+)
+CORPUS["winm_lag_default"] = (
+    "SELECT o_orderkey, LAG(o_orderkey, 2, -1) OVER (ORDER BY o_orderkey) AS p "
+    "FROM orders WHERE o_orderkey <= 40 ORDER BY o_orderkey"
+)
+CORPUS["winm_lead_default"] = (
+    "SELECT o_orderkey, LEAD(o_orderkey, 3, -1) OVER (ORDER BY o_orderkey) AS nx "
+    "FROM orders WHERE o_orderkey <= 40 ORDER BY o_orderkey"
+)
+CORPUS["winm_multiple_windows"] = (
+    "SELECT o_orderkey, CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey) AS INTEGER) AS a, "
+    "CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey DESC) AS INTEGER) AS b "
+    "FROM orders WHERE o_orderkey <= 40 ORDER BY o_orderkey"
+)
+CORPUS["winm_agg_and_window"] = (
+    "SELECT o_orderstatus, ROUND(SUM(s) OVER (ORDER BY o_orderstatus "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running FROM "
+    "(SELECT o_orderstatus, SUM(o_totalprice) AS s FROM orders GROUP BY o_orderstatus) t "
+    "ORDER BY o_orderstatus"
+)
+
+# String-function matrix (expression_evaluator string dispatch).
+CORPUS["strm_left_right"] = (
+    "SELECT n_name, LEFT(n_name, 3) AS l3, RIGHT(n_name, 2) AS r2 FROM nation "
+    "ORDER BY n_name"
+)
+CORPUS["strm_lpad_rpad"] = (
+    "SELECT r_name, LPAD(r_name, 12, '.') AS lp, RPAD(r_name, 12, '.') AS rp "
+    "FROM region ORDER BY r_name"
+)
+CORPUS["strm_repeat_reverse"] = (
+    "SELECT r_name, REPEAT(r_name, 2) AS rp, REVERSE(r_name) AS rv FROM region "
+    "ORDER BY r_name"
+)
+CORPUS["strm_ltrim_rtrim"] = (
+    "SELECT LTRIM('  x  ') AS l, RTRIM('  x  ') AS r, TRIM('  x  ') AS t"
+)
+CORPUS["strm_position"] = (
+    "SELECT n_name, CAST(POSITION('_' IN n_name) AS INTEGER) AS pos FROM nation "
+    "ORDER BY n_name"
+)
+CORPUS["strm_split_part"] = (
+    "SELECT n_name, SPLIT_PART(n_name, '_', 2) AS num FROM nation ORDER BY n_name"
+)
+CORPUS["strm_contains_like"] = (
+    "SELECT COUNT(*) AS n FROM part WHERE p_name LIKE '%a%e%'"
+)
+CORPUS["strm_like_escape"] = (
+    "SELECT COUNT(*) AS n FROM nation WHERE n_name LIKE 'NATION!_1%' ESCAPE '!'"
+)
+CORPUS["strm_upper_lower_mix"] = (
+    "SELECT UPPER(LOWER(r_name)) AS u FROM region ORDER BY u"
+)
+CORPUS["strm_concat_ws"] = (
+    "SELECT CONCAT_WS('-', r_name, CAST(r_regionkey AS VARCHAR(5))) AS s "
+    "FROM region ORDER BY s"
+)
+CORPUS["strm_substr_negative_start"] = (
+    "SELECT SUBSTR('abcdef', 2) AS tail_, SUBSTR('abcdef', 2, 3) AS mid_"
+)
+CORPUS["strm_nested"] = (
+    "SELECT UPPER(SUBSTR(p_name, 1, 4)) AS s, LENGTH(TRIM(p_name)) AS n "
+    "FROM part WHERE p_partkey <= 25 ORDER BY p_partkey"
+)
+
+# Math-function matrix.
+CORPUS["mathm_exp_ln"] = (
+    "SELECT p_size, ROUND(EXP(1.0), 6) AS e, ROUND(LN(p_size), 6) AS ln_ "
+    "FROM part WHERE p_partkey <= 20 ORDER BY p_partkey"
+)
+CORPUS["mathm_log10_log2"] = (
+    "SELECT ROUND(LOG10(1000.0), 6) AS l10, ROUND(LOG2(8.0), 6) AS l2"
+)
+CORPUS["mathm_trig"] = (
+    "SELECT ROUND(SIN(0.5), 8) AS s, ROUND(COS(0.5), 8) AS c, ROUND(ATAN(1.0), 8) AS a"
+)
+CORPUS["mathm_sign"] = (
+    "SELECT SIGN(-5.0) AS sn, SIGN(0.0) AS sz, SIGN(7.5) AS sp"
+)
+CORPUS["mathm_greatest_least"] = (
+    "SELECT GREATEST(p_size, 25) AS g, LEAST(p_size, 25) AS l FROM part "
+    "WHERE p_partkey <= 20 ORDER BY p_partkey"
+)
+CORPUS["mathm_pi_trunc"] = "SELECT ROUND(PI(), 8) AS p"
+CORPUS["mathm_mod_negative"] = "SELECT MOD(-7, 3) AS a, MOD(7, -3) AS b"
+CORPUS["mathm_power_sqrt_chain"] = (
+    "SELECT ROUND(SQRT(POWER(3.0, 4)), 6) AS v"
+)
+
+# Date/time-function matrix (NTZ-safe; o_orderdate is TIMESTAMP both sides).
+CORPUS["datem_trunc_month"] = (
+    "SELECT CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS m, CAST(COUNT(*) AS BIGINT) AS n "
+    "FROM orders WHERE o_orderkey <= 500 GROUP BY 1 ORDER BY m"
+)
+CORPUS["datem_trunc_quarter_year"] = (
+    "SELECT CAST(DATE_TRUNC('quarter', o_orderdate) AS TIMESTAMP) AS q, CAST(DATE_TRUNC('year', o_orderdate) AS TIMESTAMP) AS y "
+    "FROM orders WHERE o_orderkey <= 20 ORDER BY o_orderkey"
+)
+CORPUS["datem_extract_quarter_week"] = (
+    "SELECT o_orderkey, CAST(EXTRACT(QUARTER FROM o_orderdate) AS INTEGER) AS q, "
+    "CAST(EXTRACT(WEEK FROM o_orderdate) AS INTEGER) AS w "
+    "FROM orders WHERE o_orderkey <= 40 ORDER BY o_orderkey"
+)
+CORPUS["datem_last_day"] = (
+    "SELECT CAST(LAST_DAY(CAST(o_orderdate AS DATE)) AS DATE) AS ld "
+    "FROM orders WHERE o_orderkey <= 20 ORDER BY o_orderkey"
+)
+CORPUS["datem_interval_add_sub"] = (
+    "SELECT CAST(DATE '1997-03-15' + INTERVAL 45 DAY AS DATE) AS plus_d, "
+    "CAST(DATE '1997-03-15' - INTERVAL 2 MONTH AS DATE) AS minus_m"
+)
+CORPUS["datem_between_timestamps"] = (
+    "SELECT COUNT(*) AS n FROM orders WHERE o_orderdate "
+    "BETWEEN TIMESTAMP '1997-01-01 00:00:00' AND TIMESTAMP '1997-06-30 23:59:59'"
+)
+CORPUS["datem_group_by_year_month"] = (
+    "SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS y, "
+    "CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS m, "
+    "CAST(COUNT(*) AS BIGINT) AS n FROM orders GROUP BY 1, 2 ORDER BY y, m"
+)
+CORPUS["datem_compare_cols"] = (
+    "SELECT COUNT(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY"
+)
+
+# NULL semantics / conditional matrix (3VL, expression_evaluator.cpp).
+CORPUS["nullm_is_null_count"] = (
+    "SELECT CAST(SUM(CASE WHEN NULLIF(o_orderstatus, 'P') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n "
+    "FROM orders"
+)
+CORPUS["nullm_coalesce_chain"] = (
+    "SELECT COALESCE(NULL, NULL, 3) AS a, COALESCE(NULL, 'x') AS b"
+)
+CORPUS["nullm_ifnull"] = "SELECT IFNULL(NULL, 9) AS a, IFNULL(4, 9) AS b"
+CORPUS["nullm_and_or_3vl"] = (
+    "SELECT (TRUE AND NULL) IS NULL AS a, (FALSE AND NULL) = FALSE AS b, "
+    "(TRUE OR NULL) = TRUE AS c, (FALSE OR NULL) IS NULL AS d"
+)
+CORPUS["nullm_arith_propagates"] = (
+    "SELECT 1 + CAST(NULL AS INTEGER) AS a, CAST(NULL AS DOUBLE) * 2 AS b"
+)
+CORPUS["nullm_in_with_null_match"] = (
+    "SELECT 3 IN (1, 2, 3) AS hit_"
+)
+CORPUS["nullm_case_null_branch"] = (
+    "SELECT CASE WHEN CAST(NULL AS BOOLEAN) THEN 'never' ELSE 'else_taken' END AS v"
+)
+CORPUS["nullm_try_cast"] = (
+    "SELECT TRY_CAST('123' AS INTEGER) AS ok_, TRY_CAST('abc' AS INTEGER) AS bad_"
+)
+
+# GROUP BY extensions (analytic.py surface in plain SQL).
+CORPUS["grpx_cube"] = (
+    "SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n "
+    "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority) "
+    "ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"
+)
+CORPUS["grpx_grouping_sets"] = (
+    "SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n "
+    "FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ()) "
+    "ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"
+)
+CORPUS["grpx_grouping_fn"] = (
+    "SELECT o_orderstatus, CAST(GROUPING(o_orderstatus) AS INTEGER) AS g, "
+    "CAST(COUNT(*) AS BIGINT) AS n "
+    "FROM orders GROUP BY ROLLUP (o_orderstatus) ORDER BY o_orderstatus NULLS FIRST"
+)
+CORPUS["grpx_having_on_agg"] = (
+    "SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS s FROM orders "
+    "GROUP BY o_custkey HAVING SUM(o_totalprice) > 50000 ORDER BY o_custkey"
+)
+CORPUS["grpx_having_count_distinct"] = (
+    "SELECT o_custkey FROM orders GROUP BY o_custkey "
+    "HAVING COUNT(DISTINCT o_orderpriority) = 5 ORDER BY o_custkey"
+)
+
+# ORDER BY / LIMIT / OFFSET matrix.
+CORPUS["lim_offset"] = (
+    "SELECT n_nationkey FROM nation ORDER BY n_nationkey LIMIT 5 OFFSET 10"
+)
+CORPUS["lim_zero"] = "SELECT n_nationkey FROM nation ORDER BY n_nationkey LIMIT 0"
+CORPUS["lim_larger_than_input"] = (
+    "SELECT r_regionkey FROM region ORDER BY r_regionkey LIMIT 100"
+)
+CORPUS["lim_order_by_expr"] = (
+    "SELECT n_name FROM nation ORDER BY LENGTH(n_name), n_name LIMIT 10"
+)
+CORPUS["lim_order_by_alias"] = (
+    "SELECT n_nationkey * 2 AS dk FROM nation ORDER BY dk DESC LIMIT 5"
+)
+
+# Set-op matrix (union_all.hpp, difference.hpp, intersect_node.hpp).
+CORPUS["setm_union_all_dups"] = (
+    "SELECT r_regionkey AS k FROM region UNION ALL SELECT r_regionkey AS k FROM region "
+    "ORDER BY k"
+)
+CORPUS["setm_union_mixed_width"] = (
+    "SELECT n_nationkey AS k, n_name AS s FROM nation WHERE n_nationkey < 3 "
+    "UNION SELECT r_regionkey AS k, r_name AS s FROM region ORDER BY k, s"
+)
+CORPUS["setm_intersect_empty"] = (
+    "SELECT n_nationkey AS k FROM nation WHERE n_nationkey < 5 "
+    "INTERSECT SELECT n_nationkey AS k FROM nation WHERE n_nationkey > 20"
+)
+CORPUS["setm_except_all_of_them"] = (
+    "SELECT r_regionkey AS k FROM region EXCEPT SELECT r_regionkey AS k FROM region"
+)
+CORPUS["setm_chained"] = (
+    "SELECT n_nationkey AS k FROM nation WHERE n_nationkey < 10 "
+    "UNION SELECT n_nationkey AS k FROM nation WHERE n_nationkey BETWEEN 8 AND 12 "
+    "ORDER BY k"
+)
+CORPUS["setm_union_in_subquery"] = (
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ("
+    "SELECT n_regionkey AS k FROM nation UNION SELECT r_regionkey AS k FROM region) t"
+)
+
+# Subquery/CTE matrix.
+CORPUS["subm_scalar_in_select"] = (
+    "SELECT r_name, (SELECT CAST(COUNT(*) AS BIGINT) FROM nation) AS total_nations "
+    "FROM region ORDER BY r_name"
+)
+CORPUS["subm_correlated_in_select"] = (
+    "SELECT r_name, (SELECT CAST(COUNT(*) AS BIGINT) FROM nation n "
+    "WHERE n.n_regionkey = r.r_regionkey) AS n_nations FROM region r ORDER BY r_name"
+)
+CORPUS["subm_in_with_predicate"] = (
+    "SELECT COUNT(*) AS n FROM orders WHERE o_custkey IN "
+    "(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')"
+)
+CORPUS["subm_nested_two_deep"] = (
+    "SELECT COUNT(*) AS n FROM customer WHERE c_nationkey IN "
+    "(SELECT n_nationkey FROM nation WHERE n_regionkey IN "
+    "(SELECT r_regionkey FROM region WHERE r_name = 'ASIA'))"
+)
+CORPUS["subm_cte_referenced_twice"] = (
+    "WITH t AS (SELECT o_custkey AS ck, SUM(o_totalprice) AS s FROM orders GROUP BY 1) "
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM t a JOIN t b ON a.ck = b.ck"
+)
+CORPUS["subm_cte_chain"] = (
+    "WITH a AS (SELECT n_nationkey AS k FROM nation WHERE n_nationkey < 10), "
+    "b AS (SELECT k FROM a WHERE k % 2 = 0) "
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM b"
+)
+CORPUS["subm_derived_join"] = (
+    "SELECT t.y, CAST(COUNT(*) AS BIGINT) AS n FROM "
+    "(SELECT o_orderkey, CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS y FROM orders) t "
+    "JOIN lineitem ON t.o_orderkey = l_orderkey GROUP BY t.y ORDER BY t.y"
+)
+CORPUS["subm_values_inline"] = (
+    "SELECT * FROM (VALUES (1, 'a'), (2, 'b'), (3, 'c')) AS t(k, s) ORDER BY k"
+)
+
+# CAST matrix (shared-dialect members of the 5-type system).
+CORPUS["castm_int_widening"] = (
+    "SELECT CAST(p_size AS BIGINT) AS b, CAST(p_size AS DOUBLE) AS d "
+    "FROM part WHERE p_partkey <= 10 ORDER BY p_partkey"
+)
+CORPUS["castm_string_roundtrip"] = (
+    "SELECT CAST(CAST(p_size AS VARCHAR(10)) AS INTEGER) AS v "
+    "FROM part WHERE p_partkey <= 10 ORDER BY p_partkey"
+)
+CORPUS["castm_float_to_string_stable"] = (
+    "SELECT CAST(CAST(2.5 AS DOUBLE) AS VARCHAR(10)) AS s"
+)
+CORPUS["castm_bool_literal"] = "SELECT TRUE AS t, FALSE AS f, NOT TRUE AS nt"
+CORPUS["castm_date_string"] = (
+    "SELECT CAST('1997-06-15' AS DATE) AS d, CAST(DATE '1997-06-15' AS VARCHAR(10)) AS s"
+)
+
+# Complex compositions (multi-feature statements like the testrunner tail).
+CORPUS["comp_join_agg_window"] = (
+    "SELECT n_name, ROUND(s, 2) AS s, CAST(RANK() OVER (ORDER BY s DESC, n_name) AS INTEGER) AS rk "
+    "FROM (SELECT n_name, SUM(c_acctbal) AS s FROM customer "
+    "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name) t ORDER BY rk, n_name"
+)
+CORPUS["comp_union_of_aggs"] = (
+    "SELECT 'high' AS band, CAST(COUNT(*) AS BIGINT) AS n FROM customer WHERE c_acctbal > 5000 "
+    "UNION ALL SELECT 'low' AS band, CAST(COUNT(*) AS BIGINT) AS n FROM customer "
+    "WHERE c_acctbal <= 5000 ORDER BY band"
+)
+CORPUS["comp_case_in_group_key"] = (
+    "SELECT CASE WHEN p_size < 17 THEN 'small' WHEN p_size < 34 THEN 'mid' ELSE 'big' END AS band, "
+    "CAST(COUNT(*) AS BIGINT) AS n FROM part GROUP BY 1 ORDER BY band"
+)
+CORPUS["comp_having_with_subquery"] = (
+    "SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n FROM orders GROUP BY o_custkey "
+    "HAVING COUNT(*) > (SELECT CAST(COUNT(*) AS BIGINT) / 200 FROM orders) ORDER BY o_custkey"
+)
+CORPUS["comp_distinct_on_expr"] = (
+    "SELECT DISTINCT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS y FROM orders ORDER BY y"
+)
+CORPUS["comp_exists_plus_in"] = (
+    "SELECT COUNT(*) AS n FROM customer c WHERE "
+    "c.c_mktsegment IN ('BUILDING', 'MACHINERY') AND EXISTS "
+    "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 10000)"
+)
+CORPUS["comp_window_over_join"] = (
+    "SELECT c_custkey, o_orderkey, CAST(ROW_NUMBER() OVER "
+    "(PARTITION BY c_custkey ORDER BY o_orderdate, o_orderkey) AS INTEGER) AS seq "
+    "FROM customer JOIN orders ON c_custkey = o_custkey WHERE c_custkey <= 12 "
+    "ORDER BY c_custkey, seq"
+)
+CORPUS["comp_self_join_agg"] = (
+    "SELECT a.o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n FROM orders a "
+    "JOIN orders b ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey "
+    "GROUP BY a.o_orderstatus ORDER BY a.o_orderstatus"
+)
+
+
+# Per-table smoke + cardinality (GetTable over the full catalog; the
+# testrunner opens every table the same way).
+_TABLE_KEYS = {
+    "region": "r_regionkey", "nation": "n_nationkey", "customer": "c_custkey",
+    "supplier": "s_suppkey", "part": "p_partkey", "orders": "o_orderkey",
+    "lineitem": "l_orderkey, l_linenumber", "events": "event_id",
+    "documents": "doc_id", "embeddings": "vec_id",
+}
+for _tbl, _key in _TABLE_KEYS.items():
+    CORPUS[f"tbl_{_tbl}_head"] = (
+        f"SELECT {_key.split(',')[0].strip()} AS k FROM {_tbl} ORDER BY {_key} LIMIT 5"
+    )
+    CORPUS[f"tbl_{_tbl}_count"] = (
+        f"SELECT CAST(COUNT(*) AS BIGINT) AS n FROM {_tbl}"
+    )
+
+# Arithmetic-operator matrix over int and double columns.
+for _op, _tag in (("+", "add"), ("-", "sub"), ("*", "mul")):
+    CORPUS[f"arith_int_{_tag}"] = (
+        f"SELECT p_partkey AS k, p_size {_op} 3 AS v FROM part "
+        "WHERE p_partkey <= 15 ORDER BY p_partkey"
+    )
+    CORPUS[f"arith_float_{_tag}"] = (
+        f"SELECT p_partkey AS k, ROUND(p_retailprice {_op} 1.5, 2) AS v FROM part "
+        "WHERE p_partkey <= 15 ORDER BY p_partkey"
+    )
+CORPUS["arith_float_div"] = (
+    "SELECT p_partkey AS k, ROUND(p_retailprice / 3.0, 4) AS v FROM part "
+    "WHERE p_partkey <= 15 ORDER BY p_partkey"
+)
+CORPUS["arith_mixed_precedence"] = (
+    "SELECT p_partkey AS k, p_size + 2 * 3 - 1 AS v FROM part "
+    "WHERE p_partkey <= 15 ORDER BY p_partkey"
+)
+CORPUS["arith_unary_minus_col"] = (
+    "SELECT p_partkey AS k, -p_size AS v, ABS(-p_size) AS av FROM part "
+    "WHERE p_partkey <= 15 ORDER BY p_partkey"
+)
+CORPUS["arith_round_negative_digits"] = "SELECT ROUND(12345.678, -2) AS v"
+CORPUS["arith_ceil_floor_negative"] = (
+    "SELECT CEIL(-2.5) AS c, FLOOR(-2.5) AS f, CEIL(2.5) AS c2, FLOOR(2.5) AS f2"
+)
+CORPUS["arith_chr_ascii"] = "SELECT ASCII('A') AS a, CHR(66) AS b"
+
+# IN-list width matrix (ExpressionEvaluator IN-list dispatch).
+CORPUS["inlist_one"] = "SELECT COUNT(*) AS n FROM part WHERE p_size IN (7)"
+CORPUS["inlist_five"] = (
+    "SELECT COUNT(*) AS n FROM part WHERE p_size IN (1, 7, 13, 29, 41)"
+)
+CORPUS["inlist_twenty"] = (
+    "SELECT COUNT(*) AS n FROM part WHERE p_size IN "
+    "(1,2,3,4,5,6,7,8,9,10,11,12,13,14,15,16,17,18,19,20)"
+)
+CORPUS["inlist_strings"] = (
+    "SELECT COUNT(*) AS n FROM orders WHERE o_orderpriority IN "
+    "('1-URGENT', '5-LOW')"
+)
+CORPUS["inlist_expr_values"] = (
+    "SELECT COUNT(*) AS n FROM part WHERE p_size IN (5 * 2, 5 * 4, 5 * 6)"
+)
+
+# events / documents coverage (the non-TPC-H tables through plain SQL).
+CORPUS["evt_type_counts"] = (
+    "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events "
+    "GROUP BY event_type ORDER BY event_type"
+)
+CORPUS["evt_hour_histogram"] = (
+    "SELECT CAST(EXTRACT(HOUR FROM ts) AS INTEGER) AS hr, CAST(COUNT(*) AS BIGINT) AS n "
+    "FROM events GROUP BY 1 ORDER BY hr"
+)
+CORPUS["evt_value_stats"] = (
+    "SELECT event_type, ROUND(MIN(value), 4) AS mn, ROUND(MAX(value), 4) AS mx "
+    "FROM events GROUP BY event_type ORDER BY event_type"
+)
+CORPUS["evt_user_topn"] = (
+    "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events "
+    "GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10"
+)
+CORPUS["doc_lang_counts"] = (
+    "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents "
+    "GROUP BY lang ORDER BY lang"
+)
+CORPUS["doc_source_lang_matrix"] = (
+    "SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents "
+    "GROUP BY source, lang ORDER BY source, lang"
+)
+CORPUS["doc_len_vs_nchars"] = (
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents WHERE LENGTH(text) <> n_chars"
+)
+CORPUS["doc_longest"] = (
+    "SELECT doc_id FROM documents ORDER BY n_chars DESC, doc_id LIMIT 5"
+)
+
+# Nested conditionals and boolean logic.
+CORPUS["cond_nested_case"] = (
+    "SELECT p_partkey AS k, CASE WHEN p_size < 25 THEN "
+    "CASE WHEN p_type = 'PROMO' THEN 'small-promo' ELSE 'small-other' END "
+    "ELSE 'large' END AS cls FROM part WHERE p_partkey <= 30 ORDER BY p_partkey"
+)
+CORPUS["cond_case_simple_form"] = (
+    "SELECT o_orderkey AS k, CASE o_orderstatus WHEN 'F' THEN 'finished' "
+    "WHEN 'O' THEN 'open' ELSE 'partial' END AS st "
+    "FROM orders WHERE o_orderkey <= 30 ORDER BY o_orderkey"
+)
+CORPUS["cond_boolean_col_output"] = (
+    "SELECT p_partkey AS k, p_size > 25 AS big FROM part "
+    "WHERE p_partkey <= 20 ORDER BY p_partkey"
+)
+CORPUS["cond_not_in_parens"] = (
+    "SELECT COUNT(*) AS n FROM part WHERE NOT (p_size IN (1, 2, 3) OR p_type = 'PROMO')"
+)
+
+# More window frames.
+CORPUS["winf_preceding_band"] = (
+    "SELECT o_orderkey, ROUND(SUM(o_totalprice) OVER (ORDER BY o_orderkey "
+    "ROWS BETWEEN 4 PRECEDING AND 2 PRECEDING), 2) AS s "
+    "FROM orders WHERE o_orderkey <= 40 ORDER BY o_orderkey"
+)
+CORPUS["winf_count_frame"] = (
+    "SELECT o_orderkey, CAST(COUNT(*) OVER (PARTITION BY o_orderstatus "
+    "ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c "
+    "FROM orders WHERE o_orderkey <= 60 ORDER BY o_orderkey"
+)
+CORPUS["winf_minmax_frame"] = (
+    "SELECT o_orderkey, ROUND(MIN(o_totalprice) OVER w, 2) AS mn, "
+    "ROUND(MAX(o_totalprice) OVER w, 2) AS mx "
+    "FROM orders WHERE o_orderkey <= 60 "
+    "WINDOW w AS (ORDER BY o_orderkey ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) "
+    "ORDER BY o_orderkey"
+)
+CORPUS["winf_partition_two_cols"] = (
+    "SELECT o_orderkey, CAST(ROW_NUMBER() OVER (PARTITION BY o_orderstatus, o_orderpriority "
+    "ORDER BY o_orderkey) AS INTEGER) AS rn "
+    "FROM orders WHERE o_orderkey <= 120 ORDER BY o_orderkey"
+)
+
+# DISTINCT / join / aggregation combinations.
+CORPUS["dj_distinct_join"] = (
+    "SELECT DISTINCT n_regionkey AS k FROM customer "
+    "JOIN nation ON c_nationkey = n_nationkey ORDER BY k"
+)
+CORPUS["dj_count_distinct_join"] = (
+    "SELECT r_name, CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS nc FROM customer "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name ORDER BY r_name"
+)
+CORPUS["dj_agg_after_semijoin"] = (
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders WHERE o_custkey IN "
+    "(SELECT c_custkey FROM customer WHERE c_acctbal > 9000)"
+)
+CORPUS["dj_join_on_expr"] = (
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nation a "
+    "JOIN nation b ON a.n_nationkey + 1 = b.n_nationkey"
+)
+CORPUS["dj_group_by_two_tables_cols"] = (
+    "SELECT n_name, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n FROM customer "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "GROUP BY n_name, c_mktsegment ORDER BY n_name, c_mktsegment"
+)
+
+# UNION type coercion + ordering edge cases.
+CORPUS["coerce_union_int_double"] = (
+    "SELECT CAST(1 AS DOUBLE) AS v UNION ALL SELECT 2.5 AS v ORDER BY v"
+)
+CORPUS["coerce_compare_int_double"] = (
+    "SELECT COUNT(*) AS n FROM part WHERE p_size > 24.5"
+)
+CORPUS["coerce_concat_num_string"] = (
+    "SELECT CAST(p_size AS VARCHAR(10)) || '-sz' AS s FROM part "
+    "WHERE p_partkey <= 10 ORDER BY p_partkey"
+)
+
+# Aggregates over expressions and duplicated aliases.
+CORPUS["aggx_sum_of_expr"] = (
+    "SELECT ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS s "
+    "FROM lineitem WHERE l_orderkey <= 500"
+)
+CORPUS["aggx_min_max_strings"] = (
+    "SELECT MIN(n_name) AS mn, MAX(n_name) AS mx FROM nation"
+)
+CORPUS["aggx_min_max_dates"] = (
+    "SELECT MIN(o_orderdate) AS mn, MAX(o_orderdate) AS mx FROM orders"
+)
+CORPUS["aggx_count_distinct_two_cols"] = (
+    "SELECT CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS a, "
+    "CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS b FROM orders"
+)
+CORPUS["aggx_group_by_all_cols"] = (
+    "SELECT r_regionkey, r_name, CAST(COUNT(*) AS BIGINT) AS n FROM region "
+    "GROUP BY r_regionkey, r_name ORDER BY r_regionkey"
+)
+CORPUS["aggx_nested_subquery_agg"] = (
+    "SELECT ROUND(MAX(s), 2) AS mx FROM "
+    "(SELECT o_custkey, SUM(o_totalprice) AS s FROM orders GROUP BY o_custkey) t"
+)
+
+
+# BETWEEN across types; LIKE anchor variants; remaining EXTRACT fields.
+CORPUS["betw_float"] = (
+    "SELECT COUNT(*) AS n FROM customer WHERE c_acctbal BETWEEN 1000.5 AND 2000.5"
+)
+CORPUS["betw_string"] = (
+    "SELECT COUNT(*) AS n FROM nation WHERE n_name BETWEEN 'NATION_1' AND 'NATION_3'"
+)
+CORPUS["betw_date"] = (
+    "SELECT COUNT(*) AS n FROM lineitem WHERE l_shipdate "
+    "BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1996-12-31 23:59:59'"
+)
+CORPUS["like_prefix"] = "SELECT COUNT(*) AS n FROM part WHERE p_name LIKE 'red%'"
+CORPUS["like_suffix"] = "SELECT COUNT(*) AS n FROM part WHERE p_name LIKE '%bolt'"
+CORPUS["like_exact_no_wildcard"] = (
+    "SELECT COUNT(*) AS n FROM part WHERE p_name LIKE 'red bolt'"
+)
+CORPUS["like_single_char_class"] = (
+    "SELECT COUNT(*) AS n FROM nation WHERE n_name LIKE 'NATION__'"
+)
+CORPUS["extr_minute_second"] = (
+    "SELECT event_id, CAST(EXTRACT(MINUTE FROM ts) AS INTEGER) AS mi, "
+    "CAST(EXTRACT(SECOND FROM ts) AS INTEGER) AS se "
+    "FROM events WHERE event_id <= 20 ORDER BY event_id"
+)
+CORPUS["extr_in_where"] = (
+    "SELECT COUNT(*) AS n FROM events WHERE EXTRACT(MINUTE FROM ts) = 30"
+)
+
+# Scalar-subquery comparison operators.
+CORPUS["subc_lt_avg"] = (
+    "SELECT COUNT(*) AS n FROM orders WHERE o_totalprice < "
+    "(SELECT AVG(o_totalprice) FROM orders)"
+)
+CORPUS["subc_ge_min_plus"] = (
+    "SELECT COUNT(*) AS n FROM part WHERE p_retailprice >= "
+    "(SELECT MIN(p_retailprice) + 5 FROM part)"
+)
+CORPUS["subc_eq_max"] = (
+    "SELECT p_partkey FROM part WHERE p_retailprice = "
+    "(SELECT MAX(p_retailprice) FROM part) ORDER BY p_partkey"
+)
+
+# COALESCE / NULLIF on real columns through an outer join.
+CORPUS["nullc_coalesce_after_left_join"] = (
+    "SELECT n_name, COALESCE(r_name, 'none') AS rn FROM nation "
+    "LEFT JOIN region ON n_regionkey = r_regionkey AND r_regionkey = 0 "
+    "ORDER BY n_name"
+)
+CORPUS["nullc_nullif_group"] = (
+    "SELECT NULLIF(o_orderstatus, 'P') AS st, CAST(COUNT(*) AS BIGINT) AS n "
+    "FROM orders GROUP BY 1 ORDER BY st NULLS FIRST"
+)
+
+# Modulo-derived group keys; HAVING over rollup; deeper sorts.
+CORPUS["modk_group"] = (
+    "SELECT CAST(o_orderkey % 7 AS INTEGER) AS bucket, CAST(COUNT(*) AS BIGINT) AS n "
+    "FROM orders GROUP BY 1 ORDER BY bucket"
+)
+CORPUS["rollup_with_having"] = (
+    "SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n FROM orders "
+    "GROUP BY ROLLUP (o_orderstatus) HAVING COUNT(*) > 100 "
+    "ORDER BY o_orderstatus NULLS FIRST"
+)
+CORPUS["sort_three_mixed_dirs"] = (
+    "SELECT o_orderstatus, o_orderpriority, o_orderkey FROM orders "
+    "WHERE o_orderkey <= 150 "
+    "ORDER BY o_orderstatus DESC, o_orderpriority ASC, o_orderkey DESC"
+)
+CORPUS["sort_by_hidden_expr"] = (
+    "SELECT n_name FROM nation ORDER BY n_nationkey % 5, n_name"
+)
+
+# Cross-checking count identities the testrunner favors.
+CORPUS["ident_union_vs_or"] = (
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ("
+    "SELECT p_partkey FROM part WHERE p_size < 10 "
+    "UNION SELECT p_partkey FROM part WHERE p_type = 'PROMO') t"
+)
+CORPUS["ident_join_count_eq_filter"] = (
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem "
+    "JOIN part ON l_partkey = p_partkey WHERE p_size = 1"
+)
+CORPUS["ident_double_negation"] = (
+    "SELECT COUNT(*) AS n FROM part WHERE NOT (NOT (p_size > 25))"
+)
+
+
 @pytest.fixture(scope="module", autouse=True)
 def _spark_views(spark):
     from hyrise_spark.catalog import load_tables
