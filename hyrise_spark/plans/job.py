@@ -446,3 +446,207 @@ def job_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("r_name").alias("min_region"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# JOB 20+-analog: 8-way star with BOTH dimension chains duplicated — the
+# customer side and the supplier side each pull their own nation+region
+# (JOB's `name AS n1, name AS n2` pattern). Selective predicates sit on the
+# two far ends; CBO must pick which chain to reduce first.
+@register(
+    "job_q11",
+    oracle="""
+    SELECT CAST(MIN(o_orderkey) AS BIGINT) AS min_orderkey,
+           MIN(cn.n_name) AS min_cust_nation, MIN(sn.n_name) AS min_supp_nation,
+           ROUND(MIN(o_totalprice), 2) AS min_price
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN region cr ON cn.n_regionkey = cr.r_regionkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN region sr ON sn.n_regionkey = sr.r_regionkey
+    WHERE cr.r_name = 'ASIA' AND sr.r_name = 'EUROPE'
+      AND c_mktsegment = 'AUTOMOBILE'
+      AND EXTRACT(YEAR FROM l_shipdate) = 1997
+    """,
+    tags=("job", "job-large"),
+)
+def job_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders, cust, nation, region, supp = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation", "region", "supplier"
+    )
+    cn, sn = nation.alias("cn"), nation.alias("sn")
+    cr, sr = region.alias("cr"), region.alias("sr")
+    return (
+        li.filter(F.year("l_shipdate") == 1997)
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            cust.filter(F.col("c_mktsegment") == "AUTOMOBILE"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn.n_nationkey"))
+        .join(
+            F.broadcast(cr.filter(F.col("cr.r_name") == "ASIA")),
+            F.col("cn.n_regionkey") == F.col("cr.r_regionkey"),
+        )
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn.n_nationkey"))
+        .join(
+            F.broadcast(sr.filter(F.col("sr.r_name") == "EUROPE")),
+            F.col("sn.n_regionkey") == F.col("sr.r_regionkey"),
+        )
+        .agg(
+            F.min("o_orderkey").alias("min_orderkey"),
+            F.min("cn.n_name").alias("min_cust_nation"),
+            F.min("sn.n_name").alias("min_supp_nation"),
+            F.round(F.min("o_totalprice"), R2).alias("min_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# JOB 29-analog: 10-way graph — the 8-way double-dimension star above plus
+# part and the events stream joined on the customer key (JOB's widest
+# queries mix in the info tables the same way).
+@register(
+    "job_q12",
+    oracle="""
+    SELECT CAST(MIN(o_orderkey) AS BIGINT) AS min_orderkey,
+           MIN(p_name) AS min_part, MIN(event_type) AS min_event,
+           MIN(cn.n_name) AS min_cust_nation
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN region cr ON cn.n_regionkey = cr.r_regionkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN region sr ON sn.n_regionkey = sr.r_regionkey
+    JOIN part ON l_partkey = p_partkey
+    JOIN events ON user_id = c_custkey
+    WHERE cr.r_name = 'AMERICA' AND sr.r_name <> 'AFRICA'
+      AND p_type = 'PROMO' AND event_type = 'purchase'
+      AND o_orderstatus = 'F'
+    """,
+    tags=("job", "job-large"),
+)
+def job_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders, cust, nation, region, supp, part, events = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation", "region",
+        "supplier", "part", "events",
+    )
+    cn, sn = nation.alias("cn"), nation.alias("sn")
+    cr, sr = region.alias("cr"), region.alias("sr")
+    return (
+        li.join(
+            orders.filter(F.col("o_orderstatus") == "F"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn.n_nationkey"))
+        .join(
+            F.broadcast(cr.filter(F.col("cr.r_name") == "AMERICA")),
+            F.col("cn.n_regionkey") == F.col("cr.r_regionkey"),
+        )
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn.n_nationkey"))
+        .join(
+            F.broadcast(sr.filter(F.col("sr.r_name") != "AFRICA")),
+            F.col("sn.n_regionkey") == F.col("sr.r_regionkey"),
+        )
+        .join(
+            F.broadcast(part.filter(F.col("p_type") == "PROMO")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            events.filter(F.col("event_type") == "purchase"),
+            F.col("user_id") == F.col("c_custkey"),
+        )
+        .agg(
+            F.min("o_orderkey").alias("min_orderkey"),
+            F.min("p_name").alias("min_part"),
+            F.min("event_type").alias("min_event"),
+            F.min("cn.n_name").alias("min_cust_nation"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# JOB 33-analog (widest): 12-way diamond — TWO lineitem branches meet at
+# part (items co-purchased across different orders), each branch dragging
+# its own orders + customer + nation chain, plus the shared part and a
+# supplier on the left branch. Join-order choice dominates: the part filter
+# must be pushed into both branches before the branch-join.
+@register(
+    "job_q13",
+    oracle="""
+    SELECT CAST(MIN(l1.l_orderkey) AS BIGINT) AS min_left_order,
+           CAST(MIN(l2.l_orderkey) AS BIGINT) AS min_right_order,
+           MIN(p_name) AS min_part,
+           MIN(n1.n_name) AS min_left_nation, MIN(n2.n_name) AS min_right_nation
+    FROM lineitem l1
+    JOIN part ON l1.l_partkey = p_partkey
+    JOIN lineitem l2 ON l2.l_partkey = p_partkey AND l2.l_orderkey <> l1.l_orderkey
+    JOIN orders o1 ON l1.l_orderkey = o1.o_orderkey
+    JOIN orders o2 ON l2.l_orderkey = o2.o_orderkey
+    JOIN customer c1 ON o1.o_custkey = c1.c_custkey
+    JOIN customer c2 ON o2.o_custkey = c2.c_custkey
+    JOIN nation n1 ON c1.c_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c2.c_nationkey = n2.n_nationkey
+    JOIN supplier ON l1.l_suppkey = s_suppkey
+    JOIN region r1 ON n1.n_regionkey = r1.r_regionkey
+    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+    WHERE p_size = 1 AND r1.r_name = 'ASIA' AND r2.r_name = 'EUROPE'
+      AND o1.o_orderpriority = '1-URGENT' AND o2.o_orderpriority = '5-LOW'
+    """,
+    tags=("job", "job-large"),
+)
+def job_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders, cust, nation, region, supp, part = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation", "region",
+        "supplier", "part",
+    )
+    l1, l2 = li.alias("l1"), li.alias("l2")
+    o1, o2 = orders.alias("o1"), orders.alias("o2")
+    c1, c2 = cust.alias("c1"), cust.alias("c2")
+    n1, n2 = nation.alias("n1"), nation.alias("n2")
+    r1, r2 = region.alias("r1"), region.alias("r2")
+    p = part.filter(F.col("p_size") == 1)
+    return (
+        l1.join(F.broadcast(p), F.col("l1.l_partkey") == F.col("p_partkey"))
+        .join(
+            l2,
+            (F.col("l2.l_partkey") == F.col("p_partkey"))
+            & (F.col("l2.l_orderkey") != F.col("l1.l_orderkey")),
+        )
+        .join(
+            o1.filter(F.col("o1.o_orderpriority") == "1-URGENT"),
+            F.col("l1.l_orderkey") == F.col("o1.o_orderkey"),
+        )
+        .join(
+            o2.filter(F.col("o2.o_orderpriority") == "5-LOW"),
+            F.col("l2.l_orderkey") == F.col("o2.o_orderkey"),
+        )
+        .join(c1, F.col("o1.o_custkey") == F.col("c1.c_custkey"))
+        .join(c2, F.col("o2.o_custkey") == F.col("c2.c_custkey"))
+        .join(F.broadcast(n1), F.col("c1.c_nationkey") == F.col("n1.n_nationkey"))
+        .join(F.broadcast(n2), F.col("c2.c_nationkey") == F.col("n2.n_nationkey"))
+        .join(supp, F.col("l1.l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(r1.filter(F.col("r1.r_name") == "ASIA")),
+            F.col("n1.n_regionkey") == F.col("r1.r_regionkey"),
+        )
+        .join(
+            F.broadcast(r2.filter(F.col("r2.r_name") == "EUROPE")),
+            F.col("n2.n_regionkey") == F.col("r2.r_regionkey"),
+        )
+        .agg(
+            F.min("l1.l_orderkey").alias("min_left_order"),
+            F.min("l2.l_orderkey").alias("min_right_order"),
+            F.min("p_name").alias("min_part"),
+            F.min("n1.n_name").alias("min_left_nation"),
+            F.min("n2.n_name").alias("min_right_nation"),
+        )
+    )

@@ -158,6 +158,64 @@ def test_cbo_stats_drive_join_reorder(spark):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_cbo_reorders_eight_way_graph(spark):
+    """CBO reorder at JOB scale: an 8-way double-dimension star (job_q11's
+    graph — both the customer and supplier sides drag their own nation +
+    region) written fact-first. The reference runs the 113-query Join Order
+    Benchmark for exactly this (src/benchmark/join_order_benchmark.cpp);
+    on Spark the DpCcp analog is cbo.joinReorder over ANALYZE'd stats, whose
+    search space only starts mattering at graphs this wide."""
+    import re
+
+    from hyrise_spark.layout import create_analyzed_tables
+
+    assert spark.conf.get("spark.sql.cbo.enabled") == "true"
+    names = create_analyzed_tables(
+        spark,
+        SF_DIR,
+        names=("region", "nation", "customer", "orders", "lineitem", "supplier"),
+        prefix="t_cbo8_",
+    )
+    try:
+        q = """
+        SELECT count(*) AS n
+        FROM t_cbo8_lineitem l
+        JOIN t_cbo8_orders o ON l.l_orderkey = o.o_orderkey
+        JOIN t_cbo8_customer c ON o.o_custkey = c.c_custkey
+        JOIN t_cbo8_nation cn ON c.c_nationkey = cn.n_nationkey
+        JOIN t_cbo8_region cr ON cn.n_regionkey = cr.r_regionkey
+        JOIN t_cbo8_supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN t_cbo8_nation sn ON s.s_nationkey = sn.n_nationkey
+        JOIN t_cbo8_region sr ON sn.n_regionkey = sr.r_regionkey
+        WHERE cr.r_name = 'ASIA' AND sr.r_name = 'EUROPE'
+          AND c.c_mktsegment = 'AUTOMOBILE'
+        """
+
+        def leaf_order(plan: str) -> list[str]:
+            return re.findall(r"Relation spark_catalog\.default\.(t_cbo8_\w+)", plan)
+
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+        p_off = spark.sql(q)._jdf.queryExecution().optimizedPlan().toString()
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+        qe_on = spark.sql(q)._jdf.queryExecution()
+        p_on = qe_on.optimizedPlan().toString()
+        order_off, order_on = leaf_order(p_off), leaf_order(p_on)
+        # all 8 leaves survive in both plans (nation/region appear twice)
+        assert len(order_off) == 8 and len(order_on) == 8, (order_off, order_on)
+        # cardinality estimation is live across the whole 8-way tree
+        assert qe_on.optimizedPlan().stats().rowCount().isDefined()
+        # naive order starts at the fact; the reorder pulls at least one
+        # filtered dimension chain ahead of it
+        assert order_off[0] == "t_cbo8_lineitem"
+        assert order_on.index("t_cbo8_nation") < order_on.index("t_cbo8_lineitem"), order_on
+        # and the reorder changed the join sequence at this width
+        assert order_on != order_off, order_on
+    finally:
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+        for t in names.values():
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_analyzed_table_has_column_stats(spark):
     """ANALYZE ... FOR ALL COLUMNS records row count + per-column NDV."""
     from hyrise_spark.layout import create_analyzed_tables
