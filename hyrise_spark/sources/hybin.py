@@ -1,0 +1,278 @@
+"""Hyrise binary table format (`.bin`) reader/writer.
+
+Closes the last FileType member (file_type.hpp:9) without a reader. Format
+re-implemented from the layout documented in the reference's
+`src/lib/import_export/binary/binary_writer.hpp` (header comments) and
+`binary_writer.cpp` / `binary_parser.cpp` behavior, validated against the
+fixtures under `resources/test_data/bin/`:
+
+  header:  chunk_size u32 | chunk_count u32 | column_count u16
+           | column type strings (u64 lengths then chars)
+           | column nullable bytes | column name strings
+  chunk:   row_count u32 | sorted_column_count u32
+           | per sorted column: ColumnID u16 + SortMode u8
+           | one segment per column
+
+  segments (EncodingType byte first — encoding_type.hpp:26):
+    0 Unencoded:   [is_nullable u8 if column nullable]
+                   [null bytes x rows if nullable] values
+    1 Dictionary:  compressed-vector id u8 | dict size u32 | dict values
+                   | attribute vector (null id == dict size)
+    2 RunLength:   run count u32 | run values | run null bytes | end offsets u32
+    3 FixedStringDictionary: id u8 | string length u32
+                   | dict chars | attribute vector
+    4 FrameOfReference / 5 LZ4: not read here (FoR/LZ4 are in-memory
+                   encodings; export defaults produce 0-3) — clear error.
+
+  value arrays: int i32 | long i64 | float f32 | double f64
+                string = u64 length array then concatenated utf-8 bytes
+  attribute vectors: CompressedVectorType (compressed_vector_type.hpp:28):
+                0 BitPacking (bit width u8, LSB-first contiguous u64 words)
+                1/2/3 FixedWidthInteger 1/2/4 bytes
+
+Scale posture: `.bin` is hyrise's single-file interchange format — it is
+parsed ONCE at ingest on the driver (the reference's Import operator is
+equally single-node for it) and should be re-laid-out to parquet
+immediately; `read_bin` returns a DataFrame built from the decoded rows so
+the rest of the pipeline is distributed.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import BinaryIO
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_NUMERIC_DTYPES = {"int": "<i4", "long": "<i8", "float": "<f4", "double": "<f8"}
+_SPARK_TYPES = {
+    "int": IntegerType(),
+    "long": LongType(),
+    "float": FloatType(),
+    "double": DoubleType(),
+    "string": StringType(),
+}
+_TYPE_OF_SPARK = {
+    "IntegerType()": "int",
+    "LongType()": "long",
+    "FloatType()": "float",
+    "DoubleType()": "double",
+    "StringType()": "string",
+}
+_CHUNK_SIZE = 65535  # chunk.hpp:52 default
+
+
+# ---------------------------------------------------------------------------
+# low-level readers
+def _read(f: BinaryIO, fmt: str):
+    size = struct.calcsize(fmt)
+    data = f.read(size)
+    if len(data) != size:
+        raise EOFError("truncated .bin file")
+    return struct.unpack(fmt, data)
+
+
+def _read_strings(f: BinaryIO, count: int) -> list[str]:
+    lengths = np.frombuffer(f.read(8 * count), "<u8")
+    total = int(lengths.sum())
+    buf = f.read(total) if total else b""
+    out, off = [], 0
+    for ln in lengths:
+        ln = int(ln)
+        out.append(buf[off:off + ln].decode("utf-8"))
+        off += ln
+    return out
+
+
+def _read_values(f: BinaryIO, col_type: str, count: int):
+    if col_type == "string":
+        return _read_strings(f, count)
+    dt = np.dtype(_NUMERIC_DTYPES[col_type])
+    return np.frombuffer(f.read(dt.itemsize * count), dt)
+
+
+def _read_attribute_vector(f: BinaryIO, count: int, cv_type: int) -> np.ndarray:
+    if cv_type == 0:  # BitPacking: compact_vector of u64 words, LSB-first
+        (bits,) = _read(f, "<B")
+        n_words = -(-count * bits // 64)
+        words = np.frombuffer(f.read(8 * n_words), "<u8")
+        out = np.empty(count, dtype="<u4")
+        mask = (1 << bits) - 1
+        for i in range(count):
+            lo = i * bits
+            w, sh = divmod(lo, 64)
+            v = int(words[w]) >> sh
+            if sh + bits > 64:
+                v |= int(words[w + 1]) << (64 - sh)
+            out[i] = v & mask
+        return out
+    if cv_type in (1, 2, 3):
+        width = {1: "<u1", 2: "<u2", 3: "<u4"}[cv_type]
+        dt = np.dtype(width)
+        return np.frombuffer(f.read(dt.itemsize * count), dt).astype("<u4")
+    raise ValueError(f"unknown compressed vector type id {cv_type}")
+
+
+# ---------------------------------------------------------------------------
+# segment decoders -> (values list with None for NULL)
+def _decode_unencoded(f, col_type, rows, nullable):
+    seg_nullable = False
+    if nullable:
+        (seg_nullable,) = _read(f, "<B")
+    nulls = (
+        np.frombuffer(f.read(rows), "<u1").astype(bool)
+        if seg_nullable
+        else np.zeros(rows, dtype=bool)
+    )
+    values = _read_values(f, col_type, rows)
+    return [None if nulls[i] else _py(values[i]) for i in range(rows)]
+
+
+def _decode_dictionary(f, col_type, rows):
+    # layout: compressed-vector id FIRST, then dictionary, then attr data
+    (cv_type,) = _read(f, "<B")
+    (dict_size,) = _read(f, "<I")
+    dictionary = _read_values(f, col_type, dict_size)
+    attr = _read_attribute_vector(f, rows, cv_type)
+    # null_value_id == dictionary size (dictionary_segment.cpp:139)
+    return [None if v >= dict_size else _py(dictionary[int(v)]) for v in attr]
+
+
+def _decode_fixed_string_dictionary(f, rows):
+    (cv_type,) = _read(f, "<B")
+    (dict_size,) = _read(f, "<I")
+    (str_len,) = _read(f, "<I")  # u32 (binary_writer.cpp:250)
+    buf = f.read(dict_size * str_len)
+    dictionary = [
+        buf[i * str_len:(i + 1) * str_len].rstrip(b"\x00").decode("utf-8")
+        for i in range(dict_size)
+    ]
+    attr = _read_attribute_vector(f, rows, cv_type)
+    return [None if v >= dict_size else dictionary[int(v)] for v in attr]
+
+
+def _decode_run_length(f, col_type, rows):
+    (run_count,) = _read(f, "<I")
+    run_values = _read_values(f, col_type, run_count)
+    run_nulls = np.frombuffer(f.read(run_count), "<u1").astype(bool)
+    ends = np.frombuffer(f.read(4 * run_count), "<u4")
+    out, pos = [], 0
+    for r in range(run_count):
+        val = None if run_nulls[r] else _py(run_values[r])
+        while pos <= int(ends[r]) and len(out) < rows:
+            out.append(val)
+            pos += 1
+    return out
+
+
+def _py(v):
+    return v.item() if isinstance(v, np.generic) else v
+
+
+def _decode_segment(f, col_type, rows, nullable):
+    (enc,) = _read(f, "<B")
+    if enc == 0:
+        return _decode_unencoded(f, col_type, rows, nullable)
+    if enc == 1:
+        return _decode_dictionary(f, col_type, rows)
+    if enc == 2:
+        return _decode_run_length(f, col_type, rows)
+    if enc == 3:
+        return _decode_fixed_string_dictionary(f, rows)
+    if enc in (4, 5):
+        raise NotImplementedError(
+            "FrameOfReference/LZ4 .bin segments are not supported — re-export "
+            "unencoded or dictionary-encoded (the reference's export default)"
+        )
+    raise ValueError(f"invalid encoding type {enc} in .bin segment")
+
+
+# ---------------------------------------------------------------------------
+def read_bin(spark: SparkSession, path: str) -> DataFrame:
+    """Parse a hyrise `.bin` file into a DataFrame (driver-side ingest)."""
+    with open(path, "rb") as f:
+        _chunk_size, chunk_count, column_count = _read(f, "<IIH")
+        col_types = _read_strings(f, column_count)
+        nullable = list(np.frombuffer(f.read(column_count), "<u1").astype(bool))
+        col_names = _read_strings(f, column_count)
+        for t in col_types:
+            if t not in _SPARK_TYPES:
+                raise ValueError(f"unknown .bin column type {t!r}")
+        columns: list[list] = [[] for _ in range(column_count)]
+        for _ in range(chunk_count):
+            (rows,) = _read(f, "<I")
+            (n_sorted,) = _read(f, "<I")
+            for _s in range(n_sorted):
+                _read(f, "<HB")  # ColumnID + SortMode — layout metadata only
+            for ci in range(column_count):
+                columns[ci].extend(
+                    _decode_segment(f, col_types[ci], rows, nullable[ci])
+                )
+    schema = StructType(
+        [
+            StructField(n, _SPARK_TYPES[t], bool(nl))
+            for n, t, nl in zip(col_names, col_types, nullable)
+        ]
+    )
+    data = list(zip(*columns)) if columns and columns[0] else []
+    return spark.createDataFrame(data, schema)
+
+
+def write_bin(df: DataFrame, path: str, chunk_size: int = _CHUNK_SIZE) -> None:
+    """Write a DataFrame as a hyrise `.bin` file (unencoded segments).
+
+    Interchange/export path: rows funnel through the driver exactly like the
+    reference's single-file BinaryWriter. For data that stays in this engine,
+    prefer the parquet writers in `sources/`.
+    """
+    col_types = []
+    for fld in df.schema.fields:
+        key = repr(fld.dataType)
+        if key not in _TYPE_OF_SPARK:
+            raise ValueError(f".bin export does not support column type {key}")
+        col_types.append(_TYPE_OF_SPARK[key])
+    nullable = [f.nullable for f in df.schema.fields]
+    names = df.columns
+    rows = df.collect()
+    chunks = [rows[i:i + chunk_size] for i in range(0, len(rows), chunk_size)] or [[]]
+
+    with open(path, "wb") as f:
+        f.write(struct.pack("<IIH", chunk_size, len(chunks), len(names)))
+        _write_strings(f, col_types)
+        f.write(bytes(int(n) for n in nullable))
+        _write_strings(f, names)
+        for chunk in chunks:
+            f.write(struct.pack("<II", len(chunk), 0))  # no sorted columns
+            for ci, (ctype, cnull) in enumerate(zip(col_types, nullable)):
+                vals = [r[ci] for r in chunk]
+                f.write(struct.pack("<B", 0))  # Unencoded
+                has_null = any(v is None for v in vals)
+                if cnull:
+                    f.write(struct.pack("<B", int(has_null)))
+                if has_null:
+                    f.write(bytes(int(v is None) for v in vals))
+                if ctype == "string":
+                    _write_strings(f, ["" if v is None else v for v in vals])
+                else:
+                    fill = 0
+                    arr = np.array(
+                        [fill if v is None else v for v in vals],
+                        dtype=_NUMERIC_DTYPES[ctype],
+                    )
+                    f.write(arr.tobytes())
+
+
+def _write_strings(f: BinaryIO, values: list[str]) -> None:
+    encoded = [v.encode("utf-8") for v in values]
+    np.array([len(e) for e in encoded], dtype="<u8").tofile(f)
+    f.write(b"".join(encoded))
