@@ -284,3 +284,42 @@ def test_runtime_bloom_filter_injects(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
         spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", old_create)
         spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", old_scan)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["tpcds_q2", "tpcds_q14", "tpcds_q24", "tpcds_q49", "tpcds_q77", "job_q11", "job_q13"],
+)
+def test_round4_queries_no_cartesian_no_python(spark, name):
+    """The round-4 TPC-DS/JOB additions must stay JVM-side and never fall
+    back to a cartesian product — at 100 TB either one is a plan bug (the
+    q13 12-way diamond and q24's lineitem self-join are the risky shapes)."""
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan, name
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_q40_ship_window_pushed_to_scan(spark):
+    """tpcds_q40's 60-day ship window must reach the lineitem parquet scan —
+    at 100 TB this is the row-group skip that turns a full-table read into a
+    two-month read."""
+    plan = _plan(spark, "tpcds_q40")
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters: [", 1)[1].split("]", 1)[0], plan
+
+
+def test_q14_cross_channel_semi_join_broadcasts(spark):
+    """tpcds_q14 filters 1998 facts by the cross-channel part set via a
+    BROADCAST left-semi join — shipping the (small) distinct-part set to the
+    fact scan, never shuffling the fact on the part key for the filter."""
+    plan = _plan(spark, "tpcds_q14")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+
+
+def test_job_q13_broadcasts_part_into_both_branches(spark):
+    """The 12-way diamond's p_size=1 filter must broadcast into the lineitem
+    branches (the branch-join explodes without the part reduction first)."""
+    plan = _plan(spark, "job_q13")
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert "PushedFilters: [" in plan
+    assert "p_size" in plan, plan
