@@ -81,6 +81,16 @@ def test_max_rows_cap(client, spark):
     assert len(resp["rows"]) == 50  # server fixture max_rows
 
 
+def test_parameterized_query_extended_protocol(client):
+    """args in the request = the extended (prepared) protocol analog
+    (postgres_protocol_handler.hpp extended mode)."""
+    resp = client.execute(
+        "SELECT :a + :b AS s, :name AS n", args={"a": 2, "b": 40, "name": "bind"}
+    )
+    assert resp["status"] == "ok"
+    assert resp["rows"] == [[42, "bind"]]
+
+
 def test_concurrent_clients(server):
     results: dict[int, list] = {}
 
