@@ -59,7 +59,10 @@ def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
 def job_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     li, orders, cust, part = _t(spark, sf_dir, "lineitem", "orders", "customer", "part")
     return (
-        li.filter(F.year("l_shipdate") == 1997)
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cust.filter(F.col("c_mktsegment") == "BUILDING"), F.col("o_custkey") == F.col("c_custkey"))
         .join(part.filter((F.col("p_type") == "PROMO") & (F.col("p_size") < 5)), F.col("l_partkey") == F.col("p_partkey"))
@@ -469,7 +472,7 @@ def job_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN region sr ON sn.n_regionkey = sr.r_regionkey
     WHERE cr.r_name = 'ASIA' AND sr.r_name = 'EUROPE'
       AND c_mktsegment = 'AUTOMOBILE'
-      AND EXTRACT(YEAR FROM l_shipdate) = 1997
+      AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
     """,
     tags=("job", "job-large"),
 )
@@ -480,7 +483,10 @@ def job_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     cn, sn = nation.alias("cn"), nation.alias("sn")
     cr, sr = region.alias("cr"), region.alias("sr")
     return (
-        li.filter(F.year("l_shipdate") == 1997)
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
             cust.filter(F.col("c_mktsegment") == "AUTOMOBILE"),

@@ -3454,7 +3454,7 @@ def tpcds_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN supplier ON l_suppkey = s_suppkey
     JOIN nation ON s_nationkey = n_nationkey
     JOIN chosen USING (n_name)
-    WHERE EXTRACT(YEAR FROM l_shipdate) = 1997 AND EXTRACT(QUARTER FROM l_shipdate) = 1
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
     GROUP BY n_name ORDER BY n_name
     """,
     tags=("tpcds", "tpcds-excluded-real"),
@@ -3474,7 +3474,12 @@ def tpcds_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     chosen = literal.intersect(pref)
     return (
-        li.filter((F.year("l_shipdate") == 1997) & (F.quarter("l_shipdate") == 1))
+        # range predicate instead of EXTRACT(YEAR/QUARTER): semantically the
+        # same quarter, but pushable to the parquet scan (row-group skipping)
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01"))
+        )
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(chosen), "n_name", "left_semi")
@@ -3832,7 +3837,7 @@ def tpcds_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH frequent AS (
       SELECT l_partkey AS pk FROM lineitem
-      WHERE EXTRACT(YEAR FROM l_shipdate) = 1997
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
       GROUP BY l_partkey HAVING COUNT(DISTINCT CAST(l_shipdate AS DATE)) > 4
     ), best AS (
       SELECT o_custkey AS ck, SUM(l_quantity * l_extendedprice) AS sales
@@ -3852,7 +3857,10 @@ def tpcds_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpcds_q23(spark: SparkSession, sf_dir: str) -> DataFrame:
     li, orders = _t(spark, sf_dir, "lineitem", "orders")
     frequent = (
-        li.filter(F.year("l_shipdate") == 1997)
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
         .groupBy(F.col("l_partkey").alias("pk"))
         .agg(F.countDistinct(F.to_date("l_shipdate")).alias("nd"))
         .filter(F.col("nd") > 4)
@@ -4545,7 +4553,7 @@ def tpcds_q61(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(EXTRACT(MONTH FROM l_shipdate) AS INTEGER) AS mo,
              SUM(l_extendedprice) AS sales
       FROM lineitem JOIN part ON l_partkey = p_partkey
-      WHERE EXTRACT(YEAR FROM l_shipdate) = 1997
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
         AND p_type IN ('ECONOMY', 'STANDARD', 'PROMO')
       GROUP BY 1, 2
     ), w AS (
@@ -4564,7 +4572,10 @@ def tpcds_q63(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li, part = _t(spark, sf_dir, "lineitem", "part")
     m = (
-        li.filter(F.year("l_shipdate") == 1997)
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
         .join(
             F.broadcast(part.filter(F.col("p_type").isin("ECONOMY", "STANDARD", "PROMO"))),
             F.col("l_partkey") == F.col("p_partkey"),
@@ -4674,14 +4685,16 @@ def tpcds_q64(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN orders ON l_orderkey = o_orderkey
       JOIN supplier ON l_suppkey = s_suppkey
       JOIN nation ON s_nationkey = n_nationkey
-      WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') AND EXTRACT(YEAR FROM l_shipdate) = 1997
+      WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
       UNION ALL
       SELECT n_name, EXTRACT(MONTH FROM l_shipdate) AS mo, l_quantity AS qty
       FROM lineitem
       JOIN orders ON l_orderkey = o_orderkey
       JOIN supplier ON l_suppkey = s_suppkey
       JOIN nation ON s_nationkey = n_nationkey
-      WHERE o_orderpriority IN ('4-NOT SPECIFIED', '5-LOW') AND EXTRACT(YEAR FROM l_shipdate) = 1997
+      WHERE o_orderpriority IN ('4-NOT SPECIFIED', '5-LOW')
+        AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
     )
     SELECT n_name,
            ROUND(SUM(CASE WHEN mo = 1 THEN qty ELSE 0 END), 2) AS jan,
@@ -4703,7 +4716,10 @@ def tpcds_q64(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpcds_q66(spark: SparkSession, sf_dir: str) -> DataFrame:
     li, orders, supp, nation = _t(spark, sf_dir, "lineitem", "orders", "supplier", "nation")
     base = (
-        li.filter(F.year("l_shipdate") == 1997)
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
