@@ -350,7 +350,11 @@ def job_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sn = nation.select(F.col("n_nationkey").alias("sn_key"), F.col("n_regionkey").alias("sn_reg"))
     return (
-        li.filter((F.year("l_shipdate") == 1998) & (F.col("l_discount") > 0.08))
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01"))
+            & (F.col("l_discount") > 0.08)
+        )
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))

@@ -63,7 +63,8 @@ def ssb_q1_1(spark: SparkSession, sf_dir: str) -> DataFrame:
     (li,) = _t(spark, sf_dir, "lineitem")
     return (
         li.filter(
-            (F.year("l_shipdate") == 1997)
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
             & F.col("l_discount").between(0.01, 0.03)
             & (F.col("l_quantity") < 25)
         )

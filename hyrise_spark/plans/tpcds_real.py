@@ -55,6 +55,12 @@ def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     return [tabs[n] for n in names]
 
 
+def _ts_range(col: str, start: str, end: str):
+    """Half-open timestamp range — pushable to the parquet scan, unlike
+    EXTRACT/year() which wrap the column in a function and defeat pushdown."""
+    return (F.col(col) >= F.lit(start)) & (F.col(col) < F.lit(end))
+
+
 # --------------------------------------------------------------------------
 # Q1: customer_total_return per (customer, state); keep customers whose
 # returns exceed 1.2x their state's average. state -> customer nation.
@@ -493,7 +499,7 @@ def tpcds_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = F.when(F.col("l_returnflag") != "R", F.col("l_quantity"))
     ret = F.when(F.col("l_returnflag") == "R", F.col("l_quantity"))
     return (
-        li.filter(F.year("l_shipdate") == 1997)
+        li.filter(_ts_range("l_shipdate", "1997-01-01", "1998-01-01"))
         .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand")
         .agg(
@@ -851,7 +857,7 @@ def tpcds_q79(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpcds_q92(spark: SparkSession, sf_dir: str) -> DataFrame:
     li, part = _t(spark, sf_dir, "lineitem", "part")
-    li97 = li.filter(F.year("l_shipdate") == 1997)
+    li97 = li.filter(_ts_range("l_shipdate", "1997-01-01", "1998-01-01"))
     part_avg = li97.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
         (F.lit(1.3) * F.avg("l_discount")).alias("disc_threshold")
     )
@@ -1186,7 +1192,7 @@ def tpcds_q35(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpcds_q39(spark: SparkSession, sf_dir: str) -> DataFrame:
     (li,) = _t(spark, sf_dir, "lineitem")
     inv = (
-        li.filter(F.year("l_shipdate") == 1997)
+        li.filter(_ts_range("l_shipdate", "1997-01-01", "1998-01-01"))
         .groupBy("l_suppkey", F.month("l_shipdate").cast("int").alias("m"))
         .agg(
             F.round(F.stddev_samp("l_quantity") / F.avg("l_quantity"), 4).alias("cov"),
@@ -1237,7 +1243,7 @@ def tpcds_q43(spark: SparkSession, sf_dir: str) -> DataFrame:
     dow = F.dayofweek("l_shipdate") - 1
     names = ["sun", "mon", "tue", "wed", "thu", "fri", "sat"]
     return (
-        li.filter(F.year("l_shipdate") == 1997)
+        li.filter(_ts_range("l_shipdate", "1997-01-01", "1998-01-01"))
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
@@ -1704,7 +1710,7 @@ def tpcds_q32(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpcds_q39b(spark: SparkSession, sf_dir: str) -> DataFrame:
     (li,) = _t(spark, sf_dir, "lineitem")
     inv = (
-        li.filter(F.year("l_shipdate") == 1997)
+        li.filter(_ts_range("l_shipdate", "1997-01-01", "1998-01-01"))
         .groupBy("l_suppkey", F.month("l_shipdate").cast("int").alias("m"))
         .agg(
             F.round(F.stddev_samp("l_quantity") / F.avg("l_quantity"), 4).alias("cov"),
@@ -1770,7 +1776,7 @@ def tpcds_q52(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpcds_q55(spark: SparkSession, sf_dir: str) -> DataFrame:
     li, part = _t(spark, sf_dir, "lineitem", "part")
     return (
-        li.filter((F.year("l_shipdate") == 1997) & (F.month("l_shipdate") == 8))
+        li.filter(_ts_range("l_shipdate", "1997-08-01", "1997-09-01"))
         .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand")
         .agg(F.round(F.sum("l_extendedprice"), R2).alias("ext_price"))
@@ -2351,7 +2357,7 @@ def tpcds_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpcds_q36(spark: SparkSession, sf_dir: str) -> DataFrame:
     li, part = _t(spark, sf_dir, "lineitem", "part")
     return (
-        li.filter(F.year("l_shipdate") == 1997)
+        li.filter(_ts_range("l_shipdate", "1997-01-01", "1998-01-01"))
         .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .rollup("p_type", "p_brand")
         .agg(
@@ -2403,7 +2409,7 @@ def tpcds_q47(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li, part = _t(spark, sf_dir, "lineitem", "part")
     monthly = (
-        li.filter(F.year("l_shipdate") == 1997)
+        li.filter(_ts_range("l_shipdate", "1997-01-01", "1998-01-01"))
         .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", F.month("l_shipdate").cast("int").alias("m"))
         .agg(F.round(F.sum("l_extendedprice"), R2).alias("sum_sales"))
@@ -2539,7 +2545,7 @@ def tpcds_q67(spark: SparkSession, sf_dir: str) -> DataFrame:
     li, part = _t(spark, sf_dir, "lineitem", "part")
     size_band = F.floor(F.col("p_size") / 10).cast("int")
     rolled = (
-        li.filter(F.year("l_shipdate") == 1997)
+        li.filter(_ts_range("l_shipdate", "1997-01-01", "1998-01-01"))
         .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .withColumn("size_band", size_band)
         .rollup("p_type", "p_brand", "size_band")
@@ -2718,7 +2724,7 @@ def tpcds_q89(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li, part = _t(spark, sf_dir, "lineitem", "part")
     monthly = (
-        li.filter(F.year("l_shipdate") == 1998)
+        li.filter(_ts_range("l_shipdate", "1998-01-01", "1999-01-01"))
         .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_type", "p_brand", F.month("l_shipdate").cast("int").alias("m"))
         .agg(F.round(F.sum("l_extendedprice"), R2).alias("sum_sales"))
@@ -2759,7 +2765,7 @@ def tpcds_q98(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li, part = _t(spark, sf_dir, "lineitem", "part")
     per_part = (
-        li.filter(F.year("l_shipdate") == 1998)
+        li.filter(_ts_range("l_shipdate", "1998-01-01", "1999-01-01"))
         .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_name", "p_type")
         .agg(F.sum("l_extendedprice").alias("itemrevenue"))
@@ -2796,7 +2802,7 @@ def tpcds_q98(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpcds_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     li, part = _t(spark, sf_dir, "lineitem", "part")
     return (
-        li.filter(F.year("l_shipdate") == 1997)
+        li.filter(_ts_range("l_shipdate", "1997-01-01", "1998-01-01"))
         .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .withColumn("size_band", F.floor(F.col("p_size") / 10).cast("int"))
         .rollup("p_brand", "p_type", "size_band")
@@ -2841,7 +2847,7 @@ def tpcds_q53(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li, part = _t(spark, sf_dir, "lineitem", "part")
     quarterly = (
-        li.filter(F.year("l_shipdate") == 1997)
+        li.filter(_ts_range("l_shipdate", "1997-01-01", "1998-01-01"))
         .join(
             F.broadcast(part.filter(F.col("p_type").isin("PROMO", "ECONOMY"))),
             F.col("l_partkey") == F.col("p_partkey"),
@@ -2898,7 +2904,7 @@ def tpcds_q57(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li, supp, nation = _t(spark, sf_dir, "lineitem", "supplier", "nation")
     monthly = (
-        li.filter(F.year("l_shipdate") == 1998)
+        li.filter(_ts_range("l_shipdate", "1998-01-01", "1999-01-01"))
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name", F.month("l_shipdate").cast("int").alias("m"))
@@ -3097,7 +3103,7 @@ def tpcds_q38(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpcds_q59(spark: SparkSession, sf_dir: str) -> DataFrame:
     li, supp, nation = _t(spark, sf_dir, "lineitem", "supplier", "nation")
     weekly = (
-        li.filter(F.year("l_shipdate").isin(1997, 1998))
+        li.filter(_ts_range("l_shipdate", "1997-01-01", "1999-01-01"))
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(
