@@ -38,6 +38,12 @@ def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     return [tabs[n] for n in names]
 
 
+def _ts_range(col: str, start: str, end: str):
+    """Half-open timestamp range — pushable to the parquet scan, unlike
+    EXTRACT/year() which wrap the column in a function and defeat pushdown."""
+    return (F.col(col) >= F.lit(start)) & (F.col(col) < F.lit(end))
+
+
 # --------------------------------------------------------------------------
 # JOB 1a analog: 5-way chain, selective filter at the far end of the chain.
 @register(
@@ -112,7 +118,7 @@ def job_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     cr = region.filter(F.col("r_name") == "ASIA").select(F.col("r_regionkey").alias("cr_key"))
     sr = region.filter(F.col("r_name") == "EUROPE").select(F.col("r_regionkey").alias("sr_key"))
     return (
-        li.join(orders.filter(F.year("o_orderdate") == 1998), F.col("l_orderkey") == F.col("o_orderkey"))
+        li.join(orders.filter(_ts_range("o_orderdate", "1998-01-01", "1999-01-01")), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .join(F.broadcast(cr), F.col("cn_reg") == F.col("cr_key"))
@@ -196,7 +202,7 @@ def job_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     li, orders, cust, supp, nation = _t(spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation")
     return (
         li.join(
-            orders.filter((F.year("o_orderdate") == 1997) & (F.col("o_totalprice") > 100000)),
+            orders.filter(_ts_range("o_orderdate", "1997-01-01", "1998-01-01") & (F.col("o_totalprice") > 100000)),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
@@ -310,7 +316,7 @@ def job_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region.filter(F.col("r_name") == "AMERICA")), F.col("n_regionkey") == F.col("r_regionkey"))
         .join(
-            orders.filter((F.year("o_orderdate") == 1997) & (F.col("o_totalprice") > 150000)),
+            orders.filter(_ts_range("o_orderdate", "1997-01-01", "1998-01-01") & (F.col("o_totalprice") > 150000)),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .agg(
@@ -400,7 +406,7 @@ def job_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("big_custkey")
     )
     return (
-        li.join(orders.filter(F.year("o_orderdate") == 1996), F.col("l_orderkey") == F.col("o_orderkey"))
+        li.join(orders.filter(_ts_range("o_orderdate", "1996-01-01", "1997-01-01")), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(big, F.col("big_custkey") == F.col("c_custkey"))
         .join(part.filter(F.col("p_type").isin("ECONOMY", "PROMO")), F.col("l_partkey") == F.col("p_partkey"))

@@ -36,6 +36,12 @@ def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     return [tabs[n] for n in names]
 
 
+def _ts_range(col: str, start: str, end: str):
+    """Half-open timestamp range — pushable to the parquet scan, unlike
+    EXTRACT/year() which wrap the column in a function and defeat pushdown."""
+    return (F.col(col) >= F.lit(start)) & (F.col(col) < F.lit(end))
+
+
 def _geo(spark: SparkSession, sf_dir: str, region: str | None = None) -> DataFrame:
     """nation joined to region -> (n_nationkey, n_name, r_name), optionally filtered."""
     nation, reg = _t(spark, sf_dir, "nation", "region")
@@ -398,7 +404,7 @@ def ssb_q4_2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("s_nation")
     )
     return (
-        li.join(orders.filter(F.year("o_orderdate").isin(1997, 1998)),
+        li.join(orders.filter(_ts_range("o_orderdate", "1997-01-01", "1999-01-01")),
                 F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
@@ -436,7 +442,7 @@ def ssb_q4_3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("s_nation")
     )
     return (
-        li.join(orders.filter(F.year("o_orderdate") == 1997),
+        li.join(orders.filter(_ts_range("o_orderdate", "1997-01-01", "1998-01-01")),
                 F.col("l_orderkey") == F.col("o_orderkey"))
         .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(part_filtered := _t(spark, sf_dir, "part")[0].filter(F.col("p_type") == "PROMO"),

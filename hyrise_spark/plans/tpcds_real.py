@@ -90,7 +90,7 @@ def tpcds_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     li, orders, cust = _t(spark, sf_dir, "lineitem", "orders", "customer")
     ctr = (
         li.filter(F.col("l_returnflag") == "R")
-        .join(orders.filter(F.year("o_orderdate") == 1997), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(orders.filter(_ts_range("o_orderdate", "1997-01-01", "1998-01-01")), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(F.col("o_custkey").alias("ctr_custkey"), F.col("c_nationkey").alias("ctr_nationkey"))
         .agg(F.round(F.sum("l_extendedprice"), R2).alias("ctr_total_return"))
@@ -175,7 +175,7 @@ def tpcds_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(pricey), F.col("l_partkey") == F.col("p_partkey"))
         .join(
-            orders.filter(F.year("o_orderdate") == 1997),
+            orders.filter(_ts_range("o_orderdate", "1997-01-01", "1998-01-01")),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
@@ -345,7 +345,7 @@ def tpcds_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(
-            orders.filter((F.year("o_orderdate") == 1997) & (F.quarter("o_orderdate") == 2)),
+            orders.filter(_ts_range("o_orderdate", "1997-04-01", "1997-07-01")),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
@@ -584,7 +584,7 @@ def tpcds_q31(spark: SparkSession, sf_dir: str) -> DataFrame:
     prio = F.col("o_orderpriority")
     sales = (
         orders.filter(
-            (F.year("o_orderdate") == 1997)
+            _ts_range("o_orderdate", "1997-01-01", "1998-01-01")
             & prio.isin("1-URGENT", "2-HIGH", "4-NOT SPECIFIED", "5-LOW")
         )
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
@@ -725,7 +725,7 @@ def tpcds_q45(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("q_brand")
     return (
         li.join(
-            orders.filter((F.year("o_orderdate") == 1998) & (F.quarter("o_orderdate") == 1)),
+            orders.filter(_ts_range("o_orderdate", "1998-01-01", "1998-04-01")),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
@@ -772,7 +772,7 @@ def tpcds_q50(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         li.join(
-            orders.filter(F.year("o_orderdate") == 1997),
+            orders.filter(_ts_range("o_orderdate", "1997-01-01", "1998-01-01")),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
@@ -820,7 +820,7 @@ def tpcds_q79(spark: SparkSession, sf_dir: str) -> DataFrame:
     li, orders, cust = _t(spark, sf_dir, "lineitem", "orders", "customer")
     per_order = (
         li.join(
-            orders.filter(F.year("o_orderdate") == 1997),
+            orders.filter(_ts_range("o_orderdate", "1997-01-01", "1998-01-01")),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
@@ -949,7 +949,7 @@ def tpcds_q93(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpcds_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders, cust = _t(spark, sf_dir, "orders", "customer")
-    h1 = orders.filter((F.year("o_orderdate") == 1997) & (F.quarter("o_orderdate") <= 2))
+    h1 = orders.filter(_ts_range("o_orderdate", "1997-01-01", "1997-07-01"))
     store = h1.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")).select("o_custkey")
     web = h1.filter(F.col("o_orderpriority").isin("4-NOT SPECIFIED", "5-LOW")).select(
         F.col("o_custkey").alias("w_custkey")
@@ -1050,7 +1050,7 @@ def tpcds_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpcds_q25(spark: SparkSession, sf_dir: str) -> DataFrame:
     li, orders, cust, nation = _t(spark, sf_dir, "lineitem", "orders", "customer", "nation")
     lo = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).filter(
-        F.year("o_orderdate") == 1997
+        _ts_range("o_orderdate", "1997-01-01", "1998-01-01")
     )
     ss = lo.filter(
         (F.col("l_returnflag") != "R")
@@ -1145,7 +1145,7 @@ def tpcds_q34(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpcds_q35(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders, cust, nation = _t(spark, sf_dir, "orders", "customer", "nation")
-    o97 = orders.filter(F.year("o_orderdate") == 1997)
+    o97 = orders.filter(_ts_range("o_orderdate", "1997-01-01", "1998-01-01"))
     store = o97.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")).select("o_custkey")
     web = o97.filter(F.col("o_orderpriority").isin("4-NOT SPECIFIED", "5-LOW")).select(
         F.col("o_custkey").alias("w_custkey")
@@ -1289,7 +1289,7 @@ def tpcds_q48(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_nationkey"),
     )
     return (
-        li.join(orders.filter(F.year("o_orderdate") == 1997), F.col("l_orderkey") == F.col("o_orderkey"))
+        li.join(orders.filter(_ts_range("o_orderdate", "1997-01-01", "1998-01-01")), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .filter(
             (
@@ -1367,7 +1367,7 @@ def tpcds_q65(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpcds_q69(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders, cust = _t(spark, sf_dir, "orders", "customer")
-    o97 = orders.filter(F.year("o_orderdate") == 1997)
+    o97 = orders.filter(_ts_range("o_orderdate", "1997-01-01", "1998-01-01"))
     store = o97.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")).select("o_custkey")
     web = o97.filter(F.col("o_orderpriority").isin("4-NOT SPECIFIED", "5-LOW")).select(
         F.col("o_custkey").alias("w_custkey")
@@ -1452,7 +1452,7 @@ def tpcds_q91(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.filter(F.col("l_returnflag") == "R")
-        .join(orders.filter(F.year("o_orderdate") == 1997), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(orders.filter(_ts_range("o_orderdate", "1997-01-01", "1998-01-01")), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(cust.filter(F.col("c_acctbal") < 0)), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
@@ -1617,7 +1617,7 @@ def tpcds_q26(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpcds_q29(spark: SparkSession, sf_dir: str) -> DataFrame:
     li, orders, cust, nation = _t(spark, sf_dir, "lineitem", "orders", "customer", "nation")
     lo = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).filter(
-        F.year("o_orderdate") == 1997
+        _ts_range("o_orderdate", "1997-01-01", "1998-01-01")
     )
     ss = lo.filter(
         (F.col("l_returnflag") != "R")
@@ -1811,7 +1811,7 @@ def tpcds_q62(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.sum(F.when(cond, 1).otherwise(0)).alias(name)
 
     return (
-        li.join(orders.filter(F.year("o_orderdate") == 1998), F.col("l_orderkey") == F.col("o_orderkey"))
+        li.join(orders.filter(_ts_range("o_orderdate", "1998-01-01", "1999-01-01")), F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_orderpriority")
         .agg(
             band(lat <= 30, "d30"),
@@ -1894,7 +1894,7 @@ def tpcds_q81(spark: SparkSession, sf_dir: str) -> DataFrame:
     li, orders, cust = _t(spark, sf_dir, "lineitem", "orders", "customer")
     ctr = (
         li.filter(F.col("l_returnflag") == "R")
-        .join(orders.filter(F.year("o_orderdate") == 1998), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(orders.filter(_ts_range("o_orderdate", "1998-01-01", "1999-01-01")), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(F.col("o_custkey").alias("ctr_custkey"), F.col("c_nationkey").alias("ctr_nationkey"))
         .agg(F.round(F.sum("l_extendedprice"), R2).alias("ctr_total_return"))
@@ -1987,7 +1987,7 @@ def tpcds_q82(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpcds_q83(spark: SparkSession, sf_dir: str) -> DataFrame:
     li, orders, part = _t(spark, sf_dir, "lineitem", "orders", "part")
     ret = li.filter(F.col("l_returnflag") == "R").join(
-        orders.filter(F.year("o_orderdate") == 1997), F.col("l_orderkey") == F.col("o_orderkey")
+        orders.filter(_ts_range("o_orderdate", "1997-01-01", "1998-01-01")), F.col("l_orderkey") == F.col("o_orderkey")
     )
 
     def window_counts(months, alias):
@@ -2200,7 +2200,7 @@ def tpcds_q99(spark: SparkSession, sf_dir: str) -> DataFrame:
     li, orders, supp, nation = _t(spark, sf_dir, "lineitem", "orders", "supplier", "nation")
     lat = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
     return (
-        li.join(orders.filter(F.year("o_orderdate") == 1997), F.col("l_orderkey") == F.col("o_orderkey"))
+        li.join(orders.filter(_ts_range("o_orderdate", "1997-01-01", "1998-01-01")), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(
@@ -2267,7 +2267,7 @@ def tpcds_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = (
         li.join(
             orders.filter(
-                (F.year("o_orderdate") == 1997)
+                _ts_range("o_orderdate", "1997-01-01", "1998-01-01")
                 & prio.isin("1-URGENT", "2-HIGH", "4-NOT SPECIFIED", "5-LOW")
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
@@ -2480,7 +2480,7 @@ def tpcds_q51(spark: SparkSession, sf_dir: str) -> DataFrame:
     def channel(prios):
         return (
             orders.filter(
-                (F.year("o_orderdate") == 1997) & F.col("o_orderpriority").isin(*prios)
+                _ts_range("o_orderdate", "1997-01-01", "1998-01-01") & F.col("o_orderpriority").isin(*prios)
             )
             .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
             .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
@@ -2597,7 +2597,7 @@ def tpcds_q70(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders, cust, nation, region = _t(spark, sf_dir, "orders", "customer", "nation", "region")
     rolled = (
-        orders.filter(F.year("o_orderdate") == 1998)
+        orders.filter(_ts_range("o_orderdate", "1998-01-01", "1999-01-01"))
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
@@ -2661,7 +2661,7 @@ def tpcds_q86(spark: SparkSession, sf_dir: str) -> DataFrame:
     rolled = (
         li.join(
             orders.filter(
-                (F.year("o_orderdate") == 1997)
+                _ts_range("o_orderdate", "1997-01-01", "1998-01-01")
                 & F.col("o_orderpriority").isin("4-NOT SPECIFIED", "5-LOW")
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
@@ -2967,7 +2967,7 @@ def tpcds_q74(spark: SparkSession, sf_dir: str) -> DataFrame:
     prio = F.col("o_orderpriority")
     totals = (
         orders.filter(
-            F.year("o_orderdate").isin(1997, 1998)
+            _ts_range("o_orderdate", "1997-01-01", "1999-01-01")
             & prio.isin("1-URGENT", "2-HIGH", "4-NOT SPECIFIED", "5-LOW")
         )
         .select(
@@ -3026,7 +3026,7 @@ def tpcds_q74(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpcds_q27(spark: SparkSession, sf_dir: str) -> DataFrame:
     li, orders, cust, nation = _t(spark, sf_dir, "lineitem", "orders", "customer", "nation")
     return (
-        li.join(orders.filter(F.year("o_orderdate") == 1997), F.col("l_orderkey") == F.col("o_orderkey"))
+        li.join(orders.filter(_ts_range("o_orderdate", "1997-01-01", "1998-01-01")), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
             F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")),
             F.col("o_custkey") == F.col("c_custkey"),
@@ -3063,7 +3063,7 @@ def tpcds_q27(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpcds_q38(spark: SparkSession, sf_dir: str) -> DataFrame:
     (orders,) = _t(spark, sf_dir, "orders")
-    o97 = orders.filter(F.year("o_orderdate") == 1997)
+    o97 = orders.filter(_ts_range("o_orderdate", "1997-01-01", "1998-01-01"))
 
     def ch(*prios):
         return o97.filter(F.col("o_orderpriority").isin(*prios)).select("o_custkey")
@@ -3165,7 +3165,7 @@ def tpcds_q75(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t = (
         li.join(
-            orders.filter(F.year("o_orderdate").isin(1997, 1998)),
+            orders.filter(_ts_range("o_orderdate", "1997-01-01", "1999-01-01")),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
@@ -3234,7 +3234,7 @@ def tpcds_q76(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(ch("catalog", "3-MEDIUM"))
     )
     return (
-        unioned.filter(F.year("o_orderdate") == 1997)
+        unioned.filter(_ts_range("o_orderdate", "1997-01-01", "1998-01-01"))
         .groupBy(
             "channel",
             F.year("o_orderdate").cast("int").alias("y"),
@@ -3269,7 +3269,7 @@ def tpcds_q76(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpcds_q87(spark: SparkSession, sf_dir: str) -> DataFrame:
     (orders,) = _t(spark, sf_dir, "orders")
-    o97 = orders.filter(F.year("o_orderdate") == 1997)
+    o97 = orders.filter(_ts_range("o_orderdate", "1997-01-01", "1998-01-01"))
 
     def ch(*prios):
         return o97.filter(F.col("o_orderpriority").isin(*prios)).select("o_custkey")
@@ -3400,7 +3400,7 @@ def tpcds_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     prio = F.col("o_orderpriority")
     yt = (
         li.join(
-            orders.filter(F.year("o_orderdate").isin(1997, 1998)),
+            orders.filter(_ts_range("o_orderdate", "1997-01-01", "1999-01-01")),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .select(
@@ -3531,7 +3531,7 @@ def tpcds_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     prio = F.col("o_orderpriority")
     yt = (
         li.join(
-            orders.filter(F.year("o_orderdate").isin(1997, 1998)),
+            orders.filter(_ts_range("o_orderdate", "1997-01-01", "1999-01-01")),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .select(
@@ -3611,7 +3611,7 @@ def tpcds_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     li, orders, part = _t(spark, sf_dir, "lineitem", "orders", "part")
     prio = F.col("o_orderpriority")
     lo97 = li.join(
-        orders.filter(F.year("o_orderdate") == 1997),
+        orders.filter(_ts_range("o_orderdate", "1997-01-01", "1998-01-01")),
         F.col("l_orderkey") == F.col("o_orderkey"),
     )
 
@@ -3624,7 +3624,7 @@ def tpcds_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ch = (
         li.join(
-            orders.filter(F.year("o_orderdate") == 1998),
+            orders.filter(_ts_range("o_orderdate", "1998-01-01", "1999-01-01")),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(F.broadcast(cross_items), F.col("l_partkey") == F.col("pk"), "left_semi")
@@ -3688,7 +3688,7 @@ def tpcds_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(
             orders.filter(
                 (prio := F.col("o_orderpriority")).isin(*_CATALOG)
-                & (F.year("o_orderdate") == 1998)
+                & _ts_range("o_orderdate", "1998-01-01", "1999-01-01")
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
@@ -3883,7 +3883,7 @@ def tpcds_q23(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(
-            orders.filter((F.year("o_orderdate") == 1998) & (F.month("o_orderdate") == 2)),
+            orders.filter(_ts_range("o_orderdate", "1998-02-01", "1998-03-01")),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(F.broadcast(frequent), F.col("l_partkey") == F.col("pk"), "left_semi")
@@ -3975,7 +3975,7 @@ def tpcds_q30(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_returnflag") == "R")
         .join(
             orders.filter(
-                F.col("o_orderpriority").isin(*_WEB) & (F.year("o_orderdate") == 1998)
+                F.col("o_orderpriority").isin(*_WEB) & _ts_range("o_orderdate", "1998-01-01", "1999-01-01")
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
@@ -4033,7 +4033,7 @@ def tpcds_q33(spark: SparkSession, sf_dir: str) -> DataFrame:
     li, orders, part = _t(spark, sf_dir, "lineitem", "orders", "part")
     base = (
         li.join(
-            orders.filter((F.year("o_orderdate") == 1998) & (F.month("o_orderdate") == 3)),
+            orders.filter(_ts_range("o_orderdate", "1998-03-01", "1998-04-01")),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(
@@ -4249,7 +4249,7 @@ def tpcds_q49(spark: SparkSession, sf_dir: str) -> DataFrame:
     prio = F.col("o_orderpriority")
     per = (
         li.join(
-            orders.filter((F.year("o_orderdate") == 1998) & (F.month("o_orderdate") == 1)),
+            orders.filter(_ts_range("o_orderdate", "1998-01-01", "1998-02-01")),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .select(
@@ -4317,7 +4317,7 @@ def tpcds_q54(spark: SparkSession, sf_dir: str) -> DataFrame:
     my_customers = (
         orders.filter(
             F.col("o_orderpriority").isin(*(_CATALOG + _WEB))
-            & (F.year("o_orderdate") == 1997)
+            & _ts_range("o_orderdate", "1997-01-01", "1998-01-01")
             & (F.month("o_orderdate") == 3)
         )
         .select(F.col("o_custkey").alias("ck"))
@@ -4374,7 +4374,7 @@ def tpcds_q56(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ch = (
         li.join(
-            orders.filter((F.year("o_orderdate") == 1998) & (F.month("o_orderdate") == 2)),
+            orders.filter(_ts_range("o_orderdate", "1998-02-01", "1998-03-01")),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(F.broadcast(colored), F.col("l_partkey") == F.col("p_partkey"))
@@ -4425,7 +4425,7 @@ def tpcds_q58(spark: SparkSession, sf_dir: str) -> DataFrame:
     prio = F.col("o_orderpriority")
     per = (
         li.join(
-            orders.filter(F.year("o_orderdate") == 1997),
+            orders.filter(_ts_range("o_orderdate", "1997-01-01", "1998-01-01")),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .groupBy(F.col("l_partkey").alias("pk"))
@@ -4478,7 +4478,7 @@ def tpcds_q60(spark: SparkSession, sf_dir: str) -> DataFrame:
     prio = F.col("o_orderpriority")
     ch = (
         li.join(
-            orders.filter((F.year("o_orderdate") == 1997) & (F.month("o_orderdate") == 9)),
+            orders.filter(_ts_range("o_orderdate", "1997-09-01", "1997-10-01")),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(
@@ -4531,7 +4531,7 @@ def tpcds_q61(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .join(
-            orders.filter((F.year("o_orderdate") == 1998) & (F.month("o_orderdate") == 11)),
+            orders.filter(_ts_range("o_orderdate", "1998-11-01", "1998-12-01")),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
@@ -4646,7 +4646,7 @@ def tpcds_q64(spark: SparkSession, sf_dir: str) -> DataFrame:
     sales = (
         li.join(
             orders.filter(
-                F.col("o_orderpriority").isin(*_STORE) & F.year("o_orderdate").isin(1997, 1998)
+                F.col("o_orderpriority").isin(*_STORE) & _ts_range("o_orderdate", "1997-01-01", "1999-01-01")
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
@@ -4853,7 +4853,7 @@ def tpcds_q72(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(
             orders.filter(
-                (F.year("o_orderdate") == 1998) & F.col("o_orderpriority").isin(*_STORE)
+                _ts_range("o_orderdate", "1998-01-01", "1999-01-01") & F.col("o_orderpriority").isin(*_STORE)
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
@@ -4900,7 +4900,7 @@ def tpcds_q77(spark: SparkSession, sf_dir: str) -> DataFrame:
     prio = F.col("o_orderpriority")
     per = (
         li.join(
-            orders.filter(F.year("o_orderdate") == 1997),
+            orders.filter(_ts_range("o_orderdate", "1997-01-01", "1998-01-01")),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
@@ -5018,7 +5018,7 @@ def tpcds_q80(spark: SparkSession, sf_dir: str) -> DataFrame:
     prio = F.col("o_orderpriority")
     per = (
         li.join(
-            orders.filter((F.year("o_orderdate") == 1998) & (F.quarter("o_orderdate") == 2)),
+            orders.filter(_ts_range("o_orderdate", "1998-04-01", "1998-07-01")),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(
