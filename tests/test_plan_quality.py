@@ -323,3 +323,15 @@ def test_job_q13_broadcasts_part_into_both_branches(spark):
     assert plan.count("BroadcastHashJoin") >= 4, plan
     assert "PushedFilters: [" in plan
     assert "p_size" in plan, plan
+
+
+@pytest.mark.parametrize("name", ["tpcds_q1", "tpcds_q45", "tpcds_q54", "ssb_q1_1", "job_q11"])
+def test_date_filters_reach_scan(spark, name):
+    """The round-4 pushdown sweep: ship/order date predicates must appear in
+    PushedFilters (as range bounds), not as post-scan Filter-only predicates —
+    function-wrapped year()/quarter() filters silently read the whole fact."""
+    plan = _plan(spark, name)
+    pushed = " ".join(
+        seg.split("]", 1)[0] for seg in plan.split("PushedFilters: [")[1:]
+    )
+    assert "l_shipdate" in pushed or "o_orderdate" in pushed, f"{name}: {pushed}"
