@@ -1,10 +1,11 @@
-"""REAL TPC-DS queries adapted to the driver schema — 69 total:
-the reference's COMPLETE included set (all 49 entries of
-query_excludelist.cfg's `#`-commented list, 48 distinct + the 39a/39b pair,
-batches 1-4) PLUS twenty of the EXCLUDED queries the reference cannot
-execute (window/ROLLUP/set-op family, batch 5: Q5 12 22 27 36 38 47 51 53
-57 59 67 70 74 75 76 86 87 89 98) — both halves of the reference's TPC-DS
-split.
+"""REAL TPC-DS queries adapted to the driver schema — together with
+plans/tpcds.py this covers ALL 99: the reference's COMPLETE included set
+(all 49 entries of query_excludelist.cfg's `#`-commented list, 48 distinct
++ the 39a/39b pair) PLUS every query it EXCLUDES as unexecutable
+(window/ROLLUP/set-op families; batch 5: Q5 12 22 27 36 38 47 51 53 57 59
+67 70 74 75 76 86 87 89 98; round-4 batch: Q2 4 8 11 14 18 20 21 23 24 30
+33 40 44 46 49 54 56 58 60 61 63 64 66 68 71 72 77 78 80 90) — both halves
+of the reference's TPC-DS split, 99/99.
 
 The reference runs ~45 actual TPC-DS queries (the `#`-commented entries in
 /root/reference/resources/benchmark/tpcds/query_excludelist.cfg are the
