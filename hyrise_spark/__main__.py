@@ -1,0 +1,6 @@
+"""`python -m hyrise_spark` — launch the interactive console (the
+hyriseConsole analog; `-m hyrise_spark.server` and `-m
+hyrise_spark.benchmark_runner` are the other two entry points)."""
+from hyrise_spark.console import main
+
+raise SystemExit(main())
