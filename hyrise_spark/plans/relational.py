@@ -753,3 +753,75 @@ def cte_with(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scan_large_in_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     (part,) = _t(spark, sf_dir, "part")
     return part.filter(F.col("p_size").isin(*range(1, 40, 2))).select("p_partkey")
+
+
+# Recursive CTEs (round 4) — a surface the reference cannot run at all (its
+# sql_translator has no recursion support) but Spark 4 executes natively.
+# The Spark side is the SAME SQL executed by spark.sql over temp views: a
+# recursive plan is genuinely iterative, so SQL is the idiomatic Spark form
+# (there is no DataFrame combinator for it).
+_RECURSIVE_MONTHS_SQL = """
+    WITH RECURSIVE months(m) AS (
+      SELECT TIMESTAMP '1997-01-01'
+      UNION ALL
+      SELECT m + INTERVAL 1 MONTH FROM months WHERE m < TIMESTAMP '1997-12-01'
+    )
+    SELECT CAST(m AS DATE) AS month_start, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+    FROM months LEFT JOIN orders
+      ON o_orderdate >= m AND o_orderdate < m + INTERVAL 1 MONTH
+    GROUP BY m ORDER BY month_start
+"""
+
+
+@register(
+    "cte_recursive_month_series",
+    oracle=_RECURSIVE_MONTHS_SQL,
+    tags=("cte", "recursive"),
+)
+def cte_recursive_month_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filling month dimension: recursion generates the 12 month starts
+    of 1997, LEFT JOIN keeps zero-order months (plain GROUP BY cannot).
+
+    Scale: the recursive branch generates 12 driver-light rows; only the
+    probe side (orders, filtered by the join range) is distributed.
+    """
+    (orders,) = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders")
+    return spark.sql(_RECURSIVE_MONTHS_SQL)
+
+
+_RECURSIVE_CHAIN_SQL = """
+    WITH RECURSIVE chain(nk, steps, acct) AS (
+      SELECT n_nationkey, 0, CAST(0.0 AS DOUBLE)
+      FROM nation WHERE n_nationkey = 0
+      UNION ALL
+      SELECT n.n_nationkey, c.steps + 1,
+             CAST(c.acct + agg.total AS DOUBLE)
+      FROM chain c
+      JOIN nation n ON n.n_nationkey = c.nk + 1
+      JOIN (SELECT c_nationkey, ROUND(SUM(c_acctbal), 2) AS total
+            FROM customer GROUP BY c_nationkey) agg
+        ON agg.c_nationkey = n.n_nationkey
+      WHERE c.steps < 8
+    )
+    SELECT CAST(nk AS INTEGER) AS nk, CAST(steps AS INTEGER) AS steps,
+           ROUND(acct, 2) AS running_acct
+    FROM chain ORDER BY nk
+"""
+
+
+@register(
+    "cte_recursive_nation_chain",
+    oracle=_RECURSIVE_CHAIN_SQL,
+    tags=("cte", "recursive"),
+)
+def cte_recursive_nation_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative traversal: walk the first 9 nation keys as a chain,
+    accumulating each nation's customer balance — the transitive-closure
+    shape (per-step JOIN against the frontier) that windows cannot express
+    when the edge relation is data-dependent.
+    """
+    nation, cust = _t(spark, sf_dir, "nation", "customer")
+    nation.createOrReplaceTempView("nation")
+    cust.createOrReplaceTempView("customer")
+    return spark.sql(_RECURSIVE_CHAIN_SQL)
