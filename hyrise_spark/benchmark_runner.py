@@ -112,33 +112,66 @@ def run(
     table_dir: str | Path,
     runs: int = 3,
     verify: bool = False,
+    clients: int = 1,
 ) -> dict:
+    """Run every discovered query `runs` times; with clients > 1, the
+    (query, run) stream is drained by a thread pool — the reference's
+    multi-client benchmark mode (BenchmarkConfig::clients,
+    benchmark_config.hpp:53). Spark executes concurrent driver threads as
+    concurrent jobs, so this measures scheduler/queueing behavior, not just
+    single-stream latency."""
     from hyrise_spark.engine import Engine
 
     engine = Engine(spark)
     register_tables(spark, table_dir)
+    queries = discover_queries(query_dir)
     items: dict[str, dict] = {}
     t_total = time.perf_counter()
-    for name, sql in discover_queries(query_dir).items():
+
+    # warmup + verification happen single-stream (deterministic)
+    warm_rows: dict[str, int] = {}
+    verified: dict[str, bool | None] = {}
+    for name, sql in queries.items():
         df = engine.execute(sql)
-        rows = df.collect() if df is not None else []  # warmup (un-timed)
-        times = []
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            df = engine.execute(sql)
-            if df is not None:
-                rows = df.collect()
-            times.append(time.perf_counter() - t0)
-        verified = None
-        if verify and df is not None:
-            verified = _verify_duckdb(table_dir, sql, df)
+        warm_rows[name] = len(df.collect()) if df is not None else 0
+        verified[name] = (
+            _verify_duckdb(table_dir, sql, df) if verify and df is not None else None
+        )
+
+    def timed(name: str) -> tuple[str, float]:
+        t0 = time.perf_counter()
+        df = engine.execute(queries[name])
+        if df is not None:
+            df.collect()
+        return name, time.perf_counter() - t0
+
+    stream = [name for name in queries for _ in range(runs)]
+    times: dict[str, list[float]] = {name: [] for name in queries}
+    if clients <= 1:
+        results = map(timed, stream)
+        for name, dt in results:
+            times[name].append(dt)
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=clients) as pool:
+            for name, dt in pool.map(timed, stream):
+                times[name].append(dt)
+
+    for name in queries:
+        ts = sorted(times[name])
         items[name] = {
-            "best_s": round(min(times), 4),
-            "mean_s": round(sum(times) / len(times), 4),
-            "rows": len(rows),
-            "verified": verified,
+            "best_s": round(ts[0], 4),
+            "median_s": round(ts[len(ts) // 2], 4),
+            "mean_s": round(sum(ts) / len(ts), 4),
+            "rows": warm_rows[name],
+            "verified": verified[name],
         }
-    return {"items": items, "total_s": round(time.perf_counter() - t_total, 3)}
+    return {
+        "items": items,
+        "clients": clients,
+        "total_s": round(time.perf_counter() - t_total, 3),
+    }
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -148,12 +181,19 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--verify", action="store_true", help="cross-check on DuckDB")
     ap.add_argument("--cpus", type=int, default=8)
+    ap.add_argument(
+        "--clients", type=int, default=1,
+        help="parallel query streams (BenchmarkConfig::clients analog)",
+    )
     args = ap.parse_args(argv)
 
     from hyrise_spark.session import get_spark
 
     spark = get_spark(app_name="file_based_benchmark", cpus=args.cpus)
-    result = run(spark, args.queries, args.tables, runs=args.runs, verify=args.verify)
+    result = run(
+        spark, args.queries, args.tables,
+        runs=args.runs, verify=args.verify, clients=args.clients,
+    )
     print(json.dumps(result))
     if args.verify and any(v["verified"] is False for v in result["items"].values()):
         return 1

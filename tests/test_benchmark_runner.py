@@ -64,3 +64,25 @@ def test_verify_catches_divergence(spark, tmp_path):
 
     sdf = spark.sql("SELECT CAST(26 AS BIGINT) AS n")
     assert _verify_duckdb(SF_DIR, "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nation", sdf) is False
+
+
+def test_run_multi_client_stream(spark, tmp_path):
+    """clients > 1 drains the (query, run) stream from a thread pool
+    (BenchmarkConfig::clients analog) — results and verification must be
+    identical to single-stream."""
+    qdir = tmp_path / "q"
+    qdir.mkdir()
+    (qdir / "a.sql").write_text("SELECT COUNT(*) AS n FROM nation")
+    (qdir / "b.sql").write_text(
+        "SELECT r_name, COUNT(*) AS n FROM nation JOIN region "
+        "ON n_regionkey = r_regionkey GROUP BY r_name"
+    )
+    from hyrise_spark.benchmark_runner import run
+
+    out = run(spark, qdir, SF_DIR, runs=2, verify=True, clients=4)
+    assert out["clients"] == 4
+    assert set(out["items"]) == {"a", "b"}
+    for v in out["items"].values():
+        assert v["verified"] is True
+        assert v["best_s"] <= v["median_s"] and v["best_s"] <= v["mean_s"]
+        assert v["rows"] >= 1
