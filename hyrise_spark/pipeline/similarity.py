@@ -457,3 +457,143 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max(F.transform("qv", lambda x: F.abs(x))).alias("max_q"),
         F.round("err", 6).alias("max_abs_err"),
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Unsupervised k-means (Lloyd) — the IVF path above uses the label column as
+# supervised cells; this is the unsupervised variant a real ANN index builds
+# with. `sim_kmeans_assign` registers ONE assignment step (SQL-expressible,
+# oracle-checked); `kmeans_iterate` runs full Lloyd iterations and is pinned
+# against a numpy reference with identical deterministic init in
+# tests/test_kmeans.py.
+_KMEANS_K = 8
+
+
+def _kmeans_seeds(e: DataFrame) -> DataFrame:
+    """Deterministic init: the first K vec_ids, normalized (k-means on the
+    unit sphere == spherical k-means; assignment is max dot product)."""
+    return (
+        e.filter(F.col("vec_id") < _KMEANS_K)
+        .select(F.col("vec_id").alias("cell"), _normalize(F.col("v")).alias("cv"))
+    )
+
+
+@register(
+    "sim_kmeans_assign",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    seeds AS (
+      SELECT vec_id AS cell,
+             list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS cv
+      FROM e WHERE vec_id < {_KMEANS_K}
+    ),
+    pts AS (
+      SELECT vec_id, list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS pv
+      FROM e WHERE vec_id >= {_KMEANS_K}
+    ),
+    scored AS (
+      SELECT vec_id, cell, list_inner_product(pv, cv) AS sim,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY list_inner_product(pv, cv) DESC, cell) AS rn
+      FROM pts CROSS JOIN seeds
+    )
+    SELECT CAST(cell AS INTEGER) AS cell, CAST(COUNT(*) AS BIGINT) AS n_points,
+           ROUND(AVG(sim), 4) AS avg_sim
+    FROM scored WHERE rn = 1
+    GROUP BY cell ORDER BY cell
+    """,
+    tags=("similarity", "kmeans"),
+)
+def sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd assignment step: nearest (max-dot) seed centroid per vector,
+    reported as per-cell population + mean similarity.
+
+    Scale: centroids broadcast (K rows); the corpus is scanned once; the
+    argmax is a K-wide expand + per-vector window — never corpus x corpus.
+    """
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    seeds = _kmeans_seeds(e)
+    pts = (
+        e.filter(F.col("vec_id") >= _KMEANS_K)
+        .select("vec_id", _normalize(F.col("v")).alias("pv"))
+    )
+    scored = pts.crossJoin(F.broadcast(seeds)).select(
+        "vec_id", "cell", _dot(F.col("pv"), F.col("cv")).alias("sim")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cell"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy(F.col("cell").cast("int").alias("cell"))
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.round(F.avg("sim"), 4).alias("avg_sim"),
+        )
+        .orderBy("cell")
+    )
+
+
+def kmeans_iterate(
+    spark: SparkSession, sf_dir: str, k: int = _KMEANS_K, iters: int = 3
+) -> DataFrame:
+    """Full spherical k-means: `iters` Lloyd rounds over the corpus.
+
+    Each round: broadcast the K current centroids, assign every vector to
+    its max-dot centroid (K-wide expand + window argmax), recompute cell
+    means with one groupBy over exploded (cell, dim, value) triples, and
+    re-normalize. Entirely JVM-side; per-round cost is one corpus scan +
+    one (cell, dim)-grain aggregation (K*dim groups), which is the textbook
+    distributed k-means dataflow. Returns (cell, centv, n_points).
+    """
+    e = _emb(spark, sf_dir).select(
+        "vec_id", _normalize(F.col("embedding").cast("array<double>")).alias("pv")
+    )
+    pts = e.filter(F.col("vec_id") >= k).cache()
+    cents = (
+        e.filter(F.col("vec_id") < k)
+        .select(F.col("vec_id").alias("cell"), F.col("pv").alias("cv"))
+    )
+    for _ in range(iters):
+        w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cell"))
+        assigned = (
+            pts.crossJoin(F.broadcast(cents))
+            .select("vec_id", "cell", "pv", _dot(F.col("pv"), F.col("cv")).alias("sim"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+        )
+        per_dim = (
+            assigned.select("cell", F.posexplode("pv").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(F.avg("x").alias("m"))
+        )
+        cents = (
+            per_dim.groupBy("cell")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("packed")
+            )
+            .select(
+                "cell",
+                _normalize(F.transform(F.col("packed"), lambda s: s["m"])).alias("cv"),
+            )
+        )
+        # truncate lineage: each round's plan would otherwise nest the
+        # previous round's (same reasoning as the CC fixpoint in dedup.py)
+        cents = cents.localCheckpoint(eager=True)
+    counts = (
+        pts.crossJoin(F.broadcast(cents))
+        .select("vec_id", "cell", _dot(F.col("pv"), F.col("cv")).alias("sim"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cell"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+    )
+    return cents.join(counts, "cell", "left").select(
+        "cell", F.col("cv").alias("centv"), "n_points"
+    )
