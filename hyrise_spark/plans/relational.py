@@ -825,3 +825,57 @@ def cte_recursive_nation_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation.createOrReplaceTempView("nation")
     cust.createOrReplaceTempView("customer")
     return spark.sql(_RECURSIVE_CHAIN_SQL)
+
+
+# LATERAL joins (round 4) — correlated derived tables, another surface with
+# no counterpart in the reference's translator. Same SQL on both engines.
+_LATERAL_TOPK_SQL = """
+    SELECT n_name, t.c_name, t.c_acctbal
+    FROM nation, LATERAL (
+      SELECT c_name, c_acctbal FROM customer
+      WHERE c_nationkey = n_nationkey
+      ORDER BY c_acctbal DESC, c_name LIMIT 2
+    ) t
+    ORDER BY n_name, t.c_acctbal DESC, t.c_name
+"""
+
+
+@register(
+    "lateral_topk_per_group",
+    oracle=_LATERAL_TOPK_SQL,
+    tags=("lateral", "topk"),
+)
+def lateral_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 customers per nation via a correlated LATERAL subquery — the
+    SQL-standard form of greatest-per-group (Catalyst decorrelates it to the
+    same window/top-k plan the DataFrame form produces)."""
+    nation, cust = _t(spark, sf_dir, "nation", "customer")
+    nation.createOrReplaceTempView("nation")
+    cust.createOrReplaceTempView("customer")
+    return spark.sql(_LATERAL_TOPK_SQL)
+
+
+_LATERAL_AGG_SQL = """
+    SELECT p_name, s.n_ship, s.last_ship
+    FROM part, LATERAL (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_ship, MAX(l_shipdate) AS last_ship
+      FROM lineitem WHERE l_partkey = p_partkey
+    ) s
+    WHERE p_size = 1
+    ORDER BY p_name, s.n_ship
+"""
+
+
+@register(
+    "lateral_correlated_agg",
+    oracle=_LATERAL_AGG_SQL,
+    tags=("lateral", "aggregate"),
+)
+def lateral_correlated_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part shipment stats through a correlated LATERAL aggregate
+    (decorrelates to an outer join against a pre-aggregation — the
+    SubqueryToJoinRule shape at LATERAL syntax level)."""
+    part, li = _t(spark, sf_dir, "part", "lineitem")
+    part.createOrReplaceTempView("part")
+    li.createOrReplaceTempView("lineitem")
+    return spark.sql(_LATERAL_AGG_SQL)
