@@ -999,6 +999,177 @@ CORPUS["ident_double_negation"] = (
 )
 
 
+# Wave 4: correlation, 3VL traps, per-table aggregate bounds — deterministic
+# result types only (counts / ints / strings / dates).
+for _outer, _inner, _corr, _tag in (
+    ("orders", "lineitem", "l_orderkey = o_orderkey", "orders_lineitem"),
+    ("part", "lineitem", "l_partkey = p_partkey", "part_lineitem"),
+    ("supplier", "lineitem", "l_suppkey = s_suppkey", "supplier_lineitem"),
+):
+    CORPUS[f"exists_{_tag}"] = (
+        f"SELECT COUNT(*) AS n FROM {_outer} o WHERE EXISTS "
+        f"(SELECT 1 FROM {_inner} i WHERE i.{_corr.split(' = ')[0]} = o.{_corr.split(' = ')[1]})"
+    )
+    CORPUS[f"not_exists_{_tag}"] = (
+        f"SELECT COUNT(*) AS n FROM {_outer} o WHERE NOT EXISTS "
+        f"(SELECT 1 FROM {_inner} i WHERE i.{_corr.split(' = ')[0]} = o.{_corr.split(' = ')[1]})"
+    )
+
+# The classic NOT IN + NULL three-valued-logic trap: a NULL in the subquery
+# makes NOT IN empty on BOTH standard engines.
+CORPUS["not_in_with_null_subquery"] = (
+    "SELECT COUNT(*) AS n FROM nation WHERE n_nationkey NOT IN "
+    "(SELECT CASE WHEN r_regionkey = 0 THEN NULL ELSE r_regionkey END FROM region)"
+)
+CORPUS["in_with_null_subquery_still_matches"] = (
+    "SELECT COUNT(*) AS n FROM nation WHERE n_regionkey IN "
+    "(SELECT CASE WHEN r_regionkey = 0 THEN NULL ELSE r_regionkey END FROM region)"
+)
+
+# Per-dimension fact counts (join-agg identities).
+for _dim, _key, _fact_key in (
+    ("customer", "c_custkey", "o_custkey"),
+    ("nation", "n_nationkey", "c_nationkey"),
+):
+    CORPUS[f"percount_{_dim}"] = (
+        f"SELECT CAST(COUNT(*) AS BIGINT) AS n FROM {_dim} "
+        f"JOIN {'orders' if _dim == 'customer' else 'customer'} ON {_key} = {_fact_key}"
+    )
+
+# MIN/MAX bounds per column type.
+CORPUS["bounds_lineitem_ints"] = (
+    "SELECT CAST(MIN(l_linenumber) AS INTEGER) AS mn, CAST(MAX(l_linenumber) AS INTEGER) AS mx, "
+    "MIN(l_orderkey) AS mnk, MAX(l_orderkey) AS mxk FROM lineitem"
+)
+CORPUS["bounds_orders_dates"] = (
+    "SELECT MIN(o_orderdate) AS mn, MAX(o_orderdate) AS mx FROM orders"
+)
+CORPUS["bounds_strings_flags"] = (
+    "SELECT MIN(l_returnflag) AS mnf, MAX(l_returnflag) AS mxf, "
+    "MIN(l_linestatus) AS mns, MAX(l_linestatus) AS mxs FROM lineitem"
+)
+CORPUS["bounds_after_filter"] = (
+    "SELECT MIN(p_size) AS mn, MAX(p_size) AS mx FROM part WHERE p_type = 'PROMO'"
+)
+
+# CASE-bucket count matrices.
+for _tbl, _col, _cut, _tag in (
+    ("part", "p_size", 25, "part_size"),
+    ("customer", "c_acctbal", 5000, "cust_acct"),
+    ("orders", "o_totalprice", 100000, "order_price"),
+    ("lineitem", "l_quantity", 25, "li_qty"),
+):
+    CORPUS[f"casebucket_{_tag}"] = (
+        f"SELECT CASE WHEN {_col} < {_cut} THEN 'lo' ELSE 'hi' END AS band, "
+        f"CAST(COUNT(*) AS BIGINT) AS n FROM {_tbl} GROUP BY 1 ORDER BY band"
+    )
+
+# More EXTRACT fields (shared semantics).
+CORPUS["extr_doy"] = (
+    "SELECT o_orderkey, CAST(EXTRACT(DOY FROM o_orderdate) AS INTEGER) AS doy "
+    "FROM orders WHERE o_orderkey <= 20 ORDER BY o_orderkey"
+)
+CORPUS["extr_dom_group"] = (
+    "SELECT CAST(EXTRACT(DAY FROM o_orderdate) AS INTEGER) AS dom, "
+    "CAST(COUNT(*) AS BIGINT) AS n FROM orders GROUP BY 1 ORDER BY dom"
+)
+
+# Integer arithmetic identities (exact in both engines).
+CORPUS["intm_large_products"] = (
+    "SELECT o_orderkey * 1000000 AS big FROM orders WHERE o_orderkey <= 10 "
+    "ORDER BY o_orderkey"
+)
+CORPUS["intm_nested_mod"] = (
+    "SELECT CAST(MOD(MOD(o_orderkey, 97), 13) AS INTEGER) AS r, CAST(COUNT(*) AS BIGINT) AS n "
+    "FROM orders GROUP BY 1 ORDER BY r"
+)
+CORPUS["intm_sum_of_keys"] = (
+    "SELECT CAST(SUM(n_nationkey) AS BIGINT) AS s FROM nation"
+)
+CORPUS["intm_parity_split"] = (
+    "SELECT CAST(o_orderkey % 2 AS INTEGER) AS parity, CAST(COUNT(*) AS BIGINT) AS n "
+    "FROM orders GROUP BY 1 ORDER BY parity"
+)
+
+# documents predicates (string ops on the non-TPC-H text table).
+CORPUS["docm_lang_in"] = (
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents WHERE lang IN ('en', 'de')"
+)
+CORPUS["docm_source_like"] = (
+    "SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents "
+    "WHERE source LIKE '%a%' GROUP BY source ORDER BY source"
+)
+CORPUS["docm_long_docs_per_lang"] = (
+    "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents "
+    "WHERE n_chars > 500 GROUP BY lang ORDER BY lang"
+)
+CORPUS["docm_text_prefix"] = (
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents WHERE SUBSTR(text, 1, 1) = 'T'"
+)
+
+# OFFSET / fetch-window matrix (deterministic total orders).
+CORPUS["offm_mid_page"] = (
+    "SELECT p_partkey FROM part ORDER BY p_partkey LIMIT 10 OFFSET 25"
+)
+CORPUS["offm_last_page_overrun"] = (
+    "SELECT r_regionkey FROM region ORDER BY r_regionkey LIMIT 10 OFFSET 3"
+)
+CORPUS["offm_offset_zero"] = (
+    "SELECT n_nationkey FROM nation ORDER BY n_nationkey LIMIT 3 OFFSET 0"
+)
+
+# UNION type widening and duplicate semantics.
+CORPUS["unim_int_bigint_widen"] = (
+    "SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation WHERE n_nationkey < 3 "
+    "UNION SELECT o_orderkey AS k FROM orders WHERE o_orderkey <= 2 ORDER BY k"
+)
+CORPUS["unim_union_all_count_identity"] = (
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM "
+    "(SELECT n_nationkey FROM nation UNION ALL SELECT n_nationkey FROM nation) t"
+)
+
+# HAVING without GROUP BY (global-aggregate HAVING).
+CORPUS["havm_global_true"] = (
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nation HAVING COUNT(*) > 10"
+)
+CORPUS["havm_global_false"] = (
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nation HAVING COUNT(*) > 1000"
+)
+
+# FILTER-clause matrix over order priorities.
+for _i, _p in enumerate(("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")):
+    CORPUS[f"filtm_prio_{_i}"] = (
+        f"SELECT CAST(COUNT(*) FILTER (WHERE o_orderpriority = '{_p}') AS BIGINT) AS n "
+        "FROM orders"
+    )
+
+# Join-shape extras.
+CORPUS["joinx_coalesce_key"] = (
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nation "
+    "JOIN region ON COALESCE(n_regionkey, -1) = r_regionkey"
+)
+CORPUS["joinx_cross_count_identity"] = (
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nation CROSS JOIN region"
+)
+CORPUS["joinx_self_pairs"] = (
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM region a JOIN region b "
+    "ON a.r_regionkey <> b.r_regionkey"
+)
+CORPUS["joinx_derived_both_sides"] = (
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM "
+    "(SELECT DISTINCT n_regionkey AS k FROM nation) a JOIN "
+    "(SELECT r_regionkey AS k FROM region) b ON a.k = b.k"
+)
+CORPUS["joinx_group_by_alias"] = (
+    "SELECT n_regionkey + 100 AS shifted, CAST(COUNT(*) AS BIGINT) AS n "
+    "FROM nation GROUP BY shifted ORDER BY shifted"
+)
+CORPUS["joinx_window_over_derived_join"] = (
+    "SELECT k, CAST(ROW_NUMBER() OVER (ORDER BY k) AS INTEGER) AS rn FROM "
+    "(SELECT DISTINCT n_regionkey AS k FROM nation) t ORDER BY k"
+)
+
+
 @pytest.fixture(scope="module", autouse=True)
 def _spark_views(spark):
     from hyrise_spark.catalog import load_tables
