@@ -597,3 +597,119 @@ def kmeans_iterate(
     return cents.join(counts, "cell", "left").select(
         "cell", F.col("cv").alias("centv"), "n_points"
     )
+
+
+# ---------------------------------------------------------------------------
+# OR-amplified multi-table LSH: L independent hyperplane tables; a candidate
+# qualifies if it shares a bucket with the query in ANY table. Single-table
+# LSH (above) keeps cost minimal but recall degrades with cluster spread —
+# multi-table is the standard recall lever (P[found] = 1-(1-p)^L), the same
+# amplification the MinHash dedup's banding applies. Plane weights are
+# md5-parity per (table, plane, dim), so the oracle builds identical tables.
+_N_TABLES = 4
+
+
+def _mt_plane_weight(t: int, p: int, d: int) -> int:
+    import hashlib
+
+    h = hashlib.md5(f"{t}:{p}|{d}".encode()).hexdigest()
+    return 1 if int(h[0], 16) % 2 == 0 else -1
+
+
+_MT_PLANES = [
+    [[_mt_plane_weight(t, p, d) for d in range(_DIM)] for p in range(_N_PLANES)]
+    for t in range(_N_TABLES)
+]
+
+
+def _mt_bucket_sql(vec_expr: str, t: int) -> str:
+    bits = []
+    for p, plane in enumerate(_MT_PLANES[t]):
+        terms = " + ".join(f"({w}) * {vec_expr}[{d + 1}]" for d, w in enumerate(plane))
+        bits.append(f"(CASE WHEN ({terms}) > 0 THEN (1 << {p}) ELSE 0 END)")
+    return " + ".join(bits)
+
+
+def _mt_buckets_spark(vec: Column) -> Column:
+    """array of L bucket ids, one per table (loops run inside codegen)."""
+    tables = F.lit([[[float(w) for w in plane] for plane in t] for t in _MT_PLANES])
+    return F.transform(
+        tables,
+        lambda planes: F.aggregate(
+            F.transform(
+                planes,
+                lambda plane: F.when(_dot(vec, plane) > 0, F.lit(1)).otherwise(F.lit(0)),
+            ),
+            F.lit(0),
+            lambda acc, b: acc * 2 + b,
+        ),
+    )
+
+
+@register(
+    "sim_lsh_multitable",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    sig AS (
+      SELECT vec_id, v,
+             {", ".join(f"{_mt_bucket_sql('v', t)} AS b{t}" for t in range(_N_TABLES))}
+      FROM e
+    ),
+    q AS (SELECT vec_id AS qid, v AS qv, {", ".join(f"b{t}" for t in range(_N_TABLES))}
+          FROM sig WHERE vec_id < {_N_QUERIES}),
+    c AS (SELECT vec_id AS cid, v AS cv, {", ".join(f"b{t}" for t in range(_N_TABLES))}
+          FROM sig WHERE vec_id >= {_N_QUERIES}),
+    cand AS (
+      {" UNION ".join(
+          f"SELECT qid, cid, qv, cv FROM q JOIN c ON q.b{t} = c.b{t}"
+          for t in range(_N_TABLES)
+      )}
+    ),
+    scored AS (
+      SELECT qid, cid,
+             list_inner_product(qv, cv) /
+               (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))) AS cs
+      FROM cand
+    ), ranked AS (
+      SELECT qid, cid, cs,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ROUND(cs, 6) DESC, cid) AS rn
+      FROM scored
+    )
+    SELECT qid, cid, ROUND(cs, 4) AS cos_sim, CAST(rn AS INT) AS rank
+    FROM ranked WHERE rn <= {_TOP_K}
+    """,
+    tags=("similarity", "lsh", "multitable"),
+)
+def sim_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    v = F.col("embedding").cast("array<double>")
+    sig = emb.select(
+        "vec_id", _normalize(v).alias("v"), _mt_buckets_spark(v).alias("bs")
+    ).localCheckpoint(eager=False)  # materialize once (same rationale as
+    # sim_lsh_bucket_join: signatures persist; no lambdas cross the self-join)
+    q = sig.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("bs").alias("qbs")
+    )
+    c = sig.filter(F.col("vec_id") >= _N_QUERIES).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("bs").alias("cbs")
+    )
+    # per-table bucket equi-joins, OR'd by union + distinct pair set
+    cand = None
+    for t in range(_N_TABLES):
+        part = F.broadcast(
+            q.select("qid", "qv", F.col("qbs")[t].alias("bkt"))
+        ).join(c.select("cid", "cv", F.col("cbs")[t].alias("bkt")), "bkt").select(
+            "qid", "cid", "qv", "cv"
+        )
+        cand = part if cand is None else cand.unionAll(part)
+    cand = cand.dropDuplicates(["qid", "cid"])
+    scored = cand.withColumn("cs", _dot(F.col("qv"), F.col("cv")))
+    w = Window.partitionBy("qid").orderBy(F.round(F.col("cs"), 6).desc(), F.col("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select(
+            "qid", "cid", F.round("cs", 4).alias("cos_sim"),
+            F.col("rn").cast("int").alias("rank"),
+        )
+    )
