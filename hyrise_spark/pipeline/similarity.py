@@ -687,22 +687,24 @@ def sim_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", _normalize(v).alias("v"), _mt_buckets_spark(v).alias("bs")
     ).localCheckpoint(eager=False)  # materialize once (same rationale as
     # sim_lsh_bucket_join: signatures persist; no lambdas cross the self-join)
+    # ONE equi-join on the composite (table, bucket) key instead of L
+    # separate joins: explode each side's L buckets to (t, bkt) rows — the
+    # identical OR'd candidate set, one broadcast/shuffle instead of L, and
+    # no per-table loop in the plan.
     q = sig.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("bs").alias("qbs")
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
+        F.posexplode("bs").alias("t", "bkt"),
     )
     c = sig.filter(F.col("vec_id") >= _N_QUERIES).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv"), F.col("bs").alias("cbs")
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"),
+        F.posexplode("bs").alias("t", "bkt"),
     )
-    # per-table bucket equi-joins, OR'd by union + distinct pair set
-    cand = None
-    for t in range(_N_TABLES):
-        part = F.broadcast(
-            q.select("qid", "qv", F.col("qbs")[t].alias("bkt"))
-        ).join(c.select("cid", "cv", F.col("cbs")[t].alias("bkt")), "bkt").select(
-            "qid", "cid", "qv", "cv"
-        )
-        cand = part if cand is None else cand.unionAll(part)
-    cand = cand.dropDuplicates(["qid", "cid"])
+    cand = (
+        F.broadcast(q)
+        .join(c, ["t", "bkt"])
+        .select("qid", "cid", "qv", "cv")
+        .dropDuplicates(["qid", "cid"])
+    )
     scored = cand.withColumn("cs", _dot(F.col("qv"), F.col("cv")))
     w = Window.partitionBy("qid").orderBy(F.round(F.col("cs"), 6).desc(), F.col("cid"))
     return (
