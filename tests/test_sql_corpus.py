@@ -1170,6 +1170,117 @@ CORPUS["joinx_window_over_derived_join"] = (
 )
 
 
+# Wave 5: scalar-subquery positions, sort-stability probes, type-coercion
+# edges, nested set ops, expression-in-every-clause forms.
+CORPUS["pos_scalar_in_order_by"] = (
+    "SELECT n_name FROM nation "
+    "ORDER BY n_nationkey - (SELECT MIN(n_nationkey) FROM nation), n_name LIMIT 10"
+)
+CORPUS["pos_scalar_in_case"] = (
+    "SELECT n_name, CASE WHEN n_nationkey > (SELECT CAST(AVG(n_nationkey) AS INTEGER) FROM nation) "
+    "THEN 'upper' ELSE 'lower' END AS half FROM nation ORDER BY n_name"
+)
+CORPUS["pos_scalar_arithmetic"] = (
+    "SELECT CAST((SELECT COUNT(*) FROM nation) * (SELECT COUNT(*) FROM region) AS BIGINT) AS product"
+)
+CORPUS["pos_two_scalars_compared"] = (
+    "SELECT (SELECT COUNT(*) FROM nation) > (SELECT COUNT(*) FROM region) AS more_nations"
+)
+CORPUS["pos_subquery_in_having"] = (
+    "SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n FROM nation GROUP BY n_regionkey "
+    "HAVING COUNT(*) = (SELECT MAX(cnt) FROM "
+    "(SELECT COUNT(*) AS cnt FROM nation GROUP BY n_regionkey) t) ORDER BY n_regionkey"
+)
+
+# Set-op nesting and precedence.
+CORPUS["setn_except_of_union"] = (
+    "SELECT k FROM (SELECT n_nationkey AS k FROM nation WHERE n_nationkey < 10 "
+    "UNION SELECT n_nationkey AS k FROM nation WHERE n_nationkey BETWEEN 5 AND 15) t "
+    "WHERE k NOT IN (SELECT r_regionkey FROM region) ORDER BY k"
+)
+CORPUS["setn_intersect_chain_three"] = (
+    "SELECT n_nationkey AS k FROM nation WHERE n_nationkey < 20 "
+    "INTERSECT SELECT n_nationkey AS k FROM nation WHERE n_nationkey > 5 "
+    "INTERSECT SELECT n_nationkey AS k FROM nation WHERE n_nationkey % 2 = 0 ORDER BY k"
+)
+CORPUS["setn_union_then_agg"] = (
+    "SELECT CAST(SUM(k) AS BIGINT) AS s FROM ("
+    "SELECT n_nationkey AS k FROM nation UNION ALL SELECT r_regionkey AS k FROM region) t"
+)
+
+# Type-coercion edges that are deterministic in both engines.
+CORPUS["coer_int_string_concat_cast"] = (
+    "SELECT CONCAT(CAST(n_nationkey AS VARCHAR(5)), ':', n_name) AS tagd "
+    "FROM nation WHERE n_nationkey < 5 ORDER BY tagd"
+)
+CORPUS["coer_bigint_int_compare"] = (
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders "
+    "WHERE o_orderkey = CAST(100 AS BIGINT)"
+)
+CORPUS["coer_case_branch_widening"] = (
+    "SELECT CASE WHEN n_nationkey < 5 THEN CAST(n_nationkey AS BIGINT) "
+    "ELSE CAST(-1 AS BIGINT) END AS v FROM nation ORDER BY v, n_nationkey"
+)
+
+# Expression-heavy WHERE / GROUP BY / ORDER BY in one statement.
+CORPUS["exprall_everything_clause"] = (
+    "SELECT UPPER(SUBSTR(n_name, 1, 6)) AS pre, CAST(COUNT(*) AS BIGINT) AS n "
+    "FROM nation WHERE LENGTH(n_name) > 7 AND n_nationkey % 3 <> 1 "
+    "GROUP BY UPPER(SUBSTR(n_name, 1, 6)) "
+    "HAVING COUNT(*) >= 1 ORDER BY n DESC, pre"
+)
+CORPUS["exprall_join_on_function"] = (
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nation a JOIN nation b "
+    "ON MOD(a.n_nationkey, 5) = MOD(b.n_nationkey, 5)"
+)
+CORPUS["exprall_between_expressions"] = (
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM part "
+    "WHERE p_size BETWEEN 10 + 5 AND 50 - 10"
+)
+
+# DISTINCT forms.
+CORPUS["dist_count_distinct_expr"] = (
+    "SELECT CAST(COUNT(DISTINCT p_size % 10) AS BIGINT) AS n FROM part"
+)
+CORPUS["dist_distinct_star_small"] = (
+    "SELECT DISTINCT n_regionkey FROM nation ORDER BY n_regionkey"
+)
+CORPUS["dist_distinct_multi_expr"] = (
+    "SELECT DISTINCT o_orderstatus, CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS y "
+    "FROM orders ORDER BY o_orderstatus, y"
+)
+
+# Window + set-op / subquery compositions.
+CORPUS["wcomp_rank_of_union"] = (
+    "SELECT k, CAST(DENSE_RANK() OVER (ORDER BY k) AS INTEGER) AS dr FROM ("
+    "SELECT n_regionkey AS k FROM nation UNION SELECT r_regionkey AS k FROM region) t "
+    "ORDER BY k"
+)
+CORPUS["wcomp_window_in_subquery_filtered"] = (
+    "SELECT o_orderkey FROM ("
+    "SELECT o_orderkey, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn "
+    "FROM orders) t WHERE rn = 1 AND o_orderkey <= 200 ORDER BY o_orderkey"
+)
+CORPUS["wcomp_agg_of_window"] = (
+    "SELECT CAST(MAX(rn) AS INTEGER) AS deepest FROM ("
+    "SELECT ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn FROM orders) t"
+)
+
+# LEFT JOIN null-extension counting (outer-join 3VL).
+CORPUS["ljn_count_unmatched"] = (
+    "SELECT CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS never_ordered "
+    "FROM customer LEFT JOIN orders ON c_custkey = o_custkey"
+)
+CORPUS["ljn_coalesce_in_agg"] = (
+    "SELECT CAST(COUNT(COALESCE(o_orderkey, -1)) AS BIGINT) AS n "
+    "FROM customer LEFT JOIN orders ON c_custkey = o_custkey AND o_totalprice > 1e12"
+)
+CORPUS["ljn_is_null_predicate_after_join"] = (
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer "
+    "LEFT JOIN orders ON c_custkey = o_custkey WHERE o_orderkey IS NULL"
+)
+
+
 @pytest.fixture(scope="module", autouse=True)
 def _spark_views(spark):
     from hyrise_spark.catalog import load_tables
