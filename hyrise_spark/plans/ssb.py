@@ -194,13 +194,21 @@ def _flight3(spark, sf_dir, cust_geo: DataFrame, supp_geo: DataFrame,
     s_geo = supp_geo.select(
         F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("s_nation")
     )
+    # Half-open date range instead of year(o_orderdate) BETWEEN: the raw-column
+    # comparison reaches the parquet scan (PushedFilters + row-group pruning),
+    # while a year() wrapper would force a full orders read. Mirrors hyrise's
+    # ChunkPruningRule needing the raw column
+    # (reference: src/lib/optimizer/strategy/chunk_pruning_rule.cpp).
+    orders = orders.filter(
+        (F.col("o_orderdate") >= f"{y_lo}-01-01")
+        & (F.col("o_orderdate") < f"{y_hi + 1}-01-01")
+    )
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(c_geo, F.col("c_nationkey") == F.col("c_nk"))
         .join(s_geo, F.col("s_nationkey") == F.col("s_nk"))
-        .filter(F.year("o_orderdate").between(y_lo, y_hi))
         .groupBy("c_nation", "s_nation", F.year("o_orderdate").alias("d_year"))
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), R2).alias("revenue"))
         .select("c_nation", "s_nation", "d_year", "revenue")

@@ -62,6 +62,43 @@ def _ts_range(col: str, start: str, end: str):
     return (F.col(col) >= F.lit(start)) & (F.col(col) < F.lit(end))
 
 
+# Year span of the synthetic dataset (TESTDATA.md: 1995..2001) with margin on
+# both sides. In production the engine would take min/max from table stats;
+# here the span is a dataset property the month-range rewrites rely on.
+_DATA_YEARS = tuple(range(1994, 2003))
+
+
+def _or_all(conds):
+    out = conds[0]
+    for c in conds[1:]:
+        out = out | c
+    return out
+
+
+def _month_ranges(col: str, m_lo: int, m_hi: int | None = None):
+    """month(col) BETWEEN m_lo AND m_hi (any year) rewritten as an OR of
+    per-year half-open raw-column ranges. Unlike the month() wrapper, the OR
+    of ranges reaches the parquet scan (PushedFilters) and prunes row groups —
+    at 100 TB a month()== filter silently reads the whole fact table."""
+    m_hi = m_lo if m_hi is None else m_hi
+    end = lambda y: f"{y + 1}-01-01" if m_hi == 12 else f"{y}-{m_hi + 1:02d}-01"
+    return _or_all([
+        (F.col(col) >= f"{y}-{m_lo:02d}-01") & (F.col(col) < end(y))
+        for y in _DATA_YEARS
+    ])
+
+
+def _first_days_ranges(col: str, last_day: int):
+    """dayofmonth(col) <= last_day (any month/year) as an OR of per-month
+    half-open ranges [y-m-01, y-m-(last_day+1)) — pushable, unlike the
+    dayofmonth() wrapper."""
+    return _or_all([
+        (F.col(col) >= f"{y}-{m:02d}-01") & (F.col(col) < f"{y}-{m:02d}-{last_day + 1:02d}")
+        for y in _DATA_YEARS
+        for m in range(1, 13)
+    ])
+
+
 # --------------------------------------------------------------------------
 # Q1: customer_total_return per (customer, state); keep customers whose
 # returns exceed 1.2x their state's average. state -> customer nation.
@@ -128,7 +165,7 @@ def tpcds_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpcds_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     li, part = _t(spark, sf_dir, "lineitem", "part")
     return (
-        li.filter(F.month("l_shipdate") == 11)
+        li.filter(_month_ranges("l_shipdate", 11))
         .join(F.broadcast(part.filter(F.col("p_type") == "PROMO")), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.year("l_shipdate").cast("int").alias("d_year"), "p_brand")
         .agg(F.round(F.sum("l_extendedprice"), R2).alias("sum_agg"))
@@ -388,7 +425,7 @@ def tpcds_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(
-            orders.filter(F.month("o_orderdate") == 11),
+            orders.filter(_month_ranges("o_orderdate", 11)),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
@@ -419,7 +456,7 @@ def tpcds_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpcds_q42(spark: SparkSession, sf_dir: str) -> DataFrame:
     li, part = _t(spark, sf_dir, "lineitem", "part")
     return (
-        li.filter(F.month("l_shipdate") == 12)
+        li.filter(_month_ranges("l_shipdate", 12))
         .join(F.broadcast(part.filter(F.col("p_size") < 6)), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.year("l_shipdate").cast("int").alias("d_year"), "p_type")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), R2).alias("revenue"))
@@ -1053,17 +1090,19 @@ def tpcds_q25(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).filter(
         _ts_range("o_orderdate", "1997-01-01", "1998-01-01")
     )
+    # the year is fixed to 1997, so each month window folds into an exact
+    # pushable raw-column range (month() wrapper would defeat row-group skip)
     ss = lo.filter(
         (F.col("l_returnflag") != "R")
-        & (F.month("o_orderdate") == 4)
+        & _ts_range("o_orderdate", "1997-04-01", "1997-05-01")
         & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     ).select(F.col("o_custkey").alias("cust"), F.col("l_extendedprice").alias("price"))
     sr = lo.filter(
-        (F.col("l_returnflag") == "R") & F.month("o_orderdate").between(4, 10)
+        (F.col("l_returnflag") == "R") & _ts_range("o_orderdate", "1997-04-01", "1997-11-01")
     ).select(F.col("o_custkey").alias("cust"), F.col("l_extendedprice").alias("ret_price"))
     ws = lo.filter(
         (F.col("l_returnflag") != "R")
-        & F.month("o_orderdate").between(4, 10)
+        & _ts_range("o_orderdate", "1997-04-01", "1997-11-01")
         & F.col("o_orderpriority").isin("4-NOT SPECIFIED", "5-LOW")
     ).select(F.col("o_custkey").alias("cust"), F.col("l_extendedprice").alias("web_price"))
     return (
@@ -1620,17 +1659,18 @@ def tpcds_q29(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).filter(
         _ts_range("o_orderdate", "1997-01-01", "1998-01-01")
     )
+    # year fixed to 1997 — each month window folds into an exact pushable range
     ss = lo.filter(
         (F.col("l_returnflag") != "R")
-        & (F.month("o_orderdate") == 4)
+        & _ts_range("o_orderdate", "1997-04-01", "1997-05-01")
         & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     ).select(F.col("o_custkey").alias("cust"), F.col("l_quantity").alias("q"))
     sr = lo.filter(
-        (F.col("l_returnflag") == "R") & F.month("o_orderdate").between(4, 7)
+        (F.col("l_returnflag") == "R") & _ts_range("o_orderdate", "1997-04-01", "1997-08-01")
     ).select(F.col("o_custkey").alias("cust"), F.col("l_quantity").alias("rq"))
     ws = lo.filter(
         (F.col("l_returnflag") != "R")
-        & F.month("o_orderdate").between(4, 10)
+        & _ts_range("o_orderdate", "1997-04-01", "1997-11-01")
         & F.col("o_orderpriority").isin("4-NOT SPECIFIED", "5-LOW")
     ).select(F.col("o_custkey").alias("cust"), F.col("l_quantity").alias("wq"))
     return (
@@ -1752,7 +1792,7 @@ def tpcds_q39b(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpcds_q52(spark: SparkSession, sf_dir: str) -> DataFrame:
     li, part = _t(spark, sf_dir, "lineitem", "part")
     return (
-        li.filter(F.month("l_shipdate") == 12)
+        li.filter(_month_ranges("l_shipdate", 12))
         .join(F.broadcast(part.filter(F.col("p_type") == "ECONOMY")), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.year("l_shipdate").cast("int").alias("d_year"), "p_brand")
         .agg(F.round(F.sum("l_extendedprice"), R2).alias("ext_price"))
@@ -1991,16 +2031,18 @@ def tpcds_q83(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.filter(_ts_range("o_orderdate", "1997-01-01", "1998-01-01")), F.col("l_orderkey") == F.col("o_orderkey")
     )
 
-    def window_counts(months, alias):
+    # contiguous month triples within the fixed 1997 year fold into exact
+    # pushable quarter ranges (month() isin would defeat row-group pruning)
+    def window_counts(start: str, end: str, alias: str):
         return (
-            ret.filter(F.month("o_orderdate").isin(*months))
+            ret.filter(_ts_range("o_orderdate", start, end))
             .groupBy("l_partkey")
             .agg(F.count(F.lit(1)).alias(alias))
         )
 
-    r1 = window_counts([1, 2, 3], "c1")
-    r2 = window_counts([4, 5, 6], "c2")
-    r3 = window_counts([7, 8, 9], "c3")
+    r1 = window_counts("1997-01-01", "1997-04-01", "c1")
+    r2 = window_counts("1997-04-01", "1997-07-01", "c2")
+    r3 = window_counts("1997-07-01", "1997-10-01", "c3")
     return (
         r1.join(r2, "l_partkey")
         .join(r3, "l_partkey")
@@ -3103,21 +3145,20 @@ def tpcds_q38(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpcds_q59(spark: SparkSession, sf_dir: str) -> DataFrame:
     li, supp, nation = _t(spark, sf_dir, "lineitem", "supplier", "nation")
-    weekly = (
-        li.filter(_ts_range("l_shipdate", "1997-01-01", "1999-01-01"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
-        .groupBy(
-            "n_name",
-            F.year("l_shipdate").cast("int").alias("y"),
-            F.weekofyear("l_shipdate").cast("int").alias("wk"),
+    # one ranged scan per year: Catalyst duplicates the shared subtree anyway,
+    # and a per-year half-open range prunes row groups where the previous
+    # y == 1997 filter on the derived year() column could not
+    def weekly(y: int) -> DataFrame:
+        return (
+            li.filter(_ts_range("l_shipdate", f"{y}-01-01", f"{y + 1}-01-01"))
+            .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+            .groupBy("n_name", F.weekofyear("l_shipdate").cast("int").alias("wk"))
+            .agg(F.sum("l_extendedprice").alias("rev"))
         )
-        .agg(F.sum("l_extendedprice").alias("rev"))
-    )
-    a = weekly.filter(F.col("y") == 1997).select(
-        "n_name", "wk", F.col("rev").alias("rev_a")
-    )
-    b = weekly.filter(F.col("y") == 1998).select(
+
+    a = weekly(1997).select("n_name", "wk", F.col("rev").alias("rev_a"))
+    b = weekly(1998).select(
         F.col("n_name").alias("b_n"), F.col("wk").alias("b_wk"), F.col("rev").alias("rev_b")
     )
     return (
@@ -3164,17 +3205,21 @@ def tpcds_q75(spark: SparkSession, sf_dir: str) -> DataFrame:
     net = F.when(F.col("l_returnflag") == "R", -F.col("l_extendedprice")).otherwise(
         F.col("l_extendedprice")
     )
-    t = (
-        li.join(
-            orders.filter(_ts_range("o_orderdate", "1997-01-01", "1999-01-01")),
-            F.col("l_orderkey") == F.col("o_orderkey"),
+    # per-year ranged scans (see tpcds_q59): the derived-y filter could not
+    # prune row groups; a single-year half-open range can
+    def yearly(y: int) -> DataFrame:
+        return (
+            li.join(
+                orders.filter(_ts_range("o_orderdate", f"{y}-01-01", f"{y + 1}-01-01")),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+            .groupBy("p_brand")
+            .agg(F.sum(net).alias("amt"))
         )
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .groupBy("p_brand", F.year("o_orderdate").cast("int").alias("y"))
-        .agg(F.sum(net).alias("amt"))
-    )
-    cur = t.filter(F.col("y") == 1998).select("p_brand", F.col("amt").alias("cur_amt_raw"))
-    prev = t.filter(F.col("y") == 1997).select(
+
+    cur = yearly(1998).select("p_brand", F.col("amt").alias("cur_amt_raw"))
+    prev = yearly(1997).select(
         F.col("p_brand").alias("prev_brand"), F.col("amt").alias("prev_amt_raw")
     )
     return (
@@ -3334,22 +3379,30 @@ _DOW_NAMES = ("sun", "mon", "tue", "wed", "thu", "fri", "sat")
 )
 def tpcds_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     li, orders = _t(spark, sf_dir, "lineitem", "orders")
-    sales = li.join(
-        orders.filter(F.col("o_orderpriority").isin(*(_CATALOG + _WEB))),
-        F.col("l_orderkey") == F.col("o_orderkey"),
-    ).select(
-        F.year("o_orderdate").alias("y"),
-        F.weekofyear("o_orderdate").alias("w"),
-        (F.dayofweek("o_orderdate") - 1).alias("dow"),
-        F.col("l_extendedprice").alias("price"),
-    )
-    wk = sales.groupBy("y", "w").agg(
-        *[
-            F.sum(F.when(F.col("dow") == d, F.col("price")).otherwise(0.0)).alias(n)
-            for d, n in enumerate(_DOW_NAMES)
-        ]
-    )
-    a, b = wk.filter(F.col("y") == 1997).alias("a"), wk.filter(F.col("y") == 1998).alias("b")
+
+    # per-year ranged scans: only y=1997/1998 rows survive the join anyway,
+    # and the raw-column range prunes row groups where the pushed-through
+    # year() == filter on the derived column could not
+    def wk_year(y: int) -> DataFrame:
+        sales = li.join(
+            orders.filter(
+                F.col("o_orderpriority").isin(*(_CATALOG + _WEB))
+                & _ts_range("o_orderdate", f"{y}-01-01", f"{y + 1}-01-01")
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        ).select(
+            F.weekofyear("o_orderdate").alias("w"),
+            (F.dayofweek("o_orderdate") - 1).alias("dow"),
+            F.col("l_extendedprice").alias("price"),
+        )
+        return sales.groupBy("w").agg(
+            *[
+                F.sum(F.when(F.col("dow") == d, F.col("price")).otherwise(0.0)).alias(n)
+                for d, n in enumerate(_DOW_NAMES)
+            ]
+        )
+
+    a, b = wk_year(1997).alias("a"), wk_year(1998).alias("b")
 
     def ratio(n):
         num, den = F.col(f"b.{n}"), F.col(f"a.{n}")
@@ -4318,8 +4371,8 @@ def tpcds_q54(spark: SparkSession, sf_dir: str) -> DataFrame:
     my_customers = (
         orders.filter(
             F.col("o_orderpriority").isin(*(_CATALOG + _WEB))
-            & _ts_range("o_orderdate", "1997-01-01", "1998-01-01")
-            & (F.month("o_orderdate") == 3)
+            # March 1997 as an exact pushable range (was year range + month())
+            & _ts_range("o_orderdate", "1997-03-01", "1997-04-01")
         )
         .select(F.col("o_custkey").alias("ck"))
         .distinct()
@@ -4644,24 +4697,24 @@ def tpcds_q64(spark: SparkSession, sf_dir: str) -> DataFrame:
     returned_pk = (
         li.filter(F.col("l_returnflag") == "R").select(F.col("l_partkey").alias("rpk")).distinct()
     )
-    sales = (
-        li.join(
-            orders.filter(
-                F.col("o_orderpriority").isin(*_STORE) & _ts_range("o_orderdate", "1997-01-01", "1999-01-01")
-            ),
-            F.col("l_orderkey") == F.col("o_orderkey"),
+    # per-year ranged scans (see tpcds_q59): each branch reads only its year
+    def sales(y: int) -> DataFrame:
+        return (
+            li.join(
+                orders.filter(
+                    F.col("o_orderpriority").isin(*_STORE)
+                    & _ts_range("o_orderdate", f"{y}-01-01", f"{y + 1}-01-01")
+                ),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .join(F.broadcast(returned_pk), F.col("l_partkey") == F.col("rpk"), "left_semi")
+            .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+            .groupBy(F.col("l_partkey").alias("pk"), F.col("s_nationkey").alias("nk"))
+            .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
         )
-        .join(F.broadcast(returned_pk), F.col("l_partkey") == F.col("rpk"), "left_semi")
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
-        .groupBy(
-            F.col("l_partkey").alias("pk"),
-            F.col("s_nationkey").alias("nk"),
-            F.year("o_orderdate").alias("y"),
-        )
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
-    )
-    s1 = sales.filter(F.col("y") == 1997).alias("s1")
-    s2 = sales.filter(F.col("y") == 1998).alias("s2")
+
+    s1 = sales(1997).alias("s1")
+    s2 = sales(1998).alias("s2")
     return (
         s1.join(
             s2,
@@ -4774,7 +4827,7 @@ def tpcds_q68(spark: SparkSession, sf_dir: str) -> DataFrame:
     li, orders, cust, supp = _t(spark, sf_dir, "lineitem", "orders", "customer", "supplier")
     return (
         li.join(
-            orders.filter(F.dayofmonth("o_orderdate") <= 3),
+            orders.filter(_first_days_ranges("o_orderdate", 3)),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(
