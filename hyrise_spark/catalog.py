@@ -78,11 +78,22 @@ def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
     file that bypasses this function silently yields LONG columns instead of
     failing loudly — always read through the catalog (load_tables/_read_parquet).
     """
+    import glob
+
     import pyarrow.parquet as pq
     import pyspark.sql.functions as F
 
+    # Spark-written tables are DIRECTORIES of part files (the normal layout
+    # at scale); pyarrow's read_schema wants a single file — any part file's
+    # footer carries the table schema.
+    schema_path = path
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not parts:
+            return spark.read.parquet(path)
+        schema_path = parts[0]
     nano_cols = [
-        f.name for f in pq.read_schema(path) if str(f.type).startswith("timestamp[ns")
+        f.name for f in pq.read_schema(schema_path) if str(f.type).startswith("timestamp[ns")
     ]
     if not nano_cols:
         return spark.read.parquet(path)

@@ -50,6 +50,9 @@ _TXN_RE = re.compile(
     re.I,
 )
 _META_REF_RE = re.compile(r"\bmeta_\w+", re.I)
+# single source of truth for ROLLBACK detection — used both for the meta_log
+# status tag and the unsupported-operation warning
+_ROLLBACK_RE = re.compile(r"^\s*ROLLBACK\b", re.I)
 
 
 class Engine:
@@ -80,7 +83,7 @@ class Engine:
             "status": "ok",
             "duration_ms": 0,
         }
-        if re.match(r"^\s*ROLLBACK\b", stmt, re.I):
+        if _ROLLBACK_RE.match(stmt):
             entry["status"] = "unsupported"
         t0 = _time.perf_counter()
         try:
@@ -122,7 +125,7 @@ class Engine:
             # already been applied — so silently ignoring it would keep
             # partial writes the caller asked to abort. Warn loudly; the
             # meta_log entry is marked status='unsupported' by the caller.
-            if re.match(r"^\s*ROLLBACK\b", stmt, re.I):
+            if _ROLLBACK_RE.match(stmt):
                 import warnings
 
                 warnings.warn(

@@ -568,15 +568,23 @@ def kmeans_iterate(
             .groupBy("cell", "dim")
             .agg(F.avg("x").alias("m"))
         )
-        cents = (
+        new_cents = (
             per_dim.groupBy("cell")
             .agg(
                 F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("packed")
             )
             .select(
                 "cell",
-                _normalize(F.transform(F.col("packed"), lambda s: s["m"])).alias("cv"),
+                _normalize(F.transform(F.col("packed"), lambda s: s["m"])).alias("new_cv"),
             )
+        )
+        # groupBy only emits populated cells: carry the previous centroid
+        # forward when a cell empties this round, so the result always has
+        # exactly k centroids (standard Lloyd empty-cell policy)
+        cents = (
+            cents.select("cell", F.col("cv").alias("prev_cv"))
+            .join(new_cents, "cell", "left")
+            .select("cell", F.coalesce("new_cv", "prev_cv").alias("cv"))
         )
         # truncate lineage: each round's plan would otherwise nest the
         # previous round's (same reasoning as the CC fixpoint in dedup.py)
@@ -595,7 +603,9 @@ def kmeans_iterate(
         .agg(F.count(F.lit(1)).alias("n_points"))
     )
     return cents.join(counts, "cell", "left").select(
-        "cell", F.col("cv").alias("centv"), "n_points"
+        "cell",
+        F.col("cv").alias("centv"),
+        F.coalesce("n_points", F.lit(0)).alias("n_points"),
     )
 
 

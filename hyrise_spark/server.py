@@ -60,6 +60,15 @@ class _Handler(socketserver.StreamRequestHandler):
                 return
             if not line:
                 return
+            if len(line) >= _MAX_LINE and not line.endswith(b"\n"):
+                # readline hit the size cap mid-request: the rest of the
+                # oversized request is still in the stream and would be parsed
+                # as the next request — report and close instead of desyncing
+                resp = {"status": "error",
+                        "error": f"RequestTooLarge: request exceeds {_MAX_LINE} bytes"}
+                self.wfile.write((json.dumps(resp) + "\n").encode())
+                self.wfile.flush()
+                return
             line = line.strip()
             if not line:
                 continue

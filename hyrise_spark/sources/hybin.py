@@ -257,10 +257,17 @@ def write_bin(df: DataFrame, path: str, chunk_size: int = _CHUNK_SIZE) -> None:
                 vals = [r[ci] for r in chunk]
                 f.write(struct.pack("<B", 0))  # Unencoded
                 has_null = any(v is None for v in vals)
+                if has_null and not cnull:
+                    # a null in a non-nullable column would desync the format:
+                    # the null bitmap is only framed by the nullable marker byte
+                    raise ValueError(
+                        f".bin export: column {names[ci]!r} is declared "
+                        "non-nullable but contains NULLs"
+                    )
                 if cnull:
                     f.write(struct.pack("<B", int(has_null)))
-                if has_null:
-                    f.write(bytes(int(v is None) for v in vals))
+                    if has_null:
+                        f.write(bytes(int(v is None) for v in vals))
                 if ctype == "string":
                     _write_strings(f, ["" if v is None else v for v in vals])
                 else:

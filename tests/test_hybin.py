@@ -86,6 +86,32 @@ def test_roundtrip_nulls_and_chunking(spark, tmp_path):
     assert _rows(read_bin(spark, path)) == _rows(df)
 
 
+def test_write_rejects_null_in_non_nullable_column(spark, tmp_path):
+    """A NULL inside a declared non-nullable column must raise, not emit a
+    null bitmap the segment framing can't represent (parser desync)."""
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    schema = StructType([
+        StructField("k", IntegerType(), False),
+        StructField("s", StringType(), False),  # declared non-nullable
+    ])
+
+    # Spark itself refuses to materialize a null in a non-nullable column, so
+    # exercise write_bin's guard through the minimal surface it consumes
+    # (schema / columns / collect) — the scenario arrives in practice via
+    # schema-lying external sources.
+    class _LyingDF:
+        def __init__(self):
+            self.schema = schema
+            self.columns = [f.name for f in schema.fields]
+
+        def collect(self):
+            return [(1, "a"), (2, None)]
+
+    with pytest.raises(ValueError, match="non-nullable"):
+        write_bin(_LyingDF(), str(tmp_path / "bad.bin"))
+
+
 def test_read_any_sniffs_hyrise_vs_parquet(spark, tmp_path):
     df = spark.createDataFrame([(1, "x")], "k int, s string")
     hy = str(tmp_path / "native.bin")

@@ -74,6 +74,24 @@ def test_malformed_request_is_error(server):
         assert resp["status"] == "error"
 
 
+def test_oversized_request_errors_and_closes(server):
+    """A request longer than the 10 MiB line cap must get an error response
+    and a closed connection — NOT have its tail parsed as the next request
+    (protocol desync)."""
+    from hyrise_spark.server import _MAX_LINE
+
+    with socket.create_connection(("127.0.0.1", server.port), timeout=60) as s:
+        f = s.makefile("rwb")
+        payload = b'{"sql": "SELECT \'' + b"x" * (_MAX_LINE + 1024) + b"' AS v\"}\n"
+        f.write(payload)
+        f.flush()
+        resp = json.loads(f.readline())
+        assert resp["status"] == "error"
+        assert "RequestTooLarge" in resp["error"]
+        # server closed the connection instead of parsing the oversized tail
+        assert f.readline() == b""
+
+
 def test_max_rows_cap(client, spark):
     spark.range(1000).createOrReplaceTempView("srv_big")
     resp = client.execute("SELECT * FROM srv_big")
