@@ -21,8 +21,20 @@ fixtures under `resources/test_data/bin/`:
     2 RunLength:   run count u32 | run values | run null bytes | end offsets u32
     3 FixedStringDictionary: id u8 | string length u32
                    | dict chars | attribute vector
-    4 FrameOfReference / 5 LZ4: not read here (FoR/LZ4 are in-memory
-                   encodings; export defaults produce 0-3) — clear error.
+    4 FrameOfReference (int32 only, frame_of_reference_segment.hpp:33-49):
+                   cv id u8 | block count u32 | i32 block minima
+                   | has-nulls u8 [| null bytes x rows]
+                   | offset vector (value = minima[row // 2048] + offset;
+                   null rows store offset 0)
+    5 LZ4 (lz4_segment.hpp:36-97, binary_writer.cpp:300-355):
+                   rows u32 | block count u32 | block size u32 (16384)
+                   | last block size u32 | per-block compressed sizes u32
+                   | LZ4-block-format blocks | null size u32 [| null bytes]
+                   | dict size u32 | dict chars | string-offsets size u32
+                   [| BitPacking compact vector of string start offsets].
+                   Blocks decompress independently with the (zstd-trained)
+                   dictionary as an LZ4 prefix dict; numeric payload is the
+                   raw value array, string payload is concatenated chars.
 
   value arrays: int i32 | long i64 | float f32 | double f64
                 string = u64 length array then concatenated utf-8 bytes
@@ -70,6 +82,8 @@ _TYPE_OF_SPARK = {
     "StringType()": "string",
 }
 _CHUNK_SIZE = 65535  # chunk.hpp:52 default
+_FOR_BLOCK_SIZE = 2048  # frame_of_reference_segment.hpp:49
+_LZ4_BLOCK_SIZE = 16 * 1024  # lz4_encoder.hpp:61
 
 
 # ---------------------------------------------------------------------------
@@ -175,6 +189,117 @@ def _decode_run_length(f, col_type, rows):
     return out
 
 
+def _decode_frame_of_reference(f, col_type, rows):
+    # int32-only in the reference (frame_of_reference_segment.hpp:33-37)
+    if col_type != "int":
+        raise ValueError(f"FrameOfReference .bin segment on non-int column ({col_type})")
+    (cv_type,) = _read(f, "<B")
+    (block_count,) = _read(f, "<I")
+    minima = np.frombuffer(f.read(4 * block_count), "<i4")
+    (has_nulls,) = _read(f, "<B")
+    nulls = (
+        np.frombuffer(f.read(rows), "<u1").astype(bool)
+        if has_nulls
+        else np.zeros(rows, dtype=bool)
+    )
+    offsets = _read_attribute_vector(f, rows, cv_type)
+    return [
+        None if nulls[i] else int(minima[i // _FOR_BLOCK_SIZE]) + int(offsets[i])
+        for i in range(rows)
+    ]
+
+
+def _lz4_block_decompress(src: bytes, dst_size: int, dictionary: bytes = b"") -> bytes:
+    """LZ4 *block* format decoder with optional prefix dictionary
+    (LZ4_decompress_safe_usingDict semantics: matches may reach back into the
+    dictionary). Pure python — acceptable for the driver-side ingest-once
+    path this format serves; the data is re-laid-out to parquet immediately."""
+    buf = bytearray(dictionary)
+    base = len(buf)
+    i, n = 0, len(src)
+    while i < n:
+        token = src[i]
+        i += 1
+        lit = token >> 4
+        if lit == 15:
+            while True:
+                b = src[i]
+                i += 1
+                lit += b
+                if b != 255:
+                    break
+        buf += src[i:i + lit]
+        i += lit
+        if i >= n:
+            break  # final sequence is literals-only by format rule
+        offset = src[i] | (src[i + 1] << 8)
+        i += 2
+        mlen = (token & 0xF) + 4
+        if (token & 0xF) == 15:
+            while True:
+                b = src[i]
+                i += 1
+                mlen += b
+                if b != 255:
+                    break
+        start = len(buf) - offset
+        if offset == 0 or start < 0:
+            raise ValueError("corrupt LZ4 block: bad match offset")
+        if offset >= mlen:
+            buf += buf[start:start + mlen]
+        else:  # overlapping match: byte-wise copy is the defined behavior
+            for k in range(mlen):
+                buf.append(buf[start + k])
+    out = bytes(buf[base:])
+    if len(out) != dst_size:
+        raise ValueError(f"LZ4 block decompressed to {len(out)} B, expected {dst_size}")
+    return out
+
+
+def _decode_lz4(f, col_type, rows):
+    (_num_elements,) = _read(f, "<I")
+    (block_count,) = _read(f, "<I")
+    (block_size,) = _read(f, "<I")
+    (last_block_size,) = _read(f, "<I")
+    block_sizes = np.frombuffer(f.read(4 * block_count), "<u4")
+    blocks = [f.read(int(s)) for s in block_sizes]
+    (null_size,) = _read(f, "<I")
+    nulls = (
+        np.frombuffer(f.read(null_size), "<u1").astype(bool)
+        if null_size
+        else np.zeros(rows, dtype=bool)
+    )
+    (dict_size,) = _read(f, "<I")
+    dictionary = f.read(dict_size)
+    (str_off_size,) = _read(f, "<I")
+    offsets = _read_attribute_vector(f, rows, 0) if str_off_size else None
+    data = b"".join(
+        _lz4_block_decompress(
+            blk,
+            last_block_size if bi == block_count - 1 else block_size,
+            dictionary,
+        )
+        for bi, blk in enumerate(blocks)
+    )
+    if col_type == "string":
+        if not data:  # all-empty-strings segment stores no blocks/offsets
+            return [None if nulls[i] else "" for i in range(rows)]
+        if offsets is None:
+            raise ValueError("LZ4 string segment without string offsets")
+        out = []
+        for i in range(rows):
+            if nulls[i]:
+                out.append(None)
+                continue
+            start = int(offsets[i])
+            end = int(offsets[i + 1]) if i + 1 < rows else len(data)
+            out.append(data[start:end].decode("utf-8"))
+        return out
+    dt = np.dtype(_NUMERIC_DTYPES[col_type])
+    vals = np.frombuffer(data, dt)
+    return [None if nulls[i] else _py(vals[i]) for i in range(rows)]
+
+
 def _py(v):
     return v.item() if isinstance(v, np.generic) else v
 
@@ -189,11 +314,10 @@ def _decode_segment(f, col_type, rows, nullable):
         return _decode_run_length(f, col_type, rows)
     if enc == 3:
         return _decode_fixed_string_dictionary(f, rows)
-    if enc in (4, 5):
-        raise NotImplementedError(
-            "FrameOfReference/LZ4 .bin segments are not supported — re-export "
-            "unencoded or dictionary-encoded (the reference's export default)"
-        )
+    if enc == 4:
+        return _decode_frame_of_reference(f, col_type, rows)
+    if enc == 5:
+        return _decode_lz4(f, col_type, rows)
     raise ValueError(f"invalid encoding type {enc} in .bin segment")
 
 
@@ -228,12 +352,114 @@ def read_bin(spark: SparkSession, path: str) -> DataFrame:
     return spark.createDataFrame(data, schema)
 
 
-def write_bin(df: DataFrame, path: str, chunk_size: int = _CHUNK_SIZE) -> None:
-    """Write a DataFrame as a hyrise `.bin` file (unencoded segments).
+def _write_compact_vector(f: BinaryIO, values: list[int]) -> None:
+    """BitPacking compact vector: bit width u8 + LSB-first u64 words
+    (binary_writer.cpp:106-109 / compact_vector layout)."""
+    bits = max(1, max(values).bit_length()) if values else 1
+    f.write(struct.pack("<B", bits))
+    n_words = -(-len(values) * bits // 64)
+    words = [0] * n_words
+    for i, v in enumerate(values):
+        lo = i * bits
+        w, sh = divmod(lo, 64)
+        words[w] |= (v << sh) & 0xFFFFFFFFFFFFFFFF
+        if sh + bits > 64:
+            words[w + 1] |= v >> (64 - sh)
+    f.write(np.array(words, dtype="<u8").tobytes())
 
-    Interchange/export path: rows funnel through the driver exactly like the
-    reference's single-file BinaryWriter. For data that stays in this engine,
-    prefer the parquet writers in `sources/`.
+
+def _lz4_block_compress(data: bytes) -> bytes:
+    """Emit `data` as a valid LZ4 block of literal-only sequences (a block may
+    legally end on a literals-only sequence; with no matches the whole block
+    is one such sequence). Ratio ~1.0 — this writer targets interchange
+    correctness, not compression; any conformant LZ4 decoder reads it."""
+    out = bytearray()
+    lit = len(data)
+    token = min(lit, 15)
+    out.append(token << 4)
+    if token == 15:
+        rem = lit - 15
+        while rem >= 255:
+            out.append(255)
+            rem -= 255
+        out.append(rem)
+    out += data
+    return bytes(out)
+
+
+def _write_for_segment(f: BinaryIO, names, ci, vals) -> None:
+    f.write(struct.pack("<B", 4))  # EncodingType::FrameOfReference
+    f.write(struct.pack("<B", 3))  # CompressedVectorType::FixedWidthInteger4Byte
+    rows = len(vals)
+    has_null = any(v is None for v in vals)
+    n_blocks = -(-rows // _FOR_BLOCK_SIZE)
+    minima: list[int] = []
+    offsets = np.zeros(rows, dtype="<u4")
+    for b in range(n_blocks):
+        blk = vals[b * _FOR_BLOCK_SIZE:(b + 1) * _FOR_BLOCK_SIZE]
+        present = [v for v in blk if v is not None]
+        m = min(present) if present else 0
+        minima.append(m)
+        for j, v in enumerate(blk):
+            # null rows store the minimum, i.e. offset 0 (frame_of_reference_segment.hpp:28)
+            offsets[b * _FOR_BLOCK_SIZE + j] = 0 if v is None else v - m
+    f.write(struct.pack("<I", n_blocks))
+    f.write(np.array(minima, dtype="<i4").tobytes())
+    f.write(struct.pack("<B", int(has_null)))
+    if has_null:
+        f.write(bytes(int(v is None) for v in vals))
+    f.write(offsets.tobytes())
+
+
+def _write_lz4_segment(f: BinaryIO, ctype: str, vals) -> None:
+    f.write(struct.pack("<B", 5))  # EncodingType::LZ4
+    rows = len(vals)
+    nulls = [v is None for v in vals]
+    has_null = any(nulls)
+    if ctype == "string":
+        encoded = [("" if v is None else v).encode("utf-8") for v in vals]
+        offs, pos = [], 0
+        for e in encoded:
+            offs.append(pos)
+            pos += len(e)
+        data = b"".join(encoded)
+    else:
+        data = np.array(
+            [0 if v is None else v for v in vals], dtype=_NUMERIC_DTYPES[ctype]
+        ).tobytes()
+    raw_blocks = [
+        data[i:i + _LZ4_BLOCK_SIZE] for i in range(0, len(data), _LZ4_BLOCK_SIZE)
+    ]
+    blocks = [_lz4_block_compress(b) for b in raw_blocks]
+    last = len(raw_blocks[-1]) if raw_blocks else 0
+    f.write(struct.pack("<IIII", rows, len(blocks), _LZ4_BLOCK_SIZE, last))
+    for b in blocks:
+        f.write(struct.pack("<I", len(b)))
+    for b in blocks:
+        f.write(b)
+    if has_null:
+        f.write(struct.pack("<I", rows))
+        f.write(bytes(int(x) for x in nulls))
+    else:
+        f.write(struct.pack("<I", 0))
+    f.write(struct.pack("<I", 0))  # no dictionary (blocks are self-contained)
+    if ctype == "string" and data:
+        f.write(struct.pack("<I", rows))
+        _write_compact_vector(f, offs)
+    else:
+        f.write(struct.pack("<I", 0))  # offsets dropped for empty payload
+
+
+def write_bin(
+    df: DataFrame, path: str, chunk_size: int = _CHUNK_SIZE, encoding: str = "unencoded"
+) -> None:
+    """Write a DataFrame as a hyrise `.bin` file.
+
+    `encoding`: 'unencoded' (default — the reference's export default),
+    'for' (FrameOfReference on int columns, others unencoded), or 'lz4'
+    (every column). Interchange/export path: rows funnel through the driver
+    exactly like the reference's single-file BinaryWriter. For data that
+    stays in this engine, prefer the parquet writers in `sources/`.
     """
     col_types = []
     for fld in df.schema.fields:
@@ -255,7 +481,6 @@ def write_bin(df: DataFrame, path: str, chunk_size: int = _CHUNK_SIZE) -> None:
             f.write(struct.pack("<II", len(chunk), 0))  # no sorted columns
             for ci, (ctype, cnull) in enumerate(zip(col_types, nullable)):
                 vals = [r[ci] for r in chunk]
-                f.write(struct.pack("<B", 0))  # Unencoded
                 has_null = any(v is None for v in vals)
                 if has_null and not cnull:
                     # a null in a non-nullable column would desync the format:
@@ -264,6 +489,15 @@ def write_bin(df: DataFrame, path: str, chunk_size: int = _CHUNK_SIZE) -> None:
                         f".bin export: column {names[ci]!r} is declared "
                         "non-nullable but contains NULLs"
                     )
+                if encoding == "lz4":
+                    _write_lz4_segment(f, ctype, vals)
+                    continue
+                if encoding == "for" and ctype == "int":
+                    _write_for_segment(f, names, ci, vals)
+                    continue
+                if encoding not in ("unencoded", "for"):
+                    raise ValueError(f"unknown .bin encoding {encoding!r}")
+                f.write(struct.pack("<B", 0))  # Unencoded
                 if cnull:
                     f.write(struct.pack("<B", int(has_null)))
                     if has_null:

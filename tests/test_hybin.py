@@ -86,6 +86,77 @@ def test_roundtrip_nulls_and_chunking(spark, tmp_path):
     assert _rows(read_bin(spark, path)) == _rows(df)
 
 
+@pytest.mark.parametrize(
+    "name,want",
+    [
+        ("SingleChunkFrameOfReferenceSegment", [1, 2, 3, 4, 5]),
+        ("MultipleChunksFrameOfReferenceSegment", [1, 1, 2, 4, 5]),
+        ("NullValuesFrameOfReferenceSegment", [1, None, 2, None, 5]),
+        ("AllNullFrameOfReferenceSegment", [None] * 5),
+    ],
+)
+def test_frame_of_reference_fixtures(spark, name, want):
+    """The reference's own FoR fixtures decode to the exact rows its
+    binary_parser_test.cpp expects (lines 320-352)."""
+    assert [r[0] for r in read_bin(spark, f"{BIN_DIR}/{name}.bin").collect()] == want
+
+
+def test_lz4_multiple_blocks_fixture(spark):
+    """LZ4MultipleBlocks.bin: 20000 rows x 5 typed columns through the
+    dictionary-assisted multi-block LZ4 path (binary_parser_test.cpp:247-268)."""
+    rows = read_bin(spark, f"{BIN_DIR}/LZ4MultipleBlocks.bin").collect()
+    assert len(rows) == 20000
+    exp = [
+        ("AAAAA", 1, 100, 1.1, 11.1),
+        ("BBBBBBBBBB", 2, 200, 2.2, 22.2),
+        ("CCCCCCCCCCCCCCC", 3, 300, 3.3, 33.3),
+        ("DDDDDDDDDDDDDDDDDDDD", 4, 400, 4.4, 44.4),
+    ]
+    for i in (0, 1, 2, 3, 9998, 19999):
+        e = exp[i % 4]
+        r = rows[i]
+        assert (r[0], r[1], r[2]) == e[:3]
+        assert abs(r[3] - e[3]) < 1e-5 and abs(r[4] - e[4]) < 1e-9
+
+
+def test_lz4_block_decoder_handles_matches_and_dictionary():
+    """Hand-crafted LZ4 blocks: a back-reference match, an overlapping match
+    (RLE-style), and a match reaching into the prefix dictionary."""
+    from hyrise_spark.sources.hybin import _lz4_block_decompress
+
+    # "abcd" literals + match(offset=4, len=4) + final literal "z" -> abcdabcdz
+    blk = bytes([0x40]) + b"abcd" + bytes([0x04, 0x00]) + bytes([0x10]) + b"z"
+    assert _lz4_block_decompress(blk, 9) == b"abcdabcdz"
+    # "a" literal + overlapping match(offset=1, len=7) -> "aaaaaaaa"
+    blk = bytes([0x13]) + b"a" + bytes([0x01, 0x00]) + bytes([0x00])
+    assert _lz4_block_decompress(blk, 8) == b"aaaaaaaa"
+    # no literals, match(offset=8, len=5) entirely inside the dictionary
+    blk = bytes([0x01]) + bytes([0x08, 0x00]) + bytes([0x00])
+    assert _lz4_block_decompress(blk, 5, dictionary=b"HELLOxyz") == b"HELLO"
+
+
+@pytest.mark.parametrize("encoding", ["for", "lz4"])
+def test_roundtrip_encoded_segments(spark, tmp_path, encoding):
+    """FoR- and LZ4-encoded exports read back identically, nulls included."""
+    rows = [
+        (i, None if i % 7 == 0 else i * 1000 + 17, f"s{i}" * (i % 5), float(i) / 3)
+        for i in range(5000)
+    ]
+    df = spark.createDataFrame(rows, "k int, v int, s string, d double")
+    path = str(tmp_path / f"{encoding}.bin")
+    write_bin(df, path, chunk_size=2048, encoding=encoding)
+    assert _rows(read_bin(spark, path)) == _rows(df)
+
+
+def test_roundtrip_lz4_empty_strings(spark, tmp_path):
+    """All-empty string column: the encoder stores no blocks and drops the
+    offsets (lz4_encoder.hpp:142-158) — the decoder must rebuild ''/NULL."""
+    df = spark.createDataFrame([(1, ""), (2, None), (3, "")], "k int, s string")
+    path = str(tmp_path / "empty.bin")
+    write_bin(df, path, encoding="lz4")
+    assert _rows(read_bin(spark, path)) == _rows(df)
+
+
 def test_write_rejects_null_in_non_nullable_column(spark, tmp_path):
     """A NULL inside a declared non-nullable column must raise, not emit a
     null bitmap the segment framing can't represent (parser desync)."""
