@@ -1,0 +1,126 @@
+"""pg-wire front end tests — a REAL `psql` binary connects and queries
+(reference parity target: src/lib/server/postgres_protocol_handler.hpp).
+"""
+from __future__ import annotations
+
+import shutil
+import socket
+import struct
+import subprocess
+
+import pytest
+
+from hyrise_spark.pgwire import PgWireServer
+
+SF_DIR = "/root/testdata/sf0.001"
+PSQL = shutil.which("psql")
+
+
+@pytest.fixture(scope="module")
+def server(spark):
+    srv = PgWireServer(spark, port=0, max_rows=50)
+    srv.start_background()
+    yield srv
+    srv.shutdown()
+    srv.server_close()
+
+
+def _psql(server, sql, *extra):
+    return subprocess.run(
+        [PSQL, "-h", "127.0.0.1", "-p", str(server.port), "-U", "any", "-d", "any",
+         "-X", "-A", "-t", *extra, "-c", sql],
+        capture_output=True, text=True, timeout=120,
+    )
+
+
+@pytest.mark.skipif(PSQL is None, reason="psql not installed")
+def test_psql_select_one(server):
+    out = _psql(server, "SELECT 1 AS x")
+    assert out.returncode == 0, out.stderr
+    assert out.stdout.strip() == "1"
+
+
+@pytest.mark.skipif(PSQL is None, reason="psql not installed")
+def test_psql_typed_row(server):
+    out = _psql(server, "SELECT 1 AS i, 2.5 AS d, 'hi' AS s, CAST(NULL AS INT) AS n")
+    assert out.returncode == 0, out.stderr
+    assert out.stdout.strip() == "1|2.5|hi|"
+
+
+@pytest.mark.skipif(PSQL is None, reason="psql not installed")
+def test_psql_parquet_table(server, spark):
+    spark.read.parquet(f"{SF_DIR}/nation.parquet").createOrReplaceTempView("pg_nation")
+    out = _psql(
+        server, "SELECT n_name FROM pg_nation WHERE n_nationkey < 3 ORDER BY n_name"
+    )
+    assert out.returncode == 0, out.stderr
+    assert out.stdout.split() == ["NATION_0", "NATION_1", "NATION_2"]
+
+
+@pytest.mark.skipif(PSQL is None, reason="psql not installed")
+def test_psql_multi_statement_and_ddl(server):
+    out = _psql(server, "CREATE VIEW pg_v AS SELECT 42 AS v; SELECT * FROM pg_v")
+    assert out.returncode == 0, out.stderr
+    assert "42" in out.stdout
+
+
+@pytest.mark.skipif(PSQL is None, reason="psql not installed")
+def test_psql_error_reported(server):
+    out = _psql(server, "SELECT * FROM no_such_table_pgw")
+    assert out.returncode != 0
+    assert "no_such_table_pgw" in out.stderr
+
+
+@pytest.mark.skipif(PSQL is None, reason="psql not installed")
+def test_psql_connection_survives_error(server):
+    bad = _psql(server, "SELECT * FROM no_such_table_pgw2")
+    assert bad.returncode != 0
+    ok = _psql(server, "SELECT 7 AS ok")
+    assert ok.returncode == 0 and ok.stdout.strip() == "7"
+
+
+def test_raw_protocol_ssl_refusal_and_query(server):
+    """Socket-level check of the framing psql depends on: SSLRequest gets 'N',
+    startup gets AuthenticationOk..ReadyForQuery, Query gets T/D/C/Z."""
+    with socket.create_connection(("127.0.0.1", server.port), timeout=60) as s:
+        s.sendall(struct.pack("!II", 8, 80877103))  # SSLRequest
+        assert s.recv(1) == b"N"
+        params = b"user\x00t\x00database\x00t\x00\x00"
+        body = struct.pack("!I", 196608) + params
+        s.sendall(struct.pack("!I", len(body) + 4) + body)
+
+        msgs = []
+        buf = b""
+        while True:
+            buf += s.recv(65536)
+            while len(buf) >= 5:
+                t = buf[:1]
+                (ln,) = struct.unpack("!I", buf[1:5])
+                if len(buf) < 1 + ln:
+                    break
+                msgs.append((t, buf[5:1 + ln]))
+                buf = buf[1 + ln:]
+            if msgs and msgs[-1][0] == b"Z":
+                break
+        assert msgs[0][0] == b"R" and msgs[0][1] == struct.pack("!I", 0)
+        assert msgs[-1] == (b"Z", b"I")
+
+        s.sendall(b"Q" + struct.pack("!I", 4 + len(b"SELECT 5 AS v\x00")) + b"SELECT 5 AS v\x00")
+        msgs = []
+        buf = b""
+        while True:
+            buf += s.recv(65536)
+            while len(buf) >= 5:
+                t = buf[:1]
+                (ln,) = struct.unpack("!I", buf[1:5])
+                if len(buf) < 1 + ln:
+                    break
+                msgs.append((t, buf[5:1 + ln]))
+                buf = buf[1 + ln:]
+            if msgs and msgs[-1][0] == b"Z":
+                break
+        kinds = [t for t, _ in msgs]
+        assert kinds == [b"T", b"D", b"C", b"Z"]
+        # DataRow: one column, text "5"
+        assert msgs[1][1] == struct.pack("!h", 1) + struct.pack("!i", 1) + b"5"
+        assert msgs[2][1] == b"SELECT 1\x00"
