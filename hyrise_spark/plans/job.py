@@ -666,3 +666,371 @@ def job_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("n2.n_name").alias("min_right_nation"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# JOB cycle family (e.g. 22c): a 5-node CYCLE in the join graph —
+# lineitem -> orders -> customer -> nation <- supplier -> lineitem. The
+# customer and the supplier must sit in the SAME nation, closing the loop
+# through the nation node rather than a direct clique edge (job_q4 covers
+# the 4-cycle variant).
+@register(
+    "job_q14",
+    oracle="""
+    SELECT CAST(MIN(l_orderkey) AS BIGINT) AS min_orderkey,
+           MIN(n_name) AS min_nation,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN supplier ON s_nationkey = n_nationkey AND l_suppkey = s_suppkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND l_quantity > 40
+    """,
+    tags=("job",),
+)
+def job_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders, cust, nation, supp = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation", "supplier"
+    )
+    return (
+        li.filter(F.col("l_quantity") > 40)
+        .join(
+            orders.filter(_ts_range("o_orderdate", "1996-01-01", "1997-01-01")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(
+            supp,
+            (F.col("s_nationkey") == F.col("n_nationkey"))
+            & (F.col("l_suppkey") == F.col("s_suppkey")),
+        )
+        .agg(
+            F.min("l_orderkey").alias("min_orderkey"),
+            F.min("n_name").alias("min_nation"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# JOB triple-alias family (e.g. 29c joins `name` three times): THREE aliased
+# copies of lineitem — a co-purchase triangle, one part bought in three
+# distinct orders (orderkeys strictly increasing to canonicalize the
+# triangle). The optimizer must recognize the shared part reduction before
+# any branch-branch join or the triangle explodes.
+@register(
+    "job_q15",
+    oracle="""
+    SELECT CAST(MIN(l1.l_orderkey) AS BIGINT) AS min_o1,
+           CAST(MIN(l2.l_orderkey) AS BIGINT) AS min_o2,
+           CAST(MIN(l3.l_orderkey) AS BIGINT) AS min_o3,
+           MIN(p_name) AS min_part,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem l1
+    JOIN part ON l1.l_partkey = p_partkey
+    JOIN lineitem l2 ON l2.l_partkey = p_partkey AND l2.l_orderkey > l1.l_orderkey
+    JOIN lineitem l3 ON l3.l_partkey = p_partkey AND l3.l_orderkey > l2.l_orderkey
+    WHERE p_size = 1 AND p_retailprice < 910
+    """,
+    tags=("job", "job-large"),
+)
+def job_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, part = _t(spark, sf_dir, "lineitem", "part")
+    l1, l2, l3 = li.alias("l1"), li.alias("l2"), li.alias("l3")
+    p = part.filter((F.col("p_size") == 1) & (F.col("p_retailprice") < 910))
+    return (
+        l1.join(F.broadcast(p), F.col("l1.l_partkey") == F.col("p_partkey"))
+        .join(
+            l2,
+            (F.col("l2.l_partkey") == F.col("p_partkey"))
+            & (F.col("l2.l_orderkey") > F.col("l1.l_orderkey")),
+        )
+        .join(
+            l3,
+            (F.col("l3.l_partkey") == F.col("p_partkey"))
+            & (F.col("l3.l_orderkey") > F.col("l2.l_orderkey")),
+        )
+        .agg(
+            F.min("l1.l_orderkey").alias("min_o1"),
+            F.min("l2.l_orderkey").alias("min_o2"),
+            F.min("l3.l_orderkey").alias("min_o3"),
+            F.min("p_name").alias("min_part"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# JOB anti-join-in-chain family: the anti join sits in the MIDDLE of the
+# chain — lineitems of never-returned parts, then the chain continues
+# through orders -> customer -> nation. The optimizer must place the anti
+# reduction before the downstream joins.
+@register(
+    "job_q16",
+    oracle="""
+    SELECT CAST(MIN(l_orderkey) AS BIGINT) AS min_orderkey,
+           MIN(p_name) AS min_part, MIN(n_name) AS min_nation,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE p_type = 'LARGE' AND p_size < 4
+      AND o_orderdate >= TIMESTAMP '1998-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem lr
+        WHERE lr.l_partkey = part.p_partkey AND lr.l_returnflag = 'R'
+          AND lr.l_quantity >= 48 AND lr.l_shipdate >= TIMESTAMP '1998-01-01'
+      )
+    """,
+    tags=("job",),
+)
+def job_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, part, orders, cust, nation = _t(
+        spark, sf_dir, "lineitem", "part", "orders", "customer", "nation"
+    )
+    # "bulk-returned recently" exclusion set — selective enough that the anti
+    # join keeps ~70% of parts at every SF (all-R exclusion would keep none)
+    returned = li.filter(
+        (F.col("l_returnflag") == "R")
+        & (F.col("l_quantity") >= 48)
+        & (F.col("l_shipdate") >= F.lit("1998-01-01"))
+    ).select(F.col("l_partkey").alias("ret_pk"))
+    clean_parts = part.filter(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") < 4)
+    ).join(returned, F.col("p_partkey") == F.col("ret_pk"), "left_anti")
+    return (
+        li.join(F.broadcast(clean_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            orders.filter(_ts_range("o_orderdate", "1998-01-01", "1999-01-01")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .agg(
+            F.min("l_orderkey").alias("min_orderkey"),
+            F.min("p_name").alias("min_part"),
+            F.min("n_name").alias("min_nation"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Semi + anti mixed in one chain: customers WITH a 1997 urgent order (semi)
+# but WITHOUT any 1998 order (anti), then on through nation + region.
+@register(
+    "job_q17",
+    oracle="""
+    SELECT CAST(MIN(c_custkey) AS BIGINT) AS min_cust,
+           MIN(n_name) AS min_nation,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+      AND EXISTS (
+        SELECT 1 FROM orders o1 WHERE o1.o_custkey = c_custkey
+          AND o1.o_orderpriority = '1-URGENT'
+          AND o1.o_orderdate >= TIMESTAMP '1997-01-01' AND o1.o_orderdate < TIMESTAMP '1998-01-01'
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o2 WHERE o2.o_custkey = c_custkey
+          AND o2.o_orderdate >= TIMESTAMP '1998-01-01' AND o2.o_orderdate < TIMESTAMP '1999-01-01'
+      )
+    """,
+    tags=("job",),
+)
+def job_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, nation, region, orders = _t(
+        spark, sf_dir, "customer", "nation", "region", "orders"
+    )
+    urgent_97 = orders.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & _ts_range("o_orderdate", "1997-01-01", "1998-01-01")
+    ).select(F.col("o_custkey").alias("u_ck"))
+    any_98 = orders.filter(_ts_range("o_orderdate", "1998-01-01", "1999-01-01")).select(
+        F.col("o_custkey").alias("a_ck")
+    )
+    return (
+        cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .join(urgent_97, F.col("c_custkey") == F.col("u_ck"), "left_semi")
+        .join(any_98, F.col("c_custkey") == F.col("a_ck"), "left_anti")
+        .agg(
+            F.min("c_custkey").alias("min_cust"),
+            F.min("n_name").alias("min_nation"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Theta self-join inside a chain: same customer, an order in 1996 and a
+# LARGER order in 1997 (o2.o_totalprice > o1.o_totalprice), customer chain
+# continues to nation. Two aliased copies of orders with a non-equi edge.
+@register(
+    "job_q18",
+    oracle="""
+    SELECT CAST(MIN(o1.o_orderkey) AS BIGINT) AS min_o1,
+           CAST(MIN(o2.o_orderkey) AS BIGINT) AS min_o2,
+           MIN(n_name) AS min_nation,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM orders o1
+    JOIN orders o2 ON o1.o_custkey = o2.o_custkey
+      AND o2.o_totalprice > o1.o_totalprice
+    JOIN customer ON o1.o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o1.o_orderdate >= TIMESTAMP '1996-01-01' AND o1.o_orderdate < TIMESTAMP '1997-01-01'
+      AND o2.o_orderdate >= TIMESTAMP '1997-01-01' AND o2.o_orderdate < TIMESTAMP '1998-01-01'
+      AND o1.o_totalprice > 300000
+    """,
+    tags=("job",),
+)
+def job_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, cust, nation = _t(spark, sf_dir, "orders", "customer", "nation")
+    o1 = orders.filter(
+        _ts_range("o_orderdate", "1996-01-01", "1997-01-01")
+        & (F.col("o_totalprice") > 300000)
+    ).alias("o1")
+    o2 = orders.filter(_ts_range("o_orderdate", "1997-01-01", "1998-01-01")).alias("o2")
+    return (
+        o1.join(
+            o2,
+            (F.col("o1.o_custkey") == F.col("o2.o_custkey"))
+            & (F.col("o2.o_totalprice") > F.col("o1.o_totalprice")),
+        )
+        .join(cust, F.col("o1.o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .agg(
+            F.min("o1.o_orderkey").alias("min_o1"),
+            F.min("o2.o_orderkey").alias("min_o2"),
+            F.min("n_name").alias("min_nation"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# THREE aliased copies of orders: customers ordering in 1996 AND 1997 AND
+# 1998 ("loyal" chain) — the second >=3-copies family, on the mid-size fact.
+@register(
+    "job_q19",
+    oracle="""
+    SELECT CAST(MIN(c_custkey) AS BIGINT) AS min_cust,
+           CAST(MIN(o1.o_orderkey) AS BIGINT) AS min_o1,
+           CAST(MIN(o2.o_orderkey) AS BIGINT) AS min_o2,
+           CAST(MIN(o3.o_orderkey) AS BIGINT) AS min_o3
+    FROM customer
+    JOIN orders o1 ON o1.o_custkey = c_custkey
+    JOIN orders o2 ON o2.o_custkey = c_custkey
+    JOIN orders o3 ON o3.o_custkey = c_custkey
+    WHERE c_mktsegment = 'MACHINERY'
+      AND o1.o_orderdate >= TIMESTAMP '1996-01-01' AND o1.o_orderdate < TIMESTAMP '1997-01-01'
+      AND o2.o_orderdate >= TIMESTAMP '1997-01-01' AND o2.o_orderdate < TIMESTAMP '1998-01-01'
+      AND o3.o_orderdate >= TIMESTAMP '1998-01-01' AND o3.o_orderdate < TIMESTAMP '1999-01-01'
+      AND o1.o_totalprice > 200000 AND o2.o_totalprice > 200000 AND o3.o_totalprice > 200000
+    """,
+    tags=("job",),
+)
+def job_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders = _t(spark, sf_dir, "customer", "orders")
+
+    def year_orders(alias: str, y: int) -> DataFrame:
+        return orders.filter(
+            _ts_range("o_orderdate", f"{y}-01-01", f"{y + 1}-01-01")
+            & (F.col("o_totalprice") > 200000)
+        ).alias(alias)
+
+    o1, o2, o3 = year_orders("o1", 1996), year_orders("o2", 1997), year_orders("o3", 1998)
+    return (
+        cust.filter(F.col("c_mktsegment") == "MACHINERY")
+        .join(o1, F.col("o1.o_custkey") == F.col("c_custkey"))
+        .join(o2, F.col("o2.o_custkey") == F.col("c_custkey"))
+        .join(o3, F.col("o3.o_custkey") == F.col("c_custkey"))
+        .agg(
+            F.min("c_custkey").alias("min_cust"),
+            F.min("o1.o_orderkey").alias("min_o1"),
+            F.min("o2.o_orderkey").alias("min_o2"),
+            F.min("o3.o_orderkey").alias("min_o3"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Widest mixed graph: the double-dimension 8-way star (q11's shape) PLUS
+# part and an anti-join against returned parts — 9 base relations + the
+# anti branch, combining duplicate dim chains with an anti reduction.
+@register(
+    "job_q20",
+    oracle="""
+    SELECT CAST(MIN(o_orderkey) AS BIGINT) AS min_orderkey,
+           MIN(p_name) AS min_part,
+           MIN(cn.n_name) AS min_cust_nation, MIN(sn.n_name) AS min_supp_nation
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN region cr ON cn.n_regionkey = cr.r_regionkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN region sr ON sn.n_regionkey = sr.r_regionkey
+    JOIN part ON l_partkey = p_partkey
+    WHERE cr.r_name = 'AFRICA' AND sr.r_name = 'AMERICA'
+      AND p_size < 10
+      AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem lr
+        WHERE lr.l_partkey = part.p_partkey AND lr.l_returnflag = 'R'
+          AND lr.l_quantity >= 48 AND lr.l_shipdate >= TIMESTAMP '1998-01-01'
+      )
+    """,
+    tags=("job", "job-large"),
+)
+def job_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders, cust, nation, region, supp, part = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation", "region",
+        "supplier", "part",
+    )
+    cn, sn = nation.alias("cn"), nation.alias("sn")
+    cr, sr = region.alias("cr"), region.alias("sr")
+    returned = li.filter(
+        (F.col("l_returnflag") == "R")
+        & (F.col("l_quantity") >= 48)
+        & (F.col("l_shipdate") >= F.lit("1998-01-01"))
+    ).select(F.col("l_partkey").alias("ret_pk"))
+    clean_parts = part.filter(F.col("p_size") < 10).join(
+        returned, F.col("p_partkey") == F.col("ret_pk"), "left_anti"
+    )
+    return (
+        li.join(
+            orders.filter(_ts_range("o_orderdate", "1997-01-01", "1998-01-01")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn.n_nationkey"))
+        .join(
+            F.broadcast(cr.filter(F.col("cr.r_name") == "AFRICA")),
+            F.col("cn.n_regionkey") == F.col("cr.r_regionkey"),
+        )
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn.n_nationkey"))
+        .join(
+            F.broadcast(sr.filter(F.col("sr.r_name") == "AMERICA")),
+            F.col("sn.n_regionkey") == F.col("sr.r_regionkey"),
+        )
+        .join(F.broadcast(clean_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.min("o_orderkey").alias("min_orderkey"),
+            F.min("p_name").alias("min_part"),
+            F.min("cn.n_name").alias("min_cust_nation"),
+            F.min("sn.n_name").alias("min_supp_nation"),
+        )
+    )

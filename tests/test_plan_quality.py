@@ -216,6 +216,60 @@ def test_cbo_reorders_eight_way_graph(spark):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_cbo_reorders_ten_way_graph(spark):
+    """CBO reorder proof at job_q12 width: TEN leaves — the double-dimension
+    star (nation + region twice) plus part and events — written fact-first.
+    This is the graph family the reference's JOB runs at 10+ relations; the
+    reorder must still fire and pull a filtered dimension ahead of the fact."""
+    import re
+
+    from hyrise_spark.layout import create_analyzed_tables
+
+    assert spark.conf.get("spark.sql.cbo.enabled") == "true"
+    names = create_analyzed_tables(
+        spark,
+        SF_DIR,
+        names=("region", "nation", "customer", "orders", "lineitem", "supplier",
+               "part", "events"),
+        prefix="t_cbo10_",
+    )
+    try:
+        q = """
+        SELECT count(*) AS n
+        FROM t_cbo10_lineitem l
+        JOIN t_cbo10_orders o ON l.l_orderkey = o.o_orderkey
+        JOIN t_cbo10_customer c ON o.o_custkey = c.c_custkey
+        JOIN t_cbo10_nation cn ON c.c_nationkey = cn.n_nationkey
+        JOIN t_cbo10_region cr ON cn.n_regionkey = cr.r_regionkey
+        JOIN t_cbo10_supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN t_cbo10_nation sn ON s.s_nationkey = sn.n_nationkey
+        JOIN t_cbo10_region sr ON sn.n_regionkey = sr.r_regionkey
+        JOIN t_cbo10_part p ON l.l_partkey = p.p_partkey
+        JOIN t_cbo10_events e ON e.user_id = c.c_custkey
+        WHERE cr.r_name = 'AMERICA' AND sr.r_name = 'EUROPE'
+          AND p.p_type = 'PROMO' AND e.event_type = 'purchase'
+        """
+
+        def leaf_order(plan: str) -> list[str]:
+            return re.findall(r"Relation spark_catalog\.default\.(t_cbo10_\w+)", plan)
+
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+        p_off = spark.sql(q)._jdf.queryExecution().optimizedPlan().toString()
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+        qe_on = spark.sql(q)._jdf.queryExecution()
+        p_on = qe_on.optimizedPlan().toString()
+        order_off, order_on = leaf_order(p_off), leaf_order(p_on)
+        assert len(order_off) == 10 and len(order_on) == 10, (order_off, order_on)
+        assert qe_on.optimizedPlan().stats().rowCount().isDefined()
+        assert order_off[0] == "t_cbo10_lineitem"
+        assert order_on.index("t_cbo10_nation") < order_on.index("t_cbo10_lineitem"), order_on
+        assert order_on != order_off, order_on
+    finally:
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+        for t in names.values():
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_analyzed_table_has_column_stats(spark):
     """ANALYZE ... FOR ALL COLUMNS records row count + per-column NDV."""
     from hyrise_spark.layout import create_analyzed_tables
