@@ -416,26 +416,34 @@ _DATE_FN_FILTER_ALLOWLIST: set[str] = set()
     ),
 )
 def test_no_function_wrapped_date_scan_predicates(spark, name):
-    """Plan-level lint across EVERY relational query: no Filter condition may
-    wrap a date column in year()/month()/quarter()/date_part() — that pattern
-    blocks parquet row-group pruning (the exact defect VERDICT r4 found at
-    plans/ssb.py:203). Rewrite as a half-open raw-column range; keep the
-    function only in groupBy/projection."""
+    """Plan-level lint across EVERY relational query: a Filter condition that
+    wraps a date column in year()/month()/quarter()/date_part() blocks
+    parquet row-group pruning (the exact defect VERDICT r4 found at
+    plans/ssb.py:203) — UNLESS the same plan also pushes raw-column range
+    bounds for that column to a scan (the hybrid form: pushable OR-of-ranges
+    for the scan + cheap function short-circuit for row evaluation)."""
     import re
 
     if name in _DATE_FN_FILTER_ALLOWLIST:
         pytest.skip("documented derived-column date filter")
     plan = _plan(spark, name)
     conditions = re.findall(r"Condition : (.*)", plan)
+    pushed_lines = [l for l in plan.splitlines() if "PushedFilters:" in l]
     # isnotnull(year(col)) is a harmless Catalyst-inferred null check (implied
     # by isnotnull(col)), not a lost selective predicate — skip those; \b
     # avoids matching weekofyear(
     offender = re.compile(
-        r"(?<!isnotnull\()\b(year|month|quarter|dayofmonth|date_part|datepart)\("
+        r"(?<!isnotnull\()\b(?:year|month|quarter|dayofmonth|date_part|datepart)"
+        r"\((?:cast\()?(\w+)"
     )
     for cond in conditions:
-        m = offender.search(cond)
-        assert m is None, (
-            f"{name}: function-wrapped date predicate in post-scan Filter "
-            f"(blocks row-group pruning): {cond[:200]}"
-        )
+        for m in offender.finditer(cond):
+            col = m.group(1).split("#")[0]
+            range_re = re.compile(
+                rf"(GreaterThan|GreaterThanOrEqual|LessThan|LessThanOrEqual|EqualTo)\({col}\b"
+            )
+            has_pushed_range = any(range_re.search(l) for l in pushed_lines)
+            assert has_pushed_range, (
+                f"{name}: function-wrapped date predicate on {col} with no "
+                f"pushed range bounds (blocks row-group pruning): {cond[:200]}"
+            )
