@@ -1,0 +1,200 @@
+"""Corpus-curation operators over `documents` — chunking, benchmark
+contamination, frequency scoring, deterministic stratified sampling.
+
+Net-new Spark-first capabilities for the training-data pipeline (the
+reference has no text surface, SURVEY.md §2.9). Everything is JVM-side
+built-ins (split / sequence / transform / slice / explode / md5) — no
+Python UDFs — so the plans whole-stage-codegen and shuffle only where the
+semantics require it:
+
+  * chunking:          narrow map + per-doc explode. NO shuffle.
+  * contamination:     shingle explode -> broadcast semi-join against the
+                       (small) benchmark shingle set -> per-doc partial agg.
+                       One shuffle (the groupBy), benchmark side broadcast.
+  * commonness score:  two-pass vocabulary join — vocab counts (shuffle on
+                       word, partial-agg friendly), broadcast back onto the
+                       exploded tokens, per-doc agg. The vocabulary is the
+                       ONLY state that grows sublinearly with corpus size,
+                       so the broadcast holds at 100 TB (vocab ~ millions,
+                       not billions); if it ever exceeds broadcast limits
+                       the same plan degrades gracefully to a shuffle join.
+  * stratified sample: pure filter on md5(doc_id) — deterministic,
+                       reproducible, pushes the source predicate to the
+                       scan, and needs NO coordination (vs. sampleBy which
+                       is seeded per-partition and not oracle-checkable).
+
+All four are DuckDB-oracle-checked (integer/string outputs only — no
+float aggregates, so the hashes are exact).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from hyrise_spark.catalog import load_tables
+from hyrise_spark.registry import register
+
+# chunk geometry: 40-token windows, stride 30 (10-token overlap) — the
+# standard RAG/training-window shape, scaled to the synthetic corpus.
+_CHUNK = 40
+_STRIDE = 30
+_NGRAM = 5  # contamination shingle width
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, ("documents",))["documents"]
+
+
+def _words(col: str = "text", lower: bool = False):
+    base = F.trim(F.col(col))
+    if lower:
+        base = F.lower(base)
+    return F.split(base, r"\s+")
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "curate_chunk_documents",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+               FROM documents WHERE doc_id < 100),
+    g AS (SELECT doc_id, w,
+                 unnest(generate_series(0, CAST(floor((len(w) - 1) / {_STRIDE}) AS BIGINT))) AS ci
+          FROM t)
+    SELECT doc_id, CAST(ci AS INTEGER) AS chunk_idx,
+           array_to_string(w[ci * {_STRIDE} + 1 : ci * {_STRIDE} + {_CHUNK}], ' ') AS chunk,
+           CAST(least({_CHUNK}, len(w) - ci * {_STRIDE}) AS INTEGER) AS n_tokens
+    FROM g
+    """,
+    tags=("curate", "chunking"),
+)
+def curate_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (size 40, stride 30) — the
+    training-window / RAG splitter. Pure narrow map: split -> per-doc chunk
+    index sequence -> slice; no shuffle, scales with the scan."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.filter(F.col("doc_id") < 100)
+        .select("doc_id", _words().alias("w"))
+        .select(
+            "doc_id",
+            "w",
+            F.posexplode(
+                F.sequence(F.lit(0), F.floor((F.size("w") - 1) / _STRIDE).cast("int"))
+            ).alias("pos", "ci"),
+        )
+        .select(
+            "doc_id",
+            F.col("ci").alias("chunk_idx"),
+            F.array_join(F.slice("w", F.col("ci") * _STRIDE + 1, _CHUNK), " ").alias("chunk"),
+            F.least(F.lit(_CHUNK), F.size("w") - F.col("ci") * _STRIDE).alias("n_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "curate_contamination_check",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents),
+    g AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - {_NGRAM - 1})) AS s
+          FROM t WHERE len(w) >= {_NGRAM}),
+    sh AS (SELECT doc_id, array_to_string(w[s : s + {_NGRAM - 1}], ' ') AS sh FROM g),
+    bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 20)
+    SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+    FROM sh s WHERE s.doc_id >= 20 AND s.sh IN (SELECT sh FROM bench)
+    GROUP BY s.doc_id ORDER BY s.doc_id
+    """,
+    tags=("curate", "contamination"),
+)
+def curate_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: training docs (doc_id >= 20) sharing any
+    5-gram with the benchmark set (doc_id < 20), with hit counts. The
+    benchmark shingle set is the SMALL side by construction (eval suites are
+    thousands of docs, the corpus is billions) — distinct once, broadcast
+    into a left-semi join against the exploded corpus shingles; never an
+    all-pairs comparison."""
+    docs = _docs(spark, sf_dir)
+    sh = (
+        docs.select("doc_id", _words(lower=True).alias("w"))
+        .filter(F.size("w") >= _NGRAM)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - (_NGRAM - 1)),
+                    lambda s: F.array_join(F.slice("w", s, _NGRAM), " "),
+                )
+            ).alias("sh"),
+        )
+    )
+    bench = sh.filter(F.col("doc_id") < 20).select("sh").distinct()
+    return (
+        sh.filter(F.col("doc_id") >= 20)
+        .join(F.broadcast(bench), "sh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "curate_commonness_score",
+    oracle="""
+    WITH w AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+               FROM documents),
+    v AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM w GROUP BY w)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(cnt) AS BIGINT) AS total_freq,
+           CAST(MIN(cnt) AS BIGINT) AS rarest_freq
+    FROM w JOIN v USING (w) WHERE doc_id < 150 GROUP BY doc_id
+    """,
+    tags=("curate", "scoring"),
+)
+def curate_commonness_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-based quality proxy (the integer-exact cousin of a unigram
+    perplexity score): per-doc token count, summed corpus frequency of its
+    tokens, and the corpus frequency of its rarest token. Two-pass
+    vocabulary dataflow — the distributed shape of every count-based LM
+    scoring job. Integer outputs keep the DuckDB hash exact (a log-prob
+    variant would hit float-summation-order divergence)."""
+    docs = _docs(spark, sf_dir)
+    w_ex = docs.select(
+        "doc_id", F.explode(_words(lower=True)).alias("w")
+    )
+    vocab = w_ex.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        w_ex.join(F.broadcast(vocab), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("cnt").alias("total_freq"),
+            F.min("cnt").alias("rarest_freq"),
+        )
+        .filter(F.col("doc_id") < 150)
+    )
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "curate_stratified_sample",
+    oracle="""
+    SELECT doc_id, source FROM documents
+    WHERE source = 'src0'
+       OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1', '2')
+    """,
+    tags=("curate", "sampling"),
+)
+def curate_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: keep ALL of the priority stratum
+    (source 'src0') and a ~3/16 hash-sample of everything else. md5(doc_id)
+    makes the sample reproducible across runs/engines/cluster sizes with no
+    seed coordination — the property `df.sample()` cannot give (per-partition
+    seeding); the source predicate pushes to the scan."""
+    docs = _docs(spark, sf_dir)
+    return docs.filter(
+        (F.col("source") == "src0")
+        | F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin("0", "1", "2")
+    ).select("doc_id", "source")

@@ -57,5 +57,6 @@ def all_queries() -> dict[str, QueryDef]:
     import hyrise_spark.pipeline.dedup  # noqa: F401
     import hyrise_spark.pipeline.similarity  # noqa: F401
     import hyrise_spark.pipeline.multimodal  # noqa: F401
+    import hyrise_spark.pipeline.curate  # noqa: F401
 
     return dict(_REGISTRY)
