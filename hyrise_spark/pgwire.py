@@ -2,14 +2,24 @@
 
 The reference serves real psql/BI clients through its server component
 (src/lib/server/postgres_protocol_handler.hpp, query_handler.hpp:36). This
-module is the analog: the SIMPLE QUERY subset of the v3 protocol — startup
-(incl. SSLRequest/GSSENC refusal), AuthenticationOk trust auth,
-ParameterStatus, Query -> RowDescription/DataRow*/CommandComplete,
-ErrorResponse with transaction-idle recovery, Terminate — enough for
-`psql -c`, interactive psql sessions, and any driver that falls back to
-simple mode. The extended protocol (Parse/Bind/Execute) is answered with a
-clear ErrorResponse; `server.py` (line-JSON) remains the richer
-programmatic surface (parameterized statements there).
+module is the analog, covering BOTH v3 sub-protocols:
+
+* SIMPLE QUERY: startup (incl. SSLRequest/GSSENC refusal),
+  AuthenticationOk trust auth, ParameterStatus, Query ->
+  RowDescription/DataRow*/CommandComplete, ErrorResponse with
+  transaction-idle recovery, Terminate — enough for `psql -c` and
+  interactive psql sessions.
+* EXTENDED QUERY (prepared statements, the reference's
+  `query_handler.hpp:36 setup_prepared_plan/execute_prepared_plan`
+  analog): Parse ($N placeholders -> Spark named parameter markers),
+  Bind (text-format params, converted via the Parse-declared type OIDs),
+  Describe (statement or portal), Execute (row-cap honored),
+  Close / Flush / Sync. Binary-format parameters are refused with a
+  clear ErrorResponse (text format is what libpq sends by default).
+
+Design note: Bind builds the DataFrame (lazily for queries); for DDL this
+means side effects happen at Bind rather than Execute — acceptable for a
+shim whose DDL path is also reachable via simple query.
 
 All result values travel in text format (format code 0), which every
 client accepts. Rows are capped at `max_rows` like the JSON server — this
@@ -19,6 +29,7 @@ is an interactive entry point, not a bulk-export path (use the writers in
 
 from __future__ import annotations
 
+import re
 import socket
 import socketserver
 import struct
@@ -83,6 +94,30 @@ def _cstr(s: str) -> bytes:
     return s.encode() + b"\x00"
 
 
+_DOLLAR_PARAM = re.compile(r"\$(\d+)")
+
+
+def _dollar_to_named(sql: str) -> str:
+    """$N placeholders -> Spark named parameter markers :pN (named, not
+    positional `?`, so repeated/reordered $N bind correctly)."""
+    return _DOLLAR_PARAM.sub(lambda m: f":p{m.group(1)}", sql)
+
+
+def _convert_param(text: str | None, oid: int):
+    """Text-format parameter -> Python value, guided by the Parse-declared
+    type OID (0/unknown stays a string; Spark coerces strings in most
+    predicate positions)."""
+    if text is None:
+        return None
+    if oid in (20, 21, 23):  # int8/int2/int4
+        return int(text)
+    if oid in (700, 701, 1700):  # float4/float8/numeric
+        return float(text)
+    if oid == 16:  # bool
+        return text in ("t", "true", "1", "on", "yes")
+    return text
+
+
 class _PgHandler(socketserver.BaseRequestHandler):
     def handle(self) -> None:
         server: PgWireServer = self.server  # type: ignore[assignment]
@@ -128,6 +163,9 @@ class _PgHandler(socketserver.BaseRequestHandler):
 
     # -- main loop ----------------------------------------------------------
     def _query_loop(self, sock: socket.socket, server: "PgWireServer") -> None:
+        prepared: dict[str, tuple[str, list[int]]] = {}  # name -> (sql, oids)
+        portals: dict[str, tuple[Any, str]] = {}  # name -> (df|None, tag)
+        in_error = False  # extended-mode: skip until Sync after an error
         while True:
             head = self._recv_exact(sock, 5)
             if head is None:
@@ -139,6 +177,12 @@ class _PgHandler(socketserver.BaseRequestHandler):
                 return
             if mtype == b"X":  # Terminate
                 return
+            if mtype == b"S":  # Sync — always answered, clears error state
+                in_error = False
+                self._ready(sock)
+                continue
+            if in_error:
+                continue  # discard until Sync (protocol error recovery)
             if mtype == b"Q":
                 sql = body.rstrip(b"\x00").decode("utf-8", "replace")
                 if not sql.strip():
@@ -151,14 +195,94 @@ class _PgHandler(socketserver.BaseRequestHandler):
                     self._error(sock, f"{type(exc).__name__}: {exc}")
                 self._ready(sock)
                 continue
-            # extended protocol (Parse/Bind/Describe/Execute/Sync/...)
-            self._error(
-                sock,
-                "extended query protocol not supported — use simple queries "
-                "(psql works) or the line-JSON server for parameterized SQL",
-            )
-            if mtype == b"S":  # a stray Sync still deserves ReadyForQuery
-                self._ready(sock)
+            try:
+                if mtype == b"P":
+                    self._on_parse(sock, body, prepared)
+                elif mtype == b"B":
+                    self._on_bind(sock, server, body, prepared, portals)
+                elif mtype == b"D":
+                    self._on_describe(sock, body, prepared, portals, server)
+                elif mtype == b"E":
+                    self._on_execute(sock, server, body, portals)
+                elif mtype == b"C":  # Close statement/portal
+                    kind, rest = body[:1], body[1:]
+                    name = rest.split(b"\x00", 1)[0].decode()
+                    (prepared if kind == b"S" else portals).pop(name, None)
+                    self._send(sock, _msg(b"3", b""))  # CloseComplete
+                elif mtype == b"H":  # Flush — we always send eagerly
+                    pass
+                else:
+                    raise ValueError(f"unsupported message type {mtype!r}")
+            except Exception as exc:  # noqa: BLE001 — surfaced to client
+                self._error(sock, f"{type(exc).__name__}: {exc}")
+                in_error = True
+
+    # -- extended protocol ----------------------------------------------------
+    def _on_parse(self, sock, body: bytes, prepared: dict) -> None:
+        name, rest = body.split(b"\x00", 1)
+        query, rest = rest.split(b"\x00", 1)
+        (n_types,) = struct.unpack("!h", rest[:2])
+        oids = list(struct.unpack(f"!{n_types}I", rest[2:2 + 4 * n_types]))
+        prepared[name.decode()] = (_dollar_to_named(query.decode()), oids)
+        self._send(sock, _msg(b"1", b""))  # ParseComplete
+
+    def _on_bind(self, sock, server, body: bytes, prepared: dict, portals: dict) -> None:
+        portal, rest = body.split(b"\x00", 1)
+        stmt, rest = rest.split(b"\x00", 1)
+        off = 0
+        (n_fmt,) = struct.unpack_from("!h", rest, off)
+        off += 2
+        fmts = struct.unpack_from(f"!{n_fmt}h", rest, off)
+        off += 2 * n_fmt
+        if any(f == 1 for f in fmts):
+            raise ValueError("binary-format parameters not supported (send text)")
+        (n_params,) = struct.unpack_from("!h", rest, off)
+        off += 2
+        sql, oids = prepared[stmt.decode()]
+        args: dict[str, Any] = {}
+        for i in range(n_params):
+            (plen,) = struct.unpack_from("!i", rest, off)
+            off += 4
+            if plen == -1:
+                raw = None
+            else:
+                raw = rest[off:off + plen].decode("utf-8")
+                off += plen
+            oid = oids[i] if i < len(oids) else 0
+            args[f"p{i + 1}"] = _convert_param(raw, oid)
+        df = server.engine.execute(sql, args or None)
+        tag = sql.strip().split()[0].upper() if sql.strip() else "OK"
+        portals[portal.decode()] = (df, tag)
+        self._send(sock, _msg(b"2", b""))  # BindComplete
+
+    def _on_describe(self, sock, body: bytes, prepared: dict, portals: dict, server) -> None:
+        kind, rest = body[:1], body[1:]
+        name = rest.split(b"\x00", 1)[0].decode()
+        if kind == b"P":
+            df, _tag = portals[name]
+            if df is None:
+                self._send(sock, _msg(b"n", b""))  # NoData
+            else:
+                self._send_row_description(sock, df)
+            return
+        # statement describe: ParameterDescription + (NoData — schema is only
+        # known after Bind in this shim)
+        _sql, oids = prepared[name]
+        self._send(sock, _msg(b"t", struct.pack("!h", len(oids))
+                              + b"".join(struct.pack("!I", o) for o in oids)))
+        self._send(sock, _msg(b"n", b""))
+
+    def _on_execute(self, sock, server, body: bytes, portals: dict) -> None:
+        name, rest = body.split(b"\x00", 1)
+        (max_rows,) = struct.unpack("!i", rest[:4])
+        df, tag = portals[name.decode()]
+        if df is None:
+            self._send(sock, _msg(b"C", _cstr(tag)))
+            return
+        cap = server.max_rows if max_rows <= 0 else min(max_rows, server.max_rows)
+        rows = df.limit(cap).collect()
+        self._send_data_rows(sock, rows)
+        self._send(sock, _msg(b"C", _cstr(f"SELECT {len(rows)}")))
 
     def _run_query(self, sock: socket.socket, server: "PgWireServer", sql: str) -> None:
         df = server.engine.execute(sql)
@@ -167,6 +291,11 @@ class _PgHandler(socketserver.BaseRequestHandler):
             self._send(sock, _msg(b"C", _cstr(tag)))
             return
         rows = df.limit(server.max_rows).collect()
+        self._send_row_description(sock, df)
+        self._send_data_rows(sock, rows)
+        self._send(sock, _msg(b"C", _cstr(f"SELECT {len(rows)}")))
+
+    def _send_row_description(self, sock: socket.socket, df) -> None:
         desc = b"".join(
             _cstr(name)
             + struct.pack(
@@ -181,6 +310,8 @@ class _PgHandler(socketserver.BaseRequestHandler):
             for name, dtype in df.dtypes
         )
         self._send(sock, _msg(b"T", struct.pack("!h", len(df.dtypes)) + desc))
+
+    def _send_data_rows(self, sock: socket.socket, rows) -> None:
         for r in rows:
             cells = []
             for v in r:
@@ -189,7 +320,6 @@ class _PgHandler(socketserver.BaseRequestHandler):
                     struct.pack("!i", -1) if t is None else struct.pack("!i", len(t)) + t
                 )
             self._send(sock, _msg(b"D", struct.pack("!h", len(r)) + b"".join(cells)))
-        self._send(sock, _msg(b"C", _cstr(f"SELECT {len(rows)}")))
 
     # -- plumbing -----------------------------------------------------------
     @staticmethod

@@ -79,6 +79,129 @@ def test_psql_connection_survives_error(server):
     assert ok.returncode == 0 and ok.stdout.strip() == "7"
 
 
+class _RawPg:
+    """Minimal extended-protocol client for testing (libpq message framing)."""
+
+    def __init__(self, port):
+        self.s = socket.create_connection(("127.0.0.1", port), timeout=60)
+        body = struct.pack("!I", 196608) + b"user\x00t\x00database\x00t\x00\x00"
+        self.s.sendall(struct.pack("!I", len(body) + 4) + body)
+        self.drain_until(b"Z")
+
+    def close(self):
+        self.s.close()
+
+    def send(self, mtype: bytes, payload: bytes):
+        self.s.sendall(mtype + struct.pack("!I", len(payload) + 4) + payload)
+
+    def drain_until(self, stop: bytes):
+        msgs, buf = [], b""
+        while True:
+            buf += self.s.recv(65536)
+            while len(buf) >= 5:
+                t = buf[:1]
+                (ln,) = struct.unpack("!I", buf[1:5])
+                if len(buf) < 1 + ln:
+                    break
+                msgs.append((t, buf[5:1 + ln]))
+                buf = buf[1 + ln:]
+            if msgs and msgs[-1][0] == stop:
+                return msgs
+
+    def parse(self, name: str, sql: str, oids=()):
+        payload = (name.encode() + b"\x00" + sql.encode() + b"\x00"
+                   + struct.pack("!h", len(oids))
+                   + b"".join(struct.pack("!I", o) for o in oids))
+        self.send(b"P", payload)
+
+    def bind(self, portal: str, stmt: str, params=()):
+        payload = (portal.encode() + b"\x00" + stmt.encode() + b"\x00"
+                   + struct.pack("!h", 0)  # no param format codes (all text)
+                   + struct.pack("!h", len(params)))
+        for p in params:
+            if p is None:
+                payload += struct.pack("!i", -1)
+            else:
+                b = str(p).encode()
+                payload += struct.pack("!i", len(b)) + b
+        payload += struct.pack("!h", 0)  # no result format codes
+        self.send(b"B", payload)
+
+    def describe_portal(self, portal: str):
+        self.send(b"D", b"P" + portal.encode() + b"\x00")
+
+    def execute(self, portal: str, max_rows: int = 0):
+        self.send(b"E", portal.encode() + b"\x00" + struct.pack("!i", max_rows))
+
+    def sync(self):
+        self.send(b"S", b"")
+
+
+def test_extended_protocol_prepared_roundtrip(server):
+    """Parse/Bind/Describe/Execute/Sync: a $N-parameterized statement runs
+    with typed int parameters and returns typed rows."""
+    c = _RawPg(server.port)
+    try:
+        c.parse("s1", "SELECT $1 + 1 AS x, $2 AS s", oids=(23, 25))
+        c.bind("", "s1", params=(41, "hi"))
+        c.describe_portal("")
+        c.execute("")
+        c.sync()
+        msgs = c.drain_until(b"Z")
+        kinds = [t for t, _ in msgs]
+        assert kinds == [b"1", b"2", b"T", b"D", b"C", b"Z"], kinds
+        datarow = dict(msgs)[b"D"]
+        assert datarow == (struct.pack("!h", 2)
+                           + struct.pack("!i", 2) + b"42"
+                           + struct.pack("!i", 2) + b"hi")
+        assert dict(msgs)[b"C"] == b"SELECT 1\x00"
+    finally:
+        c.close()
+
+
+def test_extended_protocol_rebind_and_repeated_param(server):
+    """One Parse, two Binds with different values; $1 used twice in the SQL."""
+    c = _RawPg(server.port)
+    try:
+        c.parse("s2", "SELECT $1 * $1 AS sq", oids=(23,))
+        for v, want in ((3, b"9"), (5, b"25")):
+            c.bind("", "s2", params=(v,))
+            c.execute("")
+            c.sync()
+            msgs = c.drain_until(b"Z")
+            row = dict(msgs)[b"D"]
+            assert row.endswith(want), (v, row)
+    finally:
+        c.close()
+
+
+def test_extended_protocol_null_param_and_error_recovery(server):
+    c = _RawPg(server.port)
+    try:
+        c.parse("s3", "SELECT $1 AS v", oids=(23,))
+        c.bind("", "s3", params=(None,))
+        c.execute("")
+        c.sync()
+        msgs = c.drain_until(b"Z")
+        assert dict(msgs)[b"D"] == struct.pack("!h", 1) + struct.pack("!i", -1)
+        # error inside extended mode: messages skipped until Sync, then usable
+        c.parse("bad", "SELECT * FROM missing_tbl_xyz", oids=())
+        c.bind("", "bad")
+        c.execute("")
+        c.sync()
+        msgs = c.drain_until(b"Z")
+        kinds = [t for t, _ in msgs]
+        assert b"E" in kinds and kinds[-1] == b"Z"
+        c.parse("ok", "SELECT 1 AS one", oids=())
+        c.bind("", "ok")
+        c.execute("")
+        c.sync()
+        msgs = c.drain_until(b"Z")
+        assert dict(msgs)[b"D"].endswith(b"1")
+    finally:
+        c.close()
+
+
 def test_raw_protocol_ssl_refusal_and_query(server):
     """Socket-level check of the framing psql depends on: SSLRequest gets 'N',
     startup gets AuthenticationOk..ReadyForQuery, Query gets T/D/C/Z."""
