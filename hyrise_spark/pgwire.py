@@ -250,6 +250,14 @@ class _PgHandler(socketserver.BaseRequestHandler):
                 off += plen
             oid = oids[i] if i < len(oids) else 0
             args[f"p{i + 1}"] = _convert_param(raw, oid)
+        # result format codes: we always send text — refuse a binary request
+        # loudly rather than let the client misparse text as binary
+        if off + 2 <= len(rest):
+            (n_rfmt,) = struct.unpack_from("!h", rest, off)
+            off += 2
+            rfmts = struct.unpack_from(f"!{n_rfmt}h", rest, off)
+            if any(f == 1 for f in rfmts):
+                raise ValueError("binary result format not supported (request text)")
         df = server.engine.execute(sql, args or None)
         tag = sql.strip().split()[0].upper() if sql.strip() else "OK"
         portals[portal.decode()] = (df, tag)
