@@ -140,3 +140,42 @@ def write_date_partitioned(
         .format("parquet")
         .saveAsTable(table_name)
     )
+
+
+def write_date_sorted(
+    df: DataFrame,
+    path: str,
+    ts_col: str,
+    n_files: int = 8,
+    block_size: int = 128 * 1024 * 1024,
+) -> None:
+    """Rewrite a fact range-partitioned + sorted by its time column, with the
+    (day-aligned) timestamp column cast to DATE.
+
+    Why the DATE cast: Spark 4.1 creates NO parquet FilterPredicate for
+    TIMESTAMP_NTZ columns — `PushedFilters` in the plan lists the candidate
+    data filters, but the parquet reader never uses row-group/page min-max
+    stats for NTZ, so a date-range scan decodes EVERY row regardless of
+    layout (measured: 15000/15000 rows decoded on a 12-row-group
+    date-sorted NTZ file vs 1327/15000 after casting to a stats-supported
+    type; tests/test_layout.py::test_date_sorted_layout_skips_row_groups
+    pins both numbers). DATE (and plain TIMESTAMP/INT64) columns prune
+    normally. The engine's fact timestamps are day-aligned, so the cast is
+    lossless; at 100 TB this layout is the row-group-skip analog of the
+    reference's sorted-segment binary search (chunk.hpp:156,
+    sorted_segment_search.hpp), worth ~10x I/O on time-banded scans.
+
+    `repartitionByRange` + `sortWithinPartitions` is the cluster-correct
+    form: each output file owns a contiguous time band (file-level skip via
+    min/max), rows inside are sorted (row-group-level skip).
+    """
+    import pyspark.sql.functions as F
+
+    (
+        df.withColumn(ts_col, F.col(ts_col).cast("date"))
+        .repartitionByRange(n_files, F.col(ts_col))
+        .sortWithinPartitions(ts_col)
+        .write.option("parquet.block.size", block_size)
+        .mode("overwrite")
+        .parquet(path)
+    )

@@ -92,16 +92,20 @@ def _month_ranges(col: str, m_lo: int, m_hi: int | None = None):
 
 
 def _first_days_ranges(col: str, last_day: int):
-    """dayofmonth(col) <= last_day (any month/year), hybrid form (see
-    _month_ranges): pushable OR of per-month ranges [y-m-01, y-m-(d+1))
-    for the scan, cheap dayofmonth() short-circuit for row evaluation
-    (the bare 108-term OR measured 10x slower per row)."""
-    ranges = _or_all([
-        (F.col(col) >= f"{y}-{m:02d}-01") & (F.col(col) < f"{y}-{m:02d}-{last_day + 1:02d}")
-        for y in _DATA_YEARS
-        for m in range(1, 13)
-    ])
-    return (F.dayofmonth(col) <= last_day) & ranges
+    """dayofmonth(col) <= last_day (any month/year).
+
+    Deliberately NOT rewritten as an OR of 108 per-month ranges: measured
+    on sf0.1, the wide OR costs ~8 us/row (1.35 s vs 0.13 s on the orders
+    scan; tpcds_q68 0.39 s -> 1.5 s end-to-end) while buying NOTHING on
+    this data — TIMESTAMP_NTZ columns get no parquet row-group filtering
+    in Spark 4.1 (pinned by
+    tests/test_layout.py::test_date_sorted_layout_skips_row_groups), so
+    the pushed ranges never skip anything. The scale path for day-of-month
+    scans is the `layout.write_date_sorted` DATE relayout, where days 1-N
+    of each month cluster into skippable row groups and this predicate
+    stays cheap. Lint exception recorded in
+    test_plan_quality._DATE_FN_FILTER_ALLOWLIST."""
+    return F.dayofmonth(col) <= last_day
 
 
 # --------------------------------------------------------------------------

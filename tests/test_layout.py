@@ -114,3 +114,60 @@ def test_date_partitioned_scan_prunes_partitions(spark):
         assert q.count() == want and want > 0
     finally:
         spark.sql("DROP TABLE IF EXISTS lp_orders")
+
+
+def test_date_sorted_layout_skips_row_groups(spark, tmp_path):
+    """Pins TWO facts the 100 TB story depends on:
+    1. TIMESTAMP_NTZ date columns get NO parquet row-group filtering in
+       Spark 4.1 — every row decodes even on a perfectly sorted layout
+       (PushedFilters is cosmetic at the stats level for NTZ).
+    2. write_date_sorted (DATE-cast + range-partition + sort) activates
+       real row-group skipping: the scan decodes a small fraction of rows
+       for a one-month band, with identical results."""
+    import pyspark.sql.functions as F
+
+    from hyrise_spark.catalog import load_tables
+    from hyrise_spark.layout import write_date_sorted
+    from tests.conftest import SF_DIR
+
+    orders = load_tables(spark, SF_DIR, ("orders",))["orders"]
+    total = orders.count()
+
+    def scan_decoded_rows(df):
+        df.collect()
+        metrics = []
+
+        def walk(node):
+            m = node.metrics()
+            if "Scan" in node.nodeName() and m.contains("numOutputRows"):
+                metrics.append(m.apply("numOutputRows").value())
+            ch = node.children()
+            for i in range(ch.size()):
+                walk(ch.apply(i))
+            if node.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+                walk(node.executedPlan())
+
+        walk(df._jdf.queryExecution().executedPlan())
+        assert metrics, "no scan metric found"
+        return sum(metrics)
+
+    band = lambda df: df.filter(
+        (F.col("o_orderdate") >= "1997-03-01") & (F.col("o_orderdate") < "1997-04-01")
+    )
+
+    # 1. NTZ sorted layout: no skipping — every row decodes
+    ntz_path = str(tmp_path / "ntz_sorted")
+    (orders.orderBy("o_orderdate").coalesce(1)
+     .write.option("parquet.block.size", 64 * 1024).mode("overwrite").parquet(ntz_path))
+    ntz = band(spark.read.parquet(ntz_path))
+    want = ntz.count()
+    assert want > 0
+    assert scan_decoded_rows(ntz) == total  # the NTZ gap, pinned
+
+    # 2. date-sorted layout: row groups skipped, same rows returned
+    ds_path = str(tmp_path / "date_sorted")
+    write_date_sorted(orders, ds_path, "o_orderdate", n_files=2, block_size=8 * 1024)
+    ds = band(spark.read.parquet(ds_path))
+    assert ds.count() == want
+    decoded = scan_decoded_rows(ds)
+    assert decoded < total * 0.4, (decoded, total)

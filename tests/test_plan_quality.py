@@ -403,10 +403,14 @@ def test_date_filters_reach_scan(spark, name):
     assert date_ranges, f"{name}: no date range bound in PushedFilters: {pushed}"
 
 
-# Queries allowed to have a date-function in a post-scan Filter: these filter
-# a DERIVED column (e.g. a HAVING on an aggregated year) or a tiny derived
-# relation — not a parquet fact scan.
-_DATE_FN_FILTER_ALLOWLIST: set[str] = set()
+# Queries allowed to have a date-function filter with no pushed range:
+# tpcds_q68's dayofmonth(o_orderdate) <= 3 would need an OR of 108 per-month
+# ranges to push — measured ~8 us/row (q68 0.39 s -> 1.5 s) while pruning
+# NOTHING here because TIMESTAMP_NTZ columns get no parquet row-group
+# filtering in Spark 4.1 (pinned by
+# test_layout.py::test_date_sorted_layout_skips_row_groups). The scale
+# answer is the write_date_sorted DATE relayout, not the predicate rewrite.
+_DATE_FN_FILTER_ALLOWLIST: set[str] = {"tpcds_q68"}
 
 
 @pytest.mark.parametrize(
