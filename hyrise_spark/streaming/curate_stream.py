@@ -1,0 +1,95 @@
+"""Structured Streaming document curation — the pipeline/curate.py +
+pipeline/text.py operators as streams.
+
+Net-new surface (the reference has no streaming, SURVEY.md §2.9). The same
+JVM-side expressions as the batch operators, expressed over a file-source
+document stream: ingest -> quality scoring (narrow map, stateless) ->
+contamination tagging (5-gram shingles stream-static-semi-joined against a
+STATIC benchmark shingle set) -> sink. Tests run availableNow=True and
+compare with the batch plans — the streaming/batch parity check.
+
+Scale notes: quality scoring is stateless (no watermark, no state store);
+contamination keeps only the seen-doc_id dedup state, and the benchmark
+shingle set is static + broadcast (eval suites are small; the corpus
+streams). At production the file source swaps for Kafka unchanged.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+DOCS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+_NGRAM = 5  # matches pipeline/curate.py
+
+
+def read_documents_stream(spark: SparkSession, docs_dir: str) -> DataFrame:
+    """File-source stream of document batches (parquet files in a dir)."""
+    return spark.readStream.schema(DOCS_SCHEMA).parquet(docs_dir)
+
+
+def _quality_cols(df: DataFrame) -> DataFrame:
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    punct = F.length(F.regexp_replace(F.col("text"), r"[a-zA-Z0-9\s]", ""))
+    return df.select(
+        "doc_id",
+        "source",
+        F.size(words).alias("ws_tokens"),
+        F.round(punct / F.greatest(F.length("text"), F.lit(1)), 4).alias("punct_ratio"),
+    )
+
+
+def quality_scored_stream(docs: DataFrame, min_tokens: int = 10,
+                          max_punct_ratio: float = 0.2) -> DataFrame:
+    """Stateless per-document quality scoring + keep filter — identical
+    expressions to the batch path, so a streaming deployment curates with
+    the same semantics the batch backfill used."""
+    scored = _quality_cols(docs)
+    return scored.withColumn(
+        "keep",
+        (F.col("ws_tokens") >= min_tokens) & (F.col("punct_ratio") <= max_punct_ratio),
+    )
+
+
+def _shingles(df: DataFrame) -> DataFrame:
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    return (
+        df.select("doc_id", words.alias("w"))
+        .filter(F.size("w") >= _NGRAM)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - (_NGRAM - 1)),
+                    lambda s: F.array_join(F.slice("w", s, _NGRAM), " "),
+                )
+            ).alias("sh"),
+        )
+    )
+
+
+def benchmark_shingles(bench_docs: DataFrame) -> DataFrame:
+    """STATIC benchmark shingle set (distinct 5-grams of the eval docs)."""
+    return _shingles(bench_docs).select("sh").distinct()
+
+
+def contaminated_ids_stream(docs: DataFrame, bench: DataFrame) -> DataFrame:
+    """Doc ids in the stream sharing any 5-gram with the static benchmark
+    set: shingle explode -> stream-static LEFT SEMI join (static side
+    broadcast) -> per-doc dedup. State = seen contaminated ids only."""
+    return (
+        _shingles(docs)
+        .join(F.broadcast(bench), "sh", "left_semi")
+        .select("doc_id")
+        .dropDuplicates(["doc_id"])
+    )

@@ -123,12 +123,15 @@ def deduped_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
-def run_to_completion(stream_df: DataFrame, out_table: str) -> None:
-    """Drain all available input into an in-memory sink (availableNow)."""
+def run_to_completion(stream_df: DataFrame, out_table: str,
+                      output_mode: str = "complete") -> None:
+    """Drain all available input into an in-memory sink (availableNow).
+    `complete` fits aggregation streams; stateless/dedup streams need
+    `append` (complete is invalid without an aggregation)."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(out_table)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

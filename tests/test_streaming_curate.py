@@ -1,0 +1,73 @@
+"""Streaming/batch parity for the document-curation streams
+(streaming/curate_stream.py): the streamed quality scores and
+contamination tags must equal the batch operators' output."""
+from __future__ import annotations
+
+import pytest
+
+from hyrise_spark.streaming.curate_stream import (
+    benchmark_shingles,
+    contaminated_ids_stream,
+    quality_scored_stream,
+    read_documents_stream,
+)
+from hyrise_spark.streaming.events_stream import run_to_completion
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs_dir(tmp_path_factory):
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("docs_stream")
+    t = pq.read_table(f"{SF_DIR}/documents.parquet")
+    n = t.num_rows
+    for i in range(3):  # multi-file -> multi-batch ingestion
+        pq.write_table(t.slice(i * n // 3, (i + 1) * n // 3 - i * n // 3), d / f"part{i}.parquet")
+    return str(d)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_quality_scored_stream_matches_batch(spark, docs_dir):
+    stream = quality_scored_stream(read_documents_stream(spark, docs_dir))
+    run_to_completion(stream, "q_stream_out", output_mode="append")
+    got = _rows(spark.table("q_stream_out"))
+    batch = quality_scored_stream(spark.read.parquet(docs_dir))
+    assert got == _rows(batch)
+    assert len(got) == spark.read.parquet(docs_dir).count()
+    # the keep flag is doing real work in both directions on this corpus
+    kept = sum(1 for r in got if r[-1])
+    assert 0 < kept
+
+
+def test_contaminated_ids_stream_matches_batch(spark, docs_dir, tmp_path):
+    """Plant a benchmark copy into the stream; the streamed contamination
+    tags must equal the batch semi-join's."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet")
+    bench_docs = spark.read.parquet(docs_dir).filter("doc_id < 20")
+    bench = benchmark_shingles(bench_docs)
+
+    # copy one benchmark doc as a new late-arriving "file" in the stream dir
+    import pandas as pd
+
+    row = spark.read.parquet(docs_dir).filter("doc_id = 3").toPandas()
+    row["doc_id"] = 99993
+    row["source"] = "srcX"
+    stream_dir = str(tmp_path / "docs2")
+    import shutil
+
+    shutil.copytree(docs_dir, stream_dir)
+    pq.write_table(pq.read_table(docs_dir).slice(0, 0), f"{stream_dir}/unused.parquet")
+    spark.createDataFrame(row).coalesce(1).write.mode("append").parquet(stream_dir)
+
+    stream = contaminated_ids_stream(read_documents_stream(spark, stream_dir), bench)
+    run_to_completion(stream, "c_stream_out", output_mode="append")
+    got = {r.doc_id for r in spark.table("c_stream_out").collect()}
+    batch = contaminated_ids_stream(spark.read.parquet(stream_dir), bench)
+    assert got == {r.doc_id for r in batch.collect()}
+    assert 99993 in got  # the planted copy is tagged
