@@ -109,3 +109,52 @@ def test_fuzz_join_agg(spark, duck, w):
             FROM orders JOIN customer ON o_custkey = c_custkey
             WHERE {w} GROUP BY c_mktsegment""",
     )
+
+
+# -- date-predicate space (round-5 theme: every rewrite family fuzzed) -------
+@st.composite
+def date_predicate(draw) -> str:
+    """Random member of the date-filter families the engine rewrites:
+    half-open ranges, exact-month ranges, OR-of-per-year ranges, and the
+    boundary cases (empty range, single-day, cross-year)."""
+    kind = draw(st.integers(0, 3))
+    y = draw(st.integers(1995, 2001))
+    m = draw(st.integers(1, 12))
+    if kind == 0:  # half-open range, possibly cross-year / empty
+        y2 = draw(st.integers(1995, 2002))
+        m2 = draw(st.integers(1, 12))
+        return (f"o_orderdate >= TIMESTAMP '{y}-{m:02d}-01' "
+                f"AND o_orderdate < TIMESTAMP '{y2}-{m2:02d}-01'")
+    if kind == 1:  # exact single month
+        y2, m2 = (y + 1, 1) if m == 12 else (y, m + 1)
+        return (f"o_orderdate >= TIMESTAMP '{y}-{m:02d}-01' "
+                f"AND o_orderdate < TIMESTAMP '{y2}-{m2:02d}-01'")
+    if kind == 2:  # OR of two per-year month ranges (the _month_ranges shape)
+        y2 = draw(st.integers(1995, 2001))
+        m_end = f"{y + 1}-01-01" if m == 12 else f"{y}-{m + 1:02d}-01"
+        m_end2 = f"{y2 + 1}-01-01" if m == 12 else f"{y2}-{m + 1:02d}-01"
+        return (f"((o_orderdate >= TIMESTAMP '{y}-{m:02d}-01' AND o_orderdate < TIMESTAMP '{m_end}')"
+                f" OR (o_orderdate >= TIMESTAMP '{y2}-{m:02d}-01' AND o_orderdate < TIMESTAMP '{m_end2}'))")
+    d = draw(st.integers(1, 28))  # single-day band
+    return (f"o_orderdate >= TIMESTAMP '{y}-{m:02d}-{d:02d}' "
+            f"AND o_orderdate < TIMESTAMP '{y}-{m:02d}-{d:02d}' + INTERVAL 1 DAY")
+
+
+@_SETTINGS
+@given(w=date_predicate())
+def test_fuzz_date_range_count(spark, duck, w):
+    _run_both(spark, duck, f"SELECT COUNT(*) AS n FROM orders WHERE {w}")
+
+
+@_SETTINGS
+@given(w=date_predicate(), extract=st.sampled_from(["YEAR", "MONTH"]))
+def test_fuzz_date_range_grouped_by_extract(spark, duck, w, extract):
+    """Range filter + EXTRACT grouping — the exact split the rewrites rely
+    on (raw column in the filter, function only in the groupBy)."""
+    _run_both(
+        spark,
+        duck,
+        f"""SELECT CAST(EXTRACT({extract} FROM o_orderdate) AS INTEGER) AS k,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM orders WHERE {w} GROUP BY 1""",
+    )
