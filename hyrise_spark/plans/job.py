@@ -1034,3 +1034,219 @@ def job_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("sn.n_name").alias("min_supp_nation"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Outer join INSIDE the graph: every EUROPE customer, with their 1998 urgent
+# orders if any (left outer mid-chain), nation chain continuing after the
+# outer join. COALESCE keeps the unmatched side countable.
+@register(
+    "job_q21",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(o_orderkey) AS BIGINT) AS n_matched,
+           CAST(MIN(c_custkey) AS BIGINT) AS min_cust,
+           MIN(n_name) AS min_nation
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    LEFT JOIN orders ON o_custkey = c_custkey
+      AND o_orderpriority = '1-URGENT'
+      AND o_orderdate >= TIMESTAMP '1998-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
+    WHERE r_name = 'EUROPE'
+    """,
+    tags=("job",),
+)
+def job_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, nation, region, orders = _t(
+        spark, sf_dir, "customer", "nation", "region", "orders"
+    )
+    urgent = orders.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & _ts_range("o_orderdate", "1998-01-01", "1999-01-01")
+    )
+    return (
+        cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .join(urgent, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("o_orderkey").alias("n_matched"),
+            F.min("c_custkey").alias("min_cust"),
+            F.min("n_name").alias("min_nation"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Correlated scalar subquery INSIDE the graph: lineitems priced above their
+# part's average lineitem price, with the usual chain continuing.
+@register(
+    "job_q22",
+    oracle="""
+    SELECT CAST(MIN(l_orderkey) AS BIGINT) AS min_orderkey,
+           MIN(p_name) AS min_part,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE p_size < 5 AND s_acctbal > 3000
+      AND l_extendedprice > 1.5 * (
+        SELECT AVG(l2.l_extendedprice) FROM lineitem l2
+        WHERE l2.l_partkey = part.p_partkey
+      )
+    """,
+    tags=("job",),
+)
+def job_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, part, supp = _t(spark, sf_dir, "lineitem", "part", "supplier")
+    avg_price = li.groupBy(F.col("l_partkey").alias("ap_pk")).agg(
+        F.avg("l_extendedprice").alias("avg_price")
+    )
+    return (
+        li.join(F.broadcast(part.filter(F.col("p_size") < 5)), F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp.filter(F.col("s_acctbal") > 3000), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(avg_price), F.col("l_partkey") == F.col("ap_pk"))
+        .filter(F.col("l_extendedprice") > 1.5 * F.col("avg_price"))
+        .agg(
+            F.min("l_orderkey").alias("min_orderkey"),
+            F.min("p_name").alias("min_part"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# IN-subquery against an aggregated derived relation: suppliers shipping any
+# of the 3 highest-revenue parts (66 of 100 suppliers at sf0.01 — selective
+# but non-degenerate), chain through nation.
+@register(
+    "job_q23",
+    oracle="""
+    SELECT CAST(MIN(s_suppkey) AS BIGINT) AS min_supp,
+           MIN(n_name) AS min_nation,
+           CAST(COUNT(DISTINCT s_suppkey) AS BIGINT) AS n_supps
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN lineitem ON l_suppkey = s_suppkey
+    WHERE l_partkey IN (
+      SELECT l_partkey FROM lineitem GROUP BY l_partkey
+      ORDER BY SUM(l_extendedprice) DESC, l_partkey LIMIT 3
+    )
+    """,
+    tags=("job",),
+)
+def job_q23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp, nation, li = _t(spark, sf_dir, "supplier", "nation", "lineitem")
+    top_parts = (
+        li.groupBy("l_partkey")
+        .agg(F.sum("l_extendedprice").alias("rev"))
+        .orderBy(F.col("rev").desc(), "l_partkey")
+        .limit(3)
+        .select(F.col("l_partkey").alias("tp_pk"))
+    )
+    return (
+        supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(li, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(top_parts), F.col("l_partkey") == F.col("tp_pk"), "left_semi")
+        .agg(
+            F.min("s_suppkey").alias("min_supp"),
+            F.min("n_name").alias("min_nation"),
+            F.countDistinct("s_suppkey").alias("n_supps"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Equality join on a COMPUTED column (the JOB "join on a derived attribute"
+# family): orders placed the SAME CALENDAR DAY as a machinery customer's
+# very large order — a self-join of orders on CAST(date) with a selective
+# left side.
+@register(
+    "job_q24",
+    oracle="""
+    SELECT CAST(MIN(o1.o_orderkey) AS BIGINT) AS min_big,
+           CAST(MIN(o2.o_orderkey) AS BIGINT) AS min_same_day,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM orders o1
+    JOIN customer c1 ON o1.o_custkey = c1.c_custkey
+    JOIN orders o2 ON CAST(o1.o_orderdate AS DATE) = CAST(o2.o_orderdate AS DATE)
+      AND o2.o_orderkey <> o1.o_orderkey
+    WHERE c1.c_mktsegment = 'MACHINERY' AND o1.o_totalprice > 450000
+    """,
+    tags=("job",),
+)
+def job_q24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, cust = _t(spark, sf_dir, "orders", "customer")
+    o1 = orders.filter(F.col("o_totalprice") > 450000).alias("o1")
+    o2 = orders.alias("o2")
+    return (
+        o1.join(
+            cust.filter(F.col("c_mktsegment") == "MACHINERY"),
+            F.col("o1.o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            o2,
+            (F.col("o1.o_orderdate").cast("date") == F.col("o2.o_orderdate").cast("date"))
+            & (F.col("o2.o_orderkey") != F.col("o1.o_orderkey")),
+        )
+        .agg(
+            F.min("o1.o_orderkey").alias("min_big"),
+            F.min("o2.o_orderkey").alias("min_same_day"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Double exclusion: lineitems of parts never bulk-returned AND of suppliers
+# with no negative balance — TWO anti joins at different graph depths.
+@register(
+    "job_q25",
+    oracle="""
+    SELECT CAST(MIN(l_orderkey) AS BIGINT) AS min_orderkey,
+           MIN(p_name) AS min_part, MIN(s_name) AS min_supp,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE p_size = 7
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem lr
+        WHERE lr.l_partkey = part.p_partkey AND lr.l_returnflag = 'R'
+          AND lr.l_quantity >= 48 AND lr.l_shipdate >= TIMESTAMP '1998-01-01'
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM supplier s2
+        WHERE s2.s_suppkey = supplier.s_suppkey AND s2.s_acctbal < 0
+      )
+    """,
+    tags=("job",),
+)
+def job_q25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, part, supp = _t(spark, sf_dir, "lineitem", "part", "supplier")
+    returned = li.filter(
+        (F.col("l_returnflag") == "R")
+        & (F.col("l_quantity") >= 48)
+        & (F.col("l_shipdate") >= F.lit("1998-01-01"))
+    ).select(F.col("l_partkey").alias("ret_pk"))
+    clean_parts = part.filter(F.col("p_size") == 7).join(
+        returned, F.col("p_partkey") == F.col("ret_pk"), "left_anti"
+    )
+    negative = supp.filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("neg_sk")
+    )
+    good_supp = supp.join(negative, F.col("s_suppkey") == F.col("neg_sk"), "left_anti")
+    return (
+        li.join(F.broadcast(clean_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(good_supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .agg(
+            F.min("l_orderkey").alias("min_orderkey"),
+            F.min("p_name").alias("min_part"),
+            F.min("s_name").alias("min_supp"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
