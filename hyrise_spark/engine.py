@@ -186,12 +186,33 @@ class Engine:
             return self._change_meta_settings("insert", rest=rest)
         if table.lower() == "meta_exec":
             return self._exec_meta_function(rest)
+        import pyspark.sql.functions as F
+
         cur = self.catalog.get_table(table)
         rest = rest.strip()
+        # optional explicit column list: INSERT INTO t (b, id, ...) VALUES/SELECT
+        # — values bind to the NAMED columns in the given order; unmentioned
+        # columns become NULL (insert.hpp routing / standard SQL)
+        target_cols: list[str] | None = None
+        m = re.match(r"^\(\s*(?P<cols>\w+(?:\s*,\s*\w+)*)\s*\)\s*(?P<rest>.+)$", rest, re.S)
+        if m and m["cols"].split(",")[0].strip().upper() != "SELECT":
+            target_cols = [c.strip() for c in m["cols"].split(",")]
+            unknown = [c for c in target_cols if c not in cur.columns]
+            if unknown:
+                raise ValueError(f"INSERT column(s) {unknown} not in {table}")
+            rest = m["rest"].strip()
+        names = target_cols or cur.columns
         if rest.upper().startswith("VALUES"):
-            new_rows = self.spark.sql(f"SELECT * FROM ({rest})").toDF(*cur.columns)
+            new_rows = self.spark.sql(f"SELECT * FROM ({rest})").toDF(*names)
         else:  # INSERT INTO t SELECT ...
-            new_rows = self.spark.sql(rest).toDF(*cur.columns)
+            new_rows = self.spark.sql(rest).toDF(*names)
+        if target_cols:
+            for fld in cur.schema.fields:
+                if fld.name not in target_cols:
+                    new_rows = new_rows.withColumn(
+                        fld.name, F.lit(None).cast(fld.dataType)
+                    )
+            new_rows = new_rows.select(*cur.columns)
         self.catalog.replace_table(table, cur.unionByName(new_rows))
         return None
 

@@ -179,3 +179,26 @@ def write_date_sorted(
         .mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-files compaction (net-new warehouse maintenance, the lakehouse
+    OPTIMIZE analog): rewrite a parquet directory into ceil(bytes/target)
+    right-sized files. At 100 TB, streaming ingest and small-batch appends
+    leave thousands of KB-scale files per table; scan cost then goes to task
+    scheduling + footer reads instead of IO. One periodic compaction pass
+    restores ~target-size files. Returns the output file count."""
+    import glob
+    import math
+
+    total = sum(
+        os.path.getsize(f) for f in glob.glob(os.path.join(src, "*.parquet"))
+    ) or 1
+    n = max(1, math.ceil(total / target_file_bytes))
+    spark.read.parquet(src).repartition(n).write.mode("overwrite").parquet(dst)
+    return n

@@ -1,0 +1,127 @@
+"""DML-sequence differential harness — the reference corpus's DML families
+(sqlite_testrunner_queries.sql lines ~329-367: DELETE/UPDATE/INSERT chains
+and BEGIN..COMMIT transactions) run through BOTH this Engine and DuckDB,
+final table states compared. Closes the corpus-accounting gap where DML
+sequences were only unit-tested: every mutation statement below executes
+verbatim on both engines.
+
+Excluded (documented): BEGIN..ROLLBACK sequences — this engine is
+single-statement autocommit by design (SURVEY.md §7 risk 6) and warns on
+ROLLBACK; there is no state to compare.
+
+Seed data differs only in the range() table-function dialect; all DML text
+is shared verbatim.
+"""
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from hyrise_spark.engine import Engine
+from hyrise_spark.oracle import canon
+
+# idt ~ id_int_int_int_100: deterministic pseudo-random int columns
+_SPARK_SEED = """CREATE TABLE idt AS
+SELECT CAST(id AS INT) AS id, CAST((id * 37) % 97 AS INT) AS a,
+       CAST((id * 53) % 89 AS INT) AS b, CAST((id * 71) % 83 AS INT) AS c
+FROM RANGE(100)"""
+_DUCK_SEED = """CREATE TABLE idt AS
+SELECT CAST(r AS INT) AS id, CAST((r * 37) % 97 AS INT) AS a,
+       CAST((r * 53) % 89 AS INT) AS b, CAST((r * 71) % 83 AS INT) AS c
+FROM range(100) t(r)"""
+
+# Each case: list of statements executed in order on BOTH engines (verbatim),
+# then `SELECT * FROM idt` compared. Mirrors the reference corpus sequences.
+_SEQUENCES = {
+    "delete_all_then_insert": [
+        "DELETE FROM idt",
+        "INSERT INTO idt VALUES (1, 2, 3, 4)",
+    ],
+    "delete_range": ["DELETE FROM idt WHERE id > 75"],
+    "delete_or_pred": ["DELETE FROM idt WHERE a > 40 OR b < 20"],
+    "delete_chained": [
+        "DELETE FROM idt WHERE a > 40",
+        "DELETE FROM idt WHERE b < 20",
+    ],
+    "delete_noop": ["DELETE FROM idt WHERE a > 9000"],
+    "delete_with_scalar_subquery": [
+        "DELETE FROM idt WHERE a = 5 OR b = 6 OR (a > 2 AND b > 80)"
+        " OR (a = (SELECT MIN(a) FROM idt))",
+    ],
+    "update_where": ["UPDATE idt SET a = a + 1 WHERE id > 10"],
+    "update_all": ["UPDATE idt SET a = a + 1"],
+    "update_expr_where": ["UPDATE idt SET a = b + c + 3 WHERE id > 10 * 5"],
+    "update_noop": ["UPDATE idt SET a = b + c + 3 WHERE id > 1000 * 1000"],
+    "update_key_collapse": ["UPDATE idt SET id = 0 WHERE id > 20"],
+    # simultaneous assignment: every RHS reads the OLD row
+    "update_column_rotation": [
+        "UPDATE idt SET id = a, a = b, b = c, c = id WHERE id > 20",
+    ],
+    "update_column_rotation_arith": [
+        "UPDATE idt SET id = a - 1, a = b, b = c, c = id + 1 WHERE id > 20",
+    ],
+    "insert_values": ["INSERT INTO idt VALUES (100, 1, 2, 3)"],
+    "insert_column_list": ["INSERT INTO idt (id, a, b, c) VALUES (100, 1, 2, 3)"],
+    "insert_column_list_reordered": [
+        "INSERT INTO idt (id, c, b, a) VALUES (100, 3, 2, 1)",
+    ],
+    "insert_partial_columns_null_fill": [
+        "INSERT INTO idt (id, a) VALUES (200, 7)",
+    ],
+    "insert_chain": [
+        "INSERT INTO idt VALUES (100, 1, 2, 3)",
+        "INSERT INTO idt VALUES (101, 3, 2, 1)",
+        "INSERT INTO idt VALUES (102, 42, 77992, 1000000)",
+    ],
+    # INSERT .. SELECT literal-projection FROM the table (row-multiplying)
+    "insert_select_literals": [
+        "INSERT INTO idt SELECT 100, 1, 2, 3 FROM idt",
+    ],
+    "insert_select_literals_column_list": [
+        "INSERT INTO idt (b, id, c, a) SELECT 2, 100, 3, 1 FROM idt",
+    ],
+    "insert_select_filtered": [
+        "INSERT INTO idt SELECT id + 1000, a, b, c FROM idt WHERE a < 10",
+    ],
+    "mixed_sequence": [
+        "DELETE FROM idt WHERE id >= 90",
+        "UPDATE idt SET b = b * 2 WHERE a < 50",
+        "INSERT INTO idt (id, a, b, c) VALUES (300, 1, 2, 3)",
+        "DELETE FROM idt WHERE b > 150",
+    ],
+    # BEGIN/COMMIT bracketing: autocommit no-ops here, a real txn in DuckDB —
+    # identical end state either way (the ROLLBACK family is excluded, above)
+    "transaction_commit": [
+        "BEGIN",
+        "INSERT INTO idt VALUES (999, 1, 42, 7)",
+        "COMMIT",
+    ],
+}
+
+
+@pytest.fixture()
+def engines(spark):
+    eng = Engine(spark)
+    duck = duckdb.connect()
+    eng.execute(_SPARK_SEED)
+    duck.execute(_DUCK_SEED)
+    yield eng, duck
+    eng.execute("DROP TABLE idt")
+    duck.close()
+
+
+@pytest.mark.parametrize("name", sorted(_SEQUENCES))
+def test_dml_sequence_matches_duckdb(engines, name):
+    eng, duck = engines
+    for stmt in _SEQUENCES[name]:
+        eng.execute(stmt)
+        duck.execute(stmt)
+    sdf = eng.execute("SELECT * FROM idt")
+    scols = [c.lower() for c in sdf.columns]
+    srows = [tuple(r) for r in sdf.collect()]
+    res = duck.execute("SELECT * FROM idt")
+    ocols = [d[0].lower() for d in res.description]
+    orows = res.fetchall()
+    assert sorted(scols) == sorted(ocols)
+    assert len(srows) == len(orows), f"{name}: {len(srows)} vs {len(orows)}"
+    assert canon(scols, srows) == canon(ocols, orows), name

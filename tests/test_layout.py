@@ -171,3 +171,24 @@ def test_date_sorted_layout_skips_row_groups(spark, tmp_path):
     assert ds.count() == want
     decoded = scan_decoded_rows(ds)
     assert decoded < total * 0.4, (decoded, total)
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    """20 tiny files -> 1 right-sized file, identical rows."""
+    import glob
+
+    from hyrise_spark.catalog import load_tables
+    from hyrise_spark.layout import compact_parquet
+    from tests.conftest import SF_DIR
+
+    orders = load_tables(spark, SF_DIR, ("orders",))["orders"]
+    src = str(tmp_path / "fragmented")
+    orders.repartition(20).write.mode("overwrite").parquet(src)
+    assert len(glob.glob(f"{src}/*.parquet")) == 20
+    dst = str(tmp_path / "compacted")
+    n = compact_parquet(spark, src, dst, target_file_bytes=1 << 30)
+    assert n == 1
+    assert len(glob.glob(f"{dst}/*.parquet")) == 1
+    a = sorted(tuple(r) for r in spark.read.parquet(src).collect())
+    b = sorted(tuple(r) for r in spark.read.parquet(dst).collect())
+    assert a == b

@@ -17,9 +17,11 @@ Accounting of reference-corpus lines NOT mirrored here (the remainder of
 the 518-line file beyond this corpus's coverage):
   * DML + transaction sequences (reference lines ~329-367, 506-510:
     DELETE/UPDATE/INSERT chains, BEGIN..ROLLBACK..SELECT) — they mutate
-    state so they cannot run as verbatim dual-engine strings; the same
-    surface is covered by tests/test_dml.py and test_engine.py through the
-    Engine, including the multi-statement sequencing.
+    state so they don't fit THIS harness's one-string model; they have
+    their own differential harness instead (tests/test_dml_differential.py:
+    22 sequences run verbatim on both the Engine and DuckDB, final states
+    hash-compared), plus unit coverage in tests/test_dml.py. Only the
+    BEGIN..ROLLBACK family stays excluded (autocommit engine, documented).
   * CREATE VIEW / CREATE TABLE sequences (lines ~369-380) — ditto;
     covered by test_engine.py (views, CTAS, IF NOT EXISTS).
   * SQLite integer-as-boolean rows (`WHERE 1 OR 3 > 2`, line 94) — both
