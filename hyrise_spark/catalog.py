@@ -126,6 +126,12 @@ class Catalog:
     def replace_table(self, name: str, df: DataFrame) -> None:
         self._tables[name] = df
         df.createOrReplaceTempView(name)
+        # SQL views re-resolve against CURRENT table state (lqp_view analog:
+        # the reference stores the view's LQP and re-instantiates per query).
+        # Temp views captured the old plan eagerly — re-register every stored
+        # view, in creation order so views-over-views resolve.
+        for vname, vsql in self._views.items():
+            self.spark.sql(vsql).createOrReplaceTempView(vname)
 
     def drop_table(self, name: str) -> None:
         if name not in self._tables:

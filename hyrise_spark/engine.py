@@ -28,12 +28,27 @@ _EXPORT_RE = re.compile(
     r"^\s*EXPORT\s+(?P<table>\w+)\s+TO\s+'(?P<path>[^']+)'\s*$", re.I
 )
 _CREATE_VIEW_RE = re.compile(
-    r"^\s*CREATE\s+VIEW\s+(?P<name>\w+)\s+AS\s+(?P<sql>.+)$", re.I | re.S
+    r"^\s*CREATE\s+VIEW\s+(?P<name>\w+)\s*"
+    r"(?:\(\s*(?P<cols>\w+(?:\s*,\s*\w+)*)\s*\)\s*)?AS\s+(?P<sql>.+)$",
+    re.I | re.S,
 )
-_DROP_VIEW_RE = re.compile(r"^\s*DROP\s+VIEW\s+(?P<name>\w+)\s*$", re.I)
-_DROP_TABLE_RE = re.compile(r"^\s*DROP\s+TABLE\s+(?P<name>\w+)\s*$", re.I)
+_DROP_VIEW_RE = re.compile(
+    r"^\s*DROP\s+VIEW\s+(?P<ifex>IF\s+EXISTS\s+)?(?P<name>\w+)\s*$", re.I
+)
+_DROP_TABLE_RE = re.compile(
+    r"^\s*DROP\s+TABLE\s+(?P<ifex>IF\s+EXISTS\s+)?(?P<name>\w+)\s*$", re.I
+)
 _CREATE_TABLE_RE = re.compile(
-    r"^\s*CREATE\s+TABLE\s+(?P<name>\w+)\s+AS\s+(?P<sql>.+)$", re.I | re.S
+    r"^\s*CREATE\s+TABLE\s+(?P<ifnx>IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)\s+AS\s+(?P<sql>.+)$",
+    re.I | re.S,
+)
+# CREATE TABLE [IF NOT EXISTS] t (col TYPE, ...) — empty table from a schema
+# (maintenance/create_table.hpp analog; the col-defs parse as a Spark DDL
+# schema string)
+_CREATE_TABLE_SCHEMA_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?P<ifnx>IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)\s*"
+    r"\((?P<cols>[^()]+)\)\s*$",
+    re.I | re.S,
 )
 _INSERT_RE = re.compile(
     r"^\s*INSERT\s+INTO\s+(?P<table>\w+)\s+(?P<rest>.+)$", re.I | re.S
@@ -144,19 +159,37 @@ class Engine:
             return None
         m = _CREATE_VIEW_RE.match(stmt)
         if m:
-            self.catalog.add_view(m["name"], m["sql"])
+            sql = m["sql"]
+            if m["cols"]:
+                # explicit view column list (count_view3-style, corpus line
+                # 371): rename through a derived-table alias
+                sql = f"SELECT * FROM ({sql}) AS __v({m['cols']})"
+            self.catalog.add_view(m["name"], sql)
             return None
         m = _DROP_VIEW_RE.match(stmt)
         if m:
+            if m["ifex"] and not self.catalog.has_view(m["name"]):
+                return None
             self.catalog.drop_view(m["name"])
             return None
         m = _DROP_TABLE_RE.match(stmt)
         if m:
+            if m["ifex"] and not self.catalog.has_table(m["name"]):
+                return None
             self.catalog.drop_table(m["name"])
             return None
         m = _CREATE_TABLE_RE.match(stmt)
         if m:
+            if m["ifnx"] and self.catalog.has_table(m["name"]):
+                return None
             self.catalog.add_table(m["name"], self.spark.sql(m["sql"]))
+            return None
+        m = _CREATE_TABLE_SCHEMA_RE.match(stmt)
+        if m:
+            if m["ifnx"] and self.catalog.has_table(m["name"]):
+                return None
+            empty = self.spark.createDataFrame([], schema=m["cols"])
+            self.catalog.add_table(m["name"], empty)
             return None
         m = _INSERT_RE.match(stmt)
         if m:

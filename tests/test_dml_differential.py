@@ -110,18 +110,87 @@ def engines(spark):
     duck.close()
 
 
+def _compare_select(eng, duck, select_sql: str, name: str) -> None:
+    sdf = eng.execute(select_sql)
+    scols = [c.lower() for c in sdf.columns]
+    srows = [tuple(r) for r in sdf.collect()]
+    res = duck.execute(select_sql)
+    ocols = [d[0].lower() for d in res.description]
+    orows = res.fetchall()
+    assert sorted(scols) == sorted(ocols), f"{name}: {scols} vs {ocols}"
+    assert len(srows) == len(orows), f"{name}: {len(srows)} vs {len(orows)}"
+    assert canon(scols, srows) == canon(ocols, orows), name
+
+
 @pytest.mark.parametrize("name", sorted(_SEQUENCES))
 def test_dml_sequence_matches_duckdb(engines, name):
     eng, duck = engines
     for stmt in _SEQUENCES[name]:
         eng.execute(stmt)
         duck.execute(stmt)
-    sdf = eng.execute("SELECT * FROM idt")
-    scols = [c.lower() for c in sdf.columns]
-    srows = [tuple(r) for r in sdf.collect()]
-    res = duck.execute("SELECT * FROM idt")
-    ocols = [d[0].lower() for d in res.description]
-    orows = res.fetchall()
-    assert sorted(scols) == sorted(ocols)
-    assert len(srows) == len(orows), f"{name}: {len(srows)} vs {len(orows)}"
-    assert canon(scols, srows) == canon(ocols, orows), name
+    _compare_select(eng, duck, "SELECT * FROM idt", name)
+
+
+# -- VIEW / CREATE TABLE DDL sequences (corpus lines ~369-380) ---------------
+# Each: (statements, final SELECT). Statements run verbatim on both engines.
+_DDL_SEQUENCES = {
+    "view_count_distinct": (
+        ["CREATE VIEW cv1 AS SELECT a, CAST(COUNT(DISTINCT b) AS BIGINT) AS cd FROM idt GROUP BY a"],
+        "SELECT * FROM cv1",
+    ),
+    "view_filtered_select": (
+        ["CREATE VIEW cv2 AS SELECT a, CAST(COUNT(DISTINCT b) AS BIGINT) AS cd FROM idt GROUP BY a"],
+        "SELECT * FROM cv2 WHERE a > 10",
+    ),
+    "view_explicit_column_list": (
+        ["CREATE VIEW cv3 (foo, bar) AS SELECT a, CAST(COUNT(DISTINCT b) AS BIGINT) AS cd FROM idt GROUP BY a"],
+        "SELECT * FROM cv3 WHERE foo > 10",
+    ),
+    "view_duplicate_aliases": (
+        ["CREATE VIEW av AS SELECT a AS a1, a AS a2 FROM idt WHERE a > 10"],
+        "SELECT a1, a2 FROM av",
+    ),
+    "view_sees_later_dml": (
+        [
+            "CREATE VIEW lv AS SELECT CAST(COUNT(*) AS BIGINT) AS n FROM idt",
+            "DELETE FROM idt WHERE id >= 50",
+        ],
+        "SELECT * FROM lv",
+    ),
+    "create_table_schema_and_if_not_exists": (
+        [
+            "DROP TABLE IF EXISTS ddl_t",
+            "CREATE TABLE ddl_t (a INT)",
+            "INSERT INTO ddl_t (a) VALUES (1)",
+            "CREATE TABLE IF NOT EXISTS ddl_t (b INT)",
+        ],
+        "SELECT * FROM ddl_t",
+    ),
+    "ctas_from_query": (
+        [
+            "DROP TABLE IF EXISTS ddl_s",
+            "CREATE TABLE ddl_s AS SELECT id, a FROM idt WHERE a > 50",
+        ],
+        "SELECT * FROM ddl_s",
+    ),
+}
+
+
+@pytest.mark.parametrize("name", sorted(_DDL_SEQUENCES))
+def test_ddl_sequence_matches_duckdb(engines, name):
+    eng, duck = engines
+    stmts, final = _DDL_SEQUENCES[name]
+    for stmt in stmts:
+        eng.execute(stmt)
+        duck.execute(stmt)
+    try:
+        _compare_select(eng, duck, final, name)
+    finally:  # drop created objects so cases stay independent
+        for obj, kind in (("cv1", "VIEW"), ("cv2", "VIEW"), ("cv3", "VIEW"),
+                          ("av", "VIEW"), ("lv", "VIEW"),
+                          ("ddl_t", "TABLE"), ("ddl_s", "TABLE")):
+            for ex in (eng.execute, duck.execute):
+                try:
+                    ex(f"DROP {kind} IF EXISTS {obj}")
+                except Exception:
+                    pass
