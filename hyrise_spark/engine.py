@@ -50,6 +50,28 @@ _CREATE_TABLE_SCHEMA_RE = re.compile(
     r"\((?P<cols>[^()]+)\)\s*$",
     re.I | re.S,
 )
+# hyrise prepared-statement dialect (sql_translator.cpp:1808-1850):
+# PREPARE name FROM 'SELECT ... ?'  /  EXECUTE name (lit, ...)
+_PREPARE_RE = re.compile(
+    r"^\s*PREPARE\s+(?P<name>\w+)\s+FROM\s+'(?P<sql>.+)'\s*$", re.I | re.S
+)
+_EXECUTE_RE = re.compile(
+    r"^\s*EXECUTE\s+(?P<name>\w+)\s*(?:\((?P<args>.*)\))?\s*$", re.I | re.S
+)
+
+
+def _parse_literal(tok: str):
+    """One EXECUTE argument literal -> Python value."""
+    t = tok.strip()
+    if t.upper() == "NULL":
+        return None
+    if t.startswith("'") and t.endswith("'"):
+        return t[1:-1].replace("''", "'")
+    if re.fullmatch(r"-?\d+", t):
+        return int(t)
+    if re.fullmatch(r"-?\d*\.\d+(?:[eE][+-]?\d+)?|-?\d+[eE][+-]?\d+", t):
+        return float(t)
+    raise ValueError(f"cannot parse EXECUTE argument {tok!r}")
 _INSERT_RE = re.compile(
     r"^\s*INSERT\s+INTO\s+(?P<table>\w+)\s+(?P<rest>.+)$", re.I | re.S
 )
@@ -191,6 +213,20 @@ class Engine:
             empty = self.spark.createDataFrame([], schema=m["cols"])
             self.catalog.add_table(m["name"], empty)
             return None
+        m = _PREPARE_RE.match(stmt)
+        if m:
+            # hyrise doubles quotes inside the statement string literal
+            self.prepare(m["name"], m["sql"].replace("''", "'"))
+            return None
+        m = _EXECUTE_RE.match(stmt)
+        if m and m["name"] in self._prepared:
+            raw = (m["args"] or "").strip()
+            vals = (
+                [_parse_literal(t) for t in self._split_assignments(raw)]
+                if raw
+                else []
+            )
+            return self.execute_prepared(m["name"], vals)
         m = _INSERT_RE.match(stmt)
         if m:
             return self._insert(m["table"], m["rest"])

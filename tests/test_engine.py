@@ -259,3 +259,27 @@ def test_meta_segments_accurate_exact_stats(engine, spark):
         assert by_col["n_name"]["null_value_count"] == 0
     finally:
         engine.catalog.drop_table("mt_acc_nation")
+
+
+def test_prepare_execute_sql_dialect(engine):
+    """hyrise's SQL-level prepared statements (sql_translator.cpp:1808-1850):
+    PREPARE name FROM '...?...' / EXECUTE name (args)."""
+    engine.execute("PREPARE pp FROM 'SELECT COUNT(*) AS n FROM nums WHERE id < ?'")
+    assert engine.execute("EXECUTE pp (10)").collect()[0]["n"] == 10
+    assert engine.execute("EXECUTE pp (3)").collect()[0]["n"] == 3
+
+
+def test_prepare_execute_multiple_params_and_types(engine):
+    engine.execute(
+        "PREPARE pq FROM 'SELECT COUNT(*) AS n FROM nums WHERE id > ? AND id < ?'"
+    )
+    assert engine.execute("EXECUTE pq (2, 7)").collect()[0]["n"] == 4
+    # string + escaped-quote literal round-trips through the dialect
+    engine.execute("PREPARE ps FROM 'SELECT ? AS s, ? AS x'")
+    row = engine.execute("EXECUTE ps ('it''s', 1.5)").collect()[0]
+    assert row["s"] == "it's" and abs(row["x"] - 1.5) < 1e-12
+
+
+def test_prepare_execute_no_args(engine):
+    engine.execute("PREPARE p0 FROM 'SELECT 41 + 1 AS v'")
+    assert engine.execute("EXECUTE p0").collect()[0]["v"] == 42
