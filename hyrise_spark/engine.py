@@ -27,6 +27,19 @@ _IMPORT_RE = re.compile(
 _EXPORT_RE = re.compile(
     r"^\s*EXPORT\s+(?P<table>\w+)\s+TO\s+'(?P<path>[^']+)'\s*$", re.I
 )
+# COPY t FROM/TO 'file' [WITH (FORMAT TBL|CSV|BINARY|PARQUET)] — the
+# reference's Import/Export alias (sql_translator.cpp:1847-1870; an explicit
+# FORMAT overrides extension inference)
+_COPY_FROM_RE = re.compile(
+    r"^\s*COPY\s+(?P<table>\w+)\s+FROM\s+'(?P<path>[^']+)'"
+    r"(?:\s+WITH\s*\(\s*FORMAT\s+(?P<fmt>\w+)\s*\))?\s*$",
+    re.I,
+)
+_COPY_TO_RE = re.compile(
+    r"^\s*COPY\s+(?P<table>\w+)\s+TO\s+'(?P<path>[^']+)'"
+    r"(?:\s+WITH\s*\(\s*FORMAT\s+(?P<fmt>\w+)\s*\))?\s*$",
+    re.I,
+)
 _CREATE_VIEW_RE = re.compile(
     r"^\s*CREATE\s+VIEW\s+(?P<name>\w+)\s*"
     r"(?:\(\s*(?P<cols>\w+(?:\s*,\s*\w+)*)\s*\)\s*)?AS\s+(?P<sql>.+)$",
@@ -175,6 +188,13 @@ class Engine:
         m = _IMPORT_RE.match(stmt)
         if m:
             return self.import_table(m["path"], m["table"])
+        m = _COPY_FROM_RE.match(stmt)
+        if m:
+            return self.import_table(m["path"], m["table"], fmt=m["fmt"])
+        m = _COPY_TO_RE.match(stmt)
+        if m:
+            self.export_table(m["table"], m["path"], fmt=m["fmt"])
+            return None
         m = _EXPORT_RE.match(stmt)
         if m:
             self.export_table(m["table"], m["path"])
@@ -443,20 +463,58 @@ class Engine:
         return self.spark.sql(self._prepared[name], args=args)
 
     # -- import/export (operators/import.hpp, export.hpp) -------------------
-    def import_table(self, path: str, name: str) -> DataFrame:
+    def import_table(self, path: str, name: str, fmt: str | None = None) -> DataFrame:
         from hyrise_spark.sources import read_any
 
-        df = read_any(self.spark, path)
+        if fmt:
+            df = self._read_format(path, fmt)
+        else:
+            df = read_any(self.spark, path)
         if self.catalog.has_table(name):
             self.catalog.replace_table(name, df)
         else:
             self.catalog.add_table(name, df)
         return df
 
-    def export_table(self, name: str, path: str) -> None:
-        from hyrise_spark.sources import write_any
+    def _read_format(self, path: str, fmt: str) -> DataFrame:
+        """Explicit-FORMAT read (COPY ... WITH (FORMAT x)) — overrides
+        extension inference, like the reference's import_statement.file_type."""
+        from hyrise_spark.sources.csv_meta import read_csv_with_meta
+        from hyrise_spark.sources.hybin import read_bin
+        from hyrise_spark.sources.tbl import read_tbl
 
-        write_any(self.spark.table(name), path)
+        f = fmt.upper()
+        if f == "TBL":
+            return read_tbl(self.spark, path)
+        if f == "CSV":
+            return read_csv_with_meta(self.spark, path)
+        if f in ("BINARY", "BIN"):
+            return read_bin(self.spark, path)
+        if f == "PARQUET":
+            return self.spark.read.parquet(path)
+        raise ValueError(f"unsupported COPY format {fmt!r}")
+
+    def export_table(self, name: str, path: str, fmt: str | None = None) -> None:
+        from hyrise_spark.sources import write_any
+        from hyrise_spark.sources.csv_meta import write_csv_with_meta
+        from hyrise_spark.sources.hybin import write_bin
+        from hyrise_spark.sources.tbl import write_tbl
+
+        df = self.spark.table(name)
+        if not fmt:
+            write_any(df, path)
+            return
+        f = fmt.upper()
+        if f == "TBL":
+            write_tbl(df, path)
+        elif f == "CSV":
+            write_csv_with_meta(df, path)
+        elif f in ("BINARY", "BIN"):
+            write_bin(df, path)
+        elif f == "PARQUET":
+            df.write.mode("overwrite").parquet(path)
+        else:
+            raise ValueError(f"unsupported COPY format {fmt!r}")
 
     # -- plan introspection (console `visualize` analog, SURVEY §3.3) -------
     def explain(self, sql: str, mode: str = "formatted") -> str:

@@ -283,3 +283,27 @@ def test_prepare_execute_multiple_params_and_types(engine):
 def test_prepare_execute_no_args(engine):
     engine.execute("PREPARE p0 FROM 'SELECT 41 + 1 AS v'")
     assert engine.execute("EXECUTE p0").collect()[0]["v"] == 42
+
+
+def test_copy_from_to_roundtrip(engine, spark, tmp_path):
+    """COPY t TO/FROM 'file' — the reference's Import/Export alias
+    (sql_translator.cpp:1847), incl. an explicit FORMAT override."""
+    engine.execute(
+        "CREATE TABLE cp_src AS SELECT CAST(id AS INT) AS k, "
+        "CONCAT('v', id) AS s FROM RANGE(20)"
+    )
+    try:
+        path = str(tmp_path / "cp.tbl")
+        engine.execute(f"COPY cp_src TO '{path}'")
+        engine.execute(f"COPY cp_copy FROM '{path}'")
+        assert engine.execute("SELECT COUNT(*) AS n FROM cp_copy").collect()[0]["n"] == 20
+        # FORMAT override: write a .dat file as BINARY, read it back as BINARY
+        bpath = str(tmp_path / "cp.dat")
+        engine.execute(f"COPY cp_src TO '{bpath}' WITH (FORMAT BINARY)")
+        engine.execute(f"COPY cp_bin FROM '{bpath}' WITH (FORMAT BINARY)")
+        a = sorted(tuple(r) for r in engine.execute("SELECT * FROM cp_src").collect())
+        b = sorted(tuple(r) for r in engine.execute("SELECT * FROM cp_bin").collect())
+        assert a == b
+    finally:
+        for t in ("cp_src", "cp_copy", "cp_bin"):
+            engine.execute(f"DROP TABLE IF EXISTS {t}")
