@@ -233,6 +233,15 @@ class Engine:
             empty = self.spark.createDataFrame([], schema=m["cols"])
             self.catalog.add_table(m["name"], empty)
             return None
+        # SHOW TABLES / SHOW COLUMNS t — the reference rewrites these onto its
+        # meta tables (sql_translator.cpp:1583-1597); same mapping here
+        if re.match(r"^\s*SHOW\s+TABLES\s*$", stmt, re.I):
+            return self._execute_one("SELECT * FROM meta_tables", None)
+        m = re.match(r"^\s*SHOW\s+COLUMNS\s+(?:FROM\s+)?(?P<t>\w+)\s*$", stmt, re.I)
+        if m:
+            return self._execute_one(
+                f"SELECT * FROM meta_columns WHERE table_name = '{m['t']}'", None
+            )
         m = _PREPARE_RE.match(stmt)
         if m:
             # hyrise doubles quotes inside the statement string literal

@@ -307,3 +307,20 @@ def test_copy_from_to_roundtrip(engine, spark, tmp_path):
     finally:
         for t in ("cp_src", "cp_copy", "cp_bin"):
             engine.execute(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_show_tables_and_columns(engine):
+    """SHOW TABLES / SHOW COLUMNS t rewrite onto the meta tables
+    (sql_translator.cpp:1583-1597 parity)."""
+    engine.execute("CREATE TABLE show_t AS SELECT CAST(1 AS INT) AS a, 'x' AS b")
+    try:
+        tables = [r["table_name"] for r in engine.execute("SHOW TABLES").collect()]
+        assert "show_t" in tables
+        cols = engine.execute("SHOW COLUMNS FROM show_t").collect()
+        assert {r["column_name"] for r in cols} == {"a", "b"}
+        assert all(r["table_name"] == "show_t" for r in cols)
+        # hyrise's bare form without FROM works too
+        cols2 = engine.execute("SHOW COLUMNS show_t").collect()
+        assert {r["column_name"] for r in cols2} == {"a", "b"}
+    finally:
+        engine.execute("DROP TABLE IF EXISTS show_t")
