@@ -201,7 +201,7 @@ class _PgHandler(socketserver.BaseRequestHandler):
                 elif mtype == b"B":
                     self._on_bind(sock, server, body, prepared, portals)
                 elif mtype == b"D":
-                    self._on_describe(sock, body, prepared, portals, server)
+                    self._on_describe(sock, body, prepared, portals)
                 elif mtype == b"E":
                     self._on_execute(sock, server, body, portals)
                 elif mtype == b"C":  # Close statement/portal
@@ -263,7 +263,7 @@ class _PgHandler(socketserver.BaseRequestHandler):
         portals[portal.decode()] = (df, tag)
         self._send(sock, _msg(b"2", b""))  # BindComplete
 
-    def _on_describe(self, sock, body: bytes, prepared: dict, portals: dict, server) -> None:
+    def _on_describe(self, sock, body: bytes, prepared: dict, portals: dict) -> None:
         kind, rest = body[:1], body[1:]
         name = rest.split(b"\x00", 1)[0].decode()
         if kind == b"P":

@@ -387,7 +387,7 @@ def _lz4_block_compress(data: bytes) -> bytes:
     return bytes(out)
 
 
-def _write_for_segment(f: BinaryIO, names, ci, vals) -> None:
+def _write_for_segment(f: BinaryIO, vals) -> None:
     f.write(struct.pack("<B", 4))  # EncodingType::FrameOfReference
     f.write(struct.pack("<B", 3))  # CompressedVectorType::FixedWidthInteger4Byte
     rows = len(vals)
@@ -493,7 +493,7 @@ def write_bin(
                     _write_lz4_segment(f, ctype, vals)
                     continue
                 if encoding == "for" and ctype == "int":
-                    _write_for_segment(f, names, ci, vals)
+                    _write_for_segment(f, vals)
                     continue
                 if encoding not in ("unencoded", "for"):
                     raise ValueError(f"unknown .bin encoding {encoding!r}")
