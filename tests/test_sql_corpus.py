@@ -32,8 +32,11 @@ the 518-line file beyond this corpus's coverage):
     pins the declared equivalent (hoisted outer term / predicate-correlated
     form, `ssq_*` entries).
   * Encoding-sweep re-runs — the reference executes this same file once per
-    segment encoding; Spark has no per-encoding execution axis (parquet
-    encodings are covered by tests/test_hybin.py + meta_segments).
+    segment encoding; the Spark axis is parquet's WRITE-TIME physical
+    layout, swept in tests/test_encoding_sweep.py (codec x dictionary
+    on/off over a representative corpus slice, results storage-invariant).
+    The .bin segment encodings themselves are covered by tests/test_hybin.py
+    + meta_segments.
 """
 
 from __future__ import annotations
