@@ -58,8 +58,10 @@ def main() -> None:
     # shuffle a warehouse pays once at ingest; the *_bucketed query timings
     # then measure the per-query win of the amortized layout.
     from hyrise_spark.plans.tpch_bucketed import ensure_bucketed
+    from hyrise_spark.plans.tpch_datesorted import ensure_date_sorted
 
     ensure_bucketed(spark, sf_dir)
+    ensure_date_sorted(spark, sf_dir)
 
     runs = max(1, int(os.environ.get("SPARK_GRAFT_RUNS", "3")))
     times: dict[str, float] = {}
