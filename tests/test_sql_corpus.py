@@ -1719,6 +1719,64 @@ CORPUS["cfq_correlated_scalar_over_derived"] = (
     "(SELECT MIN(t2.n_nationkey + 10) FROM nation t2 WHERE t2.n_nationkey = t1.n_nationkey + 9) > 5"
 )
 
+# -- predicate split-up / merge family (reference corpus lines 95-105) -------
+CORPUS["psm_or_of_two_exists_different_tables"] = (
+    "SELECT p_partkey AS k FROM part AS a WHERE "
+    "EXISTS (SELECT * FROM nation AS b WHERE b.n_nationkey = a.p_size) "
+    "OR EXISTS (SELECT * FROM region AS c WHERE c.r_regionkey = a.p_size)"
+)
+CORPUS["psm_or_of_four_exists_shifted"] = (
+    "SELECT n_nationkey AS k FROM nation AS a WHERE "
+    "EXISTS (SELECT * FROM region AS b WHERE b.r_regionkey = a.n_regionkey) "
+    "OR EXISTS (SELECT * FROM region AS c WHERE c.r_regionkey + 1 = a.n_regionkey) "
+    "OR EXISTS (SELECT * FROM region AS d WHERE d.r_regionkey + 2 = a.n_regionkey) "
+    "OR EXISTS (SELECT * FROM region AS e WHERE e.r_regionkey + 3 = a.n_regionkey)"
+)
+CORPUS["psm_join_of_two_or_derived"] = (
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM "
+    "(SELECT a.n_nationkey AS x FROM nation AS a, region AS b "
+    " WHERE a.n_regionkey = b.r_regionkey OR a.n_nationkey = b.r_regionkey) r "
+    "JOIN "
+    "(SELECT a.n_regionkey AS y FROM nation AS a, region AS b "
+    " WHERE a.n_regionkey = b.r_regionkey OR a.n_nationkey = b.r_regionkey) s "
+    "ON r.x = s.y"
+)
+CORPUS["psm_and_of_or_bands"] = (
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM part "
+    "WHERE (p_size > 10 OR p_size < 8) AND (p_retailprice <= 907 OR 11 = p_size)"
+)
+CORPUS["psm_derived_band_then_or_chain"] = (
+    "SELECT r.b, r.c FROM (SELECT p_size AS b, p_retailprice AS c FROM part "
+    "WHERE p_size < p_retailprice AND p_size = 19) r "
+    "WHERE (b > 10 OR b < 8) AND (c <= 960 OR 11 = b) OR ((b = 5 AND c = 7) AND 13 = 13)"
+)
+CORPUS["psm_derived_const_true_filters"] = (
+    "SELECT s.k FROM (SELECT n_nationkey AS k FROM nation WHERE n_nationkey < 1 OR 3 > 2) AS s "
+    "WHERE s.k < 10 OR 30 > 20 ORDER BY s.k"
+)
+CORPUS["psm_join_of_const_true_derived"] = (
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM "
+    "(SELECT * FROM region WHERE r_regionkey < 1 OR 3 > 2) AS l "
+    "JOIN (SELECT * FROM region WHERE r_regionkey < 10 OR 30 > 20) AS r "
+    "ON l.r_regionkey = r.r_regionkey"
+)
+CORPUS["psm_cross_join_count"] = (
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM region, nation WHERE region.r_regionkey = nation.n_regionkey"
+)
+CORPUS["psm_self_cross_equi"] = (
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nation AS l, nation AS r WHERE l.n_regionkey = r.n_regionkey"
+)
+CORPUS["psm_count_from_one_row_derived"] = (
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT 1) t"
+)
+CORPUS["psm_expr_vs_expr_scan"] = (
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM part "
+    "WHERE p_size + p_retailprice < p_retailprice * p_size - 100"
+)
+CORPUS["psm_between_col_bound_pair"] = (
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM part WHERE p_size BETWEEN p_partkey % 10 AND 45"
+)
+
 
 
 @pytest.fixture(scope="module", autouse=True)
