@@ -88,7 +88,9 @@ def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
     # footer carries the table schema.
     schema_path = path
     if os.path.isdir(path):
-        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        # recursive: partitioned layouts nest part files under key=val dirs —
+        # a top-level-only glob would silently skip the nanos guard below
+        parts = sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
         if not parts:
             return spark.read.parquet(path)
         schema_path = parts[0]
@@ -129,9 +131,14 @@ class Catalog:
         # SQL views re-resolve against CURRENT table state (lqp_view analog:
         # the reference stores the view's LQP and re-instantiates per query).
         # Temp views captured the old plan eagerly — re-register every stored
-        # view, in creation order so views-over-views resolve.
+        # view, in creation order so views-over-views resolve. A dangling view
+        # (its base table was dropped) must not fail UNRELATED DML: it keeps
+        # its stale registration and errors only when actually queried.
         for vname, vsql in self._views.items():
-            self.spark.sql(vsql).createOrReplaceTempView(vname)
+            try:
+                self.spark.sql(vsql).createOrReplaceTempView(vname)
+            except Exception:  # noqa: BLE001 — dangling view, surfaced on use
+                pass
 
     def drop_table(self, name: str) -> None:
         if name not in self._tables:

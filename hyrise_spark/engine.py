@@ -60,7 +60,7 @@ _CREATE_TABLE_RE = re.compile(
 # schema string)
 _CREATE_TABLE_SCHEMA_RE = re.compile(
     r"^\s*CREATE\s+TABLE\s+(?P<ifnx>IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)\s*"
-    r"\((?P<cols>[^()]+)\)\s*$",
+    r"\((?P<cols>.+)\)\s*$",  # .+ so DECIMAL(10,2)/VARCHAR(n) col defs match
     re.I | re.S,
 )
 # hyrise prepared-statement dialect (sql_translator.cpp:1808-1850):
@@ -230,7 +230,11 @@ class Engine:
         if m:
             if m["ifnx"] and self.catalog.has_table(m["name"]):
                 return None
-            empty = self.spark.createDataFrame([], schema=m["cols"])
+            # VARCHAR(n)/CHAR(n) -> STRING: hyrise stores both as string
+            # (pmr_string), and Spark's char/varchar types cannot appear in a
+            # DataFrame schema without preserveCharVarcharTypeInfo
+            cols = re.sub(r"\b(?:VARCHAR|CHAR)\s*\(\s*\d+\s*\)", "STRING", m["cols"], flags=re.I)
+            empty = self.spark.createDataFrame([], schema=cols)
             self.catalog.add_table(m["name"], empty)
             return None
         # SHOW TABLES / SHOW COLUMNS t — the reference rewrites these onto its
@@ -258,14 +262,14 @@ class Engine:
             return self.execute_prepared(m["name"], vals)
         m = _INSERT_RE.match(stmt)
         if m:
-            return self._insert(m["table"], m["rest"])
+            return self._insert(m["table"], m["rest"], args=args)
         m = _DELETE_RE.match(stmt)
         if m:
-            return self._delete(m["table"], m["cond"])
+            return self._delete(m["table"], m["cond"], args=args)
         m = _UPDATE_RE.match(stmt)
         if m:
             sets, cond = self._split_top_level_where(m["rest"])
-            return self._update(m["table"], sets, cond)
+            return self._update(m["table"], sets, cond, args=args)
         if stmt.lower().startswith("select") and "meta_" in stmt:
             self._materialize_meta_tables(stmt)
         if args is not None:
@@ -279,13 +283,15 @@ class Engine:
     # derives a new DataFrame and re-registers the table — a snapshot
     # semantics equivalent for the autocommit case (SURVEY.md §7 risk 6).
     # At warehouse scale this maps 1:1 onto a table format's MERGE/append.
-    def _insert(self, table: str, rest: str):
+    def _insert(self, table: str, rest: str, args=None):
         if table.lower() == "meta_settings":
             return self._change_meta_settings("insert", rest=rest)
         if table.lower() == "meta_exec":
             return self._exec_meta_function(rest)
         import pyspark.sql.functions as F
 
+        if not self.catalog.has_table(table):
+            raise ValueError(f"INSERT target table {table!r} is not registered")
         cur = self.catalog.get_table(table)
         rest = rest.strip()
         # optional explicit column list: INSERT INTO t (b, id, ...) VALUES/SELECT
@@ -300,10 +306,13 @@ class Engine:
                 raise ValueError(f"INSERT column(s) {unknown} not in {table}")
             rest = m["rest"].strip()
         names = target_cols or cur.columns
+        # parameter markers (?/:name) bind through spark.sql's args — keeps
+        # parameterized DML working via pg-wire Bind and PREPARE/EXECUTE
+        kw = {"args": args} if args else {}
         if rest.upper().startswith("VALUES"):
-            new_rows = self.spark.sql(f"SELECT * FROM ({rest})").toDF(*names)
+            new_rows = self.spark.sql(f"SELECT * FROM ({rest})", **kw).toDF(*names)
         else:  # INSERT INTO t SELECT ...
-            new_rows = self.spark.sql(rest).toDF(*names)
+            new_rows = self.spark.sql(rest, **kw).toDF(*names)
         if target_cols:
             for fld in cur.schema.fields:
                 if fld.name not in target_cols:
@@ -314,7 +323,7 @@ class Engine:
         self.catalog.replace_table(table, cur.unionByName(new_rows))
         return None
 
-    def _delete(self, table: str, cond: str | None):
+    def _delete(self, table: str, cond: str | None, args=None):
         if table.lower() == "meta_settings":
             return self._change_meta_settings("delete", cond=cond)
         cur = self.catalog.get_table(table)
@@ -328,13 +337,14 @@ class Engine:
         # scalar subqueries (spark.sql resolves the view eagerly, so later
         # reuse of the view name cannot retarget this plan).
         cur.createOrReplaceTempView("__hs_dml_src")
+        kw = {"args": args} if args else {}
         kept = self.spark.sql(
-            f"SELECT * FROM __hs_dml_src WHERE NOT COALESCE(({cond}), FALSE)"
+            f"SELECT * FROM __hs_dml_src WHERE NOT COALESCE(({cond}), FALSE)", **kw
         )
         self.catalog.replace_table(table, kept)
         return None
 
-    def _update(self, table: str, sets: str, cond: str | None):
+    def _update(self, table: str, sets: str, cond: str | None, args=None):
         if table.lower() == "meta_settings":
             return self._change_meta_settings("update", sets=sets, cond=cond)
         cur = self.catalog.get_table(table)
@@ -354,7 +364,8 @@ class Engine:
             for c in cur.columns
         )
         cur.createOrReplaceTempView("__hs_dml_src")
-        updated = self.spark.sql(f"SELECT {cols} FROM __hs_dml_src")
+        kw = {"args": args} if args else {}
+        updated = self.spark.sql(f"SELECT {cols} FROM __hs_dml_src", **kw)
         self.catalog.replace_table(table, updated)
         return None
 
@@ -469,7 +480,9 @@ class Engine:
         self._prepared[name] = sql
 
     def execute_prepared(self, name: str, args: dict | list) -> DataFrame:
-        return self.spark.sql(self._prepared[name], args=args)
+        # route through the statement router so prepared DML mutates the
+        # catalog instead of bypassing the Insert/Delete/Update handlers
+        return self._execute_one(self._prepared[name], args or None)
 
     # -- import/export (operators/import.hpp, export.hpp) -------------------
     def import_table(self, path: str, name: str, fmt: str | None = None) -> DataFrame:

@@ -99,8 +99,31 @@ _DOLLAR_PARAM = re.compile(r"\$(\d+)")
 
 def _dollar_to_named(sql: str) -> str:
     """$N placeholders -> Spark named parameter markers :pN (named, not
-    positional `?`, so repeated/reordered $N bind correctly)."""
-    return _DOLLAR_PARAM.sub(lambda m: f":p{m.group(1)}", sql)
+    positional `?`, so repeated/reordered $N bind correctly). Quote-aware:
+    a $N inside a single-quoted string literal is text, not a parameter."""
+    out, i, n = [], 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "'":  # copy the literal verbatim ('' stays an escaped quote)
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(sql[i:j + 1])
+            i = j + 1
+            continue
+        m = _DOLLAR_PARAM.match(sql, i)
+        if m:
+            out.append(f":p{m.group(1)}")
+            i = m.end()
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
 
 
 def _convert_param(text: str | None, oid: int):
@@ -260,14 +283,15 @@ class _PgHandler(socketserver.BaseRequestHandler):
                 raise ValueError("binary result format not supported (request text)")
         df = server.engine.execute(sql, args or None)
         tag = sql.strip().split()[0].upper() if sql.strip() else "OK"
-        portals[portal.decode()] = (df, tag)
+        # portal = {df, tag, rows (collected lazily on first Execute), pos}
+        portals[portal.decode()] = {"df": df, "tag": tag, "rows": None, "pos": 0}
         self._send(sock, _msg(b"2", b""))  # BindComplete
 
     def _on_describe(self, sock, body: bytes, prepared: dict, portals: dict) -> None:
         kind, rest = body[:1], body[1:]
         name = rest.split(b"\x00", 1)[0].decode()
         if kind == b"P":
-            df, _tag = portals[name]
+            df = portals[name]["df"]
             if df is None:
                 self._send(sock, _msg(b"n", b""))  # NoData
             else:
@@ -283,14 +307,20 @@ class _PgHandler(socketserver.BaseRequestHandler):
     def _on_execute(self, sock, server, body: bytes, portals: dict) -> None:
         name, rest = body.split(b"\x00", 1)
         (max_rows,) = struct.unpack("!i", rest[:4])
-        df, tag = portals[name.decode()]
-        if df is None:
-            self._send(sock, _msg(b"C", _cstr(tag)))
+        portal = portals[name.decode()]
+        if portal["df"] is None:
+            self._send(sock, _msg(b"C", _cstr(portal["tag"])))
             return
-        cap = server.max_rows if max_rows <= 0 else min(max_rows, server.max_rows)
-        rows = df.limit(cap).collect()
-        self._send_data_rows(sock, rows)
-        self._send(sock, _msg(b"C", _cstr(f"SELECT {len(rows)}")))
+        if portal["rows"] is None:  # materialize once; fetches resume from pos
+            portal["rows"] = portal["df"].limit(server.max_rows).collect()
+        rows, pos = portal["rows"], portal["pos"]
+        batch = rows[pos:] if max_rows <= 0 else rows[pos:pos + max_rows]
+        self._send_data_rows(sock, batch)
+        portal["pos"] = pos + len(batch)
+        if portal["pos"] >= len(rows):
+            self._send(sock, _msg(b"C", _cstr(f"SELECT {portal['pos']}")))
+        else:  # client row limit hit mid-result: portal stays fetchable
+            self._send(sock, _msg(b"s", b""))  # PortalSuspended
 
     def _run_query(self, sock: socket.socket, server: "PgWireServer", sql: str) -> None:
         df = server.engine.execute(sql)

@@ -47,10 +47,21 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _words(col: str = "text", lower: bool = False):
+    """THE tokenizer — shared by batch (this module) and streaming
+    (streaming/curate_stream.py); parity depends on one definition."""
     base = F.trim(F.col(col))
     if lower:
         base = F.lower(base)
     return F.split(base, r"\s+")
+
+
+def shingle_expr(words, n: int = _NGRAM):
+    """Array of n-gram shingles over a words array column — shared with the
+    streaming contamination check."""
+    return F.transform(
+        F.sequence(F.lit(1), F.size(words) - (n - 1)),
+        lambda s: F.array_join(F.slice(words, s, n), " "),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -119,15 +130,7 @@ def curate_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = (
         docs.select("doc_id", _words(lower=True).alias("w"))
         .filter(F.size("w") >= _NGRAM)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("w") - (_NGRAM - 1)),
-                    lambda s: F.array_join(F.slice("w", s, _NGRAM), " "),
-                )
-            ).alias("sh"),
-        )
+        .select("doc_id", F.explode(shingle_expr(F.col("w"))).alias("sh"))
     )
     bench = sh.filter(F.col("doc_id") < 20).select("sh").distinct()
     return (

@@ -38,7 +38,9 @@ def ensure_date_sorted(spark: SparkSession, sf_dir: str) -> str:
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:6]
     warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
     path = os.path.join(warehouse.removeprefix("file:"), f"ds_{tag}_lineitem")
-    if not os.path.isdir(path):
+    # _SUCCESS is Spark's job-completion marker: a crashed/partial write
+    # leaves the dir without it and must be rewritten, not silently reused
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
         li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
         write_date_sorted(li, path, "l_shipdate", n_files=8)
     return path

@@ -461,6 +461,10 @@ def write_bin(
     exactly like the reference's single-file BinaryWriter. For data that
     stays in this engine, prefer the parquet writers in `sources/`.
     """
+    if encoding not in ("unencoded", "for", "lz4"):
+        # validate BEFORE opening the file — a mid-chunk failure would leave
+        # a corrupt partial .bin on disk
+        raise ValueError(f"unknown .bin encoding {encoding!r}")
     col_types = []
     for fld in df.schema.fields:
         key = repr(fld.dataType)
@@ -495,8 +499,6 @@ def write_bin(
                 if encoding == "for" and ctype == "int":
                     _write_for_segment(f, vals)
                     continue
-                if encoding not in ("unencoded", "for"):
-                    raise ValueError(f"unknown .bin encoding {encoding!r}")
                 f.write(struct.pack("<B", 0))  # Unencoded
                 if cnull:
                     f.write(struct.pack("<B", int(has_null)))

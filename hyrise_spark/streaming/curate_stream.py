@@ -20,6 +20,8 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
+from hyrise_spark.pipeline.curate import _NGRAM, _words, shingle_expr
+
 DOCS_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
@@ -30,8 +32,6 @@ DOCS_SCHEMA = StructType(
     ]
 )
 
-_NGRAM = 5  # matches pipeline/curate.py
-
 
 def read_documents_stream(spark: SparkSession, docs_dir: str) -> DataFrame:
     """File-source stream of document batches (parquet files in a dir)."""
@@ -39,7 +39,7 @@ def read_documents_stream(spark: SparkSession, docs_dir: str) -> DataFrame:
 
 
 def _quality_cols(df: DataFrame) -> DataFrame:
-    words = F.split(F.trim(F.col("text")), r"\s+")
+    words = _words()  # the batch tokenizer — parity by construction
     punct = F.length(F.regexp_replace(F.col("text"), r"[a-zA-Z0-9\s]", ""))
     return df.select(
         "doc_id",
@@ -62,19 +62,12 @@ def quality_scored_stream(docs: DataFrame, min_tokens: int = 10,
 
 
 def _shingles(df: DataFrame) -> DataFrame:
-    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    # identical expressions to curate_contamination_check — imported, not
+    # copied, so batch/streaming parity cannot drift
     return (
-        df.select("doc_id", words.alias("w"))
+        df.select("doc_id", _words(lower=True).alias("w"))
         .filter(F.size("w") >= _NGRAM)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("w") - (_NGRAM - 1)),
-                    lambda s: F.array_join(F.slice("w", s, _NGRAM), " "),
-                )
-            ).alias("sh"),
-        )
+        .select("doc_id", F.explode(shingle_expr(F.col("w"))).alias("sh"))
     )
 
 

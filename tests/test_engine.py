@@ -324,3 +324,58 @@ def test_show_tables_and_columns(engine):
         assert {r["column_name"] for r in cols2} == {"a", "b"}
     finally:
         engine.execute("DROP TABLE IF EXISTS show_t")
+
+
+def test_prepared_dml_mutates_catalog(engine):
+    """Prepared DML must route through the Insert handler, not bypass it."""
+    engine.execute("CREATE TABLE pdml_t AS SELECT CAST(id AS INT) AS k FROM RANGE(3)")
+    try:
+        engine.execute("PREPARE pins FROM 'INSERT INTO pdml_t VALUES (?)'")
+        engine.execute("EXECUTE pins (77)")
+        rows = {r["k"] for r in engine.execute("SELECT * FROM pdml_t").collect()}
+        assert rows == {0, 1, 2, 77}
+        engine.execute("PREPARE pdel FROM 'DELETE FROM pdml_t WHERE k > ?'")
+        engine.execute("EXECUTE pdel (1)")
+        rows = {r["k"] for r in engine.execute("SELECT * FROM pdml_t").collect()}
+        assert rows == {0, 1}
+        engine.execute("PREPARE pupd FROM 'UPDATE pdml_t SET k = k + ? WHERE k = 0'")
+        engine.execute("EXECUTE pupd (100)")
+        rows = {r["k"] for r in engine.execute("SELECT * FROM pdml_t").collect()}
+        assert rows == {100, 1}
+    finally:
+        engine.execute("DROP TABLE IF EXISTS pdml_t")
+
+
+def test_create_table_with_parenthesized_types(engine):
+    """DECIMAL(p,s)/VARCHAR(n) column defs must still hit the schema route
+    (and land in the engine catalog, not a shadow Spark table)."""
+    engine.execute("DROP TABLE IF EXISTS dec_t")
+    engine.execute("CREATE TABLE dec_t (price DECIMAL(10,2), name VARCHAR(20))")
+    try:
+        assert engine.catalog.has_table("dec_t")
+        engine.execute("INSERT INTO dec_t VALUES (1.50, 'x')")
+        rows = engine.execute("SELECT * FROM dec_t").collect()
+        assert len(rows) == 1 and str(rows[0]["price"]) == "1.50"
+    finally:
+        engine.execute("DROP TABLE IF EXISTS dec_t")
+
+
+def test_insert_unknown_table_clear_error(engine):
+    with pytest.raises(ValueError, match="not registered"):
+        engine.execute("INSERT INTO no_such_dml_target VALUES (1)")
+
+
+def test_dangling_view_does_not_break_unrelated_dml(engine):
+    """A view over a dropped table must not fail DML on other tables; it
+    errors only when the view itself is queried."""
+    engine.execute("CREATE TABLE dv_base AS SELECT CAST(1 AS INT) AS a")
+    engine.execute("CREATE TABLE dv_other AS SELECT CAST(1 AS INT) AS b")
+    engine.execute("CREATE VIEW dv_v AS SELECT * FROM dv_base")
+    try:
+        engine.execute("DROP TABLE dv_base")
+        engine.execute("INSERT INTO dv_other VALUES (2)")  # must not raise
+        assert engine.execute("SELECT COUNT(*) AS n FROM dv_other").collect()[0]["n"] == 2
+    finally:
+        engine.execute("DROP VIEW IF EXISTS dv_v")
+        engine.execute("DROP TABLE IF EXISTS dv_other")
+        engine.execute("DROP TABLE IF EXISTS dv_base")

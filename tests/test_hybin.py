@@ -206,3 +206,11 @@ def test_engine_import_bin(spark, tmp_path):
     engine.execute(f"IMPORT FROM '{path}' INTO bin_imported")
     out = engine.execute("SELECT * FROM bin_imported")
     assert _rows(out) == [(7, "seven")]
+
+
+def test_write_rejects_unknown_encoding_before_writing(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a")], "k int, s string")
+    path = tmp_path / "bad_enc.bin"
+    with pytest.raises(ValueError, match="unknown .bin encoding"):
+        write_bin(df, str(path), encoding="LZ4")  # case-sensitive typo
+    assert not path.exists()  # no corrupt partial file left behind

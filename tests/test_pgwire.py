@@ -247,3 +247,66 @@ def test_raw_protocol_ssl_refusal_and_query(server):
         # DataRow: one column, text "5"
         assert msgs[1][1] == struct.pack("!h", 1) + struct.pack("!i", 1) + b"5"
         assert msgs[2][1] == b"SELECT 1\x00"
+
+
+def test_extended_protocol_dollar_in_string_literal(server):
+    """$N inside a quoted literal is text, not a parameter."""
+    c = _RawPg(server.port)
+    try:
+        c.parse("lit", "SELECT '$1 coupon' AS s, $1 AS v", oids=(23,))
+        c.bind("", "lit", params=(9,))
+        c.execute("")
+        c.sync()
+        msgs = c.drain_until(b"Z")
+        row = dict(msgs)[b"D"]
+        assert b"$1 coupon" in row and row.endswith(b"9")
+    finally:
+        c.close()
+
+
+def test_extended_protocol_portal_suspension(server):
+    """Execute with a row limit returns PortalSuspended and the NEXT Execute
+    resumes from the cursor position — never re-sends the same rows."""
+    c = _RawPg(server.port)
+    try:
+        c.parse("cur", "SELECT id FROM RANGE(5) ORDER BY id", oids=())
+        c.bind("", "cur")
+        c.execute("", max_rows=2)
+        c.sync()
+        msgs = c.drain_until(b"Z")
+        kinds = [t for t, _ in msgs]
+        assert kinds == [b"1", b"2", b"D", b"D", b"s", b"Z"], kinds
+        first = [p for t, p in msgs if t == b"D"]
+        c.execute("", max_rows=2)
+        c.sync()
+        msgs = c.drain_until(b"Z")
+        second = [p for t, p in msgs if t == b"D"]
+        assert [t for t, _ in msgs][-2:] == [b"s", b"Z"]
+        assert first != second  # resumed, not repeated
+        c.execute("")  # drain the rest
+        c.sync()
+        msgs = c.drain_until(b"Z")
+        assert [t for t, _ in msgs] == [b"D", b"C", b"Z"]
+        assert dict(msgs)[b"C"] == b"SELECT 5\x00"
+    finally:
+        c.close()
+
+
+def test_extended_protocol_parameterized_insert(server, spark):
+    """Parameterized DML through Bind must reach the Engine's Insert handler."""
+    server.engine.execute(
+        "DROP TABLE IF EXISTS pgw_dml; CREATE TABLE pgw_dml AS SELECT CAST(1 AS INT) AS k"
+    )
+    c = _RawPg(server.port)
+    try:
+        c.parse("ins", "INSERT INTO pgw_dml VALUES ($1)", oids=(23,))
+        c.bind("", "ins", params=(42,))
+        c.execute("")
+        c.sync()
+        msgs = c.drain_until(b"Z")
+        assert dict(msgs)[b"C"] == b"INSERT\x00"
+        rows = {r.k for r in server.engine.execute("SELECT * FROM pgw_dml").collect()}
+        assert rows == {1, 42}
+    finally:
+        c.close()
+        server.engine.execute("DROP TABLE IF EXISTS pgw_dml")
