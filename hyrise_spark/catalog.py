@@ -130,11 +130,19 @@ class Catalog:
         df.createOrReplaceTempView(name)
         # SQL views re-resolve against CURRENT table state (lqp_view analog:
         # the reference stores the view's LQP and re-instantiates per query).
-        # Temp views captured the old plan eagerly — re-register every stored
-        # view, in creation order so views-over-views resolve. A dangling view
-        # (its base table was dropped) must not fail UNRELATED DML: it keeps
-        # its stale registration and errors only when actually queried.
+        # Temp views captured the old plan eagerly — re-register the views
+        # that (transitively) reference the replaced table, in creation order
+        # so views-over-views resolve. Name-mention is the dependency test:
+        # cheap, and a false positive only costs one extra re-plan. A dangling
+        # view (its base table was dropped) must not fail UNRELATED DML: it
+        # keeps its stale registration and errors only when actually queried.
+        import re
+
+        dirty = {name}
         for vname, vsql in self._views.items():
+            if not any(re.search(rf"\b{re.escape(d)}\b", vsql, re.I) for d in dirty):
+                continue
+            dirty.add(vname)
             try:
                 self.spark.sql(vsql).createOrReplaceTempView(vname)
             except Exception:  # noqa: BLE001 — dangling view, surfaced on use

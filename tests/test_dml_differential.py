@@ -194,3 +194,26 @@ def test_ddl_sequence_matches_duckdb(engines, name):
                     ex(f"DROP {kind} IF EXISTS {obj}")
                 except Exception:
                     pass
+
+
+def test_view_over_view_refreshes_transitively(engines):
+    """A view over a view over a table: DML on the base table must refresh
+    BOTH (dependency via name mention, in creation order)."""
+    eng, duck = engines
+    stmts = [
+        "CREATE VIEW vv_a AS SELECT a, CAST(COUNT(*) AS BIGINT) AS n FROM idt GROUP BY a",
+        "CREATE VIEW vv_b AS SELECT CAST(SUM(n) AS BIGINT) AS total FROM vv_a",
+        "DELETE FROM idt WHERE id >= 50",
+    ]
+    try:
+        for s in stmts:
+            eng.execute(s)
+            duck.execute(s)
+        _compare_select(eng, duck, "SELECT * FROM vv_b", "view_over_view")
+    finally:
+        for ex in (eng.execute, duck.execute):
+            for v in ("vv_b", "vv_a"):
+                try:
+                    ex(f"DROP VIEW IF EXISTS {v}")
+                except Exception:
+                    pass
