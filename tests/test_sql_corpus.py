@@ -1777,6 +1777,29 @@ CORPUS["psm_between_col_bound_pair"] = (
     "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM part WHERE p_size BETWEEN p_partkey % 10 AND 45"
 )
 
+# -- cross-type comparison scans (reference corpus lines 35-40) --------------
+CORPUS["xty_int_vs_fractional_ge"] = (
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM part WHERE p_partkey >= 5.5"
+)
+CORPUS["xty_int_between_fractional_bounds"] = (
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM part WHERE p_partkey BETWEEN 5.5 AND 8"
+)
+CORPUS["xty_int_between_mixed_bounds"] = (
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM part WHERE p_size BETWEEN 20 AND 45.5"
+)
+CORPUS["xty_int_eq_float_literal"] = (
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM part WHERE p_size = 10.0"
+)
+CORPUS["xty_string_gt_prefix"] = (
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM part WHERE p_name > 'c'"
+)
+CORPUS["xty_string_ge_two_chars"] = (
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM part WHERE p_name >= 'gr'"
+)
+CORPUS["xty_double_eq_int_literal"] = (
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM part WHERE p_retailprice = 950"
+)
+
 
 
 @pytest.fixture(scope="module", autouse=True)
