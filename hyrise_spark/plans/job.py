@@ -1250,3 +1250,528 @@ def job_q25(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("cnt"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Disjunct SPANNING two relations (JOB's cross-relation OR, e.g. 15b's
+# `it.info = x OR mi.info = y`): the predicate references part AND supplier,
+# so it cannot be pushed below the lineitem join of either — the optimizer
+# must still push the date range and reduce with the conjunctive terms.
+@register(
+    "job_q26",
+    oracle="""
+    SELECT CAST(MIN(l_orderkey) AS BIGINT) AS min_orderkey,
+           MIN(p_name) AS min_part, MIN(s_name) AS min_supp,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND (p_type = 'PROMO' OR s_acctbal < 0)
+    """,
+    tags=("job",),
+)
+def job_q26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, part, supp = _t(spark, sf_dir, "lineitem", "part", "supplier")
+    return (
+        li.filter(_ts_range("l_shipdate", "1997-01-01", "1998-01-01"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter((F.col("p_type") == "PROMO") | (F.col("s_acctbal") < 0))
+        .agg(
+            F.min("l_orderkey").alias("min_orderkey"),
+            F.min("p_name").alias("min_part"),
+            F.min("s_name").alias("min_supp"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Band self-join MID-CHAIN: a very large order and a follow-up order by the
+# same customer within 30 days (strictly later) — the non-equi band edge
+# sits between two aliased copies of orders, and the chain continues through
+# customer -> nation afterwards.
+@register(
+    "job_q27",
+    oracle="""
+    SELECT CAST(MIN(o1.o_orderkey) AS BIGINT) AS min_big,
+           CAST(MIN(o2.o_orderkey) AS BIGINT) AS min_followup,
+           MIN(n_name) AS min_nation,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM orders o1
+    JOIN orders o2 ON o2.o_custkey = o1.o_custkey
+                  AND o2.o_orderdate > o1.o_orderdate
+                  AND o2.o_orderdate < o1.o_orderdate + INTERVAL 30 DAY
+    JOIN customer ON o1.o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o1.o_totalprice > 450000
+    """,
+    tags=("job",),
+)
+def job_q27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, cust, nation = _t(spark, sf_dir, "orders", "customer", "nation")
+    o1 = orders.filter(F.col("o_totalprice") > 450000).alias("o1")
+    o2 = orders.alias("o2")
+    return (
+        o1.join(
+            o2,
+            (F.col("o2.o_custkey") == F.col("o1.o_custkey"))
+            & (F.col("o2.o_orderdate") > F.col("o1.o_orderdate"))
+            & (
+                F.col("o2.o_orderdate")
+                < F.col("o1.o_orderdate") + F.expr("INTERVAL 30 DAYS")
+            ),
+        )
+        .join(cust, F.col("o1.o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .agg(
+            F.min("o1.o_orderkey").alias("min_big"),
+            F.min("o2.o_orderkey").alias("min_followup"),
+            F.min("n_name").alias("min_nation"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# FOUR aliased copies of one relation (JOB 29c joins cast_info/name many
+# times): customers with at least one order in EACH of 1996/1997/1998/1999 —
+# the widest same-relation fan in the suite; CBO must reduce each yearly
+# branch before the branch-branch joins.
+@register(
+    "job_q28",
+    oracle="""
+    SELECT CAST(MIN(o1.o_orderkey) AS BIGINT) AS min_o1,
+           CAST(MIN(o2.o_orderkey) AS BIGINT) AS min_o2,
+           CAST(MIN(o3.o_orderkey) AS BIGINT) AS min_o3,
+           CAST(MIN(o4.o_orderkey) AS BIGINT) AS min_o4,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM customer
+    JOIN orders o1 ON o1.o_custkey = c_custkey
+      AND o1.o_orderdate >= TIMESTAMP '1996-01-01' AND o1.o_orderdate < TIMESTAMP '1997-01-01'
+    JOIN orders o2 ON o2.o_custkey = c_custkey
+      AND o2.o_orderdate >= TIMESTAMP '1997-01-01' AND o2.o_orderdate < TIMESTAMP '1998-01-01'
+    JOIN orders o3 ON o3.o_custkey = c_custkey
+      AND o3.o_orderdate >= TIMESTAMP '1998-01-01' AND o3.o_orderdate < TIMESTAMP '1999-01-01'
+    JOIN orders o4 ON o4.o_custkey = c_custkey
+      AND o4.o_orderdate >= TIMESTAMP '1999-01-01' AND o4.o_orderdate < TIMESTAMP '2000-01-01'
+    WHERE c_mktsegment = 'BUILDING'
+    """,
+    tags=("job", "job-large"),
+)
+def job_q28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders = _t(spark, sf_dir, "customer", "orders")
+    years = [
+        ("o1", "1996-01-01", "1997-01-01"),
+        ("o2", "1997-01-01", "1998-01-01"),
+        ("o3", "1998-01-01", "1999-01-01"),
+        ("o4", "1999-01-01", "2000-01-01"),
+    ]
+    out = cust.filter(F.col("c_mktsegment") == "BUILDING")
+    for alias, lo, hi in years:
+        branch = orders.filter(_ts_range("o_orderdate", lo, hi)).alias(alias)
+        out = out.join(branch, F.col(f"{alias}.o_custkey") == F.col("c_custkey"))
+    return out.agg(
+        F.min("o1.o_orderkey").alias("min_o1"),
+        F.min("o2.o_orderkey").alias("min_o2"),
+        F.min("o3.o_orderkey").alias("min_o3"),
+        F.min("o4.o_orderkey").alias("min_o4"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Dimension SELF-JOIN feeding the fact graph: ordered nation PAIRS within
+# one region (n1.key < n2.key canonicalizes), then cross-nation trade —
+# a customer in n1 buying from a supplier in n2 — through orders+lineitem.
+@register(
+    "job_q29",
+    oracle="""
+    SELECT MIN(n1.n_name) AS min_cust_nation,
+           MIN(n2.n_name) AS min_supp_nation,
+           CAST(MIN(l_orderkey) AS BIGINT) AS min_orderkey,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM nation n1
+    JOIN nation n2 ON n1.n_regionkey = n2.n_regionkey
+                  AND n1.n_nationkey < n2.n_nationkey
+    JOIN region ON n1.n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n1.n_nationkey
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = n2.n_nationkey
+    WHERE r_name = 'ASIA'
+      AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+    """,
+    tags=("job",),
+)
+def job_q29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation, region, cust, orders, li, supp = _t(
+        spark, sf_dir, "nation", "region", "customer", "orders", "lineitem", "supplier"
+    )
+    n1, n2 = nation.alias("n1"), nation.alias("n2")
+    pairs = (
+        n1.join(
+            n2,
+            (F.col("n1.n_regionkey") == F.col("n2.n_regionkey"))
+            & (F.col("n1.n_nationkey") < F.col("n2.n_nationkey")),
+        )
+        .join(
+            region.filter(F.col("r_name") == "ASIA"),
+            F.col("n1.n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(
+            F.col("n1.n_nationkey").alias("cust_nk"),
+            F.col("n1.n_name").alias("cust_nation"),
+            F.col("n2.n_nationkey").alias("supp_nk"),
+            F.col("n2.n_name").alias("supp_nation"),
+        )
+    )
+    return (
+        li.filter(_ts_range("l_shipdate", "1997-01-01", "1998-01-01"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(pairs),
+            (F.col("c_nationkey") == F.col("cust_nk"))
+            & (F.col("s_nationkey") == F.col("supp_nk")),
+        )
+        .agg(
+            F.min("cust_nation").alias("min_cust_nation"),
+            F.min("supp_nation").alias("min_supp_nation"),
+            F.min("l_orderkey").alias("min_orderkey"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# UNION ALL branch as a graph NODE: the fact side is a derived relation —
+# urgent 1997 orders unioned with very large 1998 orders (disjoint by year)
+# — joined on through customer -> nation -> region. The optimizer must push
+# the customer join below the union or broadcast the reduced dim chain.
+@register(
+    "job_q30",
+    oracle="""
+    SELECT CAST(MIN(o_orderkey) AS BIGINT) AS min_orderkey,
+           MIN(n_name) AS min_nation,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (
+      SELECT o_orderkey, o_custkey FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+        AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+      UNION ALL
+      SELECT o_orderkey, o_custkey FROM orders
+      WHERE o_totalprice > 400000
+        AND o_orderdate >= TIMESTAMP '1998-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
+    ) u
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+    """,
+    tags=("job",),
+)
+def job_q30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, cust, nation, region = _t(
+        spark, sf_dir, "orders", "customer", "nation", "region"
+    )
+    urgent = orders.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & _ts_range("o_orderdate", "1997-01-01", "1998-01-01")
+    ).select("o_orderkey", "o_custkey")
+    large = orders.filter(
+        (F.col("o_totalprice") > 400000)
+        & _ts_range("o_orderdate", "1998-01-01", "1999-01-01")
+    ).select("o_orderkey", "o_custkey")
+    dims = (
+        cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey", "n_name")
+    )
+    return (
+        urgent.unionAll(large)
+        .join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+        .agg(
+            F.min("o_orderkey").alias("min_orderkey"),
+            F.min("n_name").alias("min_nation"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Aggregate OF A JOIN as a graph node (JOB 20a's sibling, but the derived
+# relation is itself a 2-way join, not a base-table aggregate): per-customer
+# 1997 lineitem count from orders JOIN lineitem, thresholded, then joined on
+# through customer -> nation.
+@register(
+    "job_q31",
+    oracle="""
+    SELECT CAST(MIN(a.o_custkey) AS BIGINT) AS min_custkey,
+           MIN(n_name) AS min_nation,
+           CAST(MAX(a.li_cnt) AS BIGINT) AS max_li_cnt,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (
+      SELECT o_custkey, COUNT(*) AS li_cnt
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+      GROUP BY o_custkey
+      HAVING COUNT(*) >= 5
+    ) a
+    JOIN customer ON a.o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    """,
+    tags=("job",),
+)
+def job_q31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, li, cust, nation = _t(
+        spark, sf_dir, "orders", "lineitem", "customer", "nation"
+    )
+    per_cust = (
+        orders.filter(_ts_range("o_orderdate", "1997-01-01", "1998-01-01"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("li_cnt"))
+        .filter(F.col("li_cnt") >= 5)
+    )
+    return (
+        per_cust.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .agg(
+            F.min("o_custkey").alias("min_custkey"),
+            F.min("n_name").alias("min_nation"),
+            F.max("li_cnt").alias("max_li_cnt"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# NON-EQUI correlated anti join: customers who never placed an order larger
+# than 50x their own account balance — the anti edge carries an equi key
+# (custkey) PLUS an inequality between columns of BOTH relations, then the
+# chain continues to nation.
+@register(
+    "job_q32",
+    oracle="""
+    SELECT CAST(MIN(c_custkey) AS BIGINT) AS min_custkey,
+           MIN(n_name) AS min_nation,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_mktsegment = 'MACHINERY'
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_totalprice > 50 * c_acctbal
+      )
+    """,
+    tags=("job",),
+)
+def job_q32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders, nation = _t(spark, sf_dir, "customer", "orders", "nation")
+    return (
+        cust.filter(F.col("c_mktsegment") == "MACHINERY")
+        .join(
+            orders,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("o_totalprice") > 50 * F.col("c_acctbal")),
+            "left_anti",
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .agg(
+            F.min("c_custkey").alias("min_custkey"),
+            F.min("n_name").alias("min_nation"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# TWO-COLUMN tuple semi-join: lineitems whose (partkey, suppkey) PAIR also
+# appears among 1998 'R' returns — the semi key is composite, so a
+# single-column reduction is wrong; chain continues through part.
+@register(
+    "job_q33",
+    oracle="""
+    SELECT CAST(MIN(l.l_orderkey) AS BIGINT) AS min_orderkey,
+           MIN(p_name) AS min_part,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem l
+    JOIN part ON l.l_partkey = p_partkey
+    WHERE l.l_shipdate < TIMESTAMP '1996-01-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem lr
+        WHERE lr.l_partkey = l.l_partkey AND lr.l_suppkey = l.l_suppkey
+          AND lr.l_returnflag = 'R'
+          AND lr.l_shipdate >= TIMESTAMP '1998-01-01'
+      )
+    """,
+    tags=("job",),
+)
+def job_q33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, part = _t(spark, sf_dir, "lineitem", "part")
+    returned_pairs = (
+        li.filter(
+            (F.col("l_returnflag") == "R")
+            & (F.col("l_shipdate") >= F.lit("1998-01-01"))
+        )
+        .select(
+            F.col("l_partkey").alias("rp_pk"), F.col("l_suppkey").alias("rp_sk")
+        )
+    )
+    return (
+        li.filter(F.col("l_shipdate") < F.lit("1996-01-01"))
+        .join(
+            returned_pairs,
+            (F.col("l_partkey") == F.col("rp_pk"))
+            & (F.col("l_suppkey") == F.col("rp_sk")),
+            "left_semi",
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.min("l_orderkey").alias("min_orderkey"),
+            F.min("p_name").alias("min_part"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Cycle THROUGH THE DIMENSION side: customer -> n1 -> region <- n2 <-
+# supplier with a SINGLE shared region node (q14's cycle closes through
+# nation; here the loop is one level higher — both nation aliases must land
+# in the same region row), fact edge lineitem closing the other side.
+@register(
+    "job_q34",
+    oracle="""
+    SELECT MIN(n1.n_name) AS min_cust_nation,
+           MIN(n2.n_name) AS min_supp_nation,
+           CAST(MIN(l_orderkey) AS BIGINT) AS min_orderkey,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    JOIN region ON n1.n_regionkey = r_regionkey AND n2.n_regionkey = r_regionkey
+    WHERE r_name = 'AMERICA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    """,
+    tags=("job",),
+)
+def job_q34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders, cust, nation, supp, region = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation", "supplier", "region"
+    )
+    n1, n2 = nation.alias("n1"), nation.alias("n2")
+    return (
+        li.join(
+            orders.filter(_ts_range("o_orderdate", "1996-01-01", "1997-01-01")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1.n_nationkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2.n_nationkey"))
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "AMERICA")),
+            (F.col("n1.n_regionkey") == F.col("r_regionkey"))
+            & (F.col("n2.n_regionkey") == F.col("r_regionkey")),
+        )
+        .agg(
+            F.min("n1.n_name").alias("min_cust_nation"),
+            F.min("n2.n_name").alias("min_supp_nation"),
+            F.min("l_orderkey").alias("min_orderkey"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Kitchen-sink mixed graph, 11 relations: the double-dimension star
+# (customer->n1->r1, supplier->n2->r2) + part + orders + lineitem, PLUS a
+# semi join against events (customers with a January purchase event) and an
+# anti join against bulk-returned parts — equi, semi, and anti edges in one
+# graph, the widest mixed shape in the suite.
+@register(
+    "job_q35",
+    oracle="""
+    SELECT CAST(MIN(l_orderkey) AS BIGINT) AS min_orderkey,
+           MIN(n1.n_name) AS min_cust_nation,
+           MIN(n2.n_name) AS min_supp_nation,
+           MIN(p_name) AS min_part,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region r1 ON n1.n_regionkey = r1.r_regionkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+    JOIN part ON l_partkey = p_partkey
+    WHERE r1.r_name = 'ASIA' AND r2.r_name <> 'AFRICA'
+      AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND EXISTS (
+        SELECT 1 FROM events
+        WHERE user_id = c_custkey AND event_type = 'purchase'
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem lr
+        WHERE lr.l_partkey = part.p_partkey AND lr.l_returnflag = 'R'
+          AND lr.l_quantity >= 45
+      )
+    """,
+    tags=("job", "job-large"),
+)
+def job_q35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders, cust, nation, supp, region, part, events = _t(
+        spark,
+        sf_dir,
+        "lineitem",
+        "orders",
+        "customer",
+        "nation",
+        "supplier",
+        "region",
+        "part",
+        "events",
+    )
+    n1 = nation.alias("n1")
+    n2 = nation.alias("n2")
+    r1 = region.filter(F.col("r_name") == "ASIA").alias("r1")
+    r2 = region.filter(F.col("r_name") != "AFRICA").alias("r2")
+    purchasers = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("ev_uid")
+    )
+    returned = li.filter(
+        (F.col("l_returnflag") == "R") & (F.col("l_quantity") >= 45)
+    ).select(F.col("l_partkey").alias("ret_pk"))
+    clean_parts = part.join(returned, F.col("p_partkey") == F.col("ret_pk"), "left_anti")
+    return (
+        li.join(
+            orders.filter(_ts_range("o_orderdate", "1997-01-01", "1998-01-01")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(purchasers, F.col("c_custkey") == F.col("ev_uid"), "left_semi")
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1.n_nationkey"))
+        .join(F.broadcast(r1), F.col("n1.n_regionkey") == F.col("r1.r_regionkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2.n_nationkey"))
+        .join(F.broadcast(r2), F.col("n2.n_regionkey") == F.col("r2.r_regionkey"))
+        .join(F.broadcast(clean_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.min("l_orderkey").alias("min_orderkey"),
+            F.min("n1.n_name").alias("min_cust_nation"),
+            F.min("n2.n_name").alias("min_supp_nation"),
+            F.min("p_name").alias("min_part"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
