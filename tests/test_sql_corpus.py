@@ -1801,6 +1801,64 @@ CORPUS["xty_double_eq_int_literal"] = (
 )
 
 
+# ---------------------------------------------------------------------------
+# Round-5 parity sweep: the last untranslated shared-dialect families of the
+# reference corpus (sqlite_testrunner_queries.sql) — NATURAL/USING joins,
+# non-scalar BETWEEN, GROUP BY aliases/expressions, qualified stars, joins on
+# constants and computed columns, literal-only predicates, COUNT(expr)
+# variants, nested/non-equi-correlated EXISTS/IN, NULL-comparison scans,
+# ORDER BY arithmetic over aggregates, and keyword case-insensitivity.
+# Excluded from this sweep (documented): integer division/modulo by zero —
+# SQLite yields NULL but BOTH engines of this harness (Spark ANSI mode and
+# DuckDB) reject it, so the declared dialect rejects it too.
+# ---------------------------------------------------------------------------
+CORPUS.update({
+    "join_natural_subq": "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nation NATURAL JOIN (SELECT n_nationkey, n_regionkey FROM nation) t2",
+    "join_using_key": "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders JOIN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000) t USING (o_orderkey)",
+    "between_value_between_cols": "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem WHERE 0.05 BETWEEN l_discount AND l_tax",
+    "between_col_col_lit": "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem WHERE l_discount BETWEEN l_tax AND 0.08",
+    "between_expr_bounds": "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem WHERE l_quantity + 10 BETWEEN l_quantity AND l_quantity * 2",
+    "distinct_over_agg": "SELECT DISTINCT CAST(MIN(p_size) AS INT) AS m FROM part GROUP BY p_brand",
+    "groupby_alias": "SELECT p_brand AS x, CAST(SUM(p_size) AS BIGINT) AS s FROM part GROUP BY x",
+    "having_on_alias": "SELECT p_brand AS x, CAST(COUNT(*) AS BIGINT) AS n FROM part GROUP BY x HAVING x > 'Brand#2'",
+    "join_const_subq_eq": "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nation JOIN (SELECT 2 AS rk) f ON n_regionkey = rk",
+    "join_const_subq_lt": "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nation JOIN (SELECT 2 AS rk) f ON n_regionkey < rk",
+    "cross_of_agg_subqs": "SELECT * FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c1 FROM nation) s1, (SELECT CAST(COUNT(*) AS BIGINT) AS c2 FROM region) s2",
+    "qualified_star_join": "SELECT n.*, r.r_name FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey",
+    "qualified_star_reorder": "SELECT r.*, n.* FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey",
+    "join_on_computed": "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nation m1 JOIN nation m2 ON m1.n_nationkey * 3 = m2.n_nationkey - 5",
+    "scan_literal_true": "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM region WHERE 4 > 3",
+    "scan_literal_or": "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM region WHERE (4 > 3 AND 2 < 1) OR 4 < 5",
+    "scan_literal_in": "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM region WHERE 50 IN (51, 52, 50)",
+    "scan_literal_in_subq": "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM region WHERE 3 IN (SELECT n_regionkey FROM nation)",
+    "scan_out_of_range": "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM part WHERE p_size > -3000000000 AND p_size < 3000000000",
+    "scan_value_on_left": "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM part WHERE 40 >= p_size AND 10 <= p_size",
+    "count_expr_matrix": "SELECT CAST(COUNT(1) AS BIGINT) AS a, CAST(COUNT(p_size + 1) AS BIGINT) AS b, CAST(COUNT(*) AS BIGINT) + 1 AS c, CAST(COUNT(1 + 2) AS BIGINT) AS d FROM part",
+    "count_expr_grouped": "SELECT p_brand, CAST(COUNT(p_size + 1) AS BIGINT) AS n FROM part GROUP BY p_brand",
+    "exists_nested": "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM part WHERE EXISTS (SELECT 1 FROM nation WHERE EXISTS (SELECT 1 FROM region))",
+    "exists_corr_nonequi": "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nation r WHERE EXISTS (SELECT 1 FROM region s WHERE s.r_regionkey < r.n_regionkey)",
+    "in_corr_nonequi": "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nation r WHERE n_regionkey IN (SELECT r_regionkey FROM region s WHERE s.r_regionkey <= r.n_nationkey)",
+    "orderby_agg_arith": "SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n FROM part GROUP BY p_brand ORDER BY 100 - COUNT(*) DESC, p_brand",
+    "distinct_expr_orderby_limit": "SELECT DISTINCT p_size + p_partkey AS s FROM part ORDER BY s DESC LIMIT 10",
+    "keyword_case_insensitive": "sELEcT CAST(Sum(p_size + p_size) AS BIGINT) AS sum_ss fRoM part",
+    "groupby_expr_plus": "SELECT p_size + 1 AS k, CAST(COUNT(*) AS BIGINT) AS n FROM part GROUP BY p_size + 1",
+    "groupby_expr_mod": "SELECT CAST(SUM(p_size) AS BIGINT) + CAST(COUNT(*) AS BIGINT) AS x FROM part GROUP BY p_partkey % 7",
+    "substr_overflow": "SELECT SUBSTR('HELLO', 2, 3) AS s1, SUBSTR('HELLO', 5000, 20) AS s2",
+    "exists_select_list": "SELECT EXISTS(SELECT 1) AS e, NOT EXISTS(SELECT 1 FROM region WHERE r_regionkey > 1000) AS ne",
+    "like_in_case": "SELECT p_partkey AS k, CASE WHEN p_name LIKE '%red%' THEN 'has red' WHEN p_name NOT LIKE '%a%' THEN 'no a' ELSE p_type END AS c FROM part WHERE p_partkey <= 50",
+    "like_percent_only": "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM part WHERE p_name LIKE '%'",
+    "case_simple_operand": "SELECT p_partkey AS k, CASE p_size % 2 WHEN 0 THEN 'even' WHEN 1 THEN 'odd' END AS par FROM part WHERE p_partkey <= 20",
+    "null_compare_empty": "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM part WHERE NOT EXISTS (SELECT 1 FROM part p2 WHERE p2.p_size > NULL)",
+    "null_between_empty": "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM part WHERE NOT EXISTS (SELECT 1 FROM part p2 WHERE p2.p_name BETWEEN NULL AND '')",
+    "in_column_exprs": "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM part WHERE p_size IN (p_partkey - 48, p_partkey + 1)",
+    "alias_duplicate_cols": "SELECT p_size AS a1, p_size AS a2, p_brand AS b1, p_brand AS b2 FROM part WHERE p_partkey <= 20",
+    "alias_subq_projection": "SELECT a1, b2 FROM (SELECT p_size AS a1, p_brand AS b2, p_size AS a3 FROM part WHERE p_partkey <= 30) t",
+    "count_star_aliased_triple": "SELECT CAST(COUNT(*) AS BIGINT) AS c1, CAST(COUNT(*) AS BIGINT) AS c2, CAST(COUNT(*) AS BIGINT) AS c3 FROM nation GROUP BY n_regionkey",
+    "count_from_literal_subq": "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT 1 AS one) t",
+    "having_nonselected_agg": "SELECT p_brand, CAST(AVG(p_size) AS DOUBLE) AS av FROM part GROUP BY p_brand HAVING MAX(p_retailprice) > 1000 AND MIN(p_size) >= 1",
+})
+
+
 
 @pytest.fixture(scope="module", autouse=True)
 def _spark_views(spark):
