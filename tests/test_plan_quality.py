@@ -270,6 +270,66 @@ def test_cbo_reorders_ten_way_graph(spark):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_cbo_reorders_twelve_way_graph(spark):
+    """CBO reorder proof at job_q35 width: TWELVE leaves — the 10-leaf graph
+    plus a second orders branch and a second events branch (doubled
+    relations, JOB's alias pattern). 12 is exactly Spark's
+    cbo.joinReorder.dp.threshold default, the widest graph the DP reorder
+    covers — the reorder must still fire and hoist a filtered dimension
+    ahead of the fact."""
+    import re
+
+    from hyrise_spark.layout import create_analyzed_tables
+
+    assert spark.conf.get("spark.sql.cbo.enabled") == "true"
+    names = create_analyzed_tables(
+        spark,
+        SF_DIR,
+        names=("region", "nation", "customer", "orders", "lineitem", "supplier",
+               "part", "events"),
+        prefix="t_cbo12_",
+    )
+    try:
+        q = """
+        SELECT count(*) AS n
+        FROM t_cbo12_lineitem l
+        JOIN t_cbo12_orders o ON l.l_orderkey = o.o_orderkey
+        JOIN t_cbo12_customer c ON o.o_custkey = c.c_custkey
+        JOIN t_cbo12_orders o2 ON o2.o_custkey = c.c_custkey
+        JOIN t_cbo12_nation cn ON c.c_nationkey = cn.n_nationkey
+        JOIN t_cbo12_region cr ON cn.n_regionkey = cr.r_regionkey
+        JOIN t_cbo12_supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN t_cbo12_nation sn ON s.s_nationkey = sn.n_nationkey
+        JOIN t_cbo12_region sr ON sn.n_regionkey = sr.r_regionkey
+        JOIN t_cbo12_part p ON l.l_partkey = p.p_partkey
+        JOIN t_cbo12_events e ON e.user_id = c.c_custkey
+        JOIN t_cbo12_events e2 ON e2.user_id = c.c_custkey
+        WHERE cr.r_name = 'AMERICA' AND sr.r_name = 'EUROPE'
+          AND p.p_type = 'PROMO' AND e.event_type = 'purchase'
+          AND e2.event_type = 'signup'
+          AND o2.o_orderpriority = '1-URGENT'
+        """
+
+        def leaf_order(plan: str) -> list[str]:
+            return re.findall(r"Relation spark_catalog\.default\.(t_cbo12_\w+)", plan)
+
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+        p_off = spark.sql(q)._jdf.queryExecution().optimizedPlan().toString()
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+        qe_on = spark.sql(q)._jdf.queryExecution()
+        p_on = qe_on.optimizedPlan().toString()
+        order_off, order_on = leaf_order(p_off), leaf_order(p_on)
+        assert len(order_off) == 12 and len(order_on) == 12, (order_off, order_on)
+        assert qe_on.optimizedPlan().stats().rowCount().isDefined()
+        assert order_off[0] == "t_cbo12_lineitem"
+        assert order_on != order_off, order_on
+        assert order_on.index("t_cbo12_nation") < order_on.index("t_cbo12_lineitem"), order_on
+    finally:
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+        for t in names.values():
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_analyzed_table_has_column_stats(spark):
     """ANALYZE ... FOR ALL COLUMNS records row count + per-column NDV."""
     from hyrise_spark.layout import create_analyzed_tables
