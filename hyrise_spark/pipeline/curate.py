@@ -201,3 +201,159 @@ def curate_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("source") == "src0")
         | F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin("0", "1", "2")
     ).select("doc_id", "source")
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe train/val split: near-duplicate documents must never straddle
+# the split (a val doc with a train near-dup leaks the answer). Composition:
+# n-gram Jaccard pair graph -> connected-components canonical id (both from
+# pipeline/dedup.py) -> the SPLIT DECISION HASHES THE CANONICAL id, so every
+# member of a near-dup cluster lands on the same side by construction.
+# 100 TB shape: inherits the df-capped bucketed pair join and the min-label
+# propagation (dedup.py:464); the split itself is a narrow map — no extra
+# shuffle beyond the components computation. ~1/8 of clusters go to 'val'
+# (first md5 hex char in 0-1), deterministic across runs/engines/cluster
+# sizes. Oracle: the dedup_cluster_canonical recursive CTE plus a singleton
+# left-join and the same md5 decision.
+@register(
+    "curate_leakage_safe_split",
+    oracle="""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+      FROM documents WHERE doc_id < 300
+    ), all_shingles AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS sh
+      FROM toks, LATERAL (SELECT UNNEST(generate_series(1, len(w) - 2)) AS i)
+    ), cold AS (
+      SELECT sh FROM all_shingles GROUP BY sh HAVING COUNT(*) <= 10
+    ), shingles AS (
+      SELECT s.doc_id, s.sh FROM all_shingles s JOIN cold USING (sh)
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+      FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), dup AS (
+      SELECT d1, d2
+      FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+      WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) > 0.12
+    ), edges AS (
+      SELECT d1 AS a, d2 AS b FROM dup UNION SELECT d2, d1 FROM dup
+    ), reach(src, dst) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ), canon AS (
+      SELECT src AS doc_id, LEAST(src, MIN(dst)) AS canonical_id
+      FROM reach GROUP BY src
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(c.canonical_id, d.doc_id) AS BIGINT) AS canonical_id,
+           CASE WHEN substr(md5(CAST(COALESCE(c.canonical_id, d.doc_id) AS VARCHAR)), 1, 1)
+                     IN ('0', '1')
+                THEN 'val' ELSE 'train' END AS split
+    FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d
+    LEFT JOIN canon c USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+    tags=("curate", "split", "dedup"),
+)
+def curate_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hyrise_spark.pipeline.dedup import _ngram_jaccard_pairs, cluster_canonical
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("w")
+    )
+    pairs = _ngram_jaccard_pairs(toks).select("d1", "d2")
+    labels = cluster_canonical(pairs, "d1", "d2").withColumnRenamed(
+        "canonical_id", "cluster_canon"
+    )
+    canon = F.coalesce(F.col("cluster_canon"), F.col("doc_id"))
+    return (
+        docs.select("doc_id")
+        .join(F.broadcast(labels), "doc_id", "left")
+        .select(
+            "doc_id",
+            canon.alias("canonical_id"),
+            F.when(
+                F.substring(F.md5(canon.cast("string")), 1, 1).isin("0", "1"), "val"
+            )
+            .otherwise("train")
+            .alias("split"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# Sequence packing: group documents into fixed-capacity training examples.
+# Packing geometry for the synthetic corpus; production = model context len.
+_PACK_CAP = 256
+_PACK_BUCKETS = 8
+
+
+@register(
+    "curate_pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             LEAST(len(string_split_regex(trim(text), '\\s+')), {_PACK_CAP}) AS n_tok,
+             doc_id % {_PACK_BUCKETS} AS bucket
+      FROM documents
+    ), c AS (
+      SELECT doc_id, bucket, n_tok,
+             SUM(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id) AS cum
+      FROM toks
+    ), packs AS (
+      SELECT doc_id, n_tok,
+             CAST(bucket * 100000 + FLOOR((cum - n_tok) / {_PACK_CAP}) AS BIGINT) AS pack_id
+      FROM c
+    )
+    SELECT pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM packs GROUP BY pack_id ORDER BY pack_id
+    """,
+    tags=("curate", "packing"),
+)
+def curate_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence packing by cumulative token offset: documents
+    are truncated to the pack capacity, bucketed by doc_id, and assigned to
+    the pack where their cumulative offset STARTS (spillover packing — a doc
+    crossing a boundary stays in its starting pack, the standard
+    pack-then-split-at-trainer shape). 100 TB design: the window is
+    PARTITIONED BY bucket, so there is no global sort — parallelism = bucket
+    count (set to the cluster's partition count in production), one shuffle
+    for the window + one partial-agg shuffle for the per-pack rollup, all
+    JVM-side. Greedy first-fit packing would need a sequential scan per
+    bucket; cumulative-offset packing is order-preserving, one-pass, and wastes no
+    capacity except each bucket's final partial pack (per-bucket pack count
+    <= ceil(bucket_tokens / cap), pinned in test_curate.py)."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.least(F.size(_words()), F.lit(_PACK_CAP)).alias("n_tok"),
+        (F.col("doc_id") % _PACK_BUCKETS).alias("bucket"),
+    )
+    w = Window.partitionBy("bucket").orderBy("doc_id")
+    packs = toks.withColumn("cum", F.sum("n_tok").over(w)).select(
+        "doc_id",
+        "n_tok",
+        (
+            F.col("bucket") * 100000
+            + F.floor((F.col("cum") - F.col("n_tok")) / _PACK_CAP)
+        ).alias("pack_id"),
+    )
+    return (
+        packs.groupBy("pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("pack_id")
+    )

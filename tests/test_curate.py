@@ -76,3 +76,69 @@ def test_stratified_sample_is_deterministic_and_keeps_priority_stratum(spark):
     others = len(a - src0)
     others_total = total - len(src0)
     assert 0.05 < others / others_total < 0.4, (others, others_total)
+
+
+def test_leakage_safe_split_never_straddles_clusters(spark):
+    """THE invariant: every near-dup pair (the same pair graph the split is
+    built from) lands on the same side of the split, and the split is
+    deterministic across invocations."""
+    import pyspark.sql.functions as F
+
+    from hyrise_spark.pipeline.curate import curate_leakage_safe_split
+    from hyrise_spark.pipeline.dedup import _ngram_jaccard_pairs
+
+    split = curate_leakage_safe_split(spark, SF_DIR)
+    rows = {r.doc_id: (r.canonical_id, r.split) for r in split.collect()}
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .filter("doc_id < 300")
+        .select("doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("w"))
+    )
+    pairs = _ngram_jaccard_pairs(docs).select("d1", "d2").collect()
+    assert pairs, "test corpus must contain near-dup pairs"
+    for p in pairs:
+        assert rows[p.d1][1] == rows[p.d2][1], (p.d1, p.d2)
+        assert rows[p.d1][0] == rows[p.d2][0], (p.d1, p.d2)
+    # both sides populated, deterministic rerun
+    sides = {s for _, s in rows.values()}
+    assert sides == {"train", "val"}, sides
+    again = {r.doc_id: (r.canonical_id, r.split)
+             for r in curate_leakage_safe_split(spark, SF_DIR).collect()}
+    assert again == rows
+
+
+def test_pack_sequences_partitions_corpus_exactly(spark):
+    """Every document lands in exactly one pack; pack totals equal the sum
+    of member token counts; spillover is bounded (a pack exceeds capacity
+    only by its last straddling doc, so total < cap + max_doc_tokens); and
+    per bucket the pack count is at most ceil(bucket_tokens / cap) — the
+    cumulative-offset scheme wastes no capacity except each bucket's final
+    partial pack."""
+    import pyspark.sql.functions as F
+
+    from hyrise_spark.pipeline.curate import (
+        _PACK_BUCKETS,
+        _PACK_CAP,
+        _words,
+        curate_pack_sequences,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_docs = docs.count()
+    toks = docs.select(
+        "doc_id", F.least(F.size(_words()), F.lit(_PACK_CAP)).alias("n_tok")
+    ).collect()
+    n_tokens = sum(r.n_tok for r in toks)
+    max_doc = max(r.n_tok for r in toks)
+    packs = curate_pack_sequences(spark, SF_DIR).collect()
+    assert sum(r.n_docs for r in packs) == n_docs
+    assert sum(r.total_tokens for r in packs) == n_tokens
+    by_bucket: dict[int, list] = {}
+    for r in packs:
+        assert r.total_tokens < _PACK_CAP + max_doc, r
+        by_bucket.setdefault(r.pack_id // 100000, []).append(r)
+    assert set(by_bucket) == set(range(_PACK_BUCKETS))
+    for bucket, rows in by_bucket.items():
+        bucket_tokens = sum(r.total_tokens for r in rows)
+        max_packs = -(-bucket_tokens // _PACK_CAP)  # ceil
+        assert len(rows) <= max_packs, (bucket, len(rows), max_packs)
