@@ -1775,3 +1775,213 @@ def job_q35(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("cnt"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# FULL OUTER between two per-dimension aggregates: customer count vs
+# negative-balance supplier count per nation — some nations have no such
+# supplier, so the outer side is genuinely unmatched (the channel-overlap
+# shape inside a join graph).
+@register(
+    "job_q36",
+    oracle="""
+    SELECT COALESCE(cn.nk, sn.nk) AS nationkey,
+           cn.cust_cnt AS cust_cnt,
+           sn.supp_cnt AS supp_cnt
+    FROM (
+      SELECT c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS cust_cnt
+      FROM customer GROUP BY c_nationkey
+    ) cn
+    FULL OUTER JOIN (
+      SELECT s_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS supp_cnt
+      FROM supplier WHERE s_acctbal < 0 GROUP BY s_nationkey
+    ) sn ON cn.nk = sn.nk
+    ORDER BY nationkey
+    """,
+    tags=("job",),
+)
+def job_q36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, supp = _t(spark, sf_dir, "customer", "supplier")
+    cn = cust.groupBy(F.col("c_nationkey").alias("cnk")).agg(
+        F.count(F.lit(1)).alias("cust_cnt")
+    )
+    sn = (
+        supp.filter(F.col("s_acctbal") < 0)
+        .groupBy(F.col("s_nationkey").alias("snk"))
+        .agg(F.count(F.lit(1)).alias("supp_cnt"))
+    )
+    return (
+        cn.join(sn, F.col("cnk") == F.col("snk"), "full_outer")
+        .select(
+            F.coalesce(F.col("cnk"), F.col("snk")).alias("nationkey"),
+            "cust_cnt",
+            "supp_cnt",
+        )
+        .orderBy("nationkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Uncorrelated SCALAR SUBQUERY inside the join condition: the join's band
+# bound is itself a query (the corpus-wide average quantity) — the optimizer
+# must evaluate the scalar once and broadcast it, not per-row.
+@register(
+    "job_q37",
+    oracle="""
+    SELECT CAST(MIN(l_orderkey) AS BIGINT) AS min_orderkey,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+               AND l_quantity > (SELECT AVG(l_quantity) FROM lineitem)
+    WHERE o_orderpriority = '1-URGENT'
+    """,
+    tags=("job",),
+)
+def job_q37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders = _t(spark, sf_dir, "lineitem", "orders")
+    avg_q = li.agg(F.avg("l_quantity").alias("avg_q"))
+    return (
+        li.join(F.broadcast(avg_q))
+        .filter(F.col("l_quantity") > F.col("avg_q"))
+        .join(
+            orders.filter(F.col("o_orderpriority") == "1-URGENT"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .agg(
+            F.min("l_orderkey").alias("min_orderkey"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# FIVE aliased copies of one relation — customers ordering in every year
+# 1995-1999, the widest same-relation fan in the suite (extends q28's four).
+@register(
+    "job_q38",
+    oracle="""
+    SELECT CAST(MIN(o1.o_orderkey) AS BIGINT) AS min_o1,
+           CAST(MIN(o5.o_orderkey) AS BIGINT) AS min_o5,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM customer
+    JOIN orders o1 ON o1.o_custkey = c_custkey
+      AND o1.o_orderdate >= TIMESTAMP '1995-01-01' AND o1.o_orderdate < TIMESTAMP '1996-01-01'
+    JOIN orders o2 ON o2.o_custkey = c_custkey
+      AND o2.o_orderdate >= TIMESTAMP '1996-01-01' AND o2.o_orderdate < TIMESTAMP '1997-01-01'
+    JOIN orders o3 ON o3.o_custkey = c_custkey
+      AND o3.o_orderdate >= TIMESTAMP '1997-01-01' AND o3.o_orderdate < TIMESTAMP '1998-01-01'
+    JOIN orders o4 ON o4.o_custkey = c_custkey
+      AND o4.o_orderdate >= TIMESTAMP '1998-01-01' AND o4.o_orderdate < TIMESTAMP '1999-01-01'
+    JOIN orders o5 ON o5.o_custkey = c_custkey
+      AND o5.o_orderdate >= TIMESTAMP '1999-01-01' AND o5.o_orderdate < TIMESTAMP '2000-01-01'
+    WHERE c_mktsegment = 'AUTOMOBILE'
+    """,
+    tags=("job", "job-large"),
+)
+def job_q38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders = _t(spark, sf_dir, "customer", "orders")
+    out = cust.filter(F.col("c_mktsegment") == "AUTOMOBILE")
+    for i, year in enumerate(range(1995, 2000), start=1):
+        branch = orders.filter(
+            _ts_range("o_orderdate", f"{year}-01-01", f"{year + 1}-01-01")
+        ).alias(f"o{i}")
+        out = out.join(branch, F.col(f"o{i}.o_custkey") == F.col("c_custkey"))
+    return out.agg(
+        F.min("o1.o_orderkey").alias("min_o1"),
+        F.min("o5.o_orderkey").alias("min_o5"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Anti join against a UNION-assembled exclusion set: parts excluded either
+# for price (dimension predicate) or for bulk returns (fact-derived) — the
+# excluded set is built from two different relations before the anti edge.
+@register(
+    "job_q39",
+    oracle="""
+    SELECT CAST(MIN(l_orderkey) AS BIGINT) AS min_orderkey,
+           MIN(s_name) AS min_supp,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+      AND l_partkey NOT IN (
+        SELECT p_partkey FROM part WHERE p_retailprice > 1900
+        UNION
+        SELECT l_partkey FROM lineitem
+        WHERE l_returnflag = 'R' AND l_quantity >= 49
+      )
+    """,
+    tags=("job",),
+)
+def job_q39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, supp, part = _t(spark, sf_dir, "lineitem", "supplier", "part")
+    pricey = part.filter(F.col("p_retailprice") > 1900).select(
+        F.col("p_partkey").alias("ex_pk")
+    )
+    returned = li.filter(
+        (F.col("l_returnflag") == "R") & (F.col("l_quantity") >= 49)
+    ).select(F.col("l_partkey").alias("ex_pk"))
+    excluded = pricey.union(returned).distinct()
+    return (
+        li.filter(F.col("l_shipdate") >= F.lit("1998-01-01"))
+        .join(F.broadcast(excluded), F.col("l_partkey") == F.col("ex_pk"), "left_anti")
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .agg(
+            F.min("l_orderkey").alias("min_orderkey"),
+            F.min("s_name").alias("min_supp"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Group-vs-parent-group comparison: customers whose 1997 order count beats
+# their NATION's per-customer average — an aggregate compared against the
+# aggregate of its enclosing group, two grouping levels joined back.
+@register(
+    "job_q40",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c_custkey, c_nationkey, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM customer
+      JOIN orders ON o_custkey = c_custkey
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+      GROUP BY c_custkey, c_nationkey
+    ), per_nation AS (
+      SELECT c_nationkey, AVG(cnt) AS avg_cnt FROM per_cust GROUP BY c_nationkey
+    )
+    SELECT CAST(MIN(p.c_custkey) AS BIGINT) AS min_custkey,
+           MIN(n_name) AS min_nation,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM per_cust p
+    JOIN per_nation a ON p.c_nationkey = a.c_nationkey
+    JOIN nation ON p.c_nationkey = n_nationkey
+    WHERE p.cnt > a.avg_cnt
+    """,
+    tags=("job",),
+)
+def job_q40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders, nation = _t(spark, sf_dir, "customer", "orders", "nation")
+    per_cust = (
+        cust.join(
+            orders.filter(_ts_range("o_orderdate", "1997-01-01", "1998-01-01")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    per_nation = per_cust.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.avg("cnt").alias("avg_cnt")
+    )
+    return (
+        per_cust.join(F.broadcast(per_nation), F.col("c_nationkey") == F.col("nk"))
+        .filter(F.col("cnt") > F.col("avg_cnt"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .agg(
+            F.min("c_custkey").alias("min_custkey"),
+            F.min("n_name").alias("min_nation"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
