@@ -530,17 +530,22 @@ def aggregate_empty_input(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("sort", "null"),
 )
 def sort_nulls_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rn <= 50 means only the top-50 in the sort order survive, so instead of a
+    # global row_number window (single-task sort of ALL customers at scale) we
+    # orderBy().limit(50) — TakeOrderedAndProject, which merges per-partition
+    # top-50s — and attach rn with a window over the 50-row bounded result.
     from pyspark.sql.window import Window
 
     (cust,) = _t(spark, sf_dir, "customer")
     seg = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
-    w = Window.orderBy(
+    order = [
         F.col("seg").asc_nulls_first(), F.col("c_acctbal").desc_nulls_last(), F.col("c_custkey")
-    )
+    ]
     return (
         cust.select("c_custkey", seg.alias("seg"), "c_acctbal")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 50)
+        .orderBy(*order)
+        .limit(50)
+        .withColumn("rn", F.row_number().over(Window.orderBy(*order)))
         .select("c_custkey", "seg", "rn")
     )
 

@@ -242,14 +242,45 @@ def tpcds_frequent_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("tpcds", "window", "topk"),
 )
 def tpcds_dual_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The oracle's two GLOBAL row_number windows would sort every distinct part
+    # in a single task at 100 TB. Scale-safe plan: each top-10 comes from
+    # orderBy().limit(10) (TakeOrderedAndProject — per-partition top-k merge),
+    # and each selected row's global rank on BOTH metrics is recovered exactly
+    # as 1 + |predecessors| via one broadcast pass over the per-part aggregate:
+    # the ≤20 candidate rows broadcast against per_part (BroadcastNestedLoop
+    # with a constant-bounded build side), conditional partial-agg map-side, so
+    # the shuffle carries ≤20 groups regardless of part count.
     (li,) = _t(spark, sf_dir, "lineitem")
     per_part = li.groupBy("l_partkey").agg(
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), R2).alias("rev"),
         F.round(F.sum("l_quantity"), R2).alias("qty"),
     )
-    ranked = per_part.select(
-        "l_partkey", "rev", "qty",
-        F.row_number().over(Window.orderBy(F.col("rev").desc(), "l_partkey")).cast("int").alias("rev_rank"),
-        F.row_number().over(Window.orderBy(F.col("qty").desc(), "l_partkey")).cast("int").alias("qty_rank"),
+    top_rev = per_part.orderBy(F.col("rev").desc(), "l_partkey").limit(10)
+    top_qty = per_part.orderBy(F.col("qty").desc(), "l_partkey").limit(10)
+    cands = top_rev.unionByName(top_qty).distinct()
+    c = cands.select(
+        F.col("l_partkey").alias("c_pk"), F.col("rev").alias("c_rev"), F.col("qty").alias("c_qty")
+    )
+    r = per_part
+    rev_before = (F.col("rev") > F.col("c_rev")) | (
+        (F.col("rev") == F.col("c_rev")) & (F.col("l_partkey") < F.col("c_pk"))
+    )
+    qty_before = (F.col("qty") > F.col("c_qty")) | (
+        (F.col("qty") == F.col("c_qty")) & (F.col("l_partkey") < F.col("c_pk"))
+    )
+    ranked = (
+        r.crossJoin(F.broadcast(c))
+        .groupBy("c_pk", "c_rev", "c_qty")
+        .agg(
+            (F.sum(rev_before.cast("long")) + 1).cast("int").alias("rev_rank"),
+            (F.sum(qty_before.cast("long")) + 1).cast("int").alias("qty_rank"),
+        )
+        .select(
+            F.col("c_pk").alias("l_partkey"),
+            F.col("c_rev").alias("rev"),
+            F.col("c_qty").alias("qty"),
+            "rev_rank",
+            "qty_rank",
+        )
     )
     return ranked.filter((F.col("rev_rank") <= 10) | (F.col("qty_rank") <= 10))

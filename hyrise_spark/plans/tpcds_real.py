@@ -4205,19 +4205,31 @@ def tpcds_q40(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("tpcds", "tpcds-excluded-real"),
 )
 def tpcds_q44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Only the top/bottom 10 parts are consumed, so instead of the oracle's two
+    # GLOBAL row_number windows (WindowExec with no partition spec = every
+    # distinct part sorted in ONE task at 100 TB) we take each extreme with
+    # orderBy().limit(10) — TakeOrderedAndProject, a per-partition top-k merge —
+    # and rank WITHIN the 10-row results with a trivially bounded window.
     from pyspark.sql import Window
 
     li, part = _t(spark, sf_dir, "lineitem", "part")
     perf = li.groupBy(F.col("l_partkey").alias("pk")).agg(
         F.avg(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("avg_net")
     )
-    ranked = perf.select(
-        "pk",
-        F.row_number().over(Window.orderBy(F.col("avg_net").desc(), F.col("pk"))).alias("rnk_best"),
-        F.row_number().over(Window.orderBy(F.col("avg_net").asc(), F.col("pk"))).alias("rnk_worst"),
+    best = (
+        perf.orderBy(F.col("avg_net").desc(), F.col("pk"))
+        .limit(10)
+        .withColumn("rnk_best", F.row_number().over(
+            Window.orderBy(F.col("avg_net").desc(), F.col("pk"))))
     )
-    b = ranked.filter(F.col("rnk_best") <= 10).alias("b")
-    w = ranked.alias("w")
+    worst = (
+        perf.orderBy(F.col("avg_net").asc(), F.col("pk"))
+        .limit(10)
+        .withColumn("rnk_worst", F.row_number().over(
+            Window.orderBy(F.col("avg_net").asc(), F.col("pk"))))
+    )
+    b = best.alias("b")
+    w = worst.alias("w")
     bp = part.alias("bp")
     wp = part.alias("wp")
     return (

@@ -511,3 +511,79 @@ def test_no_function_wrapped_date_scan_predicates(spark, name):
                 f"{name}: function-wrapped date predicate on {col} with no "
                 f"pushed range bounds (blocks row-group pruning): {cond[:200]}"
             )
+
+
+# ---------------------------------------------------------------------------
+# Registry-wide plan-hygiene sweep (VERDICT r5 tasks #1/#5): ONE parametrized
+# explain-only test over EVERY registered query enforcing the three plan
+# properties that are plan bugs at 100 TB no matter which suite the query
+# belongs to. Query-specific lints above (date pushdown, broadcast pins,
+# salting) stay separate; this is the floor every registered name must clear.
+
+# Queries whose GLOBAL (empty-partition-spec) window is the declared semantic
+# and whose window input is bounded by something other than a literal LIMIT:
+_GLOBAL_WINDOW_ALLOWLIST: dict[str, str] = {
+    # NTILE(4) over the full result IS the SQL semantic being exercised; the
+    # input is filter-bounded (one mktsegment slice of customer).
+    "window_ntile": "declared NTILE semantic, filter-bounded input",
+    # RANGE frame over per-month aggregates: input cardinality = number of
+    # distinct months — bounded by the calendar, not the data volume.
+    "tpcds_cumulative_compare": "per-month frame, calendar-bounded input",
+}
+
+# Logical nodes whose subtree output is constant-bounded regardless of data
+# volume (a window above ONLY these inputs is scale-safe):
+_BOUNDED_NODES = {"GlobalLimit", "LocalRelation", "OneRowRelation", "Range"}
+
+
+def _subtree_bounded(node) -> bool:
+    if node.getClass().getSimpleName() in _BOUNDED_NODES:
+        return True
+    kids = node.children()
+    n = kids.size()
+    if n == 0:
+        return False
+    return all(_subtree_bounded(kids.apply(i)) for i in range(n))
+
+
+def _unbounded_global_windows(df) -> list[str]:
+    """Walk the optimized logical plan; return every Window node with an empty
+    partition spec whose input subtree is NOT constant-bounded. Spark executes
+    these as a single-task global sort (`WindowExec: No Partition Defined`) —
+    the exact pattern VERDICT r5 flagged in tpcds_q44 / tpcds_dual_ranking /
+    sort_nulls_first_last, since rewritten as TakeOrdered top-k + rank-within."""
+    hits: list[str] = []
+
+    def walk(node):
+        if (node.getClass().getSimpleName() == "Window"
+                and node.partitionSpec().isEmpty()
+                and not _subtree_bounded(node)):
+            hits.append(node.simpleStringWithNodeId())
+        kids = node.children()
+        for i in range(kids.size()):
+            walk(kids.apply(i))
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return hits
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_registry_plan_hygiene(spark, name):
+    """Every registered query, explain-only: (1) no CartesianProduct — the
+    documented all-pairs baselines use a broadcast nested-loop with a
+    constant-bounded build side, never a shuffled cartesian; (2) no row-wise
+    or scalar-pandas Python eval in the plan (mapInPandas for the multimodal
+    ops is a different node and allowed by design); (3) no global window over
+    an unbounded input (single-task sort at scale) outside the documented
+    semantically-global allowlist."""
+    df = QUERIES[name].builder(spark, SF_DIR)
+    plan = _formatted(spark, df)
+    assert "CartesianProduct" not in plan, f"{name}: shuffled cartesian product"
+    assert "BatchEvalPython" not in plan, f"{name}: row-wise Python UDF"
+    assert "ArrowEvalPython" not in plan, f"{name}: scalar pandas UDF in plan"
+    if name not in _GLOBAL_WINDOW_ALLOWLIST:
+        gw = _unbounded_global_windows(df)
+        assert not gw, (
+            f"{name}: global window over unbounded input "
+            f"(single-task sort at 100 TB): {gw[0][:200]}"
+        )
