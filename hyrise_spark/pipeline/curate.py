@@ -272,8 +272,11 @@ def curate_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     canon = F.coalesce(F.col("cluster_canon"), F.col("doc_id"))
     return (
+        # No broadcast hint: labels has one row per doc in ANY near-dup
+        # cluster — unbounded at corpus scale, so the label attach must stay
+        # a shuffle join there; AQE still broadcasts it when it measures small.
         docs.select("doc_id")
-        .join(F.broadcast(labels), "doc_id", "left")
+        .join(labels, "doc_id", "left")
         .select(
             "doc_id",
             canon.alias("canonical_id"),
@@ -307,7 +310,7 @@ _PACK_BUCKETS = 8
       FROM toks
     ), packs AS (
       SELECT doc_id, n_tok,
-             CAST(bucket * 100000 + FLOOR((cum - n_tok) / {_PACK_CAP}) AS BIGINT) AS pack_id
+             CAST(bucket * 1099511627776 + FLOOR((cum - n_tok) / {_PACK_CAP}) AS BIGINT) AS pack_id
       FROM c
     )
     SELECT pack_id,
@@ -343,8 +346,12 @@ def curate_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     packs = toks.withColumn("cum", F.sum("n_tok").over(w)).select(
         "doc_id",
         "n_tok",
+        # pack_id = (bucket, pack_idx) flattened into one BIGINT: 2^40 pack
+        # slots per bucket (~1.1e12 packs = ~2.8e14 tokens/bucket at cap 256)
+        # so the id never collides across buckets at any realistic bucket
+        # size; a 100k multiplier would wrap at ~25.6M tokens/bucket.
         (
-            F.col("bucket") * 100000
+            F.col("bucket") * F.lit(1 << 40).cast("long")
             + F.floor((F.col("cum") - F.col("n_tok")) / _PACK_CAP)
         ).alias("pack_id"),
     )

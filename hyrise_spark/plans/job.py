@@ -1696,7 +1696,7 @@ def job_q34(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Kitchen-sink mixed graph, 11 relations: the double-dimension star
 # (customer->n1->r1, supplier->n2->r2) + part + orders + lineitem, PLUS a
-# semi join against events (customers with a January purchase event) and an
+# semi join against events (customers with any purchase event) and an
 # anti join against bulk-returned parts — equi, semi, and anti edges in one
 # graph, the widest mixed shape in the suite.
 @register(

@@ -136,7 +136,7 @@ def test_pack_sequences_partitions_corpus_exactly(spark):
     by_bucket: dict[int, list] = {}
     for r in packs:
         assert r.total_tokens < _PACK_CAP + max_doc, r
-        by_bucket.setdefault(r.pack_id // 100000, []).append(r)
+        by_bucket.setdefault(r.pack_id >> 40, []).append(r)
     assert set(by_bucket) == set(range(_PACK_BUCKETS))
     for bucket, rows in by_bucket.items():
         bucket_tokens = sum(r.total_tokens for r in rows)
