@@ -1985,3 +1985,104 @@ def job_q40(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("cnt"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Sixteen-relation join graph — the widest in the suite, spanning both fact
+# chains and three event legs (JOB's largest queries touch ~17 relations;
+# join_order_benchmark.cpp runs them verbatim). Fan-out stays bounded by
+# construction: every dimension join is key-unique, the second fact chain
+# hangs off URGENT orders only, and the e2/e3 event legs join e on
+# (user, same calendar day) — ~1.2 rows per leg — instead of the ~13x
+# per-user explosion a bare user_id equi-join would produce. With CBO stats
+# this graph is the 16-leaf DP-reorder proof
+# (test_plan_quality.py::test_cbo_reorders_sixteen_way_graph).
+@register(
+    "job_q41",
+    oracle="""
+    SELECT CAST(MIN(l.l_orderkey) AS BIGINT) AS min_orderkey,
+           MIN(cn.n_name) AS min_cust_nation,
+           MIN(p.p_name) AS min_part,
+           MIN(p2.p_name) AS min_part2,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    JOIN region cr ON cn.n_regionkey = cr.r_regionkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    JOIN region sr ON sn.n_regionkey = sr.r_regionkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN events e ON e.user_id = c.c_custkey
+    JOIN events e2 ON e2.user_id = e.user_id
+                  AND CAST(e2.ts AS DATE) = CAST(e.ts AS DATE)
+    JOIN events e3 ON e3.user_id = e.user_id
+                  AND CAST(e3.ts AS DATE) = CAST(e.ts AS DATE)
+    JOIN orders o2 ON o2.o_custkey = c.c_custkey
+    JOIN lineitem l2 ON l2.l_orderkey = o2.o_orderkey
+    JOIN part p2 ON l2.l_partkey = p2.p_partkey
+    JOIN supplier s2 ON l2.l_suppkey = s2.s_suppkey
+    WHERE cr.r_name = 'AMERICA' AND sr.r_name = 'EUROPE'
+      AND p.p_type = 'PROMO'
+      AND l.l_shipdate >= TIMESTAMP '1996-03-01' AND l.l_shipdate < TIMESTAMP '1996-04-01'
+      AND e.event_type = 'purchase' AND e2.event_type = 'click'
+      AND e3.event_type = 'signup'
+      AND o2.o_orderpriority = '1-URGENT' AND l2.l_returnflag = 'R'
+      AND p2.p_type = 'ECONOMY'
+    """,
+    tags=("job", "job-large"),
+)
+def job_q41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders, cust, nation, supp, region, part, events = _t(
+        spark, sf_dir,
+        "lineitem", "orders", "customer", "nation", "supplier", "region", "part",
+        "events",
+    )
+    cn = nation.alias("cn")
+    sn = nation.alias("sn")
+    cr = region.filter(F.col("r_name") == "AMERICA").alias("cr")
+    sr = region.filter(F.col("r_name") == "EUROPE").alias("sr")
+    p = part.filter(F.col("p_type") == "PROMO").alias("p")
+    p2 = part.filter(F.col("p_type") == "ECONOMY").alias("p2")
+    e = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("e_uid"), F.to_date("ts").alias("e_day"))
+    )
+    e2 = (
+        events.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("e2_uid"), F.to_date("ts").alias("e2_day"))
+    )
+    e3 = (
+        events.filter(F.col("event_type") == "signup")
+        .select(F.col("user_id").alias("e3_uid"), F.to_date("ts").alias("e3_day"))
+    )
+    o2 = orders.filter(F.col("o_orderpriority") == "1-URGENT").alias("o2")
+    l2 = li.filter(F.col("l_returnflag") == "R").alias("l2")
+    s2 = supp.alias("s2")
+    return (
+        li.filter(_ts_range("l_shipdate", "1996-03-01", "1996-04-01"))
+        .alias("l")
+        .join(orders.alias("o"), F.col("l.l_orderkey") == F.col("o.o_orderkey"))
+        .join(cust.alias("c"), F.col("o.o_custkey") == F.col("c.c_custkey"))
+        .join(F.broadcast(cn), F.col("c.c_nationkey") == F.col("cn.n_nationkey"))
+        .join(F.broadcast(cr), F.col("cn.n_regionkey") == F.col("cr.r_regionkey"))
+        .join(supp.alias("s"), F.col("l.l_suppkey") == F.col("s.s_suppkey"))
+        .join(F.broadcast(sn), F.col("s.s_nationkey") == F.col("sn.n_nationkey"))
+        .join(F.broadcast(sr), F.col("sn.n_regionkey") == F.col("sr.r_regionkey"))
+        .join(F.broadcast(p), F.col("l.l_partkey") == F.col("p.p_partkey"))
+        .join(e, F.col("e_uid") == F.col("c.c_custkey"))
+        .join(e2, (F.col("e2_uid") == F.col("e_uid")) & (F.col("e2_day") == F.col("e_day")))
+        .join(e3, (F.col("e3_uid") == F.col("e_uid")) & (F.col("e3_day") == F.col("e_day")))
+        .join(o2, F.col("o2.o_custkey") == F.col("c.c_custkey"))
+        .join(l2, F.col("l2.l_orderkey") == F.col("o2.o_orderkey"))
+        .join(F.broadcast(p2), F.col("l2.l_partkey") == F.col("p2.p_partkey"))
+        .join(s2, F.col("l2.l_suppkey") == F.col("s2.s_suppkey"))
+        .agg(
+            F.min("l.l_orderkey").alias("min_orderkey"),
+            F.min("cn.n_name").alias("min_cust_nation"),
+            F.min("p.p_name").alias("min_part"),
+            F.min("p2.p_name").alias("min_part2"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )

@@ -587,3 +587,70 @@ def test_registry_plan_hygiene(spark, name):
             f"{name}: global window over unbounded input "
             f"(single-task sort at 100 TB): {gw[0][:200]}"
         )
+
+
+def test_cbo_reorders_sixteen_way_graph(spark):
+    """CBO reorder proof at job_q41 width: SIXTEEN leaves — both fact chains
+    (lineitem+orders twice), doubled nation/region/part/supplier dims, and
+    three events legs, toward JOB's ~17-relation ceiling. 16 exceeds the
+    cbo.joinReorder.dp.threshold default of 12, so the threshold is raised
+    for the comparison (production would set it once, session-wide; the DP
+    covers the full graph in ~10 s of one-time optimizer work). The reorder
+    must still fire and hoist a filtered dimension ahead of the fact."""
+    import re
+
+    from hyrise_spark.layout import create_analyzed_tables
+
+    assert spark.conf.get("spark.sql.cbo.enabled") == "true"
+    names = create_analyzed_tables(
+        spark,
+        SF_DIR,
+        names=("region", "nation", "customer", "orders", "lineitem", "supplier",
+               "part", "events"),
+        prefix="t_cbo16_",
+    )
+    try:
+        q = """
+        SELECT count(*) AS n
+        FROM t_cbo16_lineitem l
+        JOIN t_cbo16_orders o ON l.l_orderkey = o.o_orderkey
+        JOIN t_cbo16_customer c ON o.o_custkey = c.c_custkey
+        JOIN t_cbo16_nation cn ON c.c_nationkey = cn.n_nationkey
+        JOIN t_cbo16_region cr ON cn.n_regionkey = cr.r_regionkey
+        JOIN t_cbo16_supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN t_cbo16_nation sn ON s.s_nationkey = sn.n_nationkey
+        JOIN t_cbo16_region sr ON sn.n_regionkey = sr.r_regionkey
+        JOIN t_cbo16_part p ON l.l_partkey = p.p_partkey
+        JOIN t_cbo16_events e ON e.user_id = c.c_custkey
+        JOIN t_cbo16_events e2 ON e2.user_id = c.c_custkey
+        JOIN t_cbo16_orders o2 ON o2.o_custkey = c.c_custkey
+        JOIN t_cbo16_lineitem l2 ON l2.l_orderkey = o2.o_orderkey
+        JOIN t_cbo16_part p2 ON l2.l_partkey = p2.p_partkey
+        JOIN t_cbo16_supplier s2 ON l2.l_suppkey = s2.s_suppkey
+        JOIN t_cbo16_events e3 ON e3.user_id = c.c_custkey
+        WHERE cr.r_name = 'AMERICA' AND sr.r_name = 'EUROPE'
+          AND p.p_type = 'PROMO' AND e.event_type = 'purchase'
+          AND e2.event_type = 'signup' AND e3.event_type = 'click'
+          AND o2.o_orderpriority = '1-URGENT' AND p2.p_type = 'ECONOMY'
+        """
+
+        def leaf_order(plan: str) -> list[str]:
+            return re.findall(r"Relation spark_catalog\.default\.(t_cbo16_\w+)", plan)
+
+        spark.conf.set("spark.sql.cbo.joinReorder.dp.threshold", "16")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+        p_off = spark.sql(q)._jdf.queryExecution().optimizedPlan().toString()
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+        qe_on = spark.sql(q)._jdf.queryExecution()
+        p_on = qe_on.optimizedPlan().toString()
+        order_off, order_on = leaf_order(p_off), leaf_order(p_on)
+        assert len(order_off) == 16 and len(order_on) == 16, (order_off, order_on)
+        assert qe_on.optimizedPlan().stats().rowCount().isDefined()
+        assert order_off[0] == "t_cbo16_lineitem"
+        assert order_on != order_off, order_on
+        assert order_on.index("t_cbo16_nation") < order_on.index("t_cbo16_lineitem"), order_on
+    finally:
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+        spark.conf.unset("spark.sql.cbo.joinReorder.dp.threshold")
+        for t in names.values():
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
