@@ -411,6 +411,70 @@ def _write_for_segment(f: BinaryIO, vals) -> None:
     f.write(offsets.tobytes())
 
 
+def _write_dictionary_segment(f: BinaryIO, ctype: str, vals) -> None:
+    """EncodingType::Dictionary (binary_writer.cpp:150-299 dictionary path):
+    sorted distinct dictionary + BitPacking attribute vector; NULL encodes as
+    id == dictionary size (dictionary_segment.cpp:139)."""
+    f.write(struct.pack("<B", 1))  # EncodingType::Dictionary
+    f.write(struct.pack("<B", 0))  # CompressedVectorType::BitPacking
+    present = sorted({v for v in vals if v is not None})
+    idx = {v: i for i, v in enumerate(present)}
+    dict_size = len(present)
+    f.write(struct.pack("<I", dict_size))
+    if ctype == "string":
+        _write_strings(f, present)
+    else:
+        f.write(np.array(present, dtype=_NUMERIC_DTYPES[ctype]).tobytes())
+    _write_compact_vector(f, [dict_size if v is None else idx[v] for v in vals])
+
+
+def _write_fixed_string_dictionary_segment(f: BinaryIO, vals) -> None:
+    """EncodingType::FixedStringDictionary: dictionary stored as fixed-width
+    char slots (width = longest value, shorter values NUL-padded —
+    binary_writer.cpp:250). Strings with trailing NUL bytes are therefore not
+    representable; the writer rejects them rather than silently truncating."""
+    f.write(struct.pack("<B", 3))  # EncodingType::FixedStringDictionary
+    f.write(struct.pack("<B", 0))  # CompressedVectorType::BitPacking
+    present = sorted({v for v in vals if v is not None})
+    if any(v.endswith("\x00") for v in present):
+        raise ValueError("FixedStringDictionary cannot represent trailing NULs")
+    idx = {v: i for i, v in enumerate(present)}
+    dict_size = len(present)
+    encoded = [v.encode("utf-8") for v in present]
+    str_len = max((len(e) for e in encoded), default=0)
+    f.write(struct.pack("<I", dict_size))
+    f.write(struct.pack("<I", str_len))
+    for e in encoded:
+        f.write(e + b"\x00" * (str_len - len(e)))
+    _write_compact_vector(f, [dict_size if v is None else idx[v] for v in vals])
+
+
+def _write_run_length_segment(f: BinaryIO, ctype: str, vals) -> None:
+    """EncodingType::RunLength: run values + per-run null bytes + INCLUSIVE
+    end offsets (run_length_segment layout; reader fills while pos <= end)."""
+    f.write(struct.pack("<B", 2))  # EncodingType::RunLength
+    runs: list[list] = []  # [value, is_null, inclusive_end]
+    for i, v in enumerate(vals):
+        if runs and (
+            (v is None and runs[-1][1])
+            or (v is not None and not runs[-1][1] and v == runs[-1][0])
+        ):
+            runs[-1][2] = i
+        else:
+            runs.append([v, v is None, i])
+    f.write(struct.pack("<I", len(runs)))
+    if ctype == "string":
+        _write_strings(f, ["" if r[1] else r[0] for r in runs])
+    else:
+        f.write(
+            np.array(
+                [0 if r[1] else r[0] for r in runs], dtype=_NUMERIC_DTYPES[ctype]
+            ).tobytes()
+        )
+    f.write(bytes(int(r[1]) for r in runs))
+    f.write(np.array([r[2] for r in runs], dtype="<u4").tobytes())
+
+
 def _write_lz4_segment(f: BinaryIO, ctype: str, vals) -> None:
     f.write(struct.pack("<B", 5))  # EncodingType::LZ4
     rows = len(vals)
@@ -456,12 +520,17 @@ def write_bin(
     """Write a DataFrame as a hyrise `.bin` file.
 
     `encoding`: 'unencoded' (default — the reference's export default),
-    'for' (FrameOfReference on int columns, others unencoded), or 'lz4'
-    (every column). Interchange/export path: rows funnel through the driver
-    exactly like the reference's single-file BinaryWriter. For data that
-    stays in this engine, prefer the parquet writers in `sources/`.
+    'for' (FrameOfReference on int columns, others unencoded), 'lz4' (every
+    column), 'dictionary' (sorted-distinct Dictionary on every column),
+    'fsd' (FixedStringDictionary on strings, Dictionary elsewhere), or
+    'runlength'. With these the writer emits all six segment encodings the
+    reference's BinaryWriter produces (binary_writer.cpp:150-355);
+    round-trips pinned in tests/test_hybin.py. Interchange/export path: rows
+    funnel through the driver exactly like the reference's single-file
+    BinaryWriter. For data that stays in this engine, prefer the parquet
+    writers in `sources/`.
     """
-    if encoding not in ("unencoded", "for", "lz4"):
+    if encoding not in ("unencoded", "for", "lz4", "dictionary", "fsd", "runlength"):
         # validate BEFORE opening the file — a mid-chunk failure would leave
         # a corrupt partial .bin on disk
         raise ValueError(f"unknown .bin encoding {encoding!r}")
@@ -498,6 +567,15 @@ def write_bin(
                     continue
                 if encoding == "for" and ctype == "int":
                     _write_for_segment(f, vals)
+                    continue
+                if encoding == "dictionary" or (encoding == "fsd" and ctype != "string"):
+                    _write_dictionary_segment(f, ctype, vals)
+                    continue
+                if encoding == "fsd":
+                    _write_fixed_string_dictionary_segment(f, vals)
+                    continue
+                if encoding == "runlength":
+                    _write_run_length_segment(f, ctype, vals)
                     continue
                 f.write(struct.pack("<B", 0))  # Unencoded
                 if cnull:

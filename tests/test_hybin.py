@@ -135,9 +135,11 @@ def test_lz4_block_decoder_handles_matches_and_dictionary():
     assert _lz4_block_decompress(blk, 5, dictionary=b"HELLOxyz") == b"HELLO"
 
 
-@pytest.mark.parametrize("encoding", ["for", "lz4"])
+@pytest.mark.parametrize("encoding", ["for", "lz4", "dictionary", "fsd", "runlength"])
 def test_roundtrip_encoded_segments(spark, tmp_path, encoding):
-    """FoR- and LZ4-encoded exports read back identically, nulls included."""
+    """Every encoded export reads back identically, nulls included — with
+    'dictionary'/'fsd'/'runlength' (round 6) the writer now emits all six
+    segment encodings the reference's BinaryWriter produces."""
     rows = [
         (i, None if i % 7 == 0 else i * 1000 + 17, f"s{i}" * (i % 5), float(i) / 3)
         for i in range(5000)
@@ -214,3 +216,74 @@ def test_write_rejects_unknown_encoding_before_writing(spark, tmp_path):
     with pytest.raises(ValueError, match="unknown .bin encoding"):
         write_bin(df, str(path), encoding="LZ4")  # case-sensitive typo
     assert not path.exists()  # no corrupt partial file left behind
+
+
+def test_dictionary_writer_emits_sorted_dictionary(tmp_path, spark):
+    """Byte-level pin of the dictionary segment layout the reference parses
+    (binary_parser.cpp dictionary path): encoding id 1, BitPacking attribute
+    vector id 0, dict size u32, SORTED distinct values, null id == dict size."""
+    import struct
+
+    df = spark.createDataFrame(
+        [(3, "b"), (1, "c"), (3, None), (2, "a")], "k int, s string"
+    )
+    path = str(tmp_path / "dict.bin")
+    write_bin(df, path, encoding="dictionary")
+    with open(path, "rb") as f:
+        data = f.read()
+    # skip header: chunk_size u32 | chunk_count u32 | col_count u16
+    off = 10
+    # string arrays are written as ALL u64 lengths then concatenated chars
+    for _ in range(2):  # column type strings, then (after nullables) names
+        lens = struct.unpack_from("<QQ", data, off)
+        off += 16 + sum(lens)
+        if _ == 0:
+            off += 2  # nullable bytes between types and names
+    off += 8  # chunk row_count u32 + sorted_column_count u32
+    # --- int column segment ---
+    enc, cv = struct.unpack_from("<BB", data, off); off += 2
+    assert (enc, cv) == (1, 0)
+    (dict_size,) = struct.unpack_from("<I", data, off); off += 4
+    assert dict_size == 3
+    import numpy as np
+    dict_vals = np.frombuffer(data, "<i4", count=3, offset=off).tolist(); off += 12
+    assert dict_vals == [1, 2, 3]  # sorted
+    (bits,) = struct.unpack_from("<B", data, off); off += 1
+    assert bits == 2  # ids 0..3 (3 = null id) need 2 bits
+    off += 8  # one u64 word holds 4x2 bits
+    # --- string column segment ---
+    enc, cv = struct.unpack_from("<BB", data, off); off += 2
+    assert (enc, cv) == (1, 0)
+    (dict_size,) = struct.unpack_from("<I", data, off); off += 4
+    assert dict_size == 3  # 'a','b','c' (NULL not in dictionary)
+    lens = np.frombuffer(data, "<u8", count=3, offset=off).tolist(); off += 24
+    assert lens == [1, 1, 1]
+    assert data[off:off + 3] == b"abc"  # sorted
+    # round-trip proves the attribute vector maps back (incl. null id)
+    assert _rows(read_bin(spark, path)) == _rows(df)
+
+
+def test_fsd_writer_rejects_trailing_nul(tmp_path, spark):
+    df = spark.createDataFrame([(1, "x\x00")], "k int, s string")
+    with pytest.raises(Exception, match="trailing NUL"):
+        write_bin(df, str(tmp_path / "bad.bin"), encoding="fsd")
+
+
+def test_runlength_writer_compresses_runs(tmp_path, spark):
+    """A constant column becomes ONE run; alternating nulls become separate
+    runs; inclusive end offsets rebuild exact lengths."""
+    import struct
+
+    rows = [(i, "const", None if i < 10 else 5) for i in range(20)]
+    df = spark.createDataFrame(rows, "k int, s string, v int")
+    path = str(tmp_path / "rl.bin")
+    write_bin(df, path, encoding="runlength")
+    assert _rows(read_bin(spark, path)) == _rows(df)
+    data = open(path, "rb").read()
+    # the 's' column's segment: find the run count by scanning is overkill —
+    # instead assert total file size is far below unencoded (20 copies of
+    # 'const' collapse to one run value)
+    df_un = spark.createDataFrame(rows, "k int, s string, v int")
+    path_un = str(tmp_path / "un.bin")
+    write_bin(df_un, path_un, encoding="unencoded")
+    assert len(data) < len(open(path_un, "rb").read())
