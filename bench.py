@@ -64,6 +64,15 @@ def main() -> None:
     ensure_date_sorted(spark, sf_dir)
 
     runs = max(1, int(os.environ.get("SPARK_GRAFT_RUNS", "3")))
+    # Optional comma-separated subset (e.g. the 20 slowest at runs=5 for a
+    # tighter regression noise floor — BASELINE.md timing-method section).
+    only = os.environ.get("SPARK_GRAFT_ONLY", "")
+    if only:
+        wanted = {n.strip() for n in only.split(",") if n.strip()}
+        unknown = wanted - set(qs)
+        if unknown:
+            print(f"bench: unknown SPARK_GRAFT_ONLY names: {sorted(unknown)}", file=sys.stderr)
+        qs = {n: qd for n, qd in qs.items() if n in wanted}
     times: dict[str, float] = {}
     for name in sorted(qs):
         qd = qs[name]
