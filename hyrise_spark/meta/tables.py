@@ -14,6 +14,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (
+    FloatType,
     IntegerType,
     LongType,
     StringType,
@@ -127,32 +128,118 @@ def meta_settings(spark: SparkSession, catalog=None) -> DataFrame:
     return spark.createDataFrame(sorted(vals.items()), schema)
 
 
+def _proc_kv_bytes(path: str, keys: tuple[str, ...]) -> dict[str, int]:
+    """Parse 'Key:  N kB' lines from a /proc file into bytes; missing keys
+    map to -1 (the reference Fails hard; a meta table should degrade)."""
+    out = {k: -1 for k in keys}
+    try:
+        with open(path) as fh:
+            for line in fh:
+                for k in keys:
+                    if line.startswith(k):
+                        out[k] = int(line.split()[1]) * 1024
+    except OSError:
+        pass
+    return out
+
+
 def meta_system_utilization(spark: SparkSession, catalog=None) -> DataFrame:
-    """meta_system_utilization (meta_system_utilization_table.hpp): one row of
-    cluster capacity/usage as Spark sees it — executor count, core count, and
-    JVM memory — the cluster analog of the reference's per-node CPU/RAM rows."""
+    """meta_system_utilization — field-by-field parity with the reference
+    (meta_system_utilization_table.cpp:46-280), measured against the JVM
+    process (where this engine actually executes), plus three Spark-cluster
+    extension columns. Mapping ("ref" = the reference's Linux source):
+
+    | column                  | ref semantics                         | here |
+    |-------------------------|---------------------------------------|------|
+    | cpu_system_time         | /proc/stat cpu (user+nice+system)     | same |
+    |                         | ticks / CLK_TCK -> ns (:129-134,156)  |      |
+    | cpu_process_time        | CLOCK_PROCESS_CPUTIME_ID ns (:161-174)| /proc/<jvm pid>/stat utime+stime ticks -> ns — the same user+system-of-process clock, for the JVM (the engine process; the MXBean getter is unreachable through py4j reflection) |
+    | total_time              | steady_clock since epoch ns (:106-108)| time.monotonic_ns() (same CLOCK_MONOTONIC base on Linux) |
+    | load_average_{1,5,15}_min | getloadavg() (:93-101)              | os.getloadavg() |
+    | system_memory_free      | /proc/meminfo MemFree B (:202)        | same |
+    | system_memory_available | /proc/meminfo MemAvailable B (:204)   | same |
+    | process_virtual_memory  | /proc/self/status VmSize B (:254)     | /proc/<jvm pid>/status VmSize (self = the Python shim, not the engine) |
+    | process_RSS             | /proc/self/status VmRSS B (:256)      | /proc/<jvm pid>/status VmRSS |
+    | allocated_memory        | jemalloc stats.allocated; NULL unless | JVM used heap (totalMemory-freeMemory) — the engine's actually-allocated heap; never NULL here |
+    |                         | built with jemalloc (nullable)        |      |
+    | cpu_affinity_count      | topology.num_cpus() = affinity set    | len(os.sched_getaffinity(0)) |
+
+    No-Spark-meaning fields: none — all 12 have a faithful JVM/driver-host
+    reading on Linux (fields read from /proc degrade to -1 off-Linux rather
+    than failing the whole table). Extensions beyond the reference (a
+    single-node engine has no cluster dimension): default_parallelism,
+    n_executors, jvm_max_memory."""
     import os
+    import time
 
     sc = spark.sparkContext
-    jvm_rt = spark._jvm.java.lang.Runtime.getRuntime()
+    jvm = spark._jvm
+    jvm_rt = jvm.java.lang.Runtime.getRuntime()
     mem_status = sc._jsc.sc().getExecutorMemoryStatus()
+
+    try:
+        with open("/proc/stat") as fh:
+            ticks = [int(x) for x in fh.readline().split()[1:4]]  # user, nice, system
+        clk_tck = os.sysconf("SC_CLK_TCK")
+        cpu_system_time = int(sum(ticks) / clk_tck * 1_000_000_000)
+    except (OSError, ValueError):
+        cpu_system_time = -1
+    jvm_pid = int(jvm.java.lang.ProcessHandle.current().pid())
+    try:
+        with open(f"/proc/{jvm_pid}/stat") as fh:
+            # fields after the parenthesized comm: utime is field 14, stime 15
+            # (1-indexed); comm may contain spaces, so split after the last ')'
+            tail = fh.read().rsplit(")", 1)[1].split()
+        utime, stime = int(tail[11]), int(tail[12])
+        cpu_process_time = int((utime + stime) / os.sysconf("SC_CLK_TCK") * 1_000_000_000)
+    except (OSError, ValueError, IndexError):
+        cpu_process_time = -1
+    load1, load5, load15 = (
+        os.getloadavg() if hasattr(os, "getloadavg") else (-1.0, -1.0, -1.0)
+    )
+    meminfo = _proc_kv_bytes("/proc/meminfo", ("MemFree", "MemAvailable"))
+    vm = _proc_kv_bytes(f"/proc/{jvm_pid}/status", ("VmSize", "VmRSS"))
+    affinity = (
+        len(os.sched_getaffinity(0))
+        if hasattr(os, "sched_getaffinity")
+        else (os.cpu_count() or 0)
+    )
+
     rows = [
         (
+            cpu_system_time,
+            cpu_process_time,
+            int(time.monotonic_ns()),
+            float(load1),
+            float(load5),
+            float(load15),
+            meminfo["MemFree"],
+            meminfo["MemAvailable"],
+            vm["VmSize"],
+            vm["VmRSS"],
+            int(jvm_rt.totalMemory() - jvm_rt.freeMemory()),
+            int(affinity),
             int(sc.defaultParallelism),
             int(mem_status.size()),  # executors (driver included in local mode)
-            int(os.cpu_count() or 0),
-            int(jvm_rt.totalMemory()),
-            int(jvm_rt.freeMemory()),
             int(jvm_rt.maxMemory()),
         )
     ]
     schema = StructType(
         [
+            StructField("cpu_system_time", LongType()),
+            StructField("cpu_process_time", LongType()),
+            StructField("total_time", LongType()),
+            StructField("load_average_1_min", FloatType()),
+            StructField("load_average_5_min", FloatType()),
+            StructField("load_average_15_min", FloatType()),
+            StructField("system_memory_free", LongType()),
+            StructField("system_memory_available", LongType()),
+            StructField("process_virtual_memory", LongType()),
+            StructField("process_RSS", LongType()),
+            StructField("allocated_memory", LongType()),
+            StructField("cpu_affinity_count", IntegerType()),
             StructField("default_parallelism", IntegerType()),
             StructField("n_executors", IntegerType()),
-            StructField("host_cpu_count", IntegerType()),
-            StructField("jvm_total_memory", LongType()),
-            StructField("jvm_free_memory", LongType()),
             StructField("jvm_max_memory", LongType()),
         ]
     )

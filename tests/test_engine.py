@@ -379,3 +379,28 @@ def test_dangling_view_does_not_break_unrelated_dml(engine):
         engine.execute("DROP VIEW IF EXISTS dv_v")
         engine.execute("DROP TABLE IF EXISTS dv_other")
         engine.execute("DROP TABLE IF EXISTS dv_base")
+
+
+def test_meta_system_utilization_matches_reference_fields(engine, spark):
+    """Field-by-field parity with the reference's system_utilization meta
+    table (meta_system_utilization_table.cpp:46-57): same 12 columns, same
+    order, then the documented Spark-cluster extensions. Values must be live
+    readings, not placeholders (this CI runs on Linux, so nothing is -1)."""
+    row = engine.execute("SELECT * FROM meta_system_utilization").collect()[0]
+    ref_cols = [
+        "cpu_system_time", "cpu_process_time", "total_time",
+        "load_average_1_min", "load_average_5_min", "load_average_15_min",
+        "system_memory_free", "system_memory_available",
+        "process_virtual_memory", "process_RSS", "allocated_memory",
+        "cpu_affinity_count",
+    ]
+    assert list(row.asDict())[: len(ref_cols)] == ref_cols
+    assert row.cpu_system_time > 0 and row.cpu_process_time > 0
+    assert row.total_time > 0
+    assert row.load_average_1_min >= 0.0
+    assert row.system_memory_free > 0 and row.system_memory_available > 0
+    # the JVM's RSS is real memory: more than 64 MB, less than VmSize
+    assert 64 * 2**20 < row.process_RSS <= row.process_virtual_memory
+    assert 0 < row.allocated_memory <= row.jvm_max_memory
+    assert row.cpu_affinity_count >= 1
+    assert row.n_executors >= 1 and row.default_parallelism >= 1
