@@ -11,9 +11,14 @@ Engine (SQL, DML, IMPORT/EXPORT, meta tables) on a SparkSession:
   export <table> <file>     write a table (Console::_export_table)
   script <file>             run a ;-separated SQL script (Console::_exec_script)
   print <table>             show a table (Console::_print_table)
-  visualize [sql]           physical plan of sql / the last query
-                            (Console::_visualize -> PQPVisualizer; here
-                            Catalyst's formatted explain)
+  visualize [lqp|pqp|text] [sql]
+                            plan of sql / the last query
+                            (Console::_visualize -> LQP/PQPVisualizer).
+                            lqp/pqp emit graphviz DOT (hyrise_spark/
+                            visualize.py — optimized logical / physical
+                            plan, cardinality-labeled edges on lqp);
+                            'text' (default) is Catalyst's formatted
+                            explain
   setting <name> [value]    get/set a session conf (Console::_change_runtime_setting)
   generate_tpch [sf_dir]    register the driver testdata tables (the
                             generate_* table generators analog)
@@ -103,11 +108,19 @@ class Console:
     def cmd_print(self, table: str) -> str:
         return self.run_sql(f"SELECT * FROM {table}")
 
-    def cmd_visualize(self, sql: str) -> str:
-        sql = sql or self.last_sql
+    def cmd_visualize(self, rest: str) -> str:
+        which, _, tail = rest.partition(" ")
+        if which in ("lqp", "pqp", "text"):
+            sql = tail.strip() or self.last_sql
+        else:
+            which, sql = "text", (rest or self.last_sql)
         if not sql:
             return "visualize: no previous query"
-        return self.engine.explain(sql)
+        if which == "text":
+            return self.engine.explain(sql)
+        from hyrise_spark.visualize import visualize_sql
+
+        return visualize_sql(self.spark, self.engine, sql, which)
 
     def cmd_setting(self, rest: str) -> str:
         name, _, value = rest.partition(" ")

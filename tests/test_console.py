@@ -53,3 +53,37 @@ def test_help_lists_commands(spark):
     out = _console(spark).handle("help")
     for cmd in ("load", "export", "script", "visualize", "setting"):
         assert cmd in out
+
+
+def test_visualize_dot_pqp_and_lqp(spark):
+    """`visualize lqp|pqp` emit graphviz DOT (the reference's LQP/PQP
+    visualizers, pqp_visualizer.hpp) — a digraph with one box per operator,
+    edges bottom-up, and cardinality labels on lqp edges where Catalyst has
+    estimates."""
+    con = _console(spark)
+    con.handle(f"generate_tpch {SF_DIR}")
+    dot = con.handle(
+        "visualize pqp SELECT r_name, count(*) FROM region JOIN nation "
+        "ON r_regionkey = n_regionkey GROUP BY r_name"
+    )
+    assert dot.startswith("digraph plan {")
+    assert dot.rstrip().endswith("}")
+    assert "->" in dot and "rankdir=BT" in dot
+    assert "HashAggregate" in dot or "Aggregate" in dot
+    lqp = con.handle("visualize lqp SELECT n_name FROM nation WHERE n_nationkey < 5")
+    assert lqp.startswith("digraph plan {")
+    assert "Relation" in lqp or "LogicalRelation" in lqp
+    # edge label carries a size estimate (the reference's row-count edges)
+    assert "B\"]" in lqp or "rows" in lqp, lqp
+    # plain `visualize` still returns explain text, and reuses the last query
+    con.handle("SELECT 3 + 3 AS six")
+    assert "Physical Plan" in con.handle("visualize") or "Project" in con.handle("visualize")
+
+
+def test_write_plan_image_writes_dot_without_graphviz(spark, tmp_path):
+    from hyrise_spark.visualize import write_plan_image
+
+    df = spark.range(10).selectExpr("id * 2 AS x")
+    out = write_plan_image(df, str(tmp_path / "plan.dot"), which="pqp")
+    text = open(out).read()
+    assert text.startswith("digraph plan {") and "Range" in text
