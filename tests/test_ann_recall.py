@@ -107,3 +107,22 @@ def test_kmeans_cells_recover_clusters(spark, clustered_dir):
     assert sum(sizes) == K * PER_CLUSTER
     # every recovered cell is one true cluster: all populations equal 50
     assert sizes == [PER_CLUSTER] * K, sizes
+
+
+def test_pq_recall_on_clustered_data(spark, clustered_dir, truth):
+    """PQ with sample-initialized codebooks + ADC shortlist + exact rerank:
+    the 16 anchors land across the 10 clusters, so same-cluster vectors
+    quantize to the same codewords and the true neighbors survive the
+    shortlist. The exact rerank means every returned pair's cos_sim is
+    EXACT — PQ error only affects which candidates reach the rerank."""
+    got = _topk("sim_pq_topk", spark, clustered_dir)
+    assert _recall(truth, got) >= 0.8, got
+    # exactness of reranked scores: the (qid, cid) pairs PQ returns must
+    # carry the same cos_sim brute force assigns them
+    bf = {
+        (r.qid, r.cid): r.cos_sim
+        for r in QUERIES["sim_bruteforce_topk"].builder(spark, clustered_dir).collect()
+    }
+    for r in QUERIES["sim_pq_topk"].builder(spark, clustered_dir).collect():
+        if (r.qid, r.cid) in bf:
+            assert abs(r.cos_sim - bf[(r.qid, r.cid)]) < 1e-9
