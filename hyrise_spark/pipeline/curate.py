@@ -364,3 +364,85 @@ def curate_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pack_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Domain-mixture rebalancing: the "data mixing" step of a pretraining
+# pipeline — given target domain proportions and a global token budget,
+# derive per-domain acceptance rates and hash-sample documents to hit them.
+# Sources map onto three synthetic domains; rates are
+# min(1, weight_d * budget / tokens_d), so an under-represented domain keeps
+# everything (capped at 1 — no upsampling here; replication factors would be
+# a separate op) and over-represented domains downsample deterministically.
+# 100 TB shape: the rate table is THREE rows (one aggregation over the
+# corpus, partial-agg friendly), broadcast back into a narrow filter map —
+# no shuffle of the documents themselves, decisions are md5-of-doc_id so
+# any engine/cluster-size re-run selects the identical subset.
+_MIX_WEIGHTS = {"web": 0.5, "books": 0.3, "code": 0.2}
+_MIX_BUDGET_FRAC = 0.6  # target corpus = 60% of the total token count
+
+
+def _mix_domain_sql() -> str:
+    return ("CASE CAST(substr(source, 4) AS INT) % 3 WHEN 0 THEN 'web' "
+            "WHEN 1 THEN 'books' ELSE 'code' END")
+
+
+_MIX_WEIGHT_SQL = ("CASE domain WHEN 'web' THEN 0.5 WHEN 'books' THEN 0.3 "
+                   "ELSE 0.2 END")
+
+
+@register(
+    "curate_domain_mixture",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {_mix_domain_sql()} AS domain,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tok
+      FROM documents
+    ),
+    dom AS (SELECT domain, CAST(SUM(n_tok) AS BIGINT) AS d_tok FROM d GROUP BY domain),
+    tot AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS t_tok FROM d),
+    rates AS (
+      SELECT domain,
+             LEAST(1.0, {_MIX_WEIGHT_SQL} * {_MIX_BUDGET_FRAC} * t_tok / d_tok) AS rate
+      FROM dom CROSS JOIN tot
+    )
+    SELECT doc_id, domain, n_tok, ROUND(rate, 4) AS rate
+    FROM d JOIN rates USING (domain)
+    WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
+          / 65536.0 < rate
+    ORDER BY doc_id
+    """,
+    tags=("curate", "mixture", "sampling"),
+)
+def curate_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    src_num = F.substring("source", 4, 10).cast("int")
+    domain = (
+        F.when(src_num % 3 == 0, "web").when(src_num % 3 == 1, "books").otherwise("code")
+    )
+    d = docs.select(
+        "doc_id", domain.alias("domain"), F.size(_words()).alias("n_tok")
+    )
+    dom = d.groupBy("domain").agg(F.sum("n_tok").cast("long").alias("d_tok"))
+    tot = d.agg(F.sum("n_tok").cast("long").alias("t_tok"))
+    weight = (
+        F.when(F.col("domain") == "web", 0.5)
+        .when(F.col("domain") == "books", 0.3)
+        .otherwise(0.2)
+    )
+    rates = dom.crossJoin(F.broadcast(tot)).select(
+        "domain",
+        F.least(
+            F.lit(1.0), weight * _MIX_BUDGET_FRAC * F.col("t_tok") / F.col("d_tok")
+        ).alias("rate"),
+    )
+    accept = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("double") / 65536.0
+    )
+    return (
+        d.join(F.broadcast(rates), "domain")
+        .filter(accept < F.col("rate"))
+        .select("doc_id", "domain", "n_tok", F.round("rate", 4).alias("rate"))
+        .orderBy("doc_id")
+    )

@@ -419,3 +419,79 @@ def pipeline_curation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", F.col("n_words").cast("long").alias("n_words"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition scoring: the boilerplate/spam signal every production curation
+# stack computes (Gopher/RefinedWeb-style repetition rules). Two ratios per
+# doc — duplicate trigram fraction (1 - distinct/total 3-grams) and the
+# most-frequent-token share — plus the filter flag. Integer counting first,
+# one float division at the end: identical doubles on both engines.
+_REP_NGRAM = 3
+
+
+@register(
+    "text_repetition_ratio",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+               FROM documents WHERE doc_id < 200),
+    g AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - {_REP_NGRAM - 1})) AS s
+          FROM t WHERE len(w) >= {_REP_NGRAM}),
+    tri AS (SELECT doc_id, array_to_string(w[s : s + {_REP_NGRAM - 1}], ' ') AS sh FROM g),
+    tri_stats AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tri,
+             CAST(COUNT(DISTINCT sh) AS BIGINT) AS d_tri
+      FROM tri GROUP BY doc_id
+    ),
+    words AS (SELECT doc_id, unnest(w) AS word FROM t),
+    wc AS (SELECT doc_id, word, COUNT(*) AS cnt FROM words GROUP BY doc_id, word),
+    word_stats AS (
+      SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_words,
+             CAST(MAX(cnt) AS BIGINT) AS top_cnt
+      FROM wc GROUP BY doc_id
+    )
+    SELECT t.doc_id, n_tri, d_tri,
+           ROUND(1.0 - CAST(d_tri AS DOUBLE) / n_tri, 4) AS dup_tri_ratio,
+           ROUND(CAST(top_cnt AS DOUBLE) / n_words, 4) AS top_word_frac,
+           CASE WHEN 1.0 - CAST(d_tri AS DOUBLE) / n_tri > 0.1
+                  OR CAST(top_cnt AS DOUBLE) / n_words > 0.1
+                THEN 1 ELSE 0 END AS is_repetitive
+    FROM tri_stats t JOIN word_stats USING (doc_id)
+    ORDER BY doc_id
+    """,
+    tags=("text", "quality", "repetition"),
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hyrise_spark.pipeline.curate import shingle_expr
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    w = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    base = docs.select("doc_id", w.alias("w"))
+    tri_stats = (
+        base.filter(F.size("w") >= _REP_NGRAM)
+        .select("doc_id", F.explode(shingle_expr(F.col("w"), _REP_NGRAM)).alias("sh"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tri"),
+            F.countDistinct("sh").alias("d_tri"),
+        )
+    )
+    word_stats = (
+        base.select("doc_id", F.explode("w").alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.sum("cnt").alias("n_words"), F.max("cnt").alias("top_cnt"))
+    )
+    dup = 1.0 - F.col("d_tri").cast("double") / F.col("n_tri")
+    top = F.col("top_cnt").cast("double") / F.col("n_words")
+    return (
+        tri_stats.join(word_stats, "doc_id")
+        .select(
+            "doc_id", "n_tri", "d_tri",
+            F.round(dup, 4).alias("dup_tri_ratio"),
+            F.round(top, 4).alias("top_word_frac"),
+            F.when((dup > 0.1) | (top > 0.1), 1).otherwise(0).alias("is_repetitive"),
+        )
+        .orderBy("doc_id")
+    )

@@ -142,3 +142,38 @@ def test_pack_sequences_partitions_corpus_exactly(spark):
         bucket_tokens = sum(r.total_tokens for r in rows)
         max_packs = -(-bucket_tokens // _PACK_CAP)  # ceil
         assert len(rows) <= max_packs, (bucket, len(rows), max_packs)
+
+
+def test_domain_mixture_hits_target_shares(spark):
+    """Where a domain's rate is < 1, its sampled token mass must land near
+    weight_d * budget (hash sampling is uniform); a rate of 1.0 means the
+    domain was under-represented and keeps everything. Deterministic across
+    invocations."""
+    import pyspark.sql.functions as F
+
+    from hyrise_spark.pipeline.curate import (
+        _MIX_BUDGET_FRAC,
+        _MIX_WEIGHTS,
+        _words,
+        curate_domain_mixture,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    total_tokens = docs.select(F.sum(F.size(_words())).alias("t")).collect()[0].t
+    budget = _MIX_BUDGET_FRAC * total_tokens
+    out = curate_domain_mixture(spark, SF_DIR).collect()
+    assert out, "mixture produced no rows"
+    by_domain: dict[str, list] = {}
+    for r in out:
+        by_domain.setdefault(r.domain, []).append(r)
+    assert set(by_domain) <= set(_MIX_WEIGHTS)
+    for domain, rows in by_domain.items():
+        rate = rows[0].rate
+        assert all(r.rate == rate for r in rows)  # one rate per domain
+        got_tokens = sum(r.n_tok for r in rows)
+        if rate < 1.0:
+            want = _MIX_WEIGHTS[domain] * budget
+            # hash sampling over ~170 docs per domain: generous 40% tolerance
+            assert 0.6 * want < got_tokens < 1.4 * want, (domain, got_tokens, want)
+    again = curate_domain_mixture(spark, SF_DIR).collect()
+    assert sorted(r.doc_id for r in again) == sorted(r.doc_id for r in out)
