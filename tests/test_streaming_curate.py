@@ -71,3 +71,68 @@ def test_contaminated_ids_stream_matches_batch(spark, docs_dir, tmp_path):
     batch = contaminated_ids_stream(spark.read.parquet(stream_dir), bench)
     assert got == {r.doc_id for r in batch.collect()}
     assert 99993 in got  # the planted copy is tagged
+
+
+def test_pq_encoded_stream_matches_batch_codes(spark, tmp_path):
+    """Streaming PQ index maintenance: codes assigned by the stateless
+    stream-static encoder must equal the batch encoder's (the codes
+    sim_pq_topk's ADC scoring consumes) for every vector, including the
+    min_by tie-break."""
+    import pyarrow.parquet as pq
+
+    import pyspark.sql.functions as F
+    from hyrise_spark.pipeline.similarity import (
+        _PQ_M,
+        _PQ_SUB,
+        _dot,
+        _normalize,
+    )
+    from hyrise_spark.streaming.ann_stream import (
+        pq_codebook,
+        pq_encoded_stream,
+        read_embeddings_stream,
+    )
+
+    d = tmp_path / "emb_stream"
+    d.mkdir()
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    n = t.num_rows
+    for i in range(3):
+        pq.write_table(t.slice(i * n // 3, (i + 1) * n // 3 - i * n // 3), d / f"p{i}.parquet")
+
+    cb = pq_codebook(spark, SF_DIR).localCheckpoint(eager=True)
+    stream = pq_encoded_stream(read_embeddings_stream(spark, str(d)), cb)
+    run_to_completion(stream, "pq_codes", output_mode="append")
+    got = {r.vec_id: list(r.codes) for r in spark.table("pq_codes").collect()}
+
+    # batch encoder (the sim_pq_topk dataflow, over ALL vectors)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    nrm = emb.select("vec_id", _normalize(F.col("embedding").cast("array<double>")).alias("v"))
+    sub = F.posexplode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+            lambda m: F.slice(F.col("v"), m * _PQ_SUB + 1, _PQ_SUB),
+        )
+    )
+    csub = nrm.select(F.col("vec_id").alias("cid"), sub.alias("m", "csub"))
+    anchors = cb.select(F.explode("cb").alias("e")).select(
+        F.col("e.m").alias("m"), F.col("e.code_id").alias("code_id"),
+        F.col("e.asub").alias("asub"),
+    )
+    d2 = (
+        _dot(F.col("csub"), F.col("csub"))
+        - 2 * _dot(F.col("csub"), F.col("asub"))
+        + _dot(F.col("asub"), F.col("asub"))
+    )
+    batch = (
+        csub.join(F.broadcast(anchors), "m")
+        .groupBy("cid", "m")
+        .agg(F.min_by(F.col("code_id"), F.struct(F.round(d2, 6), F.col("code_id"))).alias("code"))
+        .groupBy("cid")
+        .agg(F.array_sort(F.collect_list(F.struct("m", "code"))).alias("mc"))
+        .select("cid", F.transform("mc", lambda x: x["code"]).alias("codes"))
+    )
+    want = {r.cid: list(r.codes) for r in batch.collect()}
+    assert len(got) == n and set(got) == set(want)
+    mismatches = {k for k in want if got[k] != want[k]}
+    assert not mismatches, (len(mismatches), sorted(mismatches)[:5])
