@@ -96,6 +96,45 @@ _SEQUENCES = {
         "INSERT INTO idt VALUES (999, 1, 42, 7)",
         "COMMIT",
     ],
+    # -- round 6 widening: subqueries inside DML, aggregates/joins as INSERT
+    # sources, NULL writes, multi-row VALUES — each statement shared verbatim.
+    "delete_in_subquery_self": [
+        # subquery reads the PRE-delete state on both engines
+        "DELETE FROM idt WHERE a IN (SELECT b FROM idt WHERE b < 10)",
+    ],
+    "update_scalar_subquery_rhs": [
+        "UPDATE idt SET a = (SELECT MAX(b) FROM idt) WHERE id < 5",
+    ],
+    "update_subquery_where": [
+        "UPDATE idt SET c = 0 WHERE b > (SELECT AVG(a) FROM idt)",
+    ],
+    "update_case_expr": [
+        "UPDATE idt SET a = CASE WHEN b > 50 THEN 1 ELSE 0 END",
+    ],
+    "update_set_null": ["UPDATE idt SET a = NULL WHERE id < 3"],
+    "insert_nulls": ["INSERT INTO idt VALUES (600, NULL, NULL, 9)"],
+    "insert_multi_row_values": [
+        "INSERT INTO idt VALUES (400, 1, 2, 3), (401, 4, 5, 6), (402, 7, 8, 9)",
+    ],
+    "insert_select_aggregate": [
+        "INSERT INTO idt SELECT 500, CAST(MAX(a) AS INT), CAST(MIN(b) AS INT),"
+        " CAST(COUNT(*) AS INT) FROM idt",
+    ],
+    "insert_select_order_limit": [
+        # unique sort key -> deterministic subset on both engines
+        "INSERT INTO idt SELECT id + 2000, a, b, c FROM idt ORDER BY id LIMIT 5",
+    ],
+    "insert_select_join_cross_table": [
+        "CREATE TABLE idt2 AS SELECT * FROM idt WHERE id < 30",
+        "INSERT INTO idt SELECT i.id + 5000, j.a, i.b, j.c"
+        " FROM idt i JOIN idt2 j ON i.id = j.id WHERE j.a < 20",
+        "DROP TABLE idt2",
+    ],
+    "delete_after_null_write": [
+        "UPDATE idt SET a = NULL WHERE id < 10",
+        # NULL never matches a comparison: 3VL must keep the NULL rows
+        "DELETE FROM idt WHERE a > 40",
+    ],
 }
 
 
