@@ -117,6 +117,10 @@ class Catalog:
         self._views: dict[str, str] = {}  # name -> SQL text (LQP view analog)
         # driver-side statement ring buffer surfaced as meta_log
         self.statement_log: list[dict] = []
+        # validated unique column combinations {(table, column), ...} — the
+        # ucc_discovery_plugin state (hyrise_spark/ucc.py); any write to a
+        # table drops its entries (uniqueness is a snapshot property)
+        self.validated_uccs: set[tuple[str, str]] = set()
 
     # -- tables ------------------------------------------------------------
     def add_table(self, name: str, df: DataFrame) -> None:
@@ -128,6 +132,9 @@ class Catalog:
     def replace_table(self, name: str, df: DataFrame) -> None:
         self._tables[name] = df
         df.createOrReplaceTempView(name)
+        self.validated_uccs = {
+            (t, c) for (t, c) in self.validated_uccs if t != name.lower()
+        }
         # SQL views re-resolve against CURRENT table state (lqp_view analog:
         # the reference stores the view's LQP and re-instantiates per query).
         # Temp views captured the old plan eagerly — re-register the views
@@ -152,6 +159,9 @@ class Catalog:
         if name not in self._tables:
             raise KeyError(f"table {name!r} does not exist")
         del self._tables[name]
+        self.validated_uccs = {
+            (t, c) for (t, c) in self.validated_uccs if t != name.lower()
+        }
         self.spark.catalog.dropTempView(name)
 
     def get_table(self, name: str) -> DataFrame:

@@ -272,6 +272,13 @@ class Engine:
             return self._update(m["table"], sets, cond, args=args)
         if stmt.lower().startswith("select") and "meta_" in stmt:
             self._materialize_meta_tables(stmt)
+        if self.catalog.validated_uccs and stmt.lower().lstrip().startswith("select"):
+            # redundant-DISTINCT elimination over validated UCCs — the
+            # ucc_discovery_plugin's group-by reduction
+            # (ucc_discovery_plugin.cpp:348); saves HashAggregate + Exchange
+            from hyrise_spark.ucc import maybe_strip_redundant_distinct
+
+            stmt = maybe_strip_redundant_distinct(stmt, self.catalog)
         if args is not None:
             return self.spark.sql(stmt, args=args)
         return self.spark.sql(stmt)

@@ -472,6 +472,12 @@ EXEC_FUNCTIONS: dict[tuple[str, str], "callable"] = {
         if spark.catalog.tableExists(n)
     ],
     ("engine", "clear_statement_log"): lambda spark, catalog: catalog.statement_log.clear(),
+    # the reference UCC plugin's DiscoverUCCs user-executable function
+    # (ucc_discovery_plugin.cpp:76) — candidates from the statement log,
+    # validated results surfaced via meta_uccs
+    ("ucc", "discover_uccs"): lambda spark, catalog: __import__(
+        "hyrise_spark.ucc", fromlist=["discover_uccs"]
+    ).discover_uccs(spark, catalog),
 }
 
 
@@ -528,6 +534,18 @@ def meta_segments_accurate(spark: SparkSession, catalog) -> DataFrame:
     return spark.createDataFrame(out, schema)
 
 
+def meta_uccs(spark: SparkSession, catalog) -> DataFrame:
+    """Validated unique column combinations (the ucc_discovery_plugin's
+    discovered state, exposed the way hyrise plugins add meta tables via
+    MetaTableManager). Populated by INSERT INTO meta_exec
+    VALUES ('ucc', 'discover_uccs'); emptied again by any DML on the
+    table."""
+    schema = StructType(
+        [StructField("table_name", StringType()), StructField("column_name", StringType())]
+    )
+    return spark.createDataFrame(sorted(catalog.validated_uccs), schema)
+
+
 META_TABLES = {
     "meta_tables": meta_tables,
     "meta_columns": meta_columns,
@@ -542,6 +560,7 @@ META_TABLES = {
     "meta_plugins": meta_plugins,
     "meta_exec": meta_exec,
     "meta_segments_accurate": meta_segments_accurate,
+    "meta_uccs": meta_uccs,
 }
 
 
