@@ -158,3 +158,72 @@ def test_fuzz_date_range_grouped_by_extract(spark, duck, w, extract):
                    CAST(COUNT(*) AS BIGINT) AS n
             FROM orders WHERE {w} GROUP BY 1""",
     )
+
+
+# -- round-6 widening: join-type space + scalar-expression space -------------
+@st.composite
+def join_query(draw) -> str:
+    """Random join family between orders and customer: inner/left plus the
+    semi/anti forms expressed as [NOT] EXISTS (how the engine's users write
+    them; Catalyst turns them into Left(Semi|Anti) — DuckDB must agree on
+    NULL semantics too)."""
+    kind = draw(st.sampled_from(["inner", "left", "semi", "anti"]))
+    w = draw(where_clause())
+    if kind in ("inner", "left"):
+        jt = "JOIN" if kind == "inner" else "LEFT JOIN"
+        return (
+            f"SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,"
+            f" CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders"
+            f" FROM customer {jt} orders ON o_custkey = c_custkey AND ({w})"
+            f" GROUP BY c_mktsegment"
+        )
+    neg = "NOT " if kind == "anti" else ""
+    return (
+        f"SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n FROM customer"
+        f" WHERE {neg}EXISTS (SELECT 1 FROM orders"
+        f" WHERE o_custkey = c_custkey AND ({w})) GROUP BY c_mktsegment"
+    )
+
+
+@_SETTINGS
+@given(q=join_query())
+def test_fuzz_join_types(spark, duck, q):
+    _run_both(spark, duck, q)
+
+
+@st.composite
+def scalar_projection(draw) -> str:
+    """Random scalar-expression projection over customer strings/numerics —
+    the shared SUBSTR/CONCAT/UPPER/LENGTH/arithmetic vocabulary (1-based
+    SUBSTR, C++ int division semantics are the engine's documented
+    contract)."""
+    kind = draw(st.integers(0, 4))
+    if kind == 0:
+        a = draw(st.integers(1, 10))
+        b = draw(st.integers(1, 8))
+        return f"SUBSTR(c_name, {a}, {b})"
+    if kind == 1:
+        return draw(st.sampled_from([
+            "UPPER(c_mktsegment)", "LOWER(c_name)",
+            "CONCAT(c_mktsegment, '-', c_name)",
+        ]))
+    if kind == 2:
+        return f"CAST(LENGTH(c_name) + {draw(st.integers(0, 5))} AS INTEGER)"
+    if kind == 3:
+        n = draw(st.integers(2, 9))
+        return f"CAST(c_custkey % {n} AS BIGINT)"
+    return f"ROUND(c_acctbal * {draw(st.integers(1, 4))}, 2)"
+
+
+@_SETTINGS
+@given(e=scalar_projection(), w=where_clause())
+def test_fuzz_scalar_projection_grouped(spark, duck, e, w):
+    """Aggregate BY the scalar expression so row order never matters but
+    every row's expression value still participates in the hash."""
+    _run_both(
+        spark,
+        duck,
+        f"""SELECT {e} AS k, CAST(COUNT(*) AS BIGINT) AS n
+            FROM customer JOIN orders ON o_custkey = c_custkey
+            WHERE {w} GROUP BY 1""",
+    )
