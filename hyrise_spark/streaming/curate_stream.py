@@ -86,3 +86,61 @@ def contaminated_ids_stream(docs: DataFrame, bench: DataFrame) -> DataFrame:
         .select("doc_id")
         .dropDuplicates(["doc_id"])
     )
+
+
+def mixture_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATIC per-domain acceptance-rate frame — the batch
+    curate_domain_mixture rate computation (pipeline/curate.py), reused so
+    streamed and batch sampling decide identically."""
+    from hyrise_spark.pipeline.curate import (
+        _MIX_BUDGET_FRAC,
+        _docs,
+        _words,
+    )
+
+    docs = _docs(spark, sf_dir)
+    src_num = F.substring("source", 4, 10).cast("int")
+    domain = (
+        F.when(src_num % 3 == 0, "web").when(src_num % 3 == 1, "books").otherwise("code")
+    )
+    d = docs.select(domain.alias("domain"), F.size(_words()).alias("n_tok"))
+    dom = d.groupBy("domain").agg(F.sum("n_tok").cast("long").alias("d_tok"))
+    tot = d.agg(F.sum("n_tok").cast("long").alias("t_tok"))
+    weight = (
+        F.when(F.col("domain") == "web", 0.5)
+        .when(F.col("domain") == "books", 0.3)
+        .otherwise(0.2)
+    )
+    return dom.crossJoin(F.broadcast(tot)).select(
+        "domain",
+        F.least(
+            F.lit(1.0), weight * _MIX_BUDGET_FRAC * F.col("t_tok") / F.col("d_tok")
+        ).alias("rate"),
+    )
+
+
+def mixture_sampled_stream(docs: DataFrame, rates: DataFrame) -> DataFrame:
+    """Streamed domain-mixture application: rates are computed ONCE by the
+    batch pass over the reference corpus (the frame above), broadcast into
+    the document stream, and each arriving doc keeps/drops itself by the
+    same md5(doc_id) decision the batch op uses — stateless, append mode,
+    and a doc admitted by the stream is exactly a doc the batch op would
+    admit (pinned by the parity test)."""
+    src_num = F.substring("source", 4, 10).cast("int")
+    domain = (
+        F.when(src_num % 3 == 0, "web").when(src_num % 3 == 1, "books").otherwise("code")
+    )
+    from hyrise_spark.pipeline.curate import _words
+
+    accept = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("double") / 65536.0
+    )
+    return (
+        docs.select(
+            "doc_id", domain.alias("domain"), F.size(_words()).alias("n_tok")
+        )
+        .join(F.broadcast(rates), "domain")
+        .filter(accept < F.col("rate"))
+        .select("doc_id", "domain", "n_tok", F.round("rate", 4).alias("rate"))
+    )

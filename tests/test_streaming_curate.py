@@ -136,3 +136,23 @@ def test_pq_encoded_stream_matches_batch_codes(spark, tmp_path):
     assert len(got) == n and set(got) == set(want)
     mismatches = {k for k in want if got[k] != want[k]}
     assert not mismatches, (len(mismatches), sorted(mismatches)[:5])
+
+
+def test_mixture_sampled_stream_matches_batch(spark, docs_dir):
+    """Streamed mixture sampling admits exactly the batch op's document set
+    (same rates, same md5 decision) — the batch backfill and the streaming
+    ingest curate identically."""
+    from hyrise_spark.pipeline.curate import curate_domain_mixture
+    from hyrise_spark.streaming.curate_stream import (
+        mixture_rates,
+        mixture_sampled_stream,
+        read_documents_stream,
+    )
+
+    rates = mixture_rates(spark, SF_DIR).localCheckpoint(eager=True)
+    stream = mixture_sampled_stream(read_documents_stream(spark, docs_dir), rates)
+    run_to_completion(stream, "mix_sampled", output_mode="append")
+    got = {(r.doc_id, r.domain, r.n_tok, r.rate) for r in spark.table("mix_sampled").collect()}
+    want = {(r.doc_id, r.domain, r.n_tok, r.rate)
+            for r in curate_domain_mixture(spark, SF_DIR).collect()}
+    assert got == want and want
