@@ -254,7 +254,10 @@ def tpcds_dual_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_part = li.groupBy("l_partkey").agg(
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), R2).alias("rev"),
         F.round(F.sum("l_quantity"), R2).alias("qty"),
-    )
+    # the aggregate feeds FOUR consumers (two TakeOrdered passes, the
+    # candidate union, the predecessor-count scan) — materialize it once on
+    # the executors instead of re-aggregating lineitem per consumer
+    ).localCheckpoint(eager=False)
     top_rev = per_part.orderBy(F.col("rev").desc(), "l_partkey").limit(10)
     top_qty = per_part.orderBy(F.col("qty").desc(), "l_partkey").limit(10)
     cands = top_rev.unionByName(top_qty).distinct()

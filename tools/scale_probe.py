@@ -1,0 +1,133 @@
+"""Measured scaling evidence for SCALE.md: run headline queries against
+fact tables scaled 10x / 30x beyond the driver's sf0.1 and report how wall
+time scales with data volume.
+
+Methodology:
+- The fact pair (lineitem, orders) is scaled by unioning key-shifted copies
+  (orderkey += i * (max+1)); every copy keeps valid FK joins to the
+  UNCHANGED dimensions — the realistic shape (facts grow much faster than
+  dims, broadcasts stay broadcasts).
+- Dimensions (+ events/documents/embeddings for completeness) are copied
+  as-is, so any registered query can run against the scaled dir.
+- Each query: 1 warm + N timed runs, median, noop sink (bench.py rules).
+- The interesting number is the scaling exponent: log(t_big/t_small) /
+  log(scale). 1.0 = linear (scan-bound is expected near 1), < 1 =
+  sublinear (pruning/broadcast wins), >> 1 = a plan that would not survive
+  100 TB.
+
+Run: python tools/scale_probe.py [--scales 10 30] [--runs 3] [--out DIR]
+Prints a markdown table; exits nonzero if any exponent exceeds 1.35.
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import shutil
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+QUERIES = [
+    "tpch_q1",   # scan + wide agg: should be ~linear
+    "tpch_q3",   # fact-fact join + topk
+    "tpch_q6",   # selective scan: pushdown should keep it near-linear on raw bytes
+    "tpch_q18",  # heavy join + group + semi (the shuffle stressor)
+    "tpch_q21",  # multi-join with anti/semi
+]
+
+BASE_SF = "/root/testdata/sf0.1"
+
+
+def build_scaled(spark, scale: int, out_dir: str) -> None:
+    import pyspark.sql.functions as F
+
+    out = Path(out_dir)
+    if (out / "_done").exists():
+        return
+    out.mkdir(parents=True, exist_ok=True)
+    # dims + small tables: copy files as-is
+    for name in ("region", "nation", "customer", "supplier", "part",
+                 "events", "documents", "embeddings"):
+        src = Path(BASE_SF) / f"{name}.parquet"
+        if src.exists():
+            shutil.copy(src, out / f"{name}.parquet")
+    orders = spark.read.parquet(f"{BASE_SF}/orders.parquet")
+    li = spark.read.parquet(f"{BASE_SF}/lineitem.parquet")
+    shift = orders.agg(F.max("o_orderkey")).collect()[0][0] + 1
+    o_parts = [orders.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * shift))
+               for i in range(scale)]
+    l_parts = [li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * shift))
+               for i in range(scale)]
+    from functools import reduce
+
+    reduce(lambda a, b: a.unionByName(b), o_parts).write.mode("overwrite").parquet(
+        str(out / "orders.parquet"))
+    reduce(lambda a, b: a.unionByName(b), l_parts).write.mode("overwrite").parquet(
+        str(out / "lineitem.parquet"))
+    (out / "_done").touch()
+
+
+def timed(spark, builder, sf_dir: str, runs: int) -> float:
+    builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    samples = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        samples.append(time.perf_counter() - t0)
+    samples.sort()
+    return samples[len(samples) // 2]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scales", nargs="*", type=int, default=[10, 30])
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--out", default="/tmp/scale_probe")
+    ap.add_argument("--max-exponent", type=float, default=1.35)
+    args = ap.parse_args()
+
+    from hyrise_spark.registry import all_queries
+    from hyrise_spark.session import get_spark
+
+    spark = get_spark("scale_probe", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = all_queries()
+
+    dirs = {1: BASE_SF}
+    for s in args.scales:
+        d = f"{args.out}/x{s}"
+        print(f"building x{s} fact tables in {d} ...", file=sys.stderr)
+        build_scaled(spark, s, d)
+        dirs[s] = d
+
+    results: dict[str, dict[int, float]] = {}
+    for name in QUERIES:
+        results[name] = {}
+        for s, d in dirs.items():
+            results[name][s] = timed(spark, qs[name].builder, d, args.runs)
+            print(f"{name} x{s}: {results[name][s]:.3f}s", file=sys.stderr)
+
+    biggest = max(args.scales)
+    print("| query | sf0.1 | " + " | ".join(f"x{s}" for s in args.scales)
+          + f" | exponent (x{biggest}) |")
+    print("|---|---|" + "---|" * (len(args.scales) + 1))
+    bad = []
+    for name in QUERIES:
+        t1 = results[name][1]
+        cells = " | ".join(f"{results[name][s]:.2f} s" for s in args.scales)
+        exp = math.log(results[name][biggest] / t1) / math.log(biggest)
+        if exp > args.max_exponent:
+            bad.append((name, exp))
+        print(f"| {name} | {t1:.2f} s | {cells} | {exp:.2f} |")
+    if bad:
+        print(f"\nsuper-linear queries (exponent > {args.max_exponent}): {bad}")
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
