@@ -71,15 +71,10 @@ def build_scaled(spark, scale: int, out_dir: str) -> None:
     (out / "_done").touch()
 
 
-def timed(spark, builder, sf_dir: str, runs: int) -> float:
+def _run(spark, builder, sf_dir: str) -> float:
+    t0 = time.perf_counter()
     builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
-    samples = []
-    for _ in range(runs):
-        t0 = time.perf_counter()
-        builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        samples.append(time.perf_counter() - t0)
-    samples.sort()
-    return samples[len(samples) // 2]
+    return time.perf_counter() - t0
 
 
 def main() -> int:
@@ -93,6 +88,11 @@ def main() -> int:
     from hyrise_spark.registry import all_queries
     from hyrise_spark.session import get_spark
 
+    # the 30x build unions 30 fact copies in one write — give the local-mode
+    # JVM a real heap before the session starts (driver == executors here)
+    os.environ.setdefault(
+        "PYSPARK_SUBMIT_ARGS", "--driver-memory 24g pyspark-shell"
+    )
     spark = get_spark("scale_probe", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
@@ -104,11 +104,23 @@ def main() -> int:
         build_scaled(spark, s, d)
         dirs[s] = d
 
+    # One global warmup over EVERY (query, scale) cell first — measuring the
+    # base scale cold while the big scales run on a fully JIT-warmed JVM
+    # inverts the exponents (observed: q1 "faster" at x30 than at x1).
+    cells = [(name, s, d) for name in QUERIES for s, d in dirs.items()]
+    for name, s, d in cells:
+        _run(spark, qs[name].builder, d)
+        print(f"warm {name} x{s}", file=sys.stderr)
+    samples: dict[tuple[str, int], list[float]] = {c[:2]: [] for c in cells}
+    for _ in range(args.runs):  # interleaved: drift hits all cells equally
+        for name, s, d in cells:
+            samples[(name, s)].append(_run(spark, qs[name].builder, d))
     results: dict[str, dict[int, float]] = {}
     for name in QUERIES:
         results[name] = {}
-        for s, d in dirs.items():
-            results[name][s] = timed(spark, qs[name].builder, d, args.runs)
+        for s in dirs:
+            xs = sorted(samples[(name, s)])
+            results[name][s] = xs[len(xs) // 2]
             print(f"{name} x{s}: {results[name][s]:.3f}s", file=sys.stderr)
 
     biggest = max(args.scales)
