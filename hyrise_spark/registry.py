@@ -44,6 +44,7 @@ def all_queries() -> dict[str, QueryDef]:
     import hyrise_spark.plans.tpch  # noqa: F401
     import hyrise_spark.plans.tpch_bucketed  # noqa: F401  (reuses tpch oracles)
     import hyrise_spark.plans.tpch_datesorted  # noqa: F401  (reuses tpch/ssb oracles)
+    import hyrise_spark.plans.tpch_datepartitioned  # noqa: F401  (reuses tpch oracle)
     import hyrise_spark.plans.ssb  # noqa: F401
     import hyrise_spark.plans.tpcds  # noqa: F401
     import hyrise_spark.plans.tpcds_real  # noqa: F401

@@ -654,3 +654,14 @@ def test_cbo_reorders_sixteen_way_graph(spark):
         spark.conf.unset("spark.sql.cbo.joinReorder.dp.threshold")
         for t in names.values():
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_q6_datepartitioned_prunes_partitions(spark):
+    """The benched date-partitioned Q6 variant must prune at DIRECTORY level:
+    the year band appears in PartitionFilters on the __pdate partition
+    column (12 of ~84 month dirs survive before any file opens) — one level
+    earlier than row-group min/max (SCALE.md §1)."""
+    plan = _plan(spark, "tpch_q6_datepartitioned")
+    assert "PartitionFilters" in plan, plan
+    pf = plan.split("PartitionFilters:", 1)[1].splitlines()[0]
+    assert "__pdate" in pf and ("GreaterThanOrEqual" in pf or ">=" in pf), pf
