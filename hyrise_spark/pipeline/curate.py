@@ -446,3 +446,101 @@ def curate_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "domain", "n_tok", F.round("rate", 4).alias("rate"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup survivor selection: a real dedup pipeline does not keep the MINIMUM
+# doc id per near-dup cluster — it keeps the BEST copy (longest / highest
+# quality) and drops the rest. Composes the same pair graph + connected
+# components as dedup_cluster_canonical, then picks per cluster the doc
+# with max n_chars (ties -> lowest doc_id); singleton docs survive as their
+# own cluster. 100 TB shape: the components computation dominates (see
+# dedup.py:455 — bucketed pair join, min-label propagation); survivor
+# selection itself is one per-cluster window over the (doc, cluster, score)
+# frame — partitioned by cluster, never global.
+@register(
+    "curate_dedup_keep_best",
+    oracle="""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+      FROM documents WHERE doc_id < 300
+    ), all_shingles AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS sh
+      FROM toks, LATERAL (SELECT UNNEST(generate_series(1, len(w) - 2)) AS i)
+    ), cold AS (
+      SELECT sh FROM all_shingles GROUP BY sh HAVING COUNT(*) <= 10
+    ), shingles AS (
+      SELECT s.doc_id, s.sh FROM all_shingles s JOIN cold USING (sh)
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+      FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), dup AS (
+      SELECT d1, d2
+      FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+      WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) > 0.12
+    ), edges AS (
+      SELECT d1 AS a, d2 AS b FROM dup UNION SELECT d2, d1 FROM dup
+    ), reach(src, dst) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ), canon AS (
+      SELECT src AS doc_id, LEAST(src, MIN(dst)) AS canonical_id
+      FROM reach GROUP BY src
+    ), labeled AS (
+      SELECT d.doc_id, COALESCE(c.canonical_id, d.doc_id) AS cluster_id,
+             CAST(d.n_chars AS BIGINT) AS n_chars
+      FROM (SELECT doc_id, n_chars FROM documents WHERE doc_id < 300) d
+      LEFT JOIN canon c USING (doc_id)
+    ), ranked AS (
+      SELECT doc_id, cluster_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                ORDER BY n_chars DESC, doc_id) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+      FROM labeled
+    )
+    SELECT doc_id AS survivor_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+           cluster_size, n_chars
+    FROM ranked WHERE rn = 1 ORDER BY cluster_id
+    """,
+    tags=("curate", "dedup", "survivor"),
+)
+def curate_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from hyrise_spark.pipeline.dedup import _ngram_jaccard_pairs, cluster_canonical
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("w")
+    )
+    pairs = _ngram_jaccard_pairs(toks).select("d1", "d2")
+    canon = cluster_canonical(pairs, "d1", "d2").withColumnRenamed(
+        "canonical_id", "cluster_canon"
+    )
+    labeled = (
+        docs.select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+        .join(canon, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_canon"), F.col("doc_id")).alias("cluster_id"),
+            "n_chars",
+        )
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.col("n_chars").desc(), "doc_id")
+    wc = Window.partitionBy("cluster_id")
+    return (
+        labeled.withColumn("rn", F.row_number().over(w))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("doc_id").alias("survivor_id"),
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            "n_chars",
+        )
+        .orderBy("cluster_id")
+    )

@@ -234,3 +234,51 @@ def events_asof_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("is_event") == 1)
         .select("event_id", "user_id", F.col("last_order.ok").alias("last_orderkey"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Retention cohorts: the classic product-analytics matrix — users grouped by
+# the month of their FIRST event (cohort), counted as active in each later
+# month, keyed by month offset. Two partial-agg groupBys + one broadcast
+# join (the cohort frame is one row per user, tiny relative to events);
+# no window anywhere, so nothing degrades at 100 TB: the wide shuffles are
+# both keyed by user_id, the final matrix is |cohorts| x |offsets| rows.
+@register(
+    "events_retention_cohorts",
+    oracle="""
+    WITH cohort AS (
+      SELECT user_id, DATE_TRUNC('month', MIN(ts)) AS cohort_month
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT user_id, DATE_TRUNC('month', ts) AS active_month
+      FROM events
+    )
+    SELECT STRFTIME(cohort_month, '%Y-%m') AS cohort,
+           CAST(DATEDIFF('month', cohort_month, active_month) AS INT) AS month_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM activity JOIN cohort USING (user_id)
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("events", "cohort"),
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    cohort = events.groupBy("user_id").agg(
+        F.date_trunc("month", F.min("ts")).alias("cohort_month")
+    )
+    activity = events.select(
+        "user_id", F.date_trunc("month", F.col("ts")).alias("active_month")
+    ).distinct()
+    months_between = (
+        (F.year("active_month") - F.year("cohort_month")) * 12
+        + (F.month("active_month") - F.month("cohort_month"))
+    )
+    return (
+        activity.join(F.broadcast(cohort), "user_id")
+        .groupBy(
+            F.date_format("cohort_month", "yyyy-MM").alias("cohort"),
+            months_between.cast("int").alias("month_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort", "month_offset")
+    )
