@@ -238,23 +238,24 @@ def events_asof_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Retention cohorts: the classic product-analytics matrix — users grouped by
-# the month of their FIRST event (cohort), counted as active in each later
-# month, keyed by month offset. Two partial-agg groupBys + one broadcast
-# join (the cohort frame is one row per user, tiny relative to events);
-# no window anywhere, so nothing degrades at 100 TB: the wide shuffles are
-# both keyed by user_id, the final matrix is |cohorts| x |offsets| rows.
+# the WEEK of their FIRST event (cohort; the driver corpus spans 30 days, so
+# weekly is the granularity with signal), counted as active in each later
+# week, keyed by week offset. Two partial-agg groupBys + one broadcast join
+# (the cohort frame is one row per user, tiny relative to events); no window
+# anywhere, so nothing degrades at 100 TB: the wide shuffles are both keyed
+# by user_id, the final matrix is |cohorts| x |offsets| rows.
 @register(
     "events_retention_cohorts",
     oracle="""
     WITH cohort AS (
-      SELECT user_id, DATE_TRUNC('month', MIN(ts)) AS cohort_month
+      SELECT user_id, DATE_TRUNC('week', MIN(ts)) AS cohort_week
       FROM events GROUP BY user_id
     ), activity AS (
-      SELECT DISTINCT user_id, DATE_TRUNC('month', ts) AS active_month
+      SELECT DISTINCT user_id, DATE_TRUNC('week', ts) AS active_week
       FROM events
     )
-    SELECT STRFTIME(cohort_month, '%Y-%m') AS cohort,
-           CAST(DATEDIFF('month', cohort_month, active_month) AS INT) AS month_offset,
+    SELECT STRFTIME(cohort_week, '%Y-%m-%d') AS cohort,
+           CAST(DATEDIFF('day', cohort_week, active_week) / 7 AS INT) AS week_offset,
            CAST(COUNT(*) AS BIGINT) AS n_users
     FROM activity JOIN cohort USING (user_id)
     GROUP BY 1, 2 ORDER BY 1, 2
@@ -264,21 +265,20 @@ def events_asof_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events,) = _t(spark, sf_dir, "events")
     cohort = events.groupBy("user_id").agg(
-        F.date_trunc("month", F.min("ts")).alias("cohort_month")
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
     )
     activity = events.select(
-        "user_id", F.date_trunc("month", F.col("ts")).alias("active_month")
+        "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
     ).distinct()
-    months_between = (
-        (F.year("active_month") - F.year("cohort_month")) * 12
-        + (F.month("active_month") - F.month("cohort_month"))
+    week_offset = (
+        F.datediff(F.col("active_week").cast("date"), F.col("cohort_week").cast("date")) / 7
     )
     return (
         activity.join(F.broadcast(cohort), "user_id")
         .groupBy(
-            F.date_format("cohort_month", "yyyy-MM").alias("cohort"),
-            months_between.cast("int").alias("month_offset"),
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort"),
+            week_offset.cast("int").alias("week_offset"),
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
-        .orderBy("cohort", "month_offset")
+        .orderBy("cohort", "week_offset")
     )
