@@ -211,6 +211,27 @@ _BANDS = 4
 _ROWS_PER_BAND = _K // _BANDS
 
 
+def minhash_signatures(toks: DataFrame) -> DataFrame:
+    """(doc_id, sig array<long>) from a (doc_id, w words-array) frame. All K
+    signature components in ONE aggregation (no K-way row explode, no
+    per-(doc,i) shuffle): K min-columns packed into an array. At 100 TB the
+    signature stage is a single groupBy(doc_id) over shingles — also probed
+    directly by tools/scale_probe.py --family pipeline."""
+    shingles = toks.select("doc_id", F.explode(_shingle_array(3)).alias("sh")).distinct()
+    mins = [
+        F.min(
+            _md5_int_spark(F.concat(F.lit(f"{i}|"), F.col("sh")))
+        ).alias(f"m{i}")
+        for i in range(_K)
+    ]
+    return (
+        shingles.groupBy("doc_id")
+        .agg(*mins)
+        .select("doc_id", F.array(*[f"m{i}" for i in range(_K)]).alias("sig"))
+    )
+
+
+
 @register(
     "dedup_minhash_lsh",
     oracle=f"""
@@ -248,21 +269,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.filter(F.col("doc_id") < 300).select(
         "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("w")
     )
-    shingles = toks.select("doc_id", F.explode(_shingle_array(3)).alias("sh")).distinct()
-    # All K signature components in ONE aggregation (no K-way row explode, no
-    # per-(doc,i) shuffle): K min-columns packed into an array. At 100 TB the
-    # signature stage is a single groupBy(doc_id) over shingles.
-    mins = [
-        F.min(
-            _md5_int_spark(F.concat(F.lit(f"{i}|"), F.col("sh")))
-        ).alias(f"m{i}")
-        for i in range(_K)
-    ]
-    sig = (
-        shingles.groupBy("doc_id")
-        .agg(*mins)
-        .select("doc_id", F.array(*[f"m{i}" for i in range(_K)]).alias("sig"))
-    )
+    sig = minhash_signatures(toks)
     # Band keys from array slices; each band row CARRIES the signature so the
     # candidate join needs no extra signature joins afterwards.
     band_structs = [

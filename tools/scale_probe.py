@@ -42,6 +42,58 @@ QUERIES = [
 BASE_SF = "/root/testdata/sf0.1"
 
 
+# --family pipeline: LLM-pipeline dataflows over a documents corpus scaled by
+# unioning doc_id-shifted copies (exact duplicate text — realistic: scaled
+# corpora are full of verbatim re-posts; dedup_exact then reports n_copies =
+# scale). Registered doc queries mostly cap doc_id for oracle size, so these
+# probe the UNDERLYING library dataflows over the full scaled table.
+def _pipeline_builders():
+    import pyspark.sql.functions as F
+
+    from hyrise_spark.pipeline.dedup import minhash_signatures
+    from hyrise_spark.registry import all_queries
+
+    qs = all_queries()
+
+    def exact(spark, d):
+        return qs["dedup_exact"].builder(spark, d)
+
+    def minhash_sig(spark, d):
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        toks = docs.select(
+            "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("w")
+        )
+        return minhash_signatures(toks)
+
+    def token_stats(spark, d):
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        return (
+            docs.select("doc_id", "source", F.size(F.split(F.trim("text"), r"\s+")).alias("n"))
+            .groupBy("source")
+            .agg(F.sum("n").alias("tokens"), F.count(F.lit(1)).alias("docs"))
+        )
+
+    return {"dedup_exact": exact, "minhash_signatures": minhash_sig,
+            "text_token_stats": token_stats}
+
+
+def build_scaled_docs(spark, scale: int, out_dir: str) -> None:
+    import pyspark.sql.functions as F
+    from functools import reduce
+
+    out = Path(out_dir)
+    if (out / "_done").exists():
+        return
+    out.mkdir(parents=True, exist_ok=True)
+    docs = spark.read.parquet(f"{BASE_SF}/documents.parquet")
+    shift = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    parts = [docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * shift))
+             for i in range(scale)]
+    reduce(lambda a, b: a.unionByName(b), parts).write.mode("overwrite").parquet(
+        str(out / "documents.parquet"))
+    (out / "_done").touch()
+
+
 def build_scaled(spark, scale: int, out_dir: str) -> None:
     import pyspark.sql.functions as F
 
@@ -83,6 +135,7 @@ def main() -> int:
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--out", default="/tmp/scale_probe")
     ap.add_argument("--max-exponent", type=float, default=1.35)
+    ap.add_argument("--family", choices=["relational", "pipeline"], default="relational")
     args = ap.parse_args()
 
     from hyrise_spark.registry import all_queries
@@ -97,26 +150,36 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
 
+    if args.family == "pipeline":
+        builders = _pipeline_builders()
+        names = sorted(builders)
+    else:
+        builders = {n: qs[n].builder for n in QUERIES}
+        names = QUERIES
     dirs = {1: BASE_SF}
     for s in args.scales:
-        d = f"{args.out}/x{s}"
-        print(f"building x{s} fact tables in {d} ...", file=sys.stderr)
-        build_scaled(spark, s, d)
+        d = f"{args.out}/{args.family}_x{s}"
+        print(f"building x{s} tables in {d} ...", file=sys.stderr)
+        if args.family == "pipeline":
+            build_scaled_docs(spark, s, d)
+            # pipeline probes only read documents.parquet
+        else:
+            build_scaled(spark, s, d)
         dirs[s] = d
 
     # One global warmup over EVERY (query, scale) cell first — measuring the
     # base scale cold while the big scales run on a fully JIT-warmed JVM
     # inverts the exponents (observed: q1 "faster" at x30 than at x1).
-    cells = [(name, s, d) for name in QUERIES for s, d in dirs.items()]
+    cells = [(name, s, d) for name in names for s, d in dirs.items()]
     for name, s, d in cells:
-        _run(spark, qs[name].builder, d)
+        _run(spark, builders[name], d)
         print(f"warm {name} x{s}", file=sys.stderr)
     samples: dict[tuple[str, int], list[float]] = {c[:2]: [] for c in cells}
     for _ in range(args.runs):  # interleaved: drift hits all cells equally
         for name, s, d in cells:
-            samples[(name, s)].append(_run(spark, qs[name].builder, d))
+            samples[(name, s)].append(_run(spark, builders[name], d))
     results: dict[str, dict[int, float]] = {}
-    for name in QUERIES:
+    for name in names:
         results[name] = {}
         for s in dirs:
             xs = sorted(samples[(name, s)])
@@ -128,7 +191,7 @@ def main() -> int:
           + f" | exponent (x{biggest}) |")
     print("|---|---|" + "---|" * (len(args.scales) + 1))
     bad = []
-    for name in QUERIES:
+    for name in names:
         t1 = results[name][1]
         cells = " | ".join(f"{results[name][s]:.2f} s" for s in args.scales)
         exp = math.log(results[name][biggest] / t1) / math.log(biggest)
