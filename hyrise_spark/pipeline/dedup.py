@@ -216,7 +216,14 @@ def minhash_signatures(toks: DataFrame) -> DataFrame:
     signature components in ONE aggregation (no K-way row explode, no
     per-(doc,i) shuffle): K min-columns packed into an array. At 100 TB the
     signature stage is a single groupBy(doc_id) over shingles — also probed
-    directly by tools/scale_probe.py --family pipeline."""
+    directly by tools/scale_probe.py --family pipeline.
+
+    Measured negative result (round 6, keep for posterity): moving the K md5
+    trees into one transform(sequence(0,K-1), ...) lambda with min(arr[i])
+    aggregates returns identical signatures but runs 1.3x SLOWER at sf0.1
+    (5.14 s vs 3.96 s, 5-run medians) — per-row higher-order-function eval
+    loses to K codegen'd flat expressions; the cost here is runtime, not
+    Catalyst analysis."""
     shingles = toks.select("doc_id", F.explode(_shingle_array(3)).alias("sh")).distinct()
     mins = [
         F.min(
