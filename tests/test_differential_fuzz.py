@@ -227,3 +227,82 @@ def test_fuzz_scalar_projection_grouped(spark, duck, e, w):
             FROM customer JOIN orders ON o_custkey = c_custkey
             WHERE {w} GROUP BY 1""",
     )
+
+
+# -- window-function space (the §2.5 surface the reference declares but
+# cannot execute; here it must match DuckDB on arbitrary shapes) -------------
+@st.composite
+def window_query(draw) -> str:
+    """Random ranking/value window over orders. Determinism rules: the ORDER
+    BY inside the window always ends with the unique o_orderkey, so ranks
+    and lag/lead values are total-order stable on both engines."""
+    part = draw(st.sampled_from(["o_orderstatus", "o_orderpriority"]))
+    metric = draw(st.sampled_from(["o_totalprice", "o_custkey"]))
+    direction = draw(st.sampled_from(["ASC", "DESC"]))
+    fn = draw(st.sampled_from([
+        "ROW_NUMBER()", "RANK()", "DENSE_RANK()",
+        "LAG(o_orderkey, 1)", "LEAD(o_orderkey, 1)", "NTILE(7)",
+    ]))
+    w = draw(where_clause())
+    k = draw(st.integers(2, 50))
+    return (
+        f"SELECT CAST(SUM(v) AS BIGINT) AS checksum, CAST(COUNT(*) AS BIGINT) AS n"
+        f" FROM (SELECT COALESCE({fn} OVER (PARTITION BY {part}"
+        f" ORDER BY {metric} {direction}, o_orderkey), -1) AS v,"
+        f" ROW_NUMBER() OVER (PARTITION BY {part}"
+        f" ORDER BY {metric} {direction}, o_orderkey) AS rn"
+        f" FROM orders WHERE {w})"
+        f" WHERE rn <= {k}"
+    )
+
+
+@_SETTINGS
+@given(q=window_query())
+def test_fuzz_window_functions(spark, duck, q):
+    _run_both(spark, duck, q)
+
+
+# -- frame-clause space: running/windowed SUM with ROWS BETWEEN --------------
+@st.composite
+def frame_query(draw) -> str:
+    lo = draw(st.integers(0, 5))
+    hi = draw(st.integers(0, 5))
+    start = draw(st.sampled_from([f"{lo} PRECEDING", "UNBOUNDED PRECEDING", "CURRENT ROW"]))
+    end = draw(st.sampled_from([f"{hi} FOLLOWING", "CURRENT ROW"]))
+    if start == "CURRENT ROW" and end == "CURRENT ROW":
+        end = f"{hi} FOLLOWING"
+    w = draw(where_clause())
+    return (
+        f"SELECT CAST(SUM(CAST(rsum AS BIGINT)) AS BIGINT) AS checksum,"
+        f" CAST(COUNT(*) AS BIGINT) AS n"
+        f" FROM (SELECT SUM(o_custkey) OVER (PARTITION BY o_orderstatus"
+        f" ORDER BY o_orderkey ROWS BETWEEN {start} AND {end}) AS rsum"
+        f" FROM orders WHERE {w})"
+    )
+
+
+@_SETTINGS
+@given(q=frame_query())
+def test_fuzz_window_frames(spark, duck, q):
+    _run_both(spark, duck, q)
+
+
+# -- set-operation space -----------------------------------------------------
+@st.composite
+def setop_query(draw) -> str:
+    op = draw(st.sampled_from(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"]))
+    w1 = draw(where_clause())
+    w2 = draw(where_clause())
+    col = draw(st.sampled_from(["o_orderstatus", "o_orderpriority", "o_custkey % 100"]))
+    return (
+        f"SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ("
+        f"SELECT {col} AS k FROM orders WHERE {w1}"
+        f" {op} "
+        f"SELECT {col} AS k FROM orders WHERE {w2})"
+    )
+
+
+@_SETTINGS
+@given(q=setop_query())
+def test_fuzz_set_operations(spark, duck, q):
+    _run_both(spark, duck, q)
