@@ -181,3 +181,73 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).filter((F.col("doc_id") % 3 == 2) & (F.col("doc_id") < 300))
     frames = as_media_table(docs).mapInPandas(_sample_frames, schema=_FRAME_SCHEMA)
     return frames.select("media_id", "frame_no", "frame_hash")
+
+
+# Resize: binary -> SMALLER binary (the mission's "resize" op; decode/encode
+# are stubbed like everything here, the N->N binary-to-binary mapInPandas
+# contract is the real part). Stub "half-resolution thumbnail" = every 2nd
+# byte of the first 2*_THUMB_BYTES bytes — deterministic, SQL-replayable
+# (ASCII corpus: byte stride == regexp pair-reduction on chars), and the
+# output column is genuinely BinaryType (pinned in tests/test_multimodal.py).
+_THUMB_BYTES = 64
+
+_THUMB_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("mime_type", StringType()),
+        StructField("thumb", BinaryType()),
+        StructField("thumb_w", IntegerType()),
+        StructField("thumb_h", IntegerType()),
+    ]
+)
+
+
+def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        dims = [_decode_stub(p, m) for p, m in zip(pdf["payload"], pdf["mime_type"])]
+        yield pd.DataFrame(
+            {
+                "media_id": pdf["media_id"],
+                "mime_type": pdf["mime_type"],
+                # stride-2 over the head of the payload = the stub downsample
+                "thumb": [bytes(p[: 2 * _THUMB_BYTES : 2]) for p in pdf["payload"]],
+                "thumb_w": [(w + 1) // 2 for w, _ in dims],
+                "thumb_h": [(h + 1) // 2 for _, h in dims],
+            }
+        )
+
+
+def resize_media(media: DataFrame) -> DataFrame:
+    """Arrow-batched binary->binary resize (payload in, thumbnail out)."""
+    return media.mapInPandas(_resize_batches, schema=_THUMB_SCHEMA)
+
+
+@register(
+    "multimodal_resize",
+    oracle=f"""
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                ELSE 'video/mp4' END AS mime_type,
+           -- stride-2 byte sample == drop every 2nd char on this ASCII corpus
+           md5(regexp_replace(substr(text, 1, {2 * _THUMB_BYTES}), '(.)(.)', '\\1', 'g')) AS thumb_hash,
+           CAST(length(regexp_replace(substr(text, 1, {2 * _THUMB_BYTES}), '(.)(.)', '\\1', 'g')) AS BIGINT) AS thumb_len,
+           CAST((octet_length(encode(text)) % 640 + 2) // 2 AS INT) AS thumb_w,
+           CAST((octet_length(encode(text)) % 480 + 2) // 2 AS INT) AS thumb_h
+    FROM documents WHERE doc_id < 200
+    """,
+    tags=("multimodal",),
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    thumbs = resize_media(as_media_table(docs))
+    # binary column flows out of the pandas stage; the registered projection
+    # hashes it JVM-side so the driver compare stays string-typed
+    return thumbs.select(
+        "media_id",
+        "mime_type",
+        F.md5("thumb").alias("thumb_hash"),
+        F.octet_length("thumb").cast("long").alias("thumb_len"),
+        "thumb_w",
+        "thumb_h",
+    )
