@@ -152,3 +152,117 @@ def sketch_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_extendedprice").alias("lo"),
         F.max("l_extendedprice").alias("hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic mergeable sketches (round 6): unlike the two approx_* ops
+# above (engine-specific estimators, rows-only), these two construct their
+# sketch STATE with explicit md5-derived hashes, so the full state is
+# hash-checked against DuckDB — and the state is what matters at 100 TB:
+# both are one partial-agg pass, and two sketches built on disjoint data
+# merge by cellwise-add (count-min) / bitwise-OR (Bloom).
+_CM_DEPTH = 4      # hash rows
+_CM_WIDTH = 64     # buckets per row
+_BLOOM_WORDS = 32  # 32 words x 63 usable bits = 2016 bits (63, not 64:
+                   # DuckDB signed BIGINT overflows on 1 << 63, so the top
+                   # bit of each word stays unused on BOTH engines)
+_BLOOM_HASHES = 3
+
+
+def _cm_hash_sql(row: int, expr: str) -> str:
+    return (f"CAST(concat('0x', substr(md5(concat('{row}|', CAST({expr} AS VARCHAR))), 1, 15)) "
+            f"AS BIGINT) % {_CM_WIDTH}")
+
+
+def _cm_hash_spark(row: int, col) -> "F.Column":
+    import pyspark.sql.functions as F  # noqa: F811
+
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{row}|"), col.cast("string"))), 1, 15),
+            16, 10,
+        ).cast("long") % _CM_WIDTH
+    )
+
+
+@register(
+    "sketch_count_min",
+    oracle=f"""
+    WITH rows_h AS (
+      SELECT r.d AS d,
+             {" ".join("")}CASE r.d
+               WHEN 0 THEN {_cm_hash_sql(0, "l_partkey")}
+               WHEN 1 THEN {_cm_hash_sql(1, "l_partkey")}
+               WHEN 2 THEN {_cm_hash_sql(2, "l_partkey")}
+               ELSE {_cm_hash_sql(3, "l_partkey")} END AS bucket
+      FROM lineitem, LATERAL (SELECT UNNEST(generate_series(0, {_CM_DEPTH - 1})) AS d) r
+    )
+    SELECT CAST(d AS INT) AS d, CAST(bucket AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM rows_h GROUP BY d, bucket ORDER BY d, bucket
+    """,
+    tags=("sketch", "countmin"),
+)
+def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch state over l_partkey: depth x width cell counts from
+    md5-derived hash rows. One explode(depth) + one partial-agg groupBy —
+    shuffle carries at most depth*width rows per partition. Point estimate =
+    min over d of cell(d, h_d(x)), >= true frequency; merge = cellwise add.
+    tests/test_sketches.py pins the overestimate-only property."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    cells = li.select(
+        F.posexplode(
+            F.array(*[_cm_hash_spark(d, F.col("l_partkey")) for d in range(_CM_DEPTH)])
+        ).alias("d", "bucket")
+    )
+    return (
+        cells.groupBy(F.col("d").cast("int").alias("d"), F.col("bucket").cast("int").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("d", "bucket")
+    )
+
+
+@register(
+    "sketch_bloom_build",
+    oracle=f"""
+    WITH bits AS (
+      SELECT DISTINCT
+             CAST(concat('0x', substr(md5(concat(CAST(h.i AS VARCHAR), '#',
+                  CAST(l_partkey AS VARCHAR))), 1, 15)) AS BIGINT)
+               % {_BLOOM_WORDS * 63} AS bit
+      FROM lineitem, LATERAL (SELECT UNNEST(generate_series(0, {_BLOOM_HASHES - 1})) AS i) h
+    )
+    SELECT CAST(bit // 63 AS INT) AS word_idx,
+           CAST(bit_or(1::BIGINT << (bit % 63)) AS BIGINT) AS word
+    FROM bits GROUP BY 1 ORDER BY 1
+    """,
+    tags=("sketch", "bloom"),
+)
+def sketch_bloom_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter bitset over l_partkey (the explicit form of the runtime
+    Bloom join filters session.py enables): k md5-derived bit positions per
+    key, OR-folded into 64-bit words. One explode(k) + distinct + partial-agg
+    bit_or; merge across partitions/tables = bitwise OR of words. Membership
+    false-positive bound pinned in tests/test_sketches.py."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    bit = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("i").cast("string"), F.lit("#"), F.col("l_partkey").cast("string"))),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long") % (_BLOOM_WORDS * 63)
+    )
+    bits = (
+        li.select(F.explode(F.sequence(F.lit(0), F.lit(_BLOOM_HASHES - 1))).alias("i"), "l_partkey")
+        .select(bit.alias("bit"))
+        .distinct()
+    )
+    return (
+        bits.groupBy((F.col("bit") / 63).cast("int").alias("word_idx"))
+        # shiftleft's python binding wants a literal shift; the SQL form
+        # accepts a column expression
+        .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(bit % 63 AS INT)))").alias("word"))
+        .orderBy("word_idx")
+    )
