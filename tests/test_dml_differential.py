@@ -256,3 +256,53 @@ def test_view_over_view_refreshes_transitively(engines):
                     ex(f"DROP VIEW IF EXISTS {v}")
                 except Exception:
                     pass
+
+
+# -- round-6: property-based DML sequences (the fixed families above, with
+# hypothesis drawing predicates, values, and statement order) ---------------
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _dml_statement(draw) -> str:
+    kind = draw(st.integers(0, 5))
+    col = draw(st.sampled_from(["a", "b", "c"]))
+    v = draw(st.integers(0, 100))
+    if kind == 0:
+        op = draw(st.sampled_from(["<", "<=", ">", ">=", "="]))
+        return f"DELETE FROM idt WHERE {col} {op} {v}"
+    if kind == 1:
+        rhs = draw(st.sampled_from([f"{col} + {v}", f"b + c + {v}", str(v), "NULL"]))
+        op = draw(st.sampled_from(["<", ">", "="]))
+        wc = draw(st.sampled_from(["a", "b", "id"]))
+        return f"UPDATE idt SET {col} = {rhs} WHERE {wc} {op} {v}"
+    if kind == 2:
+        vals = [draw(st.integers(100, 999)) for _ in range(4)]
+        return f"INSERT INTO idt VALUES ({vals[0]}, {vals[1]}, {vals[2]}, {vals[3]})"
+    if kind == 3:
+        return f"INSERT INTO idt SELECT id + 1000, a, b, c FROM idt WHERE a < {v % 30}"
+    if kind == 4:
+        # simultaneous-assignment rotation with a random guard
+        return f"UPDATE idt SET a = b, b = c, c = a WHERE id % 7 = {v % 7}"
+    return f"DELETE FROM idt WHERE {col} IN (SELECT b FROM idt WHERE b < {v % 20})"
+
+
+@settings(max_examples=20, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(stmts=st.lists(_dml_statement(), min_size=2, max_size=5))
+def test_fuzz_dml_sequences(engines, stmts):
+    """Random 2-5 statement DML sequences run verbatim on both engines; the
+    final table state must match (each example rebuilds the seed table, so
+    examples are independent)."""
+    eng, duck = engines
+    # reset both engines to the seed state for this example (the fixture is
+    # function-scoped but hypothesis reuses it across examples)
+    eng.execute("DROP TABLE idt")
+    duck.execute("DROP TABLE idt")
+    eng.execute(_SPARK_SEED)
+    duck.execute(_DUCK_SEED)
+    for s in stmts:
+        eng.execute(s)
+        duck.execute(s)
+    _compare_select(eng, duck, "SELECT * FROM idt", "; ".join(stmts))
