@@ -113,6 +113,7 @@ def run(
     runs: int = 3,
     verify: bool = False,
     clients: int = 1,
+    discover_uccs: bool = False,
 ) -> dict:
     """Run every discovered query `runs` times; with clients > 1, the
     (query, run) stream is drained by a thread pool — the reference's
@@ -123,7 +124,11 @@ def run(
     from hyrise_spark.engine import Engine
 
     engine = Engine(spark)
-    register_tables(spark, table_dir)
+    for name in register_tables(spark, table_dir):
+        # mirror the temp views into the Engine catalog so catalog-aware
+        # features (meta tables, UCC discovery) see the benchmark tables
+        if not engine.catalog.has_table(name):
+            engine.catalog.add_table(name, spark.table(name))
     queries = discover_queries(query_dir)
     items: dict[str, dict] = {}
     t_total = time.perf_counter()
@@ -137,6 +142,15 @@ def run(
         verified[name] = (
             _verify_duckdb(table_dir, sql, df) if verify and df is not None else None
         )
+    n_uccs = None
+    if discover_uccs:
+        # the reference UCC plugin's pre-benchmark hook
+        # (ucc_discovery_plugin.cpp:82-88): after the warmup stream has
+        # populated the statement log, discover+validate UCCs so the timed
+        # runs benefit from the redundant-DISTINCT rewrite
+        from hyrise_spark.ucc import discover_uccs as _discover
+
+        n_uccs = _discover(spark, engine.catalog)
 
     def timed(name: str) -> tuple[str, float]:
         t0 = time.perf_counter()
@@ -167,11 +181,14 @@ def run(
             "rows": warm_rows[name],
             "verified": verified[name],
         }
-    return {
+    out = {
         "items": items,
         "clients": clients,
         "total_s": round(time.perf_counter() - t_total, 3),
     }
+    if n_uccs is not None:
+        out["validated_uccs"] = n_uccs
+    return out
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -185,6 +202,11 @@ def main(argv: list[str] | None = None) -> int:
         "--clients", type=int, default=1,
         help="parallel query streams (BenchmarkConfig::clients analog)",
     )
+    ap.add_argument(
+        "--discover-uccs", action="store_true",
+        help="run UCC discovery after warmup (the UCC plugin's "
+             "pre-benchmark hook analog)",
+    )
     args = ap.parse_args(argv)
 
     from hyrise_spark.session import get_spark
@@ -193,6 +215,7 @@ def main(argv: list[str] | None = None) -> int:
     result = run(
         spark, args.queries, args.tables,
         runs=args.runs, verify=args.verify, clients=args.clients,
+        discover_uccs=args.discover_uccs,
     )
     print(json.dumps(result))
     if args.verify and any(v["verified"] is False for v in result["items"].values()):

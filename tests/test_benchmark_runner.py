@@ -86,3 +86,18 @@ def test_run_multi_client_stream(spark, tmp_path):
         assert v["verified"] is True
         assert v["best_s"] <= v["median_s"] and v["best_s"] <= v["mean_s"]
         assert v["rows"] >= 1
+
+
+def test_discover_uccs_pre_benchmark_hook(spark, tmp_path):
+    """--discover-uccs analog of the UCC plugin's pre_benchmark_hook
+    (ucc_discovery_plugin.cpp:82-88): after the warmup stream, discovery
+    runs over the logged statements and validates join/group-by columns."""
+    from hyrise_spark.benchmark_runner import run
+
+    qdir = tmp_path / "q"
+    qdir.mkdir()
+    (qdir / "nation_groups.sql").write_text(
+        "SELECT n_nationkey, COUNT(*) AS n FROM nation GROUP BY n_nationkey"
+    )
+    out = run(spark, qdir, "/root/testdata/sf0.001", runs=1, discover_uccs=True)
+    assert out["validated_uccs"] >= 1  # n_nationkey is unique
