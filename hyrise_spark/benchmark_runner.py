@@ -149,8 +149,21 @@ def run(
         # populated the statement log, discover+validate UCCs so the timed
         # runs benefit from the redundant-DISTINCT rewrite
         from hyrise_spark.ucc import discover_uccs as _discover
+        from hyrise_spark.ucc import maybe_strip_redundant_distinct
 
         n_uccs = _discover(spark, engine.catalog)
+        if verify:
+            # Discovery ran AFTER the warmup-stream verification, so any
+            # query the DISTINCT rewrite now changes was verified in its
+            # un-rewritten form only. Re-verify those: execute through the
+            # engine (rewrite applied) and compare against DuckDB running
+            # the ORIGINAL statement — this checks the rewrite's soundness,
+            # not just the original query's (ADVICE r6).
+            for name, sql in queries.items():
+                if maybe_strip_redundant_distinct(sql, engine.catalog) == sql:
+                    continue
+                df = engine.execute(sql)
+                verified[name] = _verify_duckdb(table_dir, sql, df) if df is not None else None
 
     def timed(name: str) -> tuple[str, float]:
         t0 = time.perf_counter()

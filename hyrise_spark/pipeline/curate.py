@@ -402,8 +402,12 @@ _MIX_WEIGHT_SQL = ("CASE domain WHEN 'web' THEN 0.5 WHEN 'books' THEN 0.3 "
     dom AS (SELECT domain, CAST(SUM(n_tok) AS BIGINT) AS d_tok FROM d GROUP BY domain),
     tot AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS t_tok FROM d),
     rates AS (
+      -- CASTs keep the arithmetic in DOUBLE: DuckDB would otherwise fold the
+      -- 0.5/0.6 literals in DECIMAL while Spark computes DOUBLE, and a doc
+      -- whose md5 accept value straddles the two rates would flap (ADVICE r6)
       SELECT domain,
-             LEAST(1.0, {_MIX_WEIGHT_SQL} * {_MIX_BUDGET_FRAC} * t_tok / d_tok) AS rate
+             LEAST(1.0, CAST({_MIX_WEIGHT_SQL} AS DOUBLE)
+                        * CAST({_MIX_BUDGET_FRAC} AS DOUBLE) * t_tok / d_tok) AS rate
       FROM dom CROSS JOIN tot
     )
     SELECT doc_id, domain, n_tok, ROUND(rate, 4) AS rate
@@ -416,7 +420,8 @@ _MIX_WEIGHT_SQL = ("CASE domain WHEN 'web' THEN 0.5 WHEN 'books' THEN 0.3 "
 )
 def curate_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    src_num = F.substring("source", 4, 10).cast("int")
+    # unbounded substring, mirroring the oracle's substr(source, 4) exactly
+    src_num = F.expr("substring(source, 4)").cast("int")
     domain = (
         F.when(src_num % 3 == 0, "web").when(src_num % 3 == 1, "books").otherwise("code")
     )

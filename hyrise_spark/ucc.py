@@ -114,9 +114,16 @@ def discover_uccs(spark: SparkSession, catalog) -> int:
     """The `DiscoverUCCs` user-executable function
     (ucc_discovery_plugin.cpp:76): identify candidates from the statement
     log, validate them, store the validated set on the catalog. Returns the
-    number of validated UCCs now known."""
+    number of validated UCCs now known.
+
+    UCC keys are stored with the table name LOWERCASED — the one canonical
+    key shared by invalidation (replace/drop lowercase too) and the rewrite
+    lookup, so a table registered with uppercase letters cannot keep stale
+    entries after DML."""
+    # lowercase key -> registered name, for get_table round-trips
+    registered = {t.lower(): t for t in catalog.table_names()}
     table_columns = {
-        t: catalog.get_table(t).columns for t in catalog.table_names()
+        low: catalog.get_table(orig).columns for low, orig in registered.items()
     }
     statements = [e["statement"] for e in catalog.statement_log]
     cands = identify_candidates(statements, table_columns)
@@ -125,7 +132,7 @@ def discover_uccs(spark: SparkSession, catalog) -> int:
         by_table.setdefault(t, []).append(c)
     for t, cols in sorted(by_table.items()):
         fresh = [c for c in cols if (t, c) not in catalog.validated_uccs]
-        got = validate_uccs(catalog.get_table(t), sorted(fresh))
+        got = validate_uccs(catalog.get_table(registered[t]), sorted(fresh))
         for c, ok in got.items():
             if ok:
                 catalog.validated_uccs.add((t, c))
@@ -150,20 +157,47 @@ _DISTINCT_RE = re.compile(
 )
 _BLOCKERS_RE = re.compile(r"\b(JOIN|GROUP\s+BY|UNION|INTERSECT|EXCEPT)\b", re.IGNORECASE)
 
+# A select item that is a plain (optionally table-qualified) column reference.
+# Anything else — function calls, arithmetic, literals, aliases — disqualifies
+# the whole statement from the rewrite: `substr(c, k, 2)` mentions UCC column
+# `k` without projecting it, so stripping DISTINCT there would be wrong.
+_BARE_COLUMN_RE = re.compile(r"(?:\w+\.)?\w+|\*", re.ASCII)
+
+
+def _split_depth0(s: str) -> list[str]:
+    """Split a select list on commas at parenthesis depth 0 only, so
+    `substr(c, k, 2)` stays one item instead of three."""
+    items, depth, start = [], 0, 0
+    for i, ch in enumerate(s):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            items.append(s[start:i])
+            start = i + 1
+    items.append(s[start:])
+    return items
+
 
 def maybe_strip_redundant_distinct(stmt: str, catalog) -> str:
     """If `stmt` is `SELECT DISTINCT cols FROM t [WHERE ...]` and the
     selected columns contain a validated UCC of t, DISTINCT is a no-op —
     return the statement without it (saving the HashAggregate + Exchange
     Spark would otherwise plan). Anything non-trivial passes through
-    untouched."""
+    untouched; in particular every select item must be a bare column
+    reference (a UCC column appearing only inside an expression does NOT
+    make the output unique)."""
     if _BLOCKERS_RE.search(stmt):
         return stmt
     m = _DISTINCT_RE.match(stmt.strip().rstrip(";"))
     if not m:
         return stmt
     table = m["table"].lower()
-    cols = {c.strip().split(".")[-1].lower() for c in m["cols"].split(",")}
+    items = [it.strip() for it in _split_depth0(m["cols"])]
+    if not all(_BARE_COLUMN_RE.fullmatch(it) for it in items):
+        return stmt
+    cols = {it.split(".")[-1].lower() for it in items}
     if "*" in cols:
         cols = {c.lower() for c in catalog.get_table(table).columns} if catalog.has_table(table) else set()
     has_ucc = any(

@@ -126,3 +126,67 @@ def test_dml_invalidates_uccs(spark):
         assert df.count() == 50  # 51 rows, k=0 twice
     finally:
         eng.execute("DROP TABLE ut")
+
+
+def test_rewrite_ignores_ucc_inside_function_arguments(spark):
+    """ADVICE r6 (high): a UCC column appearing only as a function ARGUMENT
+    must not count as selected — `substr(c, k, 2)` does not make the output
+    unique. The select list splits on depth-0 commas only, and any
+    non-bare-column item disables the rewrite."""
+
+    class FakeCatalog:
+        validated_uccs = {("ut", "k")}
+
+        def has_table(self, n):
+            return False
+
+    for stmt in (
+        "SELECT DISTINCT grp, substr(c, k, 2) FROM ut",
+        "SELECT DISTINCT upper(k) FROM ut",
+        "SELECT DISTINCT k + 1 FROM ut",
+        "SELECT DISTINCT k AS a FROM ut",  # alias -> not a bare column item
+        "SELECT DISTINCT coalesce(k, grp), grp FROM ut",
+    ):
+        assert maybe_strip_redundant_distinct(stmt, FakeCatalog()) == stmt
+    # bare columns (qualified or not) still rewrite
+    assert (
+        maybe_strip_redundant_distinct(
+            "SELECT DISTINCT ut.k, grp FROM ut", FakeCatalog()
+        )
+        == "SELECT ut.k, grp FROM ut"
+    )
+
+
+def test_rewrite_end_to_end_function_arg_returns_duplicates(spark):
+    """End-to-end repro of the ADVICE scenario: with ('ut','k') validated,
+    SELECT DISTINCT grp, substr(...) must KEEP its dedup."""
+    eng = _engine(spark)
+    try:
+        eng.execute("SELECT k FROM ut GROUP BY k").collect()
+        eng.execute("INSERT INTO meta_exec VALUES ('ucc', 'discover_uccs')")
+        assert ("ut", "k") in eng.catalog.validated_uccs
+        df = eng.execute(
+            "SELECT DISTINCT grp, substr(CAST(k % 2 AS STRING), 1, 1) AS b FROM ut"
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "HashAggregate" in plan  # DISTINCT survived
+        assert df.count() == 14  # 7 grps x 2 parities, not 50
+    finally:
+        eng.execute("DROP TABLE ut")
+
+
+def test_uppercase_table_ucc_invalidated_on_dml(spark):
+    """ADVICE r6 (low): UCC keys are canonically lowercase, so a table
+    registered with uppercase letters still has its UCCs dropped by DML."""
+    eng = Engine(spark)
+    eng.execute("CREATE TABLE UT2 AS SELECT CAST(id AS INT) AS k FROM RANGE(20)")
+    try:
+        eng.execute("SELECT k FROM UT2 GROUP BY k").collect()
+        eng.execute("INSERT INTO meta_exec VALUES ('ucc', 'discover_uccs')")
+        assert ("ut2", "k") in eng.catalog.validated_uccs
+        eng.execute("INSERT INTO UT2 VALUES (0)")
+        assert not {
+            (t, c) for (t, c) in eng.catalog.validated_uccs if t == "ut2"
+        }
+    finally:
+        eng.execute("DROP TABLE UT2")
