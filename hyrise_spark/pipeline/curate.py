@@ -133,9 +133,12 @@ def curate_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(shingle_expr(F.col("w"))).alias("sh"))
     )
     bench = sh.filter(F.col("doc_id") < 20).select("sh").distinct()
+    # No broadcast hint: the bench shingle set is small by construction but
+    # derived from a scaling scan — let AQE broadcast it when it measures
+    # small instead of forcing a plan that cannot fall back.
     return (
         sh.filter(F.col("doc_id") >= 20)
-        .join(F.broadcast(bench), "sh", "left_semi")
+        .join(bench, "sh", "left_semi")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
         .orderBy("doc_id")
@@ -167,9 +170,12 @@ def curate_commonness_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_ex = docs.select(
         "doc_id", F.explode(_words(lower=True)).alias("w")
     )
+    # No broadcast hint: the vocabulary grows with the corpus (sub-linearly,
+    # but unbounded) — a forced broadcast cannot fall back at 100 TB. AQE
+    # broadcasts it at small SF where it measures under the threshold.
     vocab = w_ex.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
     return (
-        w_ex.join(F.broadcast(vocab), "w")
+        w_ex.join(vocab, "w")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
@@ -445,8 +451,10 @@ def curate_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
         .cast("double") / 65536.0
     )
+    # No hint on rates (3 rows, but derived from a scaling scan): AQE
+    # broadcasts it at runtime from measured size.
     return (
-        d.join(F.broadcast(rates), "domain")
+        d.join(rates, "domain")
         .filter(accept < F.col("rate"))
         .select("doc_id", "domain", "n_tok", F.round("rate", 4).alias("rate"))
         .orderBy("doc_id")

@@ -405,9 +405,13 @@ def pipeline_curation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.length("text")
     n_words = F.size(F.split(F.trim(F.col("text")), r"\s+"))
     n_stop = _sw_count_spark("the") + _sw_count_spark("and") + _sw_count_spark("a")
+    # No broadcast hint: keepers has one row per UNIQUE document — it scales
+    # with the corpus, so a forced broadcast would OOM the driver at 100 TB.
+    # The join key is the fingerprint; a plain shuffle join co-locates
+    # correctly and AQE still broadcasts when the frame measures small.
     return (
         fp.join(
-            F.broadcast(keepers),
+            keepers,
             (F.col("fingerprint") == F.col("k_fp")) & (F.col("doc_id") == F.col("keeper")),
         )
         .select("doc_id", "lang", n.alias("n"), n_words.alias("n_words"), n_stop.alias("n_stop"))

@@ -274,7 +274,7 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.col("active_week").cast("date"), F.col("cohort_week").cast("date")) / 7
     )
     return (
-        activity.join(F.broadcast(cohort), "user_id")
+        activity.join(cohort, "user_id")
         .groupBy(
             F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort"),
             week_offset.cast("int").alias("week_offset"),

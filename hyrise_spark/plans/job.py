@@ -573,7 +573,7 @@ def job_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sn.n_regionkey") == F.col("sr.r_regionkey"),
         )
         .join(
-            F.broadcast(part.filter(F.col("p_type") == "PROMO")),
+            part.filter(F.col("p_type") == "PROMO"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .join(
@@ -631,7 +631,7 @@ def job_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     r1, r2 = region.alias("r1"), region.alias("r2")
     p = part.filter(F.col("p_size") == 1)
     return (
-        l1.join(F.broadcast(p), F.col("l1.l_partkey") == F.col("p_partkey"))
+        l1.join(p, F.col("l1.l_partkey") == F.col("p_partkey"))
         .join(
             l2,
             (F.col("l2.l_partkey") == F.col("p_partkey"))
@@ -742,7 +742,7 @@ def job_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     l1, l2, l3 = li.alias("l1"), li.alias("l2"), li.alias("l3")
     p = part.filter((F.col("p_size") == 1) & (F.col("p_retailprice") < 910))
     return (
-        l1.join(F.broadcast(p), F.col("l1.l_partkey") == F.col("p_partkey"))
+        l1.join(p, F.col("l1.l_partkey") == F.col("p_partkey"))
         .join(
             l2,
             (F.col("l2.l_partkey") == F.col("p_partkey"))
@@ -804,7 +804,7 @@ def job_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_type") == "LARGE") & (F.col("p_size") < 4)
     ).join(returned, F.col("p_partkey") == F.col("ret_pk"), "left_anti")
     return (
-        li.join(F.broadcast(clean_parts), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(clean_parts, F.col("l_partkey") == F.col("p_partkey"))
         .join(
             orders.filter(_ts_range("o_orderdate", "1998-01-01", "1999-01-01")),
             F.col("l_orderkey") == F.col("o_orderkey"),
@@ -1026,7 +1026,7 @@ def job_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(sr.filter(F.col("sr.r_name") == "AMERICA")),
             F.col("sn.n_regionkey") == F.col("sr.r_regionkey"),
         )
-        .join(F.broadcast(clean_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(clean_parts, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.min("o_orderkey").alias("min_orderkey"),
             F.min("p_name").alias("min_part"),
@@ -1107,9 +1107,9 @@ def job_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("l_extendedprice").alias("avg_price")
     )
     return (
-        li.join(F.broadcast(part.filter(F.col("p_size") < 5)), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part.filter(F.col("p_size") < 5), F.col("l_partkey") == F.col("p_partkey"))
         .join(supp.filter(F.col("s_acctbal") > 3000), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(avg_price), F.col("l_partkey") == F.col("ap_pk"))
+        .join(avg_price, F.col("l_partkey") == F.col("ap_pk"))
         .filter(F.col("l_extendedprice") > 1.5 * F.col("avg_price"))
         .agg(
             F.min("l_orderkey").alias("min_orderkey"),
@@ -1151,7 +1151,7 @@ def job_q23(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(li, F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(top_parts), F.col("l_partkey") == F.col("tp_pk"), "left_semi")
+        .join(top_parts, F.col("l_partkey") == F.col("tp_pk"), "left_semi")
         .agg(
             F.min("s_suppkey").alias("min_supp"),
             F.min("n_name").alias("min_nation"),
@@ -1241,7 +1241,7 @@ def job_q25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     good_supp = supp.join(negative, F.col("s_suppkey") == F.col("neg_sk"), "left_anti")
     return (
-        li.join(F.broadcast(clean_parts), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(clean_parts, F.col("l_partkey") == F.col("p_partkey"))
         .join(good_supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .agg(
             F.min("l_orderkey").alias("min_orderkey"),
@@ -1275,7 +1275,7 @@ def job_q26(spark: SparkSession, sf_dir: str) -> DataFrame:
     li, part, supp = _t(spark, sf_dir, "lineitem", "part", "supplier")
     return (
         li.filter(_ts_range("l_shipdate", "1997-01-01", "1998-01-01"))
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .filter((F.col("p_type") == "PROMO") | (F.col("s_acctbal") < 0))
         .agg(
@@ -1433,7 +1433,7 @@ def job_q29(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(
-            F.broadcast(pairs),
+            pairs,
             (F.col("c_nationkey") == F.col("cust_nk"))
             & (F.col("s_nationkey") == F.col("supp_nk")),
         )
@@ -1495,7 +1495,7 @@ def job_q30(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         urgent.unionAll(large)
-        .join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+        .join(dims, F.col("o_custkey") == F.col("c_custkey"))
         .agg(
             F.min("o_orderkey").alias("min_orderkey"),
             F.min("n_name").alias("min_nation"),
@@ -1632,7 +1632,7 @@ def job_q33(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_suppkey") == F.col("rp_sk")),
             "left_semi",
         )
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.min("l_orderkey").alias("min_orderkey"),
             F.min("p_name").alias("min_part"),
@@ -1766,7 +1766,7 @@ def job_q35(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2.n_nationkey"))
         .join(F.broadcast(r2), F.col("n2.n_regionkey") == F.col("r2.r_regionkey"))
-        .join(F.broadcast(clean_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(clean_parts, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.min("l_orderkey").alias("min_orderkey"),
             F.min("n1.n_name").alias("min_cust_nation"),
@@ -1926,7 +1926,7 @@ def job_q39(spark: SparkSession, sf_dir: str) -> DataFrame:
     excluded = pricey.union(returned).distinct()
     return (
         li.filter(F.col("l_shipdate") >= F.lit("1998-01-01"))
-        .join(F.broadcast(excluded), F.col("l_partkey") == F.col("ex_pk"), "left_anti")
+        .join(excluded, F.col("l_partkey") == F.col("ex_pk"), "left_anti")
         .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .agg(
             F.min("l_orderkey").alias("min_orderkey"),
@@ -1976,7 +1976,7 @@ def job_q40(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("cnt").alias("avg_cnt")
     )
     return (
-        per_cust.join(F.broadcast(per_nation), F.col("c_nationkey") == F.col("nk"))
+        per_cust.join(per_nation, F.col("c_nationkey") == F.col("nk"))
         .filter(F.col("cnt") > F.col("avg_cnt"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .agg(
@@ -2070,13 +2070,13 @@ def job_q41(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(supp.alias("s"), F.col("l.l_suppkey") == F.col("s.s_suppkey"))
         .join(F.broadcast(sn), F.col("s.s_nationkey") == F.col("sn.n_nationkey"))
         .join(F.broadcast(sr), F.col("sn.n_regionkey") == F.col("sr.r_regionkey"))
-        .join(F.broadcast(p), F.col("l.l_partkey") == F.col("p.p_partkey"))
+        .join(p, F.col("l.l_partkey") == F.col("p.p_partkey"))
         .join(e, F.col("e_uid") == F.col("c.c_custkey"))
         .join(e2, (F.col("e2_uid") == F.col("e_uid")) & (F.col("e2_day") == F.col("e_day")))
         .join(e3, (F.col("e3_uid") == F.col("e_uid")) & (F.col("e3_day") == F.col("e_day")))
         .join(o2, F.col("o2.o_custkey") == F.col("c.c_custkey"))
         .join(l2, F.col("l2.l_orderkey") == F.col("o2.o_orderkey"))
-        .join(F.broadcast(p2), F.col("l2.l_partkey") == F.col("p2.p_partkey"))
+        .join(p2, F.col("l2.l_partkey") == F.col("p2.p_partkey"))
         .join(s2, F.col("l2.l_suppkey") == F.col("s2.s_suppkey"))
         .agg(
             F.min("l.l_orderkey").alias("min_orderkey"),

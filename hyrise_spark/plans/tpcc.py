@@ -83,7 +83,7 @@ def tpcc_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         latest.join(
-            F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")),
+            cust.filter(F.col("c_mktsegment") == "BUILDING"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -138,7 +138,7 @@ def tpcc_stock_level(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
     )
     recent = (
-        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 20)
@@ -146,7 +146,7 @@ def tpcc_stock_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         recent.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(part.filter(F.col("p_size") < 15)), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part.filter(F.col("p_size") < 15), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("n_name")
         .agg(F.countDistinct("l_partkey").alias("low_stock"))
         .orderBy("n_name")

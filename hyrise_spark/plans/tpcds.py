@@ -63,7 +63,7 @@ def tpcds_moving_avg_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
     li, part = _t(spark, sf_dir, "lineitem", "part")
     monthly = (
         li.join(
-            F.broadcast(part.filter(F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))),
+            part.filter(F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .groupBy(
@@ -101,7 +101,7 @@ def tpcds_moving_avg_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpcds_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     li, part = _t(spark, sf_dir, "lineitem", "part")
     joined = li.join(
-        F.broadcast(part.filter(F.col("p_size") <= 5)),
+        part.filter(F.col("p_size") <= 5),
         F.col("l_partkey") == F.col("p_partkey"),
     )
     return joined.rollup("p_type", "p_brand").agg(

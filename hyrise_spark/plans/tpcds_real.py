@@ -138,7 +138,7 @@ def tpcds_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     ctr = (
         li.filter(F.col("l_returnflag") == "R")
         .join(orders.filter(_ts_range("o_orderdate", "1997-01-01", "1998-01-01")), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(F.col("o_custkey").alias("ctr_custkey"), F.col("c_nationkey").alias("ctr_nationkey"))
         .agg(F.round(F.sum("l_extendedprice"), R2).alias("ctr_total_return"))
     )
@@ -147,9 +147,9 @@ def tpcds_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.avg("ctr_total_return") * 1.2).alias("threshold")
     )
     return (
-        ctr.join(F.broadcast(nation_avg), F.col("ctr_nationkey") == F.col("na_nationkey"))
+        ctr.join(nation_avg, F.col("ctr_nationkey") == F.col("na_nationkey"))
         .filter(F.col("ctr_total_return") > F.col("threshold"))
-        .join(F.broadcast(cust), F.col("ctr_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("ctr_custkey") == F.col("c_custkey"))
         .select("c_custkey", "c_name", "ctr_total_return")
         .orderBy("c_custkey")
         .limit(100)
@@ -175,7 +175,7 @@ def tpcds_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     li, part = _t(spark, sf_dir, "lineitem", "part")
     return (
         li.filter(_month_ranges("l_shipdate", 11))
-        .join(F.broadcast(part.filter(F.col("p_type") == "PROMO")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part.filter(F.col("p_type") == "PROMO"), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.year("l_shipdate").cast("int").alias("d_year"), "p_brand")
         .agg(F.round(F.sum("l_extendedprice"), R2).alias("sum_agg"))
         .orderBy("d_year", F.col("sum_agg").desc(), "p_brand")
@@ -215,17 +215,17 @@ def tpcds_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("p_retailprice").alias("avg_price")
     )
     pricey = (
-        part.join(F.broadcast(type_avg), F.col("p_type") == F.col("ta_type"))
+        part.join(type_avg, F.col("p_type") == F.col("ta_type"))
         .filter(F.col("p_retailprice") > 1.04 * F.col("avg_price"))
         .select("p_partkey")
     )
     return (
-        li.join(F.broadcast(pricey), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(pricey, F.col("l_partkey") == F.col("p_partkey"))
         .join(
             orders.filter(_ts_range("o_orderdate", "1997-01-01", "1998-01-01")),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -262,10 +262,10 @@ def tpcds_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(
-            F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")),
+            cust.filter(F.col("c_mktsegment") == "BUILDING"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand")
         .agg(
             F.round(F.avg("l_quantity"), R2).alias("agg1"),
@@ -345,7 +345,7 @@ def tpcds_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpcds_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     li, orders, cust = _t(spark, sf_dir, "lineitem", "orders", "customer")
     joined = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).join(
-        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+        cust, F.col("o_custkey") == F.col("c_custkey")
     )
     seg, prio, q, tp = (
         F.col("c_mktsegment"),
@@ -395,7 +395,7 @@ def tpcds_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
             orders.filter(_ts_range("o_orderdate", "1997-04-01", "1997-07-01")),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .filter(
@@ -437,10 +437,10 @@ def tpcds_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
             orders.filter(_month_ranges("o_orderdate", 11)),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .filter(F.col("c_nationkey") != F.col("s_nationkey"))
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type")
         .agg(F.round(F.sum("l_extendedprice"), R2).alias("ext_price"))
         .orderBy(F.col("ext_price").desc(), "p_brand", "p_type")
@@ -466,7 +466,7 @@ def tpcds_q42(spark: SparkSession, sf_dir: str) -> DataFrame:
     li, part = _t(spark, sf_dir, "lineitem", "part")
     return (
         li.filter(_month_ranges("l_shipdate", 12))
-        .join(F.broadcast(part.filter(F.col("p_size") < 6)), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part.filter(F.col("p_size") < 6), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.year("l_shipdate").cast("int").alias("d_year"), "p_type")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), R2).alias("revenue"))
         .orderBy(F.col("revenue").desc(), "d_year", "p_type")
@@ -496,7 +496,7 @@ def tpcds_q96(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.hour("ts") == 20) & (F.minute("ts") >= 30) & (F.col("event_type") == "click")
         )
         .join(
-            F.broadcast(cust.filter(F.col("c_mktsegment") == "HOUSEHOLD")),
+            cust.filter(F.col("c_mktsegment") == "HOUSEHOLD"),
             F.col("user_id") == F.col("c_custkey"),
         )
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -547,7 +547,7 @@ def tpcds_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     ret = F.when(F.col("l_returnflag") == "R", F.col("l_quantity"))
     return (
         li.filter(_ts_range("l_shipdate", "1997-01-01", "1998-01-01"))
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand")
         .agg(
             F.sum(F.when(F.col("l_returnflag") != "R", 1).otherwise(0)).alias("kept_cnt"),
@@ -634,7 +634,7 @@ def tpcds_q31(spark: SparkSession, sf_dir: str) -> DataFrame:
             _ts_range("o_orderdate", "1997-01-01", "1998-01-01")
             & prio.isin("1-URGENT", "2-HIGH", "4-NOT SPECIFIED", "5-LOW")
         )
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .select(
             "n_name",
@@ -726,7 +726,7 @@ def tpcds_q41(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("p_brand").alias("q_brand")).distinct()
     return (
         part.filter(F.col("p_size").between(10, 20))
-        .join(F.broadcast(qualifying), F.col("p_brand") == F.col("q_brand"), "left_semi")
+        .join(qualifying, F.col("p_brand") == F.col("q_brand"), "left_semi")
         .select("p_name")
         .distinct()
         .orderBy("p_name")
@@ -768,16 +768,16 @@ def tpcds_q45(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("brand_qualifies", F.lit(True))
     )
     part_flagged = part.join(
-        F.broadcast(q_brands), F.col("p_brand") == F.col("q_brand"), "left"
+        q_brands, F.col("p_brand") == F.col("q_brand"), "left"
     ).drop("q_brand")
     return (
         li.join(
             orders.filter(_ts_range("o_orderdate", "1998-01-01", "1998-04-01")),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(part_flagged), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part_flagged, F.col("l_partkey") == F.col("p_partkey"))
         .filter(
             F.col("l_partkey").isin(2, 11, 24, 37, 49)
             | F.col("brand_qualifies").isNotNull()
@@ -822,7 +822,7 @@ def tpcds_q50(spark: SparkSession, sf_dir: str) -> DataFrame:
             orders.filter(_ts_range("o_orderdate", "1997-01-01", "1998-01-01")),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(
@@ -870,7 +870,7 @@ def tpcds_q79(spark: SparkSession, sf_dir: str) -> DataFrame:
             orders.filter(_ts_range("o_orderdate", "1997-01-01", "1998-01-01")),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_custkey", "c_name", "o_orderkey")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), R2).alias("rev"))
     )
@@ -909,7 +909,7 @@ def tpcds_q92(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(1.3) * F.avg("l_discount")).alias("disc_threshold")
     )
     return (
-        li97.join(F.broadcast(part.filter(F.col("p_type") == "PROMO")), F.col("l_partkey") == F.col("p_partkey"))
+        li97.join(part.filter(F.col("p_type") == "PROMO"), F.col("l_partkey") == F.col("p_partkey"))
         .join(part_avg, F.col("l_partkey") == F.col("pa_partkey"))
         .filter(F.col("l_discount") > F.col("disc_threshold"))
         .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), R2).alias("excess_discount_amount"))
@@ -935,7 +935,7 @@ def tpcds_q93(spark: SparkSession, sf_dir: str) -> DataFrame:
     li, orders, cust = _t(spark, sf_dir, "lineitem", "orders", "customer")
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_custkey")
         .agg(
             F.round(
@@ -1117,7 +1117,7 @@ def tpcds_q25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ss.join(sr, "cust")
         .join(ws, "cust")
-        .join(F.broadcast(cust), F.col("cust") == F.col("c_custkey"))
+        .join(cust, F.col("cust") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(
@@ -1162,7 +1162,7 @@ def tpcds_q34(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         per_order.join(
-            F.broadcast(cust.filter(F.col("c_nationkey").isin(0, 3, 7, 11, 15, 19, 23))),
+            cust.filter(F.col("c_nationkey").isin(0, 3, 7, 11, 15, 19, 23)),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .select("c_custkey", "c_name", "o_orderkey", "cnt")
@@ -1293,7 +1293,7 @@ def tpcds_q43(spark: SparkSession, sf_dir: str) -> DataFrame:
     names = ["sun", "mon", "tue", "wed", "thu", "fri", "sat"]
     return (
         li.filter(_ts_range("l_shipdate", "1997-01-01", "1998-01-01"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(
@@ -1339,7 +1339,7 @@ def tpcds_q48(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders.filter(_ts_range("o_orderdate", "1997-01-01", "1998-01-01")), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .filter(
             (
                 ((seg == "BUILDING") & price.between(1000, 20000))
@@ -1384,10 +1384,10 @@ def tpcds_q65(spark: SparkSession, sf_dir: str) -> DataFrame:
     sp = li.groupBy("l_suppkey", "l_partkey").agg(F.sum("l_extendedprice").alias("rev"))
     sa = sp.groupBy(F.col("l_suppkey").alias("sa_suppkey")).agg(F.avg("rev").alias("avg_rev"))
     return (
-        sp.join(F.broadcast(sa), F.col("l_suppkey") == F.col("sa_suppkey"))
+        sp.join(sa, F.col("l_suppkey") == F.col("sa_suppkey"))
         .filter(F.col("rev") <= 0.3 * F.col("avg_rev"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .select("s_name", "p_name", F.round("rev", R2).alias("rev"))
         .orderBy("s_name", "p_name")
         .limit(100)
@@ -1459,7 +1459,7 @@ def tpcds_q88(spark: SparkSession, sf_dir: str) -> DataFrame:
     slots = [(8, 0), (8, 30), (9, 0), (9, 30), (10, 0), (10, 30), (11, 0), (11, 30)]
     return (
         events.join(
-            F.broadcast(cust.filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))),
+            cust.filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY")),
             F.col("user_id") == F.col("c_custkey"),
         )
         .agg(
@@ -1502,8 +1502,8 @@ def tpcds_q91(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.filter(F.col("l_returnflag") == "R")
         .join(orders.filter(_ts_range("o_orderdate", "1997-01-01", "1998-01-01")), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust.filter(F.col("c_acctbal") < 0)), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust.filter(F.col("c_acctbal") < 0), F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name", F.month("o_orderdate").cast("int").alias("m"))
         .agg(F.round(F.sum("l_extendedprice"), R2).alias("returns_loss"))
@@ -1611,10 +1611,10 @@ def tpcds_q26(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(
-            F.broadcast(cust.filter(F.col("c_mktsegment") == "FURNITURE")),
+            cust.filter(F.col("c_mktsegment") == "FURNITURE"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand")
         .agg(
             F.round(F.avg("l_quantity"), R2).alias("agg1"),
@@ -1685,7 +1685,7 @@ def tpcds_q29(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ss.join(sr, "cust")
         .join(ws, "cust")
-        .join(F.broadcast(cust), F.col("cust") == F.col("c_custkey"))
+        .join(cust, F.col("cust") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(
@@ -1802,7 +1802,7 @@ def tpcds_q52(spark: SparkSession, sf_dir: str) -> DataFrame:
     li, part = _t(spark, sf_dir, "lineitem", "part")
     return (
         li.filter(_month_ranges("l_shipdate", 12))
-        .join(F.broadcast(part.filter(F.col("p_type") == "ECONOMY")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part.filter(F.col("p_type") == "ECONOMY"), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.year("l_shipdate").cast("int").alias("d_year"), "p_brand")
         .agg(F.round(F.sum("l_extendedprice"), R2).alias("ext_price"))
         .orderBy("d_year", F.col("ext_price").desc(), "p_brand")
@@ -1827,7 +1827,7 @@ def tpcds_q55(spark: SparkSession, sf_dir: str) -> DataFrame:
     li, part = _t(spark, sf_dir, "lineitem", "part")
     return (
         li.filter(_ts_range("l_shipdate", "1997-08-01", "1997-09-01"))
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand")
         .agg(F.round(F.sum("l_extendedprice"), R2).alias("ext_price"))
         .orderBy(F.col("ext_price").desc(), "p_brand")
@@ -1906,7 +1906,7 @@ def tpcds_q73(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         per_order.join(
-            F.broadcast(cust.filter(F.col("c_mktsegment").isin("AUTOMOBILE", "HOUSEHOLD"))),
+            cust.filter(F.col("c_mktsegment").isin("AUTOMOBILE", "HOUSEHOLD")),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .select("c_custkey", "c_name", "o_orderkey", "cnt")
@@ -1945,7 +1945,7 @@ def tpcds_q81(spark: SparkSession, sf_dir: str) -> DataFrame:
     ctr = (
         li.filter(F.col("l_returnflag") == "R")
         .join(orders.filter(_ts_range("o_orderdate", "1998-01-01", "1999-01-01")), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(F.col("o_custkey").alias("ctr_custkey"), F.col("c_nationkey").alias("ctr_nationkey"))
         .agg(F.round(F.sum("l_extendedprice"), R2).alias("ctr_total_return"))
     )
@@ -1953,9 +1953,9 @@ def tpcds_q81(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.avg("ctr_total_return") * 1.2).alias("threshold")
     )
     return (
-        ctr.join(F.broadcast(nation_avg), F.col("ctr_nationkey") == F.col("na_nationkey"))
+        ctr.join(nation_avg, F.col("ctr_nationkey") == F.col("na_nationkey"))
         .filter(F.col("ctr_total_return") > F.col("threshold"))
-        .join(F.broadcast(cust), F.col("ctr_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("ctr_custkey") == F.col("c_custkey"))
         .select("c_custkey", "c_name", F.round("c_acctbal", R2).alias("c_acctbal"), "ctr_total_return")
         .orderBy("c_custkey")
         .limit(100)
@@ -1988,7 +1988,7 @@ def tpcds_q82(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(
             (F.col("l_shipdate") >= F.lit("1998-01-01")) & (F.col("l_shipdate") < F.lit("1998-03-02"))
         )
-        .join(F.broadcast(supp.filter(F.col("s_acctbal") < 0)), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp.filter(F.col("s_acctbal") < 0), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("l_partkey")
     )
     return (
@@ -2055,7 +2055,7 @@ def tpcds_q83(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         r1.join(r2, "l_partkey")
         .join(r3, "l_partkey")
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .select(
             "p_name", "c1", "c2", "c3", (F.col("c1") + F.col("c2") + F.col("c3")).alias("total")
         )
@@ -2129,7 +2129,7 @@ def tpcds_q85(spark: SparkSession, sf_dir: str) -> DataFrame:
             orders.filter(F.col("o_orderpriority").isin("4-NOT SPECIFIED", "5-LOW")),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .filter(
             ((seg == "BUILDING") & qty.between(1, 20))
@@ -2253,7 +2253,7 @@ def tpcds_q99(spark: SparkSession, sf_dir: str) -> DataFrame:
     lat = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
     return (
         li.join(orders.filter(_ts_range("o_orderdate", "1997-01-01", "1998-01-01")), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(
             "n_name",
@@ -2372,7 +2372,7 @@ def tpcds_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(
             (F.col("l_shipdate") >= F.lit("1997-05-01")) & (F.col("l_shipdate") < F.lit("1997-05-31"))
         )
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_name", "p_type")
         .agg(F.sum("l_extendedprice").alias("itemrevenue"))
     )
@@ -2410,7 +2410,7 @@ def tpcds_q36(spark: SparkSession, sf_dir: str) -> DataFrame:
     li, part = _t(spark, sf_dir, "lineitem", "part")
     return (
         li.filter(_ts_range("l_shipdate", "1997-01-01", "1998-01-01"))
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .rollup("p_type", "p_brand")
         .agg(
             F.round(
@@ -2462,7 +2462,7 @@ def tpcds_q47(spark: SparkSession, sf_dir: str) -> DataFrame:
     li, part = _t(spark, sf_dir, "lineitem", "part")
     monthly = (
         li.filter(_ts_range("l_shipdate", "1997-01-01", "1998-01-01"))
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", F.month("l_shipdate").cast("int").alias("m"))
         .agg(F.round(F.sum("l_extendedprice"), R2).alias("sum_sales"))
     )
@@ -2534,7 +2534,7 @@ def tpcds_q51(spark: SparkSession, sf_dir: str) -> DataFrame:
             orders.filter(
                 _ts_range("o_orderdate", "1997-01-01", "1998-01-01") & F.col("o_orderpriority").isin(*prios)
             )
-            .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+            .join(cust, F.col("o_custkey") == F.col("c_custkey"))
             .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
             .groupBy("n_name", F.month("o_orderdate").cast("int").alias("m"))
             .agg(F.sum("o_totalprice").alias("rev"))
@@ -2598,7 +2598,7 @@ def tpcds_q67(spark: SparkSession, sf_dir: str) -> DataFrame:
     size_band = F.floor(F.col("p_size") / 10).cast("int")
     rolled = (
         li.filter(_ts_range("l_shipdate", "1997-01-01", "1998-01-01"))
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .withColumn("size_band", size_band)
         .rollup("p_type", "p_brand", "size_band")
         .agg(F.round(F.sum("l_extendedprice"), R2).alias("sumsales"))
@@ -2650,7 +2650,7 @@ def tpcds_q70(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders, cust, nation, region = _t(spark, sf_dir, "orders", "customer", "nation", "region")
     rolled = (
         orders.filter(_ts_range("o_orderdate", "1998-01-01", "1999-01-01"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .rollup("r_name", "n_name")
@@ -2718,7 +2718,7 @@ def tpcds_q86(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .rollup("p_type", "p_brand")
         .agg(
             F.round(F.sum("l_extendedprice"), R2).alias("total_sum"),
@@ -2777,7 +2777,7 @@ def tpcds_q89(spark: SparkSession, sf_dir: str) -> DataFrame:
     li, part = _t(spark, sf_dir, "lineitem", "part")
     monthly = (
         li.filter(_ts_range("l_shipdate", "1998-01-01", "1999-01-01"))
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_type", "p_brand", F.month("l_shipdate").cast("int").alias("m"))
         .agg(F.round(F.sum("l_extendedprice"), R2).alias("sum_sales"))
     )
@@ -2818,7 +2818,7 @@ def tpcds_q98(spark: SparkSession, sf_dir: str) -> DataFrame:
     li, part = _t(spark, sf_dir, "lineitem", "part")
     per_part = (
         li.filter(_ts_range("l_shipdate", "1998-01-01", "1999-01-01"))
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_name", "p_type")
         .agg(F.sum("l_extendedprice").alias("itemrevenue"))
     )
@@ -2855,7 +2855,7 @@ def tpcds_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     li, part = _t(spark, sf_dir, "lineitem", "part")
     return (
         li.filter(_ts_range("l_shipdate", "1997-01-01", "1998-01-01"))
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .withColumn("size_band", F.floor(F.col("p_size") / 10).cast("int"))
         .rollup("p_brand", "p_type", "size_band")
         .agg(F.round(F.avg("l_quantity"), 4).alias("qoh"))
@@ -2901,7 +2901,7 @@ def tpcds_q53(spark: SparkSession, sf_dir: str) -> DataFrame:
     quarterly = (
         li.filter(_ts_range("l_shipdate", "1997-01-01", "1998-01-01"))
         .join(
-            F.broadcast(part.filter(F.col("p_type").isin("PROMO", "ECONOMY"))),
+            part.filter(F.col("p_type").isin("PROMO", "ECONOMY")),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .groupBy("p_brand", F.quarter("l_shipdate").cast("int").alias("q"))
@@ -2957,7 +2957,7 @@ def tpcds_q57(spark: SparkSession, sf_dir: str) -> DataFrame:
     li, supp, nation = _t(spark, sf_dir, "lineitem", "supplier", "nation")
     monthly = (
         li.filter(_ts_range("l_shipdate", "1998-01-01", "1999-01-01"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name", F.month("l_shipdate").cast("int").alias("m"))
         .agg(F.round(F.sum("l_extendedprice"), R2).alias("sum_sales"))
@@ -3043,7 +3043,7 @@ def tpcds_q74(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("s1") > 0) & (F.col("w1") > 0) & (F.col("s2") > 0) & (F.col("w2") > 0)
             & (F.col("w2") / F.col("w1") > F.col("s2") / F.col("s1"))
         )
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .select(
             F.col("o_custkey").alias("c_custkey"),
             "c_name",
@@ -3080,7 +3080,7 @@ def tpcds_q27(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(orders.filter(_ts_range("o_orderdate", "1997-01-01", "1998-01-01")), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")),
+            cust.filter(F.col("c_mktsegment") == "BUILDING"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
@@ -3160,7 +3160,7 @@ def tpcds_q59(spark: SparkSession, sf_dir: str) -> DataFrame:
     def weekly(y: int) -> DataFrame:
         return (
             li.filter(_ts_range("l_shipdate", f"{y}-01-01", f"{y + 1}-01-01"))
-            .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
             .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
             .groupBy("n_name", F.weekofyear("l_shipdate").cast("int").alias("wk"))
             .agg(F.sum("l_extendedprice").alias("rev"))
@@ -3222,7 +3222,7 @@ def tpcds_q75(spark: SparkSession, sf_dir: str) -> DataFrame:
                 orders.filter(_ts_range("o_orderdate", f"{y}-01-01", f"{y + 1}-01-01")),
                 F.col("l_orderkey") == F.col("o_orderkey"),
             )
-            .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+            .join(part, F.col("l_partkey") == F.col("p_partkey"))
             .groupBy("p_brand")
             .agg(F.sum(net).alias("amt"))
         )
@@ -3495,7 +3495,7 @@ def tpcds_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("c2") / F.col("c1") > F.col("s2") / F.col("s1"))
             & (F.col("c2") / F.col("c1") > F.col("w2") / F.col("w1"))
         )
-        .join(F.broadcast(cust), F.col("ck") == F.col("c_custkey"))
+        .join(cust, F.col("ck") == F.col("c_custkey"))
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")
         .limit(100)
@@ -3549,9 +3549,9 @@ def tpcds_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1997-01-01"))
             & (F.col("l_shipdate") < F.lit("1997-04-01"))
         )
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(chosen), "n_name", "left_semi")
+        .join(chosen, "n_name", "left_semi")
         .groupBy("n_name")
         .agg(F.round(F.sum("l_extendedprice"), R2).alias("net_profit"))
         .orderBy("n_name")
@@ -3622,7 +3622,7 @@ def tpcds_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         p.filter((F.col("s1") > 0) & (F.col("w1") > 0))
         .filter(F.col("w2") / F.col("w1") > F.col("s2") / F.col("s1"))
-        .join(F.broadcast(cust), F.col("ck") == F.col("c_custkey"))
+        .join(cust, F.col("ck") == F.col("c_custkey"))
         .select("c_custkey", "c_name", "c_mktsegment")
         .orderBy("c_custkey")
         .limit(100)
@@ -3690,8 +3690,8 @@ def tpcds_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
             orders.filter(_ts_range("o_orderdate", "1998-01-01", "1999-01-01")),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(cross_items), F.col("l_partkey") == F.col("pk"), "left_semi")
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(cross_items, F.col("l_partkey") == F.col("pk"), "left_semi")
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .select(
             F.when(prio.isin(*_STORE), "store")
             .when(prio.isin(*_CATALOG), "catalog")
@@ -3755,7 +3755,7 @@ def tpcds_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .select(
@@ -3821,7 +3821,7 @@ def tpcds_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1997-03-03"))
         )
         .join(
-            F.broadcast(part.filter(F.col("p_type").isin("ECONOMY", "PROMO", "STANDARD"))),
+            part.filter(F.col("p_type").isin("ECONOMY", "PROMO", "STANDARD")),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .join(
@@ -3877,9 +3877,9 @@ def tpcds_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1997-05-16"))
             & (F.col("l_shipdate") < F.lit("1997-07-15"))
         )
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("n_name", "p_brand")
         .agg(
             F.sum(F.when(F.col("l_shipdate") < pivot, F.col("l_quantity")).otherwise(0.0)).alias("inv_before"),
@@ -3949,8 +3949,8 @@ def tpcds_q23(spark: SparkSession, sf_dir: str) -> DataFrame:
             orders.filter(_ts_range("o_orderdate", "1998-02-01", "1998-03-01")),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(frequent), F.col("l_partkey") == F.col("pk"), "left_semi")
-        .join(F.broadcast(best_cut), F.col("o_custkey") == F.col("ck"), "left_semi")
+        .join(frequent, F.col("l_partkey") == F.col("pk"), "left_semi")
+        .join(best_cut, F.col("o_custkey") == F.col("ck"), "left_semi")
         .agg(F.round(F.sum("l_extendedprice"), R2).alias("total"))
     )
 
@@ -3994,14 +3994,14 @@ def tpcds_q24(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("sold.l_linenumber") != F.col("ret.l_linenumber")),
         )
         .join(orders, F.col("ret.l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(part), F.col("ret.l_partkey") == F.col("p_partkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(part, F.col("ret.l_partkey") == F.col("p_partkey"))
         .groupBy("c_name", "p_brand")
         .agg(F.sum("ret.l_extendedprice").alias("netpaid"))
     )
     thr = pairs.agg((F.avg("netpaid") * 0.05).alias("thr"))
     return (
-        pairs.crossJoin(F.broadcast(thr))
+        pairs.crossJoin(thr)
         .filter(F.col("netpaid") > F.col("thr"))
         .select("c_name", "p_brand", F.round("netpaid", R2).alias("paid"))
         .orderBy("c_name", "p_brand")
@@ -4042,7 +4042,7 @@ def tpcds_q30(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(F.col("o_custkey").alias("ck"), F.col("c_nationkey").alias("nk"))
         .agg(F.sum("l_extendedprice").alias("total_return"))
     )
@@ -4050,9 +4050,9 @@ def tpcds_q30(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.avg("total_return") * 1.2).alias("threshold")
     )
     return (
-        ctr.join(F.broadcast(nation_avg), F.col("nk") == F.col("avg_nk"))
+        ctr.join(nation_avg, F.col("nk") == F.col("avg_nk"))
         .filter(F.col("total_return") > F.col("threshold"))
-        .join(F.broadcast(cust), F.col("ck") == F.col("c_custkey"))
+        .join(cust, F.col("ck") == F.col("c_custkey"))
         .select(
             "c_custkey", "c_name", "c_mktsegment",
             F.round("total_return", R2).alias("return_amt"),
@@ -4100,7 +4100,7 @@ def tpcds_q33(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(
-            F.broadcast(part.filter(F.col("p_type") == "ECONOMY")),
+            part.filter(F.col("p_type") == "ECONOMY"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
     )
@@ -4162,10 +4162,10 @@ def tpcds_q40(spark: SparkSession, sf_dir: str) -> DataFrame:
             orders.filter(F.col("o_orderpriority").isin(*_CATALOG)),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(
-            F.broadcast(part.filter(F.col("p_retailprice").between(905, 995))),
+            part.filter(F.col("p_retailprice").between(905, 995)),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .groupBy("n_name", "p_brand")
@@ -4234,8 +4234,8 @@ def tpcds_q44(spark: SparkSession, sf_dir: str) -> DataFrame:
     wp = part.alias("wp")
     return (
         b.join(w, F.col("b.rnk_best") == F.col("w.rnk_worst"))
-        .join(F.broadcast(bp), F.col("b.pk") == F.col("bp.p_partkey"))
-        .join(F.broadcast(wp), F.col("w.pk") == F.col("wp.p_partkey"))
+        .join(bp, F.col("b.pk") == F.col("bp.p_partkey"))
+        .join(wp, F.col("w.pk") == F.col("wp.p_partkey"))
         .select(
             F.col("b.rnk_best").alias("rnk"),
             F.col("bp.p_name").alias("best_performing"),
@@ -4273,10 +4273,10 @@ def tpcds_q46(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(
-            F.broadcast(cust.filter(F.col("c_mktsegment").isin("AUTOMOBILE", "HOUSEHOLD"))),
+            cust.filter(F.col("c_mktsegment").isin("AUTOMOBILE", "HOUSEHOLD")),
             F.col("o_custkey") == F.col("c_custkey"),
         )
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .filter(F.col("c_nationkey") != F.col("s_nationkey"))
         .groupBy("c_name", "o_orderkey")
         .agg(
@@ -4407,7 +4407,7 @@ def tpcds_q54(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(my_customers), F.col("o_custkey") == F.col("ck"), "left_semi")
+        .join(my_customers, F.col("o_custkey") == F.col("ck"), "left_semi")
         .groupBy("o_custkey")
         .agg(F.sum("l_extendedprice").alias("revenue"))
     )
@@ -4452,7 +4452,7 @@ def tpcds_q56(spark: SparkSession, sf_dir: str) -> DataFrame:
             orders.filter(_ts_range("o_orderdate", "1998-02-01", "1998-03-01")),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(colored), F.col("l_partkey") == F.col("p_partkey"))
+        .join(colored, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(
             F.when(prio.isin(*_STORE), "store")
             .when(prio.isin(*_CATALOG), "catalog")
@@ -4557,7 +4557,7 @@ def tpcds_q60(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(
-            F.broadcast(part.filter(F.col("p_type") == "MEDIUM")),
+            part.filter(F.col("p_type") == "MEDIUM"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .groupBy(
@@ -4604,12 +4604,12 @@ def tpcds_q61(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     promo = F.when(F.col("p_type") == "PROMO", F.col("l_extendedprice")).otherwise(0.0)
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .join(
             orders.filter(_ts_range("o_orderdate", "1998-11-01", "1998-12-01")),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(
             F.broadcast(region.filter(F.col("r_name") == "ASIA")),
@@ -4658,7 +4658,7 @@ def tpcds_q63(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1998-01-01"))
         )
         .join(
-            F.broadcast(part.filter(F.col("p_type").isin("ECONOMY", "STANDARD", "PROMO"))),
+            part.filter(F.col("p_type").isin("ECONOMY", "STANDARD", "PROMO")),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .groupBy(
@@ -4728,8 +4728,8 @@ def tpcds_q64(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 F.col("l_orderkey") == F.col("o_orderkey"),
             )
-            .join(F.broadcast(returned_pk), F.col("l_partkey") == F.col("rpk"), "left_semi")
-            .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(returned_pk, F.col("l_partkey") == F.col("rpk"), "left_semi")
+            .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
             .groupBy(F.col("l_partkey").alias("pk"), F.col("s_nationkey").alias("nk"))
             .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
         )
@@ -4742,7 +4742,7 @@ def tpcds_q64(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("s1.pk") == F.col("s2.pk")) & (F.col("s1.nk") == F.col("s2.nk")),
         )
         .filter(F.col("s2.rev") <= F.col("s1.rev"))
-        .join(F.broadcast(part), F.col("s1.pk") == F.col("p_partkey"))
+        .join(part, F.col("s1.pk") == F.col("p_partkey"))
         .join(F.broadcast(nation), F.col("s1.nk") == F.col("n_nationkey"))
         .select(
             "p_name", "n_name",
@@ -4802,7 +4802,7 @@ def tpcds_q66(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1998-01-01"))
         )
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("n_name", F.month("l_shipdate").alias("mo"), F.col("l_quantity").alias("qty"),
                 "o_orderpriority")
@@ -4852,10 +4852,10 @@ def tpcds_q68(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(
-            F.broadcast(cust.filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))),
+            cust.filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY")),
             F.col("o_custkey") == F.col("c_custkey"),
         )
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .filter(F.col("c_nationkey") != F.col("s_nationkey"))
         .groupBy("c_name", "o_orderkey")
         .agg(
@@ -4932,9 +4932,9 @@ def tpcds_q72(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(sup_avg), F.col("l_suppkey") == F.col("sk"))
+        .join(sup_avg, F.col("l_suppkey") == F.col("sk"))
         .filter(F.col("l_quantity") > 1.5 * F.col("avg_qty"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name", F.weekofyear("o_orderdate").alias("wk"))
         .agg(F.count(F.lit(1)).alias("shortfall_cnt"))
@@ -4978,7 +4978,7 @@ def tpcds_q77(spark: SparkSession, sf_dir: str) -> DataFrame:
             orders.filter(_ts_range("o_orderdate", "1997-01-01", "1998-01-01")),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(
             F.when(prio.isin(*_STORE), "store")
             .when(prio.isin(*_CATALOG), "catalog")
@@ -5097,7 +5097,7 @@ def tpcds_q80(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(
-            F.broadcast(part.filter(F.col("p_retailprice") > 910)),
+            part.filter(F.col("p_retailprice") > 910),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .groupBy(
@@ -5145,7 +5145,7 @@ def tpcds_q90(spark: SparkSession, sf_dir: str) -> DataFrame:
     am = views.filter(F.hour("ts").between(8, 9)).agg(F.count(F.lit(1)).alias("am_cnt"))
     pm = views.filter(F.hour("ts").between(19, 20)).agg(F.count(F.lit(1)).alias("pm_cnt"))
     return (
-        am.crossJoin(F.broadcast(pm))
+        am.crossJoin(pm)
         .filter(F.col("pm_cnt") > 0)
         .select(
             F.round(F.col("am_cnt").cast("double") / F.col("pm_cnt"), 4).alias("am_pm_ratio")

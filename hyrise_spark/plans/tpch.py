@@ -184,7 +184,7 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, F.col("c_custkey") == F.col("o_custkey"))
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            F.broadcast(supp),
+            supp,
             (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
         .join(nations_in_asia, F.col("s_nationkey") == F.col("n_nationkey"))
@@ -248,7 +248,7 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = nation.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
     df = (
         li.filter(F.col("l_shipdate").between(F.lit("1996-01-01"), F.lit("1997-12-31")))
-        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(cust, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
@@ -300,8 +300,8 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     n1 = nation.select(F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region"))
     n2 = nation.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation"))
     df = (
-        li.join(F.broadcast(part.filter(F.col("p_type") == "ECONOMY")), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        li.join(part.filter(F.col("p_type") == "ECONOMY"), F.col("p_partkey") == F.col("l_partkey"))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(
             orders.filter(F.col("o_orderdate").between(F.lit("1996-01-01"), F.lit("1997-12-31"))),
             F.col("l_orderkey") == F.col("o_orderkey"),
@@ -350,8 +350,8 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     part, li, supp, orders, nation = _t(spark, sf_dir, "part", "lineitem", "supplier", "orders", "nation")
     return (
-        li.join(F.broadcast(part.filter(F.col("p_name").like("%red%"))), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        li.join(part.filter(F.col("p_name").like("%red%")), F.col("p_partkey") == F.col("l_partkey"))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .select(
@@ -485,7 +485,7 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.filter((F.col("l_shipdate") >= F.lit("1996-09-01")) & (F.col("l_shipdate") < F.lit("1996-10-01")))
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             (
                 F.lit(100.0)
@@ -559,7 +559,7 @@ def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NOT IN on a non-nullable key == AntiNullAsFalse (types.hpp:210) == left_anti.
     return (
         li.join(bad_supp, li["l_suppkey"] == bad_supp["s_suppkey"], "left_anti")
-        .join(F.broadcast(parts), F.col("p_partkey") == F.col("l_partkey"))
+        .join(parts, F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
     )
@@ -585,7 +585,7 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(0.5) * F.avg("l_quantity")).alias("half_avg_qty")
     )
     return (
-        li.join(F.broadcast(part.filter(F.col("p_brand") == "Brand#3")), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(part.filter(F.col("p_brand") == "Brand#3"), F.col("p_partkey") == F.col("l_partkey"))
         .join(part_avg, F.col("l_partkey") == F.col("pa_partkey"))
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))
         .agg((F.round(F.sum("l_extendedprice"), R2) / F.lit(7.0)).alias("avg_yearly"))
@@ -656,7 +656,7 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 30))
     )
     return (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
         .filter(cond)
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), R2).alias("revenue"))
     )
@@ -685,7 +685,7 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     forest_parts = part.filter(F.col("p_name").like("red%")).select("p_partkey")
     good_supp = (
         li.filter((F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") < F.lit("1997-01-01")))
-        .join(F.broadcast(forest_parts), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .join(forest_parts, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").alias("sq"))
         .filter(F.col("sq") > 50)
@@ -732,7 +732,7 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = (
         l1.join(orders.filter(F.col("o_orderstatus") == "F"), F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(
             F.broadcast(nation.filter(F.col("n_name") == "NATION_4")),
             F.col("s_nationkey") == F.col("n_nationkey"),
@@ -820,10 +820,10 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-part MIN is unchanged), then take the per-partkey min as a window —
     # the window input is |suppliers x matching parts|, not |lineitem|.
     return (
-        supply.join(F.broadcast(part.filter(F.col("p_size") == 10)), F.col("p_partkey") == F.col("ps_partkey"))
+        supply.join(part.filter(F.col("p_size") == 10), F.col("p_partkey") == F.col("ps_partkey"))
         .withColumn("min_cost", F.min("ps_supplycost").over(Window.partitionBy("ps_partkey")))
         .filter(F.col("ps_supplycost") == F.col("min_cost"))
-        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("ps_suppkey"))
+        .join(supp, F.col("s_suppkey") == F.col("ps_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region.filter(F.col("r_name") == "EUROPE")), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("s_name", "p_partkey", "p_name", F.round("ps_supplycost", R2).alias("cost"), "n_name")
@@ -852,7 +852,7 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     li, supp, nation = _t(spark, sf_dir, "lineitem", "supplier", "nation")
     nat = nation.filter(F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3"))
     supply_value = (
-        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("l_partkey")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), R2).alias("value"))

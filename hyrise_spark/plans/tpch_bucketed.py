@@ -59,7 +59,7 @@ def tpch_q3_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.filter(F.col("o_orderdate") < F.lit("1998-03-15"))
         .join(
-            F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")),
+            cust.filter(F.col("c_mktsegment") == "BUILDING"),
             F.col("c_custkey") == F.col("o_custkey"),
         )
         .join(
@@ -90,7 +90,7 @@ def tpch_q18_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         orders.join(big, orders["o_orderkey"] == big["big_orderkey"], "left_semi")
-        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
         .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.round(F.sum("l_quantity"), R2).alias("sum_qty"))

@@ -665,3 +665,101 @@ def test_q6_datepartitioned_prunes_partitions(spark):
     assert "PartitionFilters" in plan, plan
     pf = plan.split("PartitionFilters:", 1)[1].splitlines()[0]
     assert "__pdate" in pf and ("GreaterThanOrEqual" in pf or ">=" in pf), pf
+
+
+# ---------------------------------------------------------------------------
+# Broadcast-hint gating (VERDICT r6 task #1/#2): an explicit broadcast hint
+# does NOT fall back — Spark honors it past autoBroadcastJoinThreshold and
+# fails at the 8 GB broadcast hard limit (or OOMs the driver first). The
+# reference never has this failure mode because join-impl choice is always
+# cost-based at runtime (lqp_translator.cpp:389-392). So: a hint is only
+# legal over a frame whose size is STATICALLY bounded — a limit, a scalar
+# aggregate, a constant-size dimension (nation=25, region=5), or local data.
+# Everything that scales with data volume must leave the choice to CBO/AQE.
+
+_SCALING_TABLES = {"part", "customer", "supplier", "orders", "lineitem",
+                   "events", "documents", "embeddings"}
+_BOUNDED_DIM_TABLES = {"nation", "region"}  # spec-constant cardinality
+
+# Hints whose bound is real but not statically visible in the plan:
+_BROADCAST_HINT_ALLOWLIST: dict[str, str] = {
+    # IVF coarse quantizer: the hinted centroid frame has one row per cell;
+    # cell count is an index hyperparameter (the testdata label domain, 10),
+    # not a function of corpus size — but it is an Aggregate, so the bound
+    # is structural rather than a literal limit.
+    "sim_ivf_topk": "centroid frame: one row per IVF cell (index hyperparameter)",
+}
+
+
+def _bcast_leaf_tables(node, acc):
+    import re as _re
+
+    if node.getClass().getSimpleName() == "LogicalRelation":
+        try:
+            p = node.relation().location().rootPaths().apply(0).toString()
+            m = _re.search(r"/(\w+)\.parquet", p)
+            acc.add(m.group(1) if m else p)
+        except Exception:  # noqa: BLE001 — non-file relation: treat as opaque
+            acc.add("<non-parquet>")
+    kids = node.children()
+    for i in range(kids.size()):
+        _bcast_leaf_tables(kids.apply(i), acc)
+    return acc
+
+
+def _bcast_subtree_bounded(node) -> bool:
+    """True iff the subtree's output size is statically constant-bounded:
+    a GlobalLimit/LocalLimit caps it, local/one-row/range relations are
+    fixed, a grand aggregate is one row, and nation/region scans are
+    spec-constant. Grouped aggregates and filters do NOT bound — their
+    output scales with the data."""
+    name = node.getClass().getSimpleName()
+    if name in ("GlobalLimit", "LocalLimit", "LocalRelation", "OneRowRelation",
+                "Range"):
+        return True
+    if name == "Aggregate" and node.groupingExpressions().isEmpty():
+        return True
+    if name == "LogicalRelation":
+        return _bcast_leaf_tables(node, set()) <= _BOUNDED_DIM_TABLES
+    kids = node.children()
+    n = kids.size()
+    if n == 0:
+        return False
+    return all(_bcast_subtree_bounded(kids.apply(i)) for i in range(n))
+
+
+def _unbounded_broadcast_hints(df) -> list[str]:
+    """Walk the ANALYZED plan (hints are erased by the optimizer) and return
+    every broadcast ResolvedHint whose subtree scans an SF-scaling base
+    table without a static size bound."""
+    hits: list[str] = []
+
+    def walk(node):
+        if (node.getClass().getSimpleName() == "ResolvedHint"
+                and "broadcast" in node.hints().toString().lower()):
+            tabs = _bcast_leaf_tables(node, set())
+            if (tabs & _SCALING_TABLES) and not _bcast_subtree_bounded(node):
+                hits.append(
+                    f"broadcast hint over unbounded scan of {sorted(tabs & _SCALING_TABLES)}"
+                )
+        kids = node.children()
+        for i in range(kids.size()):
+            walk(kids.apply(i))
+
+    walk(df._jdf.queryExecution().analyzed())
+    return hits
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_registry_no_unbounded_broadcast_hints(spark, name):
+    """Every registered query: no broadcast hint may force a frame that
+    scales with data volume into the 8 GB broadcast dead-end. Bounded
+    frames (limits, scalar aggs, nation/region, literal codebooks) may keep
+    their hints; everything else is CBO/AQE's call."""
+    if name in _BROADCAST_HINT_ALLOWLIST:
+        pytest.skip(_BROADCAST_HINT_ALLOWLIST[name])
+    df = QUERIES[name].builder(spark, SF_DIR)
+    if df is None:
+        pytest.skip("builder returned no DataFrame")
+    bad = _unbounded_broadcast_hints(df)
+    assert not bad, f"{name}: {bad[0]} — forced broadcasts cannot fall back at scale"

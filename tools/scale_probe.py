@@ -123,6 +123,71 @@ def build_scaled(spark, scale: int, out_dir: str) -> None:
     (out / "_done").touch()
 
 
+def build_scaled_all(spark, scale: int, out_dir: str) -> None:
+    """--family dims: scale part/customer/supplier 10x/30x ALONGSIDE the
+    facts — the driver's own testdata generator shape (each SF step grows
+    part/customer/supplier linearly, judge-measured in VERDICT r6). Copy i
+    of every fact references copy i of every dimension: each key column and
+    its referencing FK columns shift by i * (max_key + 1), so FK joins stay
+    valid and each dim's selectivity profile is preserved per copy.
+
+    This is the probe that catches forced dim broadcasts: a hinted
+    broadcast of customer/part/supplier stays a broadcast as the dim grows
+    and eventually dies at the 8 GB hard limit, while a cost-based plan
+    flips to a shuffle join and scales ~linearly."""
+    import pyspark.sql.functions as F
+    from functools import reduce
+
+    out = Path(out_dir)
+    if (out / "_done").exists():
+        return
+    out.mkdir(parents=True, exist_ok=True)
+    for name in ("region", "nation", "events", "documents", "embeddings"):
+        src = Path(BASE_SF) / f"{name}.parquet"
+        if src.exists():
+            shutil.copy(src, out / f"{name}.parquet")
+
+    part = spark.read.parquet(f"{BASE_SF}/part.parquet")
+    supp = spark.read.parquet(f"{BASE_SF}/supplier.parquet")
+    cust = spark.read.parquet(f"{BASE_SF}/customer.parquet")
+    orders = spark.read.parquet(f"{BASE_SF}/orders.parquet")
+    li = spark.read.parquet(f"{BASE_SF}/lineitem.parquet")
+    ps = part.agg(F.max("p_partkey")).collect()[0][0] + 1
+    ss = supp.agg(F.max("s_suppkey")).collect()[0][0] + 1
+    cs = cust.agg(F.max("c_custkey")).collect()[0][0] + 1
+    osh = orders.agg(F.max("o_orderkey")).collect()[0][0] + 1
+
+    def shifted(df, cols_shifts, i):
+        for col, sh in cols_shifts:
+            df = df.withColumn(col, F.col(col) + F.lit(i * sh))
+        return df
+
+    def write(df_copies, name):
+        reduce(lambda a, b: a.unionByName(b), df_copies).write.mode(
+            "overwrite").parquet(str(out / f"{name}.parquet"))
+
+    n = scale
+    write([shifted(part, [("p_partkey", ps)], i) for i in range(n)], "part")
+    write([shifted(supp, [("s_suppkey", ss)], i) for i in range(n)], "supplier")
+    write([shifted(cust, [("c_custkey", cs)], i) for i in range(n)], "customer")
+    write([shifted(orders, [("o_orderkey", osh), ("o_custkey", cs)], i)
+           for i in range(n)], "orders")
+    write([shifted(li, [("l_orderkey", osh), ("l_partkey", ps), ("l_suppkey", ss)], i)
+           for i in range(n)], "lineitem")
+    (out / "_done").touch()
+
+
+# --family dims gates the headline dim-joining queries: every one of these
+# joined a (formerly force-broadcast) part/customer/supplier side.
+DIM_QUERIES = [
+    "tpch_q3",   # customer join (mktsegment filter)
+    "tpch_q5",   # customer + supplier + nation + region
+    "tpch_q9",   # part + supplier on lineitem
+    "tpch_q18",  # customer on heavy agg'd orders/lineitem
+    "tpch_q19",  # part with OR-of-ANDs predicate
+]
+
+
 def _run(spark, builder, sf_dir: str) -> float:
     t0 = time.perf_counter()
     builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -135,7 +200,8 @@ def main() -> int:
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--out", default="/tmp/scale_probe")
     ap.add_argument("--max-exponent", type=float, default=1.35)
-    ap.add_argument("--family", choices=["relational", "pipeline"], default="relational")
+    ap.add_argument("--family", choices=["relational", "pipeline", "dims"],
+                    default="relational")
     args = ap.parse_args()
 
     from hyrise_spark.registry import all_queries
@@ -153,6 +219,9 @@ def main() -> int:
     if args.family == "pipeline":
         builders = _pipeline_builders()
         names = sorted(builders)
+    elif args.family == "dims":
+        builders = {n: qs[n].builder for n in DIM_QUERIES}
+        names = DIM_QUERIES
     else:
         builders = {n: qs[n].builder for n in QUERIES}
         names = QUERIES
@@ -163,6 +232,8 @@ def main() -> int:
         if args.family == "pipeline":
             build_scaled_docs(spark, s, d)
             # pipeline probes only read documents.parquet
+        elif args.family == "dims":
+            build_scaled_all(spark, s, d)
         else:
             build_scaled(spark, s, d)
         dirs[s] = d
