@@ -2086,3 +2086,111 @@ def job_q41(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("cnt"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Eighteen-relation join graph — past JOB's ~17-relation ceiling
+# (join_order_benchmark.cpp runs 113 queries over up to 17 relations; this
+# suite's honest maximum is shaped analogs on the driver schema). Extends
+# job_q41's sixteen leaves with the second fact chain's supplier nation +
+# region dims (sn2/sr2), so BOTH chains carry full dimension paths. The
+# same fan-out bounds hold: key-unique dimension joins, URGENT-only second
+# chain, per-(user, day) event legs. With CBO stats this is the 18-leaf
+# DP-reorder proof (test_cbo_reorders_eighteen_way_graph).
+@register(
+    "job_q42",
+    oracle="""
+    SELECT CAST(MIN(l.l_orderkey) AS BIGINT) AS min_orderkey,
+           MIN(cn.n_name) AS min_cust_nation,
+           MIN(sn2.n_name) AS min_supp2_nation,
+           MIN(p.p_name) AS min_part,
+           MIN(p2.p_name) AS min_part2,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    JOIN region cr ON cn.n_regionkey = cr.r_regionkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    JOIN region sr ON sn.n_regionkey = sr.r_regionkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN events e ON e.user_id = c.c_custkey
+    JOIN events e2 ON e2.user_id = e.user_id
+                  AND CAST(e2.ts AS DATE) = CAST(e.ts AS DATE)
+    JOIN events e3 ON e3.user_id = e.user_id
+                  AND CAST(e3.ts AS DATE) = CAST(e.ts AS DATE)
+    JOIN orders o2 ON o2.o_custkey = c.c_custkey
+    JOIN lineitem l2 ON l2.l_orderkey = o2.o_orderkey
+    JOIN part p2 ON l2.l_partkey = p2.p_partkey
+    JOIN supplier s2 ON l2.l_suppkey = s2.s_suppkey
+    JOIN nation sn2 ON s2.s_nationkey = sn2.n_nationkey
+    JOIN region sr2 ON sn2.n_regionkey = sr2.r_regionkey
+    WHERE cr.r_name = 'AMERICA' AND sr.r_name = 'EUROPE' AND sr2.r_name = 'ASIA'
+      AND p.p_type = 'PROMO'
+      AND l.l_shipdate >= TIMESTAMP '1996-03-01' AND l.l_shipdate < TIMESTAMP '1996-04-01'
+      AND e.event_type = 'purchase' AND e2.event_type = 'click'
+      AND e3.event_type = 'signup'
+      AND o2.o_orderpriority = '1-URGENT' AND l2.l_returnflag = 'R'
+      AND p2.p_type = 'ECONOMY'
+    """,
+    tags=("job", "job-large"),
+)
+def job_q42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders, cust, nation, supp, region, part, events = _t(
+        spark, sf_dir,
+        "lineitem", "orders", "customer", "nation", "supplier", "region", "part",
+        "events",
+    )
+    cn = nation.alias("cn")
+    sn = nation.alias("sn")
+    sn2 = nation.alias("sn2")
+    cr = region.filter(F.col("r_name") == "AMERICA").alias("cr")
+    sr = region.filter(F.col("r_name") == "EUROPE").alias("sr")
+    sr2 = region.filter(F.col("r_name") == "ASIA").alias("sr2")
+    p = part.filter(F.col("p_type") == "PROMO").alias("p")
+    p2 = part.filter(F.col("p_type") == "ECONOMY").alias("p2")
+    e = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("e_uid"), F.to_date("ts").alias("e_day"))
+    )
+    e2 = (
+        events.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("e2_uid"), F.to_date("ts").alias("e2_day"))
+    )
+    e3 = (
+        events.filter(F.col("event_type") == "signup")
+        .select(F.col("user_id").alias("e3_uid"), F.to_date("ts").alias("e3_day"))
+    )
+    o2 = orders.filter(F.col("o_orderpriority") == "1-URGENT").alias("o2")
+    l2 = li.filter(F.col("l_returnflag") == "R").alias("l2")
+    s2 = supp.alias("s2")
+    return (
+        li.filter(_ts_range("l_shipdate", "1996-03-01", "1996-04-01"))
+        .alias("l")
+        .join(orders.alias("o"), F.col("l.l_orderkey") == F.col("o.o_orderkey"))
+        .join(cust.alias("c"), F.col("o.o_custkey") == F.col("c.c_custkey"))
+        .join(F.broadcast(cn), F.col("c.c_nationkey") == F.col("cn.n_nationkey"))
+        .join(F.broadcast(cr), F.col("cn.n_regionkey") == F.col("cr.r_regionkey"))
+        .join(supp.alias("s"), F.col("l.l_suppkey") == F.col("s.s_suppkey"))
+        .join(F.broadcast(sn), F.col("s.s_nationkey") == F.col("sn.n_nationkey"))
+        .join(F.broadcast(sr), F.col("sn.n_regionkey") == F.col("sr.r_regionkey"))
+        .join(p, F.col("l.l_partkey") == F.col("p.p_partkey"))
+        .join(e, F.col("e_uid") == F.col("c.c_custkey"))
+        .join(e2, (F.col("e2_uid") == F.col("e_uid")) & (F.col("e2_day") == F.col("e_day")))
+        .join(e3, (F.col("e3_uid") == F.col("e_uid")) & (F.col("e3_day") == F.col("e_day")))
+        .join(o2, F.col("o2.o_custkey") == F.col("c.c_custkey"))
+        .join(l2, F.col("l2.l_orderkey") == F.col("o2.o_orderkey"))
+        .join(p2, F.col("l2.l_partkey") == F.col("p2.p_partkey"))
+        .join(s2, F.col("l2.l_suppkey") == F.col("s2.s_suppkey"))
+        .join(F.broadcast(sn2), F.col("s2.s_nationkey") == F.col("sn2.n_nationkey"))
+        .join(F.broadcast(sr2), F.col("sn2.n_regionkey") == F.col("sr2.r_regionkey"))
+        .agg(
+            F.min("l.l_orderkey").alias("min_orderkey"),
+            F.min("cn.n_name").alias("min_cust_nation"),
+            F.min("sn2.n_name").alias("min_supp2_nation"),
+            F.min("p.p_name").alias("min_part"),
+            F.min("p2.p_name").alias("min_part2"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )

@@ -55,6 +55,14 @@ def get_spark(app_name: str = "hyrise_spark", cpus: int | None = None) -> SparkS
         # 100 TB (metastore-backed tables) this drives 6-way join graphs.
         .config("spark.sql.cbo.enabled", "true")
         .config("spark.sql.cbo.joinReorder.enabled", "true")
+        # DP join reorder covers the registry's widest graphs (job_q42 = 18
+        # leaves, past JOB's ~17-relation ceiling). Raising the threshold
+        # from the default 12 costs ONE-TIME optimizer work per query (DP
+        # over connected subgraphs, ~seconds at 18 leaves on analyzed
+        # tables) and nothing at execution — the trade a warehouse makes
+        # once, session-wide, exactly like the reference's DpCcp which has
+        # no leaf cap at all (join_ordering/dp_ccp.cpp).
+        .config("spark.sql.cbo.joinReorder.dp.threshold", "18")
         .config("spark.sql.statistics.histogram.enabled", "true")
         # Runtime Bloom-filter injection: the reference's JoinHash builds
         # Bloom filters from the build side to skip probe rows

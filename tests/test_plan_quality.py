@@ -637,6 +637,8 @@ def test_cbo_reorders_sixteen_way_graph(spark):
         def leaf_order(plan: str) -> list[str]:
             return re.findall(r"Relation spark_catalog\.default\.(t_cbo16_\w+)", plan)
 
+        # session.py sets the threshold to 18 session-wide (round 7); this
+        # test predates that and keeps its explicit 16 for self-containment
         spark.conf.set("spark.sql.cbo.joinReorder.dp.threshold", "16")
         spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
         p_off = spark.sql(q)._jdf.queryExecution().optimizedPlan().toString()
@@ -651,7 +653,9 @@ def test_cbo_reorders_sixteen_way_graph(spark):
         assert order_on.index("t_cbo16_nation") < order_on.index("t_cbo16_lineitem"), order_on
     finally:
         spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
-        spark.conf.unset("spark.sql.cbo.joinReorder.dp.threshold")
+        # restore the session.py default (18), NOT unset — unset falls back
+        # to Spark's builtin 12 and would shadow the session-wide setting
+        spark.conf.set("spark.sql.cbo.joinReorder.dp.threshold", "18")
         for t in names.values():
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
@@ -763,3 +767,72 @@ def test_registry_no_unbounded_broadcast_hints(spark, name):
         pytest.skip("builder returned no DataFrame")
     bad = _unbounded_broadcast_hints(df)
     assert not bad, f"{name}: {bad[0]} — forced broadcasts cannot fall back at scale"
+
+
+def test_cbo_reorders_eighteen_way_graph(spark):
+    """CBO reorder proof at job_q42 width: EIGHTEEN leaves — the 16-way
+    graph plus the second fact chain's supplier nation + region dims —
+    past JOB's ~17-relation ceiling. Unlike the 16-way test, the DP
+    threshold is NOT set here: session.py now sets 18 session-wide, so
+    this also pins that the session default covers the registry's widest
+    graph. The reorder must fire and hoist a filtered dimension ahead of
+    the fact."""
+    import re
+
+    from hyrise_spark.layout import create_analyzed_tables
+
+    assert spark.conf.get("spark.sql.cbo.enabled") == "true"
+    assert int(spark.conf.get("spark.sql.cbo.joinReorder.dp.threshold")) >= 18
+    names = create_analyzed_tables(
+        spark,
+        SF_DIR,
+        names=("region", "nation", "customer", "orders", "lineitem", "supplier",
+               "part", "events"),
+        prefix="t_cbo18_",
+    )
+    try:
+        q = """
+        SELECT count(*) AS n
+        FROM t_cbo18_lineitem l
+        JOIN t_cbo18_orders o ON l.l_orderkey = o.o_orderkey
+        JOIN t_cbo18_customer c ON o.o_custkey = c.c_custkey
+        JOIN t_cbo18_nation cn ON c.c_nationkey = cn.n_nationkey
+        JOIN t_cbo18_region cr ON cn.n_regionkey = cr.r_regionkey
+        JOIN t_cbo18_supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN t_cbo18_nation sn ON s.s_nationkey = sn.n_nationkey
+        JOIN t_cbo18_region sr ON sn.n_regionkey = sr.r_regionkey
+        JOIN t_cbo18_part p ON l.l_partkey = p.p_partkey
+        JOIN t_cbo18_events e ON e.user_id = c.c_custkey
+        JOIN t_cbo18_events e2 ON e2.user_id = c.c_custkey
+        JOIN t_cbo18_orders o2 ON o2.o_custkey = c.c_custkey
+        JOIN t_cbo18_lineitem l2 ON l2.l_orderkey = o2.o_orderkey
+        JOIN t_cbo18_part p2 ON l2.l_partkey = p2.p_partkey
+        JOIN t_cbo18_supplier s2 ON l2.l_suppkey = s2.s_suppkey
+        JOIN t_cbo18_nation sn2 ON s2.s_nationkey = sn2.n_nationkey
+        JOIN t_cbo18_region sr2 ON sn2.n_regionkey = sr2.r_regionkey
+        JOIN t_cbo18_events e3 ON e3.user_id = c.c_custkey
+        WHERE cr.r_name = 'AMERICA' AND sr.r_name = 'EUROPE'
+          AND sr2.r_name = 'ASIA'
+          AND p.p_type = 'PROMO' AND e.event_type = 'purchase'
+          AND e2.event_type = 'signup' AND e3.event_type = 'click'
+          AND o2.o_orderpriority = '1-URGENT' AND p2.p_type = 'ECONOMY'
+        """
+
+        def leaf_order(plan: str) -> list[str]:
+            return re.findall(r"Relation spark_catalog\.default\.(t_cbo18_\w+)", plan)
+
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+        p_off = spark.sql(q)._jdf.queryExecution().optimizedPlan().toString()
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+        qe_on = spark.sql(q)._jdf.queryExecution()
+        p_on = qe_on.optimizedPlan().toString()
+        order_off, order_on = leaf_order(p_off), leaf_order(p_on)
+        assert len(order_off) == 18 and len(order_on) == 18, (order_off, order_on)
+        assert qe_on.optimizedPlan().stats().rowCount().isDefined()
+        assert order_off[0] == "t_cbo18_lineitem"
+        assert order_on != order_off, order_on
+        assert order_on.index("t_cbo18_nation") < order_on.index("t_cbo18_lineitem"), order_on
+    finally:
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+        for t in names.values():
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
