@@ -12,7 +12,8 @@ module is the analog, covering BOTH v3 sub-protocols:
 * EXTENDED QUERY (prepared statements, the reference's
   `query_handler.hpp:36 setup_prepared_plan/execute_prepared_plan`
   analog): Parse ($N placeholders -> Spark named parameter markers),
-  Bind (text-format params, converted via the Parse-declared type OIDs),
+  Bind (text-format params, converted via the Parse-declared type OIDs;
+  result format codes honored per column — text OR binary),
   Describe (statement or portal), Execute (row-cap honored),
   Close / Flush / Sync. Binary-format parameters are refused with a
   clear ErrorResponse (text format is what libpq sends by default).
@@ -21,14 +22,21 @@ Design note: Bind builds the DataFrame (lazily for queries); for DDL this
 means side effects happen at Bind rather than Execute — acceptable for a
 shim whose DDL path is also reachable via simple query.
 
-All result values travel in text format (format code 0), which every
-client accepts. Rows are capped at `max_rows` like the JSON server — this
-is an interactive entry point, not a bulk-export path (use the writers in
+Simple-query results travel in text format (format code 0), per protocol.
+Extended-query results honor Bind's result format codes: binary (1) uses
+the PostgreSQL binary send-function encodings (network-order ints/floats,
+1-byte bool, raw UTF-8 for text, raw bytes for bytea, days/micros since
+2000-01-01 for date/timestamp, base-10000 digit groups for numeric) so a
+libpq client requesting resultFormat=1 gets real binary values instead of
+an error. Rows are capped at `max_rows` like the JSON server — this is an
+interactive entry point, not a bulk-export path (use the writers in
 `sources/` for that).
 """
 
 from __future__ import annotations
 
+import datetime
+import decimal
 import re
 import socket
 import socketserver
@@ -58,6 +66,7 @@ _PG_OIDS = {
     "timestamp": (1114, 8),
     "timestamp_ntz": (1114, 8),
     "string": (25, -1),
+    "binary": (17, -1),
 }
 _TEXT_OID = 25
 
@@ -84,6 +93,90 @@ def _render(v: Any) -> bytes | None:
             "{" + ",".join("NULL" if x is None else str(x) for x in v) + "}"
         ).encode()
     return str(v).encode()
+
+
+_PG_EPOCH_DATE = datetime.date(2000, 1, 1)
+_PG_EPOCH_TS = datetime.datetime(2000, 1, 1)
+
+
+def _numeric_binary(d: decimal.Decimal) -> bytes:
+    """PostgreSQL binary NUMERIC: (ndigits, weight, sign, dscale) header
+    followed by base-10000 digit groups, most significant first. weight is
+    the exponent (in base-10000 groups) of the first group."""
+    t = d.as_tuple()
+    dscale = max(0, -t.exponent) if isinstance(t.exponent, int) else 0
+    sign = 0x4000 if t.sign else 0x0000
+    digits = "".join(map(str, t.digits))
+    exp = t.exponent if isinstance(t.exponent, int) else 0
+    if exp > 0:  # integral value with positive exponent: expand the zeros
+        digits += "0" * exp
+        exp = 0
+    split = len(digits) + exp  # decimal point position within the string
+    intpart = digits[:split].lstrip("0") if split > 0 else ""
+    fracpart = "0" * max(0, -split) + digits[max(split, 0):]
+    intpart = "0" * ((-len(intpart)) % 4) + intpart
+    fracpart = fracpart + "0" * ((-len(fracpart)) % 4)
+    groups = [int(intpart[i:i + 4]) for i in range(0, len(intpart), 4)]
+    weight = len(groups) - 1
+    groups += [int(fracpart[i:i + 4]) for i in range(0, len(fracpart), 4)]
+    while groups and groups[0] == 0:
+        groups.pop(0)
+        weight -= 1
+    while groups and groups[-1] == 0:
+        groups.pop()
+    if not groups:
+        weight = 0
+    return struct.pack("!hhHh", len(groups), weight, sign, dscale) + b"".join(
+        struct.pack("!H", g) for g in groups
+    )
+
+
+def _render_binary(v: Any, oid: int) -> bytes | None:
+    """PostgreSQL binary-format send encoding for one value (None -> NULL).
+    Covers every OID `_oid_for` can emit; anything mapped to the text OID
+    (arrays, maps, structs) sends its text rendering — consistent with the
+    advertised type."""
+    if v is None:
+        return None
+    if oid == 16:
+        return b"\x01" if v else b"\x00"
+    if oid == 21:
+        return struct.pack("!h", int(v))
+    if oid == 23:
+        return struct.pack("!i", int(v))
+    if oid == 20:
+        return struct.pack("!q", int(v))
+    if oid == 700:
+        return struct.pack("!f", float(v))
+    if oid == 701:
+        return struct.pack("!d", float(v))
+    if oid == 17:
+        return bytes(v)
+    if oid == 1082:
+        return struct.pack("!i", (v - _PG_EPOCH_DATE).days)
+    if oid == 1114:
+        if v.tzinfo is not None:  # normalize aware -> naive UTC
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        delta = v - _PG_EPOCH_TS
+        return struct.pack("!q", delta.days * 86_400_000_000
+                           + delta.seconds * 1_000_000 + delta.microseconds)
+    if oid == 1700:
+        return _numeric_binary(v if isinstance(v, decimal.Decimal)
+                               else decimal.Decimal(str(v)))
+    return _render(v)  # text OID: binary repr of text IS the raw bytes
+
+
+def _col_formats(rfmts: tuple[int, ...], ncols: int) -> list[int]:
+    """Bind's result-format-code list -> one code per column (protocol: 0
+    codes = all text, 1 code = applies to all, else exactly one per col)."""
+    if not rfmts:
+        return [0] * ncols
+    if len(rfmts) == 1:
+        return [rfmts[0]] * ncols
+    if len(rfmts) != ncols:
+        raise ValueError(
+            f"got {len(rfmts)} result format codes for {ncols} columns")
+    return list(rfmts)
 
 
 def _msg(type_byte: bytes, payload: bytes) -> bytes:
@@ -273,29 +366,32 @@ class _PgHandler(socketserver.BaseRequestHandler):
                 off += plen
             oid = oids[i] if i < len(oids) else 0
             args[f"p{i + 1}"] = _convert_param(raw, oid)
-        # result format codes: we always send text — refuse a binary request
-        # loudly rather than let the client misparse text as binary
+        # result format codes: honored per column (0 = text, 1 = binary)
+        rfmts: tuple[int, ...] = ()
         if off + 2 <= len(rest):
             (n_rfmt,) = struct.unpack_from("!h", rest, off)
             off += 2
             rfmts = struct.unpack_from(f"!{n_rfmt}h", rest, off)
-            if any(f == 1 for f in rfmts):
-                raise ValueError("binary result format not supported (request text)")
+            if any(f not in (0, 1) for f in rfmts):
+                raise ValueError(f"unknown result format code in {rfmts}")
         df = server.engine.execute(sql, args or None)
         tag = sql.strip().split()[0].upper() if sql.strip() else "OK"
-        # portal = {df, tag, rows (collected lazily on first Execute), pos}
-        portals[portal.decode()] = {"df": df, "tag": tag, "rows": None, "pos": 0}
+        # portal = {df, tag, rfmts, rows (collected on first Execute), pos}
+        portals[portal.decode()] = {"df": df, "tag": tag, "rfmts": rfmts,
+                                    "rows": None, "pos": 0}
         self._send(sock, _msg(b"2", b""))  # BindComplete
 
     def _on_describe(self, sock, body: bytes, prepared: dict, portals: dict) -> None:
         kind, rest = body[:1], body[1:]
         name = rest.split(b"\x00", 1)[0].decode()
         if kind == b"P":
-            df = portals[name]["df"]
-            if df is None:
+            portal = portals[name]
+            if portal["df"] is None:
                 self._send(sock, _msg(b"n", b""))  # NoData
-            else:
-                self._send_row_description(sock, df)
+            else:  # RowDescription reflects Bind's result format codes
+                df = portal["df"]
+                self._send_row_description(
+                    sock, df, _col_formats(portal["rfmts"], len(df.dtypes)))
             return
         # statement describe: ParameterDescription + (NoData — schema is only
         # known after Bind in this shim)
@@ -315,7 +411,10 @@ class _PgHandler(socketserver.BaseRequestHandler):
             portal["rows"] = portal["df"].limit(server.max_rows).collect()
         rows, pos = portal["rows"], portal["pos"]
         batch = rows[pos:] if max_rows <= 0 else rows[pos:pos + max_rows]
-        self._send_data_rows(sock, batch)
+        dtypes = portal["df"].dtypes
+        self._send_data_rows(sock, batch,
+                             fmts=_col_formats(portal["rfmts"], len(dtypes)),
+                             oids=[_oid_for(t)[0] for _, t in dtypes])
         portal["pos"] = pos + len(batch)
         if portal["pos"] >= len(rows):
             self._send(sock, _msg(b"C", _cstr(f"SELECT {portal['pos']}")))
@@ -333,7 +432,8 @@ class _PgHandler(socketserver.BaseRequestHandler):
         self._send_data_rows(sock, rows)
         self._send(sock, _msg(b"C", _cstr(f"SELECT {len(rows)}")))
 
-    def _send_row_description(self, sock: socket.socket, df) -> None:
+    def _send_row_description(self, sock: socket.socket, df,
+                              fmts: list[int] | None = None) -> None:
         desc = b"".join(
             _cstr(name)
             + struct.pack(
@@ -343,17 +443,20 @@ class _PgHandler(socketserver.BaseRequestHandler):
                 _oid_for(dtype)[0],
                 _oid_for(dtype)[1],
                 -1,  # typmod
-                0,  # text format
+                fmts[i] if fmts else 0,  # format code from Bind (0 = text)
             )
-            for name, dtype in df.dtypes
+            for i, (name, dtype) in enumerate(df.dtypes)
         )
         self._send(sock, _msg(b"T", struct.pack("!h", len(df.dtypes)) + desc))
 
-    def _send_data_rows(self, sock: socket.socket, rows) -> None:
+    def _send_data_rows(self, sock: socket.socket, rows,
+                        fmts: list[int] | None = None,
+                        oids: list[int] | None = None) -> None:
         for r in rows:
             cells = []
-            for v in r:
-                t = _render(v)
+            for i, v in enumerate(r):
+                t = (_render_binary(v, oids[i]) if fmts and fmts[i] == 1
+                     else _render(v))
                 cells.append(
                     struct.pack("!i", -1) if t is None else struct.pack("!i", len(t)) + t
                 )

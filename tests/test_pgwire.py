@@ -114,7 +114,7 @@ class _RawPg:
                    + b"".join(struct.pack("!I", o) for o in oids))
         self.send(b"P", payload)
 
-    def bind(self, portal: str, stmt: str, params=()):
+    def bind(self, portal: str, stmt: str, params=(), result_formats=()):
         payload = (portal.encode() + b"\x00" + stmt.encode() + b"\x00"
                    + struct.pack("!h", 0)  # no param format codes (all text)
                    + struct.pack("!h", len(params)))
@@ -124,7 +124,8 @@ class _RawPg:
             else:
                 b = str(p).encode()
                 payload += struct.pack("!i", len(b)) + b
-        payload += struct.pack("!h", 0)  # no result format codes
+        payload += struct.pack("!h", len(result_formats))
+        payload += b"".join(struct.pack("!h", f) for f in result_formats)
         self.send(b"B", payload)
 
     def describe_portal(self, portal: str):
@@ -310,3 +311,138 @@ def test_extended_protocol_parameterized_insert(server, spark):
     finally:
         c.close()
         server.engine.execute("DROP TABLE IF EXISTS pgw_dml")
+
+
+# -- binary result format (extended protocol, Bind result format code 1) ----
+
+def _parse_data_cells(payload: bytes) -> list[bytes | None]:
+    (n,) = struct.unpack_from("!h", payload, 0)
+    off, cells = 2, []
+    for _ in range(n):
+        (ln,) = struct.unpack_from("!i", payload, off)
+        off += 4
+        if ln == -1:
+            cells.append(None)
+        else:
+            cells.append(payload[off:off + ln])
+            off += ln
+    return cells
+
+
+def _parse_row_description(payload: bytes):
+    """-> list of (name, oid, format_code)."""
+    (n,) = struct.unpack_from("!h", payload, 0)
+    off, fields = 2, []
+    for _ in range(n):
+        end = payload.index(b"\x00", off)
+        name = payload[off:end].decode()
+        off = end + 1
+        _toid, _att, oid, _tl, _tm, fmt = struct.unpack_from("!IhIhih", payload, off)
+        off += 18
+        fields.append((name, oid, fmt))
+    return fields
+
+
+def test_extended_binary_scalar_results(server):
+    """resultFormat=1 (one code for all columns): network-order ints and
+    floats, 1-byte bool, raw UTF-8 text — the libpq binary contract."""
+    c = _RawPg(server.port)
+    try:
+        c.parse("b1", "SELECT CAST(7 AS INT) AS i, CAST(9 AS BIGINT) AS l,"
+                      " CAST(2.5 AS DOUBLE) AS d, true AS b, 'hé' AS s,"
+                      " CAST(NULL AS INT) AS n")
+        c.bind("", "b1", result_formats=(1,))
+        c.describe_portal("")
+        c.execute("")
+        c.sync()
+        msgs = c.drain_until(b"Z")
+        by = dict(msgs)
+        fields = _parse_row_description(by[b"T"])
+        assert [f for _, _, f in fields] == [1] * 6  # RowDescription says binary
+        cells = _parse_data_cells(by[b"D"])
+        assert struct.unpack("!i", cells[0]) == (7,)
+        assert struct.unpack("!q", cells[1]) == (9,)
+        assert struct.unpack("!d", cells[2]) == (2.5,)
+        assert cells[3] == b"\x01"
+        assert cells[4] == "hé".encode()
+        assert cells[5] is None
+    finally:
+        c.close()
+
+
+def test_extended_binary_temporal_and_numeric(server):
+    """date = days since 2000-01-01 (int4), timestamp = micros since
+    2000-01-01 (int8, integer_datetimes), numeric = base-10000 groups."""
+    import datetime as dt
+
+    c = _RawPg(server.port)
+    try:
+        c.parse("b2", "SELECT DATE '2024-05-06' AS d,"
+                      " TIMESTAMP_NTZ '2024-05-06 07:08:09.123456' AS ts,"
+                      " CAST(-123.45 AS DECIMAL(10,2)) AS num")
+        c.bind("", "b2", result_formats=(1,))
+        c.execute("")
+        c.sync()
+        cells = _parse_data_cells(dict(c.drain_until(b"Z"))[b"D"])
+        assert struct.unpack("!i", cells[0]) == (
+            (dt.date(2024, 5, 6) - dt.date(2000, 1, 1)).days,)
+        want_us = int((dt.datetime(2024, 5, 6, 7, 8, 9, 123456)
+                       - dt.datetime(2000, 1, 1)).total_seconds() * 1_000_000)
+        assert struct.unpack("!q", cells[1]) == (want_us,)
+        nd, w, sign, dscale = struct.unpack_from("!hhHh", cells[2], 0)
+        digs = struct.unpack_from(f"!{nd}H", cells[2], 8)
+        assert (nd, w, sign, dscale) == (2, 0, 0x4000, 2)
+        assert digs == (123, 4500)  # -123.45 -> 123 * 10000^0 + 4500 * 10000^-1
+    finally:
+        c.close()
+
+
+def test_extended_mixed_per_column_formats(server):
+    """Per-column result format codes: text and binary interleaved in one
+    row, with RowDescription reporting each column's code."""
+    c = _RawPg(server.port)
+    try:
+        c.parse("b3", "SELECT CAST(7 AS INT) AS i, CAST(8 AS INT) AS j")
+        c.bind("", "b3", result_formats=(0, 1))
+        c.describe_portal("")
+        c.execute("")
+        c.sync()
+        by = dict(c.drain_until(b"Z"))
+        assert [f for _, _, f in _parse_row_description(by[b"T"])] == [0, 1]
+        cells = _parse_data_cells(by[b"D"])
+        assert cells[0] == b"7"  # text
+        assert struct.unpack("!i", cells[1]) == (8,)  # binary
+    finally:
+        c.close()
+
+
+# -- UCC discovery driven end-to-end from a real psql client ----------------
+
+@pytest.mark.skipif(PSQL is None, reason="psql not installed")
+def test_psql_ucc_discovery_roundtrip(server):
+    """A psql client drives the full ucc_discovery_plugin analog over the
+    wire: log a candidate-bearing statement, trigger discovery via the
+    meta_exec insert (meta_exec_table.cpp:44-48), read the validated UCC
+    from meta_uccs, and run a DISTINCT the rewrite now elides — all through
+    the same connection surface the reference serves psql on."""
+    try:
+        out = _psql(server, "CREATE TABLE pgw_ucc AS SELECT CAST(id AS INT)"
+                            " AS k, CAST(id % 5 AS INT) AS grp FROM RANGE(40)")
+        assert out.returncode == 0, out.stderr
+        # a GROUP BY k lands (pgw_ucc, k) in the statement-log candidates
+        out = _psql(server, "SELECT k, COUNT(*) AS n FROM pgw_ucc GROUP BY k"
+                            " ORDER BY k LIMIT 1")
+        assert out.returncode == 0, out.stderr
+        out = _psql(server, "INSERT INTO meta_exec VALUES ('ucc', 'discover_uccs')")
+        assert out.returncode == 0, out.stderr
+        out = _psql(server, "SELECT table_name, column_name FROM meta_uccs"
+                            " ORDER BY table_name, column_name")
+        assert out.returncode == 0, out.stderr
+        assert "pgw_ucc|k" in out.stdout.splitlines()
+        assert "pgw_ucc|grp" not in out.stdout  # duplicated -> not validated
+        # the validated UCC makes this DISTINCT redundant; results unchanged
+        out = _psql(server, "SELECT DISTINCT k FROM pgw_ucc")
+        assert out.returncode == 0, out.stderr
+        assert len(out.stdout.split()) == 40
+    finally:
+        server.engine.execute("DROP TABLE IF EXISTS pgw_ucc")
