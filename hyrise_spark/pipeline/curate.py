@@ -557,3 +557,64 @@ def curate_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic epoch shuffle: the "global shuffle before training" pass.
+# Every document gets a pseudorandom but reproducible position inside one of
+# N shards; re-running with the same epoch tag yields the identical order
+# (resumable training), a different tag reshuffles everything.
+
+_SHUF_SHARDS = 8
+_SHUF_EPOCH = "epoch1"
+
+
+@register(
+    "curate_epoch_shuffle",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5('{_SHUF_EPOCH}|' || CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS k
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(k % {_SHUF_SHARDS} AS INTEGER) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY k % {_SHUF_SHARDS}
+                                   ORDER BY k, doc_id) AS BIGINT) AS pos
+    FROM keyed
+    """,
+    tags=("curate",),
+)
+def curate_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-keyed global shuffle into training shards: shard = key mod N,
+    position = rank of the key within the shard.
+
+    Scale: the shuffle key is computed row-local; ordering happens INSIDE
+    each shard partition (window partitioned by shard), so there is no
+    global sort — N shards sort independently and in parallel. This is how
+    a 100 TB corpus gets a reproducible training order: one hash pass + one
+    per-shard sort, with shard count chosen to bound per-task sort memory.
+    """
+    from pyspark.sql import Window
+
+    keyed = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", F.lit(_SHUF_EPOCH), F.col("doc_id"))),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("long").alias("k"),
+        )
+        .withColumn("shard", (F.col("k") % _SHUF_SHARDS).cast("int"))
+    )
+    w = Window.partitionBy("shard").orderBy("k", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos"),
+    )

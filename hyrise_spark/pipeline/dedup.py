@@ -522,3 +522,186 @@ def cluster_canonical(
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("canonical_id")
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level dedup (Dolma / CCNet style): the corpus-wide pass that
+# removes boilerplate paragraphs repeated across documents while keeping
+# each document's first-seen content. The driver corpus has no newlines, so
+# "paragraph" = non-overlapping 20-token window (the same tokenization the
+# chunking op uses); on real web text the splitter would be '\n\n'.
+
+_PARA = 20  # tokens per paragraph
+
+
+@register(
+    "dedup_paragraph",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+    ), g AS (
+      SELECT doc_id, w,
+             unnest(generate_series(0, CAST(CEIL(len(w) / {_PARA}.0) AS BIGINT) - 1)) AS pi
+      FROM t
+    ), paras AS (
+      SELECT doc_id, pi,
+             array_to_string(w[pi * {_PARA} + 1 : pi * {_PARA} + {_PARA}], ' ') AS para
+      FROM g
+    ), ranked AS (
+      SELECT doc_id, pi, para,
+             ROW_NUMBER() OVER (PARTITION BY para ORDER BY doc_id, pi) AS rn
+      FROM paras
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_para,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           COALESCE(string_agg(para, ' ' ORDER BY pi) FILTER (WHERE rn = 1), '')
+             AS dedup_text
+    FROM ranked GROUP BY doc_id
+    """,
+    tags=("dedup", "curate"),
+)
+def dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide paragraph dedup: keep only the FIRST occurrence (by
+    doc_id, then position) of every exact paragraph, then reassemble each
+    document from its surviving paragraphs.
+
+    Scale: the ranking window partitions by the paragraph text itself —
+    duplicate groups, never a global window. The only shuffle moves
+    (paragraph, doc_id, idx) rows: each paragraph travels twice (rank +
+    regroup by doc), never the whole document against itself. Skewed
+    boilerplate (one paragraph repeated millions of times) lands one
+    window partition per distinct paragraph — AQE skew split applies.
+    """
+    paras = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("w"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.ceil(F.size("w") / F.lit(float(_PARA))).cast("int") - 1,
+                    ),
+                    lambda i: F.array_join(
+                        F.slice(F.col("w"), i * _PARA + 1, _PARA), " "
+                    ),
+                )
+            ).alias("pi", "para"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("para").orderBy("doc_id", "pi")
+    ranked = paras.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_para"),
+        F.sum((F.col("rn") == 1).cast("long")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("rn") == 1, F.struct("pi", "para"))
+                    )
+                ),
+                lambda s: s["para"],
+            ),
+            " ",
+        ).alias("dedup_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup, Abbas et al. 2023, arXiv:2303.09540): cluster
+# embeddings, then drop items whose cosine to the cluster representative
+# exceeds a threshold — removes semantically redundant documents that no
+# lexical fingerprint catches.
+
+_SEM_K = 8        # clusters (deterministic seed init, shared with sim_kmeans)
+_SEM_TAU = 0.95   # cosine-to-representative above this = semantic duplicate
+
+
+@register(
+    "dedup_semantic",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    seeds AS (
+      SELECT vec_id AS cell,
+             list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS cv
+      FROM e WHERE vec_id < {_SEM_K}
+    ),
+    pts AS (
+      SELECT vec_id, list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS pv
+      FROM e
+    ),
+    assigned AS (
+      SELECT vec_id, pv, cell,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY list_inner_product(pv, cv) DESC, cell) AS rn
+      FROM pts CROSS JOIN seeds
+    ),
+    member AS (SELECT vec_id, pv, cell FROM assigned WHERE rn = 1),
+    reps AS (
+      SELECT cell, MIN(vec_id) AS rep_id FROM member GROUP BY cell
+    ),
+    repvec AS (
+      SELECT r.cell, r.rep_id, m.pv AS rv
+      FROM reps r JOIN member m ON m.vec_id = r.rep_id
+    )
+    SELECT m.vec_id, CAST(m.cell AS INTEGER) AS cell,
+           ROUND(list_inner_product(m.pv, rv), 4) AS rep_sim,
+           (m.vec_id = rep_id OR list_inner_product(m.pv, rv) <= {_SEM_TAU})
+             AS kept
+    FROM member m JOIN repvec USING (cell)
+    """,
+    tags=("dedup", "similarity"),
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: assign every embedding to its nearest seed centroid, pick
+    the min-vec_id representative per cluster, and mark members whose cosine
+    to the representative exceeds tau as semantic duplicates.
+
+    Scale: centroids and representatives are both K-bounded frames (K = an
+    index hyperparameter, not data volume) — the ONLY broadcasts. Each
+    corpus vector is scored K times (narrow expand) and joins the K-row
+    representative frame once; no vector ever compares against another
+    corpus vector directly, unlike the paper's in-cluster all-pairs — this
+    is the O(N*K) variant that survives 100 TB.
+    """
+    from hyrise_spark.pipeline.similarity import _dot, _kmeans_seeds, _normalize
+    from pyspark.sql import Window
+
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    seeds = (
+        _kmeans_seeds(e)
+        .withColumnRenamed("cell", "s_cell")
+        .filter(F.col("s_cell") < _SEM_K)
+        .limit(_SEM_K)
+    )
+    pts = e.select("vec_id", _normalize(F.col("v")).alias("pv"))
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cell"))
+    member = (
+        pts.crossJoin(F.broadcast(seeds))
+        .select("vec_id", "pv", F.col("s_cell").alias("cell"),
+                _dot(F.col("pv"), F.col("cv")).alias("sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "pv", "cell")
+    )
+    reps = member.groupBy("cell").agg(F.min("vec_id").alias("rep_id"))
+    repvec = (
+        reps.join(member.select(F.col("vec_id").alias("rep_id"),
+                                F.col("pv").alias("rv")), "rep_id")
+        .limit(_SEM_K)  # one row per cluster — bounded, broadcast-safe
+    )
+    sim = _dot(F.col("pv"), F.col("rv"))
+    return member.join(F.broadcast(repvec), "cell").select(
+        "vec_id",
+        F.col("cell").cast("int").alias("cell"),
+        F.round(sim, 4).alias("rep_sim"),
+        ((F.col("vec_id") == F.col("rep_id")) | (sim <= F.lit(_SEM_TAU)))
+        .alias("kept"),
+    )

@@ -499,3 +499,72 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hashed linear quality classifier (fastText-style bag-of-hashed-tokens, the
+# standard pretraining-corpus quality gate — e.g. the CCNet / GPT-3 quality
+# filters). Weights are a deterministic function of the hash bucket so the
+# DuckDB oracle computes bit-identical integer logits; a trained model would
+# broadcast its (bucket -> weight) table instead, same plan shape.
+
+_QC_BUCKETS = 64     # hashed feature space
+_QC_MOD = 1997       # weight lattice: w(b) = (b * 2654435761) % 1997 - 998
+
+
+@register(
+    "text_quality_classifier",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(w) AS BIGINT) AS n_tokens,
+           CAST(list_sum(list_transform(w, tok ->
+             (CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) % {_QC_BUCKETS})
+               * 2654435761 % {_QC_MOD} - 998)) AS BIGINT) AS quality_logit,
+           list_sum(list_transform(w, tok ->
+             (CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) % {_QC_BUCKETS})
+               * 2654435761 % {_QC_MOD} - 998)) > 0 AS keep
+    FROM t
+    """,
+    tags=("text", "curate"),
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear classifier over hashed token features, evaluated entirely
+    inside the row: tokens -> md5 bucket -> integer weight -> summed logit.
+
+    Scale: ZERO shuffle — the whole model is a narrow map (higher-order
+    array functions inside whole-stage codegen), so throughput is scan
+    bandwidth. Integer weights keep the logit exact, so the differential is
+    a hash match, not an epsilon compare. A trained model swaps the weight
+    formula for a broadcast lookup; the plan stays a narrow map.
+    """
+    tok_weight = (
+        lambda tok: (
+            F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
+            % _QC_BUCKETS
+        )
+        * F.lit(2654435761)
+        % _QC_MOD
+        - 998
+    )
+    logit = F.aggregate(
+        F.transform(F.col("w"), tok_weight),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("w"),
+        )
+        .select(
+            "doc_id",
+            F.size("w").cast("long").alias("n_tokens"),
+            logit.alias("quality_logit"),
+            (logit > 0).alias("keep"),
+        )
+    )

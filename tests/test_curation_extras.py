@@ -1,0 +1,120 @@
+"""Round-7 curation additions: paragraph-level dedup (Dolma-style),
+semantic dedup (SemDeDup), hashed-linear quality classifier, and the
+deterministic epoch shuffle. The DuckDB differential covers value
+correctness; these tests pin the SEMANTICS on hand-built corpora and the
+determinism/partitioning contracts the oracles cannot see."""
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from hyrise_spark.pipeline.curate import _SHUF_SHARDS, curate_epoch_shuffle
+from hyrise_spark.pipeline.dedup import (
+    _PARA,
+    _SEM_TAU,
+    dedup_paragraph,
+    dedup_semantic,
+)
+from hyrise_spark.pipeline.text import text_quality_classifier
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_paragraph_dedup_drops_repeated_boilerplate(spark, tmp_path):
+    """A paragraph shared by two docs survives only in the first (by doc_id);
+    unique paragraphs all survive; reassembly preserves in-doc order."""
+    boiler = " ".join(f"b{i}" for i in range(_PARA))
+    uniq_a = " ".join(f"a{i}" for i in range(_PARA))
+    uniq_c = " ".join(f"c{i}" for i in range(_PARA))
+    df = spark.createDataFrame(
+        [
+            (0, boiler + " " + uniq_a, "en", "s", 0),
+            (1, boiler + " " + uniq_c, "en", "s", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    path = str(tmp_path / "docs")
+    df.repartition(1).write.parquet(path + "/documents.parquet")
+    rows = {r.doc_id: r for r in dedup_paragraph(spark, path).collect()}
+    assert rows[0].n_para == 2 and rows[0].n_kept == 2
+    assert rows[0].dedup_text == boiler + " " + uniq_a  # order preserved
+    assert rows[1].n_para == 2 and rows[1].n_kept == 1
+    assert rows[1].dedup_text == uniq_c  # boilerplate gone, unique kept
+
+
+def test_paragraph_dedup_within_doc_repetition(spark, tmp_path):
+    """The same paragraph repeated INSIDE one doc keeps only the first copy."""
+    p = " ".join(f"x{i}" for i in range(_PARA))
+    df = spark.createDataFrame(
+        [(7, p + " " + p, "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    path = str(tmp_path / "docs")
+    df.write.parquet(path + "/documents.parquet")
+    (r,) = dedup_paragraph(spark, path).collect()
+    assert (r.n_para, r.n_kept, r.dedup_text) == (2, 1, p)
+
+
+def test_semantic_dedup_drops_near_duplicate_vector(spark, tmp_path):
+    """A vector nearly parallel to its cluster representative is dropped;
+    an orthogonal one in the same cluster is kept; representatives are
+    always kept (even though their self-similarity is 1.0)."""
+    import math
+
+    # seeds 0..7: orthogonal-ish basis so cluster assignment is trivial
+    rows = []
+    for i in range(8):
+        v = [0.0] * 8
+        v[i] = 1.0
+        rows.append((i, v, 0))
+    # vec 10: almost exactly seed 0's direction -> cluster 0, rep is vec 0
+    eps = 0.01
+    near = [1.0, eps, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    rows.append((10, near, 0))
+    # vec 11: leans to seed 0 but far from parallel (cos ~ 0.71) -> kept
+    far = [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.98]
+    rows.append((11, far, 0))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    path = str(tmp_path / "emb")
+    df.write.parquet(path + "/embeddings.parquet")
+    out = {r.vec_id: r for r in dedup_semantic(spark, path).collect()}
+    assert out[0].kept  # representative of cluster 0
+    assert not out[10].kept  # cos to rep ~ 0.99995 > tau
+    assert out[10].rep_sim > _SEM_TAU
+    assert out[11].kept and out[11].cell == 0  # same cluster, dissimilar
+    assert out[11].rep_sim == pytest.approx(1 / math.sqrt(1 + 0.98**2), abs=1e-3)
+
+
+def test_quality_classifier_deterministic_and_zero_shuffle(spark):
+    """Same input -> identical logits across runs, and the physical plan has
+    NO exchange: the classifier is a pure narrow map."""
+    a = text_quality_classifier(spark, SF_DIR)
+    b = text_quality_classifier(spark, SF_DIR)
+    ra = sorted((r.doc_id, r.quality_logit, r.keep) for r in a.collect())
+    rb = sorted((r.doc_id, r.quality_logit, r.keep) for r in b.collect())
+    assert ra == rb
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_epoch_shuffle_is_reproducible_partition_of_corpus(spark):
+    """Every doc lands in exactly one shard, positions are dense 1..n per
+    shard, and the assignment is identical across runs."""
+    out = curate_epoch_shuffle(spark, SF_DIR).collect()
+    again = curate_epoch_shuffle(spark, SF_DIR).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        assert 0 <= r.shard < _SHUF_SHARDS
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert sum(len(v) for v in by_shard.values()) == 500  # every doc once
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))  # dense ranks
+
+
+def test_epoch_shuffle_no_global_sort(spark):
+    """The plan must sort within shard partitions only — a global Sort or
+    a single-partition exchange would serialize the 100 TB corpus."""
+    df = curate_epoch_shuffle(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
