@@ -73,8 +73,18 @@ def _pipeline_builders():
             .agg(F.sum("n").alias("tokens"), F.count(F.lit(1)).alias("docs"))
         )
 
+    def paragraph(spark, d):
+        # the scaled corpus is N shifted copies of the same text — every
+        # paragraph is duplicated N times, the worst-case (hot boilerplate)
+        # load for the per-paragraph ranking window
+        return qs["dedup_paragraph"].builder(spark, d)
+
+    def quality(spark, d):
+        return qs["text_quality_classifier"].builder(spark, d)
+
     return {"dedup_exact": exact, "minhash_signatures": minhash_sig,
-            "text_token_stats": token_stats}
+            "text_token_stats": token_stats, "dedup_paragraph": paragraph,
+            "text_quality_classifier": quality}
 
 
 def build_scaled_docs(spark, scale: int, out_dir: str) -> None:
