@@ -541,6 +541,13 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     a hash match, not an epsilon compare. A trained model swaps the weight
     formula for a broadcast lookup; the plan stays a narrow map.
     """
+    return classifier_select(_docs(spark, sf_dir))
+
+
+def classifier_select(df: DataFrame) -> DataFrame:
+    """The classifier as a reusable projection over any frame with
+    (doc_id, text) — shared by the batch op and the streaming gate so both
+    paths score with bit-identical expressions."""
     tok_weight = (
         lambda tok: (
             F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
@@ -556,8 +563,7 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc + x,
     )
     return (
-        _docs(spark, sf_dir)
-        .select(
+        df.select(
             "doc_id",
             F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("w"),
         )
@@ -567,4 +573,83 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             logit.alias("quality_logit"),
             (logit > 0).alias("keep"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction: top-k salient terms per document — the classic
+# signal behind keyword tagging, topic sampling, and quality heuristics.
+# IDF is kept on an exact-integer lattice (scaled integer division) so both
+# engines score identically with no libm/rounding dependence.
+
+_TFIDF_TOPK = 3
+
+
+@register(
+    "text_tfidf_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM toks GROUP BY term
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             tf.tf * ((n.n_docs * 1000) // df.df) AS score
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, CAST(score AS BIGINT) AS score,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) AS rnk
+      FROM scored
+    )
+    WHERE rnk <= {_TFIDF_TOPK}
+    """,
+    tags=("text",),
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k TF-IDF terms per document with integer-lattice IDF
+    (scaled integer division: idf = (N * 1000) div df).
+
+    Scale: two aggregations over (doc_id, term) pairs — tf partial-aggs
+    map-side; df is one groupBy on term. The scoring join is term-keyed
+    (the df frame scales with VOCABULARY, not corpus size — Heaps' law
+    sublinear, but NOT statically bounded, so no broadcast hint: AQE
+    broadcasts it while it measures small). Ranking windows partition per
+    document. N (corpus size) is a scalar agg — a one-row broadcast.
+    """
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("term").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))  # scalar aggregate: statically one row
+        .withColumn("score", F.expr("tf * ((n_docs * 1000) div df)"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TFIDF_TOPK)
+        .select("doc_id", "term", "tf", "df",
+                F.col("score").cast("long").alias("score"),
+                F.col("rnk").cast("int").alias("rnk"))
     )

@@ -144,3 +144,13 @@ def mixture_sampled_stream(docs: DataFrame, rates: DataFrame) -> DataFrame:
         .filter(accept < F.col("rate"))
         .select("doc_id", "domain", "n_tok", F.round("rate", 4).alias("rate"))
     )
+
+
+def classifier_gated_stream(docs: DataFrame) -> DataFrame:
+    """The hashed-linear quality classifier as a streaming gate: stateless
+    narrow map (no watermark, no state store), bit-identical expressions to
+    the batch `text_quality_classifier` by construction — the streaming
+    deployment admits exactly the documents the batch backfill would."""
+    from hyrise_spark.pipeline.text import classifier_select
+
+    return classifier_select(docs)

@@ -156,3 +156,19 @@ def test_mixture_sampled_stream_matches_batch(spark, docs_dir):
     want = {(r.doc_id, r.domain, r.n_tok, r.rate)
             for r in curate_domain_mixture(spark, SF_DIR).collect()}
     assert got == want and want
+
+
+def test_classifier_gated_stream_matches_batch(spark, docs_dir):
+    """The streamed hashed-linear classifier gate returns bit-identical
+    logits and keep flags to the batch text_quality_classifier (shared
+    expression by construction), and runs stateless."""
+    from hyrise_spark.streaming.curate_stream import classifier_gated_stream
+
+    stream = classifier_gated_stream(read_documents_stream(spark, docs_dir))
+    run_to_completion(stream, "qc_stream_out", output_mode="append")
+    got = _rows(spark.table("qc_stream_out"))
+    batch = classifier_gated_stream(spark.read.parquet(docs_dir))
+    assert got == _rows(batch)
+    assert len(got) == spark.read.parquet(docs_dir).count()
+    kept = sum(1 for r in got if r[-1])
+    assert 0 < kept < len(got)  # the gate separates on this corpus
