@@ -29,8 +29,15 @@ the PostgreSQL binary send-function encodings (network-order ints/floats,
 2000-01-01 for date/timestamp, base-10000 digit groups for numeric) so a
 libpq client requesting resultFormat=1 gets real binary values instead of
 an error. Rows are capped at `max_rows` like the JSON server — this is an
-interactive entry point, not a bulk-export path (use the writers in
-`sources/` for that).
+interactive entry point; the bulk path is the COPY sub-protocol below (or
+the writers in `sources/`).
+
+COPY sub-protocol (what psql's \\copy speaks): `COPY (query)|table TO
+STDOUT` streams CopyData rows (text or csv format, optional header,
+UNCAPPED — rows flow through toLocalIterator, partition-at-a-time);
+`COPY table FROM STDIN` accepts CopyData until CopyDone, parses text/csv,
+casts to the table schema, and routes through the Engine's INSERT handler.
+Quoted-path COPY ('file') stays with the Engine's file import/export.
 """
 
 from __future__ import annotations
@@ -188,6 +195,82 @@ def _cstr(s: str) -> bytes:
 
 
 _DOLLAR_PARAM = re.compile(r"\$(\d+)")
+
+# wire-level COPY (what psql's \copy sends). Quoted-path COPY stays with the
+# Engine's file import/export; only STDOUT/STDIN are handled here.
+_COPY_OUT_RE = re.compile(
+    r"^\s*COPY\s+(?:\((?P<query>.+)\)|(?P<table>\w+)(?:\s*\((?P<cols>[^)]*)\))?)"
+    r"\s+TO\s+STDOUT\s*(?:WITH\s*)?"
+    r"(?:\((?P<opts>[^)]*)\)|(?P<legacy>[A-Za-z][A-Za-z ]*))?\s*;?\s*$",
+    re.I | re.S,
+)
+_COPY_IN_RE = re.compile(
+    r"^\s*COPY\s+(?P<table>\w+)(?:\s*\((?P<cols>[^)]*)\))?"
+    r"\s+FROM\s+STDIN\s*(?:WITH\s*)?"
+    r"(?:\((?P<opts>[^)]*)\)|(?P<legacy>[A-Za-z][A-Za-z ]*))?\s*;?\s*$",
+    re.I | re.S,
+)
+
+
+def _copy_opts(m: "re.Match") -> dict[str, str]:
+    """Parenthesized options ('FORMAT csv, HEADER on') or legacy bare
+    keywords ('CSV HEADER') -> {'format': 'csv', 'header': 'on'}."""
+    out: dict[str, str] = {}
+    for item in (m.group("opts") or "").split(","):
+        parts = item.strip().split(None, 1)
+        if not parts:
+            continue
+        out[parts[0].lower()] = (parts[1].strip().strip("'\"").lower()
+                                 if len(parts) > 1 else "on")
+    for tok in (m.group("legacy") or "").lower().split():
+        if tok in ("csv", "text"):
+            out["format"] = tok
+        elif tok == "header":
+            out["header"] = "on"
+        else:
+            raise ValueError(f"COPY option {tok!r} not supported")
+    fmt = out.get("format", "text")
+    if fmt not in ("text", "csv"):
+        raise ValueError(f"COPY format {fmt!r} not supported (text or csv)")
+    return out
+
+
+def _copy_text_field(v: Any) -> str:
+    """COPY text-format field: \\N for NULL, backslash escapes."""
+    if v is None:
+        return r"\N"
+    t = _render(v)
+    assert t is not None
+    return (t.decode("utf-8", "replace")
+            .replace("\\", "\\\\").replace("\t", "\\t")
+            .replace("\n", "\\n").replace("\r", "\\r"))
+
+
+def _copy_text_parse(field: str) -> str | None:
+    if field == r"\N":
+        return None
+    out, i, n = [], 0, len(field)
+    while i < n:
+        ch = field[i]
+        if ch == "\\" and i + 1 < n:
+            nxt = field[i + 1]
+            out.append({"t": "\t", "n": "\n", "r": "\r", "\\": "\\"}.get(nxt, nxt))
+            i += 2
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
+def _copy_csv_field(v: Any) -> str:
+    if v is None:
+        return ""
+    t = _render(v)
+    assert t is not None
+    s = t.decode("utf-8", "replace")
+    if any(c in s for c in (",", '"', "\n", "\r")):
+        return '"' + s.replace('"', '""') + '"'
+    return s
 
 
 def _dollar_to_named(sql: str) -> str:
@@ -422,6 +505,12 @@ class _PgHandler(socketserver.BaseRequestHandler):
             self._send(sock, _msg(b"s", b""))  # PortalSuspended
 
     def _run_query(self, sock: socket.socket, server: "PgWireServer", sql: str) -> None:
+        m = _COPY_OUT_RE.match(sql)
+        if m:
+            return self._copy_out(sock, server, m)
+        m = _COPY_IN_RE.match(sql)
+        if m:
+            return self._copy_in(sock, server, m)
         df = server.engine.execute(sql)
         if df is None:
             tag = sql.strip().split()[0].upper() if sql.strip() else "OK"
@@ -431,6 +520,115 @@ class _PgHandler(socketserver.BaseRequestHandler):
         self._send_row_description(sock, df)
         self._send_data_rows(sock, rows)
         self._send(sock, _msg(b"C", _cstr(f"SELECT {len(rows)}")))
+
+    # -- COPY sub-protocol (psql \copy) -------------------------------------
+    def _copy_out(self, sock: socket.socket, server: "PgWireServer", m) -> None:
+        """COPY ... TO STDOUT: CopyOutResponse + one CopyData per row.
+
+        This is the one result path WITHOUT the max_rows cap: COPY is the
+        bulk-export surface, and rows stream through toLocalIterator()
+        (partition-at-a-time through the driver, never a full collect)."""
+        opts = _copy_opts(m)
+        fmt = opts.get("format", "text")
+        header = opts.get("header", "off") in ("on", "true", "1")
+        if m.group("query"):
+            df = server.engine.execute(m.group("query"))
+        else:
+            cols = m.group("cols")
+            sel = ", ".join(c.strip() for c in cols.split(",")) if cols else "*"
+            df = server.engine.execute(f"SELECT {sel} FROM {m.group('table')}")
+        ncols = len(df.columns)
+        self._send(sock, _msg(b"H", struct.pack("!bh", 0, ncols)
+                              + struct.pack(f"!{ncols}h", *([0] * ncols))))
+        if fmt == "csv" and header:
+            self._send(sock, _msg(b"d", (",".join(df.columns) + "\n").encode()))
+        n = 0
+        for row in df.toLocalIterator():
+            if fmt == "csv":
+                line = ",".join(_copy_csv_field(v) for v in row)
+            else:
+                line = "\t".join(_copy_text_field(v) for v in row)
+            self._send(sock, _msg(b"d", (line + "\n").encode()))
+            n += 1
+        self._send(sock, _msg(b"c", b""))
+        self._send(sock, _msg(b"C", _cstr(f"COPY {n}")))
+
+    def _copy_in(self, sock: socket.socket, server: "PgWireServer", m) -> None:
+        """COPY table FROM STDIN: CopyInResponse, accumulate CopyData until
+        CopyDone, parse (text or csv; csv approximation: unquoted AND quoted
+        empty both read as NULL), cast to the table schema, and route
+        through the Engine's INSERT handler."""
+        import csv as _csv
+        import io
+        import uuid
+
+        import pyspark.sql.functions as F
+
+        opts = _copy_opts(m)
+        fmt = opts.get("format", "text")
+        header = opts.get("header", "off") in ("on", "true", "1")
+        table = m.group("table")
+        target = server.engine.execute(f"SELECT * FROM {table} WHERE 1 = 0")
+        tcols = ([c.strip() for c in m.group("cols").split(",")]
+                 if m.group("cols") else list(target.columns))
+        dtypes = dict(target.dtypes)
+        unknown = [c for c in tcols if c not in dtypes]
+        if unknown:
+            raise ValueError(f"COPY column(s) {unknown} not in {table}")
+        ncols = len(tcols)
+        self._send(sock, _msg(b"G", struct.pack("!bh", 0, ncols)
+                              + struct.pack(f"!{ncols}h", *([0] * ncols))))
+        buf = bytearray()
+        while True:
+            head = self._recv_exact(sock, 5)
+            if head is None:
+                raise ConnectionResetError
+            mtype = head[:1]
+            (length,) = struct.unpack("!I", head[1:])
+            body = self._recv_exact(sock, length - 4)
+            if body is None:
+                raise ConnectionResetError
+            if mtype == b"d":
+                buf += body
+            elif mtype == b"c":  # CopyDone
+                break
+            elif mtype == b"f":  # CopyFail
+                raise ValueError("COPY aborted by client: "
+                                 + body.split(b"\x00")[0].decode())
+            elif mtype in (b"H", b"S"):  # Flush/Sync mid-copy: ignore
+                continue
+            else:
+                raise ValueError(f"unexpected {mtype!r} during COPY FROM STDIN")
+        text = buf.decode("utf-8")
+        rows: list[list[str | None]] = []
+        if fmt == "csv":
+            rows = [[None if f == "" else f for f in r]
+                    for r in _csv.reader(io.StringIO(text)) if r]
+            if header and rows:
+                rows = rows[1:]
+        else:
+            for line in text.split("\n"):
+                if line in ("", "\\."):
+                    continue
+                rows.append([_copy_text_parse(f) for f in line.split("\t")])
+        for r in rows:
+            if len(r) != ncols:
+                raise ValueError(
+                    f"COPY row has {len(r)} fields, expected {ncols}: {r!r}")
+        spark = server.engine.spark
+        view = f"copy_in_{uuid.uuid4().hex[:10]}"
+        sdf = spark.createDataFrame(
+            [tuple(r) for r in rows],
+            schema=", ".join(f"{c} string" for c in tcols),
+        ).select(*[F.col(c).cast(dtypes[c]).alias(c) for c in tcols])
+        sdf.createOrReplaceTempView(view)
+        try:
+            server.engine.execute(
+                f"INSERT INTO {table} ({', '.join(tcols)}) SELECT * FROM {view}"
+            )
+        finally:
+            spark.catalog.dropTempView(view)
+        self._send(sock, _msg(b"C", _cstr(f"COPY {len(rows)}")))
 
     def _send_row_description(self, sock: socket.socket, df,
                               fmts: list[int] | None = None) -> None:

@@ -446,3 +446,90 @@ def test_psql_ucc_discovery_roundtrip(server):
         assert len(out.stdout.split()) == 40
     finally:
         server.engine.execute("DROP TABLE IF EXISTS pgw_ucc")
+
+
+# -- COPY sub-protocol (psql \copy) ------------------------------------------
+
+def _psql_in(server, sql, stdin_text):
+    return subprocess.run(
+        [PSQL, "-h", "127.0.0.1", "-p", str(server.port), "-U", "any", "-d", "any",
+         "-X", "-A", "-t", "-c", sql],
+        capture_output=True, text=True, timeout=120, input=stdin_text,
+    )
+
+
+@pytest.mark.skipif(PSQL is None, reason="psql not installed")
+def test_psql_copy_to_stdout_csv_header(server, spark):
+    spark.read.parquet(f"{SF_DIR}/nation.parquet").createOrReplaceTempView("pg_cp_nation")
+    out = _psql(server, "COPY (SELECT n_nationkey, n_name FROM pg_cp_nation"
+                        " WHERE n_nationkey < 2 ORDER BY n_nationkey)"
+                        " TO STDOUT (FORMAT csv, HEADER on)")
+    assert out.returncode == 0, out.stderr
+    assert out.stdout.splitlines() == [
+        "n_nationkey,n_name", "0,NATION_0", "1,NATION_1"]
+
+
+@pytest.mark.skipif(PSQL is None, reason="psql not installed")
+def test_psql_copy_to_stdout_text_escapes_and_nulls(server):
+    out = _psql(server, "COPY (SELECT 1 AS a, CAST(NULL AS STRING) AS b,"
+                        " concat('x', char(9), 'y') AS c) TO STDOUT")
+    assert out.returncode == 0, out.stderr
+    assert out.stdout == "1\t\\N\tx\\ty\n"  # NULL -> \N, literal tab escaped
+
+
+@pytest.mark.skipif(PSQL is None, reason="psql not installed")
+def test_psql_copy_legacy_bare_options_uncapped(server, spark):
+    """Legacy 'CSV HEADER' syntax; COPY must NOT be row-capped (server
+    fixture caps SELECT at 50 rows — nation has only 25, so plant 60)."""
+    spark.range(60).selectExpr("id AS k").createOrReplaceTempView("pg_cp_wide")
+    out = _psql(server, "COPY pg_cp_wide TO STDOUT CSV HEADER")
+    assert out.returncode == 0, out.stderr
+    lines = out.stdout.splitlines()
+    assert lines[0] == "k" and len(lines) == 61  # header + ALL 60 rows
+
+
+@pytest.mark.skipif(PSQL is None, reason="psql not installed")
+def test_psql_copy_from_stdin_roundtrip(server):
+    """\\copy ingest: text format with NULL and escaped tab, typed target
+    table, readable afterwards over the same wire."""
+    server.engine.execute(
+        "DROP TABLE IF EXISTS pgw_cp;"
+        " CREATE TABLE pgw_cp AS SELECT CAST(0 AS INT) AS k,"
+        " CAST('seed' AS STRING) AS s WHERE 1 = 0"
+    )
+    try:
+        out = _psql_in(server, "COPY pgw_cp FROM STDIN",
+                       "1\thello\n2\t\\N\n3\ta\\tb\n")
+        assert out.returncode == 0, out.stderr
+        rows = sorted(
+            (r.k, r.s) for r in server.engine.execute("SELECT * FROM pgw_cp").collect()
+        )
+        assert rows == [(1, "hello"), (2, None), (3, "a\tb")]
+        out = _psql_in(server, "COPY pgw_cp (k, s) FROM STDIN (FORMAT csv, HEADER on)",
+                       "k,s\n4,csvrow\n")
+        assert out.returncode == 0, out.stderr
+        n = server.engine.execute("SELECT COUNT(*) AS n FROM pgw_cp").collect()[0].n
+        assert n == 4
+    finally:
+        server.engine.execute("DROP TABLE IF EXISTS pgw_cp")
+
+
+@pytest.mark.skipif(PSQL is None, reason="psql not installed")
+def test_psql_backslash_copy_file_roundtrip(server, tmp_path):
+    """The real psql \\copy meta-command: export to a local file, then
+    ingest it back — exercises both COPY directions as psql drives them."""
+    server.engine.execute(
+        "DROP TABLE IF EXISTS pgw_cp2;"
+        " CREATE TABLE pgw_cp2 AS SELECT CAST(id AS INT) AS k FROM RANGE(5)"
+    )
+    f = tmp_path / "dump.csv"
+    try:
+        out = _psql(server, f"\\copy (SELECT k FROM pgw_cp2 ORDER BY k) to '{f}' csv")
+        assert out.returncode == 0, out.stderr
+        assert f.read_text() == "0\n1\n2\n3\n4\n"
+        out = _psql(server, f"\\copy pgw_cp2 from '{f}' csv")
+        assert out.returncode == 0, out.stderr
+        n = server.engine.execute("SELECT COUNT(*) AS n FROM pgw_cp2").collect()[0].n
+        assert n == 10
+    finally:
+        server.engine.execute("DROP TABLE IF EXISTS pgw_cp2")
