@@ -705,3 +705,88 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("vec_id") == F.col("rep_id")) | (sim <= F.lit(_SEM_TAU)))
         .alias("kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring duplication coverage (the ExactSubstr idea of Lee et al.
+# 2022, "Deduplicating Training Data Makes Language Models Better",
+# arXiv:2107.06499): a document is problematic in proportion to how much of
+# it is text that appears verbatim elsewhere. Their suffix-array approach is
+# inherently single-machine; the distributed re-expression is stride-1
+# n-token windows — a window whose exact text occurs in 2+ places marks its
+# n tokens as duplicated, and the per-doc duplicated-window share is the
+# removal signal.
+
+_XS_N = 30  # window length in tokens (Lee et al. use 50 BPE tokens)
+
+
+@register(
+    "dedup_substring_coverage",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+    ), g AS (
+      SELECT doc_id, w,
+             unnest(generate_series(0, len(w) - {_XS_N})) AS wi
+      FROM t WHERE len(w) >= {_XS_N}
+    ), wins AS (
+      SELECT doc_id, wi,
+             md5(array_to_string(w[wi + 1 : wi + {_XS_N}], ' ')) AS h
+      FROM g
+    ), dup AS (
+      SELECT h, COUNT(*) AS occ FROM wins GROUP BY h
+    )
+    SELECT wins.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN dup.occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_windows,
+           CAST((SUM(CASE WHEN dup.occ > 1 THEN 1 ELSE 0 END) * 10000)
+                // COUNT(*) AS BIGINT) AS dup_bps
+    FROM wins JOIN dup USING (h)
+    GROUP BY wins.doc_id
+    """,
+    tags=("dedup",),
+)
+def dedup_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document share of stride-1 {n}-token windows whose exact text
+    occurs more than once in the corpus (within OR across documents) —
+    the coverage signal behind substring-level dedup removal. dup_bps is
+    basis points on an exact integer lattice (x * 10000 div n).
+
+    Scale: window text never leaves the map side — only its md5 shuffles,
+    twice (occurrence count + doc regroup). Stride-1 inflates rows by
+    ~doc_length, but each row is a 16-byte hash + ids: at 100 TB this is
+    the same shape the shingle/MinHash paths already carry. The occurrence
+    count partial-aggs map-side; hot boilerplate windows are single hash
+    groups (AQE skew split).
+    """
+    wins = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("w"))
+        .filter(F.size("w") >= _XS_N)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("w") - _XS_N),
+                    lambda i: F.md5(
+                        F.array_join(F.slice(F.col("w"), i + 1, _XS_N), " ")
+                    ),
+                )
+            ).alias("wi", "h"),
+        )
+    )
+    occ = wins.groupBy("h").agg(F.count(F.lit(1)).alias("occ"))
+    dup = (F.col("occ") > 1).cast("long")
+    return (
+        wins.join(occ, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(dup).alias("n_dup_windows"),
+            F.expr(
+                "CAST((sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) * 10000)"
+                " div count(1) AS BIGINT)"
+            ).alias("dup_bps"),
+        )
+    )

@@ -118,3 +118,31 @@ def test_epoch_shuffle_no_global_sort(spark):
     df = curate_epoch_shuffle(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan, plan
+
+
+def test_substring_coverage_detects_cross_doc_copy(spark, tmp_path):
+    """A 30-token run copied verbatim between two otherwise-different docs
+    marks exactly its windows as duplicated in BOTH docs; a fully unique
+    doc reports zero coverage."""
+    from hyrise_spark.pipeline.dedup import _XS_N, dedup_substring_coverage
+
+    shared = " ".join(f"s{i}" for i in range(_XS_N))
+    pre = " ".join(f"p{i}" for i in range(10))
+    post = " ".join(f"q{i}" for i in range(10))
+    rows = [
+        (0, pre + " " + shared, "en", "s", 0),        # shared at the end
+        (1, shared + " " + post, "en", "s", 0),       # shared at the start
+        (2, " ".join(f"u{i}" for i in range(50)), "en", "s", 0),  # unique
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    path = str(tmp_path / "docs")
+    df.write.parquet(path + "/documents.parquet")
+    out = {r.doc_id: r for r in dedup_substring_coverage(spark, path).collect()}
+    # docs 0/1: 40 tokens -> 11 windows each; ONLY the one aligned window
+    # (the shared run itself) exists in both
+    assert out[0].n_windows == 11 and out[1].n_windows == 11
+    assert out[0].n_dup_windows == 1 and out[1].n_dup_windows == 1
+    assert out[0].dup_bps == 10000 // 11
+    assert out[2].n_dup_windows == 0 and out[2].dup_bps == 0
