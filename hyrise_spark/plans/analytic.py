@@ -169,8 +169,13 @@ _BLOOM_WORDS = 32  # 32 words x 63 usable bits = 2016 bits (63, not 64:
 _BLOOM_HASHES = 3
 
 
+# The depth hash rows are disjoint 6-hex-char (24-bit) windows of ONE md5
+# of the value — the double-hashing convention: md5 bits are uniform, so
+# the windows act as independent hash functions, and the value is digested
+# once per row instead of once per (row, depth). Catalyst's subexpression
+# elimination shares the single md5 across the depth expressions.
 def _cm_hash_sql(row: int, expr: str) -> str:
-    return (f"CAST(concat('0x', substr(md5(concat('{row}|', CAST({expr} AS VARCHAR))), 1, 15)) "
+    return (f"CAST(concat('0x', substr(md5(CAST({expr} AS VARCHAR)), {1 + row * 6}, 6)) "
             f"AS BIGINT) % {_CM_WIDTH}")
 
 
@@ -179,7 +184,7 @@ def _cm_hash_spark(row: int, col) -> "F.Column":
 
     return (
         F.conv(
-            F.substring(F.md5(F.concat(F.lit(f"{row}|"), col.cast("string"))), 1, 15),
+            F.substring(F.md5(col.cast("string")), 1 + row * 6, 6),
             16, 10,
         ).cast("long") % _CM_WIDTH
     )
@@ -227,8 +232,8 @@ def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH bits AS (
       SELECT DISTINCT
-             CAST(concat('0x', substr(md5(concat(CAST(h.i AS VARCHAR), '#',
-                  CAST(l_partkey AS VARCHAR))), 1, 15)) AS BIGINT)
+             CAST(concat('0x', substr(md5(CAST(l_partkey AS VARCHAR)),
+                  1 + h.i * 8, 8)) AS BIGINT)
                % {_BLOOM_WORDS * 63} AS bit
       FROM lineitem, LATERAL (SELECT UNNEST(generate_series(0, {_BLOOM_HASHES - 1})) AS i) h
     )
@@ -245,18 +250,22 @@ def sketch_bloom_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit_or; merge across partitions/tables = bitwise OR of words. Membership
     false-positive bound pinned in tests/test_sketches.py."""
     (li,) = _t(spark, sf_dir, "lineitem")
-    bit = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("i").cast("string"), F.lit("#"), F.col("l_partkey").cast("string"))),
-                1, 15,
-            ),
-            16, 10,
-        ).cast("long") % (_BLOOM_WORDS * 63)
-    )
+
+    # k bit positions = disjoint 8-hex-char windows of ONE md5 per key
+    # (double-hashing convention, same as the count-min rows): the value is
+    # digested once, not once per hash — CSE shares the md5 expression.
+    def bit_for(i: int):
+        return (
+            F.conv(
+                F.substring(F.md5(F.col("l_partkey").cast("string")), 1 + i * 8, 8),
+                16, 10,
+            ).cast("long") % (_BLOOM_WORDS * 63)
+        )
+
     bits = (
-        li.select(F.explode(F.sequence(F.lit(0), F.lit(_BLOOM_HASHES - 1))).alias("i"), "l_partkey")
-        .select(bit.alias("bit"))
+        li.select(
+            F.explode(F.array(*[bit_for(i) for i in range(_BLOOM_HASHES)])).alias("bit")
+        )
         .distinct()
     )
     return (

@@ -82,7 +82,7 @@ def test_bloom_has_no_false_negatives_and_bounded_fp(spark):
 
     def bits_of(key: int):
         for i in range(_BLOOM_HASHES):
-            h = int(hashlib.md5(f"{i}#{key}".encode()).hexdigest()[:15], 16) % m
+            h = int(hashlib.md5(f"{key}".encode()).hexdigest()[i * 8:(i + 1) * 8], 16) % m
             yield h // 63, h % 63
 
     def member(key: int) -> bool:
