@@ -565,7 +565,12 @@ def curate_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 # N shards; re-running with the same epoch tag yields the identical order
 # (resumable training), a different tag reshuffles everything.
 
-_SHUF_SHARDS = 8
+# Shard count IS the parallelism of the per-shard sort (one window
+# partition each), so production sizes it as corpus_bytes / target_task
+# size — tens of thousands at 100 TB, not a constant. 64 here keeps the
+# oracle compact while still exercising multi-doc shards at sf<=0.01
+# (500 docs -> ~8 docs/shard).
+_SHUF_SHARDS = 64
 _SHUF_EPOCH = "epoch1"
 
 
@@ -592,9 +597,10 @@ def curate_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the shuffle key is computed row-local; ordering happens INSIDE
     each shard partition (window partitioned by shard), so there is no
-    global sort — N shards sort independently and in parallel. This is how
-    a 100 TB corpus gets a reproducible training order: one hash pass + one
-    per-shard sort, with shard count chosen to bound per-task sort memory.
+    global sort — N shards sort independently and in parallel, and N is
+    also the parallelism, so production sets it from data volume (see
+    _SHUF_SHARDS note). This is how a 100 TB corpus gets a reproducible
+    training order: one hash pass + N parallel bounded sorts.
     """
     from pyspark.sql import Window
 

@@ -211,28 +211,55 @@ _BANDS = 4
 _ROWS_PER_BAND = _K // _BANDS
 
 
+# MinHash permutations (round 7): ONE md5 per distinct shingle, split into
+# 30-bit halves, then K affine combinations modulo a Mersenne prime — the
+# classic universal-hash MinHash family (Broder). Replaces K md5 digests per
+# shingle with one digest + K multiply-adds; the halves keep every product
+# under 2^57 so the arithmetic is exact 64-bit on BOTH engines (Spark ANSI
+# mode would error on overflow; DuckDB would silently widen to HUGEINT).
+_MH_P = (1 << 61) - 1
+_MH_HALF_MASK = (1 << 30) - 1
+
+
+def _mh_a1(i: int) -> int:
+    return 1000003 * i + 12345
+
+
+def _mh_a2(i: int) -> int:
+    return 999983 * i + 67891
+
+
 def minhash_signatures(toks: DataFrame) -> DataFrame:
     """(doc_id, sig array<long>) from a (doc_id, w words-array) frame. All K
     signature components in ONE aggregation (no K-way row explode, no
-    per-(doc,i) shuffle): K min-columns packed into an array. At 100 TB the
+    per-(doc,i) shuffle): K min-columns packed into an array. The shingle is
+    md5-digested ONCE (materialized as 30-bit halves before the groupBy, so
+    single evaluation is guaranteed rather than left to codegen CSE); each
+    signature row is an affine permutation of the halves. At 100 TB the
     signature stage is a single groupBy(doc_id) over shingles — also probed
     directly by tools/scale_probe.py --family pipeline.
 
-    Measured negative result (round 6, keep for posterity): moving the K md5
-    trees into one transform(sequence(0,K-1), ...) lambda with min(arr[i])
-    aggregates returns identical signatures but runs 1.3x SLOWER at sf0.1
-    (5.14 s vs 3.96 s, 5-run medians) — per-row higher-order-function eval
-    loses to K codegen'd flat expressions; the cost here is runtime, not
-    Catalyst analysis."""
+    Measured negative result (round 6, keep for posterity): moving the K
+    hash trees into one transform(sequence(0,K-1), ...) lambda with
+    min(arr[i]) aggregates returns identical signatures but ran 1.3x SLOWER
+    at sf0.1 — per-row higher-order-function eval loses to K codegen'd flat
+    expressions, which is why the K permutations stay flat min-aggregates."""
     shingles = toks.select("doc_id", F.explode(_shingle_array(3)).alias("sh")).distinct()
+    base = _md5_int_spark(F.col("sh"))
+    hashed = shingles.select(
+        "doc_id",
+        F.shiftright(base, 30).alias("hi"),
+        base.bitwiseAND(F.lit(_MH_HALF_MASK)).alias("lo"),
+    )
     mins = [
         F.min(
-            _md5_int_spark(F.concat(F.lit(f"{i}|"), F.col("sh")))
+            (F.lit(_mh_a1(i)) * F.col("hi") + F.lit(_mh_a2(i)) * F.col("lo")
+             + F.lit(i)) % F.lit(_MH_P)
         ).alias(f"m{i}")
         for i in range(_K)
     ]
     return (
-        shingles.groupBy("doc_id")
+        hashed.groupBy("doc_id")
         .agg(*mins)
         .select("doc_id", F.array(*[f"m{i}" for i in range(_K)]).alias("sig"))
     )
@@ -248,10 +275,16 @@ def minhash_signatures(toks: DataFrame) -> DataFrame:
     ), shingles AS (
       SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS sh
       FROM toks, LATERAL (SELECT UNNEST(generate_series(1, len(w) - 2)) AS i)
+    ), hashed AS (
+      SELECT doc_id,
+             {_md5_int_sql("sh")} >> 30 AS hi,
+             {_md5_int_sql("sh")} & {_MH_HALF_MASK} AS lo
+      FROM shingles
     ), sig AS (
       SELECT doc_id, h.i AS i,
-             MIN({_md5_int_sql("concat(CAST(h.i AS VARCHAR), '|', sh)")}) AS mh
-      FROM shingles, LATERAL (SELECT UNNEST(generate_series(0, {_K - 1})) AS i) h
+             MIN(((1000003 * h.i + 12345) * hi + (999983 * h.i + 67891) * lo + h.i)
+                 % {_MH_P}) AS mh
+      FROM hashed, LATERAL (SELECT UNNEST(generate_series(0, {_K - 1})) AS i) h
       GROUP BY doc_id, h.i
     ), bands AS (
       SELECT doc_id, i // {_ROWS_PER_BAND} AS band,
