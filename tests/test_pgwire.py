@@ -533,3 +533,13 @@ def test_psql_backslash_copy_file_roundtrip(server, tmp_path):
         assert n == 10
     finally:
         server.engine.execute("DROP TABLE IF EXISTS pgw_cp2")
+
+
+@pytest.mark.skipif(PSQL is None, reason="psql not installed")
+def test_psql_explain_returns_plan(server, spark):
+    """EXPLAIN flows through the Engine's default path: a psql user gets
+    the Spark physical plan as a one-column result."""
+    spark.range(5).selectExpr("id AS k").createOrReplaceTempView("pg_ex")
+    out = _psql(server, "EXPLAIN SELECT k FROM pg_ex WHERE k > 1")
+    assert out.returncode == 0, out.stderr
+    assert "Physical Plan" in out.stdout and "Filter" in out.stdout
