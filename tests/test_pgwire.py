@@ -543,3 +543,26 @@ def test_psql_explain_returns_plan(server, spark):
     out = _psql(server, "EXPLAIN SELECT k FROM pg_ex WHERE k > 1")
     assert out.returncode == 0, out.stderr
     assert "Physical Plan" in out.stdout and "Filter" in out.stdout
+
+
+def test_numeric_binary_encoding_lattice():
+    """Pure-python pin of the pg binary NUMERIC encoder across the tricky
+    lattice points: zero, negatives, sub-1 fractions with leading zero
+    groups, trailing-zero groups, and base-10000 boundaries."""
+    import decimal
+
+    from hyrise_spark.pgwire import _numeric_binary
+
+    def decode(b: bytes) -> decimal.Decimal:
+        nd, w, sign, dscale = struct.unpack_from("!hhHh", b, 0)
+        digs = struct.unpack_from(f"!{nd}H", b, 8)
+        val = sum(decimal.Decimal(d) * (decimal.Decimal(10000) ** (w - i))
+                  for i, d in enumerate(digs)) or decimal.Decimal(0)
+        if sign:
+            val = -val
+        return val.quantize(decimal.Decimal(1).scaleb(-dscale)) if dscale else val
+
+    for s in ("0", "123.45", "-0.07", "0.00123", "0.0001", "12345678.9999",
+              "-98765", "10000", "123400", "9999.9999", "-10000.0001"):
+        d = decimal.Decimal(s)
+        assert decode(_numeric_binary(d)) == d, s
