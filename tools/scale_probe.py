@@ -82,9 +82,15 @@ def _pipeline_builders():
     def quality(spark, d):
         return qs["text_quality_classifier"].builder(spark, d)
 
+    def substring(spark, d):
+        # expected ~linear (hash volume grows with corpus) — like ExactSubstr
+        # itself; the probe documents the constant, not a sublinear claim
+        return qs["dedup_substring_coverage"].builder(spark, d)
+
     return {"dedup_exact": exact, "minhash_signatures": minhash_sig,
             "text_token_stats": token_stats, "dedup_paragraph": paragraph,
-            "text_quality_classifier": quality}
+            "text_quality_classifier": quality,
+            "dedup_substring_coverage": substring}
 
 
 def build_scaled_docs(spark, scale: int, out_dir: str) -> None:
