@@ -110,6 +110,57 @@ def build_scaled_docs(spark, scale: int, out_dir: str) -> None:
     (out / "_done").touch()
 
 
+def build_scaled_skew(spark, scale: int, out_dir: str) -> None:
+    """--family skew: lineitem scaled Nx with l_orderkey shifted but
+    l_suppkey UNSHIFTED (FKs stay valid), supplier verbatim. The JCC-H
+    queries' induced hot supplier (75% of rows) then owns Nx its base
+    volume — the pathological key grows with the data while the dimension
+    does not, which is exactly the shape salting exists for."""
+    import pyspark.sql.functions as F
+    from functools import reduce
+
+    out = Path(out_dir)
+    if (out / "_done").exists():
+        return
+    out.mkdir(parents=True, exist_ok=True)
+    shutil.copy(Path(BASE_SF) / "supplier.parquet", out / "supplier.parquet")
+    li = spark.read.parquet(f"{BASE_SF}/lineitem.parquet")
+    osh = li.agg(F.max("l_orderkey")).collect()[0][0] + 1
+    copies = [li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * osh))
+              for i in range(scale)]
+    reduce(lambda a, b: a.unionByName(b), copies).write.mode("overwrite").parquet(
+        str(out / "lineitem.parquet"))
+    (out / "_done").touch()
+
+
+def _skew_builders():
+    import pyspark.sql.functions as F
+
+    from hyrise_spark.plans.jcch import _skewed_lineitem
+    from hyrise_spark.registry import all_queries
+
+    qs = all_queries()
+    builders = {n: qs[n].builder
+                for n in ("jcch_skewed_group_agg", "jcch_skewed_salted_join")}
+
+    # the contrast row: same join WITHOUT the salt. Measured round 7 at x10
+    # (32 cores, AQE on): unsalted ~2.0 s vs salted ~1.1 s — AQE's skew
+    # split did not rescue the shuffled-hash join; the salted plan did.
+    def unsalted_join(spark, d):
+        li = spark.read.parquet(f"{d}/lineitem.parquet")
+        supp = spark.read.parquet(f"{d}/supplier.parquet").select("s_suppkey", "s_name")
+        return (
+            _skewed_lineitem(li)
+            .join(supp.hint("shuffle_hash"), "s_suppkey")
+            .groupBy("s_name")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("rev"))
+        )
+
+    builders["jcch_unsalted_join_contrast"] = unsalted_join
+    return builders
+
+
 def build_scaled(spark, scale: int, out_dir: str) -> None:
     import pyspark.sql.functions as F
 
@@ -216,7 +267,7 @@ def main() -> int:
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--out", default="/tmp/scale_probe")
     ap.add_argument("--max-exponent", type=float, default=1.35)
-    ap.add_argument("--family", choices=["relational", "pipeline", "dims"],
+    ap.add_argument("--family", choices=["relational", "pipeline", "dims", "skew"],
                     default="relational")
     args = ap.parse_args()
 
@@ -235,6 +286,9 @@ def main() -> int:
     if args.family == "pipeline":
         builders = _pipeline_builders()
         names = sorted(builders)
+    elif args.family == "skew":
+        builders = _skew_builders()
+        names = sorted(builders)
     elif args.family == "dims":
         builders = {n: qs[n].builder for n in DIM_QUERIES}
         names = DIM_QUERIES
@@ -248,6 +302,8 @@ def main() -> int:
         if args.family == "pipeline":
             build_scaled_docs(spark, s, d)
             # pipeline probes only read documents.parquet
+        elif args.family == "skew":
+            build_scaled_skew(spark, s, d)
         elif args.family == "dims":
             build_scaled_all(spark, s, d)
         else:
