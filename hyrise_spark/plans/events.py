@@ -282,3 +282,86 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("cohort", "week_offset")
     )
+
+
+# Rolling z-score anomaly detection: flag days where a user's event count
+# spikes versus their own trailing baseline — the standard ops/abuse
+# monitoring primitive. Baseline stats come from EXACT integer sums over the
+# trailing frame (n, sum, sum-of-squares), so both engines compute identical
+# doubles from identical integers; stddev_samp itself is avoided because the
+# engines' accumulation algorithms (naive vs Welford) differ in low bits.
+_ZS_MIN_BASELINE = 3  # days of history required before scoring
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle=f"""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ), framed AS (
+      SELECT user_id, day, cnt,
+             COUNT(*) OVER w AS n,
+             SUM(cnt) OVER w AS s1,
+             SUM(cnt * cnt) OVER w AS s2
+      FROM daily
+      WINDOW w AS (PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, day, cnt,
+           CAST(n AS BIGINT) AS n_baseline,
+           ROUND((cnt - CAST(s1 AS DOUBLE) / n)
+                 / sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1)), 4) AS z,
+           (cnt - CAST(s1 AS DOUBLE) / n)
+             / sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1)) > 2.0
+             AS is_anomaly
+    FROM framed
+    WHERE n >= {_ZS_MIN_BASELINE}
+      AND s2 * n > s1 * s1  -- nonzero variance: constant baselines can't score
+    """,
+    tags=("events", "anomaly"),
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily-count z-score against the user's own trailing 7-day
+    frame (excluding the current day); days with z > 2 flag as anomalies.
+
+    Scale: one partial-agg groupBy to daily counts (shuffle carries
+    (user, day) rows), then a window partitioned per user — thousands of
+    independent partitions, no global ordering. The frame statistics are
+    integer sums, so the score is reproducible across engines and cluster
+    sizes bit-for-bit.
+    """
+    (events,) = _t(spark, sf_dir, "events")
+    daily = (
+        events.select("user_id", F.to_date("ts").alias("day"))
+        .groupBy("user_id", "day")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    framed = daily.select(
+        "user_id", "day", "cnt",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("cnt").over(w).alias("s1"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(w).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = (F.col("s2") - F.col("s1").cast("double") * F.col("s1") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    z = (F.col("cnt") - mean) / F.sqrt(var)
+    return (
+        framed.filter(
+            (F.col("n") >= _ZS_MIN_BASELINE)
+            & (F.col("s2") * F.col("n") > F.col("s1") * F.col("s1"))
+        )
+        .select(
+            "user_id", "day", "cnt",
+            F.col("n").cast("long").alias("n_baseline"),
+            F.round(z, 4).alias("z"),
+            (z > 2.0).alias("is_anomaly"),
+        )
+    )
