@@ -16,6 +16,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
     DoubleType,
     LongType,
     StringType,
@@ -195,3 +197,93 @@ def enriched_stream(events: DataFrame, customers: DataFrame) -> DataFrame:
     return events.join(
         F.broadcast(dim), F.col("user_id") == F.col("d_custkey"), "left"
     ).select("event_id", "ts", "user_id", "event_type", "value", "c_name", "c_mktsegment")
+
+
+def streaming_anomaly_zscore(events: DataFrame) -> DataFrame:
+    """Streaming form of the batch `events_anomaly_zscore`: per-user daily
+    event counts scored against the user's trailing 7 CLOSED days, via
+    applyInPandasWithState.
+
+    State per user = the last 7 closed (day, count) pairs plus the currently
+    OPEN day's running count — bounded (8 entries) regardless of stream
+    length, sharded by user. A day closes when a later day arrives for that
+    user; only closed days score, so every emitted z is final (the batch
+    query's score for that day, verified by the parity test). Days older
+    than the open day are late beyond the state horizon and are dropped —
+    the explicit watermark analog for this operator.
+    """
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("day", StringType()),
+            StructField("cnt", LongType()),
+            StructField("n_baseline", LongType()),
+            StructField("z", DoubleType()),
+            StructField("is_anomaly", BooleanType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("days", ArrayType(StringType())),
+            StructField("cnts", ArrayType(LongType())),
+            StructField("open_day", StringType()),
+            StructField("open_cnt", LongType()),
+        ]
+    )
+
+    def score(hist_cnts, day, cnt, user, rows):
+        n = len(hist_cnts)
+        if n < 3:
+            return
+        s1 = sum(hist_cnts)
+        s2 = sum(c * c for c in hist_cnts)
+        if s2 * n <= s1 * s1:  # zero variance baseline
+            return
+        var = (s2 - float(s1) * s1 / n) / (n - 1)
+        z = (cnt - float(s1) / n) / math.sqrt(var)
+        rows.append((user, day, cnt, n, round(z, 4), z > 2.0))
+
+    def update(key, pdf_iter, state: GroupState):
+        user = key[0]
+        days, cnts, open_day, open_cnt = (
+            state.get if state.exists else ([], [], None, 0)
+        )
+        days, cnts = list(days), list(cnts)
+        batches = [pdf for pdf in pdf_iter]
+        pdf = pd.concat(batches) if batches else pd.DataFrame({"day": []})
+        rows: list = []
+        if len(pdf):
+            per_day = (
+                pdf.assign(day=pdf["day"].astype(str))
+                .groupby("day").size().sort_index()
+            )
+            for day, c in per_day.items():
+                c = int(c)
+                if open_day is None or day == open_day:
+                    open_cnt += c
+                    open_day = day
+                elif day > open_day:
+                    # close the open day: score it against the history,
+                    # then append it (trimmed to the trailing 7)
+                    score(cnts, open_day, open_cnt, user, rows)
+                    days.append(open_day)
+                    cnts.append(open_cnt)
+                    days, cnts = days[-7:], cnts[-7:]
+                    open_day, open_cnt = day, c
+                # else: arrived before the open day — late beyond horizon, drop
+        state.update((days, cnts, open_day, open_cnt))
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=["user_id", "day", "cnt", "n_baseline", "z", "is_anomaly"],
+            )
+
+    daily = events.select("user_id", F.to_date("ts").cast("string").alias("day"))
+    return daily.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

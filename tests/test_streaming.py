@@ -253,3 +253,51 @@ def test_late_data_dropped_by_watermark(spark, tmp_path):
     rows = spark.read.parquet(out_dir).collect()
     nine = [r for r in rows if str(r["window_start"]).startswith("2024-01-01 09")]
     assert len(nine) == 1 and nine[0]["n"] == 1, rows
+
+
+def test_streaming_anomaly_zscore_matches_batch(spark, tmp_path):
+    """The stateful streaming z-score emits, for every CLOSED user-day, the
+    exact score the batch events_anomaly_zscore computes for that day; the
+    still-open last day per user is the only difference between the two."""
+    import pyarrow.parquet as pq
+
+    from hyrise_spark.plans.events import events_anomaly_zscore
+    from hyrise_spark.streaming.events_stream import streaming_anomaly_zscore
+
+    # sf-dir layout with events.parquet as a DIRECTORY of time-ordered part
+    # files: days arrive in order per user (the operator's watermark analog)
+    sf = tmp_path / "sf"
+    d = sf / "events.parquet"
+    d.mkdir(parents=True)
+    t = pq.read_table(f"{SF_DIR}/events.parquet").sort_by("ts")
+    n = t.num_rows
+    for i in range(3):
+        pq.write_table(
+            t.slice(i * n // 3, (i + 1) * n // 3 - i * n // 3),
+            d / f"part{i}.parquet",
+        )
+
+    stream = streaming_anomaly_zscore(read_events_stream(spark, str(d)))
+    run_to_completion(stream, "zs_stream_out", output_mode="append")
+    got = {
+        (r.user_id, r.day): (r.cnt, r.n_baseline, r.z, r.is_anomaly)
+        for r in spark.table("zs_stream_out").collect()
+    }
+
+    batch = events_anomaly_zscore(spark, str(sf)).collect()
+    last_day = {
+        r.user_id: str(r.d)
+        for r in spark.read.parquet(str(d))
+        .groupBy("user_id").agg(F.max(F.to_date("ts")).alias("d")).collect()
+    }
+    expected = {
+        (r.user_id, str(r.day)): (r.cnt, r.n_baseline, r.z, r.is_anomaly)
+        for r in batch
+        if str(r.day) != last_day[r.user_id]
+    }
+    assert set(got) == set(expected)
+    for k, (cnt, nb, z, anom) in expected.items():
+        gcnt, gnb, gz, ganom = got[k]
+        assert (gcnt, gnb, ganom) == (cnt, nb, anom), k
+        assert abs(gz - z) < 1e-9, (k, gz, z)
+    assert any(v[3] for v in got.values())  # anomalies actually fire
