@@ -703,7 +703,6 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the O(N*K) variant that survives 100 TB.
     """
     from hyrise_spark.pipeline.similarity import _dot, _kmeans_seeds, _normalize
-    from pyspark.sql import Window
 
     e = _emb(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
@@ -715,13 +714,21 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_SEM_K)
     )
     pts = e.select("vec_id", _normalize(F.col("v")).alias("pv"))
-    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cell"))
+    # argmax-by-similarity as a min_by partial-agg (no per-vector window
+    # sort): min over (-sim, cell) == max sim with min-cell tiebreak — the
+    # same (sim DESC, cell) order the oracle's ROW_NUMBER uses. pv is
+    # constant within the group, so first() is deterministic in value.
     member = (
         pts.crossJoin(F.broadcast(seeds))
         .select("vec_id", "pv", F.col("s_cell").alias("cell"),
                 _dot(F.col("pv"), F.col("cv")).alias("sim"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        .groupBy("vec_id")
+        .agg(
+            F.min_by(
+                F.col("cell"), F.struct((-F.col("sim")).alias("ns"), F.col("cell"))
+            ).alias("cell"),
+            F.first("pv").alias("pv"),
+        )
         .select("vec_id", "pv", "cell")
     )
     reps = member.groupBy("cell").agg(F.min("vec_id").alias("rep_id"))
