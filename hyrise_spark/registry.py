@@ -52,6 +52,7 @@ def all_queries() -> dict[str, QueryDef]:
     import hyrise_spark.plans.tpcc  # noqa: F401
     import hyrise_spark.plans.jcch  # noqa: F401
     import hyrise_spark.plans.relational  # noqa: F401
+    import hyrise_spark.plans.intervals  # noqa: F401
     import hyrise_spark.plans.windows  # noqa: F401
     import hyrise_spark.plans.events  # noqa: F401
     import hyrise_spark.plans.analytic  # noqa: F401
