@@ -365,3 +365,138 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             (z > 2.0).alias("is_anomaly"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap-fill with linear interpolation (TimescaleDB
+# time_bucket_gapfill / interpolate analog — net-new, the reference has no
+# time-series surface). Hourly counts of high-value events per event_type;
+# missing hours are materialized from a per-series calendar and filled by
+# linear interpolation between the nearest observed neighbors, on a scaled
+# integer lattice (millis = value*1000, weighted-average form with a
+# non-negative numerator so Spark `div` and DuckDB `//` agree).
+#
+# Scale design: the interpolation windows run over the POST-AGGREGATION
+# frame — (series x calendar hours), which scales with elapsed time, not
+# event volume (100 TB of events in a month is still ~720 rows per series
+# here). The per-series calendar comes from exploding sequence(min, max)
+# per group — no driver-side range generation. Gap position arithmetic
+# uses the dense calendar row_number, so no epoch/timezone dependence.
+
+_GAPFILL_THRESHOLD = 180.0
+
+
+@register(
+    "events_gapfill_interpolate",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, DATE_TRUNC('hour', ts) AS hour,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events WHERE value > {_GAPFILL_THRESHOLD}
+      GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT event_type, MIN(hour) AS h0, MAX(hour) AS h1
+      FROM hourly GROUP BY 1
+    ),
+    cal AS (
+      SELECT event_type, UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+      FROM bounds
+    ),
+    j AS (
+      SELECT cal.event_type, cal.hour, hourly.n,
+             ROW_NUMBER() OVER (PARTITION BY cal.event_type
+                                ORDER BY cal.hour) AS t
+      FROM cal LEFT JOIN hourly
+        ON hourly.event_type = cal.event_type AND hourly.hour = cal.hour
+    ),
+    m AS (
+      SELECT *,
+             LAST_VALUE(n IGNORE NULLS) OVER w_p AS prev_n,
+             LAST_VALUE(CASE WHEN n IS NOT NULL THEN t END IGNORE NULLS)
+               OVER w_p AS prev_t,
+             FIRST_VALUE(n IGNORE NULLS) OVER w_n AS next_n,
+             FIRST_VALUE(CASE WHEN n IS NOT NULL THEN t END IGNORE NULLS)
+               OVER w_n AS next_t
+      FROM j
+      WINDOW
+        w_p AS (PARTITION BY event_type ORDER BY t
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_n AS (PARTITION BY event_type ORDER BY t
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type,
+           STRFTIME(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+           n AS observed,
+           CAST(CASE WHEN n IS NOT NULL THEN n * 1000
+                ELSE (prev_n * (next_t - t) + next_n * (t - prev_t)) * 1000
+                     // (next_t - prev_t) END AS BIGINT) AS filled_millis,
+           (n IS NULL) AS is_gap
+    FROM m
+    """,
+    tags=("events", "timeseries"),
+)
+def events_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly high-value event counts per type with gap-fill: every hour in
+    each series' [first, last] observed range appears exactly once; gaps
+    carry the linear interpolation between neighbors as
+    `filled_millis = interpolated_count * 1000` (exact integer lattice).
+    Interior gaps always have both neighbors because the calendar is
+    bounded by observed hours.
+    """
+    (events,) = _t(spark, sf_dir, "events")
+    hourly = (
+        events.filter(F.col("value") > _GAPFILL_THRESHOLD)
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    cal = (
+        hourly.groupBy("event_type")
+        .agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    j = cal.join(hourly, ["event_type", "hour"], "left").withColumn(
+        "t",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy("hour")
+        ),
+    )
+    w_p = (
+        Window.partitionBy("event_type")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_n = (
+        Window.partitionBy("event_type")
+        .orderBy("t")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_t = F.when(F.col("n").isNotNull(), F.col("t"))
+    m = j.select(
+        "event_type",
+        "hour",
+        "n",
+        "t",
+        F.last("n", ignorenulls=True).over(w_p).alias("prev_n"),
+        F.last(obs_t, ignorenulls=True).over(w_p).alias("prev_t"),
+        F.first("n", ignorenulls=True).over(w_n).alias("next_n"),
+        F.first(obs_t, ignorenulls=True).over(w_n).alias("next_t"),
+    )
+    filled = F.when(F.col("n").isNotNull(), F.col("n") * 1000).otherwise(
+        F.expr(
+            "(prev_n * (next_t - t) + next_n * (t - prev_t)) * 1000"
+            " div (next_t - prev_t)"
+        )
+    )
+    return m.select(
+        "event_type",
+        F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.col("n").alias("observed"),
+        filled.cast("long").alias("filled_millis"),
+        F.col("n").isNull().alias("is_gap"),
+    )

@@ -100,3 +100,38 @@ def test_salted_join_rejects_right_replicating_modes(spark):
     for how in ("right", "full", "full_outer", "right_outer"):
         with pytest.raises(ValueError, match="salted_join"):
             salted_join(left, right, on="k", how=how)
+
+
+def test_gapfill_interpolation_properties(spark):
+    """events_gapfill_interpolate: dense per-series calendar, observed rows
+    keep n*1000 exactly, both series endpoints are observed (the calendar
+    is bounded by observations), and every gap's interpolated value lies
+    within [min, max] of its two neighbors' scaled values."""
+    from hyrise_spark.plans.events import events_gapfill_interpolate
+    from tests.conftest import SF_DIR as _SF
+
+    rows = events_gapfill_interpolate(spark, _SF).collect()
+    assert rows
+    by_series: dict[str, list] = {}
+    for r in rows:
+        by_series.setdefault(r.event_type, []).append(r)
+    from datetime import datetime, timedelta
+
+    for series, rs in by_series.items():
+        rs.sort(key=lambda r: r.hour)
+        hours = [datetime.strptime(r.hour, "%Y-%m-%d %H:%M:%S") for r in rs]
+        # dense hourly calendar, endpoints observed
+        assert all(
+            b - a == timedelta(hours=1) for a, b in zip(hours, hours[1:])
+        ), series
+        assert not rs[0].is_gap and not rs[-1].is_gap, series
+        for i, r in enumerate(rs):
+            if r.is_gap:
+                assert r.observed is None
+                prev = next(x for x in reversed(rs[:i]) if not x.is_gap)
+                nxt = next(x for x in rs[i + 1 :] if not x.is_gap)
+                lo = min(prev.observed, nxt.observed) * 1000
+                hi = max(prev.observed, nxt.observed) * 1000
+                assert lo <= r.filled_millis <= hi, (series, r.hour)
+            else:
+                assert r.filled_millis == r.observed * 1000
