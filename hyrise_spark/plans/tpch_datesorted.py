@@ -76,3 +76,53 @@ def ssb_q1_1_datesorted(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout variant: multi-dimensional clustering (lakehouse
+# OPTIMIZE ZORDER analog; layout.write_zordered). A conjunctive band on
+# (l_partkey, l_suppkey) prunes row groups on BOTH dimensions — a
+# single-column sort can only skip on its own column
+# (tests/test_layout.py::test_zorder_layout_skips_on_both_dimensions pins
+# the decode-count gap). Bands are low absolute ranges so they stay valid
+# at every SF (keys start at 0 in the driver's testdata).
+
+
+def ensure_zordered(spark: SparkSession, sf_dir: str) -> str:
+    """Create (once per warehouse x sf_dir) the z-ordered lineitem copy on
+    (l_partkey, l_suppkey); returns its path."""
+    from hyrise_spark.layout import write_zordered
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:6]
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    path = os.path.join(warehouse.removeprefix("file:"), f"zo_{tag}_lineitem")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+        write_zordered(li, path, ["l_partkey", "l_suppkey"], bits=8, n_files=8)
+    return path
+
+
+@register(
+    "scan_multidim_zordered",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem
+    WHERE l_partkey BETWEEN 50 AND 120 AND l_suppkey BETWEEN 2 AND 6
+    GROUP BY l_returnflag
+    """,
+    tags=("scan", "zordered"),
+)
+def scan_multidim_zordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(ensure_zordered(spark, sf_dir))
+    return (
+        li.filter(
+            F.col("l_partkey").between(50, 120) & F.col("l_suppkey").between(2, 6)
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        )
+    )

@@ -192,3 +192,62 @@ def test_compact_parquet_merges_small_files(spark, tmp_path):
     a = sorted(tuple(r) for r in spark.read.parquet(src).collect())
     b = sorted(tuple(r) for r in spark.read.parquet(dst).collect())
     assert a == b
+
+
+def test_zorder_layout_skips_on_both_dimensions(spark, tmp_path):
+    """write_zordered clusters BOTH keys: a banded predicate on either
+    dimension decodes a fraction of the rows, where a single-column sort
+    only skips on its own column. Results identical in all layouts."""
+    import pyspark.sql.functions as F
+
+    from hyrise_spark.catalog import load_tables
+    from hyrise_spark.layout import write_zordered
+    from tests.conftest import SF_DIR
+
+    li = load_tables(spark, SF_DIR, ("lineitem",))["lineitem"]
+    total = li.count()
+    pk_hi = li.agg(F.max("l_partkey")).collect()[0][0]
+    sk_hi = li.agg(F.max("l_suppkey")).collect()[0][0]
+    # middle ~15% band on each dimension
+    pk_band = (int(pk_hi * 0.4), int(pk_hi * 0.55))
+    sk_band = (int(sk_hi * 0.4), int(sk_hi * 0.55))
+
+    def scan_decoded_rows(df):
+        df.collect()
+        metrics = []
+
+        def walk(node):
+            m = node.metrics()
+            if "Scan" in node.nodeName() and m.contains("numOutputRows"):
+                metrics.append(m.apply("numOutputRows").value())
+            ch = node.children()
+            for i in range(ch.size()):
+                walk(ch.apply(i))
+            if node.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+                walk(node.executedPlan())
+
+        walk(df._jdf.queryExecution().executedPlan())
+        assert metrics, "no scan metric found"
+        return sum(metrics)
+
+    single_path = str(tmp_path / "pk_sorted")
+    (li.orderBy("l_partkey").coalesce(1)
+     .write.option("parquet.block.size", 8 * 1024).mode("overwrite").parquet(single_path))
+    z_path = str(tmp_path / "zordered")
+    write_zordered(li, z_path, ["l_partkey", "l_suppkey"], bits=8,
+                   n_files=2, block_size=8 * 1024)
+
+    for col, (lo, hi) in (("l_partkey", pk_band), ("l_suppkey", sk_band)):
+        band = lambda df: df.filter(F.col(col).between(lo, hi))
+        want = band(spark.read.parquet(single_path)).count()
+        assert want > 0
+        z_scan = band(spark.read.parquet(z_path))
+        assert z_scan.count() == want
+        decoded = scan_decoded_rows(z_scan)
+        assert decoded < total * 0.6, (col, decoded, total)
+
+    # the single-sorted layout cannot skip on the OTHER dimension
+    other = band_df = spark.read.parquet(single_path).filter(
+        F.col("l_suppkey").between(*sk_band)
+    )
+    assert scan_decoded_rows(other) > total * 0.9
