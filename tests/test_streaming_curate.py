@@ -172,3 +172,49 @@ def test_classifier_gated_stream_matches_batch(spark, docs_dir):
     assert len(got) == spark.read.parquet(docs_dir).count()
     kept = sum(1 for r in got if r[-1])
     assert 0 < kept < len(got)  # the gate separates on this corpus
+
+
+def test_streaming_postings_log_matches_batch_tf(spark, docs_dir):
+    """Stateless postings extraction: streamed (doc_id, term, tf) rows over
+    a 3-file ingestion equal the batch index's tf table exactly."""
+    import pyspark.sql.functions as F
+
+    from hyrise_spark.streaming.index_stream import (
+        postings_log_stream,
+        read_documents_stream,
+    )
+
+    stream = postings_log_stream(read_documents_stream(spark, docs_dir))
+    run_to_completion(stream, "postings_out", output_mode="append")
+    got = _rows(spark.table("postings_out"))
+    docs = spark.read.parquet(docs_dir)
+    batch_tf = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    assert got == _rows(batch_tf)
+
+
+def test_streaming_term_directory_matches_batch_index(spark, docs_dir):
+    """The stateful term directory (complete mode) converges to the batch
+    inverted index's df/total_tf after all files are ingested."""
+    from hyrise_spark.pipeline.retrieval import text_inverted_index
+    from hyrise_spark.streaming.index_stream import (
+        postings_log_stream,
+        read_documents_stream,
+        term_directory_stream,
+    )
+    from tests.conftest import SF_DIR
+
+    stream = term_directory_stream(
+        postings_log_stream(read_documents_stream(spark, docs_dir))
+    )
+    run_to_completion(stream, "term_dir_out", output_mode="complete")
+    got = _rows(spark.table("term_dir_out"))
+    batch = text_inverted_index(spark, SF_DIR).select("term", "df", "total_tf")
+    assert got == _rows(batch)
+    assert len(got) > 10  # a real vocabulary, not an empty stream
