@@ -624,3 +624,67 @@ def curate_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard",
         F.row_number().over(w).cast("long").alias("pos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Diversity sampling by embedding-space quota: cap the corpus at K vectors
+# per LSH bucket. SemDeDup removes near-identical pairs; this op bounds
+# DENSITY — an over-represented region of embedding space (boilerplate,
+# templated text, one scraped site) contributes at most K survivors, while
+# sparse regions are untouched. The standard cheap diversity pass before
+# expensive curation stages.
+#
+# Scale: bucket = 9-bit hyperplane signature (similarity.py's md5-parity
+# planes, a literal in both engines) — a per-row expression; the cap is a
+# per-bucket ranking window (partitioned, bounded survivors), never a
+# global sort. Survivor choice ranks by md5(vec_id) — deterministic,
+# uniform, and independent of ingestion order, so it depends only on
+# bucket MEMBERSHIP, which is engine-identical even though the two
+# engines pack signature bits in different orders (any bijection of
+# bucket ids yields the same membership sets).
+
+_DIVERSITY_CAP = 3
+
+
+def _diversity_oracle() -> str:
+    from hyrise_spark.pipeline.similarity import _bucket_sql
+
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    sig AS (SELECT vec_id, {_bucket_sql('v')} AS bucket FROM e)
+    SELECT vec_id, CAST(rn AS INT) AS bucket_rank, rn <= {_DIVERSITY_CAP} AS kept
+    FROM (
+      SELECT vec_id,
+             ROW_NUMBER() OVER (PARTITION BY bucket
+                                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+      FROM sig
+    )
+    """
+
+
+@register(
+    "curate_diversity_bucket_cap",
+    oracle=_diversity_oracle(),
+    tags=("curate", "diversity"),
+)
+def curate_diversity_bucket_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from hyrise_spark.pipeline.similarity import _bucket_spark
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    v = F.col("embedding").cast("array<double>")
+    sig = emb.select("vec_id", _bucket_spark(v).alias("bucket"))
+    w = Window.partitionBy("bucket").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    return (
+        sig.withColumn("bucket_rank", F.row_number().over(w))
+        .select(
+            "vec_id",
+            F.col("bucket_rank").cast("int").alias("bucket_rank"),
+            (F.col("bucket_rank") <= _DIVERSITY_CAP).alias("kept"),
+        )
+    )
+
+

@@ -177,3 +177,26 @@ def test_domain_mixture_hits_target_shares(spark):
             assert 0.6 * want < got_tokens < 1.4 * want, (domain, got_tokens, want)
     again = curate_domain_mixture(spark, SF_DIR).collect()
     assert sorted(r.doc_id for r in again) == sorted(r.doc_id for r in out)
+
+
+def test_diversity_bucket_cap_bounds_every_bucket(spark):
+    """curate_diversity_bucket_cap: survivors per LSH bucket <= cap, every
+    vector appears exactly once, and the cap actually bites somewhere (a
+    dense bucket exists at this SF)."""
+    import pyspark.sql.functions as F
+
+    from hyrise_spark.pipeline.curate import (
+        _DIVERSITY_CAP,
+        curate_diversity_bucket_cap,
+    )
+    from hyrise_spark.pipeline.similarity import _bucket_spark
+
+    out = curate_diversity_bucket_cap(spark, SF_DIR)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    assert out.count() == emb.count()
+    sig = emb.select("vec_id", _bucket_spark(F.col("embedding").cast("array<double>")).alias("bucket"))
+    per_bucket = (
+        out.filter("kept").join(sig, "vec_id").groupBy("bucket").count().collect()
+    )
+    assert per_bucket and all(r["count"] <= _DIVERSITY_CAP for r in per_bucket)
+    assert out.filter(~F.col("kept")).count() > 0  # the cap did real work
