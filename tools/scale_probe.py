@@ -87,10 +87,23 @@ def _pipeline_builders():
         # itself; the probe documents the constant, not a sublinear claim
         return qs["dedup_substring_coverage"].builder(spark, d)
 
+    def inverted_index(spark, d):
+        # vocabulary is FIXED while the corpus scales Nx: every term becomes
+        # a hot key. Partial agg absorbs df/total_tf map-side; the posting
+        # cap's two-stage min-k keeps every window partition bounded.
+        return qs["text_inverted_index"].builder(spark, d)
+
+    def bm25(spark, d):
+        # candidate set grows Nx (every copy matches); the two-stage top-k
+        # is the guard that keeps per-query ranking off a single task
+        return qs["text_bm25_topk"].builder(spark, d)
+
     return {"dedup_exact": exact, "minhash_signatures": minhash_sig,
             "text_token_stats": token_stats, "dedup_paragraph": paragraph,
             "text_quality_classifier": quality,
-            "dedup_substring_coverage": substring}
+            "dedup_substring_coverage": substring,
+            "text_inverted_index": inverted_index,
+            "text_bm25_topk": bm25}
 
 
 def build_scaled_docs(spark, scale: int, out_dir: str) -> None:
