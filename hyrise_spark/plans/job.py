@@ -2194,3 +2194,124 @@ def job_q42(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("cnt"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Outer-join-in-graph family (beyond JOB's inner-only graphs, but the
+# optimizer stressor JOB leaves out): a LEFT join sits in the middle of an
+# otherwise-inner chain. Outer joins do not commute freely with inner
+# joins, so the reorderer must respect the barrier while still hoisting
+# the selective region filter below it — null-extended customers (no 1997
+# orders) must survive to the aggregate.
+@register(
+    "job_q43",
+    oracle="""
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(COUNT(o_orderkey) AS BIGINT) AS n_with_orders,
+           CAST(MIN(c_custkey) AS BIGINT) AS min_custkey
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    LEFT JOIN (
+      SELECT DISTINCT o_custkey, MIN(o_orderkey) AS o_orderkey
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+        AND o_totalprice > 150000
+      GROUP BY o_custkey
+    ) big ON big.o_custkey = c_custkey
+    WHERE r_name = 'ASIA' AND c_mktsegment = 'MACHINERY'
+    GROUP BY n_name
+    """,
+    tags=("job",),
+)
+def job_q43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, nation, region, orders = _t(
+        spark, sf_dir, "customer", "nation", "region", "orders"
+    )
+    big = (
+        orders.filter(
+            _ts_range("o_orderdate", "1997-01-01", "1998-01-01")
+            & (F.col("o_totalprice") > 150000)
+        )
+        .groupBy("o_custkey")
+        .agg(F.min("o_orderkey").alias("o_orderkey"))
+    )
+    return (
+        cust.filter(F.col("c_mktsegment") == "MACHINERY")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .join(big, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.count("o_orderkey").alias("n_with_orders"),
+            F.min("c_custkey").alias("min_custkey"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Bushy-plan family: TWO independently filtered-and-aggregated fact
+# subgraphs meet on a dimension key. The optimal plan is bushy (aggregate
+# both branches, then join small x small) — a left-deep-only planner pays
+# a fact x fact join before either aggregate. Branch A: 1996 order volume
+# per part; branch B: 1997 average shipped quantity per part.
+@register(
+    "job_q44",
+    oracle="""
+    WITH a AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS orders_1996
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1997-01-01'
+      GROUP BY l_partkey
+    ),
+    b AS (
+      SELECT l_partkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_1997
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY l_partkey
+    )
+    SELECT p_type,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(orders_1996) AS BIGINT) AS sum_orders_1996,
+           CAST(SUM(qty_1997) AS BIGINT) AS sum_qty_1997
+    FROM part JOIN a ON p_partkey = a.l_partkey
+              JOIN b ON p_partkey = b.l_partkey
+    WHERE p_size < 25
+    GROUP BY p_type
+    """,
+    tags=("job",),
+)
+def job_q44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders, part = _t(spark, sf_dir, "lineitem", "orders", "part")
+    a = (
+        li.join(
+            orders.filter(_ts_range("o_orderdate", "1996-01-01", "1997-01-01")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("orders_1996"))
+    )
+    b = (
+        li.filter(_ts_range("l_shipdate", "1997-01-01", "1998-01-01"))
+        .groupBy(F.col("l_partkey").alias("b_partkey"))
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty_1997"))
+    )
+    return (
+        part.filter(F.col("p_size") < 25)
+        .join(a, F.col("p_partkey") == F.col("l_partkey"))
+        .join(b, F.col("p_partkey") == F.col("b_partkey"))
+        .groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("orders_1996").alias("sum_orders_1996"),
+            F.sum("qty_1997").alias("sum_qty_1997"),
+        )
+    )
