@@ -500,3 +500,61 @@ def events_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         filled.cast("long").alias("filled_millis"),
         F.col("n").isNull().alias("is_gap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# OHLC candle aggregation (financial time-bucket rollup — net-new; the
+# kdb/TimescaleDB candlestick shape). Open/close are order-dependent picks
+# (first/last value by timestamp within the bucket): expressed as
+# min_by/max_by over a (ts, event_id) struct — ONE partial-aggregable pass,
+# no ranking window, deterministic under the event_id tie-break. High/low/
+# volume are plain aggregates. Values are picked, never arithmetically
+# combined, so DOUBLE round-trips both engines bit-identically.
+#
+# Scale: groupBy (event_type, day) — bounded groups (types x days), and
+# min_by/max_by partial-aggregate map-side like min/max; nothing global.
+
+
+@register(
+    "events_ohlc",
+    oracle="""
+    -- DuckDB's arg_min/arg_max reject composite ordering keys, so the
+    -- oracle states open/close with ranking windows instead; the Spark
+    -- side keeps the partial-aggregable min_by/max_by over a
+    -- (ts, event_id) struct -- same deterministic pick.
+    WITH r AS (
+      SELECT event_type,
+             STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d') AS day,
+             value,
+             ROW_NUMBER() OVER (PARTITION BY event_type, DATE_TRUNC('day', ts)
+                                ORDER BY ts, event_id) AS rf,
+             ROW_NUMBER() OVER (PARTITION BY event_type, DATE_TRUNC('day', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rl
+      FROM events
+    )
+    SELECT event_type, day,
+           MAX(CASE WHEN rf = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rl = 1 THEN value END) AS close,
+           CAST(COUNT(*) AS BIGINT) AS volume
+    FROM r GROUP BY 1, 2
+    """,
+    tags=("events", "timeseries"),
+)
+def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        events.groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        )
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count(F.lit(1)).alias("volume"),
+        )
+    )
