@@ -1868,6 +1868,31 @@ def _spark_views(spark):
         df.createOrReplaceTempView(name)
 
 
+# ---------------------------------------------------------------------------
+# Round-7 ordered-pick & time-bucket family: the shared-dialect functions the
+# new retrieval/time-series operators lean on — min_by/max_by (deterministic
+# ordered picks on a scalar key, global + grouped + derived keys),
+# date_trunc buckets in projections and predicates, and NTILE over a
+# computed ordering.
+# ---------------------------------------------------------------------------
+CORPUS.update({
+    "pick_min_by_global": "SELECT MIN_BY(o_orderkey, o_totalprice) AS k FROM orders WHERE o_orderkey <= 500",
+    "pick_max_by_global": "SELECT MAX_BY(o_orderkey, o_totalprice) AS k FROM orders WHERE o_orderkey <= 500",
+    "pick_min_by_group": "SELECT o_orderpriority, MIN_BY(o_orderkey, o_totalprice) AS cheapest FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority",
+    "pick_max_by_group": "SELECT o_orderpriority, MAX_BY(o_orderkey, o_totalprice) AS dearest FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority",
+    "pick_min_by_derived_key": "SELECT n_regionkey, MIN_BY(n_name, (n_nationkey * 7 % 11) * 100 + n_nationkey) AS pick FROM nation GROUP BY n_regionkey ORDER BY n_regionkey",
+    # quantity alone has ties (integral values) and MIN_BY tie-breaking is
+    # engine-specific; the declared dialect requires a UNIQUE ordering key,
+    # so the key folds the picked id in (quantity steps are >= 1, orderkey
+    # <= 1e5 at this SF, so the composite is collision-free and monotone).
+    "pick_minmax_same_group": "SELECT l_returnflag, MIN_BY(l_orderkey, l_quantity * 100000 + l_orderkey) AS lo, MAX_BY(l_orderkey, l_quantity * 100000 + l_orderkey) AS hi FROM lineitem WHERE l_orderkey <= 300 GROUP BY l_returnflag ORDER BY l_returnflag",
+    "tbucket_trunc_day_count": "SELECT CAST(COUNT(DISTINCT DATE_TRUNC('day', ts)) AS BIGINT) AS days FROM events",
+    "tbucket_trunc_month_group": "SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS m, CAST(COUNT(*) AS BIGINT) AS n FROM orders WHERE o_orderkey <= 2000 GROUP BY m ORDER BY m",
+    "tbucket_trunc_in_where": "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events WHERE DATE_TRUNC('day', ts) = TIMESTAMP '2024-01-05 00:00:00'",
+    "tbucket_ntile_computed": "SELECT b, CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS b FROM orders WHERE o_orderkey <= 400) GROUP BY b ORDER BY b",
+})
+
+
 @pytest.mark.parametrize("name", sorted(CORPUS))
 def test_sql_corpus(spark, duck, name):
     sql = CORPUS[name]
