@@ -287,3 +287,30 @@ def streaming_anomaly_zscore(events: DataFrame) -> DataFrame:
     return daily.groupBy("user_id").applyInPandasWithState(
         update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def ohlc_stream(events: DataFrame, window: str = "1 day",
+                watermark: str = "2 hours") -> DataFrame:
+    """Streaming OHLC candles — the incremental twin of
+    plans/events.py::events_ohlc. One watermarked tumbling-window aggregate:
+    open/close are min_by/max_by picks over a (ts, event_id) struct, which
+    merge associatively across micro-batches exactly like min/max (each
+    partial carries its best (key, value) pair), so the converged candle
+    equals the batch one — pinned by the parity test. State is one row per
+    open (event_type, window): bounded by types x watermark horizon."""
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count(F.lit(1)).alias("volume"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+            "event_type", "open", "high", "low", "close", "volume",
+        )
+    )

@@ -301,3 +301,23 @@ def test_streaming_anomaly_zscore_matches_batch(spark, tmp_path):
         assert (gcnt, gnb, ganom) == (cnt, nb, anom), k
         assert abs(gz - z) < 1e-9, (k, gz, z)
     assert any(v[3] for v in got.values())  # anomalies actually fire
+
+
+def test_streaming_ohlc_matches_batch(spark, events_dir):
+    """ohlc_stream over a 3-file ingestion converges to the batch
+    events_ohlc candles: min_by/max_by partials merge associatively across
+    micro-batches."""
+    from hyrise_spark.plans.events import events_ohlc
+    from hyrise_spark.streaming.events_stream import ohlc_stream, run_to_completion
+    from tests.conftest import SF_DIR
+
+    stream = ohlc_stream(read_events_stream(spark, events_dir))
+    run_to_completion(stream, "ohlc_out", output_mode="complete")
+    got = sorted(tuple(r) for r in spark.table("ohlc_out").collect())
+    want = sorted(
+        tuple(r)
+        for r in events_ohlc(spark, SF_DIR)
+        .select("day", "event_type", "open", "high", "low", "close", "volume")
+        .collect()
+    )
+    assert got and got == want
