@@ -120,3 +120,85 @@ def join_interval_overlap_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"),
         F.sum("lq").alias("sum_qty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-interval join (temporal containment — the validity-interval /
+# IP-range-lookup shape, distinct from the as-of join's "latest before"):
+# each POINT explodes to exactly ONE bin and each interval to <= 2, so the
+# binned equi-join is exactly-once BY CONSTRUCTION (a point lives in one
+# bin; no credit filter, no DISTINCT). The as-of join (plans/events.py)
+# picks one row; this keeps EVERY containing interval.
+
+
+@register(
+    "join_point_in_interval_binned",
+    oracle=f"""
+    WITH pt AS (
+      SELECT CAST(l_quantity AS BIGINT) AS lq,
+             month(CAST(l_shipdate AS DATE)) AS ship_month,
+             date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS p
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '{_LO}' AND l_shipdate < TIMESTAMP '{_HI}'
+    ),
+    od AS (
+      SELECT o_orderpriority,
+             date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS os,
+             date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) + 7 AS oe
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '{_LO}' AND o_orderdate < TIMESTAMP '{_HI}'
+    )
+    SELECT o_orderpriority, ship_month,
+           CAST(COUNT(*) AS BIGINT) AS n_contained,
+           CAST(SUM(lq) AS BIGINT) AS sum_qty
+    FROM pt JOIN od ON pt.p >= od.os AND pt.p <= od.oe
+    GROUP BY o_orderpriority, ship_month
+    """,
+    tags=("join", "interval"),
+)
+def join_point_in_interval_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ship events (points) inside order fulfilment windows (intervals),
+    counted per (priority, ship month), Jan-Feb 1998. The oracle states
+    containment as an inequality join; Spark gets the binned equi-join —
+    point side keys by its single bin, interval side explodes to its <= 2
+    covering bins."""
+    t = load_tables(spark, sf_dir, ("lineitem", "orders"))
+    epoch = F.lit("1970-01-01").cast("date")
+    pt = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit(_LO).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(_HI).cast("timestamp"))
+        )
+        .select(
+            F.col("l_quantity").cast("long").alias("lq"),
+            F.month(F.col("l_shipdate").cast("date")).alias("ship_month"),
+            F.datediff(F.col("l_shipdate").cast("date"), epoch).alias("p"),
+        )
+        .withColumn("bin", F.expr(f"p div {_BIN}"))
+    )
+    od = (
+        t["orders"]
+        .filter(
+            (F.col("o_orderdate") >= F.lit(_LO).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(_HI).cast("timestamp"))
+        )
+        .select(
+            "o_orderpriority",
+            F.datediff(F.col("o_orderdate").cast("date"), epoch).alias("os"),
+            (F.datediff(F.col("o_orderdate").cast("date"), epoch) + 7).alias("oe"),
+        )
+        .withColumn(
+            "bin",
+            F.explode(
+                F.sequence(F.expr(f"os div {_BIN}"), F.expr(f"oe div {_BIN}"))
+            ),
+        )
+    )
+    contained = pt.join(od, "bin").filter(
+        (F.col("p") >= F.col("os")) & (F.col("p") <= F.col("oe"))
+    )
+    return contained.groupBy("o_orderpriority", "ship_month").agg(
+        F.count(F.lit(1)).alias("n_contained"),
+        F.sum("lq").alias("sum_qty"),
+    )

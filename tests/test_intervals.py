@@ -93,3 +93,52 @@ def test_bin_width_covers_interval_lengths():
     both sides is shorter than the bin width (1-5+1 <= 7 and 7 <= 7), the
     documented cost model for the binning strategy."""
     assert _BIN == 7  # max lineitem interval (l_linenumber % 5) + 1 <= 6 < 7
+
+
+def test_point_in_interval_matches_naive_and_plans_equi(spark):
+    """join_point_in_interval_binned == the naive containment join on
+    Spark, and the binned plan has no BNL/cartesian. Exactly-once needs no
+    credit filter: each point owns exactly one bin."""
+    from hyrise_spark.plans.intervals import join_point_in_interval_binned
+
+    got = {
+        (r.o_orderpriority, r.ship_month, r.n_contained, r.sum_qty)
+        for r in join_point_in_interval_binned(spark, SF_DIR).collect()
+    }
+    pt = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .filter(
+            (F.col("l_shipdate") >= "1998-01-01") & (F.col("l_shipdate") < "1998-03-01")
+        )
+        .select(
+            F.col("l_quantity").cast("long").alias("lq"),
+            F.month(F.col("l_shipdate").cast("date")).alias("ship_month"),
+            F.datediff(F.col("l_shipdate").cast("date"), F.lit("1970-01-01").cast("date")).alias("p"),
+        )
+    )
+    od = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .filter(
+            (F.col("o_orderdate") >= "1998-01-01") & (F.col("o_orderdate") < "1998-03-01")
+        )
+        .select(
+            "o_orderpriority",
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")).alias("os"),
+            (F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")) + 7).alias("oe"),
+        )
+    )
+    want = {
+        (r.o_orderpriority, r.ship_month, r.n_contained, r.sum_qty)
+        for r in pt.join(od, (F.col("p") >= F.col("os")) & (F.col("p") <= F.col("oe")))
+        .groupBy("o_orderpriority", "ship_month")
+        .agg(F.count(F.lit(1)).alias("n_contained"), F.sum("lq").alias("sum_qty"))
+        .collect()
+    }
+    assert got and got == want
+
+    df = join_point_in_interval_binned(spark, SF_DIR)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
