@@ -232,21 +232,35 @@ def write_zordered(
     uniform-ish keys (surrogate ids, dates) spread evenly; a heavily
     skewed key would want a rank-based variant.
     """
+    import datetime
+
     import pyspark.sql.functions as F
+
+    m = len(cols)
+    # top interleaved bit position must stay below the long sign bit
+    if bits * m > 63:
+        raise ValueError(f"bits*len(cols) = {bits * m} exceeds 63 (long sign bit)")
 
     aggs = []
     for c in cols:
         aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
     stats = df.agg(*aggs).collect()[0]  # ingest-time scalar, 2*ncols values
     top = (1 << bits) - 1
-    m = len(cols)
     z = F.lit(0).cast("long")
     for i, c in enumerate(cols):
         mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+        if isinstance(mn, (datetime.date, datetime.datetime)):
+            # temporal key: normalize on the epoch-day ordinal (day-grain
+            # clustering — the grain row-group stats prune on)
+            key = F.datediff(F.col(c).cast("date"), F.lit("1970-01-01").cast("date")).cast("long")
+            mn = (mn.date() if isinstance(mn, datetime.datetime) else mn).toordinal()
+            mx = (mx.date() if isinstance(mx, datetime.datetime) else mx).toordinal()
+            mn -= datetime.date(1970, 1, 1).toordinal()
+            mx -= datetime.date(1970, 1, 1).toordinal()
+        else:
+            key = F.col(c).cast("long")
         span = max(1, int(mx) - int(mn))
-        norm = ((F.col(c).cast("long") - F.lit(int(mn))) * top / F.lit(span)).cast(
-            "long"
-        )
+        norm = ((key - F.lit(int(mn))) * top / F.lit(span)).cast("long")
         for b in range(bits):
             z = z + F.shiftleft(
                 F.shiftright(norm, b).bitwiseAND(F.lit(1)), b * m + i

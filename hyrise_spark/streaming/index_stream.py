@@ -22,22 +22,14 @@ multi-micro-batch) ingestion.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import LongType, StringType, StructField, StructType
+from pyspark.sql import DataFrame
 
-DOC_SCHEMA = StructType(
-    [
-        StructField("doc_id", LongType()),
-        StructField("text", StringType()),
-        StructField("lang", StringType()),
-        StructField("source", StringType()),
-        StructField("n_chars", LongType()),
-    ]
+# One schema/reader for document streams, shared with the curation streams —
+# a second hand-maintained copy would silently drift when columns change.
+from hyrise_spark.streaming.curate_stream import (  # noqa: F401
+    DOCS_SCHEMA,
+    read_documents_stream,
 )
-
-
-def read_documents_stream(spark: SparkSession, docs_dir: str) -> DataFrame:
-    return spark.readStream.schema(DOC_SCHEMA).parquet(docs_dir)
 
 
 def postings_log_stream(docs: DataFrame) -> DataFrame:

@@ -247,7 +247,27 @@ def test_zorder_layout_skips_on_both_dimensions(spark, tmp_path):
         assert decoded < total * 0.6, (col, decoded, total)
 
     # the single-sorted layout cannot skip on the OTHER dimension
-    other = band_df = spark.read.parquet(single_path).filter(
+    other = spark.read.parquet(single_path).filter(
         F.col("l_suppkey").between(*sk_band)
     )
     assert scan_decoded_rows(other) > total * 0.9
+
+
+def test_zorder_accepts_temporal_keys_and_guards_bit_budget(spark, tmp_path):
+    """write_zordered normalizes DATE/TIMESTAMP keys on their epoch-day
+    ordinal (the docstring's advertised contract) and rejects a bits x
+    columns product that would spill into the long sign bit."""
+    import pytest as _pytest
+
+    from hyrise_spark.catalog import load_tables
+    from hyrise_spark.layout import write_zordered
+    from tests.conftest import SF_DIR
+
+    li = load_tables(spark, SF_DIR, ("lineitem",))["lineitem"]
+    path = str(tmp_path / "z_temporal")
+    write_zordered(li, path, ["l_shipdate", "l_partkey"], bits=6, n_files=2)
+    assert spark.read.parquet(path).count() == li.count()
+
+    with _pytest.raises(ValueError, match="exceeds 63"):
+        write_zordered(li, str(tmp_path / "z_overflow"),
+                       ["l_partkey", "l_suppkey"], bits=32)
