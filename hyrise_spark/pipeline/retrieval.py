@@ -89,9 +89,9 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: df/total_tf is one partial-agg groupBy on term. The posting shard
     is exact min-k via two stages — stage 1 ranks within
-    (term, doc_id % {_BUCKETS}) buckets and keeps <= {_POSTING_CAP} per
+    (term, doc_id % `_BUCKETS`) buckets and keeps <= `_POSTING_CAP` per
     bucket (the global min-k has at most k members in any bucket, so this
-    drops nothing), stage 2 ranks <= {_BUCKETS}*{_POSTING_CAP} survivors per
+    drops nothing), stage 2 ranks <= `_BUCKETS * _POSTING_CAP` survivors per
     term. No window ever sees a full posting list.
     """
     tf = (
@@ -191,7 +191,7 @@ _QUERY_ROWS_SQL = " UNION ALL ".join(
     tags=("text", "retrieval"),
 )
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 top-{_BM25_TOPK} documents for each of a literal query set, on an
+    """BM25 top-`_BM25_TOPK` documents for each of a literal query set, on an
     exact-integer lattice (see module docstring for the derivation).
 
     Scale: the query-term frame is a statically bounded literal
