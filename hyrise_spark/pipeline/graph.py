@@ -1,0 +1,274 @@
+"""Graph analytics over a deterministic document link graph — degree
+distribution, triangle counting, PageRank.
+
+Net-new Spark-first capability (no reference equivalent; the closest the
+reference gets is iterative traversal via plain joins in its TPC-H-style
+workloads). A large-scale training-data pipeline needs link-graph signals:
+crawl graphs feed PageRank-style quality priors (the original use), and
+near-dup similarity graphs feed triangle/community structure.
+
+The graph itself is derived from nothing external: each document emits 3
+out-links whose targets are md5-jittered functions of (doc_id, j) modulo the
+corpus size, so Spark and DuckDB materialize bit-identical edge sets (the
+same md5-lattice trick as pipeline/dedup.py). Self-loops are bumped to the
+next node; DISTINCT collapses collisions, so out-degree is 1..3 and every
+node has at least one out-edge (no dangling-mass special case in PageRank).
+
+Design for 100 TB:
+- Edges live as (src, dst) pairs; every operator below is an equi-join or
+  partial-agg groupBy on a node key — the standard distributed-graph shape
+  (think GraphX/Pregel re-expressed relationally). Nothing materializes an
+  adjacency matrix and no step is all-pairs.
+- Triangle counting joins the canonicalized (a < b) undirected edge list to
+  itself twice on node keys. The a < b orientation halves the edge list and
+  counts each triangle exactly once; production systems additionally orient
+  by degree (low-degree endpoint first) to bound wedge fan-out on skewed
+  graphs — same plan shape, different orientation predicate.
+- PageRank runs a FIXED number of iterations (T=4), each one
+  edges ⋈ ranks → groupBy(dst) partial-agg: T shuffles, each carrying one
+  long per edge. Ranks use a scaled-integer lattice (10^9 = probability 1,
+  integer division everywhere), so both engines compute identical ranks —
+  no float accumulation-order drift — and the result is hash-checkable.
+  Truncation loses bounded mass (< 1 unit per edge per iteration), which is
+  deterministic and identical on both sides.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from hyrise_spark.catalog import load_tables
+from hyrise_spark.registry import register
+
+_FANOUT = 3  # out-links emitted per document (before DISTINCT)
+_SCALE = 1_000_000_000  # PageRank integer lattice: 10^9 == probability 1.0
+_PR_ITERS = 4
+_DAMP_NUM, _DAMP_DEN = 85, 100  # damping 0.85 as an exact integer ratio
+_TOPK = 20
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, ("documents",))["documents"]
+
+
+def _md5_jitter(src: Column, j: Column) -> Column:
+    """md5-derived jitter in [0, 1000), identical in Spark and DuckDB."""
+    h = F.md5(F.concat_ws("#", src.cast("string"), j.cast("string")))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % 1000
+
+
+_MD5_JITTER_SQL = (
+    "CAST(concat('0x', substr(md5(concat(CAST(d.doc_id AS VARCHAR), '#', "
+    "CAST(h.j AS VARCHAR))), 1, 15)) AS BIGINT) % 1000"
+)
+
+# Shared oracle CTE prologue: the deterministic edge list.
+_EDGES_SQL = f"""
+    cnt AS (SELECT COUNT(*) AS n FROM documents),
+    e0 AS (
+      SELECT d.doc_id AS src, cnt.n AS n,
+             (d.doc_id * 31 + h.j * 17 + {_MD5_JITTER_SQL}) % cnt.n AS raw
+      FROM documents d CROSS JOIN cnt,
+           LATERAL (SELECT UNNEST(generate_series(0, {_FANOUT - 1})) AS j) h
+    ),
+    edges AS (
+      SELECT DISTINCT src,
+             CASE WHEN raw = src THEN (raw + 1) % n ELSE raw END AS dst
+      FROM e0
+    )
+"""
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic (src, dst) edge list; DISTINCT, no self-loops."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    e0 = (
+        docs.crossJoin(n)  # 1-row count frame: AQE broadcasts it
+        .select(
+            F.col("doc_id").alias("src"),
+            F.col("n"),
+            F.explode(F.array(*[F.lit(j) for j in range(_FANOUT)])).alias("j"),
+        )
+        .withColumn(
+            "raw",
+            (
+                F.col("src") * 31
+                + F.col("j") * 17
+                + _md5_jitter(F.col("src"), F.col("j"))
+            )
+            % F.col("n"),
+        )
+    )
+    return e0.select(
+        "src",
+        F.when(F.col("raw") == F.col("src"), (F.col("raw") + 1) % F.col("n"))
+        .otherwise(F.col("raw"))
+        .alias("dst"),
+    ).distinct()
+
+
+def _idiv(a: Column, b: Column) -> Column:
+    """Integer division for the non-negative PageRank lattice (values stay
+    < 2^53, so the double quotient is exact before the floor)."""
+    return F.floor(a.cast("double") / b.cast("double")).cast("long")
+
+
+@register(
+    "graph_degree_hist",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    outd AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src),
+    ind  AS (SELECT dst AS node, COUNT(*) AS deg FROM edges GROUP BY dst)
+    SELECT 'out' AS kind, CAST(deg AS BIGINT) AS deg,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM outd GROUP BY deg
+    UNION ALL
+    SELECT 'in' AS kind, CAST(deg AS BIGINT) AS deg,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM ind GROUP BY deg
+    ORDER BY kind, deg
+    """,
+    tags=("graph", "degree"),
+)
+def graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In/out-degree histogram of the link graph: two partial-agg groupBys
+    on node keys (degree), then a groupBy on the tiny degree domain. The
+    second aggregation's input is one row per node — the histogram itself
+    is bounded by max degree, not data volume."""
+    edges = _edges(spark, sf_dir)
+
+    def hist(key: str, kind: str) -> DataFrame:
+        return (
+            edges.groupBy(F.col(key).alias("node"))
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .groupBy("deg")
+            .agg(F.count(F.lit(1)).alias("n_nodes"))
+            .select(F.lit(kind).alias("kind"), "deg", "n_nodes")
+        )
+
+    return hist("src", "out").unionAll(hist("dst", "in")).orderBy("kind", "deg")
+
+
+@register(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    und AS (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM edges
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS triangles
+    FROM und e1
+    JOIN und e2 ON e2.a = e1.b
+    JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+    tags=("graph", "triangle"),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count via the canonical a < b edge orientation: each
+    triangle (a < b < c) is counted exactly once as e1=(a,b), e2=(b,c),
+    e3=(a,c). Two equi-joins on node keys — wedge generation partitions on
+    the shared vertex; at scale, orienting by degree instead of id bounds
+    the wedge fan-out of hub nodes (same plan, different orientation)."""
+    edges = _edges(spark, sf_dir)
+    und = edges.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    e1 = und.select(F.col("a").alias("a1"), F.col("b").alias("b1"))
+    e2 = und.select(F.col("a").alias("a2"), F.col("b").alias("b2"))
+    e3 = und.select(F.col("a").alias("a3"), F.col("b").alias("b3"))
+    return (
+        e1.join(e2, F.col("a2") == F.col("b1"))
+        .join(e3, (F.col("a3") == F.col("a1")) & (F.col("b3") == F.col("b2")))
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled T-iteration PageRank on the integer lattice (the oracle
+    mirrors the Spark loop iteration-for-iteration; a recursive CTE would
+    need aggregation over the recursive term, which SQL disallows)."""
+    base = "(150000000 // cnt.n)"  # 0.15 * SCALE / n, exact integer
+    parts = [
+        _EDGES_SQL,
+        "outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)",
+        f"""r0 AS (
+          SELECT d.doc_id AS node, {_SCALE} // cnt.n AS r
+          FROM documents d CROSS JOIN cnt
+        )""",
+    ]
+    for t in range(_PR_ITERS):
+        parts.append(
+            f"""s{t} AS (
+              SELECT e.dst AS node, SUM(r.r // o.deg) AS s
+              FROM edges e
+              JOIN r{t} r ON r.node = e.src
+              JOIN outdeg o ON o.src = e.src
+              GROUP BY e.dst
+            )"""
+        )
+        parts.append(
+            f"""r{t + 1} AS (
+              SELECT d.doc_id AS node,
+                     {base} + ({_DAMP_NUM} * COALESCE(s.s, 0)) // {_DAMP_DEN} AS r
+              FROM documents d CROSS JOIN cnt
+              LEFT JOIN s{t} s ON s.node = d.doc_id
+            )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+        SELECT node, CAST(r AS BIGINT) AS pr_scaled
+        FROM r{_PR_ITERS}
+        ORDER BY pr_scaled DESC, node
+        LIMIT {_TOPK}
+        """
+    )
+
+
+@register(
+    "graph_pagerank_topk",
+    oracle=_pagerank_oracle(),
+    tags=("graph", "pagerank"),
+)
+def graph_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 PageRank nodes after T=4 damped iterations on a 10^9
+    integer lattice. Each iteration is edges ⋈ ranks (equi-join on src) →
+    groupBy(dst) partial-agg — the relational Pregel superstep. Iteration
+    count is FIXED (data-independent plan depth); the final top-k is
+    TakeOrdered, never a global sort. Integer division truncation loses
+    < 1 lattice unit per edge per iteration — deterministic on both
+    engines, so ranks hash-match exactly."""
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("node"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    edges = _edges(spark, sf_dir)
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    eo = edges.join(outdeg, "src")  # (src, dst, deg): reused every iteration
+
+    ranks = docs.crossJoin(n).select(
+        "node", _idiv(F.lit(_SCALE), F.col("n")).alias("r")
+    )
+    for _ in range(_PR_ITERS):
+        s = (
+            eo.join(ranks, eo["src"] == ranks["node"])
+            .select(F.col("dst"), _idiv(F.col("r"), F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            docs.crossJoin(n)
+            .join(s, docs["node"] == s["dst"], "left")
+            .select(
+                "node",
+                (
+                    _idiv(F.lit(150_000_000), F.col("n"))
+                    + _idiv(F.lit(_DAMP_NUM) * F.coalesce(F.col("s"), F.lit(0)), F.lit(_DAMP_DEN))
+                ).alias("r"),
+            )
+        )
+    return ranks.select("node", F.col("r").alias("pr_scaled")).orderBy(
+        F.col("pr_scaled").desc(), "node"
+    ).limit(_TOPK)

@@ -59,6 +59,7 @@ def all_queries() -> dict[str, QueryDef]:
     import hyrise_spark.pipeline.text  # noqa: F401
     import hyrise_spark.pipeline.retrieval  # noqa: F401
     import hyrise_spark.pipeline.dedup  # noqa: F401
+    import hyrise_spark.pipeline.graph  # noqa: F401
     import hyrise_spark.pipeline.similarity  # noqa: F401
     import hyrise_spark.pipeline.multimodal  # noqa: F401
     import hyrise_spark.pipeline.curate  # noqa: F401

