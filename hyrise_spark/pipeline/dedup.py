@@ -830,3 +830,98 @@ def dedup_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_bps"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-corpus Bloom dedup: gate a new crawl against the PREVIOUS crawl's
+# Bloom bitset — the standard incremental-dedup shape at 100 TB (you never
+# re-join two crawls; you ship last crawl's O(bits) filter and gate the new
+# one with it). Corpus A = even doc_ids ("previous crawl"), corpus B = odd
+# ("new crawl"); keys are the exact-dedup canonical fingerprints, so this is
+# exact cross-corpus dedup at Bloom cost (deterministic false positives,
+# identical on both engines — same md5 bit math).
+#
+# Scale: A collapses to <= _XB_WORDS*63 distinct bit positions (a CONSTANT,
+# ~4k rows regardless of corpus size) before any join; B's probe is an
+# equi-join of its k bits-per-doc against that bounded set, which AQE
+# broadcasts. Flag = ALL k distinct probe bits present.
+_XB_WORDS = 64   # 64 * 63 = 4032 usable bits
+_XB_HASHES = 3
+
+
+def _xb_bit(i: int) -> Column:
+    return (
+        F.conv(F.substring(F.md5(_normalize_spark()), 1 + i * 8, 8), 16, 10)
+        .cast("long") % (_XB_WORDS * 63)
+    )
+
+
+def _xb_bit_sql(i: int) -> str:
+    return (
+        f"CAST(concat('0x', substr(md5({_NORMALIZE_SQL}), {1 + i * 8}, 8)) "
+        f"AS BIGINT) % {_XB_WORDS * 63}"
+    )
+
+
+@register(
+    "dedup_bloom_crosscorpus",
+    oracle=f"""
+    WITH bits_a AS (
+      SELECT DISTINCT bit FROM (
+        SELECT UNNEST([{", ".join(_xb_bit_sql(i) for i in range(_XB_HASHES))}]) AS bit
+        FROM documents WHERE doc_id % 2 = 0
+      )
+    ),
+    probe AS (
+      SELECT DISTINCT doc_id, source, bit FROM (
+        SELECT doc_id, source,
+               UNNEST([{", ".join(_xb_bit_sql(i) for i in range(_XB_HASHES))}]) AS bit
+        FROM documents WHERE doc_id % 2 = 1
+      )
+    ),
+    per_doc AS (
+      SELECT p.doc_id, p.source,
+             COUNT(*) AS n_bits,
+             CAST(SUM(CASE WHEN a.bit IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+      FROM probe p LEFT JOIN bits_a a ON a.bit = p.bit
+      GROUP BY p.doc_id, p.source
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_hits = n_bits THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged
+    FROM per_doc GROUP BY source ORDER BY source
+    """,
+    tags=("dedup", "bloom"),
+)
+def dedup_bloom_crosscorpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source counts of new-crawl docs whose canonical fingerprint the
+    previous crawl's Bloom filter flags as already-seen. The filter side is
+    a constant-size distinct-bit frame (<= 4032 rows) however large corpus A
+    is — the mergeable/shippable property that makes this the incremental
+    path; sketch_bloom_build is the same bitset in packed word form."""
+    docs = _docs(spark, sf_dir)
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    bit_arr = F.array(*[_xb_bit(i) for i in range(_XB_HASHES)])
+    bits_a = a.select(F.explode(bit_arr).alias("bit")).distinct()
+    probe = b.select(
+        "doc_id", "source", F.explode(bit_arr).alias("bit")
+    ).distinct()
+    hits_a = bits_a.withColumn("hit", F.lit(1))
+    per_doc = (
+        probe.join(hits_a, "bit", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_bits"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("n_hits") == F.col("n_bits")).cast("long")).alias("n_flagged"),
+        )
+        .orderBy("source")
+    )

@@ -154,3 +154,24 @@ def classifier_gated_stream(docs: DataFrame) -> DataFrame:
     from hyrise_spark.pipeline.text import classifier_select
 
     return classifier_select(docs)
+
+
+def bloom_gated_stream(docs: DataFrame, prev_bits: list) -> DataFrame:
+    """Cross-corpus Bloom dedup as a streaming gate: `prev_bits` is the
+    previous crawl's set bit positions (constant-size, <= 4032 values —
+    the batch dedup_bloom_crosscorpus bitset, collected ONCE at stream
+    setup; a bounded filter artifact like a broadcast model, not per-batch
+    driver work). A doc is DROPPED when every one of its k fingerprint bits
+    is already set (probably-seen); survivors stream on. Stateless narrow
+    map — no join, no state store, no watermark: the filter itself carries
+    the history, which is exactly why Bloom gating is the incremental-dedup
+    shape at 100 TB (Catalyst compiles the IN-list to an O(1) hash-set
+    probe). Parity with the batch flags is pinned in tests."""
+    from hyrise_spark.pipeline.dedup import _XB_HASHES, _xb_bit
+
+    positions = [int(b) for b in prev_bits]
+    seen_all = None
+    for i in range(_XB_HASHES):
+        hit = _xb_bit(i).isin(positions)
+        seen_all = hit if seen_all is None else (seen_all & hit)
+    return docs.filter(~seen_all).select("doc_id", "source")

@@ -218,3 +218,44 @@ def test_streaming_term_directory_matches_batch_index(spark, docs_dir):
     batch = text_inverted_index(spark, SF_DIR).select("term", "df", "total_tf")
     assert got == _rows(batch)
     assert len(got) > 10  # a real vocabulary, not an empty stream
+
+
+def test_bloom_gated_stream_matches_batch(spark, docs_dir):
+    """Streamed Bloom gate: the survivors of the odd-doc_id stream are
+    exactly the odd docs the batch dedup_bloom_crosscorpus does NOT flag
+    (same md5 bit math, shipped as an IN-list filter), and the gate is a
+    stateless narrow map over a multi-batch ingestion."""
+    import pyspark.sql.functions as F
+
+    from hyrise_spark.pipeline.dedup import _XB_HASHES, _xb_bit
+    from hyrise_spark.streaming.curate_stream import bloom_gated_stream
+
+    docs = spark.read.parquet(docs_dir)
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    bit_arr = F.array(*[_xb_bit(i) for i in range(_XB_HASHES)])
+    prev_bits = [
+        r.bit for r in a.select(F.explode(bit_arr).alias("bit")).distinct().collect()
+    ]
+
+    stream = bloom_gated_stream(
+        read_documents_stream(spark, docs_dir).filter(F.col("doc_id") % 2 == 1),
+        prev_bits,
+    )
+    run_to_completion(stream, "bloom_gate_out", output_mode="append")
+    got = {r.doc_id for r in spark.table("bloom_gate_out").collect()}
+
+    # batch reference: odd docs where at least one bit is missing
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    probe = b.select("doc_id", F.explode(bit_arr).alias("bit")).distinct()
+    bitset = set(prev_bits)
+    flagged = {
+        doc
+        for doc, bits in (
+            (r.doc_id, r.bits)
+            for r in probe.groupBy("doc_id").agg(F.collect_set("bit").alias("bits")).collect()
+        )
+        if all(x in bitset for x in bits)
+    }
+    want = {r.doc_id for r in b.select("doc_id").collect()} - flagged
+    assert got == want
+    assert 0 < len(got)  # gate keeps genuinely-new docs on this corpus
