@@ -653,3 +653,162 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("score").cast("long").alias("score"),
                 F.col("rnk").cast("int").alias("rnk"))
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training building blocks (Sennrich et al. 2016, the
+# subword-nmt algorithm every LLM tokenizer descends from).
+#
+# The distributed-BPE insight: after the first corpus pass, ALL work happens
+# on the word-frequency table — vocabulary-sized (Heaps'-law sublinear in
+# corpus size), never the corpus itself. `text_bpe_pairs` registers the
+# oracle-checked pair-count step (the per-merge-iteration workhorse);
+# `bpe_train` runs the full merge loop on symbol arrays, and `bpe_apply`
+# re-encodes words with a learned merge list. The argmax-pair pick collects
+# ONE row per merge — trainer driver work like kmeans_iterate's centroid
+# loop, documented; the registered query collects nothing.
+_BPE_TOPK = 30
+
+
+@register(
+    "text_bpe_pairs",
+    oracle=r"""
+    WITH wf AS (
+      SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM documents,
+           LATERAL (SELECT UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS w) t
+      GROUP BY w
+    ),
+    p AS (
+      SELECT substr(word, CAST(i AS INT), 2) AS pair, SUM(cnt) AS total
+      FROM wf, LATERAL (SELECT UNNEST(generate_series(1, length(word) - 1)) AS i) g
+      WHERE length(word) >= 2
+      GROUP BY 1
+    )
+    SELECT pair, CAST(total AS BIGINT) AS total
+    FROM p ORDER BY total DESC, pair LIMIT 30
+    """,
+    tags=("text", "bpe"),
+)
+def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top adjacent-symbol pairs for the FIRST BPE merge decision: corpus
+    word frequencies (one partial-agg pass over documents), then character
+    bigrams weighted by word count. The pair-generation input is the
+    vocabulary table, not the corpus — at 100 TB the corpus pass happens
+    once and every merge iteration reuses the vocab-sized frame. Top-k is
+    TakeOrdered."""
+    docs = _docs(spark, sf_dir)
+    wf = (
+        docs.select(
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pairs = wf.filter(F.length("word") >= 2).select(
+        "cnt",
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("cnt").alias("total"))
+        .orderBy(F.col("total").desc(), "pair")
+        .limit(_BPE_TOPK)
+    )
+
+
+def _bpe_word_freqs(docs: DataFrame) -> DataFrame:
+    """(word, cnt, syms) with syms = initial character symbols."""
+    return (
+        docs.select(
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word")
+        )
+        .filter(F.length("word") >= 1)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "syms",
+            F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
+        )
+    )
+
+
+def _bpe_pair_counts(wf: DataFrame) -> DataFrame:
+    """(left, right, total) adjacent-symbol pair counts over symbol arrays,
+    weighted by word frequency — the per-iteration aggregation."""
+    return (
+        wf.filter(F.size("syms") >= 2)
+        .select(
+            "cnt",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms) - 1),"
+                    " i -> struct(element_at(syms, i) AS left,"
+                    "             element_at(syms, CAST(i + 1 AS INT)) AS right))"
+                )
+            ).alias("p"),
+        )
+        .groupBy(F.col("p.left").alias("left"), F.col("p.right").alias("right"))
+        .agg(F.sum("cnt").alias("total"))
+    )
+
+
+def _bpe_merge_expr(a: str, b: str) -> str:
+    """SQL expression rewriting `syms` with every adjacent (a, b) merged to
+    a||b — a single left-to-right aggregate() scan with a skip flag, the
+    exact sequential semantics of the reference algorithm (overlapping
+    occurrences merge leftmost-first: aaa with merge (a,a) -> [aa, a])."""
+    qa = a.replace("\\", "\\\\").replace("'", "\\'")
+    qb = b.replace("\\", "\\\\").replace("'", "\\'")
+    return f"""
+      aggregate(
+        sequence(1, size(syms)),
+        struct(CAST(array() AS ARRAY<STRING>) AS out, false AS skip),
+        (acc, i) -> CASE
+          WHEN acc.skip THEN struct(acc.out AS out, false AS skip)
+          WHEN i < size(syms)
+               AND element_at(syms, CAST(i AS INT)) = '{qa}'
+               AND element_at(syms, CAST(i + 1 AS INT)) = '{qb}'
+            THEN struct(array_append(acc.out, '{qa}{qb}') AS out, true AS skip)
+          ELSE struct(array_append(acc.out, element_at(syms, CAST(i AS INT))) AS out,
+                      false AS skip)
+        END,
+        acc -> acc.out)
+    """
+
+
+def bpe_train(docs: DataFrame, n_merges: int = 5) -> list[tuple[str, str]]:
+    """Learn `n_merges` BPE merges over the corpus. Each iteration: one
+    vocab-sized pair aggregation, ONE collected argmax row (count desc,
+    then (left, right) asc — subword-nmt's deterministic tie-break needs a
+    total order; lexicographic is ours), then a narrow per-word array
+    rewrite. Stops early when no pair occurs twice."""
+    wf = _bpe_word_freqs(docs).localCheckpoint(eager=True)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        top = (
+            _bpe_pair_counts(wf)
+            .orderBy(F.col("total").desc(), "left", "right")
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0].total < 2:
+            break
+        a, b = top[0].left, top[0].right
+        merges.append((a, b))
+        wf = wf.withColumn("syms", F.expr(_bpe_merge_expr(a, b))).localCheckpoint(
+            eager=True
+        )
+    return merges
+
+
+def bpe_apply(docs: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+    """Encode: (word, cnt, syms) after replaying the merge list in order —
+    the same narrow array rewrite the trainer uses, so train-time and
+    encode-time segmentations agree by construction."""
+    wf = _bpe_word_freqs(docs)
+    for a, b in merges:
+        wf = wf.withColumn("syms", F.expr(_bpe_merge_expr(a, b)))
+    return wf
