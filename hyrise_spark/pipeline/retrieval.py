@@ -203,6 +203,54 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     over <= {_BUCKETS}*k survivors — so a query matching most of the corpus
     still never funnels into one sort task.
     """
+    scored = _bm25_scored(spark, sf_dir)
+    return _two_stage_topk(
+        scored, [F.col("score").desc(), F.col("doc_id")], _BM25_TOPK
+    ).select(
+        F.col("query_id").cast("int").alias("query_id"),
+        "doc_id",
+        F.col("score").cast("long").alias("score"),
+        F.col("rnk").cast("int").alias("rnk"),
+    )
+
+
+def _two_stage_topk(df: DataFrame, order_cols, k: int, rank_name: str = "rnk") -> DataFrame:
+    """Exact per-query top-k without a single-task window: stage 1 ranks
+    within (query_id, doc_id % _BUCKETS) buckets and cuts to k — lossless,
+    the global top-k has at most k members in any bucket — then stage 2
+    ranks <= _BUCKETS*k survivors per query. Shared by the BM25 and RRF
+    rankers so both inherit the bounded-window shape."""
+    w1 = Window.partitionBy("query_id", F.pmod("doc_id", F.lit(_BUCKETS))).orderBy(
+        *order_cols
+    )
+    w2 = Window.partitionBy("query_id").orderBy(*order_cols)
+    return (
+        df.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .withColumn(rank_name, F.row_number().over(w2))
+        .filter(F.col(rank_name) <= k)
+        .drop("_r1")
+    )
+
+
+def _qterms(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [(qid, t) for qid, terms in _QUERIES for t in terms],
+        "query_id int, term string",
+    )
+
+
+def _tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _toks(_docs(spark, sf_dir))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, doc_id, score): the exact-integer BM25 candidate scoring
+    shared by text_bm25_topk and the RRF fusion."""
     toks = _toks(_docs(spark, sf_dir))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
@@ -210,12 +258,8 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_tokens")
     )
-    qterms = spark.createDataFrame(
-        [(qid, t) for qid, terms in _QUERIES for t in terms],
-        "query_id int, term string",
-    )
     term_scores = (
-        F.broadcast(qterms)  # literal frame: statically bounded
+        F.broadcast(_qterms(spark))  # literal frame: statically bounded
         .join(tf, "term")
         .join(df, "term")
         .join(dl, "doc_id")
@@ -229,22 +273,151 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    scored = term_scores.groupBy("query_id", "doc_id").agg(
+    return term_scores.groupBy("query_id", "doc_id").agg(
         F.sum("term_score").alias("score")
     )
-    w1 = Window.partitionBy("query_id", F.pmod("doc_id", F.lit(_BUCKETS))).orderBy(
-        F.col("score").desc(), "doc_id"
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion (Cormack et al. 2009): combine per-query rankings
+# from independent retrievers by summing 1/(K + rank). The standard way to
+# fuse lexical + semantic retrieval without score calibration — only RANKS
+# cross the fusion boundary, so heterogeneous scorers compose. On the
+# integer lattice 1/(K+r) becomes RRF_SCALE // (K + r): exact in both
+# engines.
+
+_RRF_K = 60       # the canonical smoothing constant from the paper
+_RRF_POOL = 10    # fuse each ranker's top-10 list
+_RRF_SCALE = 1_000_000
+_RRF_TOPK = 5
+
+
+@register(
+    "text_rrf_fusion",
+    oracle=f"""
+    WITH toks AS ({_TOKS_SQL}),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks GROUP BY doc_id, term
+    ),
+    dl AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+    ),
+    df AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ),
+    corpus AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) AS total_tokens
+      FROM dl
+    ),
+    qterms AS ({_QUERY_ROWS_SQL}),
+    cand AS (
+      SELECT q.query_id, tf.doc_id, tf.tf, q.term
+      FROM qterms q JOIN tf ON tf.term = q.term
+    ),
+    bm25 AS (
+      SELECT query_id, doc_id, CAST(SUM(term_score) AS BIGINT) AS score
+      FROM (
+        SELECT c.query_id, c.doc_id,
+               (((n.n_docs * 1000) // df.df) * c.tf * 44 * n.total_tokens * 1000)
+                 // (20 * n.total_tokens * c.tf + 6 * n.total_tokens
+                     + 18 * dl.dl * n.n_docs) AS term_score
+        FROM cand c
+        JOIN df ON df.term = c.term
+        JOIN dl ON dl.doc_id = c.doc_id
+        CROSS JOIN corpus n
+      ) GROUP BY query_id, doc_id
+    ),
+    r1 AS (
+      SELECT query_id, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS r
+      FROM bm25
+    ),
+    cov AS (
+      SELECT query_id, doc_id,
+             CAST(COUNT(DISTINCT term) AS BIGINT) AS cov,
+             CAST(SUM(tf) AS BIGINT) AS tfsum
+      FROM cand GROUP BY query_id, doc_id
+    ),
+    r2 AS (
+      SELECT query_id, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cov DESC, tfsum DESC, doc_id) AS r
+      FROM cov
+    ),
+    fused AS (
+      SELECT COALESCE(a.query_id, b.query_id) AS query_id,
+             COALESCE(a.doc_id, b.doc_id) AS doc_id,
+             COALESCE({_RRF_SCALE} // ({_RRF_K} + a.r), 0)
+               + COALESCE({_RRF_SCALE} // ({_RRF_K} + b.r), 0) AS rrf
+      FROM (SELECT * FROM r1 WHERE r <= {_RRF_POOL}) a
+      FULL JOIN (SELECT * FROM r2 WHERE r <= {_RRF_POOL}) b
+        ON a.query_id = b.query_id AND a.doc_id = b.doc_id
     )
-    w2 = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "doc_id")
-    return (
-        scored.withColumn("r1", F.row_number().over(w1))
-        .filter(F.col("r1") <= _BM25_TOPK)
-        .withColumn("rnk", F.row_number().over(w2))
-        .filter(F.col("rnk") <= _BM25_TOPK)
-        .select(
-            F.col("query_id").cast("int").alias("query_id"),
-            "doc_id",
-            F.col("score").cast("long").alias("score"),
-            F.col("rnk").cast("int").alias("rnk"),
-        )
+    SELECT CAST(query_id AS INTEGER) AS query_id, doc_id,
+           CAST(rrf AS BIGINT) AS rrf_score, CAST(rnk AS INTEGER) AS rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY rrf DESC, doc_id) AS rnk
+      FROM fused
+    )
+    WHERE rnk <= {_RRF_TOPK}
+    """,
+    tags=("text", "retrieval", "fusion"),
+)
+def text_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuse two independent retrievers per query — BM25 and a
+    coverage-then-frequency ranker (proxy for the semantic leg: rank-only
+    fusion makes the second ranker swappable for an ANN ranking without
+    touching this plan) — via reciprocal-rank fusion on an integer lattice.
+
+    Scale: both rankers score only semi-join candidates; both rank lists
+    are cut to a bounded pool (top-{_RRF_POOL}) with the shared two-stage
+    window before the fusion join, so the full-outer fusion join touches
+    <= 2*{_RRF_POOL} rows per query, and the final top-k re-ranks a
+    <= 2*{_RRF_POOL}-row frame per query."""
+    tf = _tf(spark, sf_dir)
+    cand = F.broadcast(_qterms(spark)).join(tf, "term")
+
+    r1 = _two_stage_topk(
+        _bm25_scored(spark, sf_dir),
+        [F.col("score").desc(), F.col("doc_id")],
+        _RRF_POOL,
+        rank_name="r",
+    ).select("query_id", "doc_id", "r")
+    cov = cand.groupBy("query_id", "doc_id").agg(
+        F.count_distinct("term").alias("cov"), F.sum("tf").alias("tfsum")
+    )
+    r2 = _two_stage_topk(
+        cov,
+        [F.col("cov").desc(), F.col("tfsum").desc(), F.col("doc_id")],
+        _RRF_POOL,
+        rank_name="r",
+    ).select("query_id", "doc_id", "r")
+
+    a = r1.select(
+        F.col("query_id").alias("qa"), F.col("doc_id").alias("da"), F.col("r").alias("ra")
+    )
+    b = r2.select(
+        F.col("query_id").alias("qb"), F.col("doc_id").alias("db"), F.col("r").alias("rb")
+    )
+    fused = a.join(
+        b, (F.col("qa") == F.col("qb")) & (F.col("da") == F.col("db")), "full_outer"
+    ).select(
+        F.coalesce("qa", "qb").alias("query_id"),
+        F.coalesce("da", "db").alias("doc_id"),
+        (
+            F.coalesce(F.expr(f"{_RRF_SCALE} div ({_RRF_K} + ra)"), F.lit(0))
+            + F.coalesce(F.expr(f"{_RRF_SCALE} div ({_RRF_K} + rb)"), F.lit(0))
+        ).alias("rrf"),
+    )
+    return _two_stage_topk(
+        fused, [F.col("rrf").desc(), F.col("doc_id")], _RRF_TOPK
+    ).select(
+        F.col("query_id").cast("int").alias("query_id"),
+        "doc_id",
+        F.col("rrf").cast("long").alias("rrf_score"),
+        F.col("rnk").cast("int").alias("rnk"),
     )
