@@ -275,3 +275,153 @@ def sketch_bloom_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(bit % 63 AS INT)))").alias("word"))
         .orderBy("word_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact second-moment statistics: correlation / covariance / regression
+# slope from INTEGER moment sums. The reference's aggregate vocabulary stops
+# at STDDEV_SAMP (aggregate_hash.cpp); Spark/DuckDB both have corr()
+# built-ins, but their streaming float accumulations differ across engines
+# and partition orders — so the registered query computes the five integer
+# moments exactly (one partial-agg pass, same as any SUM) and derives the
+# statistics with one fixed IEEE expression per row: same integers in, same
+# doubles out, hash-matchable. This is also the 100 TB design: integer
+# moments are mergeable partial aggregates (the textbook one-pass parallel
+# corr), while Welford-style streaming floats are order-sensitive.
+
+
+@register(
+    "aggregate_corr_moments",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sx,
+             CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT) AS sy,
+             CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)
+                      * CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT) AS sxy,
+             CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)
+                      * CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sx2,
+             CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)
+                      * CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT) AS sy2
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (sqrt(CAST(n AS DOUBLE) * sx2 - CAST(sx AS DOUBLE) * sx)
+                    * sqrt(CAST(n AS DOUBLE) * sy2 - CAST(sy AS DOUBLE) * sy)), 6)
+             AS corr_qty_disc,
+           ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)), 6)
+             AS covar_samp_qty_disc,
+           ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sx2 - CAST(sx AS DOUBLE) * sx), 6)
+             AS regr_slope_disc_on_qty
+    FROM m ORDER BY l_returnflag
+    """,
+    tags=("aggregate", "statistics"),
+)
+def aggregate_corr_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corr / covar_samp / regr_slope of (l_quantity, l_discount) per
+    return flag, via exact integer moment sums (values live on small
+    integer lattices: quantity 1..50, discount cents 0..10). One
+    partial-agg pass; the derived statistics are a per-group scalar
+    expression. Moment magnitudes stay far inside int64 at bench scales;
+    production at 10^11+ rows widens the sums to DECIMAL(38,0) — same
+    plan."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_quantity")).cast("long")
+    y = F.round(F.col("l_discount") * 100).cast("long")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sx2"),
+        F.sum(y * y).alias("sy2"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    cov_num = nd * F.col("sxy") - sxd * F.col("sy")
+    varx = nd * F.col("sx2") - sxd * F.col("sx")
+    vary = nd * F.col("sy2") - syd * F.col("sy")
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(cov_num / (F.sqrt(varx) * F.sqrt(vary)), 6).alias("corr_qty_disc"),
+        F.round(cov_num / (nd * (nd - 1)), 6).alias("covar_samp_qty_disc"),
+        F.round(cov_num / varx, 6).alias("regr_slope_disc_on_qty"),
+    ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles via the value histogram. percentile_disc(p) = the
+# smallest value whose cumulative count reaches ceil(p * n / 100). Engines
+# disagree on built-in quantile interpolation conventions, so both sides
+# compute this single rank-based definition explicitly. The scale property:
+# the cumulative window runs over the per-group VALUE HISTOGRAM (bounded by
+# the number of distinct values — 50 here), never over raw rows; this is
+# exactly how a distributed engine computes exact percentiles when the
+# domain is compact, and the t-digest/approx path (approx_quantile_*) is
+# the fallback when it is not.
+
+_PCTS = (25, 50, 75, 90)
+
+
+@register(
+    "aggregate_percentile_disc",
+    oracle=f"""
+    WITH hist AS (
+      SELECT l_returnflag, CAST(ROUND(l_quantity) AS BIGINT) AS q,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT l_returnflag, q, cnt,
+             SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY q
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+      FROM hist
+    ),
+    p AS ({" UNION ALL ".join(f"SELECT {p} AS pct" for p in _PCTS)})
+    SELECT l_returnflag, CAST(pct AS INTEGER) AS pct,
+           CAST(MIN(q) AS BIGINT) AS val
+    FROM cum CROSS JOIN p
+    WHERE cum * 100 >= pct * n
+    GROUP BY l_returnflag, pct
+    ORDER BY l_returnflag, pct
+    """,
+    tags=("aggregate", "percentile"),
+)
+def aggregate_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p25/p50/p75/p90 of l_quantity per return flag, rank-defined
+    (smallest value with cum * 100 >= pct * n — all-integer, no
+    interpolation convention to disagree on). Windows run over the
+    histogram (<= 50 rows per group), not the data."""
+    from pyspark.sql import Window
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+    hist = li.groupBy(
+        "l_returnflag", F.round(F.col("l_quantity")).cast("long").alias("q")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    cum = hist.select(
+        "l_returnflag",
+        "q",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    p = spark.createDataFrame([(p,) for p in _PCTS], "pct int")
+    return (
+        cum.crossJoin(F.broadcast(p))  # 4-row literal frame
+        .filter(F.col("cum") * 100 >= F.col("pct") * F.col("n"))
+        .groupBy("l_returnflag", "pct")
+        .agg(F.min("q").alias("val"))
+        .orderBy("l_returnflag", "pct")
+    )
