@@ -915,3 +915,101 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("int").alias("rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension embedding statistics + power-iteration PCA.
+#
+# The whitening/normalization prep step every embedding pipeline runs before
+# indexing. `sim_embedding_dimstats` registers the exact per-dimension
+# moment pass (scaled-integer lattice, so both engines agree bit-for-bit);
+# `pca_power_iteration` computes the top principal direction WITHOUT ever
+# materializing the dim x dim covariance: the matvec C·x = (1/n) Σ_v v (v·x)
+# is two narrow corpus passes per iteration — the only formulation that
+# scales when dim² outgrows a task (and the reason the registered stats stay
+# per-dimension, not per-dimension-pair).
+
+_DIM_SCALE = 1_000_000
+
+
+@register(
+    "sim_embedding_dimstats",
+    oracle=f"""
+    WITH x AS (
+      SELECT d.i AS dim,
+             CAST(ROUND(e.embedding[CAST(d.i AS INT) + 1] * {_DIM_SCALE}) AS BIGINT) AS v
+      FROM embeddings e,
+           LATERAL (SELECT UNNEST(generate_series(0, len(e.embedding) - 1)) AS i) d
+    )
+    SELECT CAST(dim AS INTEGER) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(v) AS BIGINT) AS sum_scaled,
+           CAST(SUM(v * v) AS BIGINT) AS sumsq_scaled,
+           CAST(MIN(v) AS BIGINT) AS min_scaled,
+           CAST(MAX(v) AS BIGINT) AS max_scaled
+    FROM x GROUP BY dim ORDER BY dim
+    """,
+    tags=("similarity", "statistics"),
+)
+def sim_embedding_dimstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-dimension moments of the embedding corpus on a 10^6
+    lattice: one posexplode (dim-wide, bounded inflation) + one partial-agg
+    groupBy on the 64-value dim key. Feeds mean-centering / min-max
+    normalization / variance-based dim pruning; the integer sums are
+    mergeable partials."""
+    emb = _emb(spark, sf_dir)
+    x = emb.select(
+        F.posexplode("embedding").alias("dim", "raw")
+    ).select(
+        "dim", F.round(F.col("raw") * _DIM_SCALE).cast("long").alias("v")
+    )
+    return (
+        x.groupBy(F.col("dim").cast("int").alias("dim"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("sum_scaled"),
+            F.sum(F.col("v") * F.col("v")).alias("sumsq_scaled"),
+            F.min("v").alias("min_scaled"),
+            F.max("v").alias("max_scaled"),
+        )
+        .orderBy("dim")
+    )
+
+
+def pca_power_iteration(emb: DataFrame, iters: int = 8) -> list[float]:
+    """Top principal direction of the (uncentered) second-moment matrix via
+    power iteration with the covariance NEVER materialized: each round is
+      dot_v = v · x          (narrow zip_with/aggregate per row)
+      y_d   = Σ_v v_d * dot_v  (posexplode + groupBy dim — 64 groups)
+    then normalize. The only driver-side values are the 64-float iterate
+    (trainer loop, like kmeans_iterate's centroids). Deterministic init
+    (all-ones); convergence vs numpy pinned in tests/test_pca.py."""
+    import math
+
+    emb = emb.select("embedding")
+    dim = len(emb.first().embedding)
+    x = [1.0 / math.sqrt(dim)] * dim
+    for _ in range(iters):
+        x_lit = F.array(*[F.lit(float(c)) for c in x])
+        dot = F.aggregate(
+            F.zip_with("embedding", x_lit, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        rows = (
+            emb.select(F.posexplode("embedding").alias("dim", "val"), dot.alias("dot"))
+            .groupBy("dim")
+            .agg(F.sum(F.col("val") * F.col("dot")).alias("y"))
+            .orderBy("dim")
+            .collect()
+        )
+        y = [r.y for r in rows]
+        norm = math.sqrt(sum(c * c for c in y))
+        x = [c / norm for c in y]
+    # sign convention: first nonzero component positive
+    for c in x:
+        if abs(c) > 1e-12:
+            if c < 0:
+                x = [-c2 for c2 in x]
+            break
+    return x
