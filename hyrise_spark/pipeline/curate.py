@@ -688,3 +688,103 @@ def curate_diversity_bucket_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# ---------------------------------------------------------------------------
+# Hashed importance resampling (DSIR, Xie et al. 2023, arXiv:2302.03169):
+# score raw documents by how much their hashed-unigram distribution looks
+# like a TARGET domain's, then keep high-scorers. The production form
+# resamples web-scale raw text toward a books/wiki target before training.
+#
+# Integer contract: per-token affinity = ((tgt_b + 1) * 4096) // (raw_b + 1)
+# — the add-1-smoothed target/raw ratio on a 4096ths lattice (the paper's
+# log-ratio sum is the float form; the linear-sum lattice keeps the
+# differential exact). On this driver corpus the domains share one
+# synthetic vocabulary, so between-domain separation is small by
+# construction — the corpus-midpoint threshold still splits ~half, which is
+# what the keep flag pins. The 64-bucket feature table is CONSTANT-sized:
+# both count frames collapse to <= 64 rows before joining tokens.
+
+_DSIR_BUCKETS = 64
+_DSIR_SCALE = 4096
+_DSIR_KEEP = 1379  # corpus-midpoint mean affinity (per token)
+
+
+@register(
+    "curate_importance_resample",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_mix_domain_sql()} AS domain,
+             CAST(concat('0x', substr(md5(
+               unnest(string_split_regex(trim(lower(text)), '\\s+'))), 1, 15))
+               AS BIGINT) % {_DSIR_BUCKETS} AS b
+      FROM documents
+    ),
+    tgt AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS tc FROM toks
+      WHERE domain = 'books' GROUP BY b
+    ),
+    raw AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS rc FROM toks GROUP BY b)
+    SELECT t.doc_id, t.domain,
+           CAST(COUNT(*) AS BIGINT) AS n_tok,
+           CAST(SUM(((COALESCE(tgt.tc, 0) + 1) * {_DSIR_SCALE}) // (raw.rc + 1))
+                AS BIGINT) AS dsir_score,
+           CAST(SUM(((COALESCE(tgt.tc, 0) + 1) * {_DSIR_SCALE}) // (raw.rc + 1))
+                > COUNT(*) * {_DSIR_KEEP} AS BOOLEAN) AS keep
+    FROM toks t
+    LEFT JOIN tgt ON tgt.b = t.b
+    JOIN raw ON raw.b = t.b
+    GROUP BY t.doc_id, t.domain
+    ORDER BY t.doc_id
+    """,
+    tags=("curate", "dsir"),
+)
+def curate_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style hashed importance scores with target = the 'books'
+    domain. Scale: the target and raw unigram-bucket tables are <= 64 rows
+    each (hashing caps the feature space — the paper's core trick), so
+    scoring any corpus is one narrow token pass joined against two
+    constant frames + one per-doc partial agg."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    src_num = F.substring("source", 4, 10).cast("int")
+    domain = (
+        F.when(src_num % 3 == 0, "web").when(src_num % 3 == 1, "books").otherwise("code")
+    )
+    toks = docs.select(
+        "doc_id",
+        domain.alias("domain"),
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term"),
+    ).select(
+        "doc_id",
+        "domain",
+        (
+            F.conv(F.substring(F.md5("term"), 1, 15), 16, 10).cast("long")
+            % _DSIR_BUCKETS
+        ).alias("b"),
+    )
+    tgt = (
+        toks.filter(F.col("domain") == "books")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+    raw = toks.groupBy("b").agg(F.count(F.lit(1)).alias("rc"))
+    affinity = F.expr(
+        f"((coalesce(tc, CAST(0 AS BIGINT)) + 1) * {_DSIR_SCALE}) div (rc + 1)"
+    )
+    return (
+        toks.join(tgt, "b", "left")
+        .join(raw, "b")
+        .groupBy("doc_id", "domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum(affinity).alias("dsir_score"),
+        )
+        .select(
+            "doc_id",
+            "domain",
+            "n_tok",
+            "dsir_score",
+            (F.col("dsir_score") > F.col("n_tok") * _DSIR_KEEP).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

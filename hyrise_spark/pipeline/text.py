@@ -812,3 +812,72 @@ def bpe_apply(docs: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
     for a, b in merges:
         wf = wf.withColumn("syms", F.expr(_bpe_merge_expr(a, b)))
     return wf
+
+
+# ---------------------------------------------------------------------------
+# Unigram surprisal — the integer-exact analog of n-gram-LM perplexity
+# filtering (CCNet/KenLM-style): a document full of corpus-rare tokens has
+# high mean surprisal (gibberish / OCR noise / wrong-language), one full of
+# ubiquitous tokens has low. On the integer lattice, -log2 p(token) becomes
+# flog2(T) - flog2(cnt) with flog2(n) = len(binary(n)) - 1 — pure integer
+# bit-length on BOTH engines, no libm.
+
+_SURPRISAL_RARE_BITS = 5  # flag docs averaging > 5 bits/token
+
+
+@register(
+    "text_unigram_surprisal",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+      FROM documents
+    ),
+    cnt AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY term),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM toks)
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tok,
+           CAST(SUM((length(printf('%b', tot.t)) - 1)
+                    - (length(printf('%b', cnt.c)) - 1)) AS BIGINT) AS surprisal,
+           CAST(SUM((length(printf('%b', tot.t)) - 1)
+                    - (length(printf('%b', cnt.c)) - 1))
+                > COUNT(*) * 5 AS BOOLEAN) AS rare_flag
+    FROM toks t JOIN cnt ON cnt.term = t.term CROSS JOIN tot
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+    tags=("text", "surprisal"),
+)
+def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document integer surprisal Σ (flog2(T) - flog2(count(token))) and
+    a rare-content flag at > `_SURPRISAL_RARE_BITS` mean bits/token.
+
+    Scale: the unigram count table is vocabulary-sized (one partial-agg
+    pass); scoring is a semi-join of tokens against it plus one per-doc
+    partial agg. T is a one-row scalar. The same plan carries a real
+    log-prob lattice (fixed-point log2) when more resolution is needed —
+    bit-length is the testable integer contract."""
+    toks = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term"),
+    )
+    cnt = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    tot = toks.agg(F.count(F.lit(1)).alias("t"))
+    bits = (F.length(F.expr("bin(t)")) - 1) - (F.length(F.expr("bin(c)")) - 1)
+    return (
+        toks.join(cnt, "term")
+        .crossJoin(F.broadcast(tot))  # scalar aggregate: one row
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum(bits).alias("surprisal"),
+        )
+        .select(
+            "doc_id",
+            "n_tok",
+            "surprisal",
+            (F.col("surprisal") > F.col("n_tok") * _SURPRISAL_RARE_BITS).alias(
+                "rare_flag"
+            ),
+        )
+        .orderBy("doc_id")
+    )
