@@ -98,12 +98,37 @@ def _pipeline_builders():
         # is the guard that keeps per-query ranking off a single task
         return qs["text_bm25_topk"].builder(spark, d)
 
+    def pagerank(spark, d):
+        # iterative edges ⋈ ranks supersteps: nodes AND edges both scale Nx
+        # (unlike the dims probe, nothing here is fixed) — expect ~linear;
+        # a superlinear exponent would mean a superstep shuffle regressed
+        return qs["graph_pagerank_topk"].builder(spark, d)
+
+    def triangles(spark, d):
+        # the fan-out-risk probe: edge self-join twice. Out-degree stays ~3
+        # per node by construction, so wedges grow linearly — a superlinear
+        # exponent flags accidental densification
+        return qs["graph_triangle_count"].builder(spark, d)
+
+    def bloom_cross(spark, d):
+        # the filter side is CONSTANT-size (<= 4032 bits) at any corpus
+        # scale; expect ~linear in the probe side alone
+        return qs["dedup_bloom_crosscorpus"].builder(spark, d)
+
+    def bpe_pairs(spark, d):
+        # pair generation runs on the VOCABULARY, which the shifted-copy
+        # corpus keeps fixed — only the word-count scan scales
+        return qs["text_bpe_pairs"].builder(spark, d)
+
     return {"dedup_exact": exact, "minhash_signatures": minhash_sig,
             "text_token_stats": token_stats, "dedup_paragraph": paragraph,
             "text_quality_classifier": quality,
             "dedup_substring_coverage": substring,
             "text_inverted_index": inverted_index,
-            "text_bm25_topk": bm25}
+            "text_bm25_topk": bm25,
+            "graph_pagerank": pagerank, "graph_triangles": triangles,
+            "dedup_bloom_crosscorpus": bloom_cross,
+            "text_bpe_pairs": bpe_pairs}
 
 
 def build_scaled_docs(spark, scale: int, out_dir: str) -> None:
@@ -280,6 +305,8 @@ def main() -> int:
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--out", default="/tmp/scale_probe")
     ap.add_argument("--max-exponent", type=float, default=1.35)
+    ap.add_argument("--only", nargs="*", default=None,
+                    help="probe only these builder names within the family")
     ap.add_argument("--family", choices=["relational", "pipeline", "dims", "skew"],
                     default="relational")
     args = ap.parse_args()
@@ -308,6 +335,12 @@ def main() -> int:
     else:
         builders = {n: qs[n].builder for n in QUERIES}
         names = QUERIES
+    if args.only:
+        unknown = [n for n in args.only if n not in builders]
+        if unknown:
+            ap.error(f"unknown --only names for family {args.family}: {unknown}")
+        names = [n for n in names if n in set(args.only)]
+        builders = {n: builders[n] for n in names}
     dirs = {1: BASE_SF}
     for s in args.scales:
         d = f"{args.out}/{args.family}_x{s}"
