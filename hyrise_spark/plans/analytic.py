@@ -425,3 +425,80 @@ def aggregate_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("q").alias("val"))
         .orderBy("l_returnflag", "pct")
     )
+
+
+# ---------------------------------------------------------------------------
+# Ordered-set-style aggregates the reference lacks entirely: LISTAGG
+# (SQL:2016 T625) and a deterministic MODE. The registered oracle spells
+# each in the engines' respective dialects (Spark: LISTAGG ... WITHIN
+# GROUP; DuckDB: string_agg(... ORDER BY)) — the ORDER BY inside the
+# aggregate is what makes the result well-defined and hash-comparable.
+
+
+@register(
+    "aggregate_listagg",
+    oracle="""
+    SELECT o_orderstatus,
+           string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey)
+             AS keys_csv
+    FROM orders WHERE o_orderkey <= 64
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    tags=("aggregate", "listagg"),
+)
+def aggregate_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG with an explicit WITHIN GROUP order (Spark 4's ordered-set
+    form; DuckDB oracle spells it string_agg ORDER BY). The in-aggregate
+    sort runs per group over the filtered slice; unordered LISTAGG is
+    nondeterministic under parallel merge — the ordered form is the only
+    distributed-safe one, which is why the query pins it."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderkey") <= 64)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.expr(
+                "listagg(CAST(o_orderkey AS STRING), ',')"
+                " WITHIN GROUP (ORDER BY o_orderkey)"
+            ).alias("keys_csv")
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "aggregate_mode_manual",
+    oracle="""
+    WITH h AS (
+      SELECT l_returnflag, CAST(ROUND(l_quantity) AS BIGINT) AS q,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1, 2
+    ),
+    mx AS (SELECT l_returnflag, MAX(c) AS mc FROM h GROUP BY l_returnflag)
+    SELECT h.l_returnflag, CAST(MIN(h.q) AS BIGINT) AS mode_val,
+           CAST(mx.mc AS BIGINT) AS mode_count
+    FROM h JOIN mx ON mx.l_returnflag = h.l_returnflag AND h.c = mx.mc
+    GROUP BY h.l_returnflag, mx.mc
+    ORDER BY h.l_returnflag
+    """,
+    tags=("aggregate", "mode"),
+)
+def aggregate_mode_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODE with a deterministic tie-break (smallest value wins) — engines'
+    built-in mode() functions break ties arbitrarily, so the query states
+    the histogram-argmax explicitly: value-count histogram (partial agg),
+    per-group max count, min value at that count. Everything after the
+    first groupBy is histogram-sized."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    h = li.groupBy(
+        "l_returnflag", F.round(F.col("l_quantity")).cast("long").alias("q")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    mx = h.groupBy("l_returnflag").agg(F.max("c").alias("mc"))
+    return (
+        h.join(mx, "l_returnflag")
+        .filter(F.col("c") == F.col("mc"))
+        .groupBy("l_returnflag", "mc")
+        .agg(F.min("q").alias("mode_val"))
+        .select("l_returnflag", "mode_val", F.col("mc").alias("mode_count"))
+        .orderBy("l_returnflag")
+    )

@@ -132,6 +132,22 @@ CORPUS: dict[str, str] = {
     "agg_filtered_avg": """
         SELECT ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2) AS f_total
         FROM orders""",
+    # ---- FILTER clause (SQL:2003 T612; shared dialect in both engines) ---
+    "agg_filter_count": """
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(*) FILTER (WHERE o_totalprice > 100000) AS BIGINT) AS n_big
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "agg_filter_sum_mixed": """
+        SELECT l_returnflag,
+               ROUND(SUM(l_quantity) FILTER (WHERE l_discount > 0.05), 2) AS q_disc,
+               ROUND(SUM(l_quantity) FILTER (WHERE l_discount <= 0.05), 2) AS q_nodisc
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "agg_filter_no_group": """
+        SELECT CAST(COUNT(*) FILTER (WHERE p_size >= 25) AS BIGINT) AS big,
+               CAST(COUNT(*) FILTER (WHERE p_size < 25) AS BIGINT) AS small,
+               CAST(COUNT(DISTINCT p_brand) FILTER (WHERE p_type = 'PROMO') AS BIGINT) AS promo_brands
+        FROM part""",
     # ---- joins in SQL (abstract_join_operator.hpp modes) -----------------
     "join_two_dims": """
         SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey
