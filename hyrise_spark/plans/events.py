@@ -558,3 +558,63 @@ def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("volume"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exponential moving average. EMA is inherently SEQUENTIAL (each state
+# depends on the previous), which a distributed engine cannot shuffle away —
+# the scalable shape is: (1) a partial-agg daily rollup collapses event
+# volume to a CALENDAR-bounded series per key (100 TB of events in a month
+# is still <= 31 rows per series), then (2) the recurrence runs inside one
+# row as an array fold. alpha = 1/4 on the integer cents lattice:
+# ema_t = (v_t + 3 * ema_{t-1}) div 4, seeded with the first day — exact
+# and identical on both engines (DuckDB's seedless list_reduce starts at
+# element 1, mirrored in Spark by folding slice(vs, 2, n-1) onto vs[1]).
+
+
+@register(
+    "events_ema_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    series AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(v) AS BIGINT) AS total_cents,
+             list(v ORDER BY day) AS vs
+      FROM daily GROUP BY event_type
+    )
+    SELECT event_type, n_days, total_cents,
+           CAST(list_reduce(vs, (acc, x) -> (x + 3 * acc) // 4) AS BIGINT)
+             AS ema_cents
+    FROM series ORDER BY event_type
+    """,
+    tags=("events", "timeseries"),
+)
+def events_ema_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final daily EMA (alpha=1/4) of summed event value per type, exact on
+    the cents lattice. The fold input is the day-ordered daily array —
+    array_sort on (day, v) structs makes the collect order deterministic
+    under parallel merge."""
+    (events,) = _t(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("v"))
+    series = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("v").alias("total_cents"),
+        F.array_sort(F.collect_list(F.struct("day", "v"))).alias("dv"),
+    )
+    return series.select(
+        "event_type",
+        "n_days",
+        "total_cents",
+        F.expr(
+            "aggregate(slice(transform(dv, s -> s.v), 2, greatest(size(dv) - 1, 0)),"
+            " element_at(transform(dv, s -> s.v), 1),"
+            " (acc, x) -> (x + 3 * acc) div 4)"
+        ).alias("ema_cents"),
+    ).orderBy("event_type")
