@@ -314,3 +314,77 @@ def ohlc_stream(events: DataFrame, window: str = "1 day",
             "event_type", "open", "high", "low", "close", "volume",
         )
     )
+
+
+def streaming_ema_daily(events: DataFrame) -> DataFrame:
+    """Streaming form of the batch `events_ema_daily`: per event_type, the
+    exact integer-lattice EMA (alpha = 1/4) over CLOSED days, via
+    applyInPandasWithState.
+
+    State per type = (seeded?, ema_cents, open_day, open_sum) — O(1)
+    regardless of stream length; a day closes when a later day arrives for
+    that type (the operator's watermark analog, same convention as
+    streaming_anomaly_zscore). Each closed day folds into the recurrence
+    ema = (v + 3*ema) div 4 — identical integer arithmetic to the batch
+    fold, so every emitted row is final and equals the batch prefix-EMA
+    for that day (pinned by the parity test). Days arriving before the
+    open day are late beyond the horizon and are dropped."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = StructType(
+        [
+            StructField("event_type", StringType()),
+            StructField("day", StringType()),
+            StructField("v_cents", LongType()),
+            StructField("ema_cents", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("seeded", BooleanType()),
+            StructField("ema", LongType()),
+            StructField("open_day", StringType()),
+            StructField("open_sum", LongType()),
+        ]
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        etype = key[0]
+        seeded, ema, open_day, open_sum = (
+            state.get if state.exists else (False, 0, None, 0)
+        )
+        batches = [pdf for pdf in pdf_iter]
+        pdf = pd.concat(batches) if batches else pd.DataFrame({"day": [], "cents": []})
+        rows: list = []
+        if len(pdf):
+            per_day = (
+                pdf.assign(day=pdf["day"].astype(str))
+                .groupby("day")["cents"].sum().sort_index()
+            )
+            for day, v in per_day.items():
+                v = int(v)
+                if open_day is None or day == open_day:
+                    open_sum += v
+                    open_day = day
+                elif day > open_day:
+                    # close the open day: fold it into the recurrence
+                    ema = open_sum if not seeded else (open_sum + 3 * ema) // 4
+                    seeded = True
+                    rows.append((etype, open_day, open_sum, ema))
+                    open_day, open_sum = day, v
+                # else: before the open day — late beyond horizon, drop
+        state.update((seeded, ema, open_day, open_sum))
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=["event_type", "day", "v_cents", "ema_cents"]
+            )
+
+    daily = events.select(
+        "event_type",
+        F.to_date("ts").cast("string").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return daily.groupBy("event_type").applyInPandasWithState(
+        update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

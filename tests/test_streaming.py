@@ -321,3 +321,49 @@ def test_streaming_ohlc_matches_batch(spark, events_dir):
         .collect()
     )
     assert got and got == want
+
+
+def test_streaming_ema_daily_matches_batch_prefix(spark, tmp_path):
+    """Every CLOSED day's streamed EMA equals the batch integer recurrence
+    folded over the daily rollup up to that day; the still-open last day
+    per type is the only difference."""
+    import pyarrow.parquet as pq
+
+    from hyrise_spark.streaming.events_stream import streaming_ema_daily
+
+    sf = tmp_path / "sf"
+    d = sf / "events.parquet"
+    d.mkdir(parents=True)
+    t = pq.read_table(f"{SF_DIR}/events.parquet").sort_by("ts")
+    n = t.num_rows
+    for i in range(3):
+        pq.write_table(
+            t.slice(i * n // 3, (i + 1) * n // 3 - i * n // 3),
+            d / f"part{i}.parquet",
+        )
+
+    stream = streaming_ema_daily(read_events_stream(spark, str(d)))
+    run_to_completion(stream, "ema_stream_out", output_mode="append")
+    got = {
+        (r.event_type, r.day): (r.v_cents, r.ema_cents)
+        for r in spark.table("ema_stream_out").collect()
+    }
+
+    # batch reference: per-type day-ordered daily cents, folded in Python
+    daily = (
+        spark.read.parquet(str(d))
+        .groupBy("event_type", F.to_date("ts").cast("string").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("v"))
+        .collect()
+    )
+    series: dict[str, list] = {}
+    for r in daily:
+        series.setdefault(r.event_type, []).append((r.day, r.v))
+    expected = {}
+    for etype, dv in series.items():
+        dv.sort()
+        ema = None
+        for day, v in dv[:-1]:  # last day stays open in the stream
+            ema = v if ema is None else (v + 3 * ema) // 4
+            expected[(etype, day)] = (v, ema)
+    assert got == expected and expected
