@@ -100,6 +100,20 @@ _TXN_RE = re.compile(
     re.I,
 )
 _META_REF_RE = re.compile(r"\bmeta_\w+", re.I)
+# SQL scalar UDFs (SQL:2016 PSM-lite; beyond the reference, whose only
+# "functions" are the three built-ins at function_expression.hpp:14-18).
+# Spark executes the body as a catalyst expression — JVM-side, codegen'd,
+# NOT a Python UDF; persistence is session-scoped like views here, so the
+# statement is normalized onto CREATE OR REPLACE TEMPORARY FUNCTION.
+_CREATE_FUNCTION_RE = re.compile(
+    r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?FUNCTION\s+"
+    r"(?P<name>\w+)(?P<rest>\s*\(.+)$",
+    re.I | re.S,
+)
+_DROP_FUNCTION_RE = re.compile(
+    r"^\s*DROP\s+(?:TEMPORARY\s+)?FUNCTION\s+(?:IF\s+EXISTS\s+)?(?P<name>\w+)\s*$",
+    re.I,
+)
 # single source of truth for ROLLBACK detection — used both for the meta_log
 # status tag and the unsupported-operation warning
 _ROLLBACK_RE = re.compile(r"^\s*ROLLBACK\b", re.I)
@@ -112,6 +126,7 @@ class Engine:
         self.spark = spark
         self.catalog = Catalog(spark)
         self._prepared: dict[str, str] = {}
+        self._functions: dict[str, str] = {}  # SQL scalar UDFs, by name
 
     # -- statement routing --------------------------------------------------
     def execute(self, sql: str, args: dict | list | None = None) -> DataFrame | None:
@@ -246,6 +261,19 @@ class Engine:
             return self._execute_one(
                 f"SELECT * FROM meta_columns WHERE table_name = '{m['t']}'", None
             )
+        m = _CREATE_FUNCTION_RE.match(stmt)
+        if m:
+            self.spark.sql(
+                f"CREATE OR REPLACE TEMPORARY FUNCTION {m['name']}{m['rest']}"
+            )
+            self._functions[m["name"].lower()] = stmt.strip()
+            return None
+        m = _DROP_FUNCTION_RE.match(stmt)
+        if m:
+            if m["name"].lower() in self._functions:
+                self.spark.sql(f"DROP TEMPORARY FUNCTION {m['name']}")
+                del self._functions[m["name"].lower()]
+            return None
         m = _PREPARE_RE.match(stmt)
         if m:
             # hyrise doubles quotes inside the statement string literal

@@ -404,3 +404,45 @@ def test_meta_system_utilization_matches_reference_fields(engine, spark):
     assert 0 < row.allocated_memory <= row.jvm_max_memory
     assert row.cpu_affinity_count >= 1
     assert row.n_executors >= 1 and row.default_parallelism >= 1
+
+
+def test_sql_scalar_udf_differential(spark, duck):
+    """CREATE FUNCTION ... RETURN <expr> (SQL scalar UDF, session-scoped):
+    the body runs as a Catalyst expression — JVM-side, not a Python UDF —
+    and results match DuckDB evaluating the same bodies as macros."""
+    from tests.conftest import SF_DIR
+
+    eng = Engine(spark)
+    eng.catalog.add_table("part", spark.read.parquet(f"{SF_DIR}/part.parquet"))
+    eng.execute(
+        "CREATE FUNCTION disc_price(p DOUBLE, d DOUBLE) RETURNS DOUBLE "
+        "RETURN ROUND(p * (1 - d), 2)"
+    )
+    eng.execute(
+        "CREATE FUNCTION brand_tag(b STRING, s INT) RETURNS STRING "
+        "RETURN CASE WHEN s >= 25 THEN UPPER(b) ELSE LOWER(b) END"
+    )
+    q = ("SELECT p_partkey AS k, disc_price(p_retailprice, 0.1) AS dp, "
+         "brand_tag(p_brand, p_size) AS tag FROM part WHERE p_partkey <= 40 "
+         "ORDER BY k")
+    got = [tuple(r) for r in eng.execute(q).collect()]
+
+    duck.execute("CREATE OR REPLACE MACRO disc_price(p, d) AS ROUND(p * (1 - d), 2)")
+    duck.execute(
+        "CREATE OR REPLACE MACRO brand_tag(b, s) AS "
+        "CASE WHEN s >= 25 THEN UPPER(b) ELSE LOWER(b) END"
+    )
+    want = [tuple(r) for r in duck.execute(q).fetchall()]
+    assert got == want and got
+
+    # redefinition replaces; DROP removes and the name stops resolving
+    eng.execute(
+        "CREATE OR REPLACE FUNCTION disc_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN 0.0"
+    )
+    assert eng.execute("SELECT disc_price(100.0, 0.5) AS x").first().x == 0.0
+    eng.execute("DROP FUNCTION disc_price")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        eng.execute("SELECT disc_price(100.0, 0.5) AS x").collect()
