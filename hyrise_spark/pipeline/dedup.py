@@ -925,3 +925,66 @@ def dedup_bloom_crosscorpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance-1 near-dup pairs via deletion-neighborhood blocking (FastSS,
+# Bocek et al. 2007) — the entity-resolution primitive for near-identical
+# titles/names. Key insight: two strings at edit distance 1 share a member
+# of each other's {self} ∪ {one-char-deletions} set (substitution: deleting
+# the differing position from both yields the same string; insert/delete:
+# deleting the extra char yields the other string verbatim). Candidates
+# come from an equi-join on those keys — each string emits length+1 keys,
+# so blocking fan-out is bounded by string length, never all-pairs. The
+# exact levenshtein check runs only on blocked candidates.
+
+
+@register(
+    "dedup_edit_distance1",
+    oracle="""
+    WITH v AS (SELECT DISTINCT p_name AS w FROM part),
+    k AS (
+      SELECT DISTINCT w,
+             CASE WHEN i = 0 THEN w
+                  ELSE substr(w, 1, CAST(i - 1 AS INT))
+                       || substr(w, CAST(i + 1 AS INT), length(w)) END AS k
+      FROM v, LATERAL (SELECT UNNEST(generate_series(0, length(w))) AS i) g
+    )
+    SELECT DISTINCT a.w AS w1, b.w AS w2
+    FROM k a JOIN k b ON a.k = b.k AND a.w < b.w
+    WHERE levenshtein(a.w, b.w) = 1
+    ORDER BY w1, w2
+    """,
+    tags=("dedup", "editdistance"),
+)
+def dedup_edit_distance1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All part-name pairs at edit distance exactly 1 ('red plate' vs
+    'red plates'). Scale: the deletion-variant key table is (len+1) x
+    vocabulary rows; the self-join groups by shared variant — a string
+    only ever meets strings it could actually be 1 edit from. Levenshtein
+    (identical semantics in Spark and DuckDB) verifies candidates."""
+    part = load_tables(spark, sf_dir, ("part",))["part"]
+    v = part.select(F.col("p_name").alias("w")).distinct()
+    keys = v.select(
+        "w",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(0, length(w)), i -> "
+                    "CASE WHEN i = 0 THEN w ELSE concat("
+                    "substring(w, 1, CAST(i - 1 AS INT)), "
+                    "substring(w, CAST(i + 1 AS INT), length(w))) END)"
+                )
+            )
+        ).alias("k"),
+    )
+    a = keys.select(F.col("w").alias("w1"), "k")
+    b = keys.select(F.col("w").alias("w2"), "k")
+    return (
+        a.join(b, "k")
+        .filter(F.col("w1") < F.col("w2"))
+        .filter(F.levenshtein("w1", "w2") == 1)
+        .select("w1", "w2")
+        .distinct()
+        .orderBy("w1", "w2")
+    )
