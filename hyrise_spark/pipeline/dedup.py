@@ -988,3 +988,96 @@ def dedup_edit_distance1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("w1", "w2")
     )
+
+
+# ---------------------------------------------------------------------------
+# Set-overlap similarity join with PREFIX FILTERING (AllPairs/PPJoin, Bayardo
+# et al. 2007) — the other classic lossless candidate-pruning family next to
+# the df-cap (above) and LSH banding. The lemma: order every document's
+# distinct shingles by one global total order (rarest first); if
+# |A ∩ B| >= T, then the first |A|-T+1 shingles of A and the first |B|-T+1
+# of B MUST share an element. Candidates therefore come from an equi-join on
+# PREFIX shingles only — and because prefixes are rarest-first, the join
+# keys are exactly the lowest-fan-out shingles in the corpus.
+
+_OV_T = 8  # overlap threshold (distinct shared 3-shingles)
+
+
+@register(
+    "dedup_overlap_prefix_filter",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+      FROM documents
+    ),
+    warr AS (
+      SELECT doc_id, list(w) AS ws FROM toks GROUP BY doc_id
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS s
+      FROM warr, LATERAL (SELECT UNNEST(generate_series(1, len(ws) - 2)) AS i) g
+      WHERE len(ws) >= 3
+    ),
+    df AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY s),
+    ranked AS (
+      SELECT sh.doc_id, sh.s,
+             ROW_NUMBER() OVER (PARTITION BY sh.doc_id ORDER BY df.df, sh.s) AS rn,
+             COUNT(*) OVER (PARTITION BY sh.doc_id) AS n
+      FROM sh JOIN df ON df.s = sh.s
+    ),
+    prefix AS (SELECT doc_id, s FROM ranked WHERE rn <= n - {_OV_T} + 1),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM prefix a JOIN prefix b ON a.s = b.s AND a.doc_id < b.doc_id
+    )
+    SELECT c.d1, c.d2, CAST(COUNT(*) AS BIGINT) AS overlap
+    FROM cand c
+    JOIN sh x ON x.doc_id = c.d1
+    JOIN sh y ON y.doc_id = c.d2 AND y.s = x.s
+    GROUP BY c.d1, c.d2
+    HAVING COUNT(*) >= {_OV_T}
+    ORDER BY c.d1, c.d2
+    """,
+    tags=("dedup", "prefixfilter"),
+)
+def dedup_overlap_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs sharing >= `_OV_T` distinct 3-token shingles, candidates
+    via lossless prefix filtering. Scale: the rarest-first prefix join hits
+    only low-df keys (the rarer a shingle, the smaller its join group —
+    the opposite of the hot-shingle problem); ranking windows partition per
+    document (bounded by doc length); verification joins run only on
+    surviving candidate pairs."""
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("w")
+    )
+    sh = toks.select("doc_id", F.explode(_shingle_array(3)).alias("s")).distinct()
+    df = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.sql import Window
+
+    w_rank = Window.partitionBy("doc_id").orderBy("df", "s")
+    w_all = Window.partitionBy("doc_id")
+    ranked = sh.join(df, "s").select(
+        "doc_id",
+        "s",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    prefix = ranked.filter(F.col("rn") <= F.col("n") - _OV_T + 1).select("doc_id", "s")
+    a = prefix.select(F.col("doc_id").alias("d1"), "s")
+    b = prefix.select(F.col("doc_id").alias("d2"), "s")
+    cand = (
+        a.join(b, "s")
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+    x = sh.select(F.col("doc_id").alias("d1"), "s")
+    y = sh.select(F.col("doc_id").alias("d2"), "s")
+    return (
+        cand.join(x, "d1")
+        .join(y, ["d2", "s"])
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+        .filter(F.col("overlap") >= _OV_T)
+        .orderBy("d1", "d2")
+    )
