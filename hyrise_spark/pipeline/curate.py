@@ -788,3 +788,93 @@ def curate_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift monitoring — the data-quality gate a production corpus
+# pipeline runs on every new snapshot: compare each domain's hashed-unigram
+# distribution against the whole-corpus reference distribution and alarm on
+# divergence. PSI/KL need logs (float drift across engines); total-variation
+# distance TV = 1/2 * Σ_b |p_dom(b) - p_ref(b)| is norm-equivalent for
+# alarming and stays EXACT on a basis-points lattice: per-bucket shares are
+# (cnt * 10000) div total, so the whole check is integer arithmetic. Both
+# distribution frames collapse to <= 64 rows per domain before comparison.
+
+_DRIFT_BPS = 300  # alarm at TV distance > 3% (600 bps sum of |deltas| / 2)
+
+
+@register(
+    "curate_distribution_drift",
+    oracle=f"""
+    WITH toks AS (
+      SELECT {_mix_domain_sql()} AS domain,
+             CAST(concat('0x', substr(md5(
+               unnest(string_split_regex(trim(lower(text)), '\\s+'))), 1, 15))
+               AS BIGINT) % 64 AS b
+      FROM documents
+    ),
+    dom AS (
+      SELECT domain, b, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2
+    ),
+    dom_tot AS (SELECT domain, CAST(SUM(c) AS BIGINT) AS t FROM dom GROUP BY domain),
+    ref AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY b),
+    ref_tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM ref),
+    deltas AS (
+      SELECT d.domain,
+             ABS((d.c * 10000) // dt.t - (r.c * 10000) // rt.t) AS adelta
+      FROM dom d
+      JOIN dom_tot dt ON dt.domain = d.domain
+      JOIN ref r ON r.b = d.b
+      CROSS JOIN ref_tot rt
+    )
+    SELECT domain,
+           CAST(SUM(adelta) / 2 AS BIGINT) AS tv_bps,
+           CAST(SUM(adelta) / 2 > {_DRIFT_BPS} AS BOOLEAN) AS drifted
+    FROM deltas GROUP BY domain ORDER BY domain
+    """,
+    tags=("curate", "drift"),
+)
+def curate_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain total-variation distance (basis points) between the
+    domain's hashed-unigram distribution and the corpus reference, with a
+    drift alarm. Scale: one token pass builds both count frames; everything
+    after is 64-row arithmetic per domain. (Buckets missing from a domain
+    contribute their reference mass to TV in the full formula; with 64
+    buckets over any real corpus slice every bucket is populated — the
+    inner join is the measured contract, and the alarm threshold absorbs
+    the vanishing tail either way.)"""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    src_num = F.substring("source", 4, 10).cast("int")
+    domain = (
+        F.when(src_num % 3 == 0, "web").when(src_num % 3 == 1, "books").otherwise("code")
+    )
+    toks = docs.select(
+        domain.alias("domain"),
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term"),
+    ).select(
+        "domain",
+        (F.conv(F.substring(F.md5("term"), 1, 15), 16, 10).cast("long") % 64).alias("b"),
+    )
+    dom = toks.groupBy("domain", "b").agg(F.count(F.lit(1)).alias("c"))
+    dom_tot = dom.groupBy("domain").agg(F.sum("c").alias("t"))
+    ref = toks.groupBy("b").agg(F.count(F.lit(1)).alias("rc"))
+    ref_tot = ref.agg(F.sum("rc").alias("rt"))
+    deltas = (
+        dom.join(dom_tot, "domain")
+        .join(ref, "b")
+        .crossJoin(F.broadcast(ref_tot))  # scalar aggregate: one row
+        .select(
+            "domain",
+            F.abs(
+                F.expr("(c * 10000) div t") - F.expr("(rc * 10000) div rt")
+            ).alias("adelta"),
+        )
+    )
+    return (
+        deltas.groupBy("domain")
+        .agg(F.floor(F.sum("adelta") / 2).cast("long").alias("tv_bps"))
+        .select(
+            "domain", "tv_bps", (F.col("tv_bps") > _DRIFT_BPS).alias("drifted")
+        )
+        .orderBy("domain")
+    )
