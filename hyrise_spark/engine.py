@@ -111,7 +111,7 @@ _CREATE_FUNCTION_RE = re.compile(
     re.I | re.S,
 )
 _DROP_FUNCTION_RE = re.compile(
-    r"^\s*DROP\s+(?:TEMPORARY\s+)?FUNCTION\s+(?:IF\s+EXISTS\s+)?(?P<name>\w+)\s*$",
+    r"^\s*DROP\s+(?:TEMPORARY\s+)?FUNCTION\s+(?P<ifex>IF\s+EXISTS\s+)?(?P<name>\w+)\s*$",
     re.I,
 )
 # single source of truth for ROLLBACK detection — used both for the meta_log
@@ -273,6 +273,8 @@ class Engine:
             if m["name"].lower() in self._functions:
                 self.spark.sql(f"DROP TEMPORARY FUNCTION {m['name']}")
                 del self._functions[m["name"].lower()]
+            elif not m["ifex"]:
+                raise ValueError(f"no such function: {m['name']}")
             return None
         m = _PREPARE_RE.match(stmt)
         if m:

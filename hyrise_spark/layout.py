@@ -232,8 +232,6 @@ def write_zordered(
     uniform-ish keys (surrogate ids, dates) spread evenly; a heavily
     skewed key would want a rank-based variant.
     """
-    import datetime
-
     import pyspark.sql.functions as F
 
     m = len(cols)
@@ -241,26 +239,33 @@ def write_zordered(
     if bits * m > 63:
         raise ValueError(f"bits*len(cols) = {bits * m} exceeds 63 (long sign bit)")
 
+    # Integer key expression per column; temporal keys normalize on the
+    # epoch-day ordinal (day-grain clustering — the grain row-group stats
+    # prune on). The min/max aggregate runs over the SAME key expressions
+    # the z-value uses, entirely engine-side — collecting raw datetime
+    # min/max and ordinal-izing them driver-side would re-interpret them in
+    # the driver's system timezone, off-by-one-day vs the session-tz cast.
+    dtypes = dict(df.dtypes)
+    keys = {
+        c: (
+            F.datediff(
+                F.col(c).cast("date"), F.lit("1970-01-01").cast("date")
+            ).cast("long")
+            if dtypes[c].startswith(("date", "timestamp"))
+            else F.col(c).cast("long")
+        )
+        for c in cols
+    }
     aggs = []
     for c in cols:
-        aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
+        aggs += [F.min(keys[c]).alias(f"mn_{c}"), F.max(keys[c]).alias(f"mx_{c}")]
     stats = df.agg(*aggs).collect()[0]  # ingest-time scalar, 2*ncols values
     top = (1 << bits) - 1
     z = F.lit(0).cast("long")
     for i, c in enumerate(cols):
-        mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
-        if isinstance(mn, (datetime.date, datetime.datetime)):
-            # temporal key: normalize on the epoch-day ordinal (day-grain
-            # clustering — the grain row-group stats prune on)
-            key = F.datediff(F.col(c).cast("date"), F.lit("1970-01-01").cast("date")).cast("long")
-            mn = (mn.date() if isinstance(mn, datetime.datetime) else mn).toordinal()
-            mx = (mx.date() if isinstance(mx, datetime.datetime) else mx).toordinal()
-            mn -= datetime.date(1970, 1, 1).toordinal()
-            mx -= datetime.date(1970, 1, 1).toordinal()
-        else:
-            key = F.col(c).cast("long")
-        span = max(1, int(mx) - int(mn))
-        norm = ((key - F.lit(int(mn))) * top / F.lit(span)).cast("long")
+        mn, mx = int(stats[f"mn_{c}"]), int(stats[f"mx_{c}"])
+        span = max(1, mx - mn)
+        norm = ((keys[c] - F.lit(mn)) * top / F.lit(span)).cast("long")
         for b in range(bits):
             z = z + F.shiftleft(
                 F.shiftright(norm, b).bitwiseAND(F.lit(1)), b * m + i

@@ -393,6 +393,18 @@ def _mix_domain_sql() -> str:
             "WHEN 1 THEN 'books' ELSE 'code' END")
 
 
+def _mix_domain():
+    """THE domain rule as a Column — one definition for every consumer
+    (mixture, DSIR, drift, streams); unbounded substring, mirroring the
+    oracle's substr(source, 4) exactly."""
+    src_num = F.expr("substring(source, 4)").cast("int")
+    return (
+        F.when(src_num % 3 == 0, "web")
+        .when(src_num % 3 == 1, "books")
+        .otherwise("code")
+    )
+
+
 _MIX_WEIGHT_SQL = ("CASE domain WHEN 'web' THEN 0.5 WHEN 'books' THEN 0.3 "
                    "ELSE 0.2 END")
 
@@ -426,11 +438,7 @@ _MIX_WEIGHT_SQL = ("CASE domain WHEN 'web' THEN 0.5 WHEN 'books' THEN 0.3 "
 )
 def curate_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    # unbounded substring, mirroring the oracle's substr(source, 4) exactly
-    src_num = F.expr("substring(source, 4)").cast("int")
-    domain = (
-        F.when(src_num % 3 == 0, "web").when(src_num % 3 == 1, "books").otherwise("code")
-    )
+    domain = _mix_domain()
     d = docs.select(
         "doc_id", domain.alias("domain"), F.size(_words()).alias("n_tok")
     )
@@ -746,13 +754,9 @@ def curate_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring any corpus is one narrow token pass joined against two
     constant frames + one per-doc partial agg."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    src_num = F.substring("source", 4, 10).cast("int")
-    domain = (
-        F.when(src_num % 3 == 0, "web").when(src_num % 3 == 1, "books").otherwise("code")
-    )
     toks = docs.select(
         "doc_id",
-        domain.alias("domain"),
+        _mix_domain().alias("domain"),
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term"),
     ).select(
         "doc_id",
@@ -810,7 +814,7 @@ _DRIFT_BPS = 300  # alarm at TV distance > 3% (600 bps sum of |deltas| / 2)
       SELECT {_mix_domain_sql()} AS domain,
              CAST(concat('0x', substr(md5(
                unnest(string_split_regex(trim(lower(text)), '\\s+'))), 1, 15))
-               AS BIGINT) % 64 AS b
+               AS BIGINT) % {_DSIR_BUCKETS} AS b
       FROM documents
     ),
     dom AS (
@@ -828,8 +832,8 @@ _DRIFT_BPS = 300  # alarm at TV distance > 3% (600 bps sum of |deltas| / 2)
       CROSS JOIN ref_tot rt
     )
     SELECT domain,
-           CAST(SUM(adelta) / 2 AS BIGINT) AS tv_bps,
-           CAST(SUM(adelta) / 2 > {_DRIFT_BPS} AS BOOLEAN) AS drifted
+           CAST(SUM(adelta) // 2 AS BIGINT) AS tv_bps,
+           CAST(SUM(adelta) // 2 > {_DRIFT_BPS} AS BOOLEAN) AS drifted
     FROM deltas GROUP BY domain ORDER BY domain
     """,
     tags=("curate", "drift"),
@@ -844,16 +848,15 @@ def curate_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     inner join is the measured contract, and the alarm threshold absorbs
     the vanishing tail either way.)"""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    src_num = F.substring("source", 4, 10).cast("int")
-    domain = (
-        F.when(src_num % 3 == 0, "web").when(src_num % 3 == 1, "books").otherwise("code")
-    )
     toks = docs.select(
-        domain.alias("domain"),
+        _mix_domain().alias("domain"),
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("term"),
     ).select(
         "domain",
-        (F.conv(F.substring(F.md5("term"), 1, 15), 16, 10).cast("long") % 64).alias("b"),
+        (
+            F.conv(F.substring(F.md5("term"), 1, 15), 16, 10).cast("long")
+            % _DSIR_BUCKETS
+        ).alias("b"),
     )
     dom = toks.groupBy("domain", "b").agg(F.count(F.lit(1)).alias("c"))
     dom_tot = dom.groupBy("domain").agg(F.sum("c").alias("t"))

@@ -199,9 +199,9 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, term) tf table against it, so only documents sharing a query
     term are scored. dl joins back on doc_id (partial-agg upstream), the
     corpus stats are a one-row scalar aggregate. Final top-k per query is
-    two-stage — per-(query, doc_id%{_BUCKETS}) bucket top-k, then a rank
-    over <= {_BUCKETS}*k survivors — so a query matching most of the corpus
-    still never funnels into one sort task.
+    two-stage — per-(query, doc_id % `_BUCKETS`) bucket top-k, then a rank
+    over <= `_BUCKETS * k` survivors — so a query matching most of the
+    corpus still never funnels into one sort task.
     """
     scored = _bm25_scored(spark, sf_dir)
     return _two_stage_topk(
@@ -248,11 +248,16 @@ def _tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bm25_scored(
+    spark: SparkSession, sf_dir: str, tf: DataFrame | None = None
+) -> DataFrame:
     """(query_id, doc_id, score): the exact-integer BM25 candidate scoring
-    shared by text_bm25_topk and the RRF fusion."""
+    shared by text_bm25_topk and the RRF fusion. Pass a prebuilt `tf` so a
+    caller that also needs the (doc_id, term, tf) frame tokenizes the
+    corpus once, not twice."""
     toks = _toks(_docs(spark, sf_dir))
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    if tf is None:
+        tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     corpus = dl.agg(
@@ -382,7 +387,7 @@ def text_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = F.broadcast(_qterms(spark)).join(tf, "term")
 
     r1 = _two_stage_topk(
-        _bm25_scored(spark, sf_dir),
+        _bm25_scored(spark, sf_dir, tf=tf),
         [F.col("score").desc(), F.col("doc_id")],
         _RRF_POOL,
         rank_name="r",

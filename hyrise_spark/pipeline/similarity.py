@@ -976,40 +976,56 @@ def sim_embedding_dimstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def pca_power_iteration(emb: DataFrame, iters: int = 8) -> list[float]:
+def pca_power_iteration(emb: DataFrame, iters: int = 8) -> DataFrame:
     """Top principal direction of the (uncentered) second-moment matrix via
     power iteration with the covariance NEVER materialized: each round is
       dot_v = v · x          (narrow zip_with/aggregate per row)
       y_d   = Σ_v v_d * dot_v  (posexplode + groupBy dim — 64 groups)
-    then normalize. The only driver-side values are the 64-float iterate
-    (trainer loop, like kmeans_iterate's centroids). Deterministic init
-    (all-ones); convergence vs numpy pinned in tests/test_pca.py."""
-    import math
-
+    then engine-side normalization. The iterate is a ONE-ROW broadcast
+    DataFrame the whole way (like kmeans_iterate's centroid frame — no
+    driver-side collect; localCheckpoint truncates per-round lineage).
+    Returns a 1-row frame with `direction` (unit-norm array<double>, sign
+    fixed so the first non-negligible component is positive; NULL on a
+    degenerate all-zero corpus). Convergence vs numpy pinned in
+    tests/test_pca.py."""
     emb = emb.select("embedding")
-    dim = len(emb.first().embedding)
-    x = [1.0 / math.sqrt(dim)] * dim
+    # deterministic engine-side init: the uniform unit direction
+    x = emb.limit(1).select(
+        F.expr(
+            "transform(embedding, v -> CAST(1.0 AS DOUBLE) / sqrt(size(embedding)))"
+        ).alias("xv")
+    )
+    dot = F.expr(
+        "aggregate(zip_with(embedding, xv, (a, b) -> a * b),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
     for _ in range(iters):
-        x_lit = F.array(*[F.lit(float(c)) for c in x])
-        dot = F.aggregate(
-            F.zip_with("embedding", x_lit, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        rows = (
-            emb.select(F.posexplode("embedding").alias("dim", "val"), dot.alias("dot"))
+        y = (
+            emb.crossJoin(F.broadcast(x))
+            .select(F.posexplode("embedding").alias("dim", "val"), dot.alias("dot"))
             .groupBy("dim")
             .agg(F.sum(F.col("val") * F.col("dot")).alias("y"))
-            .orderBy("dim")
-            .collect()
         )
-        y = [r.y for r in rows]
-        norm = math.sqrt(sum(c * c for c in y))
-        x = [c / norm for c in y]
-    # sign convention: first nonzero component positive
-    for c in x:
-        if abs(c) > 1e-12:
-            if c < 0:
-                x = [-c2 for c2 in x]
-            break
-    return x
+        x = (
+            y.groupBy()
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "y"))).alias("packed"))
+            .select(F.expr("transform(packed, s -> s.y)").alias("yv"))
+            .select(
+                F.expr(
+                    "CASE WHEN aggregate(yv, CAST(0.0 AS DOUBLE),"
+                    "                    (a, v) -> a + v * v) = 0.0 THEN NULL "
+                    "ELSE transform(yv, v -> v / sqrt("
+                    "  aggregate(yv, CAST(0.0 AS DOUBLE), (a, v) -> a + v * v))) "
+                    "END"
+                ).alias("xv")
+            )
+            .localCheckpoint(eager=True)  # truncate per-round lineage
+        )
+    # sign convention: first component with |c| > 1e-12 made positive
+    lead = "filter(xv, c -> abs(c) > 1e-12)[0]"
+    return x.select(
+        F.expr(
+            f"CASE WHEN xv IS NULL THEN NULL "
+            f"WHEN {lead} < 0 THEN transform(xv, c -> -c) ELSE xv END"
+        ).alias("direction")
+    )

@@ -791,8 +791,7 @@ def bpe_train(docs: DataFrame, n_merges: int = 5) -> list[tuple[str, str]]:
         top = (
             _bpe_pair_counts(wf)
             .orderBy(F.col("total").desc(), "left", "right")
-            .limit(1)
-            .collect()
+            .limit(1).collect()  # ONE row: the chosen pair becomes a literal
         )
         if not top or top[0].total < 2:
             break

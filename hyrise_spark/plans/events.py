@@ -567,9 +567,11 @@ def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # volume to a CALENDAR-bounded series per key (100 TB of events in a month
 # is still <= 31 rows per series), then (2) the recurrence runs inside one
 # row as an array fold. alpha = 1/4 on the integer cents lattice:
-# ema_t = (v_t + 3 * ema_{t-1}) div 4, seeded with the first day — exact
-# and identical on both engines (DuckDB's seedless list_reduce starts at
-# element 1, mirrored in Spark by folding slice(vs, 2, n-1) onto vs[1]).
+# ema_t = floor((v_t + 3 * ema_{t-1}) / 4), seeded with the first day —
+# exact and identical on both engines AND the streaming twin (all three use
+# FLOOR division, which also matches for negative daily sums; DuckDB's
+# seedless list_reduce starts at element 1, mirrored in Spark by folding
+# slice(vs, 2, n-1) onto vs[1]).
 
 
 @register(
@@ -615,6 +617,6 @@ def events_ema_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "aggregate(slice(transform(dv, s -> s.v), 2, greatest(size(dv) - 1, 0)),"
             " element_at(transform(dv, s -> s.v), 1),"
-            " (acc, x) -> (x + 3 * acc) div 4)"
+            " (acc, x) -> CAST(FLOOR((x + 3 * acc) / 4.0) AS BIGINT))"
         ).alias("ema_cents"),
     ).orderBy("event_type")

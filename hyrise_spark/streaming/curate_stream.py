@@ -95,15 +95,12 @@ def mixture_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hyrise_spark.pipeline.curate import (
         _MIX_BUDGET_FRAC,
         _docs,
+        _mix_domain,
         _words,
     )
 
     docs = _docs(spark, sf_dir)
-    src_num = F.substring("source", 4, 10).cast("int")
-    domain = (
-        F.when(src_num % 3 == 0, "web").when(src_num % 3 == 1, "books").otherwise("code")
-    )
-    d = docs.select(domain.alias("domain"), F.size(_words()).alias("n_tok"))
+    d = docs.select(_mix_domain().alias("domain"), F.size(_words()).alias("n_tok"))
     dom = d.groupBy("domain").agg(F.sum("n_tok").cast("long").alias("d_tok"))
     tot = d.agg(F.sum("n_tok").cast("long").alias("t_tok"))
     weight = (
@@ -126,11 +123,9 @@ def mixture_sampled_stream(docs: DataFrame, rates: DataFrame) -> DataFrame:
     same md5(doc_id) decision the batch op uses — stateless, append mode,
     and a doc admitted by the stream is exactly a doc the batch op would
     admit (pinned by the parity test)."""
-    src_num = F.substring("source", 4, 10).cast("int")
-    domain = (
-        F.when(src_num % 3 == 0, "web").when(src_num % 3 == 1, "books").otherwise("code")
-    )
-    from hyrise_spark.pipeline.curate import _words
+    from hyrise_spark.pipeline.curate import _mix_domain, _words
+
+    domain = _mix_domain()
 
     accept = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
@@ -174,4 +169,8 @@ def bloom_gated_stream(docs: DataFrame, prev_bits: list) -> DataFrame:
     for i in range(_XB_HASHES):
         hit = _xb_bit(i).isin(positions)
         seen_all = hit if seen_all is None else (seen_all & hit)
-    return docs.filter(~seen_all).select("doc_id", "source")
+    # NULL text -> NULL bits -> NULL membership; the batch op keeps such
+    # docs unflagged (NULL bits never equi-join), so the gate must too
+    return docs.filter(~F.coalesce(seen_all, F.lit(False))).select(
+        "doc_id", "source"
+    )

@@ -369,6 +369,7 @@ def streaming_ema_daily(events: DataFrame) -> DataFrame:
                     open_day = day
                 elif day > open_day:
                     # close the open day: fold it into the recurrence
+                    # (Python // is floor division — same as the batch fold)
                     ema = open_sum if not seeded else (open_sum + 3 * ema) // 4
                     seeded = True
                     rows.append((etype, open_day, open_sum, ema))

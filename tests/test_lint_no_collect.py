@@ -2,9 +2,12 @@
 
 A .collect() inside a plans/ or pipeline/ builder materializes an unbounded
 intermediate on the driver, which breaks at cluster scale (reference parity:
-hyrise operators never materialize through the client either). The one
-sanctioned exception is the connected-components fixpoint in dedup.py, which
-collects a single aggregate scalar per iteration to test convergence.
+hyrise operators never materialize through the client either). The
+sanctioned exceptions are single-bounded-row trainer-loop reads: the
+connected-components fixpoint in dedup.py (one aggregate scalar per
+iteration, convergence test) and the BPE merge argmax in text.py (one
+limit(1) row per merge — the chosen pair must become a literal in the
+next rewrite expression, an inherently driver-side decision).
 """
 from __future__ import annotations
 
@@ -16,6 +19,7 @@ PKG = Path(__file__).resolve().parent.parent / "hyrise_spark"
 # file -> substrings of lines allowed to contain ".collect("
 ALLOWED = {
     "pipeline/dedup.py": ['F.sum("label")'],
+    "pipeline/text.py": [".limit(1)"],
 }
 
 # F.collect_set / F.collect_list are aggregate functions, not actions.

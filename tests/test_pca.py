@@ -26,7 +26,7 @@ def test_power_iteration_matches_numpy_planted_spike(spark):
     u /= np.linalg.norm(u)
     vecs = 3.0 * np.outer(rng.normal(size=n), u) + 0.3 * rng.normal(size=(n, dim))
 
-    got = np.array(pca_power_iteration(_df(spark, vecs), iters=8))
+    got = np.array(pca_power_iteration(_df(spark, vecs), iters=8).first().direction)
 
     m = vecs.T @ vecs
     w, v = np.linalg.eigh(m)
@@ -46,7 +46,7 @@ def test_power_iteration_rayleigh_on_corpus(spark):
     be unit-norm and its Rayleigh quotient must land in the top of the
     spectrum — far above the average eigenvalue."""
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    got = np.array(pca_power_iteration(emb, iters=8))
+    got = np.array(pca_power_iteration(emb, iters=8).first().direction)
     vecs = np.array([list(map(float, r.embedding)) for r in emb.select("embedding").collect()])
     m = vecs.T @ vecs
     w = np.linalg.eigvalsh(m)
