@@ -568,10 +568,12 @@ def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is still <= 31 rows per series), then (2) the recurrence runs inside one
 # row as an array fold. alpha = 1/4 on the integer cents lattice:
 # ema_t = floor((v_t + 3 * ema_{t-1}) / 4), seeded with the first day —
-# exact and identical on both engines AND the streaming twin (all three use
-# FLOOR division, which also matches for negative daily sums; DuckDB's
-# seedless list_reduce starts at element 1, mirrored in Spark by folding
-# slice(vs, 2, n-1) onto vs[1]).
+# exact and identical on both engines AND the streaming twin: all three
+# spell FLOOR division explicitly (Python // floors; DuckDB's integer //
+# TRUNCATES toward zero, so the oracle floors through a double), which
+# also matches for negative daily sums. DuckDB's seedless list_reduce
+# starts at element 1, mirrored in Spark by folding slice(vs, 2, n-1)
+# onto vs[1].
 
 
 @register(
@@ -590,8 +592,9 @@ def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM daily GROUP BY event_type
     )
     SELECT event_type, n_days, total_cents,
-           CAST(list_reduce(vs, (acc, x) -> (x + 3 * acc) // 4) AS BIGINT)
-             AS ema_cents
+           CAST(list_reduce(vs,
+                  (acc, x) -> CAST(FLOOR((x + 3 * acc) / 4.0) AS BIGINT))
+                AS BIGINT) AS ema_cents
     FROM series ORDER BY event_type
     """,
     tags=("events", "timeseries"),
@@ -620,3 +623,121 @@ def events_ema_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             " (acc, x) -> CAST(FLOOR((x + 3 * acc) / 4.0) AS BIGINT))"
         ).alias("ema_cents"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# RFM (recency / frequency / monetary) user segmentation — the classic
+# engagement scoring every analytics stack ships. Quartile scoring at scale
+# cannot globally rank users (a global window over an unbounded per-user
+# frame); the standard trick is to LOG-BUCKET each metric first (bit-length
+# = floor(log2) — exact integer on both engines), then score against the
+# BOUNDED bucket histogram (<= 64 rows per metric): cum = users at
+# better-or-equal buckets via a histogram self-join (no window at all),
+# score = 5 - ceil(4 * cum / n) in {1..4}. Exact, deterministic, and every
+# frame after the per-user rollup is histogram-sized.
+
+
+def _rfm_score_sql(cum: str, n: str) -> str:
+    # 5 - ceil(4*cum/n) via POSITIVE-only integer arithmetic (cum in [1, n]
+    # => score in [1, 4]). NB: DuckDB's integer `//` truncates toward zero
+    # while its float `//` floors — the (a + b - 1) // b ceil form never
+    # goes negative, so the engines cannot disagree.
+    return f"5 - ((4 * {cum} + {n} - 1) // {n})"
+
+
+@register(
+    "events_rfm_segmentation",
+    oracle=f"""
+    WITH mx AS (SELECT CAST(MAX(ts) AS DATE) AS d0 FROM events),
+    u AS (
+      SELECT user_id,
+             DATEDIFF('day', CAST(MAX(ts) AS DATE), mx.d0) AS r_days,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+      FROM events CROSS JOIN mx GROUP BY user_id, mx.d0
+    ),
+    ub AS (
+      SELECT user_id, r_days, n_events, total_cents,
+             length(printf('%b', n_events)) - 1 AS fb,
+             length(printf('%b', total_cents)) - 1 AS mb
+      FROM u
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ub),
+    rh AS (SELECT r_days AS b, COUNT(*) AS c FROM ub GROUP BY 1),
+    fh AS (SELECT fb AS b, COUNT(*) AS c FROM ub GROUP BY 1),
+    mh AS (SELECT mb AS b, COUNT(*) AS c FROM ub GROUP BY 1),
+    rc AS (SELECT a.b, SUM(x.c) AS cum FROM rh a JOIN rh x ON x.b <= a.b GROUP BY a.b),
+    fc AS (SELECT a.b, SUM(x.c) AS cum FROM fh a JOIN fh x ON x.b >= a.b GROUP BY a.b),
+    mc AS (SELECT a.b, SUM(x.c) AS cum FROM mh a JOIN mh x ON x.b >= a.b GROUP BY a.b)
+    SELECT ub.user_id, CAST(ub.r_days AS BIGINT) AS r_days, ub.n_events,
+           ub.total_cents,
+           CAST({_rfm_score_sql("rc.cum", "n.n")} AS INTEGER) AS r_score,
+           CAST({_rfm_score_sql("fc.cum", "n.n")} AS INTEGER) AS f_score,
+           CAST({_rfm_score_sql("mc.cum", "n.n")} AS INTEGER) AS m_score
+    FROM ub
+    JOIN rc ON rc.b = ub.r_days
+    JOIN fc ON fc.b = ub.fb
+    JOIN mc ON mc.b = ub.mb
+    CROSS JOIN n
+    ORDER BY ub.user_id
+    """,
+    tags=("events", "rfm"),
+)
+def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user RFM quartile scores (1 = worst, 4 = best). Recency buckets
+    on calendar days (bounded by corpus span); frequency/monetary on
+    bit-length log buckets — the histogram self-joins and score arithmetic
+    run on <= 64-row frames however many users exist."""
+    (events,) = _t(spark, sf_dir, "events")
+    mx = events.agg(F.max(F.col("ts").cast("date")).alias("d0"))
+    u = (
+        events.crossJoin(F.broadcast(mx))  # scalar aggregate: one row
+        .groupBy("user_id", "d0")
+        .agg(
+            F.datediff(F.col("d0"), F.max(F.col("ts").cast("date"))).alias("r_days"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_cents"),
+        )
+    )
+    ub = u.select(
+        "user_id",
+        F.col("r_days").cast("long").alias("r_days"),
+        "n_events",
+        "total_cents",
+        (F.length(F.expr("bin(n_events)")) - 1).alias("fb"),
+        (F.length(F.expr("bin(total_cents)")) - 1).alias("mb"),
+    )
+    n = ub.agg(F.count(F.lit(1)).alias("n"))
+
+    def cum_hist(col: str, better: str) -> DataFrame:
+        h = ub.groupBy(F.col(col).alias("b")).agg(F.count(F.lit(1)).alias("c"))
+        a = h.select(F.col("b").alias("ba"))
+        cond = F.col("b") <= F.col("ba") if better == "low" else F.col("b") >= F.col("ba")
+        return (
+            a.join(h, cond)
+            .groupBy("ba")
+            .agg(F.sum("c").alias("cum"))
+            .select(F.col("ba").alias(f"{col}_b"), F.col("cum").alias(f"{col}_cum"))
+        )
+
+    score = lambda cum: (  # noqa: E731 - 5 - ceil(4*cum/n), integer-exact
+        F.lit(5)
+        - F.floor((4 * cum + F.col("n") - 1).cast("double") / F.col("n")).cast("long")
+    ).cast("int")
+
+    return (
+        ub.join(cum_hist("r_days", "low"), ub["r_days"] == F.col("r_days_b"))
+        .join(cum_hist("fb", "high"), ub["fb"] == F.col("fb_b"))
+        .join(cum_hist("mb", "high"), ub["mb"] == F.col("mb_b"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "user_id",
+            "r_days",
+            "n_events",
+            "total_cents",
+            score(F.col("r_days_cum")).alias("r_score"),
+            score(F.col("fb_cum")).alias("f_score"),
+            score(F.col("mb_cum")).alias("m_score"),
+        )
+        .orderBy("user_id")
+    )
