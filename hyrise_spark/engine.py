@@ -45,6 +45,21 @@ _CREATE_VIEW_RE = re.compile(
     r"(?:\(\s*(?P<cols>\w+(?:\s*,\s*\w+)*)\s*\)\s*)?AS\s+(?P<sql>.+)$",
     re.I | re.S,
 )
+# Materialized views (beyond the reference, whose views are virtual-only —
+# create_view.hpp): CREATE materializes the defining query into a catalog
+# table snapshot; the definition is kept so REFRESH recomputes it. Staleness
+# between refreshes is the SQL-standard contract.
+_CREATE_MATVIEW_RE = re.compile(
+    r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(?P<name>\w+)\s+AS\s+(?P<sql>.+)$",
+    re.I | re.S,
+)
+_REFRESH_MATVIEW_RE = re.compile(
+    r"^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(?P<name>\w+)\s*$", re.I
+)
+_DROP_MATVIEW_RE = re.compile(
+    r"^\s*DROP\s+MATERIALIZED\s+VIEW\s+(?P<ifex>IF\s+EXISTS\s+)?(?P<name>\w+)\s*$",
+    re.I,
+)
 _DROP_VIEW_RE = re.compile(
     r"^\s*DROP\s+VIEW\s+(?P<ifex>IF\s+EXISTS\s+)?(?P<name>\w+)\s*$", re.I
 )
@@ -127,6 +142,7 @@ class Engine:
         self.catalog = Catalog(spark)
         self._prepared: dict[str, str] = {}
         self._functions: dict[str, str] = {}  # SQL scalar UDFs, by name
+        self._matviews: dict[str, str] = {}  # materialized views: defining SQL
 
     # -- statement routing --------------------------------------------------
     def execute(self, sql: str, args: dict | list | None = None) -> DataFrame | None:
@@ -213,6 +229,33 @@ class Engine:
         m = _EXPORT_RE.match(stmt)
         if m:
             self.export_table(m["table"], m["path"])
+            return None
+        m = _CREATE_MATVIEW_RE.match(stmt)
+        if m:
+            name = m["name"].lower()
+            # materialize NOW: snapshot semantics — localCheckpoint cuts the
+            # lineage to the base tables, so later base-table DML does not
+            # leak into the stored result (stale-until-REFRESH contract)
+            df = self.spark.sql(m["sql"]).localCheckpoint(eager=True)
+            self.catalog.add_table(m["name"], df)
+            self._matviews[name] = m["sql"]
+            return None
+        m = _REFRESH_MATVIEW_RE.match(stmt)
+        if m:
+            name = m["name"].lower()
+            if name not in self._matviews:
+                raise ValueError(f"no such materialized view: {m['name']}")
+            df = self.spark.sql(self._matviews[name]).localCheckpoint(eager=True)
+            self.catalog.replace_table(m["name"], df)
+            return None
+        m = _DROP_MATVIEW_RE.match(stmt)
+        if m:
+            name = m["name"].lower()
+            if name in self._matviews:
+                del self._matviews[name]
+                self.catalog.drop_table(m["name"])
+            elif not m["ifex"]:
+                raise ValueError(f"no such materialized view: {m['name']}")
             return None
         m = _CREATE_VIEW_RE.match(stmt)
         if m:

@@ -1000,7 +1000,15 @@ def dedup_edit_distance1(spark: SparkSession, sf_dir: str) -> DataFrame:
 # PREFIX shingles only — and because prefixes are rarest-first, the join
 # keys are exactly the lowest-fan-out shingles in the corpus.
 
-_OV_T = 8  # overlap threshold (distinct shared 3-shingles)
+_OV_T = 40  # overlap threshold (distinct shared 3-shingles)
+# The threshold is deliberately in the NEAR-DUPLICATE regime (docs here
+# average ~53 distinct shingles, so T=40 means ~75%+ overlap): prefix
+# pruning power is prefix length n-T+1 — a low threshold leaves most of
+# each doc in the prefix and the filter degenerates toward the raw shingle
+# join (measured: T=8 left 1.13M candidates at sf0.1; T=40 leaves 191k,
+# and the true pair set stays non-trivial). PPJoin is a high-similarity
+# technique by construction; the LOW-overlap regime belongs to MinHash/LSH
+# (dedup_minhash_lsh above).
 
 
 @register(

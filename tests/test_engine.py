@@ -446,3 +446,32 @@ def test_sql_scalar_udf_differential(spark, duck):
 
     with _pytest.raises(Exception):
         eng.execute("SELECT disc_price(100.0, 0.5) AS x").collect()
+
+
+def test_materialized_view_lifecycle(spark):
+    """CREATE MATERIALIZED VIEW materializes a snapshot (stale across
+    base-table DML until REFRESH — the SQL-standard contract), REFRESH
+    recomputes, DROP removes; IF EXISTS semantics mirror DROP TABLE."""
+    import pytest as _pytest
+
+    eng = Engine(spark)
+    eng.execute("CREATE TABLE t (k INT, v INT)")
+    eng.execute("INSERT INTO t VALUES (1, 10), (2, 20)")
+    eng.execute(
+        "CREATE MATERIALIZED VIEW mv AS SELECT CAST(SUM(v) AS BIGINT) AS s FROM t"
+    )
+    assert eng.execute("SELECT s FROM mv").first().s == 30
+
+    eng.execute("INSERT INTO t VALUES (3, 70)")
+    # stale until refreshed
+    assert eng.execute("SELECT s FROM mv").first().s == 30
+    eng.execute("REFRESH MATERIALIZED VIEW mv")
+    assert eng.execute("SELECT s FROM mv").first().s == 100
+
+    with _pytest.raises(ValueError, match="no such materialized view"):
+        eng.execute("REFRESH MATERIALIZED VIEW nope")
+    with _pytest.raises(ValueError, match="no such materialized view"):
+        eng.execute("DROP MATERIALIZED VIEW nope")
+    eng.execute("DROP MATERIALIZED VIEW IF EXISTS nope")  # no-op
+    eng.execute("DROP MATERIALIZED VIEW mv")
+    assert not eng.catalog.has_table("mv")

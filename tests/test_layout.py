@@ -271,3 +271,48 @@ def test_zorder_accepts_temporal_keys_and_guards_bit_budget(spark, tmp_path):
     with _pytest.raises(ValueError, match="exceeds 63"):
         write_zordered(li, str(tmp_path / "z_overflow"),
                        ["l_partkey", "l_suppkey"], bits=32)
+
+
+def test_daily_rollup_incremental_refresh(spark, tmp_path):
+    """Appending one new day and refreshing ONLY that day yields the same
+    rollup as a full rebuild, and the untouched days' parquet files are
+    physically identical (same paths, sizes, mtimes) — partition-level
+    maintenance, not a rewrite."""
+    from pathlib import Path
+
+    from hyrise_spark.layout import refresh_daily_rollup, write_daily_rollup
+    from tests.conftest import SF_DIR
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    path = str(tmp_path / "rollup")
+    write_daily_rollup(events, path)
+
+    def snapshot(skip_day):
+        return {
+            str(p): (p.stat().st_size, p.stat().st_mtime_ns)
+            for p in Path(path).rglob("*.parquet")
+            if f"day={skip_day}" not in str(p)
+        }
+
+    # "new data arrives" for one day beyond the corpus
+    new_day = "2024-02-01"
+    extra = spark.createDataFrame(
+        [(10**6 + i, f"{new_day} 0{i}:00:00", 1, "click", 10.0 + i, "{}")
+         for i in range(3)],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "user_id", "event_type", "value", "props",
+    )
+    combined = events.unionByName(extra)
+
+    before = snapshot(new_day)
+    refresh_daily_rollup(spark, combined, path, [new_day])
+    after = snapshot(new_day)
+    assert before == after  # old partitions physically untouched
+
+    got = spark.read.parquet(path)
+    full = tmp_path / "rollup_full"
+    write_daily_rollup(combined, str(full))
+    want = spark.read.parquet(str(full))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
