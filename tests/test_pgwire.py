@@ -566,3 +566,41 @@ def test_numeric_binary_encoding_lattice():
               "-98765", "10000", "123400", "9999.9999", "-10000.0001"):
         d = decimal.Decimal(s)
         assert decode(_numeric_binary(d)) == d, s
+
+
+@pytest.mark.skipif(PSQL is None, reason="psql not installed")
+def test_psql_sql_udf_and_matview_roundtrip(server):
+    """The round-7 engine surfaces work over the wire: a psql client can
+    define a SQL scalar UDF, create a materialized view using it, observe
+    snapshot staleness, refresh, and drop — all through pgwire."""
+    out = _psql(
+        server,
+        "CREATE FUNCTION pg_disc(p DOUBLE, d DOUBLE) RETURNS DOUBLE "
+        "RETURN ROUND(p * (1 - d), 2); "
+        "CREATE TABLE pg_mv_base (v DOUBLE); "
+        "INSERT INTO pg_mv_base VALUES (100.0), (200.0); "
+        "CREATE MATERIALIZED VIEW pg_mv AS "
+        "SELECT ROUND(SUM(pg_disc(v, 0.1)), 2) AS s FROM pg_mv_base; "
+        "SELECT s FROM pg_mv",
+    )
+    assert out.returncode == 0, out.stderr
+    assert out.stdout.strip().splitlines()[-1] == "270.0"
+
+    out = _psql(
+        server,
+        "INSERT INTO pg_mv_base VALUES (700.0); "
+        "SELECT s FROM pg_mv",  # stale snapshot until refresh
+    )
+    assert out.stdout.strip().splitlines()[-1] == "270.0"
+    out = _psql(
+        server,
+        "REFRESH MATERIALIZED VIEW pg_mv; SELECT s FROM pg_mv",
+    )
+    assert out.stdout.strip().splitlines()[-1] == "900.0"
+    out = _psql(
+        server,
+        "DROP MATERIALIZED VIEW pg_mv; DROP FUNCTION pg_disc; "
+        "DROP TABLE pg_mv_base; SELECT 7 AS ok",
+    )
+    assert out.returncode == 0, out.stderr
+    assert out.stdout.strip().splitlines()[-1] == "7"
