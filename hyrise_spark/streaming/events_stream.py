@@ -389,3 +389,41 @@ def streaming_ema_daily(events: DataFrame) -> DataFrame:
     return daily.groupBy("event_type").applyInPandasWithState(
         update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def rollup_maintaining_sink(events: DataFrame, path: str):
+    """Streaming maintenance of the day-partitioned continuous aggregate
+    (layout.write_daily_rollup): each micro-batch computes the set of days
+    it touches and re-aggregates ONLY those days from the accumulated
+    ingest log, swapping just those partitions (dynamic partition
+    overwrite via layout.refresh_daily_rollup). foreachBatch is the right
+    tool because partition-overwrite parquet maintenance is not an append
+    sink — the batch hook gives exactly-once-per-epoch semantics with the
+    streaming engine tracking progress.
+
+    Returns the DataStreamWriter (caller starts it). State: none in the
+    stream itself — the rollup directory IS the state, which is what makes
+    the maintenance restartable: re-running an epoch rewrites the same
+    partitions idempotently."""
+    import pyspark.sql.functions as F
+
+    from hyrise_spark.layout import refresh_daily_rollup
+
+    ingest_dir = path + "_ingest"
+
+    def refresh(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        days = [
+            str(r.day)
+            for r in batch_df.select(
+                F.col("ts").cast("date").alias("day")
+            ).distinct().collect()  # bounded: distinct DAYS in one micro-batch
+        ]
+        if not days:
+            return
+        # append this batch to the ingest log, then re-aggregate the dirty
+        # days from the full log (source of truth for those partitions)
+        batch_df.write.mode("append").parquet(ingest_dir)
+        refresh_daily_rollup(spark, spark.read.parquet(ingest_dir), path, days)
+
+    return events.writeStream.foreachBatch(refresh).trigger(availableNow=True)

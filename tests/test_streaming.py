@@ -367,3 +367,37 @@ def test_streaming_ema_daily_matches_batch_prefix(spark, tmp_path):
             ema = v if ema is None else (v + 3 * ema) // 4
             expected[(etype, day)] = (v, ema)
     assert got == expected and expected
+
+
+def test_streaming_rollup_maintenance_matches_batch(spark, tmp_path):
+    """Streaming the corpus through the foreachBatch rollup maintainer
+    yields the identical day-partitioned aggregate a one-shot batch build
+    produces — partition-level incremental maintenance converges to the
+    batch truth."""
+    import pyarrow.parquet as pq
+
+    from hyrise_spark.layout import write_daily_rollup
+    from hyrise_spark.streaming.events_stream import rollup_maintaining_sink
+
+    d = tmp_path / "events_stream"
+    d.mkdir()
+    t = pq.read_table(f"{SF_DIR}/events.parquet").sort_by("ts")
+    n = t.num_rows
+    for i in range(3):
+        pq.write_table(
+            t.slice(i * n // 3, (i + 1) * n // 3 - i * n // 3),
+            d / f"part{i}.parquet",
+        )
+
+    rollup = str(tmp_path / "rollup")
+    writer = rollup_maintaining_sink(read_events_stream(spark, str(d)), rollup)
+    q = writer.option(
+        "checkpointLocation", str(tmp_path / "ckpt")
+    ).start()
+    q.awaitTermination(120)
+
+    got = sorted(map(tuple, spark.read.parquet(rollup).collect()))
+    full = str(tmp_path / "rollup_batch")
+    write_daily_rollup(spark.read.parquet(str(d)), full)
+    want = sorted(map(tuple, spark.read.parquet(full).collect()))
+    assert got == want and got
