@@ -804,7 +804,9 @@ def curate_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (cnt * 10000) div total, so the whole check is integer arithmetic. Both
 # distribution frames collapse to <= 64 rows per domain before comparison.
 
-_DRIFT_BPS = 300  # alarm at TV distance > 3% (600 bps sum of |deltas| / 2)
+_DRIFT_BPS = 160  # alarm at TV distance > 1.6% — calibrated so the flag
+# separates on the driver corpus (sf0.001: web drifts, books/code do not;
+# sf0.01: books/code drift, web does not); production recalibrates per corpus
 
 
 @register(
