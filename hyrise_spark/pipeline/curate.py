@@ -715,7 +715,9 @@ def curate_diversity_bucket_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DSIR_BUCKETS = 64
 _DSIR_SCALE = 4096
-_DSIR_KEEP = 1379  # corpus-midpoint mean affinity (per token)
+# keep = docs whose mean per-token affinity exceeds the CORPUS mean
+# (cross-multiplied integers — no division, no per-SF constant): the
+# resampling decision self-calibrates to whatever corpus it runs on.
 
 
 @register(
@@ -732,18 +734,27 @@ _DSIR_KEEP = 1379  # corpus-midpoint mean affinity (per token)
       SELECT b, CAST(COUNT(*) AS BIGINT) AS tc FROM toks
       WHERE domain = 'books' GROUP BY b
     ),
-    raw AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS rc FROM toks GROUP BY b)
-    SELECT t.doc_id, t.domain,
-           CAST(COUNT(*) AS BIGINT) AS n_tok,
-           CAST(SUM(((COALESCE(tgt.tc, 0) + 1) * {_DSIR_SCALE}) // (raw.rc + 1))
-                AS BIGINT) AS dsir_score,
-           CAST(SUM(((COALESCE(tgt.tc, 0) + 1) * {_DSIR_SCALE}) // (raw.rc + 1))
-                > COUNT(*) * {_DSIR_KEEP} AS BOOLEAN) AS keep
-    FROM toks t
-    LEFT JOIN tgt ON tgt.b = t.b
-    JOIN raw ON raw.b = t.b
-    GROUP BY t.doc_id, t.domain
-    ORDER BY t.doc_id
+    raw AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS rc FROM toks GROUP BY b),
+    scored AS (
+      SELECT t.doc_id, t.domain,
+             CAST(COUNT(*) AS BIGINT) AS n_tok,
+             CAST(SUM(((COALESCE(tgt.tc, 0) + 1) * {_DSIR_SCALE}) // (raw.rc + 1))
+                  AS BIGINT) AS dsir_score
+      FROM toks t
+      LEFT JOIN tgt ON tgt.b = t.b
+      JOIN raw ON raw.b = t.b
+      GROUP BY t.doc_id, t.domain
+    ),
+    corpus AS (
+      SELECT CAST(SUM(n_tok) AS BIGINT) AS t_tok,
+             CAST(SUM(dsir_score) AS BIGINT) AS t_score
+      FROM scored
+    )
+    SELECT doc_id, domain, n_tok, dsir_score,
+           CAST(dsir_score * corpus.t_tok > n_tok * corpus.t_score AS BOOLEAN)
+             AS keep
+    FROM scored CROSS JOIN corpus
+    ORDER BY doc_id
     """,
     tags=("curate", "dsir"),
 )
@@ -775,7 +786,7 @@ def curate_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     affinity = F.expr(
         f"((coalesce(tc, CAST(0 AS BIGINT)) + 1) * {_DSIR_SCALE}) div (rc + 1)"
     )
-    return (
+    scored = (
         toks.join(tgt, "b", "left")
         .join(raw, "b")
         .groupBy("doc_id", "domain")
@@ -783,12 +794,21 @@ def curate_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_tok"),
             F.sum(affinity).alias("dsir_score"),
         )
+    )
+    corpus = scored.agg(
+        F.sum("n_tok").alias("t_tok"), F.sum("dsir_score").alias("t_score")
+    )
+    return (
+        scored.crossJoin(F.broadcast(corpus))  # scalar aggregate: one row
         .select(
             "doc_id",
             "domain",
             "n_tok",
             "dsir_score",
-            (F.col("dsir_score") > F.col("n_tok") * _DSIR_KEEP).alias("keep"),
+            (
+                F.col("dsir_score") * F.col("t_tok")
+                > F.col("n_tok") * F.col("t_score")
+            ).alias("keep"),
         )
         .orderBy("doc_id")
     )

@@ -637,12 +637,14 @@ def events_ema_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 # frame after the per-user rollup is histogram-sized.
 
 
-def _rfm_score_sql(cum: str, n: str) -> str:
-    # 5 - ceil(4*cum/n) via POSITIVE-only integer arithmetic (cum in [1, n]
-    # => score in [1, 4]). NB: DuckDB's integer `//` truncates toward zero
-    # while its float `//` floors — the (a + b - 1) // b ceil form never
-    # goes negative, so the engines cannot disagree.
-    return f"5 - ((4 * {cum} + {n} - 1) // {n})"
+def _rfm_score_sql(lt: str, n: str) -> str:
+    # score = 4 - floor(4 * strictly_better / n), in [1, 4]. Counting
+    # STRICTLY-better users (not better-or-equal) gives ties the same score
+    # and puts a fully-tied metric at 4, not 1 — when every user is equally
+    # recent, they are all top-quartile, not bottom. All-positive integer
+    # arithmetic (NB: DuckDB's integer `//` truncates toward zero, float
+    # `//` floors — positive operands sidestep the divergence).
+    return f"4 - ((4 * {lt}) // {n})"
 
 
 @register(
@@ -666,9 +668,12 @@ def _rfm_score_sql(cum: str, n: str) -> str:
     rh AS (SELECT r_days AS b, COUNT(*) AS c FROM ub GROUP BY 1),
     fh AS (SELECT fb AS b, COUNT(*) AS c FROM ub GROUP BY 1),
     mh AS (SELECT mb AS b, COUNT(*) AS c FROM ub GROUP BY 1),
-    rc AS (SELECT a.b, SUM(x.c) AS cum FROM rh a JOIN rh x ON x.b <= a.b GROUP BY a.b),
-    fc AS (SELECT a.b, SUM(x.c) AS cum FROM fh a JOIN fh x ON x.b >= a.b GROUP BY a.b),
-    mc AS (SELECT a.b, SUM(x.c) AS cum FROM mh a JOIN mh x ON x.b >= a.b GROUP BY a.b)
+    rc AS (SELECT a.b, CAST(COALESCE(SUM(x.c), 0) AS BIGINT) AS cum
+           FROM rh a LEFT JOIN rh x ON x.b < a.b GROUP BY a.b),
+    fc AS (SELECT a.b, CAST(COALESCE(SUM(x.c), 0) AS BIGINT) AS cum
+           FROM fh a LEFT JOIN fh x ON x.b > a.b GROUP BY a.b),
+    mc AS (SELECT a.b, CAST(COALESCE(SUM(x.c), 0) AS BIGINT) AS cum
+           FROM mh a LEFT JOIN mh x ON x.b > a.b GROUP BY a.b)
     SELECT ub.user_id, CAST(ub.r_days AS BIGINT) AS r_days, ub.n_events,
            ub.total_cents,
            CAST({_rfm_score_sql("rc.cum", "n.n")} AS INTEGER) AS r_score,
@@ -710,19 +715,20 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = ub.agg(F.count(F.lit(1)).alias("n"))
 
     def cum_hist(col: str, better: str) -> DataFrame:
+        # count of users at STRICTLY better buckets (LEFT join: the best
+        # bucket has none -> 0)
         h = ub.groupBy(F.col(col).alias("b")).agg(F.count(F.lit(1)).alias("c"))
         a = h.select(F.col("b").alias("ba"))
-        cond = F.col("b") <= F.col("ba") if better == "low" else F.col("b") >= F.col("ba")
+        cond = F.col("b") < F.col("ba") if better == "low" else F.col("b") > F.col("ba")
         return (
-            a.join(h, cond)
+            a.join(h, cond, "left")
             .groupBy("ba")
-            .agg(F.sum("c").alias("cum"))
+            .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("cum"))
             .select(F.col("ba").alias(f"{col}_b"), F.col("cum").alias(f"{col}_cum"))
         )
 
-    score = lambda cum: (  # noqa: E731 - 5 - ceil(4*cum/n), integer-exact
-        F.lit(5)
-        - F.floor((4 * cum + F.col("n") - 1).cast("double") / F.col("n")).cast("long")
+    score = lambda cum: (  # noqa: E731 - 4 - floor(4*strictly_better/n)
+        F.lit(4) - F.floor((4 * cum).cast("double") / F.col("n")).cast("long")
     ).cast("int")
 
     return (
