@@ -46,6 +46,8 @@ _SCALE = 1_000_000_000  # PageRank integer lattice: 10^9 == probability 1.0
 _PR_ITERS = 4
 _DAMP_NUM, _DAMP_DEN = 85, 100  # damping 0.85 as an exact integer ratio
 _TOPK = 20
+_SSSP_SEED = 0   # doc_ids are 0..n-1 at every SF, so node 0 always exists
+_SSSP_HOPS = 4   # fixed superstep count (frontier <= 1+3+9+27+81 nodes)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -272,3 +274,68 @@ def graph_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("node", F.col("r").alias("pr_scaled")).orderBy(
         F.col("pr_scaled").desc(), "node"
     ).limit(_TOPK)
+
+
+def _sssp_oracle() -> str:
+    """Unrolled T-superstep BFS (same reason as the PageRank oracle: SQL
+    recursive CTEs disallow aggregation over the recursive term, and the
+    min-dist collapse IS an aggregation)."""
+    parts = [
+        _EDGES_SQL,
+        f"d0 AS (SELECT CAST({_SSSP_SEED} AS BIGINT) AS node, 0 AS dist)",
+    ]
+    for t in range(_SSSP_HOPS):
+        parts.append(
+            f"""d{t + 1} AS (
+              SELECT node, MIN(dist) AS dist FROM (
+                SELECT node, dist FROM d{t}
+                UNION ALL
+                SELECT e.dst AS node, v.dist + 1 AS dist
+                FROM d{t} v JOIN edges e ON e.src = v.node
+              ) u GROUP BY node
+            )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+        SELECT node, CAST(dist AS BIGINT) AS hops
+        FROM d{_SSSP_HOPS}
+        ORDER BY hops, node
+        """
+    )
+
+
+@register(
+    "graph_sssp_hops",
+    oracle=_sssp_oracle(),
+    tags=("graph", "sssp"),
+)
+def graph_sssp_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source shortest path (hop count) from node 0, T=4 fixed BFS
+    supersteps — the frontier-expansion Pregel shape next to PageRank's
+    full-vertex shape. Each superstep is one equi-join of the CURRENT
+    reached set against edges on src plus a min-dist groupBy; the reached
+    set is bounded by fanout^T (<= 121 nodes here), so every shuffle in
+    the loop carries frontier-sized data, never corpus-sized data. Depth
+    is data-independent (fixed plan), matching the lint's no-unbounded-
+    iteration rule; at 100 TB the only corpus-scale input is the edge
+    list each join probes, and that join is key-partitioned on src."""
+    edges = _edges(spark, sf_dir)
+    dist = spark.createDataFrame(
+        [(_SSSP_SEED, 0)], schema="node long, dist int"
+    )
+    for _ in range(_SSSP_HOPS):
+        expanded = (
+            dist.join(edges, dist["node"] == edges["src"])
+            .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.select("node", "dist")
+            .unionAll(expanded)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return dist.select("node", F.col("dist").cast("long").alias("hops")).orderBy(
+        "hops", "node"
+    )

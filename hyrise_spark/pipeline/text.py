@@ -880,3 +880,96 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations (Church & Hanks 1990) — phrase detection for tokenizer /
+# vocabulary prep: bigrams whose observed count exceeds the independence
+# expectation. Scored on an integer lattice: ppm10k = (c_ab*10^4*N) //
+# (c_a*c_b) is exp2(PMI) in basis points, exact 64-bit in both engines as
+# long as c_ab*N*10^4 < 2^63 (true up to ~10^9 tokens; beyond that the same
+# formula moves to DECIMAL(38,0) — the ordering, not the lattice, is the
+# semantic contract). All inputs are partial-agg counts: shuffles carry
+# O(vocabulary) and O(distinct bigrams) rows, never O(tokens).
+
+_PMI_MIN_COUNT = 20  # support floor: PMI is noise below a handful of sightings
+_PMI_TOPK = 40
+
+
+@register(
+    "text_pmi_collocations",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+      FROM documents
+    ),
+    uni AS (
+      SELECT t.w AS tok FROM toks x, LATERAL (SELECT UNNEST(x.w) AS w) t
+    ),
+    uc AS (SELECT tok, COUNT(*) AS c FROM uni GROUP BY tok),
+    n AS (SELECT COUNT(*) AS n FROM uni),
+    bg AS (
+      SELECT w[i] AS w1, w[i+1] AS w2
+      FROM toks, LATERAL (SELECT UNNEST(generate_series(1, len(w) - 1)) AS i)
+    ),
+    bc AS (SELECT w1, w2, COUNT(*) AS c_ab FROM bg GROUP BY w1, w2)
+    SELECT bc.w1, bc.w2, CAST(bc.c_ab AS BIGINT) AS c_ab,
+           -- same int64 -> double -> IEEE divide -> floor sequence as the
+           -- Spark side, so the lattice agrees even past 2^53 numerators
+           CAST(FLOOR(CAST(CAST(bc.c_ab * 10000 AS BIGINT) * n.n AS DOUBLE)
+                      / CAST(a.c * b.c AS DOUBLE)) AS BIGINT) AS pmi_ratio_bp
+    FROM bc
+    JOIN uc a ON a.tok = bc.w1
+    JOIN uc b ON b.tok = bc.w2
+    CROSS JOIN n
+    WHERE bc.c_ab >= {_PMI_MIN_COUNT}
+    ORDER BY pmi_ratio_bp DESC, bc.w1, bc.w2
+    LIMIT {_PMI_TOPK}
+    """,
+    tags=("text", "pmi"),
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations by pointwise mutual information on the basis-points
+    lattice. Plan shape: one token explode -> unigram partial-agg count
+    (vocabulary-sized), one bigram explode -> pair partial-agg count
+    (distinct-bigram-sized), two vocabulary-keyed equi-joins to attach
+    marginals (AQE broadcasts the vocabulary frames when they measure
+    small — no hint), a 1-row total frame, then TakeOrdered top-k with a
+    full deterministic tie-break."""
+    docs = _docs(spark, sf_dir)
+    w = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    toks = docs.select(w.alias("w"))
+    uni = toks.select(F.explode("w").alias("tok"))
+    uc = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    n = uni.agg(F.count(F.lit(1)).alias("n"))
+    idx = F.when(F.size("w") >= 2, F.sequence(F.lit(0), F.size(F.col("w")) - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bg = toks.select("w", F.explode(idx).alias("i")).select(
+        F.element_at("w", F.col("i") + 1).alias("w1"),
+        F.element_at("w", F.col("i") + 2).alias("w2"),
+    )
+    bc = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= _PMI_MIN_COUNT)
+    )
+    a = uc.select(F.col("tok").alias("w1"), F.col("c").alias("ca"))
+    b = uc.select(F.col("tok").alias("w2"), F.col("c").alias("cb"))
+    scored = (
+        bc.join(a, "w1")
+        .join(b, "w2")
+        .crossJoin(n)  # 1-row total frame
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            F.floor(
+                (F.col("c_ab") * 10000 * F.col("n")).cast("double")
+                / (F.col("ca") * F.col("cb")).cast("double")
+            )
+            .cast("long")
+            .alias("pmi_ratio_bp"),
+        )
+    )
+    return scored.orderBy(F.col("pmi_ratio_bp").desc(), "w1", "w2").limit(_PMI_TOPK)

@@ -502,3 +502,92 @@ def aggregate_mode_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_returnflag", "mode_val", F.col("mc").alias("mode_count"))
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Skyline (Pareto frontier) — Börzsönyi et al. 2001. The reference has no
+# skyline operator; the classic OLAP formulation is the NOT EXISTS dominance
+# query (the oracle below). A naive distributed evaluation is an all-pairs
+# dominance join; the implementation instead uses the bucketed prefix-max
+# decomposition: with price on a fixed lattice, domination against CHEAPER
+# rows reduces to two running-max-of-size lookups (strictly-cheaper buckets +
+# strictly-cheaper prices within the bucket), both over bounded domains.
+
+_SKY_BUCKET = 500  # cents per price bucket (~20 buckets over the 900..1000 range)
+
+
+@register(
+    "skyline_price_size",
+    oracle="""
+    WITH r AS (
+      SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT) AS cents,
+             p_size
+      FROM part
+    )
+    SELECT r.p_partkey, r.cents, r.p_size
+    FROM r
+    WHERE NOT EXISTS (
+      SELECT 1 FROM r b
+      WHERE b.cents <= r.cents AND b.p_size >= r.p_size
+        AND (b.cents < r.cents OR b.p_size > r.p_size)
+    )
+    ORDER BY r.cents, r.p_size, r.p_partkey
+    """,
+    tags=("analytic", "skyline"),
+)
+def skyline_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto-optimal parts (minimize retail price, maximize size): a part
+    survives iff no other part is <= on price AND >= on size with at least
+    one strict. Scale shape: one partial-agg groupBy to one row per
+    (bucket, price-lattice-value), a running max over <= ~50 lattice rows
+    per bucket partition, a bucket-level prefix over the fixed ~20-bucket
+    domain, then one equi-join back to the base rows — no all-pairs
+    dominance join anywhere, and no window ever sees raw-row cardinality.
+    The price lattice (cents) is exact: p_retailprice sits on a 0.1 grid,
+    so round(*100) is the same integer in both engines."""
+    from pyspark.sql import Window
+
+    part = load_tables(spark, sf_dir, ("part",))["part"]
+    rows = part.select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("cents"),
+        "p_size",
+    ).withColumn("bucket", (F.col("cents") / _SKY_BUCKET).cast("long"))
+
+    # One row per distinct price value, carrying the max size at that price.
+    pv = rows.groupBy("bucket", "cents").agg(F.max("p_size").alias("pmax"))
+
+    # Bucket-level prefix: max size over all STRICTLY cheaper buckets. The
+    # window input is one row per bucket — a fixed ~20-row domain.
+    bmax = pv.groupBy("bucket").agg(F.max("pmax").alias("bmax"))
+    w_b = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    bpref = bmax.select("bucket", F.max("bmax").over(w_b).alias("bprev"))
+
+    # Within-bucket prefix over the price lattice (<= bucket_width/10 rows
+    # per partition by construction): max size at strictly cheaper prices.
+    w_p = (
+        Window.partitionBy("bucket")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pv2 = (
+        pv.withColumn("inb_lt", F.max("pmax").over(w_p))
+        .join(bpref, "bucket")
+        .select(
+            "cents",
+            "pmax",
+            F.greatest(
+                F.coalesce(F.col("bprev"), F.lit(-1)),
+                F.coalesce(F.col("inb_lt"), F.lit(-1)),
+            ).alias("maxlt"),
+        )
+    )
+
+    # dominated <=> (max size at cheaper price) >= mine, or a strictly
+    # larger size exists at my exact price.
+    return (
+        rows.join(pv2, "cents")
+        .filter(~((F.col("maxlt") >= F.col("p_size")) | (F.col("pmax") > F.col("p_size"))))
+        .select("p_partkey", "cents", "p_size")
+        .orderBy("cents", "p_size", "p_partkey")
+    )

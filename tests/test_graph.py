@@ -82,3 +82,26 @@ def test_pagerank_mass_and_determinism(spark):
     assert sum(r.pr_scaled for r in rows1) <= _SCALE
     assert len(rows1) == min(20, n_docs)
     assert edges_n * _PR_ITERS < _SCALE  # truncation-loss bound is small
+
+
+def test_sssp_matches_python_bfs(spark):
+    """Independent verification: driver-side BFS over the collected edge
+    list (test-SF only; the registered query never collects)."""
+    from hyrise_spark.pipeline.graph import _SSSP_HOPS, _SSSP_SEED, graph_sssp_hops
+
+    edges = _edges(spark, SF_DIR).collect()
+    adj: dict[int, list[int]] = {}
+    for r in edges:
+        adj.setdefault(r.src, []).append(r.dst)
+    dist = {_SSSP_SEED: 0}
+    frontier = [_SSSP_SEED]
+    for d in range(1, _SSSP_HOPS + 1):
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = d
+                    nxt.append(v)
+        frontier = nxt
+    got = {(r.node, r.hops) for r in graph_sssp_hops(spark, SF_DIR).collect()}
+    assert got == set(dist.items())

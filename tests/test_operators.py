@@ -135,3 +135,26 @@ def test_gapfill_interpolation_properties(spark):
                 assert lo <= r.filled_millis <= hi, (series, r.hour)
             else:
                 assert r.filled_millis == r.observed * 1000
+
+
+def test_skyline_matches_bruteforce(spark):
+    """Independent dominance brute-force over the collected part rows
+    (test-SF only): the bucketed prefix-max decomposition must equal the
+    quadratic NOT EXISTS definition, ties and duplicates included."""
+    from hyrise_spark.plans.analytic import skyline_price_size
+    from tests.conftest import SF_DIR
+
+    parts = spark.read.parquet(f"{SF_DIR}/part.parquet").select(
+        "p_partkey", "p_retailprice", "p_size"
+    ).collect()
+    rows = [(r.p_partkey, round(r.p_retailprice * 100), r.p_size) for r in parts]
+    expected = {
+        (k, c, s)
+        for (k, c, s) in rows
+        if not any(
+            bc <= c and bs >= s and (bc < c or bs > s) for (_, bc, bs) in rows
+        )
+    }
+    got = {(r.p_partkey, r.cents, r.p_size) for r in skyline_price_size(spark, SF_DIR).collect()}
+    assert got == expected
+    assert got  # frontier is never empty

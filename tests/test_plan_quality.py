@@ -529,6 +529,10 @@ _GLOBAL_WINDOW_ALLOWLIST: dict[str, str] = {
     # RANGE frame over per-month aggregates: input cardinality = number of
     # distinct months — bounded by the calendar, not the data volume.
     "tpcds_cumulative_compare": "per-month frame, calendar-bounded input",
+    # Bucket-level prefix max: input is one row per fixed 500-cent price
+    # bucket (~20 rows — the retail-price range is a generator constant,
+    # not a data-volume function). The per-row windows partition by bucket.
+    "skyline_price_size": "prefix over the fixed price-bucket domain",
 }
 
 # Logical nodes whose subtree output is constant-bounded regardless of data
