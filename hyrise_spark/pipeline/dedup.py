@@ -1052,25 +1052,41 @@ def dedup_overlap_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document pairs sharing >= `_OV_T` distinct 3-token shingles, candidates
     via lossless prefix filtering. Scale: the rarest-first prefix join hits
     only low-df keys (the rarer a shingle, the smaller its join group —
-    the opposite of the hot-shingle problem); ranking windows partition per
-    document (bounded by doc length); verification joins run only on
-    surviving candidate pairs."""
+    the opposite of the hot-shingle problem); per-doc ordering happens
+    inside a partial-agg `collect_list` + `array_sort` (one groupBy, no
+    window pass over the shingle table); verification attaches each side's
+    full shingle ARRAY to the surviving candidate pairs and counts the
+    overlap JVM-side with `array_intersect` — no re-explode, the verify
+    shuffle carries one row per candidate pair, not one per shared shingle.
+    Arrays are per-doc-distinct-shingle sized (~tens of entries), bounded
+    by document length, not corpus size."""
     toks = _docs(spark, sf_dir).select(
         "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("w")
     )
-    sh = toks.select("doc_id", F.explode(_shingle_array(3)).alias("s")).distinct()
-    df = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    from pyspark.sql import Window
-
-    w_rank = Window.partitionBy("doc_id").orderBy("df", "s")
-    w_all = Window.partitionBy("doc_id")
-    ranked = sh.join(df, "s").select(
-        "doc_id",
-        "s",
-        F.row_number().over(w_rank).alias("rn"),
-        F.count(F.lit(1)).over(w_all).alias("n"),
+    # Per-doc distinct shingles need NO shuffle: each document is one input
+    # row, so `array_distinct` inside the row replaces the exploded
+    # `.distinct()` (which shuffled the whole shingle table by (doc_id, s)).
+    sh = toks.select(
+        "doc_id", F.explode(F.array_distinct(_shingle_array(3))).alias("s")
     )
-    prefix = ranked.filter(F.col("rn") <= F.col("n") - _OV_T + 1).select("doc_id", "s")
+    df = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    # One row per doc: shingles rarest-first (df asc, then s asc — the same
+    # total order as the oracle's ROW_NUMBER) plus the distinct count.
+    docs = (
+        sh.join(df, "s")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "s"))).alias("ds"))
+        .select(
+            "doc_id",
+            F.col("ds.s").alias("ws"),
+            F.size("ds").alias("n"),
+        )
+    )
+    # AllPairs prefix: the first n-T+1 rarest shingles. Docs with n < T can
+    # never reach the threshold — empty prefix, pruned before the join.
+    prefix = docs.filter(F.col("n") >= _OV_T).select(
+        "doc_id", F.explode(F.slice("ws", F.lit(1), F.col("n") - _OV_T + 1)).alias("s")
+    )
     a = prefix.select(F.col("doc_id").alias("d1"), "s")
     b = prefix.select(F.col("doc_id").alias("d2"), "s")
     cand = (
@@ -1079,13 +1095,16 @@ def dedup_overlap_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("d1", "d2")
         .distinct()
     )
-    x = sh.select(F.col("doc_id").alias("d1"), "s")
-    y = sh.select(F.col("doc_id").alias("d2"), "s")
+    x = docs.select(F.col("doc_id").alias("d1"), F.col("ws").alias("ws1"))
+    y = docs.select(F.col("doc_id").alias("d2"), F.col("ws").alias("ws2"))
     return (
         cand.join(x, "d1")
-        .join(y, ["d2", "s"])
-        .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).alias("overlap"))
+        .join(y, "d2")
+        .select(
+            "d1",
+            "d2",
+            F.size(F.array_intersect("ws1", "ws2")).cast("long").alias("overlap"),
+        )
         .filter(F.col("overlap") >= _OV_T)
         .orderBy("d1", "d2")
     )

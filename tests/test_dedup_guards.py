@@ -84,3 +84,30 @@ def test_cluster_canonical_long_path_converges(spark):
     )
     rows = cluster_canonical(pairs).collect()
     assert all(r["canonical_id"] == 1 for r in rows) and len(rows) == 12
+
+
+def test_prefix_filter_is_lossless(spark):
+    """AllPairs prefix pruning must be LOSSLESS: the registered query's
+    output equals brute-force pairwise distinct-shingle overlap counting
+    over the collected corpus (test-SF only; the query never collects)."""
+    from tests.conftest import SF_DIR
+    from hyrise_spark.pipeline.dedup import _OV_T, dedup_overlap_prefix_filter
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text").collect()
+    sets = {}
+    for r in docs:
+        ws = r.text.strip().lower().split()
+        sets[r.doc_id] = {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+    ids = sorted(sets)
+    expected = {
+        (a, b, len(sets[a] & sets[b]))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if len(sets[a] & sets[b]) >= _OV_T
+    }
+    got = {
+        (r.d1, r.d2, r.overlap)
+        for r in dedup_overlap_prefix_filter(spark, SF_DIR).collect()
+    }
+    assert got == expected
+    assert got  # threshold leaves a non-trivial pair set on the test corpus
