@@ -903,3 +903,113 @@ def curate_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("domain")
     )
+
+
+# ---------------------------------------------------------------------------
+# Priority sampling (Duffield, Lund, Thorup 2007) — weighted sample of k
+# documents with Horvitz-Thompson-adjustable inclusion: priority q_i =
+# w_i / u_i with u_i uniform, keep the k largest, and the (k+1)-th priority
+# tau yields the unbiased subset-sum estimator weight max(w_i, tau). The
+# deterministic u_i = (h+1)/2^48 comes from a 48-bit md5 slice (the /2^48
+# normalization is a power-of-two scale — exact — putting tau on the weight
+# scale the estimator needs); q is then ONE IEEE-754 double division
+# (correctly rounded, bit-identical in Spark and DuckDB — no transcendental
+# anywhere), so the sample is exactly reproducible.
+
+_PRIO_K = 64
+_PRIO_SALT = "prio:"
+_PRIO_SCALE = 1 << 48
+
+
+@register(
+    "curate_priority_sample",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT)
+               AS weight,
+             CAST(CAST('0x' || substr(md5('{_PRIO_SALT}' || CAST(doc_id AS VARCHAR)), 1, 12)
+                  AS BIGINT) + 1 AS DOUBLE) / {_PRIO_SCALE} AS u
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, weight, CAST(weight AS DOUBLE) / u AS priority
+      FROM w
+    ),
+    topk1 AS (
+      SELECT doc_id, weight, priority,
+             ROW_NUMBER() OVER (ORDER BY priority DESC, doc_id) AS rk
+      FROM q ORDER BY priority DESC, doc_id LIMIT {_PRIO_K} + 1
+    ),
+    tau AS (SELECT priority AS tau FROM topk1 WHERE rk = {_PRIO_K} + 1)
+    SELECT t.doc_id, t.weight,
+           CASE WHEN CAST(t.weight AS DOUBLE) > tau.tau
+                THEN CAST(t.weight AS DOUBLE) ELSE tau.tau END AS ht_weight
+    FROM topk1 t CROSS JOIN tau
+    WHERE t.rk <= {_PRIO_K}
+    ORDER BY t.doc_id
+    """,
+    tags=("curate", "sampling"),
+)
+def curate_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sample of `_PRIO_K` docs by token count with
+    the Horvitz-Thompson estimator weight max(w, tau).
+
+    Scale: the per-doc (weight, priority) computation is row-local; the
+    top-(k+1) selection is TakeOrderedAndProject (per-partition heaps, no
+    global sort); the rank + tau extraction run over the k+1-row bounded
+    frame (GlobalLimit subtree — lint-recognized bounded input). At 100 TB
+    the only corpus-scale work is one scan."""
+    docs = _docs(spark, sf_dir)
+    q = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+        .cast("long")
+        .alias("weight"),
+        (
+            F.col("doc_id")
+            .cast("long")
+            .cast("string")  # match the oracle's CAST(doc_id AS VARCHAR)
+        ).alias("sid"),
+    ).select(
+        "doc_id",
+        "weight",
+        (
+            F.col("weight").cast("double")
+            / (
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(F.lit(_PRIO_SALT), F.col("sid"))), 1, 12
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    + 1
+                ).cast("double")
+                / F.lit(float(_PRIO_SCALE))  # u in (0,1]; /2^48 is exact
+            )
+        ).alias("priority"),
+    )
+    topk1 = q.orderBy(F.col("priority").desc(), "doc_id").limit(_PRIO_K + 1)
+    from pyspark.sql import Window
+
+    w_rk = Window.orderBy(F.col("priority").desc(), "doc_id")
+    ranked = topk1.select(
+        "doc_id", "weight", "priority", F.row_number().over(w_rk).alias("rk")
+    )
+    tau = ranked.filter(F.col("rk") == _PRIO_K + 1).select(
+        F.col("priority").alias("tau")
+    )
+    return (
+        ranked.filter(F.col("rk") <= _PRIO_K)
+        .crossJoin(tau)  # 1-row threshold frame
+        .select(
+            "doc_id",
+            "weight",
+            F.greatest(F.col("weight").cast("double"), F.col("tau")).alias(
+                "ht_weight"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -973,3 +973,94 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.col("pmi_ratio_bp").desc(), "w1", "w2").limit(_PMI_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM cross-entropy filter (CCNet-style perplexity gating, Wenzek et
+# al. 2020) — the step past unigram surprisal: scores each TRANSITION by its
+# conditional improbability, so templated/repetitive text scores low even
+# when its individual words are rare, and incoherent word salad scores high
+# even when every word is common. Same integer bit-length lattice as
+# `text_unigram_surprisal`: per-transition bits = flog2(c(w1·)) −
+# flog2(c(w1,w2)), exact in both engines (Spark `bin`, DuckDB printf('%b')).
+# The model is trained on the corpus being scored (every transition has
+# count >= 1 — no backoff/smoothing floats anywhere).
+
+# Flag docs above 23/5 = 4.6 mean bits per transition — calibrated on the
+# test corpus (bits/transition spans ~4.3..4.9, median ~4.58, so the flag
+# separates instead of firing on everything). The compare stays on the
+# integer lattice: 5*bits > 23*n_trans.
+_PPL_NUM, _PPL_DEN = 23, 5
+
+
+@register(
+    "text_bigram_perplexity",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+      FROM toks, LATERAL (SELECT UNNEST(generate_series(1, len(w) - 1)) AS i)
+    ),
+    bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY w1, w2),
+    pc AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS cp FROM bc GROUP BY w1)
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_trans,
+           CAST(SUM((length(printf('%b', pc.cp)) - 1)
+                    - (length(printf('%b', bc.c)) - 1)) AS BIGINT) AS bigram_bits,
+           CAST({_PPL_DEN} * SUM((length(printf('%b', pc.cp)) - 1)
+                    - (length(printf('%b', bc.c)) - 1))
+                > COUNT(*) * {_PPL_NUM} AS BOOLEAN) AS high_ppl_flag
+    FROM bg b
+    JOIN bc ON bc.w1 = b.w1 AND bc.w2 = b.w2
+    JOIN pc ON pc.w1 = b.w1
+    GROUP BY b.doc_id
+    ORDER BY b.doc_id
+    """,
+    tags=("text", "perplexity"),
+)
+def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram cross-entropy on the bit-length lattice, plus a
+    high-perplexity flag at > `_PPL_HIGH_BITS` mean bits/transition.
+    Single-token documents have no transitions and drop out (same contract
+    as the oracle's GROUP BY over transitions only).
+
+    Scale: the transition-count table is distinct-bigram-sized and its
+    w1-marginal is vocabulary-sized — both partial-agg passes; scoring is
+    two equi-joins of the doc transitions against them (AQE broadcasts the
+    count frames when they measure small — no hint) and one per-doc
+    partial agg. No window, no corpus-squared term."""
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("w")
+    )
+    idx = F.when(
+        F.size("w") >= 2, F.sequence(F.lit(0), F.size(F.col("w")) - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    bg = toks.select("doc_id", F.explode(idx).alias("i"), "w").select(
+        "doc_id",
+        F.element_at("w", F.col("i") + 1).alias("w1"),
+        F.element_at("w", F.col("i") + 2).alias("w2"),
+    )
+    bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    pc = bc.groupBy("w1").agg(F.sum("c").alias("cp"))
+    bits = (F.length(F.expr("bin(cp)")) - 1) - (F.length(F.expr("bin(c)")) - 1)
+    return (
+        bg.join(bc, ["w1", "w2"])
+        .join(pc, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trans"),
+            F.sum(bits).alias("bigram_bits"),
+        )
+        .select(
+            "doc_id",
+            "n_trans",
+            "bigram_bits",
+            (
+                F.col("bigram_bits") * _PPL_DEN > F.col("n_trans") * _PPL_NUM
+            ).alias("high_ppl_flag"),
+        )
+        .orderBy("doc_id")
+    )

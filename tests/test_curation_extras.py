@@ -146,3 +146,74 @@ def test_substring_coverage_detects_cross_doc_copy(spark, tmp_path):
     assert out[0].n_dup_windows == 1 and out[1].n_dup_windows == 1
     assert out[0].dup_bps == 10000 // 11
     assert out[2].n_dup_windows == 0 and out[2].dup_bps == 0
+
+
+def test_bigram_perplexity_matches_python(spark):
+    """Exact driver-side recompute of the bit-length bigram cross-entropy
+    (test-SF only; the registered query never collects)."""
+    from hyrise_spark.pipeline.text import _PPL_DEN, _PPL_NUM, text_bigram_perplexity
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    bc: dict[tuple[str, str], int] = {}
+    trans: dict[int, list[tuple[str, str]]] = {}
+    for r in docs:
+        ws = r.text.strip().lower().split()
+        ts = list(zip(ws, ws[1:]))
+        if ts:
+            trans[r.doc_id] = ts
+        for t in ts:
+            bc[t] = bc.get(t, 0) + 1
+    pc: dict[str, int] = {}
+    for (w1, _), c in bc.items():
+        pc[w1] = pc.get(w1, 0) + c
+    expected = {}
+    for d, ts in trans.items():
+        bits = sum(pc[w1].bit_length() - 1 - (bc[(w1, w2)].bit_length() - 1)
+                   for (w1, w2) in ts)
+        expected[d] = (len(ts), bits, bits * _PPL_DEN > len(ts) * _PPL_NUM)
+    got = {
+        r.doc_id: (r.n_trans, r.bigram_bits, r.high_ppl_flag)
+        for r in text_bigram_perplexity(spark, SF_DIR).collect()
+    }
+    assert got == expected
+    flags = {v[2] for v in got.values()}
+    assert flags == {True, False}  # the threshold separates the corpus
+
+
+def test_priority_sample_matches_python(spark):
+    """Exact driver-side replay of Duffield priority sampling: same md5
+    slice, same single IEEE divide, same top-k and tau."""
+    import hashlib
+
+    from hyrise_spark.pipeline.curate import (
+        _PRIO_K,
+        _PRIO_SALT,
+        _PRIO_SCALE,
+        curate_priority_sample,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    q = []
+    for r in docs:
+        w = len(r.text.strip().lower().split())
+        h = int(hashlib.md5(f"{_PRIO_SALT}{r.doc_id}".encode()).hexdigest()[:12], 16)
+        u = float(h + 1) / float(_PRIO_SCALE)
+        q.append((float(w) / u, r.doc_id, w))
+    q.sort(key=lambda t: (-t[0], t[1]))
+    tau = q[_PRIO_K][0]
+    expected = {
+        (d, w, max(float(w), tau)) for (p, d, w) in q[:_PRIO_K]
+    }
+    got = {
+        (r.doc_id, r.weight, r.ht_weight)
+        for r in curate_priority_sample(spark, SF_DIR).collect()
+    }
+    assert got == expected
+    # HT estimator sanity: the weighted subset sum is in the right decade
+    total = sum(w for (_, _, w) in q)
+    est = sum(hw for (_, _, hw) in got)
+    assert 0.2 * total < est < 5 * total
