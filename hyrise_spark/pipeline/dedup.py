@@ -1059,7 +1059,24 @@ def dedup_overlap_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap JVM-side with `array_intersect` — no re-explode, the verify
     shuffle carries one row per candidate pair, not one per shared shingle.
     Arrays are per-doc-distinct-shingle sized (~tens of entries), bounded
-    by document length, not corpus size."""
+    by document length, not corpus size.
+
+    Plan shape (measured, sf0.1): the naive formulation — candidates as a
+    light (d1,d2) distinct, then two re-joins against `docs` for the
+    arrays — evaluates the docs subtree FOUR times (Catalyst's exchange
+    reuse never fires: the branches canonicalize differently once column
+    pruning and isnotnull pushdown specialize them). Fix is twofold:
+    (1) `docs` — the rarest-first sorted-shingle index — is explicitly
+    materialized with `.cache()` (the same move as writing an inverted
+    index once and reusing it; at corpus scale the default
+    MEMORY_AND_DISK level spills rather than OOMs, and the frame is one
+    row per document with a doc-length-bounded array, far smaller than
+    the corpus text); (2) each prefix row carries its doc's full shingle
+    array through the join (classic PPJoin record-carry) and the overlap
+    is computed per candidate ROW, so only (d1, d2, overlap) ints reach
+    the post-filter distinct — the arrays never shuffle past the join.
+    Measured 5.1 s -> 3.6 s at sf0.1 (the residual is fixed multi-stage
+    latency, not data volume)."""
     toks = _docs(spark, sf_dir).select(
         "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("w")
     )
@@ -1081,30 +1098,31 @@ def dedup_overlap_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ds.s").alias("ws"),
             F.size("ds").alias("n"),
         )
+        .cache()  # the sorted-shingle index is used by both join sides
     )
     # AllPairs prefix: the first n-T+1 rarest shingles. Docs with n < T can
     # never reach the threshold — empty prefix, pruned before the join.
+    # Each prefix row carries its doc's FULL shingle array so verification
+    # needs no second pass over `docs` (see plan-shape note above).
     prefix = docs.filter(F.col("n") >= _OV_T).select(
-        "doc_id", F.explode(F.slice("ws", F.lit(1), F.col("n") - _OV_T + 1)).alias("s")
+        "doc_id",
+        "ws",
+        F.explode(F.slice("ws", F.lit(1), F.col("n") - _OV_T + 1)).alias("s"),
     )
-    a = prefix.select(F.col("doc_id").alias("d1"), "s")
-    b = prefix.select(F.col("doc_id").alias("d2"), "s")
-    cand = (
+    a = prefix.select(F.col("doc_id").alias("d1"), F.col("ws").alias("ws1"), "s")
+    b = prefix.select(F.col("doc_id").alias("d2"), F.col("ws").alias("ws2"), "s")
+    return (
         a.join(b, "s")
         .filter(F.col("d1") < F.col("d2"))
-        .select("d1", "d2")
-        .distinct()
-    )
-    x = docs.select(F.col("doc_id").alias("d1"), F.col("ws").alias("ws1"))
-    y = docs.select(F.col("doc_id").alias("d2"), F.col("ws").alias("ws2"))
-    return (
-        cand.join(x, "d1")
-        .join(y, "d2")
+        # A pair appears once per shared PREFIX shingle; the intersect is
+        # recomputed on each duplicate (cheap, JVM-side) so that only int
+        # triples — never the arrays — reach the distinct's shuffle.
         .select(
             "d1",
             "d2",
             F.size(F.array_intersect("ws1", "ws2")).cast("long").alias("overlap"),
         )
         .filter(F.col("overlap") >= _OV_T)
+        .distinct()
         .orderBy("d1", "d2")
     )
