@@ -1064,3 +1064,149 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, "Scaling Language Models: ... Gopher",
+# table A1) — the canonical pretraining document-quality gate: word-count
+# bounds, mean-word-length bounds, minimum stop-word evidence, and a cap on
+# the fraction of very short words (the symbol/ellipsis rules are vacuous on
+# this corpus — no punctuation exists — so the implemented subset is the one
+# that can separate). Thresholds are recalibrated to the synthetic corpus
+# (words average ~4.8 chars; Gopher's originals are [50, 100k] words, mean
+# word length [3, 10], >= 2 stop words): word count [20, 90], mean word
+# length [4.2, 5.2], >= 2 stop-word hits, short words (<= 2 chars) at most
+# 10% of tokens. Every rule is an INTEGER comparison (mean-word-length via
+# cross-multiplication, the short-word cap via 10*short <= n) — no floats,
+# so both engines agree exactly.
+
+_GOPHER_STOPS = ("a", "the", "be", "to", "of", "and", "that", "have", "with")
+_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS = 20, 90
+_GOPHER_MWL_LO_X10, _GOPHER_MWL_HI_X10 = 42, 52  # mean word length x10
+
+
+@register(
+    "curate_gopher_rules",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT)
+               AS sum_word_chars,
+             CAST(len(list_filter(ws, w -> list_contains(
+               {list(_GOPHER_STOPS)!r}, w))) AS BIGINT) AS stop_hits,
+             CAST(len(list_filter(ws, w -> length(w) <= 2)) AS BIGINT)
+               AS short_words
+      FROM t
+    )
+    SELECT doc_id, n_words, sum_word_chars, stop_hits, short_words,
+           CAST(n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS}
+                AND {_GOPHER_MWL_LO_X10} * n_words <= 10 * sum_word_chars
+                AND 10 * sum_word_chars <= {_GOPHER_MWL_HI_X10} * n_words
+                AND stop_hits >= 2
+                AND 10 * short_words <= n_words AS BOOLEAN) AS keep
+    FROM m ORDER BY doc_id
+    """,
+    tags=("text", "quality", "curate"),
+)
+def curate_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule document quality gate: per-doc token stats plus the
+    conjunction keep flag.
+
+    Scale: entirely row-local (split + higher-order array functions inside
+    whole-stage codegen) — ZERO shuffles except the presentation orderBy.
+    At 100 TB this is one map pass over the corpus; the stop-word list is a
+    9-element literal, never a join."""
+    ws = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    m = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(ws).cast("long").alias("n_words"),
+        F.aggregate(
+            F.transform(ws, lambda w: F.length(w).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("sum_word_chars"),
+        F.size(F.filter(ws, lambda w: w.isin(*_GOPHER_STOPS)))
+        .cast("long")
+        .alias("stop_hits"),
+        F.size(F.filter(ws, lambda w: F.length(w) <= 2))
+        .cast("long")
+        .alias("short_words"),
+    )
+    return m.select(
+        "doc_id",
+        "n_words",
+        "sum_word_chars",
+        "stop_hits",
+        "short_words",
+        (
+            F.col("n_words").between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS)
+            & (_GOPHER_MWL_LO_X10 * F.col("n_words") <= 10 * F.col("sum_word_chars"))
+            & (10 * F.col("sum_word_chars") <= _GOPHER_MWL_HI_X10 * F.col("n_words"))
+            & (F.col("stop_hits") >= 2)
+            & (10 * F.col("short_words") <= F.col("n_words"))
+        ).alias("keep"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Corpus Zipf profile: the head of the word-frequency distribution with the
+# rank x frequency product (Zipf's law predicts it near-constant). The
+# classic one-look corpus health check — a head that is too flat means
+# boilerplate; too steep means a degenerate vocabulary.
+
+_ZIPF_TOPK = 25
+
+
+@register(
+    "text_zipf_profile",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+      FROM documents
+    ),
+    freq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM toks GROUP BY w),
+    top AS (
+      SELECT w, freq FROM freq ORDER BY freq DESC, w LIMIT {_ZIPF_TOPK}
+    )
+    SELECT w, freq,
+           CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, w) AS BIGINT) AS rank,
+           CAST(freq * ROW_NUMBER() OVER (ORDER BY freq DESC, w) AS BIGINT)
+             AS rank_freq_product
+    FROM top ORDER BY rank
+    """,
+    tags=("text", "stats"),
+)
+def text_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-`_ZIPF_TOPK` corpus words with Zipf rank and rank*freq product.
+
+    Scale: one explode + partial-agg groupBy (vocabulary-sized output),
+    then TakeOrderedAndProject for the head; the rank window runs over the
+    bounded `limit` frame only (GlobalLimit subtree — never a global
+    window over unbounded input)."""
+    from pyspark.sql import Window
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w")
+    )
+    top = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), "w")
+        .limit(_ZIPF_TOPK)
+    )
+    w_rk = Window.orderBy(F.col("freq").desc(), "w")
+    return (
+        top.select("w", "freq", F.row_number().over(w_rk).cast("long").alias("rank"))
+        .select(
+            "w",
+            "freq",
+            "rank",
+            (F.col("freq") * F.col("rank")).cast("long").alias("rank_freq_product"),
+        )
+        .orderBy("rank")
+    )

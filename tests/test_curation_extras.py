@@ -217,3 +217,18 @@ def test_priority_sample_matches_python(spark):
     total = sum(w for (_, _, w) in q)
     est = sum(hw for (_, _, hw) in got)
     assert 0.2 * total < est < 5 * total
+
+
+def test_gopher_rules_flag_separates(spark):
+    """The recalibrated Gopher thresholds must actually split the corpus
+    (a gate that keeps or drops everything is miscalibrated)."""
+    from hyrise_spark.pipeline.text import curate_gopher_rules
+
+    rows = curate_gopher_rules(spark, SF_DIR).collect()
+    kept = sum(1 for r in rows if r.keep)
+    assert 0 < kept < len(rows)
+    # every rule must have at least one sole-cause rejection candidate:
+    # docs failing word count, mean word length, stop words, or short-word
+    # cap each exist in the corpus
+    assert any(not (20 <= r.n_words <= 90) for r in rows)
+    assert any(r.stop_hits < 2 for r in rows)
