@@ -110,6 +110,12 @@ _UPDATE_RE = re.compile(
     r"^\s*UPDATE\s+(?P<table>\w+)\s+SET\s+(?P<rest>.+)$",
     re.I | re.S,
 )
+_MERGE_RE = re.compile(
+    r"^\s*MERGE\s+INTO\s+(?P<table>\w+)"
+    r"(?:\s+(?:AS\s+)?(?!USING\b)(?P<talias>\w+))?"
+    r"\s+USING\s+(?P<rest>.+)$",
+    re.I | re.S,
+)
 _TXN_RE = re.compile(
     r"^\s*(?:BEGIN|START\s+TRANSACTION|COMMIT|ROLLBACK)(?:\s+(?:TRANSACTION|WORK))?\s*$",
     re.I,
@@ -336,6 +342,9 @@ class Engine:
         m = _INSERT_RE.match(stmt)
         if m:
             return self._insert(m["table"], m["rest"], args=args)
+        m = _MERGE_RE.match(stmt)
+        if m:
+            return self._merge(m["table"], m["talias"], m["rest"])
         m = _DELETE_RE.match(stmt)
         if m:
             return self._delete(m["table"], m["cond"], args=args)
@@ -447,6 +456,204 @@ class Engine:
         kw = {"args": args} if args else {}
         updated = self.spark.sql(f"SELECT {cols} FROM __hs_dml_src", **kw)
         self.catalog.replace_table(table, updated)
+        return None
+
+    # -- MERGE (SQL:2003 F312) ----------------------------------------------
+    # Beyond the reference's dialect (its sql_translator.cpp has no MERGE);
+    # the reference's Update operator is itself the delete+insert composite
+    # (update.hpp:17-27) that a MERGE's WHEN MATCHED branch lowers to, so
+    # this is the natural router extension. Supported subset: one WHEN
+    # MATCHED [AND guard] THEN UPDATE SET ... | DELETE, plus one WHEN NOT
+    # MATCHED THEN INSERT [(cols)] VALUES (...). Snapshot semantics like the
+    # other DML verbs: every branch reads the pre-merge target state.
+    @staticmethod
+    def _scan_balanced(s: str, i: int) -> int:
+        """Given s[i] == '(', return the index just past the matching ')'."""
+        depth, quote, n = 0, None, len(s)
+        while i < n:
+            ch = s[i]
+            if quote:
+                if ch == quote:
+                    quote = None
+            elif ch in ("'", '"'):
+                quote = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    return i + 1
+            i += 1
+        raise ValueError("MERGE: unbalanced parentheses in USING source")
+
+    @staticmethod
+    def _find_top_level(s: str, word: str, start: int = 0) -> int:
+        """First index of whole-word `word` outside parens/quotes, or -1."""
+        depth, quote, i, n, w = 0, None, start, len(s), len(word)
+        up, word = s.upper(), word.upper()
+        while i < n:
+            ch = s[i]
+            if quote:
+                if ch == quote:
+                    quote = None
+            elif ch in ("'", '"'):
+                quote = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0 and up[i : i + w] == word:
+                before = i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_")
+                after = i + w >= n or not (s[i + w].isalnum() or s[i + w] == "_")
+                if before and after:
+                    return i
+            i += 1
+        return -1
+
+    def _merge(self, table: str, talias: str | None, rest: str):
+        if not self.catalog.has_table(table):
+            raise ValueError(f"MERGE target table {table!r} is not registered")
+        rest = rest.strip()
+        if rest.startswith("("):
+            end = self._scan_balanced(rest, 0)
+            src, rest = rest[:end], rest[end:].lstrip()
+        else:
+            m = re.match(r"^\w+", rest)
+            if not m:
+                raise ValueError("MERGE: expected a USING source")
+            src, rest = m.group(0), rest[m.end() :].lstrip()
+        salias = None
+        m = re.match(r"^(?:AS\s+)?(?!ON\b)(\w+)", rest, re.I)
+        if m:
+            salias, rest = m.group(1), rest[m.end() :].lstrip()
+        if not re.match(r"^ON\b", rest, re.I):
+            raise ValueError("MERGE: expected ON <condition> after USING source")
+        rest = rest[2:].lstrip()
+        wi = self._find_top_level(rest, "WHEN")
+        if wi < 0:
+            raise ValueError("MERGE: at least one WHEN clause is required")
+        cond, rest = rest[:wi].strip(), rest[wi:]
+        clauses: list[str] = []
+        while rest:
+            nxt = self._find_top_level(rest, "WHEN", 4)
+            clause, rest = (rest[:nxt], rest[nxt:]) if nxt > 0 else (rest, "")
+            clauses.append(clause.strip())
+        upd_sets = upd_guard = del_guard = ins_vals = None
+        ins_cols: list[str] | None = None
+        have_delete = False
+        for cl in clauses:
+            body = cl[4:].lstrip()  # strip WHEN
+            ti = self._find_top_level(body, "THEN")
+            if ti < 0:
+                raise ValueError(f"MERGE: WHEN clause missing THEN: {cl!r}")
+            head, action = body[:ti].strip(), body[ti + 4 :].strip()
+            hm = re.match(
+                r"^(?P<neg>NOT\s+)?MATCHED(?:\s+AND\s+(?P<guard>.+))?$",
+                head,
+                re.I | re.S,
+            )
+            if not hm:
+                raise ValueError(f"MERGE: cannot parse WHEN clause head: {head!r}")
+            guard = hm["guard"]
+            if hm["neg"]:
+                im = re.match(
+                    r"^INSERT\s*(?:\(\s*(?P<cols>\w+(?:\s*,\s*\w+)*)\s*\)\s*)?"
+                    r"VALUES\s*\((?P<vals>.+)\)\s*$",
+                    action,
+                    re.I | re.S,
+                )
+                if not im:
+                    raise ValueError(
+                        "MERGE: WHEN NOT MATCHED supports only INSERT ... VALUES"
+                    )
+                if guard:
+                    raise ValueError("MERGE: guards on WHEN NOT MATCHED unsupported")
+                if ins_vals is not None:
+                    raise ValueError("MERGE: duplicate WHEN NOT MATCHED clause")
+                ins_cols = (
+                    [c.strip() for c in im["cols"].split(",")] if im["cols"] else None
+                )
+                ins_vals = self._split_assignments(im["vals"])
+            elif re.match(r"^UPDATE\s+SET\s+", action, re.I):
+                if upd_sets is not None or have_delete:
+                    raise ValueError("MERGE: only one WHEN MATCHED clause supported")
+                upd_sets = re.sub(r"^UPDATE\s+SET\s+", "", action, count=1, flags=re.I)
+                upd_guard = guard
+            elif re.fullmatch(r"DELETE", action, re.I):
+                if upd_sets is not None or have_delete:
+                    raise ValueError("MERGE: only one WHEN MATCHED clause supported")
+                have_delete, del_guard = True, guard
+            else:
+                raise ValueError(f"MERGE: unsupported WHEN action: {action!r}")
+
+        cur = self.catalog.get_table(table)
+        talias = talias or table
+        salias = salias or ("__hs_merge_s" if src.startswith("(") else src)
+        cur.createOrReplaceTempView("__hs_merge_t")
+        t_ref = f"__hs_merge_t AS {talias}"
+        s_ref = f"{src} AS {salias}"
+        if upd_sets is not None:
+            mcond = f"({cond}) AND ({upd_guard})" if upd_guard else cond
+            # ANSI cardinality rule: a target row updated by two different
+            # source rows is an error, not last-wins (eager check — the one
+            # place MERGE materializes counts before committing the plan)
+            pairs = self.spark.sql(
+                f"SELECT COUNT(*) AS n FROM {t_ref} JOIN {s_ref} ON {mcond}"
+            ).first()["n"]
+            hit = self.spark.sql(
+                f"SELECT COUNT(*) AS n FROM {t_ref} LEFT SEMI JOIN {s_ref} ON {mcond}"
+            ).first()["n"]
+            if pairs > hit:
+                raise ValueError(
+                    "MERGE: a target row matches more than one source row"
+                )
+            assignments: dict[str, str] = {}
+            for part in self._split_assignments(upd_sets):
+                col, expr = part.split("=", 1)
+                assignments[col.strip()] = expr.strip()
+            unknown = [c for c in assignments if c not in cur.columns]
+            if unknown:
+                raise ValueError(f"MERGE: SET column(s) {unknown} not in {table}")
+            # CASE keeps 3VL like _update: a NULL match marker -> old value
+            sel = ", ".join(
+                f"CASE WHEN __hs_m THEN ({assignments[c]}) ELSE {talias}.{c} END AS {c}"
+                if c in assignments
+                else f"{talias}.{c} AS {c}"
+                for c in cur.columns
+            )
+            base = self.spark.sql(
+                f"SELECT {sel} FROM {t_ref} LEFT JOIN "
+                f"(SELECT {salias}.*, TRUE AS __hs_m FROM {s_ref}) AS {salias} "
+                f"ON {mcond}"
+            )
+        elif have_delete:
+            mcond = f"({cond}) AND ({del_guard})" if del_guard else cond
+            base = self.spark.sql(
+                f"SELECT {talias}.* FROM {t_ref} LEFT ANTI JOIN {s_ref} ON {mcond}"
+            )
+        else:
+            base = cur
+        new = base
+        if ins_vals is not None:
+            names = ins_cols or cur.columns
+            if len(ins_vals) != len(names):
+                raise ValueError("MERGE: INSERT arity mismatch")
+            unknown = [c for c in names if c not in cur.columns]
+            if unknown:
+                raise ValueError(f"MERGE: INSERT column(s) {unknown} not in {table}")
+            proj = ", ".join(
+                f"CAST(({ins_vals[names.index(fld.name)]}) AS "
+                f"{fld.dataType.simpleString()}) AS {fld.name}"
+                if fld.name in names
+                else f"CAST(NULL AS {fld.dataType.simpleString()}) AS {fld.name}"
+                for fld in cur.schema.fields
+            )
+            inserted = self.spark.sql(
+                f"SELECT {proj} FROM {s_ref} "
+                f"LEFT ANTI JOIN __hs_merge_t AS {talias} ON {cond}"
+            )
+            new = base.unionByName(inserted)
+        self.catalog.replace_table(table, new)
         return None
 
     @staticmethod

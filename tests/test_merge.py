@@ -1,0 +1,162 @@
+"""MERGE INTO differential tests — the engine's MERGE (SQL:2003 F312,
+beyond the reference's dialect; its Update operator is the delete+insert
+composite a MERGE lowers to, update.hpp:17-27) vs DuckDB 1.0 running the
+semantically equivalent UPDATE ... FROM + INSERT ... SELECT sequence
+(DuckDB grows MERGE only in 1.4, so the statement cannot run verbatim —
+the equivalence sequence is the oracle)."""
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from hyrise_spark.engine import Engine
+
+_SPARK_SEED = [
+    """CREATE TABLE mt AS
+    SELECT CAST(id AS INT) AS id, CAST((id * 37) % 97 AS INT) AS a,
+           CAST((id * 53) % 89 AS INT) AS b
+    FROM RANGE(50)""",
+    """CREATE TABLE ups AS
+    SELECT CAST(id * 2 AS INT) AS id, CAST(id * 7 AS INT) AS delta
+    FROM RANGE(40)""",
+]
+_DUCK_SEED = [
+    """CREATE TABLE mt AS
+    SELECT CAST(r AS INT) AS id, CAST((r * 37) % 97 AS INT) AS a,
+           CAST((r * 53) % 89 AS INT) AS b
+    FROM range(50) t(r)""",
+    """CREATE TABLE ups AS
+    SELECT CAST(r * 2 AS INT) AS id, CAST(r * 7 AS INT) AS delta
+    FROM range(40) t(r)""",
+]
+
+# (merge statement for the engine, equivalent DuckDB statement sequence)
+_CASES = {
+    "upsert": (
+        "MERGE INTO mt USING ups u ON mt.id = u.id "
+        "WHEN MATCHED THEN UPDATE SET a = mt.a + u.delta "
+        "WHEN NOT MATCHED THEN INSERT (id, a) VALUES (u.id, u.delta)",
+        [
+            "UPDATE mt SET a = mt.a + u.delta FROM ups u WHERE mt.id = u.id",
+            "INSERT INTO mt SELECT u.id, u.delta, NULL FROM ups u "
+            "WHERE NOT EXISTS (SELECT 1 FROM mt WHERE mt.id = u.id)",
+        ],
+    ),
+    "update_only": (
+        "MERGE INTO mt t USING ups u ON t.id = u.id "
+        "WHEN MATCHED THEN UPDATE SET b = u.delta * 2",
+        ["UPDATE mt SET b = u.delta * 2 FROM ups u WHERE mt.id = u.id"],
+    ),
+    "matched_guard": (
+        "MERGE INTO mt t USING ups u ON t.id = u.id "
+        "WHEN MATCHED AND u.delta > 100 THEN UPDATE SET a = 0",
+        [
+            "UPDATE mt SET a = 0 FROM ups u "
+            "WHERE mt.id = u.id AND u.delta > 100"
+        ],
+    ),
+    "delete_when_matched": (
+        "MERGE INTO mt t USING ups u ON t.id = u.id "
+        "WHEN MATCHED THEN DELETE",
+        ["DELETE FROM mt WHERE EXISTS (SELECT 1 FROM ups u WHERE mt.id = u.id)"],
+    ),
+    "delete_guarded": (
+        "MERGE INTO mt t USING ups u ON t.id = u.id "
+        "WHEN MATCHED AND u.delta < 70 THEN DELETE",
+        [
+            "DELETE FROM mt WHERE EXISTS "
+            "(SELECT 1 FROM ups u WHERE mt.id = u.id AND u.delta < 70)"
+        ],
+    ),
+    "insert_only": (
+        "MERGE INTO mt t USING ups u ON t.id = u.id "
+        "WHEN NOT MATCHED THEN INSERT (id, b) VALUES (u.id, u.delta + 1)",
+        [
+            "INSERT INTO mt SELECT u.id, NULL, u.delta + 1 FROM ups u "
+            "WHERE NOT EXISTS (SELECT 1 FROM mt WHERE mt.id = u.id)"
+        ],
+    ),
+    "subquery_source": (
+        "MERGE INTO mt t USING (SELECT id, delta FROM ups WHERE delta % 3 = 0) u "
+        "ON t.id = u.id "
+        "WHEN MATCHED THEN UPDATE SET a = t.a + 1 "
+        "WHEN NOT MATCHED THEN INSERT (id, a, b) VALUES (u.id, u.delta, 0)",
+        [
+            "UPDATE mt SET a = mt.a + 1 FROM "
+            "(SELECT id, delta FROM ups WHERE delta % 3 = 0) u WHERE mt.id = u.id",
+            "INSERT INTO mt SELECT u.id, u.delta, 0 FROM "
+            "(SELECT id, delta FROM ups WHERE delta % 3 = 0) u "
+            "WHERE NOT EXISTS (SELECT 1 FROM mt WHERE mt.id = u.id)",
+        ],
+    ),
+}
+
+
+@pytest.fixture()
+def engines(spark):
+    eng = Engine(spark)
+    duck = duckdb.connect()
+    for s in _SPARK_SEED:
+        eng.execute(s)
+    for s in _DUCK_SEED:
+        duck.execute(s)
+    yield eng, duck
+    eng.execute("DROP TABLE mt")
+    eng.execute("DROP TABLE ups")
+    duck.close()
+
+
+def _final_state(eng, duck, name):
+    sdf = eng.execute("SELECT * FROM mt")
+    srows = sorted(
+        tuple(None if v is None else int(v) for v in r) for r in sdf.collect()
+    )
+    orows = sorted(
+        tuple(None if v is None else int(v) for v in r)
+        for r in duck.execute("SELECT * FROM mt").fetchall()
+    )
+    assert srows == orows, f"{name}: {srows[:5]} vs {orows[:5]}"
+
+
+@pytest.mark.parametrize("name", sorted(_CASES))
+def test_merge_matches_duckdb_equivalent(engines, name):
+    eng, duck = engines
+    merge_sql, duck_seq = _CASES[name]
+    eng.execute(merge_sql)
+    for s in duck_seq:
+        duck.execute(s)
+    _final_state(eng, duck, name)
+
+
+def test_merge_cardinality_violation_raises(engines):
+    eng, _ = engines
+    eng.execute("CREATE TABLE dupsrc AS SELECT CAST(id % 2 AS INT) AS id, "
+                "CAST(id AS INT) AS delta FROM RANGE(4)")
+    with pytest.raises(ValueError, match="more than one source row"):
+        eng.execute(
+            "MERGE INTO mt t USING dupsrc u ON t.id = u.id "
+            "WHEN MATCHED THEN UPDATE SET a = u.delta"
+        )
+    eng.execute("DROP TABLE dupsrc")
+
+
+def test_merge_reads_pre_merge_snapshot(engines):
+    """Every branch reads the PRE-merge target: an inserted row must not be
+    visible to the update branch of the same statement."""
+    eng, duck = engines
+    eng.execute(
+        "MERGE INTO mt t USING ups u ON t.id = u.id "
+        "WHEN MATCHED THEN UPDATE SET a = (SELECT COUNT(*) FROM mt) "
+        "WHEN NOT MATCHED THEN INSERT (id, a) VALUES (u.id, -1)"
+    )
+    rows = {r.id: r.a for r in eng.execute("SELECT * FROM mt").collect()}
+    # pre-merge mt had 50 rows; matched rows got exactly 50, inserts -1
+    assert rows[0] == 50 and rows[2] == 50
+    assert rows[50] == -1
+
+
+def test_merge_rejects_unregistered_target(engines):
+    eng, _ = engines
+    with pytest.raises(ValueError, match="not registered"):
+        eng.execute("MERGE INTO nope USING ups u ON nope.id = u.id "
+                    "WHEN MATCHED THEN DELETE")
