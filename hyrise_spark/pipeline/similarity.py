@@ -1029,3 +1029,76 @@ def pca_power_iteration(emb: DataFrame, iters: int = 8) -> DataFrame:
             f"WHEN {lead} < 0 THEN transform(xv, c -> -c) ELSE xv END"
         ).alias("direction")
     )
+
+
+# ---------------------------------------------------------------------------
+# Linear-probe sufficient statistics: the ONE-PASS, MERGEABLE normal-equation
+# sums (Gram matrix) from which a ridge/least-squares readout of `label` from
+# the embedding is solved driver-side. The standard embedding-quality check
+# ("linear probe") re-expressed for 100 TB: the corpus-scale work is exactly
+# one partial-agg pass producing a constant-size (D+2)^2/2-row frame —
+# cellwise-ADD mergeable like the count-min sketch, so executors combine
+# map-side and the shuffle carries <= 171 rows per partition. Features are
+# quantized onto an integer lattice (floor(x * 1000): floor, not round —
+# identical in both engines) so every sum is an exact BIGINT; the extended
+# vector z = [x_0..x_15, 1.0, y] folds the intercept column and the target
+# into the same Gram matrix (upper triangle holds X^TX, X^Ty, y^Ty, and n
+# via the constant cell). tests/test_linear_probe.py solves the system with
+# numpy and pins exact equality against a numpy-built Gram.
+
+_PROBE_D = 16  # leading embedding dims used as probe features
+_PROBE_Q = 1000  # lattice scale
+
+
+@register(
+    "sim_linear_probe_gram",
+    oracle=f"""
+    WITH z AS (
+      SELECT list_concat(
+               list_transform(embedding[1:{_PROBE_D}],
+                              x -> CAST(FLOOR(x * {_PROBE_Q}) AS BIGINT)),
+               [CAST({_PROBE_Q} AS BIGINT),
+                CAST(label * {_PROBE_Q} AS BIGINT)]) AS zq
+      FROM embeddings
+    )
+    SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+           CAST(SUM(zq[i + 1] * zq[j + 1]) AS BIGINT) AS s
+    FROM z,
+         LATERAL (SELECT UNNEST(generate_series(0, {_PROBE_D + 1})) AS i) gi,
+         LATERAL (SELECT UNNEST(generate_series(0, {_PROBE_D + 1})) AS j) gj
+    WHERE j >= i
+    GROUP BY i, j
+    ORDER BY i, j
+    """,
+    tags=("similarity", "probe"),
+)
+def sim_linear_probe_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle Gram sums of the quantized extended vector
+    [x_0..x_{D-1}, 1, y] over all embeddings — the mergeable sufficient
+    statistics of a linear probe."""
+    z = _emb(spark, sf_dir).select(
+        F.concat(
+            F.transform(
+                F.slice("embedding", 1, _PROBE_D),
+                lambda x: F.floor(x * _PROBE_Q).cast("long"),
+            ),
+            F.array(
+                F.lit(_PROBE_Q).cast("long"),
+                (F.col("label").cast("long") * _PROBE_Q),
+            ),
+        ).alias("zq")
+    )
+    pairs = z.select(F.posexplode("zq").alias("i", "zi"), "zq").select(
+        "i", "zi", F.posexplode("zq").alias("j", "zj")
+    )
+    return (
+        pairs.filter(F.col("j") >= F.col("i"))
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("zi") * F.col("zj")).alias("s"))
+        .select(
+            F.col("i").cast("int").alias("i"),
+            F.col("j").cast("int").alias("j"),
+            F.col("s").cast("long").alias("s"),
+        )
+        .orderBy("i", "j")
+    )

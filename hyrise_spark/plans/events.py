@@ -747,3 +747,71 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix over user journeys — the classic product-analytics
+# "what do users do next" summary and a first-order behavior model. Each
+# user's event stream (ordered by ts, event_id tie-break) yields transitions
+# (prev_type -> type); the matrix row normalizes to basis points by INTEGER
+# division, so both engines produce identical values.
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    trans AS (
+      SELECT prev_type, event_type AS next_type,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    ),
+    totals AS (
+      SELECT prev_type, CAST(SUM(cnt) AS BIGINT) AS row_total
+      FROM trans GROUP BY prev_type
+    )
+    SELECT t.prev_type, t.next_type, t.cnt,
+           CAST(10000 * t.cnt // n.row_total AS BIGINT) AS prob_bp
+    FROM trans t JOIN totals n ON n.prev_type = t.prev_type
+    ORDER BY t.prev_type, t.next_type
+    """,
+    tags=("events", "markov"),
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order transition matrix over per-user event sequences, with
+    row-normalized probabilities in basis points.
+
+    Scale: the LAG window is partitioned by user_id (bounded per-user
+    state, never a global window); transition counting is a partial-agg
+    groupBy whose output is |event_type|^2 rows — a constant-size frame
+    that AQE broadcasts for the row-total join. One shuffle of (user)
+    sequence data, then constant-size work."""
+    (events,) = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    trans = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    totals = trans.groupBy("prev_type").agg(F.sum("cnt").alias("row_total"))
+    return (
+        trans.join(totals, "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "cnt",
+            F.expr("CAST(10000 * cnt div row_total AS BIGINT)").alias("prob_bp"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
