@@ -604,3 +604,25 @@ def test_psql_sql_udf_and_matview_roundtrip(server):
     )
     assert out.returncode == 0, out.stderr
     assert out.stdout.strip().splitlines()[-1] == "7"
+
+
+@pytest.mark.skipif(PSQL is None, reason="psql not installed")
+def test_psql_merge_upsert_roundtrip(server):
+    """MERGE INTO works over the wire: a psql client upserts and reads the
+    merged state back."""
+    out = _psql(
+        server,
+        "CREATE TABLE pg_mg (id INT, v INT); "
+        "INSERT INTO pg_mg VALUES (1, 10), (2, 20); "
+        "CREATE TABLE pg_mg_src (id INT, v INT); "
+        "INSERT INTO pg_mg_src VALUES (2, 200), (3, 300); "
+        "MERGE INTO pg_mg t USING pg_mg_src s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v); "
+        "SELECT id, v FROM pg_mg ORDER BY id",
+    )
+    assert out.returncode == 0, out.stderr
+    lines = out.stdout.strip().splitlines()[-3:]
+    assert [ln.split("|") for ln in lines] == [["1", "10"], ["2", "200"], ["3", "300"]]
+    out = _psql(server, "DROP TABLE pg_mg; DROP TABLE pg_mg_src; SELECT 1 AS ok")
+    assert out.returncode == 0, out.stderr
