@@ -427,3 +427,57 @@ def rollup_maintaining_sink(events: DataFrame, path: str):
         refresh_daily_rollup(spark, spark.read.parquet(ingest_dir), path, days)
 
     return events.writeStream.foreachBatch(refresh).trigger(availableNow=True)
+
+
+def markov_transition_stream(events: DataFrame) -> DataFrame:
+    """Streaming sibling of `events_markov_transitions`: per-user state is
+    the LAST seen event type (one string per user — bounded, key-sharded),
+    and each micro-batch emits that user's transition-count INCREMENTS.
+    Summing the emitted increments per (prev_type, next_type) converges to
+    the batch transition matrix — the mergeable-increment shape that scales
+    to a 1000-executor deployment (state never leaves the key's shard).
+
+    Assumes per-user in-order arrival across micro-batches (the file
+    source's natural order here); within a batch rows are sorted by
+    (ts, event_id) to match the batch window's order. Late, out-of-order
+    events would need a watermark-buffered reorder in front.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("prev_type", StringType()),
+            StructField("next_type", StringType()),
+            StructField("cnt", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("last_type", StringType())])
+
+    def update(key, pdf_iter, state: GroupState):
+        from collections import Counter
+
+        last = state.get[0] if state.exists else None
+        counts: Counter = Counter()
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for t in pdf["event_type"]:
+                if last is not None:
+                    counts[(last, t)] += 1
+                last = t
+        state.update((last,))
+        if counts:
+            prev, nxt = zip(*counts.keys())
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(counts),
+                    "prev_type": list(prev),
+                    "next_type": list(nxt),
+                    "cnt": list(counts.values()),
+                }
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

@@ -401,3 +401,35 @@ def test_streaming_rollup_maintenance_matches_batch(spark, tmp_path):
     write_daily_rollup(spark.read.parquet(str(d)), full)
     want = sorted(map(tuple, spark.read.parquet(full).collect()))
     assert got == want and got
+
+
+def test_streaming_markov_transitions_match_batch(spark, events_dir):
+    """Summed streaming transition increments == the batch LAG-window
+    transition counts over the same files."""
+    from hyrise_spark.streaming.events_stream import markov_transition_stream
+    from pyspark.sql.window import Window
+
+    stream = markov_transition_stream(read_events_stream(spark, events_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("stream_markov")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got: dict[tuple, int] = {}
+    for r in spark.table("stream_markov").collect():
+        k = (r["prev_type"], r["next_type"])
+        got[k] = got.get(k, 0) + r["cnt"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    batch = (
+        spark.read.parquet(events_dir)
+        .select("user_id", "event_type", F.lag("event_type").over(w).alias("p"))
+        .filter(F.col("p").isNotNull())
+        .groupBy("p", "event_type")
+        .count()
+        .collect()
+    )
+    want = {(r["p"], r["event_type"]): r["count"] for r in batch}
+    assert got == want
