@@ -106,6 +106,21 @@ def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
+# MvccDeletePlugin analog (mvcc_delete_plugin.hpp:21-32, thresholds at
+# :53-54): the reference's insert-only storage accumulates INVALIDATED ROWS
+# that every transaction must filter past, so a plugin physically rewrites
+# chunks once 60% of a chunk is invalidated. In this engine's snapshot-DML
+# model the same pathology is accumulated PLAN LINEAGE — each
+# INSERT/UPDATE/DELETE/MERGE wraps the table in another CASE-projection /
+# filter / union layer, so analysis and execution cost grow per statement
+# exactly as the reference's scan cost grows per invalidated row. The
+# compaction analog rewrites the LIVE rows to parquet and re-registers a
+# clean scan, cutting the lineage. Trigger: DML-chain depth (the snapshot
+# equivalent of the invalidation ratio) — inline on the commit path rather
+# than a background thread (no threads in this engine by design).
+COMPACT_THRESHOLD_DML_DEPTH = 16
+
+
 class Catalog:
     """Named tables + views, mirroring StorageManager's add/drop/has surface
     (storage_manager.hpp: add_table/drop_table/get_table/has_table and the
@@ -121,6 +136,10 @@ class Catalog:
         # ucc_discovery_plugin state (hyrise_spark/ucc.py); any write to a
         # table drops its entries (uniqueness is a snapshot property)
         self.validated_uccs: set[tuple[str, str]] = set()
+        # per-table DML-chain depth since the last compaction / (re)create
+        self.dml_depth: dict[str, int] = {}
+        self._compact_dir: str | None = None
+        self._compact_version = 0
 
     # -- tables ------------------------------------------------------------
     def add_table(self, name: str, df: DataFrame) -> None:
@@ -159,10 +178,36 @@ class Catalog:
         if name not in self._tables:
             raise KeyError(f"table {name!r} does not exist")
         del self._tables[name]
+        self.dml_depth.pop(name, None)
         self.validated_uccs = {
             (t, c) for (t, c) in self.validated_uccs if t != name.lower()
         }
         self.spark.catalog.dropTempView(name)
+
+    # -- MVCC-GC analog (mvcc_delete_plugin.hpp, see module note above) ------
+    def note_dml(self, name: str) -> int:
+        """Record one DML statement against `name`; returns the new depth."""
+        self.dml_depth[name] = self.dml_depth.get(name, 0) + 1
+        return self.dml_depth[name]
+
+    def compact_table(self, name: str) -> None:
+        """Physically rewrite `name`'s LIVE rows to parquet and re-register a
+        clean scan (the plugin's physical-delete step: invalidated rows no
+        longer exist anywhere, and every later query plans against a flat
+        FileScan instead of the accumulated DML lineage). Distributed write —
+        no driver-side collect; at warehouse scale this is the same rewrite
+        a table format's compaction job performs."""
+        import tempfile
+
+        df = self._tables[name]
+        if self._compact_dir is None:
+            self._compact_dir = tempfile.mkdtemp(prefix="hs_compact_")
+        self._compact_version += 1
+        path = os.path.join(self._compact_dir, f"{name}_v{self._compact_version}")
+        df.write.mode("overwrite").parquet(path)
+        self._tables[name] = self.spark.read.parquet(path)
+        self._tables[name].createOrReplaceTempView(name)
+        self.dml_depth[name] = 0
 
     def get_table(self, name: str) -> DataFrame:
         return self._tables[name]

@@ -372,6 +372,16 @@ class Engine:
     # derives a new DataFrame and re-registers the table — a snapshot
     # semantics equivalent for the autocommit case (SURVEY.md §7 risk 6).
     # At warehouse scale this maps 1:1 onto a table format's MERGE/append.
+    def _after_dml(self, table: str) -> None:
+        """MvccDeletePlugin analog (mvcc_delete_plugin.hpp:21-32): once the
+        snapshot-DML lineage depth crosses the threshold, physically compact
+        the table inline on the commit path (the plugin's logical+physical
+        delete collapse into one parquet rewrite here; see catalog.py)."""
+        from hyrise_spark.catalog import COMPACT_THRESHOLD_DML_DEPTH
+
+        if self.catalog.note_dml(table) >= COMPACT_THRESHOLD_DML_DEPTH:
+            self.catalog.compact_table(table)
+
     def _insert(self, table: str, rest: str, args=None):
         if table.lower() == "meta_settings":
             return self._change_meta_settings("insert", rest=rest)
@@ -410,6 +420,7 @@ class Engine:
                     )
             new_rows = new_rows.select(*cur.columns)
         self.catalog.replace_table(table, cur.unionByName(new_rows))
+        self._after_dml(table)
         return None
 
     def _delete(self, table: str, cond: str | None, args=None):
@@ -418,6 +429,7 @@ class Engine:
         cur = self.catalog.get_table(table)
         if cond is None:
             self.catalog.replace_table(table, cur.limit(0))
+            self._after_dml(table)
             return None
         # SQL deletes only rows where the condition is TRUE; rows where it
         # evaluates to NULL must be KEPT (3VL — delete.hpp:14-18 operates on a
@@ -431,6 +443,7 @@ class Engine:
             f"SELECT * FROM __hs_dml_src WHERE NOT COALESCE(({cond}), FALSE)", **kw
         )
         self.catalog.replace_table(table, kept)
+        self._after_dml(table)
         return None
 
     def _update(self, table: str, sets: str, cond: str | None, args=None):
@@ -456,6 +469,7 @@ class Engine:
         kw = {"args": args} if args else {}
         updated = self.spark.sql(f"SELECT {cols} FROM __hs_dml_src", **kw)
         self.catalog.replace_table(table, updated)
+        self._after_dml(table)
         return None
 
     # -- MERGE (SQL:2003 F312) ----------------------------------------------
@@ -654,6 +668,7 @@ class Engine:
             )
             new = base.unionByName(inserted)
         self.catalog.replace_table(table, new)
+        self._after_dml(table)
         return None
 
     @staticmethod

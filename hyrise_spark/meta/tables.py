@@ -478,6 +478,14 @@ EXEC_FUNCTIONS: dict[tuple[str, str], "callable"] = {
     ("ucc", "discover_uccs"): lambda spark, catalog: __import__(
         "hyrise_spark.ucc", fromlist=["discover_uccs"]
     ).discover_uccs(spark, catalog),
+    # MvccDeletePlugin analog (mvcc_delete_plugin.hpp): manual trigger of
+    # the physical compaction of every table with accumulated DML lineage
+    # (the plugin's background loop is an inline admin function here)
+    ("mvcc", "compact_tables"): lambda spark, catalog: [
+        catalog.compact_table(n)
+        for n in catalog.table_names()
+        if catalog.dml_depth.get(n, 0) > 0
+    ],
 }
 
 

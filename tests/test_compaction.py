@@ -1,0 +1,88 @@
+"""MvccDeletePlugin analog: snapshot-DML lineage compaction.
+
+The reference physically rewrites chunks once invalidated rows accumulate
+(mvcc_delete_plugin.hpp:21-32); here each DML statement deepens the table's
+plan lineage, and crossing COMPACT_THRESHOLD_DML_DEPTH must rewrite the live
+rows to parquet and re-register a flat scan — with byte-identical query
+results before and after, verified against a DuckDB replay of the same
+statements."""
+from __future__ import annotations
+
+import duckdb
+
+from hyrise_spark.catalog import COMPACT_THRESHOLD_DML_DEPTH
+from hyrise_spark.engine import Engine
+
+
+def _seed(spark):
+    eng = Engine(spark)
+    eng.execute(
+        "CREATE TABLE ct AS SELECT CAST(id AS INT) AS id, "
+        "CAST(id * 3 % 17 AS INT) AS v FROM RANGE(60)"
+    )
+    duck = duckdb.connect()
+    duck.execute(
+        "CREATE TABLE ct AS SELECT CAST(r AS INT) AS id, "
+        "CAST(r * 3 % 17 AS INT) AS v FROM range(60) t(r)"
+    )
+    return eng, duck
+
+
+def test_auto_compaction_triggers_and_preserves_state(spark):
+    eng, duck = _seed(spark)
+    stmts = []
+    for i in range(COMPACT_THRESHOLD_DML_DEPTH + 3):
+        stmts.append(f"UPDATE ct SET v = v + 1 WHERE id % 7 = {i % 7}")
+        stmts.append(f"DELETE FROM ct WHERE id = {i * 2}")
+        stmts.append(f"INSERT INTO ct VALUES ({1000 + i}, {i})")
+    for s in stmts:
+        eng.execute(s)
+        duck.execute(s)
+    # the chain crossed the threshold (3 statements per loop) -> compacted
+    # at least once, so the current depth is strictly below the threshold
+    assert eng.catalog.dml_depth["ct"] < COMPACT_THRESHOLD_DML_DEPTH
+    # the base is now the compacted PARQUET scan (the seed CTAS was a
+    # LocalRelation — "parquet" in the plan proves the rewrite happened),
+    # and only the post-compaction statements' layers sit on top of it
+    plan = eng.catalog.get_table("ct")._jdf.queryExecution().optimizedPlan().toString()
+    assert "parquet" in plan
+    assert plan.count("CASE WHEN") < COMPACT_THRESHOLD_DML_DEPTH
+    got = sorted((r.id, r.v) for r in eng.execute("SELECT * FROM ct").collect())
+    want = sorted(duck.execute("SELECT * FROM ct").fetchall())
+    assert got == want
+    eng.execute("DROP TABLE ct")
+    duck.close()
+
+
+def test_manual_compaction_via_meta_exec(spark):
+    eng, duck = _seed(spark)
+    eng.execute("UPDATE ct SET v = 0 WHERE id < 5")
+    assert eng.catalog.dml_depth["ct"] == 1
+    eng.execute("INSERT INTO meta_exec VALUES ('mvcc', 'compact_tables')")
+    assert eng.catalog.dml_depth["ct"] == 0
+    duck.execute("UPDATE ct SET v = 0 WHERE id < 5")
+    got = sorted((r.id, r.v) for r in eng.execute("SELECT * FROM ct").collect())
+    assert got == sorted(duck.execute("SELECT * FROM ct").fetchall())
+    eng.execute("DROP TABLE ct")
+    duck.close()
+
+
+def test_compaction_listed_in_meta_exec(spark):
+    eng = Engine(spark)
+    rows = eng.execute("SELECT * FROM meta_exec").collect()
+    assert ("mvcc", "compact_tables") in {tuple(r) for r in rows}
+
+
+def test_views_survive_compaction(spark):
+    """A SQL view over a compacted table must re-resolve against the
+    compacted state (lqp_view re-instantiation parity)."""
+    eng, duck = _seed(spark)
+    eng.execute("CREATE VIEW ct_sum AS SELECT CAST(SUM(v) AS BIGINT) AS s FROM ct")
+    for i in range(COMPACT_THRESHOLD_DML_DEPTH + 1):
+        eng.execute(f"UPDATE ct SET v = v + 1 WHERE id = {i}")
+        duck.execute(f"UPDATE ct SET v = v + 1 WHERE id = {i}")
+    want = duck.execute("SELECT SUM(v) FROM ct").fetchone()[0]
+    assert eng.execute("SELECT s FROM ct_sum").collect()[0].s == want
+    eng.execute("DROP VIEW ct_sum")
+    eng.execute("DROP TABLE ct")
+    duck.close()
