@@ -591,3 +591,70 @@ def skyline_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "cents", "p_size")
         .orderBy("cents", "p_size", "p_partkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew profile — the diagnostics companion to the salted join
+# (operators/joins.py::salted_join) and AQE's skew handling: before shuffling
+# 100 TB on a key, profile its heavy hitters. Output: the top-K keys with
+# their share in basis points, the fair share (10000 / n_keys), and a skew
+# flag at share > 4x fair. All integer division — exact in both engines.
+
+_SKEW_TOPK = 10
+_SKEW_FACTOR = 4
+
+
+@register(
+    "aggregate_key_skew_profile",
+    oracle=f"""
+    WITH c AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY user_id
+    ),
+    t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(cnt) AS BIGINT) AS total
+      FROM c
+    ),
+    top AS (
+      SELECT user_id, cnt FROM c ORDER BY cnt DESC, user_id LIMIT {_SKEW_TOPK}
+    )
+    SELECT top.user_id, top.cnt,
+           CAST(10000 * top.cnt // t.total AS BIGINT) AS share_bp,
+           CAST(10000 // t.n_keys AS BIGINT) AS fair_share_bp,
+           CAST(10000 * top.cnt // t.total
+                > {_SKEW_FACTOR} * (10000 // t.n_keys) AS BOOLEAN) AS skew_flag
+    FROM top CROSS JOIN t
+    ORDER BY top.cnt DESC, top.user_id
+    """,
+    tags=("aggregate", "skew", "diagnostics"),
+)
+def aggregate_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter profile of the events join key: top-{_SKEW_TOPK} keys,
+    basis-point shares vs the fair share, and a >4x-fair skew flag.
+
+    Scale: one partial-agg groupBy on the key (the same shuffle the join
+    itself would do, but carrying only counts), TakeOrderedAndProject for
+    the head, and a single-row totals frame cross-joined in (scalar
+    aggregate — bounded). The profile's cost is a strict lower bound on
+    the join it de-risks."""
+    (events,) = _t(spark, sf_dir, "events")
+    c = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    t = c.agg(
+        F.count(F.lit(1)).alias("n_keys"), F.sum("cnt").alias("total")
+    )
+    top = c.orderBy(F.col("cnt").desc(), "user_id").limit(_SKEW_TOPK)
+    return (
+        top.crossJoin(F.broadcast(t))  # 1-row scalar-aggregate frame
+        .select(
+            "user_id",
+            "cnt",
+            F.expr("CAST(10000 * cnt div total AS BIGINT)").alias("share_bp"),
+            F.expr("CAST(10000 div n_keys AS BIGINT)").alias("fair_share_bp"),
+            F.expr(
+                f"CAST(10000 * cnt div total > {_SKEW_FACTOR} * (10000 div n_keys) "
+                "AS BOOLEAN)"
+            ).alias("skew_flag"),
+        )
+        .orderBy(F.col("cnt").desc(), "user_id")
+    )
