@@ -197,11 +197,14 @@ class Catalog:
         FileScan instead of the accumulated DML lineage). Distributed write —
         no driver-side collect; at warehouse scale this is the same rewrite
         a table format's compaction job performs."""
-        import tempfile
-
         df = self._tables[name]
         if self._compact_dir is None:
-            self._compact_dir = tempfile.mkdtemp(prefix="hs_compact_")
+            # rewrite under the session's warehouse dir (repo-local) — the
+            # place a real deployment's compaction job writes, too
+            wh = self.spark.conf.get(
+                "spark.sql.warehouse.dir", "spark-warehouse"
+            ).removeprefix("file:")
+            self._compact_dir = os.path.join(wh, "__compact")
         self._compact_version += 1
         path = os.path.join(self._compact_dir, f"{name}_v{self._compact_version}")
         df.write.mode("overwrite").parquet(path)
