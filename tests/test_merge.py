@@ -160,3 +160,48 @@ def test_merge_rejects_unregistered_target(engines):
     with pytest.raises(ValueError, match="not registered"):
         eng.execute("MERGE INTO nope USING ups u ON nope.id = u.id "
                     "WHEN MATCHED THEN DELETE")
+
+
+# -- deterministic MERGE fuzzing ------------------------------------------
+# Random-but-seeded upsert shapes: the engine's MERGE vs the equivalent
+# UPDATE ... FROM + INSERT ... SELECT built from the SAME random parts.
+
+_SET_POOL = [
+    "a = mt.a + u.delta",
+    "a = u.delta",
+    "b = mt.b - u.delta + 1",
+    "a = mt.b + u.delta, b = mt.a",  # simultaneous: RHS reads OLD row
+]
+_GUARD_POOL = [None, "u.delta % 2 = 0", "u.delta > 50", "mt.b < 40"]
+
+
+def _duck_set(sets: str) -> str:
+    return sets  # assignments reference mt./u. explicitly — shared verbatim
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_merge_fuzz_matches_duckdb(engines, seed):
+    import random
+
+    rng = random.Random(7000 + seed)
+    eng, duck = engines
+    sets = rng.choice(_SET_POOL)
+    guard = rng.choice(_GUARD_POOL)
+    do_insert = rng.random() < 0.7
+    cond = "mt.id = u.id"
+    g = f" AND {guard}" if guard else ""
+    merge = f"MERGE INTO mt USING ups u ON {cond} WHEN MATCHED"
+    if guard:
+        merge += f" AND {guard}"
+    merge += f" THEN UPDATE SET {sets}"
+    duck_seq = [f"UPDATE mt SET {_duck_set(sets)} FROM ups u WHERE {cond}{g}"]
+    if do_insert:
+        merge += " WHEN NOT MATCHED THEN INSERT (id, a) VALUES (u.id, u.delta)"
+        duck_seq.append(
+            "INSERT INTO mt SELECT u.id, u.delta, NULL FROM ups u "
+            "WHERE NOT EXISTS (SELECT 1 FROM mt WHERE mt.id = u.id)"
+        )
+    eng.execute(merge)
+    for s in duck_seq:
+        duck.execute(s)
+    _final_state(eng, duck, f"fuzz seed={seed}: {merge}")
