@@ -110,6 +110,12 @@ _UPDATE_RE = re.compile(
     r"^\s*UPDATE\s+(?P<table>\w+)\s+SET\s+(?P<rest>.+)$",
     re.I | re.S,
 )
+_TRUNCATE_RE = re.compile(
+    r"^\s*TRUNCATE\s+(?:TABLE\s+)?(?P<table>\w+)\s*$", re.I
+)
+_ALTER_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<table>\w+)\s+(?P<action>.+)$", re.I | re.S
+)
 _MERGE_RE = re.compile(
     r"^\s*MERGE\s+INTO\s+(?P<table>\w+)"
     r"(?:\s+(?:AS\s+)?(?!USING\b)(?P<talias>\w+))?"
@@ -345,6 +351,12 @@ class Engine:
         m = _MERGE_RE.match(stmt)
         if m:
             return self._merge(m["table"], m["talias"], m["rest"])
+        m = _TRUNCATE_RE.match(stmt)
+        if m:
+            return self._delete(m["table"], None)
+        m = _ALTER_RE.match(stmt)
+        if m:
+            return self._alter(m["table"], m["action"])
         m = _DELETE_RE.match(stmt)
         if m:
             return self._delete(m["table"], m["cond"], args=args)
@@ -471,6 +483,64 @@ class Engine:
         self.catalog.replace_table(table, updated)
         self._after_dml(table)
         return None
+
+    # -- ALTER TABLE (beyond the reference, whose dialect has no ALTER —
+    # sql_translator.cpp handles no hsql::kStmtAlter; standard warehouse
+    # schema evolution a switching user expects). Snapshot semantics like
+    # the other DDL: the altered schema applies from this statement on.
+    def _alter(self, table: str, action: str):
+        import pyspark.sql.functions as F
+
+        if not self.catalog.has_table(table):
+            raise ValueError(f"ALTER TABLE target {table!r} is not registered")
+        cur = self.catalog.get_table(table)
+        action = action.strip()
+        type_map = {"VARCHAR": "STRING", "TEXT": "STRING", "INTEGER": "INT"}
+        m = re.match(
+            r"^ADD\s+COLUMN\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<col>\w+)\s+"
+            r"(?P<typ>\w+(?:\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)"
+            r"(?:\s+DEFAULT\s+(?P<dflt>.+?))?\s*$",
+            action,
+            re.I | re.S,
+        )
+        if m:
+            col = m["col"]
+            if col in cur.columns:
+                if re.search(r"IF\s+NOT\s+EXISTS", action, re.I):
+                    return None
+                raise ValueError(f"column {col!r} already exists in {table}")
+            typ = type_map.get(m["typ"].upper(), m["typ"])
+            expr = f"CAST({m['dflt'] if m['dflt'] else 'NULL'} AS {typ})"
+            self.catalog.replace_table(table, cur.withColumn(col, F.expr(expr)))
+            return None
+        m = re.match(
+            r"^DROP\s+COLUMN\s+(?:IF\s+EXISTS\s+)?(?P<col>\w+)\s*$", action, re.I
+        )
+        if m:
+            if m["col"] not in cur.columns:
+                if re.search(r"IF\s+EXISTS", action, re.I):
+                    return None
+                raise ValueError(f"column {m['col']!r} not in {table}")
+            self.catalog.replace_table(table, cur.drop(m["col"]))
+            return None
+        m = re.match(
+            r"^RENAME\s+COLUMN\s+(?P<old>\w+)\s+TO\s+(?P<new>\w+)\s*$", action, re.I
+        )
+        if m:
+            if m["old"] not in cur.columns:
+                raise ValueError(f"column {m['old']!r} not in {table}")
+            self.catalog.replace_table(
+                table, cur.withColumnRenamed(m["old"], m["new"])
+            )
+            return None
+        m = re.match(r"^RENAME\s+TO\s+(?P<new>\w+)\s*$", action, re.I)
+        if m:
+            if self.catalog.has_table(m["new"]) or self.catalog.has_view(m["new"]):
+                raise ValueError(f"table/view {m['new']!r} already exists")
+            self.catalog.drop_table(table)
+            self.catalog.add_table(m["new"], cur)
+            return None
+        raise ValueError(f"ALTER TABLE: unsupported action {action!r}")
 
     # -- MERGE (SQL:2003 F312) ----------------------------------------------
     # Beyond the reference's dialect (its sql_translator.cpp has no MERGE);

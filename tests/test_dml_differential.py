@@ -212,6 +212,51 @@ _DDL_SEQUENCES = {
         ],
         "SELECT * FROM ddl_s",
     ),
+    # -- round 7: ALTER TABLE / TRUNCATE (beyond the reference's dialect;
+    # statements shared VERBATIM with DuckDB)
+    "alter_add_column_default": (
+        ["ALTER TABLE idt ADD COLUMN extra BIGINT DEFAULT 7"],
+        "SELECT id, a, extra FROM idt",
+    ),
+    "alter_add_column_null_then_update": (
+        [
+            "ALTER TABLE idt ADD COLUMN flag INT",
+            "UPDATE idt SET flag = 1 WHERE a > 50",
+        ],
+        "SELECT id, flag FROM idt",
+    ),
+    "alter_rename_column": (
+        ["ALTER TABLE idt RENAME COLUMN a TO alpha"],
+        "SELECT id, alpha FROM idt WHERE alpha > 50",
+    ),
+    "alter_drop_column": (
+        ["ALTER TABLE idt DROP COLUMN c"],
+        "SELECT * FROM idt",
+    ),
+    "alter_rename_table": (
+        [
+            "DROP TABLE IF EXISTS idt_renamed",
+            "ALTER TABLE idt RENAME TO idt_renamed",
+            "CREATE TABLE idt AS SELECT * FROM idt_renamed",  # restore for teardown
+        ],
+        "SELECT * FROM idt_renamed",
+    ),
+    "truncate_then_insert": (
+        [
+            "TRUNCATE idt",
+            "INSERT INTO idt VALUES (1, 2, 3, 4)",
+        ],
+        "SELECT * FROM idt",
+    ),
+    "alter_chain_mixed_with_dml": (
+        [
+            "ALTER TABLE idt ADD COLUMN s BIGINT DEFAULT 0",
+            "UPDATE idt SET s = a + b",
+            "ALTER TABLE idt DROP COLUMN b",
+            "DELETE FROM idt WHERE s > 120",
+        ],
+        "SELECT * FROM idt",
+    ),
 }
 
 
@@ -227,7 +272,8 @@ def test_ddl_sequence_matches_duckdb(engines, name):
     finally:  # drop created objects so cases stay independent
         for obj, kind in (("cv1", "VIEW"), ("cv2", "VIEW"), ("cv3", "VIEW"),
                           ("av", "VIEW"), ("lv", "VIEW"),
-                          ("ddl_t", "TABLE"), ("ddl_s", "TABLE")):
+                          ("ddl_t", "TABLE"), ("ddl_s", "TABLE"),
+                          ("idt_renamed", "TABLE")):
             for ex in (eng.execute, duck.execute):
                 try:
                     ex(f"DROP {kind} IF EXISTS {obj}")
