@@ -1908,6 +1908,17 @@ CORPUS.update({
     "tbucket_ntile_computed": "SELECT b, CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS b FROM orders WHERE o_orderkey <= 400) GROUP BY b ORDER BY b",
 })
 
+# Round-7 BY-ALL family: GROUP BY ALL / ORDER BY ALL are shared dialect
+# (Spark >= 3.4 / 4.0 and DuckDB both resolve ALL positionally over the
+# non-aggregate select items) — the modern shorthand a switching user types.
+CORPUS.update({
+    "byall_group_simple": "SELECT o_orderpriority, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n FROM orders GROUP BY ALL ORDER BY ALL",
+    "byall_group_expression": "SELECT n_regionkey * 2 AS rk2, CAST(COUNT(*) AS BIGINT) AS n FROM nation GROUP BY ALL ORDER BY ALL",
+    "byall_order_only": "SELECT n_name, n_regionkey FROM nation ORDER BY ALL",
+    "byall_group_with_having": "SELECT l_returnflag, l_linestatus, CAST(SUM(l_quantity) AS BIGINT) AS q FROM lineitem GROUP BY ALL HAVING SUM(l_quantity) > 100 ORDER BY ALL",
+    "byall_join_group": "SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n FROM nation JOIN region ON n_regionkey = r_regionkey GROUP BY ALL ORDER BY ALL",
+})
+
 
 @pytest.mark.parametrize("name", sorted(CORPUS))
 def test_sql_corpus(spark, duck, name):
