@@ -622,9 +622,11 @@ class Engine:
             nxt = self._find_top_level(rest, "WHEN", 4)
             clause, rest = (rest[:nxt], rest[nxt:]) if nxt > 0 else (rest, "")
             clauses.append(clause.strip())
-        upd_sets = upd_guard = del_guard = ins_vals = None
+        ins_vals = None
         ins_cols: list[str] | None = None
-        have_delete = False
+        # ordered WHEN MATCHED clauses, first-match-wins (ANSI evaluation
+        # order): (kind, guard, set-assignments-text)
+        matched: list[tuple[str, str | None, str | None]] = []
         for cl in clauses:
             body = cl[4:].lstrip()  # strip WHEN
             ti = self._find_top_level(body, "THEN")
@@ -659,16 +661,18 @@ class Engine:
                 )
                 ins_vals = self._split_assignments(im["vals"])
             elif re.match(r"^UPDATE\s+SET\s+", action, re.I):
-                if upd_sets is not None or have_delete:
-                    raise ValueError("MERGE: only one WHEN MATCHED clause supported")
-                upd_sets = re.sub(r"^UPDATE\s+SET\s+", "", action, count=1, flags=re.I)
-                upd_guard = guard
+                sets = re.sub(r"^UPDATE\s+SET\s+", "", action, count=1, flags=re.I)
+                matched.append(("update", guard, sets))
             elif re.fullmatch(r"DELETE", action, re.I):
-                if upd_sets is not None or have_delete:
-                    raise ValueError("MERGE: only one WHEN MATCHED clause supported")
-                have_delete, del_guard = True, guard
+                matched.append(("delete", guard, None))
             else:
                 raise ValueError(f"MERGE: unsupported WHEN action: {action!r}")
+        for i, (_, guard, _) in enumerate(matched[:-1]):
+            if guard is None:
+                raise ValueError(
+                    "MERGE: an unguarded WHEN MATCHED clause makes later "
+                    "matched clauses unreachable"
+                )
 
         cur = self.catalog.get_table(table)
         talias = talias or table
@@ -676,44 +680,70 @@ class Engine:
         cur.createOrReplaceTempView("__hs_merge_t")
         t_ref = f"__hs_merge_t AS {talias}"
         s_ref = f"{src} AS {salias}"
-        if upd_sets is not None:
-            mcond = f"({cond}) AND ({upd_guard})" if upd_guard else cond
-            # ANSI cardinality rule: a target row updated by two different
+        if matched:
+            # first-match-wins: clause i applies iff its guard holds and no
+            # earlier clause's guard holds (3VL: NULL guard -> not applied)
+            gparts = [
+                f"COALESCE(({g}), FALSE)" if g else "TRUE" for (_, g, _) in matched
+            ]
+            apps = [
+                "(" + " AND ".join([gparts[i]] + [f"NOT {p}" for p in gparts[:i]]) + ")"
+                for i in range(len(matched))
+            ]
+            # join only the (target, source) pairs where SOME clause applies —
+            # a pair failing every guard must neither update nor duplicate
+            tcond = f"({cond}) AND (" + " OR ".join(gparts) + ")"
+            # ANSI cardinality rule: a target row touched by two different
             # source rows is an error, not last-wins (eager check — the one
             # place MERGE materializes counts before committing the plan)
             pairs = self.spark.sql(
-                f"SELECT COUNT(*) AS n FROM {t_ref} JOIN {s_ref} ON {mcond}"
+                f"SELECT COUNT(*) AS n FROM {t_ref} JOIN {s_ref} ON {tcond}"
             ).first()["n"]
             hit = self.spark.sql(
-                f"SELECT COUNT(*) AS n FROM {t_ref} LEFT SEMI JOIN {s_ref} ON {mcond}"
+                f"SELECT COUNT(*) AS n FROM {t_ref} LEFT SEMI JOIN {s_ref} ON {tcond}"
             ).first()["n"]
             if pairs > hit:
                 raise ValueError(
                     "MERGE: a target row matches more than one source row"
                 )
-            assignments: dict[str, str] = {}
-            for part in self._split_assignments(upd_sets):
-                col, expr = part.split("=", 1)
-                assignments[col.strip()] = expr.strip()
-            unknown = [c for c in assignments if c not in cur.columns]
-            if unknown:
-                raise ValueError(f"MERGE: SET column(s) {unknown} not in {table}")
-            # CASE keeps 3VL like _update: a NULL match marker -> old value
-            sel = ", ".join(
-                f"CASE WHEN __hs_m THEN ({assignments[c]}) ELSE {talias}.{c} END AS {c}"
-                if c in assignments
-                else f"{talias}.{c} AS {c}"
-                for c in cur.columns
-            )
+            asg: list[dict[str, str]] = []
+            for kind, _, sets in matched:
+                d: dict[str, str] = {}
+                if kind == "update":
+                    for part in self._split_assignments(sets):
+                        col, expr = part.split("=", 1)
+                        d[col.strip()] = expr.strip()
+                    unknown = [c for c in d if c not in cur.columns]
+                    if unknown:
+                        raise ValueError(
+                            f"MERGE: SET column(s) {unknown} not in {table}"
+                        )
+                asg.append(d)
+            del_terms = [
+                f"(__hs_m AND {apps[i]})"
+                for i, (kind, _, _) in enumerate(matched)
+                if kind == "delete"
+            ]
+            del_pred = " OR ".join(del_terms) if del_terms else "FALSE"
+            # CASE chain keeps 3VL like _update: no applicable clause (or a
+            # NULL match marker) -> old value
+            sel_parts = []
+            for c in cur.columns:
+                whens = [
+                    f"WHEN __hs_m AND {apps[i]} THEN ({asg[i][c]})"
+                    for i, (kind, _, _) in enumerate(matched)
+                    if kind == "update" and c in asg[i]
+                ]
+                sel_parts.append(
+                    f"CASE {' '.join(whens)} ELSE {talias}.{c} END AS {c}"
+                    if whens
+                    else f"{talias}.{c} AS {c}"
+                )
+            sel = ", ".join(sel_parts)
             base = self.spark.sql(
                 f"SELECT {sel} FROM {t_ref} LEFT JOIN "
                 f"(SELECT {salias}.*, TRUE AS __hs_m FROM {s_ref}) AS {salias} "
-                f"ON {mcond}"
-            )
-        elif have_delete:
-            mcond = f"({cond}) AND ({del_guard})" if del_guard else cond
-            base = self.spark.sql(
-                f"SELECT {talias}.* FROM {t_ref} LEFT ANTI JOIN {s_ref} ON {mcond}"
+                f"ON {tcond} WHERE NOT COALESCE({del_pred}, FALSE)"
             )
         else:
             base = cur

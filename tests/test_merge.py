@@ -32,6 +32,48 @@ _DUCK_SEED = [
 
 # (merge statement for the engine, equivalent DuckDB statement sequence)
 _CASES = {
+    # multiple WHEN MATCHED clauses, first-match-wins (ANSI order)
+    "delete_then_update_chain": (
+        "MERGE INTO mt t USING ups u ON t.id = u.id "
+        "WHEN MATCHED AND u.delta > 100 THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET a = u.delta "
+        "WHEN NOT MATCHED THEN INSERT (id, a) VALUES (u.id, u.delta)",
+        [
+            # MERGE's NOT MATCHED tests against the PRE-merge target; a
+            # naive DELETE-then-INSERT-NOT-EXISTS would re-insert the rows
+            # the same statement just deleted, so snapshot the keys first
+            "CREATE TEMP TABLE premt AS SELECT id FROM mt",
+            "DELETE FROM mt WHERE EXISTS (SELECT 1 FROM ups u "
+            "WHERE mt.id = u.id AND u.delta > 100)",
+            "UPDATE mt SET a = u.delta FROM ups u "
+            "WHERE mt.id = u.id AND NOT u.delta > 100",
+            "INSERT INTO mt SELECT u.id, u.delta, NULL FROM ups u "
+            "WHERE NOT EXISTS (SELECT 1 FROM premt WHERE premt.id = u.id)",
+            "DROP TABLE premt",
+        ],
+    ),
+    "update_then_delete_chain": (
+        "MERGE INTO mt t USING ups u ON t.id = u.id "
+        "WHEN MATCHED AND u.delta < 50 THEN UPDATE SET b = 0 "
+        "WHEN MATCHED THEN DELETE",
+        [
+            "UPDATE mt SET b = 0 FROM ups u "
+            "WHERE mt.id = u.id AND u.delta < 50",
+            "DELETE FROM mt WHERE EXISTS (SELECT 1 FROM ups u "
+            "WHERE mt.id = u.id AND NOT u.delta < 50)",
+        ],
+    ),
+    "two_guarded_updates": (
+        "MERGE INTO mt t USING ups u ON t.id = u.id "
+        "WHEN MATCHED AND u.delta % 2 = 0 THEN UPDATE SET a = 1 "
+        "WHEN MATCHED AND u.delta % 3 = 0 THEN UPDATE SET a = 2, b = 5",
+        [
+            "UPDATE mt SET a = 1 FROM ups u "
+            "WHERE mt.id = u.id AND u.delta % 2 = 0",
+            "UPDATE mt SET a = 2, b = 5 FROM ups u "
+            "WHERE mt.id = u.id AND u.delta % 3 = 0 AND NOT u.delta % 2 = 0",
+        ],
+    ),
     "upsert": (
         "MERGE INTO mt USING ups u ON mt.id = u.id "
         "WHEN MATCHED THEN UPDATE SET a = mt.a + u.delta "
@@ -205,3 +247,27 @@ def test_merge_fuzz_matches_duckdb(engines, seed):
     for s in duck_seq:
         duck.execute(s)
     _final_state(eng, duck, f"fuzz seed={seed}: {merge}")
+
+
+def test_merge_unguarded_clause_shadowing_raises(engines):
+    eng, _ = engines
+    with pytest.raises(ValueError, match="unreachable"):
+        eng.execute(
+            "MERGE INTO mt t USING ups u ON t.id = u.id "
+            "WHEN MATCHED THEN UPDATE SET a = 0 "
+            "WHEN MATCHED AND u.delta > 5 THEN DELETE"
+        )
+
+
+def test_merge_pair_failing_all_guards_does_not_duplicate(engines):
+    """A (target, source) pair where every guard fails must leave the row
+    untouched and UNDUPLICATED (the join is on cond AND any-guard)."""
+    eng, duck = engines
+    n_before = eng.execute("SELECT COUNT(*) AS n FROM mt").collect()[0].n
+    eng.execute(
+        "MERGE INTO mt t USING ups u ON t.id = u.id "
+        "WHEN MATCHED AND u.delta > 100000 THEN UPDATE SET a = 0"
+    )
+    n_after = eng.execute("SELECT COUNT(*) AS n FROM mt").collect()[0].n
+    assert n_after == n_before
+    _final_state(eng, duck, "noop-guards")
