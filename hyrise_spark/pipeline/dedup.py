@@ -1126,3 +1126,78 @@ def dedup_overlap_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("d1", "d2")
     )
+
+
+# ---------------------------------------------------------------------------
+# In-row LSH band keys + band-key Bloom filter — the STREAMING near-dup
+# machinery. `band_keys_inrow` reproduces minhash_signatures' exact
+# permutation math through higher-order functions so the whole signature is
+# one narrow map over the token array (no explode, no groupBy): the
+# documented 1.3x-slower HOF shape is precisely what a stateless streaming
+# gate needs. A previous crawl's band keys collapse into a <= 4032-bit
+# Bloom set (same shape as the fingerprint Bloom above), and an incoming
+# doc is a near-dup SUSPECT when ANY of its band keys is probably-seen.
+
+_LSHB_SALT = "lshb"
+
+
+def band_keys_inrow() -> Column:
+    """array<string> of `_BANDS` LSH band keys from the in-row token array
+    `w`; bit-identical to grouping minhash_signatures' output into bands
+    (pinned by test). Docs with no 3-shingle yield an empty array."""
+    shs = F.array_distinct(_shingle_array(3))
+    hs = F.transform(
+        shs, lambda sh: F.conv(F.substring(F.md5(sh), 1, 15), 16, 10).cast("long")
+    )
+    mins = [
+        F.array_min(
+            F.transform(
+                hs,
+                lambda h: (
+                    F.lit(_mh_a1(i)) * F.shiftright(h, 30)
+                    + F.lit(_mh_a2(i)) * h.bitwiseAND(F.lit(_MH_HALF_MASK))
+                    + F.lit(i)
+                )
+                % F.lit(_MH_P),
+            )
+        )
+        for i in range(_K)
+    ]
+    sig = F.array(*mins)
+    keys = [
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.slice(sig, b * _ROWS_PER_BAND + 1, _ROWS_PER_BAND),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            )
+        )
+        for b in range(_BANDS)
+    ]
+    return F.when(F.size(shs) > 0, F.array(*keys)).otherwise(
+        F.expr("CAST(array() AS ARRAY<STRING>)")
+    )
+
+
+def _lshb_bit(key: Column, i: int) -> Column:
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(f"{_LSHB_SALT}{i}:"), key)), 1, 8), 16, 10)
+        .cast("long") % (_XB_WORDS * 63)
+    )
+
+
+def lsh_band_bloom_positions(docs: DataFrame) -> list[int]:
+    """Distinct Bloom bit positions of a corpus's LSH band keys — the
+    constant-size (<= 4032) filter artifact a streaming gate broadcasts.
+    The ONE collect here is the documented bounded-artifact pattern (same
+    contract as bloom_gated_stream's prev_bits)."""
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("w")
+    )
+    keys = toks.select(F.explode(band_keys_inrow()).alias("k"))
+    bits = keys.select(
+        F.explode(F.array(*[_lshb_bit(F.col("k"), i) for i in range(_XB_HASHES)])).alias("bit")
+    ).distinct()
+    return [int(r.bit) for r in bits.collect()]

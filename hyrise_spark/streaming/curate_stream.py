@@ -174,3 +174,33 @@ def bloom_gated_stream(docs: DataFrame, prev_bits: list) -> DataFrame:
     return docs.filter(~F.coalesce(seen_all, F.lit(False))).select(
         "doc_id", "source"
     )
+
+
+def lsh_gated_stream(docs: DataFrame, prev_bits: list) -> DataFrame:
+    """Near-dup dedup as a streaming gate: `prev_bits` is the previous
+    crawl's LSH band-key Bloom bitset (constant-size, <= 4032 positions —
+    `dedup.lsh_band_bloom_positions`, collected ONCE at stream setup). An
+    incoming doc is DROPPED when ANY of its band keys is probably-seen
+    (all k bits set) — MinHash-level NEAR duplicates, not just exact
+    fingerprints, with Bloom's one-sided error (false drops possible at
+    the filter's FP rate, never false keeps of a banded near-dup).
+    Stateless narrow map: the whole signature + band + membership check is
+    higher-order functions over the in-row token array — no explode, no
+    join, no state store. The incremental near-dedup shape at 100 TB."""
+    from hyrise_spark.pipeline.dedup import _XB_HASHES, _lshb_bit, band_keys_inrow
+
+    positions = [int(b) for b in prev_bits]
+    toks = docs.withColumn(
+        "w", F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    )
+
+    def key_seen(k):
+        seen = _lshb_bit(k, 0).isin(positions)
+        for i in range(1, _XB_HASHES):
+            seen = seen & _lshb_bit(k, i).isin(positions)
+        return seen
+
+    suspect = F.exists(band_keys_inrow(), key_seen)
+    return toks.filter(~F.coalesce(suspect, F.lit(False))).select(
+        "doc_id", "source"
+    )

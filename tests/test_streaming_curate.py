@@ -259,3 +259,102 @@ def test_bloom_gated_stream_matches_batch(spark, docs_dir):
     want = {r.doc_id for r in b.select("doc_id").collect()} - flagged
     assert got == want
     assert 0 < len(got)  # gate keeps genuinely-new docs on this corpus
+
+
+def test_band_keys_inrow_match_grouped_minhash(spark, docs_dir):
+    """The HOF in-row band keys must be BIT-IDENTICAL to grouping
+    minhash_signatures' output into bands — same permutations, same
+    band-key md5s."""
+    import pyspark.sql.functions as F
+
+    from hyrise_spark.pipeline.dedup import (
+        _BANDS,
+        _ROWS_PER_BAND,
+        band_keys_inrow,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet(docs_dir)
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("w")
+    )
+    got = {
+        r.doc_id: r.keys
+        for r in toks.select("doc_id", band_keys_inrow().alias("keys")).collect()
+        if r.keys
+    }
+    sig = minhash_signatures(toks)
+    grouped = sig.select(
+        "doc_id",
+        F.array(
+            *[
+                F.md5(
+                    F.array_join(
+                        F.transform(
+                            F.slice("sig", b * _ROWS_PER_BAND + 1, _ROWS_PER_BAND),
+                            lambda x: x.cast("string"),
+                        ),
+                        ",",
+                    )
+                )
+                for b in range(_BANDS)
+            ]
+        ).alias("keys"),
+    )
+    want = {r.doc_id: r.keys for r in grouped.collect()}
+    assert got == want
+
+
+def test_lsh_gated_stream_drops_near_dups(spark, docs_dir, tmp_path):
+    """Self-index sanity + parity: gating a stream against an index built
+    from THE SAME corpus drops every doc with a 3-shingle (its own band
+    keys are in the filter); gating against the even-doc index keeps
+    exactly the odd docs whose every band key misses the filter."""
+    import pyspark.sql.functions as F
+
+    from hyrise_spark.pipeline.dedup import (
+        _XB_HASHES,
+        _lshb_bit,
+        band_keys_inrow,
+        lsh_band_bloom_positions,
+    )
+    from hyrise_spark.streaming.curate_stream import lsh_gated_stream
+
+    docs = spark.read.parquet(docs_dir)
+    # self-index: everything banded is a suspect
+    self_bits = lsh_band_bloom_positions(docs)
+    stream = lsh_gated_stream(read_documents_stream(spark, docs_dir), self_bits)
+    run_to_completion(stream, "lsh_gate_self", output_mode="append")
+    survivors = {r.doc_id for r in spark.table("lsh_gate_self").collect()}
+    banded = {
+        r.doc_id
+        for r in docs.select(
+            "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("w")
+        )
+        .filter(F.size(band_keys_inrow()) > 0)
+        .collect()
+    }
+    assert survivors.isdisjoint(banded)
+
+    # cross-index parity vs a batch computation of the same predicate
+    even_bits = set(lsh_band_bloom_positions(docs.filter(F.col("doc_id") % 2 == 0)))
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+    stream = lsh_gated_stream(
+        read_documents_stream(spark, docs_dir).filter(F.col("doc_id") % 2 == 1),
+        sorted(even_bits),
+    )
+    run_to_completion(stream, "lsh_gate_cross", output_mode="append")
+    got = {r.doc_id for r in spark.table("lsh_gate_cross").collect()}
+    toks = odd.select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("w")
+    )
+    keyed = toks.select("doc_id", F.explode(band_keys_inrow()).alias("k")).select(
+        "doc_id",
+        *[_lshb_bit(F.col("k"), i).alias(f"b{i}") for i in range(_XB_HASHES)],
+    ).collect()
+    suspect = set()
+    for r in keyed:
+        if all(getattr(r, f"b{i}") in even_bits for i in range(_XB_HASHES)):
+            suspect.add(r.doc_id)
+    want = {r.doc_id for r in odd.select("doc_id").collect()} - suspect
+    assert got == want
