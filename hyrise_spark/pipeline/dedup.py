@@ -1201,3 +1201,88 @@ def lsh_band_bloom_positions(docs: DataFrame) -> list[int]:
         F.explode(F.array(*[_lshb_bit(F.col("k"), i) for i in range(_XB_HASHES)])).alias("bit")
     ).distinct()
     return [int(r.bit) for r in bits.collect()]
+
+
+# ---------------------------------------------------------------------------
+# Cross-corpus banded near-dup scan — the BATCH sibling of lsh_gated_stream:
+# flag new-crawl (odd doc_id) documents that share ANY LSH band key with the
+# previous crawl (even doc_id). Exact band-key semi-join here (the batch can
+# afford the key table; the stream trades it for the Bloom bitset's
+# one-sided error). Same signature math as dedup_minhash_lsh.
+
+
+@register(
+    "dedup_lsh_crosscorpus",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+      FROM documents
+    ), shingles AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS sh
+      FROM toks, LATERAL (SELECT UNNEST(generate_series(1, len(w) - 2)) AS i)
+    ), hashed AS (
+      SELECT doc_id,
+             {_md5_int_sql("sh")} >> 30 AS hi,
+             {_md5_int_sql("sh")} & {_MH_HALF_MASK} AS lo
+      FROM shingles
+    ), sig AS (
+      SELECT doc_id, h.i AS i,
+             MIN(((1000003 * h.i + 12345) * hi + (999983 * h.i + 67891) * lo + h.i)
+                 % {_MH_P}) AS mh
+      FROM hashed, LATERAL (SELECT UNNEST(generate_series(0, {_K - 1})) AS i) h
+      GROUP BY doc_id, h.i
+    ), bands AS (
+      SELECT doc_id, i // {_ROWS_PER_BAND} AS band,
+             md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS band_key
+      FROM sig GROUP BY doc_id, i // {_ROWS_PER_BAND}
+    ), prev AS (
+      SELECT DISTINCT band, band_key FROM bands WHERE doc_id % 2 = 0
+    ), flagged AS (
+      SELECT DISTINCT b.doc_id
+      FROM bands b JOIN prev p ON p.band = b.band AND p.band_key = b.band_key
+      WHERE b.doc_id % 2 = 1
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_near_dup
+    FROM documents d LEFT JOIN flagged f ON f.doc_id = d.doc_id
+    WHERE d.doc_id % 2 = 1
+    GROUP BY d.source ORDER BY d.source
+    """,
+    tags=("dedup", "minhash", "crosscorpus"),
+)
+def dedup_lsh_crosscorpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source counts of new-crawl docs sharing >= 1 LSH band with the
+    previous crawl. Scale: the previous crawl collapses to its DISTINCT
+    (band, band_key) table before the join (band-count x corpus rows, each
+    tiny); flagging is a semi-join on the band key — bucket-bounded fan-out,
+    never all-pairs. The streaming sibling (lsh_gated_stream) ships the
+    same keys as a Bloom bitset instead of a join side."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", "source", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("w")
+    )
+    keyed = toks.select(
+        "doc_id", "source", F.posexplode(band_keys_inrow()).alias("band", "band_key")
+    )
+    prev = (
+        keyed.filter(F.col("doc_id") % 2 == 0).select("band", "band_key").distinct()
+    )
+    flagged = (
+        keyed.filter(F.col("doc_id") % 2 == 1)
+        .join(prev, ["band", "band_key"], "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    new = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "source")
+    return (
+        new.join(flagged, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_near_dup"),
+        )
+        .orderBy("source")
+    )
