@@ -140,16 +140,35 @@ class Catalog:
         self.dml_depth: dict[str, int] = {}
         self._compact_dir: str | None = None
         self._compact_version = 0
+        # MVCC-visibility analog: bounded ring of past snapshots per table
+        # (mvcc_data.hpp keeps begin/end commit-ids so old transactions see
+        # old row versions; here each committed write appends the PREVIOUS
+        # DataFrame — a lazy plan, no materialization — queryable via
+        # `<table> VERSION AS OF <n>`). Version 0 = state at (re)creation.
+        self.history: dict[str, list[DataFrame]] = {}
+        self.history_base: dict[str, int] = {}  # version number of history[0]
 
     # -- tables ------------------------------------------------------------
+    _HISTORY_CAP = 8  # snapshots kept per table (lazy plans, not data)
+
     def add_table(self, name: str, df: DataFrame) -> None:
         if name in self._tables:
             raise ValueError(f"table {name!r} already exists")
         self._tables[name] = df
+        self.history[name] = [df]
+        self.history_base[name] = 0
         df.createOrReplaceTempView(name)
 
     def replace_table(self, name: str, df: DataFrame) -> None:
         self._tables[name] = df
+        hist = self.history.setdefault(name, [])
+        if name not in self.history_base:
+            self.history_base[name] = 0
+        hist.append(df)
+        overflow = len(hist) - self._HISTORY_CAP
+        if overflow > 0:
+            del hist[:overflow]
+            self.history_base[name] += overflow
         df.createOrReplaceTempView(name)
         self.validated_uccs = {
             (t, c) for (t, c) in self.validated_uccs if t != name.lower()
@@ -174,11 +193,36 @@ class Catalog:
             except Exception:  # noqa: BLE001 — dangling view, surfaced on use
                 pass
 
+    def current_version(self, name: str) -> int:
+        return self.history_base.get(name, 0) + len(self.history.get(name, [1])) - 1
+
+    def get_version(self, name: str, version: int) -> DataFrame:
+        """Snapshot of `name` as of write-version `version` (0 = creation).
+        Raises if the version is newer than the table or already evicted
+        from the bounded history ring."""
+        if name not in self._tables:
+            raise KeyError(f"table {name!r} does not exist")
+        base = self.history_base.get(name, 0)
+        hist = self.history.get(name, [])
+        if version > base + len(hist) - 1:
+            raise ValueError(
+                f"table {name!r} has no version {version} yet "
+                f"(current is {base + len(hist) - 1})"
+            )
+        if version < base:
+            raise ValueError(
+                f"version {version} of {name!r} was evicted from the "
+                f"history ring (oldest kept: {base})"
+            )
+        return hist[version - base]
+
     def drop_table(self, name: str) -> None:
         if name not in self._tables:
             raise KeyError(f"table {name!r} does not exist")
         del self._tables[name]
         self.dml_depth.pop(name, None)
+        self.history.pop(name, None)
+        self.history_base.pop(name, None)
         self.validated_uccs = {
             (t, c) for (t, c) in self.validated_uccs if t != name.lower()
         }
@@ -211,6 +255,11 @@ class Catalog:
         self._tables[name] = self.spark.read.parquet(path)
         self._tables[name].createOrReplaceTempView(name)
         self.dml_depth[name] = 0
+        # same logical state, flat plan: current version now reads the
+        # compacted file (older versions keep their lazy pre-compaction plans)
+        hist = self.history.get(name)
+        if hist:
+            hist[-1] = self._tables[name]
 
     def get_table(self, name: str) -> DataFrame:
         return self._tables[name]

@@ -110,6 +110,17 @@ _UPDATE_RE = re.compile(
     r"^\s*UPDATE\s+(?P<table>\w+)\s+SET\s+(?P<rest>.+)$",
     re.I | re.S,
 )
+# Time travel (MVCC-visibility analog, mvcc_data.hpp: begin/end commit-ids
+# let old transactions read old row versions; here any table reference may
+# pin a past write-version): `<table> VERSION AS OF <n>`. Resolved by view
+# substitution BEFORE routing, so it works inside any SELECT/MERGE/CTE.
+_VERSION_RE = re.compile(
+    r"\b(?P<t>\w+)\s+VERSION\s+AS\s+OF\s+(?P<v>\d+)"
+    r"(?:\s+(?:AS\s+)?(?P<a>(?!WHERE\b|JOIN\b|ON\b|GROUP\b|ORDER\b|LEFT\b"
+    r"|RIGHT\b|INNER\b|FULL\b|CROSS\b|LIMIT\b|HAVING\b|UNION\b|EXCEPT\b"
+    r"|INTERSECT\b|WHEN\b|USING\b|SET\b|VALUES\b)\w+))?",
+    re.I,
+)
 _TRUNCATE_RE = re.compile(
     r"^\s*TRUNCATE\s+(?:TABLE\s+)?(?P<table>\w+)\s*$", re.I
 )
@@ -210,6 +221,8 @@ class Engine:
         return [p.strip() for p in parts if p.strip()]
 
     def _execute_one(self, stmt: str, args) -> DataFrame | None:
+        if re.search(r"\bVERSION\s+AS\s+OF\b", stmt, re.I):
+            stmt = self._resolve_versions(stmt)
         if _TXN_RE.match(stmt):
             # BEGIN/COMMIT are routed in the reference (sql_translator.cpp:
             # 377-380); this engine is single-statement autocommit (SURVEY.md
@@ -483,6 +496,22 @@ class Engine:
         self.catalog.replace_table(table, updated)
         self._after_dml(table)
         return None
+
+    # -- time travel (`<table> VERSION AS OF <n>`, mvcc_data.hpp analog) ----
+    def _resolve_versions(self, stmt: str) -> str:
+        """Substitute every `<table> VERSION AS OF <n>` with a registered
+        snapshot view (aliased back to the table name, or to the user's
+        alias if one follows), so versioned reads work anywhere a table
+        reference can appear."""
+
+        def sub(m: "re.Match[str]") -> str:
+            t, v = m["t"], int(m["v"])
+            df = self.catalog.get_version(t, v)
+            view = f"__hs_v_{t}_{v}"
+            df.createOrReplaceTempView(view)
+            return f"{view} AS {m['a'] or t}"
+
+        return _VERSION_RE.sub(sub, stmt)
 
     # -- ALTER TABLE (beyond the reference, whose dialect has no ALTER —
     # sql_translator.cpp handles no hsql::kStmtAlter; standard warehouse

@@ -1,0 +1,79 @@
+"""Time travel — `<table> VERSION AS OF <n>` (the queryable analog of the
+reference's MVCC visibility, mvcc_data.hpp: begin/end commit-ids let old
+transactions read old row versions). Version n = table state after n
+committed writes; history is a bounded ring of lazy snapshots."""
+from __future__ import annotations
+
+import pytest
+
+from hyrise_spark.catalog import COMPACT_THRESHOLD_DML_DEPTH
+from hyrise_spark.engine import Engine
+
+
+@pytest.fixture()
+def eng(spark):
+    e = Engine(spark)
+    e.execute("CREATE TABLE tt AS SELECT CAST(id AS INT) AS id, "
+              "CAST(id * 10 AS INT) AS v FROM RANGE(5)")
+    yield e
+    e.execute("DROP TABLE tt")
+
+
+def test_version_as_of_reads_past_states(eng):
+    eng.execute("UPDATE tt SET v = v + 1")           # v1
+    eng.execute("DELETE FROM tt WHERE id >= 3")      # v2
+    eng.execute("INSERT INTO tt VALUES (9, 99)")     # v3
+    assert eng.execute(
+        "SELECT CAST(SUM(v) AS BIGINT) AS s FROM tt VERSION AS OF 0"
+    ).collect()[0].s == 100
+    assert eng.execute(
+        "SELECT CAST(SUM(v) AS BIGINT) AS s FROM tt VERSION AS OF 1"
+    ).collect()[0].s == 105
+    assert eng.execute(
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tt VERSION AS OF 2"
+    ).collect()[0].n == 3
+    assert eng.execute(
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tt"
+    ).collect()[0].n == 4
+
+
+def test_version_diff_join_audit(eng):
+    """The audit query time travel exists for: diff two versions of the
+    same table in ONE statement."""
+    eng.execute("UPDATE tt SET v = v * 2 WHERE id < 2")
+    rows = eng.execute(
+        "SELECT old.id, old.v AS v_old, new.v AS v_new "
+        "FROM tt VERSION AS OF 0 old "
+        "JOIN tt VERSION AS OF 1 AS new ON old.id = new.id "
+        "WHERE old.v <> new.v ORDER BY old.id"
+    ).collect()
+    assert [(r.id, r.v_old, r.v_new) for r in rows] == [(0, 0, 0), (1, 10, 20)][1:]
+
+
+def test_future_and_evicted_versions_raise(eng):
+    with pytest.raises(ValueError, match="no version 5"):
+        eng.execute("SELECT * FROM tt VERSION AS OF 5")
+    for i in range(12):  # overflow the 8-slot ring
+        eng.execute(f"UPDATE tt SET v = v + {i} WHERE id = 0")
+    with pytest.raises(ValueError, match="evicted"):
+        eng.execute("SELECT * FROM tt VERSION AS OF 0")
+    # the newest ring entries still resolve
+    assert eng.execute("SELECT COUNT(*) AS n FROM tt VERSION AS OF 12").collect()[0].n == 5
+
+
+def test_versions_survive_compaction(eng):
+    """Compaction flattens the CURRENT version's plan; past versions keep
+    reading their pre-compaction snapshots."""
+    for i in range(COMPACT_THRESHOLD_DML_DEPTH):
+        eng.execute(f"UPDATE tt SET v = v + 1 WHERE id = {i % 5}")
+    assert eng.catalog.dml_depth["tt"] == 0  # compacted
+    cur = eng.catalog.current_version("tt")
+    s_now = eng.execute("SELECT CAST(SUM(v) AS BIGINT) AS s FROM tt").collect()[0].s
+    s_ver = eng.execute(
+        f"SELECT CAST(SUM(v) AS BIGINT) AS s FROM tt VERSION AS OF {cur}"
+    ).collect()[0].s
+    assert s_now == s_ver
+    s_prev = eng.execute(
+        f"SELECT CAST(SUM(v) AS BIGINT) AS s FROM tt VERSION AS OF {cur - 1}"
+    ).collect()[0].s
+    assert s_prev == s_now - 1
