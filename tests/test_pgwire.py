@@ -626,3 +626,21 @@ def test_psql_merge_upsert_roundtrip(server):
     assert [ln.split("|") for ln in lines] == [["1", "10"], ["2", "200"], ["3", "300"]]
     out = _psql(server, "DROP TABLE pg_mg; DROP TABLE pg_mg_src; SELECT 1 AS ok")
     assert out.returncode == 0, out.stderr
+
+
+@pytest.mark.skipif(PSQL is None, reason="psql not installed")
+def test_psql_time_travel_roundtrip(server):
+    """VERSION AS OF resolves over the wire: psql reads a past snapshot."""
+    out = _psql(
+        server,
+        "CREATE TABLE pg_tt (id INT, v INT); "
+        "INSERT INTO pg_tt VALUES (1, 10); "
+        "UPDATE pg_tt SET v = 99; "
+        "SELECT v FROM pg_tt VERSION AS OF 1",
+    )
+    assert out.returncode == 0, out.stderr
+    assert out.stdout.strip().splitlines()[-1] == "10"
+    out = _psql(server, "SELECT v FROM pg_tt")
+    assert out.stdout.strip().splitlines()[-1] == "99"
+    out = _psql(server, "DROP TABLE pg_tt; SELECT 1 AS ok")
+    assert out.returncode == 0, out.stderr
