@@ -554,8 +554,34 @@ def meta_uccs(spark: SparkSession, catalog) -> DataFrame:
     return spark.createDataFrame(sorted(catalog.validated_uccs), schema)
 
 
+def meta_versions(spark: SparkSession, catalog) -> DataFrame:
+    """Per-table snapshot-versioning state (round-7 MVCC analog): current
+    write-version, oldest version still retained in the bounded history
+    ring (readable via `VERSION AS OF`), and the DML-chain depth since the
+    last compaction."""
+    schema = StructType(
+        [
+            StructField("table_name", StringType()),
+            StructField("current_version", LongType()),
+            StructField("oldest_retained", LongType()),
+            StructField("dml_depth", LongType()),
+        ]
+    )
+    rows = [
+        (
+            n,
+            catalog.current_version(n),
+            catalog.history_base.get(n, 0),
+            catalog.dml_depth.get(n, 0),
+        )
+        for n in catalog.table_names()
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
 META_TABLES = {
     "meta_tables": meta_tables,
+    "meta_versions": meta_versions,
     "meta_columns": meta_columns,
     "meta_partitions": meta_partitions,
     "meta_settings": meta_settings,

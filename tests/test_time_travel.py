@@ -77,3 +77,12 @@ def test_versions_survive_compaction(eng):
         f"SELECT CAST(SUM(v) AS BIGINT) AS s FROM tt VERSION AS OF {cur - 1}"
     ).collect()[0].s
     assert s_prev == s_now - 1
+
+
+def test_meta_versions_reflects_history(eng):
+    eng.execute("UPDATE tt SET v = v + 1")
+    rows = {r.table_name: r for r in eng.execute(
+        "SELECT * FROM meta_versions").collect()}
+    assert rows["tt"].current_version == 1
+    assert rows["tt"].oldest_retained == 0
+    assert rows["tt"].dml_depth == 1
