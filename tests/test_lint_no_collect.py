@@ -5,9 +5,13 @@ intermediate on the driver, which breaks at cluster scale (reference parity:
 hyrise operators never materialize through the client either). The
 sanctioned exceptions are single-bounded-row trainer-loop reads: the
 connected-components fixpoint in dedup.py (one aggregate scalar per
-iteration, convergence test) and the BPE merge argmax in text.py (one
+iteration, convergence test), the BPE merge argmax in text.py (one
 limit(1) row per merge — the chosen pair must become a literal in the
-next rewrite expression, an inherently driver-side decision).
+next rewrite expression, an inherently driver-side decision), and
+lsh_band_bloom_positions (NOT a registered builder: a stream-setup
+helper that collects the <= 4032 distinct Bloom bit positions — the
+bounded filter artifact a gate broadcasts, same contract as
+bloom_gated_stream's prev_bits).
 """
 from __future__ import annotations
 
@@ -18,7 +22,7 @@ PKG = Path(__file__).resolve().parent.parent / "hyrise_spark"
 
 # file -> substrings of lines allowed to contain ".collect("
 ALLOWED = {
-    "pipeline/dedup.py": ['F.sum("label")'],
+    "pipeline/dedup.py": ['F.sum("label")', "int(r.bit) for r in bits.collect()"],
     "pipeline/text.py": [".limit(1)"],
 }
 

@@ -120,7 +120,20 @@ def _pipeline_builders():
         # corpus keeps fixed — only the word-count scan scales
         return qs["text_bpe_pairs"].builder(spark, d)
 
+    def prefix_overlap(spark, d):
+        # round-7 shape: cached sorted-shingle index + array-carry prefix
+        # join. Rarest-first prefix keys keep join groups small; the index
+        # build (2 shuffles) is paid once per run via the cache
+        return qs["dedup_overlap_prefix_filter"].builder(spark, d)
+
+    def lsh_cross(spark, d):
+        # previous crawl collapses to its distinct band-key table before the
+        # semi-join — candidate fan-out is band-bucket bounded
+        return qs["dedup_lsh_crosscorpus"].builder(spark, d)
+
     return {"dedup_exact": exact, "minhash_signatures": minhash_sig,
+            "dedup_overlap_prefix_filter": prefix_overlap,
+            "dedup_lsh_crosscorpus": lsh_cross,
             "text_token_stats": token_stats, "dedup_paragraph": paragraph,
             "text_quality_classifier": quality,
             "dedup_substring_coverage": substring,
