@@ -86,3 +86,26 @@ def test_meta_versions_reflects_history(eng):
     assert rows["tt"].current_version == 1
     assert rows["tt"].oldest_retained == 0
     assert rows["tt"].dml_depth == 1
+
+
+def test_point_in_time_restore_via_merge(eng):
+    """The composition time travel exists for: restore a table to a past
+    version with one MERGE against its own snapshot."""
+    eng.execute("UPDATE tt SET v = -1")                 # v1: corruption
+    eng.execute("DELETE FROM tt WHERE id >= 3")         # v2: more damage
+    eng.execute(
+        "MERGE INTO tt USING tt VERSION AS OF 0 AS old ON tt.id = old.id "
+        "WHEN MATCHED THEN UPDATE SET v = old.v "
+        "WHEN NOT MATCHED THEN INSERT (id, v) VALUES (old.id, old.v)"
+    )
+    rows = sorted((r.id, r.v) for r in eng.execute("SELECT * FROM tt").collect())
+    assert rows == [(i, i * 10) for i in range(5)]
+
+
+def test_version_ref_inside_dml_subquery(eng):
+    eng.execute("UPDATE tt SET v = 0 WHERE id < 2")     # v1
+    eng.execute(
+        "DELETE FROM tt WHERE id IN "
+        "(SELECT id FROM tt VERSION AS OF 0 WHERE v >= 30)"
+    )
+    assert {r.id for r in eng.execute("SELECT * FROM tt").collect()} == {0, 1, 2}
