@@ -1919,6 +1919,21 @@ CORPUS.update({
     "byall_join_group": "SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n FROM nation JOIN region ON n_regionkey = r_regionkey GROUP BY ALL ORDER BY ALL",
 })
 
+# Round-7 shared scalar-function family over real columns: split_part,
+# pad/repeat/reverse/left/right, greatest/least, nullif, position, translate
+# — verbatim-identical semantics verified on literals first, pinned here on
+# table data (the functions a switching user's ETL expressions lean on).
+CORPUS.update({
+    "strfn_split_part": "SELECT n_name, split_part(n_name, '_', 2) AS num FROM nation ORDER BY n_name",
+    "strfn_pad": "SELECT n_nationkey, lpad(CAST(n_nationkey AS VARCHAR(8)), 4, '0') AS padded, rpad(n_name, 12, '.') AS dotted FROM nation ORDER BY n_nationkey",
+    "strfn_repeat_reverse": "SELECT r_name, repeat(left(r_name, 2), 2) AS rep, reverse(r_name) AS rev FROM region ORDER BY r_name",
+    "strfn_left_right_group": "SELECT left(p_type, 6) AS fam, CAST(COUNT(*) AS BIGINT) AS n FROM part GROUP BY fam ORDER BY fam",
+    "strfn_greatest_least": "SELECT o_orderkey, greatest(CAST(FLOOR(o_totalprice) AS BIGINT), o_orderkey * 100) AS g, least(CAST(FLOOR(o_totalprice) AS BIGINT), o_orderkey * 100) AS l FROM orders WHERE o_orderkey <= 50 ORDER BY o_orderkey",
+    "strfn_nullif_coalesce": "SELECT n_nationkey, coalesce(nullif(n_regionkey, 0), -1) AS r FROM nation ORDER BY n_nationkey",
+    "strfn_position": "SELECT n_name, position('_' IN n_name) AS us FROM nation ORDER BY n_name",
+    "strfn_translate": "SELECT r_name, translate(r_name, 'AE', 'ae') AS t FROM region ORDER BY r_name",
+})
+
 
 @pytest.mark.parametrize("name", sorted(CORPUS))
 def test_sql_corpus(spark, duck, name):
