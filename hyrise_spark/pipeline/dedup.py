@@ -1258,14 +1258,38 @@ def dedup_lsh_crosscorpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     (band, band_key) table before the join (band-count x corpus rows, each
     tiny); flagging is a semi-join on the band key — bucket-bounded fan-out,
     never all-pairs. The streaming sibling (lsh_gated_stream) ships the
-    same keys as a Bloom bitset instead of a join side."""
+    same keys as a Bloom bitset instead of a join side.
+
+    Plan shape: the BATCH path uses the explode + groupBy signature build
+    (minhash_signatures) — measured 45 s -> ~2 s at sf0.1 vs the in-row HOF
+    form, whose giant lambda expression tree is evaluated interpreted (no
+    whole-stage codegen for higher-order functions, so no common-
+    subexpression reuse across the 4 band keys). The HOF form stays the
+    STREAMING gate's shape, where statelessness is worth that price on
+    micro-batch volumes (band_keys_inrow docstring)."""
     docs = _docs(spark, sf_dir)
     toks = docs.select(
-        "doc_id", "source", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("w")
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("w")
     )
-    keyed = toks.select(
-        "doc_id", "source", F.posexplode(band_keys_inrow()).alias("band", "band_key")
-    )
+    sig = minhash_signatures(toks)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.slice("sig", b * _ROWS_PER_BAND + 1, _ROWS_PER_BAND),
+                        lambda x: x.cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("band_key"),
+        )
+        for b in range(_BANDS)
+    ]
+    keyed = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
     prev = (
         keyed.filter(F.col("doc_id") % 2 == 0).select("band", "band_key").distinct()
     )
