@@ -1130,7 +1130,7 @@ def dedup_overlap_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # In-row LSH band keys + band-key Bloom filter — the STREAMING near-dup
-# machinery. `band_keys_inrow` reproduces minhash_signatures' exact
+# machinery. `with_band_keys` reproduces minhash_signatures' exact
 # permutation math through higher-order functions so the whole signature is
 # one narrow map over the token array (no explode, no groupBy): the
 # documented 1.3x-slower HOF shape is precisely what a stateless streaming
@@ -1141,34 +1141,48 @@ def dedup_overlap_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LSHB_SALT = "lshb"
 
 
-def band_keys_inrow() -> Column:
-    """array<string> of `_BANDS` LSH band keys from the in-row token array
-    `w`; bit-identical to grouping minhash_signatures' output into bands
-    (pinned by test). Docs with no 3-shingle yield an empty array."""
-    shs = F.array_distinct(_shingle_array(3))
-    hs = F.transform(
-        shs, lambda sh: F.conv(F.substring(F.md5(sh), 1, 15), 16, 10).cast("long")
-    )
-    mins = [
-        F.array_min(
-            F.transform(
-                hs,
-                lambda h: (
-                    F.lit(_mh_a1(i)) * F.shiftright(h, 30)
-                    + F.lit(_mh_a2(i)) * h.bitwiseAND(F.lit(_MH_HALF_MASK))
-                    + F.lit(i)
+def with_band_keys(df: DataFrame, out: str = "band_keys") -> DataFrame:
+    """Adds `out`: array<string> of `_BANDS` LSH band keys from the in-row
+    token array `w`; bit-identical to grouping minhash_signatures' output
+    into bands (pinned by test). Docs with no 3-shingle get an empty array.
+
+    STAGED through intermediate columns on purpose: higher-order functions
+    run interpreted (no whole-stage codegen, no common-subexpression
+    elimination), so a single nested expression re-evaluates the K-min
+    signature inside every band key — measured 41 s vs 2 s over sf0.1.
+    CollapseProject keeps expensive multiply-referenced aliases staged, so
+    each level here evaluates once per row."""
+    hs_c, sig_c = f"__{out}_hs", f"__{out}_sig"
+    staged = df.withColumn(
+        hs_c,
+        F.transform(
+            F.array_distinct(_shingle_array(3)),
+            lambda sh: F.conv(F.substring(F.md5(sh), 1, 15), 16, 10).cast("long"),
+        ),
+    ).withColumn(
+        sig_c,
+        F.array(
+            *[
+                F.array_min(
+                    F.transform(
+                        hs_c,
+                        lambda h: (
+                            F.lit(_mh_a1(i)) * F.shiftright(h, 30)
+                            + F.lit(_mh_a2(i)) * h.bitwiseAND(F.lit(_MH_HALF_MASK))
+                            + F.lit(i)
+                        )
+                        % F.lit(_MH_P),
+                    )
                 )
-                % F.lit(_MH_P),
-            )
-        )
-        for i in range(_K)
-    ]
-    sig = F.array(*mins)
+                for i in range(_K)
+            ]
+        ),
+    )
     keys = [
         F.md5(
             F.array_join(
                 F.transform(
-                    F.slice(sig, b * _ROWS_PER_BAND + 1, _ROWS_PER_BAND),
+                    F.slice(sig_c, b * _ROWS_PER_BAND + 1, _ROWS_PER_BAND),
                     lambda x: x.cast("string"),
                 ),
                 ",",
@@ -1176,9 +1190,12 @@ def band_keys_inrow() -> Column:
         )
         for b in range(_BANDS)
     ]
-    return F.when(F.size(shs) > 0, F.array(*keys)).otherwise(
-        F.expr("CAST(array() AS ARRAY<STRING>)")
-    )
+    return staged.withColumn(
+        out,
+        F.when(F.size(hs_c) > 0, F.array(*keys)).otherwise(
+            F.expr("CAST(array() AS ARRAY<STRING>)")
+        ),
+    ).drop(hs_c, sig_c)
 
 
 def _lshb_bit(key: Column, i: int) -> Column:
@@ -1196,7 +1213,7 @@ def lsh_band_bloom_positions(docs: DataFrame) -> list[int]:
     toks = docs.select(
         "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("w")
     )
-    keys = toks.select(F.explode(band_keys_inrow()).alias("k"))
+    keys = with_band_keys(toks).select(F.explode("band_keys").alias("k"))
     bits = keys.select(
         F.explode(F.array(*[_lshb_bit(F.col("k"), i) for i in range(_XB_HASHES)])).alias("bit")
     ).distinct()
@@ -1266,7 +1283,7 @@ def dedup_lsh_crosscorpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-stage codegen for higher-order functions, so no common-
     subexpression reuse across the 4 band keys). The HOF form stays the
     STREAMING gate's shape, where statelessness is worth that price on
-    micro-batch volumes (band_keys_inrow docstring)."""
+    micro-batch volumes (with_band_keys docstring)."""
     docs = _docs(spark, sf_dir)
     toks = docs.select(
         "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("w")

@@ -187,11 +187,11 @@ def lsh_gated_stream(docs: DataFrame, prev_bits: list) -> DataFrame:
     Stateless narrow map: the whole signature + band + membership check is
     higher-order functions over the in-row token array — no explode, no
     join, no state store. The incremental near-dedup shape at 100 TB."""
-    from hyrise_spark.pipeline.dedup import _XB_HASHES, _lshb_bit, band_keys_inrow
+    from hyrise_spark.pipeline.dedup import _XB_HASHES, _lshb_bit, with_band_keys
 
     positions = [int(b) for b in prev_bits]
-    toks = docs.withColumn(
-        "w", F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    toks = with_band_keys(
+        docs.withColumn("w", F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
     )
 
     def key_seen(k):
@@ -200,7 +200,7 @@ def lsh_gated_stream(docs: DataFrame, prev_bits: list) -> DataFrame:
             seen = seen & _lshb_bit(k, i).isin(positions)
         return seen
 
-    suspect = F.exists(band_keys_inrow(), key_seen)
+    suspect = F.exists(F.col("band_keys"), key_seen)
     return toks.filter(~F.coalesce(suspect, F.lit(False))).select(
         "doc_id", "source"
     )

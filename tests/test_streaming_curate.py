@@ -261,7 +261,7 @@ def test_bloom_gated_stream_matches_batch(spark, docs_dir):
     assert 0 < len(got)  # gate keeps genuinely-new docs on this corpus
 
 
-def test_band_keys_inrow_match_grouped_minhash(spark, docs_dir):
+def test_with_band_keys_matches_grouped_minhash(spark, docs_dir):
     """The HOF in-row band keys must be BIT-IDENTICAL to grouping
     minhash_signatures' output into bands — same permutations, same
     band-key md5s."""
@@ -270,8 +270,8 @@ def test_band_keys_inrow_match_grouped_minhash(spark, docs_dir):
     from hyrise_spark.pipeline.dedup import (
         _BANDS,
         _ROWS_PER_BAND,
-        band_keys_inrow,
         minhash_signatures,
+        with_band_keys,
     )
 
     docs = spark.read.parquet(docs_dir)
@@ -280,7 +280,7 @@ def test_band_keys_inrow_match_grouped_minhash(spark, docs_dir):
     )
     got = {
         r.doc_id: r.keys
-        for r in toks.select("doc_id", band_keys_inrow().alias("keys")).collect()
+        for r in with_band_keys(toks).select("doc_id", F.col("band_keys").alias("keys")).collect()
         if r.keys
     }
     sig = minhash_signatures(toks)
@@ -315,8 +315,8 @@ def test_lsh_gated_stream_drops_near_dups(spark, docs_dir, tmp_path):
     from hyrise_spark.pipeline.dedup import (
         _XB_HASHES,
         _lshb_bit,
-        band_keys_inrow,
         lsh_band_bloom_positions,
+        with_band_keys,
     )
     from hyrise_spark.streaming.curate_stream import lsh_gated_stream
 
@@ -328,10 +328,10 @@ def test_lsh_gated_stream_drops_near_dups(spark, docs_dir, tmp_path):
     survivors = {r.doc_id for r in spark.table("lsh_gate_self").collect()}
     banded = {
         r.doc_id
-        for r in docs.select(
+        for r in with_band_keys(docs.select(
             "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("w")
-        )
-        .filter(F.size(band_keys_inrow()) > 0)
+        ))
+        .filter(F.size("band_keys") > 0)
         .collect()
     }
     assert survivors.isdisjoint(banded)
@@ -348,7 +348,7 @@ def test_lsh_gated_stream_drops_near_dups(spark, docs_dir, tmp_path):
     toks = odd.select(
         "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("w")
     )
-    keyed = toks.select("doc_id", F.explode(band_keys_inrow()).alias("k")).select(
+    keyed = with_band_keys(toks).select("doc_id", F.explode("band_keys").alias("k")).select(
         "doc_id",
         *[_lshb_bit(F.col("k"), i).alias(f"b{i}") for i in range(_XB_HASHES)],
     ).collect()
