@@ -865,9 +865,13 @@ def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user max funnel level reached inside a {_WF_WINDOW} window.
 
     Scale: every join is keyed on user_id with a range predicate on top —
-    fan-out bounded by per-user event counts, never cross-user; the level
-    chain is three semi-join-shaped DISTINCT frames (one row per user)
-    assembled with left joins. No windows, no all-pairs."""
+    never cross-user. The (view x click) pairs collapse to the EARLIEST
+    qualifying click per view before the purchase step (if any chain
+    exists through some click c, it also exists through the earliest
+    click c' <= c — the purchase deadline is anchored at the VIEW), so
+    no intermediate ever exceeds one row per view event; the purchase
+    step is a LEFT SEMI join (no row multiplication). No windows, no
+    all-pairs."""
     (events,) = _t(spark, sf_dir, "events")
 
     def step(t: str) -> DataFrame:
@@ -883,7 +887,8 @@ def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("c_ts") > F.col("v_ts"))
             & (F.col("c_ts") <= win),
         )
-        .select("user_id", "v_ts", "c_ts")
+        .groupBy("user_id", "v_ts")
+        .agg(F.min("c_ts").alias("c_ts"))
     )
     l2 = vc.select("user_id").distinct().withColumn("at2", F.lit(1))
     l3 = (
@@ -892,6 +897,7 @@ def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("user_id") == F.col("pu"))
             & (F.col("p_ts") > F.col("c_ts"))
             & (F.col("p_ts") <= win),
+            "left_semi",
         )
         .select("user_id")
         .distinct()
