@@ -1076,10 +1076,28 @@ def dedup_overlap_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     is computed per candidate ROW, so only (d1, d2, overlap) ints reach
     the post-filter distinct — the arrays never shuffle past the join.
     Measured 5.1 s -> 3.6 s at sf0.1 (the residual is fixed multi-stage
-    latency, not data volume)."""
-    toks = _docs(spark, sf_dir).select(
-        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("w")
+    latency, not data volume).
+
+    PIPELINE-ORDERING CONTRACT (measured, tools/scale_probe.py): prefix
+    filtering assumes EXACT dedup ran first. On a duplicate-heavy corpus
+    (the probe's 30x exact-copy scale-up) the TRUE pair set itself grows
+    quadratically in copy-group size — every pair of copies is a real
+    near-dup pair — so any lossless method is super-linear there
+    (measured exponent 1.70). Collapsing exact copies first (dedup_exact's
+    fingerprint, the standard production ordering) restores the input to
+    canonical documents and the measured exponent to sublinear; the probe
+    gates the collapsed shape."""
+    return prefix_overlap_pairs(
+        _docs(spark, sf_dir).select(
+            "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("w")
+        )
     )
+
+
+def prefix_overlap_pairs(toks: DataFrame) -> DataFrame:
+    """AllPairs/PPJoin >= `_OV_T` overlap pairs from (doc_id, w) rows —
+    the registered query's core, shared with the scale probe's
+    exact-dedup-then-prefix composition."""
     # Per-doc distinct shingles need NO shuffle: each document is one input
     # row, so `array_distinct` inside the row replaces the exploded
     # `.distinct()` (which shuffled the whole shingle table by (doc_id, s)).

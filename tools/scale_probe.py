@@ -121,10 +121,29 @@ def _pipeline_builders():
         return qs["text_bpe_pairs"].builder(spark, d)
 
     def prefix_overlap(spark, d):
-        # round-7 shape: cached sorted-shingle index + array-carry prefix
-        # join. Rarest-first prefix keys keep join groups small; the index
-        # build (2 shuffles) is paid once per run via the cache
-        return qs["dedup_overlap_prefix_filter"].builder(spark, d)
+        # the DEPLOYMENT shape: exact-dedup collapse FIRST (one canonical
+        # per fingerprint), then the prefix-filtered overlap join on
+        # canonicals. Probing the raw query on this corpus is measuring
+        # quadratic TRUE output (every exact-copy pair is a near-dup pair):
+        # exponent 1.70 measured and recorded in SCALE.md §10 — the
+        # pipeline-ordering contract in the query docstring is the fix.
+        from hyrise_spark.pipeline.dedup import (
+            _normalize_spark,
+            prefix_overlap_pairs,
+        )
+
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        canon = (
+            docs.select("doc_id", "text", F.md5(_normalize_spark()).alias("fp"))
+            .groupBy("fp")
+            .agg(F.min_by(F.struct("doc_id", "text"), "doc_id").alias("c"))
+            .select(F.col("c.doc_id").alias("doc_id"), F.col("c.text").alias("text"))
+        )
+        return prefix_overlap_pairs(
+            canon.select(
+                "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("w")
+            )
+        )
 
     def lsh_cross(spark, d):
         # previous crawl collapses to its distinct band-key table before the
