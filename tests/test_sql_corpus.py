@@ -1934,6 +1934,15 @@ CORPUS.update({
     "strfn_translate": "SELECT r_name, translate(r_name, 'AE', 'ae') AS t FROM region ORDER BY r_name",
 })
 
+# Round-7 WITHIN GROUP ordered-set aggregates — shared dialect; inputs stay
+# on the integer lattice (medians of integers are exact x.0/x.5 doubles) and
+# the mode groups have strict count margins, so results are deterministic.
+CORPUS.update({
+    "wgq_percentile_cont_group": "SELECT l_returnflag, percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS med FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+    "wgq_percentile_disc": "SELECT CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY n_nationkey) AS BIGINT) AS q1 FROM nation",
+    "wgq_mode_within_group": "SELECT l_linestatus, mode() WITHIN GROUP (ORDER BY l_returnflag) AS m FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus",
+})
+
 
 @pytest.mark.parametrize("name", sorted(CORPUS))
 def test_sql_corpus(spark, duck, name):
