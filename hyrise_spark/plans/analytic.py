@@ -658,3 +658,51 @@ def aggregate_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("cnt").desc(), "user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL-standard ordered-set aggregates (SQL:2008 T612): percentile_cont /
+# percentile_disc / mode WITHIN GROUP — beyond the reference's aggregate
+# vocabulary (window_function_expression.hpp:19-33 has min/max/sum/avg/
+# count/stddev only). Inputs stay on the integer lattice (medians of
+# integers are exact .0/.5 doubles; the mode groups have strict count
+# margins), so both engines agree exactly.
+
+
+@register(
+    "aggregate_ordered_set",
+    oracle="""
+    SELECT l_returnflag,
+           percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS median_qty,
+           CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity)
+                AS BIGINT) AS p90_qty,
+           mode() WITHIN GROUP (ORDER BY l_linestatus) AS mode_status,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("aggregate", "ordered-set"),
+)
+def aggregate_ordered_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_cont / percentile_disc / mode per return flag.
+
+    Scale: Spark evaluates percentile_cont/disc as a partial-agg sort-based
+    aggregate per group (no global sort); mode is a two-level count. Group
+    cardinality is 3 — output constant-size."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("__hs_ordered_set_li")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity)
+                 AS median_qty,
+               CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity)
+                    AS BIGINT) AS p90_qty,
+               mode() WITHIN GROUP (ORDER BY l_linestatus) AS mode_status,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM __hs_ordered_set_li
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """
+    )
