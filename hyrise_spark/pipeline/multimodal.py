@@ -251,3 +251,93 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "thumb_w",
         "thumb_h",
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio chunking + energy gate (VAD-style): split each audio payload into
+# fixed-size windows, compute per-chunk byte energy, and flag voiced chunks
+# (mean byte value above a threshold — on the utf-8 stand-in payloads,
+# space-heavy windows genuinely score lower, so the flag separates). A real
+# deployment swaps the energy stub for RMS over PCM samples; the Spark-side
+# contract — binary column in, (media_id, chunk_idx, energy, voiced) rows
+# out of an Arrow-batched iterator, rows-per-media = ceil(n/C) — is real.
+
+_CHUNK_BYTES = 64
+_VOICED_MEAN_X100 = 9458  # corpus median mean-byte x100: the flag splits ~50/50
+
+_CHUNK_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("chunk_idx", IntegerType()),
+        StructField("chunk_len", LongType()),
+        StructField("energy", LongType()),
+    ]
+)
+
+
+def _chunk_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        ids, idxs, lens, energies = [], [], [], []
+        for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+            for i in range(0, len(payload), _CHUNK_BYTES):
+                chunk = payload[i : i + _CHUNK_BYTES]
+                ids.append(mid)
+                idxs.append(i // _CHUNK_BYTES)
+                lens.append(len(chunk))
+                energies.append(sum(chunk))
+        yield pd.DataFrame(
+            {"media_id": ids, "chunk_idx": idxs, "chunk_len": lens,
+             "energy": energies}
+        )
+
+
+def chunk_audio(media: DataFrame) -> DataFrame:
+    """Arrow-batched fixed-window chunking of audio payloads."""
+    return media.mapInPandas(_chunk_batches, schema=_CHUNK_SCHEMA)
+
+
+@register(
+    "multimodal_audio_chunks",
+    oracle=f"""
+    WITH audio AS (
+      SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 1
+    ),
+    chunks AS (
+      SELECT media_id,
+             CAST(g.i AS INT) AS chunk_idx,
+             substr(text, g.i * {_CHUNK_BYTES} + 1, {_CHUNK_BYTES}) AS chunk
+      FROM audio, LATERAL (
+        SELECT UNNEST(generate_series(0,
+          CAST(CEIL(length(text) / {_CHUNK_BYTES}.0) AS INT) - 1)) AS i
+      ) g
+    )
+    SELECT media_id, chunk_idx,
+           CAST(length(chunk) AS BIGINT) AS chunk_len,
+           CAST(list_sum(list_transform(string_split(chunk, ''),
+                ch -> ascii(ch))) AS BIGINT) AS energy,
+           CAST(100 * list_sum(list_transform(string_split(chunk, ''),
+                ch -> ascii(ch))) > {_VOICED_MEAN_X100} * length(chunk)
+                AS BOOLEAN) AS voiced
+    FROM chunks ORDER BY media_id, chunk_idx
+    """,
+    tags=("multimodal", "audio"),
+)
+def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-chunk energy + voiced flag over the audio subset of the media
+    table. Scale: mapInPandas streams Arrow batches (payloads never
+    shuffle); output rows are ceil(n_bytes/{_CHUNK_BYTES}) per media —
+    bounded by payload size. The voiced flag is an integer cross-multiply,
+    exact in both engines."""
+    media = as_media_table(_docs(spark, sf_dir)).filter(
+        F.col("mime_type") == "audio/wav"
+    )
+    chunks = chunk_audio(media.select("media_id", "payload"))
+    return chunks.select(
+        "media_id",
+        "chunk_idx",
+        "chunk_len",
+        "energy",
+        (100 * F.col("energy") > _VOICED_MEAN_X100 * F.col("chunk_len")).alias(
+            "voiced"
+        ),
+    ).orderBy("media_id", "chunk_idx")
