@@ -358,3 +358,28 @@ def test_lsh_gated_stream_drops_near_dups(spark, docs_dir, tmp_path):
             suspect.add(r.doc_id)
     want = {r.doc_id for r in odd.select("doc_id").collect()} - suspect
     assert got == want
+
+
+def test_audio_chunking_streams_with_batch_parity(spark, docs_dir):
+    """mapInPandas chunking runs unchanged on a STREAM (stateless narrow
+    op): streamed chunk rows == batch chunk rows over the same files."""
+    import pyspark.sql.functions as F
+
+    from hyrise_spark.pipeline.multimodal import as_media_table, chunk_audio
+
+    docs = spark.read.parquet(docs_dir)
+    media_cols = lambda d: as_media_table(d).filter(  # noqa: E731
+        F.col("mime_type") == "audio/wav"
+    ).select("media_id", "payload")
+
+    stream = chunk_audio(media_cols(read_documents_stream(spark, docs_dir)))
+    run_to_completion(stream, "audio_chunks_stream", output_mode="append")
+    got = {
+        (r.media_id, r.chunk_idx, r.chunk_len, r.energy)
+        for r in spark.table("audio_chunks_stream").collect()
+    }
+    want = {
+        (r.media_id, r.chunk_idx, r.chunk_len, r.energy)
+        for r in chunk_audio(media_cols(docs)).collect()
+    }
+    assert got == want and len(got) > 0
