@@ -920,3 +920,84 @@ def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Trajectory similarity by grid signature (the ICDE'19 road-network
+# trajectory-join shape, re-expressed for behavior streams): each user's
+# (day, value-band) visit set is a grid signature; similar users share
+# cells, so candidates come from a cell equi-join with a hot-cell df-cap —
+# the same lossless-candidate pattern as the shingle-join dedup, applied to
+# trajectories. Jaccard >= threshold on the capped cell sets.
+
+_TRAJ_VBAND = 5
+_TRAJ_MAX_DF = 10
+_TRAJ_MIN_JACCARD = 0.1
+
+
+@register(
+    "events_trajectory_similarity",
+    oracle=f"""
+    WITH cells AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(FLOOR(value / {_TRAJ_VBAND}) AS INT) AS vbk
+      FROM events
+    ),
+    cold AS (
+      SELECT d, vbk FROM cells GROUP BY d, vbk HAVING COUNT(*) <= {_TRAJ_MAX_DF}
+    ),
+    c2 AS (SELECT c.user_id, c.d, c.vbk FROM cells c JOIN cold USING (d, vbk)),
+    sizes AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM c2 GROUP BY user_id),
+    pairs AS (
+      SELECT a.user_id AS u1, b.user_id AS u2, CAST(COUNT(*) AS BIGINT) AS inter
+      FROM c2 a JOIN c2 b ON a.d = b.d AND a.vbk = b.vbk AND a.user_id < b.user_id
+      GROUP BY a.user_id, b.user_id
+    )
+    SELECT u1, u2, inter,
+           ROUND(CAST(inter AS DOUBLE) / (s1.n + s2.n - inter), 4) AS jaccard
+    FROM pairs JOIN sizes s1 ON u1 = s1.user_id JOIN sizes s2 ON u2 = s2.user_id
+    WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= {_TRAJ_MIN_JACCARD}
+    ORDER BY u1, u2
+    """,
+    tags=("events", "trajectory", "similarity"),
+)
+def events_trajectory_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User pairs whose (day, value-band) trajectory signatures overlap at
+    Jaccard >= {_TRAJ_MIN_JACCARD}.
+
+    Scale: candidates come ONLY from shared grid cells, with cells visited
+    by > {_TRAJ_MAX_DF} users dropped before the self-join (one hot cell
+    otherwise yields df^2 pairs — the same guard as the shingle dedup);
+    signature sets are per-user bounded (days x bands). Never all-pairs."""
+    (events,) = _t(spark, sf_dir, "events")
+    cells = events.select(
+        "user_id",
+        F.date_trunc("day", "ts").cast("date").alias("d"),
+        F.floor(F.col("value") / _TRAJ_VBAND).cast("int").alias("vbk"),
+    ).distinct()
+    cold = (
+        cells.groupBy("d", "vbk")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _TRAJ_MAX_DF)
+        .select("d", "vbk")
+    )
+    c2 = cells.join(cold, ["d", "vbk"], "left_semi")
+    sizes = c2.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    a = c2.select(F.col("user_id").alias("u1"), "d", "vbk")
+    b = c2.select(F.col("user_id").alias("u2"), "d", "vbk")
+    pairs = (
+        a.join(b, ["d", "vbk"])
+        .filter(F.col("u1") < F.col("u2"))
+        .groupBy("u1", "u2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    s1 = sizes.select(F.col("user_id").alias("u1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("user_id").alias("u2"), F.col("n").alias("n2"))
+    jac = F.col("inter").cast("double") / (F.col("n1") + F.col("n2") - F.col("inter"))
+    return (
+        pairs.join(s1, "u1")
+        .join(s2, "u2")
+        .filter(jac >= _TRAJ_MIN_JACCARD)
+        .select("u1", "u2", "inter", F.round(jac, 4).alias("jaccard"))
+        .orderBy("u1", "u2")
+    )
