@@ -163,6 +163,53 @@ def _pipeline_builders():
             "text_bpe_pairs": bpe_pairs}
 
 
+def build_scaled_events(spark, scale: int, out_dir: str) -> None:
+    """--family events: events scaled Nx with event_id shifted but user_id
+    UNCHANGED — per-user event density grows Nx while the user population is
+    fixed. This is the adversarial direction for per-user windows (LAG
+    state), user-keyed range joins (funnel chains), and signature sets
+    (trajectory cells): the per-key work grows with the data."""
+    import pyspark.sql.functions as F
+    from functools import reduce
+
+    out = Path(out_dir)
+    if (out / "_done").exists():
+        return
+    out.mkdir(parents=True, exist_ok=True)
+    ev = spark.read.parquet(f"{BASE_SF}/events.parquet")
+    shift = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    # shift ts by i microseconds so copies stay distinct-ordered per user
+    copies = [
+        ev.withColumn("event_id", F.col("event_id") + F.lit(i * shift))
+        .withColumn("ts", F.expr(f"ts + INTERVAL {i} MICROSECOND"))
+        for i in range(scale)
+    ]
+    reduce(lambda a, b: a.unionByName(b), copies).write.mode("overwrite").parquet(
+        str(out / "events.parquet"))
+    (out / "_done").touch()
+
+
+def _events_builders():
+    from hyrise_spark.registry import all_queries
+
+    qs = all_queries()
+    # expectations: markov/sessionize are per-user-window + partial-agg
+    # (~linear in rows/core at worst); window_funnel collapses view-click
+    # pairs to min-per-view (pair EXPLORATION grows quadratically per user
+    # in the copies but output stays bounded); trajectory's distinct cell
+    # sets DEDUPE the copies (cells are ts-day x value-band — identical
+    # across copies), so it should be near-flat.
+    return {
+        n: qs[n].builder
+        for n in (
+            "events_markov_transitions",
+            "events_sessionize",
+            "events_window_funnel",
+            "events_trajectory_similarity",
+        )
+    }
+
+
 def build_scaled_docs(spark, scale: int, out_dir: str) -> None:
     import pyspark.sql.functions as F
     from functools import reduce
@@ -339,7 +386,7 @@ def main() -> int:
     ap.add_argument("--max-exponent", type=float, default=1.35)
     ap.add_argument("--only", nargs="*", default=None,
                     help="probe only these builder names within the family")
-    ap.add_argument("--family", choices=["relational", "pipeline", "dims", "skew"],
+    ap.add_argument("--family", choices=["relational", "pipeline", "dims", "skew", "events"],
                     default="relational")
     args = ap.parse_args()
 
@@ -360,6 +407,9 @@ def main() -> int:
         names = sorted(builders)
     elif args.family == "skew":
         builders = _skew_builders()
+        names = sorted(builders)
+    elif args.family == "events":
+        builders = _events_builders()
         names = sorted(builders)
     elif args.family == "dims":
         builders = {n: qs[n].builder for n in DIM_QUERIES}
@@ -382,6 +432,8 @@ def main() -> int:
             # pipeline probes only read documents.parquet
         elif args.family == "skew":
             build_scaled_skew(spark, s, d)
+        elif args.family == "events":
+            build_scaled_events(spark, s, d)
         elif args.family == "dims":
             build_scaled_all(spark, s, d)
         else:
