@@ -147,6 +147,10 @@ class Catalog:
         # `<table> VERSION AS OF <n>`). Version 0 = state at (re)creation.
         self.history: dict[str, list[DataFrame]] = {}
         self.history_base: dict[str, int] = {}  # version number of history[0]
+        # per-table compacted-file dirs, oldest first; bounded (see
+        # compact_table) so repeated compaction cannot leak disk — the
+        # physical-delete half of the MvccDeletePlugin analog
+        self.compact_paths: dict[str, list[str]] = {}
 
     # -- tables ------------------------------------------------------------
     _HISTORY_CAP = 8  # snapshots kept per table (lazy plans, not data)
@@ -260,6 +264,18 @@ class Catalog:
         hist = self.history.get(name)
         if hist:
             hist[-1] = self._tables[name]
+        # bound the on-disk compaction trail: keep the last _HISTORY_CAP
+        # files per table. A snapshot still in the version ring can only
+        # reference a compact file at most _HISTORY_CAP writes old (the
+        # ring is shorter than the compaction period), so evicted files are
+        # unreachable — this is the actual physical delete.
+        import shutil
+
+        trail = self.compact_paths.setdefault(name, [])
+        trail.append(path)
+        while len(trail) > self._HISTORY_CAP:
+            old = trail.pop(0)
+            shutil.rmtree(old, ignore_errors=True)
 
     def get_table(self, name: str) -> DataFrame:
         return self._tables[name]

@@ -86,3 +86,26 @@ def test_views_survive_compaction(spark):
     eng.execute("DROP VIEW ct_sum")
     eng.execute("DROP TABLE ct")
     duck.close()
+
+
+def test_compaction_trail_is_bounded_on_disk(spark, monkeypatch):
+    """Repeated compaction must not leak parquet dirs: only the last
+    _HISTORY_CAP compact files per table survive (evicted ones are older
+    than anything the version ring can reference)."""
+    import os
+
+    from hyrise_spark.catalog import Catalog
+
+    monkeypatch.setattr(Catalog, "_HISTORY_CAP", 2)
+    eng = Engine(spark)
+    eng.execute("CREATE TABLE cb AS SELECT CAST(id AS INT) AS id FROM RANGE(10)")
+    for _ in range(4):
+        eng.execute("UPDATE cb SET id = id + 1 WHERE id < 0")  # no-op DML
+        eng.catalog.compact_table("cb")
+    trail = eng.catalog.compact_paths["cb"]
+    assert len(trail) == 2
+    base = os.path.dirname(trail[0])
+    on_disk = [d for d in os.listdir(base) if d.startswith("cb_v")]
+    assert sorted(os.path.join(base, d) for d in on_disk) == sorted(trail)
+    assert eng.execute("SELECT COUNT(*) AS n FROM cb").collect()[0].n == 10
+    eng.execute("DROP TABLE cb")
