@@ -220,6 +220,23 @@ class Catalog:
             )
         return hist[version - base]
 
+    def rename_table(self, name: str, new: str) -> None:
+        """ALTER TABLE ... RENAME TO: re-key ALL per-table state (history,
+        depth, compaction trail). A drop+add would physically delete the
+        compaction files the renamed table's plan still reads."""
+        if name not in self._tables:
+            raise KeyError(f"table {name!r} does not exist")
+        self._tables[new] = self._tables.pop(name)
+        for d in (self.history, self.history_base, self.dml_depth, self.compact_paths):
+            if name in d:
+                d[new] = d.pop(name)
+        self.validated_uccs = {
+            (new.lower() if t == name.lower() else t, c)
+            for (t, c) in self.validated_uccs
+        }
+        self.spark.catalog.dropTempView(name)
+        self._tables[new].createOrReplaceTempView(new)
+
     def drop_table(self, name: str) -> None:
         if name not in self._tables:
             raise KeyError(f"table {name!r} does not exist")
@@ -227,6 +244,11 @@ class Catalog:
         self.dml_depth.pop(name, None)
         self.history.pop(name, None)
         self.history_base.pop(name, None)
+        # physical cleanup of the dropped table's compaction trail
+        import shutil
+
+        for old in self.compact_paths.pop(name, []):
+            shutil.rmtree(old, ignore_errors=True)
         self.validated_uccs = {
             (t, c) for (t, c) in self.validated_uccs if t != name.lower()
         }

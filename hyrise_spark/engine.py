@@ -566,8 +566,7 @@ class Engine:
         if m:
             if self.catalog.has_table(m["new"]) or self.catalog.has_view(m["new"]):
                 raise ValueError(f"table/view {m['new']!r} already exists")
-            self.catalog.drop_table(table)
-            self.catalog.add_table(m["new"], cur)
+            self.catalog.rename_table(table, m["new"])
             return None
         raise ValueError(f"ALTER TABLE: unsupported action {action!r}")
 

@@ -109,3 +109,20 @@ def test_compaction_trail_is_bounded_on_disk(spark, monkeypatch):
     assert sorted(os.path.join(base, d) for d in on_disk) == sorted(trail)
     assert eng.execute("SELECT COUNT(*) AS n FROM cb").collect()[0].n == 10
     eng.execute("DROP TABLE cb")
+
+
+def test_rename_preserves_compacted_data_and_history(spark):
+    """RENAME TO must re-key (not drop+add) per-table state: the renamed
+    table keeps reading its compaction file and its version ring."""
+    eng = Engine(spark)
+    eng.execute("CREATE TABLE rn AS SELECT CAST(id AS INT) AS id FROM RANGE(7)")
+    eng.execute("UPDATE rn SET id = id + 100 WHERE id = 0")
+    eng.catalog.compact_table("rn")
+    eng.execute("ALTER TABLE rn RENAME TO rn2")
+    assert eng.execute("SELECT COUNT(*) AS n FROM rn2").collect()[0].n == 7
+    # version ring re-keyed: v0 still readable under the NEW name
+    assert eng.execute(
+        "SELECT CAST(SUM(id) AS BIGINT) AS s FROM rn2 VERSION AS OF 0"
+    ).collect()[0].s == 21
+    assert "rn2" in eng.catalog.compact_paths and "rn" not in eng.catalog.compact_paths
+    eng.execute("DROP TABLE rn2")
