@@ -1001,3 +1001,83 @@ def events_trajectory_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("u1", "u2", "inter", F.round(jac, 4).alias("jaccard"))
         .orderBy("u1", "u2")
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast baseline + backtest MAE — the first model every
+# forecasting pipeline must beat. Train on events before the split date,
+# predict each (event_type, hour-of-day) cell's mean value, score MAE on
+# the holdout. Exact on the cents lattice: values quantize to cents, the
+# cell mean is INTEGER division of the cent sum, and MAE sums absolute
+# integer differences — both engines agree bit-for-bit.
+
+_SB_SPLIT = "2024-01-28 00:00:00"
+
+
+@register(
+    "events_seasonal_baseline",
+    oracle=f"""
+    WITH train AS (
+      SELECT event_type, EXTRACT(hour FROM ts) AS hod,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events WHERE ts < TIMESTAMP '{_SB_SPLIT}'
+    ),
+    model AS (
+      SELECT event_type, hod,
+             CAST(SUM(cents) // COUNT(*) AS BIGINT) AS pred_cents
+      FROM train GROUP BY event_type, hod
+    ),
+    test AS (
+      SELECT event_type, EXTRACT(hour FROM ts) AS hod,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events WHERE ts >= TIMESTAMP '{_SB_SPLIT}'
+    )
+    SELECT t.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(ABS(t.cents - m.pred_cents)) AS BIGINT) AS sum_abs_err,
+           CAST(SUM(ABS(t.cents - m.pred_cents)) // COUNT(*) AS BIGINT)
+             AS mae_cents
+    FROM test t JOIN model m
+      ON m.event_type = t.event_type AND m.hod = t.hod
+    GROUP BY t.event_type
+    ORDER BY t.event_type
+    """,
+    tags=("events", "forecast"),
+)
+def events_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type MAE of the (type, hour-of-day) seasonal-naive
+    baseline on the last-days holdout.
+
+    Scale: train pass = one partial-agg groupBy with |types| x 24 output
+    cells (constant-size model frame — AQE broadcasts it into the test
+    join); the holdout scoring is one more partial agg. The time-based
+    split predicate pushes into the scan on a date-sorted layout."""
+    (events,) = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    base = events.select(
+        "event_type",
+        F.hour("ts").alias("hod"),
+        cents.alias("cents"),
+        F.col("ts"),
+    )
+    split = F.lit(_SB_SPLIT).cast("timestamp_ntz")
+    train = base.filter(F.col("ts") < split)
+    model = train.groupBy("event_type", "hod").agg(
+        F.expr("CAST(SUM(cents) div COUNT(*) AS BIGINT)").alias("pred_cents")
+    )
+    test = base.filter(F.col("ts") >= split)
+    return (
+        test.join(model, ["event_type", "hod"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(F.abs(F.col("cents") - F.col("pred_cents"))).alias("sum_abs_err"),
+        )
+        .select(
+            "event_type",
+            "n_test",
+            "sum_abs_err",
+            F.expr("CAST(sum_abs_err div n_test AS BIGINT)").alias("mae_cents"),
+        )
+        .orderBy("event_type")
+    )
