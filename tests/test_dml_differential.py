@@ -312,7 +312,7 @@ from hypothesis import strategies as st
 
 @st.composite
 def _dml_statement(draw) -> str:
-    kind = draw(st.integers(0, 5))
+    kind = draw(st.integers(0, 7))
     col = draw(st.sampled_from(["a", "b", "c"]))
     v = draw(st.integers(0, 100))
     if kind == 0:
@@ -324,14 +324,25 @@ def _dml_statement(draw) -> str:
         wc = draw(st.sampled_from(["a", "b", "id"]))
         return f"UPDATE idt SET {col} = {rhs} WHERE {wc} {op} {v}"
     if kind == 2:
+        # column-list form: stays valid after a fuzzed ADD COLUMN widened
+        # the table (missing columns NULL-fill on both engines)
         vals = [draw(st.integers(100, 999)) for _ in range(4)]
-        return f"INSERT INTO idt VALUES ({vals[0]}, {vals[1]}, {vals[2]}, {vals[3]})"
+        return (f"INSERT INTO idt (id, a, b, c) VALUES "
+                f"({vals[0]}, {vals[1]}, {vals[2]}, {vals[3]})")
     if kind == 3:
-        return f"INSERT INTO idt SELECT id + 1000, a, b, c FROM idt WHERE a < {v % 30}"
+        return (f"INSERT INTO idt (id, a, b, c) "
+                f"SELECT id + 1000, a, b, c FROM idt WHERE a < {v % 30}")
     if kind == 4:
         # simultaneous-assignment rotation with a random guard
         return f"UPDATE idt SET a = b, b = c, c = a WHERE id % 7 = {v % 7}"
-    return f"DELETE FROM idt WHERE {col} IN (SELECT b FROM idt WHERE b < {v % 20})"
+    if kind == 5:
+        return f"DELETE FROM idt WHERE {col} IN (SELECT b FROM idt WHERE b < {v % 20})"
+    if kind == 6:
+        # schema evolution mid-sequence: new NULL-filled column (no DEFAULT
+        # — DuckDB backfills DEFAULTs on column-list inserts, this engine
+        # NULL-fills; NULL columns agree). IF NOT EXISTS tolerates re-adds.
+        return f"ALTER TABLE idt ADD COLUMN IF NOT EXISTS x{v % 3} BIGINT"
+    return "TRUNCATE idt"
 
 
 @settings(max_examples=20, deadline=None, derandomize=True,
