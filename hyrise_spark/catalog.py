@@ -148,9 +148,16 @@ class Catalog:
         self.history: dict[str, list[DataFrame]] = {}
         self.history_base: dict[str, int] = {}  # version number of history[0]
         # per-table compacted-file dirs, oldest first; bounded (see
-        # compact_table) so repeated compaction cannot leak disk — the
-        # physical-delete half of the MvccDeletePlugin analog
+        # compact_table). Evicted/dropped paths are NOT deleted eagerly —
+        # another table's lazy plan may still read them (CREATE TABLE b AS
+        # SELECT FROM a captures a's compact file) — they queue in
+        # `_compact_trash` for the explicit purge_compaction_trail admin
+        # function: the MvccDeletePlugin's physical delete fires only when
+        # no transaction references a chunk (mvcc_delete_plugin.hpp:30-32),
+        # and with lazy cross-plan references the "no references" assertion
+        # here must come from the operator, not the engine.
         self.compact_paths: dict[str, list[str]] = {}
+        self._compact_trash: list[str] = []
 
     # -- tables ------------------------------------------------------------
     _HISTORY_CAP = 8  # snapshots kept per table (lazy plans, not data)
@@ -237,6 +244,19 @@ class Catalog:
         self.spark.catalog.dropTempView(name)
         self._tables[new].createOrReplaceTempView(new)
 
+    def purge_compaction_trail(self) -> int:
+        """Physically delete every evicted/dropped compaction file. The
+        caller asserts no live plan still reads them (the reference's
+        no-active-transaction precondition, operator-asserted here).
+        Returns the number of directories removed."""
+        import shutil
+
+        n = len(self._compact_trash)
+        for old in self._compact_trash:
+            shutil.rmtree(old, ignore_errors=True)
+        self._compact_trash.clear()
+        return n
+
     def drop_table(self, name: str) -> None:
         if name not in self._tables:
             raise KeyError(f"table {name!r} does not exist")
@@ -244,11 +264,9 @@ class Catalog:
         self.dml_depth.pop(name, None)
         self.history.pop(name, None)
         self.history_base.pop(name, None)
-        # physical cleanup of the dropped table's compaction trail
-        import shutil
-
-        for old in self.compact_paths.pop(name, []):
-            shutil.rmtree(old, ignore_errors=True)
+        # the dropped table's compaction trail queues for the explicit
+        # purge — another plan may still read those files
+        self._compact_trash.extend(self.compact_paths.pop(name, []))
         self.validated_uccs = {
             (t, c) for (t, c) in self.validated_uccs if t != name.lower()
         }
@@ -286,18 +304,12 @@ class Catalog:
         hist = self.history.get(name)
         if hist:
             hist[-1] = self._tables[name]
-        # bound the on-disk compaction trail: keep the last _HISTORY_CAP
-        # files per table. A snapshot still in the version ring can only
-        # reference a compact file at most _HISTORY_CAP writes old (the
-        # ring is shorter than the compaction period), so evicted files are
-        # unreachable — this is the actual physical delete.
-        import shutil
-
+        # bound the ACTIVE trail at _HISTORY_CAP files per table; evicted
+        # paths queue for the explicit purge (see _compact_trash note)
         trail = self.compact_paths.setdefault(name, [])
         trail.append(path)
         while len(trail) > self._HISTORY_CAP:
-            old = trail.pop(0)
-            shutil.rmtree(old, ignore_errors=True)
+            self._compact_trash.append(trail.pop(0))
 
     def get_table(self, name: str) -> DataFrame:
         return self._tables[name]

@@ -511,7 +511,24 @@ class Engine:
             df.createOrReplaceTempView(view)
             return f"{view} AS {m['a'] or t}"
 
-        return _VERSION_RE.sub(sub, stmt)
+        # substitute only OUTSIDE string literals — the phrase inside a
+        # quoted literal is data, not a table reference
+        out, i, n = [], 0, len(stmt)
+        while i < n:
+            ch = stmt[i]
+            if ch in ("'", '"'):
+                j = i + 1
+                while j < n and stmt[j] != ch:
+                    j += 1
+                out.append(stmt[i : j + 1])
+                i = j + 1
+            else:
+                j = i
+                while j < n and stmt[j] not in ("'", '"'):
+                    j += 1
+                out.append(_VERSION_RE.sub(sub, stmt[i:j]))
+                i = j
+        return "".join(out)
 
     # -- ALTER TABLE (beyond the reference, whose dialect has no ALTER —
     # sql_translator.cpp handles no hsql::kStmtAlter; standard warehouse
@@ -567,6 +584,8 @@ class Engine:
             if self.catalog.has_table(m["new"]) or self.catalog.has_view(m["new"]):
                 raise ValueError(f"table/view {m['new']!r} already exists")
             self.catalog.rename_table(table, m["new"])
+            if table in self._matviews:  # keep REFRESH/DROP working post-rename
+                self._matviews[m["new"]] = self._matviews.pop(table)
             return None
         raise ValueError(f"ALTER TABLE: unsupported action {action!r}")
 
@@ -600,9 +619,21 @@ class Engine:
 
     @staticmethod
     def _find_top_level(s: str, word: str, start: int = 0) -> int:
-        """First index of whole-word `word` outside parens/quotes, or -1."""
-        depth, quote, i, n, w = 0, None, start, len(s), len(word)
+        """First index of whole-word `word` outside parens/quotes AND outside
+        CASE...END expressions (a CASE's own WHEN/THEN must not split MERGE
+        clauses), or -1."""
+        depth, case_depth, quote, i, n, w = 0, 0, None, start, len(s), len(word)
         up, word = s.upper(), word.upper()
+
+        def _is_word_at(j: int, tok: str) -> bool:
+            if up[j : j + len(tok)] != tok:
+                return False
+            before = j == 0 or not (s[j - 1].isalnum() or s[j - 1] == "_")
+            after = j + len(tok) >= n or not (
+                s[j + len(tok)].isalnum() or s[j + len(tok)] == "_"
+            )
+            return before and after
+
         while i < n:
             ch = s[i]
             if quote:
@@ -614,10 +645,16 @@ class Engine:
                 depth += 1
             elif ch == ")":
                 depth -= 1
-            elif depth == 0 and up[i : i + w] == word:
-                before = i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_")
-                after = i + w >= n or not (s[i + w].isalnum() or s[i + w] == "_")
-                if before and after:
+            elif depth == 0:
+                if _is_word_at(i, "CASE"):
+                    case_depth += 1
+                    i += 4
+                    continue
+                if case_depth > 0 and _is_word_at(i, "END"):
+                    case_depth -= 1
+                    i += 3
+                    continue
+                if case_depth == 0 and _is_word_at(i, word):
                     return i
             i += 1
         return -1
@@ -722,15 +759,17 @@ class Engine:
             # a pair failing every guard must neither update nor duplicate
             tcond = f"({cond}) AND (" + " OR ".join(gparts) + ")"
             # ANSI cardinality rule: a target row touched by two different
-            # source rows is an error, not last-wins (eager check — the one
-            # place MERGE materializes counts before committing the plan)
-            pairs = self.spark.sql(
-                f"SELECT COUNT(*) AS n FROM {t_ref} JOIN {s_ref} ON {tcond}"
-            ).first()["n"]
-            hit = self.spark.sql(
-                f"SELECT COUNT(*) AS n FROM {t_ref} LEFT SEMI JOIN {s_ref} ON {tcond}"
-            ).first()["n"]
-            if pairs > hit:
+            # source rows is an error, not last-wins. ONE eager aggregate
+            # pass over the join (COUNT(*) vs COUNT(DISTINCT target-rowid)
+            # — the rowid is evaluated once within this single query, so
+            # monotonically_increasing_id's nondeterminism is harmless)
+            card = self.spark.sql(
+                f"SELECT COUNT(*) AS pairs, COUNT(DISTINCT __hs_rid) AS hit "
+                f"FROM (SELECT *, monotonically_increasing_id() AS __hs_rid "
+                f"      FROM __hs_merge_t) AS {talias} "
+                f"JOIN {s_ref} ON {tcond}"
+            ).first()
+            if card["pairs"] > card["hit"]:
                 raise ValueError(
                     "MERGE: a target row matches more than one source row"
                 )

@@ -486,6 +486,11 @@ EXEC_FUNCTIONS: dict[tuple[str, str], "callable"] = {
         for n in catalog.table_names()
         if catalog.dml_depth.get(n, 0) > 0
     ],
+    # the plugin's PHYSICAL delete: remove evicted/dropped compaction files.
+    # Operator-asserted safety (no live plan reads them) — see catalog.py
+    ("mvcc", "purge_compaction_trail"): lambda spark, catalog: (
+        catalog.purge_compaction_trail()
+    ),
 }
 
 

@@ -113,36 +113,46 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NGRAM_MAX_DF = 10
 
 
+def capped_setsim_pairs(
+    cells: DataFrame, id_col: str, cell_cols: list[str], max_df: int
+) -> DataFrame:
+    """Generic df-capped set-similarity candidate core: from DISTINCT
+    (id, *cells) rows, drop cells shared by > max_df ids (one hot cell
+    otherwise yields df² candidate pairs — the all-pairs blowup guard),
+    self-join on the surviving cells, and return (id1, id2, inter, n1, n2)
+    — callers derive their Jaccard/threshold/rounding. Shared by the
+    shingle dedup and the trajectory-signature join so the skew guard
+    cannot drift between them."""
+    cold = (
+        cells.groupBy(*cell_cols)
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select(*cell_cols)
+    )
+    kept = cells.join(cold, cell_cols, "left_semi")
+    sizes = kept.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a = kept.select(F.col(id_col).alias("id1"), *cell_cols)
+    b = kept.select(F.col(id_col).alias("id2"), *cell_cols)
+    pairs = (
+        a.join(b, cell_cols)
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    s1 = sizes.select(F.col(id_col).alias("id1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col(id_col).alias("id2"), F.col("n").alias("n2"))
+    return pairs.join(s1, "id1").join(s2, "id2")
+
+
 def _ngram_jaccard_pairs(toks: DataFrame, max_df: int = _NGRAM_MAX_DF) -> DataFrame:
     """Jaccard > 0.12 pairs from (doc_id, w=token-array) rows, df-capped."""
     shingles = toks.select("doc_id", F.explode(_shingle_array(3)).alias("sh")).distinct()
-    # Document-frequency cap: the df table is tiny relative to shingles (one
-    # row per distinct shingle), and the semi-join prunes hot keys before any
-    # pair is generated.
-    cold = (
-        shingles.groupBy("sh")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= max_df)
-        .select("sh")
-    )
-    shingles = shingles.join(cold, "sh", "left_semi")
-    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = shingles.select(F.col("doc_id").alias("d1"), "sh")
-    b = shingles.select(F.col("doc_id").alias("d2"), "sh")
-    pairs = (
-        a.join(b, ["sh"])
-        .filter(F.col("d1") < F.col("d2"))
-        .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
-    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    pairs = capped_setsim_pairs(shingles, "doc_id", ["sh"], max_df)
     jac = F.col("inter").cast("double") / (F.col("n1") + F.col("n2") - F.col("inter"))
-    return (
-        pairs.join(s1, "d1")
-        .join(s2, "d2")
-        .filter(jac > 0.12)
-        .select("d1", "d2", F.round(jac, 4).alias("jaccard"))
+    return pairs.filter(jac > 0.12).select(
+        F.col("id1").alias("d1"),
+        F.col("id2").alias("d2"),
+        F.round(jac, 4).alias("jaccard"),
     )
 
 

@@ -966,39 +966,28 @@ def events_trajectory_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard >= {_TRAJ_MIN_JACCARD}.
 
     Scale: candidates come ONLY from shared grid cells, with cells visited
-    by > {_TRAJ_MAX_DF} users dropped before the self-join (one hot cell
-    otherwise yields df^2 pairs — the same guard as the shingle dedup);
-    signature sets are per-user bounded (days x bands). Never all-pairs."""
+    by > {_TRAJ_MAX_DF} users dropped before the self-join — the shared
+    `capped_setsim_pairs` core (same skew guard as the shingle dedup, one
+    implementation); signature sets are per-user bounded (days x bands).
+    Never all-pairs."""
+    from hyrise_spark.pipeline.dedup import capped_setsim_pairs
+
     (events,) = _t(spark, sf_dir, "events")
     cells = events.select(
         "user_id",
         F.date_trunc("day", "ts").cast("date").alias("d"),
         F.floor(F.col("value") / _TRAJ_VBAND).cast("int").alias("vbk"),
     ).distinct()
-    cold = (
-        cells.groupBy("d", "vbk")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= _TRAJ_MAX_DF)
-        .select("d", "vbk")
-    )
-    c2 = cells.join(cold, ["d", "vbk"], "left_semi")
-    sizes = c2.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
-    a = c2.select(F.col("user_id").alias("u1"), "d", "vbk")
-    b = c2.select(F.col("user_id").alias("u2"), "d", "vbk")
-    pairs = (
-        a.join(b, ["d", "vbk"])
-        .filter(F.col("u1") < F.col("u2"))
-        .groupBy("u1", "u2")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    s1 = sizes.select(F.col("user_id").alias("u1"), F.col("n").alias("n1"))
-    s2 = sizes.select(F.col("user_id").alias("u2"), F.col("n").alias("n2"))
+    pairs = capped_setsim_pairs(cells, "user_id", ["d", "vbk"], _TRAJ_MAX_DF)
     jac = F.col("inter").cast("double") / (F.col("n1") + F.col("n2") - F.col("inter"))
     return (
-        pairs.join(s1, "u1")
-        .join(s2, "u2")
-        .filter(jac >= _TRAJ_MIN_JACCARD)
-        .select("u1", "u2", "inter", F.round(jac, 4).alias("jaccard"))
+        pairs.filter(jac >= _TRAJ_MIN_JACCARD)
+        .select(
+            F.col("id1").alias("u1"),
+            F.col("id2").alias("u2"),
+            "inter",
+            F.round(jac, 4).alias("jaccard"),
+        )
         .orderBy("u1", "u2")
     )
 

@@ -403,8 +403,13 @@ def rollup_maintaining_sink(events: DataFrame, path: str):
 
     Returns the DataStreamWriter (caller starts it). State: none in the
     stream itself — the rollup directory IS the state, which is what makes
-    the maintenance restartable: re-running an epoch rewrites the same
-    partitions idempotently."""
+    the maintenance restartable. foreachBatch is AT-LEAST-once (the batch
+    function can re-run if the process dies between the side effect and
+    the checkpoint commit), so BOTH side effects here are keyed by
+    epoch_id: the ingest log writes each epoch to its own
+    `epoch=<id>` subdirectory with overwrite (a replay rewrites the
+    identical files instead of appending duplicates), and the partition
+    overwrite is naturally idempotent. Together: exactly-once results."""
     import pyspark.sql.functions as F
 
     from hyrise_spark.layout import refresh_daily_rollup
@@ -421,10 +426,12 @@ def rollup_maintaining_sink(events: DataFrame, path: str):
         ]
         if not days:
             return
-        # append this batch to the ingest log, then re-aggregate the dirty
-        # days from the full log (source of truth for those partitions)
-        batch_df.write.mode("append").parquet(ingest_dir)
-        refresh_daily_rollup(spark, spark.read.parquet(ingest_dir), path, days)
+        # epoch-keyed ingest-log write: replays overwrite, never duplicate
+        batch_df.write.mode("overwrite").parquet(f"{ingest_dir}/epoch={epoch_id}")
+        # the epoch=N layout reads back as a partition column — drop it so
+        # the log's schema stays the event schema
+        log = spark.read.parquet(ingest_dir).drop("epoch")
+        refresh_daily_rollup(spark, log, path, days)
 
     return events.writeStream.foreachBatch(refresh).trigger(availableNow=True)
 

@@ -88,10 +88,10 @@ def test_views_survive_compaction(spark):
     duck.close()
 
 
-def test_compaction_trail_is_bounded_on_disk(spark, monkeypatch):
-    """Repeated compaction must not leak parquet dirs: only the last
-    _HISTORY_CAP compact files per table survive (evicted ones are older
-    than anything the version ring can reference)."""
+def test_compaction_trail_bounded_and_purgeable(spark, monkeypatch):
+    """Repeated compaction keeps an ACTIVE trail of _HISTORY_CAP files;
+    evicted files queue in the trash (NOT eagerly deleted — another plan
+    may read them) until the explicit purge admin function removes them."""
     import os
 
     from hyrise_spark.catalog import Catalog
@@ -99,11 +99,20 @@ def test_compaction_trail_is_bounded_on_disk(spark, monkeypatch):
     monkeypatch.setattr(Catalog, "_HISTORY_CAP", 2)
     eng = Engine(spark)
     eng.execute("CREATE TABLE cb AS SELECT CAST(id AS INT) AS id FROM RANGE(10)")
+    # a second table whose plan READS cb's first compaction file: eager
+    # deletion would break it (the cross-plan reference hazard)
     for _ in range(4):
         eng.execute("UPDATE cb SET id = id + 1 WHERE id < 0")  # no-op DML
         eng.catalog.compact_table("cb")
+        if not eng.catalog.has_table("cb_snap"):
+            eng.execute("CREATE TABLE cb_snap AS SELECT * FROM cb")
     trail = eng.catalog.compact_paths["cb"]
-    assert len(trail) == 2
+    assert len(trail) == 2 and len(eng.catalog._compact_trash) == 2
+    # evicted files still on disk -> the dependent table still reads
+    assert eng.execute("SELECT COUNT(*) AS n FROM cb_snap").collect()[0].n == 10
+    eng.execute("DROP TABLE cb_snap")
+    eng.execute("INSERT INTO meta_exec VALUES ('mvcc', 'purge_compaction_trail')")
+    assert eng.catalog._compact_trash == []
     base = os.path.dirname(trail[0])
     on_disk = [d for d in os.listdir(base) if d.startswith("cb_v")]
     assert sorted(os.path.join(base, d) for d in on_disk) == sorted(trail)

@@ -271,3 +271,27 @@ def test_merge_pair_failing_all_guards_does_not_duplicate(engines):
     n_after = eng.execute("SELECT COUNT(*) AS n FROM mt").collect()[0].n
     assert n_after == n_before
     _final_state(eng, duck, "noop-guards")
+
+
+def test_merge_with_case_when_expressions(engines):
+    """A CASE WHEN inside SET / guard / ON must not split MERGE clauses
+    (the clause scanner tracks CASE...END nesting)."""
+    eng, duck = engines
+    eng.execute(
+        "MERGE INTO mt t USING ups u ON t.id = u.id "
+        "WHEN MATCHED AND CASE WHEN u.delta > 50 THEN TRUE ELSE FALSE END "
+        "THEN UPDATE SET a = CASE WHEN u.delta > 100 THEN 1 ELSE 2 END, "
+        "b = CASE WHEN t.b > 40 THEN t.b ELSE 0 END "
+        "WHEN NOT MATCHED THEN INSERT (id, a) VALUES "
+        "(u.id, CASE WHEN u.delta > 200 THEN 9 ELSE 8 END)"
+    )
+    duck.execute(
+        "UPDATE mt SET a = CASE WHEN u.delta > 100 THEN 1 ELSE 2 END, "
+        "b = CASE WHEN mt.b > 40 THEN mt.b ELSE 0 END "
+        "FROM ups u WHERE mt.id = u.id AND u.delta > 50"
+    )
+    duck.execute(
+        "INSERT INTO mt SELECT u.id, CASE WHEN u.delta > 200 THEN 9 ELSE 8 END, "
+        "NULL FROM ups u WHERE NOT EXISTS (SELECT 1 FROM mt WHERE mt.id = u.id)"
+    )
+    _final_state(eng, duck, "case-when clauses")

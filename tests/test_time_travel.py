@@ -109,3 +109,31 @@ def test_version_ref_inside_dml_subquery(eng):
         "(SELECT id FROM tt VERSION AS OF 0 WHERE v >= 30)"
     )
     assert {r.id for r in eng.execute("SELECT * FROM tt").collect()} == {0, 1, 2}
+
+
+def test_version_phrase_inside_string_literal_is_data(eng):
+    """The literal 'VERSION AS OF' inside a string is data, not a table
+    reference — the substitution is quote-aware."""
+    eng.execute("CREATE TABLE notes (id INT, msg STRING)")
+    eng.execute(
+        "INSERT INTO notes VALUES (1, 'see tt VERSION AS OF 3 for history')"
+    )
+    rows = eng.execute("SELECT msg FROM notes").collect()
+    assert rows[0].msg == "see tt VERSION AS OF 3 for history"
+    eng.execute("DROP TABLE notes")
+
+
+def test_matview_rename_keeps_refresh_and_drop_working(eng, spark):
+    from hyrise_spark.engine import Engine
+
+    e = Engine(spark)
+    e.execute("CREATE TABLE mvb (v INT)")
+    e.execute("INSERT INTO mvb VALUES (1), (2)")
+    e.execute("CREATE MATERIALIZED VIEW mv_tt AS SELECT CAST(SUM(v) AS BIGINT) AS s FROM mvb")
+    e.execute("ALTER TABLE mv_tt RENAME TO mv_tt2")
+    e.execute("INSERT INTO mvb VALUES (7)")
+    assert e.execute("SELECT s FROM mv_tt2").collect()[0].s == 3  # stale snapshot
+    e.execute("REFRESH MATERIALIZED VIEW mv_tt2")
+    assert e.execute("SELECT s FROM mv_tt2").collect()[0].s == 10
+    e.execute("DROP MATERIALIZED VIEW mv_tt2")
+    e.execute("DROP TABLE mvb")
