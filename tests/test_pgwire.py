@@ -644,3 +644,25 @@ def test_psql_time_travel_roundtrip(server):
     assert out.stdout.strip().splitlines()[-1] == "99"
     out = _psql(server, "DROP TABLE pg_tt; SELECT 1 AS ok")
     assert out.returncode == 0, out.stderr
+
+
+@pytest.mark.skipif(PSQL is None, reason="psql not installed")
+def test_psql_alter_table_roundtrip(server):
+    """Schema evolution over the wire: ADD/RENAME/DROP COLUMN from psql."""
+    out = _psql(
+        server,
+        "CREATE TABLE pg_al (id INT); "
+        "INSERT INTO pg_al VALUES (1); "
+        "ALTER TABLE pg_al ADD COLUMN v BIGINT DEFAULT 7; "
+        "ALTER TABLE pg_al RENAME COLUMN v TO val; "
+        "SELECT id, val FROM pg_al",
+    )
+    assert out.returncode == 0, out.stderr
+    assert out.stdout.strip().splitlines()[-1] == "1|7"
+    out = _psql(
+        server,
+        "ALTER TABLE pg_al DROP COLUMN val; SELECT * FROM pg_al",
+    )
+    assert out.stdout.strip().splitlines()[-1] == "1"
+    out = _psql(server, "DROP TABLE pg_al; SELECT 1 AS ok")
+    assert out.returncode == 0, out.stderr
