@@ -11,7 +11,15 @@ from hyrise_spark.engine import Engine
 from hyrise_spark.streaming.cdc_stream import cdc_apply_sink
 
 
-def _write_batch(d, name, rows):
+def _write_batch(d, name, rows, mtime):
+    """Write a feed file with an EXPLICIT modification time: the file source
+    orders micro-batches by mtime, and two files written within the same
+    clock tick would otherwise be delivered in either order (observed
+    flake). Cross-batch ordering is the CDC feed's contract; in-batch
+    ordering is the seq collapse's job."""
+    import os
+
+    path = d / name
     pq.write_table(
         pa.table(
             {
@@ -21,8 +29,9 @@ def _write_batch(d, name, rows):
                 "seq": pa.array([r[3] for r in rows], pa.int64()),
             }
         ),
-        d / name,
+        path,
     )
+    os.utime(path, (mtime, mtime))
 
 
 def test_cdc_feed_converges_to_replayed_state(spark, tmp_path):
@@ -31,12 +40,12 @@ def test_cdc_feed_converges_to_replayed_state(spark, tmp_path):
     # batch 1: inserts + an in-batch update that must collapse (seq order)
     _write_batch(feed, "b1.parquet", [
         ("I", 1, 10, 1), ("I", 2, 20, 2), ("U", 1, 11, 3), ("I", 3, 30, 4),
-    ])
+    ], mtime=1_000_000_000)
     # batch 2: delete, update, re-insert of a deleted key
     _write_batch(feed, "b2.parquet", [
         ("D", 2, 0, 5), ("U", 3, 33, 6), ("I", 4, 40, 7),
         ("D", 1, 0, 8), ("I", 1, 12, 9),
-    ])
+    ], mtime=1_000_000_100)
 
     eng = Engine(spark)
     eng.execute("CREATE TABLE cdc_kv (id BIGINT, v BIGINT)")
@@ -58,7 +67,7 @@ def test_cdc_feed_converges_to_replayed_state(spark, tmp_path):
 def test_cdc_delete_only_batch(spark, tmp_path):
     feed = tmp_path / "feed"
     feed.mkdir()
-    _write_batch(feed, "b1.parquet", [("D", 7, 0, 1)])
+    _write_batch(feed, "b1.parquet", [("D", 7, 0, 1)], mtime=1_000_000_000)
     eng = Engine(spark)
     eng.execute("CREATE TABLE cdc_kv2 (id BIGINT, v BIGINT)")
     eng.execute("INSERT INTO cdc_kv2 VALUES (7, 70), (8, 80)")
