@@ -166,6 +166,8 @@ class Engine:
         self._prepared: dict[str, str] = {}
         self._functions: dict[str, str] = {}  # SQL scalar UDFs, by name
         self._matviews: dict[str, str] = {}  # materialized views: defining SQL
+        # open-transaction snapshot (None = autocommit); see _begin()
+        self._txn: dict | None = None
 
     # -- statement routing --------------------------------------------------
     def execute(self, sql: str, args: dict | list | None = None) -> DataFrame | None:
@@ -187,8 +189,8 @@ class Engine:
             "status": "ok",
             "duration_ms": 0,
         }
-        if _ROLLBACK_RE.match(stmt):
-            entry["status"] = "unsupported"
+        if _ROLLBACK_RE.match(stmt) and self._txn is None:
+            entry["status"] = "noop"  # nothing open to abort (warned)
         t0 = _time.perf_counter()
         try:
             return self._execute_one(stmt, args)
@@ -224,22 +226,23 @@ class Engine:
         if re.search(r"\bVERSION\s+AS\s+OF\b", stmt, re.I):
             stmt = self._resolve_versions(stmt)
         if _TXN_RE.match(stmt):
-            # BEGIN/COMMIT are routed in the reference (sql_translator.cpp:
-            # 377-380); this engine is single-statement autocommit (SURVEY.md
-            # §7 risk 6), so they are accepted no-ops. ROLLBACK, however,
-            # cannot be honored — the statements inside the transaction have
-            # already been applied — so silently ignoring it would keep
-            # partial writes the caller asked to abort. Warn loudly; the
-            # meta_log entry is marked status='unsupported' by the caller.
-            if _ROLLBACK_RE.match(stmt):
-                import warnings
-
-                warnings.warn(
-                    "ROLLBACK is not supported: this engine runs autocommit "
-                    "(each statement is already applied); the transaction "
-                    "cannot be aborted",
-                    stacklevel=3,
-                )
+            # BEGIN/COMMIT/ROLLBACK are routed like the reference's
+            # (sql_translator.cpp:377-380 -> transaction_manager.hpp). Here
+            # the transaction is implemented ON the snapshot version ring:
+            # BEGIN pins the whole catalog state (table plans are lazy and
+            # immutable, so the pin is a dict of references, not data);
+            # COMMIT drops the pin; ROLLBACK restores it — every statement
+            # applied inside the transaction, including its appended history
+            # versions, un-happens. Single-writer engine: no concurrent
+            # session can observe the in-flight state, so this gives the
+            # reference's snapshot-isolation visibility for free.
+            u = stmt.lstrip().upper()
+            if u.startswith(("BEGIN", "START")):
+                self._begin()
+            elif u.startswith("COMMIT"):
+                self._commit()
+            else:
+                self._rollback()
             return None
         m = _IMPORT_RE.match(stmt)
         if m:
@@ -389,6 +392,99 @@ class Engine:
         if args is not None:
             return self.spark.sql(stmt, args=args)
         return self.spark.sql(stmt)
+
+    # -- transactions (transaction_manager.hpp analog on the version ring) --
+    # The reference's TransactionContext tracks read/write sets against MVCC
+    # begin/end commit-ids; rolling back marks the written rows invalid
+    # (abort.hpp). This engine's tables are immutable snapshot chains
+    # (catalog.history), so the equivalent is structural: BEGIN pins the
+    # catalog/engine state (dict-of-references — lazy plans, no data copy),
+    # ROLLBACK restores the pin and the in-transaction history versions
+    # simply cease to exist (exactly "never committed"), COMMIT releases it.
+    # Physical side effects are NOT transactional, same as the reference:
+    # COPY TO/Export files and compaction rewrites stay on disk (a rolled-
+    # back compaction's file is queued for purge_compaction_trail).
+    def _begin(self) -> None:
+        import warnings
+
+        if self._txn is not None:
+            # postgres behavior: WARNING, transaction already in progress
+            warnings.warn("there is already a transaction in progress",
+                          stacklevel=4)
+            return
+        cat = self.catalog
+        self._txn = {
+            "tables": dict(cat._tables),
+            "views": dict(cat._views),
+            "history": {k: list(v) for k, v in cat.history.items()},
+            "history_base": dict(cat.history_base),
+            "dml_depth": dict(cat.dml_depth),
+            "compact_paths": {k: list(v) for k, v in cat.compact_paths.items()},
+            "validated_uccs": set(cat.validated_uccs),
+            "functions": dict(self._functions),
+            "matviews": dict(self._matviews),
+            "prepared": dict(self._prepared),
+        }
+
+    def _commit(self) -> None:
+        import warnings
+
+        if self._txn is None:
+            warnings.warn("there is no transaction in progress", stacklevel=4)
+            return
+        self._txn = None  # everything inside is already applied — release
+
+    def _rollback(self) -> None:
+        import warnings
+
+        if self._txn is None:
+            warnings.warn(
+                "ROLLBACK outside a transaction: nothing to abort (statements "
+                "outside BEGIN run autocommit and are already applied)",
+                stacklevel=4,
+            )
+            return
+        snap, self._txn = self._txn, None
+        cat = self.catalog
+        # un-register session objects created INSIDE the transaction
+        for name in set(cat._tables) - set(snap["tables"]):
+            try:
+                self.spark.catalog.dropTempView(name)
+            except Exception:  # noqa: BLE001 — already gone
+                pass
+        for name in set(cat._views) - set(snap["views"]):
+            try:
+                self.spark.catalog.dropTempView(name)
+            except Exception:  # noqa: BLE001 — already gone
+                pass
+        for name in set(self._functions) - set(snap["functions"]):
+            self.spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {name}")
+        # a compaction file written inside the txn is unreferenced after
+        # restore — queue it for the explicit physical purge
+        for t, trail in cat.compact_paths.items():
+            kept = set(snap["compact_paths"].get(t, []))
+            cat._compact_trash.extend(p for p in trail if p not in kept)
+        cat._tables = snap["tables"]
+        cat._views = snap["views"]
+        cat.history = snap["history"]
+        cat.history_base = snap["history_base"]
+        cat.dml_depth = snap["dml_depth"]
+        cat.compact_paths = snap["compact_paths"]
+        cat.validated_uccs = snap["validated_uccs"]
+        self._matviews = snap["matviews"]
+        self._prepared = snap["prepared"]
+        # re-register every table/view at its pre-transaction plan
+        for name, df in cat._tables.items():
+            df.createOrReplaceTempView(name)
+        for vname, vsql in cat._views.items():
+            try:
+                self.spark.sql(vsql).createOrReplaceTempView(vname)
+            except Exception:  # noqa: BLE001 — dangling view, surfaced on use
+                pass
+        # functions replaced inside the txn: re-run the pre-txn definitions
+        self._functions = {}
+        for create_sql in snap["functions"].values():
+            self._execute_one(create_sql, None)
 
     # -- DML (Insert/Delete/Update operators, SURVEY.md §2.8) ---------------
     # The reference mutates MVCC chunks in place (insert.hpp:17-22,

@@ -36,8 +36,12 @@ Mapping per query (canonical TPC-DS number -> here):
   Q96 count of sales in a half-hour slot for one segment    -> tpcds_q96
 
 All Spark plans are the decorrelated DataFrame form (correlated scalar
-subqueries become tiny pre-aggregations + broadcast joins — the
-SubqueryToJoinRule analog, sql_translator.cpp); dims broadcast explicitly.
+subqueries become tiny pre-aggregations + joins — the SubqueryToJoinRule
+analog, sql_translator.cpp). Dim joins carry NO broadcast hints: plan
+choice is left to CBO/AQE thresholds so a dim that outgrows the broadcast
+limit falls back to a shuffle join instead of dying at the 8 GB hint cap
+(lint-enforced in tests/test_plan_quality.py; measured sublinear in the
+SCALE.md §10 dims probe).
 """
 
 from __future__ import annotations

@@ -187,15 +187,20 @@ def purchase_click_attribution(
 def enriched_stream(events: DataFrame, customers: DataFrame) -> DataFrame:
     """Stream-static join: events enriched with the customer dimension.
 
-    The static side re-resolves per micro-batch (picking up dim updates) and
-    broadcasts under the session threshold — the canonical streaming
-    enrichment pattern; no state is kept for the static side.
+    The static side re-resolves per micro-batch (picking up dim updates);
+    no state is kept for it. Deliberately NO broadcast hint: `customers`
+    scales with SF, and a forced `F.broadcast` ignores
+    `autoBroadcastJoinThreshold` and cannot fall back — at scale that is the
+    8 GB broadcast dead-end on every micro-batch. A plain equi-join lets the
+    cost/threshold machinery pick broadcast while the dim is genuinely small
+    and shuffle once it isn't (reference analog: join impl is always
+    cost-based, lqp_translator.cpp:389-392).
     """
     dim = customers.select(
         F.col("c_custkey").alias("d_custkey"), "c_name", "c_mktsegment"
     )
     return events.join(
-        F.broadcast(dim), F.col("user_id") == F.col("d_custkey"), "left"
+        dim, F.col("user_id") == F.col("d_custkey"), "left"
     ).select("event_id", "ts", "user_id", "event_type", "value", "c_name", "c_mktsegment")
 
 

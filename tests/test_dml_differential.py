@@ -5,9 +5,10 @@ final table states compared. Closes the corpus-accounting gap where DML
 sequences were only unit-tested: every mutation statement below executes
 verbatim on both engines.
 
-Excluded (documented): BEGIN..ROLLBACK sequences — this engine is
-single-statement autocommit by design (SURVEY.md §7 risk 6) and warns on
-ROLLBACK; there is no state to compare.
+The BEGIN..ROLLBACK family (reference lines 506-510) is mirrored verbatim
+since round 8: transactions ride the snapshot version ring (engine.py
+_begin/_rollback), so both arms of every reference transaction sequence run
+on both engines and the final states must agree.
 
 Seed data differs only in the range() table-function dialect; all DML text
 is shared verbatim.
@@ -89,12 +90,34 @@ _SEQUENCES = {
         "INSERT INTO idt (id, a, b, c) VALUES (300, 1, 2, 3)",
         "DELETE FROM idt WHERE b > 150",
     ],
-    # BEGIN/COMMIT bracketing: autocommit no-ops here, a real txn in DuckDB —
-    # identical end state either way (the ROLLBACK family is excluded, above)
+    # Transaction corpus family (sqlite_testrunner_queries.sql:506-510):
+    # real transactions on BOTH engines — both COMMIT and ROLLBACK arms of
+    # the INSERT and DELETE twins, statements shared verbatim.
     "transaction_commit": [
         "BEGIN",
         "INSERT INTO idt VALUES (999, 1, 42, 7)",
         "COMMIT",
+    ],
+    "transaction_insert_rollback": [
+        "BEGIN",
+        "INSERT INTO idt VALUES (999, 1, 42, 7)",
+        "ROLLBACK",
+    ],
+    "transaction_delete_commit": [
+        "BEGIN",
+        "DELETE FROM idt WHERE a > 40",
+        "COMMIT",
+    ],
+    "transaction_delete_rollback": [
+        "BEGIN",
+        "DELETE FROM idt WHERE a > 40",
+        "ROLLBACK",
+    ],
+    "transaction_update_rollback_then_autocommit": [
+        "BEGIN",
+        "UPDATE idt SET b = b * 2 WHERE a < 50",
+        "ROLLBACK",
+        "UPDATE idt SET c = c + 1 WHERE id < 10",
     ],
     # -- round 6 widening: subqueries inside DML, aggregates/joins as INSERT
     # sources, NULL writes, multi-row VALUES — each statement shared verbatim.
@@ -168,6 +191,30 @@ def test_dml_sequence_matches_duckdb(engines, name):
         eng.execute(stmt)
         duck.execute(stmt)
     _compare_select(eng, duck, "SELECT * FROM idt", name)
+
+
+# The reference transaction corpus lines VERBATIM (sqlite_testrunner_queries
+# .sql:506-510, `mixed`/`id_int_int_int_100` renamed to the shared seed
+# table): the mid-transaction SELECT must show the uncommitted write on both
+# engines (read-your-own-writes), the post-ROLLBACK/COMMIT SELECT the final
+# state. Compared after EVERY SELECT, not just at the end.
+_TXN_CORPUS_LINES = [
+    "BEGIN; INSERT INTO idt VALUES (999, 1, 42, 7); SELECT * FROM idt; ROLLBACK; SELECT * FROM idt;",
+    "BEGIN; INSERT INTO idt VALUES (999, 1, 42, 7); SELECT * FROM idt; COMMIT; SELECT * FROM idt;",
+    "BEGIN; DELETE FROM idt WHERE a > 90; SELECT * FROM idt; ROLLBACK; SELECT * FROM idt;",
+    "BEGIN; DELETE FROM idt WHERE a > 90; SELECT * FROM idt; COMMIT; SELECT * FROM idt;",
+]
+
+
+@pytest.mark.parametrize("line", _TXN_CORPUS_LINES)
+def test_transaction_corpus_line_matches_duckdb(engines, line):
+    eng, duck = engines
+    for stmt in [s.strip() for s in line.split(";") if s.strip()]:
+        if stmt.upper().startswith("SELECT"):
+            _compare_select(eng, duck, stmt, line)
+        else:
+            eng.execute(stmt)
+            duck.execute(stmt)
 
 
 # -- VIEW / CREATE TABLE DDL sequences (corpus lines ~369-380) ---------------

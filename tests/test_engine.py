@@ -72,22 +72,23 @@ def test_meta_tables(engine, spark):
     assert any(r["name"] == "spark.sql.adaptive.enabled" and r["value"] == "true" for r in settings)
 
 
-def test_transaction_statements_are_autocommit_noops(engine, spark):
-    # BEGIN/COMMIT/ROLLBACK are routed (sql_translator.cpp:377-380) — here
-    # documented autocommit no-ops, never parse errors.
+def test_transaction_statements_are_routed(engine, spark):
+    # BEGIN/COMMIT/ROLLBACK are routed (sql_translator.cpp:377-380) — real
+    # transactions on the version ring since round 8, never parse errors.
     spark.range(3).createOrReplaceTempView("txn_base")
     out = engine.execute("BEGIN; SELECT COUNT(*) AS n FROM txn_base")
     assert out.collect()[0]["n"] == 3
+    engine.execute("COMMIT")
     # a trailing COMMIT is the last statement -> pipeline result is None,
     # but the wrapped DML still applied
     assert engine.execute("BEGIN TRANSACTION; SELECT 1 AS x; COMMIT") is None
-    assert engine.execute("START TRANSACTION") is None
+    assert engine.execute("START TRANSACTION; COMMIT WORK") is None
 
 
-def test_rollback_warns_and_logs_unsupported(engine):
-    # ROLLBACK cannot be honored under autocommit — already-applied statements
-    # stay applied. It must warn (not silently no-op) and mark the meta_log
-    # entry status='unsupported' so the abort is auditable.
+def test_rollback_outside_transaction_warns_and_logs_noop(engine):
+    # ROLLBACK with no open transaction: nothing to abort (each statement
+    # outside BEGIN is autocommit). Postgres-style: warn loudly, no-op,
+    # meta_log entry tagged status='noop' so the attempted abort is auditable.
     import warnings
 
     with warnings.catch_warnings(record=True) as caught:
@@ -96,7 +97,66 @@ def test_rollback_warns_and_logs_unsupported(engine):
     assert any("ROLLBACK" in str(w.message) for w in caught)
     last = engine.catalog.statement_log[-1]
     assert last["statement"].startswith("ROLLBACK")
-    assert last["status"] == "unsupported"
+    assert last["status"] == "noop"
+
+
+def test_rollback_restores_dml_ddl_and_version_ring(engine):
+    """transaction_manager.hpp analog: ROLLBACK un-happens every statement
+    since BEGIN — DML, CREATE/DROP TABLE, views — and the history versions
+    appended inside the aborted transaction vanish from VERSION AS OF."""
+    engine.execute("CREATE TABLE txr AS SELECT CAST(id AS INT) AS id FROM RANGE(5)")
+    v0 = engine.catalog.current_version("txr")
+    engine.execute(
+        "BEGIN; INSERT INTO txr VALUES (99); DELETE FROM txr WHERE id = 0;"
+        " UPDATE txr SET id = id + 100 WHERE id = 1;"
+        " CREATE TABLE txr2 AS SELECT 1 AS x; CREATE VIEW txrv AS SELECT * FROM txr"
+    )
+    # read-your-own-writes inside the transaction
+    got = sorted(r.id for r in engine.execute("SELECT * FROM txr").collect())
+    assert got == [2, 3, 4, 99, 101]
+    engine.execute("ROLLBACK")
+    got = sorted(r.id for r in engine.execute("SELECT * FROM txr").collect())
+    assert got == [0, 1, 2, 3, 4]
+    assert not engine.catalog.has_table("txr2")
+    assert not engine.catalog.has_view("txrv")
+    # the aborted versions never committed: ring is back at v0
+    assert engine.catalog.current_version("txr") == v0
+    # statement_log: the ROLLBACK itself is a supported op now
+    assert engine.catalog.statement_log[-1]["status"] == "ok"
+    engine.execute("DROP TABLE txr")
+
+
+def test_rollback_restores_dropped_table_and_commit_releases(engine):
+    engine.execute("CREATE TABLE txd AS SELECT 7 AS x")
+    engine.execute("BEGIN; DROP TABLE txd; ROLLBACK")
+    assert engine.execute("SELECT * FROM txd").collect()[0]["x"] == 7
+    # COMMIT keeps the writes and releases the pin
+    engine.execute("BEGIN; UPDATE txd SET x = 8; COMMIT")
+    assert engine.execute("SELECT * FROM txd").collect()[0]["x"] == 8
+    # after COMMIT a ROLLBACK is outside any transaction -> warn-noop
+    import warnings
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        engine.execute("ROLLBACK")
+    assert caught
+    assert engine.execute("SELECT * FROM txd").collect()[0]["x"] == 8
+    engine.execute("DROP TABLE txd")
+
+
+def test_nested_begin_warns_and_keeps_outer_pin(engine):
+    import warnings
+
+    engine.execute("CREATE TABLE txn2 AS SELECT 1 AS x")
+    engine.execute("BEGIN; UPDATE txn2 SET x = 2")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        engine.execute("BEGIN")  # postgres: already in progress, no nesting
+    assert any("already a transaction" in str(w.message) for w in caught)
+    engine.execute("UPDATE txn2 SET x = 3; ROLLBACK")
+    # rollback unwinds to the OUTER begin, not the inner warn-noop
+    assert engine.execute("SELECT * FROM txn2").collect()[0]["x"] == 1
+    engine.execute("DROP TABLE txn2")
 
 
 def test_meta_settings_is_writable(engine, spark):

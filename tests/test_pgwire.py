@@ -65,6 +65,36 @@ def test_psql_multi_statement_and_ddl(server):
 
 
 @pytest.mark.skipif(PSQL is None, reason="psql not installed")
+def test_psql_transaction_rollback_roundtrip(server):
+    """BEGIN..ROLLBACK from a real psql client: the mid-transaction SELECT
+    sees the uncommitted write, the post-ROLLBACK SELECT sees the original
+    state (postgres_protocol_handler analog; txn on the version ring)."""
+    out = _psql(server, "CREATE TABLE pg_txn AS SELECT 1 AS x")
+    assert out.returncode == 0, out.stderr
+    try:
+        # one connection, five sequential Query messages (psql -c prints
+        # only the LAST result of a multi-statement string, so each
+        # statement rides its own -c)
+        out = _psql(
+            server,
+            "SELECT x FROM pg_txn",
+            "-c", "BEGIN",
+            "-c", "UPDATE pg_txn SET x = 2",
+            "-c", "SELECT x FROM pg_txn",
+            "-c", "ROLLBACK",
+        )
+        assert out.returncode == 0, out.stderr
+        # psql echoes command tags for non-SELECTs; the data rows are the
+        # mid-txn "2" and post-rollback "1"
+        assert out.stdout.split() == ["BEGIN", "UPDATE", "2", "ROLLBACK", "1"], out.stdout
+        out = _psql(server, "BEGIN; UPDATE pg_txn SET x = 3; COMMIT; SELECT x FROM pg_txn")
+        assert out.returncode == 0, out.stderr
+        assert out.stdout.strip() == "3", out.stdout
+    finally:
+        _psql(server, "DROP TABLE pg_txn")
+
+
+@pytest.mark.skipif(PSQL is None, reason="psql not installed")
 def test_psql_error_reported(server):
     out = _psql(server, "SELECT * FROM no_such_table_pgw")
     assert out.returncode != 0

@@ -773,6 +773,129 @@ def test_registry_no_unbounded_broadcast_hints(spark, name):
     assert not bad, f"{name}: {bad[0]} — forced broadcasts cannot fall back at scale"
 
 
+# ---------------------------------------------------------------------------
+# Broadcast-hint lint over STREAMING builders (VERDICT r7 finding #1): the
+# registry walk above only reaches `all_queries()`; streaming helpers build
+# plans too, and a forced broadcast there fires on EVERY micro-batch. Each
+# public DataFrame-returning builder in hyrise_spark/streaming/*.py is built
+# against real (unstarted) readStream handles + static fixtures, and its
+# ANALYZED plan gets the same unbounded-hint walk. A coverage assertion pins
+# the fixture map to the modules' public surface, so a new builder cannot
+# silently escape the lint.
+# ---------------------------------------------------------------------------
+
+_STREAMING_HINT_ALLOWLIST: dict[str, str] = {
+    # rates = grouped agg keyed on a CASE expression with a fixed branch
+    # vocabulary (web/books/other): one row per domain, a hyperparameter of
+    # the mixture — structurally an Aggregate over the corpus, so the static
+    # bound checker cannot prove it, but output cardinality is ≤ the CASE
+    # branch count at any corpus size.
+    "mixture_sampled_stream": "rates frame: one row per mixture domain (CASE vocabulary)",
+}
+
+# Not plan-builders: sources (no joins possible), sinks (return a
+# DataStreamWriter), runners, or engine-callback shapes whose per-batch SQL
+# goes through the engine (already covered by the registry/MERGE tests).
+_STREAMING_EXEMPT = {
+    "read_events_stream", "read_documents_stream", "read_embeddings_stream",
+    "run_to_completion", "rollup_maintaining_sink", "cdc_apply_sink",
+}
+
+
+def _streaming_builder_frames(spark):
+    """name -> built (possibly streaming) DataFrame for every public builder."""
+    import pyspark.sql.functions as F
+
+    from hyrise_spark.streaming import ann_stream as ann
+    from hyrise_spark.streaming import curate_stream as cu
+    from hyrise_spark.streaming import events_stream as ev
+    from hyrise_spark.streaming import index_stream as ix
+
+    events = ev.read_events_stream(spark, f"{SF_DIR}/events.parquet")
+    events2 = ev.read_events_stream(spark, f"{SF_DIR}/events.parquet")
+    docs = cu.read_documents_stream(spark, f"{SF_DIR}/documents.parquet")
+    customers = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    # eval suites are fixed small artifacts by contract — model that bound
+    bench = cu.benchmark_shingles(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(20))
+    rates = cu.mixture_rates(spark, SF_DIR)
+    cb = ann.pq_codebook(spark, SF_DIR)
+    emb = ann.read_embeddings_stream(spark, f"{SF_DIR}/embeddings.parquet")
+    postings = ix.postings_log_stream(docs)
+    return {
+        "windowed_counts": ev.windowed_counts(events),
+        "sessionized": ev.sessionized(events),
+        "stateful_user_totals": ev.stateful_user_totals(events),
+        "deduped_stream": ev.deduped_stream(events),
+        "purchase_click_attribution": ev.purchase_click_attribution(events, events2),
+        "enriched_stream": ev.enriched_stream(events, customers),
+        "streaming_anomaly_zscore": ev.streaming_anomaly_zscore(events),
+        "ohlc_stream": ev.ohlc_stream(events),
+        "streaming_ema_daily": ev.streaming_ema_daily(events),
+        "markov_transition_stream": ev.markov_transition_stream(events),
+        "quality_scored_stream": cu.quality_scored_stream(docs),
+        "benchmark_shingles": bench,
+        "contaminated_ids_stream": cu.contaminated_ids_stream(docs, bench),
+        "mixture_rates": rates,
+        "mixture_sampled_stream": cu.mixture_sampled_stream(docs, rates),
+        "classifier_gated_stream": cu.classifier_gated_stream(docs),
+        "bloom_gated_stream": cu.bloom_gated_stream(docs, [1, 2, 3]),
+        "lsh_gated_stream": cu.lsh_gated_stream(docs, [1, 2, 3]),
+        "pq_codebook": cb,
+        "pq_encoded_stream": ann.pq_encoded_stream(emb, cb),
+        "postings_log_stream": postings,
+        "term_directory_stream": ix.term_directory_stream(postings),
+    }
+
+
+def _streaming_public_builders() -> set[str]:
+    import inspect
+
+    from hyrise_spark.streaming import (ann_stream, cdc_stream, curate_stream,
+                                        events_stream, index_stream)
+
+    names: set[str] = set()
+    for mod in (ann_stream, cdc_stream, curate_stream, events_stream,
+                index_stream):
+        for n, fn in inspect.getmembers(mod, inspect.isfunction):
+            if fn.__module__ == mod.__name__ and not n.startswith("_"):
+                names.add(n)
+    return names
+
+
+def test_streaming_lint_covers_every_public_builder():
+    """Fixture-map completeness: every public streaming function is either
+    linted or explicitly exempted (source/sink/runner). A new builder must
+    be added here before it can ship."""
+    public = _streaming_public_builders()
+    covered = set(_STREAMING_FIXTURE_NAMES) | _STREAMING_EXEMPT
+    assert public <= covered, f"unlinted streaming builders: {sorted(public - covered)}"
+
+
+_STREAMING_FIXTURE_NAMES = (
+    "windowed_counts", "sessionized", "stateful_user_totals", "deduped_stream",
+    "purchase_click_attribution", "enriched_stream", "streaming_anomaly_zscore",
+    "ohlc_stream", "streaming_ema_daily", "markov_transition_stream",
+    "quality_scored_stream", "benchmark_shingles", "contaminated_ids_stream",
+    "mixture_rates", "mixture_sampled_stream", "classifier_gated_stream",
+    "bloom_gated_stream", "lsh_gated_stream", "pq_codebook", "pq_encoded_stream",
+    "postings_log_stream", "term_directory_stream",
+)
+
+
+@pytest.mark.parametrize("name", _STREAMING_FIXTURE_NAMES)
+def test_streaming_no_unbounded_broadcast_hints(spark, name):
+    """Streaming builders: same rule as the registry — no broadcast hint may
+    force an SF-scaling frame; on a stream that dead-end repeats every
+    micro-batch (ref analog: join impl is cost-based,
+    lqp_translator.cpp:389-392)."""
+    if name in _STREAMING_HINT_ALLOWLIST:
+        pytest.skip(_STREAMING_HINT_ALLOWLIST[name])
+    df = _streaming_builder_frames(spark)[name]
+    bad = _unbounded_broadcast_hints(df)
+    assert not bad, f"{name}: {bad[0]} — forced broadcasts cannot fall back at scale"
+
+
 def test_cbo_reorders_eighteen_way_graph(spark):
     """CBO reorder proof at job_q42 width: EIGHTEEN leaves — the 16-way
     graph plus the second fact chain's supplier nation + region dims —

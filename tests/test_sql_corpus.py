@@ -19,9 +19,10 @@ the 518-line file beyond this corpus's coverage):
     DELETE/UPDATE/INSERT chains, BEGIN..ROLLBACK..SELECT) — they mutate
     state so they don't fit THIS harness's one-string model; they have
     their own differential harness instead (tests/test_dml_differential.py:
-    22 sequences run verbatim on both the Engine and DuckDB, final states
-    hash-compared), plus unit coverage in tests/test_dml.py. Only the
-    BEGIN..ROLLBACK family stays excluded (autocommit engine, documented).
+    40+ sequences run verbatim on both the Engine and DuckDB, final states
+    hash-compared, INCLUDING the BEGIN..ROLLBACK family verbatim with
+    mid-transaction SELECT comparison — zero transaction lines excluded
+    since round 8).
   * CREATE VIEW / CREATE TABLE sequences (lines ~369-380) — ditto;
     covered by test_engine.py (views, CTAS, IF NOT EXISTS).
   * SQLite integer-as-boolean rows (`WHERE 1 OR 3 > 2`, line 94) — both

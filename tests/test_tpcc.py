@@ -1,8 +1,9 @@
 """TPC-C transaction procedures as Engine DML sequences.
 
 The reference's five TPC-C procedures (src/benchmarklib/tpcc/procedures/*)
-map here to multi-statement Engine sequences wrapped in BEGIN/COMMIT (routed
-as autocommit no-ops, sql_translator.cpp:377-380 analog). The read-only
+map here to multi-statement Engine sequences wrapped in BEGIN/COMMIT (real
+transactions on the version ring since round 8; ROLLBACK aborts the whole
+procedure — sql_translator.cpp:377-380 analog). The read-only
 procedures (OrderStatus, StockLevel) are registered oracle-checked queries in
 plans/tpcc.py; these tests cover the read-write ones plus a consistency
 check in the spirit of tpcc_benchmark.cpp's --consistency_checks.
@@ -113,10 +114,33 @@ def test_delivery_procedure(engine):
 
 
 def test_rollback_is_accepted(engine):
-    """ROLLBACK parses and no-ops (autocommit emulation: the statement
-    BEFORE it has already committed — documented SURVEY §7 risk 6)."""
+    """Empty BEGIN..ROLLBACK round-trips (TPC-C's 1% forced NewOrder abort
+    shape, tpcc_benchmark.cpp): nothing inside, state unchanged."""
     engine.execute("BEGIN; ROLLBACK")
     assert _one(engine, "SELECT COUNT(*) AS c FROM tpcc_customer")["c"] == 4
+
+
+def test_new_order_rollback_aborts_all_writes(engine):
+    """The reference forces 1% of NewOrder transactions to abort AFTER their
+    writes (tpcc_new_order.cpp) — the rolled-back procedure must leave no
+    trace in any table it touched."""
+    before = {
+        t: _one(engine, f"SELECT COUNT(*) AS c FROM {t}")["c"]
+        for t in ("tpcc_orders", "tpcc_order_line", "tpcc_customer")
+    }
+    engine.execute(
+        """
+        BEGIN;
+        INSERT INTO tpcc_orders VALUES (900, 2, 'O', 77.0);
+        INSERT INTO tpcc_order_line VALUES (900, 900, 1, 40.0), (901, 900, 4, 37.0);
+        UPDATE tpcc_customer SET c_balance = c_balance - 77.0 WHERE c_custkey = 2;
+        ROLLBACK
+        """
+    )
+    after = {t: _one(engine, f"SELECT COUNT(*) AS c FROM {t}")["c"] for t in before}
+    assert after == before
+    assert _one(engine, "SELECT COUNT(*) AS c FROM tpcc_orders WHERE o_orderkey = 900")["c"] == 0
+    assert _one(engine, "SELECT c_balance AS b FROM tpcc_customer WHERE c_custkey = 2")["b"] == 1000.0
 
 
 def test_consistency_check_balance_vs_ytd(engine):
