@@ -204,10 +204,309 @@ def run(
     return out
 
 
+# ---------------------------------------------------------------------------
+# TPC-C transactional throughput mode (tpcc_benchmark.cpp analog).
+#
+# The reference runs the five TPC-C procedures as concurrent transactional
+# load with --scale/--clients and a post-run --consistency_checks audit
+# (src/benchmark/tpcc_benchmark.cpp, src/benchmarklib/tpcc/procedures/*).
+# This mode does the same against engine-managed scratch tables: N client
+# threads each draw procedures from the reference's weighted mix and run
+# them as BEGIN..COMMIT Engine DML sequences, with the reference's 1%
+# forced NewOrder ROLLBACK (tpcc_new_order.cpp). Like the reference ("we do
+# not claim to report correctly calculated tpmC", tpcc_benchmark.cpp:30)
+# the metric is committed transactions/second over this engine, not tpmC.
+#
+# Concurrency model — documented single-writer: the Engine's catalog and
+# transaction pin are engine-global, so a process-level lock serializes
+# whole procedures. Clients still exercise the contended arrival pattern
+# (lock wait + interleaved procedure order is seed-dependent), which is
+# what the audit must survive; true multi-writer isolation is a table
+# format's job at warehouse scale (engine.py DML design note).
+#
+# Monetary values are whole-dollar integers: every balance/ytd/total stays
+# exactly representable in a double, so the audit compares exactly.
+# ---------------------------------------------------------------------------
+
+_TPCC_MIX = (  # reference mix, tpcc_benchmark.cpp / TPC-C §5.2.3
+    ("new_order", 45), ("payment", 43), ("order_status", 4),
+    ("delivery", 4), ("stock_level", 4),
+)
+_TPCC_FIRST_OID = 100
+_TPCC_SEED_BALANCE = 1000.0
+
+
+def _one(engine, sql: str):
+    return engine.execute(sql).collect()[0]
+
+
+def tpcc_setup(engine, districts: int = 4, customers: int = 16) -> None:
+    """Scratch tables: district (order-id allocator + ytd), customer,
+    orders, order_line. Dropped/recreated per run."""
+    for t in ("tpcc_district", "tpcc_customer", "tpcc_orders", "tpcc_order_line"):
+        engine.execute(f"DROP TABLE IF EXISTS {t}")
+    engine.execute(
+        f"""CREATE TABLE tpcc_district AS
+        SELECT CAST(id AS INT) AS d_id, CAST({_TPCC_FIRST_OID} AS INT) AS d_next_o_id,
+               CAST(0.0 AS DOUBLE) AS d_ytd
+        FROM RANGE({districts})"""
+    )
+    engine.execute(
+        f"""CREATE TABLE tpcc_customer AS
+        SELECT CAST(id AS INT) AS c_custkey, CAST(id % {districts} AS INT) AS c_d_id,
+               CAST({_TPCC_SEED_BALANCE} AS DOUBLE) AS c_balance,
+               CAST(0.0 AS DOUBLE) AS c_ytd_payment,
+               CAST(0 AS INT) AS c_delivery_cnt
+        FROM RANGE({customers})"""
+    )
+    engine.execute(
+        "CREATE TABLE tpcc_orders (o_orderkey INT, o_d_id INT, o_custkey INT,"
+        " o_orderstatus STRING, o_totalprice DOUBLE)"
+    )
+    engine.execute(
+        "CREATE TABLE tpcc_order_line (ol_d_id INT, ol_orderkey INT,"
+        " ol_number INT, ol_amount DOUBLE)"
+    )
+
+
+def _tpcc_new_order(engine, rng, districts: int, customers: int) -> bool:
+    """tpcc_new_order.cpp: allocate the district's next order id, insert the
+    header + 1-5 lines, bump the allocator — all in one transaction; 1% of
+    runs abort AFTER the writes (the spec's forced rollback)."""
+    d = rng.randrange(districts)
+    c = d + districts * rng.randrange(customers // districts)
+    amounts = [float(rng.randrange(1, 100)) for _ in range(rng.randint(1, 5))]
+    total = sum(amounts)
+    engine.execute("BEGIN")
+    oid = _one(engine, f"SELECT d_next_o_id AS n FROM tpcc_district WHERE d_id = {d}")["n"]
+    engine.execute(
+        f"INSERT INTO tpcc_orders VALUES ({oid}, {d}, {c}, 'O', {total})"
+    )
+    values = ", ".join(f"({d}, {oid}, {i + 1}, {a})" for i, a in enumerate(amounts))
+    engine.execute(f"INSERT INTO tpcc_order_line VALUES {values}")
+    engine.execute(
+        f"UPDATE tpcc_district SET d_next_o_id = d_next_o_id + 1 WHERE d_id = {d}"
+    )
+    if rng.random() < 0.01:
+        engine.execute("ROLLBACK")
+        return False
+    engine.execute("COMMIT")
+    return True
+
+
+def _tpcc_payment(engine, rng, districts: int, customers: int) -> bool:
+    """tpcc_payment.cpp: debit the customer, credit the district ytd."""
+    c = rng.randrange(customers)
+    amt = float(rng.randrange(1, 500))
+    engine.execute("BEGIN")
+    engine.execute(
+        f"UPDATE tpcc_customer SET c_balance = c_balance - {amt},"
+        f" c_ytd_payment = c_ytd_payment + {amt} WHERE c_custkey = {c}"
+    )
+    engine.execute(
+        f"UPDATE tpcc_district SET d_ytd = d_ytd + {amt}"
+        f" WHERE d_id = {c % districts}"
+    )
+    engine.execute("COMMIT")
+    return True
+
+
+def _tpcc_delivery(engine, rng, districts: int, customers: int) -> bool:
+    """tpcc_delivery.cpp: fulfil the district's oldest open order and credit
+    its amount to the customer."""
+    d = rng.randrange(districts)
+    engine.execute("BEGIN")
+    k = _one(
+        engine,
+        f"SELECT MIN(o_orderkey) AS k FROM tpcc_orders"
+        f" WHERE o_d_id = {d} AND o_orderstatus = 'O'",
+    )["k"]
+    if k is None:  # no deliverable order: the spec's skipped delivery
+        engine.execute("COMMIT")
+        return True
+    engine.execute(
+        f"UPDATE tpcc_orders SET o_orderstatus = 'F'"
+        f" WHERE o_d_id = {d} AND o_orderkey = {k}"
+    )
+    engine.execute(
+        f"UPDATE tpcc_customer SET c_balance = c_balance +"
+        f" (SELECT o_totalprice FROM tpcc_orders"
+        f"  WHERE o_d_id = {d} AND o_orderkey = {k}),"
+        f" c_delivery_cnt = c_delivery_cnt + 1"
+        f" WHERE c_custkey = (SELECT o_custkey FROM tpcc_orders"
+        f"                    WHERE o_d_id = {d} AND o_orderkey = {k})"
+    )
+    engine.execute("COMMIT")
+    return True
+
+
+def _tpcc_order_status(engine, rng, districts: int, customers: int) -> bool:
+    """tpcc_order_status.cpp: the customer's most recent order (read-only)."""
+    c = rng.randrange(customers)
+    engine.execute(
+        f"SELECT o_orderkey, o_orderstatus, o_totalprice FROM tpcc_orders"
+        f" WHERE o_custkey = {c} ORDER BY o_orderkey DESC LIMIT 1"
+    ).collect()
+    return True
+
+
+def _tpcc_stock_level(engine, rng, districts: int, customers: int) -> bool:
+    """tpcc_stock_level.cpp analog: open-order backlog for one district
+    (read-only aggregate over the district's recent orders)."""
+    d = rng.randrange(districts)
+    engine.execute(
+        f"SELECT COUNT(*) AS open_orders, COALESCE(CAST(SUM(o_totalprice) AS DOUBLE), 0.0) AS backlog"
+        f" FROM tpcc_orders WHERE o_d_id = {d} AND o_orderstatus = 'O'"
+    ).collect()
+    return True
+
+
+_TPCC_IMPLS = {
+    "new_order": _tpcc_new_order,
+    "payment": _tpcc_payment,
+    "delivery": _tpcc_delivery,
+    "order_status": _tpcc_order_status,
+    "stock_level": _tpcc_stock_level,
+}
+
+
+def tpcc_consistency_audit(engine, districts: int) -> dict[str, bool]:
+    """Post-run audit — the reference's --consistency_checks
+    (tpcc_benchmark.cpp) / TPC-C §3.3.2 conditions adapted to this schema:
+
+      allocator   : d_next_o_id - first == committed order count per district
+                    (a rolled-back NewOrder must have restored the allocator)
+      max_oid     : MAX(o_orderkey) == d_next_o_id - 1 where orders exist
+      order_total : o_totalprice == SUM(ol_amount) per order, exactly
+      ytd         : SUM(c_ytd_payment) == SUM(d_ytd), exactly
+      balance     : c_balance == seed - ytd_payment + delivered credit
+      delivery_cnt: c_delivery_cnt == count of the customer's 'F' orders
+    """
+    checks: dict[str, bool] = {}
+    rows = engine.execute(
+        f"""SELECT d.d_id, d.d_next_o_id, COUNT(o.o_orderkey) AS n,
+                   MAX(o.o_orderkey) AS mx
+            FROM tpcc_district d LEFT JOIN tpcc_orders o ON o.o_d_id = d.d_id
+            GROUP BY d.d_id, d.d_next_o_id"""
+    ).collect()
+    checks["allocator"] = all(r["d_next_o_id"] - _TPCC_FIRST_OID == r["n"] for r in rows)
+    checks["max_oid"] = all(
+        r["mx"] is None or r["mx"] == r["d_next_o_id"] - 1 for r in rows
+    )
+    bad = engine.execute(
+        """SELECT COUNT(*) AS bad FROM (
+             SELECT o.o_orderkey
+             FROM tpcc_orders o LEFT JOIN tpcc_order_line l
+               ON l.ol_d_id = o.o_d_id AND l.ol_orderkey = o.o_orderkey
+             GROUP BY o.o_d_id, o.o_orderkey, o.o_totalprice
+             HAVING o.o_totalprice <> COALESCE(SUM(l.ol_amount), -1.0)
+           ) t"""
+    ).collect()[0]["bad"]
+    checks["order_total"] = bad == 0
+    sums = engine.execute(
+        """SELECT (SELECT COALESCE(SUM(c_ytd_payment), 0.0) FROM tpcc_customer) AS cy,
+                  (SELECT COALESCE(SUM(d_ytd), 0.0) FROM tpcc_district) AS dy"""
+    ).collect()[0]
+    checks["ytd"] = sums["cy"] == sums["dy"]
+    bad = engine.execute(
+        f"""SELECT COUNT(*) AS bad FROM (
+              SELECT c.c_custkey
+              FROM tpcc_customer c LEFT JOIN tpcc_orders o
+                ON o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+              GROUP BY c.c_custkey, c.c_balance, c.c_ytd_payment, c.c_delivery_cnt
+              HAVING c.c_balance <> {_TPCC_SEED_BALANCE} - c.c_ytd_payment
+                       + COALESCE(SUM(o.o_totalprice), 0.0)
+                  OR c.c_delivery_cnt <> COUNT(o.o_orderkey)
+            ) t"""
+    ).collect()[0]["bad"]
+    checks["balance_and_delivery_cnt"] = bad == 0
+    return checks
+
+
+def run_tpcc(
+    spark: SparkSession,
+    clients: int = 4,
+    txns_per_client: int = 25,
+    districts: int = 4,
+    customers: int = 16,
+    seed: int = 8,
+) -> dict:
+    """N client threads x txns_per_client weighted-mix procedures, then the
+    consistency audit. Returns the committed-txn throughput profile."""
+    import random
+    import threading
+
+    from hyrise_spark.engine import Engine
+
+    engine = Engine(spark)
+    tpcc_setup(engine, districts, customers)
+    lock = threading.Lock()  # single-writer: see module note above
+    counts = {p: 0 for p in _TPCC_IMPLS}
+    lat: dict[str, list[float]] = {p: [] for p in _TPCC_IMPLS}
+    rolled_back = 0
+    weights = [w for _, w in _TPCC_MIX]
+    names = [n for n, _ in _TPCC_MIX]
+
+    def client(cid: int) -> None:
+        nonlocal rolled_back
+        rng = random.Random(seed * 1000 + cid)
+        for _ in range(txns_per_client):
+            proc = rng.choices(names, weights=weights, k=1)[0]
+            t0 = time.perf_counter()
+            with lock:
+                committed = _TPCC_IMPLS[proc](engine, rng, districts, customers)
+            dt = time.perf_counter() - t0
+            with lock:
+                lat[proc].append(dt)
+                if committed:
+                    counts[proc] += 1
+                else:
+                    rolled_back += 1
+
+    t_total = time.perf_counter()
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(clients)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t_total
+    audit = tpcc_consistency_audit(engine, districts)
+    committed = sum(counts.values())
+    per_proc = {
+        p: {
+            "committed": counts[p],
+            "median_s": round(sorted(lat[p])[len(lat[p]) // 2], 4) if lat[p] else None,
+        }
+        for p in _TPCC_IMPLS
+    }
+    return {
+        "mode": "tpcc",
+        "clients": clients,
+        "txns_per_client": txns_per_client,
+        "committed": committed,
+        "rolled_back": rolled_back,
+        "tps": round(committed / wall, 3),
+        "wall_s": round(wall, 3),
+        "per_proc": per_proc,
+        "consistency": audit,
+        "consistency_ok": all(audit.values()),
+    }
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
-    ap.add_argument("--queries", required=True, help="directory of *.sql files")
-    ap.add_argument("--tables", required=True, help="directory of table files")
+    ap.add_argument("--queries", help="directory of *.sql files")
+    ap.add_argument("--tables", help="directory of table files")
+    ap.add_argument(
+        "--tpcc", action="store_true",
+        help="TPC-C transactional throughput mode (tpcc_benchmark.cpp analog):"
+             " weighted procedure mix from N --clients, post-run consistency"
+             " audit; --queries/--tables unused",
+    )
+    ap.add_argument("--txns", type=int, default=25,
+                    help="transactions per client (tpcc mode)")
+    ap.add_argument("--districts", type=int, default=4, help="tpcc scale")
+    ap.add_argument("--customers", type=int, default=16, help="tpcc scale")
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--verify", action="store_true", help="cross-check on DuckDB")
     ap.add_argument("--cpus", type=int, default=8)
@@ -225,6 +524,15 @@ def main(argv: list[str] | None = None) -> int:
     from hyrise_spark.session import get_spark
 
     spark = get_spark(app_name="file_based_benchmark", cpus=args.cpus)
+    if args.tpcc:
+        result = run_tpcc(
+            spark, clients=args.clients, txns_per_client=args.txns,
+            districts=args.districts, customers=args.customers,
+        )
+        print(json.dumps(result))
+        return 0 if result["consistency_ok"] else 1
+    if not args.queries or not args.tables:
+        ap.error("--queries and --tables are required (unless --tpcc)")
     result = run(
         spark, args.queries, args.tables,
         runs=args.runs, verify=args.verify, clients=args.clients,

@@ -158,3 +158,56 @@ def test_consistency_check_balance_vs_ytd(engine):
         "SELECT c_balance + c_ytd_payment AS inv FROM tpcc_customer"
     ).collect()
     assert all(r["inv"] == 1000.0 for r in rows)
+
+
+# -- transactional throughput mode (tpcc_benchmark.cpp --clients analog) -----
+
+def test_tpcc_throughput_mode_consistency_at_4_clients(spark):
+    """benchmark_runner --tpcc: 4 concurrent clients x weighted procedure
+    mix against scratch tables (single-writer lock, documented), then the
+    full consistency audit — every TPC-C invariant must survive the
+    interleaved load."""
+    from hyrise_spark.benchmark_runner import run_tpcc
+
+    r = run_tpcc(spark, clients=4, txns_per_client=8)
+    assert r["consistency_ok"], r["consistency"]
+    assert r["committed"] + r["rolled_back"] == 4 * 8
+    assert r["tps"] > 0
+    # the mix actually exercised writes
+    assert r["per_proc"]["new_order"]["committed"] > 0
+    assert r["per_proc"]["payment"]["committed"] > 0
+
+
+def test_tpcc_forced_new_order_rollback_keeps_invariants(spark):
+    """The spec's 1% forced NewOrder abort: force the rollback branch
+    deterministically and re-audit — the allocator, order, and line tables
+    must show no trace of the aborted transaction."""
+    from hyrise_spark.benchmark_runner import (
+        _tpcc_new_order,
+        tpcc_consistency_audit,
+        tpcc_setup,
+    )
+    from hyrise_spark.engine import Engine
+
+    class ForceAbort:
+        """rng stub: one 3-line order for district 0 / customer 0, abort."""
+
+        def randrange(self, *a):
+            return a[0] - 1 if len(a) > 1 else 0  # amounts=max, ids=0
+
+        def randint(self, lo, hi):
+            return 3
+
+        def random(self):
+            return 0.0  # < 0.01 -> forced ROLLBACK
+
+    eng = Engine(spark)
+    tpcc_setup(eng, districts=2, customers=4)
+    committed = _tpcc_new_order(eng, ForceAbort(), districts=2, customers=4)
+    assert committed is False
+    audit = tpcc_consistency_audit(eng, districts=2)
+    assert all(audit.values()), audit
+    n = eng.execute("SELECT COUNT(*) AS c FROM tpcc_orders").collect()[0]["c"]
+    assert n == 0
+    for t in ("tpcc_district", "tpcc_customer", "tpcc_orders", "tpcc_order_line"):
+        eng.execute(f"DROP TABLE {t}")
