@@ -29,19 +29,52 @@ TESTDATA_TABLES = (
 )
 
 
+# Opt-in exact-decimal session mode (SCALE.md §9 honest-limits follow-up).
+# The driver's parquet carries monetary columns as DOUBLE; the default
+# engine mode keeps them double with cents-lattice rounding. Flipping this
+# flag (or exporting HYRISE_SPARK_DECIMAL=1) loads the TPC-H monetary
+# columns as DECIMAL(15,2) — the spec's type — so every price aggregate is
+# EXACT rather than correctly-rounded. Beyond-reference robustness: hyrise
+# itself has no decimal type at all (all_type_variant.hpp:34-40). Kept
+# opt-in because the driver's oracle gate runs the double path.
+DECIMAL_MODE: bool = os.environ.get("HYRISE_SPARK_DECIMAL", "") == "1"
+
+# TPC-H spec: every monetary/rate column is DECIMAL(15,2)
+MONEY_COLS: dict[str, tuple[str, ...]] = {
+    "lineitem": ("l_extendedprice", "l_discount", "l_tax"),
+    "orders": ("o_totalprice",),
+    "part": ("p_retailprice",),
+    "customer": ("c_acctbal",),
+    "supplier": ("s_acctbal",),
+}
+
+
 def load_tables(
-    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES
+    spark: SparkSession,
+    sf_dir: str,
+    names: tuple[str, ...] = TESTDATA_TABLES,
+    decimal: bool | None = None,
 ) -> dict[str, DataFrame]:
     """Load parquet tables from a scale-factor directory and register temp views.
 
     Lazy: nothing is scanned until an action; filters/projections written
-    against these DataFrames push down into the parquet scan.
+    against these DataFrames push down into the parquet scan. With
+    `decimal=True` (default: the session-wide DECIMAL_MODE flag), monetary
+    columns are cast to DECIMAL(15,2) right above the scan — the cast is a
+    projection, so pushdown/pruning on the other columns is unaffected.
     """
+    use_dec = DECIMAL_MODE if decimal is None else decimal
     out: dict[str, DataFrame] = {}
     for name in names:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
             df = _cached_read(spark, path)
+            if use_dec and name in MONEY_COLS:
+                from pyspark.sql import functions as F
+
+                for c in MONEY_COLS[name]:
+                    if c in df.columns:
+                        df = df.withColumn(c, F.col(c).cast("decimal(15,2)"))
             df.createOrReplaceTempView(name)
             out[name] = df
     return out

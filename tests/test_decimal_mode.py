@@ -1,0 +1,100 @@
+"""Exact-decimal session mode (opt-in; VERDICT r7 item 6).
+
+The default engine loads monetary columns as DOUBLE (the driver parquet's
+physical type) with cents-lattice rounding discipline. `DECIMAL_MODE` /
+`load_tables(..., decimal=True)` instead casts the TPC-H monetary columns
+to DECIMAL(15,2) — the spec's type — making every price aggregate exact.
+Hyrise itself has NO decimal type (all_type_variant.hpp:34-40: int/long/
+float/double/string only), so this is a beyond-reference robustness axis.
+
+These tests re-run the scan + TPC-H registry families with the decimal
+flag flipped and compare against DuckDB oracles whose views carry the SAME
+DECIMAL(15,2) casts (`SELECT * REPLACE`), plus a pin on exactly WHERE the
+double path and the decimal path diverge (ulp-level drift of a big double
+sum vs the exact decimal sum).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import hyrise_spark.catalog as catalog
+from hyrise_spark.oracle import assert_matches_oracle
+from hyrise_spark.registry import all_queries
+from tests.conftest import SF_DIR
+
+QUERIES = all_queries()
+
+# Physical-layout variants (bucketed / date-partitioned / z-ordered) rewrite
+# derived files through layout.py rather than load_tables and test layout,
+# not arithmetic — the plain forms of the same queries cover the decimal
+# semantics. Everything else in the scan_/tpch_ families runs.
+_LAYOUT_VARIANTS = {
+    "tpch_q3_bucketed", "tpch_q18_bucketed", "tpch_q6_datepartitioned",
+    "tpch_q6_datesorted", "scan_multidim_zordered",
+}
+
+DECIMAL_AXIS = sorted(
+    n for n in QUERIES
+    if (n.startswith("scan_") or n.startswith("tpch_"))
+    and n not in _LAYOUT_VARIANTS and QUERIES[n].oracle is not None
+)
+
+
+@pytest.fixture(scope="module")
+def decimal_mode():
+    old = catalog.DECIMAL_MODE
+    catalog.DECIMAL_MODE = True
+    yield
+    catalog.DECIMAL_MODE = old
+
+
+@pytest.fixture(scope="module")
+def duck_decimal():
+    """DuckDB oracle connection whose views carry the same DECIMAL(15,2)
+    monetary columns the Spark session loads."""
+    con = duckdb.connect()
+    for t in catalog.TESTDATA_TABLES:
+        money = catalog.MONEY_COLS.get(t)
+        if money:
+            repl = ", ".join(f"CAST({c} AS DECIMAL(15,2)) AS {c}" for c in money)
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * REPLACE ({repl}) "
+                f"FROM read_parquet('{SF_DIR}/{t}.parquet')"
+            )
+        else:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+            )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", DECIMAL_AXIS)
+def test_query_matches_oracle_under_decimal_session(spark, decimal_mode, duck_decimal, name):
+    sdf = QUERIES[name].builder(spark, SF_DIR)
+    assert_matches_oracle(sdf, duck_decimal, QUERIES[name].oracle, name)
+
+
+def test_decimal_sum_is_exact_where_double_sum_drifts(spark, decimal_mode, duck_decimal):
+    """Pin the divergence the mode exists for: a full-column price sum in
+    doubles accumulates ulp error (order-dependent), while the decimal sum
+    equals DuckDB's exact DECIMAL sum digit-for-digit."""
+    import decimal as pydec
+
+    li_dec = catalog.load_tables(spark, SF_DIR, ("lineitem",), decimal=True)["lineitem"]
+    li_dbl = catalog.load_tables(spark, SF_DIR, ("lineitem",), decimal=False)["lineitem"]
+    got_dec = li_dec.groupBy().sum("l_extendedprice").collect()[0][0]
+    got_dbl = li_dbl.groupBy().sum("l_extendedprice").collect()[0][0]
+    want = duck_decimal.execute(
+        "SELECT SUM(l_extendedprice) FROM lineitem"
+    ).fetchone()[0]
+    assert isinstance(got_dec, pydec.Decimal)
+    assert got_dec == want  # exact, digit-for-digit
+    # the double path is close (cents-lattice inputs) but only approximately:
+    # equality of the double sum with the exact total is NOT guaranteed and
+    # the engine's default mode therefore rounds at presentation time
+    assert abs(float(got_dec) - got_dbl) < 0.01
+    # restore the double views for later tests in this session
+    catalog.load_tables(spark, SF_DIR, ("lineitem",), decimal=False)
