@@ -317,6 +317,31 @@ def _convert_param(text: str | None, oid: int):
     return text
 
 
+def _convert_binary_param(raw: bytes | None, oid: int):
+    """Binary-format Bind parameter -> Python value (the pg recv-function
+    encodings: network-order two's-complement ints, IEEE-754 floats, one
+    0/1 byte for bool, raw UTF-8 for text). The inverse of the per-column
+    BINARY result encodings in _render_binary. Reference:
+    postgres_protocol_handler.hpp reads the same wire formats."""
+    if raw is None:
+        return None
+    if oid == 20:  # int8
+        return struct.unpack("!q", raw)[0]
+    if oid == 23:  # int4
+        return struct.unpack("!i", raw)[0]
+    if oid == 21:  # int2
+        return struct.unpack("!h", raw)[0]
+    if oid == 701:  # float8
+        return struct.unpack("!d", raw)[0]
+    if oid == 700:  # float4
+        return struct.unpack("!f", raw)[0]
+    if oid == 16:  # bool
+        return raw != b"\x00"
+    if oid in (0, 25, 1043):  # unknown/text/varchar: raw UTF-8
+        return raw.decode("utf-8")
+    raise ValueError(f"binary Bind parameter not supported for type OID {oid}")
+
+
 class _PgHandler(socketserver.BaseRequestHandler):
     def handle(self) -> None:
         server: PgWireServer = self.server  # type: ignore[assignment]
@@ -433,8 +458,8 @@ class _PgHandler(socketserver.BaseRequestHandler):
         off += 2
         fmts = struct.unpack_from(f"!{n_fmt}h", rest, off)
         off += 2 * n_fmt
-        if any(f == 1 for f in fmts):
-            raise ValueError("binary-format parameters not supported (send text)")
+        if any(f not in (0, 1) for f in fmts):
+            raise ValueError(f"unknown parameter format code in {fmts}")
         (n_params,) = struct.unpack_from("!h", rest, off)
         off += 2
         sql, oids = prepared[stmt.decode()]
@@ -442,13 +467,20 @@ class _PgHandler(socketserver.BaseRequestHandler):
         for i in range(n_params):
             (plen,) = struct.unpack_from("!i", rest, off)
             off += 4
-            if plen == -1:
-                raw = None
-            else:
-                raw = rest[off:off + plen].decode("utf-8")
+            raw = None
+            if plen != -1:
+                raw = rest[off:off + plen]
                 off += plen
             oid = oids[i] if i < len(oids) else 0
-            args[f"p{i + 1}"] = _convert_param(raw, oid)
+            # spec: 0 codes = all text, 1 code = applies to every param,
+            # else one code per param
+            fmt = fmts[0] if len(fmts) == 1 else (fmts[i] if fmts else 0)
+            if fmt == 1:
+                args[f"p{i + 1}"] = _convert_binary_param(raw, oid)
+            else:
+                args[f"p{i + 1}"] = _convert_param(
+                    raw.decode("utf-8") if raw is not None else None, oid
+                )
         # result format codes: honored per column (0 = text, 1 = binary)
         rfmts: tuple[int, ...] = ()
         if off + 2 <= len(rest):

@@ -158,6 +158,23 @@ class _RawPg:
         payload += b"".join(struct.pack("!h", f) for f in result_formats)
         self.send(b"B", payload)
 
+    def bind_binary(self, portal: str, stmt: str, params=(), result_formats=()):
+        """Bind with PER-PARAM format codes: params are (fmt, payload)
+        pairs — fmt 0 with a str payload, fmt 1 with raw bytes (or None)."""
+        payload = (portal.encode() + b"\x00" + stmt.encode() + b"\x00"
+                   + struct.pack("!h", len(params))
+                   + b"".join(struct.pack("!h", f) for f, _ in params)
+                   + struct.pack("!h", len(params)))
+        for fmt, p in params:
+            if p is None:
+                payload += struct.pack("!i", -1)
+            else:
+                b = p if fmt == 1 else str(p).encode()
+                payload += struct.pack("!i", len(b)) + b
+        payload += struct.pack("!h", len(result_formats))
+        payload += b"".join(struct.pack("!h", f) for f in result_formats)
+        self.send(b"B", payload)
+
     def describe_portal(self, portal: str):
         self.send(b"D", b"P" + portal.encode() + b"\x00")
 
@@ -696,3 +713,73 @@ def test_psql_alter_table_roundtrip(server):
     assert out.stdout.strip().splitlines()[-1] == "1"
     out = _psql(server, "DROP TABLE pg_al; SELECT 1 AS ok")
     assert out.returncode == 0, out.stderr
+
+
+# -- binary PARAMETER format (extended protocol Bind, format code 1) ---------
+
+def test_extended_binary_params_roundtrip(server):
+    """Bind with binary-format parameters (libpq paramFormats=1): int8,
+    int4, float8, bool and text arrive as pg send-function encodings and
+    must bind exactly like their text twins."""
+    c = _RawPg(server.port)
+    try:
+        c.parse("bp1", "SELECT $1 + 1 AS a, $2 + 0.5 AS b, $3 AS c, $4 AS d",
+                oids=(20, 701, 16, 25))
+        c.bind_binary("", "bp1", params=(
+            (1, struct.pack("!q", 41)),
+            (1, struct.pack("!d", 2.0)),
+            (1, b"\x01"),
+            (1, "hé".encode()),
+        ))
+        c.execute("")
+        c.sync()
+        msgs = dict(c.drain_until(b"Z"))
+        cells = _parse_data_cells(msgs[b"D"])
+        assert cells == [b"42", b"2.5", b"t", "hé".encode()]  # pg text bool = t
+    finally:
+        c.close()
+
+
+def test_extended_mixed_text_and_binary_params(server):
+    """Per-param format codes: a text int and a binary int in one Bind."""
+    c = _RawPg(server.port)
+    try:
+        c.parse("bp2", "SELECT $1 + $2 AS s", oids=(23, 23))
+        c.bind_binary("", "bp2", params=(
+            (0, "40"),
+            (1, struct.pack("!i", 2)),
+        ))
+        c.execute("")
+        c.sync()
+        msgs = dict(c.drain_until(b"Z"))
+        assert _parse_data_cells(msgs[b"D"]) == [b"42"]
+    finally:
+        c.close()
+
+
+def test_extended_binary_null_param_and_unsupported_oid(server):
+    """NULL rides plen=-1 regardless of format; an unsupported binary OID
+    errors but the connection recovers (per-message error + Sync)."""
+    c = _RawPg(server.port)
+    try:
+        c.parse("bp3", "SELECT $1 AS v", oids=(20,))
+        c.bind_binary("", "bp3", params=((1, None),))
+        c.execute("")
+        c.sync()
+        msgs = dict(c.drain_until(b"Z"))
+        assert _parse_data_cells(msgs[b"D"]) == [None]
+        # numeric (1700) has no binary recv here -> ErrorResponse, then
+        # the connection must keep serving
+        c.parse("bp4", "SELECT $1 AS v", oids=(1700,))
+        c.bind_binary("", "bp4", params=((1, struct.pack("!q", 1)),))
+        c.sync()
+        msgs = c.drain_until(b"Z")
+        assert any(t == b"E" for t, _ in msgs)
+        c.parse("bp5", "SELECT 11 AS ok")
+        c.bind("", "bp5")
+        c.execute("")
+        c.sync()
+        msgs = dict(c.drain_until(b"Z"))
+        assert _parse_data_cells(msgs[b"D"]) == [b"11"]
+    finally:
+        c.close()
