@@ -708,7 +708,13 @@ class _PgHandler(socketserver.BaseRequestHandler):
         sock.sendall(data)
 
     def _ready(self, sock: socket.socket) -> None:
-        self._send(sock, _msg(b"Z", b"I"))  # idle (autocommit engine)
+        # ReadyForQuery carries the backend transaction status: 'T' while a
+        # BEGIN is open on the engine (psql shows the  =*#  prompt), 'I'
+        # otherwise. Single shared engine: the status reflects the engine's
+        # one transaction slot, same as its single-writer DML model.
+        status = b"T" if getattr(self.server, "engine", None) is not None \
+            and self.server.engine._txn is not None else b"I"
+        self._send(sock, _msg(b"Z", status))
 
     def _error(self, sock: socket.socket, message: str) -> None:
         payload = (

@@ -783,3 +783,19 @@ def test_extended_binary_null_param_and_unsupported_oid(server):
         assert _parse_data_cells(msgs[b"D"]) == [b"11"]
     finally:
         c.close()
+
+
+@pytest.mark.skipif(PSQL is None, reason="psql not installed")
+def test_ready_for_query_reports_transaction_status(server):
+    """ReadyForQuery's status byte: 'T' while a BEGIN is open, 'I' after
+    COMMIT/ROLLBACK — what drives psql's  =#  vs  =*#  prompt."""
+    c = _RawPg(server.port)
+    try:
+        c.send(b"Q", b"BEGIN\x00")
+        msgs = c.drain_until(b"Z")
+        assert msgs[-1] == (b"Z", b"T"), msgs[-1]
+        c.send(b"Q", b"ROLLBACK\x00")
+        msgs = c.drain_until(b"Z")
+        assert msgs[-1] == (b"Z", b"I"), msgs[-1]
+    finally:
+        c.close()
