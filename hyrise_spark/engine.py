@@ -137,6 +137,14 @@ _TXN_RE = re.compile(
     r"^\s*(?:BEGIN|START\s+TRANSACTION|COMMIT|ROLLBACK)(?:\s+(?:TRANSACTION|WORK))?\s*$",
     re.I,
 )
+_SAVEPOINT_RE = re.compile(r"^\s*SAVEPOINT\s+(?P<name>\w+)\s*$", re.I)
+_ROLLBACK_TO_RE = re.compile(
+    r"^\s*ROLLBACK(?:\s+(?:TRANSACTION|WORK))?\s+TO\s+(?:SAVEPOINT\s+)?(?P<name>\w+)\s*$",
+    re.I,
+)
+_RELEASE_RE = re.compile(
+    r"^\s*RELEASE\s+(?:SAVEPOINT\s+)?(?P<name>\w+)\s*$", re.I
+)
 _META_REF_RE = re.compile(r"\bmeta_\w+", re.I)
 # SQL scalar UDFs (SQL:2016 PSM-lite; beyond the reference, whose only
 # "functions" are the three built-ins at function_expression.hpp:14-18).
@@ -243,6 +251,18 @@ class Engine:
                 self._commit()
             else:
                 self._rollback()
+            return None
+        m = _SAVEPOINT_RE.match(stmt)
+        if m:
+            self._savepoint(m["name"])
+            return None
+        m = _ROLLBACK_TO_RE.match(stmt)
+        if m:
+            self._rollback_to_savepoint(m["name"])
+            return None
+        m = _RELEASE_RE.match(stmt)
+        if m:
+            self._release_savepoint(m["name"])
             return None
         m = _IMPORT_RE.match(stmt)
         if m:
@@ -404,16 +424,11 @@ class Engine:
     # Physical side effects are NOT transactional, same as the reference:
     # COPY TO/Export files and compaction rewrites stay on disk (a rolled-
     # back compaction's file is queued for purge_compaction_trail).
-    def _begin(self) -> None:
-        import warnings
-
-        if self._txn is not None:
-            # postgres behavior: WARNING, transaction already in progress
-            warnings.warn("there is already a transaction in progress",
-                          stacklevel=4)
-            return
+    def _snapshot(self) -> dict:
+        """Pin the full catalog/engine state: dicts of references to lazy,
+        immutable DataFrame plans — no data is copied."""
         cat = self.catalog
-        self._txn = {
+        return {
             "tables": dict(cat._tables),
             "views": dict(cat._views),
             "history": {k: list(v) for k, v in cat.history.items()},
@@ -425,6 +440,60 @@ class Engine:
             "matviews": dict(self._matviews),
             "prepared": dict(self._prepared),
         }
+
+    def _restore(self, snap: dict) -> None:
+        """Put the catalog/engine back at `snap` (abort.hpp analog: every
+        statement applied since the pin un-happens)."""
+        cat = self.catalog
+        # un-register session objects created since the pin
+        for name in set(cat._tables) - set(snap["tables"]):
+            try:
+                self.spark.catalog.dropTempView(name)
+            except Exception:  # noqa: BLE001 — already gone
+                pass
+        for name in set(cat._views) - set(snap["views"]):
+            try:
+                self.spark.catalog.dropTempView(name)
+            except Exception:  # noqa: BLE001 — already gone
+                pass
+        for name in set(self._functions) - set(snap["functions"]):
+            self.spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {name}")
+        # a compaction file written since the pin is unreferenced after
+        # restore — queue it for the explicit physical purge
+        for t, trail in cat.compact_paths.items():
+            kept = set(snap["compact_paths"].get(t, []))
+            cat._compact_trash.extend(p for p in trail if p not in kept)
+        cat._tables = dict(snap["tables"])
+        cat._views = dict(snap["views"])
+        cat.history = {k: list(v) for k, v in snap["history"].items()}
+        cat.history_base = dict(snap["history_base"])
+        cat.dml_depth = dict(snap["dml_depth"])
+        cat.compact_paths = {k: list(v) for k, v in snap["compact_paths"].items()}
+        cat.validated_uccs = set(snap["validated_uccs"])
+        self._matviews = dict(snap["matviews"])
+        self._prepared = dict(snap["prepared"])
+        # re-register every table/view at its pinned plan
+        for name, df in cat._tables.items():
+            df.createOrReplaceTempView(name)
+        for vname, vsql in cat._views.items():
+            try:
+                self.spark.sql(vsql).createOrReplaceTempView(vname)
+            except Exception:  # noqa: BLE001 — dangling view, surfaced on use
+                pass
+        # functions replaced since the pin: re-run the pinned definitions
+        self._functions = {}
+        for create_sql in snap["functions"].values():
+            self._execute_one(create_sql, None)
+
+    def _begin(self) -> None:
+        import warnings
+
+        if self._txn is not None:
+            # postgres behavior: WARNING, transaction already in progress
+            warnings.warn("there is already a transaction in progress",
+                          stacklevel=4)
+            return
+        self._txn = {"snap": self._snapshot(), "savepoints": []}
 
     def _commit(self) -> None:
         import warnings
@@ -444,47 +513,42 @@ class Engine:
                 stacklevel=4,
             )
             return
-        snap, self._txn = self._txn, None
-        cat = self.catalog
-        # un-register session objects created INSIDE the transaction
-        for name in set(cat._tables) - set(snap["tables"]):
-            try:
-                self.spark.catalog.dropTempView(name)
-            except Exception:  # noqa: BLE001 — already gone
-                pass
-        for name in set(cat._views) - set(snap["views"]):
-            try:
-                self.spark.catalog.dropTempView(name)
-            except Exception:  # noqa: BLE001 — already gone
-                pass
-        for name in set(self._functions) - set(snap["functions"]):
-            self.spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {name}")
-        # a compaction file written inside the txn is unreferenced after
-        # restore — queue it for the explicit physical purge
-        for t, trail in cat.compact_paths.items():
-            kept = set(snap["compact_paths"].get(t, []))
-            cat._compact_trash.extend(p for p in trail if p not in kept)
-        cat._tables = snap["tables"]
-        cat._views = snap["views"]
-        cat.history = snap["history"]
-        cat.history_base = snap["history_base"]
-        cat.dml_depth = snap["dml_depth"]
-        cat.compact_paths = snap["compact_paths"]
-        cat.validated_uccs = snap["validated_uccs"]
-        self._matviews = snap["matviews"]
-        self._prepared = snap["prepared"]
-        # re-register every table/view at its pre-transaction plan
-        for name, df in cat._tables.items():
-            df.createOrReplaceTempView(name)
-        for vname, vsql in cat._views.items():
-            try:
-                self.spark.sql(vsql).createOrReplaceTempView(vname)
-            except Exception:  # noqa: BLE001 — dangling view, surfaced on use
-                pass
-        # functions replaced inside the txn: re-run the pre-txn definitions
-        self._functions = {}
-        for create_sql in snap["functions"].values():
-            self._execute_one(create_sql, None)
+        txn, self._txn = self._txn, None
+        self._restore(txn["snap"])
+
+    # -- savepoints (SQL:1999 feature T271; postgres SAVEPOINT semantics) ---
+    # A savepoint is just another pin on the stack: ROLLBACK TO restores it
+    # and discards LATER savepoints but keeps the named one established
+    # (postgres semantics); RELEASE drops it and everything after without
+    # touching state. Outside a transaction block all three error, like pg.
+    def _savepoint(self, name: str) -> None:
+        if self._txn is None:
+            raise ValueError("SAVEPOINT can only be used in transaction blocks")
+        self._txn["savepoints"].append((name.lower(), self._snapshot()))
+
+    def _find_savepoint(self, name: str) -> int:
+        sps = self._txn["savepoints"] if self._txn else []
+        for i in range(len(sps) - 1, -1, -1):
+            if sps[i][0] == name.lower():
+                return i
+        raise ValueError(f"savepoint {name!r} does not exist")
+
+    def _rollback_to_savepoint(self, name: str) -> None:
+        if self._txn is None:
+            raise ValueError(
+                "ROLLBACK TO SAVEPOINT can only be used in transaction blocks"
+            )
+        i = self._find_savepoint(name)
+        self._restore(self._txn["savepoints"][i][1])
+        del self._txn["savepoints"][i + 1:]  # the named one stays established
+
+    def _release_savepoint(self, name: str) -> None:
+        if self._txn is None:
+            raise ValueError(
+                "RELEASE SAVEPOINT can only be used in transaction blocks"
+            )
+        i = self._find_savepoint(name)
+        del self._txn["savepoints"][i:]
 
     # -- DML (Insert/Delete/Update operators, SURVEY.md §2.8) ---------------
     # The reference mutates MVCC chunks in place (insert.hpp:17-22,

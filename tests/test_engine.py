@@ -535,3 +535,69 @@ def test_materialized_view_lifecycle(spark):
     eng.execute("DROP MATERIALIZED VIEW IF EXISTS nope")  # no-op
     eng.execute("DROP MATERIALIZED VIEW mv")
     assert not eng.catalog.has_table("mv")
+
+
+def test_savepoint_partial_rollback(engine):
+    """SQL:1999 T271 / postgres semantics: ROLLBACK TO undoes only the
+    statements after the savepoint, keeps the transaction open AND the
+    savepoint established; COMMIT keeps the pre-savepoint writes."""
+    engine.execute("CREATE TABLE sp AS SELECT CAST(id AS INT) AS id FROM RANGE(3)")
+    engine.execute(
+        "BEGIN; INSERT INTO sp VALUES (10); SAVEPOINT s1;"
+        " INSERT INTO sp VALUES (20); DELETE FROM sp WHERE id = 0"
+    )
+    got = sorted(r.id for r in engine.execute("SELECT * FROM sp").collect())
+    assert got == [1, 2, 10, 20]
+    engine.execute("ROLLBACK TO SAVEPOINT s1")
+    got = sorted(r.id for r in engine.execute("SELECT * FROM sp").collect())
+    assert got == [0, 1, 2, 10]  # post-savepoint writes gone, pre- kept
+    # savepoint stays established: usable again
+    engine.execute("INSERT INTO sp VALUES (30); ROLLBACK TO s1")
+    got = sorted(r.id for r in engine.execute("SELECT * FROM sp").collect())
+    assert got == [0, 1, 2, 10]
+    engine.execute("COMMIT")
+    got = sorted(r.id for r in engine.execute("SELECT * FROM sp").collect())
+    assert got == [0, 1, 2, 10]
+    engine.execute("DROP TABLE sp")
+
+
+def test_savepoint_nested_release_and_full_rollback(engine):
+    engine.execute("CREATE TABLE sp2 AS SELECT 1 AS x")
+    engine.execute(
+        "BEGIN; SAVEPOINT a; UPDATE sp2 SET x = 2; SAVEPOINT b;"
+        " UPDATE sp2 SET x = 3"
+    )
+    # RELEASE b: state untouched, b (and anything after) gone
+    engine.execute("RELEASE SAVEPOINT b")
+    assert engine.execute("SELECT x FROM sp2").collect()[0]["x"] == 3
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="does not exist"):
+        engine.execute("ROLLBACK TO b")
+    # rollback to the outer savepoint, then abort the whole transaction
+    engine.execute("ROLLBACK TO a")
+    assert engine.execute("SELECT x FROM sp2").collect()[0]["x"] == 1
+    engine.execute("UPDATE sp2 SET x = 9; ROLLBACK")
+    assert engine.execute("SELECT x FROM sp2").collect()[0]["x"] == 1
+    engine.execute("DROP TABLE sp2")
+
+
+def test_savepoint_outside_transaction_errors(engine):
+    import pytest as _pytest
+
+    for stmt in ("SAVEPOINT s", "ROLLBACK TO SAVEPOINT s", "RELEASE SAVEPOINT s"):
+        with _pytest.raises(Exception, match="transaction blocks"):
+            engine.execute(stmt)
+
+
+def test_savepoint_shadowing_uses_latest(engine):
+    """pg: re-using a savepoint name shadows the older one; ROLLBACK TO
+    finds the most recent."""
+    engine.execute("CREATE TABLE sp3 AS SELECT 1 AS x")
+    engine.execute(
+        "BEGIN; UPDATE sp3 SET x = 2; SAVEPOINT s; UPDATE sp3 SET x = 3;"
+        " SAVEPOINT s; UPDATE sp3 SET x = 4"
+    )
+    engine.execute("ROLLBACK TO s")
+    assert engine.execute("SELECT x FROM sp3").collect()[0]["x"] == 3
+    engine.execute("ROLLBACK; DROP TABLE sp3")
