@@ -410,3 +410,35 @@ def test_fuzz_dml_sequences(engines, stmts):
         eng.execute(s)
         duck.execute(s)
     _compare_select(eng, duck, "SELECT * FROM idt", "; ".join(stmts))
+
+
+@st.composite
+def _txn_wrapped_sequence(draw) -> list[str]:
+    """A fuzzed DML sequence with a random contiguous slice wrapped in
+    BEGIN..COMMIT or BEGIN..ROLLBACK — both engines run real transactions,
+    so the rolled-back arm must leave identical (pre-slice) state and the
+    committed arm identical post-slice state."""
+    stmts = draw(st.lists(_dml_statement(), min_size=2, max_size=5))
+    i = draw(st.integers(0, len(stmts) - 1))
+    j = draw(st.integers(min_value=i + 1, max_value=len(stmts)))
+    end = draw(st.sampled_from(["COMMIT", "ROLLBACK"]))
+    return stmts[:i] + ["BEGIN"] + stmts[i:j] + [end] + stmts[j:]
+
+
+@settings(max_examples=15, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(stmts=_txn_wrapped_sequence())
+def test_fuzz_transactional_sequences(engines, stmts):
+    """Transaction-wrapped fuzz (round 8): DML + DDL inside BEGIN..
+    COMMIT/ROLLBACK runs verbatim on both engines; final state must match
+    — including rolled-back ALTER/TRUNCATE (both engines treat DDL
+    transactionally)."""
+    eng, duck = engines
+    eng.execute("DROP TABLE idt")
+    duck.execute("DROP TABLE idt")
+    eng.execute(_SPARK_SEED)
+    duck.execute(_DUCK_SEED)
+    for s in stmts:
+        eng.execute(s)
+        duck.execute(s)
+    _compare_select(eng, duck, "SELECT * FROM idt", "; ".join(stmts))
