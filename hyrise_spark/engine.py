@@ -146,6 +146,18 @@ _RELEASE_RE = re.compile(
     r"^\s*RELEASE\s+(?:SAVEPOINT\s+)?(?P<name>\w+)\s*$", re.I
 )
 _META_REF_RE = re.compile(r"\bmeta_\w+", re.I)
+# ASOF JOIN (DuckDB/QuestDB dialect; beyond the reference's join vocabulary,
+# types.hpp:210). Shape: one equi-key + one time inequality in ON; the
+# inequality's comparison picks the direction (l.ts >= r.ts -> latest
+# earlier right row; l.ts <= r.ts -> earliest later).
+_ASOF_RE = re.compile(
+    r"^\s*SELECT\s+(?P<list>.+?)\s+FROM\s+"
+    r"(?P<lt>\w+)(?:\s+(?:AS\s+)?(?!ASOF\b)(?P<la>\w+))?"
+    r"\s+ASOF\s+(?P<left>LEFT\s+)?JOIN\s+"
+    r"(?P<rt>\w+)(?:\s+(?:AS\s+)?(?!ON\b)(?P<ra>\w+))?"
+    r"\s+ON\s+(?P<cond>.+?)\s*$",
+    re.I | re.S,
+)
 # SQL scalar UDFs (SQL:2016 PSM-lite; beyond the reference, whose only
 # "functions" are the three built-ins at function_expression.hpp:14-18).
 # Spark executes the body as a catalyst expression — JVM-side, codegen'd,
@@ -400,6 +412,14 @@ class Engine:
         if m:
             sets, cond = self._split_top_level_where(m["rest"])
             return self._update(m["table"], sets, cond, args=args)
+        if re.search(r"\bASOF\s+(?:LEFT\s+)?JOIN\b", stmt, re.I):
+            m = _ASOF_RE.match(stmt)
+            if not m:
+                raise ValueError(
+                    "ASOF JOIN: supported shape is SELECT <list> FROM <l> [AS a]"
+                    " ASOF [LEFT] JOIN <r> [AS b] ON <equi-key AND time-inequality>"
+                )
+            return self._asof_join_sql(m)
         if stmt.lower().startswith("select") and "meta_" in stmt:
             self._materialize_meta_tables(stmt)
         if self.catalog.validated_uccs and stmt.lower().lstrip().startswith("select"):
@@ -412,6 +432,56 @@ class Engine:
         if args is not None:
             return self.spark.sql(stmt, args=args)
         return self.spark.sql(stmt)
+
+    def _asof_join_sql(self, m: "re.Match[str]") -> DataFrame:
+        """ASOF [LEFT] JOIN (DuckDB dialect; beyond the reference's join
+        vocabulary): for each left row, keep the single best-matching right
+        row under the ON clause's time inequality — latest-earlier for
+        `l.ts >= r.ts`, earliest-later for `l.ts <= r.ts`.
+
+        Rewrite: tag each left row with monotonically_increasing_id, run the
+        ordinary (left) equi+range join, keep ROW_NUMBER()=1 per left row
+        ordered by the right time. Pair blowup is bounded by per-key match
+        width pre-dedup; for heavy time-series use the single-shuffle union
+        form (operators/joins.py::asof_join) — this SQL surface favors
+        compatibility (it is also how engines without a native asof execute
+        it). Oracle: DuckDB's native ASOF JOIN (registered `join_asof_sql`).
+        """
+        la = m["la"] or m["lt"]
+        ra = m["ra"] or m["rt"]
+        cond = m["cond"].strip()
+        ineq = None
+        for t in re.split(r"\bAND\b", cond, flags=re.I):
+            mm = re.match(
+                r"^\s*(?P<x>[\w.]+)\s*(?P<op><=|>=|<|>)\s*(?P<y>[\w.]+)\s*$", t
+            )
+            if mm:
+                ineq = mm
+        if ineq is None:
+            raise ValueError(
+                "ASOF JOIN: ON must contain a time inequality (<, <=, >, >=)"
+            )
+        x, op, y = ineq["x"], ineq["op"], ineq["y"]
+        if y.split(".")[0] == ra or ("." not in y and x.split(".")[0] == la):
+            rexpr, right_is_smaller = y, op in (">", ">=")  # l.ts >= r.ts
+        elif x.split(".")[0] == ra or ("." not in x and y.split(".")[0] == la):
+            rexpr, right_is_smaller = x, op in ("<", "<=")  # r.ts <= l.ts
+        else:
+            raise ValueError(
+                "ASOF JOIN: could not identify the right-side time column "
+                "(qualify it with the right table's alias)"
+            )
+        order = "DESC" if right_is_smaller else "ASC"
+        join_kw = "LEFT JOIN" if m["left"] else "JOIN"
+        inner = (
+            f"SELECT {m['list']}, ROW_NUMBER() OVER "
+            f"(PARTITION BY {la}.__asof_lid ORDER BY {rexpr} {order}) AS __asof_rn "
+            f"FROM (SELECT *, monotonically_increasing_id() AS __asof_lid "
+            f"FROM {m['lt']}) AS {la} "
+            f"{join_kw} {m['rt']} AS {ra} ON {cond}"
+        )
+        df = self.spark.sql(inner)
+        return df.filter("__asof_rn = 1").drop("__asof_rn", "__asof_lid")
 
     # -- transactions (transaction_manager.hpp analog on the version ring) --
     # The reference's TransactionContext tracks read/write sets against MVCC

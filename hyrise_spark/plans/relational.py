@@ -912,3 +912,76 @@ def lateral_correlated_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     part.createOrReplaceTempView("part")
     li.createOrReplaceTempView("lineitem")
     return spark.sql(_LATERAL_AGG_SQL)
+
+
+# -- ASOF JOIN SQL dialect (DuckDB/QuestDB syntax; beyond the reference's
+# join vocabulary, types.hpp:210). The engine rewrites ASOF [LEFT] JOIN onto
+# join+per-left-row window (engine.py::_asof_join_sql); the oracle is
+# DuckDB's NATIVE ASOF JOIN — an independent implementation of the same
+# semantics. The right side is pre-deduped to one row per (key, time) so
+# the asof pick is tie-free on both engines (hash-stable).
+def _asof_views(spark: SparkSession, sf_dir: str) -> None:
+    events, orders = _t(spark, sf_dir, "events", "orders")
+    events.filter(F.col("event_id") < 500).select(
+        "event_id", "user_id", (F.col("user_id") % 100).alias("join_key"), "ts"
+    ).createOrReplaceTempView("asof_ev")
+    (
+        orders.groupBy("o_custkey", "o_orderdate")
+        .agg(
+            F.max("o_orderkey").alias("okey"),
+            F.round(F.max("o_totalprice"), 2).alias("price"),
+        )
+        .createOrReplaceTempView("asof_od")
+    )
+
+
+_ASOF_ORACLE_CTE = """
+    WITH ev AS (
+      SELECT event_id, user_id, user_id % 100 AS join_key, ts
+      FROM events WHERE event_id < 500
+    ), od AS (
+      SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS okey,
+             ROUND(MAX(o_totalprice), 2) AS price
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+"""
+
+
+@register(
+    "join_asof_sql",
+    oracle=_ASOF_ORACLE_CTE + """
+    SELECT e.event_id, e.user_id, o.okey AS last_order, o.price AS last_price
+    FROM ev e ASOF JOIN od o
+      ON e.join_key = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+    tags=("join", "asof", "sql"),
+)
+def join_asof_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hyrise_spark.engine import Engine
+
+    _asof_views(spark, sf_dir)
+    return Engine(spark).execute(
+        "SELECT e.event_id, e.user_id, o.okey AS last_order, o.price AS last_price"
+        " FROM asof_ev e ASOF JOIN asof_od o"
+        " ON e.join_key = o.o_custkey AND e.ts >= o.o_orderdate"
+    )
+
+
+@register(
+    "join_asof_sql_left",
+    oracle=_ASOF_ORACLE_CTE + """
+    SELECT e.event_id, e.user_id, o.o_orderdate AS matched_ts
+    FROM ev e ASOF LEFT JOIN od o
+      ON e.join_key = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+    tags=("join", "asof", "sql"),
+)
+def join_asof_sql_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hyrise_spark.engine import Engine
+
+    _asof_views(spark, sf_dir)
+    return Engine(spark).execute(
+        "SELECT e.event_id, e.user_id, o.o_orderdate AS matched_ts"
+        " FROM asof_ev e ASOF LEFT JOIN asof_od o"
+        " ON e.join_key = o.o_custkey AND e.ts >= o.o_orderdate"
+    )

@@ -601,3 +601,38 @@ def test_savepoint_shadowing_uses_latest(engine):
     engine.execute("ROLLBACK TO s")
     assert engine.execute("SELECT x FROM sp3").collect()[0]["x"] == 3
     engine.execute("ROLLBACK; DROP TABLE sp3")
+
+
+def test_asof_join_sql_shapes_and_errors(engine, spark):
+    """ASOF JOIN SQL dialect: direction from the inequality, LEFT variant,
+    unsupported shapes error clearly (full differential vs DuckDB's native
+    ASOF JOIN lives in the registry: join_asof_sql / join_asof_sql_left)."""
+    spark.sql("SELECT 0 AS k, 10 AS t UNION ALL SELECT 0, 20").createOrReplaceTempView("al")
+    spark.sql(
+        "SELECT 0 AS k, 8 AS rt, 'a' AS v UNION ALL SELECT 0, 15, 'b'"
+        " UNION ALL SELECT 0, 99, 'c'"
+    ).createOrReplaceTempView("ar")
+    rows = {
+        (r["t"], r["v"])
+        for r in engine.execute(
+            "SELECT l.t, r.v FROM al l ASOF JOIN ar r ON l.k = r.k AND l.t >= r.rt"
+        ).collect()
+    }
+    assert rows == {(10, "a"), (20, "b")}  # latest earlier
+    rows = {
+        (r["t"], r["v"])
+        for r in engine.execute(
+            "SELECT l.t, r.v FROM al l ASOF JOIN ar r ON l.k = r.k AND l.t <= r.rt"
+        ).collect()
+    }
+    assert rows == {(10, "b"), (20, "c")}  # earliest later
+    rows = {
+        (r["t"], r["v"])
+        for r in engine.execute(
+            "SELECT l.t, r.v FROM al l ASOF LEFT JOIN ar r"
+            " ON l.k = r.k AND l.t >= r.rt AND r.rt > 12"
+        ).collect()
+    }
+    assert rows == {(10, None), (20, "b")}  # unmatched left kept
+    with pytest.raises(Exception, match="time inequality"):
+        engine.execute("SELECT * FROM al l ASOF JOIN ar r ON l.k = r.k")
