@@ -420,6 +420,9 @@ class Engine:
                     " ASOF [LEFT] JOIN <r> [AS b] ON <equi-key AND time-inequality>"
                 )
             return self._asof_join_sql(m)
+        if (stmt.lstrip().upper().startswith("SELECT")
+                and self._find_top_level(stmt, "QUALIFY") != -1):
+            return self._qualify_sql(stmt)
         if stmt.lower().startswith("select") and "meta_" in stmt:
             self._materialize_meta_tables(stmt)
         if self.catalog.validated_uccs and stmt.lower().lstrip().startswith("select"):
@@ -482,6 +485,43 @@ class Engine:
         )
         df = self.spark.sql(inner)
         return df.filter("__asof_rn = 1").drop("__asof_rn", "__asof_lid")
+
+    def _qualify_sql(self, stmt: str) -> DataFrame:
+        """QUALIFY clause (DuckDB/Snowflake/BigQuery dialect; SQL windows are
+        beyond the reference, which declares but cannot execute them,
+        lqp_translator.cpp:523-526): filter on window-function results after
+        windows are computed — the window analog of HAVING.
+
+        Rewrite, two attempts:
+          1. outer-wrap:  SELECT * FROM (<query sans QUALIFY>) WHERE <pred>
+             — covers predicates over select-list ALIASES (`QUALIFY rn = 1`).
+          2. on analysis failure (the predicate contains a bare window
+             function, not allowed in WHERE): inject `(<pred>) AS __q` into
+             the select list, filter, drop — covers
+             `QUALIFY ROW_NUMBER() OVER (...) = 1`.
+        Trailing ORDER BY / LIMIT after QUALIFY run post-filter, like DuckDB.
+        """
+        import pyspark.sql.functions as F
+
+        q = self._find_top_level(stmt, "QUALIFY")
+        head, tail = stmt[:q].rstrip(), stmt[q + len("QUALIFY"):].strip()
+        pred, rest = tail, ""
+        for kw in ("ORDER", "LIMIT"):
+            k = self._find_top_level(tail, kw)
+            if k != -1 and (not rest or k < len(pred)):
+                pred, rest = tail[:k].rstrip(), tail[k:]
+        try:
+            df = self.spark.sql(f"SELECT * FROM ({head}) WHERE {pred}")
+        except Exception:  # noqa: BLE001 — window fn in pred: inject instead
+            f = self._find_top_level(head, "FROM")
+            if f == -1:
+                raise
+            injected = f"{head[:f].rstrip()}, ({pred}) AS __qualify {head[f:]}"
+            df = self.spark.sql(injected).filter(F.col("__qualify")).drop("__qualify")
+        if rest:
+            df.createOrReplaceTempView("__hs_qualify")
+            df = self.spark.sql(f"SELECT * FROM __hs_qualify {rest}")
+        return df
 
     # -- transactions (transaction_manager.hpp analog on the version ring) --
     # The reference's TransactionContext tracks read/write sets against MVCC

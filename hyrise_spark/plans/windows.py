@@ -242,3 +242,29 @@ def window_groups_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey", "l_linenumber")
     )
+
+
+# -- QUALIFY clause (DuckDB/Snowflake dialect; engine.py::_qualify_sql) ------
+# The SAME SQL text runs on both engines: DuckDB executes its native
+# QUALIFY, this engine its rewrite (outer-wrap or select-list injection) —
+# an independent-implementation differential of the clause semantics.
+_QUALIFY_SQL = """
+    SELECT l_returnflag, l_orderkey, l_linenumber,
+           ROUND(l_extendedprice, 2) AS price,
+           ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                              ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+    FROM lineitem
+    QUALIFY rn <= 5
+"""
+
+
+@register(
+    "window_qualify",
+    oracle=_QUALIFY_SQL,
+    tags=("window", "qualify", "sql"),
+)
+def window_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hyrise_spark.engine import Engine
+
+    load_tables(spark, sf_dir, ("lineitem",))
+    return Engine(spark).execute(_QUALIFY_SQL)

@@ -636,3 +636,28 @@ def test_asof_join_sql_shapes_and_errors(engine, spark):
     assert rows == {(10, None), (20, "b")}  # unmatched left kept
     with pytest.raises(Exception, match="time inequality"):
         engine.execute("SELECT * FROM al l ASOF JOIN ar r ON l.k = r.k")
+
+
+def test_qualify_clause_shapes(engine, spark):
+    """QUALIFY (DuckDB/Snowflake dialect): alias predicates, bare window
+    functions, and post-filter ORDER BY/LIMIT (registry differential:
+    window_qualify runs the same text on DuckDB's native QUALIFY)."""
+    spark.sql(
+        "SELECT CAST(id % 2 AS INT) AS g, CAST(id AS INT) AS v FROM RANGE(8)"
+    ).createOrReplaceTempView("qt2")
+    rows = {
+        (r["g"], r["v"])
+        for r in engine.execute(
+            "SELECT g, v FROM qt2 QUALIFY ROW_NUMBER() OVER"
+            " (PARTITION BY g ORDER BY v DESC) = 1"
+        ).collect()
+    }
+    assert rows == {(0, 6), (1, 7)}
+    rows = [
+        (r["g"], r["v"])
+        for r in engine.execute(
+            "SELECT g, v, RANK() OVER (PARTITION BY g ORDER BY v) AS rk FROM qt2"
+            " QUALIFY rk = 1 ORDER BY g LIMIT 1"
+        ).collect()
+    ]
+    assert rows == [(0, 0)]
