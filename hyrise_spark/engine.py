@@ -412,6 +412,8 @@ class Engine:
         if m:
             sets, cond = self._split_top_level_where(m["rest"])
             return self._update(m["table"], sets, cond, args=args)
+        if stmt.lower().lstrip().startswith("select") and "meta_" in stmt:
+            self._materialize_meta_tables(stmt)
         if re.search(r"\bASOF\s+(?:LEFT\s+)?JOIN\b", stmt, re.I):
             m = _ASOF_RE.match(stmt)
             if not m:
@@ -423,8 +425,6 @@ class Engine:
         if (stmt.lstrip().upper().startswith("SELECT")
                 and self._find_top_level(stmt, "QUALIFY") != -1):
             return self._qualify_sql(stmt)
-        if stmt.lower().startswith("select") and "meta_" in stmt:
-            self._materialize_meta_tables(stmt)
         if self.catalog.validated_uccs and stmt.lower().lstrip().startswith("select"):
             # redundant-DISTINCT elimination over validated UCCs — the
             # ucc_discovery_plugin's group-by reduction
