@@ -54,6 +54,8 @@ def value_hash(cols: list[str], rows: list[tuple]) -> str:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--json", help="also write a driver-format per-query "
+                    "JSON artifact (CORRECTNESS_LOCAL_r{N}.json)")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -70,6 +72,7 @@ def main():
     qs = all_queries()
     names = args.names or sorted(qs)
     n_pass = n_fail = n_rows_only = 0
+    report: dict[str, dict] = {}
     for name in names:
         qd = qs[name]
         t0 = time.time()
@@ -77,14 +80,21 @@ def main():
             sdf = qd.builder(spark, args.sf)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
-        except Exception:
+        except Exception as e:
             print(f"FAIL  {name}: spark error")
             traceback.print_exc()
             n_fail += 1
+            report[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "spark_rows": None,
+                            "oracle_rows": None, "err": f"spark: {e}"}
             continue
         if qd.oracle is None:
             print(f"rows  {name}: {len(srows)} rows (no oracle)")
             n_rows_only += 1
+            report[name] = {"rows_match": None, "schema_match": None,
+                            "hash_match": None, "spark_rows": len(srows),
+                            "oracle_rows": None, "err": None,
+                            "rows_only": True}
             continue
         try:
             res = con.execute(qd.oracle)
@@ -93,6 +103,9 @@ def main():
         except Exception as e:
             print(f"FAIL  {name}: duckdb error {e}")
             n_fail += 1
+            report[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "spark_rows": len(srows),
+                            "oracle_rows": None, "err": f"duckdb: {e}"}
             continue
         dt = time.time() - t0
         problems = []
@@ -117,6 +130,14 @@ def main():
                     if a != b:
                         print(f"   spark : {a}\n   duckdb: {b}")
                         break
+        report[name] = {
+            "rows_match": len(srows) == len(orows),
+            "schema_match": sorted(scols) == sorted(ocols),
+            "hash_match": not problems,
+            "spark_rows": len(srows),
+            "oracle_rows": len(orows),
+            "err": "; ".join(problems) or None,
+        }
         if problems:
             print(f"FAIL  {name}: {'; '.join(problems)}")
             n_fail += 1
@@ -124,6 +145,12 @@ def main():
             print(f"PASS  {name}  ({len(srows)} rows, {dt:.1f}s)")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    if args.json:
+        import json
+
+        with open(args.json, "w") as fh:
+            json.dump(report, fh, indent=1, sort_keys=True)
+        print(f"wrote {args.json} ({len(report)} queries)")
     sys.exit(1 if n_fail else 0)
 
 
