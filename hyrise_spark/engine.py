@@ -104,7 +104,7 @@ _INSERT_RE = re.compile(
     r"^\s*INSERT\s+INTO\s+(?P<table>\w+)\s+(?P<rest>.+)$", re.I | re.S
 )
 _DELETE_RE = re.compile(
-    r"^\s*DELETE\s+FROM\s+(?P<table>\w+)(?:\s+WHERE\s+(?P<cond>.+))?\s*$", re.I | re.S
+    r"^\s*DELETE\s+FROM\s+(?P<table>\w+)(?:\s+(?P<rest>.+))?\s*$", re.I | re.S
 )
 _UPDATE_RE = re.compile(
     r"^\s*UPDATE\s+(?P<table>\w+)\s+SET\s+(?P<rest>.+)$",
@@ -395,7 +395,8 @@ class Engine:
             return self.execute_prepared(m["name"], vals)
         m = _INSERT_RE.match(stmt)
         if m:
-            return self._insert(m["table"], m["rest"], args=args)
+            rest, ret = self._split_returning(m["rest"])
+            return self._insert(m["table"], rest, args=args, returning=ret)
         m = _MERGE_RE.match(stmt)
         if m:
             return self._merge(m["table"], m["talias"], m["rest"])
@@ -407,11 +408,19 @@ class Engine:
             return self._alter(m["table"], m["action"])
         m = _DELETE_RE.match(stmt)
         if m:
-            return self._delete(m["table"], m["cond"], args=args)
+            rest, ret = self._split_returning(m["rest"])
+            cond = None
+            if rest and rest.strip():
+                wm = re.match(r"^\s*WHERE\s+(?P<cond>.+)$", rest, re.I | re.S)
+                if not wm:
+                    raise ValueError(f"DELETE: cannot parse trailing {rest!r}")
+                cond = wm["cond"]
+            return self._delete(m["table"], cond, args=args, returning=ret)
         m = _UPDATE_RE.match(stmt)
         if m:
-            sets, cond = self._split_top_level_where(m["rest"])
-            return self._update(m["table"], sets, cond, args=args)
+            rest, ret = self._split_returning(m["rest"])
+            sets, cond = self._split_top_level_where(rest)
+            return self._update(m["table"], sets, cond, args=args, returning=ret)
         if stmt.lower().lstrip().startswith("select") and "meta_" in stmt:
             self._materialize_meta_tables(stmt)
         if re.search(r"\bASOF\s+(?:LEFT\s+)?JOIN\b", stmt, re.I):
@@ -677,7 +686,28 @@ class Engine:
         if self.catalog.note_dml(table) >= COMPACT_THRESHOLD_DML_DEPTH:
             self.catalog.compact_table(table)
 
-    def _insert(self, table: str, rest: str, args=None):
+    def _split_returning(self, text: str | None) -> tuple[str | None, str | None]:
+        """Split a DML statement tail at a top-level RETURNING clause
+        (postgres/DuckDB dialect): -> (head, returning-list | None).
+        Quote-/paren-aware via _find_top_level, so a literal containing the
+        word is untouched."""
+        if not text:
+            return text, None
+        i = self._find_top_level(text, "RETURNING")
+        if i == -1:
+            return text, None
+        return text[:i].rstrip() or None, text[i + len("RETURNING"):].strip()
+
+    def _returning_frame(self, affected: DataFrame, returning: str, args) -> DataFrame:
+        """Project the RETURNING list over the affected-rows frame. The frame
+        is a lazy plan over the PRE-replace snapshot (post-image for
+        INSERT/UPDATE, old image for DELETE) — immutable, so evaluating the
+        result after the table swap still reads the right rows."""
+        affected.createOrReplaceTempView("__hs_ret")
+        kw = {"args": args} if args else {}
+        return self.spark.sql(f"SELECT {returning} FROM __hs_ret", **kw)
+
+    def _insert(self, table: str, rest: str, args=None, returning: str | None = None):
         if table.lower() == "meta_settings":
             return self._change_meta_settings("insert", rest=rest)
         if table.lower() == "meta_exec":
@@ -716,15 +746,20 @@ class Engine:
             new_rows = new_rows.select(*cur.columns)
         self.catalog.replace_table(table, cur.unionByName(new_rows))
         self._after_dml(table)
+        if returning:  # new_rows is already schema-aligned post-image
+            return self._returning_frame(new_rows, returning, args)
         return None
 
-    def _delete(self, table: str, cond: str | None, args=None):
+    def _delete(self, table: str, cond: str | None, args=None,
+                returning: str | None = None):
         if table.lower() == "meta_settings":
             return self._change_meta_settings("delete", cond=cond)
         cur = self.catalog.get_table(table)
         if cond is None:
             self.catalog.replace_table(table, cur.limit(0))
             self._after_dml(table)
+            if returning:  # every (old) row was deleted
+                return self._returning_frame(cur, returning, args)
             return None
         # SQL deletes only rows where the condition is TRUE; rows where it
         # evaluates to NULL must be KEPT (3VL — delete.hpp:14-18 operates on a
@@ -737,11 +772,19 @@ class Engine:
         kept = self.spark.sql(
             f"SELECT * FROM __hs_dml_src WHERE NOT COALESCE(({cond}), FALSE)", **kw
         )
+        removed = None
+        if returning:  # old image of the rows the predicate removed
+            removed = self.spark.sql(
+                f"SELECT * FROM __hs_dml_src WHERE COALESCE(({cond}), FALSE)", **kw
+            )
         self.catalog.replace_table(table, kept)
         self._after_dml(table)
+        if returning:
+            return self._returning_frame(removed, returning, args)
         return None
 
-    def _update(self, table: str, sets: str, cond: str | None, args=None):
+    def _update(self, table: str, sets: str, cond: str | None, args=None,
+                returning: str | None = None):
         if table.lower() == "meta_settings":
             return self._change_meta_settings("update", sets=sets, cond=cond)
         cur = self.catalog.get_table(table)
@@ -763,8 +806,17 @@ class Engine:
         cur.createOrReplaceTempView("__hs_dml_src")
         kw = {"args": args} if args else {}
         updated = self.spark.sql(f"SELECT {cols} FROM __hs_dml_src", **kw)
+        affected = None
+        if returning:
+            # post-image of matched rows: WHERE evaluates on the OLD columns
+            # (FROM scope), the select list computes the new values
+            affected = self.spark.sql(
+                f"SELECT {cols} FROM __hs_dml_src WHERE {match}", **kw
+            )
         self.catalog.replace_table(table, updated)
         self._after_dml(table)
+        if returning:
+            return self._returning_frame(affected, returning, args)
         return None
 
     # -- time travel (`<table> VERSION AS OF <n>`, mvcc_data.hpp analog) ----

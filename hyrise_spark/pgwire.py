@@ -337,9 +337,26 @@ def _convert_binary_param(raw: bytes | None, oid: int):
         return struct.unpack("!f", raw)[0]
     if oid == 16:  # bool
         return raw != b"\x00"
+    if oid == 1700:  # numeric: inverse of _numeric_binary
+        return _numeric_from_binary(raw)
     if oid in (0, 25, 1043):  # unknown/text/varchar: raw UTF-8
         return raw.decode("utf-8")
     raise ValueError(f"binary Bind parameter not supported for type OID {oid}")
+
+
+def _numeric_from_binary(raw: bytes) -> "decimal.Decimal":
+    """Decode PostgreSQL binary NUMERIC (see _numeric_binary): base-10000
+    digit groups with a group-exponent weight, sign flag, display scale."""
+    ndigits, weight, sign, dscale = struct.unpack_from("!hhHh", raw, 0)
+    groups = struct.unpack_from(f"!{ndigits}H", raw, 8)
+    if sign == 0xC000:  # NaN
+        return decimal.Decimal("NaN")
+    val = decimal.Decimal(0)
+    for i, g in enumerate(groups):
+        val += decimal.Decimal(g).scaleb(4 * (weight - i))
+    if sign == 0x4000:
+        val = -val
+    return val.quantize(decimal.Decimal(1).scaleb(-dscale)) if dscale else val
 
 
 class _PgHandler(socketserver.BaseRequestHandler):

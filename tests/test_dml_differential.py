@@ -442,3 +442,29 @@ def test_fuzz_transactional_sequences(engines, stmts):
         eng.execute(s)
         duck.execute(s)
     _compare_select(eng, duck, "SELECT * FROM idt", "; ".join(stmts))
+
+
+# -- RETURNING (postgres/DuckDB dialect; round 8): the clause's result AND
+# the post-statement table state must both match DuckDB ------------------
+_RETURNING_CASES = [
+    "INSERT INTO idt VALUES (500, 1, 2, 3), (501, 4, 5, 6) RETURNING id, a + b AS s",
+    "INSERT INTO idt (id, a) VALUES (600, 7) RETURNING *",
+    "UPDATE idt SET a = a + 10 WHERE id < 5 RETURNING id, a",
+    "UPDATE idt SET a = b + c WHERE id % 10 = 3 RETURNING id, a, b, c",
+    "DELETE FROM idt WHERE id >= 95 RETURNING *",
+    "DELETE FROM idt WHERE a > 9000 RETURNING id",  # no matches: empty result
+]
+
+
+@pytest.mark.parametrize("sql", _RETURNING_CASES)
+def test_returning_matches_duckdb(engines, sql):
+    eng, duck = engines
+    sdf = eng.execute(sql)
+    scols = [c.lower() for c in sdf.columns]
+    srows = [tuple(r) for r in sdf.collect()]
+    res = duck.execute(sql)
+    ocols = [d[0].lower() for d in res.description]
+    orows = res.fetchall()
+    assert sorted(scols) == sorted(ocols), f"{sql}: {scols} vs {ocols}"
+    assert canon(scols, srows) == canon(ocols, orows), sql
+    _compare_select(eng, duck, "SELECT * FROM idt", sql)

@@ -768,10 +768,10 @@ def test_extended_binary_null_param_and_unsupported_oid(server):
         c.sync()
         msgs = dict(c.drain_until(b"Z"))
         assert _parse_data_cells(msgs[b"D"]) == [None]
-        # numeric (1700) has no binary recv here -> ErrorResponse, then
+        # uuid (2950) has no binary recv here -> ErrorResponse, then
         # the connection must keep serving
-        c.parse("bp4", "SELECT $1 AS v", oids=(1700,))
-        c.bind_binary("", "bp4", params=((1, struct.pack("!q", 1)),))
+        c.parse("bp4", "SELECT $1 AS v", oids=(2950,))
+        c.bind_binary("", "bp4", params=((1, b"\x00" * 16),))
         c.sync()
         msgs = c.drain_until(b"Z")
         assert any(t == b"E" for t, _ in msgs)
@@ -797,5 +797,29 @@ def test_ready_for_query_reports_transaction_status(server):
         c.send(b"Q", b"ROLLBACK\x00")
         msgs = c.drain_until(b"Z")
         assert msgs[-1] == (b"Z", b"I"), msgs[-1]
+    finally:
+        c.close()
+
+
+def test_extended_binary_numeric_param_roundtrip(server):
+    """Binary NUMERIC parameters decode via the inverse of the result
+    encoder — round-trip a value through encoder -> Bind -> engine."""
+    import decimal
+
+    from hyrise_spark.pgwire import _numeric_binary, _numeric_from_binary
+
+    for s in ("12345.678", "-0.0042", "0", "99990000.00001", "-73000"):
+        d = decimal.Decimal(s)
+        assert _numeric_from_binary(_numeric_binary(d)) == d, s
+    c = _RawPg(server.port)
+    try:
+        c.parse("bn1", "SELECT CAST($1 AS DECIMAL(15,2)) * 2 AS v", oids=(1700,))
+        c.bind_binary("", "bn1", params=(
+            (1, _numeric_binary(decimal.Decimal("21.25"))),
+        ))
+        c.execute("")
+        c.sync()
+        msgs = dict(c.drain_until(b"Z"))
+        assert _parse_data_cells(msgs[b"D"]) == [b"42.50"]
     finally:
         c.close()
