@@ -242,7 +242,14 @@ def _one(engine, sql: str):
 
 def tpcc_setup(engine, districts: int = 4, customers: int = 16) -> None:
     """Scratch tables: district (order-id allocator + ytd), customer,
-    orders, order_line. Dropped/recreated per run."""
+    orders, order_line. Dropped/recreated per run. Customers are assigned
+    round-robin to districts, so the population must divide evenly —
+    validated here (NewOrder draws a customer from its district's stripe)."""
+    if customers < districts or customers % districts != 0:
+        raise ValueError(
+            f"--customers ({customers}) must be a positive multiple of "
+            f"--districts ({districts})"
+        )
     for t in ("tpcc_district", "tpcc_customer", "tpcc_orders", "tpcc_order_line"):
         engine.execute(f"DROP TABLE IF EXISTS {t}")
     engine.execute(

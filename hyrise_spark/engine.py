@@ -175,6 +175,14 @@ _DROP_FUNCTION_RE = re.compile(
 # single source of truth for ROLLBACK detection — used both for the meta_log
 # status tag and the unsupported-operation warning
 _ROLLBACK_RE = re.compile(r"^\s*ROLLBACK\b", re.I)
+# Nondeterministic SQL functions inside DML: a lazy snapshot plan would
+# re-roll them on every later action (and RETURNING would see a different
+# roll than the table swap). Statements matching this pin their evaluation
+# once via localCheckpoint.
+_NONDET_RE = re.compile(
+    r"\b(?:rand|randn|random|uuid|shuffle|monotonically_increasing_id)\s*\(",
+    re.I,
+)
 
 
 class Engine:
@@ -423,7 +431,10 @@ class Engine:
             return self._update(m["table"], sets, cond, args=args, returning=ret)
         if stmt.lower().lstrip().startswith("select") and "meta_" in stmt:
             self._materialize_meta_tables(stmt)
-        if re.search(r"\bASOF\s+(?:LEFT\s+)?JOIN\b", stmt, re.I):
+        # quote-/paren-aware: 'ASOF' inside a string literal or subquery is
+        # not this dialect (the QUALIFY check below gets the same treatment)
+        a = self._find_top_level(stmt, "ASOF")
+        if a != -1 and re.match(r"ASOF\s+(?:LEFT\s+)?JOIN\b", stmt[a:], re.I):
             m = _ASOF_RE.match(stmt)
             if not m:
                 raise ValueError(
@@ -462,38 +473,72 @@ class Engine:
         la = m["la"] or m["lt"]
         ra = m["ra"] or m["rt"]
         cond = m["cond"].strip()
-        ineq = None
+        # a trailing WHERE (swallowed into the regex's cond) is a POST-match
+        # filter in asof semantics: it must not change WHICH right row
+        # matches, so it is evaluated on the matched row, not folded into ON
+        w = self._find_top_level(cond, "WHERE")
+        where = None
+        if w != -1:
+            cond, where = cond[:w].rstrip(), cond[w + len("WHERE"):].strip()
+
+        def _side(tok: str) -> str:
+            """L/R/other for one comparison operand."""
+            if re.fullmatch(r"\d+(?:\.\d+)?|'[^']*'", tok):
+                return "lit"
+            if "." in tok:
+                a = tok.split(".", 1)[0]
+                return "L" if a == la else ("R" if a == ra else "lit")
+            return "unq"  # unqualified column: table unknown
+
+        # The time inequality is the term whose two operands come from the
+        # two different sides — a one-sided comparison (`r.rt > 12`) is a
+        # plain filter, never the asof ordering. Exactly one such term may
+        # exist (DuckDB's rule).
+        candidates = []
         for t in re.split(r"\bAND\b", cond, flags=re.I):
             mm = re.match(
-                r"^\s*(?P<x>[\w.]+)\s*(?P<op><=|>=|<|>)\s*(?P<y>[\w.]+)\s*$", t
+                r"^\s*(?P<x>[\w.']+)\s*(?P<op><=|>=|<|>)\s*(?P<y>[\w.']+)\s*$", t
             )
-            if mm:
-                ineq = mm
-        if ineq is None:
+            if not mm:
+                continue
+            sx, sy = _side(mm["x"]), _side(mm["y"])
+            if {sx, sy} == {"L", "R"} or (sx, sy) in (
+                ("L", "unq"), ("unq", "R"), ("R", "unq"), ("unq", "L"),
+            ):
+                # resolve which operand is the RIGHT side's time expression
+                right_first = sx == "R" or (sx == "unq" and sy == "L")
+                candidates.append((mm, right_first))
+        if not candidates:
             raise ValueError(
-                "ASOF JOIN: ON must contain a time inequality (<, <=, >, >=)"
+                "ASOF JOIN: ON must contain exactly one time inequality "
+                "between the two tables (<, <=, >, >=)"
             )
-        x, op, y = ineq["x"], ineq["op"], ineq["y"]
-        if y.split(".")[0] == ra or ("." not in y and x.split(".")[0] == la):
-            rexpr, right_is_smaller = y, op in (">", ">=")  # l.ts >= r.ts
-        elif x.split(".")[0] == ra or ("." not in x and y.split(".")[0] == la):
-            rexpr, right_is_smaller = x, op in ("<", "<=")  # r.ts <= l.ts
-        else:
+        if len(candidates) > 1:
             raise ValueError(
-                "ASOF JOIN: could not identify the right-side time column "
-                "(qualify it with the right table's alias)"
+                "ASOF JOIN: ON contains more than one cross-table inequality "
+                "— the asof ordering would be ambiguous"
             )
+        ineq, right_first = candidates[0]
+        op = ineq["op"]
+        if right_first:  # r.ts OP l.ts
+            rexpr, right_is_smaller = ineq["x"], op in ("<", "<=")
+        else:  # l.ts OP r.ts
+            rexpr, right_is_smaller = ineq["y"], op in (">", ">=")
         order = "DESC" if right_is_smaller else "ASC"
         join_kw = "LEFT JOIN" if m["left"] else "JOIN"
+        keep = f", ({where}) AS __asof_keep" if where else ""
         inner = (
             f"SELECT {m['list']}, ROW_NUMBER() OVER "
-            f"(PARTITION BY {la}.__asof_lid ORDER BY {rexpr} {order}) AS __asof_rn "
+            f"(PARTITION BY {la}.__asof_lid ORDER BY {rexpr} {order}) AS __asof_rn"
+            f"{keep} "
             f"FROM (SELECT *, monotonically_increasing_id() AS __asof_lid "
             f"FROM {m['lt']}) AS {la} "
             f"{join_kw} {m['rt']} AS {ra} ON {cond}"
         )
-        df = self.spark.sql(inner)
-        return df.filter("__asof_rn = 1").drop("__asof_rn", "__asof_lid")
+        df = self.spark.sql(inner).filter("__asof_rn = 1")
+        if where:
+            df = df.filter("COALESCE(__asof_keep, FALSE)")
+        return df.drop("__asof_rn", "__asof_lid", "__asof_keep")
 
     def _qualify_sql(self, stmt: str) -> DataFrame:
         """QUALIFY clause (DuckDB/Snowflake/BigQuery dialect; SQL windows are
@@ -525,8 +570,18 @@ class Engine:
             f = self._find_top_level(head, "FROM")
             if f == -1:
                 raise
-            injected = f"{head[:f].rstrip()}, ({pred}) AS __qualify {head[f:]}"
+            # SELECT DISTINCT: the injected flag must not join the dedup key
+            # (QUALIFY runs BEFORE DISTINCT in DuckDB's clause order) — strip
+            # DISTINCT for the windowed pass, re-dedup after the filter
+            dm = re.match(r"^\s*SELECT\s+DISTINCT\b", head, re.I)
+            if dm:
+                injected = (f"SELECT {head[dm.end():f].rstrip()},"
+                            f" ({pred}) AS __qualify {head[f:]}")
+            else:
+                injected = f"{head[:f].rstrip()}, ({pred}) AS __qualify {head[f:]}"
             df = self.spark.sql(injected).filter(F.col("__qualify")).drop("__qualify")
+            if dm:
+                df = df.distinct()
         if rest:
             df.createOrReplaceTempView("__hs_qualify")
             df = self.spark.sql(f"SELECT * FROM __hs_qualify {rest}")
@@ -737,6 +792,11 @@ class Engine:
             new_rows = self.spark.sql(f"SELECT * FROM ({rest})", **kw).toDF(*names)
         else:  # INSERT INTO t SELECT ...
             new_rows = self.spark.sql(rest, **kw).toDF(*names)
+        if _NONDET_RE.search(rest):
+            # pin the roll: the unioned table state and the RETURNING frame
+            # must see the same generated rows, and later scans must not
+            # re-roll them
+            new_rows = new_rows.localCheckpoint(eager=True)
         if target_cols:
             for fld in cur.schema.fields:
                 if fld.name not in target_cols:
@@ -769,14 +829,26 @@ class Engine:
         # reuse of the view name cannot retarget this plan).
         cur.createOrReplaceTempView("__hs_dml_src")
         kw = {"args": args} if args else {}
-        kept = self.spark.sql(
-            f"SELECT * FROM __hs_dml_src WHERE NOT COALESCE(({cond}), FALSE)", **kw
-        )
-        removed = None
-        if returning:  # old image of the rows the predicate removed
-            removed = self.spark.sql(
-                f"SELECT * FROM __hs_dml_src WHERE COALESCE(({cond}), FALSE)", **kw
+        if _NONDET_RE.search(cond):
+            # pin the random roll: one materialized evaluation feeds BOTH the
+            # new table state and the RETURNING frame
+            tagged = self.spark.sql(
+                f"SELECT *, COALESCE(({cond}), FALSE) AS __hs_hit "
+                f"FROM __hs_dml_src", **kw
+            ).localCheckpoint(eager=True)
+            kept = tagged.filter("NOT __hs_hit").drop("__hs_hit")
+            removed = tagged.filter("__hs_hit").drop("__hs_hit")
+        else:
+            kept = self.spark.sql(
+                f"SELECT * FROM __hs_dml_src WHERE NOT COALESCE(({cond}), FALSE)",
+                **kw,
             )
+            removed = None
+            if returning:  # old image of the rows the predicate removed
+                removed = self.spark.sql(
+                    f"SELECT * FROM __hs_dml_src WHERE COALESCE(({cond}), FALSE)",
+                    **kw,
+                )
         self.catalog.replace_table(table, kept)
         self._after_dml(table)
         if returning:
@@ -805,14 +877,32 @@ class Engine:
         )
         cur.createOrReplaceTempView("__hs_dml_src")
         kw = {"args": args} if args else {}
-        updated = self.spark.sql(f"SELECT {cols} FROM __hs_dml_src", **kw)
-        affected = None
-        if returning:
-            # post-image of matched rows: WHERE evaluates on the OLD columns
-            # (FROM scope), the select list computes the new values
-            affected = self.spark.sql(
-                f"SELECT {cols} FROM __hs_dml_src WHERE {match}", **kw
+        if _NONDET_RE.search(sets) or (cond and _NONDET_RE.search(cond)):
+            # pin the roll once: the hit flag is computed in an inner
+            # projection (one evaluation per row — the plain CASE form would
+            # re-roll the predicate per assigned column), then the whole
+            # frame is checkpointed so table state and RETURNING agree
+            cols_hit = ", ".join(
+                f"CASE WHEN __hs_hit THEN ({assignments[c]}) ELSE {c} END AS {c}"
+                if c in assignments
+                else c
+                for c in cur.columns
             )
+            tagged = self.spark.sql(
+                f"SELECT {cols_hit}, __hs_hit FROM "
+                f"(SELECT *, {match} AS __hs_hit FROM __hs_dml_src)", **kw
+            ).localCheckpoint(eager=True)
+            updated = tagged.drop("__hs_hit")
+            affected = tagged.filter("__hs_hit").drop("__hs_hit")
+        else:
+            updated = self.spark.sql(f"SELECT {cols} FROM __hs_dml_src", **kw)
+            affected = None
+            if returning:
+                # post-image of matched rows: WHERE evaluates on the OLD
+                # columns (FROM scope), the select list the new values
+                affected = self.spark.sql(
+                    f"SELECT {cols} FROM __hs_dml_src WHERE {match}", **kw
+                )
         self.catalog.replace_table(table, updated)
         self._after_dml(table)
         if returning:

@@ -351,12 +351,16 @@ def _numeric_from_binary(raw: bytes) -> "decimal.Decimal":
     groups = struct.unpack_from(f"!{ndigits}H", raw, 8)
     if sign == 0xC000:  # NaN
         return decimal.Decimal("NaN")
-    val = decimal.Decimal(0)
-    for i, g in enumerate(groups):
-        val += decimal.Decimal(g).scaleb(4 * (weight - i))
-    if sign == 0x4000:
-        val = -val
-    return val.quantize(decimal.Decimal(1).scaleb(-dscale)) if dscale else val
+    # pg NUMERIC can carry far more than the default 28-digit context —
+    # size the context to the value (4 digits per group + scale headroom)
+    with decimal.localcontext() as ctx:
+        ctx.prec = max(50, 4 * (ndigits + abs(weight) + 2) + dscale)
+        val = decimal.Decimal(0)
+        for i, g in enumerate(groups):
+            val += decimal.Decimal(g).scaleb(4 * (weight - i))
+        if sign == 0x4000:
+            val = -val
+        return val.quantize(decimal.Decimal(1).scaleb(-dscale)) if dscale else val
 
 
 class _PgHandler(socketserver.BaseRequestHandler):

@@ -43,11 +43,15 @@ DECIMAL_AXIS = sorted(
 
 
 @pytest.fixture(scope="module")
-def decimal_mode():
+def decimal_mode(spark):
     old = catalog.DECIMAL_MODE
     catalog.DECIMAL_MODE = True
     yield
     catalog.DECIMAL_MODE = old
+    # the parametrized tests re-registered temp views with DECIMAL casts;
+    # put EVERY monetary table back on its double views so later modules in
+    # the same Spark session see the default schema
+    catalog.load_tables(spark, SF_DIR, tuple(catalog.MONEY_COLS), decimal=False)
 
 
 @pytest.fixture(scope="module")
@@ -95,6 +99,5 @@ def test_decimal_sum_is_exact_where_double_sum_drifts(spark, decimal_mode, duck_
     # the double path is close (cents-lattice inputs) but only approximately:
     # equality of the double sum with the exact total is NOT guaranteed and
     # the engine's default mode therefore rounds at presentation time
+    # (full view restoration happens in the decimal_mode fixture teardown)
     assert abs(float(got_dec) - got_dbl) < 0.01
-    # restore the double views for later tests in this session
-    catalog.load_tables(spark, SF_DIR, ("lineitem",), decimal=False)

@@ -661,3 +661,88 @@ def test_qualify_clause_shapes(engine, spark):
         ).collect()
     ]
     assert rows == [(0, 0)]
+
+
+def test_asof_join_sql_picks_cross_table_inequality(engine, spark):
+    """Review regression: a one-sided filter term (r.rt > 12) must NOT be
+    mistaken for the asof ordering — with multiple qualifying matches the
+    latest-earlier row wins, ordered by the true cross-table inequality."""
+    spark.sql("SELECT 0 AS k, 100 AS t").createOrReplaceTempView("am_l")
+    spark.sql(
+        "SELECT 0 AS k, 15 AS rt, 'lo' AS v UNION ALL SELECT 0, 99, 'hi'"
+    ).createOrReplaceTempView("am_r")
+    rows = engine.execute(
+        "SELECT l.t, r.v FROM am_l l ASOF JOIN am_r r"
+        " ON l.k = r.k AND l.t >= r.rt AND r.rt > 12"
+    ).collect()
+    assert [(r["t"], r["v"]) for r in rows] == [(100, "hi")]
+    # two cross-table inequalities: ambiguous, must error
+    with pytest.raises(Exception, match="more than one"):
+        engine.execute(
+            "SELECT l.t FROM am_l l ASOF JOIN am_r r"
+            " ON l.k = r.k AND l.t >= r.rt AND l.t <= r.rt"
+        )
+
+
+def test_asof_in_string_literal_is_not_routed(engine):
+    """Review regression: the phrase inside a literal is data, not dialect."""
+    out = engine.execute("SELECT 'uses ASOF JOIN daily' AS s")
+    assert out.collect()[0]["s"] == "uses ASOF JOIN daily"
+
+
+def test_asof_where_is_post_match(engine, spark):
+    """A trailing WHERE filters the MATCHED row (DuckDB asof semantics); it
+    must not re-route the match to an earlier right row."""
+    spark.sql("SELECT 0 AS k, 100 AS t").createOrReplaceTempView("aw_l")
+    spark.sql(
+        "SELECT 0 AS k, 15 AS rt, 1 AS qty UNION ALL SELECT 0, 99, 7"
+    ).createOrReplaceTempView("aw_r")
+    # the matched row (rt=99) has qty=7 -> dropped entirely, NOT replaced
+    # by the earlier rt=15/qty=1 row
+    rows = engine.execute(
+        "SELECT l.t, r.rt FROM aw_l l ASOF JOIN aw_r r"
+        " ON l.k = r.k AND l.t >= r.rt WHERE r.qty < 5"
+    ).collect()
+    assert rows == []
+    rows = engine.execute(
+        "SELECT l.t, r.rt FROM aw_l l ASOF JOIN aw_r r"
+        " ON l.k = r.k AND l.t >= r.rt WHERE r.qty > 5"
+    ).collect()
+    assert [(r["t"], r["rt"]) for r in rows] == [(100, 99)]
+
+
+def test_qualify_distinct_filters_before_dedup(engine, spark):
+    """Review regression: QUALIFY runs BEFORE DISTINCT (DuckDB clause
+    order); the injected flag must not widen the dedup key."""
+    spark.sql(
+        "SELECT CAST(id % 2 AS INT) AS g, CAST(id AS INT) AS v FROM RANGE(6)"
+    ).createOrReplaceTempView("qd")
+    rows = sorted(
+        r["g"] for r in engine.execute(
+            "SELECT DISTINCT g FROM qd QUALIFY"
+            " ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) <= 2"
+        ).collect()
+    )
+    assert rows == [0, 1]
+
+
+def test_nondeterministic_dml_is_pinned(engine):
+    """rand() inside DML evaluates ONCE: RETURNING agrees with the table
+    swap, and later scans do not re-roll the predicate."""
+    engine.execute("CREATE TABLE nd AS SELECT CAST(id AS INT) AS id FROM RANGE(100)")
+    ret = engine.execute("DELETE FROM nd WHERE rand() < 0.5 RETURNING id")
+    deleted = {r["id"] for r in ret.collect()}
+    remaining = {r["id"] for r in engine.execute("SELECT * FROM nd").collect()}
+    assert deleted | remaining == set(range(100))
+    assert not (deleted & remaining)
+    # stable across reads (the lazy plan must not re-roll)
+    again = {r["id"] for r in engine.execute("SELECT * FROM nd").collect()}
+    assert again == remaining
+    ret2 = engine.execute(
+        "UPDATE nd SET id = id + 1000 WHERE rand() < 0.5 RETURNING id"
+    )
+    bumped = {r["id"] for r in ret2.collect()}
+    now = {r["id"] for r in engine.execute("SELECT * FROM nd").collect()}
+    assert bumped <= now and all(b >= 1000 for b in bumped)
+    assert now == {r["id"] for r in engine.execute("SELECT * FROM nd").collect()}
+    engine.execute("DROP TABLE nd")

@@ -823,3 +823,19 @@ def test_extended_binary_numeric_param_roundtrip(server):
         assert _parse_data_cells(msgs[b"D"]) == [b"42.50"]
     finally:
         c.close()
+
+
+def test_numeric_binary_wide_values():
+    """Review regression: NUMERIC wider than the default 28-digit decimal
+    context must decode exactly (pg allows up to 131072 digits)."""
+    import decimal
+
+    from hyrise_spark.pgwire import _numeric_binary, _numeric_from_binary
+
+    for s in (
+        "12345678901234567890123456789012345.6789012345",
+        "-" + "9" * 60 + "." + "1" * 20,
+        "0.00000000000000000000000000000000000001",
+    ):
+        d = decimal.Decimal(s)
+        assert _numeric_from_binary(_numeric_binary(d)) == d, s

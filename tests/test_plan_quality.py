@@ -802,8 +802,15 @@ _STREAMING_EXEMPT = {
 }
 
 
+_STREAM_FRAMES_CACHE: dict[int, dict] = {}
+
+
 def _streaming_builder_frames(spark):
-    """name -> built (possibly streaming) DataFrame for every public builder."""
+    """name -> built (possibly streaming) DataFrame for every public builder.
+    Cached per session: the 22 parametrized lint tests share one build."""
+    cached = _STREAM_FRAMES_CACHE.get(id(spark))
+    if cached is not None:
+        return cached
     import pyspark.sql.functions as F
 
     from hyrise_spark.streaming import ann_stream as ann
@@ -822,7 +829,7 @@ def _streaming_builder_frames(spark):
     cb = ann.pq_codebook(spark, SF_DIR)
     emb = ann.read_embeddings_stream(spark, f"{SF_DIR}/embeddings.parquet")
     postings = ix.postings_log_stream(docs)
-    return {
+    _STREAM_FRAMES_CACHE[id(spark)] = frames = {
         "windowed_counts": ev.windowed_counts(events),
         "sessionized": ev.sessionized(events),
         "stateful_user_totals": ev.stateful_user_totals(events),
@@ -846,6 +853,7 @@ def _streaming_builder_frames(spark):
         "postings_log_stream": postings,
         "term_directory_stream": ix.term_directory_stream(postings),
     }
+    return frames
 
 
 def _streaming_public_builders() -> set[str]:

@@ -211,3 +211,16 @@ def test_tpcc_forced_new_order_rollback_keeps_invariants(spark):
     assert n == 0
     for t in ("tpcc_district", "tpcc_customer", "tpcc_orders", "tpcc_order_line"):
         eng.execute(f"DROP TABLE {t}")
+
+
+def test_tpcc_setup_validates_population(spark):
+    """Review regression: customers must be a positive multiple of
+    districts (NewOrder draws from the district's round-robin stripe)."""
+    from hyrise_spark.benchmark_runner import tpcc_setup
+    from hyrise_spark.engine import Engine
+
+    eng = Engine(spark)
+    with pytest.raises(ValueError, match="multiple"):
+        tpcc_setup(eng, districts=32, customers=16)
+    with pytest.raises(ValueError, match="multiple"):
+        tpcc_setup(eng, districts=3, customers=16)
