@@ -985,3 +985,27 @@ def join_asof_sql_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         " FROM asof_ev e ASOF LEFT JOIN asof_od o"
         " ON e.join_key = o.o_custkey AND e.ts >= o.o_orderdate"
     )
+
+
+@register(
+    "join_asof_sql_where",
+    oracle=_ASOF_ORACLE_CTE + """
+    SELECT e.event_id, e.user_id, o.okey AS last_order
+    FROM ev e ASOF JOIN od o
+      ON e.join_key = o.o_custkey AND e.ts >= o.o_orderdate
+    WHERE o.price > 200.0
+    """,
+    tags=("join", "asof", "sql"),
+)
+def join_asof_sql_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-match WHERE: filters the MATCHED row (never re-routes the match
+    to an earlier right row) — both engines apply it after the asof pick."""
+    from hyrise_spark.engine import Engine
+
+    _asof_views(spark, sf_dir)
+    return Engine(spark).execute(
+        "SELECT e.event_id, e.user_id, o.okey AS last_order"
+        " FROM asof_ev e ASOF JOIN asof_od o"
+        " ON e.join_key = o.o_custkey AND e.ts >= o.o_orderdate"
+        " WHERE o.price > 200.0"
+    )

@@ -468,3 +468,98 @@ def test_returning_matches_duckdb(engines, sql):
     assert sorted(scols) == sorted(ocols), f"{sql}: {scols} vs {ocols}"
     assert canon(scols, srows) == canon(ocols, orows), sql
     _compare_select(eng, duck, "SELECT * FROM idt", sql)
+
+
+# -- savepoint model fuzz (round 8): DuckDB has no SAVEPOINT, so the oracle
+# here is a pure-Python state model — a stack of pinned table snapshots the
+# statements mutate deterministically -----------------------------------
+@st.composite
+def _savepoint_program(draw) -> list[str]:
+    """2-8 statements mixing simple deterministic DML with transaction
+    control; BEGIN always first, savepoint names drawn from a small pool so
+    shadowing and missing-name errors both occur."""
+    body = draw(st.lists(st.sampled_from([
+        "INSERT INTO spf VALUES (777)",
+        "DELETE FROM spf WHERE x % 3 = 0",
+        "UPDATE spf SET x = x + 100 WHERE x < 50",
+        "SAVEPOINT a", "SAVEPOINT b",
+        "ROLLBACK TO a", "ROLLBACK TO b",
+        "RELEASE a",
+    ]), min_size=2, max_size=8))
+    end = draw(st.sampled_from(["COMMIT", "ROLLBACK"]))
+    return ["BEGIN"] + body + [end]
+
+
+def _model_apply(stmt: str, rows: list[int], stack: list, begun: list) -> list[int]:
+    """The reference model: rows is the table, stack holds (name, snapshot)
+    savepoints, begun[0] the BEGIN snapshot. Mirrors postgres semantics."""
+    if stmt == "BEGIN":
+        begun[0] = list(rows)
+        stack.clear()
+        return rows
+    if stmt == "COMMIT":
+        begun[0] = None
+        stack.clear()
+        return rows
+    if stmt == "ROLLBACK":
+        rows = list(begun[0])
+        begun[0] = None
+        stack.clear()
+        return rows
+    if stmt.startswith("SAVEPOINT"):
+        stack.append((stmt.split()[1], list(rows)))
+        return rows
+    if stmt.startswith("ROLLBACK TO"):
+        name = stmt.split()[-1]
+        for i in range(len(stack) - 1, -1, -1):
+            if stack[i][0] == name:
+                del stack[i + 1:]
+                return list(stack[i][1])
+        raise KeyError(name)
+    if stmt.startswith("RELEASE"):
+        name = stmt.split()[-1]
+        for i in range(len(stack) - 1, -1, -1):
+            if stack[i][0] == name:
+                del stack[i:]
+                return rows
+        raise KeyError(name)
+    if stmt.startswith("INSERT"):
+        return rows + [777]
+    if stmt.startswith("DELETE"):
+        return [x for x in rows if x % 3 != 0]
+    if stmt.startswith("UPDATE"):
+        return [x + 100 if x < 50 else x for x in rows]
+    raise AssertionError(stmt)
+
+
+@settings(max_examples=15, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(stmts=_savepoint_program())
+def test_fuzz_savepoints_match_model(spark, stmts):
+    """Engine savepoint semantics == the Python snapshot-stack model on
+    every generated program, including missing-savepoint errors (both
+    sides must fail on the same statement)."""
+    eng = Engine(spark)
+    eng.execute("DROP TABLE IF EXISTS spf")
+    eng.execute("CREATE TABLE spf AS SELECT CAST(id AS INT) AS x FROM RANGE(20)")
+    rows = list(range(20))
+    stack: list = []
+    begun: list = [None]
+    try:
+        for s in stmts:
+            model_err = engine_err = None
+            try:
+                rows = _model_apply(s, rows, stack, begun)
+            except KeyError as e:
+                model_err = str(e)
+            try:
+                eng.execute(s)
+            except Exception as e:
+                engine_err = str(e)
+            assert (model_err is None) == (engine_err is None), (s, engine_err)
+            got = sorted(r.x for r in eng.execute("SELECT * FROM spf").collect())
+            assert got == sorted(rows), (s, stmts)
+    finally:
+        if eng._txn is not None:
+            eng.execute("ROLLBACK")
+        eng.execute("DROP TABLE spf")
