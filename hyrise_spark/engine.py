@@ -429,6 +429,27 @@ class Engine:
             rest, ret = self._split_returning(m["rest"])
             sets, cond = self._split_top_level_where(rest)
             return self._update(m["table"], sets, cond, args=args, returning=ret)
+        m = re.match(
+            r"^\s*EXPLAIN\s+(?P<mode>FORMATTED|EXTENDED|CODEGEN|COST)?\s*"
+            r"(?P<body>SELECT\b.+)$",
+            stmt, re.I | re.S,
+        )
+        if m and (
+            self._find_top_level(m["body"], "QUALIFY") != -1
+            or self._find_top_level(m["body"], "ASOF") != -1
+        ):
+            # EXPLAIN over the engine-dialect SELECT forms (ASOF/QUALIFY):
+            # spark.sql cannot parse them, so build the frame through the
+            # router (SELECTs are side-effect free) and render its plan in
+            # Spark's EXPLAIN result shape (one row, column `plan`) — works
+            # from psql too.
+            df = self._execute_one(m["body"], args)
+            mode = (m["mode"] or "simple").lower()
+            text = df._jdf.queryExecution().explainString(
+                self.spark._jvm.org.apache.spark.sql.execution.ExplainMode
+                .fromString(mode)
+            )
+            return self.spark.createDataFrame([(text,)], "plan string")
         if stmt.lower().lstrip().startswith("select") and "meta_" in stmt:
             self._materialize_meta_tables(stmt)
         # quote-/paren-aware: 'ASOF' inside a string literal or subquery is

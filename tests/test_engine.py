@@ -746,3 +746,22 @@ def test_nondeterministic_dml_is_pinned(engine):
     assert bumped <= now and all(b >= 1000 for b in bumped)
     assert now == {r["id"] for r in engine.execute("SELECT * FROM nd").collect()}
     engine.execute("DROP TABLE nd")
+
+
+def test_explain_engine_dialect_selects(engine, spark):
+    """EXPLAIN over ASOF/QUALIFY (Spark cannot parse them): routed through
+    the engine, returns Spark's one-row `plan` shape — psql-compatible."""
+    spark.sql("SELECT 0 AS k, 10 AS t").createOrReplaceTempView("ex_l")
+    spark.sql("SELECT 0 AS k, 8 AS rt").createOrReplaceTempView("ex_r")
+    out = engine.execute(
+        "EXPLAIN SELECT l.t FROM ex_l l ASOF JOIN ex_r r"
+        " ON l.k = r.k AND l.t >= r.rt"
+    )
+    assert out.columns == ["plan"]
+    plan = out.collect()[0]["plan"]
+    assert "Physical Plan" in plan or "Join" in plan
+    out = engine.execute(
+        "EXPLAIN FORMATTED SELECT t, ROW_NUMBER() OVER (ORDER BY t) AS rn"
+        " FROM ex_l QUALIFY rn = 1"
+    )
+    assert "Window" in out.collect()[0]["plan"]
