@@ -196,6 +196,9 @@ class Engine:
         self._matviews: dict[str, str] = {}  # materialized views: defining SQL
         # open-transaction snapshot (None = autocommit); see _begin()
         self._txn: dict | None = None
+        # meta_transactions reads the slot through the catalog (the meta
+        # builders only see the catalog)
+        self.catalog.txn_status = lambda: self._txn
 
     # -- statement routing --------------------------------------------------
     def execute(self, sql: str, args: dict | list | None = None) -> DataFrame | None:

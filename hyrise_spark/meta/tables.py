@@ -584,8 +584,34 @@ def meta_versions(spark: SparkSession, catalog) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+def meta_transactions(spark: SparkSession, catalog) -> DataFrame:
+    """Transaction status (transaction_manager.hpp observability analog):
+    one row — idle vs in_transaction, pinned-table count, and the live
+    savepoint stack (innermost last). The engine publishes its slot via
+    `catalog.txn_status` (single-writer engine: one slot)."""
+    schema = StructType(
+        [
+            StructField("status", StringType()),
+            StructField("pinned_tables", LongType()),
+            StructField("savepoints", StringType()),
+        ]
+    )
+    txn = getattr(catalog, "txn_status", lambda: None)()
+    if txn is None:
+        return spark.createDataFrame([("idle", 0, "")], schema)
+    return spark.createDataFrame(
+        [(
+            "in_transaction",
+            len(txn["snap"]["tables"]),
+            ",".join(n for n, _ in txn["savepoints"]),
+        )],
+        schema,
+    )
+
+
 META_TABLES = {
     "meta_tables": meta_tables,
+    "meta_transactions": meta_transactions,
     "meta_versions": meta_versions,
     "meta_columns": meta_columns,
     "meta_partitions": meta_partitions,

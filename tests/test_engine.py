@@ -765,3 +765,18 @@ def test_explain_engine_dialect_selects(engine, spark):
         " FROM ex_l QUALIFY rn = 1"
     )
     assert "Window" in out.collect()[0]["plan"]
+
+
+def test_meta_transactions_reflects_txn_state(engine):
+    row = engine.execute("SELECT * FROM meta_transactions").collect()[0]
+    assert row["status"] == "idle" and row["savepoints"] == ""
+    engine.execute("CREATE TABLE mtx AS SELECT 1 AS x")
+    engine.execute("BEGIN; SAVEPOINT s1; UPDATE mtx SET x = 2; SAVEPOINT s2")
+    row = engine.execute("SELECT * FROM meta_transactions").collect()[0]
+    assert row["status"] == "in_transaction"
+    assert row["savepoints"] == "s1,s2"
+    assert row["pinned_tables"] >= 1
+    engine.execute("ROLLBACK")
+    row = engine.execute("SELECT * FROM meta_transactions").collect()[0]
+    assert row["status"] == "idle"
+    engine.execute("DROP TABLE mtx")
