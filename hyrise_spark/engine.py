@@ -407,6 +407,15 @@ class Engine:
         m = _INSERT_RE.match(stmt)
         if m:
             rest, ret = self._split_returning(m["rest"])
+            k = self._find_top_level(rest, "CONFLICT")
+            if k != -1 and re.search(r"\bON\s*$", rest[:k], re.I):
+                if ret:
+                    raise ValueError(
+                        "RETURNING is not supported with ON CONFLICT "
+                        "(use MERGE for upsert-with-result)"
+                    )
+                head = rest[: re.search(r"\bON\s*$", rest[:k], re.I).start()]
+                return self._insert_on_conflict(m["table"], head, rest[k:], args)
             return self._insert(m["table"], rest, args=args, returning=ret)
         m = _MERGE_RE.match(stmt)
         if m:
@@ -833,6 +842,49 @@ class Engine:
         if returning:  # new_rows is already schema-aligned post-image
             return self._returning_frame(new_rows, returning, args)
         return None
+
+    def _insert_on_conflict(self, table: str, head: str, conflict: str, args):
+        """INSERT ... ON CONFLICT (keys) DO NOTHING | DO UPDATE SET ...
+        (postgres/DuckDB upsert dialect) — rewritten onto MERGE INTO: the
+        source is the VALUES/SELECT frame aliased `excluded`, so the
+        standard `excluded.col` references in DO UPDATE resolve naturally;
+        DO NOTHING drops the WHEN MATCHED clause. Inherits MERGE's ANSI
+        cardinality check (a source key matching twice errors, like
+        DuckDB's duplicate-upsert error)."""
+        cm = re.match(
+            r"^CONFLICT\s*\(\s*(?P<keys>\w+(?:\s*,\s*\w+)*)\s*\)\s*"
+            r"DO\s+(?:(?P<nothing>NOTHING)|UPDATE\s+SET\s+(?P<sets>.+))\s*$",
+            conflict, re.I | re.S,
+        )
+        if not cm:
+            raise ValueError(
+                "ON CONFLICT: supported shape is ON CONFLICT (<cols>) "
+                "DO NOTHING | DO UPDATE SET <assignments>"
+            )
+        keys = [c.strip() for c in cm["keys"].split(",")]
+        cur = self.catalog.get_table(table)
+        head = head.strip()
+        target_cols = None
+        m = re.match(
+            r"^\(\s*(?P<cols>\w+(?:\s*,\s*\w+)*)\s*\)\s*(?P<rest>.+)$", head, re.S
+        )
+        if m and m["cols"].split(",")[0].strip().upper() != "SELECT":
+            target_cols = [c.strip() for c in m["cols"].split(",")]
+            head = m["rest"].strip()
+        names = target_cols or cur.columns
+        missing = [k for k in keys if k not in names]
+        if missing:
+            raise ValueError(f"ON CONFLICT key(s) {missing} not in the insert list")
+        src = f"(SELECT * FROM ({head}) AS __v({', '.join(names)}))"
+        on = " AND ".join(f"{table}.{k} = excluded.{k}" for k in keys)
+        clauses = ""
+        if cm["sets"]:
+            clauses = f" WHEN MATCHED THEN UPDATE SET {cm['sets']}"
+        clauses += (
+            f" WHEN NOT MATCHED THEN INSERT ({', '.join(names)}) "
+            f"VALUES ({', '.join('excluded.' + c for c in names)})"
+        )
+        return self._merge(table, None, f"{src} excluded ON {on}{clauses}")
 
     def _delete(self, table: str, cond: str | None, args=None,
                 returning: str | None = None):

@@ -563,3 +563,31 @@ def test_fuzz_savepoints_match_model(spark, stmts):
         if eng._txn is not None:
             eng.execute("ROLLBACK")
         eng.execute("DROP TABLE spf")
+
+
+def test_on_conflict_upsert_matches_duckdb(spark):
+    """INSERT ... ON CONFLICT (postgres/DuckDB upsert dialect; rewritten
+    onto MERGE): DO UPDATE with excluded./target-qualified refs, DO NOTHING,
+    partial column lists — statements shared verbatim (DuckDB needs the PK
+    for its conflict detection; the engine takes the key from the clause)."""
+    eng = Engine(spark)
+    duck = duckdb.connect()
+    eng.execute("CREATE TABLE uct (id INT, v INT, w INT)")
+    duck.execute("CREATE TABLE uct (id INT PRIMARY KEY, v INT, w INT)")
+    try:
+        for s in [
+            "INSERT INTO uct VALUES (1, 10, 0), (2, 20, 0)",
+            "INSERT INTO uct VALUES (1, 99, 1), (3, 30, 1)"
+            " ON CONFLICT (id) DO UPDATE SET v = excluded.v, w = excluded.w",
+            "INSERT INTO uct VALUES (2, 5, 9), (4, 40, 2) ON CONFLICT (id) DO NOTHING",
+            "INSERT INTO uct VALUES (3, 7, 0)"
+            " ON CONFLICT (id) DO UPDATE SET v = uct.v + excluded.v",
+            "INSERT INTO uct (id, v) VALUES (5, 50), (1, 11)"
+            " ON CONFLICT (id) DO UPDATE SET v = excluded.v",
+        ]:
+            eng.execute(s)
+            duck.execute(s)
+            _compare_select(eng, duck, "SELECT * FROM uct", s)
+    finally:
+        eng.execute("DROP TABLE uct")
+        duck.close()
