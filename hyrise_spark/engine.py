@@ -431,6 +431,22 @@ class Engine:
             rest, ret = self._split_returning(m["rest"])
             cond = None
             if rest and rest.strip():
+                um = re.match(r"^\s*USING\s+(?P<src>.+)$", rest, re.I | re.S)
+                if um:
+                    # DELETE ... USING (postgres/DuckDB): delete target rows
+                    # with a match in the USING source — exactly MERGE's
+                    # WHEN MATCHED THEN DELETE
+                    if ret:
+                        raise ValueError("RETURNING unsupported with USING")
+                    src = um["src"]
+                    w = self._find_top_level(src, "WHERE")
+                    if w == -1:
+                        raise ValueError("DELETE ... USING requires a WHERE join condition")
+                    src, jcond = src[:w].rstrip(), src[w + len("WHERE"):].strip()
+                    return self._merge(
+                        m["table"], None,
+                        f"{src} ON {jcond} WHEN MATCHED THEN DELETE",
+                    )
                 wm = re.match(r"^\s*WHERE\s+(?P<cond>.+)$", rest, re.I | re.S)
                 if not wm:
                     raise ValueError(f"DELETE: cannot parse trailing {rest!r}")
@@ -439,6 +455,24 @@ class Engine:
         m = _UPDATE_RE.match(stmt)
         if m:
             rest, ret = self._split_returning(m["rest"])
+            f = self._find_top_level(rest, "FROM")
+            w = self._find_top_level(rest, "WHERE")
+            if f != -1 and (w == -1 or f < w):
+                # UPDATE ... FROM (postgres/DuckDB): per-row update using the
+                # matching source row — MERGE's WHEN MATCHED UPDATE, with the
+                # stricter (deterministic) ANSI one-match cardinality check
+                # instead of postgres's arbitrary-row pick
+                if ret:
+                    raise ValueError("RETURNING unsupported with UPDATE ... FROM")
+                if w == -1:
+                    raise ValueError("UPDATE ... FROM requires a WHERE join condition")
+                sets = rest[:f].rstrip()
+                src = rest[f + len("FROM"):w].strip()
+                jcond = rest[w + len("WHERE"):].strip()
+                return self._merge(
+                    m["table"], None,
+                    f"{src} ON {jcond} WHEN MATCHED THEN UPDATE SET {sets}",
+                )
             sets, cond = self._split_top_level_where(rest)
             return self._update(m["table"], sets, cond, args=args, returning=ret)
         m = re.match(

@@ -591,3 +591,32 @@ def test_on_conflict_upsert_matches_duckdb(spark):
     finally:
         eng.execute("DROP TABLE uct")
         duck.close()
+
+
+def test_update_from_and_delete_using_match_duckdb(spark):
+    """UPDATE ... FROM and DELETE ... USING (postgres/DuckDB join-DML):
+    rewritten onto MERGE WHEN MATCHED; single-match data keeps the two
+    engines' semantics identical (this engine's ANSI cardinality check is
+    STRICTER than postgres's arbitrary pick on multi-match — documented)."""
+    eng = Engine(spark)
+    duck = duckdb.connect()
+    for ex in (eng.execute, duck.execute):
+        ex("CREATE TABLE jdml_t (id INT, v INT)")
+        ex("CREATE TABLE jdml_s (id INT, nv INT)")
+        ex("INSERT INTO jdml_t VALUES (1, 10), (2, 20), (3, 30), (4, 40)")
+        ex("INSERT INTO jdml_s VALUES (1, 100), (3, 300), (9, 900)")
+    try:
+        for s in [
+            "UPDATE jdml_t SET v = jdml_s.nv FROM jdml_s WHERE jdml_t.id = jdml_s.id",
+            "UPDATE jdml_t SET v = jdml_t.v + jdml_s.nv FROM jdml_s"
+            " WHERE jdml_t.id = jdml_s.id AND jdml_s.nv < 200",
+            "DELETE FROM jdml_t USING jdml_s WHERE jdml_t.id = jdml_s.id"
+            " AND jdml_s.nv > 200",
+        ]:
+            eng.execute(s)
+            duck.execute(s)
+            _compare_select(eng, duck, "SELECT * FROM jdml_t", s)
+    finally:
+        for t in ("jdml_t", "jdml_s"):
+            eng.execute(f"DROP TABLE {t}")
+        duck.close()
