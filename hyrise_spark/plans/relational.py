@@ -1009,3 +1009,23 @@ def join_asof_sql_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         " ON e.join_key = o.o_custkey AND e.ts >= o.o_orderdate"
         " WHERE o.price > 200.0"
     )
+
+
+_GBA_SQL = """
+    SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(l_quantity), 2) AS qty
+    FROM lineitem GROUP BY ALL ORDER BY ALL
+"""
+
+
+@register(
+    "agg_group_by_all",
+    oracle=_GBA_SQL,
+    tags=("aggregate", "sql"),
+)
+def agg_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL / ORDER BY ALL (DuckDB-origin dialect, native in both
+    Spark 4 and DuckDB): the IDENTICAL text runs on both engines — two
+    independent implementations of the clause inference."""
+    load_tables(spark, sf_dir, ("lineitem",))
+    return spark.sql(_GBA_SQL)
