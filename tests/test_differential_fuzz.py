@@ -9,9 +9,15 @@ cases — the same idea as the reference's configuration-matrix sweeps
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+
+# deep-fuzz knob: HS_FUZZ_EXAMPLES multiplies every fuzz family (default 1x;
+# a long-running bug hunt sets e.g. 10)
+_FUZZ_X = int(os.environ.get("HS_FUZZ_EXAMPLES", "1"))
 
 from tests.conftest import SF_DIR, TABLES
 from tests.oracle_utils import canon
@@ -74,7 +80,7 @@ def _run_both(spark, duck, sql: str):
 
 
 _SETTINGS = settings(
-    max_examples=25,
+    max_examples=25 * _FUZZ_X,
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],

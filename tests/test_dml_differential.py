@@ -15,6 +15,8 @@ is shared verbatim.
 """
 from __future__ import annotations
 
+import os
+
 import duckdb
 import pytest
 
@@ -356,6 +358,10 @@ def test_view_over_view_refreshes_transitively(engines):
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+# deep-fuzz knob: HS_FUZZ_EXAMPLES multiplies every fuzz family (default 1x;
+# a long-running bug hunt sets e.g. 10)
+_FUZZ_X = int(os.environ.get("HS_FUZZ_EXAMPLES", "1"))
+
 
 @st.composite
 def _dml_statement(draw) -> str:
@@ -392,7 +398,7 @@ def _dml_statement(draw) -> str:
     return "TRUNCATE idt"
 
 
-@settings(max_examples=20, deadline=None, derandomize=True,
+@settings(max_examples=20 * _FUZZ_X, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(stmts=st.lists(_dml_statement(), min_size=2, max_size=5))
 def test_fuzz_dml_sequences(engines, stmts):
@@ -425,7 +431,7 @@ def _txn_wrapped_sequence(draw) -> list[str]:
     return stmts[:i] + ["BEGIN"] + stmts[i:j] + [end] + stmts[j:]
 
 
-@settings(max_examples=15, deadline=None, derandomize=True,
+@settings(max_examples=15 * _FUZZ_X, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(stmts=_txn_wrapped_sequence())
 def test_fuzz_transactional_sequences(engines, stmts):
@@ -532,7 +538,7 @@ def _model_apply(stmt: str, rows: list[int], stack: list, begun: list) -> list[i
     raise AssertionError(stmt)
 
 
-@settings(max_examples=15, deadline=None, derandomize=True,
+@settings(max_examples=15 * _FUZZ_X, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(stmts=_savepoint_program())
 def test_fuzz_savepoints_match_model(spark, stmts):
