@@ -839,3 +839,42 @@ def test_numeric_binary_wide_values():
     ):
         d = decimal.Decimal(s)
         assert _numeric_from_binary(_numeric_binary(d)) == d, s
+
+
+@pytest.mark.skipif(PSQL is None, reason="psql not installed")
+def test_psql_round8_dialect_surfaces(server):
+    """The round-8 SQL surfaces drive end-to-end from a real psql client:
+    ON CONFLICT upsert, UPDATE ... FROM, savepoints, ASOF JOIN, QUALIFY."""
+    _psql(server, "DROP TABLE IF EXISTS pg_r8")
+    out = _psql(server, "CREATE TABLE pg_r8 (id INT, v INT)")
+    assert out.returncode == 0, out.stderr
+    try:
+        out = _psql(
+            server,
+            "SELECT id, v FROM pg_r8 ORDER BY id",
+            "-c", "INSERT INTO pg_r8 VALUES (1, 10), (2, 20)",
+            "-c", "INSERT INTO pg_r8 VALUES (1, 99), (3, 30)"
+                  " ON CONFLICT (id) DO UPDATE SET v = excluded.v",
+            "-c", "BEGIN",
+            "-c", "SAVEPOINT s1",
+            "-c", "UPDATE pg_r8 SET v = 0",
+            "-c", "ROLLBACK TO s1",
+            "-c", "COMMIT",
+        )
+        assert out.returncode == 0, out.stderr
+        assert out.stdout.split()[-3:] == ["1|99", "2|20", "3|30"], out.stdout
+        out = _psql(
+            server,
+            "SELECT l.id, r.v FROM pg_r8 l ASOF JOIN pg_r8 r"
+            " ON l.id = r.id AND l.v >= r.v",
+        )
+        assert out.returncode == 0, out.stderr
+        out = _psql(
+            server,
+            "SELECT id, v, ROW_NUMBER() OVER (ORDER BY v DESC) AS rn"
+            " FROM pg_r8 QUALIFY rn = 1",
+        )
+        assert out.returncode == 0, out.stderr
+        assert out.stdout.strip() == "1|99|1", out.stdout
+    finally:
+        _psql(server, "DROP TABLE pg_r8")
