@@ -184,6 +184,53 @@ def purchase_click_attribution(
     ).select("purchase_id", "click_id", F.col("p_user").alias("user_id"), "p_ts", "c_ts", "amount")
 
 
+def purchase_click_attribution_outer(
+    events: DataFrame,
+    events2: DataFrame,
+    max_lag: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every purchase emits — with
+    its preceding clicks when they exist, with NULL click columns otherwise.
+
+    Same watermark/interval contract as the inner form (both sides
+    watermarked, event time bounded both ways — required for state expiry);
+    additionally, outer NULL results for an unmatched purchase emit only
+    once the watermark passes the purchase's join window (Spark's
+    stream-stream outer-join completeness rule) — the parity test advances
+    the watermark past the data with a late sentinel event.
+    """
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("amount"),
+        )
+    )
+    clicks = (
+        events2.filter(F.col("event_type") == "click")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {max_lag}")),
+        "left_outer",
+    ).select(
+        "purchase_id", "click_id", F.col("p_user").alias("user_id"),
+        "p_ts", "c_ts", "amount",
+    )
+
+
 def enriched_stream(events: DataFrame, customers: DataFrame) -> DataFrame:
     """Stream-static join: events enriched with the customer dimension.
 
