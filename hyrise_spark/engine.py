@@ -253,7 +253,32 @@ class Engine:
         parts.append("".join(buf))
         return [p.strip() for p in parts if p.strip()]
 
+    # statements that mutate state or control transactions — fenced while
+    # ANOTHER thread's transaction is open (see _execute_one)
+    _WRITE_STMT_RE = re.compile(
+        r"^\s*(?:INSERT|UPDATE|DELETE|MERGE|CREATE|DROP|ALTER|TRUNCATE|"
+        r"IMPORT|COPY|BEGIN|START|COMMIT|ROLLBACK|SAVEPOINT|RELEASE)\b",
+        re.I,
+    )
+
     def _execute_one(self, stmt: str, args) -> DataFrame | None:
+        if self._txn is not None:
+            import threading
+
+            if (self._txn.get("owner") != threading.get_ident()
+                    and self._WRITE_STMT_RE.match(stmt)):
+                # postgres scopes a transaction to its connection; this
+                # single-writer engine has ONE slot, so writes (and txn
+                # control) from another connection while it is pinned would
+                # silently join — or abort — someone else's transaction.
+                # Reads pass (they see the writer's uncommitted state: the
+                # documented READ-UNCOMMITTED view of a single-writer
+                # embedded engine); writers must wait or be rejected.
+                raise RuntimeError(
+                    "a transaction begun on another connection is in "
+                    "progress; this single-writer engine serializes write "
+                    "transactions — retry after it commits or rolls back"
+                )
         if re.search(r"\bVERSION\s+AS\s+OF\b", stmt, re.I):
             stmt = self._resolve_versions(stmt)
         if _TXN_RE.match(stmt):
@@ -734,7 +759,10 @@ class Engine:
             warnings.warn("there is already a transaction in progress",
                           stacklevel=4)
             return
-        self._txn = {"snap": self._snapshot(), "savepoints": []}
+        import threading
+
+        self._txn = {"snap": self._snapshot(), "savepoints": [],
+                     "owner": threading.get_ident()}
 
     def _commit(self) -> None:
         import warnings

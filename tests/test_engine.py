@@ -780,3 +780,37 @@ def test_meta_transactions_reflects_txn_state(engine):
     row = engine.execute("SELECT * FROM meta_transactions").collect()[0]
     assert row["status"] == "idle"
     engine.execute("DROP TABLE mtx")
+
+
+def test_transaction_is_fenced_from_other_threads(engine):
+    """A transaction is scoped to the connection (thread) that began it:
+    writes and txn control from another thread are rejected while it is
+    open; reads pass (documented single-writer READ-UNCOMMITTED view)."""
+    import threading
+
+    engine.execute("CREATE TABLE fence AS SELECT 1 AS x")
+    engine.execute("BEGIN; UPDATE fence SET x = 2")
+    results: dict = {}
+
+    def intruder():
+        try:
+            engine.execute("UPDATE fence SET x = 99")
+            results["write"] = "allowed"
+        except Exception as e:
+            results["write"] = str(e)
+        try:
+            engine.execute("ROLLBACK")
+            results["rollback"] = "allowed"
+        except Exception as e:
+            results["rollback"] = str(e)
+        results["read"] = engine.execute("SELECT x FROM fence").collect()[0]["x"]
+
+    t = threading.Thread(target=intruder)
+    t.start()
+    t.join()
+    assert "another connection" in results["write"]
+    assert "another connection" in results["rollback"]
+    assert results["read"] == 2  # uncommitted state, visible to reads
+    engine.execute("ROLLBACK")  # owner can still abort
+    assert engine.execute("SELECT x FROM fence").collect()[0]["x"] == 1
+    engine.execute("DROP TABLE fence")
