@@ -268,3 +268,28 @@ def window_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load_tables(spark, sf_dir, ("lineitem",))
     return Engine(spark).execute(_QUALIFY_SQL)
+
+
+# -- named WINDOW clause (SQL:2003; native in both Spark and DuckDB) ---------
+_NAMED_WINDOW_SQL = """
+    SELECT l_orderkey, l_linenumber,
+           CAST(RANK() OVER w AS BIGINT) AS rnk,
+           ROUND(SUM(l_extendedprice) OVER w, 2) AS running_price
+    FROM lineitem
+    WHERE l_orderkey < 200
+    WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber)
+    ORDER BY l_orderkey, l_linenumber
+"""
+
+
+@register(
+    "window_named_clause",
+    oracle=_NAMED_WINDOW_SQL,
+    tags=("window", "sql"),
+)
+def window_named_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINDOW w AS (...): one named spec shared by several window functions —
+    the IDENTICAL text runs on both engines (independent implementations of
+    the name resolution + shared-frame semantics)."""
+    load_tables(spark, sf_dir, ("lineitem",))
+    return spark.sql(_NAMED_WINDOW_SQL)
