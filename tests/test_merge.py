@@ -221,7 +221,10 @@ def _duck_set(sets: str) -> str:
     return sets  # assignments reference mt./u. explicitly — shared verbatim
 
 
-@pytest.mark.parametrize("seed", range(12))
+# deep-fuzz knob: HS_FUZZ_EXAMPLES multiplies the seed pool (default 1x)
+@pytest.mark.parametrize(
+    "seed", range(12 * int(__import__("os").environ.get("HS_FUZZ_EXAMPLES", "1")))
+)
 def test_merge_fuzz_matches_duckdb(engines, seed):
     import random
 
