@@ -41,7 +41,7 @@ _COPY_TO_RE = re.compile(
     re.I,
 )
 _CREATE_VIEW_RE = re.compile(
-    r"^\s*CREATE\s+VIEW\s+(?P<name>\w+)\s*"
+    r"^\s*CREATE\s+(?P<orrepl>OR\s+REPLACE\s+)?VIEW\s+(?P<name>\w+)\s*"
     r"(?:\(\s*(?P<cols>\w+(?:\s*,\s*\w+)*)\s*\)\s*)?AS\s+(?P<sql>.+)$",
     re.I | re.S,
 )
@@ -360,6 +360,8 @@ class Engine:
                 # explicit view column list (count_view3-style, corpus line
                 # 371): rename through a derived-table alias
                 sql = f"SELECT * FROM ({sql}) AS __v({m['cols']})"
+            if m["orrepl"] and self.catalog.has_view(m["name"]):
+                self.catalog.drop_view(m["name"])
             self.catalog.add_view(m["name"], sql)
             return None
         m = _DROP_VIEW_RE.match(stmt)

@@ -626,3 +626,32 @@ def test_update_from_and_delete_using_match_duckdb(spark):
         for t in ("jdml_t", "jdml_s"):
             eng.execute(f"DROP TABLE {t}")
         duck.close()
+
+
+def test_create_or_replace_view_matches_duckdb(engines):
+    """CREATE OR REPLACE VIEW redefines in place (postgres/DuckDB); plain
+    CREATE VIEW on an existing name still errors on both engines."""
+    eng, duck = engines
+    stmts = [
+        "CREATE VIEW corv AS SELECT CAST(COUNT(*) AS BIGINT) AS n FROM idt",
+        "CREATE OR REPLACE VIEW corv AS SELECT CAST(MAX(id) AS BIGINT) AS n FROM idt",
+    ]
+    try:
+        for s in stmts:
+            eng.execute(s)
+            duck.execute(s)
+        _compare_select(eng, duck, "SELECT * FROM corv", "create_or_replace_view")
+        for ex in (eng.execute, duck.execute):
+            try:
+                ex("CREATE VIEW corv AS SELECT 1 AS n")
+                raise AssertionError("duplicate CREATE VIEW must error")
+            except AssertionError:
+                raise
+            except Exception:
+                pass  # both engines reject the duplicate
+    finally:
+        for ex in (eng.execute, duck.execute):
+            try:
+                ex("DROP VIEW IF EXISTS corv")
+            except Exception:
+                pass
