@@ -67,7 +67,8 @@ _DROP_TABLE_RE = re.compile(
     r"^\s*DROP\s+TABLE\s+(?P<ifex>IF\s+EXISTS\s+)?(?P<name>\w+)\s*$", re.I
 )
 _CREATE_TABLE_RE = re.compile(
-    r"^\s*CREATE\s+TABLE\s+(?P<ifnx>IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)\s+AS\s+(?P<sql>.+)$",
+    r"^\s*CREATE\s+(?P<orrepl>OR\s+REPLACE\s+)?TABLE\s+"
+    r"(?P<ifnx>IF\s+NOT\s+EXISTS\s+)?(?P<name>\w+)\s+AS\s+(?P<sql>.+)$",
     re.I | re.S,
 )
 # CREATE TABLE [IF NOT EXISTS] t (col TYPE, ...) — empty table from a schema
@@ -379,6 +380,14 @@ class Engine:
         m = _CREATE_TABLE_RE.match(stmt)
         if m:
             if m["ifnx"] and self.catalog.has_table(m["name"]):
+                return None
+            if m["orrepl"] and self.catalog.has_table(m["name"]):
+                # CREATE OR REPLACE TABLE (DuckDB dialect): the defining
+                # query reads the OLD table state (snapshot semantics), so
+                # resolve the plan BEFORE the drop
+                df = self.spark.sql(m["sql"])
+                self.catalog.drop_table(m["name"])
+                self.catalog.add_table(m["name"], df)
                 return None
             self.catalog.add_table(m["name"], self.spark.sql(m["sql"]))
             return None

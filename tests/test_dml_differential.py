@@ -655,3 +655,25 @@ def test_create_or_replace_view_matches_duckdb(engines):
                 ex("DROP VIEW IF EXISTS corv")
             except Exception:
                 pass
+
+
+def test_create_or_replace_table_matches_duckdb(engines):
+    """CREATE OR REPLACE TABLE (DuckDB dialect): the defining query reads
+    the PRE-replace state (self-referencing replace works on both)."""
+    eng, duck = engines
+    stmts = [
+        "CREATE OR REPLACE TABLE cort AS SELECT id, a FROM idt WHERE id < 10",
+        # self-reference: new state derived from the old
+        "CREATE OR REPLACE TABLE cort AS SELECT id + 100 AS id, a FROM cort WHERE a > 20",
+    ]
+    try:
+        for s in stmts:
+            eng.execute(s)
+            duck.execute(s)
+        _compare_select(eng, duck, "SELECT * FROM cort", "create_or_replace_table")
+    finally:
+        for ex in (eng.execute, duck.execute):
+            try:
+                ex("DROP TABLE IF EXISTS cort")
+            except Exception:
+                pass
