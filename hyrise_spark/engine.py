@@ -190,6 +190,8 @@ class Engine:
     """`execute(sql)` -> last statement's DataFrame (or None for DDL)."""
 
     def __init__(self, spark: SparkSession):
+        import threading
+
         self.spark = spark
         self.catalog = Catalog(spark)
         self._prepared: dict[str, str] = {}
@@ -197,9 +199,56 @@ class Engine:
         self._matviews: dict[str, str] = {}  # materialized views: defining SQL
         # open-transaction snapshot (None = autocommit); see _begin()
         self._txn: dict | None = None
+        # Statement lock: serializes statement dispatch (analysis, catalog
+        # mutation, the snapshot-read temp-view swap) across connection
+        # threads — the documented single-writer engine design. RLock so
+        # nested dispatch (SHOW TABLES rewrite, rollback re-running function
+        # definitions) re-enters. EXECUTION of the returned lazy plans is
+        # not held: plans are immutable once analyzed, so collection runs
+        # lock-free on the caller's thread.
+        self._stmt_lock = threading.RLock()
+        # per-connection client tokens (pgwire binds one via
+        # begin_client_session); falls back to thread ident for embedded use
+        self._client_local = threading.local()
+        self._in_snap_read = False  # reentrancy guard for _snapshot_read
         # meta_transactions reads the slot through the catalog (the meta
         # builders only see the catalog)
         self.catalog.txn_status = lambda: self._txn
+
+    # -- connection/client sessions ------------------------------------------
+    # The reference scopes a TransactionContext to its session
+    # (transaction_manager.hpp); postgres scopes BEGIN to the connection and
+    # issues an implicit ROLLBACK when the connection drops. Thread idents
+    # are recycled by CPython after thread death, so transaction ownership is
+    # keyed to an explicit per-connection token instead: a later connection
+    # on a reused thread id can never silently join (or abort) an abandoned
+    # transaction.
+    def begin_client_session(self) -> str:
+        """Bind the calling thread (one pgwire connection = one handler
+        thread) to a fresh client token; returns it for end_client_session."""
+        import uuid
+
+        tok = uuid.uuid4().hex
+        self._client_local.token = tok
+        return tok
+
+    def end_client_session(self, token: str) -> None:
+        """Connection teardown: abort an abandoned open transaction owned by
+        this client (postgres's implicit ROLLBACK on disconnect), so a dead
+        connection can never leave the engine permanently write-fenced."""
+        with self._stmt_lock:
+            if self._txn is not None and self._txn.get("owner") == token:
+                self._rollback()
+        if getattr(self._client_local, "token", None) == token:
+            del self._client_local.token
+
+    def _owner_token(self):
+        tok = getattr(self._client_local, "token", None)
+        if tok is not None:
+            return tok
+        import threading
+
+        return ("thread", threading.get_ident())
 
     # -- statement routing --------------------------------------------------
     def execute(self, sql: str, args: dict | list | None = None) -> DataFrame | None:
@@ -263,23 +312,32 @@ class Engine:
     )
 
     def _execute_one(self, stmt: str, args) -> DataFrame | None:
-        if self._txn is not None:
-            import threading
+        with self._stmt_lock:
+            if (self._txn is not None
+                    and self._txn.get("owner") != self._owner_token()
+                    and not self._in_snap_read):
+                if self._WRITE_STMT_RE.match(stmt):
+                    # postgres scopes a transaction to its connection; this
+                    # single-writer engine has ONE slot, so writes (and txn
+                    # control) from another connection while it is pinned
+                    # would silently join — or abort — someone else's
+                    # transaction. Writers must wait or be rejected; reads
+                    # are served from the BEGIN snapshot (below).
+                    raise RuntimeError(
+                        "a transaction begun on another connection is in "
+                        "progress; this single-writer engine serializes "
+                        "write transactions — retry after it commits or "
+                        "rolls back"
+                    )
+                # Reads from OTHER connections get committed-only visibility:
+                # they are resolved against the BEGIN pin, not the live
+                # catalog — the reference's Validate semantics
+                # (validate.hpp:20 — every scan validates against the
+                # snapshot commit-id; transaction_manager.hpp).
+                return self._snapshot_read(stmt, args)
+            return self._dispatch(stmt, args)
 
-            if (self._txn.get("owner") != threading.get_ident()
-                    and self._WRITE_STMT_RE.match(stmt)):
-                # postgres scopes a transaction to its connection; this
-                # single-writer engine has ONE slot, so writes (and txn
-                # control) from another connection while it is pinned would
-                # silently join — or abort — someone else's transaction.
-                # Reads pass (they see the writer's uncommitted state: the
-                # documented READ-UNCOMMITTED view of a single-writer
-                # embedded engine); writers must wait or be rejected.
-                raise RuntimeError(
-                    "a transaction begun on another connection is in "
-                    "progress; this single-writer engine serializes write "
-                    "transactions — retry after it commits or rolls back"
-                )
+    def _dispatch(self, stmt: str, args) -> DataFrame | None:
         if re.search(r"\bVERSION\s+AS\s+OF\b", stmt, re.I):
             stmt = self._resolve_versions(stmt)
         if _TXN_RE.match(stmt):
@@ -290,9 +348,11 @@ class Engine:
             # immutable, so the pin is a dict of references, not data);
             # COMMIT drops the pin; ROLLBACK restores it — every statement
             # applied inside the transaction, including its appended history
-            # versions, un-happens. Single-writer engine: no concurrent
-            # session can observe the in-flight state, so this gives the
-            # reference's snapshot-isolation visibility for free.
+            # versions, un-happens. Concurrent sessions cannot observe the
+            # in-flight state: their reads are served from the BEGIN pin
+            # (_snapshot_read), giving the reference's committed-only
+            # snapshot visibility (validate.hpp:20); their writes are fenced
+            # (_execute_one) until commit/rollback.
             u = stmt.lstrip().upper()
             if u.startswith(("BEGIN", "START")):
                 self._begin()
@@ -386,8 +446,19 @@ class Engine:
                 # query reads the OLD table state (snapshot semantics), so
                 # resolve the plan BEFORE the drop
                 df = self.spark.sql(m["sql"])
+                # the defining plan may read the old table's compaction
+                # parquet (trail[-1]) — carry the trail onto the new entry
+                # instead of letting drop_table queue it for physical purge
+                # while still referenced by the live replacement
+                carried = list(self.catalog.compact_paths.get(m["name"], ()))
                 self.catalog.drop_table(m["name"])
                 self.catalog.add_table(m["name"], df)
+                if carried:
+                    self.catalog.compact_paths[m["name"]] = carried
+                    cset = set(carried)
+                    self.catalog._compact_trash = [
+                        p for p in self.catalog._compact_trash if p not in cset
+                    ]
                 return None
             self.catalog.add_table(m["name"], self.spark.sql(m["sql"]))
             return None
@@ -443,6 +514,8 @@ class Engine:
         m = _INSERT_RE.match(stmt)
         if m:
             rest, ret = self._split_returning(m["rest"])
+            if rest is None:  # e.g. 'INSERT INTO t RETURNING x' — no body
+                raise ValueError(f"cannot parse INSERT statement: {stmt.strip()!r}")
             k = self._find_top_level(rest, "CONFLICT")
             if k != -1 and re.search(r"\bON\s*$", rest[:k], re.I):
                 if ret:
@@ -491,6 +564,8 @@ class Engine:
         m = _UPDATE_RE.match(stmt)
         if m:
             rest, ret = self._split_returning(m["rest"])
+            if rest is None:  # e.g. 'UPDATE t RETURNING x' — no SET clause
+                raise ValueError(f"cannot parse UPDATE statement: {stmt.strip()!r}")
             f = self._find_top_level(rest, "FROM")
             w = self._find_top_level(rest, "WHERE")
             if f != -1 and (w == -1 or f < w):
@@ -589,8 +664,11 @@ class Engine:
             if re.fullmatch(r"\d+(?:\.\d+)?|'[^']*'", tok):
                 return "lit"
             if "." in tok:
-                a = tok.split(".", 1)[0]
-                return "L" if a == la else ("R" if a == ra else "lit")
+                # SQL identifiers compare case-insensitively: 'ON E.ts >= o.ts'
+                # with alias 'e' must still classify E.ts as the left side
+                a = tok.split(".", 1)[0].casefold()
+                return ("L" if a == la.casefold()
+                        else ("R" if a == ra.casefold() else "lit"))
             return "unq"  # unqualified column: table unknown
 
         # The time inequality is the term whose two operands come from the
@@ -712,6 +790,7 @@ class Engine:
             "history_base": dict(cat.history_base),
             "dml_depth": dict(cat.dml_depth),
             "compact_paths": {k: list(v) for k, v in cat.compact_paths.items()},
+            "compact_trash": list(cat._compact_trash),
             "validated_uccs": set(cat.validated_uccs),
             "functions": dict(self._functions),
             "matviews": dict(self._matviews),
@@ -744,11 +823,29 @@ class Engine:
                 pass
         for name in set(self._functions) - set(snap["functions"]):
             self.spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {name}")
-        # a compaction file written since the pin is unreferenced after
-        # restore — queue it for the explicit physical purge
+        # Trash is restored from the pin so paths a DROP TABLE (or trail
+        # eviction) queued DURING the transaction do not survive the
+        # rollback — the restored table's plans still read those files, and
+        # a later purge_compaction_trail would rmtree data the user believes
+        # was never dropped. Then: a compaction file WRITTEN since the pin
+        # is unreferenced after restore — queue it for the physical purge.
+        restored_refs = {
+            p for trail in snap["compact_paths"].values() for p in trail
+        }
+        snap_trash = set(snap["compact_trash"])
+        trash = list(snap["compact_trash"])
+        # files queued pre-txn stay queued; files queued during the txn stay
+        # queued only if the restore does not re-reference them
+        trash.extend(
+            p for p in cat._compact_trash
+            if p not in snap_trash and p not in restored_refs
+        )
         for t, trail in cat.compact_paths.items():
             kept = set(snap["compact_paths"].get(t, []))
-            cat._compact_trash.extend(p for p in trail if p not in kept)
+            trash.extend(
+                p for p in trail if p not in kept and p not in restored_refs
+            )
+        cat._compact_trash = trash
         cat._tables = dict(snap["tables"])
         cat._views = dict(snap["views"])
         cat.history = {k: list(v) for k, v in snap["history"].items()}
@@ -789,6 +886,116 @@ class Engine:
             else:
                 self._execute_one(create_sql, None)
 
+    # -- committed-only reads for concurrent connections ---------------------
+    def _snapshot_read(self, stmt: str, args) -> DataFrame | None:
+        """Resolve a non-owner connection's read against the BEGIN pin
+        instead of the live catalog — the reference's Validate visibility
+        (validate.hpp:20: every scan validates row versions against the
+        snapshot commit-id, so a concurrent reader sees committed state
+        only; transaction_manager.hpp).
+
+        Mechanics: under the statement lock, swap the catalog/engine dicts
+        and any DIVERGED temp views to the pin (references to immutable lazy
+        plans — no data moves), dispatch the statement (`spark.sql` analyzes
+        eagerly, so view resolution bakes the snapshot plans into the
+        returned DataFrame), then swap back. Cost is O(objects the open
+        transaction touched); an untouched table is the identical object and
+        needs no view churn. The returned plan stays valid after the swap-
+        back — and after the owner's later COMMIT/ROLLBACK — because every
+        pinned plan is immutable."""
+        snap = self._txn["snap"]
+        cat = self.catalog
+        live_tables, live_views = cat._tables, cat._views
+        snap_t, snap_v = snap["tables"], snap["views"]
+        # temp-view deltas: tables whose live plan diverged from the pin
+        # (includes tables the txn dropped), and tables the txn created
+        diverged = [n for n, df in snap_t.items()
+                    if live_tables.get(n) is not df]
+        created = [n for n in live_tables if n not in snap_t]
+        # views to re-register at the pin: redefined/dropped in the txn, or
+        # (transitively) mentioning a diverged table — same dependency walk
+        # as _restore, in creation order so views-over-views resolve
+        dirty = set(diverged) | {
+            v for v in snap_v if live_views.get(v) != snap_v[v]
+        }
+        created_views = [v for v in live_views if v not in snap_v]
+        saved = (cat._tables, cat._views, cat.history, cat.history_base,
+                 cat.dml_depth, cat.compact_paths, cat.validated_uccs,
+                 self._matviews, self._prepared)
+        reg_views: list[str] = []
+        self._in_snap_read = True
+        try:
+            cat._tables = dict(snap_t)
+            cat._views = dict(snap_v)
+            cat.history = {k: list(v) for k, v in snap["history"].items()}
+            cat.history_base = dict(snap["history_base"])
+            cat.dml_depth = dict(snap["dml_depth"])
+            cat.compact_paths = {
+                k: list(v) for k, v in snap["compact_paths"].items()
+            }
+            cat.validated_uccs = set(snap["validated_uccs"])
+            self._matviews = dict(snap["matviews"])
+            self._prepared = dict(snap["prepared"])
+            for n in diverged:
+                snap_t[n].createOrReplaceTempView(n)
+            for n in created:
+                try:
+                    self.spark.catalog.dropTempView(n)
+                except Exception:  # noqa: BLE001 — never registered
+                    pass
+            for vname, vsql in snap_v.items():
+                if vname in dirty or any(
+                    re.search(rf"\b{re.escape(d)}\b", vsql, re.I)
+                    for d in dirty
+                ):
+                    dirty.add(vname)
+                    reg_views.append(vname)
+                    try:
+                        self.spark.sql(vsql).createOrReplaceTempView(vname)
+                    except Exception:  # noqa: BLE001 — dangling view
+                        pass
+            for v in created_views:
+                try:
+                    self.spark.catalog.dropTempView(v)
+                except Exception:  # noqa: BLE001
+                    pass
+            return self._dispatch(stmt, args)
+        finally:
+            self._in_snap_read = False
+            (cat._tables, cat._views, cat.history, cat.history_base,
+             cat.dml_depth, cat.compact_paths, cat.validated_uccs,
+             self._matviews, self._prepared) = saved
+            for n in diverged:
+                if n in cat._tables:
+                    cat._tables[n].createOrReplaceTempView(n)
+                else:
+                    try:
+                        self.spark.catalog.dropTempView(n)
+                    except Exception:  # noqa: BLE001
+                        pass
+            for n in created:
+                cat._tables[n].createOrReplaceTempView(n)
+            for v in reg_views:
+                if v in cat._views:
+                    try:
+                        self.spark.sql(
+                            cat._views[v]
+                        ).createOrReplaceTempView(v)
+                    except Exception:  # noqa: BLE001 — dangling view
+                        pass
+                else:
+                    try:
+                        self.spark.catalog.dropTempView(v)
+                    except Exception:  # noqa: BLE001
+                        pass
+            for v in created_views:
+                try:
+                    self.spark.sql(
+                        cat._views[v]
+                    ).createOrReplaceTempView(v)
+                except Exception:  # noqa: BLE001 — dangling view
+                    pass
+
     def _begin(self) -> None:
         import warnings
 
@@ -797,10 +1004,8 @@ class Engine:
             warnings.warn("there is already a transaction in progress",
                           stacklevel=4)
             return
-        import threading
-
         self._txn = {"snap": self._snapshot(), "savepoints": [],
-                     "owner": threading.get_ident()}
+                     "owner": self._owner_token()}
 
     def _commit(self) -> None:
         import warnings

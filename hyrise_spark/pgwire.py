@@ -367,6 +367,11 @@ class _PgHandler(socketserver.BaseRequestHandler):
     def handle(self) -> None:
         server: PgWireServer = self.server  # type: ignore[assignment]
         sock: socket.socket = self.request
+        # One handler thread per connection: bind a fresh engine client
+        # token so transaction ownership is keyed to THIS connection (not a
+        # recyclable thread ident), and so teardown can abort an abandoned
+        # transaction (postgres's implicit ROLLBACK on disconnect).
+        token = server.engine.begin_client_session()
         try:
             if not self._startup(sock):
                 return
@@ -384,6 +389,9 @@ class _PgHandler(socketserver.BaseRequestHandler):
             self._query_loop(sock, server)
         except (ConnectionResetError, BrokenPipeError, OSError):
             pass
+        finally:
+            # rolls back iff this connection still owns the open transaction
+            server.engine.end_client_session(token)
 
     # -- startup ------------------------------------------------------------
     def _startup(self, sock: socket.socket) -> bool:
@@ -730,11 +738,16 @@ class _PgHandler(socketserver.BaseRequestHandler):
 
     def _ready(self, sock: socket.socket) -> None:
         # ReadyForQuery carries the backend transaction status: 'T' while a
-        # BEGIN is open on the engine (psql shows the  =*#  prompt), 'I'
-        # otherwise. Single shared engine: the status reflects the engine's
-        # one transaction slot, same as its single-writer DML model.
-        status = b"T" if getattr(self.server, "engine", None) is not None \
-            and self.server.engine._txn is not None else b"I"
+        # BEGIN is open on THIS connection (psql shows the  =*#  prompt),
+        # 'I' otherwise. Transactions are connection-scoped (postgres
+        # semantics): another connection's open transaction does not change
+        # this connection's status — its reads are served from the snapshot
+        # pin and its writes are fenced, but it is itself idle.
+        eng = getattr(self.server, "engine", None)
+        status = b"T" if (
+            eng is not None and eng._txn is not None
+            and eng._txn.get("owner") == eng._owner_token()
+        ) else b"I"
         self._send(sock, _msg(b"Z", status))
 
     def _error(self, sock: socket.socket, message: str) -> None:

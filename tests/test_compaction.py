@@ -135,3 +135,76 @@ def test_rename_preserves_compacted_data_and_history(spark):
     ).collect()[0].s == 21
     assert "rn2" in eng.catalog.compact_paths and "rn" not in eng.catalog.compact_paths
     eng.execute("DROP TABLE rn2")
+
+
+def test_rollback_unqueues_dropped_tables_trail(spark):
+    """DROP TABLE inside a transaction queues the table's compaction files
+    for purge; ROLLBACK must UN-queue them — otherwise a later
+    purge_compaction_trail rmtree's parquet the restored live table still
+    reads (silent data loss on a table the user believes was never
+    dropped)."""
+    eng = Engine(spark)
+    eng.execute("CREATE TABLE rb AS SELECT CAST(id AS INT) AS id FROM RANGE(9)")
+    eng.execute("UPDATE rb SET id = id + 10 WHERE id = 0")
+    eng.catalog.compact_table("rb")
+    trail = list(eng.catalog.compact_paths["rb"])
+    assert trail
+    eng.execute("BEGIN")
+    eng.execute("DROP TABLE rb")
+    assert set(trail) <= set(eng.catalog._compact_trash)  # queued by the drop
+    eng.execute("ROLLBACK")
+    # the restored table's files are no longer queued ...
+    assert not set(trail) & set(eng.catalog._compact_trash)
+    assert eng.catalog.compact_paths["rb"] == trail
+    # ... so the physical purge cannot delete them out from under the plan
+    eng.catalog.purge_compaction_trail()
+    assert eng.execute(
+        "SELECT CAST(SUM(id) AS BIGINT) AS s FROM rb"
+    ).collect()[0].s == sum(range(1, 9)) + 10
+    eng.execute("DROP TABLE rb")
+
+
+def test_rollback_keeps_pretxn_trash_and_txn_written_files_queued(spark):
+    """Trash queued BEFORE the transaction survives the rollback; a
+    compaction file WRITTEN during the transaction is unreferenced after
+    restore and must be (re-)queued."""
+    eng = Engine(spark)
+    eng.execute("CREATE TABLE rq AS SELECT CAST(id AS INT) AS id FROM RANGE(5)")
+    eng.execute("CREATE TABLE gone AS SELECT 1 AS g")
+    eng.catalog.compact_table("gone")
+    eng.execute("DROP TABLE gone")  # pre-txn trash entry
+    pre_trash = list(eng.catalog._compact_trash)
+    assert pre_trash
+    eng.execute("BEGIN")
+    eng.execute("UPDATE rq SET id = id + 1 WHERE id = 0")
+    eng.catalog.compact_table("rq")  # file written DURING the txn
+    txn_file = eng.catalog.compact_paths["rq"][-1]
+    eng.execute("ROLLBACK")
+    assert set(pre_trash) <= set(eng.catalog._compact_trash)
+    assert txn_file in eng.catalog._compact_trash  # unreferenced -> queued
+    assert "rq" not in eng.catalog.compact_paths or \
+        txn_file not in eng.catalog.compact_paths.get("rq", [])
+    eng.catalog.purge_compaction_trail()
+    assert eng.execute("SELECT COUNT(*) AS n FROM rq").collect()[0].n == 5
+    eng.execute("DROP TABLE rq")
+
+
+def test_create_or_replace_carries_compaction_trail(spark):
+    """CREATE OR REPLACE TABLE t AS SELECT ... FROM t: the defining plan
+    reads the OLD table's compaction parquet, so the trail must carry over
+    to the new entry instead of being queued for purge while the live
+    replacement still references it."""
+    eng = Engine(spark)
+    eng.execute("CREATE TABLE cor AS SELECT CAST(id AS INT) AS id FROM RANGE(6)")
+    eng.execute("UPDATE cor SET id = id + 50 WHERE id = 5")
+    eng.catalog.compact_table("cor")
+    trail = list(eng.catalog.compact_paths["cor"])
+    assert trail
+    eng.execute("CREATE OR REPLACE TABLE cor AS SELECT id + 1 AS id FROM cor")
+    assert eng.catalog.compact_paths.get("cor") == trail  # carried, not trashed
+    assert not set(trail) & set(eng.catalog._compact_trash)
+    eng.catalog.purge_compaction_trail()
+    assert eng.execute(
+        "SELECT CAST(SUM(id) AS BIGINT) AS s FROM cor"
+    ).collect()[0].s == sum(range(5)) + 55 + 6  # 0..4 kept, 5->55, then +1 x6
+    eng.execute("DROP TABLE cor")

@@ -785,7 +785,8 @@ def test_meta_transactions_reflects_txn_state(engine):
 def test_transaction_is_fenced_from_other_threads(engine):
     """A transaction is scoped to the connection (thread) that began it:
     writes and txn control from another thread are rejected while it is
-    open; reads pass (documented single-writer READ-UNCOMMITTED view)."""
+    open; reads are served from the BEGIN snapshot — committed-only
+    visibility, the reference's Validate semantics (validate.hpp:20)."""
     import threading
 
     engine.execute("CREATE TABLE fence AS SELECT 1 AS x")
@@ -810,7 +811,138 @@ def test_transaction_is_fenced_from_other_threads(engine):
     t.join()
     assert "another connection" in results["write"]
     assert "another connection" in results["rollback"]
-    assert results["read"] == 2  # uncommitted state, visible to reads
+    assert results["read"] == 1  # committed-only: uncommitted x=2 invisible
+    # the owner itself still reads its own uncommitted write
+    assert engine.execute("SELECT x FROM fence").collect()[0]["x"] == 2
     engine.execute("ROLLBACK")  # owner can still abort
     assert engine.execute("SELECT x FROM fence").collect()[0]["x"] == 1
     engine.execute("DROP TABLE fence")
+
+
+def _on_thread(fn):
+    """Run fn on a fresh thread (a distinct 'connection'); return result or
+    re-raise its exception."""
+    import threading
+
+    out: dict = {}
+
+    def run():
+        try:
+            out["r"] = fn()
+        except Exception as e:  # noqa: BLE001
+            out["e"] = e
+
+    t = threading.Thread(target=run)
+    t.start()
+    t.join()
+    if "e" in out:
+        raise out["e"]
+    return out.get("r")
+
+
+def test_cross_connection_snapshot_visibility_matrix(engine):
+    """The full two-connection visibility matrix (VERDICT r8 tasks 1+2):
+    while A's transaction is open, B's reads see the pre-BEGIN committed
+    state for every object kind the txn can touch — updated table, dropped
+    table, created table, redefined view — and B's post-COMMIT /
+    post-ROLLBACK reads see the outcome. Mirrors the reference's MVCC
+    visibility (validate.hpp:20, transaction_manager.hpp)."""
+    e = engine
+    e.execute("CREATE TABLE sv_t AS SELECT 1 AS x")
+    e.execute("CREATE TABLE sv_drop AS SELECT 7 AS d")
+    e.execute("CREATE VIEW sv_v AS SELECT x + 10 AS vx FROM sv_t")
+
+    e.execute("BEGIN")
+    e.execute("UPDATE sv_t SET x = 2")
+    e.execute("DROP TABLE sv_drop")
+    e.execute("CREATE TABLE sv_new AS SELECT 99 AS n")
+    e.execute("CREATE OR REPLACE VIEW sv_v AS SELECT x + 100 AS vx FROM sv_t")
+
+    # B (another connection): committed-only view of everything
+    assert _on_thread(
+        lambda: e.execute("SELECT x FROM sv_t").collect()[0]["x"]) == 1
+    assert _on_thread(
+        lambda: e.execute("SELECT d FROM sv_drop").collect()[0]["d"]) == 7
+    assert _on_thread(
+        lambda: e.execute("SELECT vx FROM sv_v").collect()[0]["vx"]) == 11
+    import pytest as _pytest
+    with _pytest.raises(Exception):  # created-in-txn table is invisible to B
+        _on_thread(lambda: e.execute("SELECT * FROM sv_new").collect())
+
+    # A (owner) still sees its own uncommitted writes mid-flight
+    assert e.execute("SELECT x FROM sv_t").collect()[0]["x"] == 2
+    assert e.execute("SELECT n FROM sv_new").collect()[0]["n"] == 99
+    assert e.execute("SELECT vx FROM sv_v").collect()[0]["vx"] == 102
+
+    e.execute("COMMIT")
+    # B: post-COMMIT state
+    assert _on_thread(
+        lambda: e.execute("SELECT x FROM sv_t").collect()[0]["x"]) == 2
+    assert _on_thread(
+        lambda: e.execute("SELECT n FROM sv_new").collect()[0]["n"]) == 99
+    assert _on_thread(
+        lambda: e.execute("SELECT vx FROM sv_v").collect()[0]["vx"]) == 102
+
+    # second txn: B observed old snapshot, then A rolls back
+    e.execute("BEGIN")
+    e.execute("UPDATE sv_t SET x = 5")
+    assert _on_thread(
+        lambda: e.execute("SELECT x FROM sv_t").collect()[0]["x"]) == 2
+    e.execute("ROLLBACK")
+    assert _on_thread(
+        lambda: e.execute("SELECT x FROM sv_t").collect()[0]["x"]) == 2
+    assert e.execute("SELECT x FROM sv_t").collect()[0]["x"] == 2
+
+    e.execute("DROP VIEW sv_v; DROP TABLE sv_new; DROP TABLE sv_t")
+
+
+def test_snapshot_read_restores_live_state(engine):
+    """After a non-owner snapshot read, the owner's view of its own
+    in-flight state is fully intact (temp views swapped back), including
+    savepoint interplay."""
+    e = engine
+    e.execute("CREATE TABLE sr_t AS SELECT 1 AS x")
+    e.execute("BEGIN")
+    e.execute("UPDATE sr_t SET x = 2")
+    e.execute("SAVEPOINT sp1")
+    e.execute("UPDATE sr_t SET x = 3")
+    assert _on_thread(
+        lambda: e.execute("SELECT x FROM sr_t").collect()[0]["x"]) == 1
+    # owner still at its latest write after B's swap-read
+    assert e.execute("SELECT x FROM sr_t").collect()[0]["x"] == 3
+    e.execute("ROLLBACK TO SAVEPOINT sp1")
+    assert e.execute("SELECT x FROM sr_t").collect()[0]["x"] == 2
+    assert _on_thread(
+        lambda: e.execute("SELECT x FROM sr_t").collect()[0]["x"]) == 1
+    e.execute("COMMIT")
+    assert _on_thread(
+        lambda: e.execute("SELECT x FROM sr_t").collect()[0]["x"]) == 2
+    e.execute("DROP TABLE sr_t")
+
+
+def test_client_session_token_scopes_ownership(engine):
+    """Transaction ownership is keyed to the client token, not the thread
+    ident (CPython recycles idents after thread death): a 'new connection'
+    on the same thread with a different token cannot commit or write inside
+    the abandoned transaction."""
+    e = engine
+    e.execute("CREATE TABLE tok_t AS SELECT 1 AS x")
+    t1 = e.begin_client_session()
+    e.execute("BEGIN; UPDATE tok_t SET x = 2")
+    # same THREAD, new connection token — must be fenced despite ident match
+    e.begin_client_session()
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="another connection"):
+        e.execute("COMMIT")
+    with _pytest.raises(RuntimeError, match="another connection"):
+        e.execute("UPDATE tok_t SET x = 9")
+    # and its reads are committed-only
+    assert e.execute("SELECT x FROM tok_t").collect()[0]["x"] == 1
+    # teardown of the ORIGINAL connection aborts the abandoned transaction
+    e.end_client_session(t1)
+    assert e._txn is None
+    assert e.execute("SELECT x FROM tok_t").collect()[0]["x"] == 1
+    # engine is writable again
+    e.execute("UPDATE tok_t SET x = 4")
+    assert e.execute("SELECT x FROM tok_t").collect()[0]["x"] == 4
+    e.execute("DROP TABLE tok_t")
