@@ -236,10 +236,6 @@ _TPCC_FIRST_OID = 100
 _TPCC_SEED_BALANCE = 1000.0
 
 
-def _one(engine, sql: str):
-    return engine.execute(sql).collect()[0]
-
-
 def tpcc_setup(engine, districts: int = 4, customers: int = 16) -> None:
     """Scratch tables: district (order-id allocator + ytd), customer,
     orders, order_line. Dropped/recreated per run. Customers are assigned
@@ -279,21 +275,32 @@ def tpcc_setup(engine, districts: int = 4, customers: int = 16) -> None:
 def _tpcc_new_order(engine, rng, districts: int, customers: int) -> bool:
     """tpcc_new_order.cpp: allocate the district's next order id, insert the
     header + 1-5 lines, bump the allocator — all in one transaction; 1% of
-    runs abort AFTER the writes (the spec's forced rollback)."""
+    runs abort AFTER the writes (the spec's forced rollback).
+
+    One statement per table touch (the reference executes the procedure as
+    one operator task chain, tpcc_new_order.cpp): the allocator read and
+    bump fuse into UPDATE..RETURNING (one collect feeds the order id to the
+    two inserts as a literal), and both inserts are plain multi-row VALUES.
+    Literal VALUES matter more than avoiding the collect: an
+    INSERT..SELECT-from-district variant (zero round-trips) embeds a
+    district subplan into the orders lineage per insert, which taxes every
+    later read AND makes each compaction rewrite ~3x more expensive —
+    measured slower at 8 clients despite the saved job (round-9 interleaved
+    A/B in BASELINE.md)."""
     d = rng.randrange(districts)
     c = d + districts * rng.randrange(customers // districts)
     amounts = [float(rng.randrange(1, 100)) for _ in range(rng.randint(1, 5))]
     total = sum(amounts)
     engine.execute("BEGIN")
-    oid = _one(engine, f"SELECT d_next_o_id AS n FROM tpcc_district WHERE d_id = {d}")["n"]
+    oid = engine.execute(
+        f"UPDATE tpcc_district SET d_next_o_id = d_next_o_id + 1"
+        f" WHERE d_id = {d} RETURNING d_next_o_id - 1 AS oid"
+    ).collect()[0]["oid"]
     engine.execute(
         f"INSERT INTO tpcc_orders VALUES ({oid}, {d}, {c}, 'O', {total})"
     )
-    values = ", ".join(f"({d}, {oid}, {i + 1}, {a})" for i, a in enumerate(amounts))
-    engine.execute(f"INSERT INTO tpcc_order_line VALUES {values}")
-    engine.execute(
-        f"UPDATE tpcc_district SET d_next_o_id = d_next_o_id + 1 WHERE d_id = {d}"
-    )
+    vals = ", ".join(f"({d}, {oid}, {i + 1}, {a})" for i, a in enumerate(amounts))
+    engine.execute(f"INSERT INTO tpcc_order_line VALUES {vals}")
     if rng.random() < 0.01:
         engine.execute("ROLLBACK")
         return False
@@ -320,28 +327,31 @@ def _tpcc_payment(engine, rng, districts: int, customers: int) -> bool:
 
 def _tpcc_delivery(engine, rng, districts: int, customers: int) -> bool:
     """tpcc_delivery.cpp: fulfil the district's oldest open order and credit
-    its amount to the customer."""
+    its amount to the customer.
+
+    One read feeds both writes as LITERALS: a subquery inside the order
+    UPDATE would be captured into the table's lazy plan and tax every
+    later read of tpcc_orders with an embedded join (measured: 4x slower
+    Delivery plus slower OrderStatus/StockLevel) — literal predicates keep
+    the DML lineage a flat CASE WHEN chain."""
     d = rng.randrange(districts)
     engine.execute("BEGIN")
-    k = _one(
-        engine,
-        f"SELECT MIN(o_orderkey) AS k FROM tpcc_orders"
-        f" WHERE o_d_id = {d} AND o_orderstatus = 'O'",
-    )["k"]
-    if k is None:  # no deliverable order: the spec's skipped delivery
+    hit = engine.execute(
+        f"SELECT o_orderkey, o_custkey, o_totalprice FROM tpcc_orders"
+        f" WHERE o_d_id = {d} AND o_orderstatus = 'O'"
+        f" ORDER BY o_orderkey LIMIT 1"
+    ).collect()
+    if not hit:  # no deliverable order: the spec's skipped delivery
         engine.execute("COMMIT")
         return True
     engine.execute(
         f"UPDATE tpcc_orders SET o_orderstatus = 'F'"
-        f" WHERE o_d_id = {d} AND o_orderkey = {k}"
+        f" WHERE o_d_id = {d} AND o_orderkey = {hit[0]['o_orderkey']}"
     )
     engine.execute(
-        f"UPDATE tpcc_customer SET c_balance = c_balance +"
-        f" (SELECT o_totalprice FROM tpcc_orders"
-        f"  WHERE o_d_id = {d} AND o_orderkey = {k}),"
+        f"UPDATE tpcc_customer SET c_balance = c_balance + {hit[0]['o_totalprice']},"
         f" c_delivery_cnt = c_delivery_cnt + 1"
-        f" WHERE c_custkey = (SELECT o_custkey FROM tpcc_orders"
-        f"                    WHERE o_d_id = {d} AND o_orderkey = {k})"
+        f" WHERE c_custkey = {hit[0]['o_custkey']}"
     )
     engine.execute("COMMIT")
     return True

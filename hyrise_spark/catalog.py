@@ -191,6 +191,10 @@ class Catalog:
         # here must come from the operator, not the engine.
         self.compact_paths: dict[str, list[str]] = {}
         self._compact_trash: list[str] = []
+        # bumped on EVERY catalog mutation; the engine's statement cache
+        # keys entry validity on it (plan_cache.py — an entry stored under
+        # an older epoch can never be served)
+        self.mutation_counter: int = 0
 
     # -- tables ------------------------------------------------------------
     _HISTORY_CAP = 8  # snapshots kept per table (lazy plans, not data)
@@ -198,12 +202,14 @@ class Catalog:
     def add_table(self, name: str, df: DataFrame) -> None:
         if name in self._tables:
             raise ValueError(f"table {name!r} already exists")
+        self.mutation_counter += 1
         self._tables[name] = df
         self.history[name] = [df]
         self.history_base[name] = 0
         df.createOrReplaceTempView(name)
 
     def replace_table(self, name: str, df: DataFrame) -> None:
+        self.mutation_counter += 1
         self._tables[name] = df
         hist = self.history.setdefault(name, [])
         if name not in self.history_base:
@@ -266,6 +272,7 @@ class Catalog:
         compaction files the renamed table's plan still reads."""
         if name not in self._tables:
             raise KeyError(f"table {name!r} does not exist")
+        self.mutation_counter += 1
         self._tables[new] = self._tables.pop(name)
         for d in (self.history, self.history_base, self.dml_depth, self.compact_paths):
             if name in d:
@@ -284,6 +291,8 @@ class Catalog:
         Returns the number of directories removed."""
         import shutil
 
+        self.mutation_counter += 1
+
         n = len(self._compact_trash)
         for old in self._compact_trash:
             shutil.rmtree(old, ignore_errors=True)
@@ -293,6 +302,7 @@ class Catalog:
     def drop_table(self, name: str) -> None:
         if name not in self._tables:
             raise KeyError(f"table {name!r} does not exist")
+        self.mutation_counter += 1
         del self._tables[name]
         self.dml_depth.pop(name, None)
         self.history.pop(name, None)
@@ -318,6 +328,7 @@ class Catalog:
         FileScan instead of the accumulated DML lineage). Distributed write —
         no driver-side collect; at warehouse scale this is the same rewrite
         a table format's compaction job performs."""
+        self.mutation_counter += 1
         df = self._tables[name]
         if self._compact_dir is None:
             # rewrite under the session's warehouse dir (repo-local) — the
@@ -328,8 +339,30 @@ class Catalog:
             self._compact_dir = os.path.join(wh, "__compact")
         self._compact_version += 1
         path = os.path.join(self._compact_dir, f"{name}_v{self._compact_version}")
+        # Output sizing — the bin-packing every real table-format compaction
+        # job does (target file size, ~128 MB): a DML chain accumulates one
+        # single-row partition PER INSERT (union of LocalRelations), so an
+        # OLTP-shaped table would otherwise write one task + one file-commit
+        # per historical statement (measured: ~90-task writes of a 200-row
+        # table dominated TPC-C wall time at 0.8 s per compaction). The last
+        # compacted size is known from the trail (driver-side stat, no job);
+        # first compaction caps at the session's parallelism. coalesce never
+        # INCREASES partition count, so no partition probe is needed (and
+        # none is affordable: df.rdd forces eager physical planning).
+        prev = self.compact_paths.get(name) or None
+        if prev:
+            sz = sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(prev[-1]) for f in fs
+            )
+            want = max(1, sz // (128 * 1024 * 1024) + 1)
+        else:
+            want = self.spark.sparkContext.defaultParallelism
+        df = df.coalesce(want)
         df.write.mode("overwrite").parquet(path)
-        self._tables[name] = self.spark.read.parquet(path)
+        # schema is already known — pinning it skips the read-back
+        # footer-inference job
+        self._tables[name] = self.spark.read.schema(df.schema).parquet(path)
         self._tables[name].createOrReplaceTempView(name)
         self.dml_depth[name] = 0
         # same logical state, flat plan: current version now reads the
@@ -357,12 +390,14 @@ class Catalog:
     def add_view(self, name: str, sql: str) -> None:
         if name in self._views or name in self._tables:
             raise ValueError(f"view/table {name!r} already exists")
+        self.mutation_counter += 1
         self._views[name] = sql
         self.spark.sql(sql).createOrReplaceTempView(name)
 
     def drop_view(self, name: str) -> None:
         if name not in self._views:
             raise KeyError(f"view {name!r} does not exist")
+        self.mutation_counter += 1
         del self._views[name]
         self.spark.catalog.dropTempView(name)
 

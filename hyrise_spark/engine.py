@@ -89,6 +89,12 @@ _EXECUTE_RE = re.compile(
 )
 
 
+def _strip_str_literals(s: str) -> str:
+    """Blank out '...' string literal contents so keyword probes (e.g. the
+    GROUPS BETWEEN dialect check) cannot match inside a literal."""
+    return re.sub(r"'[^']*'", "''", s)
+
+
 def _parse_literal(tok: str):
     """One EXECUTE argument literal -> Python value."""
     t = tok.strip()
@@ -211,9 +217,14 @@ class Engine:
         # begin_client_session); falls back to thread ident for embedded use
         self._client_local = threading.local()
         self._in_snap_read = False  # reentrancy guard for _snapshot_read
-        # meta_transactions reads the slot through the catalog (the meta
-        # builders only see the catalog)
+        # statement/plan cache (sql_plan_cache.hpp analog, GDFS eviction)
+        from hyrise_spark.plan_cache import GDFSCache
+
+        self._plan_cache = GDFSCache(capacity=1024)
+        # meta_transactions / meta_plan_cache read engine state through the
+        # catalog (the meta builders only see the catalog)
         self.catalog.txn_status = lambda: self._txn
+        self.catalog.plan_cache = self._plan_cache
 
     # -- connection/client sessions ------------------------------------------
     # The reference scopes a TransactionContext to its session
@@ -335,7 +346,46 @@ class Engine:
                 # (validate.hpp:20 — every scan validates against the
                 # snapshot commit-id; transaction_manager.hpp).
                 return self._snapshot_read(stmt, args)
+            if self._WRITE_STMT_RE.match(stmt):
+                # any statement that can mutate state moves the epoch the
+                # plan cache keys validity on (over-approximate: BEGIN/COMMIT
+                # bump too — a wasted invalidation, never a stale serve)
+                self.catalog.mutation_counter += 1
+            return self._cached_dispatch(stmt, args)
+
+    # statements eligible for the plan cache: read-only, deterministic,
+    # parameterless, and not over the dynamic meta_* tables (whose content
+    # changes without a catalog mutation — meta_log, meta_system_utilization)
+    _CACHEABLE_RE = re.compile(r"^\s*(?:SELECT|WITH|VALUES)\b", re.I)
+    _META_REF_RE = re.compile(r"\bmeta_\w+", re.I)
+
+    def _cached_dispatch(self, stmt: str, args) -> DataFrame | None:
+        """SQLPlanCache analog (sql_plan_cache.hpp): return the cached
+        analyzed DataFrame for an identical statement under an unchanged
+        catalog epoch; otherwise dispatch and cache. The cached value is an
+        immutable lazy plan — Spark re-optimizes and re-executes it per
+        action, so a hit skips exactly the parse + dialect-rewrite +
+        Catalyst-analysis cost (the driver-side dominant cost of repeated
+        wide-expression statements), never data freshness: every mutating
+        statement bumps `catalog.mutation_counter` first."""
+        if (args is not None
+                or not self._CACHEABLE_RE.match(stmt)
+                or self._META_REF_RE.search(stmt)
+                or _NONDET_RE.search(stmt)):
             return self._dispatch(stmt, args)
+        epoch = self.catalog.mutation_counter
+        df = self._plan_cache.get(stmt, epoch)
+        if df is not None:
+            return df
+        import time as _time
+
+        t0 = _time.perf_counter()
+        df = self._dispatch(stmt, args)
+        if df is not None:
+            self._plan_cache.put(
+                stmt, df, epoch, (_time.perf_counter() - t0) * 1000.0
+            )
+        return df
 
     def _dispatch(self, stmt: str, args) -> DataFrame | None:
         if re.search(r"\bVERSION\s+AS\s+OF\b", stmt, re.I):
@@ -594,6 +644,8 @@ class Engine:
         if m and (
             self._find_top_level(m["body"], "QUALIFY") != -1
             or self._find_top_level(m["body"], "ASOF") != -1
+            or re.search(r"\bGROUPS\s+BETWEEN\b",
+                         _strip_str_literals(m["body"]), re.I)
         ):
             # EXPLAIN over the engine-dialect SELECT forms (ASOF/QUALIFY):
             # spark.sql cannot parse them, so build the frame through the
@@ -623,6 +675,10 @@ class Engine:
         if (stmt.lstrip().upper().startswith("SELECT")
                 and self._find_top_level(stmt, "QUALIFY") != -1):
             return self._qualify_sql(stmt)
+        if (stmt.lstrip().upper().startswith("SELECT")
+                and re.search(r"\bGROUPS\s+BETWEEN\b", _strip_str_literals(stmt),
+                              re.I)):
+            return self._groups_frame_sql(stmt)
         if self.catalog.validated_uccs and stmt.lower().lstrip().startswith("select"):
             # redundant-DISTINCT elimination over validated UCCs — the
             # ucc_discovery_plugin's group-by reduction
@@ -720,6 +776,102 @@ class Engine:
         if where:
             df = df.filter("COALESCE(__asof_keep, FALSE)")
         return df.drop("__asof_rn", "__asof_lid", "__asof_keep")
+
+    def _groups_frame_sql(self, stmt: str) -> DataFrame:
+        """GROUPS frame mode (SQL:2011; the reference DECLARES it —
+        window_expression.hpp:30 FrameType::Groups — but cannot execute any
+        window, lqp_translator.cpp:523-526). Spark has no native GROUPS mode
+        either; a GROUPS frame is exactly a RANGE frame over DENSE_RANK of
+        the window's ORDER BY key — peer groups become consecutive integers,
+        so `GROUPS BETWEEN a AND b` ≡ `RANGE BETWEEN a AND b` over that
+        rank (the same rewrite plans/windows.py::window_groups_frame builds
+        as a DataFrame; here the actual SQL TEXT routes through it, so the
+        identical statement runs natively on DuckDB as the oracle).
+
+        Rewrite: for each OVER spec carrying a GROUPS frame, inject
+        `DENSE_RANK() OVER (PARTITION BY p ORDER BY o) AS __hs_grp_k` into a
+        subquery over the statement's FROM..WHERE part (one shared rank per
+        distinct (p, o) pair), and rewrite the spec to
+        `PARTITION BY p ORDER BY __hs_grp_k RANGE BETWEEN a AND b` — frame
+        bound tokens carry over verbatim (CURRENT ROW in RANGE-over-rank =
+        equal rank = the peer group, exactly GROUPS' CURRENT ROW).
+        Supported shape: windowed SELECT without top-level GROUP BY (window
+        frames over grouped output would need the aggregation inside the
+        subquery — not a GROUPS-specific problem; wrap manually)."""
+        for kw in ("GROUP", "HAVING"):
+            if self._find_top_level(stmt, kw) != -1:
+                raise ValueError(
+                    "GROUPS frame rewrite supports windowed SELECTs without "
+                    "top-level GROUP BY/HAVING — wrap the aggregation in a "
+                    "subquery"
+                )
+        f = self._find_top_level(stmt, "FROM")
+        if f == -1:
+            raise ValueError("GROUPS frame: no top-level FROM")
+        head, tail = stmt[:f], stmt[f:]
+        # trailing top-level ORDER BY / LIMIT belong to the OUTER query
+        outer = ""
+        for kw in ("ORDER", "LIMIT"):
+            k = self._find_top_level(tail, kw)
+            if k != -1:  # ORDER first: a LIMIT after it rides along
+                tail, outer = tail[:k].rstrip(), tail[k:]
+                break
+        # scan every OVER (...) spec; rewrite those with a GROUPS frame
+        # key: whitespace/case-normalized (pb, ob); value keeps the original
+        # text (string literals inside expressions must not be case-mangled)
+        ranks: dict[tuple[str, str], tuple[str, str, str]] = {}
+        out, i = [], 0
+        spec_re = re.compile(r"\bOVER\s*\(", re.I)
+        while True:
+            m = spec_re.search(head, i)
+            if not m:
+                out.append(head[i:])
+                break
+            # balanced-paren scan for the spec body
+            j, depth = m.end(), 1
+            while j < len(head) and depth:
+                depth += {"(": 1, ")": -1}.get(head[j], 0)
+                j += 1
+            spec = head[m.end():j - 1]
+            sm = re.match(
+                r"^\s*(?:PARTITION\s+BY\s+(?P<pb>.*?))?\s*"
+                r"ORDER\s+BY\s+(?P<ob>.*?)\s*"
+                r"GROUPS\s+BETWEEN\s+(?P<lo>.+?)\s+AND\s+(?P<hi>.+?)\s*$",
+                spec, re.I | re.S,
+            )
+            if sm is None:
+                out.append(head[i:j])  # not a GROUPS spec — leave verbatim
+                i = j
+                continue
+            pb, ob = (sm["pb"] or "").strip(), sm["ob"].strip()
+            key = (" ".join(pb.lower().split()), " ".join(ob.lower().split()))
+            col, pb, ob = ranks.setdefault(
+                key, (f"__hs_grp_{len(ranks)}", pb, ob)
+            )
+            part = f"PARTITION BY {pb} " if pb else ""
+            out.append(head[i:m.end()])
+            out.append(
+                f"{part}ORDER BY {col} "
+                f"RANGE BETWEEN {sm['lo']} AND {sm['hi']})"
+            )
+            i = j
+        if not ranks:
+            raise ValueError(
+                "GROUPS BETWEEN found but no parsable OVER spec — supported "
+                "form: OVER ([PARTITION BY p] ORDER BY o GROUPS BETWEEN "
+                "<bound> AND <bound>)"
+            )
+        dr = ", ".join(
+            "DENSE_RANK() OVER ("
+            + (f"PARTITION BY {pb} " if pb else "")
+            + f"ORDER BY {ob}) AS {col}"
+            for col, pb, ob in ranks.values()
+        )
+        inner = f"SELECT *, {dr} {tail}"
+        df = self.spark.sql(f"{''.join(out)} FROM ({inner}) __hs_groups {outer}")
+        # a SELECT * in the user's list expands to the subquery's columns —
+        # the injected rank helpers must not leak
+        return df.drop(*(col for col, _, _ in ranks.values()))
 
     def _qualify_sql(self, stmt: str) -> DataFrame:
         """QUALIFY clause (DuckDB/Snowflake/BigQuery dialect; SQL windows are

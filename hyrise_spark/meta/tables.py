@@ -14,6 +14,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (
+    DoubleType,
     FloatType,
     IntegerType,
     LongType,
@@ -491,6 +492,12 @@ EXEC_FUNCTIONS: dict[tuple[str, str], "callable"] = {
     ("mvcc", "purge_compaction_trail"): lambda spark, catalog: (
         catalog.purge_compaction_trail()
     ),
+    # the reference console's two cache-flush commands
+    # (sql_plan_cache.hpp — SQLPhysicalPlanCache::get().clear())
+    ("plan_cache", "clear"): lambda spark, catalog: (
+        catalog.plan_cache.clear()
+        if getattr(catalog, "plan_cache", None) is not None else 0
+    ),
 }
 
 
@@ -609,8 +616,54 @@ def meta_transactions(spark: SparkSession, catalog) -> DataFrame:
     )
 
 
+def meta_plan_cache(spark: SparkSession, catalog) -> DataFrame:
+    """Plan-cache observability (sql_plan_cache.hpp + gdfs_cache.hpp
+    analog): one summary row — hit/miss/eviction/invalidation counters,
+    live entry count, capacity, and the current GDFS inflation value L."""
+    schema = StructType(
+        [
+            StructField("hits", LongType()),
+            StructField("misses", LongType()),
+            StructField("evictions", LongType()),
+            StructField("invalidations", LongType()),
+            StructField("entries", LongType()),
+            StructField("capacity", LongType()),
+            StructField("inflation", DoubleType()),
+        ]
+    )
+    pc = getattr(catalog, "plan_cache", None)
+    if pc is None:
+        return spark.createDataFrame([(0, 0, 0, 0, 0, 0, 0.0)], schema)
+    return spark.createDataFrame(
+        [(pc.hits, pc.misses, pc.evictions, pc.invalidations,
+          len(pc), pc.capacity, float(pc.inflation))],
+        schema,
+    )
+
+
+def meta_plan_cache_entries(spark: SparkSession, catalog) -> DataFrame:
+    """Per-entry plan-cache detail, hottest (highest GDFS priority) first:
+    the cached statement text, its hit frequency, the analysis cost a hit
+    saves (ms), and its current eviction priority."""
+    schema = StructType(
+        [
+            StructField("statement", StringType()),
+            StructField("frequency", LongType()),
+            StructField("cost_ms", DoubleType()),
+            StructField("priority", DoubleType()),
+        ]
+    )
+    pc = getattr(catalog, "plan_cache", None)
+    rows = pc.snapshot() if pc is not None else []
+    return spark.createDataFrame(
+        [(s, f, float(c), float(p)) for s, f, c, p in rows], schema
+    )
+
+
 META_TABLES = {
     "meta_tables": meta_tables,
+    "meta_plan_cache": meta_plan_cache,
+    "meta_plan_cache_entries": meta_plan_cache_entries,
     "meta_transactions": meta_transactions,
     "meta_versions": meta_versions,
     "meta_columns": meta_columns,

@@ -244,6 +244,56 @@ def window_groups_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- GROUPS frame as actual SQL text (engine.py::_groups_frame_sql) ----------
+# The engine routes real `GROUPS BETWEEN` SQL through the dense-rank/RANGE
+# rewrite (the same one window_groups_frame builds as a DataFrame plan).
+# The sandbox DuckDB does not implement GROUPS mode ("not implemented yet"),
+# so the oracle expresses the identical semantics via the rank rewrite in
+# plain SQL — an independent hand-derivation of the frame definition.
+_GROUPS_SQL = """
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           ROUND(SUM(l_extendedprice) OVER (PARTITION BY l_returnflag
+                 ORDER BY l_quantity
+                 GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING), 2) AS grp_sum,
+           CAST(COUNT(*) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+                 GROUPS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS grp_running_cnt
+    FROM lineitem
+    WHERE l_orderkey < 300
+    ORDER BY l_orderkey, l_linenumber
+"""
+
+_GROUPS_ORACLE = """
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           ROUND(SUM(l_extendedprice) OVER (PARTITION BY l_returnflag
+                 ORDER BY __dr RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING), 2)
+               AS grp_sum,
+           CAST(COUNT(*) OVER (PARTITION BY l_returnflag ORDER BY __dr
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS grp_running_cnt
+    FROM (SELECT *, DENSE_RANK() OVER (PARTITION BY l_returnflag
+                                       ORDER BY l_quantity) AS __dr
+          FROM lineitem WHERE l_orderkey < 300)
+    ORDER BY l_orderkey, l_linenumber
+"""
+
+
+@register(
+    "window_groups_frame_sql",
+    oracle=_GROUPS_ORACLE,
+    tags=("window", "frame", "sql"),
+)
+def window_groups_frame_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual `GROUPS BETWEEN` SQL text (SQL:2011 frame mode the
+    reference declares, window_expression.hpp:30) routed through the
+    engine's dense-rank rewrite — closes the declared-surface asymmetry
+    where the DataFrame form existed but the SQL text did not parse."""
+    from hyrise_spark.engine import Engine
+
+    load_tables(spark, sf_dir, ("lineitem",))
+    return Engine(spark).execute(_GROUPS_SQL)
+
+
 # -- QUALIFY clause (DuckDB/Snowflake dialect; engine.py::_qualify_sql) ------
 # The SAME SQL text runs on both engines: DuckDB executes its native
 # QUALIFY, this engine its rewrite (outer-wrap or select-list injection) —

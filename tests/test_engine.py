@@ -946,3 +946,81 @@ def test_client_session_token_scopes_ownership(engine):
     e.execute("UPDATE tok_t SET x = 4")
     assert e.execute("SELECT x FROM tok_t").collect()[0]["x"] == 4
     e.execute("DROP TABLE tok_t")
+
+
+def test_groups_frame_sql_shapes_and_errors(engine, spark):
+    """GROUPS BETWEEN SQL routes through the dense-rank/RANGE rewrite
+    (engine._groups_frame_sql): shared rank for same (partition, order),
+    verbatim bound carry-over, outer ORDER BY/LIMIT, and clear errors for
+    the unsupported GROUP BY shape."""
+    engine.execute(
+        "CREATE TABLE gfs AS SELECT CAST(id % 2 AS INT) AS p,"
+        " CAST(id % 4 AS INT) AS k, CAST(id AS DOUBLE) AS v FROM RANGE(16)"
+    )
+    rows = engine.execute(
+        "SELECT p, k, v,"
+        " SUM(v) OVER (PARTITION BY p ORDER BY k"
+        "   GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s"
+        " FROM gfs ORDER BY p, k, v LIMIT 6"
+    ).collect()
+    assert len(rows) == 6
+    # row (p=0, k=0): peer group {0,4,8,12}, no preceding group -> 24.0
+    assert rows[0]["s"] == 0.0 + 4 + 8 + 12
+    # row (p=0, k=2): groups k=0 and k=2 -> 24 + (2+6+10+14) = 56
+    k2 = [r for r in rows if r["p"] == 0 and r["k"] == 2]
+    assert k2 and k2[0]["s"] == 24.0 + 32.0
+    # helper columns must not leak
+    assert all(not c.startswith("__hs_grp") for c in
+               engine.execute(
+                   "SELECT *, COUNT(*) OVER (ORDER BY k GROUPS BETWEEN"
+                   " UNBOUNDED PRECEDING AND CURRENT ROW) AS c FROM gfs"
+               ).columns)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="GROUP BY"):
+        engine.execute(
+            "SELECT p, SUM(v) OVER (ORDER BY p GROUPS BETWEEN 1 PRECEDING"
+            " AND CURRENT ROW) AS s FROM gfs GROUP BY p"
+        )
+    # a string literal containing the keywords is NOT this dialect
+    lit = engine.execute(
+        "SELECT 'GROUPS BETWEEN a AND b' AS t FROM gfs LIMIT 1"
+    ).collect()
+    assert lit[0]["t"] == "GROUPS BETWEEN a AND b"
+    engine.execute("DROP TABLE gfs")
+
+
+def test_groups_frame_sql_differential(engine, spark, duck):
+    """Same data both engines: the engine's GROUPS text vs the rank-rewrite
+    run natively on DuckDB (sandbox DuckDB lacks GROUPS mode)."""
+    engine.execute(
+        "CREATE TABLE gfd AS SELECT CAST(id % 3 AS INT) AS p,"
+        " CAST(id % 5 AS INT) AS k, CAST(id AS DOUBLE) AS v FROM RANGE(30)"
+    )
+    duck.execute(
+        "CREATE TABLE gfd AS SELECT CAST(r % 3 AS INT) AS p,"
+        " CAST(r % 5 AS INT) AS k, CAST(r AS DOUBLE) AS v FROM range(30) t(r)"
+    )
+    got = [
+        (r["p"], r["k"], r["v"], r["s"], r["c"])
+        for r in engine.execute(
+            "SELECT p, k, v,"
+            " SUM(v) OVER (PARTITION BY p ORDER BY k"
+            "   GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS s,"
+            " CAST(COUNT(*) OVER (PARTITION BY p ORDER BY k"
+            "   GROUPS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            "   AS BIGINT) AS c"
+            " FROM gfd ORDER BY p, k, v"
+        ).collect()
+    ]
+    want = [tuple(w) for w in duck.execute(
+        "SELECT p, k, v,"
+        " SUM(v) OVER (PARTITION BY p ORDER BY dr"
+        "   RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS s,"
+        " CAST(COUNT(*) OVER (PARTITION BY p ORDER BY dr"
+        "   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c"
+        " FROM (SELECT *, DENSE_RANK() OVER (PARTITION BY p ORDER BY k) AS dr"
+        "       FROM gfd) ORDER BY p, k, v"
+    ).fetchall()]
+    assert got == want
+    engine.execute("DROP TABLE gfd")
+    duck.execute("DROP TABLE gfd")

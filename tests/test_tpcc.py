@@ -224,3 +224,49 @@ def test_tpcc_setup_validates_population(spark):
         tpcc_setup(eng, districts=32, customers=16)
     with pytest.raises(ValueError, match="multiple"):
         tpcc_setup(eng, districts=3, customers=16)
+
+
+def test_new_order_allocator_returning(spark):
+    """The batched NewOrder (round 9) fuses the allocator read+bump into
+    UPDATE..RETURNING — one statement per table touch (tpcc_new_order.cpp
+    executes the procedure as one task chain): consecutive orders get
+    consecutive ids, every line carries its own order's id, and the
+    allocator lands exactly count ahead of the first id."""
+    from hyrise_spark.benchmark_runner import (
+        _TPCC_FIRST_OID,
+        _tpcc_new_order,
+        tpcc_setup,
+    )
+    from hyrise_spark.engine import Engine
+
+    class NeverAbort:
+        def randrange(self, *a):
+            return 0  # district 0, customer stripe 0, amount 1
+
+        def randint(self, lo, hi):
+            return 2  # two lines per order
+
+        def random(self):
+            return 1.0  # never the forced rollback
+
+    eng = Engine(spark)
+    tpcc_setup(eng, districts=2, customers=4)
+    for _ in range(3):
+        assert _tpcc_new_order(eng, NeverAbort(), districts=2, customers=4)
+    orders = sorted(
+        r["o_orderkey"]
+        for r in eng.execute("SELECT o_orderkey FROM tpcc_orders").collect()
+    )
+    assert orders == [_TPCC_FIRST_OID, _TPCC_FIRST_OID + 1, _TPCC_FIRST_OID + 2]
+    lines = eng.execute(
+        "SELECT ol_orderkey, COUNT(*) AS n FROM tpcc_order_line"
+        " GROUP BY ol_orderkey"
+    ).collect()
+    assert sorted(r["ol_orderkey"] for r in lines) == orders
+    assert all(r["n"] == 2 for r in lines)
+    nxt = eng.execute(
+        "SELECT d_next_o_id AS n FROM tpcc_district WHERE d_id = 0"
+    ).collect()[0]["n"]
+    assert nxt == _TPCC_FIRST_OID + 3
+    for t in ("tpcc_district", "tpcc_customer", "tpcc_orders", "tpcc_order_line"):
+        eng.execute(f"DROP TABLE {t}")
