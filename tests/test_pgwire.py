@@ -878,3 +878,100 @@ def test_psql_round8_dialect_surfaces(server):
         assert out.stdout.strip() == "1|99|1", out.stdout
     finally:
         _psql(server, "DROP TABLE pg_r8")
+
+
+def _cells(msgs_list):
+    """All DataRow cell payloads across a drain (first column only)."""
+    return [
+        _parse_data_cells(body)[0] for t, body in msgs_list if t == b"D"
+    ]
+
+
+def test_two_connection_snapshot_visibility(server):
+    """VERDICT r9 task #1 done-criterion, over the real wire protocol:
+    while connection A holds an open transaction, connection B's SELECT
+    sees the PRE-BEGIN committed state (served from the BEGIN pin — the
+    reference's Validate visibility, validate.hpp:20); after A COMMITs,
+    B sees the new state. B's writes stay fenced while A is open; B's
+    ReadyForQuery status remains 'I' (transactions are connection-scoped)."""
+    a, b = _RawPg(server.port), _RawPg(server.port)
+    try:
+        a.send(b"Q", b"CREATE TABLE pg_sv AS SELECT 1 AS x\x00")
+        a.drain_until(b"Z")
+        a.send(b"Q", b"BEGIN\x00")
+        assert a.drain_until(b"Z")[-1] == (b"Z", b"T")
+        a.send(b"Q", b"UPDATE pg_sv SET x = 2\x00")
+        a.drain_until(b"Z")
+
+        # B: committed-only view, idle status, fenced writes
+        b.send(b"Q", b"SELECT x FROM pg_sv\x00")
+        msgs = b.drain_until(b"Z")
+        assert _cells(msgs) == [b"1"], _cells(msgs)
+        assert msgs[-1] == (b"Z", b"I")  # B itself is idle
+        b.send(b"Q", b"UPDATE pg_sv SET x = 99\x00")
+        msgs = b.drain_until(b"Z")
+        assert any(t == b"E" for t, _ in msgs)  # write fence error
+        assert b"another connection" in dict(msgs)[b"E"]
+
+        # A: sees its own uncommitted write, then commits
+        a.send(b"Q", b"SELECT x FROM pg_sv\x00")
+        assert _cells(a.drain_until(b"Z")) == [b"2"]
+        a.send(b"Q", b"COMMIT\x00")
+        assert a.drain_until(b"Z")[-1] == (b"Z", b"I")
+
+        # B: post-commit state is visible, and B can write again
+        b.send(b"Q", b"SELECT x FROM pg_sv\x00")
+        assert _cells(b.drain_until(b"Z")) == [b"2"]
+        b.send(b"Q", b"UPDATE pg_sv SET x = 5\x00")
+        assert not any(t == b"E" for t, _ in b.drain_until(b"Z"))
+        b.send(b"Q", b"SELECT x FROM pg_sv\x00")
+        assert _cells(b.drain_until(b"Z")) == [b"5"]
+
+        # rollback leg: B observed the old snapshot, A aborts
+        a.send(b"Q", b"BEGIN; UPDATE pg_sv SET x = 7\x00")
+        a.drain_until(b"Z")
+        b.send(b"Q", b"SELECT x FROM pg_sv\x00")
+        assert _cells(b.drain_until(b"Z")) == [b"5"]
+        a.send(b"Q", b"ROLLBACK\x00")
+        a.drain_until(b"Z")
+        b.send(b"Q", b"SELECT x FROM pg_sv\x00")
+        assert _cells(b.drain_until(b"Z")) == [b"5"]
+
+        a.send(b"Q", b"DROP TABLE pg_sv\x00")
+        a.drain_until(b"Z")
+    finally:
+        a.close()
+        b.close()
+
+
+def test_disconnect_rolls_back_abandoned_transaction(server):
+    """A client killed after BEGIN must not leave the engine permanently
+    write-fenced: connection teardown issues postgres's implicit ROLLBACK
+    (ownership is keyed to a per-connection token, not a recyclable thread
+    ident)."""
+    import time
+
+    a = _RawPg(server.port)
+    a.send(b"Q", b"CREATE TABLE pg_dc AS SELECT 1 AS x\x00")
+    a.drain_until(b"Z")
+    a.send(b"Q", b"BEGIN; UPDATE pg_dc SET x = 2\x00")
+    a.drain_until(b"Z")
+    a.close()  # vanish mid-transaction — no COMMIT/ROLLBACK sent
+    # teardown runs on the handler thread; poll briefly for the rollback
+    deadline = time.time() + 10
+    while server.engine._txn is not None and time.time() < deadline:
+        time.sleep(0.05)
+    assert server.engine._txn is None, "abandoned transaction still pinned"
+    b = _RawPg(server.port)
+    try:
+        # the abandoned write was rolled back, and the engine accepts writes
+        b.send(b"Q", b"SELECT x FROM pg_dc\x00")
+        assert _cells(b.drain_until(b"Z")) == [b"1"]
+        b.send(b"Q", b"UPDATE pg_dc SET x = 3\x00")
+        assert not any(t == b"E" for t, _ in b.drain_until(b"Z"))
+        b.send(b"Q", b"SELECT x FROM pg_dc\x00")
+        assert _cells(b.drain_until(b"Z")) == [b"3"]
+        b.send(b"Q", b"DROP TABLE pg_dc\x00")
+        b.drain_until(b"Z")
+    finally:
+        b.close()
