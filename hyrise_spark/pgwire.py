@@ -94,7 +94,8 @@ def _render(v: Any) -> bytes | None:
     if isinstance(v, bytes):
         return b"\\x" + v.hex().encode()
     if hasattr(v, "isoformat"):  # date / datetime -> pg text form
-        return v.isoformat(sep=" ") if hasattr(v, "hour") else v.isoformat()
+        s = v.isoformat(sep=" ") if hasattr(v, "hour") else v.isoformat()
+        return s.encode()
     if isinstance(v, (list, tuple)):  # pg array literal, shallow
         return (
             "{" + ",".join("NULL" if x is None else str(x) for x in v) + "}"
@@ -230,9 +231,19 @@ def _copy_opts(m: "re.Match") -> dict[str, str]:
         else:
             raise ValueError(f"COPY option {tok!r} not supported")
     fmt = out.get("format", "text")
-    if fmt not in ("text", "csv"):
-        raise ValueError(f"COPY format {fmt!r} not supported (text or csv)")
+    if fmt not in ("text", "csv", "binary"):
+        raise ValueError(
+            f"COPY format {fmt!r} not supported (text, csv or binary)")
+    if fmt == "binary" and "header" in out:
+        raise ValueError("cannot specify HEADER in BINARY mode")
     return out
+
+
+# PostgreSQL binary COPY file format (src/backend/commands/copyto.c layout):
+# 11-byte signature, int32 flags, int32 header-extension length; then per
+# tuple int16 field-count + per field int32 length (-1 = NULL) and the
+# type's binary send encoding; int16 -1 trailer.
+_COPY_BIN_SIG = b"PGCOPY\n\xff\r\n\x00"
 
 
 def _copy_text_field(v: Any) -> str:
@@ -339,6 +350,14 @@ def _convert_binary_param(raw: bytes | None, oid: int):
         return raw != b"\x00"
     if oid == 1700:  # numeric: inverse of _numeric_binary
         return _numeric_from_binary(raw)
+    if oid == 17:  # bytea: raw bytes
+        return bytes(raw)
+    if oid == 1082:  # date: days since 2000-01-01
+        return _PG_EPOCH_DATE + datetime.timedelta(
+            days=struct.unpack("!i", raw)[0])
+    if oid == 1114:  # timestamp: microseconds since 2000-01-01
+        return _PG_EPOCH_TS + datetime.timedelta(
+            microseconds=struct.unpack("!q", raw)[0])
     if oid in (0, 25, 1043):  # unknown/text/varchar: raw UTF-8
         return raw.decode("utf-8")
     raise ValueError(f"binary Bind parameter not supported for type OID {oid}")
@@ -599,20 +618,79 @@ class _PgHandler(socketserver.BaseRequestHandler):
             sel = ", ".join(c.strip() for c in cols.split(",")) if cols else "*"
             df = server.engine.execute(f"SELECT {sel} FROM {m.group('table')}")
         ncols = len(df.columns)
-        self._send(sock, _msg(b"H", struct.pack("!bh", 0, ncols)
-                              + struct.pack(f"!{ncols}h", *([0] * ncols))))
-        if fmt == "csv" and header:
-            self._send(sock, _msg(b"d", (",".join(df.columns) + "\n").encode()))
+        overall = 1 if fmt == "binary" else 0
+        self._send(sock, _msg(b"H", struct.pack("!bh", overall, ncols)
+                              + struct.pack(f"!{ncols}h", *([overall] * ncols))))
         n = 0
-        for row in df.toLocalIterator():
-            if fmt == "csv":
-                line = ",".join(_copy_csv_field(v) for v in row)
-            else:
-                line = "\t".join(_copy_text_field(v) for v in row)
-            self._send(sock, _msg(b"d", (line + "\n").encode()))
-            n += 1
+        if fmt == "binary":
+            # WITH (FORMAT binary): the pg binary COPY stream over the
+            # per-type send encodings already used for binary results
+            # (_render_binary) — reference parity:
+            # postgres_protocol_handler.hpp speaks the same layout.
+            oids = [_oid_for(t)[0] for _, t in df.dtypes]
+            self._send(sock, _msg(
+                b"d", _COPY_BIN_SIG + struct.pack("!II", 0, 0)))
+            for row in df.toLocalIterator():
+                parts = [struct.pack("!h", ncols)]
+                for v, oid in zip(row, oids):
+                    b = _render_binary(v, oid)
+                    if b is None:
+                        parts.append(struct.pack("!i", -1))
+                    else:
+                        parts.append(struct.pack("!i", len(b)) + b)
+                self._send(sock, _msg(b"d", b"".join(parts)))
+                n += 1
+            self._send(sock, _msg(b"d", struct.pack("!h", -1)))
+        else:
+            if fmt == "csv" and header:
+                self._send(sock, _msg(b"d", (",".join(df.columns) + "\n").encode()))
+            for row in df.toLocalIterator():
+                if fmt == "csv":
+                    line = ",".join(_copy_csv_field(v) for v in row)
+                else:
+                    line = "\t".join(_copy_text_field(v) for v in row)
+                self._send(sock, _msg(b"d", (line + "\n").encode()))
+                n += 1
         self._send(sock, _msg(b"c", b""))
         self._send(sock, _msg(b"C", _cstr(f"COPY {n}")))
+
+    @staticmethod
+    def _parse_copy_binary(data: bytes, ncols: int,
+                           dtypes: list[str]) -> list[list]:
+        """Parse a pg binary COPY stream into typed python rows: signature +
+        flags + header extension, then per tuple int16 field-count and
+        length-prefixed fields decoded with the per-type recv functions
+        (_convert_binary_param — the same codecs binary Bind uses), int16
+        -1 trailer. Field types come from the TARGET column dtypes, exactly
+        like pg's recv path."""
+        oids = [_oid_for(t)[0] for t in dtypes]
+        if not data.startswith(_COPY_BIN_SIG):
+            raise ValueError("COPY BINARY: missing PGCOPY signature")
+        pos = len(_COPY_BIN_SIG)
+        _flags, extlen = struct.unpack_from("!II", data, pos)
+        pos += 8 + extlen
+        rows: list[list] = []
+        while True:
+            if pos + 2 > len(data):
+                raise ValueError("COPY BINARY: truncated stream (no trailer)")
+            (cnt,) = struct.unpack_from("!h", data, pos)
+            pos += 2
+            if cnt == -1:
+                break
+            if cnt != ncols:
+                raise ValueError(
+                    f"COPY BINARY row has {cnt} fields, expected {ncols}")
+            row = []
+            for oid in oids:
+                (ln,) = struct.unpack_from("!i", data, pos)
+                pos += 4
+                if ln == -1:
+                    row.append(None)
+                else:
+                    row.append(_convert_binary_param(data[pos:pos + ln], oid))
+                    pos += ln
+            rows.append(row)
+        return rows
 
     def _copy_in(self, sock: socket.socket, server: "PgWireServer", m) -> None:
         """COPY table FROM STDIN: CopyInResponse, accumulate CopyData until
@@ -637,8 +715,9 @@ class _PgHandler(socketserver.BaseRequestHandler):
         if unknown:
             raise ValueError(f"COPY column(s) {unknown} not in {table}")
         ncols = len(tcols)
-        self._send(sock, _msg(b"G", struct.pack("!bh", 0, ncols)
-                              + struct.pack(f"!{ncols}h", *([0] * ncols))))
+        overall = 1 if fmt == "binary" else 0
+        self._send(sock, _msg(b"G", struct.pack("!bh", overall, ncols)
+                              + struct.pack(f"!{ncols}h", *([overall] * ncols))))
         buf = bytearray()
         while True:
             head = self._recv_exact(sock, 5)
@@ -660,28 +739,36 @@ class _PgHandler(socketserver.BaseRequestHandler):
                 continue
             else:
                 raise ValueError(f"unexpected {mtype!r} during COPY FROM STDIN")
-        text = buf.decode("utf-8")
-        rows: list[list[str | None]] = []
-        if fmt == "csv":
-            rows = [[None if f == "" else f for f in r]
-                    for r in _csv.reader(io.StringIO(text)) if r]
-            if header and rows:
-                rows = rows[1:]
-        else:
-            for line in text.split("\n"):
-                if line in ("", "\\."):
-                    continue
-                rows.append([_copy_text_parse(f) for f in line.split("\t")])
-        for r in rows:
-            if len(r) != ncols:
-                raise ValueError(
-                    f"COPY row has {len(r)} fields, expected {ncols}: {r!r}")
         spark = server.engine.spark
         view = f"copy_in_{uuid.uuid4().hex[:10]}"
-        sdf = spark.createDataFrame(
-            [tuple(r) for r in rows],
-            schema=", ".join(f"{c} string" for c in tcols),
-        ).select(*[F.col(c).cast(dtypes[c]).alias(c) for c in tcols])
+        if fmt == "binary":
+            rows = self._parse_copy_binary(bytes(buf), ncols,
+                                           [dtypes[c] for c in tcols])
+            sdf = spark.createDataFrame(
+                [tuple(r) for r in rows],
+                schema=", ".join(f"{c} {dtypes[c]}" for c in tcols),
+            )
+        else:
+            text = buf.decode("utf-8")
+            rows: list[list[str | None]] = []
+            if fmt == "csv":
+                rows = [[None if f == "" else f for f in r]
+                        for r in _csv.reader(io.StringIO(text)) if r]
+                if header and rows:
+                    rows = rows[1:]
+            else:
+                for line in text.split("\n"):
+                    if line in ("", "\\."):
+                        continue
+                    rows.append([_copy_text_parse(f) for f in line.split("\t")])
+            for r in rows:
+                if len(r) != ncols:
+                    raise ValueError(
+                        f"COPY row has {len(r)} fields, expected {ncols}: {r!r}")
+            sdf = spark.createDataFrame(
+                [tuple(r) for r in rows],
+                schema=", ".join(f"{c} string" for c in tcols),
+            ).select(*[F.col(c).cast(dtypes[c]).alias(c) for c in tcols])
         sdf.createOrReplaceTempView(view)
         try:
             server.engine.execute(

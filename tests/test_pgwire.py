@@ -975,3 +975,54 @@ def test_disconnect_rolls_back_abandoned_transaction(server):
         b.drain_until(b"Z")
     finally:
         b.close()
+
+
+@pytest.mark.skipif(PSQL is None, reason="psql not installed")
+def test_psql_copy_binary_roundtrip(server, tmp_path):
+    """COPY WITH (FORMAT binary) through a real psql \\copy: export the pg
+    binary stream (signature + length-prefixed per-type send encodings) to
+    a file, re-import it, and get byte-identical values back — including
+    NULLs, doubles, dates and timestamps. Reference:
+    postgres_protocol_handler.hpp speaks the same wire formats."""
+    f = tmp_path / "t.bin"
+    out = _psql(
+        server,
+        "CREATE TABLE pg_cb AS SELECT CAST(id AS INT) AS i,"
+        " CAST(id * 1.5 AS DOUBLE) AS d,"
+        " CASE WHEN id = 1 THEN NULL ELSE CONCAT('s', id) END AS s,"
+        " DATE_ADD(DATE'2024-03-01', CAST(id AS INT)) AS dt,"
+        " CAST(TIMESTAMP'2024-03-01 10:20:30' AS TIMESTAMP_NTZ) AS ts"
+        " FROM RANGE(3)",
+    )
+    assert out.returncode == 0, out.stderr
+    try:
+        out = _psql(server, f"\\copy pg_cb TO '{f}' WITH (FORMAT binary)")
+        assert out.returncode == 0, out.stderr
+        raw = f.read_bytes()
+        assert raw.startswith(b"PGCOPY\n\xff\r\n\x00")  # the pg signature
+        out = _psql(server, "CREATE TABLE pg_cb2 AS SELECT * FROM pg_cb WHERE 1=0")
+        assert out.returncode == 0, out.stderr
+        out = _psql(server, f"\\copy pg_cb2 FROM '{f}' WITH (FORMAT binary)")
+        assert out.returncode == 0, out.stderr
+        a = _psql(server, "SELECT * FROM pg_cb ORDER BY i")
+        b = _psql(server, "SELECT * FROM pg_cb2 ORDER BY i")
+        assert a.stdout == b.stdout and "1.5" in a.stdout
+        # HEADER is a text/csv-only option, like pg
+        bad = _psql(server, f"\\copy pg_cb TO '{f}' WITH (FORMAT binary, HEADER)")
+        assert "HEADER" in (bad.stderr + bad.stdout)
+    finally:
+        _psql(server, "DROP TABLE pg_cb; DROP TABLE IF EXISTS pg_cb2")
+
+
+@pytest.mark.skipif(PSQL is None, reason="psql not installed")
+def test_psql_date_timestamp_text_render(server):
+    """Regression (round 9): text-format rendering of DATE/TIMESTAMP values
+    returned str instead of bytes, crashing ANY psql SELECT of a temporal
+    column with \"can't concat str to bytes\"."""
+    out = _psql(
+        server,
+        "SELECT DATE'2024-05-06' AS d,"
+        " CAST(TIMESTAMP'2024-05-06 07:08:09' AS TIMESTAMP_NTZ) AS ts",
+    )
+    assert out.returncode == 0, out.stderr
+    assert out.stdout.strip() == "2024-05-06|2024-05-06 07:08:09"
