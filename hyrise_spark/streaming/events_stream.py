@@ -231,6 +231,51 @@ def purchase_click_attribution_outer(
     )
 
 
+def purchase_click_attribution_full_outer(
+    events: DataFrame,
+    events2: DataFrame,
+    max_lag: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """FULL OUTER stream-stream interval join — completes the outer-join
+    matrix (inner / left since round 8 / full here): matched
+    purchase-click pairs emit immediately; an unmatched purchase emits a
+    NULL-click row and an unmatched click a NULL-purchase row once the
+    watermark passes their respective join windows (Spark's stream-stream
+    outer completeness rule, same state-expiry contract as the other two:
+    both sides watermarked + event time bounded both ways)."""
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("amount"),
+        )
+    )
+    clicks = (
+        events2.filter(F.col("event_type") == "click")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {max_lag}")),
+        "full_outer",
+    ).select(
+        "purchase_id", "click_id",
+        F.coalesce(F.col("p_user"), F.col("c_user")).alias("user_id"),
+        "p_ts", "c_ts", "amount",
+    )
+
+
 def enriched_stream(events: DataFrame, customers: DataFrame) -> DataFrame:
     """Stream-static join: events enriched with the customer dimension.
 

@@ -837,6 +837,8 @@ def _streaming_builder_frames(spark):
         "purchase_click_attribution": ev.purchase_click_attribution(events, events2),
         "purchase_click_attribution_outer":
             ev.purchase_click_attribution_outer(events, events2),
+        "purchase_click_attribution_full_outer":
+            ev.purchase_click_attribution_full_outer(events, events2),
         "enriched_stream": ev.enriched_stream(events, customers),
         "streaming_anomaly_zscore": ev.streaming_anomaly_zscore(events),
         "ohlc_stream": ev.ohlc_stream(events),
@@ -885,6 +887,7 @@ def test_streaming_lint_covers_every_public_builder():
 _STREAMING_FIXTURE_NAMES = (
     "windowed_counts", "sessionized", "stateful_user_totals", "deduped_stream",
     "purchase_click_attribution", "purchase_click_attribution_outer",
+    "purchase_click_attribution_full_outer",
     "enriched_stream", "streaming_anomaly_zscore",
     "ohlc_stream", "streaming_ema_daily", "markov_transition_stream",
     "quality_scored_stream", "benchmark_shingles", "contaminated_ids_stream",

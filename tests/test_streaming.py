@@ -508,3 +508,78 @@ def test_stream_stream_attribution_outer_matches_batch(spark, events_dir, tmp_pa
     assert got == want
     # the outer rows are doing real work: some purchases have no click
     assert any(cid is None for _, cid in got)
+
+
+def test_stream_stream_attribution_full_outer_matches_batch(spark, events_dir, tmp_path):
+    """FULL OUTER stream-stream join == the batch full join: unmatched
+    purchases emit NULL-click rows AND unmatched clicks emit NULL-purchase
+    rows once the watermark passes their windows. Completes the streaming
+    outer-join matrix (inner / left_outer / full_outer)."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hyrise_spark.streaming.events_stream import (
+        purchase_click_attribution_full_outer,
+    )
+
+    d = tmp_path / "events_fouter"
+    shutil.copytree(events_dir, d)
+    real = spark.read.parquet(str(events_dir))
+    max_ts = real.agg(F.max("ts")).collect()[0][0]
+    sentinel_ts = pa.scalar(
+        max_ts.replace(year=max_ts.year + 1), type=pa.timestamp("us")
+    )
+    base = pq.read_table(f"{events_dir}")
+    sentinel = pa.table(
+        {
+            "event_id": pa.array([10**9, 10**9 + 1], pa.int64()),
+            "ts": pa.array([sentinel_ts.as_py()] * 2, pa.timestamp("us")),
+            "user_id": pa.array([10**8, 10**8 + 1], pa.int64()),
+            "event_type": pa.array(["click", "purchase"], pa.string()),
+            "value": pa.array([0.0, 0.0], pa.float64()),
+            "props": pa.array(["{}", "{}"], pa.string()),
+        }
+    ).select(base.column_names).cast(base.schema)
+    pq.write_table(sentinel, d / "zz_sentinel.parquet")
+
+    stream = purchase_click_attribution_full_outer(
+        read_events_stream(spark, str(d)), read_events_stream(spark, str(d))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("stream_attr_fouter")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.table("stream_attr_fouter").collect()
+        if (r["purchase_id"] is None or r["purchase_id"] < 10**9)
+        and (r["click_id"] is None or r["click_id"] < 10**9)
+    }  # the sentinels are plumbing, not data
+    p = real.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), F.col("user_id").alias("pu"),
+        F.col("ts").alias("pts"),
+    )
+    c = real.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"), F.col("user_id").alias("cu"),
+        F.col("ts").alias("cts"),
+    )
+    want = {
+        (r["pid"], r["cid"])
+        for r in p.join(
+            c,
+            (F.col("pu") == F.col("cu"))
+            & (F.col("cts") <= F.col("pts"))
+            & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 1 hour")),
+            "full_outer",
+        ).collect()
+    }
+    assert got == want
+    # both outer directions do real work
+    assert any(cid is None for _, cid in got if _ is not None)
+    assert any(pid is None for pid, _ in got)
