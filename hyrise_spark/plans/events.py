@@ -51,6 +51,54 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Sliding-window aggregation (hop < width, so every event lands in
+# width/hop windows — 1-hour windows every 15 minutes here). Spark's
+# native F.window(ts, width, hop) expands each row into its covering
+# windows BEFORE the shuffle (a flat generator, not a self-join); the
+# oracle derives the same window starts with generate_series. This is the
+# batch twin of streaming sliding windows and the shape trend dashboards
+# aggregate at any scale — state is bounded by windows-per-row (4 here),
+# not data volume.
+@register(
+    "events_sliding_window",
+    oracle="""
+    WITH hops AS (SELECT UNNEST(generate_series(0, 3)) AS k),
+    expanded AS (
+      SELECT DATE_TRUNC('minute', ts)
+               - (EXTRACT(minute FROM ts)::INT % 15) * INTERVAL 1 MINUTE
+               - k * INTERVAL 15 MINUTE AS win_start,
+             event_type, value, user_id
+      FROM events, hops
+    )
+    SELECT STRFTIME(win_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS total_value,
+           COUNT(DISTINCT user_id) AS users
+    FROM expanded
+    GROUP BY 1, 2
+    """,
+    tags=("events", "window-agg", "sliding"),
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour", "15 minutes"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.count_distinct(F.col("user_id")).alias("users"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss")
+            .alias("window_start"),
+            "event_type", "n", "total_value", "users",
+        )
+    )
+
+
 # Sessionization: gap > 30 min starts a new session (lag + cumulative sum —
 # the batch twin of streaming session_window; pyspark_guide.md pattern).
 @register(
