@@ -765,6 +765,14 @@ def test_explain_engine_dialect_selects(engine, spark):
         " FROM ex_l QUALIFY rn = 1"
     )
     assert "Window" in out.collect()[0]["plan"]
+    out = engine.execute(
+        "EXPLAIN SELECT k, SUM(t) OVER (ORDER BY k"
+        " GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s FROM ex_l"
+    )
+    plan = out.collect()[0]["plan"]
+    assert out.columns == ["plan"] and "Window" in plan
+    # the rewrite's dense-rank RANGE frame is what actually executes
+    assert "specifiedwindowframe(RangeFrame" in plan or "RANGE" in plan.upper()
 
 
 def test_meta_transactions_reflects_txn_state(engine):
