@@ -1026,3 +1026,26 @@ def test_psql_date_timestamp_text_render(server):
     )
     assert out.returncode == 0, out.stderr
     assert out.stdout.strip() == "2024-05-06|2024-05-06 07:08:09"
+
+
+@pytest.mark.skipif(PSQL is None, reason="psql not installed")
+def test_psql_repeated_statement_hits_plan_cache(server):
+    """The GDFS statement cache serves the wire path too: two identical
+    psql SELECTs — the second is a cache hit (same analyzed plan, no
+    re-analysis), and DML in between invalidates by epoch so the third
+    read sees fresh data."""
+    out = _psql(server, "CREATE TABLE pg_pc AS SELECT 5 AS x")
+    assert out.returncode == 0, out.stderr
+    try:
+        eng = server.engine
+        h0 = eng._plan_cache.hits
+        for _ in range(2):
+            out = _psql(server, "SELECT x FROM pg_pc")
+            assert out.returncode == 0 and out.stdout.strip() == "5"
+        assert eng._plan_cache.hits > h0
+        out = _psql(server, "UPDATE pg_pc SET x = 6")
+        assert out.returncode == 0, out.stderr
+        out = _psql(server, "SELECT x FROM pg_pc")
+        assert out.stdout.strip() == "6"  # epoch moved: no stale serve
+    finally:
+        _psql(server, "DROP TABLE pg_pc")

@@ -199,6 +199,8 @@ def _events_builders():
     # in the copies but output stays bounded); trajectory's distinct cell
     # sets DEDUPE the copies (cells are ts-day x value-band — identical
     # across copies), so it should be near-flat.
+    # events_sliding_window (round 9): constant per-row expansion (4 windows
+    # per event) into a grouped agg — expect ~linear.
     return {
         n: qs[n].builder
         for n in (
@@ -206,6 +208,7 @@ def _events_builders():
             "events_sessionize",
             "events_window_funnel",
             "events_trajectory_similarity",
+            "events_sliding_window",
         )
     }
 
