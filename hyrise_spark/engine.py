@@ -216,6 +216,9 @@ class Engine:
         # per-connection client tokens (pgwire binds one via
         # begin_client_session); falls back to thread ident for embedded use
         self._client_local = threading.local()
+        # fenced writers waiting out another connection's transaction
+        # (_lock_timeout_ms) park here; _commit/_rollback notify
+        self._txn_cv = threading.Condition()
         self._in_snap_read = False  # reentrancy guard for _snapshot_read
         # statement/plan cache (sql_plan_cache.hpp analog, GDFS eviction)
         from hyrise_spark.plan_cache import GDFSCache
@@ -323,35 +326,73 @@ class Engine:
     )
 
     def _execute_one(self, stmt: str, args) -> DataFrame | None:
-        with self._stmt_lock:
-            if (self._txn is not None
-                    and self._txn.get("owner") != self._owner_token()
-                    and not self._in_snap_read):
-                if self._WRITE_STMT_RE.match(stmt):
-                    # postgres scopes a transaction to its connection; this
-                    # single-writer engine has ONE slot, so writes (and txn
-                    # control) from another connection while it is pinned
-                    # would silently join — or abort — someone else's
-                    # transaction. Writers must wait or be rejected; reads
-                    # are served from the BEGIN snapshot (below).
+        import time as _time
+
+        deadline = None
+        while True:
+            with self._stmt_lock:
+                txn = self._txn
+                fenced = (txn is not None
+                          and txn.get("owner") != self._owner_token()
+                          and not self._in_snap_read)
+                if not fenced:
+                    if self._WRITE_STMT_RE.match(stmt):
+                        # any statement that can mutate state moves the epoch
+                        # the plan cache keys validity on (over-approximate:
+                        # BEGIN/COMMIT bump too — a wasted invalidation,
+                        # never a stale serve)
+                        self.catalog.mutation_counter += 1
+                    return self._cached_dispatch(stmt, args)
+                if not self._WRITE_STMT_RE.match(stmt):
+                    # Reads from OTHER connections get committed-only
+                    # visibility: they are resolved against the BEGIN pin,
+                    # not the live catalog — the reference's Validate
+                    # semantics (validate.hpp:20 — every scan validates
+                    # against the snapshot commit-id;
+                    # transaction_manager.hpp).
+                    return self._snapshot_read(stmt, args)
+                # postgres scopes a transaction to its connection; this
+                # single-writer engine has ONE slot, so writes (and txn
+                # control) from another connection while it is pinned would
+                # silently join — or abort — someone else's transaction.
+                # Writers queue up to `hyrise_spark.lock_timeout` ms (pg's
+                # lock_timeout knob; default 0 = reject immediately).
+                if deadline is None:
+                    t_ms = self._lock_timeout_ms()
+                    if t_ms <= 0:
+                        raise RuntimeError(
+                            "a transaction begun on another connection is "
+                            "in progress; this single-writer engine "
+                            "serializes write transactions — retry after "
+                            "it commits or rolls back (or set "
+                            "hyrise_spark.lock_timeout to wait)"
+                        )
+                    deadline = _time.monotonic() + t_ms / 1000.0
+            # wait OUTSIDE the statement lock (the owner needs it to
+            # commit/rollback); woken by _commit/_rollback's notify_all
+            with self._txn_cv:
+                if self._txn is txn:
+                    self._txn_cv.wait(max(0.0, deadline - _time.monotonic()))
+            if _time.monotonic() >= deadline:
+                with self._stmt_lock:
+                    still = (self._txn is not None
+                             and self._txn.get("owner") != self._owner_token())
+                if still:
                     raise RuntimeError(
-                        "a transaction begun on another connection is in "
-                        "progress; this single-writer engine serializes "
-                        "write transactions — retry after it commits or "
-                        "rolls back"
+                        "canceling statement due to lock timeout: a "
+                        "transaction begun on another connection is still "
+                        "in progress"
                     )
-                # Reads from OTHER connections get committed-only visibility:
-                # they are resolved against the BEGIN pin, not the live
-                # catalog — the reference's Validate semantics
-                # (validate.hpp:20 — every scan validates against the
-                # snapshot commit-id; transaction_manager.hpp).
-                return self._snapshot_read(stmt, args)
-            if self._WRITE_STMT_RE.match(stmt):
-                # any statement that can mutate state moves the epoch the
-                # plan cache keys validity on (over-approximate: BEGIN/COMMIT
-                # bump too — a wasted invalidation, never a stale serve)
-                self.catalog.mutation_counter += 1
-            return self._cached_dispatch(stmt, args)
+
+    def _lock_timeout_ms(self) -> int:
+        """pg's lock_timeout analog, via the writable meta_settings surface
+        (`INSERT INTO meta_settings VALUES ('hyrise_spark.lock_timeout',
+        '<ms>')`): how long a fenced writer waits for another connection's
+        open transaction before erroring. 0 (default) = fail immediately."""
+        try:
+            return int(self.spark.conf.get("hyrise_spark.lock_timeout", "0"))
+        except ValueError:
+            return 0
 
     # statements eligible for the plan cache: read-only, deterministic,
     # parameterless, and not over the dynamic meta_* tables (whose content
@@ -368,13 +409,21 @@ class Engine:
         Catalyst-analysis cost (the driver-side dominant cost of repeated
         wide-expression statements), never data freshness: every mutating
         statement bumps `catalog.mutation_counter` first."""
-        if (args is not None
-                or not self._CACHEABLE_RE.match(stmt)
+        if (not self._CACHEABLE_RE.match(stmt)
                 or self._META_REF_RE.search(stmt)
                 or _NONDET_RE.search(stmt)):
             return self._dispatch(stmt, args)
+        # Parameterized statements cache per (text, bound values) — the
+        # reference's prepared-plan cache keys the same way
+        # (sql_plan_cache.hpp serves repeated EXECUTEs of one PREPARE).
+        if args is None:
+            key = stmt
+        elif isinstance(args, dict):
+            key = stmt + "\x00" + repr(sorted(args.items()))
+        else:
+            key = stmt + "\x00" + repr(list(args))
         epoch = self.catalog.mutation_counter
-        df = self._plan_cache.get(stmt, epoch)
+        df = self._plan_cache.get(key, epoch)
         if df is not None:
             return df
         import time as _time
@@ -383,7 +432,7 @@ class Engine:
         df = self._dispatch(stmt, args)
         if df is not None:
             self._plan_cache.put(
-                stmt, df, epoch, (_time.perf_counter() - t0) * 1000.0
+                key, df, epoch, (_time.perf_counter() - t0) * 1000.0
             )
         return df
 
@@ -1166,6 +1215,8 @@ class Engine:
             warnings.warn("there is no transaction in progress", stacklevel=4)
             return
         self._txn = None  # everything inside is already applied — release
+        with self._txn_cv:
+            self._txn_cv.notify_all()  # wake writers queued on lock_timeout
 
     def _rollback(self) -> None:
         import warnings
@@ -1179,6 +1230,8 @@ class Engine:
             return
         txn, self._txn = self._txn, None
         self._restore(txn["snap"])
+        with self._txn_cv:
+            self._txn_cv.notify_all()  # wake writers queued on lock_timeout
 
     # -- savepoints (SQL:1999 feature T271; postgres SAVEPOINT semantics) ---
     # A savepoint is just another pin on the stack: ROLLBACK TO restores it

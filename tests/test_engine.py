@@ -1032,3 +1032,58 @@ def test_groups_frame_sql_differential(engine, spark, duck):
     assert got == want
     engine.execute("DROP TABLE gfd")
     duck.execute("DROP TABLE gfd")
+
+
+def test_lock_timeout_queues_writer_until_commit(engine, spark):
+    """pg's lock_timeout analog: with hyrise_spark.lock_timeout set, a
+    fenced writer WAITS for the other connection's transaction instead of
+    erroring — proceeding when it commits, or erroring with a lock-timeout
+    message when it does not end in time."""
+    import threading
+    import time
+
+    engine.execute("CREATE TABLE lt_t AS SELECT 1 AS x")
+    engine.execute("INSERT INTO meta_settings VALUES ('hyrise_spark.lock_timeout', '10000')")
+    try:
+        engine.execute("BEGIN; UPDATE lt_t SET x = 2")
+        out: dict = {}
+
+        def queued_writer():
+            t0 = time.monotonic()
+            try:
+                engine.execute("UPDATE lt_t SET x = 10")
+                out["ok"] = time.monotonic() - t0
+            except Exception as e:  # noqa: BLE001
+                out["err"] = str(e)
+
+        t = threading.Thread(target=queued_writer)
+        t.start()
+        time.sleep(1.0)
+        assert not out, "writer should still be queued"
+        engine.execute("COMMIT")
+        t.join(timeout=30)
+        assert "ok" in out, out
+        assert out["ok"] >= 0.9  # it actually waited for the commit
+        assert engine.execute("SELECT x FROM lt_t").collect()[0]["x"] == 10
+
+        # timeout leg: short limit, transaction never ends in time
+        spark.conf.set("hyrise_spark.lock_timeout", "300")
+        engine.execute("BEGIN; UPDATE lt_t SET x = 3")
+        err: dict = {}
+
+        def timed_out_writer():
+            try:
+                engine.execute("UPDATE lt_t SET x = 99")
+                err["ok"] = True
+            except Exception as e:  # noqa: BLE001
+                err["err"] = str(e)
+
+        t = threading.Thread(target=timed_out_writer)
+        t.start()
+        t.join(timeout=30)
+        assert "lock timeout" in err.get("err", ""), err
+        engine.execute("ROLLBACK")
+        assert engine.execute("SELECT x FROM lt_t").collect()[0]["x"] == 10
+    finally:
+        spark.conf.set("hyrise_spark.lock_timeout", "0")
+        engine.execute("DROP TABLE lt_t")

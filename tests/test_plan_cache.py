@@ -121,16 +121,36 @@ def test_uncacheable_statements_bypass(engine):
     d1 = engine.execute("SELECT id, rand() AS r FROM pcu")
     d2 = engine.execute("SELECT id, rand() AS r FROM pcu")
     assert d1 is not d2
-    # parameterized: args vary per call
-    p1 = engine.execute("SELECT id FROM pcu WHERE id = :v", {"v": 1})
-    p2 = engine.execute("SELECT id FROM pcu WHERE id = :v", {"v": 2})
-    assert p1.collect()[0]["id"] == 1 and p2.collect()[0]["id"] == 2
     # meta tables are dynamic (meta_log grows without a catalog mutation)
     n1 = engine.execute("SELECT COUNT(*) AS n FROM meta_log").collect()[0]["n"]
     n2 = engine.execute("SELECT COUNT(*) AS n FROM meta_log").collect()[0]["n"]
     assert n2 > n1  # the second run saw the first run's log entry
     assert engine._plan_cache.misses == base  # none of the above was cached
     engine.execute("DROP TABLE pcu")
+
+
+def test_parameterized_statements_cache_per_bound_values(engine):
+    """Prepared-plan cache analog (the reference's SQLPhysicalPlanCache
+    serves repeated EXECUTEs): a parameterized statement caches per
+    (text, bound values) — same args hit, different args are distinct
+    entries with their own results."""
+    engine.execute("CREATE TABLE pcp AS SELECT CAST(id AS INT) AS id FROM RANGE(6)")
+    q = "SELECT id FROM pcp WHERE id = :v"
+    p1 = engine.execute(q, {"v": 1})
+    p1b = engine.execute(q, {"v": 1})
+    assert p1b is p1  # identical args: the very same analyzed plan
+    p2 = engine.execute(q, {"v": 2})
+    assert p2 is not p1
+    assert p1.collect()[0]["id"] == 1 and p2.collect()[0]["id"] == 2
+    # SQL-dialect PREPARE/EXECUTE rides the same cache
+    engine.execute("PREPARE pq FROM 'SELECT COUNT(*) AS n FROM pcp WHERE id < ?'")
+    a = engine.execute("EXECUTE pq (3)")
+    b = engine.execute("EXECUTE pq (3)")
+    assert a.collect()[0]["n"] == 3 and b.collect()[0]["n"] == 3
+    # DML between executions invalidates by epoch
+    engine.execute("INSERT INTO pcp VALUES (0)")
+    assert engine.execute("EXECUTE pq (3)").collect()[0]["n"] == 4
+    engine.execute("DROP TABLE pcp")
 
 
 def test_snapshot_reads_bypass_cache(engine):
