@@ -1087,3 +1087,44 @@ def test_lock_timeout_queues_writer_until_commit(engine, spark):
     finally:
         spark.conf.set("hyrise_spark.lock_timeout", "0")
         engine.execute("DROP TABLE lt_t")
+
+
+def test_concurrent_snapshot_reads_never_see_intermediate_state(engine):
+    """Stress the snapshot-read swap under churn: an owner thread runs
+    BEGIN -> set odd -> set even -> COMMIT in a loop while reader threads
+    SELECT continuously from other connections. Readers must only ever
+    observe COMMITTED values (even) — never the mid-transaction odd state,
+    and never an error from the temp-view swap machinery."""
+    import threading
+
+    engine.execute("CREATE TABLE cc_t AS SELECT 0 AS x")
+    stop = threading.Event()
+    seen: list = []
+    errs: list = []
+
+    def reader():
+        while not stop.is_set():
+            try:
+                seen.append(
+                    engine.execute("SELECT x FROM cc_t").collect()[0]["x"])
+            except Exception as e:  # noqa: BLE001
+                errs.append(str(e))
+                return
+
+    readers = [threading.Thread(target=reader) for _ in range(3)]
+    for t in readers:
+        t.start()
+    try:
+        for i in range(1, 6):
+            engine.execute("BEGIN")
+            engine.execute(f"UPDATE cc_t SET x = {2 * i - 1}")  # odd: in-flight
+            engine.execute(f"UPDATE cc_t SET x = {2 * i}")      # even: final
+            engine.execute("COMMIT")
+    finally:
+        stop.set()
+        for t in readers:
+            t.join(timeout=60)
+    assert not errs, errs
+    assert seen, "readers never completed a select"
+    assert all(v % 2 == 0 for v in seen), sorted(set(seen))
+    engine.execute("DROP TABLE cc_t")
