@@ -152,6 +152,9 @@ def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
 # equivalent of the invalidation ratio) — inline on the commit path rather
 # than a background thread (no threads in this engine by design).
 COMPACT_THRESHOLD_DML_DEPTH = 16
+# compaction output bin-packing target (the ~128 MB file every production
+# table-format compaction job aims for); module-level so tests can shrink it
+COMPACT_TARGET_FILE_BYTES = 128 * 1024 * 1024
 
 
 class Catalog:
@@ -345,17 +348,32 @@ class Catalog:
         # OLTP-shaped table would otherwise write one task + one file-commit
         # per historical statement (measured: ~90-task writes of a 200-row
         # table dominated TPC-C wall time at 0.8 s per compaction). The last
-        # compacted size is known from the trail (driver-side stat, no job);
-        # first compaction caps at the session's parallelism. coalesce never
+        # Size signals, both driver-side with no job: the previous trail
+        # entry's on-disk bytes AND Catalyst's logical-stats estimate of the
+        # CURRENT plan (which sees data added since — a bulk INSERT..SELECT
+        # between compactions must not funnel a grown table through one
+        # task because the last file was small). Take the max; with neither
+        # signal, fall back to the session's parallelism. coalesce never
         # INCREASES partition count, so no partition probe is needed (and
         # none is affordable: df.rdd forces eager physical planning).
         prev = self.compact_paths.get(name) or None
+        sz = 0
         if prev:
             sz = sum(
                 os.path.getsize(os.path.join(r, f))
                 for r, _, fs in os.walk(prev[-1]) for f in fs
             )
-            want = max(1, sz // (128 * 1024 * 1024) + 1)
+        try:
+            est = int(df._jdf.queryExecution().optimizedPlan()
+                      .stats().sizeInBytes())
+            # logical estimates are uncompressed-row-width based; parquet on
+            # disk is typically several x smaller — scale so the two
+            # signals are comparable before taking the max
+            sz = max(sz, est // 4)
+        except Exception:  # noqa: BLE001 — stats unavailable: trail only
+            pass
+        if sz > 0:
+            want = max(1, int(sz) // COMPACT_TARGET_FILE_BYTES + 1)
         else:
             want = self.spark.sparkContext.defaultParallelism
         df = df.coalesce(want)

@@ -325,6 +325,19 @@ class Engine:
         re.I,
     )
 
+    def _is_write_stmt(self, stmt: str) -> bool:
+        """Can `stmt` mutate engine state? Beyond the verb regex: EXECUTE
+        classifies by the PREPARED statement's text (a fenced connection's
+        prepared INSERT must hit the write fence, not the snapshot-read
+        path, where its effect would be silently discarded on swap-back),
+        and REFRESH MATERIALIZED VIEW re-materializes stored state."""
+        if self._WRITE_STMT_RE.match(stmt):
+            return True
+        m = _EXECUTE_RE.match(stmt)
+        if m and m["name"] in self._prepared:
+            return bool(self._WRITE_STMT_RE.match(self._prepared[m["name"]]))
+        return bool(re.match(r"^\s*REFRESH\b", stmt, re.I))
+
     def _execute_one(self, stmt: str, args) -> DataFrame | None:
         import time as _time
 
@@ -336,14 +349,14 @@ class Engine:
                           and txn.get("owner") != self._owner_token()
                           and not self._in_snap_read)
                 if not fenced:
-                    if self._WRITE_STMT_RE.match(stmt):
+                    if self._is_write_stmt(stmt):
                         # any statement that can mutate state moves the epoch
                         # the plan cache keys validity on (over-approximate:
                         # BEGIN/COMMIT bump too — a wasted invalidation,
                         # never a stale serve)
                         self.catalog.mutation_counter += 1
                     return self._cached_dispatch(stmt, args)
-                if not self._WRITE_STMT_RE.match(stmt):
+                if not self._is_write_stmt(stmt):
                     # Reads from OTHER connections get committed-only
                     # visibility: they are resolved against the BEGIN pin,
                     # not the live catalog — the reference's Validate
@@ -409,9 +422,16 @@ class Engine:
         Catalyst-analysis cost (the driver-side dominant cost of repeated
         wide-expression statements), never data freshness: every mutating
         statement bumps `catalog.mutation_counter` first."""
-        if (not self._CACHEABLE_RE.match(stmt)
+        if (self._txn is not None
+                or self._in_snap_read
+                or not self._CACHEABLE_RE.match(stmt)
                 or self._META_REF_RE.search(stmt)
                 or _NONDET_RE.search(stmt)):
+            # While a transaction is open (or resolving a snapshot read) the
+            # session carries TWO visibilities — owner sees uncommitted,
+            # others see the pin — and the epoch cannot distinguish them:
+            # a plan cached by one would leak the wrong state to the other.
+            # Bypass entirely; autocommit statements repopulate after COMMIT.
             return self._dispatch(stmt, args)
         # Parameterized statements cache per (text, bound values) — the
         # reference's prepared-plan cache keys the same way
@@ -917,7 +937,19 @@ class Engine:
             for col, pb, ob in ranks.values()
         )
         inner = f"SELECT *, {dr} {tail}"
-        df = self.spark.sql(f"{''.join(out)} FROM ({inner}) __hs_groups {outer}")
+        # Re-parent the select list onto the subquery: for the common
+        # single-table FROM, alias the subquery with the ORIGINAL table
+        # alias (or table name) so qualified references (g.p, lineitem.x)
+        # still resolve; multi-relation FROMs keep the synthetic alias and
+        # require unqualified columns (Spark raises UNRESOLVED_COLUMN with
+        # the offending name otherwise).
+        fm = re.match(
+            r"^FROM\s+(?P<t>\w+)(?:\s+(?:AS\s+)?(?P<a>\w+))?\s*"
+            r"(?:WHERE\b.*)?$",
+            tail.strip(), re.I | re.S,
+        )
+        sub_alias = (fm["a"] or fm["t"]) if fm else "__hs_groups"
+        df = self.spark.sql(f"{''.join(out)} FROM ({inner}) {sub_alias} {outer}")
         # a SELECT * in the user's list expands to the subquery's columns —
         # the injected rank helpers must not leak
         return df.drop(*(col for col, _, _ in ranks.values()))
@@ -1120,9 +1152,16 @@ class Engine:
             v for v in snap_v if live_views.get(v) != snap_v[v]
         }
         created_views = [v for v in live_views if v not in snap_v]
+        # SQL scalar functions: Spark temp functions resolve globally, so a
+        # function the txn created/replaced/dropped must be re-registered at
+        # its pinned definition for the read (and put back after) — same
+        # committed-only rule as tables/views
+        live_fns, snap_fns = self._functions, snap["functions"]
+        diverged_fns = {n for n in snap_fns if live_fns.get(n) != snap_fns[n]}
+        created_fns = [n for n in live_fns if n not in snap_fns]
         saved = (cat._tables, cat._views, cat.history, cat.history_base,
                  cat.dml_depth, cat.compact_paths, cat.validated_uccs,
-                 self._matviews, self._prepared)
+                 self._matviews, self._prepared, self._functions)
         reg_views: list[str] = []
         self._in_snap_read = True
         try:
@@ -1160,12 +1199,17 @@ class Engine:
                     self.spark.catalog.dropTempView(v)
                 except Exception:  # noqa: BLE001
                     pass
+            self._functions = dict(snap_fns)
+            for n in diverged_fns:
+                self._dispatch(snap_fns[n], None)  # re-register pinned body
+            for n in created_fns:
+                self.spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {n}")
             return self._dispatch(stmt, args)
         finally:
             self._in_snap_read = False
             (cat._tables, cat._views, cat.history, cat.history_base,
              cat.dml_depth, cat.compact_paths, cat.validated_uccs,
-             self._matviews, self._prepared) = saved
+             self._matviews, self._prepared, self._functions) = saved
             for n in diverged:
                 if n in cat._tables:
                     cat._tables[n].createOrReplaceTempView(n)
@@ -1196,6 +1240,13 @@ class Engine:
                     ).createOrReplaceTempView(v)
                 except Exception:  # noqa: BLE001 — dangling view
                     pass
+            for n in diverged_fns:
+                if n in self._functions:
+                    self._dispatch(self._functions[n], None)
+                else:  # dropped before the txn? pinned body removed above
+                    self.spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {n}")
+            for n in created_fns:
+                self._dispatch(self._functions[n], None)
 
     def _begin(self) -> None:
         import warnings
@@ -1229,6 +1280,9 @@ class Engine:
             )
             return
         txn, self._txn = self._txn, None
+        # direct callers (connection teardown) bypass _execute_one's bump:
+        # the restore changes state, so cached plans must invalidate here too
+        self.catalog.mutation_counter += 1
         self._restore(txn["snap"])
         with self._txn_cv:
             self._txn_cv.notify_all()  # wake writers queued on lock_timeout

@@ -208,3 +208,35 @@ def test_create_or_replace_carries_compaction_trail(spark):
         "SELECT CAST(SUM(id) AS BIGINT) AS s FROM cor"
     ).collect()[0].s == sum(range(5)) + 55 + 6  # 0..4 kept, 5->55, then +1 x6
     eng.execute("DROP TABLE cor")
+
+
+def test_compaction_sizing_tracks_growth_not_stale_trail(spark, monkeypatch):
+    """Review regression (round 9): output sizing must not trust only the
+    PREVIOUS compaction's on-disk size — a table that grew via bulk
+    INSERT..SELECT since then would be funneled through one task. The
+    Catalyst logical-stats estimate of the current plan catches the growth;
+    with a shrunken target-file size the second compaction must emit
+    multiple files."""
+    import glob
+
+    import hyrise_spark.catalog as cat
+
+    monkeypatch.setattr(cat, "COMPACT_TARGET_FILE_BYTES", 64 * 1024)
+    eng = Engine(spark)
+    eng.execute("CREATE TABLE gr AS SELECT CAST(id AS INT) AS id FROM RANGE(10)")
+    eng.execute("UPDATE gr SET id = id + 1 WHERE id = 0")
+    eng.catalog.compact_table("gr")  # tiny: single output file
+    first = eng.catalog.compact_paths["gr"][-1]
+    assert len(glob.glob(f"{first}/part-*")) == 1
+    # bulk growth after the small compaction (plan-side, before next rewrite)
+    eng.execute(
+        "INSERT INTO gr SELECT CAST(id AS INT) FROM RANGE(200000)"
+    )
+    eng.catalog.compact_table("gr")
+    second = eng.catalog.compact_paths["gr"][-1]
+    nfiles = len(glob.glob(f"{second}/part-*"))
+    assert nfiles > 1, f"grown table rewrote through {nfiles} file(s)"
+    assert eng.execute(
+        "SELECT COUNT(*) AS n FROM gr"
+    ).collect()[0]["n"] == 200010
+    eng.execute("DROP TABLE gr")

@@ -1128,3 +1128,104 @@ def test_concurrent_snapshot_reads_never_see_intermediate_state(engine):
     assert seen, "readers never completed a select"
     assert all(v % 2 == 0 for v in seen), sorted(set(seen))
     engine.execute("DROP TABLE cc_t")
+
+
+def test_fenced_prepared_dml_hits_write_fence_not_snapshot(engine):
+    """Review regression (round 9): EXECUTE of a prepared INSERT from a
+    fenced connection must hit the WRITE fence — not the snapshot-read
+    path, where its effect would be silently discarded on swap-back and
+    could leave the live temp view pointing at a phantom plan."""
+    engine.execute("CREATE TABLE fpd AS SELECT 1 AS x")
+    engine.execute("PREPARE fpd_ins FROM 'INSERT INTO fpd VALUES (99)'")
+    engine.execute("BEGIN; UPDATE fpd SET x = 2")
+    out = _on_thread(lambda: _try_exec(engine, "EXECUTE fpd_ins"))
+    assert "another connection" in out, out
+    # no phantom state anywhere: owner sees 1 row with its write...
+    rows = engine.execute("SELECT x FROM fpd").collect()
+    assert [r["x"] for r in rows] == [2]
+    engine.execute("COMMIT")
+    # ...and post-commit every connection sees exactly the committed row
+    assert _on_thread(
+        lambda: [r["x"] for r in engine.execute("SELECT x FROM fpd").collect()]
+    ) == [2]
+    # prepared READ-ONLY statements still snapshot-read while fenced
+    engine.execute("PREPARE fpd_sel FROM 'SELECT x FROM fpd'")
+    engine.execute("BEGIN; UPDATE fpd SET x = 5")
+    assert _on_thread(
+        lambda: engine.execute("EXECUTE fpd_sel").collect()[0]["x"]) == 2
+    engine.execute("ROLLBACK; DROP TABLE fpd")
+
+
+def _try_exec(engine, sql):
+    try:
+        engine.execute(sql)
+        return "allowed"
+    except Exception as e:  # noqa: BLE001
+        return str(e)
+
+
+def test_snapshot_read_pins_sql_functions(engine):
+    """Review regression: a function the transaction created or replaced is
+    invisible to other connections' reads (Spark temp functions resolve
+    globally, so the snapshot read re-registers the pinned body)."""
+    e = engine
+    e.execute("CREATE TABLE sf_t AS SELECT 4 AS x")
+    e.execute("CREATE FUNCTION sf_f(a INT) RETURNS INT RETURN a * 10")
+    e.execute("BEGIN")
+    e.execute("CREATE OR REPLACE FUNCTION sf_f(a INT) RETURNS INT RETURN a * 100")
+    e.execute("CREATE FUNCTION sf_g(a INT) RETURNS INT RETURN a + 1")
+    # owner sees its own redefinition + new function
+    assert e.execute("SELECT sf_f(x) AS v FROM sf_t").collect()[0]["v"] == 400
+    assert e.execute("SELECT sf_g(x) AS v FROM sf_t").collect()[0]["v"] == 5
+    # another connection: pinned body, created function invisible
+    assert _on_thread(
+        lambda: e.execute("SELECT sf_f(x) AS v FROM sf_t").collect()[0]["v"]
+    ) == 40
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        _on_thread(lambda: e.execute("SELECT sf_g(x) AS v FROM sf_t").collect())
+    # owner state fully restored after the swap-read
+    assert e.execute("SELECT sf_f(x) AS v FROM sf_t").collect()[0]["v"] == 400
+    assert e.execute("SELECT sf_g(x) AS v FROM sf_t").collect()[0]["v"] == 5
+    e.execute("ROLLBACK")
+    assert e.execute("SELECT sf_f(x) AS v FROM sf_t").collect()[0]["v"] == 40
+    e.execute("DROP FUNCTION sf_f; DROP TABLE sf_t")
+
+
+def test_disconnect_rollback_invalidates_plan_cache(engine):
+    """Review regression: the implicit teardown rollback bypasses the SQL
+    ROLLBACK path, but must still move the cache epoch — a plan cached
+    before BEGIN may not serve stale post-restore."""
+    e = engine
+    e.execute("CREATE TABLE dri AS SELECT 1 AS x")
+    tok = e.begin_client_session()
+    e.execute("SELECT x FROM dri")  # cached pre-txn
+    e.execute("BEGIN; UPDATE dri SET x = 2")
+    e.end_client_session(tok)  # teardown rollback (no SQL statement)
+    assert e._txn is None
+    assert e.execute("SELECT x FROM dri").collect()[0]["x"] == 1
+    e.execute("DROP TABLE dri")
+
+
+def test_groups_frame_sql_qualified_references(engine):
+    """Review regression: table-qualified column references in a GROUPS
+    query must survive the subquery rewrite (the subquery carries the
+    original single-table alias)."""
+    engine.execute(
+        "CREATE TABLE gq AS SELECT CAST(id % 2 AS INT) AS p,"
+        " CAST(id AS DOUBLE) AS v FROM RANGE(8)"
+    )
+    rows = engine.execute(
+        "SELECT g.p, g.v, SUM(g.v) OVER (PARTITION BY g.p ORDER BY g.v"
+        " GROUPS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s"
+        " FROM gq g ORDER BY g.p, g.v"
+    ).collect()
+    assert rows[-1]["s"] == 1 + 3 + 5 + 7  # running sum of the odd partition
+    # unaliased table name also qualifies
+    rows = engine.execute(
+        "SELECT gq.p, SUM(gq.v) OVER (ORDER BY gq.v"
+        " GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s FROM gq"
+        " ORDER BY gq.v LIMIT 2"
+    ).collect()
+    assert len(rows) == 2
+    engine.execute("DROP TABLE gq")
