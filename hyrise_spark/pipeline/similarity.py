@@ -543,6 +543,93 @@ def sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PROTO_PRUNE_FRAC = 0.3  # drop the top-30% most prototypical per cluster
+
+
+@register(
+    "curate_prototype_prune",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    seeds AS (
+      SELECT vec_id AS cell,
+             list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS cv
+      FROM e WHERE vec_id < {_KMEANS_K}
+    ),
+    pts AS (
+      SELECT vec_id, list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS pv
+      FROM e WHERE vec_id >= {_KMEANS_K}
+    ),
+    scored AS (
+      SELECT vec_id, cell, list_inner_product(pv, cv) AS sim,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY list_inner_product(pv, cv) DESC, cell) AS rn
+      FROM pts CROSS JOIN seeds
+    ),
+    ranked AS (
+      SELECT vec_id, cell, sim,
+             ROW_NUMBER() OVER (PARTITION BY cell
+                                ORDER BY sim DESC, vec_id) AS prank,
+             COUNT(*) OVER (PARTITION BY cell) AS n
+      FROM scored WHERE rn = 1
+    )
+    SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cell AS INTEGER) AS cell,
+           ROUND(sim, 4) AS centroid_sim
+    FROM ranked WHERE prank > CEIL({_PROTO_PRUNE_FRAC} * n)
+    ORDER BY vec_id
+    """,
+    tags=("curate", "pruning", "embeddings"),
+)
+def curate_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data pruning by prototypicality (Sorscher et al. 2022, "Beyond
+    neural scaling laws: beating power law scaling via data pruning"):
+    cluster the embedding space, rank each example by similarity to its
+    cluster centroid, and DROP the most prototypical fraction per cluster —
+    in the large-data regime, easy (prototypical) examples contribute least,
+    so keeping the harder tail beats random pruning.
+
+    Dataflow: K seed centroids broadcast (bounded); one corpus scan for the
+    K-wide assignment expand; two cluster-keyed windows (prototypicality
+    rank + cluster size). Never corpus x corpus — the same scale shape as
+    sim_kmeans_assign, plus an output-sized filter. At 100 TB the windows
+    shuffle on the K cluster keys; for tiny K with huge clusters, salt the
+    rank into per-salt quantiles (the diversity-cap pattern,
+    curate_diversity_bucket_cap)."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    seeds = _kmeans_seeds(e)
+    pts = (
+        e.filter(F.col("vec_id") >= _KMEANS_K)
+        .select("vec_id", _normalize(F.col("v")).alias("pv"))
+    )
+    scored = pts.crossJoin(F.broadcast(seeds)).select(
+        "vec_id", "cell", _dot(F.col("pv"), F.col("cv")).alias("sim")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("sim").desc(), F.col("cell")
+    )
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    w_rank = Window.partitionBy("cell").orderBy(
+        F.col("sim").desc(), F.col("vec_id")
+    )
+    w_cell = Window.partitionBy("cell")
+    return (
+        assigned.withColumn("prank", F.row_number().over(w_rank))
+        .withColumn("n", F.count(F.lit(1)).over(w_cell))
+        .filter(F.col("prank") > F.ceil(F.lit(_PROTO_PRUNE_FRAC) * F.col("n")))
+        .select(
+            F.col("vec_id").cast("bigint").alias("vec_id"),
+            F.col("cell").cast("int").alias("cell"),
+            F.round("sim", 4).alias("centroid_sim"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 def kmeans_iterate(
     spark: SparkSession, sf_dir: str, k: int = _KMEANS_K, iters: int = 3
 ) -> DataFrame:
