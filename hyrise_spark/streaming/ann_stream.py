@@ -110,3 +110,57 @@ def pq_encoded_stream(vecs: DataFrame, codebook: DataFrame) -> DataFrame:
         ),
     )
     return with_cb.select("vec_id", codes.alias("codes"))
+
+
+def proto_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch prototype-pruning centroids (curate_prototype_prune's seed
+    set) as ONE bounded broadcastable frame — the trained-model artifact a
+    streaming prototypicality gate loads at setup."""
+    from hyrise_spark.pipeline.similarity import _emb, _kmeans_seeds
+
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return _kmeans_seeds(e)
+
+
+def proto_gated_stream(vecs: DataFrame, centroids: DataFrame,
+                       max_sim: float = 0.9) -> DataFrame:
+    """Prototypicality gate (streaming sibling of curate_prototype_prune,
+    Sorscher et al. 2022): DROP an incoming vector whose similarity to its
+    nearest cluster centroid exceeds `max_sim` — the too-easy, redundant
+    examples — and stream the informative tail on.
+
+    The batch op prunes a per-cluster FRACTION (needs the whole cluster);
+    the streaming form must decide per row, so it gates on an absolute
+    prototypicality threshold — the same batch-trains/stream-applies split
+    as the classifier and Bloom gates. Stateless narrow map over a bounded
+    centroid broadcast (K rows): no state store, no watermark, and the
+    argmax is an in-row reduce over K — never corpus x corpus."""
+    v = _normalize(F.col("embedding").cast("array<double>"))
+    packed = F.broadcast(
+        centroids.groupBy().agg(
+            F.collect_list(F.struct("cell", "cv")).alias("cents")
+        )
+    )
+    best = F.aggregate(
+        F.col("cents"),
+        F.struct(F.lit(-1).cast("bigint").alias("cell"),
+                 F.lit(float("-inf")).alias("sim")),
+        lambda acc, c: F.when(
+            _dot(F.col("v"), c["cv"]) > acc["sim"],
+            F.struct(c["cell"].alias("cell"),
+                     _dot(F.col("v"), c["cv"]).alias("sim")),
+        ).otherwise(acc),
+    )
+    return (
+        vecs.select("vec_id", v.alias("v"))
+        .crossJoin(packed)
+        .withColumn("best", best)
+        .filter(F.col("best.sim") <= max_sim)
+        .select(
+            "vec_id",
+            F.col("best.cell").cast("int").alias("cell"),
+            F.round("best.sim", 4).alias("centroid_sim"),
+        )
+    )

@@ -854,6 +854,9 @@ def _streaming_builder_frames(spark):
         "lsh_gated_stream": cu.lsh_gated_stream(docs, [1, 2, 3]),
         "pq_codebook": cb,
         "pq_encoded_stream": ann.pq_encoded_stream(emb, cb),
+        "proto_centroids": ann.proto_centroids(spark, SF_DIR),
+        "proto_gated_stream": ann.proto_gated_stream(
+            emb, ann.proto_centroids(spark, SF_DIR)),
         "postings_log_stream": postings,
         "term_directory_stream": ix.term_directory_stream(postings),
     }
@@ -893,6 +896,7 @@ _STREAMING_FIXTURE_NAMES = (
     "quality_scored_stream", "benchmark_shingles", "contaminated_ids_stream",
     "mixture_rates", "mixture_sampled_stream", "classifier_gated_stream",
     "bloom_gated_stream", "lsh_gated_stream", "pq_codebook", "pq_encoded_stream",
+    "proto_centroids", "proto_gated_stream",
     "postings_log_stream", "term_directory_stream",
 )
 

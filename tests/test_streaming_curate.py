@@ -383,3 +383,40 @@ def test_audio_chunking_streams_with_batch_parity(spark, docs_dir):
         for r in chunk_audio(media_cols(docs)).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_proto_gated_stream_matches_batch(spark, tmp_path):
+    """Streaming prototypicality gate (Sorscher-style pruning applied
+    online): streamed survivors equal the batch application of the same
+    gate, seeds (sim 1.0 with their own centroid) are dropped, and the
+    informative tail streams through."""
+    import pyarrow.parquet as pq
+
+    from hyrise_spark.streaming.ann_stream import (
+        proto_centroids,
+        proto_gated_stream,
+        read_embeddings_stream,
+    )
+
+    d = tmp_path / "emb_proto"
+    d.mkdir()
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    n = t.num_rows
+    for i in range(3):
+        pq.write_table(
+            t.slice(i * n // 3, (i + 1) * n // 3 - i * n // 3),
+            d / f"part{i}.parquet",
+        )
+    cents = proto_centroids(spark, SF_DIR)
+    stream = proto_gated_stream(read_embeddings_stream(spark, str(d)), cents)
+    run_to_completion(stream, "proto_gate_out", output_mode="append")
+    got = _rows(spark.table("proto_gate_out"))
+    batch = proto_gated_stream(spark.read.parquet(str(d)), cents)
+    assert got == _rows(batch)
+    kept = {r[0] for r in got}
+    total = spark.read.parquet(str(d)).count()
+    assert 0 < len(kept) < total  # the gate does real work
+    # the seed vectors are maximally prototypical (sim 1.0): all dropped
+    from hyrise_spark.pipeline.similarity import _KMEANS_K
+
+    assert not (kept & set(range(_KMEANS_K)))
