@@ -706,6 +706,28 @@ class Engine:
             sets, cond = self._split_top_level_where(rest)
             return self._update(m["table"], sets, cond, args=args, returning=ret)
         m = re.match(
+            r"^\s*EXPLAIN\s+ANALYZE\s+(?P<body>SELECT\b.+)$", stmt, re.I | re.S
+        )
+        if m:
+            # EXPLAIN ANALYZE (postgres dialect; beyond the reference, whose
+            # console offers `visualize` instead): EXECUTE the query to a
+            # noop sink, then report the plan that actually ran — with AQE
+            # this is the FINAL adaptive plan (isFinalPlan=true), i.e. the
+            # runtime-re-planned joins/partition coalescing a pre-execution
+            # EXPLAIN cannot show. Engine-dialect SELECTs route through the
+            # statement router like plain EXPLAIN.
+            df = self._execute_one(m["body"], args)
+            jqe = df._jdf.queryExecution()
+            # execute through THIS QueryExecution (a .write would clone the
+            # plan and leave this one unexecuted): rows stay on executors,
+            # only the count crosses to the driver
+            jqe.toRdd().count()
+            text = jqe.explainString(
+                self.spark._jvm.org.apache.spark.sql.execution.ExplainMode
+                .fromString("formatted")
+            )
+            return self.spark.createDataFrame([(text,)], "plan string")
+        m = re.match(
             r"^\s*EXPLAIN\s+(?P<mode>FORMATTED|EXTENDED|CODEGEN|COST)?\s*"
             r"(?P<body>SELECT\b.+)$",
             stmt, re.I | re.S,

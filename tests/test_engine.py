@@ -1229,3 +1229,25 @@ def test_groups_frame_sql_qualified_references(engine):
     ).collect()
     assert len(rows) == 2
     engine.execute("DROP TABLE gq")
+
+
+def test_explain_analyze_reports_final_adaptive_plan(engine):
+    """EXPLAIN ANALYZE (postgres dialect, beyond the reference): executes
+    the query and reports the plan that actually ran — with AQE, the FINAL
+    adaptive plan, which a pre-execution EXPLAIN cannot show. Works for
+    engine-dialect SELECTs too (routed like plain EXPLAIN)."""
+    engine.execute("CREATE TABLE ea_t AS SELECT CAST(id AS INT) AS x FROM RANGE(50)")
+    out = engine.execute(
+        "EXPLAIN ANALYZE SELECT x % 5 AS g, COUNT(*) AS n FROM ea_t GROUP BY x % 5"
+    )
+    assert out.columns == ["plan"]
+    plan = out.collect()[0]["plan"]
+    assert "isFinalPlan=true" in plan  # the plan EXECUTED, not just analyzed
+    assert "HashAggregate" in plan
+    # dialect SELECT through the same route
+    plan = engine.execute(
+        "EXPLAIN ANALYZE SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS rn"
+        " FROM ea_t QUALIFY rn <= 3"
+    ).collect()[0]["plan"]
+    assert "Window" in plan
+    engine.execute("DROP TABLE ea_t")
