@@ -737,6 +737,10 @@ class Engine:
             or self._find_top_level(m["body"], "ASOF") != -1
             or re.search(r"\bGROUPS\s+BETWEEN\b",
                          _strip_str_literals(m["body"]), re.I)
+            or re.match(r"^\s*SELECT\s+DISTINCT\s+ON\s*\(", m["body"], re.I)
+            or re.search(r"\bEXCLUDE\s+(?:CURRENT\s+ROW|GROUP|TIES)\b"
+                         r"|\*\s+(?:EXCLUDE|REPLACE)\s*\(",
+                         _strip_str_literals(m["body"]), re.I)
         ):
             # EXPLAIN over the engine-dialect SELECT forms (ASOF/QUALIFY):
             # spark.sql cannot parse them, so build the frame through the
@@ -770,6 +774,16 @@ class Engine:
                 and re.search(r"\bGROUPS\s+BETWEEN\b", _strip_str_literals(stmt),
                               re.I)):
             return self._groups_frame_sql(stmt)
+        if re.match(r"^\s*SELECT\s+DISTINCT\s+ON\s*\(", stmt, re.I):
+            return self._distinct_on_sql(stmt)
+        if (stmt.lstrip().upper().startswith("SELECT")
+                and re.search(r"\bEXCLUDE\s+(?:CURRENT\s+ROW|GROUP|TIES)\b",
+                              _strip_str_literals(stmt), re.I)):
+            return self._frame_exclude_sql(stmt)
+        if (stmt.lstrip().upper().startswith("SELECT")
+                and re.search(r"\*\s+(?:EXCLUDE|REPLACE)\s*\(",
+                              _strip_str_literals(stmt), re.I)):
+            return self._star_modifiers_sql(stmt)
         if self.catalog.validated_uccs and stmt.lower().lstrip().startswith("select"):
             # redundant-DISTINCT elimination over validated UCCs — the
             # ucc_discovery_plugin's group-by reduction
@@ -1022,6 +1036,215 @@ class Engine:
             df.createOrReplaceTempView("__hs_qualify")
             df = self.spark.sql(f"SELECT * FROM __hs_qualify {rest}")
         return df
+
+    @staticmethod
+    def _match_paren(s: str, i: int) -> int:
+        """Index of the ')' closing the '(' at s[i] (quote-aware), or -1."""
+        depth, quote, n = 0, None, len(s)
+        while i < n:
+            ch = s[i]
+            if quote:
+                if ch == quote:
+                    quote = None
+            elif ch in ("'", '"'):
+                quote = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    return i
+            i += 1
+        return -1
+
+    def _distinct_on_sql(self, stmt: str) -> DataFrame:
+        """DISTINCT ON (postgres / DuckDB dialect; the reference's DISTINCT
+        surface is plain SELECT DISTINCT, sql_translator.cpp:436): keep ONE
+        row per distinct key combination — the first under ORDER BY.
+
+        Rewrite: ROW_NUMBER() OVER (PARTITION BY <on-keys> ORDER BY <query's
+        ORDER BY, or the keys when absent — postgres documents the pick as
+        unpredictable then>) = 1, i.e. the standard greatest-n-per-group
+        top-1. Spark plans this as WindowGroupLimit (partial below the
+        exchange, final above — two-stage top-k), so only ~1 row per key per
+        input partition crosses the shuffle: the form scales to arbitrarily
+        wide scans. Oracle: DuckDB runs the SAME text natively.
+        Supported shape: SELECT DISTINCT ON (keys) <list> FROM ...
+        [WHERE ...] [ORDER BY ...] [LIMIT n] — no GROUP BY (postgres allows
+        it but the combination is rarely meaningful; raise instead)."""
+        m = re.match(r"^\s*SELECT\s+DISTINCT\s+ON\s*", stmt, re.I)
+        p = stmt.find("(", m.end())
+        q = self._match_paren(stmt, p)
+        if q == -1:
+            raise ValueError("DISTINCT ON: unbalanced key list")
+        keys = stmt[p + 1:q].strip()
+        body = stmt[q + 1:]
+        f = self._find_top_level(body, "FROM")
+        if f == -1:
+            raise ValueError("DISTINCT ON: no top-level FROM")
+        sel = body[:f].strip()
+        rest = body[f:]
+        if self._find_top_level(rest, "GROUP") != -1:
+            raise ValueError("DISTINCT ON with GROUP BY is not supported")
+        order, limit = "", ""
+        k = self._find_top_level(rest, "ORDER")
+        if k != -1:
+            order, rest = rest[k:].strip(), rest[:k].rstrip()
+        k = self._find_top_level(order or rest, "LIMIT")
+        if k != -1:
+            if order:
+                order, limit = order[:k].rstrip(), order[k:].strip()
+            else:
+                limit, rest = rest[k:].strip(), rest[:k].rstrip()
+        win_order = re.sub(r"^ORDER\s+BY\s+", "", order, flags=re.I) or keys
+        out = "* EXCEPT (__don_rn)" if sel == "*" else sel
+        return self.spark.sql(
+            f"SELECT {out} FROM ("
+            f"  SELECT *, ROW_NUMBER() OVER (PARTITION BY {keys}"
+            f"    ORDER BY {win_order}) AS __don_rn {rest}"
+            f") __don WHERE __don_rn = 1 {order} {limit}"
+        )
+
+    def _frame_exclude_sql(self, stmt: str) -> DataFrame:
+        """Window frame EXCLUDE CURRENT ROW (SQL:2011 frame exclusion; the
+        reference declares frames but cannot execute windows,
+        window_expression.hpp:30, lqp_translator.cpp:523-526; DuckDB runs
+        the clause natively — the oracle). Spark has no frame exclusion, and
+        re-aiming the bounds cannot express it for RANGE frames (peers of
+        the current row must STAY in frame; only the row itself leaves), so
+        the rewrite is arithmetic over the un-excluded frame:
+
+          COUNT(*)  ->  COUNT(*) OVER (f) - 1
+          COUNT(x)  ->  COUNT(x) OVER (f) - (x IS NOT NULL)
+          SUM(x)    ->  sum-minus-x, NULL when the excluded frame is empty
+          AVG(x)    ->  sum_ex / cnt_ex
+
+        One shuffle per window spec either way — same cost shape as the
+        native clause. MIN/MAX (not subtraction-invertible) and EXCLUDE
+        GROUP/TIES raise; the frame must contain the current row (true for
+        every bounds pair lower<=CURRENT ROW<=upper, validated below)."""
+        if re.search(r"\bEXCLUDE\s+(GROUP|TIES)\b",
+                     _strip_str_literals(stmt), re.I):
+            raise ValueError(
+                "frame exclusion: only EXCLUDE CURRENT ROW is supported "
+                "(EXCLUDE GROUP / EXCLUDE TIES are not)")
+        out, i = [], 0
+        pat = re.compile(
+            r"(?P<fn>SUM|COUNT|AVG|MIN|MAX)\s*\(\s*(?P<arg>[^()]*?|\*)\s*\)"
+            r"\s+OVER\s*\(", re.I)
+        while True:
+            m = pat.search(stmt, i)
+            if not m:
+                out.append(stmt[i:])
+                break
+            close = self._match_paren(stmt, m.end() - 1)
+            if close == -1:
+                raise ValueError("frame exclusion: unbalanced OVER spec")
+            spec = stmt[m.end():close]
+            em = re.search(r"\s*EXCLUDE\s+CURRENT\s+ROW\s*$", spec, re.I)
+            if not em:
+                out.append(stmt[i:close + 1])
+                i = close + 1
+                continue
+            fn, arg = m["fn"].upper(), m["arg"].strip()
+            if fn in ("MIN", "MAX"):
+                raise ValueError(
+                    f"frame exclusion: {fn} is not subtraction-invertible — "
+                    "supported aggregates are SUM / COUNT / AVG")
+            spec2 = spec[:em.start()].rstrip()
+            bm = re.search(
+                r"\b(?:ROWS|RANGE)\s+BETWEEN\s+(?P<lo>.+?)\s+AND\s+"
+                r"(?P<hi>.+?)\s*$", spec2, re.I)
+            if bm and (re.search(r"\bFOLLOWING\s*$", bm["lo"], re.I)
+                       or re.search(r"\bPRECEDING\s*$", bm["hi"], re.I)):
+                raise ValueError(
+                    "frame exclusion: the frame must contain the current "
+                    "row (lower bound PRECEDING/CURRENT ROW, upper bound "
+                    "FOLLOWING/CURRENT ROW)")
+            if fn == "COUNT" and arg == "*":
+                expr = f"(COUNT(*) OVER ({spec2}) - 1)"
+            elif fn == "COUNT":
+                expr = (f"(COUNT({arg}) OVER ({spec2})"
+                        f" - CASE WHEN ({arg}) IS NULL THEN 0 ELSE 1 END)")
+            else:
+                cnt = (f"(COUNT({arg}) OVER ({spec2})"
+                       f" - CASE WHEN ({arg}) IS NULL THEN 0 ELSE 1 END)")
+                sum_ex = f"(SUM({arg}) OVER ({spec2}) - COALESCE({arg}, 0))"
+                if fn == "SUM":
+                    expr = f"(CASE WHEN {cnt} = 0 THEN NULL ELSE {sum_ex} END)"
+                else:  # AVG
+                    expr = (f"(CASE WHEN {cnt} = 0 THEN NULL"
+                            f" ELSE {sum_ex} / {cnt} END)")
+            out.append(stmt[i:m.start()])
+            out.append(expr)
+            i = close + 1
+        return self.spark.sql("".join(out))
+
+    def _star_modifiers_sql(self, stmt: str) -> DataFrame:
+        """`SELECT * EXCLUDE (cols) [REPLACE (expr AS col, ...)]` (DuckDB
+        star modifiers; the reference projects explicit column lists only,
+        projection.hpp). Rewrite: expand `*` against the FROM clause's
+        analyzed schema (a LIMIT 0 analysis — no execution, no scan), drop
+        EXCLUDE'd names, substitute REPLACE expressions in position, then
+        run the explicit projection. Column pruning then reaches the scan
+        exactly as if the user had typed the list — EXCLUDE'd columns are
+        never read. Oracle: DuckDB runs the SAME text natively."""
+        m = re.match(
+            r"^\s*SELECT\s+(?P<d>DISTINCT\s+)?\*\s+"
+            r"(?:EXCLUDE\s*\((?P<ex>[^)]*)\)\s*)?"
+            r"(?:REPLACE\s*\(\s*(?P<rep>.*?)\s*\)\s+)?FROM\s",
+            stmt, re.I | re.S)
+        if not m or (m["ex"] is None and m["rep"] is None):
+            raise ValueError(
+                "star modifiers: supported shape is SELECT [DISTINCT] * "
+                "EXCLUDE (c1, ...) [REPLACE (expr AS c, ...)] FROM ...")
+        rest = stmt[m.end() - len("FROM "):]
+        # schema of the FROM part only (strip trailing clauses; WHERE etc.
+        # cannot change the column set)
+        src = rest[len("FROM"):]
+        for kw in ("WHERE", "GROUP", "ORDER", "LIMIT"):
+            k = self._find_top_level(src, kw)
+            if k != -1:
+                src = src[:k]
+        cols = self.spark.sql(f"SELECT * FROM {src} LIMIT 0").columns
+        excluded = {c.strip().strip('"').lower()
+                    for c in (m["ex"] or "").split(",") if c.strip()}
+        unknown = excluded - {c.lower() for c in cols}
+        if unknown:
+            raise ValueError(f"EXCLUDE: no such column(s): {sorted(unknown)}")
+        repl = {}
+        for part in self._split_top_level_commas(m["rep"] or ""):
+            rm = re.match(r"^(?P<expr>.+)\s+AS\s+(?P<col>\w+)\s*$",
+                          part.strip(), re.I | re.S)
+            if not rm:
+                raise ValueError(f"REPLACE: expected `expr AS col`: {part!r}")
+            if rm["col"].lower() not in {c.lower() for c in cols}:
+                raise ValueError(f"REPLACE: no such column: {rm['col']}")
+            repl[rm["col"].lower()] = rm["expr"].strip()
+        sel = ", ".join(
+            f"{repl[c.lower()]} AS `{c}`" if c.lower() in repl else f"`{c}`"
+            for c in cols if c.lower() not in excluded)
+        return self.spark.sql(f"SELECT {m['d'] or ''}{sel} {rest}")
+
+    @staticmethod
+    def _split_top_level_commas(s: str) -> list[str]:
+        parts, depth, quote, start = [], 0, None, 0
+        for i, ch in enumerate(s):
+            if quote:
+                if ch == quote:
+                    quote = None
+            elif ch in ("'", '"'):
+                quote = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                parts.append(s[start:i])
+                start = i + 1
+        if s[start:].strip():
+            parts.append(s[start:])
+        return parts
 
     # -- transactions (transaction_manager.hpp analog on the version ring) --
     # The reference's TransactionContext tracks read/write sets against MVCC

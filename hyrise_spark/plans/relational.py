@@ -1029,3 +1029,59 @@ def agg_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent implementations of the clause inference."""
     load_tables(spark, sf_dir, ("lineitem",))
     return spark.sql(_GBA_SQL)
+
+
+# -- round 9: dialect wave 3 (DISTINCT ON, star modifiers) -------------------
+# Engine SQL rewrites (engine.py::_distinct_on_sql / _star_modifiers_sql);
+# DuckDB runs the SAME text natively — independent-implementation
+# differentials of the postgres/DuckDB dialect semantics.
+_DISTINCT_ON_SQL = """
+    SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_orderdate,
+           ROUND(o_totalprice, 2) AS price
+    FROM orders
+    WHERE o_custkey < 500
+    ORDER BY o_custkey, o_orderdate DESC, o_orderkey
+"""
+
+
+@register(
+    "distinct_on_latest",
+    oracle=_DISTINCT_ON_SQL,
+    tags=("distinct", "dialect", "sql"),
+)
+def distinct_on_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT ON (postgres/DuckDB dialect; the reference's DISTINCT is
+    group-by-all-columns only, sql_translator.cpp:436): latest order per
+    customer. The engine rewrites to ROW_NUMBER()=1, which Spark executes
+    as two-stage WindowGroupLimit (partial top-1 per key below the
+    exchange) — ~1 row/key/partition crosses the shuffle at any scale."""
+    from hyrise_spark.engine import Engine
+
+    load_tables(spark, sf_dir, ("orders",))
+    return Engine(spark).execute(_DISTINCT_ON_SQL)
+
+
+_STAR_MOD_SQL = """
+    SELECT * EXCLUDE (o_orderpriority, o_orderstatus)
+             REPLACE (ROUND(o_totalprice, 2) AS o_totalprice)
+    FROM orders
+    WHERE o_orderkey < 2000
+    ORDER BY o_orderkey
+"""
+
+
+@register(
+    "projection_star_modifiers",
+    oracle=_STAR_MOD_SQL,
+    tags=("projection", "dialect", "sql"),
+)
+def projection_star_modifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`* EXCLUDE (...) REPLACE (...)` (DuckDB star modifiers; the reference
+    projects explicit lists only, projection.hpp). The engine expands `*`
+    against the analyzed schema (LIMIT 0 — no scan) into an explicit
+    projection, so column pruning reaches the parquet scan: EXCLUDE'd
+    columns are never read."""
+    from hyrise_spark.engine import Engine
+
+    load_tables(spark, sf_dir, ("orders",))
+    return Engine(spark).execute(_STAR_MOD_SQL)

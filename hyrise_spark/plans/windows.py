@@ -343,3 +343,111 @@ def window_named_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
     the name resolution + shared-frame semantics)."""
     load_tables(spark, sf_dir, ("lineitem",))
     return spark.sql(_NAMED_WINDOW_SQL)
+
+
+# -- round 9: frame EXCLUDE CURRENT ROW (SQL:2011 frame exclusion) -----------
+# Engine rewrite (engine.py::_frame_exclude_sql) — Spark has no frame
+# exclusion, so SUM/COUNT/AVG are computed on the un-excluded frame and the
+# current row is subtracted out (NULL-safe, empty-frame-safe). DuckDB runs
+# the SAME text natively. (l_orderkey, l_linenumber) is NOT unique in the
+# synthetic data, so the window ORDER BY ends with l_extendedprice — rows
+# that still tie are value-identical, making the ROWS-frame result
+# MULTISET deterministic on both engines (same trick as any ROWS frame
+# over non-unique keys).
+# The aggregated column is an exact integer-cents lattice
+# (CAST(ROUND(px*100) AS BIGINT)): SUM/COUNT/AVG over small exact integers
+# are IEEE-identical however an engine associates the additions, so the
+# subtraction rewrite and DuckDB's native exclusion agree to the last bit
+# (double-SUM association order differs between the two execution
+# strategies and flips ROUND(x, 2) at half-cent boundaries otherwise).
+_FRAME_EXCLUDE_SQL = """
+    SELECT l_orderkey, l_linenumber,
+           CAST(SUM(cents) OVER (PARTITION BY l_returnflag
+                 ORDER BY l_quantity, l_orderkey, l_linenumber, cents
+                 ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
+                 EXCLUDE CURRENT ROW) AS BIGINT) AS peer_sum_cents,
+           CAST(COUNT(*) OVER (PARTITION BY l_returnflag
+                 ORDER BY l_quantity, l_orderkey, l_linenumber, cents
+                 ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
+                 EXCLUDE CURRENT ROW) AS BIGINT) AS peer_cnt,
+           ROUND(AVG(cents) OVER (PARTITION BY l_returnflag
+                 ORDER BY l_quantity, l_orderkey, l_linenumber, cents
+                 ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
+                 EXCLUDE CURRENT ROW) / 100.0, 4) AS peer_avg
+    FROM (SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+                 CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+          FROM lineitem WHERE l_orderkey < 400) t
+    ORDER BY l_orderkey, l_linenumber
+"""
+
+
+@register(
+    "window_frame_exclude",
+    oracle=_FRAME_EXCLUDE_SQL,
+    tags=("window", "frame", "sql"),
+)
+def window_frame_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame EXCLUDE CURRENT ROW (SQL:2011; the reference declares frames
+    but cannot execute windows, window_expression.hpp:30): peer-group
+    statistics that leave the row itself out — the leave-one-out shape used
+    by anomaly scoring. Same text runs natively on DuckDB (the oracle)."""
+    from hyrise_spark.engine import Engine
+
+    load_tables(spark, sf_dir, ("lineitem",))
+    return Engine(spark).execute(_FRAME_EXCLUDE_SQL)
+
+
+# -- round 9: IGNORE NULLS value functions (SQL:2008 null treatment) ---------
+# Native in BOTH engines, different spellings: Spark takes the standard
+# postfix `fn(x) IGNORE NULLS OVER ...`, DuckDB the in-parens
+# `fn(x IGNORE NULLS)`. Semantics under test are identical: gap-fill /
+# last-observation-carried-forward over a sparse column.
+_IGNORE_NULLS_SPARK = """
+    SELECT l_orderkey, l_linenumber,
+           LAST_VALUE(CASE WHEN l_quantity > 40 THEN NULL
+                           ELSE ROUND(l_extendedprice, 2) END) IGNORE NULLS
+               OVER (PARTITION BY l_returnflag
+                     ORDER BY l_orderkey, l_linenumber,
+                              l_quantity, l_extendedprice) AS locf_price,
+           LAG(CASE WHEN l_quantity > 40 THEN NULL
+                    ELSE ROUND(l_extendedprice, 2) END, 1) IGNORE NULLS
+               OVER (PARTITION BY l_returnflag
+                     ORDER BY l_orderkey, l_linenumber,
+                              l_quantity, l_extendedprice) AS prev_observed
+    FROM lineitem
+    WHERE l_orderkey < 400
+    ORDER BY l_orderkey, l_linenumber
+"""
+
+_IGNORE_NULLS_ORACLE = """
+    SELECT l_orderkey, l_linenumber,
+           LAST_VALUE(CASE WHEN l_quantity > 40 THEN NULL
+                           ELSE ROUND(l_extendedprice, 2) END IGNORE NULLS)
+               OVER (PARTITION BY l_returnflag
+                     ORDER BY l_orderkey, l_linenumber,
+                              l_quantity, l_extendedprice) AS locf_price,
+           LAG(CASE WHEN l_quantity > 40 THEN NULL
+                    ELSE ROUND(l_extendedprice, 2) END, 1 IGNORE NULLS)
+               OVER (PARTITION BY l_returnflag
+                     ORDER BY l_orderkey, l_linenumber,
+                              l_quantity, l_extendedprice) AS prev_observed
+    FROM lineitem
+    WHERE l_orderkey < 400
+    ORDER BY l_orderkey, l_linenumber
+"""
+
+
+@register(
+    "window_ignore_nulls",
+    oracle=_IGNORE_NULLS_ORACLE,
+    tags=("window", "sql"),
+)
+def window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS null treatment (SQL:2008 T619; beyond the reference's
+    declared-only window surface): LAST_VALUE gives
+    last-observation-carried-forward, LAG the previous non-null — the two
+    standard gap-fill primitives. One window shuffle total (both functions
+    share the spec); null treatment is evaluated inside the frame walk, no
+    extra pass."""
+    load_tables(spark, sf_dir, ("lineitem",))
+    return spark.sql(_IGNORE_NULLS_SPARK)

@@ -1251,3 +1251,112 @@ def test_explain_analyze_reports_final_adaptive_plan(engine):
     ).collect()[0]["plan"]
     assert "Window" in plan
     engine.execute("DROP TABLE ea_t")
+
+
+# -- round 9: dialect wave 3 — DISTINCT ON, star modifiers, frame EXCLUDE ----
+
+
+def test_distinct_on_shapes(engine, spark):
+    """DISTINCT ON (postgres dialect): top-1 per key under ORDER BY,
+    trailing LIMIT, bare-star output drops the helper column (registry
+    differential: distinct_on_latest runs the same text on DuckDB)."""
+    spark.sql(
+        "SELECT CAST(id % 3 AS INT) AS g, CAST(id AS INT) AS v FROM RANGE(9)"
+    ).createOrReplaceTempView("don1")
+    rows = {
+        (r["g"], r["v"])
+        for r in engine.execute(
+            "SELECT DISTINCT ON (g) g, v FROM don1 ORDER BY g, v DESC"
+        ).collect()
+    }
+    assert rows == {(0, 6), (1, 7), (2, 8)}
+    # SELECT * keeps every base column and drops the row-number helper
+    out = engine.execute(
+        "SELECT DISTINCT ON (g) * FROM don1 ORDER BY g, v"
+    )
+    assert out.columns == ["g", "v"]
+    assert {(r["g"], r["v"]) for r in out.collect()} == {(0, 0), (1, 1), (2, 2)}
+    # LIMIT applies after the dedup
+    assert (
+        engine.execute(
+            "SELECT DISTINCT ON (g) g, v FROM don1 ORDER BY g, v LIMIT 2"
+        ).count()
+        == 2
+    )
+    with pytest.raises(Exception, match="GROUP BY"):
+        engine.execute(
+            "SELECT DISTINCT ON (g) g, COUNT(*) AS n FROM don1 GROUP BY g"
+        )
+
+
+def test_star_modifiers_shapes(engine, spark):
+    """`* EXCLUDE/REPLACE` (DuckDB star modifiers): expansion against the
+    analyzed schema, unknown columns error, DISTINCT preserved."""
+    spark.sql(
+        "SELECT CAST(id AS INT) AS a, CAST(id % 2 AS INT) AS b,"
+        " CAST(id * 10 AS INT) AS c FROM RANGE(4)"
+    ).createOrReplaceTempView("sm1")
+    out = engine.execute("SELECT * EXCLUDE (c) FROM sm1 ORDER BY a")
+    assert out.columns == ["a", "b"]
+    out = engine.execute(
+        "SELECT * EXCLUDE (a) REPLACE (b * 100 AS b) FROM sm1 WHERE a < 2"
+    )
+    assert out.columns == ["b", "c"]
+    assert {r["b"] for r in out.collect()} == {0, 100}
+    out = engine.execute("SELECT DISTINCT * EXCLUDE (a, c) FROM sm1")
+    assert sorted(r["b"] for r in out.collect()) == [0, 1]
+    with pytest.raises(Exception, match="no such column"):
+        engine.execute("SELECT * EXCLUDE (zz) FROM sm1")
+    with pytest.raises(Exception, match="no such column"):
+        engine.execute("SELECT * REPLACE (a + 1 AS zz) FROM sm1")
+
+
+def test_frame_exclude_current_row(engine, spark, duck):
+    """Frame EXCLUDE CURRENT ROW: the subtraction rewrite matches DuckDB's
+    native exclusion on an integer lattice, NULL argument rows subtract
+    nothing, a frame left empty by the exclusion yields NULL (SUM) / 0
+    (COUNT), and unsupported shapes error clearly."""
+    # NULLS FIRST is explicit inside OVER: Spark defaults ASC to nulls-
+    # first, DuckDB to nulls-last, and the window order decides the frame
+    q = (
+        "SELECT v, CAST(SUM(v) OVER (ORDER BY v NULLS FIRST ROWS BETWEEN"
+        " 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS BIGINT) AS s,"
+        " CAST(COUNT(v) OVER (ORDER BY v NULLS FIRST ROWS BETWEEN"
+        " 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS BIGINT) AS c"
+        " FROM fx1 ORDER BY v NULLS FIRST"
+    )
+    spark.sql(
+        "SELECT CAST(id AS INT) AS v FROM RANGE(4)"
+        " UNION ALL SELECT CAST(NULL AS INT)"
+    ).createOrReplaceTempView("fx1")
+    duck.execute(
+        "CREATE OR REPLACE VIEW fx1 AS SELECT CAST(range AS INT) AS v"
+        " FROM RANGE(4) UNION ALL SELECT NULL"
+    )
+    got = [(r["v"], r["s"], r["c"]) for r in engine.execute(q).collect()]
+    want = [tuple(r) for r in duck.execute(q).fetchall()]
+    assert got == want
+    # single-row frame: EXCLUDE empties it -> SUM NULL, COUNT 0
+    spark.sql("SELECT 42 AS v").createOrReplaceTempView("fx2")
+    r = engine.execute(
+        "SELECT CAST(SUM(v) OVER (ORDER BY v ROWS BETWEEN CURRENT ROW AND"
+        " CURRENT ROW EXCLUDE CURRENT ROW) AS BIGINT) AS s,"
+        " CAST(COUNT(*) OVER (ORDER BY v ROWS BETWEEN CURRENT ROW AND"
+        " CURRENT ROW EXCLUDE CURRENT ROW) AS BIGINT) AS c FROM fx2"
+    ).collect()[0]
+    assert r["s"] is None and r["c"] == 0
+    with pytest.raises(Exception, match="not subtraction-invertible"):
+        engine.execute(
+            "SELECT MAX(v) OVER (ORDER BY v ROWS BETWEEN 1 PRECEDING AND"
+            " 1 FOLLOWING EXCLUDE CURRENT ROW) AS m FROM fx1"
+        )
+    with pytest.raises(Exception, match="EXCLUDE GROUP"):
+        engine.execute(
+            "SELECT SUM(v) OVER (ORDER BY v ROWS BETWEEN 1 PRECEDING AND"
+            " 1 FOLLOWING EXCLUDE GROUP) AS m FROM fx1"
+        )
+    with pytest.raises(Exception, match="must contain the current row"):
+        engine.execute(
+            "SELECT SUM(v) OVER (ORDER BY v ROWS BETWEEN 3 PRECEDING AND"
+            " 1 PRECEDING EXCLUDE CURRENT ROW) AS m FROM fx1"
+        )
