@@ -1106,28 +1106,29 @@ class Engine:
         )
 
     def _frame_exclude_sql(self, stmt: str) -> DataFrame:
-        """Window frame EXCLUDE CURRENT ROW (SQL:2011 frame exclusion; the
-        reference declares frames but cannot execute windows,
+        """Window frame exclusion (SQL:2011 EXCLUDE CURRENT ROW / GROUP /
+        TIES; the reference declares frames but cannot execute windows,
         window_expression.hpp:30, lqp_translator.cpp:523-526; DuckDB runs
-        the clause natively — the oracle). Spark has no frame exclusion, and
-        re-aiming the bounds cannot express it for RANGE frames (peers of
-        the current row must STAY in frame; only the row itself leaves), so
-        the rewrite is arithmetic over the un-excluded frame:
+        the clause natively — the oracle). Spark has no frame exclusion,
+        and re-aiming the bounds cannot express it (peers of the current
+        row must stay/leave independently of the bounds), so the rewrite
+        is arithmetic over the un-excluded frame:
 
-          COUNT(*)  ->  COUNT(*) OVER (f) - 1
-          COUNT(x)  ->  COUNT(x) OVER (f) - (x IS NOT NULL)
-          SUM(x)    ->  sum-minus-x, NULL when the excluded frame is empty
-          AVG(x)    ->  sum_ex / cnt_ex
+          EXCLUDE CURRENT ROW : full - current row's contribution
+          EXCLUDE GROUP       : full - peer-group total, where the peer
+                                total is the SAME aggregate over
+                                `RANGE BETWEEN CURRENT ROW AND CURRENT ROW`
+                                (exactly the peer group)
+          EXCLUDE TIES        : full - peer-group total + current row
 
-        One shuffle per window spec either way — same cost shape as the
-        native clause. MIN/MAX (not subtraction-invertible) and EXCLUDE
-        GROUP/TIES raise; the frame must contain the current row (true for
-        every bounds pair lower<=CURRENT ROW<=upper, validated below)."""
-        if re.search(r"\bEXCLUDE\s+(GROUP|TIES)\b",
-                     _strip_str_literals(stmt), re.I):
-            raise ValueError(
-                "frame exclusion: only EXCLUDE CURRENT ROW is supported "
-                "(EXCLUDE GROUP / EXCLUDE TIES are not)")
+        GROUP/TIES are valid only for RANGE-mode frames (incl. the default
+        frame): a RANGE frame that contains the current row contains ALL
+        its peers (their order-distance is 0), so subtracting the whole
+        peer total is exact; in a ROWS frame peers can be partially in
+        frame and the rewrite would over-subtract — rejected. SUM/COUNT/
+        AVG only (MIN/MAX are not subtraction-invertible); SUM/AVG yield
+        NULL when the excluded frame is empty. One extra window expression
+        over the SAME partition/order for GROUP/TIES — no extra shuffle."""
         out, i = [], 0
         pat = re.compile(
             r"(?P<fn>SUM|COUNT|AVG|MIN|MAX)\s*\(\s*(?P<arg>[^()]*?|\*)\s*\)"
@@ -1141,19 +1142,22 @@ class Engine:
             if close == -1:
                 raise ValueError("frame exclusion: unbalanced OVER spec")
             spec = stmt[m.end():close]
-            em = re.search(r"\s*EXCLUDE\s+CURRENT\s+ROW\s*$", spec, re.I)
+            em = re.search(
+                r"\s*EXCLUDE\s+(?P<mode>CURRENT\s+ROW|GROUP|TIES)\s*$",
+                spec, re.I)
             if not em:
                 out.append(stmt[i:close + 1])
                 i = close + 1
                 continue
             fn, arg = m["fn"].upper(), m["arg"].strip()
+            mode = re.sub(r"\s+", " ", em["mode"].upper())
             if fn in ("MIN", "MAX"):
                 raise ValueError(
                     f"frame exclusion: {fn} is not subtraction-invertible — "
                     "supported aggregates are SUM / COUNT / AVG")
             spec2 = spec[:em.start()].rstrip()
             bm = re.search(
-                r"\b(?:ROWS|RANGE)\s+BETWEEN\s+(?P<lo>.+?)\s+AND\s+"
+                r"\b(?P<mode>ROWS|RANGE)\s+BETWEEN\s+(?P<lo>.+?)\s+AND\s+"
                 r"(?P<hi>.+?)\s*$", spec2, re.I)
             if bm and (re.search(r"\bFOLLOWING\s*$", bm["lo"], re.I)
                        or re.search(r"\bPRECEDING\s*$", bm["hi"], re.I)):
@@ -1161,20 +1165,57 @@ class Engine:
                     "frame exclusion: the frame must contain the current "
                     "row (lower bound PRECEDING/CURRENT ROW, upper bound "
                     "FOLLOWING/CURRENT ROW)")
-            if fn == "COUNT" and arg == "*":
-                expr = f"(COUNT(*) OVER ({spec2}) - 1)"
-            elif fn == "COUNT":
-                expr = (f"(COUNT({arg}) OVER ({spec2})"
-                        f" - CASE WHEN ({arg}) IS NULL THEN 0 ELSE 1 END)")
-            else:
-                cnt = (f"(COUNT({arg}) OVER ({spec2})"
-                       f" - CASE WHEN ({arg}) IS NULL THEN 0 ELSE 1 END)")
-                sum_ex = f"(SUM({arg}) OVER ({spec2}) - COALESCE({arg}, 0))"
-                if fn == "SUM":
-                    expr = f"(CASE WHEN {cnt} = 0 THEN NULL ELSE {sum_ex} END)"
-                else:  # AVG
-                    expr = (f"(CASE WHEN {cnt} = 0 THEN NULL"
-                            f" ELSE {sum_ex} / {cnt} END)")
+            if mode == "CURRENT ROW":
+                if fn == "COUNT" and arg == "*":
+                    expr = f"(COUNT(*) OVER ({spec2}) - 1)"
+                elif fn == "COUNT":
+                    expr = (f"(COUNT({arg}) OVER ({spec2})"
+                            f" - CASE WHEN ({arg}) IS NULL THEN 0 ELSE 1 END)")
+                else:
+                    cnt = (f"(COUNT({arg}) OVER ({spec2})"
+                           f" - CASE WHEN ({arg}) IS NULL THEN 0 ELSE 1 END)")
+                    sum_ex = (f"(SUM({arg}) OVER ({spec2})"
+                              f" - COALESCE({arg}, 0))")
+                    if fn == "SUM":
+                        expr = (f"(CASE WHEN {cnt} = 0 THEN NULL"
+                                f" ELSE {sum_ex} END)")
+                    else:  # AVG
+                        expr = (f"(CASE WHEN {cnt} = 0 THEN NULL"
+                                f" ELSE {sum_ex} / {cnt} END)")
+            else:  # GROUP / TIES — RANGE frames only (see docstring)
+                if bm and bm["mode"].upper() == "ROWS":
+                    raise ValueError(
+                        f"frame exclusion: EXCLUDE {mode} requires a "
+                        "RANGE-mode frame (in a ROWS frame the peer group "
+                        "can be partially in frame; the peer-total rewrite "
+                        "would over-subtract)")
+                peer = re.sub(
+                    r"\b(?:ROWS|RANGE)\s+BETWEEN\b.*$", "", spec2,
+                    flags=re.I | re.S,
+                ).rstrip() + " RANGE BETWEEN CURRENT ROW AND CURRENT ROW"
+                keep_self = mode == "TIES"
+                if fn == "COUNT" and arg == "*":
+                    expr = (f"(COUNT(*) OVER ({spec2})"
+                            f" - COUNT(*) OVER ({peer})"
+                            + (" + 1)" if keep_self else ")"))
+                else:
+                    this_cnt = f"CASE WHEN ({arg}) IS NULL THEN 0 ELSE 1 END"
+                    cnt = (f"(COUNT({arg}) OVER ({spec2})"
+                           f" - COUNT({arg}) OVER ({peer})"
+                           + (f" + {this_cnt})" if keep_self else ")"))
+                    if fn == "COUNT":
+                        expr = cnt
+                    else:
+                        sum_ex = (f"(SUM({arg}) OVER ({spec2})"
+                                  f" - COALESCE(SUM({arg}) OVER ({peer}), 0)"
+                                  + (f" + COALESCE({arg}, 0))"
+                                     if keep_self else ")"))
+                        if fn == "SUM":
+                            expr = (f"(CASE WHEN {cnt} = 0 THEN NULL"
+                                    f" ELSE {sum_ex} END)")
+                        else:  # AVG
+                            expr = (f"(CASE WHEN {cnt} = 0 THEN NULL"
+                                    f" ELSE {sum_ex} / {cnt} END)")
             out.append(stmt[i:m.start()])
             out.append(expr)
             i = close + 1

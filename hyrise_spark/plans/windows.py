@@ -451,3 +451,53 @@ def window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     extra pass."""
     load_tables(spark, sf_dir, ("lineitem",))
     return spark.sql(_IGNORE_NULLS_SPARK)
+
+
+# -- round 9: EXCLUDE GROUP / EXCLUDE TIES (rest of SQL:2011 exclusion) ------
+# RANGE-mode frames only: a RANGE frame containing the current row contains
+# ALL its peers (order-distance 0), so the rewrite subtracts the exact peer
+# total — one extra window expression over the SAME partition/order
+# (RANGE BETWEEN CURRENT ROW AND CURRENT ROW = the peer group), no extra
+# shuffle. ORDER BY l_quantity is deliberately non-unique: real peer groups
+# are the point. Integer-cents lattice for bit-exact engine agreement.
+_FRAME_EXCLUDE_GROUP_SQL = """
+    SELECT l_orderkey, l_linenumber,
+           CAST(SUM(cents) OVER (PARTITION BY l_returnflag
+                ORDER BY l_quantity
+                RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                EXCLUDE GROUP) AS BIGINT) AS below_sum,
+           CAST(COUNT(*) OVER (PARTITION BY l_returnflag
+                ORDER BY l_quantity
+                RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                EXCLUDE GROUP) AS BIGINT) AS below_cnt,
+           CAST(SUM(cents) OVER (PARTITION BY l_returnflag
+                ORDER BY l_quantity
+                RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                EXCLUDE TIES) AS BIGINT) AS below_plus_self,
+           ROUND(AVG(cents) OVER (PARTITION BY l_returnflag
+                ORDER BY l_quantity
+                RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+                EXCLUDE GROUP) / 100.0, 4) AS others_avg
+    FROM (SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+                 CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+          FROM lineitem WHERE l_orderkey < 400) t
+    ORDER BY l_orderkey, l_linenumber
+"""
+
+
+@register(
+    "window_frame_exclude_group",
+    oracle=_FRAME_EXCLUDE_GROUP_SQL,
+    tags=("window", "frame", "sql"),
+)
+def window_frame_exclude_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCLUDE GROUP / EXCLUDE TIES (SQL:2011 frame exclusion, completing
+    the vocabulary beyond EXCLUDE CURRENT ROW): running totals of the
+    strictly-lower peer groups (GROUP) and the same keeping the row itself
+    (TIES), plus leave-my-peers-out partition average. Same text runs
+    natively on DuckDB (the oracle); NULL/0 on the first peer group where
+    the excluded frame is empty."""
+    from hyrise_spark.engine import Engine
+
+    load_tables(spark, sf_dir, ("lineitem",))
+    return Engine(spark).execute(_FRAME_EXCLUDE_GROUP_SQL)

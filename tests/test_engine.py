@@ -1360,3 +1360,34 @@ def test_frame_exclude_current_row(engine, spark, duck):
             "SELECT SUM(v) OVER (ORDER BY v ROWS BETWEEN 3 PRECEDING AND"
             " 1 PRECEDING EXCLUDE CURRENT ROW) AS m FROM fx1"
         )
+
+
+def test_frame_exclude_group_and_ties(engine, spark, duck):
+    """EXCLUDE GROUP/TIES: peer-total rewrite matches DuckDB on tied data,
+    ROWS-mode frames are rejected (peer group can be partially in frame)."""
+    q = (
+        "SELECT g, v, CAST(SUM(v) OVER (ORDER BY g RANGE BETWEEN"
+        " UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE GROUP) AS BIGINT) AS sg,"
+        " CAST(SUM(v) OVER (ORDER BY g RANGE BETWEEN UNBOUNDED PRECEDING"
+        " AND CURRENT ROW EXCLUDE TIES) AS BIGINT) AS st,"
+        " CAST(COUNT(*) OVER (ORDER BY g RANGE BETWEEN UNBOUNDED PRECEDING"
+        " AND CURRENT ROW EXCLUDE GROUP) AS BIGINT) AS cg"
+        " FROM fxg ORDER BY g, v"
+    )
+    spark.sql(
+        "SELECT CAST(id % 3 AS INT) AS g, CAST(id AS INT) AS v FROM RANGE(9)"
+    ).createOrReplaceTempView("fxg")
+    duck.execute(
+        "CREATE OR REPLACE VIEW fxg AS SELECT CAST(range % 3 AS INT) AS g,"
+        " CAST(range AS INT) AS v FROM RANGE(9)"
+    )
+    got = [tuple(r) for r in engine.execute(q).collect()]
+    want = [tuple(r) for r in duck.execute(q).fetchall()]
+    assert got == want
+    # first peer group: GROUP-excluded frame is empty -> SUM NULL, COUNT 0
+    assert got[0][2] is None and got[0][4] == 0
+    with pytest.raises(Exception, match="RANGE-mode frame"):
+        engine.execute(
+            "SELECT SUM(v) OVER (ORDER BY g ROWS BETWEEN 1 PRECEDING AND"
+            " 1 FOLLOWING EXCLUDE GROUP) AS s FROM fxg"
+        )
