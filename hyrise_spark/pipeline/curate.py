@@ -1013,3 +1013,140 @@ def curate_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# ccnet perplexity buckets (Wenzek et al. 2020, "CCNet: Extracting High
+# Quality Monolingual Datasets from Web Crawl Data") — the canonical
+# LM-perplexity corpus triage: per language, split documents into
+# head / middle / tail at the perplexity tertiles (ccnet computes the
+# cutoffs on a reference corpus; the per-language tertile is the
+# self-referential analog). Perplexity proxy = the engine's bigram
+# cross-entropy on the bit-length lattice (text.py::text_bigram_perplexity),
+# reduced to exact integer milli-bits/transition so both engines agree
+# bit-for-bit; cutoffs are rank-defined percentile_disc over a value
+# HISTOGRAM (the aggregate_percentile_disc pattern), never a data-sized
+# window.
+#
+# Scale: the bigram/marginal count frames are distinct-bigram/vocabulary-
+# sized (sublinear in corpus); the histogram is (lang x distinct millibit)
+# rows — thousands; the cutoff frame is one row per (lang, tertile) — AQE
+# broadcasts it back onto the docs. No per-language data-sized window (a
+# giant-language NTILE would put all of English into one partition at
+# 100 TB — exactly the skew trap this shape avoids).
+_CCNET_TERTILES = (1, 2)
+
+
+@register(
+    "curate_ccnet_buckets",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\\s+') AS w
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, lang, w[i] AS w1, w[i + 1] AS w2
+      FROM toks, LATERAL (SELECT UNNEST(generate_series(1, len(w) - 1)) AS i)
+    ),
+    bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY w1, w2),
+    pc AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS cp FROM bc GROUP BY w1),
+    doc AS (
+      SELECT b.doc_id, b.lang,
+             CAST((1000 * SUM((length(printf('%b', pc.cp)) - 1)
+                              - (length(printf('%b', bc.c)) - 1)))
+                  // COUNT(*) AS BIGINT) AS millibits
+      FROM bg b
+      JOIN bc ON bc.w1 = b.w1 AND bc.w2 = b.w2
+      JOIN pc ON pc.w1 = b.w1
+      GROUP BY b.doc_id, b.lang
+    ),
+    hist AS (
+      SELECT lang, millibits, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM doc GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT lang, millibits, cnt,
+             SUM(cnt) OVER (PARTITION BY lang ORDER BY millibits
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             SUM(cnt) OVER (PARTITION BY lang) AS n
+      FROM hist
+    ),
+    cuts AS (
+      SELECT lang,
+             MIN(CASE WHEN cum * 3 >= 1 * n THEN millibits END) AS c1,
+             MIN(CASE WHEN cum * 3 >= 2 * n THEN millibits END) AS c2
+      FROM cum GROUP BY lang
+    )
+    SELECT d.doc_id, d.lang, d.millibits,
+           CASE WHEN d.millibits <= cuts.c1 THEN 'head'
+                WHEN d.millibits <= cuts.c2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM doc d JOIN cuts ON cuts.lang = d.lang
+    ORDER BY d.doc_id
+    """,
+    tags=("curate", "perplexity", "ccnet"),
+)
+def curate_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """head/middle/tail perplexity triage per language (ccnet, Wenzek et
+    al. 2020). Docs with no bigram transitions drop out (no perplexity —
+    same contract as text_bigram_perplexity)."""
+    from pyspark.sql import Window
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = docs.select(
+        "doc_id", "lang",
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("w"),
+    )
+    idx = F.when(
+        F.size("w") >= 2, F.sequence(F.lit(0), F.size(F.col("w")) - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    bg = toks.select("doc_id", "lang", F.explode(idx).alias("i"), "w").select(
+        "doc_id", "lang",
+        F.element_at("w", F.col("i") + 1).alias("w1"),
+        F.element_at("w", F.col("i") + 2).alias("w2"),
+    )
+    bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    pc = bc.groupBy("w1").agg(F.sum("c").alias("cp"))
+    bits = (F.length(F.expr("bin(cp)")) - 1) - (F.length(F.expr("bin(c)")) - 1)
+    doc = (
+        bg.join(bc, ["w1", "w2"])
+        .join(pc, "w1")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.expr(
+                "CAST((1000 * SUM((length(bin(cp)) - 1)"
+                " - (length(bin(c)) - 1))) DIV COUNT(*) AS BIGINT)"
+            ).alias("millibits")
+        )
+    )
+    hist = doc.groupBy("lang", "millibits").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = (
+        Window.partitionBy("lang")
+        .orderBy("millibits")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        "lang", "millibits",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("lang")).alias("n"),
+    )
+    cuts = cum.groupBy("lang").agg(
+        F.min(
+            F.when(F.col("cum") * 3 >= F.col("n"), F.col("millibits"))
+        ).alias("c1"),
+        F.min(
+            F.when(F.col("cum") * 3 >= 2 * F.col("n"), F.col("millibits"))
+        ).alias("c2"),
+    )
+    return (
+        doc.join(cuts, "lang")
+        .select(
+            "doc_id", "lang", "millibits",
+            F.when(F.col("millibits") <= F.col("c1"), "head")
+            .when(F.col("millibits") <= F.col("c2"), "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+        .orderBy("doc_id")
+    )
