@@ -312,3 +312,100 @@ def setop_query(draw) -> str:
 @given(q=setop_query())
 def test_fuzz_set_operations(spark, duck, q):
     _run_both(spark, duck, q)
+
+
+# -- round 9 dialect-rewrite space: frame exclusion + DISTINCT ON ------------
+# These forms route through Engine.execute (DuckDB parses them natively;
+# spark.sql cannot) — fuzzing the REWRITES, not Spark's executor.
+_ENGINE = None
+
+
+def _run_both_engine(spark, duck, sql: str):
+    global _ENGINE
+    if _ENGINE is None or _ENGINE.spark is not spark:
+        from hyrise_spark.engine import Engine
+
+        _ENGINE = Engine(spark)
+    sdf = _ENGINE.execute(sql)
+    scols = [c.lower() for c in sdf.columns]
+    srows = [tuple(r) for r in sdf.collect()]
+    res = duck.execute(sql)
+    ocols = [d[0].lower() for d in res.description]
+    orows = res.fetchall()
+    assert len(srows) == len(orows), f"rowcount {len(srows)} vs {len(orows)}\n{sql}"
+    assert canon(scols, srows) == canon(ocols, orows), sql
+
+
+# the aggregated argument mixes in NULLs so COUNT/SUM null-handling is hit
+_FX_ARG = "CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END"
+
+
+@st.composite
+def frame_exclude_query(draw) -> str:
+    fn = draw(st.sampled_from(["SUM", "COUNT", "AVG"]))
+    arg = draw(st.sampled_from([_FX_ARG, "*"])) if fn == "COUNT" else _FX_ARG
+    part = draw(st.sampled_from(["", "PARTITION BY o_orderstatus "]))
+    mode = draw(st.sampled_from(["ROWS", "RANGE"]))
+    if mode == "ROWS":
+        # unique ORDER BY key: ROWS frames over ties are nondeterministic
+        order, excl = "o_orderkey", "CURRENT ROW"
+        lo = draw(st.sampled_from(
+            [f"{draw(st.integers(0, 4))} PRECEDING", "UNBOUNDED PRECEDING",
+             "CURRENT ROW"]))
+        hi = draw(st.sampled_from(
+            [f"{draw(st.integers(0, 4))} FOLLOWING", "UNBOUNDED FOLLOWING",
+             "CURRENT ROW"]))
+    else:
+        # non-unique ORDER BY key: peer groups are real; value-based frames
+        # are deterministic regardless of tie order
+        order = f"o_custkey % {draw(st.integers(5, 60))}"
+        excl = draw(st.sampled_from(["CURRENT ROW", "GROUP", "TIES"]))
+        lo = draw(st.sampled_from(
+            [f"{draw(st.integers(0, 9))} PRECEDING", "UNBOUNDED PRECEDING",
+             "CURRENT ROW"]))
+        hi = draw(st.sampled_from(
+            [f"{draw(st.integers(0, 9))} FOLLOWING", "UNBOUNDED FOLLOWING",
+             "CURRENT ROW"]))
+    expr = (f"{fn}({arg}) OVER ({part}ORDER BY {order}"
+            f" {mode} BETWEEN {lo} AND {hi} EXCLUDE {excl})")
+    if fn == "AVG":
+        expr = f"ROUND({expr}, 4)"
+    elif fn == "SUM" or arg != "*":
+        expr = f"CAST({expr} AS BIGINT)"
+    w = draw(where_clause())
+    return (
+        f"SELECT o_orderkey, {expr} AS x FROM orders WHERE {w}"
+    )
+
+
+@_SETTINGS
+@given(q=frame_exclude_query())
+def test_fuzz_frame_exclusion(spark, duck, q):
+    _run_both_engine(spark, duck, q)
+
+
+@st.composite
+def distinct_on_query(draw) -> str:
+    keys = draw(
+        st.lists(
+            st.sampled_from(
+                ["o_orderstatus", "o_orderpriority", "o_custkey % 10"]
+            ),
+            min_size=1, max_size=2, unique=True,
+        )
+    )
+    dirn = draw(st.sampled_from(["ASC", "DESC"]))
+    w = draw(where_clause())
+    ks = ", ".join(keys)
+    return (
+        f"SELECT DISTINCT ON ({ks}) {ks}, o_orderkey,"
+        f" ROUND(o_totalprice, 2) AS price"
+        f" FROM orders WHERE {w}"
+        f" ORDER BY {ks}, o_totalprice {dirn}, o_orderkey"
+    )
+
+
+@_SETTINGS
+@given(q=distinct_on_query())
+def test_fuzz_distinct_on(spark, duck, q):
+    _run_both_engine(spark, duck, q)
