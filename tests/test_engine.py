@@ -1391,3 +1391,24 @@ def test_frame_exclude_group_and_ties(engine, spark, duck):
             "SELECT SUM(v) OVER (ORDER BY g ROWS BETWEEN 1 PRECEDING AND"
             " 1 FOLLOWING EXCLUDE GROUP) AS s FROM fxg"
         )
+
+
+def test_explain_round9_dialect_selects(engine, spark):
+    """EXPLAIN over DISTINCT ON / star modifiers / frame exclusion routes
+    through the engine like ASOF/QUALIFY and shows the real Spark plan —
+    DISTINCT ON's rewrite must plan the two-stage WindowGroupLimit."""
+    spark.sql(
+        "SELECT CAST(id % 3 AS INT) AS g, CAST(id AS INT) AS v FROM RANGE(30)"
+    ).createOrReplaceTempView("ex9")
+    out = engine.execute(
+        "EXPLAIN FORMATTED SELECT DISTINCT ON (g) g, v FROM ex9 ORDER BY g, v"
+    )
+    plan = out.collect()[0]["plan"]
+    assert out.columns == ["plan"] and "WindowGroupLimit" in plan
+    out = engine.execute("EXPLAIN SELECT * EXCLUDE (v) FROM ex9")
+    assert "Physical Plan" in out.collect()[0]["plan"]
+    out = engine.execute(
+        "EXPLAIN SELECT SUM(v) OVER (ORDER BY g RANGE BETWEEN UNBOUNDED"
+        " PRECEDING AND CURRENT ROW EXCLUDE GROUP) AS s FROM ex9"
+    )
+    assert "Window" in out.collect()[0]["plan"]

@@ -1049,3 +1049,33 @@ def test_psql_repeated_statement_hits_plan_cache(server):
         assert out.stdout.strip() == "6"  # epoch moved: no stale serve
     finally:
         _psql(server, "DROP TABLE pg_pc")
+
+
+def test_psql_round9_dialect_surfaces(server):
+    """The round-9 SQL surfaces drive end-to-end from a real psql client:
+    DISTINCT ON, star EXCLUDE/REPLACE, frame EXCLUDE CURRENT ROW."""
+    _psql(server, "DROP TABLE IF EXISTS pg_r9")
+    out = _psql(server, "CREATE TABLE pg_r9 (id INT, g INT, v INT)")
+    assert out.returncode == 0, out.stderr
+    try:
+        out = _psql(
+            server,
+            "SELECT DISTINCT ON (g) g, id, v FROM pg_r9 ORDER BY g, v DESC, id",
+            "-c", "INSERT INTO pg_r9 VALUES (1, 0, 10), (2, 0, 30), (3, 1, 5)",
+        )
+        assert out.returncode == 0, out.stderr
+        assert out.stdout.split()[-2:] == ["0|2|30", "1|3|5"], out.stdout
+        out = _psql(server, "SELECT * EXCLUDE (id) REPLACE (v * 2 AS v)"
+                            " FROM pg_r9 ORDER BY g, v")
+        assert out.returncode == 0, out.stderr
+        assert out.stdout.split() == ["0|20", "0|60", "1|10"], out.stdout
+        out = _psql(
+            server,
+            "SELECT id, CAST(SUM(v) OVER (ORDER BY id ROWS BETWEEN"
+            " UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING"
+            " EXCLUDE CURRENT ROW) AS BIGINT) AS others FROM pg_r9 ORDER BY id",
+        )
+        assert out.returncode == 0, out.stderr
+        assert out.stdout.split() == ["1|35", "2|15", "3|40"], out.stdout
+    finally:
+        _psql(server, "DROP TABLE pg_r9")
