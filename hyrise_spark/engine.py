@@ -35,10 +35,17 @@ _COPY_FROM_RE = re.compile(
     r"(?:\s+WITH\s*\(\s*FORMAT\s+(?P<fmt>\w+)\s*\))?\s*$",
     re.I,
 )
+# COPY <t>|(<query>) TO 'path' [[WITH] (FORMAT f[, PARTITION_BY (c, ...)])]
+# — the query form and hive-partitioned parquet output are DuckDB dialect
+# (beyond the reference's table-only Export, export.hpp:24); PARTITION_BY
+# is the scale-relevant shape: a 100 TB export writes one directory per
+# key so downstream scans partition-prune.
 _COPY_TO_RE = re.compile(
-    r"^\s*COPY\s+(?P<table>\w+)\s+TO\s+'(?P<path>[^']+)'"
-    r"(?:\s+WITH\s*\(\s*FORMAT\s+(?P<fmt>\w+)\s*\))?\s*$",
-    re.I,
+    r"^\s*COPY\s+(?:(?P<table>\w+)|\((?P<query>.+)\))\s+TO\s+'(?P<path>[^']+)'"
+    r"(?:\s+(?:WITH\s+)?\(\s*FORMAT\s+(?P<fmt>\w+)"
+    r"(?:\s*,\s*PARTITION_BY\s*(?:\(\s*(?P<pcols>[\w\s,]+?)\s*\)|(?P<pcol>\w+)))?"
+    r"\s*\))?\s*$",
+    re.I | re.S,
 )
 _CREATE_VIEW_RE = re.compile(
     r"^\s*CREATE\s+(?P<orrepl>OR\s+REPLACE\s+)?VIEW\s+(?P<name>\w+)\s*"
@@ -500,7 +507,18 @@ class Engine:
             return self.import_table(m["path"], m["table"], fmt=m["fmt"])
         m = _COPY_TO_RE.match(stmt)
         if m:
-            self.export_table(m["table"], m["path"], fmt=m["fmt"])
+            parts = m["pcols"] or m["pcol"]
+            pby = ([c.strip() for c in parts.split(",") if c.strip()]
+                   if parts else None)
+            if m["query"] is not None:
+                # COPY (query) TO: build the frame through the router so
+                # dialect SELECTs export too (side-effect free)
+                df = self._dispatch(m["query"].strip(), args)
+                self.export_frame(df, m["path"], fmt=m["fmt"],
+                                  partition_by=pby)
+            else:
+                self.export_table(m["table"], m["path"], fmt=m["fmt"],
+                                  partition_by=pby)
             return None
         m = _EXPORT_RE.match(stmt)
         if m:
@@ -2323,13 +2341,37 @@ class Engine:
             return self.spark.read.parquet(path)
         raise ValueError(f"unsupported COPY format {fmt!r}")
 
-    def export_table(self, name: str, path: str, fmt: str | None = None) -> None:
+    def export_table(self, name: str, path: str, fmt: str | None = None,
+                     partition_by: list[str] | None = None) -> None:
+        self.export_frame(self.spark.table(name), path, fmt=fmt,
+                          partition_by=partition_by)
+
+    def export_frame(self, df, path: str, fmt: str | None = None,
+                     partition_by: list[str] | None = None) -> None:
         from hyrise_spark.sources import write_any
         from hyrise_spark.sources.csv_meta import write_csv_with_meta
         from hyrise_spark.sources.hybin import write_bin
         from hyrise_spark.sources.tbl import write_tbl
 
-        df = self.spark.table(name)
+        if partition_by:
+            # hive-layout export (dir per key): the distributed write path —
+            # every executor writes its partitions' files; nothing collects
+            f = (fmt or "PARQUET").upper()
+            missing = set(c.lower() for c in partition_by) - {
+                c.lower() for c in df.columns
+            }
+            if missing:
+                raise ValueError(
+                    f"PARTITION_BY: no such column(s): {sorted(missing)}")
+            w = df.write.mode("overwrite").partitionBy(*partition_by)
+            if f == "PARQUET":
+                w.parquet(path)
+            elif f == "CSV":
+                w.option("header", True).csv(path)
+            else:
+                raise ValueError(
+                    f"PARTITION_BY supports PARQUET/CSV, not {fmt!r}")
+            return
         if not fmt:
             write_any(df, path)
             return

@@ -1412,3 +1412,68 @@ def test_explain_round9_dialect_selects(engine, spark):
         " PRECEDING AND CURRENT ROW EXCLUDE GROUP) AS s FROM ex9"
     )
     assert "Window" in out.collect()[0]["plan"]
+
+
+def test_copy_query_and_partitioned_export(engine, spark, duck, tmp_path):
+    """COPY (query) TO + PARTITION_BY (DuckDB dialect; beyond the
+    reference's table-only Export, export.hpp:24): hive-layout parquet —
+    one directory per key, differentially checked against DuckDB's native
+    partitioned COPY of the same statement shape."""
+    import os
+
+    spark.sql(
+        "SELECT CAST(id AS INT) AS id, CAST(id % 3 AS INT) AS g,"
+        " CAST(id * 10 AS INT) AS v FROM RANGE(30)"
+    ).createOrReplaceTempView("cpx")
+    duck.execute(
+        "CREATE OR REPLACE VIEW cpx AS SELECT CAST(range AS INT) AS id,"
+        " CAST(range % 3 AS INT) AS g, CAST(range * 10 AS INT) AS v"
+        " FROM RANGE(30)"
+    )
+    # query form
+    qp = str(tmp_path / "q.parquet")
+    engine.execute(f"COPY (SELECT id, v FROM cpx WHERE g = 1) TO '{qp}'"
+                   " WITH (FORMAT PARQUET)")
+    back = spark.read.parquet(qp)
+    assert back.count() == 10 and set(back.columns) == {"id", "v"}
+    # dialect SELECT through the query form
+    dp = str(tmp_path / "don.parquet")
+    engine.execute(
+        f"COPY (SELECT DISTINCT ON (g) g, id FROM cpx ORDER BY g, id DESC)"
+        f" TO '{dp}' WITH (FORMAT PARQUET)"
+    )
+    assert {(r["g"], r["id"]) for r in spark.read.parquet(dp).collect()} == {
+        (0, 27), (1, 28), (2, 29)
+    }
+    # partitioned export: same statement shape on both engines
+    sp_dir, du_dir = str(tmp_path / "sp"), str(tmp_path / "du")
+    engine.execute(
+        f"COPY cpx TO '{sp_dir}' (FORMAT PARQUET, PARTITION_BY (g))"
+    )
+    duck.execute(
+        f"COPY cpx TO '{du_dir}' (FORMAT PARQUET, PARTITION_BY (g))"
+    )
+    assert sorted(
+        d for d in os.listdir(sp_dir) if d.startswith("g=")
+    ) == ["g=0", "g=1", "g=2"] == sorted(
+        d for d in os.listdir(du_dir) if d.startswith("g=")
+    )
+    got = {
+        tuple(r)
+        for r in duck.execute(
+            f"SELECT id, g, v FROM read_parquet('{sp_dir}/*/*.parquet',"
+            f" hive_partitioning = true) ORDER BY id"
+        ).fetchall()
+    }
+    want = {
+        tuple(r)
+        for r in duck.execute(
+            f"SELECT id, g, v FROM read_parquet('{du_dir}/*/*.parquet',"
+            f" hive_partitioning = true) ORDER BY id"
+        ).fetchall()
+    }
+    assert got == want and len(got) == 30
+    with pytest.raises(Exception, match="no such column"):
+        engine.execute(
+            f"COPY cpx TO '{sp_dir}2' (FORMAT PARQUET, PARTITION_BY (zz))"
+        )
