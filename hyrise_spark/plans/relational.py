@@ -1085,3 +1085,36 @@ def projection_star_modifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load_tables(spark, sf_dir, ("orders",))
     return Engine(spark).execute(_STAR_MOD_SQL)
+
+
+# -- round 9: string-function vocabulary (beyond the reference's expression
+# set — SUBSTR/CONCAT/LIKE are its ceiling, expression/*) -------------------
+# SAME text on both engines: two independent implementations of
+# levenshtein / split_part / translate / lpad / reverse / repeat / POSITION.
+_STRING_FNS_SQL = """
+    SELECT doc_id,
+           CAST(levenshtein(substr(text, 1, 8), 'the quick') AS BIGINT)
+               AS lev,
+           split_part(text, ' ', 2) AS second_word,
+           translate(lang, 'aeiou', 'AEIOU') AS lang_upper_vowels,
+           lpad(CAST(n_chars AS VARCHAR(10)), 8, '0') AS padded,
+           reverse(lang) AS rlang,
+           repeat(lang, 2) AS lang2,
+           CAST(POSITION('the' IN text) AS BIGINT) AS pos_the
+    FROM documents
+    WHERE doc_id < 200
+    ORDER BY doc_id
+"""
+
+
+@register(
+    "projection_string_functions",
+    oracle=_STRING_FNS_SQL,
+    tags=("projection", "functions", "sql"),
+)
+def projection_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function vocabulary differential: levenshtein, split_part,
+    translate, lpad, reverse, repeat, POSITION — all JVM-side built-ins
+    inside one whole-stage-codegen projection (no shuffle, no UDF)."""
+    load_tables(spark, sf_dir, ("documents",))
+    return spark.sql(_STRING_FNS_SQL)
