@@ -1118,3 +1118,59 @@ def projection_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside one whole-stage-codegen projection (no shuffle, no UDF)."""
     load_tables(spark, sf_dir, ("documents",))
     return spark.sql(_STRING_FNS_SQL)
+
+
+# -- round 9: table-function + array surface ---------------------------------
+_RANGE_TVF_SQL = """
+    SELECT CAST(x AS BIGINT) AS x, CAST(x * x AS BIGINT) AS x2,
+           CAST(SUM(x) OVER (ORDER BY x) AS BIGINT) AS running
+    FROM range(1, 101) t(x)
+    ORDER BY x
+"""
+
+
+@register(
+    "table_function_range",
+    oracle=_RANGE_TVF_SQL,
+    tags=("source", "tvf", "sql"),
+)
+def table_function_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """range() table-valued function (the reference's closest analog is the
+    static/dummy table node, static_table_node.hpp): IDENTICAL text on both
+    engines incl. the `t(x)` derived-column alias. Spark plans a Range
+    operator — a generated, partitioned source with no scan at all."""
+    return spark.sql(_RANGE_TVF_SQL)
+
+
+_UNNEST_ORACLE = """
+    SELECT vec_id, CAST(g.pos AS INT) AS pos,
+           ROUND(CAST(embedding[g.pos] AS DOUBLE), 6) AS val
+    FROM embeddings,
+         LATERAL (SELECT UNNEST(generate_series(1, len(embedding))) AS pos) g
+    WHERE vec_id < 40
+    ORDER BY vec_id, pos
+"""
+
+
+@register(
+    "projection_unnest_embedding",
+    oracle=_UNNEST_ORACLE,
+    tags=("projection", "array", "multimodal"),
+)
+def projection_unnest_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array flattening (beyond the reference — no nested types,
+    all_type_variant.hpp:34): posexplode the embedding column to
+    (vec_id, 1-based position, value) rows. A narrow per-row explode — no
+    shuffle; the ORDER BY is presentation only. This is the access path
+    every array-typed pipeline op builds on (dim-stats, IVF, PQ)."""
+    embeddings = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return (
+        embeddings.filter(F.col("vec_id") < 40)
+        .select("vec_id", F.posexplode("embedding").alias("p", "v"))
+        .select(
+            "vec_id",
+            (F.col("p") + 1).cast("int").alias("pos"),
+            F.round(F.col("v").cast("double"), 6).alias("val"),
+        )
+        .orderBy("vec_id", "pos")
+    )
