@@ -1189,3 +1189,71 @@ def sim_linear_probe_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("i", "j")
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN evaluation: recall@k of the LSH bucket join against brute-force ground
+# truth — the metric every ANN deployment tracks (and the first-class "is
+# the index good enough" operator; the clustered-data quality gate lives in
+# tests/test_ann_recall.py). On the driver's near-uniform embeddings the
+# NUMBER is data-inherently low — what the oracle pins is that both engines
+# compute the identical evaluation: same ground truth, same candidates,
+# same per-query hit counts.
+#
+# Scale: both inputs are top-k frames (N_QUERIES x TOP_K rows); the
+# evaluation join is trivially broadcastable and the groupBy is
+# query-count-sized. Ground truth at 100 TB would come from the documented
+# brute-force path over a sampled query set — recall evaluation is always
+# sample-based at scale.
+@register(
+    "sim_recall_lsh",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {_N_QUERIES}),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id >= {_N_QUERIES}),
+    bf_ranked AS (
+      SELECT qid, cid,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+               ROUND(list_inner_product(qv, cv) /
+                 (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))), 6)
+               DESC, cid) AS rn
+      FROM q CROSS JOIN c
+    ),
+    bf AS (SELECT qid, cid FROM bf_ranked WHERE rn <= {_TOP_K}),
+    sig AS (SELECT vec_id, v, {_bucket_sql('v')} AS bucket FROM e),
+    lq AS (SELECT vec_id AS qid, v AS qv, bucket FROM sig WHERE vec_id < {_N_QUERIES}),
+    lc AS (SELECT vec_id AS cid, v AS cv, bucket FROM sig WHERE vec_id >= {_N_QUERIES}),
+    lsh_ranked AS (
+      SELECT qid, cid,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+               ROUND(list_inner_product(qv, cv) /
+                 (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))), 6)
+               DESC, cid) AS rn
+      FROM lq JOIN lc USING (bucket)
+    ),
+    lsh AS (SELECT qid, cid FROM lsh_ranked WHERE rn <= {_TOP_K})
+    SELECT bf.qid, CAST(COUNT(lsh.cid) AS BIGINT) AS hits,
+           CAST(COUNT(lsh.cid) * {100 // _TOP_K} AS BIGINT) AS recall_pct
+    FROM bf LEFT JOIN lsh ON lsh.qid = bf.qid AND lsh.cid = bf.cid
+    GROUP BY bf.qid
+    ORDER BY bf.qid
+    """,
+    tags=("similarity", "evaluation", "lsh"),
+)
+def sim_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of sim_lsh_bucket_join vs sim_bruteforce_topk, per query."""
+    bf = sim_bruteforce_topk(spark, sf_dir).select("qid", "cid")
+    lsh = sim_lsh_bucket_join(spark, sf_dir).select(
+        "qid", "cid", F.lit(1).alias("hit")
+    )
+    return (
+        bf.join(lsh, ["qid", "cid"], "left")
+        .groupBy("qid")
+        .agg(F.count("hit").alias("hits"))
+        .select(
+            "qid",
+            "hits",
+            (F.col("hits") * (100 // _TOP_K)).alias("recall_pct"),
+        )
+        .orderBy("qid")
+    )
