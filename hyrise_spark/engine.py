@@ -756,7 +756,8 @@ class Engine:
             or re.search(r"\bGROUPS\s+BETWEEN\b",
                          _strip_str_literals(m["body"]), re.I)
             or re.match(r"^\s*SELECT\s+DISTINCT\s+ON\s*\(", m["body"], re.I)
-            or re.search(r"\bEXCLUDE\s+(?:CURRENT\s+ROW|GROUP|TIES)\b"
+            or re.search(r"\bEXCLUDE\s+(?:CURRENT\s+ROW|GROUP|TIES|NO\s+OTHERS)\b"
+                         r"|\bFILTER\s*\(\s*WHERE\b[^)]*\)\s*OVER\b"
                          r"|\*\s+(?:EXCLUDE|REPLACE)\s*\(",
                          _strip_str_literals(m["body"]), re.I)
         ):
@@ -795,9 +796,11 @@ class Engine:
         if re.match(r"^\s*SELECT\s+DISTINCT\s+ON\s*\(", stmt, re.I):
             return self._distinct_on_sql(stmt)
         if (stmt.lstrip().upper().startswith("SELECT")
-                and re.search(r"\bEXCLUDE\s+(?:CURRENT\s+ROW|GROUP|TIES)\b",
+                and re.search(r"\bEXCLUDE\s+(?:CURRENT\s+ROW|GROUP|TIES|"
+                              r"NO\s+OTHERS)\b"
+                              r"|\bFILTER\s*\(\s*WHERE\b[^)]*\)\s*OVER\b",
                               _strip_str_literals(stmt), re.I)):
-            return self._frame_exclude_sql(stmt)
+            return self._window_dialect_sql(stmt)
         if (stmt.lstrip().upper().startswith("SELECT")
                 and re.search(r"\*\s+(?:EXCLUDE|REPLACE)\s*\(",
                               _strip_str_literals(stmt), re.I)):
@@ -1123,6 +1126,55 @@ class Engine:
             f") __don WHERE __don_rn = 1 {order} {limit}"
         )
 
+    def _window_dialect_sql(self, stmt: str) -> DataFrame:
+        """Window dialect forms Spark lacks, composed as text transforms:
+        `fn(x) FILTER (WHERE p) OVER (...)` first (it can wrap an excluded
+        frame), then SQL:2011 frame exclusion."""
+        stmt = self._rewrite_window_filter(stmt)
+        return self._frame_exclude_sql(stmt)
+
+    def _rewrite_window_filter(self, stmt: str) -> str:
+        """FILTER clause on WINDOW functions (SQL:2003 T612; DuckDB/postgres
+        run it natively — the oracle; Spark supports FILTER on GROUP BY
+        aggregates but not over windows). Every standard aggregate ignores
+        NULLs, so the rewrite is exact for all of them:
+
+          fn(x) FILTER (WHERE p) OVER (...) -> fn(CASE WHEN p THEN x END)
+                                               OVER (...)
+          COUNT(*) FILTER (WHERE p)         -> COUNT(CASE WHEN p THEN 1 END)
+
+        Same Window operator, zero extra passes."""
+        out, i = [], 0
+        pat = re.compile(
+            r"(?P<fn>\w+)\s*\(\s*(?P<arg>(?:[^()]|\([^()]*\))*?|\*)\s*\)"
+            r"\s+FILTER\s*\(", re.I)
+        while True:
+            m = pat.search(stmt, i)
+            if not m:
+                out.append(stmt[i:])
+                break
+            fclose = self._match_paren(stmt, m.end() - 1)
+            if fclose == -1:
+                raise ValueError("window FILTER: unbalanced clause")
+            # only rewrite the windowed form — GROUP BY FILTER is native
+            rest = stmt[fclose + 1:]
+            if not re.match(r"\s*OVER\b", rest, re.I):
+                out.append(stmt[i:fclose + 1])
+                i = fclose + 1
+                continue
+            inner = stmt[m.end():fclose].strip()
+            wm = re.match(r"WHERE\s+(?P<pred>.+)$", inner, re.I | re.S)
+            if not wm:
+                raise ValueError(
+                    f"window FILTER: expected FILTER (WHERE <pred>), got "
+                    f"FILTER ({inner})")
+            fn, arg, pred = m["fn"], m["arg"].strip(), wm["pred"].strip()
+            val = "1" if arg == "*" else f"({arg})"
+            out.append(stmt[i:m.start()])
+            out.append(f"{fn}(CASE WHEN {pred} THEN {val} END)")
+            i = fclose + 1
+        return "".join(out)
+
     def _frame_exclude_sql(self, stmt: str) -> DataFrame:
         """Window frame exclusion (SQL:2011 EXCLUDE CURRENT ROW / GROUP /
         TIES; the reference declares frames but cannot execute windows,
@@ -1148,8 +1200,11 @@ class Engine:
         NULL when the excluded frame is empty. One extra window expression
         over the SAME partition/order for GROUP/TIES — no extra shuffle."""
         out, i = [], 0
+        # arg admits one paren-nesting level (enough for the FILTER
+        # rewrite's CASE WHEN p THEN (x) END and ROUND(x, n)-style args)
         pat = re.compile(
-            r"(?P<fn>SUM|COUNT|AVG|MIN|MAX)\s*\(\s*(?P<arg>[^()]*?|\*)\s*\)"
+            r"(?P<fn>SUM|COUNT|AVG|MIN|MAX)\s*"
+            r"\(\s*(?P<arg>(?:[^()]|\([^()]*\))*?|\*)\s*\)"
             r"\s+OVER\s*\(", re.I)
         while True:
             m = pat.search(stmt, i)
@@ -1161,7 +1216,8 @@ class Engine:
                 raise ValueError("frame exclusion: unbalanced OVER spec")
             spec = stmt[m.end():close]
             em = re.search(
-                r"\s*EXCLUDE\s+(?P<mode>CURRENT\s+ROW|GROUP|TIES)\s*$",
+                r"\s*EXCLUDE\s+(?P<mode>CURRENT\s+ROW|GROUP|TIES|"
+                r"NO\s+OTHERS)\s*$",
                 spec, re.I)
             if not em:
                 out.append(stmt[i:close + 1])
@@ -1169,6 +1225,13 @@ class Engine:
                 continue
             fn, arg = m["fn"].upper(), m["arg"].strip()
             mode = re.sub(r"\s+", " ", em["mode"].upper())
+            if mode == "NO OTHERS":
+                # SQL:2011's explicit default: exclude nothing — strip it
+                out.append(stmt[i:m.end()])
+                out.append(spec[:em.start()].rstrip())
+                out.append(")")
+                i = close + 1
+                continue
             if fn in ("MIN", "MAX"):
                 raise ValueError(
                     f"frame exclusion: {fn} is not subtraction-invertible — "

@@ -501,3 +501,47 @@ def window_frame_exclude_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load_tables(spark, sf_dir, ("lineitem",))
     return Engine(spark).execute(_FRAME_EXCLUDE_GROUP_SQL)
+
+
+# -- round 9: FILTER clause over window functions (SQL:2003 T612) ------------
+# Spark runs FILTER natively on GROUP BY aggregates but not over windows;
+# the engine rewrites fn(x) FILTER (WHERE p) OVER (...) to
+# fn(CASE WHEN p THEN x END) OVER (...) — exact for every null-ignoring
+# aggregate, same Window operator. DuckDB runs the SAME text natively.
+# Integer lattice (cents) + EXCLUDE composition in the last column.
+_WINDOW_FILTER_SQL = """
+    SELECT l_orderkey, l_linenumber,
+           CAST(SUM(cents) FILTER (WHERE l_quantity > 25)
+                OVER (PARTITION BY l_returnflag
+                      ORDER BY l_orderkey, l_linenumber, cents
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS heavy_running_cents,
+           CAST(COUNT(*) FILTER (WHERE l_quantity <= 25)
+                OVER (PARTITION BY l_returnflag
+                      ORDER BY l_orderkey, l_linenumber, cents
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS light_running_cnt,
+           CAST(SUM(cents) FILTER (WHERE l_quantity > 25)
+                OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+                      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                      EXCLUDE GROUP) AS BIGINT) AS heavy_below_cents
+    FROM (SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+                 CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+          FROM lineitem WHERE l_orderkey < 400) t
+    ORDER BY l_orderkey, l_linenumber
+"""
+
+
+@register(
+    "window_filter_clause",
+    oracle=_WINDOW_FILTER_SQL,
+    tags=("window", "filter", "sql"),
+)
+def window_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER over window functions, incl. composed with EXCLUDE GROUP in
+    one expression (the FILTER rewrite runs first, then the exclusion
+    arithmetic) — conditional running totals without a self-join."""
+    from hyrise_spark.engine import Engine
+
+    load_tables(spark, sf_dir, ("lineitem",))
+    return Engine(spark).execute(_WINDOW_FILTER_SQL)

@@ -366,7 +366,8 @@ def frame_exclude_query(draw) -> str:
         hi = draw(st.sampled_from(
             [f"{draw(st.integers(0, 9))} FOLLOWING", "UNBOUNDED FOLLOWING",
              "CURRENT ROW"]))
-    expr = (f"{fn}({arg}) OVER ({part}ORDER BY {order}"
+    filt = draw(st.sampled_from(["", " FILTER (WHERE o_totalprice > 5000)"]))
+    expr = (f"{fn}({arg}){filt} OVER ({part}ORDER BY {order}"
             f" {mode} BETWEEN {lo} AND {hi} EXCLUDE {excl})")
     if fn == "AVG":
         expr = f"ROUND({expr}, 4)"

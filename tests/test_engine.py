@@ -1477,3 +1477,31 @@ def test_copy_query_and_partitioned_export(engine, spark, duck, tmp_path):
         engine.execute(
             f"COPY cpx TO '{sp_dir}2' (FORMAT PARQUET, PARTITION_BY (zz))"
         )
+
+
+def test_window_filter_and_no_others(engine, spark, duck):
+    """FILTER (WHERE p) OVER rewrite matches DuckDB exactly (null-ignoring
+    aggregates), EXCLUDE NO OTHERS is the documented no-op (MIN/MAX
+    allowed), and GROUP BY FILTER stays on Spark's native path."""
+    q = (
+        "SELECT x, CAST(SUM(x) FILTER (WHERE x % 2 = 0) OVER (ORDER BY x"
+        " ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS s,"
+        " CAST(COUNT(*) FILTER (WHERE x > 2) OVER (ORDER BY x) AS BIGINT) AS c,"
+        " CAST(MIN(x) OVER (ORDER BY x ROWS BETWEEN 1 PRECEDING AND"
+        " 1 FOLLOWING EXCLUDE NO OTHERS) AS BIGINT) AS mn"
+        " FROM fw1 ORDER BY x"
+    )
+    spark.sql("SELECT CAST(id AS INT) AS x FROM RANGE(6)").createOrReplaceTempView("fw1")
+    duck.execute(
+        "CREATE OR REPLACE VIEW fw1 AS SELECT CAST(range AS INT) AS x FROM RANGE(6)"
+    )
+    got = [tuple(r) for r in engine.execute(q).collect()]
+    want = [tuple(r) for r in duck.execute(q).fetchall()]
+    assert got == want
+    # empty filtered frame -> SUM NULL (both engines)
+    assert got[1][1] == 0 and got[0][2] == 0
+    # GROUP BY FILTER (no OVER): must NOT be rewritten — native Spark path
+    r = engine.execute(
+        "SELECT CAST(SUM(x) FILTER (WHERE x > 3) AS BIGINT) AS s FROM fw1"
+    ).collect()[0]
+    assert r["s"] == 9
