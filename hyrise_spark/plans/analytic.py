@@ -706,3 +706,31 @@ def aggregate_ordered_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY l_returnflag
         """
     )
+
+
+# -- round 9: GROUPING()/GROUPING_ID marker functions (SQL:1999 T431) --------
+# Distinguishes a real NULL group key from a super-aggregate row — the
+# companion every ROLLUP/CUBE consumer needs. IDENTICAL text on both
+# engines (Spark and DuckDB both expose GROUPING as 0/1 per column).
+_GROUPING_FN_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY g_flag, g_status, l_returnflag, l_linestatus
+"""
+
+
+@register(
+    "agg_grouping_function",
+    oracle=_GROUPING_FN_SQL,
+    tags=("aggregate", "grouping-sets", "sql"),
+)
+def agg_grouping_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() over ROLLUP: the 0/1 super-aggregate markers per key —
+    same text, two independent implementations of the bitmask."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem")
+    return spark.sql(_GROUPING_FN_SQL)

@@ -981,3 +981,26 @@ def test_cbo_reorders_eighteen_way_graph(spark):
         spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
         for t in names.values():
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_star_exclude_prunes_scan(spark):
+    """`* EXCLUDE (cols)` expands to an explicit projection, so the
+    EXCLUDE'd columns must vanish from the parquet ReadSchema — at 100 TB
+    excluding wide columns reads zero bytes of them."""
+    plan = _plan(spark, "projection_star_modifiers")
+    read_schemas = [
+        seg.split("struct<", 1)[1].split(">", 1)[0]
+        for seg in plan.split("ReadSchema:")[1:]
+    ]
+    assert read_schemas, plan
+    for rs in read_schemas:
+        cols = [c.split(":")[0] for c in rs.split(",") if c]
+        assert "o_orderpriority" not in cols and "o_orderstatus" not in cols, cols
+
+
+def test_distinct_on_plans_window_group_limit(spark):
+    """DISTINCT ON's ROW_NUMBER()=1 rewrite must plan the two-stage
+    WindowGroupLimit (partial top-1 below the exchange) — ~1 row per key
+    per input partition crosses the shuffle."""
+    plan = _plan(spark, "distinct_on_latest")
+    assert plan.count("WindowGroupLimit") >= 2, plan
