@@ -1748,10 +1748,42 @@ class Engine:
             if unknown:
                 raise ValueError(f"INSERT column(s) {unknown} not in {table}")
             rest = m["rest"].strip()
-        names = target_cols or cur.columns
         # parameter markers (?/:name) bind through spark.sql's args — keeps
         # parameterized DML working via pg-wire Bind and PREPARE/EXECUTE
         kw = {"args": args} if args else {}
+        bn = re.match(r"^BY\s+NAME\s+(?P<rest>.+)$", rest, re.I | re.S)
+        if bn:
+            # INSERT INTO t BY NAME SELECT ... (DuckDB dialect): the
+            # SELECT's own output names pick the target columns — order is
+            # irrelevant, unmentioned columns become NULL. Equivalent to an
+            # explicit column list spelled by the source.
+            rest = bn["rest"].strip()
+            if rest.upper().startswith("VALUES"):
+                raise ValueError(
+                    "INSERT BY NAME requires a SELECT source (VALUES rows "
+                    "carry no column names)")
+            sel = self.spark.sql(rest, **kw)
+            canon = {c.lower(): c for c in cur.columns}
+            unknown = [c for c in sel.columns if c.lower() not in canon]
+            if unknown:
+                raise ValueError(
+                    f"INSERT BY NAME column(s) {unknown} not in {table}")
+            target_cols = [canon[c.lower()] for c in sel.columns]
+            new_rows = sel.toDF(*target_cols)
+            if _NONDET_RE.search(rest):
+                new_rows = new_rows.localCheckpoint(eager=True)
+            for fld in cur.schema.fields:
+                if fld.name not in target_cols:
+                    new_rows = new_rows.withColumn(
+                        fld.name, F.lit(None).cast(fld.dataType)
+                    )
+            new_rows = new_rows.select(*cur.columns)
+            self.catalog.replace_table(table, cur.unionByName(new_rows))
+            self._after_dml(table)
+            if returning:
+                return self._returning_frame(new_rows, returning, args)
+            return None
+        names = target_cols or cur.columns
         if rest.upper().startswith("VALUES"):
             new_rows = self.spark.sql(f"SELECT * FROM ({rest})", **kw).toDF(*names)
         else:  # INSERT INTO t SELECT ...

@@ -71,6 +71,18 @@ _SEQUENCES = {
     "insert_partial_columns_null_fill": [
         "INSERT INTO idt (id, a) VALUES (200, 7)",
     ],
+    # BY NAME (DuckDB dialect, round 9): the SELECT's output names pick the
+    # target columns — order irrelevant, unmentioned columns NULL
+    "insert_by_name_reordered": [
+        "INSERT INTO idt BY NAME SELECT 3 AS c, 100 AS id, 1 AS a, 2 AS b",
+    ],
+    "insert_by_name_partial_null_fill": [
+        "INSERT INTO idt BY NAME SELECT 7 AS a, 300 AS id",
+    ],
+    "insert_by_name_from_table": [
+        "INSERT INTO idt BY NAME SELECT id + 1000 AS id, c AS a"
+        " FROM idt WHERE id < 3",
+    ],
     "insert_chain": [
         "INSERT INTO idt VALUES (100, 1, 2, 3)",
         "INSERT INTO idt VALUES (101, 3, 2, 1)",
