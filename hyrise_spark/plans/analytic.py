@@ -734,3 +734,70 @@ def agg_grouping_function(spark: SparkSession, sf_dir: str) -> DataFrame:
     (li,) = _t(spark, sf_dir, "lineitem")
     li.createOrReplaceTempView("lineitem")
     return spark.sql(_GROUPING_FN_SQL)
+
+
+# -- round 9: TRY_CAST (fallible cast -> NULL; beyond the reference, whose
+# lossy_cast.hpp throws on failure) + sorted ARRAY_AGG ----------------------
+_TRY_CAST_SQL = """
+    SELECT doc_id,
+           TRY_CAST(split_part(text, ' ', 1) AS INTEGER) AS first_as_int,
+           TRY_CAST(lang AS DOUBLE) AS lang_num,
+           TRY_CAST(CAST(n_chars AS VARCHAR(10)) AS INTEGER) AS n_roundtrip
+    FROM documents
+    WHERE doc_id < 300
+    ORDER BY doc_id
+"""
+
+
+@register(
+    "projection_try_cast",
+    oracle=_TRY_CAST_SQL,
+    tags=("projection", "cast", "sql"),
+)
+def projection_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRY_CAST: failed conversions yield NULL instead of an error (the
+    reference's lossy_cast asserts; DuckDB/Spark agree on the NULL
+    contract). Same text, both engines; mixes guaranteed-fail,
+    data-dependent, and guaranteed-roundtrip casts."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents")
+    return spark.sql(_TRY_CAST_SQL)
+
+
+@register(
+    "aggregate_array_agg_sorted",
+    oracle="""
+    SELECT l_returnflag,
+           list_sort(list(DISTINCT l_linestatus)) AS statuses,
+           CAST(len(list(DISTINCT l_linestatus)) AS BIGINT) AS n_statuses,
+           list_sort(list(DISTINCT CAST(l_quantity AS BIGINT)))[1:5]
+               AS smallest_qtys
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("aggregate", "array"),
+)
+def aggregate_array_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-valued aggregation made deterministic: collect_set is
+    unordered on BOTH engines (accumulation order is partition-dependent),
+    so every array output is sorted before it leaves the aggregate — the
+    only hash-stable contract for array aggregates. slice() bounds the
+    per-group payload (the 100 TB rule for any collect_*: never unbounded)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sort_array(F.collect_set("l_linestatus")).alias("statuses"),
+            F.size(F.collect_set("l_linestatus")).cast("long").alias(
+                "n_statuses"
+            ),
+            F.slice(
+                F.sort_array(
+                    F.collect_set(F.col("l_quantity").cast("long"))
+                ),
+                1, 5,
+            ).alias("smallest_qtys"),
+        )
+        .orderBy("l_returnflag")
+    )
