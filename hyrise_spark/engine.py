@@ -758,7 +758,7 @@ class Engine:
             or re.match(r"^\s*SELECT\s+DISTINCT\s+ON\s*\(", m["body"], re.I)
             or re.search(r"\bEXCLUDE\s+(?:CURRENT\s+ROW|GROUP|TIES|NO\s+OTHERS)\b"
                          r"|\bFILTER\s*\(\s*WHERE\b[^)]*\)\s*OVER\b"
-                         r"|\*\s+(?:EXCLUDE|REPLACE)\s*\(",
+                         r"|\*\s+(?:EXCLUDE\s*(?:\(|\w)|REPLACE\s*\()",
                          _strip_str_literals(m["body"]), re.I)
         ):
             # EXPLAIN over the engine-dialect SELECT forms (ASOF/QUALIFY):
@@ -802,7 +802,7 @@ class Engine:
                               _strip_str_literals(stmt), re.I)):
             return self._window_dialect_sql(stmt)
         if (stmt.lstrip().upper().startswith("SELECT")
-                and re.search(r"\*\s+(?:EXCLUDE|REPLACE)\s*\(",
+                and re.search(r"\*\s+(?:EXCLUDE\s*(?:\(|\w)|REPLACE\s*\()",
                               _strip_str_literals(stmt), re.I)):
             return self._star_modifiers_sql(stmt)
         if self.catalog.validated_uccs and stmt.lower().lstrip().startswith("select"):
@@ -1313,10 +1313,11 @@ class Engine:
         never read. Oracle: DuckDB runs the SAME text natively."""
         m = re.match(
             r"^\s*SELECT\s+(?P<d>DISTINCT\s+)?\*\s+"
-            r"(?:EXCLUDE\s*\((?P<ex>[^)]*)\)\s*)?"
+            r"(?:EXCLUDE\s*(?:\((?P<ex>[^)]*)\)|(?P<ex1>\w+))\s*)?"
             r"(?:REPLACE\s*\(\s*(?P<rep>.*?)\s*\)\s+)?FROM\s",
             stmt, re.I | re.S)
-        if not m or (m["ex"] is None and m["rep"] is None):
+        if not m or (m["ex"] is None and m["ex1"] is None
+                     and m["rep"] is None):
             raise ValueError(
                 "star modifiers: supported shape is SELECT [DISTINCT] * "
                 "EXCLUDE (c1, ...) [REPLACE (expr AS c, ...)] FROM ...")
@@ -1330,7 +1331,8 @@ class Engine:
                 src = src[:k]
         cols = self.spark.sql(f"SELECT * FROM {src} LIMIT 0").columns
         excluded = {c.strip().strip('"').lower()
-                    for c in (m["ex"] or "").split(",") if c.strip()}
+                    for c in (m["ex"] or m["ex1"] or "").split(",")
+                    if c.strip()}
         unknown = excluded - {c.lower() for c in cols}
         if unknown:
             raise ValueError(f"EXCLUDE: no such column(s): {sorted(unknown)}")

@@ -1298,6 +1298,9 @@ def test_star_modifiers_shapes(engine, spark):
     ).createOrReplaceTempView("sm1")
     out = engine.execute("SELECT * EXCLUDE (c) FROM sm1 ORDER BY a")
     assert out.columns == ["a", "b"]
+    # DuckDB's bare single-column spelling
+    out = engine.execute("SELECT * EXCLUDE c FROM sm1 ORDER BY a")
+    assert out.columns == ["a", "b"]
     out = engine.execute(
         "SELECT * EXCLUDE (a) REPLACE (b * 100 AS b) FROM sm1 WHERE a < 2"
     )
