@@ -1875,19 +1875,21 @@ class Engine:
             # new table state and the RETURNING frame
             tagged = self.spark.sql(
                 f"SELECT *, COALESCE(({cond}), FALSE) AS __hs_hit "
-                f"FROM __hs_dml_src", **kw
+                f"FROM __hs_dml_src AS {table}", **kw
             ).localCheckpoint(eager=True)
             kept = tagged.filter("NOT __hs_hit").drop("__hs_hit")
             removed = tagged.filter("__hs_hit").drop("__hs_hit")
         else:
             kept = self.spark.sql(
-                f"SELECT * FROM __hs_dml_src WHERE NOT COALESCE(({cond}), FALSE)",
+                f"SELECT * FROM __hs_dml_src AS {table}"
+                f" WHERE NOT COALESCE(({cond}), FALSE)",
                 **kw,
             )
             removed = None
             if returning:  # old image of the rows the predicate removed
                 removed = self.spark.sql(
-                    f"SELECT * FROM __hs_dml_src WHERE COALESCE(({cond}), FALSE)",
+                    f"SELECT * FROM __hs_dml_src AS {table}"
+                    f" WHERE COALESCE(({cond}), FALSE)",
                     **kw,
                 )
         self.catalog.replace_table(table, kept)
@@ -1909,6 +1911,10 @@ class Engine:
         # old value), and going through spark.sql lets assignments and the
         # condition contain scalar subqueries (TPC-C Delivery's
         # `SET c_balance = c_balance + (SELECT ...)`), which F.expr cannot.
+        # The snapshot view is aliased AS the target table name, so
+        # CORRELATED subqueries referencing it (postgres-style
+        # `SET v = (SELECT MAX(x) FROM s WHERE s.k = t.k)`) resolve against
+        # the pre-update snapshot — standard UPDATE visibility.
         match = f"COALESCE(({cond}), FALSE)" if cond else "TRUE"
         cols = ", ".join(
             f"CASE WHEN {match} THEN ({assignments[c]}) ELSE {c} END AS {c}"
@@ -1931,18 +1937,21 @@ class Engine:
             )
             tagged = self.spark.sql(
                 f"SELECT {cols_hit}, __hs_hit FROM "
-                f"(SELECT *, {match} AS __hs_hit FROM __hs_dml_src)", **kw
+                f"(SELECT *, {match} AS __hs_hit FROM __hs_dml_src"
+                f" AS {table})", **kw
             ).localCheckpoint(eager=True)
             updated = tagged.drop("__hs_hit")
             affected = tagged.filter("__hs_hit").drop("__hs_hit")
         else:
-            updated = self.spark.sql(f"SELECT {cols} FROM __hs_dml_src", **kw)
+            updated = self.spark.sql(
+                f"SELECT {cols} FROM __hs_dml_src AS {table}", **kw)
             affected = None
             if returning:
                 # post-image of matched rows: WHERE evaluates on the OLD
                 # columns (FROM scope), the select list the new values
                 affected = self.spark.sql(
-                    f"SELECT {cols} FROM __hs_dml_src WHERE {match}", **kw
+                    f"SELECT {cols} FROM __hs_dml_src AS {table}"
+                    f" WHERE {match}", **kw
                 )
         self.catalog.replace_table(table, updated)
         self._after_dml(table)

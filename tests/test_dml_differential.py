@@ -51,6 +51,17 @@ _SEQUENCES = {
         "DELETE FROM idt WHERE a = 5 OR b = 6 OR (a > 2 AND b > 80)"
         " OR (a = (SELECT MIN(a) FROM idt))",
     ],
+    # CORRELATED subqueries referencing the target table (round 9: the
+    # snapshot view is aliased AS the table name, postgres visibility —
+    # every inner read sees the pre-statement state)
+    "update_correlated_set": [
+        "UPDATE idt SET a = (SELECT CAST(COUNT(*) AS INT) FROM idt i2"
+        " WHERE i2.b < idt.b) WHERE id < 20",
+    ],
+    "delete_correlated_where": [
+        "DELETE FROM idt WHERE b < (SELECT AVG(i2.b) FROM idt i2"
+        " WHERE i2.c = idt.c)",
+    ],
     "update_where": ["UPDATE idt SET a = a + 1 WHERE id > 10"],
     "update_all": ["UPDATE idt SET a = a + 1"],
     "update_expr_where": ["UPDATE idt SET a = b + c + 3 WHERE id > 10 * 5"],
