@@ -219,3 +219,26 @@ def test_cache_hit_skips_analysis_cost(engine):
     # hits are dict lookups (micro-seconds); 10x headroom over analysis
     assert hit_s < miss_s / 10
     engine.execute("DROP TABLE pct")
+
+
+def test_dialect_statements_are_cacheable(spark):
+    """Round-9 dialect SELECTs (DISTINCT ON etc.) flow through the
+    statement cache like plain SELECTs — the rewrite + analysis cost is
+    exactly what the cache exists to skip."""
+    from hyrise_spark.engine import Engine
+
+    engine = Engine(spark)
+    engine.execute("CREATE TABLE pc_d AS SELECT id % 3 AS g, id AS v FROM RANGE(30)")
+    try:
+        q = "SELECT DISTINCT ON (g) g, v FROM pc_d ORDER BY g, v DESC"
+        before = engine._plan_cache.hits
+        engine.execute(q).collect()
+        engine.execute(q).collect()
+        assert engine._plan_cache.hits == before + 1
+        # a mutation invalidates: the third execution re-analyzes
+        engine.execute("INSERT INTO pc_d VALUES (0, 99)")
+        rows = {(r["g"], r["v"]) for r in engine.execute(q).collect()}
+        assert (0, 99) in rows
+        assert engine._plan_cache.hits == before + 1
+    finally:
+        engine.execute("DROP TABLE pc_d")
