@@ -150,6 +150,13 @@ def _pipeline_builders():
         # semi-join — candidate fan-out is band-bucket bounded
         return qs["dedup_lsh_crosscorpus"].builder(spark, d)
 
+    def ccnet(spark, d):
+        # round 9: bigram/marginal LM counts stay vocabulary-sized while
+        # the corpus scales Nx (shifted copies add no new bigrams); the
+        # tertile cutoffs run over a (lang x millibits) histogram, never a
+        # per-language window — expect ~linear in the scoring joins alone
+        return qs["curate_ccnet_buckets"].builder(spark, d)
+
     return {"dedup_exact": exact, "minhash_signatures": minhash_sig,
             "dedup_overlap_prefix_filter": prefix_overlap,
             "dedup_lsh_crosscorpus": lsh_cross,
@@ -160,7 +167,8 @@ def _pipeline_builders():
             "text_bm25_topk": bm25,
             "graph_pagerank": pagerank, "graph_triangles": triangles,
             "dedup_bloom_crosscorpus": bloom_cross,
-            "text_bpe_pairs": bpe_pairs}
+            "text_bpe_pairs": bpe_pairs,
+            "curate_ccnet_buckets": ccnet}
 
 
 def build_scaled_events(spark, scale: int, out_dir: str) -> None:
