@@ -114,11 +114,16 @@ def run(
     verify: bool = False,
     clients: int = 1,
     discover_uccs: bool = False,
+    mode: str = "ordered",
+    seed: int = 17,
 ) -> dict:
     """Run every discovered query `runs` times; with clients > 1, the
     (query, run) stream is drained by a thread pool — the reference's
     multi-client benchmark mode (BenchmarkConfig::clients,
-    benchmark_config.hpp:53). Spark executes concurrent driver threads as
+    benchmark_config.hpp:53). mode="shuffled" permutes the (query, run)
+    stream with a seeded RNG — the reference's BenchmarkMode::Shuffled
+    (benchmark_config.hpp:41): interleaved items measure cross-query cache/
+    codegen interference instead of back-to-back warm repeats. Spark executes concurrent driver threads as
     concurrent jobs, so this measures scheduler/queueing behavior, not just
     single-stream latency."""
     from hyrise_spark.engine import Engine
@@ -173,6 +178,12 @@ def run(
         return name, time.perf_counter() - t0
 
     stream = [name for name in queries for _ in range(runs)]
+    if mode == "shuffled":
+        import random
+
+        random.Random(seed).shuffle(stream)
+    elif mode != "ordered":
+        raise ValueError(f"unknown benchmark mode {mode!r}")
     times: dict[str, list[float]] = {name: [] for name in queries}
     if clients <= 1:
         results = map(timed, stream)
@@ -197,6 +208,7 @@ def run(
     out = {
         "items": items,
         "clients": clients,
+        "mode": mode,
         "total_s": round(time.perf_counter() - t_total, 3),
     }
     if n_uccs is not None:
@@ -532,6 +544,13 @@ def main(argv: list[str] | None = None) -> int:
         help="parallel query streams (BenchmarkConfig::clients analog)",
     )
     ap.add_argument(
+        "--mode", choices=["ordered", "shuffled"], default="ordered",
+        help="item order: ordered (reference default) or shuffled "
+             "(BenchmarkMode::Shuffled, benchmark_config.hpp:41)",
+    )
+    ap.add_argument("--seed", type=int, default=17,
+                    help="shuffle seed (shuffled mode)")
+    ap.add_argument(
         "--discover-uccs", action="store_true",
         help="run UCC discovery after warmup (the UCC plugin's "
              "pre-benchmark hook analog)",
@@ -553,7 +572,7 @@ def main(argv: list[str] | None = None) -> int:
     result = run(
         spark, args.queries, args.tables,
         runs=args.runs, verify=args.verify, clients=args.clients,
-        discover_uccs=args.discover_uccs,
+        discover_uccs=args.discover_uccs, mode=args.mode, seed=args.seed,
     )
     print(json.dumps(result))
     if args.verify and any(v["verified"] is False for v in result["items"].values()):

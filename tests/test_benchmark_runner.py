@@ -3,6 +3,8 @@ analog): query discovery, table registration, timing, and --verify."""
 
 from __future__ import annotations
 
+import pytest
+
 from hyrise_spark.benchmark_runner import discover_queries, run
 from tests.conftest import SF_DIR
 
@@ -101,3 +103,22 @@ def test_discover_uccs_pre_benchmark_hook(spark, tmp_path):
     )
     out = run(spark, qdir, "/root/testdata/sf0.001", runs=1, discover_uccs=True)
     assert out["validated_uccs"] >= 1  # n_nationkey is unique
+
+
+def test_run_shuffled_mode(spark, tmp_path):
+    """BenchmarkMode::Shuffled analog: the seeded permutation must still
+    time every (query, run) pair — same per-item run counts and rows as
+    ordered mode, mode recorded in the result."""
+    qdir = tmp_path / "q"
+    qdir.mkdir()
+    (qdir / "a.sql").write_text("SELECT COUNT(*) AS n FROM region")
+    (qdir / "b.sql").write_text("SELECT r_name FROM region ORDER BY r_name")
+    from hyrise_spark.benchmark_runner import run
+
+    out = run(spark, qdir, SF_DIR, runs=2, mode="shuffled", seed=3)
+    assert out["mode"] == "shuffled"
+    assert set(out["items"]) == {"a", "b"}
+    for item in out["items"].values():
+        assert item["best_s"] >= 0 and item["rows"] >= 1
+    with pytest.raises(ValueError, match="unknown benchmark mode"):
+        run(spark, qdir, SF_DIR, runs=1, mode="zigzag")
