@@ -499,6 +499,17 @@ class Engine:
         if m:
             self._release_savepoint(m["name"])
             return None
+        m = re.match(r"^\s*VACUUM\s+(?P<table>\w+)\s*$", stmt, re.I)
+        if m:
+            # postgres-parity spelling of the MvccDeletePlugin-analog manual
+            # compaction (mvcc_delete_plugin.hpp; also reachable via
+            # meta_exec ('mvcc','compact_tables')): rewrite the table's
+            # snapshot lineage to flat parquet
+            name = m["table"].lower()
+            if not self.catalog.has_table(name):
+                raise ValueError(f"VACUUM: no such table: {m['table']}")
+            self.catalog.compact_table(name)
+            return None
         m = _IMPORT_RE.match(stmt)
         if m:
             return self.import_table(m["path"], m["table"])

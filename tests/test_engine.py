@@ -1508,3 +1508,23 @@ def test_window_filter_and_no_others(engine, spark, duck):
         "SELECT CAST(SUM(x) FILTER (WHERE x > 3) AS BIGINT) AS s FROM fw1"
     ).collect()[0]
     assert r["s"] == 9
+
+
+def test_vacuum_statement_compacts(engine, spark):
+    """VACUUM <table> (postgres-parity spelling of the manual
+    MvccDeletePlugin-analog compaction): lineage flattens, contents
+    byte-identical, unknown table errors."""
+    engine.execute("CREATE TABLE vac_t AS SELECT id AS x FROM RANGE(50)")
+    try:
+        for i in range(3):
+            engine.execute(f"UPDATE vac_t SET x = x + 1 WHERE x % 7 = {i}")
+        before = {r["x"] for r in engine.execute("SELECT x FROM vac_t").collect()}
+        engine.execute("VACUUM vac_t")
+        after = {r["x"] for r in engine.execute("SELECT x FROM vac_t").collect()}
+        assert after == before
+        # compaction registered a parquet-backed plan (trail entry exists)
+        assert engine.catalog.compact_paths.get("vac_t"), "no compaction trail"
+        with pytest.raises(Exception, match="no such table"):
+            engine.execute("VACUUM nope_t")
+    finally:
+        engine.execute("DROP TABLE vac_t")
