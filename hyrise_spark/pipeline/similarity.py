@@ -1257,3 +1257,89 @@ def sim_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (contrastive/triplet training data): for each anchor
+# vector, the most similar SAME-label vector (positive) and the most similar
+# DIFFERENT-label vector (the hard negative — the pair that actually moves a
+# contrastive loss; random negatives are trivially separable). The standard
+# mining step in embedding-model training (e.g. SBERT/DPR-style pipelines).
+#
+# Scale: the anchor set is bounded (vec_id < N_QUERIES, `.limit` visible to
+# the plan lint) and broadcasts; the corpus streams through map-side scoring
+# once, and the per-anchor/per-role top-1 is a two-stage WindowGroupLimit.
+# At 100 TB the mining runs per anchor SHARD with the same plan; production
+# systems swap the brute-force scorer for the ANN candidate join
+# (sim_lsh_bucket_join) with identical downstream shape.
+@register(
+    "sim_hard_negatives",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label,
+                      CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv FROM e
+          WHERE vec_id < {_N_QUERIES}),
+    c AS (SELECT vec_id AS cid, label AS clabel, v AS cv FROM e
+          WHERE vec_id >= {_N_QUERIES}),
+    scored AS (
+      SELECT qid, cid,
+             CASE WHEN clabel = qlabel THEN 'positive'
+                  ELSE 'hard_negative' END AS role,
+             list_inner_product(qv, cv) /
+               (sqrt(list_inner_product(qv, qv)) *
+                sqrt(list_inner_product(cv, cv))) AS cs
+      FROM q CROSS JOIN c
+    ),
+    ranked AS (
+      SELECT qid, role, cid, cs,
+             ROW_NUMBER() OVER (PARTITION BY qid, role
+                                ORDER BY ROUND(cs, 6) DESC, cid) AS rn
+      FROM scored
+    )
+    SELECT qid, role, cid, ROUND(cs, 4) AS cos_sim
+    FROM ranked WHERE rn = 1
+    ORDER BY qid, role
+    """,
+    tags=("similarity", "mining", "training"),
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    e = emb.select(
+        "vec_id", "label",
+        _normalize(F.col("embedding").cast("array<double>")).alias("v"),
+    )
+    q = (
+        e.filter(F.col("vec_id") < _N_QUERIES)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("label").alias("qlabel"),
+            F.col("v").alias("qv"),
+        )
+        .limit(_N_QUERIES)
+    )
+    c = e.filter(F.col("vec_id") >= _N_QUERIES).select(
+        F.col("vec_id").alias("cid"),
+        F.col("label").alias("clabel"),
+        F.col("v").alias("cv"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .select(
+            "qid",
+            "cid",
+            F.when(F.col("clabel") == F.col("qlabel"), "positive")
+            .otherwise("hard_negative")
+            .alias("role"),
+            _dot(F.col("qv"), F.col("cv")).alias("cs"),
+        )
+    )
+    w = Window.partitionBy("qid", "role").orderBy(
+        F.round(F.col("cs"), 6).desc(), F.col("cid")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("qid", "role", "cid", F.round("cs", 4).alias("cos_sim"))
+        .orderBy("qid", "role")
+    )
