@@ -1355,3 +1355,109 @@ def dedup_lsh_crosscorpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator-error evaluation (round 9): for every LSH candidate
+# pair, the signature-agreement Jaccard estimate (matches/K) next to the
+# TRUE shingle Jaccard computed exactly over just those pairs — the
+# calibration report every MinHash deployment runs before picking K and the
+# band layout (Broder 1997's estimator; its stderr is sqrt(j(1-j)/K)).
+#
+# Scale: the exact side runs ONLY on the candidate pairs (LSH-bounded, not
+# all-pairs) via candidate-constrained shingle equi-joins; est and true are
+# exact rationals (int/K, inter/union) so both engines agree bit-for-bit.
+@register(
+    "dedup_minhash_estimate_error",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+      FROM documents WHERE doc_id < 300
+    ), shingles AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS sh
+      FROM toks, LATERAL (SELECT UNNEST(generate_series(1, len(w) - 2)) AS i)
+    ), hashed AS (
+      SELECT doc_id,
+             {_md5_int_sql("sh")} >> 30 AS hi,
+             {_md5_int_sql("sh")} & {_MH_HALF_MASK} AS lo
+      FROM shingles
+    ), sig AS (
+      SELECT doc_id, h.i AS i,
+             MIN(((1000003 * h.i + 12345) * hi + (999983 * h.i + 67891) * lo + h.i)
+                 % {_MH_P}) AS mh
+      FROM hashed, LATERAL (SELECT UNNEST(generate_series(0, {_K - 1})) AS i) h
+      GROUP BY doc_id, h.i
+    ), bands AS (
+      SELECT doc_id, i // {_ROWS_PER_BAND} AS band,
+             md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS band_key
+      FROM sig GROUP BY doc_id, i // {_ROWS_PER_BAND}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ), est AS (
+      SELECT c.d1, c.d2,
+             CAST(SUM(CASE WHEN s1.mh = s2.mh THEN 1 ELSE 0 END) AS DOUBLE)
+               / {_K} AS est_j
+      FROM cand c JOIN sig s1 ON s1.doc_id = c.d1
+                  JOIN sig s2 ON s2.doc_id = c.d2 AND s1.i = s2.i
+      GROUP BY c.d1, c.d2
+    ), sizes AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM shingles GROUP BY doc_id
+    ), inter AS (
+      SELECT c.d1, c.d2, CAST(COUNT(*) AS BIGINT) AS i
+      FROM cand c JOIN shingles a ON a.doc_id = c.d1
+                  JOIN shingles b ON b.doc_id = c.d2 AND b.sh = a.sh
+      GROUP BY c.d1, c.d2
+    )
+    SELECT e.d1, e.d2,
+           ROUND(e.est_j, 4) AS est_jaccard,
+           ROUND(CAST(COALESCE(i.i, 0) AS DOUBLE)
+                 / (s1.n + s2.n - COALESCE(i.i, 0)), 4) AS true_jaccard,
+           ROUND(ABS(e.est_j - CAST(COALESCE(i.i, 0) AS DOUBLE)
+                 / (s1.n + s2.n - COALESCE(i.i, 0))), 4) AS abs_err
+    FROM est e
+    LEFT JOIN inter i ON i.d1 = e.d1 AND i.d2 = e.d2
+    JOIN sizes s1 ON s1.doc_id = e.d1
+    JOIN sizes s2 ON s2.doc_id = e.d2
+    ORDER BY e.d1, e.d2
+    """,
+    tags=("dedup", "minhash", "evaluation"),
+)
+def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = docs.filter(F.col("doc_id") < 300).select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("w")
+    )
+    est = dedup_minhash_lsh(spark, sf_dir).select(
+        "d1", "d2", F.col("est_jaccard").alias("est_j")
+    )
+    shingles = toks.select(
+        "doc_id", F.explode(_shingle_array(3)).alias("sh")
+    ).distinct()
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        est.select("d1", "d2")
+        .join(shingles.select(F.col("doc_id").alias("d1"), "sh"), "d1")
+        .join(
+            shingles.select(F.col("doc_id").alias("d2"), "sh"),
+            ["d2", "sh"],
+        )
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    true_j = F.coalesce(F.col("i"), F.lit(0)).cast("double") / (
+        F.col("n1") + F.col("n2") - F.coalesce(F.col("i"), F.lit(0))
+    )
+    return (
+        est.join(inter, ["d1", "d2"], "left")
+        .join(sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1")), "d1")
+        .join(sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2")), "d2")
+        .select(
+            "d1", "d2",
+            F.round("est_j", 4).alias("est_jaccard"),
+            F.round(true_j, 4).alias("true_jaccard"),
+            F.round(F.abs(F.col("est_j") - true_j), 4).alias("abs_err"),
+        )
+        .orderBy("d1", "d2")
+    )
