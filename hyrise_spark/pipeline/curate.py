@@ -1150,3 +1150,145 @@ def curate_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Pipeline retention funnel (round 9): the stage-by-stage audit every
+# large-scale curation run reports — how many documents and tokens survive
+# raw -> exact dedup -> near dedup -> quality gate. (The numbers behind
+# every "we filtered X% of the crawl" table; e.g. RefinedWeb/FineWeb-style
+# pipeline reports.)
+#
+# Stage semantics (deterministic, composition of this repo's operators):
+#   exact   : keep the smallest doc_id per md5(trim(lower(text)))
+#   near    : among exact survivors, drop the LARGER id of every df-capped
+#             3-gram Jaccard pair >= 0.3 (keep-smallest heuristic — the
+#             documented non-transitive stage; cluster-canonical transitive
+#             dedup lives in dedup_cluster_canonical)
+#   quality : Gopher-rule conjunction (curate_gopher_rules' keep flag)
+#
+# Scale: each stage is the already-audited operator shape (hash-groupBy,
+# df-capped candidate join, row-local rules); the funnel adds only 4-row
+# aggregates on top.
+_FUNNEL_JACCARD_X10 = 3  # near-dup drop threshold 0.3
+
+from hyrise_spark.pipeline.dedup import _NGRAM_MAX_DF as _FUNNEL_DF_CAP  # noqa: E402
+
+
+@register(
+    "pipeline_retention_funnel",
+    oracle=f"""
+    WITH docs0 AS (
+      SELECT doc_id, text,
+             string_split_regex(trim(lower(text)), '\\s+') AS w
+      FROM documents WHERE doc_id < 300
+    ),
+    fp AS (
+      SELECT doc_id, text, w, md5(trim(lower(text))) AS f FROM docs0
+    ),
+    exact AS (
+      SELECT doc_id, text, w FROM fp
+      WHERE doc_id = (SELECT MIN(doc_id) FROM fp f2 WHERE f2.f = fp.f)
+    ),
+    all_shingles AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS sh
+      FROM exact, LATERAL (SELECT UNNEST(generate_series(1, len(w) - 2)) AS i)
+    ),
+    cold AS (
+      SELECT sh FROM all_shingles GROUP BY sh
+      HAVING COUNT(*) <= {_FUNNEL_DF_CAP}
+    ),
+    shingles AS (
+      SELECT s.doc_id, s.sh FROM all_shingles s JOIN cold USING (sh)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    dropped AS (
+      SELECT DISTINCT b.doc_id AS d2
+      FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      JOIN sizes s1 ON s1.doc_id = a.doc_id
+      JOIN sizes s2 ON s2.doc_id = b.doc_id
+      GROUP BY a.doc_id, b.doc_id, s1.n, s2.n
+      HAVING 10 * COUNT(*) >= {_FUNNEL_JACCARD_X10} * (s1.n + s2.n - COUNT(*))
+    ),
+    near AS (
+      SELECT doc_id, w FROM exact WHERE doc_id NOT IN (SELECT d2 FROM dropped)
+    ),
+    quality AS (
+      SELECT doc_id, w FROM near
+      WHERE len(w) BETWEEN 20 AND 90
+        AND 42 * len(w) <= 10 * (SELECT SUM(length(x)) FROM UNNEST(w) t(x))
+        AND 10 * (SELECT SUM(length(x)) FROM UNNEST(w) t(x)) <= 52 * len(w)
+        AND len(list_filter(w, x -> x IN ('a','the','be','to','of','and',
+                                          'that','have','with'))) >= 2
+        AND 10 * len(list_filter(w, x -> length(x) <= 2)) <= len(w)
+    )
+    SELECT * FROM (
+      SELECT 0 AS stage_idx, 'raw' AS stage,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(w)) AS BIGINT) AS n_tokens FROM docs0
+      UNION ALL
+      SELECT 1, 'exact_dedup', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(len(w)) AS BIGINT) FROM exact
+      UNION ALL
+      SELECT 2, 'near_dedup', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(len(w)) AS BIGINT) FROM near
+      UNION ALL
+      SELECT 3, 'quality_gate', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(len(w)) AS BIGINT) FROM quality
+    ) ORDER BY stage_idx
+    """,
+    tags=("curate", "pipeline", "report"),
+)
+def pipeline_retention_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hyrise_spark.pipeline.dedup import _ngram_jaccard_pairs
+    from hyrise_spark.pipeline.text import (
+        _GOPHER_MAX_WORDS,
+        _GOPHER_MIN_WORDS,
+        _GOPHER_MWL_HI_X10,
+        _GOPHER_MWL_LO_X10,
+        _GOPHER_STOPS,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    ws = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    docs0 = docs.filter(F.col("doc_id") < 300).select(
+        "doc_id", "text", ws.alias("w"),
+        F.md5(F.trim(F.lower(F.col("text")))).alias("f"),
+    )
+    keep_fp = docs0.groupBy("f").agg(F.min("doc_id").alias("doc_id"))
+    exact = docs0.join(keep_fp, ["f", "doc_id"]).select("doc_id", "w")
+    pairs = _ngram_jaccard_pairs(
+        exact.select("doc_id", "w")
+    ).filter(F.col("jaccard") * 10 >= _FUNNEL_JACCARD_X10)
+    dropped = pairs.select(F.col("d2").alias("doc_id")).distinct()
+    near = exact.join(dropped, "doc_id", "left_anti")
+    n_words = F.size("w").cast("long")
+    sum_chars = F.aggregate(
+        F.transform(F.col("w"), lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"), lambda a, x: a + x,
+    )
+    stops = F.size(F.filter(F.col("w"), lambda x: x.isin(*_GOPHER_STOPS))).cast("long")
+    shorts = F.size(F.filter(F.col("w"), lambda x: F.length(x) <= 2)).cast("long")
+    quality = near.filter(
+        n_words.between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS)
+        & (_GOPHER_MWL_LO_X10 * n_words <= 10 * sum_chars)
+        & (10 * sum_chars <= _GOPHER_MWL_HI_X10 * n_words)
+        & (stops >= 2)
+        & (10 * shorts <= n_words)
+    )
+
+    def stage(df: DataFrame, idx: int, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(idx).alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size("w")).cast("long").alias("n_tokens"),
+        ).select("stage_idx", "stage", "n_docs", F.col("n_tokens").cast("long"))
+
+    return (
+        stage(docs0, 0, "raw")
+        .unionByName(stage(exact, 1, "exact_dedup"))
+        .unionByName(stage(near, 2, "near_dedup"))
+        .unionByName(stage(quality, 3, "quality_gate"))
+        .orderBy("stage_idx")
+    )
