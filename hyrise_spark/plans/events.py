@@ -1118,3 +1118,75 @@ def events_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# -- round 9: nearest-in-time asof (minimum absolute distance) ---------------
+# Beyond backward/forward asof: pandas merge_asof(direction='nearest')
+# semantics. Composition: one backward pass + one forward pass of the
+# single-shuffle union-form asof operator, then an arithmetic pick —
+# 2 shuffles total regardless of per-key order density (the naive
+# equi-join + per-pair distance ranking fans out with orders-per-key).
+# Ties: equidistant -> the EARLIER order date wins; same date -> max
+# orderkey (the operator's struct-max carry; the forward pass carries a
+# negated key so its struct-MIN also yields the max orderkey).
+@register(
+    "events_asof_nearest",
+    oracle="""
+    SELECT e.event_id, e.user_id,
+           (SELECT MAX(o.o_orderkey) FROM orders o
+            WHERE o.o_custkey = e.user_id % 100
+              AND o.o_orderdate = (
+                SELECT MIN(o2.o_orderdate) FROM orders o2
+                WHERE o2.o_custkey = e.user_id % 100
+                  AND ABS(epoch(o2.o_orderdate) - epoch(e.ts)) = (
+                    SELECT MIN(ABS(epoch(o3.o_orderdate) - epoch(e.ts)))
+                    FROM orders o3 WHERE o3.o_custkey = e.user_id % 100))
+           ) AS nearest_orderkey
+    FROM events e
+    WHERE e.event_id < 500
+    ORDER BY e.event_id
+    """,
+    tags=("events", "asof-join"),
+)
+def events_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hyrise_spark.operators.joins import asof_join
+
+    events, orders = _t(spark, sf_dir, "events", "orders")
+    ev = events.filter(F.col("event_id") < 500).select(
+        "event_id", "user_id",
+        (F.col("user_id") % 100).alias("join_key"), "ts",
+    )
+    od = orders.select(
+        F.col("o_custkey").alias("join_key"),
+        F.col("o_orderdate").alias("t"),
+        "o_orderkey",
+        (-F.col("o_orderkey")).alias("neg_key"),
+        F.col("o_orderdate").alias("odate"),
+    )
+    b = asof_join(
+        ev, od, on="join_key", left_time="ts", right_time="t",
+        value_cols=["o_orderkey", "odate"], direction="backward",
+    ).select(
+        "event_id",
+        F.col("o_orderkey").alias("b_key"),
+        F.col("odate").alias("b_date"),
+    )
+    f = asof_join(
+        ev, od, on="join_key", left_time="ts", right_time="t",
+        value_cols=["neg_key", "o_orderkey", "odate"], direction="forward",
+    ).select(
+        "event_id", "user_id", "ts",
+        F.col("o_orderkey").alias("f_key"),
+        F.col("odate").alias("f_date"),
+    )
+    j = f.join(b, "event_id")
+    bd = F.unix_timestamp("ts") - F.unix_timestamp("b_date")
+    fd = F.unix_timestamp("f_date") - F.unix_timestamp("ts")
+    nearest = F.when(
+        F.col("b_date").isNotNull()
+        & (F.col("f_date").isNull() | (bd <= fd)),
+        F.col("b_key"),
+    ).otherwise(F.col("f_key"))
+    return j.select(
+        "event_id", "user_id", nearest.alias("nearest_orderkey")
+    ).orderBy("event_id")
