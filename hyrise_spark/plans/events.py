@@ -1190,3 +1190,76 @@ def events_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(
         "event_id", "user_id", nearest.alias("nearest_orderkey")
     ).orderBy("event_id")
+
+
+# -- round 9: M4 downsampling (Jugel et al., VLDB 2014) -----------------------
+# The visualization-aware time-series reducer: per time bucket keep exactly
+# the first, last, min-value and max-value points — the 4 points that make
+# a line rendering pixel-identical to the full series. One partial-agg
+# groupBy per bucket (4 min_by/max_by aggregates), then a 4-way unpivot of
+# the kept points: output is 4 rows per bucket however dense the input —
+# the property that makes M4 THE dashboard query at 100 TB event volumes.
+# Ties resolve to min event_id; the (key, tiebreak) ordering is encoded as
+# one exact BIGINT (key * 1e9 +/- event_id) because DuckDB's min_by/max_by
+# take a single orderable argument — identical integer keys on both
+# engines.
+@register(
+    "events_m4_downsample",
+    oracle="""
+    WITH b AS (
+      SELECT event_id, value, ts,
+             CAST(FLOOR(epoch(ts) / 14400) AS BIGINT) AS bucket,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS ep,
+             ROUND(value, 4) AS v
+      FROM events WHERE event_type = 'view'
+    ),
+    agg AS (
+      SELECT bucket,
+             MIN_BY(event_id, ep * 1000000000 + event_id) AS first_id,
+             MAX_BY(event_id, ep * 1000000000 - event_id) AS last_id,
+             MIN_BY(event_id, CAST(ROUND(v * 10000) AS BIGINT) * 1000000000
+                              + event_id) AS min_id,
+             MAX_BY(event_id, CAST(ROUND(v * 10000) AS BIGINT) * 1000000000
+                              - event_id) AS max_id
+      FROM b GROUP BY bucket
+    ),
+    pts AS (
+      SELECT bucket, 'first' AS role, first_id AS event_id FROM agg
+      UNION ALL SELECT bucket, 'last', last_id FROM agg
+      UNION ALL SELECT bucket, 'min', min_id FROM agg
+      UNION ALL SELECT bucket, 'max', max_id FROM agg
+    )
+    SELECT p.bucket, p.role, p.event_id, b.v AS value
+    FROM pts p JOIN b ON b.event_id = p.event_id
+    ORDER BY p.bucket, p.role, p.event_id
+    """,
+    tags=("events", "downsample", "timeseries"),
+)
+def events_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = _t(spark, sf_dir, "events")
+    b = events.filter(F.col("event_type") == "view").select(
+        "event_id",
+        (F.unix_timestamp("ts") / F.lit(14400)).cast("long").alias("bucket"),
+        F.unix_timestamp("ts").alias("ep"),
+        F.round("value", 4).alias("v"),
+    )
+    vkey = F.round(F.col("v") * 10000).cast("long") * F.lit(1000000000)
+    tkey = F.col("ep") * F.lit(1000000000)
+    agg = b.groupBy("bucket").agg(
+        F.min_by("event_id", tkey + F.col("event_id")).alias("first_id"),
+        F.max_by("event_id", tkey - F.col("event_id")).alias("last_id"),
+        F.min_by("event_id", vkey + F.col("event_id")).alias("min_id"),
+        F.max_by("event_id", vkey - F.col("event_id")).alias("max_id"),
+    )
+    pts = None
+    for role, col in (("first", "first_id"), ("last", "last_id"),
+                      ("min", "min_id"), ("max", "max_id")):
+        part = agg.select(
+            "bucket", F.lit(role).alias("role"), F.col(col).alias("event_id")
+        )
+        pts = part if pts is None else pts.unionByName(part)
+    return (
+        pts.join(b.select("event_id", F.col("v").alias("value")), "event_id")
+        .select("bucket", "role", "event_id", "value")
+        .orderBy("bucket", "role", "event_id")
+    )
