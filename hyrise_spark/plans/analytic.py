@@ -801,3 +801,66 @@ def aggregate_array_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# -- round 9: PERCENTILE_CONT (SQL:2003 T612 inverse distribution) -----------
+# Interpolating companion to the rank-defined percentile_disc family.
+# IDENTICAL text on both engines; the ordered column is the integer cents
+# lattice, so the linear interpolation (a + f*(b-a)) is IEEE-exact and the
+# hashes match bit-for-bit.
+_PCTL_CONT_SQL = """
+    SELECT l_returnflag,
+           PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS p25_cents,
+           PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS med_cents,
+           PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS p90_cents
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+"""
+
+
+@register(
+    "aggregate_percentile_cont",
+    oracle=_PCTL_CONT_SQL,
+    tags=("aggregate", "percentile", "sql"),
+)
+def aggregate_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem")
+    return spark.sql(_PCTL_CONT_SQL)
+
+
+# -- round 9: regular-expression vocabulary ----------------------------------
+# regexp_extract group selection agrees between Spark (Java regex) and
+# DuckDB (RE2) on the conservative-class patterns used here. DuckDB's
+# regexp_replace is FIRST-match by default while Spark's is global — the
+# oracle passes the 'g' flag to pin the same global semantics.
+@register(
+    "projection_regexp",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_extract(text, '([a-z]+) ([a-z]+)', 2) AS second_word,
+           regexp_replace(text, '[aeiou]', '_', 'g') AS devoweled_head,
+           CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_words
+    FROM (SELECT doc_id, substr(text, 1, 40) AS text FROM documents
+          WHERE doc_id < 200) t
+    ORDER BY doc_id
+    """,
+    tags=("projection", "regexp"),
+)
+def projection_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = _t(spark, sf_dir, "documents")
+    head = docs.filter(F.col("doc_id") < 200).select(
+        "doc_id", F.substring("text", 1, 40).alias("text")
+    )
+    return head.select(
+        "doc_id",
+        F.regexp_extract("text", r"([a-z]+) ([a-z]+)", 2).alias("second_word"),
+        F.regexp_replace("text", r"[aeiou]", "_").alias("devoweled_head"),
+        F.size(F.expr(r"regexp_extract_all(text, '[a-z]+', 0)"))
+        .cast("long")
+        .alias("n_words"),
+    ).orderBy("doc_id")
