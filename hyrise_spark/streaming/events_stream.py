@@ -585,3 +585,37 @@ def markov_transition_stream(events: DataFrame) -> DataFrame:
     return events.groupBy("user_id").applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def m4_downsampled_stream(
+    events: DataFrame, window: str = "4 hours", watermark: str = "2 hours",
+    event_type: str = "view",
+) -> DataFrame:
+    """Streaming M4 downsampling (Jugel et al., VLDB 2014) — the live
+    sibling of the batch `events_m4_downsample`: per closed window emit the
+    first/last/min/max points of each series, 4 points per window however
+    dense the ingest. THE dashboard-ingestion reducer: downstream renderers
+    store 4 rows per window instead of the raw stream.
+
+    State is one (4 x BIGINT)-tuple aggregate per open window (bounded by
+    watermark horizon / window width); composite orderings are encoded as
+    single exact BIGINTs exactly like the batch op, so stream and batch
+    pick identical representatives (batch-parity pinned in tests)."""
+    ep = F.unix_timestamp("ts")
+    vkey = F.round(F.col("value") * 10000).cast("long") * F.lit(1000000000)
+    tkey = ep * F.lit(1000000000)
+    return (
+        events.filter(F.col("event_type") == event_type)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"))
+        .agg(
+            F.min_by("event_id", tkey + F.col("event_id")).alias("first_id"),
+            F.max_by("event_id", tkey - F.col("event_id")).alias("last_id"),
+            F.min_by("event_id", vkey + F.col("event_id")).alias("min_id"),
+            F.max_by("event_id", vkey - F.col("event_id")).alias("max_id"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "first_id", "last_id", "min_id", "max_id",
+        )
+    )

@@ -583,3 +583,32 @@ def test_stream_stream_attribution_full_outer_matches_batch(spark, events_dir, t
     # both outer directions do real work
     assert any(cid is None for _, cid in got if _ is not None)
     assert any(pid is None for pid, _ in got)
+
+
+def test_m4_downsampled_stream_matches_batch(spark, events_dir):
+    """Streaming M4 picks the identical first/last/min/max representatives
+    the batch aggregation picks, per closed window."""
+    from hyrise_spark.streaming.events_stream import m4_downsampled_stream
+
+    stream = m4_downsampled_stream(read_events_stream(spark, events_dir))
+    run_to_completion(stream, "stream_m4")
+    got = {
+        r["window_start"]: (r["first_id"], r["last_id"], r["min_id"], r["max_id"])
+        for r in spark.table("stream_m4").collect()
+    }
+    ev = spark.read.parquet(events_dir).filter(F.col("event_type") == "view")
+    ep = F.unix_timestamp("ts")
+    vkey = F.round(F.col("value") * 10000).cast("long") * F.lit(1000000000)
+    tkey = ep * F.lit(1000000000)
+    batch = (
+        ev.groupBy(F.window("ts", "4 hours").alias("w"))
+        .agg(
+            F.min_by("event_id", tkey + F.col("event_id")).alias("f"),
+            F.max_by("event_id", tkey - F.col("event_id")).alias("l"),
+            F.min_by("event_id", vkey + F.col("event_id")).alias("mn"),
+            F.max_by("event_id", vkey - F.col("event_id")).alias("mx"),
+        )
+        .collect()
+    )
+    want = {r["w"]["start"]: (r["f"], r["l"], r["mn"], r["mx"]) for r in batch}
+    assert got == want and len(got) > 3
