@@ -2456,6 +2456,11 @@ class Engine:
             return read_bin(self.spark, path)
         if f == "PARQUET":
             return self.spark.read.parquet(path)
+        if f in ("JSONL", "JSON", "NDJSON"):
+            # schema-on-read json-lines ingest (beyond the reference's
+            # FileType enum, file_type.hpp:9 — but the universal
+            # data-pipeline interchange format)
+            return self.spark.read.json(path)
         raise ValueError(f"unsupported COPY format {fmt!r}")
 
     def export_table(self, name: str, path: str, fmt: str | None = None,
@@ -2501,6 +2506,8 @@ class Engine:
             write_bin(df, path)
         elif f == "PARQUET":
             df.write.mode("overwrite").parquet(path)
+        elif f in ("JSONL", "JSON", "NDJSON"):
+            df.write.mode("overwrite").json(path)
         else:
             raise ValueError(f"unsupported COPY format {fmt!r}")
 

@@ -33,6 +33,8 @@ def read_any(spark: SparkSession, path: str) -> DataFrame:
         return read_csv_with_meta(spark, path)
     if path.endswith(".parquet"):
         return spark.read.parquet(path)
+    if path.endswith((".jsonl", ".ndjson", ".json")):
+        return spark.read.json(path)
     if path.endswith(".bin"):
         import os
 

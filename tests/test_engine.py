@@ -1528,3 +1528,23 @@ def test_vacuum_statement_compacts(engine, spark):
             engine.execute("VACUUM nope_t")
     finally:
         engine.execute("DROP TABLE vac_t")
+
+
+def test_copy_jsonl_roundtrip(engine, spark, tmp_path):
+    """COPY TO/FROM WITH (FORMAT JSONL): schema-on-read json-lines
+    interchange — write, re-ingest, contents match; extension inference
+    (.jsonl) works without the explicit FORMAT."""
+    spark.sql(
+        "SELECT CAST(id AS INT) AS k, CONCAT('v', CAST(id AS STRING)) AS s"
+        " FROM RANGE(20)"
+    ).createOrReplaceTempView("jt")
+    p = str(tmp_path / "jt.jsonl")
+    engine.execute(f"COPY jt TO '{p}' WITH (FORMAT JSONL)")
+    engine.execute(f"COPY jt_back FROM '{p}' WITH (FORMAT JSONL)")
+    got = {(r["k"], r["s"]) for r in engine.execute(
+        "SELECT k, s FROM jt_back").collect()}
+    want = {(r["k"], r["s"]) for r in spark.table("jt").collect()}
+    assert got == want
+    engine.execute(f"COPY jt_auto FROM '{p}'")  # extension inference
+    assert engine.execute("SELECT COUNT(*) AS n FROM jt_auto").collect()[0]["n"] == 20
+    engine.execute("DROP TABLE jt_back; DROP TABLE jt_auto")
