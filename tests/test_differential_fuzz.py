@@ -410,3 +410,24 @@ def distinct_on_query(draw) -> str:
 @given(q=distinct_on_query())
 def test_fuzz_distinct_on(spark, duck, q):
     _run_both_engine(spark, duck, q)
+
+
+@st.composite
+def star_modifier_query(draw) -> str:
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority"]
+    ex = draw(st.lists(st.sampled_from(cols[1:]), min_size=1, max_size=3,
+                       unique=True))
+    rep_col = draw(st.sampled_from([None, "o_custkey", "o_orderkey"]))
+    rep = ""
+    if rep_col and rep_col not in ex:
+        rep = f" REPLACE ({rep_col} % 97 AS {rep_col})"
+    w = draw(where_clause())
+    return (f"SELECT * EXCLUDE ({', '.join(ex)}){rep} FROM orders"
+            f" WHERE {w} ORDER BY o_orderkey")
+
+
+@_SETTINGS
+@given(q=star_modifier_query())
+def test_fuzz_star_modifiers(spark, duck, q):
+    _run_both_engine(spark, duck, q)
