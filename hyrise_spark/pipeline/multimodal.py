@@ -341,3 +341,131 @@ def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "voiced"
         ),
     ).orderBy("media_id", "chunk_idx")
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash near-duplicate detection (round 9) — the image-dedup shape:
+# a locality-sensitive content hash per media object, hamming-LSH banding
+# for candidates, exact hamming verification. With real codecs the hash is
+# pHash/aHash over decoded pixels; the container has none, so the stub
+# "decodes" the payload to its codepoint stream and hashes THAT — the
+# locality property is real (payloads sharing most content agree on most
+# chunk parities), and the banding/verification plumbing is exactly what a
+# production image dedup runs.
+#
+# Hash: 16 bits; bit i = parity of the codepoint sum of the i-th of 16
+# equal character chunks. Banding: 4 bands x 4 bits — a pair is a candidate
+# iff it agrees on at least one band (never all-pairs); verification keeps
+# hamming <= _PHASH_MAX_HAMMING via XOR bit_count. All integer-exact, so
+# the DuckDB oracle recomputes the identical hash from the text.
+_PHASH_BITS = 16
+_PHASH_CHUNKS = 16
+_PHASH_BANDS = 4
+_PHASH_BAND_BITS = _PHASH_BITS // _PHASH_BANDS
+_PHASH_MAX_HAMMING = 4
+_PHASH_DOCS = 300
+
+_PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("phash", LongType()),
+    ]
+)
+
+
+def phash_media(media: DataFrame) -> DataFrame:
+    """(media_id, 16-bit locality hash) via Arrow-batched mapInPandas —
+    payloads never shuffle; only the 8-byte hash leaves the scan task."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                chars = bytes(payload).decode("utf-8")
+                n = len(chars)
+                h = 0
+                for i in range(_PHASH_CHUNKS):
+                    lo, hi = i * n // _PHASH_CHUNKS, (i + 1) * n // _PHASH_CHUNKS
+                    csum = sum(ord(c) for c in chars[lo:hi])
+                    h |= (csum % 2) << i
+                out.append((int(mid), h))
+            yield pd.DataFrame(out, columns=["media_id", "phash"])
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=_PHASH_SCHEMA
+    )
+
+
+def _phash_sql() -> str:
+    chunk_sums = " + ".join(
+        f"COALESCE(list_sum(list_transform(string_split_regex("
+        f"substr(text, 1 + (({i} * n) // {_PHASH_CHUNKS}),"
+        f" ((({i} + 1) * n) // {_PHASH_CHUNKS}) - (({i} * n) // {_PHASH_CHUNKS})),"
+        f" '')," f" x -> unicode(x))), 0) % 2 * {1 << i}"
+        for i in range(_PHASH_CHUNKS)
+    )
+    return chunk_sums
+
+
+@register(
+    "multimodal_phash_neardup",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id AS media_id, text, length(text) AS n
+      FROM documents WHERE doc_id < {_PHASH_DOCS}
+    ),
+    h AS (SELECT media_id, {_phash_sql()} AS phash FROM m),
+    bands AS (
+      SELECT media_id, phash, b.i AS band,
+             (phash >> ({_PHASH_BAND_BITS} * b.i)) & {(1 << _PHASH_BAND_BITS) - 1}
+               AS band_val
+      FROM h, LATERAL (SELECT UNNEST(generate_series(0, {_PHASH_BANDS - 1})) AS i) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.media_id AS m1, b.media_id AS m2,
+             a.phash AS h1, b.phash AS h2
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_val = b.band_val
+       AND a.media_id < b.media_id
+    )
+    SELECT m1, m2, CAST(bit_count(xor(h1, h2)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(h1, h2)) <= {_PHASH_MAX_HAMMING}
+    ORDER BY m1, m2
+    """,
+    tags=("multimodal", "dedup", "phash"),
+)
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = as_media_table(
+        _docs(spark, sf_dir).filter(F.col("doc_id") < _PHASH_DOCS)
+    )
+    h = phash_media(media).localCheckpoint(eager=False)  # one Arrow pass
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            (
+                F.shiftright("phash", _PHASH_BAND_BITS * b)
+                .bitwiseAND(F.lit((1 << _PHASH_BAND_BITS) - 1))
+            ).alias("band_val"),
+        )
+        for b in range(_PHASH_BANDS)
+    ]
+    bands = h.select(
+        "media_id", "phash", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("media_id", "phash", "bk.band", "bk.band_val")
+    a = bands.select(
+        F.col("media_id").alias("m1"), F.col("phash").alias("h1"),
+        "band", "band_val",
+    )
+    b = bands.select(
+        F.col("media_id").alias("m2"), F.col("phash").alias("h2"),
+        "band", "band_val",
+    )
+    hamming = F.bit_count(F.expr("h1 ^ h2")).cast("int")
+    return (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("m1") < F.col("m2"))
+        .dropDuplicates(["m1", "m2"])
+        .select("m1", "m2", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= _PHASH_MAX_HAMMING)
+        .orderBy("m1", "m2")
+    )
