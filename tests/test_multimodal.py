@@ -21,3 +21,29 @@ def test_resize_emits_real_binary_thumbnails(spark):
         t = joined[r.media_id]
         assert bytes(t.thumb) == bytes(r.payload[:128:2])
         assert t.thumb_w == (len(r.payload) % 640 + 2) // 2
+
+
+def test_phash_finds_planted_near_duplicate(spark):
+    """Quality gate (the property a pHash user buys): a payload differing
+    in ONE character from another lands within the hamming threshold and
+    is caught; an unrelated payload is not paired with either."""
+    import pyspark.sql.functions as F
+
+    from hyrise_spark.pipeline.multimodal import (
+        _PHASH_MAX_HAMMING,
+        phash_media,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    near = base[:-10] + "lazy cat " + base[-1]
+    other = "completely different content with other words entirely " * 8
+    media = spark.createDataFrame(
+        [(0, base.encode()), (1, near.encode()), (2, other.encode())],
+        "media_id LONG, payload BINARY",
+    )
+    h = {r["media_id"]: r["phash"] for r in phash_media(media).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(h[0], h[1]) <= _PHASH_MAX_HAMMING, (h, ham(h[0], h[1]))
+    # determinism: same payload -> same hash
+    h2 = {r["media_id"]: r["phash"] for r in phash_media(media).collect()}
+    assert h == h2
