@@ -859,6 +859,7 @@ def _streaming_builder_frames(spark):
             emb, ann.proto_centroids(spark, SF_DIR)),
         "postings_log_stream": postings,
         "term_directory_stream": ix.term_directory_stream(postings),
+        "m4_downsampled_stream": ev.m4_downsampled_stream(events),
     }
     return frames
 
@@ -898,6 +899,7 @@ _STREAMING_FIXTURE_NAMES = (
     "bloom_gated_stream", "lsh_gated_stream", "pq_codebook", "pq_encoded_stream",
     "proto_centroids", "proto_gated_stream",
     "postings_log_stream", "term_directory_stream",
+    "m4_downsampled_stream",
 )
 
 
