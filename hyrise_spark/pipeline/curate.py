@@ -1292,3 +1292,124 @@ def pipeline_retention_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage(quality, 3, "quality_gate"))
         .orderBy("stage_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget selection (round 9): assemble the best corpus subset that
+# fits a token budget — "take the highest-quality documents until N tokens"
+# (the final step of every pretraining-mix recipe). The naive form is a
+# global ORDER BY quality + running-sum cutoff — a single total sort of the
+# corpus. This implementation finds the cutoff on the QUALITY-SCORE
+# HISTOGRAM instead (score -> doc/token counts, cumulated score-descending):
+# entire score classes above the cutoff are kept outright, and only the one
+# boundary class needs an intra-class order (by doc_id, a second bounded
+# pass) — the same histogram trick as the percentile family, no global sort
+# at any scale. Quality = integer commonness-style score (stopword hits*2 +
+# in-range length), deterministic on both engines.
+_BUDGET_TOKENS = 6000
+
+
+@register(
+    "curate_token_budget_select",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+      FROM documents WHERE doc_id < 300
+    ),
+    scored AS (
+      SELECT doc_id, CAST(len(w) AS BIGINT) AS toks,
+             CAST(2 * len(list_filter(w, x -> x IN ('a','the','of','and')))
+                  + CASE WHEN len(w) BETWEEN 30 AND 80 THEN 10 ELSE 0 END
+                  AS BIGINT) AS score
+      FROM d
+    ),
+    hist AS (
+      SELECT score, CAST(SUM(toks) AS BIGINT) AS class_toks
+      FROM scored GROUP BY score
+    ),
+    cum AS (
+      SELECT score, class_toks,
+             CAST(SUM(class_toks) OVER (ORDER BY score DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_toks
+      FROM hist
+    ),
+    cutoff AS (
+      SELECT MIN(score) AS full_score FROM cum
+      WHERE cum_toks <= {_BUDGET_TOKENS}
+    ),
+    boundary AS (
+      SELECT MAX(c.score) AS b_score,
+             {_BUDGET_TOKENS} - COALESCE(MAX(c2.cum_toks), 0) AS b_budget
+      FROM cum c CROSS JOIN cutoff
+      LEFT JOIN cum c2 ON c2.score = cutoff.full_score
+      WHERE c.score < COALESCE(cutoff.full_score, 1 << 60)
+    ),
+    kept_full AS (
+      SELECT s.doc_id, s.toks, s.score FROM scored s CROSS JOIN cutoff
+      WHERE s.score >= cutoff.full_score
+    ),
+    kept_boundary AS (
+      SELECT s.doc_id, s.toks, s.score
+      FROM scored s CROSS JOIN boundary b
+      WHERE s.score = b.b_score
+        AND (SELECT COALESCE(SUM(s2.toks), 0) FROM scored s2
+             WHERE s2.score = b.b_score AND s2.doc_id <= s.doc_id)
+            <= b.b_budget
+    )
+    SELECT doc_id, toks, score FROM kept_full
+    UNION ALL
+    SELECT doc_id, toks, score FROM kept_boundary
+    ORDER BY doc_id
+    """,
+    tags=("curate", "budget", "selection"),
+)
+def curate_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    w = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    scored = docs.filter(F.col("doc_id") < 300).select(
+        "doc_id",
+        F.size(w).cast("long").alias("toks"),
+        (
+            2 * F.size(F.filter(w, lambda x: x.isin("a", "the", "of", "and")))
+            + F.when(F.size(w).between(30, 80), 10).otherwise(0)
+        ).cast("long").alias("score"),
+    ).localCheckpoint(eager=False)  # three consumers, one scan
+    hist = scored.groupBy("score").agg(F.sum("toks").alias("class_toks"))
+    cum = hist.select(
+        "score", "class_toks",
+        F.sum("class_toks").over(
+            Window.orderBy(F.col("score").desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("cum_toks"),
+    )
+    cutoff = cum.filter(F.col("cum_toks") <= _BUDGET_TOKENS).agg(
+        F.min("score").alias("full_score")
+    )
+    spent = cum.join(cutoff, cum.score == cutoff.full_score).agg(
+        F.coalesce(F.max("cum_toks"), F.lit(0)).alias("spent")
+    )
+    boundary = (
+        cum.crossJoin(cutoff)
+        .filter(F.col("score") < F.coalesce(F.col("full_score"), F.lit(1 << 60)))
+        .agg(F.max("score").alias("b_score"))
+        .crossJoin(spent)
+        .select("b_score", (F.lit(_BUDGET_TOKENS) - F.col("spent")).alias("b_budget"))
+    )
+    kept_full = scored.crossJoin(F.broadcast(cutoff)).filter(
+        F.col("score") >= F.col("full_score")
+    ).select("doc_id", "toks", "score")
+    # boundary class: intra-class cumulative by doc_id — bounded to ONE
+    # score class, not the corpus
+    w_cls = Window.partitionBy("score").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    kept_boundary = (
+        scored.join(F.broadcast(boundary), scored.score == F.col("b_score"))
+        .withColumn("cls_cum", F.sum("toks").over(w_cls))
+        .filter(F.col("cls_cum") <= F.col("b_budget"))
+        .select("doc_id", "toks", "score")
+    )
+    return kept_full.unionByName(kept_boundary).orderBy("doc_id")
