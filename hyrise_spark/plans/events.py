@@ -1263,3 +1263,87 @@ def events_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bucket", "role", "event_id", "value")
         .orderBy("bucket", "role", "event_id")
     )
+
+
+# -- round 9: CUSUM changepoint detection (Page 1954) -------------------------
+# The classic sequential changepoint statistic: per series, the cumulative
+# sum of centered values; the |CUSUM| maximum locates the most likely mean
+# shift. Everything on the integer milli-lattice (values and the global
+# mean both scaled exactly), so both engines agree bit-for-bit. Plan: one
+# global 2-value aggregate (broadcast back), one per-type window cumsum
+# over DAILY means (365-row partitions — the aggregation to days happens
+# FIRST, so the window never sees raw events), one argmax per type.
+@register(
+    "events_changepoint_cusum",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day,
+             CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS BIGINT) AS v_milli,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT CAST(SUM(v_milli) AS BIGINT) AS tot,
+             CAST(SUM(n) AS BIGINT) AS cnt FROM daily
+    ),
+    cusum AS (
+      SELECT event_type, day,
+             CAST(SUM(v_milli * cnt - n * tot) OVER (PARTITION BY event_type
+                  ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND
+                  CURRENT ROW) AS BIGINT) AS c
+      FROM daily CROSS JOIN g
+    ),
+    peak AS (
+      SELECT event_type, day, c,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY ABS(c) DESC, day) AS rn
+      FROM cusum
+    )
+    SELECT event_type, day AS change_day, c AS cusum_scaled
+    FROM peak WHERE rn = 1
+    ORDER BY event_type
+    """,
+    tags=("events", "changepoint", "timeseries"),
+)
+def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type, the day where the |CUSUM| of centered daily totals
+    peaks — the Page (1954) mean-shift locator. The centering term is
+    cross-multiplied (v*cnt - n*tot) to stay on the exact integer lattice
+    instead of subtracting a fractional mean."""
+    from pyspark.sql import Window
+
+    (events,) = _t(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type",
+        (F.unix_timestamp("ts") / F.lit(86400)).cast("long").alias("day"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 1000).cast("long")).alias("v_milli"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    g = daily.agg(
+        F.sum("v_milli").alias("tot"), F.sum("n").alias("cnt")
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cusum = daily.crossJoin(F.broadcast(g)).select(
+        "event_type", "day",
+        F.sum(
+            F.col("v_milli") * F.col("cnt") - F.col("n") * F.col("tot")
+        ).over(w_cum).alias("c"),
+    )
+    w_pk = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("c")).desc(), F.col("day")
+    )
+    return (
+        cusum.withColumn("rn", F.row_number().over(w_pk))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("change_day"),
+            F.col("c").alias("cusum_scaled"),
+        )
+        .orderBy("event_type")
+    )
