@@ -533,6 +533,13 @@ _GLOBAL_WINDOW_ALLOWLIST: dict[str, str] = {
     # bucket (~20 rows — the retail-price range is a generator constant,
     # not a data-volume function). The per-row windows partition by bucket.
     "skyline_price_size": "prefix over the fixed price-bucket domain",
+    # Cumulative token sums over the QUALITY-SCORE HISTOGRAM: one row per
+    # distinct integer score (a bounded scoring domain, like the price
+    # buckets above) — the whole point of the op is that the cutoff search
+    # never sorts the corpus. The per-doc boundary window partitions by
+    # score.
+    "curate_token_budget_select":
+        "histogram cumsum over the bounded score domain",
 }
 
 # Logical nodes whose subtree output is constant-bounded regardless of data
