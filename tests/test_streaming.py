@@ -612,3 +612,63 @@ def test_m4_downsampled_stream_matches_batch(spark, events_dir):
     )
     want = {r["w"]["start"]: (r["f"], r["l"], r["mn"], r["mx"]) for r in batch}
     assert got == want and len(got) > 3
+
+
+def test_join_state_survives_checkpoint_restart(spark, tmp_path):
+    """Stream-stream join STATE recovers across query restarts: a click
+    ingested in pass 1 must still match a purchase that only arrives in
+    pass 2, after the first query has terminated — the buffered-side state
+    lives in the checkpoint, not the process. (The late-data test pins
+    aggregation-state recovery; this pins JOIN-state recovery.)"""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hyrise_spark.streaming.events_stream import purchase_click_attribution
+
+    d = tmp_path / "join_events"
+    d.mkdir()
+    out_dir = str(tmp_path / "join_out")
+    ckpt = str(tmp_path / "join_ckpt")
+
+    def write(name, rows):
+        df = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        df["ts"] = pd.to_datetime(df["ts"])
+        tbl = pa.Table.from_pandas(df, preserve_index=False)
+        tbl = tbl.set_column(
+            tbl.schema.get_field_index("ts"), "ts",
+            tbl["ts"].cast(pa.timestamp("us")),
+        )
+        pq.write_table(tbl, d / name)
+
+    def drain():
+        q = (
+            purchase_click_attribution(
+                read_events_stream(spark, str(d)),
+                read_events_stream(spark, str(d)),
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # pass 1: the click only — no joined row can exist yet
+    write("b1.parquet", [(1, "2024-01-01 10:00:00", 7, "click", 0.0, "{}")])
+    drain()
+    # pass 2 (new query instance, same checkpoint): the purchase 30 min
+    # later — must match the PASS-1 click from recovered state; plus a
+    # far-future row to advance the watermark so the join emits
+    write("b2.parquet", [
+        (2, "2024-01-01 10:30:00", 7, "purchase", 42.0, "{}"),
+        (3, "2024-01-01 20:00:00", 8, "click", 0.0, "{}"),
+    ])
+    drain()
+    rows = spark.read.parquet(out_dir).collect()
+    matched = [(r["purchase_id"], r["click_id"]) for r in rows]
+    assert (2, 1) in matched, rows
