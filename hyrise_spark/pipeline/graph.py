@@ -339,3 +339,84 @@ def graph_sssp_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist.select("node", F.col("dist").cast("long").alias("hops")).orderBy(
         "hops", "node"
     )
+
+
+# ---------------------------------------------------------------------------
+# Link prediction by common-neighbor Jaccard (Liben-Nowell & Kleinberg 2003)
+# — the classic baseline: score NON-adjacent pairs by
+# |N(a) & N(b)| / |N(a) | N(b)| over the undirected neighborhood. Candidate
+# pairs come from WEDGES (two edges sharing a midpoint) — degree-bounded,
+# never all-pairs; the anti-join removes already-linked pairs (predicting
+# an existing edge is vacuous). Integer counts + one exact division.
+_LP_TOPK = 25
+
+
+@register(
+    "graph_link_prediction",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    und AS (
+      SELECT src AS a, dst AS b FROM edges
+      UNION SELECT dst, src FROM edges
+    ),
+    deg AS (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY a),
+    wedge AS (
+      SELECT e1.b AS u, e2.b AS v, CAST(COUNT(*) AS BIGINT) AS common
+      FROM und e1 JOIN und e2 ON e1.a = e2.a AND e1.b < e2.b
+      GROUP BY e1.b, e2.b
+    ),
+    nonadj AS (
+      SELECT w.u, w.v, w.common FROM wedge w
+      WHERE NOT EXISTS (SELECT 1 FROM und x WHERE x.a = w.u AND x.b = w.v)
+    ),
+    scored AS (
+      SELECT n.u, n.v, n.common,
+             ROUND(CAST(n.common AS DOUBLE)
+                   / (du.d + dv.d - n.common), 4) AS jaccard
+      FROM nonadj n JOIN deg du ON du.node = n.u JOIN deg dv ON dv.node = n.v
+    )
+    SELECT u, v, common, jaccard FROM scored
+    ORDER BY jaccard DESC, u, v
+    LIMIT {_LP_TOPK}
+    """,
+    tags=("graph", "link-prediction"),
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _edges(spark, sf_dir)
+    und = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .union(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=False)  # wedge self-join + anti-join + degrees
+    )
+    deg = und.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    e1 = und.select(F.col("a").alias("mid"), F.col("b").alias("u"))
+    e2 = und.select(F.col("a").alias("mid"), F.col("b").alias("v"))
+    wedge = (
+        e1.join(e2, "mid")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    nonadj = wedge.join(
+        und.select(F.col("a").alias("u"), F.col("b").alias("v")),
+        ["u", "v"],
+        "left_anti",
+    )
+    scored = (
+        nonadj.join(deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v")
+        .select(
+            "u", "v", "common",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("du") + F.col("dv") - F.col("common")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(
+        F.col("jaccard").desc(), "u", "v"
+    ).limit(_LP_TOPK)
