@@ -2461,6 +2461,8 @@ class Engine:
             # FileType enum, file_type.hpp:9 — but the universal
             # data-pipeline interchange format)
             return self.spark.read.json(path)
+        if f == "ORC":
+            return self.spark.read.orc(path)
         raise ValueError(f"unsupported COPY format {fmt!r}")
 
     def export_table(self, name: str, path: str, fmt: str | None = None,
@@ -2508,6 +2510,8 @@ class Engine:
             df.write.mode("overwrite").parquet(path)
         elif f in ("JSONL", "JSON", "NDJSON"):
             df.write.mode("overwrite").json(path)
+        elif f == "ORC":
+            df.write.mode("overwrite").orc(path)
         else:
             raise ValueError(f"unsupported COPY format {fmt!r}")
 

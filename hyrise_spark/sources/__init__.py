@@ -35,6 +35,8 @@ def read_any(spark: SparkSession, path: str) -> DataFrame:
         return spark.read.parquet(path)
     if path.endswith((".jsonl", ".ndjson", ".json")):
         return spark.read.json(path)
+    if path.endswith(".orc"):
+        return spark.read.orc(path)
     if path.endswith(".bin"):
         import os
 

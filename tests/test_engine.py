@@ -1548,3 +1548,20 @@ def test_copy_jsonl_roundtrip(engine, spark, tmp_path):
     engine.execute(f"COPY jt_auto FROM '{p}'")  # extension inference
     assert engine.execute("SELECT COUNT(*) AS n FROM jt_auto").collect()[0]["n"] == 20
     engine.execute("DROP TABLE jt_back; DROP TABLE jt_auto")
+
+
+def test_copy_orc_roundtrip(engine, spark, tmp_path):
+    """COPY TO/FROM WITH (FORMAT ORC): Spark's second columnar format
+    round-trips through the same dispatch (DuckDB cannot read ORC, so the
+    check is a Spark write/read identity + schema preservation)."""
+    spark.sql(
+        "SELECT CAST(id AS INT) AS k, CAST(id * 1.5 AS DOUBLE) AS v"
+        " FROM RANGE(25)"
+    ).createOrReplaceTempView("ot")
+    p = str(tmp_path / "ot.orc")
+    engine.execute(f"COPY ot TO '{p}' WITH (FORMAT ORC)")
+    engine.execute(f"COPY ot_back FROM '{p}' WITH (FORMAT ORC)")
+    got = {(r["k"], r["v"]) for r in engine.execute("SELECT k, v FROM ot_back").collect()}
+    assert got == {(r["k"], r["v"]) for r in spark.table("ot").collect()}
+    assert engine.execute("SELECT k FROM ot_back").schema["k"].dataType.simpleString() == "int"
+    engine.execute("DROP TABLE ot_back")
