@@ -1343,3 +1343,58 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "role", "cid", F.round("cs", 4).alias("cos_sim"))
         .orderBy("qid", "role")
     )
+
+
+# ---------------------------------------------------------------------------
+# Maximum-inner-product top-k (round 9): the recommender-system metric —
+# UN-normalized scores, so magnitude matters (a long vector can beat a
+# better-aligned short one; cosine top-k cannot express this). Brute-force
+# map-side scoring here; the documented ANN path is the MIPS->NN reduction
+# (Bachrach et al., RecSys 2014): augment candidates with
+# sqrt(M^2 - |x|^2) and queries with 0, after which inner-product order
+# equals cosine order and every bucketed ANN structure above (LSH/IVF/PQ)
+# applies unchanged.
+@register(
+    "sim_mips_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {_N_QUERIES}),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id >= {_N_QUERIES}),
+    scored AS (
+      SELECT qid, cid, list_inner_product(qv, cv) AS ip
+      FROM q CROSS JOIN c
+    ), ranked AS (
+      SELECT qid, cid, ip,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY ROUND(ip, 6) DESC, cid) AS rn
+      FROM scored
+    )
+    SELECT qid, cid, ROUND(ip, 4) AS inner_product, CAST(rn AS INT) AS rank
+    FROM ranked WHERE rn <= {_TOP_K}
+    """,
+    tags=("similarity", "topk", "mips"),
+)
+def sim_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    ).limit(_N_QUERIES)
+    c = e.filter(F.col("vec_id") >= _N_QUERIES).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    scored = F.broadcast(q).crossJoin(c).withColumn(
+        "ip", _dot(F.col("qv"), F.col("cv"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.round(F.col("ip"), 6).desc(), F.col("cid")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select(
+            "qid", "cid",
+            F.round("ip", 4).alias("inner_product"),
+            F.col("rn").cast("int").alias("rank"),
+        )
+    )
