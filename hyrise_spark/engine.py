@@ -1039,6 +1039,7 @@ class Engine:
         """
         import pyspark.sql.functions as F
 
+        stmt = self._rewrite_window_dialect(stmt)  # dialect forms compose
         q = self._find_top_level(stmt, "QUALIFY")
         head, tail = stmt[:q].rstrip(), stmt[q + len("QUALIFY"):].strip()
         pred, rest = tail, ""
@@ -1104,6 +1105,7 @@ class Engine:
         Supported shape: SELECT DISTINCT ON (keys) <list> FROM ...
         [WHERE ...] [ORDER BY ...] [LIMIT n] — no GROUP BY (postgres allows
         it but the combination is rarely meaningful; raise instead)."""
+        stmt = self._rewrite_window_dialect(stmt)  # dialect forms compose
         m = re.match(r"^\s*SELECT\s+DISTINCT\s+ON\s*", stmt, re.I)
         p = stmt.find("(", m.end())
         q = self._match_paren(stmt, p)
@@ -1129,10 +1131,35 @@ class Engine:
             else:
                 limit, rest = rest[k:].strip(), rest[:k].rstrip()
         win_order = re.sub(r"^ORDER\s+BY\s+", "", order, flags=re.I) or keys
-        out = "* EXCEPT (__don_rn)" if sel == "*" else sel
+        # WINDOW expressions in the select list must be computed on the
+        # PRE-distinct rows (postgres/DuckDB clause order: windows run
+        # before DISTINCT ON keeps one row per key) — hoist them into the
+        # inner query under synthetic aliases; plain expressions evaluate
+        # identically on the survivor row and stay in the outer select.
+        inner_extra, out_items = [], []
+        if sel == "*":
+            out = "* EXCEPT (__don_rn)"
+        else:
+            for i, item in enumerate(self._split_top_level_commas(sel)):
+                item = item.strip()
+                # anywhere in the item, incl. nested in CAST/ROUND parens
+                if not re.search(r"\bOVER\s*\(",
+                                 _strip_str_literals(item), re.I):
+                    out_items.append(item)
+                    continue
+                am = re.match(r"^(?P<expr>.+)\s+AS\s+(?P<alias>\w+)\s*$",
+                              item, re.I | re.S)
+                if not am:
+                    raise ValueError(
+                        "DISTINCT ON: window expressions in the select "
+                        f"list need an alias: {item!r}")
+                inner_extra.append(f"{am['expr'].strip()} AS __don_a{i}")
+                out_items.append(f"__don_a{i} AS {am['alias']}")
+            out = ", ".join(out_items)
+        extra = (", " + ", ".join(inner_extra)) if inner_extra else ""
         return self.spark.sql(
             f"SELECT {out} FROM ("
-            f"  SELECT *, ROW_NUMBER() OVER (PARTITION BY {keys}"
+            f"  SELECT *{extra}, ROW_NUMBER() OVER (PARTITION BY {keys}"
             f"    ORDER BY {win_order}) AS __don_rn {rest}"
             f") __don WHERE __don_rn = 1 {order} {limit}"
         )
@@ -1141,8 +1168,20 @@ class Engine:
         """Window dialect forms Spark lacks, composed as text transforms:
         `fn(x) FILTER (WHERE p) OVER (...)` first (it can wrap an excluded
         frame), then SQL:2011 frame exclusion."""
-        stmt = self._rewrite_window_filter(stmt)
-        return self._frame_exclude_sql(stmt)
+        return self.spark.sql(self._rewrite_window_dialect(stmt))
+
+    def _rewrite_window_dialect(self, stmt: str) -> str:
+        """Both window text transforms in composition order — also applied
+        by the QUALIFY / DISTINCT ON rewrites to their inner statements, so
+        the dialect forms compose (e.g. DISTINCT ON over an excluded-frame
+        select list). No-ops when the markers are absent."""
+        if re.search(r"\bFILTER\s*\(\s*WHERE\b", _strip_str_literals(stmt),
+                     re.I):
+            stmt = self._rewrite_window_filter(stmt)
+        if re.search(r"\bEXCLUDE\s+(?:CURRENT\s+ROW|GROUP|TIES|NO\s+OTHERS)\b",
+                     _strip_str_literals(stmt), re.I):
+            stmt = self._rewrite_frame_exclusion(stmt)
+        return stmt
 
     def _rewrite_window_filter(self, stmt: str) -> str:
         """FILTER clause on WINDOW functions (SQL:2003 T612; DuckDB/postgres
@@ -1186,7 +1225,7 @@ class Engine:
             i = fclose + 1
         return "".join(out)
 
-    def _frame_exclude_sql(self, stmt: str) -> DataFrame:
+    def _rewrite_frame_exclusion(self, stmt: str) -> str:
         """Window frame exclusion (SQL:2011 EXCLUDE CURRENT ROW / GROUP /
         TIES; the reference declares frames but cannot execute windows,
         window_expression.hpp:30, lqp_translator.cpp:523-526; DuckDB runs
@@ -1311,7 +1350,7 @@ class Engine:
             out.append(stmt[i:m.start()])
             out.append(expr)
             i = close + 1
-        return self.spark.sql("".join(out))
+        return "".join(out)
 
     def _star_modifiers_sql(self, stmt: str) -> DataFrame:
         """`SELECT * EXCLUDE (cols) [REPLACE (expr AS col, ...)]` (DuckDB

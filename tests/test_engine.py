@@ -1565,3 +1565,41 @@ def test_copy_orc_roundtrip(engine, spark, tmp_path):
     assert got == {(r["k"], r["v"]) for r in spark.table("ot").collect()}
     assert engine.execute("SELECT k FROM ot_back").schema["k"].dataType.simpleString() == "int"
     engine.execute("DROP TABLE ot_back")
+
+
+def test_dialect_composition_qualify_distinct_on_with_exclusion(engine, spark, duck):
+    """The window text transforms compose under QUALIFY and DISTINCT ON:
+    an excluded-frame / FILTER OVER expression inside either outer form
+    runs on Spark and matches DuckDB running the same text natively."""
+    spark.sql(
+        "SELECT CAST(id % 3 AS INT) AS g, CAST(id AS INT) AS v FROM RANGE(12)"
+    ).createOrReplaceTempView("dcq")
+    duck.execute(
+        "CREATE OR REPLACE VIEW dcq AS SELECT CAST(range % 3 AS INT) AS g,"
+        " CAST(range AS INT) AS v FROM RANGE(12)"
+    )
+    q1 = (
+        "SELECT g, v, CAST(SUM(v) OVER (PARTITION BY g ORDER BY v"
+        " RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE GROUP)"
+        " AS BIGINT) AS below QUALIFY ROW_NUMBER() OVER (PARTITION BY g"
+        " ORDER BY v DESC) = 1 FROM dcq"
+    )
+    # DuckDB's QUALIFY comes after FROM; reorder for it (semantically same)
+    q1_duck = (
+        "SELECT g, v, CAST(SUM(v) OVER (PARTITION BY g ORDER BY v"
+        " RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE GROUP)"
+        " AS BIGINT) AS below FROM dcq QUALIFY ROW_NUMBER() OVER"
+        " (PARTITION BY g ORDER BY v DESC) = 1"
+    )
+    got = {tuple(r) for r in engine.execute(q1_duck).collect()}
+    want = {tuple(r) for r in duck.execute(q1_duck).fetchall()}
+    assert got == want and len(got) == 3
+    q2 = (
+        "SELECT DISTINCT ON (g) g, v,"
+        " CAST(COUNT(*) FILTER (WHERE v % 2 = 0) OVER (PARTITION BY g)"
+        " AS BIGINT) AS evens"
+        " FROM dcq ORDER BY g, v DESC"
+    )
+    got = {tuple(r) for r in engine.execute(q2).collect()}
+    want = {tuple(r) for r in duck.execute(q2).fetchall()}
+    assert got == want and len(got) == 3
