@@ -398,9 +398,17 @@ def distinct_on_query(draw) -> str:
     dirn = draw(st.sampled_from(["ASC", "DESC"]))
     w = draw(where_clause())
     ks = ", ".join(keys)
+    # optionally a WINDOW expression in the select list: it must evaluate
+    # on the PRE-distinct rows (clause order: windows before DISTINCT ON)
+    win = draw(st.sampled_from([
+        "",
+        ", CAST(COUNT(*) OVER (PARTITION BY o_orderstatus) AS BIGINT) AS grp_n",
+        ", CAST(SUM(o_orderkey) FILTER (WHERE o_orderkey % 2 = 0)"
+        " OVER (PARTITION BY o_orderpriority) AS BIGINT) AS even_sum",
+    ]))
     return (
         f"SELECT DISTINCT ON ({ks}) {ks}, o_orderkey,"
-        f" ROUND(o_totalprice, 2) AS price"
+        f" ROUND(o_totalprice, 2) AS price{win}"
         f" FROM orders WHERE {w}"
         f" ORDER BY {ks}, o_totalprice {dirn}, o_orderkey"
     )
