@@ -1413,3 +1413,93 @@ def curate_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "toks", "score")
     )
     return kept_full.unionByName(kept_boundary).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Data-quality expectations report (round 9) — the Deequ-style audit
+# (Schelter et al., VLDB 2018: "Automating Large-Scale Data Quality
+# Verification") every production pipeline runs before training: declared
+# constraints evaluated in ONE pass each, emitting (rule, checked,
+# violations). Rules here: range, set-membership, referential integrity
+# (orphan FKs), key uniqueness, and monotone-pair sanity. Each rule is a
+# partial-agg aggregate or an anti-join on the key — no rule materializes
+# violating ROWS (the report is counts; a drill-down query filters on the
+# same predicate).
+@register(
+    "pipeline_data_expectations",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'l_quantity_in_1_50' AS rule,
+             CAST(COUNT(*) AS BIGINT) AS checked,
+             CAST(SUM(CASE WHEN l_quantity BETWEEN 1 AND 50
+                           THEN 0 ELSE 1 END) AS BIGINT) AS violations
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_returnflag_in_domain',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN l_returnflag IN ('A','N','R')
+                           THEN 0 ELSE 1 END) AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'lineitem_orderkey_fk',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT)
+      FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+      UNION ALL
+      SELECT 'orders_orderkey_unique',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'extendedprice_positive',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN l_extendedprice > 0 THEN 0 ELSE 1 END)
+                  AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'discount_le_tax_plus_half',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN l_discount <= l_tax + 0.5 THEN 0 ELSE 1 END)
+                  AS BIGINT)
+      FROM lineitem
+    ) ORDER BY rule
+    """,
+    tags=("pipeline", "quality", "expectations"),
+)
+def pipeline_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tabs = load_tables(spark, sf_dir, ("lineitem", "orders"))
+    li, orders = tabs["lineitem"], tabs["orders"]
+
+    def rule(df: DataFrame, name: str, ok) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("rule"),
+            F.count(F.lit(1)).alias("checked"),
+            F.sum(F.when(ok, 0).otherwise(1)).alias("violations"),
+        ).select("rule", "checked", F.col("violations").cast("long"))
+
+    fk = li.join(
+        orders.select("o_orderkey"),
+        li.l_orderkey == F.col("o_orderkey"),
+        "left",
+    )
+    uniq = orders.agg(
+        F.lit("orders_orderkey_unique").alias("rule"),
+        F.count(F.lit(1)).alias("checked"),
+        (F.count(F.lit(1)) - F.count_distinct(F.col("o_orderkey")))
+        .cast("long")
+        .alias("violations"),
+    )
+    return (
+        rule(li, "l_quantity_in_1_50", F.col("l_quantity").between(1, 50))
+        .unionByName(rule(li, "l_returnflag_in_domain",
+                          F.col("l_returnflag").isin("A", "N", "R")))
+        .unionByName(rule(fk, "lineitem_orderkey_fk",
+                          F.col("o_orderkey").isNotNull()))
+        .unionByName(uniq)
+        .unionByName(rule(li, "extendedprice_positive",
+                          F.col("l_extendedprice") > 0))
+        .unionByName(rule(li, "discount_le_tax_plus_half",
+                          F.col("l_discount") <= F.col("l_tax") + 0.5))
+        .orderBy("rule")
+    )
