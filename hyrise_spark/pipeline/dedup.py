@@ -1461,3 +1461,94 @@ def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d1", "d2")
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster size distribution (round 9): the dedup report every
+# large-scale run publishes — "how many clusters of size 2, 3, ...; how
+# many docs do we drop". Built ON the transitive clusters
+# (cluster_canonical), not the raw pairs: a 3-clique is ONE cluster of 3,
+# not 3 pairs. The histogram is cluster-size-domain sized; singletons
+# (docs in no cluster) are reported as size 1 via the complement count.
+@register(
+    "dedup_cluster_size_dist",
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+      FROM documents WHERE doc_id < 300
+    ), all_shingles AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS sh
+      FROM toks, LATERAL (SELECT UNNEST(generate_series(1, len(w) - 2)) AS i)
+    ), cold AS (
+      SELECT sh FROM all_shingles GROUP BY sh HAVING COUNT(*) <= {_NGRAM_MAX_DF}
+    ), shingles AS (
+      SELECT s.doc_id, s.sh FROM all_shingles s JOIN cold USING (sh)
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+      FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), dup AS (
+      SELECT d1, d2
+      FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+      WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) > 0.12
+    ), edges AS (
+      SELECT d1 AS a, d2 AS b FROM dup UNION SELECT d2, d1 FROM dup
+    ), reach(src, dst) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ), canon AS (
+      SELECT src AS doc_id, LEAST(src, MIN(dst)) AS canonical_id
+      FROM reach GROUP BY src
+    ), csize AS (
+      SELECT canonical_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM canon GROUP BY canonical_id
+    ), hist AS (
+      SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+             CAST(SUM(cluster_size - 1) AS BIGINT) AS docs_droppable
+      FROM csize GROUP BY cluster_size
+    )
+    SELECT CAST(1 AS BIGINT) AS cluster_size,
+           CAST((SELECT COUNT(*) FROM toks)
+                - (SELECT COUNT(*) FROM canon) AS BIGINT) AS n_clusters,
+           CAST(0 AS BIGINT) AS docs_droppable
+    UNION ALL
+    SELECT cluster_size, n_clusters, docs_droppable FROM hist
+    ORDER BY cluster_size
+    """,
+    tags=("dedup", "cluster", "report"),
+)
+def dedup_cluster_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = docs.filter(F.col("doc_id") < 300).select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("w")
+    )
+    pairs = _ngram_jaccard_pairs(toks).select("d1", "d2")
+    canon = cluster_canonical(pairs, "d1", "d2")
+    csize = canon.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    hist = csize.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum(F.col("cluster_size") - 1).cast("long").alias("docs_droppable"),
+    )
+    # singleton row computed DISTRIBUTIVELY (anti-join + aggregate) — no
+    # driver-side counts in a registered query
+    singletons = (
+        toks.select("doc_id")
+        .join(canon.select("doc_id"), "doc_id", "left_anti")
+        .agg(
+            F.lit(1).cast("long").alias("cluster_size"),
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.lit(0).cast("long").alias("docs_droppable"),
+        )
+    )
+    return singletons.unionByName(
+        hist.select(
+            F.col("cluster_size").cast("long"),
+            F.col("n_clusters").cast("long"),
+            "docs_droppable",
+        )
+    ).orderBy("cluster_size")
