@@ -1398,3 +1398,81 @@ def sim_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("int").alias("rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster purity (round 9): the standard external clustering-evaluation
+# metric — per cluster, the share of the dominant ground-truth label
+# (purity = sum over clusters of max label count / N). Completes the
+# evaluation harness (recall@k for retrieval, estimator error for MinHash,
+# purity for clustering). Assignment = the audited sim_kmeans_assign cell
+# rule; integer counts + one exact division per cluster.
+@register(
+    "sim_cluster_purity",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    seeds AS (
+      SELECT vec_id AS cell,
+             list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS cv
+      FROM e WHERE vec_id < {_KMEANS_K}
+    ),
+    pts AS (
+      SELECT vec_id, label,
+             list_transform(v, x -> x / sqrt(list_inner_product(v, v))) AS pv
+      FROM e WHERE vec_id >= {_KMEANS_K}
+    ),
+    scored AS (
+      SELECT vec_id, label, cell,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY list_inner_product(pv, cv) DESC,
+                                         cell) AS rn
+      FROM pts CROSS JOIN seeds
+    ),
+    assign AS (SELECT vec_id, label, cell FROM scored WHERE rn = 1),
+    lc AS (
+      SELECT cell, label, CAST(COUNT(*) AS BIGINT) AS n
+      FROM assign GROUP BY cell, label
+    ),
+    top AS (
+      SELECT cell, CAST(MAX(n) AS BIGINT) AS top_n,
+             CAST(SUM(n) AS BIGINT) AS total
+      FROM lc GROUP BY cell
+    )
+    SELECT CAST(cell AS INTEGER) AS cell, top_n, total,
+           ROUND(CAST(top_n AS DOUBLE) / total, 4) AS purity
+    FROM top ORDER BY cell
+    """,
+    tags=("similarity", "kmeans", "evaluation"),
+)
+def sim_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    e = emb.select(
+        "vec_id", "label",
+        _normalize(F.col("embedding").cast("array<double>")).alias("v"),
+    )
+    seeds = e.filter(F.col("vec_id") < _KMEANS_K).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("cv")
+    ).limit(_KMEANS_K)
+    pts = e.filter(F.col("vec_id") >= _KMEANS_K).select(
+        "vec_id", "label", F.col("v").alias("pv")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        _dot(F.col("pv"), F.col("cv")).desc(), F.col("cell")
+    )
+    assign = (
+        pts.crossJoin(F.broadcast(seeds))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "cell")
+    )
+    lc = assign.groupBy("cell", "label").agg(F.count(F.lit(1)).alias("n"))
+    top = lc.groupBy("cell").agg(
+        F.max("n").alias("top_n"), F.sum("n").alias("total")
+    )
+    return top.select(
+        F.col("cell").cast("int").alias("cell"),
+        "top_n",
+        F.col("total").cast("long").alias("total"),
+        F.round(F.col("top_n").cast("double") / F.col("total"), 4).alias("purity"),
+    ).orderBy("cell")
