@@ -1347,3 +1347,107 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# -- round 9: inter-arrival cadence profile -----------------------------------
+# Queueing/cadence analysis: per event type, the distribution of gaps
+# between consecutive events (LAG over integer epoch seconds), summarized
+# as exact min / max / mean-milliseconds and the rank-defined exact median
+# via the value HISTOGRAM (the percentile-family pattern — the median
+# search never sorts the gap stream). Everything integer-exact: gaps are
+# whole seconds, the mean is cross-multiplied to milli-seconds.
+@register(
+    "events_interarrival_stats",
+    oracle="""
+    WITH o AS (
+      SELECT event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ep,
+             event_id
+      FROM events
+    ),
+    gaps AS (
+      SELECT event_type,
+             ep - LAG(ep) OVER (PARTITION BY event_type
+                                ORDER BY ep, event_id) AS gap
+      FROM o
+    ),
+    g AS (SELECT event_type, gap FROM gaps WHERE gap IS NOT NULL),
+    hist AS (
+      SELECT event_type, gap, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM g GROUP BY event_type, gap
+    ),
+    cum AS (
+      SELECT event_type, gap, cnt,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY gap
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             SUM(cnt) OVER (PARTITION BY event_type) AS n
+      FROM hist
+    ),
+    med AS (
+      SELECT event_type, CAST(MIN(gap) AS BIGINT) AS median_gap_s
+      FROM cum WHERE cum * 2 >= n GROUP BY event_type
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(MIN(gap) AS BIGINT) AS min_gap_s,
+             CAST(MAX(gap) AS BIGINT) AS max_gap_s,
+             CAST((1000 * SUM(gap)) // COUNT(*) AS BIGINT) AS mean_gap_ms,
+             CAST(COUNT(*) AS BIGINT) AS n_gaps
+      FROM g GROUP BY event_type
+    )
+    SELECT s.event_type, s.n_gaps, s.min_gap_s, s.max_gap_s,
+           s.mean_gap_ms, m.median_gap_s
+    FROM stats s JOIN med m ON m.event_type = s.event_type
+    ORDER BY s.event_type
+    """,
+    tags=("events", "cadence", "timeseries"),
+)
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale note: the LAG pass partitions by event_type — a 5-value key,
+    so each series orders in one task. At 100 TB the same plan runs per
+    (event_type, day) with boundary stitching (carry each day's last
+    timestamp into the next — one extra tiny join), keeping partitions
+    day-sized; the gap HISTOGRAM/median machinery below is unchanged."""
+    from pyspark.sql import Window
+
+    (events,) = _t(spark, sf_dir, "events")
+    o = events.select(
+        "event_type",
+        F.unix_timestamp("ts").alias("ep"),
+        "event_id",
+    )
+    w_lag = Window.partitionBy("event_type").orderBy("ep", "event_id")
+    g = o.select(
+        "event_type",
+        (F.col("ep") - F.lag("ep").over(w_lag)).alias("gap"),
+    ).filter(F.col("gap").isNotNull()).localCheckpoint(eager=False)
+    hist = g.groupBy("event_type", "gap").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("gap")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        "event_type", "gap",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    med = cum.filter(F.col("cum") * 2 >= F.col("n")).groupBy("event_type").agg(
+        F.min("gap").alias("median_gap_s")
+    )
+    stats = g.groupBy("event_type").agg(
+        F.min("gap").alias("min_gap_s"),
+        F.max("gap").alias("max_gap_s"),
+        F.expr("CAST((1000 * SUM(gap)) DIV COUNT(*) AS BIGINT)").alias(
+            "mean_gap_ms"
+        ),
+        F.count(F.lit(1)).alias("n_gaps"),
+    )
+    return (
+        stats.join(med, "event_type")
+        .select(
+            "event_type", "n_gaps", "min_gap_s", "max_gap_s",
+            "mean_gap_ms", "median_gap_s",
+        )
+        .orderBy("event_type")
+    )
