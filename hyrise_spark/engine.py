@@ -769,6 +769,7 @@ class Engine:
             or re.match(r"^\s*SELECT\s+DISTINCT\s+ON\s*\(", m["body"], re.I)
             or re.search(r"\bEXCLUDE\s+(?:CURRENT\s+ROW|GROUP|TIES|NO\s+OTHERS)\b"
                          r"|\bFILTER\s*\(\s*WHERE\b[^)]*\)\s*OVER\b"
+                         r"|\(\s*DISTINCT\b[^)]*\)\s*OVER\b"
                          r"|\*\s+(?:EXCLUDE\s*(?:\(|\w)|REPLACE\s*\()",
                          _strip_str_literals(m["body"]), re.I)
         ):
@@ -809,7 +810,8 @@ class Engine:
         if (stmt.lstrip().upper().startswith("SELECT")
                 and re.search(r"\bEXCLUDE\s+(?:CURRENT\s+ROW|GROUP|TIES|"
                               r"NO\s+OTHERS)\b"
-                              r"|\bFILTER\s*\(\s*WHERE\b[^)]*\)\s*OVER\b",
+                              r"|\bFILTER\s*\(\s*WHERE\b[^)]*\)\s*OVER\b"
+                              r"|\(\s*DISTINCT\b[^)]*\)\s*OVER\b",
                               _strip_str_literals(stmt), re.I)):
             return self._window_dialect_sql(stmt)
         if (stmt.lstrip().upper().startswith("SELECT")
@@ -1181,7 +1183,79 @@ class Engine:
         if re.search(r"\bEXCLUDE\s+(?:CURRENT\s+ROW|GROUP|TIES|NO\s+OTHERS)\b",
                      _strip_str_literals(stmt), re.I):
             stmt = self._rewrite_frame_exclusion(stmt)
+        if re.search(r"\b(?:COUNT|SUM|AVG|MIN|MAX)\s*\(\s*DISTINCT\b",
+                     _strip_str_literals(stmt), re.I) and re.search(
+                     r"\bOVER\b", _strip_str_literals(stmt), re.I):
+            stmt = self._rewrite_window_distinct(stmt)
         return stmt
+
+    def _rewrite_window_distinct(self, stmt: str) -> str:
+        """DISTINCT window aggregates (DuckDB/postgres run
+        `COUNT(DISTINCT x) OVER (...)` natively — the oracle; Spark raises
+        DISTINCT_WINDOW_FUNCTION_UNSUPPORTED). Rewrite over the per-frame
+        distinct set:
+
+          COUNT(DISTINCT x) OVER w -> CAST(SIZE(COLLECT_SET(x) OVER w)
+                                           AS BIGINT)
+          SUM(DISTINCT x) OVER w   -> AGGREGATE(COLLECT_SET(x) OVER w,
+                                        CAST(0 AS DOUBLE), (a, v) -> a + v)
+          AVG(DISTINCT x) OVER w   -> the SUM form / the COUNT form
+          MIN/MAX(DISTINCT x)      -> DISTINCT stripped (a no-op for both)
+
+        COLLECT_SET deduplicates AND drops NULLs per frame — exactly the
+        DISTINCT-aggregate input multiset — so COUNT is exact for EVERY
+        frame spec (partition-only or framed), and the same Window operator
+        computes it: no extra shuffle. SUM/AVG fold in DOUBLE (the lambda
+        needs one static accumulator type): exact on integer / cents
+        lattices below 2^53, and the empty frame yields NULL like the
+        native aggregate. The distinct set must fit one row's window
+        state — the same bound DuckDB's own windowed DISTINCT hash table
+        carries; at 100 TB a high-cardinality distinct-count belongs in
+        approx_count_distinct, which IS window-legal in Spark."""
+        out, i = [], 0
+        pat = re.compile(
+            r"(?P<fn>COUNT|SUM|AVG|MIN|MAX)\s*\(\s*DISTINCT\b", re.I)
+        while True:
+            m = pat.search(stmt, i)
+            if not m:
+                out.append(stmt[i:])
+                break
+            op = stmt.index("(", m.start())
+            close = self._match_paren(stmt, op)
+            if close == -1:
+                raise ValueError("window DISTINCT: unbalanced aggregate")
+            om = re.match(r"\s*OVER\s*\(", stmt[close + 1:], re.I)
+            if not om:  # GROUP BY DISTINCT aggregate — native in Spark
+                out.append(stmt[i:close + 1])
+                i = close + 1
+                continue
+            oopen = close + 1 + om.end() - 1
+            oclose = self._match_paren(stmt, oopen)
+            if oclose == -1:
+                raise ValueError("window DISTINCT: unbalanced OVER spec")
+            fn = m["fn"].upper()
+            arg = stmt[m.end():close].strip()
+            spec = stmt[oopen + 1:oclose]
+            if fn in ("MIN", "MAX"):
+                expr = f"{fn}({arg}) OVER ({spec})"
+            else:
+                dset = f"COLLECT_SET({arg}) OVER ({spec})"
+                if fn == "COUNT":
+                    expr = f"CAST(SIZE({dset}) AS BIGINT)"
+                else:
+                    ssum = (f"AGGREGATE({dset}, CAST(0 AS DOUBLE), "
+                            f"(acc, v) -> acc + v)")
+                    cnt = f"SIZE({dset})"
+                    if fn == "SUM":
+                        expr = (f"(CASE WHEN {cnt} = 0 THEN NULL"
+                                f" ELSE {ssum} END)")
+                    else:  # AVG
+                        expr = (f"(CASE WHEN {cnt} = 0 THEN NULL"
+                                f" ELSE {ssum} / {cnt} END)")
+            out.append(stmt[i:m.start()])
+            out.append(expr)
+            i = oclose + 1
+        return "".join(out)
 
     def _rewrite_window_filter(self, stmt: str) -> str:
         """FILTER clause on WINDOW functions (SQL:2003 T612; DuckDB/postgres

@@ -420,3 +420,97 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("jaccard").desc(), "u", "v"
     ).limit(_LP_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# Connected components by hash-to-min label propagation (Rastogi et al. 2013,
+# "Finding Connected Components in MapReduce and Beyond"). Every node starts
+# labeled with its own id; each superstep each node takes the MIN of its own
+# label and its neighbors' labels. After T supersteps a node's label is the
+# minimum node id within <= T undirected hops — for a converged run that is
+# the component id (min id in the component).
+#
+# T is FIXED (same rationale as PageRank/SSSP above: static plan depth, no
+# data-dependent iteration, deterministic + oracle-checkable result). At
+# 100 TB you would run the O(log d) large-star/small-star variant to
+# convergence with a did-anything-change accumulator; the per-superstep
+# plan — labels ⋈ und-edges on the node key, then a min groupBy — is
+# IDENTICAL to the one below, each superstep shuffling one (node, label)
+# long pair per undirected edge, never materializing anything superlinear
+# in |E|.
+_CC_STEPS = 4
+_CC_TOPK = 25
+
+
+def _cc_oracle() -> str:
+    """Unrolled T-superstep hash-to-min (recursive CTEs disallow the
+    aggregation-over-recursive-term that the min-collapse needs)."""
+    parts = [
+        _EDGES_SQL,
+        """und AS (
+          SELECT src AS a, dst AS b FROM edges
+          UNION SELECT dst, src FROM edges
+        )""",
+        "l0 AS (SELECT doc_id AS node, doc_id AS label FROM documents)",
+    ]
+    for t in range(_CC_STEPS):
+        parts.append(
+            f"""l{t + 1} AS (
+              SELECT node, MIN(label) AS label FROM (
+                SELECT node, label FROM l{t}
+                UNION ALL
+                SELECT u.b AS node, l.label
+                FROM l{t} l JOIN und u ON u.a = l.node
+              ) x GROUP BY node
+            )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+        SELECT CAST(label AS BIGINT) AS label,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes
+        FROM l{_CC_STEPS}
+        GROUP BY label
+        ORDER BY n_nodes DESC, label
+        LIMIT {_CC_TOPK}
+        """
+    )
+
+
+@register(
+    "graph_connected_components",
+    oracle=_cc_oracle(),
+    tags=("graph", "connected-components"),
+)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T=4 hash-to-min supersteps over the undirected link graph; reports
+    the 25 largest label groups (a converged run's component sizes). Each
+    superstep: one equi-join of the full (node, label) frame against the
+    undirected edge list on the node key + one min groupBy — E-sized
+    shuffles, V-sized state, plan depth fixed at T."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    edges = _edges(spark, sf_dir)
+    und = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .union(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=False)  # reused by all T supersteps
+    )
+    labels = docs.select(F.col("doc_id").alias("node"), F.col("doc_id").alias("label"))
+    for _ in range(_CC_STEPS):
+        propagated = (
+            labels.join(und, labels["node"] == und["a"])
+            .select(F.col("b").alias("node"), F.col("label"))
+        )
+        labels = (
+            labels.unionAll(propagated)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+    return (
+        labels.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy(F.col("n_nodes").desc(), "label")
+        .limit(_CC_TOPK)
+    )

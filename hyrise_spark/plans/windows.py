@@ -545,3 +545,76 @@ def window_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load_tables(spark, sf_dir, ("lineitem",))
     return Engine(spark).execute(_WINDOW_FILTER_SQL)
+
+
+# -- round 9: DISTINCT window aggregates (engine rewrite; DuckDB native) -----
+# Spark raises DISTINCT_WINDOW_FUNCTION_UNSUPPORTED for every distinct
+# window aggregate; the engine rewrites them over the per-frame distinct
+# set (engine.py::_rewrite_window_distinct — COLLECT_SET drops NULLs and
+# dedups, exactly the DISTINCT input set). DuckDB runs the SAME text
+# natively — an independent-implementation differential. The framed
+# column orders by (l_linenumber, l_suppkey): rows that tie carry the
+# same l_suppkey, so the 2-PRECEDING frame's distinct multiset is
+# tie-order-invariant. SUM folds an integer quantity lattice in DOUBLE
+# (exact < 2^53); AVG divides two exact values once.
+_WINDOW_DISTINCT_SQL = """
+    SELECT l_orderkey, l_linenumber,
+           COUNT(DISTINCT l_suppkey) OVER (PARTITION BY l_orderkey)
+               AS n_supp,
+           CAST(SUM(DISTINCT CAST(l_quantity AS BIGINT))
+                OVER (PARTITION BY l_orderkey) AS DOUBLE) AS qty_sum,
+           ROUND(AVG(DISTINCT CAST(l_quantity AS BIGINT))
+                 OVER (PARTITION BY l_orderkey), 4) AS qty_avg,
+           COUNT(DISTINCT l_suppkey)
+               OVER (PARTITION BY l_orderkey
+                     ORDER BY l_linenumber, l_suppkey
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+               AS n_supp_recent
+    FROM lineitem
+    WHERE l_orderkey < 300
+    ORDER BY l_orderkey, l_linenumber
+"""
+
+
+@register(
+    "window_count_distinct",
+    oracle=_WINDOW_DISTINCT_SQL,
+    tags=("window", "distinct", "sql"),
+)
+def window_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT/SUM/AVG(DISTINCT ...) OVER — partition-wide and framed. One
+    Window operator computes all four rewritten expressions (same
+    partition key): no shuffle beyond the window's own exchange."""
+    from hyrise_spark.engine import Engine
+
+    load_tables(spark, sf_dir, ("lineitem",))
+    return Engine(spark).execute(_WINDOW_DISTINCT_SQL)
+
+
+# -- round 9: MEDIAN as a window aggregate (native in BOTH engines) ----------
+# Spark's median() is window-legal for partition-only specs (it is a
+# TypedImperativeAggregate: no ORDER BY / frame support); DuckDB runs the
+# same text natively. Input is the exact integer-cents lattice, so the
+# even-count midpoint interpolation (a+b)/2 is the same IEEE double on
+# both sides.
+_WINDOW_MEDIAN_SQL = """
+    SELECT l_orderkey, l_linenumber,
+           CAST(MEDIAN(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                OVER (PARTITION BY l_orderkey) AS DOUBLE) AS median_cents
+    FROM lineitem
+    WHERE l_orderkey < 300
+    ORDER BY l_orderkey, l_linenumber
+"""
+
+
+@register(
+    "window_median_partition",
+    oracle=_WINDOW_MEDIAN_SQL,
+    tags=("window", "median", "sql"),
+)
+def window_median_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-partition MEDIAN as a window aggregate — same text on
+    both engines (independent implementations of the partition-only
+    window median)."""
+    load_tables(spark, sf_dir, ("lineitem",))
+    return spark.sql(_WINDOW_MEDIAN_SQL)

@@ -439,3 +439,39 @@ def star_modifier_query(draw) -> str:
 @given(q=star_modifier_query())
 def test_fuzz_star_modifiers(spark, duck, q):
     _run_both_engine(spark, duck, q)
+
+
+@st.composite
+def window_distinct_query(draw) -> str:
+    """DISTINCT window aggregates (engine rewrite over COLLECT_SET;
+    DuckDB native). Partition-only specs plus ROWS frames ordered by the
+    UNIQUE o_orderkey (tie-free, so the frame's distinct set is
+    deterministic). The argument mixes in NULLs to hit COLLECT_SET's
+    NULL-dropping == DISTINCT-aggregate NULL semantics."""
+    fn = draw(st.sampled_from(["COUNT", "SUM", "AVG", "MIN", "MAX"]))
+    arg = draw(st.sampled_from([_FX_ARG, "o_custkey % 13"]))
+    part = draw(st.sampled_from(
+        ["PARTITION BY o_orderstatus", "PARTITION BY o_orderpriority"]))
+    if draw(st.booleans()):
+        lo = draw(st.sampled_from(
+            [f"{draw(st.integers(0, 5))} PRECEDING", "UNBOUNDED PRECEDING"]))
+        hi = draw(st.sampled_from(
+            [f"{draw(st.integers(0, 5))} FOLLOWING", "CURRENT ROW"]))
+        spec = f"{part} ORDER BY o_orderkey ROWS BETWEEN {lo} AND {hi}"
+    else:
+        spec = part
+    expr = f"{fn}(DISTINCT {arg}) OVER ({spec})"
+    if fn == "AVG":
+        expr = f"ROUND({expr}, 4)"
+    elif fn == "SUM":
+        # DuckDB SUM(DISTINCT bigint) is HUGEINT; the rewrite folds in
+        # DOUBLE (exact here: distinct sets of small ints)
+        expr = f"CAST({expr} AS DOUBLE)"
+    w = draw(where_clause())
+    return f"SELECT o_orderkey, {expr} AS x FROM orders WHERE {w}"
+
+
+@_SETTINGS
+@given(q=window_distinct_query())
+def test_fuzz_window_distinct(spark, duck, q):
+    _run_both_engine(spark, duck, q)

@@ -773,6 +773,13 @@ def test_explain_engine_dialect_selects(engine, spark):
     assert out.columns == ["plan"] and "Window" in plan
     # the rewrite's dense-rank RANGE frame is what actually executes
     assert "specifiedwindowframe(RangeFrame" in plan or "RANGE" in plan.upper()
+    # DISTINCT window aggregate: the COLLECT_SET rewrite is what executes
+    out = engine.execute(
+        "EXPLAIN SELECT k, COUNT(DISTINCT t) OVER (PARTITION BY k) AS c"
+        " FROM ex_l"
+    )
+    plan = out.collect()[0]["plan"]
+    assert out.columns == ["plan"] and "collect_set" in plan.lower()
 
 
 def test_meta_transactions_reflects_txn_state(engine):

@@ -105,3 +105,42 @@ def test_sssp_matches_python_bfs(spark):
         frontier = nxt
     got = {(r.node, r.hops) for r in graph_sssp_hops(spark, SF_DIR).collect()}
     assert got == set(dist.items())
+
+
+def test_connected_components_matches_python(spark):
+    """Independent verification of the T-step hash-to-min labels: a
+    driver-side BFS computes min-id-within-T-hops per node (test-SF only;
+    the registered query never collects)."""
+    from hyrise_spark.pipeline.graph import (
+        _CC_STEPS,
+        _CC_TOPK,
+        graph_connected_components,
+    )
+
+    edges = _edges(spark, SF_DIR).collect()
+    adj: dict[int, set[int]] = {}
+    nodes = set()
+    for r in edges:
+        adj.setdefault(r.src, set()).add(r.dst)
+        adj.setdefault(r.dst, set()).add(r.src)
+        nodes.update((r.src, r.dst))
+    # every doc is a node (isolated docs keep their own label)
+    from hyrise_spark.pipeline.graph import _docs
+
+    nodes.update(r.doc_id for r in _docs(spark, SF_DIR).collect())
+    labels = {}
+    for v in nodes:
+        seen, frontier = {v}, {v}
+        for _ in range(_CC_STEPS):
+            frontier = {w for u in frontier for w in adj.get(u, ())} - seen
+            seen |= frontier
+        labels[v] = min(seen)
+    from collections import Counter
+
+    sizes = Counter(labels.values())
+    expect = sorted(sizes.items(), key=lambda kv: (-kv[1], kv[0]))[:_CC_TOPK]
+    got = [
+        (r.label, r.n_nodes)
+        for r in graph_connected_components(spark, SF_DIR).collect()
+    ]
+    assert got == expect
