@@ -1503,3 +1503,103 @@ def pipeline_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.col("l_discount") <= F.col("l_tax") + 0.5))
         .orderBy("rule")
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled language mixture (the multilingual "alpha sampling" of
+# Lample & Conneau 2019 / XLM-R, also the shape of GPT-3's dataset-weight
+# table): sampling weight w_l ∝ (tokens_l)^alpha with alpha < 1 UPWEIGHTS
+# low-resource languages relative to their natural share. Unlike
+# curate_domain_mixture's FIXED editorial weights, the weights here are
+# DERIVED from the corpus itself in one aggregate pass.
+#
+# alpha = 0.5 on purpose: sqrt is a correctly-rounded IEEE-754 operation
+# (general pow is not), and the weight is then held on a scaled-integer
+# lattice (floor(sqrt(d_tok) * 1e6) summed as BIGINT), so both engines
+# derive bit-identical rates — no cross-engine pow drift can flap a
+# boundary doc. The acceptance test is the same deterministic md5-of-
+# doc_id uniform used by every sampler in this module: a pure filter,
+# reproducible shard-by-shard at 100 TB, no RNG state to coordinate.
+_TEMP_ALPHA_NOTE = "alpha = 0.5 (sqrt lattice)"
+_TEMP_BUDGET_FRAC = 0.5  # target corpus = 50% of the total token count
+
+_TEMP_RATE_SQL = f"""
+    d AS (
+      SELECT doc_id, lang,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tok
+      FROM documents
+    ),
+    dom AS (
+      SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS d_tok,
+             CAST(FLOOR(SQRT(CAST(SUM(n_tok) AS BIGINT)) * 1000000)
+                  AS BIGINT) AS s_tok
+      FROM d GROUP BY lang
+    ),
+    tot AS (
+      SELECT CAST(SUM(d_tok) AS BIGINT) AS t_tok,
+             CAST(SUM(s_tok) AS BIGINT) AS s_all
+      FROM dom
+    ),
+    rates AS (
+      SELECT lang,
+             LEAST(1.0,
+                   CAST({_TEMP_BUDGET_FRAC} AS DOUBLE)
+                   * (CAST(s_tok AS DOUBLE) / s_all)
+                   * t_tok / d_tok) AS rate
+      FROM dom CROSS JOIN tot
+    )
+"""
+
+
+@register(
+    "curate_temperature_mixture",
+    oracle=f"""
+    WITH {_TEMP_RATE_SQL}
+    SELECT doc_id, lang, n_tok,
+           ROUND(rate, 4) AS rate
+    FROM d JOIN rates USING (lang)
+    WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
+          < CAST(FLOOR(rate * 65536) AS INT)
+    ORDER BY doc_id
+    """,
+    tags=("curate", "mixture", "sampling", "temperature"),
+)
+def curate_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """alpha-temperature language resampling: rate_l = budget * w_l *
+    T/d_tok with w_l = sqrt(d_tok)/sum(sqrt). Plan: one narrow aggregate
+    per language (5 rows), one 1-row total, then a pure md5-threshold
+    filter over the corpus — the documents themselves never shuffle; the
+    integer threshold floor(rate*65536) makes the accept decision exact
+    on both engines."""
+    docs = _docs(spark, sf_dir)
+    d = docs.select("doc_id", "lang", F.size(_words()).alias("n_tok"))
+    dom = d.groupBy("lang").agg(
+        F.sum("n_tok").cast("long").alias("d_tok"),
+        F.floor(F.sqrt(F.sum("n_tok").cast("long")) * 1000000)
+        .cast("long")
+        .alias("s_tok"),
+    )
+    tot = dom.agg(
+        F.sum("d_tok").cast("long").alias("t_tok"),
+        F.sum("s_tok").cast("long").alias("s_all"),
+    )
+    rates = dom.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.least(
+            F.lit(1.0),
+            F.lit(_TEMP_BUDGET_FRAC)
+            * (F.col("s_tok").cast("double") / F.col("s_all"))
+            * F.col("t_tok")
+            / F.col("d_tok"),
+        ).alias("rate"),
+    )
+    accept16 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("int")
+    # rates is 5 rows but derives from a scaling scan: AQE broadcasts it
+    return (
+        d.join(rates, "lang")
+        .filter(accept16 < F.floor(F.col("rate") * 65536).cast("int"))
+        .select("doc_id", "lang", "n_tok", F.round("rate", 4).alias("rate"))
+        .orderBy("doc_id")
+    )

@@ -1552,3 +1552,96 @@ def dedup_cluster_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
             "docs_droppable",
         )
     ).orderBy("cluster_size")
+
+
+# ---------------------------------------------------------------------------
+# Containment dedup (Broder 1997, "On the resemblance and containment of
+# documents" — the SAME paper MinHash comes from, but the asymmetric
+# measure: C(A->B) = |A n B| / |A|). Jaccard misses a short doc embedded
+# verbatim inside a much longer one (the union term swamps it); containment
+# flags it at ~1.0. This is the quote/boilerplate/doc-inside-doc detector a
+# crawl pipeline runs NEXT TO near-dup Jaccard, sharing the exact same
+# df-capped shingle candidate core (capped_setsim_pairs) — one candidate
+# generation pass can feed both measures.
+_CONTAIN_THR = 0.6
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+      FROM documents WHERE doc_id < 300
+    ), all_shingles AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS sh
+      FROM toks, LATERAL (SELECT UNNEST(generate_series(1, len(w) - 2)) AS i)
+    ), cold AS (
+      SELECT sh FROM all_shingles GROUP BY sh HAVING COUNT(*) <= {_NGRAM_MAX_DF}
+    ), shingles AS (
+      SELECT s.doc_id, s.sh FROM all_shingles s JOIN cold USING (sh)
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter
+      FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), sized AS (
+      SELECT id1, id2, inter, s1.n AS n1, s2.n AS n2
+      FROM pairs JOIN sizes s1 ON id1 = s1.doc_id
+                 JOIN sizes s2 ON id2 = s2.doc_id
+    )
+    SELECT d_sub, d_super, containment, jaccard FROM (
+      SELECT id1 AS d_sub, id2 AS d_super,
+             ROUND(CAST(inter AS DOUBLE) / n1, 4) AS containment,
+             ROUND(CAST(inter AS DOUBLE) / (n1 + n2 - inter), 4) AS jaccard,
+             CAST(inter AS DOUBLE) / n1 AS c_raw
+      FROM sized
+      UNION ALL
+      SELECT id2, id1,
+             ROUND(CAST(inter AS DOUBLE) / n2, 4),
+             ROUND(CAST(inter AS DOUBLE) / (n1 + n2 - inter), 4),
+             CAST(inter AS DOUBLE) / n2
+      FROM sized
+    ) u
+    WHERE c_raw > {_CONTAIN_THR}
+    ORDER BY d_sub, d_super
+    """,
+    tags=("dedup", "containment"),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed containment pairs over df-capped 3-gram shingles: one row
+    per (contained, container) direction above the threshold, with the
+    symmetric Jaccard alongside to show what it would have missed. Same
+    candidate plan as dedup_ngram_jaccard — the only change is driver-side
+    arithmetic on (inter, n1, n2)."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.filter(F.col("doc_id") < 300).select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("w")
+    )
+    shingles = toks.select(
+        "doc_id", F.explode(_shingle_array(3)).alias("sh")
+    ).distinct()
+    sized = capped_setsim_pairs(shingles, "doc_id", ["sh"], _NGRAM_MAX_DF)
+    jac = F.round(
+        F.col("inter").cast("double")
+        / (F.col("n1") + F.col("n2") - F.col("inter")),
+        4,
+    )
+
+    def _dir(sub: str, sup: str, n: str) -> DataFrame:
+        c_raw = F.col("inter").cast("double") / F.col(n)
+        return sized.select(
+            F.col(sub).alias("d_sub"),
+            F.col(sup).alias("d_super"),
+            F.round(c_raw, 4).alias("containment"),
+            jac.alias("jaccard"),
+            c_raw.alias("c_raw"),
+        )
+
+    return (
+        _dir("id1", "id2", "n1")
+        .unionAll(_dir("id2", "id1", "n2"))
+        .filter(F.col("c_raw") > _CONTAIN_THR)
+        .drop("c_raw")
+        .orderBy("d_sub", "d_super")
+    )

@@ -1210,3 +1210,124 @@ def text_zipf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995; the Chen &
+# Goodman 1998 interpolated form with one fixed discount):
+#
+#   P(w2|w1) = max(c(w1,w2) - d, 0)/c(w1)
+#              + [d * N1+(w1, .) / c(w1)] * [N1+(., w2) / B]
+#
+# where N1+(w1, .) = distinct continuations of w1, N1+(., w2) = distinct
+# histories of w2, B = distinct bigram count, d = 0.75 (the standard fixed
+# discount). KN's continuation probability is THE published fix for
+# add-k/MLE overestimating frequent-unigram continuations — next to
+# text_bigram_perplexity's MLE bit-lattice this is the smoothed LM a
+# quality-filtering pipeline actually trains.
+#
+# Determinism: every input to P is an exact BIGINT count; P is a fixed
+# dag of IEEE divisions/multiplications written IDENTICALLY on both
+# engines, then floored onto a 1e9 lattice BEFORE the per-doc SUM — the
+# sum is exact integer arithmetic, so no accumulation-order drift.
+_KN_D = 0.75
+_KN_SCALE = 1_000_000_000
+
+
+@register(
+    "text_kneser_ney_bigram",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+      FROM toks, LATERAL (SELECT UNNEST(generate_series(1, len(w) - 1)) AS i)
+    ),
+    bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY w1, w2),
+    pc AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS cp,
+                  CAST(COUNT(*) AS BIGINT) AS n1p_fwd
+           FROM bc GROUP BY w1),
+    hist AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1p_back FROM bc GROUP BY w2),
+    btot AS (SELECT CAST(COUNT(*) AS BIGINT) AS b FROM bc),
+    scored AS (
+      SELECT g.doc_id,
+             -- CASTs pin the arithmetic to DOUBLE: DuckDB folds the 0.75
+             -- literal in DECIMAL otherwise, while Spark computes DOUBLE
+             CAST(FLOOR((
+               GREATEST(bc.c - CAST({_KN_D} AS DOUBLE), 0) / pc.cp
+               + (CAST({_KN_D} AS DOUBLE) * pc.n1p_fwd / pc.cp)
+                 * (CAST(hist.n1p_back AS DOUBLE) / btot.b)
+             ) * {_KN_SCALE}) AS BIGINT) AS p_scaled
+      FROM bg g
+      JOIN bc ON bc.w1 = g.w1 AND bc.w2 = g.w2
+      JOIN pc ON pc.w1 = g.w1
+      JOIN hist ON hist.w2 = g.w2
+      CROSS JOIN btot
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_trans,
+           CAST(SUM(p_scaled) AS BIGINT) AS kn_sum_scaled,
+           -- FLOOR, not bare CAST: DuckDB's double->BIGINT cast ROUNDS
+           CAST(FLOOR(CAST(SUM(p_scaled) AS DOUBLE) / COUNT(*))
+                AS BIGINT) AS kn_mean_scaled
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    tags=("text", "perplexity", "kneser-ney"),
+)
+def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean interpolated-KN transition likelihood on the 1e9
+    integer lattice. Plan shape matches text_bigram_perplexity — count
+    tables are distinct-bigram- / vocabulary-sized partial aggs, scoring
+    is three equi-joins against them plus one 1-row total (AQE broadcasts
+    the measured-small sides), then one per-doc partial agg. Single-token
+    docs have no transitions and drop out."""
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("w")
+    )
+    idx = F.when(
+        F.size("w") >= 2, F.sequence(F.lit(0), F.size(F.col("w")) - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    bg = toks.select("doc_id", F.explode(idx).alias("i"), "w").select(
+        "doc_id",
+        F.element_at("w", F.col("i") + 1).alias("w1"),
+        F.element_at("w", F.col("i") + 2).alias("w2"),
+    )
+    bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    pc = bc.groupBy("w1").agg(
+        F.sum("c").cast("long").alias("cp"),
+        F.count(F.lit(1)).cast("long").alias("n1p_fwd"),
+    )
+    hist = bc.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("n1p_back"))
+    btot = bc.agg(F.count(F.lit(1)).cast("long").alias("b"))
+    p = (
+        F.greatest(F.col("c") - _KN_D, F.lit(0.0)) / F.col("cp")
+        + (F.lit(_KN_D) * F.col("n1p_fwd") / F.col("cp"))
+        * (F.col("n1p_back").cast("double") / F.col("b"))
+    )
+    scored = (
+        bg.join(bc, ["w1", "w2"])
+        .join(pc, "w1")
+        .join(hist, "w2")
+        .crossJoin(F.broadcast(btot))
+        .select("doc_id", F.floor(p * _KN_SCALE).cast("long").alias("p_scaled"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_trans"),
+            F.sum("p_scaled").cast("long").alias("kn_sum_scaled"),
+        )
+        .select(
+            "doc_id",
+            "n_trans",
+            "kn_sum_scaled",
+            F.floor(F.col("kn_sum_scaled") / F.col("n_trans"))
+            .cast("long")
+            .alias("kn_mean_scaled"),
+        )
+        .orderBy("doc_id")
+    )
