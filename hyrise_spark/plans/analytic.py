@@ -933,3 +933,62 @@ def projection_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_words"),
     ).orderBy("doc_id")
+
+
+# -- round 9: SQL-standard PIVOT / UNPIVOT clause (same text, both engines) --
+# pivot_status_by_priority / unpivot_part_attrs express the relational op
+# via conditional aggregation / stack; these two run the actual
+# SQL-standard PIVOT/UNPIVOT *clause* — Spark and DuckDB each parse and
+# execute the identical text natively (independent implementations of the
+# clause semantics). The outer CASTs pin DuckDB's HUGEINT pivot sums back
+# to BIGINT.
+_PIVOT_SQL = """
+    SELECT priority,
+           CAST(open_cents AS BIGINT) AS open_cents,
+           CAST(full_cents AS BIGINT) AS full_cents,
+           CAST(part_cents AS BIGINT) AS part_cents
+    FROM (
+      SELECT o_orderpriority AS priority, o_orderstatus AS status,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ) PIVOT (SUM(cents) FOR status
+             IN ('O' AS open_cents, 'F' AS full_cents, 'P' AS part_cents))
+    ORDER BY priority
+"""
+
+
+@register(
+    "pivot_sql_clause",
+    oracle=_PIVOT_SQL,
+    tags=("pivot", "sql"),
+)
+def pivot_sql_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FROM ... PIVOT (agg FOR col IN (...)): one hash aggregate wide —
+    same plan Catalyst builds for the conditional-agg spelling."""
+    load_tables(spark, sf_dir, ("orders",))
+    return spark.sql(_PIVOT_SQL)
+
+
+_UNPIVOT_SQL = """
+    SELECT p_partkey, attr, val
+    FROM (
+      SELECT p_partkey,
+             CAST(p_size AS DOUBLE) AS size_val,
+             p_retailprice AS retail_val
+      FROM part
+      WHERE p_partkey < 400
+    ) UNPIVOT (val FOR attr IN (size_val, retail_val))
+    ORDER BY p_partkey, attr
+"""
+
+
+@register(
+    "unpivot_sql_clause",
+    oracle=_UNPIVOT_SQL,
+    tags=("unpivot", "sql"),
+)
+def unpivot_sql_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FROM ... UNPIVOT (val FOR attr IN (...)): narrow explode, no
+    shuffle — same text on both engines."""
+    load_tables(spark, sf_dir, ("part",))
+    return spark.sql(_UNPIVOT_SQL)

@@ -1451,3 +1451,117 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sample autocorrelation function (Box & Jenkins): per-series ACF at lags
+# 1..5, the standard "is there serial structure / seasonality worth
+# modeling" probe a time-series pipeline runs before any model fit.
+#
+#   r_k = sum_{t<=n-k}(x_t - xbar)(x_{t+k} - xbar) / sum_t(x_t - xbar)^2
+#
+# Determinism: values are exact integer cents; the per-series/per-lag
+# sufficient statistics (S1 = sum x, S2 = sum x^2, Ck = sum x_t*x_{t+k},
+# A/B = the lag-overlap partial sums) are all exact BIGINTs, and r_k is
+# ONE fixed dag of IEEE double ops over them, written identically on both
+# engines — no accumulation-order drift. (S2/Ck peak ~8e12 at sf0.1:
+# comfortably inside BIGINT.)
+_ACF_MAX_LAG = 5
+
+
+@register(
+    "events_autocorrelation",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_type,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY event_id)
+                 AS rn,
+             CAST(ROUND(value * 100) AS BIGINT) AS x
+      FROM events
+    ),
+    base AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS s1,
+             CAST(SUM(x * x) AS BIGINT) AS s2
+      FROM e GROUP BY event_type
+    ),
+    lags AS (SELECT UNNEST(generate_series(1, {_ACF_MAX_LAG})) AS k),
+    cross_k AS (
+      SELECT a.event_type, l.k,
+             CAST(SUM(a.x * b.x) AS BIGINT) AS ck,
+             CAST(SUM(a.x) AS BIGINT) AS sa,
+             CAST(SUM(b.x) AS BIGINT) AS sb
+      FROM e a CROSS JOIN lags l
+      JOIN e b ON b.event_type = a.event_type AND b.rn = a.rn + l.k
+      GROUP BY a.event_type, l.k
+    )
+    SELECT c.event_type, CAST(c.k AS BIGINT) AS lag, b.n,
+           ROUND(
+             (c.ck - (CAST(b.s1 AS DOUBLE) / b.n) * (c.sa + c.sb)
+                   + (b.n - c.k) * (CAST(b.s1 AS DOUBLE) / b.n)
+                                 * (CAST(b.s1 AS DOUBLE) / b.n))
+             / (b.s2 - b.n * (CAST(b.s1 AS DOUBLE) / b.n)
+                           * (CAST(b.s1 AS DOUBLE) / b.n)),
+             4) AS acf
+    FROM cross_k c JOIN base b ON b.event_type = c.event_type
+    ORDER BY c.event_type, lag
+    """,
+    tags=("events", "autocorrelation", "timeseries"),
+)
+def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACF(1..5) per event_type. Plan: one per-series ROW_NUMBER window
+    (the only shuffle that carries the data), a 5-row lag frame exploded
+    against it, one equi-join on (event_type, rn+k) — each lag's overlap
+    is series-sized, never quadratic — and two partial aggs joined at
+    series granularity (25 rows)."""
+    (events,) = _t(spark, sf_dir, "events")
+    e = events.select(
+        "event_type",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("event_id"))
+        .alias("rn"),
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+    )
+    base = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("s2"),
+    )
+    ak = e.select("event_type", "rn", "x").crossJoin(
+        e.sparkSession.createDataFrame(
+            [(k,) for k in range(1, _ACF_MAX_LAG + 1)], "k int"
+        )
+    )
+    b = e.select(
+        F.col("event_type").alias("bt"),
+        F.col("rn").alias("brn"),
+        F.col("x").alias("bx"),
+    )
+    cross_k = (
+        ak.join(
+            b,
+            (F.col("bt") == F.col("event_type"))
+            & (F.col("brn") == F.col("rn") + F.col("k")),
+        )
+        .groupBy("event_type", "k")
+        .agg(
+            F.sum(F.col("x") * F.col("bx")).cast("long").alias("ck"),
+            F.sum("x").cast("long").alias("sa"),
+            F.sum("bx").cast("long").alias("sb"),
+        )
+    )
+    xbar = F.col("s1").cast("double") / F.col("n")
+    r = (
+        F.col("ck") - xbar * (F.col("sa") + F.col("sb"))
+        + (F.col("n") - F.col("k")) * xbar * xbar
+    ) / (F.col("s2") - F.col("n") * xbar * xbar)
+    return (
+        cross_k.join(base, "event_type")
+        .select(
+            "event_type",
+            F.col("k").cast("long").alias("lag"),
+            "n",
+            F.round(r, 4).alias("acf"),
+        )
+        .orderBy("event_type", "lag")
+    )
