@@ -1476,3 +1476,106 @@ def sim_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total").cast("long").alias("total"),
         F.round(F.col("top_n").cast("double") / F.col("total"), 4).alias("purity"),
     ).orderBy("cell")
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation evaluation (Kusupati et al. 2022, "Matryoshka
+# Representation Learning"): retrieval quality of the PREFIX of an embedding
+# — MRL-trained models pack coarse semantics into the first dims so a
+# 4x-shorter prefix can serve the first-stage scan. The eval: recall@k of
+# brute-force retrieval over the first _MRL_DIM dims (slice + re-normalize)
+# against the full-dimension ranking — per query, the fraction of true
+# top-k survivors. This is the measurement that decides whether the cheap
+# prefix index is safe to deploy; on the synthetic (non-MRL) embeddings it
+# reads LOW, which is exactly the point of running the harness.
+#
+# Scale: identical shape to sim_recall_lsh — two bounded top-k frames
+# (N_QUERIES x K rows) joined and aggregated at query granularity; the
+# corpus streams through map-side scoring once per ranking. At 100 TB the
+# truncated pass reads _MRL_DIM/_DIM of the vector bytes — the actual
+# production win being measured.
+_MRL_DIM = 16
+
+
+@register(
+    "sim_matryoshka_eval",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                      CAST(embedding[1:{_MRL_DIM}] AS DOUBLE[]) AS vt
+               FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv, vt AS qt FROM e
+          WHERE vec_id < {_N_QUERIES}),
+    c AS (SELECT vec_id AS cid, v AS cv, vt AS ct FROM e
+          WHERE vec_id >= {_N_QUERIES}),
+    full_ranked AS (
+      SELECT qid, cid,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+               ROUND(list_inner_product(qv, cv) /
+                 (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))), 6)
+               DESC, cid) AS rn
+      FROM q CROSS JOIN c
+    ),
+    fullk AS (SELECT qid, cid FROM full_ranked WHERE rn <= {_TOP_K}),
+    trunc_ranked AS (
+      SELECT qid, cid,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+               ROUND(list_inner_product(qt, ct) /
+                 (sqrt(list_inner_product(qt, qt)) * sqrt(list_inner_product(ct, ct))), 6)
+               DESC, cid) AS rn
+      FROM q CROSS JOIN c
+    ),
+    trunck AS (SELECT qid, cid FROM trunc_ranked WHERE rn <= {_TOP_K})
+    SELECT f.qid, CAST(COUNT(t.cid) AS BIGINT) AS hits,
+           CAST(COUNT(t.cid) * {100 // _TOP_K} AS BIGINT) AS recall_pct
+    FROM fullk f LEFT JOIN trunck t ON t.qid = f.qid AND t.cid = f.cid
+    GROUP BY f.qid
+    ORDER BY f.qid
+    """,
+    tags=("similarity", "evaluation", "matryoshka"),
+)
+def sim_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of first-16-dim prefix retrieval vs the full 64-dim
+    brute-force ranking, per query."""
+    emb = _emb(spark, sf_dir)
+    e = emb.select(
+        "vec_id",
+        _normalize(F.col("embedding").cast("array<double>")).alias("v"),
+        _normalize(
+            F.slice(F.col("embedding").cast("array<double>"), 1, _MRL_DIM)
+        ).alias("vt"),
+    )
+
+    def _topk(qcol: str, ccol: str) -> DataFrame:
+        q = (
+            e.filter(F.col("vec_id") < _N_QUERIES)
+            .select(F.col("vec_id").alias("qid"), F.col(qcol).alias("qv"))
+            .limit(_N_QUERIES)
+        )
+        c = e.filter(F.col("vec_id") >= _N_QUERIES).select(
+            F.col("vec_id").alias("cid"), F.col(ccol).alias("cv")
+        )
+        scored = F.broadcast(q).crossJoin(c).withColumn(
+            "cs", _dot(F.col("qv"), F.col("cv"))
+        )
+        w = Window.partitionBy("qid").orderBy(
+            F.round(F.col("cs"), 6).desc(), F.col("cid")
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _TOP_K)
+            .select("qid", "cid")
+        )
+
+    fullk = _topk("v", "v")
+    trunck = _topk("vt", "vt").withColumn("hit", F.lit(1))
+    return (
+        fullk.join(trunck, ["qid", "cid"], "left")
+        .groupBy("qid")
+        .agg(F.count("hit").alias("hits"))
+        .select(
+            "qid",
+            "hits",
+            (F.col("hits") * (100 // _TOP_K)).alias("recall_pct"),
+        )
+        .orderBy("qid")
+    )
