@@ -1565,3 +1565,130 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "lag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Lagged cross-correlation (CCF) between two event streams: does `click`
+# activity LEAD `purchase` activity, and by how many hours? The bivariate
+# sibling of events_autocorrelation and the standard causality-screening
+# probe (Box & Jenkins transfer-function prelude). Series = hourly event
+# counts on a DENSE hour spine (missing hours are real zeros — dropping
+# them would bias the correlation), lags -3..+3.
+#
+# Determinism: counts are exact BIGINTs; per-lag sufficient statistics
+# (n, Sx, Sy, Sxy, Sxx, Syy) are exact integer aggregates; Pearson is one
+# fixed double dag over them, ROUND(.., 4).
+_CCF_X, _CCF_Y = "click", "purchase"
+_CCF_MAX_LAG = 3
+
+
+@register(
+    "events_cross_correlation",
+    oracle=f"""
+    WITH hrs AS (
+      SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS h, event_type
+      FROM events WHERE event_type IN ('{_CCF_X}', '{_CCF_Y}')
+    ),
+    bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hrs),
+    spine AS (
+      SELECT UNNEST(generate_series(h0, h1)) AS h FROM bounds
+    ),
+    xs AS (
+      SELECT s.h,
+             COALESCE(cx.n, 0) AS x, COALESCE(cy.n, 0) AS y
+      FROM spine s
+      LEFT JOIN (SELECT h, CAST(COUNT(*) AS BIGINT) AS n FROM hrs
+                 WHERE event_type = '{_CCF_X}' GROUP BY h) cx ON cx.h = s.h
+      LEFT JOIN (SELECT h, CAST(COUNT(*) AS BIGINT) AS n FROM hrs
+                 WHERE event_type = '{_CCF_Y}' GROUP BY h) cy ON cy.h = s.h
+    ),
+    lags AS (SELECT UNNEST(generate_series(-{_CCF_MAX_LAG}, {_CCF_MAX_LAG})) AS k),
+    pairs AS (
+      SELECT l.k, a.x, b.y
+      FROM lags l
+      JOIN xs a ON TRUE
+      JOIN xs b ON b.h = a.h + l.k
+    ),
+    stats AS (
+      SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM pairs GROUP BY k
+    )
+    SELECT CAST(k AS BIGINT) AS lag_hours, n,
+           ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                 / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                    * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)),
+                 4) AS ccf
+    FROM stats
+    ORDER BY lag_hours
+    """,
+    tags=("events", "cross-correlation", "timeseries"),
+)
+def events_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCF(click -> purchase) at lags -3..+3 hours. Plan: two hour-keyed
+    partial-agg count series left-joined onto a generated dense spine
+    (sequence explode — no data shuffle), a 7-row lag frame, one
+    equi-join on h+k (spine-sized per lag), and a 7-row stats frame."""
+    (events,) = _t(spark, sf_dir, "events")
+    hrs = events.filter(F.col("event_type").isin(_CCF_X, _CCF_Y)).select(
+        (F.unix_timestamp("ts") / 3600).cast("long").alias("h"), "event_type"
+    )
+    bounds = hrs.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h")
+    )
+
+    def _cnt(et: str, out: str) -> DataFrame:
+        return (
+            hrs.filter(F.col("event_type") == et)
+            .groupBy("h")
+            .agg(F.count(F.lit(1)).cast("long").alias(out))
+        )
+
+    xs = (
+        spine.join(_cnt(_CCF_X, "xn"), "h", "left")
+        .join(_cnt(_CCF_Y, "yn"), "h", "left")
+        .select(
+            "h",
+            F.coalesce("xn", F.lit(0)).alias("x"),
+            F.coalesce("yn", F.lit(0)).alias("y"),
+        )
+    )
+    lags = events.sparkSession.createDataFrame(
+        [(k,) for k in range(-_CCF_MAX_LAG, _CCF_MAX_LAG + 1)], "k int"
+    )
+    a = xs.select("h", "x")
+    b = xs.select(F.col("h").alias("bh"), F.col("y").alias("by"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("bh") == F.col("h") + F.col("k"))
+    )
+    stats = pairs.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("by").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("by")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("by") * F.col("by")).cast("long").alias("syy"),
+    )
+    r = (
+        F.col("n") * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy")
+    ) / (
+        F.sqrt(
+            F.col("n") * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx")
+        )
+        * F.sqrt(
+            F.col("n") * F.col("syy").cast("double")
+            - F.col("sy").cast("double") * F.col("sy")
+        )
+    )
+    return stats.select(
+        F.col("k").cast("long").alias("lag_hours"),
+        "n",
+        F.round(r, 4).alias("ccf"),
+    ).orderBy("lag_hours")
