@@ -514,3 +514,87 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_nodes").desc(), "label")
         .limit(_CC_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling (Matula & Beck 1983; the synchronous "peel all, repeat"
+# distributed form of Batagelj-Zaversnik): round r removes every node whose
+# undirected degree among SURVIVORS is < k, simultaneously. After T rounds
+# the survivor set is a (shrinking) superset of the true k-core; T is FIXED
+# like every iterative operator in this module (static plan depth,
+# deterministic, oracle-checkable — synchronous peeling is order-free, so
+# both engines remove exactly the same node set every round). Training-data
+# use: the k-core of a similarity graph is the "dense boilerplate cluster"
+# signal that per-pair dedup underweights.
+_KCORE_K = 3
+_KCORE_ROUNDS = 4
+
+
+def _kcore_oracle() -> str:
+    parts = [
+        _EDGES_SQL,
+        """u0 AS (
+          SELECT src AS a, dst AS b FROM edges
+          UNION SELECT dst, src FROM edges
+        )""",
+    ]
+    for t in range(_KCORE_ROUNDS):
+        parts.append(
+            f"""k{t} AS (
+              SELECT a FROM u{t} GROUP BY a HAVING COUNT(*) >= {_KCORE_K}
+            )"""
+        )
+        parts.append(
+            f"""u{t + 1} AS (
+              SELECT u.a, u.b FROM u{t} u
+              JOIN k{t} x ON x.a = u.a
+              JOIN k{t} y ON y.a = u.b
+            )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+        SELECT CAST(deg AS BIGINT) AS deg, CAST(COUNT(*) AS BIGINT) AS n_nodes
+        FROM (SELECT a, COUNT(*) AS deg FROM u{_KCORE_ROUNDS} GROUP BY a) d
+        GROUP BY deg
+        ORDER BY deg
+        """
+    )
+
+
+@register(
+    "graph_kcore",
+    oracle=_kcore_oracle(),
+    tags=("graph", "kcore"),
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T=4 synchronous peeling rounds toward the 3-core; reports the
+    survivor degree histogram. Each round is one degree partial-agg plus
+    two semi-join filters of the edge list against the survivor set —
+    E-sized shuffles, monotonically shrinking."""
+    edges = _edges(spark, sf_dir)
+    und = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .union(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(_KCORE_ROUNDS):
+        keep = (
+            und.groupBy("a")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= _KCORE_K)
+            .select("a")
+        )
+        und = und.join(keep, "a", "left_semi").join(
+            keep.select(F.col("a").alias("b")), "b", "left_semi"
+        )
+    return (
+        und.groupBy("a")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .groupBy("deg")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .select(F.col("deg").cast("long"), F.col("n_nodes").cast("long"))
+        .orderBy("deg")
+    )

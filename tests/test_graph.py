@@ -144,3 +144,27 @@ def test_connected_components_matches_python(spark):
         for r in graph_connected_components(spark, SF_DIR).collect()
     ]
     assert got == expect
+
+
+def test_kcore_matches_python_peeling(spark):
+    """Independent verification: synchronous peeling in plain Python over
+    the collected edge list (test-SF only)."""
+    from hyrise_spark.pipeline.graph import _KCORE_K, _KCORE_ROUNDS, graph_kcore
+
+    edges = _edges(spark, SF_DIR).collect()
+    und = set()
+    for r in edges:
+        und.add((r.src, r.dst))
+        und.add((r.dst, r.src))
+    for _ in range(_KCORE_ROUNDS):
+        deg = {}
+        for a, _b in und:
+            deg[a] = deg.get(a, 0) + 1
+        keep = {a for a, d in deg.items() if d >= _KCORE_K}
+        und = {(a, b) for a, b in und if a in keep and b in keep}
+    from collections import Counter
+
+    deg = Counter(a for a, _ in und)
+    expect = sorted(Counter(deg.values()).items())
+    got = [(r.deg, r.n_nodes) for r in graph_kcore(spark, SF_DIR).collect()]
+    assert got == expect
