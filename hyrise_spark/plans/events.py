@@ -1692,3 +1692,119 @@ def events_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(r, 4).alias("ccf"),
     ).orderBy("lag_hours")
+
+
+# ---------------------------------------------------------------------------
+# Robust anomaly flagging by median absolute deviation (Hampel's rule,
+# |x - med| > 3 * 1.4826 * MAD): the robust sibling of
+# events_anomaly_zscore — mean/stddev are themselves dragged by the
+# outliers they are supposed to flag; the median/MAD pair has a 50%
+# breakdown point. All arithmetic stays on the integer-cents lattice:
+# medians are LOWER medians found on per-type value histograms (the same
+# cum*2 >= n trick as events_interarrival_stats — no global sort), and
+# the flag test multiplies through by 10^4 (3 * 1.4826 = 4.4478) so both
+# engines compare exact integers.
+_MAD_TOPK = 50
+
+
+@register(
+    "events_anomaly_mad",
+    oracle=f"""
+    WITH x AS (
+      SELECT event_id, event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    vc AS (SELECT event_type, cents, COUNT(*) AS c FROM x
+           GROUP BY event_type, cents),
+    cum AS (
+      SELECT event_type, cents,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY cents) AS cs,
+             SUM(c) OVER (PARTITION BY event_type) AS n
+      FROM vc
+    ),
+    med AS (
+      SELECT event_type, CAST(MIN(cents) AS BIGINT) AS med
+      FROM cum WHERE cs * 2 >= n GROUP BY event_type
+    ),
+    dev AS (
+      SELECT x.event_id, x.event_type, x.cents,
+             ABS(x.cents - m.med) AS d, m.med
+      FROM x JOIN med m ON m.event_type = x.event_type
+    ),
+    dc AS (SELECT event_type, d, COUNT(*) AS c FROM dev
+           GROUP BY event_type, d),
+    dcum AS (
+      SELECT event_type, d,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY d) AS cs,
+             SUM(c) OVER (PARTITION BY event_type) AS n
+      FROM dc
+    ),
+    mad AS (
+      SELECT event_type, CAST(MIN(d) AS BIGINT) AS mad
+      FROM dcum WHERE cs * 2 >= n GROUP BY event_type
+    )
+    SELECT dev.event_id, dev.event_type,
+           CAST(dev.cents AS BIGINT) AS cents,
+           CAST(dev.med AS BIGINT) AS med,
+           CAST(dev.d AS BIGINT) AS abs_dev,
+           ma.mad
+    FROM dev JOIN mad ma ON ma.event_type = dev.event_type
+    WHERE dev.d * 10000 > 44478 * ma.mad
+    ORDER BY dev.d DESC, dev.event_id
+    LIMIT {_MAD_TOPK}
+    """,
+    tags=("events", "anomaly", "robust"),
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 Hampel outliers per the 3-MAD rule. Plan: two
+    histogram-median passes (per-type value histogram + per-type
+    deviation histogram — windows over histogram-sized frames, never
+    event-sized sorts), one broadcast-joined flag filter, one bounded
+    top-k."""
+    (events,) = _t(spark, sf_dir, "events")
+    x = events.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+
+    def _lower_median(df: DataFrame, col: str, out: str) -> DataFrame:
+        vc = df.groupBy("event_type", col).agg(F.count(F.lit(1)).alias("c"))
+        w = Window.partitionBy("event_type").orderBy(col)
+        wn = Window.partitionBy("event_type")
+        cum = vc.select(
+            "event_type",
+            col,
+            F.sum("c").over(w).alias("cs"),
+            F.sum("c").over(wn).alias("n"),
+        )
+        return (
+            cum.filter(F.col("cs") * 2 >= F.col("n"))
+            .groupBy("event_type")
+            .agg(F.min(col).cast("long").alias(out))
+        )
+
+    med = _lower_median(x, "cents", "med")
+    dev = x.join(med, "event_type").select(
+        "event_id",
+        "event_type",
+        "cents",
+        F.abs(F.col("cents") - F.col("med")).alias("d"),
+        "med",
+    )
+    mad = _lower_median(dev, "d", "mad")
+    return (
+        dev.join(mad, "event_type")
+        .filter(F.col("d") * 10000 > 44478 * F.col("mad"))
+        .select(
+            "event_id",
+            "event_type",
+            F.col("cents").cast("long"),
+            F.col("med").cast("long"),
+            F.col("d").cast("long").alias("abs_dev"),
+            "mad",
+        )
+        .orderBy(F.col("abs_dev").desc(), "event_id")
+        .limit(_MAD_TOPK)
+    )
