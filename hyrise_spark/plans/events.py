@@ -1527,10 +1527,15 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("x").cast("long").alias("s1"),
         F.sum(F.col("x") * F.col("x")).cast("long").alias("s2"),
     )
-    ak = e.select("event_type", "rn", "x").crossJoin(
-        e.sparkSession.createDataFrame(
-            [(k,) for k in range(1, _ACF_MAX_LAG + 1)], "k int"
-        )
+    # lag fan-out as a literal-array explode: a projection, not a join —
+    # nothing for the planner to turn into a cartesian
+    ak = e.select(
+        "event_type",
+        "rn",
+        "x",
+        F.explode(
+            F.array(*[F.lit(k) for k in range(1, _ACF_MAX_LAG + 1)])
+        ).alias("k"),
     )
     b = e.select(
         F.col("event_type").alias("bt"),

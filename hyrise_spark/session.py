@@ -12,6 +12,7 @@ timestamp semantics are stable across drivers/executors (and match DuckDB).
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -71,6 +72,21 @@ def get_spark(app_name: str = "hyrise_spark", cpus: int | None = None) -> SparkS
         # thresholds (creationSideThreshold / scan-size) gate it so tiny
         # local inputs don't pay — it kicks in exactly at warehouse scale.
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # Per-PROCESS warehouse dir: managed tables (the bucketed/analyzed
+        # layout variants) are session-scoped caches, but the default
+        # ./spark-warehouse is shared by every process running from the
+        # repo — a second process re-materializing a layout table would
+        # rewrite files a long-lived first session still scans (observed:
+        # FileScanRDD failures in *_bucketed when bench/check_oracle ran
+        # beside pytest). A pid-scoped dir gives each process its own
+        # cache; on a real cluster an external metastore owns this path
+        # and the config is overridden by deployment.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.path.join(
+                tempfile.gettempdir(), f"hyrise_spark_wh_{os.getpid()}"
+            ),
+        )
     )
     if not os.environ.get("SPARK_MASTER") and "SPARK_ENV_LOADED" not in os.environ:
         builder = builder.master(f"local[{cpus}]")
