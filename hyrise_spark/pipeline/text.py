@@ -1331,3 +1331,72 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Lexical diversity profile: type-token ratio (TTR) and hapax-legomenon
+# proportion per document — the classic lexical-richness pair (Templin 1957
+# TTR; hapax rate is the V1/V head of the frequency spectrum that drives
+# Heaps/Zipf fits). In a curation pipeline low TTR flags template/boilerplate
+# expansion and machine-generated repetition that the quality classifier's
+# length/stopword features miss.
+#
+# Exact arithmetic: token counts and distinct counts are integers; the two
+# ratios are single divisions rounded once.
+
+
+@register(
+    "text_lexical_diversity",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(string_split_regex(trim(lower(text)), '\\s+')) AS w
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+           FROM toks GROUP BY doc_id, w)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(c), 4) AS ttr,
+           ROUND(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 4) AS hapax_ratio
+    FROM tf
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    tags=("text", "lexical-diversity"),
+)
+def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc TTR + hapax proportion. Plan: explode -> per-(doc, token)
+    partial agg -> per-doc partial agg; both aggregates map-side combine,
+    nothing is corpus-squared."""
+    toks = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
+    )
+    tf = toks.groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    hapax = F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long")
+    return (
+        tf.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            hapax.alias("n_hapax"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_types",
+            "n_hapax",
+            F.round(
+                F.col("n_types").cast("double") / F.col("n_tokens"), 4
+            ).alias("ttr"),
+            F.round(
+                F.col("n_hapax").cast("double") / F.col("n_types"), 4
+            ).alias("hapax_ratio"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1813,3 +1813,89 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("abs_dev").desc(), "event_id")
         .limit(_MAD_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit (Newcomb 1881 / Benford 1938; the standard
+# forensic screen for fabricated or truncated numeric columns — also the
+# pipeline_data_expectations-style check that catches unit mix-ups, since
+# rescaling a column shifts its digit profile): per event_type, the
+# first-significant-digit histogram of the cents lattice against the
+# Benford expectation P(d) = log10(1 + 1/d), scored by chi-square.
+#
+# Determinism: the 9 Benford weights are PYTHON-computed literals baked
+# into both engines' texts (no libm log at query time); observed counts
+# are exact integers; chi2 uses the algebraic form sum(obs^2/(n w_d)) - n
+# with each obs^2/w_d term floored onto a 1e6 lattice, so the 9-term sum
+# is exact integer arithmetic (order-free), and one double division at
+# the end.
+_BENFORD_W = {d: __import__("math").log10(1 + 1 / d) for d in range(1, 10)}
+
+
+def _benford_case(digit_expr: str) -> str:
+    """CASE mapping first digit -> floor(1e6 / w_d): the reciprocal weight
+    on a 1e6 integer lattice (python literal, identical in both texts).
+    1e6 keeps the summed product c^2 * R_d inside BIGINT at any plausible
+    scale (c <= 2^31 -> product <= ~1e26 would overflow at 1e12 scale;
+    at 1e6 scale c <= ~6e5 per digit stays exact, and the corpus-level
+    relative quantization error is ~3e-7 — deterministic on both engines
+    because the literal is shared)."""
+    arms = " ".join(
+        f"WHEN {d} THEN {int(1e6 / _BENFORD_W[d])}" for d in range(1, 10)
+    )
+    return f"CASE {digit_expr} {arms} END"
+
+
+@register(
+    "events_benford",
+    oracle=f"""
+    WITH x AS (
+      SELECT event_type,
+             CAST(substr(CAST(CAST(ROUND(value * 100) AS BIGINT) AS VARCHAR),
+                         1, 1) AS BIGINT) AS d
+      FROM events WHERE value > 0
+    ),
+    obs AS (
+      SELECT event_type, d, CAST(COUNT(*) AS BIGINT) AS c
+      FROM x GROUP BY event_type, d
+    ),
+    terms AS (
+      SELECT event_type,
+             CAST(SUM(c) AS BIGINT) AS n,
+             -- pure integer sum; the single 1e6 descale happens once below
+             CAST(SUM(c * c * {_benford_case('d')}) AS BIGINT) AS s_scaled
+      FROM obs GROUP BY event_type
+    )
+    SELECT event_type, n,
+           ROUND(CAST(s_scaled AS DOUBLE) / 1000000.0 / n - n, 4) AS chi2
+    FROM terms
+    ORDER BY event_type
+    """,
+    tags=("events", "benford", "audit"),
+)
+def events_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type Benford chi-square over first digits of the cents values.
+    Plan: one digit projection, one (type, digit) partial agg (45 rows),
+    one per-type agg — nothing beyond scan + two tiny aggregates."""
+    (events,) = _t(spark, sf_dir, "events")
+    d = F.substring(
+        F.round(F.col("value") * 100).cast("long").cast("string"), 1, 1
+    ).cast("long")
+    x = events.filter(F.col("value") > 0).select("event_type", d.alias("d"))
+    obs = x.groupBy("event_type", "d").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w_recip = F.expr(_benford_case("d"))
+    terms = obs.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c") * F.col("c") * w_recip).cast("long").alias("s_scaled"),
+    )
+    return terms.select(
+        "event_type",
+        "n",
+        F.round(
+            F.col("s_scaled").cast("double") / 1000000.0 / F.col("n")
+            - F.col("n"),
+            4,
+        ).alias("chi2"),
+    ).orderBy("event_type")
