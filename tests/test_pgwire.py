@@ -1079,3 +1079,31 @@ def test_psql_round9_dialect_surfaces(server):
         assert out.stdout.split() == ["1|35", "2|15", "3|40"], out.stdout
     finally:
         _psql(server, "DROP TABLE pg_r9")
+
+
+def test_psql_session3_dialect_surfaces(server):
+    """Session-3 SQL surfaces end-to-end from psql: DISTINCT window
+    aggregates (engine COLLECT_SET rewrite) and the SQL-standard PIVOT
+    clause (native Spark parse)."""
+    _psql(server, "DROP TABLE IF EXISTS pg_s3")
+    out = _psql(server, "CREATE TABLE pg_s3 (g INT, c STRING, v INT)")
+    assert out.returncode == 0, out.stderr
+    try:
+        out = _psql(
+            server,
+            "SELECT g, COUNT(DISTINCT v) OVER (PARTITION BY g) AS nd"
+            " FROM pg_s3 ORDER BY g",
+            "-c", "INSERT INTO pg_s3 VALUES (0,'x',7), (0,'y',7), (0,'x',9),"
+                  " (1,'x',1)",
+        )
+        assert out.returncode == 0, out.stderr
+        assert out.stdout.split()[-4:] == ["0|2", "0|2", "0|2", "1|1"], out.stdout
+        out = _psql(
+            server,
+            "SELECT * FROM (SELECT g, c, v FROM pg_s3)"
+            " PIVOT (SUM(v) FOR c IN ('x' AS x, 'y' AS y)) ORDER BY g",
+        )
+        assert out.returncode == 0, out.stderr
+        assert out.stdout.split() == ["0|16|7", "1|1|"], out.stdout
+    finally:
+        _psql(server, "DROP TABLE pg_s3")
