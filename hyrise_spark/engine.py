@@ -630,6 +630,9 @@ class Engine:
             return self._execute_one(
                 f"SELECT * FROM meta_columns WHERE table_name = '{m['t']}'", None
             )
+        m = re.match(r"^\s*SUMMARIZE\s+(?P<t>\w+)\s*$", stmt, re.I)
+        if m:
+            return self._summarize(m["t"])
         m = _CREATE_FUNCTION_RE.match(stmt)
         if m:
             self.spark.sql(
@@ -2635,6 +2638,50 @@ class Engine:
         df = self.spark.sql(sql)
         return df._jdf.queryExecution().explainString(
             self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+        )
+
+    def _summarize(self, table: str) -> DataFrame:
+        """`SUMMARIZE t` (DuckDB dialect; the reference's closest analog is
+        the meta_segments statistics surface, utils/meta_tables/): one
+        wide aggregate pass over the table, transposed to one profile row
+        per column. The collect is ONE row however large the table (the
+        aggregate runs distributed; only the transpose is driver-side) —
+        same bounded-collect class as the meta tables. avg/std report for
+        numeric columns; min/max render as strings so one schema covers
+        every column type."""
+        import pyspark.sql.functions as F
+
+        df = self._execute_one(f"SELECT * FROM {table}", None)
+        numeric = {"tinyint", "smallint", "int", "bigint", "float", "double",
+                   "decimal"}
+        aggs: list = [F.count(F.lit(1)).alias("__n")]
+        for c, t in df.dtypes:
+            base = t.split("(")[0]
+            aggs.append(F.count(c).alias(f"{c}__cnt"))
+            aggs.append(F.min(c).cast("string").alias(f"{c}__min"))
+            aggs.append(F.max(c).cast("string").alias(f"{c}__max"))
+            aggs.append(F.approx_count_distinct(c).alias(f"{c}__dst"))
+            if base in numeric:
+                aggs.append(F.round(F.avg(c), 4).cast("string").alias(f"{c}__avg"))
+                aggs.append(F.round(F.stddev_samp(c), 4).cast("string")
+                            .alias(f"{c}__std"))
+        row = df.agg(*aggs).collect()[0].asDict()
+        n = row["__n"]
+        out = []
+        for c, t in df.dtypes:
+            cnt = row[f"{c}__cnt"]
+            out.append((
+                c, t, int(n),
+                round(100.0 * (n - cnt) / n, 2) if n else 0.0,
+                int(row[f"{c}__dst"]),
+                row[f"{c}__min"], row[f"{c}__max"],
+                row.get(f"{c}__avg"), row.get(f"{c}__std"),
+            ))
+        return self.spark.createDataFrame(
+            out,
+            schema="column_name string, column_type string, count bigint, "
+                   "null_percentage double, approx_unique bigint, "
+                   "min string, max string, avg string, std string",
         )
 
     # -- meta tables --------------------------------------------------------

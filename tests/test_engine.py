@@ -1610,3 +1610,37 @@ def test_dialect_composition_qualify_distinct_on_with_exclusion(engine, spark, d
     got = {tuple(r) for r in engine.execute(q2).collect()}
     want = {tuple(r) for r in duck.execute(q2).fetchall()}
     assert got == want and len(got) == 3
+
+
+def test_summarize_statement_matches_duckdb(engine, duck):
+    """SUMMARIZE t: per-column profile in one distributed aggregate pass.
+    The deterministic fields (count, min, max, null_percentage) must match
+    DuckDB's native SUMMARIZE on the same rows."""
+    engine.execute("DROP TABLE IF EXISTS smz")
+    engine.execute("CREATE TABLE smz (id INT, v DOUBLE, s STRING)")
+    engine.execute(
+        "INSERT INTO smz VALUES (1, 2.5, 'a'), (2, NULL, 'bb'), (3, 7.5, NULL),"
+        " (4, 10.0, 'a')"
+    )
+    try:
+        got = {
+            r.column_name: r for r in engine.execute("SUMMARIZE smz").collect()
+        }
+        duck.execute("CREATE OR REPLACE TABLE smz_d AS SELECT * FROM (VALUES"
+                     " (1, 2.5, 'a'), (2, NULL, 'bb'), (3, 7.5, NULL),"
+                     " (4, 10.0, 'a')) t(id, v, s)")
+        exp = {r[0]: r for r in duck.execute(
+            "SUMMARIZE smz_d").fetchall()}
+        cols = [d[0] for d in duck.execute("SUMMARIZE smz_d").description]
+        i_min, i_max = cols.index("min"), cols.index("max")
+        i_cnt, i_null = cols.index("count"), cols.index("null_percentage")
+        assert set(got) == set(exp) == {"id", "v", "s"}
+        for c in got:
+            assert got[c]["count"] == exp[c][i_cnt]
+            assert float(got[c].null_percentage) == float(exp[c][i_null])
+            assert str(got[c].min) == str(exp[c][i_min])
+            assert str(got[c].max) == str(exp[c][i_max])
+        # numeric columns carry avg/std; strings don't
+        assert got["v"].avg is not None and got["s"].avg is None
+    finally:
+        engine.execute("DROP TABLE smz")
