@@ -122,3 +122,16 @@ def test_run_shuffled_mode(spark, tmp_path):
         assert item["best_s"] >= 0 and item["rows"] >= 1
     with pytest.raises(ValueError, match="unknown benchmark mode"):
         run(spark, qdir, SF_DIR, runs=1, mode="zigzag")
+
+
+def test_tpch_refresh_roundtrip(spark):
+    """RF1 inserts a nonempty re-keyed sample + lineitems, RF2 removes it;
+    after every pair the audit profile is bit-identical to baseline."""
+    from hyrise_spark.benchmark_runner import run_tpch_refresh
+    from tests.conftest import SF_DIR
+
+    result = run_tpch_refresh(spark, SF_DIR, pairs=2)
+    assert result["roundtrip_ok"], result
+    assert all(n > 0 for n in result["orders_per_rf1"])
+    assert result["baseline"] == result["final"]
+    assert set(result["latency_s"]) == {"rf1", "rf2", "probe"}
