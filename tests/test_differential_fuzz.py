@@ -452,12 +452,22 @@ def window_distinct_query(draw) -> str:
     arg = draw(st.sampled_from([_FX_ARG, "o_custkey % 13"]))
     part = draw(st.sampled_from(
         ["PARTITION BY o_orderstatus", "PARTITION BY o_orderpriority"]))
-    if draw(st.booleans()):
+    frame = draw(st.sampled_from(["none", "rows", "range"]))
+    if frame == "rows":
         lo = draw(st.sampled_from(
             [f"{draw(st.integers(0, 5))} PRECEDING", "UNBOUNDED PRECEDING"]))
         hi = draw(st.sampled_from(
             [f"{draw(st.integers(0, 5))} FOLLOWING", "CURRENT ROW"]))
         spec = f"{part} ORDER BY o_orderkey ROWS BETWEEN {lo} AND {hi}"
+    elif frame == "range":
+        # value-based frame over a non-unique key: contents are defined by
+        # VALUES, so tie order cannot change the distinct set
+        lo = draw(st.sampled_from(
+            [f"{draw(st.integers(0, 9))} PRECEDING", "UNBOUNDED PRECEDING"]))
+        hi = draw(st.sampled_from(
+            [f"{draw(st.integers(0, 9))} FOLLOWING", "CURRENT ROW"]))
+        spec = (f"{part} ORDER BY o_custkey % 37"
+                f" RANGE BETWEEN {lo} AND {hi}")
     else:
         spec = part
     expr = f"{fn}(DISTINCT {arg}) OVER ({spec})"
