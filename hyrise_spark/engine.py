@@ -630,9 +630,10 @@ class Engine:
             return self._execute_one(
                 f"SELECT * FROM meta_columns WHERE table_name = '{m['t']}'", None
             )
-        m = re.match(r"^\s*SUMMARIZE\s+(?P<t>\w+)\s*$", stmt, re.I)
+        m = re.match(r"^\s*SUMMARIZE\s+(?P<t>\w+\s*$|SELECT\b.+)", stmt,
+                     re.I | re.S)
         if m:
-            return self._summarize(m["t"])
+            return self._summarize(m["t"].strip())
         m = _CREATE_FUNCTION_RE.match(stmt)
         if m:
             self.spark.sql(
@@ -2651,7 +2652,10 @@ class Engine:
         every column type."""
         import pyspark.sql.functions as F
 
-        df = self._execute_one(f"SELECT * FROM {table}", None)
+        if re.match(r"^SELECT\b", table, re.I):
+            df = self._execute_one(table, None)  # SUMMARIZE <query> form
+        else:
+            df = self._execute_one(f"SELECT * FROM {table}", None)
         numeric = {"tinyint", "smallint", "int", "bigint", "float", "double",
                    "decimal"}
         aggs: list = [F.count(F.lit(1)).alias("__n")]

@@ -1644,3 +1644,28 @@ def test_summarize_statement_matches_duckdb(engine, duck):
         assert got["v"].avg is not None and got["s"].avg is None
     finally:
         engine.execute("DROP TABLE smz")
+
+
+def test_summarize_query_form(engine, duck):
+    """SUMMARIZE <query> (the DuckDB query form) profiles the statement's
+    result frame."""
+    engine.execute("DROP TABLE IF EXISTS smq")
+    engine.execute("CREATE TABLE smq (k INT, p DOUBLE)")
+    engine.execute("INSERT INTO smq VALUES (1, 5.0), (2, NULL), (4, 6.5)")
+    try:
+        got = {r.column_name: r for r in engine.execute(
+            "SUMMARIZE SELECT k % 3 AS g, p FROM smq"
+        ).collect()}
+        duck.execute("CREATE OR REPLACE TABLE smq_d AS SELECT * FROM (VALUES"
+                     " (1, 5.0), (2, NULL), (4, 6.5)) t(k, p)")
+        exp = {r[0]: r for r in duck.execute(
+            "SUMMARIZE SELECT k % 3 AS g, p FROM smq_d").fetchall()}
+        cols = [d[0] for d in duck.execute(
+            "SUMMARIZE SELECT 1 AS x").description]
+        i_cnt, i_min = cols.index("count"), cols.index("min")
+        assert set(got) == set(exp) == {"g", "p"}
+        for c in got:
+            assert got[c]["count"] == exp[c][i_cnt]
+            assert str(got[c].min) == str(exp[c][i_min])
+    finally:
+        engine.execute("DROP TABLE smq")
