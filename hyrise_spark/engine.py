@@ -1297,6 +1297,18 @@ class Engine:
                     f"window FILTER: expected FILTER (WHERE <pred>), got "
                     f"FILTER ({inner})")
             fn, arg, pred = m["fn"], m["arg"].strip(), wm["pred"].strip()
+            dm = re.match(r"DISTINCT\b\s*(?P<rest>.+)$", arg, re.I | re.S)
+            if dm:
+                # fn(DISTINCT x) FILTER (WHERE p) OVER — keep DISTINCT
+                # OUTSIDE the CASE so the later DISTINCT-window rewrite
+                # (collect_set) sees it; NULLs from failing predicates are
+                # dropped by the distinct set exactly like by the aggregate
+                out.append(stmt[i:m.start()])
+                out.append(
+                    f"{fn}(DISTINCT CASE WHEN {pred}"
+                    f" THEN ({dm['rest'].strip()}) END)")
+                i = fclose + 1
+                continue
             val = "1" if arg == "*" else f"({arg})"
             out.append(stmt[i:m.start()])
             out.append(f"{fn}(CASE WHEN {pred} THEN {val} END)")
@@ -1352,6 +1364,11 @@ class Engine:
                 i = close + 1
                 continue
             fn, arg = m["fn"].upper(), m["arg"].strip()
+            if re.match(r"DISTINCT\b", arg, re.I):
+                raise ValueError(
+                    "frame exclusion: DISTINCT aggregates are not "
+                    "subtraction-invertible (the excluded row's value may "
+                    "still occur elsewhere in the frame)")
             mode = re.sub(r"\s+", " ", em["mode"].upper())
             if mode == "NO OTHERS":
                 # SQL:2011's explicit default: exclude nothing — strip it

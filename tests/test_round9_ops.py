@@ -149,3 +149,40 @@ def test_window_distinct_matches_groupby(spark):
     assert {(r.l_orderkey, r.n) for r in win} == {
         (r.l_orderkey, r.n) for r in grp
     }
+
+
+def test_window_distinct_composes_with_filter(spark, duck):
+    """fn(DISTINCT x) FILTER (WHERE p) OVER w: the FILTER rewrite keeps
+    DISTINCT outside the CASE so the collect_set rewrite applies —
+    matches DuckDB running the same text natively."""
+    from hyrise_spark.engine import Engine
+    from hyrise_spark.catalog import load_tables
+
+    load_tables(spark, SF_DIR, ("orders",))
+    q = ("SELECT o_orderkey,"
+         " COUNT(DISTINCT o_custkey % 7) FILTER (WHERE o_orderkey % 2 = 0)"
+         " OVER (PARTITION BY o_orderstatus) AS ndf"
+         " FROM orders WHERE o_orderkey < 500")
+    e = Engine(spark)
+    srows = sorted(tuple(r) for r in e.execute(q).collect())
+    orows = sorted(duck.execute(q).fetchall())
+    assert srows == orows
+
+
+def test_frame_exclusion_rejects_distinct(spark):
+    """DISTINCT aggregates are not subtraction-invertible: EXCLUDE must
+    raise a clear error instead of silently over-subtracting."""
+    import pytest
+
+    from hyrise_spark.engine import Engine
+
+    from hyrise_spark.catalog import load_tables
+
+    load_tables(spark, SF_DIR, ("orders",))
+    e = Engine(spark)
+    with pytest.raises(ValueError, match="subtraction-invertible"):
+        e.execute(
+            "SELECT CAST(SUM(DISTINCT o_custkey) OVER (ORDER BY o_orderkey"
+            " ROWS BETWEEN 2 PRECEDING AND CURRENT ROW"
+            " EXCLUDE CURRENT ROW) AS BIGINT) AS s FROM orders"
+        )
