@@ -1853,7 +1853,7 @@ def _benford_case(digit_expr: str) -> str:
       SELECT event_type,
              CAST(substr(CAST(CAST(ROUND(value * 100) AS BIGINT) AS VARCHAR),
                          1, 1) AS BIGINT) AS d
-      FROM events WHERE value > 0
+      FROM events WHERE ROUND(value * 100) >= 1
     ),
     obs AS (
       SELECT event_type, d, CAST(COUNT(*) AS BIGINT) AS c
@@ -1881,7 +1881,9 @@ def events_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = F.substring(
         F.round(F.col("value") * 100).cast("long").cast("string"), 1, 1
     ).cast("long")
-    x = events.filter(F.col("value") > 0).select("event_type", d.alias("d"))
+    x = events.filter(F.round(F.col("value") * 100) >= 1).select(
+        "event_type", d.alias("d")
+    )
     obs = x.groupBy("event_type", "d").agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
