@@ -544,8 +544,10 @@ def tpch_refresh_setup(engine, sf_dir: str) -> dict:
     from hyrise_spark.catalog import load_tables
 
     tabs = load_tables(engine.spark, sf_dir, ("orders", "lineitem"))
-    engine.catalog.add_table("orders", tabs["orders"])
-    engine.catalog.add_table("lineitem", tabs["lineitem"])
+    for name in ("orders", "lineitem"):
+        # replace_table: idempotent setup (a prior benchmark run in the
+        # same engine may have loaded these already)
+        engine.catalog.replace_table(name, tabs[name])
     return _rf_audit(engine)
 
 
