@@ -204,3 +204,57 @@ def lsh_gated_stream(docs: DataFrame, prev_bits: list) -> DataFrame:
     return toks.filter(~F.coalesce(suspect, F.lit(False))).select(
         "doc_id", "source"
     )
+
+
+def temperature_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATIC per-language alpha=0.5 temperature rates — the batch
+    curate_temperature_mixture rate computation (pipeline/curate.py),
+    reused so streamed and batch sampling decide identically (same sqrt
+    integer lattice, same budget)."""
+    from hyrise_spark.pipeline.curate import (
+        _TEMP_BUDGET_FRAC,
+        _docs,
+        _words,
+    )
+
+    docs = _docs(spark, sf_dir)
+    d = docs.select("lang", F.size(_words()).alias("n_tok"))
+    dom = d.groupBy("lang").agg(
+        F.sum("n_tok").cast("long").alias("d_tok"),
+        F.floor(F.sqrt(F.sum("n_tok").cast("long")) * 1000000)
+        .cast("long")
+        .alias("s_tok"),
+    )
+    tot = dom.agg(
+        F.sum("d_tok").cast("long").alias("t_tok"),
+        F.sum("s_tok").cast("long").alias("s_all"),
+    )
+    return dom.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.least(
+            F.lit(1.0),
+            F.lit(_TEMP_BUDGET_FRAC)
+            * (F.col("s_tok").cast("double") / F.col("s_all"))
+            * F.col("t_tok")
+            / F.col("d_tok"),
+        ).alias("rate"),
+    )
+
+
+def temperature_sampled_stream(docs: DataFrame, rates: DataFrame) -> DataFrame:
+    """Streamed alpha-temperature language resampling: the language-sized
+    rate frame is computed ONCE by the batch profile pass and broadcast
+    into the stream; each arriving doc keeps/drops itself by the same
+    integer md5 threshold the batch op uses — stateless, append mode,
+    admit-iff-batch-admits (pinned by the parity test)."""
+    from hyrise_spark.pipeline.curate import _words
+
+    accept16 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("int")
+    return (
+        docs.select("doc_id", "lang", F.size(_words()).alias("n_tok"))
+        .join(F.broadcast(rates), "lang")
+        .filter(accept16 < F.floor(F.col("rate") * 65536).cast("int"))
+        .select("doc_id", "lang", "n_tok", F.round("rate", 4).alias("rate"))
+    )

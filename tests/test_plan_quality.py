@@ -798,6 +798,9 @@ _STREAMING_HINT_ALLOWLIST: dict[str, str] = {
     # bound checker cannot prove it, but output cardinality is ≤ the CASE
     # branch count at any corpus size.
     "mixture_sampled_stream": "rates frame: one row per mixture domain (CASE vocabulary)",
+    # same shape, keyed on the lang column: one row per language label —
+    # bounded by the corpus's language vocabulary, not its volume
+    "temperature_sampled_stream": "rates frame: one row per language label",
 }
 
 # Not plan-builders: sources (no joins possible), sinks (return a
@@ -833,6 +836,7 @@ def _streaming_builder_frames(spark):
     bench = cu.benchmark_shingles(
         spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(20))
     rates = cu.mixture_rates(spark, SF_DIR)
+    trates = cu.temperature_rates(spark, SF_DIR)
     cb = ann.pq_codebook(spark, SF_DIR)
     emb = ann.read_embeddings_stream(spark, f"{SF_DIR}/embeddings.parquet")
     postings = ix.postings_log_stream(docs)
@@ -856,6 +860,9 @@ def _streaming_builder_frames(spark):
         "contaminated_ids_stream": cu.contaminated_ids_stream(docs, bench),
         "mixture_rates": rates,
         "mixture_sampled_stream": cu.mixture_sampled_stream(docs, rates),
+        "temperature_rates": trates,
+        "temperature_sampled_stream":
+            cu.temperature_sampled_stream(docs, trates),
         "classifier_gated_stream": cu.classifier_gated_stream(docs),
         "bloom_gated_stream": cu.bloom_gated_stream(docs, [1, 2, 3]),
         "lsh_gated_stream": cu.lsh_gated_stream(docs, [1, 2, 3]),
@@ -903,6 +910,7 @@ _STREAMING_FIXTURE_NAMES = (
     "ohlc_stream", "streaming_ema_daily", "markov_transition_stream",
     "quality_scored_stream", "benchmark_shingles", "contaminated_ids_stream",
     "mixture_rates", "mixture_sampled_stream", "classifier_gated_stream",
+    "temperature_rates", "temperature_sampled_stream",
     "bloom_gated_stream", "lsh_gated_stream", "pq_codebook", "pq_encoded_stream",
     "proto_centroids", "proto_gated_stream",
     "postings_log_stream", "term_directory_stream",

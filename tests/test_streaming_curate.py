@@ -420,3 +420,30 @@ def test_proto_gated_stream_matches_batch(spark, tmp_path):
     from hyrise_spark.pipeline.similarity import _KMEANS_K
 
     assert not (kept & set(range(_KMEANS_K)))
+
+
+def test_temperature_sampled_stream_matches_batch(spark, docs_dir):
+    """Streamed alpha-temperature resampling admits exactly the batch
+    curate_temperature_mixture document set (same sqrt-lattice rates,
+    same integer md5 threshold)."""
+    from hyrise_spark.pipeline.curate import curate_temperature_mixture
+    from hyrise_spark.streaming.curate_stream import (
+        read_documents_stream,
+        temperature_rates,
+        temperature_sampled_stream,
+    )
+
+    rates = temperature_rates(spark, SF_DIR).localCheckpoint(eager=True)
+    stream = temperature_sampled_stream(
+        read_documents_stream(spark, docs_dir), rates
+    )
+    run_to_completion(stream, "temp_sampled", output_mode="append")
+    got = {
+        (r.doc_id, r.lang, r.n_tok, r.rate)
+        for r in spark.table("temp_sampled").collect()
+    }
+    want = {
+        (r.doc_id, r.lang, r.n_tok, r.rate)
+        for r in curate_temperature_mixture(spark, SF_DIR).collect()
+    }
+    assert got == want and want
