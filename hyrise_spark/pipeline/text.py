@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.window import Window
 
 from hyrise_spark.catalog import load_tables
 from hyrise_spark.registry import register
@@ -1397,6 +1398,132 @@ def text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.col("n_hapax").cast("double") / F.col("n_types"), 4
             ).alias("hapax_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the MOSS
+# algorithm): over the sequence of k-gram hashes, slide a window of w
+# consecutive hashes and record each window's MINIMUM (ties -> rightmost).
+# The guarantee: any shared substring of length >= w + k - 1 between two
+# documents shares at least one fingerprint, while only ~2/(w+1) of all
+# k-grams are kept — local, position-robust document fingerprinting (the
+# gap text_fingerprint's global min and text_shingle_min_fingerprint's
+# per-doc min leave open).
+#
+# Determinism: the selection key is ONE BIGINT, hash * 2^17 + (2^17-1 -
+# pos-within-doc) — integer MIN over a ROWS frame implements "min hash,
+# rightmost position" exactly, identically on both engines. Window MIN
+# over a fixed ROWS frame is a single pass; no per-window explosion.
+_WIN_K = 3       # k-gram width (tokens)
+_WIN_W = 4       # winnowing window (hashes per window)
+_WIN_POS = 1 << 17   # > max k-grams per document at any tested SF
+
+
+@register(
+    "text_winnowing_fingerprint",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+      FROM documents
+    ),
+    kg AS (
+      SELECT doc_id, i AS pos,
+             CAST(concat('0x', substr(md5(array_to_string(
+               w[i:i+{_WIN_K - 1}], ' ')), 1, 10)) AS BIGINT)
+               * {_WIN_POS} + ({_WIN_POS} - 1 - i) AS key
+      FROM toks, LATERAL (SELECT UNNEST(generate_series(1, len(w) - {_WIN_K - 1})) AS i)
+      WHERE len(w) >= {_WIN_K}
+    ),
+    wins AS (
+      SELECT doc_id, pos,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n_kg,
+             MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW
+                            AND {_WIN_W - 1} FOLLOWING) AS win_min
+      FROM kg
+    ),
+    fp AS (
+      SELECT DISTINCT doc_id, win_min
+      FROM wins WHERE pos <= n_kg - {_WIN_W - 1}
+    )
+    SELECT doc_id,
+           CAST(MAX(n_kg) AS BIGINT) AS n_kgrams,
+           CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / MAX(n_kg), 4) AS density,
+           CAST(MIN(win_min) AS BIGINT) AS fp_min,
+           CAST(MAX(win_min) AS BIGINT) AS fp_max
+    FROM fp JOIN (SELECT doc_id AS d2, MAX(n_kg) AS n_kg FROM wins GROUP BY doc_id) s
+      ON s.d2 = fp.doc_id
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    tags=("text", "fingerprint", "winnowing"),
+)
+def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc winnowing fingerprint profile: k-gram count, selected
+    fingerprint count, density (expectation 2/(w+1)), and min/max
+    fingerprint keys as checksums. Plan: one per-doc window pass over
+    k-gram positions (the only shuffle), then a distinct + per-doc agg."""
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("w")
+    )
+    idx = F.when(
+        F.size("w") >= _WIN_K,
+        F.sequence(F.lit(1), F.size("w") - (_WIN_K - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    kgram = F.concat_ws(
+        " ", *[F.element_at("w", F.col("pos") + j) for j in range(_WIN_K)]
+    )
+    kg = (
+        toks.select("doc_id", F.explode(idx).alias("pos"), "w")
+        .select(
+            "doc_id",
+            "pos",
+            (
+                F.conv(F.substring(F.md5(kgram), 1, 10), 16, 10).cast("long")
+                * _WIN_POS
+                + (F.lit(_WIN_POS - 1) - F.col("pos"))
+            ).alias("key"),
+        )
+    )
+    wd = Window.partitionBy("doc_id")
+    wf = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, _WIN_W - 1)
+    )
+    wins = kg.select(
+        "doc_id",
+        "pos",
+        F.count(F.lit(1)).over(wd).alias("n_kg"),
+        F.min("key").over(wf).alias("win_min"),
+    )
+    fp = (
+        wins.filter(F.col("pos") <= F.col("n_kg") - (_WIN_W - 1))
+        .select("doc_id", "n_kg", "win_min")
+        .groupBy("doc_id", "win_min")
+        .agg(F.max("n_kg").alias("n_kg"))
+    )
+    return (
+        fp.groupBy("doc_id")
+        .agg(
+            F.max("n_kg").cast("long").alias("n_kgrams"),
+            F.count(F.lit(1)).cast("long").alias("n_fingerprints"),
+            F.min("win_min").cast("long").alias("fp_min"),
+            F.max("win_min").cast("long").alias("fp_max"),
+        )
+        .select(
+            "doc_id",
+            "n_kgrams",
+            "n_fingerprints",
+            F.round(
+                F.col("n_fingerprints").cast("double") / F.col("n_kgrams"), 4
+            ).alias("density"),
+            "fp_min",
+            "fp_max",
         )
         .orderBy("doc_id")
     )
