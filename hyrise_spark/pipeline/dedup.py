@@ -1645,3 +1645,100 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("c_raw")
         .orderBy("d_sub", "d_super")
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing-overlap dedup — the MOSS use-case for the fingerprints above
+# (Schleimer et al. 2003 §4): two documents sharing >= t POSITION-FREE
+# winnowing fingerprints share local substrings of length >= w + k - 1.
+# Complements the shingle-Jaccard family: fingerprints are ~2/(w+1) as
+# numerous as shingles, so candidate generation joins a frame ~2.5x
+# smaller at the same guarantee window. Shares the selection rule with
+# text_winnowing_fingerprint (pipeline/text.py) and the df-capped
+# candidate core with every set-similarity dedup in this module.
+_WINNOW_MIN_SHARED = 3
+
+
+def _winnow_oracle() -> str:
+    from hyrise_spark.pipeline.text import _WIN_K, _WIN_POS, _WIN_W
+
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w
+      FROM documents
+    ),
+    kg AS (
+      SELECT doc_id, i AS pos,
+             CAST(concat('0x', substr(md5(array_to_string(
+               w[i:i+{_WIN_K - 1}], ' ')), 1, 10)) AS BIGINT)
+               * {_WIN_POS} + ({_WIN_POS} - 1 - i) AS key
+      FROM toks, LATERAL (SELECT UNNEST(generate_series(1, len(w) - {_WIN_K - 1})) AS i)
+      WHERE len(w) >= {_WIN_K}
+    ),
+    wins AS (
+      SELECT doc_id, pos,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n_kg,
+             MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW
+                            AND {_WIN_W - 1} FOLLOWING) AS win_min
+      FROM kg
+    ),
+    fp AS (
+      SELECT DISTINCT doc_id, win_min // {_WIN_POS} AS h
+      FROM wins WHERE pos <= n_kg - {_WIN_W - 1}
+    ),
+    cold AS (
+      SELECT h FROM fp GROUP BY h HAVING COUNT(*) <= {_NGRAM_MAX_DF}
+    ),
+    kept AS (SELECT f.doc_id, f.h FROM fp f JOIN cold USING (h)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared
+      FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT d1, d2, CAST(shared AS BIGINT) AS shared,
+           ROUND(CAST(shared AS DOUBLE) / LEAST(s1.n, s2.n), 4) AS overlap
+    FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+    WHERE shared >= {_WINNOW_MIN_SHARED}
+    ORDER BY d1, d2
+    """
+
+
+@register(
+    "dedup_winnowing_overlap",
+    oracle=_winnow_oracle(),
+    tags=("dedup", "winnowing", "fingerprint"),
+)
+def dedup_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs sharing >= 3 winnowing fingerprint hashes, scored by the
+    overlap coefficient shared/min(|A|,|B|). Candidate generation is the
+    shared df-capped equi-join core over the ~2/(w+1)-density fingerprint
+    frame — never all-pairs."""
+    from hyrise_spark.pipeline.text import _WIN_POS, winnow_fingerprints
+
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("w")
+    )
+    fp = (
+        winnow_fingerprints(toks)
+        # integer div, NOT double division: win_min spans up to 2^57 —
+        # a double mantissa rounds it and can leak +/-1 into the hash part
+        .select("doc_id", F.expr(f"win_min div {_WIN_POS}").alias("h"))
+        .distinct()
+    )
+    sized = capped_setsim_pairs(fp, "doc_id", ["h"], _NGRAM_MAX_DF)
+    return (
+        sized.filter(F.col("inter") >= _WINNOW_MIN_SHARED)
+        .select(
+            F.col("id1").alias("d1"),
+            F.col("id2").alias("d2"),
+            F.col("inter").cast("long").alias("shared"),
+            F.round(
+                F.col("inter").cast("double")
+                / F.least(F.col("n1"), F.col("n2")),
+                4,
+            ).alias("overlap"),
+        )
+        .orderBy("d1", "d2")
+    )

@@ -1422,6 +1422,50 @@ _WIN_W = 4       # winnowing window (hashes per window)
 _WIN_POS = 1 << 17   # > max k-grams per document at any tested SF
 
 
+def winnow_fingerprints(toks: DataFrame) -> DataFrame:
+    """(doc_id, n_kg, win_min) winnowing selection frame from (doc_id, w)
+    token arrays — shared by the profile query and the overlap dedup so
+    the selection rule cannot drift. win_min packs (hash, reversed pos);
+    win_min DIV 2^17 recovers the position-free fingerprint HASH."""
+    idx = F.when(
+        F.size("w") >= _WIN_K,
+        F.sequence(F.lit(1), F.size("w") - (_WIN_K - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    kgram = F.concat_ws(
+        " ", *[F.element_at("w", F.col("pos") + j) for j in range(_WIN_K)]
+    )
+    kg = (
+        toks.select("doc_id", F.explode(idx).alias("pos"), "w")
+        .select(
+            "doc_id",
+            "pos",
+            (
+                F.conv(F.substring(F.md5(kgram), 1, 10), 16, 10).cast("long")
+                * _WIN_POS
+                + (F.lit(_WIN_POS - 1) - F.col("pos"))
+            ).alias("key"),
+        )
+    )
+    wd = Window.partitionBy("doc_id")
+    wf = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, _WIN_W - 1)
+    )
+    wins = kg.select(
+        "doc_id",
+        "pos",
+        F.count(F.lit(1)).over(wd).alias("n_kg"),
+        F.min("key").over(wf).alias("win_min"),
+    )
+    return (
+        wins.filter(F.col("pos") <= F.col("n_kg") - (_WIN_W - 1))
+        .select("doc_id", "n_kg", "win_min")
+        .groupBy("doc_id", "win_min")
+        .agg(F.max("n_kg").alias("n_kg"))
+    )
+
+
 @register(
     "text_winnowing_fingerprint",
     oracle=f"""
@@ -1470,43 +1514,7 @@ def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _docs(spark, sf_dir).select(
         "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("w")
     )
-    idx = F.when(
-        F.size("w") >= _WIN_K,
-        F.sequence(F.lit(1), F.size("w") - (_WIN_K - 1)),
-    ).otherwise(F.array().cast("array<int>"))
-    kgram = F.concat_ws(
-        " ", *[F.element_at("w", F.col("pos") + j) for j in range(_WIN_K)]
-    )
-    kg = (
-        toks.select("doc_id", F.explode(idx).alias("pos"), "w")
-        .select(
-            "doc_id",
-            "pos",
-            (
-                F.conv(F.substring(F.md5(kgram), 1, 10), 16, 10).cast("long")
-                * _WIN_POS
-                + (F.lit(_WIN_POS - 1) - F.col("pos"))
-            ).alias("key"),
-        )
-    )
-    wd = Window.partitionBy("doc_id")
-    wf = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.currentRow, _WIN_W - 1)
-    )
-    wins = kg.select(
-        "doc_id",
-        "pos",
-        F.count(F.lit(1)).over(wd).alias("n_kg"),
-        F.min("key").over(wf).alias("win_min"),
-    )
-    fp = (
-        wins.filter(F.col("pos") <= F.col("n_kg") - (_WIN_W - 1))
-        .select("doc_id", "n_kg", "win_min")
-        .groupBy("doc_id", "win_min")
-        .agg(F.max("n_kg").alias("n_kg"))
-    )
+    fp = winnow_fingerprints(toks)
     return (
         fp.groupBy("doc_id")
         .agg(
