@@ -186,3 +186,30 @@ def test_frame_exclusion_rejects_distinct(spark):
             " ROWS BETWEEN 2 PRECEDING AND CURRENT ROW"
             " EXCLUDE CURRENT ROW) AS BIGINT) AS s FROM orders"
         )
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """The MOSS guarantee (Schleimer et al. 2003, thm 1): documents
+    sharing a token span of length >= w + k - 1 share at least one
+    position-free fingerprint hash — regardless of where the span sits
+    in each document."""
+    from hyrise_spark.pipeline.text import _WIN_K, _WIN_POS, _WIN_W, winnow_fingerprints
+
+    span = "shared alpha beta gamma delta epsilon zeta eta theta iota"
+    assert len(span.split()) >= _WIN_W + _WIN_K - 1
+    docs = spark.createDataFrame(
+        [
+            (0, "left filler words here " * 3 + span),
+            (1, span + " right tail goes on " * 4),
+        ],
+        "doc_id long, text string",
+    )
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("w")
+    )
+    fp = winnow_fingerprints(toks).select(
+        "doc_id", F.expr(f"win_min div {_WIN_POS}").alias("h")
+    )
+    h0 = {r.h for r in fp.filter("doc_id = 0").collect()}
+    h1 = {r.h for r in fp.filter("doc_id = 1").collect()}
+    assert h0 & h1, "shared span produced no shared fingerprint"
