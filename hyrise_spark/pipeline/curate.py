@@ -1603,3 +1603,105 @@ def curate_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "n_tok", F.round("rate", 4).alias("rate"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Span-level decontamination (the removal form of curate_contamination_check,
+# after Lee et al. 2022's span-surgery and the open-LM eval-decontamination
+# recipes): instead of DROPPING a contaminated document, mask exactly the
+# token positions covered by any benchmark-matching n-gram and keep the
+# rest. Reports per contaminated doc the masked-token count and the number
+# of MAXIMAL contiguous masked spans (gaps-and-islands on the masked
+# position set) — what a surgical pipeline would cut.
+
+
+@register(
+    "curate_decontaminate_spans",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM documents),
+    g AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - {_NGRAM - 1})) AS s
+          FROM t WHERE len(w) >= {_NGRAM}),
+    sh AS (SELECT doc_id, s, array_to_string(w[s : s + {_NGRAM - 1}], ' ') AS sh FROM g),
+    bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 20),
+    hits AS (
+      SELECT doc_id, s FROM sh
+      WHERE doc_id >= 20 AND sh IN (SELECT sh FROM bench)
+    ),
+    masked AS (
+      SELECT DISTINCT doc_id, s + o AS p
+      FROM hits, LATERAL (SELECT UNNEST(generate_series(0, {_NGRAM - 1})) AS o)
+    ),
+    runs AS (
+      SELECT doc_id, p,
+             p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+      FROM masked
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_masked,
+             CAST(COUNT(DISTINCT grp) AS BIGINT) AS n_spans
+      FROM runs GROUP BY doc_id
+    ),
+    sizes AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM t)
+    SELECT d.doc_id, s.n_tokens, d.n_masked, d.n_spans,
+           CAST(s.n_tokens - d.n_masked AS BIGINT) AS clean_tokens
+    FROM per_doc d JOIN sizes s USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+    tags=("curate", "contamination", "decontaminate"),
+)
+def curate_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per contaminated training doc: tokens masked by benchmark-matching
+    5-gram coverage and the maximal contiguous span count. Plan: the
+    contamination checker's semi-join (bench side AQE-broadcast), a
+    bounded 5-way position explode of HITS only (never the corpus), one
+    gaps-and-islands window over masked positions per doc."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", _words(lower=True).alias("w"))
+    sh = (
+        toks.filter(F.size("w") >= _NGRAM)
+        .select(
+            "doc_id",
+            F.posexplode(shingle_expr(F.col("w"))).alias("s0", "sh"),
+        )
+        .select("doc_id", (F.col("s0") + 1).alias("s"), "sh")
+    )
+    bench = sh.filter(F.col("doc_id") < 20).select("sh").distinct()
+    hits = (
+        sh.filter(F.col("doc_id") >= 20)
+        .join(bench, "sh", "left_semi")
+        .select("doc_id", "s")
+    )
+    masked = (
+        hits.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("s"), F.col("s") + (_NGRAM - 1))
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    from pyspark.sql.window import Window
+
+    grp = F.col("p") - F.row_number().over(
+        Window.partitionBy("doc_id").orderBy("p")
+    )
+    per_doc = (
+        masked.select("doc_id", "p", grp.alias("grp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_masked"),
+            F.countDistinct("grp").cast("long").alias("n_spans"),
+        )
+    )
+    sizes = toks.select("doc_id", F.size("w").cast("long").alias("n_tokens"))
+    return (
+        per_doc.join(sizes, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_masked",
+            "n_spans",
+            (F.col("n_tokens") - F.col("n_masked")).cast("long").alias("clean_tokens"),
+        )
+        .orderBy("doc_id")
+    )
