@@ -1105,5 +1105,9 @@ def test_psql_session3_dialect_surfaces(server):
         )
         assert out.returncode == 0, out.stderr
         assert out.stdout.split() == ["0|16|7", "1|1|"], out.stdout
+        out = _psql(server, "SUMMARIZE pg_s3")
+        assert out.returncode == 0, out.stderr
+        lines = [l for l in out.stdout.splitlines() if l.strip()]
+        assert len(lines) == 3 and lines[0].startswith("g|"), out.stdout
     finally:
         _psql(server, "DROP TABLE pg_s3")
