@@ -1901,3 +1901,85 @@ def events_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("chi2"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Item co-occurrence with lift (the classic association/recsys signal —
+# Agrawal et al. 1993's support/lift on market baskets; "users who touched
+# X also touched Y"). Baskets = users; items = the props.k attribute
+# (bucketed to a bounded catalog). lift(x,y) = P(x,y) / (P(x) P(y)) =
+# n_xy * N / (n_x * n_y) — exact integer counts, one double expression.
+#
+# Scale: the (user, item) incidence frame is one distinct pass over
+# events; item-item pairs come from a per-user self-join whose fan-out is
+# bounded by ITEMS-PER-USER (catalog-bounded, here <= 20), never by the
+# user count — the standard co-occurrence shape. The output is at most
+# items^2 / 2 rows (a 20-item catalog -> <= 190).
+_COOC_BUCKETS = 20   # item catalog: props.k (0..99) -> k DIV 5
+_COOC_MIN_N = 5      # minimum pair support
+_COOC_TOPK = 30
+
+
+@register(
+    "events_cooccurrence_lift",
+    oracle=f"""
+    WITH ui AS (
+      SELECT DISTINCT user_id,
+             CAST(json_extract(props, '$.k') AS INT) // 5 AS item
+      FROM events
+    ),
+    n_users AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nu FROM ui),
+    item_n AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n FROM ui GROUP BY item),
+    pairs AS (
+      SELECT a.item AS x, b.item AS y, CAST(COUNT(*) AS BIGINT) AS n_xy
+      FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
+      GROUP BY a.item, b.item
+    )
+    SELECT CAST(p.x AS BIGINT) AS x, CAST(p.y AS BIGINT) AS y, p.n_xy,
+           ROUND(CAST(p.n_xy AS DOUBLE) * nu.nu
+                 / (CAST(ix.n AS DOUBLE) * iy.n), 4) AS lift
+    FROM pairs p
+    JOIN item_n ix ON ix.item = p.x
+    JOIN item_n iy ON iy.item = p.y
+    CROSS JOIN n_users nu
+    WHERE p.n_xy >= {_COOC_MIN_N}
+    ORDER BY lift DESC, x, y
+    LIMIT {_COOC_TOPK}
+    """,
+    tags=("events", "cooccurrence", "recsys"),
+)
+def events_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top item pairs by lift over user baskets. One distinct incidence
+    pass, a per-user self-join bounded by items-per-user, catalog-sized
+    aggregates."""
+    (events,) = _t(spark, sf_dir, "events")
+    item = (F.get_json_object("props", "$.k").cast("int") / 5).cast("int")
+    ui = events.select("user_id", item.alias("item")).distinct()
+    nu = ui.agg(F.countDistinct("user_id").cast("long").alias("nu"))
+    item_n = ui.groupBy("item").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = ui.select("user_id", F.col("item").alias("x"))
+    b = ui.select("user_id", F.col("item").alias("y"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_xy"))
+    )
+    return (
+        pairs.join(item_n.select(F.col("item").alias("x"), F.col("n").alias("nx")), "x")
+        .join(item_n.select(F.col("item").alias("y"), F.col("n").alias("ny")), "y")
+        .crossJoin(F.broadcast(nu))
+        .filter(F.col("n_xy") >= _COOC_MIN_N)
+        .select(
+            F.col("x").cast("long"),
+            F.col("y").cast("long"),
+            "n_xy",
+            F.round(
+                F.col("n_xy").cast("double") * F.col("nu")
+                / (F.col("nx").cast("double") * F.col("ny")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "x", "y")
+        .limit(_COOC_TOPK)
+    )
