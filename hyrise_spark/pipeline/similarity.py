@@ -1579,3 +1579,133 @@ def sim_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+# ---------------------------------------------------------------------------
+# Binary quantization (sign-bit embeddings; Charikar 2002's SimHash bound
+# applied as 1-bit-per-dimension vector compression — the "BQ" mode modern
+# vector stores ship): dim 64 packs into TWO 32-bit words per vector (64x
+# smaller than float64), candidate ranking is XOR+popcount hamming, then
+# an exact-cosine rerank of a 4k-deep shortlist. Two words, not one 64-bit
+# word, because a 1<<63 shift overflows signed BIGINT on the oracle engine
+# — and the split form is exactly how >64-dim vectors pack anyway.
+#
+# Scale: the packed corpus is 16 bytes/vector — the scan that replaces the
+# 512-byte float scan; hamming is integer ALU work inside codegen. Same
+# bounded shortlist -> rerank shape as sim_pq_topk.
+_BQ_SHORTLIST = _TOP_K * 4
+
+
+def _pack_sql(vec: str, lo: int) -> str:
+    """32 sign bits of vec[lo+1 .. lo+32] as one BIGINT (bit_or fold)."""
+    return (
+        f"(SELECT bit_or(CASE WHEN {vec}[i + {lo}] > 0"
+        f" THEN CAST(1 AS BIGINT) << (i - 1) ELSE 0 END)"
+        f" FROM UNNEST(generate_series(1, 32)) AS t(i))"
+    )
+
+
+@register(
+    "sim_binary_quantization",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    packed AS (
+      SELECT vec_id, v,
+             {_pack_sql('v', 0)} AS w1,
+             {_pack_sql('v', 32)} AS w2
+      FROM e
+    ),
+    q AS (SELECT vec_id AS qid, v AS qv, w1 AS q1, w2 AS q2 FROM packed
+          WHERE vec_id < {_N_QUERIES}),
+    c AS (SELECT vec_id AS cid, v AS cv, w1 AS c1, w2 AS c2 FROM packed
+          WHERE vec_id >= {_N_QUERIES}),
+    ham AS (
+      SELECT qid, cid, qv, cv,
+             bit_count(xor(q1, c1)) + bit_count(xor(q2, c2)) AS hamming
+      FROM q CROSS JOIN c
+    ),
+    shortlist AS (
+      SELECT qid, cid, qv, cv, hamming,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY hamming, cid) AS hrn
+      FROM ham
+    ),
+    rerank AS (
+      SELECT qid, cid, hamming,
+             list_inner_product(qv, cv) /
+               (sqrt(list_inner_product(qv, qv))
+                * sqrt(list_inner_product(cv, cv))) AS cs
+      FROM shortlist WHERE hrn <= {_BQ_SHORTLIST}
+    )
+    SELECT qid, cid, CAST(hamming AS BIGINT) AS hamming,
+           ROUND(cs, 4) AS cos_sim, CAST(rn AS INT) AS rank
+    FROM (SELECT qid, cid, hamming, cs,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                                    ORDER BY ROUND(cs, 6) DESC, cid) AS rn
+          FROM rerank)
+    WHERE rn <= {_TOP_K}
+    ORDER BY qid, rank
+    """,
+    tags=("similarity", "topk", "binary-quantization"),
+)
+def sim_binary_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-bit-per-dim ANN: pack sign bits into two 32-bit words, hamming
+    shortlist (XOR+popcount, whole-stage codegen), exact-cosine rerank."""
+    emb = _emb(spark, sf_dir)
+
+    def pack(lo: int) -> Column:
+        # unrolled 32-term OR of literal bit weights (shiftleft needs a
+        # static bit count; the plan is 32 fixed codegen'd terms per word)
+        w = F.lit(0).cast("long")
+        for i in range(1, 33):
+            w = w.bitwiseOR(
+                F.when(
+                    F.element_at(F.col("v"), i + lo) > 0,
+                    F.lit(1 << (i - 1)).cast("long"),
+                ).otherwise(F.lit(0).cast("long"))
+            )
+        return w
+
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).select("vec_id", "v", pack(0).alias("w1"), pack(32).alias("w2"))
+    nv = _normalize(F.col("v"))
+    q = (
+        e.filter(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("qid"), nv.alias("qv"),
+                F.col("w1").alias("q1"), F.col("w2").alias("q2"))
+        .limit(_N_QUERIES)
+    )
+    c = e.filter(F.col("vec_id") >= _N_QUERIES).select(
+        F.col("vec_id").alias("cid"), nv.alias("cv"),
+        F.col("w1").alias("c1"), F.col("w2").alias("c2")
+    )
+    ham = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("q1").bitwiseXOR(F.col("c1")))
+            + F.bit_count(F.col("q2").bitwiseXOR(F.col("c2"))),
+        )
+    )
+    wh = Window.partitionBy("qid").orderBy("hamming", "cid")
+    shortlist = (
+        ham.withColumn("hrn", F.row_number().over(wh))
+        .filter(F.col("hrn") <= _BQ_SHORTLIST)
+        .withColumn("cs", _dot(F.col("qv"), F.col("cv")))
+    )
+    wr = Window.partitionBy("qid").orderBy(
+        F.round(F.col("cs"), 6).desc(), F.col("cid")
+    )
+    return (
+        shortlist.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= _TOP_K)
+        .select(
+            "qid", "cid",
+            F.col("hamming").cast("long"),
+            F.round("cs", 4).alias("cos_sim"),
+            F.col("rn").cast("int").alias("rank"),
+        )
+        .orderBy("qid", "rank")
+    )
