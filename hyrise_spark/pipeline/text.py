@@ -1535,3 +1535,119 @@ def text_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID evaluation metrics: per-class precision/recall/F1 of the
+# stopword classifier against the corpus's ground-truth lang column (the
+# documents table doubles as a labeled eval set). text_lang_id emits the
+# raw confusion matrix; this is the metric layer a pipeline actually
+# gates on — and the same plan works for ANY classifier column pair.
+# tp/fp/fn are exact integers; P/R/F1 are one fixed double dag each.
+
+
+def _langid_pred_sql() -> str:
+    return f"""
+    scores AS (
+      SELECT doc_id, lang AS lang_true, s.key AS lang_pred, s.cnt
+      FROM documents, LATERAL (
+        SELECT * FROM (VALUES
+          {",".join(
+            "('" + lang + "', " + " + ".join(_sw_count_sql(w) for w in words) + ")"
+            for lang, words in sorted(_STOPWORDS.items())
+          )}
+        ) AS t(key, cnt)
+      ) s
+    ), pred AS (
+      SELECT doc_id, lang_true, lang_pred FROM (
+        SELECT doc_id, lang_true, lang_pred,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY cnt DESC, lang_pred) AS rn
+        FROM scores
+      ) WHERE rn = 1
+    )"""
+
+
+@register(
+    "text_langid_metrics",
+    oracle=f"""
+    WITH {_langid_pred_sql()},
+    per_class AS (
+      SELECT l.lang,
+             CAST(SUM(CASE WHEN p.lang_true = l.lang
+                            AND p.lang_pred = l.lang THEN 1 ELSE 0 END)
+                  AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN p.lang_true <> l.lang
+                            AND p.lang_pred = l.lang THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fp,
+             CAST(SUM(CASE WHEN p.lang_true = l.lang
+                            AND p.lang_pred <> l.lang THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fn
+      FROM pred p CROSS JOIN (SELECT DISTINCT lang_true AS lang FROM pred) l
+      GROUP BY l.lang
+    )
+    SELECT lang, tp, fp, fn,
+           ROUND(CAST(tp AS DOUBLE) / (tp + fp), 4) AS precision,
+           ROUND(CAST(tp AS DOUBLE) / (tp + fn), 4) AS recall,
+           ROUND(2.0 * tp / (2.0 * tp + fp + fn), 4) AS f1
+    FROM per_class
+    ORDER BY lang
+    """,
+    tags=("text", "langid", "evaluation"),
+)
+def text_langid_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language P/R/F1 of the stopword lang-ID against ground truth.
+    Plan: the lang_id projection (no shuffle), one small cross join
+    against the 5-language label frame, one per-class aggregate."""
+    docs = _docs(spark, sf_dir)
+    lang_scores = [
+        F.struct(
+            sum((_sw_count_spark(w) for w in words), F.lit(0)).alias("cnt"),
+            F.lit(-i).alias("tie"),
+            F.lit(lang).alias("lang_pred"),
+        )
+        for i, (lang, words) in enumerate(sorted(_STOPWORDS.items()))
+    ]
+    best = F.array_max(F.array(*lang_scores))
+    pred = docs.select(
+        F.col("lang").alias("lang_true"), best["lang_pred"].alias("lang_pred")
+    )
+    labels = pred.select(F.col("lang_true").alias("lang")).distinct()
+    per_class = (
+        pred.crossJoin(labels)
+        .groupBy("lang")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("lang_true") == F.col("lang"))
+                    & (F.col("lang_pred") == F.col("lang")),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("tp"),
+            F.sum(
+                F.when(
+                    (F.col("lang_true") != F.col("lang"))
+                    & (F.col("lang_pred") == F.col("lang")),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("fp"),
+            F.sum(
+                F.when(
+                    (F.col("lang_true") == F.col("lang"))
+                    & (F.col("lang_pred") != F.col("lang")),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("fn"),
+        )
+    )
+    return per_class.select(
+        "lang", "tp", "fp", "fn",
+        F.round(F.col("tp").cast("double") / (F.col("tp") + F.col("fp")), 4)
+        .alias("precision"),
+        F.round(F.col("tp").cast("double") / (F.col("tp") + F.col("fn")), 4)
+        .alias("recall"),
+        F.round(
+            2.0 * F.col("tp") / (2.0 * F.col("tp") + F.col("fp") + F.col("fn")),
+            4,
+        ).alias("f1"),
+    ).orderBy("lang")
