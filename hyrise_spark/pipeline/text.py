@@ -1572,18 +1572,23 @@ def _langid_pred_sql() -> str:
     "text_langid_metrics",
     oracle=f"""
     WITH {_langid_pred_sql()},
+    cm AS (
+      SELECT lang_true, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+      FROM pred GROUP BY lang_true, lang_pred
+    ),
     per_class AS (
+      -- metrics from the label^2-sized matrix, never the doc-sized frame
       SELECT l.lang,
-             CAST(SUM(CASE WHEN p.lang_true = l.lang
-                            AND p.lang_pred = l.lang THEN 1 ELSE 0 END)
+             CAST(SUM(CASE WHEN c.lang_true = l.lang
+                            AND c.lang_pred = l.lang THEN c.n ELSE 0 END)
                   AS BIGINT) AS tp,
-             CAST(SUM(CASE WHEN p.lang_true <> l.lang
-                            AND p.lang_pred = l.lang THEN 1 ELSE 0 END)
+             CAST(SUM(CASE WHEN c.lang_true <> l.lang
+                            AND c.lang_pred = l.lang THEN c.n ELSE 0 END)
                   AS BIGINT) AS fp,
-             CAST(SUM(CASE WHEN p.lang_true = l.lang
-                            AND p.lang_pred <> l.lang THEN 1 ELSE 0 END)
+             CAST(SUM(CASE WHEN c.lang_true = l.lang
+                            AND c.lang_pred <> l.lang THEN c.n ELSE 0 END)
                   AS BIGINT) AS fn
-      FROM pred p CROSS JOIN (SELECT DISTINCT lang_true AS lang FROM pred) l
+      FROM cm c CROSS JOIN (SELECT DISTINCT lang_true AS lang FROM cm) l
       GROUP BY l.lang
     )
     SELECT lang, tp, fp, fn,
@@ -1612,30 +1617,36 @@ def text_langid_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     pred = docs.select(
         F.col("lang").alias("lang_true"), best["lang_pred"].alias("lang_pred")
     )
-    labels = pred.select(F.col("lang_true").alias("lang")).distinct()
+    # doc-sized work ends at the confusion matrix (<= labels^2 rows);
+    # metrics are computed from the tiny matrix, so the 5-way label
+    # cross join never touches (or recomputes the scorer over) the corpus
+    cm = pred.groupBy("lang_true", "lang_pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    labels = cm.select(F.col("lang_true").alias("lang")).distinct()
     per_class = (
-        pred.crossJoin(labels)
+        cm.crossJoin(labels)
         .groupBy("lang")
         .agg(
             F.sum(
                 F.when(
                     (F.col("lang_true") == F.col("lang"))
                     & (F.col("lang_pred") == F.col("lang")),
-                    1,
+                    F.col("n"),
                 ).otherwise(0)
             ).cast("long").alias("tp"),
             F.sum(
                 F.when(
                     (F.col("lang_true") != F.col("lang"))
                     & (F.col("lang_pred") == F.col("lang")),
-                    1,
+                    F.col("n"),
                 ).otherwise(0)
             ).cast("long").alias("fp"),
             F.sum(
                 F.when(
                     (F.col("lang_true") == F.col("lang"))
                     & (F.col("lang_pred") != F.col("lang")),
-                    1,
+                    F.col("n"),
                 ).otherwise(0)
             ).cast("long").alias("fn"),
         )
