@@ -1709,3 +1709,85 @@ def sim_binary_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# BQ recall evaluation — the third leg of the recall-eval harness (next to
+# sim_recall_lsh and sim_matryoshka_eval): recall@k of the sign-bit
+# hamming+rerank retrieval against the exact brute-force ranking. The
+# number that decides whether 16-byte vectors can serve the first stage.
+
+
+@register(
+    "sim_bq_recall",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {_N_QUERIES}),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id >= {_N_QUERIES}),
+    bf_ranked AS (
+      SELECT qid, cid,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+               ROUND(list_inner_product(qv, cv) /
+                 (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))), 6)
+               DESC, cid) AS rn
+      FROM q CROSS JOIN c
+    ),
+    bf AS (SELECT qid, cid FROM bf_ranked WHERE rn <= {_TOP_K}),
+    packed AS (
+      SELECT vec_id, v,
+             {_pack_sql('v', 0)} AS w1,
+             {_pack_sql('v', 32)} AS w2
+      FROM e
+    ),
+    pq AS (SELECT vec_id AS qid, v AS qv, w1 AS q1, w2 AS q2 FROM packed
+           WHERE vec_id < {_N_QUERIES}),
+    pc AS (SELECT vec_id AS cid, v AS cv, w1 AS c1, w2 AS c2 FROM packed
+           WHERE vec_id >= {_N_QUERIES}),
+    ham AS (
+      SELECT qid, cid, qv, cv,
+             bit_count(xor(q1, c1)) + bit_count(xor(q2, c2)) AS hamming
+      FROM pq CROSS JOIN pc
+    ),
+    shortlist AS (
+      SELECT qid, cid, qv, cv,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY hamming, cid) AS hrn
+      FROM ham
+    ),
+    bq AS (
+      SELECT qid, cid FROM (
+        SELECT qid, cid,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY ROUND(list_inner_product(qv, cv) /
+                                    (sqrt(list_inner_product(qv, qv))
+                                     * sqrt(list_inner_product(cv, cv))), 6)
+                                  DESC, cid) AS rn
+        FROM shortlist WHERE hrn <= {_BQ_SHORTLIST}
+      ) WHERE rn <= {_TOP_K}
+    )
+    SELECT bf.qid, CAST(COUNT(bq.cid) AS BIGINT) AS hits,
+           CAST(COUNT(bq.cid) * {100 // _TOP_K} AS BIGINT) AS recall_pct
+    FROM bf LEFT JOIN bq ON bq.qid = bf.qid AND bq.cid = bf.cid
+    GROUP BY bf.qid
+    ORDER BY bf.qid
+    """,
+    tags=("similarity", "evaluation", "binary-quantization"),
+)
+def sim_bq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of sim_binary_quantization vs sim_bruteforce_topk, per
+    query — two bounded top-k frames joined at query granularity."""
+    bf = sim_bruteforce_topk(spark, sf_dir).select("qid", "cid")
+    bq = sim_binary_quantization(spark, sf_dir).select(
+        "qid", "cid", F.lit(1).alias("hit")
+    )
+    return (
+        bf.join(bq, ["qid", "cid"], "left")
+        .groupBy("qid")
+        .agg(F.count("hit").alias("hits"))
+        .select(
+            "qid",
+            "hits",
+            (F.col("hits") * (100 // _TOP_K)).alias("recall_pct"),
+        )
+        .orderBy("qid")
+    )

@@ -1662,3 +1662,88 @@ def text_langid_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("f1"),
     ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# Heaps' law fit (Heaps 1978; Herdan 1960): vocabulary growth V(n) ~ K n^b.
+# Two-point estimate on deterministic corpus prefixes (docs ordered by
+# doc_id; the half/full split is reproducible at any parallelism):
+#   b = log(V_full / V_half) / log(n_full / n_half),  K = V / n^b.
+# The exponent is THE summary statistic for "how fast does my vocabulary
+# (and tokenizer pressure) grow with corpus size" — sublinear b ~ 0.4-0.6
+# for natural text; b near 1 flags id-like/noise token streams.
+#
+# Determinism: V and n are exact integers; b and K are one fixed double
+# dag (log/exp of exact-integer ratios written identically both sides —
+# same-expression IEEE determinism as the CCF/ACF family), ROUND 4.
+
+
+@register(
+    "text_heaps_law",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(FLOOR(MAX(doc_id) / 2) AS BIGINT) AS mid FROM documents
+    ),
+    toks AS (
+      SELECT d.doc_id,
+             UNNEST(string_split_regex(trim(lower(d.text)), '\\s+')) AS w
+      FROM documents d
+    ),
+    half AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_tok,
+             CAST(COUNT(DISTINCT w) AS BIGINT) AS v
+      FROM toks CROSS JOIN bounds WHERE doc_id <= mid
+    ),
+    full_c AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_tok,
+             CAST(COUNT(DISTINCT w) AS BIGINT) AS v
+      FROM toks
+    )
+    SELECT h.n_tok AS n_half, h.v AS v_half,
+           f.n_tok AS n_full, f.v AS v_full,
+           ROUND(ln(CAST(f.v AS DOUBLE) / h.v)
+                 / ln(CAST(f.n_tok AS DOUBLE) / h.n_tok), 4) AS beta,
+           ROUND(f.v / exp((ln(CAST(f.v AS DOUBLE) / h.v)
+                            / ln(CAST(f.n_tok AS DOUBLE) / h.n_tok))
+                           * ln(CAST(f.n_tok AS DOUBLE))), 4) AS k
+    FROM half h CROSS JOIN full_c f
+    """,
+    tags=("text", "heaps", "vocabulary"),
+)
+def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-point Heaps fit over the doc_id-half and full corpus: one
+    token explode feeding two (count, distinct-count) aggregates — both
+    map-side-combining; the fit itself is a 1-row computation. On the
+    driver's synthetic corpus the vocabulary saturates (31 types at every
+    SF), so beta reads 0.0 — the degenerate-vocabulary flag the probe
+    exists to raise; natural text reads ~0.4-0.6."""
+    docs = _docs(spark, sf_dir)
+    mid = docs.agg(
+        F.floor(F.max("doc_id") / 2).cast("long").alias("mid")
+    )
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
+    )
+    half = (
+        toks.crossJoin(F.broadcast(mid))
+        .filter(F.col("doc_id") <= F.col("mid"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_half"),
+            F.countDistinct("w").cast("long").alias("v_half"),
+        )
+    )
+    full_c = toks.agg(
+        F.count(F.lit(1)).cast("long").alias("n_full"),
+        F.countDistinct("w").cast("long").alias("v_full"),
+    )
+    j = half.crossJoin(F.broadcast(full_c))
+    beta = F.log(F.col("v_full").cast("double") / F.col("v_half")) / F.log(
+        F.col("n_full").cast("double") / F.col("n_half")
+    )
+    k = F.col("v_full") / F.exp(beta * F.log(F.col("n_full").cast("double")))
+    return j.select(
+        "n_half", "v_half", "n_full", "v_full",
+        F.round(beta, 4).alias("beta"),
+        F.round(k, 4).alias("k"),
+    )
