@@ -793,6 +793,33 @@ class Engine:
             self._materialize_meta_tables(stmt)
         # quote-/paren-aware: 'ASOF' inside a string literal or subquery is
         # not this dialect (the QUALIFY check below gets the same treatment)
+        rm = re.match(
+            r"^\s*WITH\s+RECURSIVE\s+(?P<name>\w+)\s*"
+            r"(?:\((?P<cols>[^)]*)\))?\s+AS\s*\(",
+            stmt, re.I)
+        if rm:
+            copen = stmt.index("(", rm.end() - 1)
+            cclose = self._match_paren(stmt, copen)
+            if cclose == -1:
+                raise ValueError("WITH RECURSIVE: unbalanced CTE body")
+            body = stmt[copen + 1:cclose]
+            u = self._find_top_level(body, "UNION")
+            is_distinct_union = (
+                u != -1
+                and not re.match(r"\s*ALL\b", body[u + len("UNION"):], re.I)
+            )
+            if is_distinct_union:
+                # Spark rejects this outright (UNION_NOT_SUPPORTED_IN_
+                # RECURSIVE_CTE); the engine runs the fixpoint itself
+                rest = stmt[cclose + 1:].lstrip()
+                if rest.startswith(","):
+                    raise ValueError(
+                        "WITH RECURSIVE ... UNION: a single recursive CTE "
+                        "is supported (no trailing CTE list)")
+                return self._recursive_union_sql(
+                    rm["name"], rm["cols"], body[:u],
+                    body[u + len("UNION"):], rest)
+            # UNION ALL form: Spark runs it natively
         a = self._find_top_level(stmt, "ASOF")
         if a != -1 and re.match(r"ASOF\s+(?:LEFT\s+)?JOIN\b", stmt[a:], re.I):
             m = _ASOF_RE.match(stmt)
@@ -832,6 +859,58 @@ class Engine:
         if args is not None:
             return self.spark.sql(stmt, args=args)
         return self.spark.sql(stmt)
+
+    def _recursive_union_sql(self, name: str, cols: str | None,
+                             base_sql: str, step_sql: str,
+                             final_sql: str) -> DataFrame:
+        """Recursive CTE with UNION (distinct) — the cycle-safe recursion
+        postgres/DuckDB run natively and Spark rejects
+        (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE). Standard semantics: the
+        working table each iteration is the PREVIOUS iteration's new rows
+        (frontier), and a row joins the result at most once — so traversal
+        over a CYCLIC graph terminates at the fixpoint, which the UNION ALL
+        form cannot do.
+
+        The engine drives the fixpoint loop: each iteration binds `name` to
+        the frontier, evaluates the step, and keeps `new = step \\ seen`.
+        Per-iteration frames are eagerly localCheckpointed (bounded plan
+        depth — the same lineage-truncation discipline as the compaction
+        trail); the only driver-side data is the emptiness probe. Iteration
+        count is the recursion's own depth (frontier expansion: graph
+        diameter), capped at 1000 like the reference caps nothing but
+        postgres's sane-recursion expectations."""
+        spark = self.spark
+        col_list = ([c.strip() for c in cols.split(",")] if cols else None)
+        acc = spark.sql(base_sql).distinct()
+        if col_list:
+            acc = acc.toDF(*col_list)
+        acc = acc.localCheckpoint(eager=True)
+        frontier = acc
+        try:
+            for _ in range(1000):
+                frontier.createOrReplaceTempView(name)
+                new = spark.sql(step_sql)
+                if col_list or list(new.columns) != list(acc.columns):
+                    new = new.toDF(*acc.columns)
+                new = new.distinct().subtract(acc).localCheckpoint(eager=True)
+                if new.isEmpty():
+                    break
+                # eager: the accumulator is re-materialized per round so the
+                # next round's subtract anti-joins ONE flat frame (measured
+                # faster than keeping acc as a deepening union tree, whose
+                # per-round subtract re-plans k inputs)
+                acc = acc.unionAll(new).localCheckpoint(eager=True)
+                frontier = new
+            else:
+                raise ValueError(
+                    "WITH RECURSIVE ... UNION: no fixpoint after 1000 "
+                    "iterations")
+            acc.createOrReplaceTempView(name)
+            return spark.sql(final_sql)
+        finally:
+            # the final frame is already analyzed against the view; drop it
+            # so the CTE name cannot shadow catalog tables afterwards
+            spark.catalog.dropTempView(name)
 
     def _asof_join_sql(self, m: "re.Match[str]") -> DataFrame:
         """ASOF [LEFT] JOIN (DuckDB dialect; beyond the reference's join

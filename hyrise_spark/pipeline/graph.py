@@ -598,3 +598,53 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("deg").cast("long"), F.col("n_nodes").cast("long"))
         .orderBy("deg")
     )
+
+
+# ---------------------------------------------------------------------------
+# Full reachability by recursive UNION — the cycle-safe recursion the
+# UNION ALL form cannot run (the link graph is cyclic: UNION ALL recursion
+# never terminates on it). Spark rejects recursive UNION outright
+# (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE); the engine's fixpoint loop
+# (engine.py::_recursive_union_sql) runs it with postgres working-table
+# semantics, DuckDB runs the same construct natively as the oracle.
+# Unlike graph_sssp_hops' FIXED-depth supersteps, iteration count here is
+# the graph's own eccentricity from the seed — the defining property of
+# the recursive-query surface, bounded by diameter (~log n on this graph;
+# measured 8-12 at the tested SFs).
+
+
+@register(
+    "cte_recursive_reachability",
+    oracle=f"""
+    WITH RECURSIVE {_EDGES_SQL},
+    r AS (
+      SELECT CAST(0 AS BIGINT) AS node
+      UNION
+      SELECT e.dst AS node FROM r JOIN edges e ON e.src = r.node
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_reachable,
+           CAST(MIN(node) AS BIGINT) AS min_node,
+           CAST(MAX(node) AS BIGINT) AS max_node
+    FROM r
+    """,
+    tags=("cte", "recursive", "graph"),
+)
+def cte_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reachable-set profile from node 0 over the cyclic link graph via
+    recursive UNION (engine fixpoint). Each iteration shuffles one
+    frontier ⋈ edges join + a distinct/subtract — frontier-sized state,
+    edge-sized probes, lineage truncated per iteration."""
+    from hyrise_spark.engine import Engine
+
+    _edges(spark, sf_dir).createOrReplaceTempView("rec_edges")
+    return Engine(spark).execute("""
+    WITH RECURSIVE r AS (
+      SELECT CAST(0 AS BIGINT) AS node
+      UNION
+      SELECT e.dst AS node FROM r JOIN rec_edges e ON e.src = r.node
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_reachable,
+           CAST(MIN(node) AS BIGINT) AS min_node,
+           CAST(MAX(node) AS BIGINT) AS max_node
+    FROM r
+    """)

@@ -1669,3 +1669,43 @@ def test_summarize_query_form(engine, duck):
             assert str(got[c].min) == str(exp[c][i_min])
     finally:
         engine.execute("DROP TABLE smq")
+
+
+def test_recursive_union_fixpoint(engine, spark, duck):
+    """WITH RECURSIVE ... UNION (distinct): cycle-safe fixpoint — Spark
+    rejects the construct natively; the engine's loop must match DuckDB
+    on a cyclic graph (where UNION ALL recursion would never terminate)."""
+    spark.sql(
+        "SELECT * FROM VALUES (0,1),(1,2),(2,0),(2,3),(7,8) t(src,dst)"
+    ).createOrReplaceTempView("ru_e")
+    duck.execute("CREATE OR REPLACE TABLE ru_e AS SELECT * FROM (VALUES"
+                 " (0,1),(1,2),(2,0),(2,3),(7,8)) t(src,dst)")
+    q = ("WITH RECURSIVE r AS (SELECT 0 AS n UNION"
+         " SELECT e.dst AS n FROM r JOIN ru_e e ON e.src = r.n)"
+         " SELECT * FROM r ORDER BY n")
+    got = [r.n for r in engine.execute(q).collect()]
+    want = [r[0] for r in duck.execute(q).fetchall()]
+    assert got == want == [0, 1, 2, 3]
+    # the CTE name must not leak as a lingering temp view
+    assert not spark.catalog.tableExists("r")
+
+
+def test_recursive_union_all_stays_native(engine, spark):
+    """The UNION ALL form keeps Spark's native recursion (acyclic here)."""
+    spark.sql("SELECT * FROM VALUES (0,1),(1,2) t(src,dst)") \
+        .createOrReplaceTempView("rua_e")
+    q = ("WITH RECURSIVE r AS (SELECT 0 AS n UNION ALL"
+         " SELECT e.dst AS n FROM r JOIN rua_e e ON e.src = r.n)"
+         " SELECT COUNT(*) AS c FROM r")
+    assert engine.execute(q).collect()[0]["c"] == 3
+
+
+def test_recursive_union_rejects_cte_list(engine, spark):
+    """Trailing CTE lists after the recursive member raise a clear error."""
+    import pytest
+
+    with pytest.raises(ValueError, match="single recursive CTE"):
+        engine.execute(
+            "WITH RECURSIVE r AS (SELECT 0 AS n UNION SELECT n + 1 FROM r"
+            " WHERE n < 3), s AS (SELECT 1) SELECT * FROM r"
+        )
