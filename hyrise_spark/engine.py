@@ -762,11 +762,18 @@ class Engine:
             return self.spark.createDataFrame([(text,)], "plan string")
         m = re.match(
             r"^\s*EXPLAIN\s+(?P<mode>FORMATTED|EXTENDED|CODEGEN|COST)?\s*"
-            r"(?P<body>SELECT\b.+)$",
+            r"(?P<body>(?:SELECT|WITH)\b.+)$",
             stmt, re.I | re.S,
         )
         if m and (
-            self._find_top_level(m["body"], "QUALIFY") != -1
+            # recursive UNION: Spark parses it but fails analysis — the
+            # engine's fixpoint frame is what an EXPLAIN should describe.
+            # (The UNION sits INSIDE the CTE parens, so this is a plain
+            # lookahead scan, not a top-level search.)
+            (re.match(r"^\s*WITH\s+RECURSIVE\b", m["body"], re.I)
+             and re.search(r"\bUNION\b(?!\s+ALL\b)",
+                           _strip_str_literals(m["body"]), re.I))
+            or self._find_top_level(m["body"], "QUALIFY") != -1
             or self._find_top_level(m["body"], "ASOF") != -1
             or re.search(r"\bGROUPS\s+BETWEEN\b",
                          _strip_str_literals(m["body"]), re.I)
