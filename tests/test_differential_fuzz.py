@@ -485,3 +485,30 @@ def window_distinct_query(draw) -> str:
 @given(q=window_distinct_query())
 def test_fuzz_window_distinct(spark, duck, q):
     _run_both_engine(spark, duck, q)
+
+
+@st.composite
+def recursive_union_query(draw) -> str:
+    """Recursive UNION fixpoint (engine loop) vs DuckDB native recursion:
+    random directed graphs on 8 nodes (cycles welcome — they are the
+    point: UNION ALL recursion would not terminate), random seed node.
+    The edge set rides inline VALUES so no per-example setup is needed."""
+    edges = draw(st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)),
+        min_size=1, max_size=14, unique=True))
+    seed = draw(st.integers(0, 7))
+    vals = ", ".join(f"({s}, {d})" for s, d in edges)
+    return (
+        f"WITH RECURSIVE r AS ("
+        f" SELECT {seed} AS n"
+        f" UNION"
+        f" SELECT e.dst AS n FROM r"
+        f" JOIN (VALUES {vals}) AS e(src, dst) ON e.src = r.n"
+        f") SELECT * FROM r ORDER BY n"
+    )
+
+
+@_SETTINGS
+@given(q=recursive_union_query())
+def test_fuzz_recursive_union(spark, duck, q):
+    _run_both_engine(spark, duck, q)
