@@ -992,3 +992,32 @@ def unpivot_sql_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle — same text on both engines."""
     load_tables(spark, sf_dir, ("part",))
     return spark.sql(_UNPIVOT_SQL)
+
+
+# -- round 9: BOOL_AND / BOOL_OR aggregates (SQL:1999 EVERY/ANY; native in
+# both engines — same-text parity). The reference's aggregate vocabulary
+# stops at MIN/MAX/SUM/AVG/COUNT/STDDEV (window_function_expression.hpp:19);
+# boolean reducers are the assert-style aggregate a data-quality audit
+# composes (pipeline_data_expectations uses the CASE spelling).
+_BOOL_AGG_SQL = """
+    SELECT o_orderpriority,
+           BOOL_AND(o_totalprice > 1000) AS all_over_1k,
+           BOOL_OR(o_orderstatus = 'F') AS any_finished,
+           BOOL_AND(o_custkey IS NOT NULL) AS custkey_complete,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+
+@register(
+    "aggregate_bool_and_or",
+    oracle=_BOOL_AGG_SQL,
+    tags=("aggregate", "bool", "sql"),
+)
+def aggregate_bool_and_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOOL_AND/BOOL_OR grouped reducers — identical text on both engines
+    (independent implementations of the SQL:1999 boolean aggregates)."""
+    load_tables(spark, sf_dir, ("orders",))
+    return spark.sql(_BOOL_AGG_SQL)
