@@ -265,17 +265,32 @@ def ivf_build_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFr
       SELECT label, list(m ORDER BY dim) AS c0 FROM per_dim GROUP BY label
     )
     SELECT label,
-           list_transform(c0, x -> ROUND(x / sqrt(list_inner_product(c0, c0)), 6)) AS centv
+           array_to_string(
+               list_transform(c0, x -> CAST(ROUND(
+                   ROUND(x / sqrt(list_inner_product(c0, c0)), 6) * 1000000
+               ) AS BIGINT)),
+               ',') AS centv
     FROM cent
     """,
     tags=("similarity", "ivf", "index-build"),
 )
 def sim_ivf_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The timed index build: materializes centroid + corpus caches and
-    returns the (checkable) normalized centroid table."""
+    returns the (checkable) normalized centroid table. The vectors leave
+    the query as comma-joined integer-microlattice strings (round-6 then
+    x1e6): identical doubles on both engines land on identical integers,
+    and the output stays scalar-typed (registry contract,
+    tests/test_registry_schema.py)."""
     cent, _corpus = ivf_build_index(spark, sf_dir)
     return cent.select(
-        "label", F.transform("centv", lambda x: F.round(x, 6)).alias("centv")
+        "label",
+        F.array_join(
+            F.transform(
+                "centv",
+                lambda x: F.round(F.round(x, 6) * 1000000).cast("long").cast("string"),
+            ),
+            ",",
+        ).alias("centv"),
     )
 
 

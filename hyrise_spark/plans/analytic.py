@@ -146,9 +146,16 @@ def sketch_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("sketch_percentile_approx", oracle=None, tags=("sketch",))
 def sketch_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the one-pass multi-quantile sketch still computes all three cut
+    # points in a single aggregate; the array is unpacked to scalar
+    # columns at the output boundary (registry contract: no complex
+    # output types — tests/test_registry_schema.py)
     (li,) = _t(spark, sf_dir, "lineitem")
+    pcts = F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000)
     return li.agg(
-        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias("pcts"),
+        F.element_at(pcts, 1).alias("p50"),
+        F.element_at(pcts, 2).alias("p95"),
+        F.element_at(pcts, 3).alias("p99"),
         F.min("l_extendedprice").alias("lo"),
         F.max("l_extendedprice").alias("hi"),
     )
@@ -768,10 +775,14 @@ def projection_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     "aggregate_array_agg_sorted",
     oracle="""
     SELECT l_returnflag,
-           list_sort(list(DISTINCT l_linestatus)) AS statuses,
+           array_to_string(list_sort(list(DISTINCT l_linestatus)), ',')
+               AS statuses,
            CAST(len(list(DISTINCT l_linestatus)) AS BIGINT) AS n_statuses,
-           list_sort(list(DISTINCT CAST(l_quantity AS BIGINT)))[1:5]
-               AS smallest_qtys
+           array_to_string(
+               list_transform(
+                   list_sort(list(DISTINCT CAST(l_quantity AS BIGINT)))[1:5],
+                   v -> CAST(v AS VARCHAR)),
+               ',') AS smallest_qtys
     FROM lineitem
     GROUP BY l_returnflag
     ORDER BY l_returnflag
@@ -783,20 +794,34 @@ def aggregate_array_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     unordered on BOTH engines (accumulation order is partition-dependent),
     so every array output is sorted before it leaves the aggregate — the
     only hash-stable contract for array aggregates. slice() bounds the
-    per-group payload (the 100 TB rule for any collect_*: never unbounded)."""
+    per-group payload (the 100 TB rule for any collect_*: never unbounded).
+
+    The arrays are exercised INSIDE the plan (sort_array/slice over
+    collect_set) but leave the query as comma-joined strings: registered
+    outputs must be scalar-typed so every differential harness (driver
+    canonicalizer included) can sort/hash them — enforced registry-wide by
+    tests/test_registry_schema.py."""
     (li,) = _t(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.sort_array(F.collect_set("l_linestatus")).alias("statuses"),
+            F.array_join(
+                F.sort_array(F.collect_set("l_linestatus")), ","
+            ).alias("statuses"),
             F.size(F.collect_set("l_linestatus")).cast("long").alias(
                 "n_statuses"
             ),
-            F.slice(
-                F.sort_array(
-                    F.collect_set(F.col("l_quantity").cast("long"))
+            F.array_join(
+                F.transform(
+                    F.slice(
+                        F.sort_array(
+                            F.collect_set(F.col("l_quantity").cast("long"))
+                        ),
+                        1, 5,
+                    ),
+                    lambda v: v.cast("string"),
                 ),
-                1, 5,
+                ",",
             ).alias("smallest_qtys"),
         )
         .orderBy("l_returnflag")

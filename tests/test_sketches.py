@@ -27,7 +27,7 @@ def test_approx_distinct_within_rsd(spark):
 
 def test_percentile_approx_ordered_and_bounded(spark):
     r = sketch_percentile_approx(spark, SF_DIR).collect()[0]
-    p50, p95, p99 = r["pcts"]
+    p50, p95, p99 = r["p50"], r["p95"], r["p99"]
     assert r["lo"] <= p50 <= p95 <= p99 <= r["hi"]
 
 
