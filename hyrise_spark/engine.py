@@ -780,9 +780,9 @@ class Engine:
             or re.match(r"^\s*SELECT\s+DISTINCT\s+ON\s*\(", m["body"], re.I)
             or re.search(r"\bEXCLUDE\s+(?:CURRENT\s+ROW|GROUP|TIES|NO\s+OTHERS)\b"
                          r"|\bFILTER\s*\(\s*WHERE\b[^)]*\)\s*OVER\b"
-                         r"|\(\s*DISTINCT\b[^)]*\)\s*OVER\b"
                          r"|\*\s+(?:EXCLUDE\s*(?:\(|\w)|REPLACE\s*\()",
                          _strip_str_literals(m["body"]), re.I)
+            or self._has_window_distinct(m["body"])
         ):
             # EXPLAIN over the engine-dialect SELECT forms (ASOF/QUALIFY):
             # spark.sql cannot parse them, so build the frame through the
@@ -846,16 +846,22 @@ class Engine:
         if re.match(r"^\s*SELECT\s+DISTINCT\s+ON\s*\(", stmt, re.I):
             return self._distinct_on_sql(stmt)
         if (stmt.lstrip().upper().startswith("SELECT")
-                and re.search(r"\bEXCLUDE\s+(?:CURRENT\s+ROW|GROUP|TIES|"
-                              r"NO\s+OTHERS)\b"
-                              r"|\bFILTER\s*\(\s*WHERE\b[^)]*\)\s*OVER\b"
-                              r"|\(\s*DISTINCT\b[^)]*\)\s*OVER\b",
-                              _strip_str_literals(stmt), re.I)):
+                and (re.search(r"\bEXCLUDE\s+(?:CURRENT\s+ROW|GROUP|TIES|"
+                               r"NO\s+OTHERS)\b"
+                               r"|\bFILTER\s*\(\s*WHERE\b[^)]*\)\s*OVER\b",
+                               _strip_str_literals(stmt), re.I)
+                     or self._has_window_distinct(stmt))):
             return self._window_dialect_sql(stmt)
         if (stmt.lstrip().upper().startswith("SELECT")
                 and re.search(r"\*\s+(?:EXCLUDE\s*(?:\(|\w)|REPLACE\s*\()",
                               _strip_str_literals(stmt), re.I)):
             return self._star_modifiers_sql(stmt)
+        if (re.match(r"^\s*(?:SELECT|WITH)\b", stmt, re.I)
+                and re.search(r"\(\s*SELECT\b", _strip_str_literals(stmt),
+                              re.I)):
+            # corpus lines 385-386: outer column inside a scalar
+            # subquery's projection — hoist it out (no-op when n/a)
+            stmt = self._rewrite_correlated_scalar_projection(stmt)
         if self.catalog.validated_uccs and stmt.lower().lstrip().startswith("select"):
             # redundant-DISTINCT elimination over validated UCCs — the
             # ucc_discovery_plugin's group-by reduction
@@ -916,8 +922,13 @@ class Engine:
             return spark.sql(final_sql)
         finally:
             # the final frame is already analyzed against the view; drop it
-            # so the CTE name cannot shadow catalog tables afterwards
+            # so the CTE name cannot shadow catalog tables afterwards — and
+            # if the CTE name legitimately SHADOWED a registered table
+            # (standard SQL allows that), restore the table's view rather
+            # than leaving the name unbound
             spark.catalog.dropTempView(name)
+            if self.catalog.has_table(name):
+                self.catalog.get_table(name).createOrReplaceTempView(name)
 
     def _asof_join_sql(self, m: "re.Match[str]") -> DataFrame:
         """ASOF [LEFT] JOIN (DuckDB dialect; beyond the reference's join
@@ -1279,6 +1290,51 @@ class Engine:
             stmt = self._rewrite_window_distinct(stmt)
         return stmt
 
+    @staticmethod
+    def _has_window_distinct(stmt: str) -> bool:
+        """True when the statement contains a DISTINCT aggregate AND a
+        window (OVER) anywhere — the paren-insensitive dispatch probe for
+        the collect_set rewrite (ADVICE r9: the old `[^)]*` probe missed
+        nested-paren args like SUM(DISTINCT CAST(x AS BIGINT)) OVER).
+        The rewriter itself does exact paren matching and no-ops on plain
+        GROUP BY distincts, so a false positive here only re-routes a
+        native statement through spark.sql unchanged."""
+        s = _strip_str_literals(stmt)
+        return bool(
+            re.search(r"\b(?:COUNT|SUM|AVG|MIN|MAX)\s*\(\s*DISTINCT\b",
+                      s, re.I)
+            and re.search(r"\bOVER\b", s, re.I)
+        )
+
+    def _named_window_spec(self, stmt: str, wname: str) -> str:
+        """Resolve `OVER w` against the statement's top-level WINDOW clause
+        (`WINDOW w AS (spec) [, ...]`) and return the spec text."""
+        w = self._find_top_level(stmt, "WINDOW")
+        if w == -1:
+            raise ValueError(
+                f"window DISTINCT: named window '{wname}' has no WINDOW "
+                "clause in this statement")
+        clause = stmt[w + len("WINDOW"):]
+        for part in self._split_top_level_commas(clause):
+            dm = re.match(r"\s*([A-Za-z_]\w*)\s+AS\s*\(", part, re.I)
+            if not dm or dm[1].lower() != wname.lower():
+                continue
+            popen = part.index("(", dm.end() - 1)
+            pclose = self._match_paren(part, popen)
+            if pclose == -1:
+                raise ValueError("window DISTINCT: unbalanced WINDOW spec")
+            spec = part[popen + 1:pclose].strip()
+            if re.match(r"^[A-Za-z_]\w*\s*(?:$|ORDER|ROWS|RANGE|GROUPS)",
+                        spec, re.I):
+                raise ValueError(
+                    "window DISTINCT: WINDOW specs that reference another "
+                    f"named window ('{spec.split()[0]}') are not supported "
+                    "with DISTINCT aggregates")
+            return spec
+        raise ValueError(
+            f"window DISTINCT: named window '{wname}' is not defined in "
+            "the WINDOW clause")
+
     def _rewrite_window_distinct(self, stmt: str) -> str:
         """DISTINCT window aggregates (DuckDB/postgres run
         `COUNT(DISTINCT x) OVER (...)` natively — the oracle; Spark raises
@@ -1315,17 +1371,27 @@ class Engine:
             if close == -1:
                 raise ValueError("window DISTINCT: unbalanced aggregate")
             om = re.match(r"\s*OVER\s*\(", stmt[close + 1:], re.I)
-            if not om:  # GROUP BY DISTINCT aggregate — native in Spark
+            nm = (None if om else
+                  re.match(r"\s*OVER\s+(?P<w>[A-Za-z_]\w*)",
+                           stmt[close + 1:], re.I))
+            if not om and not nm:  # GROUP BY DISTINCT agg — native in Spark
                 out.append(stmt[i:close + 1])
                 i = close + 1
                 continue
-            oopen = close + 1 + om.end() - 1
-            oclose = self._match_paren(stmt, oopen)
-            if oclose == -1:
-                raise ValueError("window DISTINCT: unbalanced OVER spec")
             fn = m["fn"].upper()
             arg = stmt[m.end():close].strip()
-            spec = stmt[oopen + 1:oclose]
+            if nm:
+                # named window (OVER w): resolve the WINDOW clause and
+                # inline its spec into the rewritten expression; the
+                # statement's own WINDOW clause stays for other consumers
+                spec = self._named_window_spec(stmt, nm["w"])
+                oclose = close + nm.end()  # last char of the window name
+            else:
+                oopen = close + 1 + om.end() - 1
+                oclose = self._match_paren(stmt, oopen)
+                if oclose == -1:
+                    raise ValueError("window DISTINCT: unbalanced OVER spec")
+                spec = stmt[oopen + 1:oclose]
             if fn in ("MIN", "MAX"):
                 expr = f"{fn}({arg}) OVER ({spec})"
             else:
@@ -1333,7 +1399,24 @@ class Engine:
                 if fn == "COUNT":
                     expr = f"CAST(SIZE({dset}) AS BIGINT)"
                 else:
-                    ssum = (f"AGGREGATE({dset}, CAST(0 AS DOUBLE), "
+                    # fold accumulator type (ADVICE r9): DOUBLE is exact
+                    # only below 2^53, so integral-cast args fold in
+                    # BIGINT and decimal-mode sessions fold in
+                    # DECIMAL(38,6) (DuckDB's native SUM(DISTINCT) is
+                    # HUGEINT/DECIMAL-exact — the oracle we must match);
+                    # plain DOUBLE stays for float args, documented lossy
+                    # beyond the 2^53 lattice
+                    from hyrise_spark.catalog import DECIMAL_MODE
+
+                    if re.search(r"\bAS\s+(?:BIGINT|INT(?:EGER)?|SMALLINT"
+                                 r"|TINYINT)\s*\)\s*$", arg, re.I):
+                        acc0 = "CAST(0 AS BIGINT)"
+                    elif DECIMAL_MODE or re.search(
+                            r"\bAS\s+DECIMAL\s*\(", arg, re.I):
+                        acc0 = "CAST(0 AS DECIMAL(38,6))"
+                    else:
+                        acc0 = "CAST(0 AS DOUBLE)"
+                    ssum = (f"AGGREGATE({dset}, {acc0}, "
                             f"(acc, v) -> acc + v)")
                     cnt = f"SIZE({dset})"
                     if fn == "SUM":
@@ -1580,6 +1663,158 @@ class Engine:
             f"{repl[c.lower()]} AS `{c}`" if c.lower() in repl else f"`{c}`"
             for c in cols if c.lower() not in excluded)
         return self.spark.sql(f"SELECT {m['d'] or ''}{sel} {rest}")
+
+    # -- correlated columns in a subquery's SELECT list ---------------------
+    # Reference corpus lines 385-386 (sqlite_testrunner_queries.sql) put an
+    # OUTER column inside a scalar subquery's projection:
+    #     SELECT (SELECT MAX(b) + t.a FROM mixed) FROM t
+    # The reference executes this through its correlated-parameter path
+    # (sql_translator.cpp, correlated_parameter_expression.hpp); Spark
+    # allows correlation only in predicates. Since the outer reference is
+    # constant per outer row, additive outer terms hoist out of the
+    # subquery unchanged:  (SELECT agg ± outer FROM s) ≡
+    # ((SELECT agg FROM s) ± outer)  — exact also for the empty-subquery
+    # case (NULL ± x = NULL). The rewrite requires the remaining
+    # projection to contain an aggregate and the subquery to have no
+    # GROUP BY, so the subquery returns exactly one row and the identity
+    # holds in every context (projection, predicate, IN-list).
+    _AGG_FN_RE = re.compile(
+        r"\b(?:MIN|MAX|SUM|AVG|COUNT|STDDEV(?:_SAMP|_POP)?"
+        r"|VAR(?:IANCE|_SAMP|_POP)?|ANY_VALUE|FIRST|LAST)\s*\(",
+        re.I,
+    )
+    _FROM_CLAUSE_KEYWORDS = frozenset(
+        "JOIN INNER LEFT RIGHT FULL OUTER CROSS SEMI ANTI NATURAL "
+        "LATERAL ON AS USING AND OR NOT ASOF".split()
+    )
+
+    @staticmethod
+    def _next_subquery_open(s: str, start: int) -> int:
+        """Index of the next `(SELECT` at/after `start` outside string
+        literals, or -1."""
+        quote, i, n = None, 0, len(s)
+        while i < n:
+            ch = s[i]
+            if quote:
+                if ch == quote:
+                    quote = None
+            elif ch in ("'", '"'):
+                quote = ch
+            elif (
+                ch == "("
+                and i >= start
+                and re.match(r"\(\s*SELECT\b", s[i:], re.I)
+            ):
+                return i
+            i += 1
+        return -1
+
+    def _rewrite_correlated_scalar_projection(self, stmt: str) -> str:
+        """Hoist qualified outer-column terms out of scalar-subquery
+        projections (text-level, paren-balanced, innermost-first)."""
+        out, i = stmt, 0
+        while True:
+            popen = self._next_subquery_open(out, i)
+            if popen == -1:
+                return out
+            pclose = self._match_paren(out, popen)
+            if pclose == -1:
+                return out
+            # derived tables / IN-lists after FROM are not scalar contexts
+            before = out[:popen].rstrip()
+            prev_word = re.search(r"(\w+)$", before)
+            if prev_word and prev_word[1].upper() in (
+                # derived table / quantified contexts: the paren must keep
+                # enclosing a relation, not become a scalar expression
+                "FROM", "JOIN", "LATERAL", "EXISTS", "ANY", "ALL", "SOME",
+            ):
+                i = popen + 1
+                continue
+            sub = out[popen + 1:pclose]
+            rewritten = self._hoist_outer_terms(
+                self._rewrite_correlated_scalar_projection(sub))
+            if rewritten != sub:
+                out = out[:popen + 1] + rewritten + out[pclose:]
+            i = popen + 1 + len(rewritten) + 1
+
+    def _hoist_outer_terms(self, sub: str) -> str:
+        m = re.match(r"^\s*SELECT\s+", sub, re.I)
+        if not m or re.match(r"^\s*SELECT\s+DISTINCT\b", sub, re.I):
+            return sub
+        f = self._find_top_level(sub, "FROM")
+        if f == -1 or self._find_top_level(sub, "GROUP", f) != -1:
+            return sub
+        for setop in ("UNION", "INTERSECT", "EXCEPT"):
+            if self._find_top_level(sub, setop, f) != -1:
+                return sub
+        proj, rest = sub[m.end():f], sub[f:]
+        if len(self._split_top_level_commas(proj)) != 1:
+            return sub  # multi-column subquery is never scalar
+        # the subquery's own relation names/aliases: every identifier in
+        # its FROM clause text (conservative — a false "internal" match
+        # just leaves the statement unrewritten, failing as before)
+        clause_end = len(rest)
+        for kw in ("WHERE", "HAVING", "ORDER", "LIMIT"):
+            k = self._find_top_level(rest, kw)
+            if k != -1:
+                clause_end = min(clause_end, k)
+        own = {
+            t.upper()
+            for t in re.findall(r"[A-Za-z_]\w*", rest[len("FROM"):clause_end])
+        } - self._FROM_CLAUSE_KEYWORDS
+        # drop one trailing top-level alias (unobservable on a scalar sub)
+        alias = re.search(r"\s+AS\s+[A-Za-z_]\w*\s*$", proj, re.I)
+        if alias and self._find_top_level(proj, "AS", alias.start()) != -1:
+            proj = proj[:alias.start()]
+        terms = self._split_additive_terms(proj)
+        hoisted, kept = [], []
+        for sign, text in terms:
+            qc = re.match(r"^\s*([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*$", text)
+            if qc and qc[1].upper() not in own:
+                hoisted.append((sign, text.strip()))
+            else:
+                kept.append((sign, text))
+        if not hoisted or not kept:
+            return sub
+        remaining = "".join(
+            (s if n or s == "-" else "") + t
+            for n, (s, t) in enumerate(kept)
+        )
+        if not self._AGG_FN_RE.search(_strip_str_literals(remaining)):
+            return sub
+        tail = "".join(f" {s} {t}" for s, t in hoisted)
+        # the caller re-wraps in the original parens, so this yields
+        # ((SELECT agg FROM ...) ± outer ...) — a parenthesized expression
+        return f"(SELECT {remaining.strip()} {rest}){tail}"
+
+    @staticmethod
+    def _split_additive_terms(s: str) -> list[tuple[str, str]]:
+        """Split at top-level binary +/- into (sign, text) pairs; a +/-
+        directly after another operator or at the start is unary and stays
+        inside its term."""
+        terms, depth, quote, start, sign = [], 0, None, 0, "+"
+        prev_nonspace = ""
+        for i, ch in enumerate(s):
+            if quote:
+                if ch == quote:
+                    quote = None
+            elif ch in ("'", '"'):
+                quote = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif (
+                ch in "+-"
+                and depth == 0
+                and prev_nonspace not in ("", "+", "-", "*", "/", "%", "(", ",")
+            ):
+                terms.append((sign, s[start:i]))
+                sign, start = ch, i + 1
+            if not ch.isspace():
+                prev_nonspace = ch
+        terms.append((sign, s[start:]))
+        return terms
 
     @staticmethod
     def _split_top_level_commas(s: str) -> list[str]:

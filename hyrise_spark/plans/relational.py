@@ -1061,6 +1061,40 @@ def distinct_on_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return Engine(spark).execute(_DISTINCT_ON_SQL)
 
 
+_CORR_PROJ_SQL = """
+    SELECT n_name,
+           (SELECT MAX(p_retailprice) + nation.n_nationkey FROM part)
+               AS shifted_max,
+           (SELECT CAST(COUNT(*) AS BIGINT) - nation.n_regionkey FROM region)
+               AS reg_delta
+    FROM nation
+    ORDER BY n_name
+"""
+
+
+@register(
+    "subquery_correlated_projection",
+    oracle=_CORR_PROJ_SQL,
+    tags=("subquery", "dialect", "sql"),
+)
+def subquery_correlated_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outer column inside a scalar subquery's SELECT list (reference
+    corpus sqlite_testrunner_queries.sql:385-386; executed through the
+    reference's correlated-parameter path, sql_translator.cpp /
+    correlated_parameter_expression.hpp). Spark allows correlation only in
+    predicates, so the engine hoists the additive outer terms out of the
+    subquery (constant per outer row; the aggregate guarantees one row):
+    `(SELECT agg ± outer FROM s)` → `((SELECT agg FROM s) ± outer)`. The
+    hoisted form is a plain uncorrelated scalar subquery — Catalyst plans
+    it ONCE as a broadcast scalar, not per-outer-row, which is also the
+    100 TB shape (the reference re-executes the subplan per parameter
+    binding). DuckDB runs the same text natively."""
+    from hyrise_spark.engine import Engine
+
+    load_tables(spark, sf_dir, ("nation", "part", "region"))
+    return Engine(spark).execute(_CORR_PROJ_SQL)
+
+
 _STAR_MOD_SQL = """
     SELECT * EXCLUDE (o_orderpriority, o_orderstatus)
              REPLACE (ROUND(o_totalprice, 2) AS o_totalprice)

@@ -16,6 +16,25 @@ import tempfile
 
 from pyspark.sql import SparkSession
 
+_WAREHOUSE_DIR: str | None = None
+
+
+def _process_warehouse_dir() -> str:
+    """One unique managed-table warehouse per process, removed at exit.
+
+    mkdtemp guarantees a fresh empty dir even across OS pid recycling;
+    the atexit hook keeps repeated local runs from accumulating
+    abandoned warehouse trees in tempdir.
+    """
+    global _WAREHOUSE_DIR
+    if _WAREHOUSE_DIR is None:
+        import atexit
+        import shutil
+
+        _WAREHOUSE_DIR = tempfile.mkdtemp(prefix="hyrise_spark_wh_")
+        atexit.register(shutil.rmtree, _WAREHOUSE_DIR, ignore_errors=True)
+    return _WAREHOUSE_DIR
+
 
 def get_spark(app_name: str = "hyrise_spark", cpus: int | None = None) -> SparkSession:
     """Build (or reuse) a SparkSession with engine defaults.
@@ -78,15 +97,12 @@ def get_spark(app_name: str = "hyrise_spark", cpus: int | None = None) -> SparkS
         # repo — a second process re-materializing a layout table would
         # rewrite files a long-lived first session still scans (observed:
         # FileScanRDD failures in *_bucketed when bench/check_oracle ran
-        # beside pytest). A pid-scoped dir gives each process its own
-        # cache; on a real cluster an external metastore owns this path
-        # and the config is overridden by deployment.
-        .config(
-            "spark.sql.warehouse.dir",
-            os.path.join(
-                tempfile.gettempdir(), f"hyrise_spark_wh_{os.getpid()}"
-            ),
-        )
+        # beside pytest). mkdtemp (not a pid-derived name: pid recycling
+        # could hand a new process a stale warehouse) gives each process a
+        # unique dir, removed at interpreter exit; on a real cluster an
+        # external metastore owns this path and the config is overridden
+        # by deployment.
+        .config("spark.sql.warehouse.dir", _process_warehouse_dir())
     )
     if not os.environ.get("SPARK_MASTER") and "SPARK_ENV_LOADED" not in os.environ:
         builder = builder.master(f"local[{cpus}]")

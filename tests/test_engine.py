@@ -1709,3 +1709,132 @@ def test_recursive_union_rejects_cte_list(engine, spark):
             "WITH RECURSIVE r AS (SELECT 0 AS n UNION SELECT n + 1 FROM r"
             " WHERE n < 3), s AS (SELECT 1) SELECT * FROM r"
         )
+
+
+# -- correlated columns in a subquery's SELECT list (corpus 385-386) --------
+def test_correlated_projection_hoist_rewrite_shapes(engine):
+    rw = engine._rewrite_correlated_scalar_projection
+    # basic hoist: outer term leaves the subquery
+    assert rw(
+        "SELECT (SELECT MAX(b) + t.a FROM mixed) AS foo FROM t"
+    ) == "SELECT ((SELECT MAX(b) FROM mixed) + t.a) AS foo FROM t"
+    # two outer terms, order preserved
+    assert rw(
+        "SELECT (SELECT MAX(b) + t.a + t.c FROM mixed) FROM t"
+    ) == "SELECT ((SELECT MAX(b) FROM mixed) + t.a + t.c) FROM t"
+    # subtraction keeps its sign
+    assert rw(
+        "SELECT (SELECT MAX(b) - t.a FROM mixed) FROM t"
+    ) == "SELECT ((SELECT MAX(b) FROM mixed) - t.a) FROM t"
+    # WHERE-side scalar subquery, aliased outer table
+    assert rw(
+        "SELECT a FROM t AS r WHERE a = (SELECT MIN(b) + r.id FROM mixed)"
+    ) == "SELECT a FROM t AS r WHERE a = ((SELECT MIN(b) FROM mixed) + r.id)"
+
+
+def test_correlated_projection_hoist_no_ops(engine):
+    rw = engine._rewrite_correlated_scalar_projection
+    for sql in (
+        # no outer reference
+        "SELECT (SELECT MAX(b) FROM mixed) FROM t",
+        # qualifier belongs to the subquery's own FROM
+        "SELECT (SELECT MAX(m.b) + m.c FROM mixed m) FROM t",
+        # no aggregate left after hoisting -> unsafe, unchanged
+        "SELECT (SELECT b + t.a FROM mixed) FROM t",
+        # GROUP BY -> not guaranteed single-row, unchanged
+        "SELECT (SELECT MAX(b) + t.a FROM mixed GROUP BY c) FROM t",
+        # derived table, not a scalar context
+        "SELECT x FROM (SELECT a + 1 AS x FROM t) AS d",
+        # EXISTS must keep enclosing a relation
+        "SELECT a FROM t WHERE EXISTS (SELECT 1 FROM mixed WHERE b = t.a)",
+        # set-op subquery body, unchanged
+        "SELECT (SELECT MAX(b) + t.a FROM mixed UNION SELECT 1) FROM t",
+        # string literal containing a fake subquery
+        "SELECT '(SELECT MAX(b) + t.a FROM mixed)' AS s FROM t",
+    ):
+        assert rw(sql) == sql, sql
+
+
+def test_correlated_projection_hoist_runs(engine, spark, duck):
+    for t in ("nation", "part"):
+        spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet") \
+            .createOrReplaceTempView(t)
+    sql = ("SELECT n_name, (SELECT MAX(p_size) + nation.n_nationkey "
+           "FROM part) AS foo FROM nation ORDER BY n_name")
+    got = [(r.n_name, r.foo) for r in engine.execute(sql).collect()]
+    want = duck.execute(sql).fetchall()
+    assert got == [tuple(w) for w in want]
+
+
+def test_recursive_union_cte_shadowing_table_restores_view(engine, spark):
+    """A WITH RECURSIVE CTE named after a registered table shadows it for
+    the statement (standard SQL) and must NOT unregister the table's view
+    afterwards (ADVICE r9: the fixpoint's dropTempView left the name
+    unbound)."""
+    engine.execute("CREATE TABLE shadow_t AS SELECT 99 AS n")
+    try:
+        df = engine.execute(
+            "WITH RECURSIVE shadow_t(n) AS ("
+            "SELECT 1 UNION SELECT n + 1 FROM shadow_t WHERE n < 3"
+            ") SELECT n FROM shadow_t ORDER BY n")
+        assert [r.n for r in df.collect()] == [1, 2, 3]
+        # the real table is visible again after the statement
+        got = engine.execute("SELECT n FROM shadow_t").collect()
+        assert [r.n for r in got] == [99]
+    finally:
+        engine.execute("DROP TABLE shadow_t")
+
+
+# -- ADVICE r9: window DISTINCT dispatch + named windows + exact folds ------
+def test_window_distinct_nested_paren_arg_dispatches(engine, spark, duck):
+    """SUM(DISTINCT CAST(x AS BIGINT)) OVER (...) — the aggregate argument
+    contains parens, which the old dispatch probe could not match."""
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet") \
+        .createOrReplaceTempView("lineitem")
+    sql = ("SELECT l_orderkey, SUM(DISTINCT CAST(l_quantity AS BIGINT)) "
+           "OVER (PARTITION BY l_returnflag) AS s FROM lineitem "
+           "WHERE l_orderkey < 100 ORDER BY l_orderkey, s")
+    got = [tuple(r) for r in engine.execute(sql).collect()]
+    assert got == [tuple(r) for r in duck.execute(sql).fetchall()]
+    # EXPLAIN over the same shape routes through the engine too
+    plan = engine.execute("EXPLAIN " + sql).collect()[0]["plan"]
+    assert "collect_set" in plan.lower()
+
+
+def test_window_distinct_named_window(engine, spark, duck):
+    """COUNT(DISTINCT x) OVER w with a WINDOW clause resolves the named
+    spec instead of failing DISTINCT_WINDOW_FUNCTION_UNSUPPORTED."""
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet") \
+        .createOrReplaceTempView("lineitem")
+    sql = ("SELECT l_orderkey, COUNT(DISTINCT l_suppkey) OVER w AS c "
+           "FROM lineitem WHERE l_orderkey < 100 "
+           "WINDOW w AS (PARTITION BY l_returnflag) ORDER BY l_orderkey, c")
+    got = [tuple(r) for r in engine.execute(sql).collect()]
+    assert got == [tuple(r) for r in duck.execute(sql).fetchall()]
+
+
+def test_window_distinct_named_window_undefined_raises(engine, spark):
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet") \
+        .createOrReplaceTempView("lineitem")
+    with pytest.raises(ValueError, match="named window"):
+        engine.execute(
+            "SELECT COUNT(DISTINCT l_suppkey) OVER nope AS c FROM lineitem "
+            "WINDOW w AS (PARTITION BY l_returnflag)")
+
+
+def test_window_sum_distinct_exact_beyond_double_lattice(engine, spark, duck):
+    """SUM(DISTINCT CAST(v AS BIGINT)) folds in a BIGINT accumulator:
+    exact where a DOUBLE fold would round (values beyond 2^53), matching
+    DuckDB's HUGEINT-exact native SUM(DISTINCT)."""
+    spark.createDataFrame(
+        [(1, 2**53 + 1), (1, 2**53 + 3), (1, 2**53 + 1)], "g int, v long"
+    ).createOrReplaceTempView("biglat_t")
+    duck.execute("CREATE OR REPLACE TABLE biglat_t AS SELECT * FROM (VALUES "
+                 "(1, 9007199254740993), (1, 9007199254740995), "
+                 "(1, 9007199254740993)) t(g, v)")
+    sql = ("SELECT g, SUM(DISTINCT CAST(v AS BIGINT)) OVER "
+           "(PARTITION BY g) AS s FROM biglat_t")
+    got = sorted(tuple(r) for r in engine.execute(sql).collect())
+    want = sorted((int(a), int(b)) for a, b in duck.execute(sql).fetchall())
+    assert got == want == [(1, 18014398509481988)] * 3
+    duck.execute("DROP TABLE biglat_t")

@@ -29,9 +29,14 @@ the 518-line file beyond this corpus's coverage):
     Spark and DuckDB reject bare integers as booleans; not part of the
     declared surface.
   * Outer-column-inside-subquery-PROJECTION scalar subqueries (lines
-    386-388) — Spark supports correlation only in predicates; the corpus
-    pins the declared equivalent (hoisted outer term / predicate-correlated
-    form, `ssq_*` entries).
+    385-386, 390) now run VERBATIM (table names remapped onto the sandbox
+    schema like every corpus entry) through the ENGINE_CORPUS section
+    below: Spark supports correlation only in predicates, so
+    Engine._rewrite_correlated_scalar_projection hoists the additive
+    outer terms out of the subquery (the reference's
+    correlated_parameter_expression path, re-expressed as a text
+    rewrite). The hoisted/predicate-correlated `ssq_*` forms remain as
+    the plain-Spark corpus entries.
   * Encoding-sweep re-runs — the reference executes this same file once per
     segment encoding; the Spark axis is parquet's WRITE-TIME physical
     layout, swept in tests/test_encoding_sweep.py (codec x dictionary
@@ -1945,10 +1950,41 @@ CORPUS.update({
 })
 
 
-@pytest.mark.parametrize("name", sorted(CORPUS))
-def test_sql_corpus(spark, duck, name):
-    sql = CORPUS[name]
-    sdf = spark.sql(sql)
+# -- correlated columns inside a subquery's SELECT list (corpus lines
+# 385-386, 390) — verbatim shapes, engine-routed: Spark rejects the outer
+# reference in a subquery projection, so these run through Engine.execute
+# (the _rewrite_correlated_scalar_projection hoist); DuckDB runs the SAME
+# text natively, pinning that the hoist is semantics-preserving.
+ENGINE_CORPUS: dict[str, str] = {
+    # line 385: SELECT (SELECT MAX(b) + id_int_int_int_100.a FROM mixed) ...
+    "ecsq_outer_col_in_projection": (
+        "SELECT (SELECT MAX(p_size) + nation.n_nationkey FROM part) AS foo "
+        "FROM nation"
+    ),
+    # line 386: two outer columns inside the projection
+    "ecsq_two_outer_cols_in_projection": (
+        "SELECT (SELECT MAX(p_size) + nation.n_nationkey + nation.n_regionkey "
+        "FROM part) AS foo FROM nation"
+    ),
+    # line 390: outer alias inside a WHERE-side scalar subquery projection
+    "ecsq_outer_col_in_where_subquery": (
+        "SELECT n_name FROM nation AS r WHERE n_nationkey + 1 = "
+        "(SELECT MIN(p_size) + r.n_nationkey FROM part)"
+    ),
+    # subtraction leg + literal mixed with the outer term
+    "ecsq_outer_col_subtracted": (
+        "SELECT n_name, (SELECT MAX(p_size) - nation.n_nationkey + 1 "
+        "FROM part) AS d FROM nation"
+    ),
+    # the subquery's own alias shadows nothing: p-qualified cols stay inside
+    "ecsq_own_alias_kept_inside": (
+        "SELECT (SELECT MAX(p.p_size) + nation.n_nationkey FROM part p "
+        "WHERE p.p_partkey > 0) AS foo FROM nation"
+    ),
+}
+
+
+def _assert_same_result(name, sdf, duck, sql):
     scols, srows = sdf.columns, [tuple(r) for r in sdf.collect()]
     res = duck.execute(sql)
     ocols = [d[0] for d in res.description]
@@ -1960,3 +1996,17 @@ def test_sql_corpus(spark, duck, name):
     sc, oc = canon([c.lower() for c in scols], srows), canon([c.lower() for c in ocols], orows)
     for a, b in zip(sc, oc):
         assert a == b, f"{name}:\n spark : {a}\n duckdb: {b}"
+
+
+@pytest.mark.parametrize("name", sorted(CORPUS))
+def test_sql_corpus(spark, duck, name):
+    sql = CORPUS[name]
+    _assert_same_result(name, spark.sql(sql), duck, sql)
+
+
+@pytest.mark.parametrize("name", sorted(ENGINE_CORPUS))
+def test_engine_sql_corpus(spark, duck, name):
+    from hyrise_spark.engine import Engine
+
+    sql = ENGINE_CORPUS[name]
+    _assert_same_result(name, Engine(spark).execute(sql), duck, sql)
