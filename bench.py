@@ -111,6 +111,34 @@ def main() -> None:
         Path(out).write_text(json.dumps(payload, indent=1, sort_keys=True) + "\n")
     except OSError as exc:
         print(f"bench: could not write {out}: {exc}", file=sys.stderr)
+    # The driver truncates stdout to ~2000 chars, so the full 400+-query
+    # dict never parses from its window. Lead with a COMPACT line that
+    # fits: totals, per-suite medians, and the TPC-H per-query dict (the
+    # headline suite). The complete payload follows for local capture and
+    # is also persisted to $SPARK_GRAFT_BENCH_OUT above.
+    import statistics
+
+    suites: dict[str, list[float]] = {}
+    for name, t in times.items():
+        if t >= 0:
+            suites.setdefault(name.split("_", 1)[0], []).append(t)
+    tpch = {n: t for n, t in times.items() if n.startswith("tpch_q")}
+    compact = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "runs": runs,
+        "agg": "median",
+        "n_queries": len(times),
+        "n_failed": sum(1 for t in times.values() if t < 0),
+        "tpch22_s": round(sum(t for t in tpch.values() if t >= 0), 3),
+        "suite_medians": {
+            s: round(statistics.median(v), 3) for s, v in sorted(suites.items())
+        },
+        "queries": tpch,
+    }
+    print(json.dumps(compact))
     print(json.dumps(payload))
 
 
