@@ -248,43 +248,54 @@ _TPCC_FIRST_OID = 100
 _TPCC_SEED_BALANCE = 1000.0
 
 
-def tpcc_setup(engine, districts: int = 4, customers: int = 16) -> None:
+def tpcc_setup(engine, districts: int = 4, customers: int = 16,
+               sfx: str = "", shards: int = 1, shard: int = 0) -> None:
     """Scratch tables: district (order-id allocator + ytd), customer,
     orders, order_line. Dropped/recreated per run. Customers are assigned
     round-robin to districts, so the population must divide evenly —
-    validated here (NewOrder draws a customer from its district's stripe)."""
+    validated here (NewOrder draws a customer from its district's stripe).
+
+    Sharded mode (`sfx`/`shards`/`shard`): each shard engine owns the
+    districts {d : d % shards == shard} and their customers under
+    suffix-named tables — the per-warehouse data partitioning TPC-C is
+    DESIGNED around (a transaction touches one warehouse), and the same
+    split a multi-writer table format commits per-partition."""
     if customers < districts or customers % districts != 0:
         raise ValueError(
             f"--customers ({customers}) must be a positive multiple of "
             f"--districts ({districts})"
         )
     for t in ("tpcc_district", "tpcc_customer", "tpcc_orders", "tpcc_order_line"):
-        engine.execute(f"DROP TABLE IF EXISTS {t}")
+        engine.execute(f"DROP TABLE IF EXISTS {t}{sfx}")
+    own = f"WHERE id % {shards} = {shard}" if shards > 1 else ""
+    own_cust = (f"WHERE (id % {districts}) % {shards} = {shard}"
+                if shards > 1 else "")
     engine.execute(
-        f"""CREATE TABLE tpcc_district AS
+        f"""CREATE TABLE tpcc_district{sfx} AS
         SELECT CAST(id AS INT) AS d_id, CAST({_TPCC_FIRST_OID} AS INT) AS d_next_o_id,
                CAST(0.0 AS DOUBLE) AS d_ytd
-        FROM RANGE({districts})"""
+        FROM RANGE({districts}) {own}"""
     )
     engine.execute(
-        f"""CREATE TABLE tpcc_customer AS
+        f"""CREATE TABLE tpcc_customer{sfx} AS
         SELECT CAST(id AS INT) AS c_custkey, CAST(id % {districts} AS INT) AS c_d_id,
                CAST({_TPCC_SEED_BALANCE} AS DOUBLE) AS c_balance,
                CAST(0.0 AS DOUBLE) AS c_ytd_payment,
                CAST(0 AS INT) AS c_delivery_cnt
-        FROM RANGE({customers})"""
+        FROM RANGE({customers}) {own_cust}"""
     )
     engine.execute(
-        "CREATE TABLE tpcc_orders (o_orderkey INT, o_d_id INT, o_custkey INT,"
+        f"CREATE TABLE tpcc_orders{sfx} (o_orderkey INT, o_d_id INT, o_custkey INT,"
         " o_orderstatus STRING, o_totalprice DOUBLE)"
     )
     engine.execute(
-        "CREATE TABLE tpcc_order_line (ol_d_id INT, ol_orderkey INT,"
+        f"CREATE TABLE tpcc_order_line{sfx} (ol_d_id INT, ol_orderkey INT,"
         " ol_number INT, ol_amount DOUBLE)"
     )
 
 
-def _tpcc_new_order(engine, rng, districts: int, customers: int) -> bool:
+def _tpcc_new_order(engine, rng, districts: int, customers: int,
+                    sfx: str = "", d: int | None = None) -> bool:
     """tpcc_new_order.cpp: allocate the district's next order id, insert the
     header + 1-5 lines, bump the allocator — all in one transaction; 1% of
     runs abort AFTER the writes (the spec's forced rollback).
@@ -299,20 +310,21 @@ def _tpcc_new_order(engine, rng, districts: int, customers: int) -> bool:
     later read AND makes each compaction rewrite ~3x more expensive —
     measured slower at 8 clients despite the saved job (round-9 interleaved
     A/B in BASELINE.md)."""
-    d = rng.randrange(districts)
+    if d is None:
+        d = rng.randrange(districts)
     c = d + districts * rng.randrange(customers // districts)
     amounts = [float(rng.randrange(1, 100)) for _ in range(rng.randint(1, 5))]
     total = sum(amounts)
     engine.execute("BEGIN")
     oid = engine.execute(
-        f"UPDATE tpcc_district SET d_next_o_id = d_next_o_id + 1"
+        f"UPDATE tpcc_district{sfx} SET d_next_o_id = d_next_o_id + 1"
         f" WHERE d_id = {d} RETURNING d_next_o_id - 1 AS oid"
     ).collect()[0]["oid"]
     engine.execute(
-        f"INSERT INTO tpcc_orders VALUES ({oid}, {d}, {c}, 'O', {total})"
+        f"INSERT INTO tpcc_orders{sfx} VALUES ({oid}, {d}, {c}, 'O', {total})"
     )
     vals = ", ".join(f"({d}, {oid}, {i + 1}, {a})" for i, a in enumerate(amounts))
-    engine.execute(f"INSERT INTO tpcc_order_line VALUES {vals}")
+    engine.execute(f"INSERT INTO tpcc_order_line{sfx} VALUES {vals}")
     if rng.random() < 0.01:
         engine.execute("ROLLBACK")
         return False
@@ -320,24 +332,27 @@ def _tpcc_new_order(engine, rng, districts: int, customers: int) -> bool:
     return True
 
 
-def _tpcc_payment(engine, rng, districts: int, customers: int) -> bool:
+def _tpcc_payment(engine, rng, districts: int, customers: int,
+                  sfx: str = "", c: int | None = None) -> bool:
     """tpcc_payment.cpp: debit the customer, credit the district ytd."""
-    c = rng.randrange(customers)
+    if c is None:
+        c = rng.randrange(customers)
     amt = float(rng.randrange(1, 500))
     engine.execute("BEGIN")
     engine.execute(
-        f"UPDATE tpcc_customer SET c_balance = c_balance - {amt},"
+        f"UPDATE tpcc_customer{sfx} SET c_balance = c_balance - {amt},"
         f" c_ytd_payment = c_ytd_payment + {amt} WHERE c_custkey = {c}"
     )
     engine.execute(
-        f"UPDATE tpcc_district SET d_ytd = d_ytd + {amt}"
+        f"UPDATE tpcc_district{sfx} SET d_ytd = d_ytd + {amt}"
         f" WHERE d_id = {c % districts}"
     )
     engine.execute("COMMIT")
     return True
 
 
-def _tpcc_delivery(engine, rng, districts: int, customers: int) -> bool:
+def _tpcc_delivery(engine, rng, districts: int, customers: int,
+                   sfx: str = "", d: int | None = None) -> bool:
     """tpcc_delivery.cpp: fulfil the district's oldest open order and credit
     its amount to the customer.
 
@@ -346,10 +361,11 @@ def _tpcc_delivery(engine, rng, districts: int, customers: int) -> bool:
     later read of tpcc_orders with an embedded join (measured: 4x slower
     Delivery plus slower OrderStatus/StockLevel) — literal predicates keep
     the DML lineage a flat CASE WHEN chain."""
-    d = rng.randrange(districts)
+    if d is None:
+        d = rng.randrange(districts)
     engine.execute("BEGIN")
     hit = engine.execute(
-        f"SELECT o_orderkey, o_custkey, o_totalprice FROM tpcc_orders"
+        f"SELECT o_orderkey, o_custkey, o_totalprice FROM tpcc_orders{sfx}"
         f" WHERE o_d_id = {d} AND o_orderstatus = 'O'"
         f" ORDER BY o_orderkey LIMIT 1"
     ).collect()
@@ -357,11 +373,11 @@ def _tpcc_delivery(engine, rng, districts: int, customers: int) -> bool:
         engine.execute("COMMIT")
         return True
     engine.execute(
-        f"UPDATE tpcc_orders SET o_orderstatus = 'F'"
+        f"UPDATE tpcc_orders{sfx} SET o_orderstatus = 'F'"
         f" WHERE o_d_id = {d} AND o_orderkey = {hit[0]['o_orderkey']}"
     )
     engine.execute(
-        f"UPDATE tpcc_customer SET c_balance = c_balance + {hit[0]['o_totalprice']},"
+        f"UPDATE tpcc_customer{sfx} SET c_balance = c_balance + {hit[0]['o_totalprice']},"
         f" c_delivery_cnt = c_delivery_cnt + 1"
         f" WHERE c_custkey = {hit[0]['o_custkey']}"
     )
@@ -369,23 +385,27 @@ def _tpcc_delivery(engine, rng, districts: int, customers: int) -> bool:
     return True
 
 
-def _tpcc_order_status(engine, rng, districts: int, customers: int) -> bool:
+def _tpcc_order_status(engine, rng, districts: int, customers: int,
+                       sfx: str = "", c: int | None = None) -> bool:
     """tpcc_order_status.cpp: the customer's most recent order (read-only)."""
-    c = rng.randrange(customers)
+    if c is None:
+        c = rng.randrange(customers)
     engine.execute(
-        f"SELECT o_orderkey, o_orderstatus, o_totalprice FROM tpcc_orders"
+        f"SELECT o_orderkey, o_orderstatus, o_totalprice FROM tpcc_orders{sfx}"
         f" WHERE o_custkey = {c} ORDER BY o_orderkey DESC LIMIT 1"
     ).collect()
     return True
 
 
-def _tpcc_stock_level(engine, rng, districts: int, customers: int) -> bool:
+def _tpcc_stock_level(engine, rng, districts: int, customers: int,
+                      sfx: str = "", d: int | None = None) -> bool:
     """tpcc_stock_level.cpp analog: open-order backlog for one district
     (read-only aggregate over the district's recent orders)."""
-    d = rng.randrange(districts)
+    if d is None:
+        d = rng.randrange(districts)
     engine.execute(
         f"SELECT COUNT(*) AS open_orders, COALESCE(CAST(SUM(o_totalprice) AS DOUBLE), 0.0) AS backlog"
-        f" FROM tpcc_orders WHERE o_d_id = {d} AND o_orderstatus = 'O'"
+        f" FROM tpcc_orders{sfx} WHERE o_d_id = {d} AND o_orderstatus = 'O'"
     ).collect()
     return True
 
@@ -399,7 +419,8 @@ _TPCC_IMPLS = {
 }
 
 
-def tpcc_consistency_audit(engine, districts: int) -> dict[str, bool]:
+def tpcc_consistency_audit(engine, districts: int,
+                           sfx: str = "") -> dict[str, bool]:
     """Post-run audit — the reference's --consistency_checks
     (tpcc_benchmark.cpp) / TPC-C §3.3.2 conditions adapted to this schema:
 
@@ -415,7 +436,7 @@ def tpcc_consistency_audit(engine, districts: int) -> dict[str, bool]:
     rows = engine.execute(
         f"""SELECT d.d_id, d.d_next_o_id, COUNT(o.o_orderkey) AS n,
                    MAX(o.o_orderkey) AS mx
-            FROM tpcc_district d LEFT JOIN tpcc_orders o ON o.o_d_id = d.d_id
+            FROM tpcc_district{sfx} d LEFT JOIN tpcc_orders{sfx} o ON o.o_d_id = d.d_id
             GROUP BY d.d_id, d.d_next_o_id"""
     ).collect()
     checks["allocator"] = all(r["d_next_o_id"] - _TPCC_FIRST_OID == r["n"] for r in rows)
@@ -423,9 +444,9 @@ def tpcc_consistency_audit(engine, districts: int) -> dict[str, bool]:
         r["mx"] is None or r["mx"] == r["d_next_o_id"] - 1 for r in rows
     )
     bad = engine.execute(
-        """SELECT COUNT(*) AS bad FROM (
+        f"""SELECT COUNT(*) AS bad FROM (
              SELECT o.o_orderkey
-             FROM tpcc_orders o LEFT JOIN tpcc_order_line l
+             FROM tpcc_orders{sfx} o LEFT JOIN tpcc_order_line{sfx} l
                ON l.ol_d_id = o.o_d_id AND l.ol_orderkey = o.o_orderkey
              GROUP BY o.o_d_id, o.o_orderkey, o.o_totalprice
              HAVING o.o_totalprice <> COALESCE(SUM(l.ol_amount), -1.0)
@@ -433,14 +454,14 @@ def tpcc_consistency_audit(engine, districts: int) -> dict[str, bool]:
     ).collect()[0]["bad"]
     checks["order_total"] = bad == 0
     sums = engine.execute(
-        """SELECT (SELECT COALESCE(SUM(c_ytd_payment), 0.0) FROM tpcc_customer) AS cy,
-                  (SELECT COALESCE(SUM(d_ytd), 0.0) FROM tpcc_district) AS dy"""
+        f"""SELECT (SELECT COALESCE(SUM(c_ytd_payment), 0.0) FROM tpcc_customer{sfx}) AS cy,
+                  (SELECT COALESCE(SUM(d_ytd), 0.0) FROM tpcc_district{sfx}) AS dy"""
     ).collect()[0]
     checks["ytd"] = sums["cy"] == sums["dy"]
     bad = engine.execute(
         f"""SELECT COUNT(*) AS bad FROM (
               SELECT c.c_custkey
-              FROM tpcc_customer c LEFT JOIN tpcc_orders o
+              FROM tpcc_customer{sfx} c LEFT JOIN tpcc_orders{sfx} o
                 ON o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
               GROUP BY c.c_custkey, c.c_balance, c.c_ytd_payment, c.c_delivery_cnt
               HAVING c.c_balance <> {_TPCC_SEED_BALANCE} - c.c_ytd_payment
@@ -476,18 +497,35 @@ def run_tpcc(
     weights = [w for _, w in _TPCC_MIX]
     names = [n for n, _ in _TPCC_MIX]
 
+    errors = 0
+
     def client(cid: int) -> None:
-        nonlocal rolled_back
+        nonlocal rolled_back, errors
         rng = random.Random(seed * 1000 + cid)
         for _ in range(txns_per_client):
             proc = rng.choices(names, weights=weights, k=1)[0]
             t0 = time.perf_counter()
+            failed = False
             with lock:
-                committed = _TPCC_IMPLS[proc](engine, rng, districts, customers)
+                try:
+                    committed = _TPCC_IMPLS[proc](engine, rng, districts,
+                                                  customers)
+                except Exception:  # noqa: BLE001 — client resilience:
+                    # a failed procedure must ROLLBACK (never leave the
+                    # engine's transaction pin held — one wedged pin
+                    # starves every later client on the write fence) and
+                    # count as an error; the audit still gates the run
+                    try:
+                        engine.execute("ROLLBACK")
+                    except Exception:  # noqa: BLE001
+                        pass
+                    committed, failed = False, True
             dt = time.perf_counter() - t0
             with lock:
                 lat[proc].append(dt)
-                if committed:
+                if failed:
+                    errors += 1
+                elif committed:
                     counts[proc] += 1
                 else:
                     rolled_back += 1
@@ -514,11 +552,134 @@ def run_tpcc(
         "txns_per_client": txns_per_client,
         "committed": committed,
         "rolled_back": rolled_back,
+        "errors": errors,
         "tps": round(committed / wall, 3),
         "wall_s": round(wall, 3),
         "per_proc": per_proc,
         "consistency": audit,
-        "consistency_ok": all(audit.values()),
+        "consistency_ok": all(audit.values()) and errors == 0,
+    }
+
+
+def run_tpcc_sharded(
+    spark: SparkSession,
+    clients: int = 8,
+    txns_per_client: int = 25,
+    districts: int = 4,
+    customers: int = 16,
+    shards: int = 4,
+    seed: int = 8,
+) -> dict:
+    """Key-partitioned multi-writer TPC-C: shard engines own disjoint
+    district partitions (shard = d % shards), each with its OWN statement
+    lock, transaction pin, and version chains over suffix-named tables.
+
+    This is the scale path the single-writer ceiling points at (BASELINE.md
+    / SCALE.md): TPC-C is DESIGNED so a transaction touches one warehouse,
+    so per-warehouse writers never contend — the same partition-level
+    commit independence a multi-writer table format (per-partition
+    optimistic commits) provides at warehouse scale. The reference gets
+    the equivalent from row-level MVCC inside one process
+    (transaction_manager.hpp); here each shard is a full single-writer
+    engine and ROUTING replaces row-level locks: a procedure's district
+    decides its engine before any lock is taken. The consistency audit
+    runs per shard (every TPC-C §3.3.2 condition is district-local under
+    this schema) and all shards must pass."""
+    import random
+    import threading
+
+    from hyrise_spark.engine import Engine
+
+    if districts % shards != 0:
+        raise ValueError(f"--districts ({districts}) must be a multiple of "
+                         f"--tpcc-shards ({shards})")
+    engines = [Engine(spark) for _ in range(shards)]
+    locks = [threading.Lock() for _ in range(shards)]
+    for s_id, eng in enumerate(engines):
+        tpcc_setup(eng, districts, customers, sfx=f"_s{s_id}",
+                   shards=shards, shard=s_id)
+    counts = {p: 0 for p in _TPCC_IMPLS}
+    lat: dict[str, list[float]] = {p: [] for p in _TPCC_IMPLS}
+    rolled_back = 0
+    errors = 0
+    stats_lock = threading.Lock()
+    weights = [w for _, w in _TPCC_MIX]
+    names = [n for n, _ in _TPCC_MIX]
+
+    def client(cid: int) -> None:
+        nonlocal rolled_back, errors
+        rng = random.Random(seed * 1000 + cid)
+        for _ in range(txns_per_client):
+            proc = rng.choices(names, weights=weights, k=1)[0]
+            # draw the routing key FIRST: the district decides the shard
+            # (and therefore the lock) before any engine state is touched
+            if proc in ("payment", "order_status"):
+                c = rng.randrange(customers)
+                d = c % districts
+                kw = {"c": c}
+            else:
+                d = rng.randrange(districts)
+                kw = {"d": d}
+            s_id = d % shards
+            t0 = time.perf_counter()
+            failed = False
+            with locks[s_id]:
+                try:
+                    committed = _TPCC_IMPLS[proc](
+                        engines[s_id], rng, districts, customers,
+                        sfx=f"_s{s_id}", **kw)
+                except Exception:  # noqa: BLE001 — same client-resilience
+                    # contract as run_tpcc: ROLLBACK, count, keep going
+                    try:
+                        engines[s_id].execute("ROLLBACK")
+                    except Exception:  # noqa: BLE001
+                        pass
+                    committed, failed = False, True
+            dt = time.perf_counter() - t0
+            with stats_lock:
+                lat[proc].append(dt)
+                if failed:
+                    errors += 1
+                elif committed:
+                    counts[proc] += 1
+                else:
+                    rolled_back += 1
+
+    t_total = time.perf_counter()
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(clients)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t_total
+    shard_audits = [
+        tpcc_consistency_audit(eng, districts, sfx=f"_s{s_id}")
+        for s_id, eng in enumerate(engines)
+    ]
+    audit = {
+        k: all(a[k] for a in shard_audits) for k in shard_audits[0]
+    }
+    committed = sum(counts.values())
+    per_proc = {
+        p: {
+            "committed": counts[p],
+            "median_s": round(sorted(lat[p])[len(lat[p]) // 2], 4) if lat[p] else None,
+        }
+        for p in _TPCC_IMPLS
+    }
+    return {
+        "mode": "tpcc_sharded",
+        "shards": shards,
+        "clients": clients,
+        "txns_per_client": txns_per_client,
+        "committed": committed,
+        "rolled_back": rolled_back,
+        "errors": errors,
+        "tps": round(committed / wall, 3),
+        "wall_s": round(wall, 3),
+        "per_proc": per_proc,
+        "consistency": audit,
+        "consistency_ok": all(audit.values()) and errors == 0,
     }
 
 
@@ -650,6 +811,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--txns", type=int, default=25,
                     help="transactions per client (tpcc mode)")
     ap.add_argument(
+        "--tpcc-shards", type=int, default=1,
+        help="key-partitioned writer shards (tpcc mode): each shard engine"
+             " owns districts d %% shards with its own lock/txn pin —"
+             " the per-warehouse multi-writer scale path; 1 = the"
+             " documented single-writer engine",
+    )
+    ap.add_argument(
         "--tpch-refresh", metavar="SF_DIR",
         help="TPC-H refresh-function mode (RF1/RF2 — the part of the spec"
              " the reference declares unsupported, tpch_benchmark.cpp:33):"
@@ -689,10 +857,17 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(result))
         return 0 if result["roundtrip_ok"] else 1
     if args.tpcc:
-        result = run_tpcc(
-            spark, clients=args.clients, txns_per_client=args.txns,
-            districts=args.districts, customers=args.customers,
-        )
+        if args.tpcc_shards > 1:
+            result = run_tpcc_sharded(
+                spark, clients=args.clients, txns_per_client=args.txns,
+                districts=args.districts, customers=args.customers,
+                shards=args.tpcc_shards,
+            )
+        else:
+            result = run_tpcc(
+                spark, clients=args.clients, txns_per_client=args.txns,
+                districts=args.districts, customers=args.customers,
+            )
         print(json.dumps(result))
         return 0 if result["consistency_ok"] else 1
     if not args.queries or not args.tables:

@@ -368,12 +368,21 @@ class Catalog:
                       .stats().sizeInBytes())
             # logical estimates are uncompressed-row-width based; parquet on
             # disk is typically several x smaller — scale so the two
-            # signals are comparable before taking the max
-            sz = max(sz, est // 4)
+            # signals are comparable before taking the max. Estimates above
+            # ~16 TB are Catalyst's unknown/blow-up sentinels (deep DML
+            # CASE chains can compound width guesses multiplicatively),
+            # not size signals — using one overflowed coalesce(want) past
+            # Integer.MAX and killed the calling thread MID-TRANSACTION
+            # (observed under the TPC-C mix), so they are ignored.
+            if est < (1 << 44):
+                sz = max(sz, est // 4)
         except Exception:  # noqa: BLE001 — stats unavailable: trail only
             pass
         if sz > 0:
-            want = max(1, int(sz) // COMPACT_TARGET_FILE_BYTES + 1)
+            # cap: coalesce takes a JVM int, and >64k output files means
+            # the size signal is garbage anyway
+            want = max(1, min(int(sz) // COMPACT_TARGET_FILE_BYTES + 1,
+                              1 << 16))
         else:
             want = self.spark.sparkContext.defaultParallelism
         df = df.coalesce(want)

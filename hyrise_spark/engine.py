@@ -15,6 +15,7 @@ what Spark's dialect doesn't route natively for the reference surface:
 
 from __future__ import annotations
 
+import itertools
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -94,6 +95,9 @@ _PREPARE_RE = re.compile(
 _EXECUTE_RE = re.compile(
     r"^\s*EXECUTE\s+(?P<name>\w+)\s*(?:\((?P<args>.*)\))?\s*$", re.I | re.S
 )
+
+
+_ENGINE_SEQ = itertools.count()
 
 
 def _strip_str_literals(s: str) -> str:
@@ -227,6 +231,14 @@ class Engine:
         # (_lock_timeout_ms) park here; _commit/_rollback notify
         self._txn_cv = threading.Condition()
         self._in_snap_read = False  # reentrancy guard for _snapshot_read
+        # per-engine scratch temp-view namespace: DML/QUALIFY/RETURNING
+        # register transient views on the SHARED SparkSession; a fixed name
+        # let two concurrently-dispatching Engine instances (the sharded
+        # TPC-C writers) clobber each other MID-ANALYSIS, splicing one
+        # engine's table into another's lineage. The per-engine suffix makes
+        # view registration race-free across engines (within one engine the
+        # statement lock already serializes).
+        self._sv = f"__hs_e{next(_ENGINE_SEQ)}"
         # statement/plan cache (sql_plan_cache.hpp analog, GDFS eviction)
         from hyrise_spark.plan_cache import GDFSCache
 
@@ -1169,8 +1181,9 @@ class Engine:
             if dm:
                 df = df.distinct()
         if rest:
-            df.createOrReplaceTempView("__hs_qualify")
-            df = self.spark.sql(f"SELECT * FROM __hs_qualify {rest}")
+            qv = f"{self._sv}_qualify"
+            df.createOrReplaceTempView(qv)
+            df = self.spark.sql(f"SELECT * FROM {qv} {rest}")
         return df
 
     @staticmethod
@@ -2190,9 +2203,10 @@ class Engine:
         is a lazy plan over the PRE-replace snapshot (post-image for
         INSERT/UPDATE, old image for DELETE) — immutable, so evaluating the
         result after the table swap still reads the right rows."""
-        affected.createOrReplaceTempView("__hs_ret")
+        rv = f"{self._sv}_ret"
+        affected.createOrReplaceTempView(rv)
         kw = {"args": args} if args else {}
-        return self.spark.sql(f"SELECT {returning} FROM __hs_ret", **kw)
+        return self.spark.sql(f"SELECT {returning} FROM {rv}", **kw)
 
     def _insert(self, table: str, rest: str, args=None, returning: str | None = None):
         if table.lower() == "meta_settings":
@@ -2334,27 +2348,28 @@ class Engine:
         # through spark.sql over a snapshot view so the predicate may contain
         # scalar subqueries (spark.sql resolves the view eagerly, so later
         # reuse of the view name cannot retarget this plan).
-        cur.createOrReplaceTempView("__hs_dml_src")
+        src = f"{self._sv}_dml_src"
+        cur.createOrReplaceTempView(src)
         kw = {"args": args} if args else {}
         if _NONDET_RE.search(cond):
             # pin the random roll: one materialized evaluation feeds BOTH the
             # new table state and the RETURNING frame
             tagged = self.spark.sql(
                 f"SELECT *, COALESCE(({cond}), FALSE) AS __hs_hit "
-                f"FROM __hs_dml_src AS {table}", **kw
+                f"FROM {src} AS {table}", **kw
             ).localCheckpoint(eager=True)
             kept = tagged.filter("NOT __hs_hit").drop("__hs_hit")
             removed = tagged.filter("__hs_hit").drop("__hs_hit")
         else:
             kept = self.spark.sql(
-                f"SELECT * FROM __hs_dml_src AS {table}"
+                f"SELECT * FROM {src} AS {table}"
                 f" WHERE NOT COALESCE(({cond}), FALSE)",
                 **kw,
             )
             removed = None
             if returning:  # old image of the rows the predicate removed
                 removed = self.spark.sql(
-                    f"SELECT * FROM __hs_dml_src AS {table}"
+                    f"SELECT * FROM {src} AS {table}"
                     f" WHERE COALESCE(({cond}), FALSE)",
                     **kw,
                 )
@@ -2388,7 +2403,8 @@ class Engine:
             else c
             for c in cur.columns
         )
-        cur.createOrReplaceTempView("__hs_dml_src")
+        src = f"{self._sv}_dml_src"
+        cur.createOrReplaceTempView(src)
         kw = {"args": args} if args else {}
         if _NONDET_RE.search(sets) or (cond and _NONDET_RE.search(cond)):
             # pin the roll once: the hit flag is computed in an inner
@@ -2403,20 +2419,20 @@ class Engine:
             )
             tagged = self.spark.sql(
                 f"SELECT {cols_hit}, __hs_hit FROM "
-                f"(SELECT *, {match} AS __hs_hit FROM __hs_dml_src"
+                f"(SELECT *, {match} AS __hs_hit FROM {src}"
                 f" AS {table})", **kw
             ).localCheckpoint(eager=True)
             updated = tagged.drop("__hs_hit")
             affected = tagged.filter("__hs_hit").drop("__hs_hit")
         else:
             updated = self.spark.sql(
-                f"SELECT {cols} FROM __hs_dml_src AS {table}", **kw)
+                f"SELECT {cols} FROM {src} AS {table}", **kw)
             affected = None
             if returning:
                 # post-image of matched rows: WHERE evaluates on the OLD
                 # columns (FROM scope), the select list the new values
                 affected = self.spark.sql(
-                    f"SELECT {cols} FROM __hs_dml_src AS {table}"
+                    f"SELECT {cols} FROM {src} AS {table}"
                     f" WHERE {match}", **kw
                 )
         self.catalog.replace_table(table, updated)
@@ -2670,8 +2686,9 @@ class Engine:
         cur = self.catalog.get_table(table)
         talias = talias or table
         salias = salias or ("__hs_merge_s" if src.startswith("(") else src)
-        cur.createOrReplaceTempView("__hs_merge_t")
-        t_ref = f"__hs_merge_t AS {talias}"
+        mt = f"{self._sv}_merge_t"
+        cur.createOrReplaceTempView(mt)
+        t_ref = f"{mt} AS {talias}"
         s_ref = f"{src} AS {salias}"
         if matched:
             # first-match-wins: clause i applies iff its guard holds and no
@@ -2694,7 +2711,7 @@ class Engine:
             card = self.spark.sql(
                 f"SELECT COUNT(*) AS pairs, COUNT(DISTINCT __hs_rid) AS hit "
                 f"FROM (SELECT *, monotonically_increasing_id() AS __hs_rid "
-                f"      FROM __hs_merge_t) AS {talias} "
+                f"      FROM {mt}) AS {talias} "
                 f"JOIN {s_ref} ON {tcond}"
             ).first()
             if card["pairs"] > card["hit"]:
@@ -2759,7 +2776,7 @@ class Engine:
             )
             inserted = self.spark.sql(
                 f"SELECT {proj} FROM {s_ref} "
-                f"LEFT ANTI JOIN __hs_merge_t AS {talias} ON {cond}"
+                f"LEFT ANTI JOIN {mt} AS {talias} ON {cond}"
             )
             new = base.unionByName(inserted)
         self.catalog.replace_table(table, new)

@@ -1806,3 +1806,167 @@ def sim_bq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+# ---------------------------------------------------------------------------
+# Banded (hamming-LSH) binary quantization — the 100 TB path for BQ
+# (VERDICT r9 #7). sim_binary_quantization scans the FULL packed corpus per
+# query (correct as an eval baseline; 16 B/vector). This variant applies the
+# multimodal_phash_neardup banding pattern to the BQ words: the 64 sign
+# bits split into 8 bands x 8 bits, and only (query, corpus) pairs sharing
+# AT LEAST ONE band value become hamming candidates — an equi-join on
+# (band, value) buckets instead of a cross join. Gionis/Indyk/Motwani
+# (1999) banding over Charikar (2002) sign-bit hashes: a candidate with
+# hamming distance h over 64 bits survives banding with probability
+# 1 - (1 - (1 - h/64)^8)^8 — near-1 for the close neighbors the rerank
+# wants, vanishing for the random-distance bulk (h ~ 32 -> ~3% of the
+# corpus per query in expectation). The shortlist+rerank stages are
+# unchanged, so recall is gated against the full-scan harness in
+# tests/test_ann_recall.py.
+_BQ_N_BANDS = 8
+_BQ_BAND_BITS = 8
+
+
+def _bq_band_val(word, b_in_word: int):
+    """Band value: bits [b*8, b*8+8) of a packed 32-bit word (stored
+    non-negative in a long, so arithmetic shiftright is exact)."""
+    return F.shiftright(word, b_in_word * _BQ_BAND_BITS).bitwiseAND(F.lit(255))
+
+
+@register(
+    "sim_bq_banded",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    packed AS (
+      SELECT vec_id, v,
+             {{w1}} AS w1,
+             {{w2}} AS w2
+      FROM e
+    ),
+    pq AS (SELECT vec_id AS qid, v AS qv, w1 AS q1, w2 AS q2 FROM packed
+           WHERE vec_id < {_N_QUERIES}),
+    pc AS (SELECT vec_id AS cid, v AS cv, w1 AS c1, w2 AS c2 FROM packed
+           WHERE vec_id >= {_N_QUERIES}),
+    qb AS (
+      SELECT qid, b.i AS band,
+             CASE WHEN b.i < 4 THEN (q1 >> (b.i * 8)) & 255
+                  ELSE (q2 >> ((b.i - 4) * 8)) & 255 END AS val
+      FROM pq, LATERAL (SELECT UNNEST(generate_series(0, 7)) AS i) b
+    ),
+    cb AS (
+      SELECT cid, b.i AS band,
+             CASE WHEN b.i < 4 THEN (c1 >> (b.i * 8)) & 255
+                  ELSE (c2 >> ((b.i - 4) * 8)) & 255 END AS val
+      FROM pc, LATERAL (SELECT UNNEST(generate_series(0, 7)) AS i) b
+    ),
+    cand AS (SELECT DISTINCT qid, cid FROM qb JOIN cb USING (band, val)),
+    ham AS (
+      SELECT cand.qid, cand.cid, pq.qv, pc.cv,
+             bit_count(xor(pq.q1, pc.c1)) + bit_count(xor(pq.q2, pc.c2))
+               AS hamming
+      FROM cand JOIN pq ON pq.qid = cand.qid JOIN pc ON pc.cid = cand.cid
+    ),
+    shortlist AS (
+      SELECT qid, cid, qv, cv, hamming,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY hamming, cid) AS hrn
+      FROM ham
+    ),
+    rerank AS (
+      SELECT qid, cid, hamming,
+             list_inner_product(qv, cv) /
+               (sqrt(list_inner_product(qv, qv))
+                * sqrt(list_inner_product(cv, cv))) AS cs
+      FROM shortlist WHERE hrn <= {_BQ_SHORTLIST}
+    )
+    SELECT qid, cid, CAST(hamming AS BIGINT) AS hamming,
+           ROUND(cs, 4) AS cos_sim, CAST(rn AS INT) AS rank
+    FROM (SELECT qid, cid, hamming, cs,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                                    ORDER BY ROUND(cs, 6) DESC, cid) AS rn
+          FROM rerank)
+    WHERE rn <= {_TOP_K}
+    ORDER BY qid, rank
+    """.format(w1=_pack_sql('v', 0), w2=_pack_sql('v', 32)),
+    tags=("similarity", "topk", "binary-quantization", "lsh"),
+)
+def sim_bq_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-LSH banded BQ retrieval: bucket equi-join candidates, full
+    hamming only on candidates, exact-cosine rerank of the shortlist."""
+    emb = _emb(spark, sf_dir)
+
+    def pack(lo: int) -> Column:
+        w = F.lit(0).cast("long")
+        for i in range(1, 33):
+            w = w.bitwiseOR(
+                F.when(
+                    F.element_at(F.col("v"), i + lo) > 0,
+                    F.lit(1 << (i - 1)).cast("long"),
+                ).otherwise(F.lit(0).cast("long"))
+            )
+        return w
+
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).select("vec_id", "v", pack(0).alias("w1"), pack(32).alias("w2"))
+    nv = _normalize(F.col("v"))
+    q = (
+        e.filter(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("qid"), nv.alias("qv"),
+                F.col("w1").alias("q1"), F.col("w2").alias("q2"))
+        .limit(_N_QUERIES)
+    )
+    c = e.filter(F.col("vec_id") >= _N_QUERIES).select(
+        F.col("vec_id").alias("cid"), nv.alias("cv"),
+        F.col("w1").alias("c1"), F.col("w2").alias("c2")
+    )
+
+    def bands(frame: DataFrame, idcol: str, wa: str, wb: str) -> DataFrame:
+        pairs = [
+            F.struct(
+                F.lit(b).alias("band"),
+                _bq_band_val(F.col(wa if b < 4 else wb), b % 4).alias("val"),
+            )
+            for b in range(_BQ_N_BANDS)
+        ]
+        return frame.select(
+            idcol, F.explode(F.array(*pairs)).alias("bv")
+        ).select(idcol, F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+
+    # candidate generation: bucket equi-join, never a cross join — the
+    # query side (N_QUERIES x 8 band rows) broadcasts
+    cand = (
+        F.broadcast(bands(q, "qid", "q1", "q2"))
+        .join(bands(c, "cid", "c1", "c2"), ["band", "val"])
+        .select("qid", "cid")
+        .distinct()
+    )
+    ham = (
+        cand.join(F.broadcast(q), "qid")
+        .join(c, "cid")
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("q1").bitwiseXOR(F.col("c1")))
+            + F.bit_count(F.col("q2").bitwiseXOR(F.col("c2"))),
+        )
+    )
+    wh = Window.partitionBy("qid").orderBy("hamming", "cid")
+    shortlist = (
+        ham.withColumn("hrn", F.row_number().over(wh))
+        .filter(F.col("hrn") <= _BQ_SHORTLIST)
+        .withColumn("cs", _dot(F.col("qv"), F.col("cv")))
+    )
+    wr = Window.partitionBy("qid").orderBy(
+        F.round(F.col("cs"), 6).desc(), F.col("cid")
+    )
+    return (
+        shortlist.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= _TOP_K)
+        .select(
+            "qid", "cid",
+            F.col("hamming").cast("long"),
+            F.round("cs", 4).alias("cos_sim"),
+            F.col("rn").cast("int").alias("rank"),
+        )
+        .orderBy("qid", "rank")
+    )
