@@ -1088,7 +1088,9 @@ class Engine:
             sm = re.match(
                 r"^\s*(?:PARTITION\s+BY\s+(?P<pb>.*?))?\s*"
                 r"ORDER\s+BY\s+(?P<ob>.*?)\s*"
-                r"GROUPS\s+BETWEEN\s+(?P<lo>.+?)\s+AND\s+(?P<hi>.+?)\s*$",
+                r"GROUPS\s+BETWEEN\s+(?P<lo>.+?)\s+AND\s+(?P<hi>.+?)"
+                r"(?:\s+(?P<ex>EXCLUDE\s+(?:CURRENT\s+ROW|GROUP|TIES|"
+                r"NO\s+OTHERS)))?\s*$",
                 spec, re.I | re.S,
             )
             if sm is None:
@@ -1101,10 +1103,15 @@ class Engine:
                 key, (f"__hs_grp_{len(ranks)}", pb, ob)
             )
             part = f"PARTITION BY {pb} " if pb else ""
+            # a trailing EXCLUDE clause carries through verbatim: after the
+            # GROUPS -> RANGE-over-dense-rank rewrite, peers are exactly
+            # the equal-rank rows, so the exclusion rewrite downstream
+            # (RANGE-mode peer-total subtraction) is exact for it
+            ex = f" {sm['ex']}" if sm["ex"] else ""
             out.append(head[i:m.end()])
             out.append(
                 f"{part}ORDER BY {col} "
-                f"RANGE BETWEEN {sm['lo']} AND {sm['hi']})"
+                f"RANGE BETWEEN {sm['lo']} AND {sm['hi']}{ex})"
             )
             i = j
         if not ranks:
@@ -1132,7 +1139,13 @@ class Engine:
             tail.strip(), re.I | re.S,
         )
         sub_alias = (fm["a"] or fm["t"]) if fm else "__hs_groups"
-        df = self.spark.sql(f"{''.join(out)} FROM ({inner}) {sub_alias} {outer}")
+        final = f"{''.join(out)} FROM ({inner}) {sub_alias} {outer}"
+        # compose with the other window dialect forms (VERDICT r9 #8): a
+        # GROUPS spec may also carry FILTER / EXCLUDE / DISTINCT — the
+        # shared normalization pass rewrites them over the now-RANGE frame
+        # (FILTER first, so the exclusion pattern sees fn(CASE..) OVER)
+        final = self._rewrite_window_dialect(final)
+        df = self.spark.sql(final)
         # a SELECT * in the user's list expands to the subquery's columns —
         # the injected rank helpers must not leak
         return df.drop(*(col for col, _, _ in ranks.values()))

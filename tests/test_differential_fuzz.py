@@ -512,3 +512,67 @@ def recursive_union_query(draw) -> str:
 @given(q=recursive_union_query())
 def test_fuzz_recursive_union(spark, duck, q):
     _run_both_engine(spark, duck, q)
+
+
+# -- composed window-spec space (VERDICT r9 #8): GROUPS/RANGE frame x FILTER
+# -- x EXCLUDE in ONE OVER — engine rewrites compose; DuckDB runs FILTER +
+# -- EXCLUDE natively but lacks GROUPS mode, so the oracle text hand-derives
+# -- GROUPS as RANGE over DENSE_RANK (the same independent derivation the
+# -- registered window_groups_frame_sql oracle uses).
+@st.composite
+def composed_window_query(draw) -> tuple[str, str]:
+    fn = draw(st.sampled_from(["SUM(o_custkey)", "COUNT(*)", "COUNT(o_custkey)"]))
+    use_groups = draw(st.booleans())
+    use_filter = draw(st.booleans())
+    exclude = draw(st.sampled_from(
+        [None, "EXCLUDE CURRENT ROW", "EXCLUDE GROUP", "EXCLUDE TIES",
+         "EXCLUDE NO OTHERS"]))
+    lo = draw(st.sampled_from(["UNBOUNDED PRECEDING", "2 PRECEDING",
+                               "5 PRECEDING"]))
+    hi = draw(st.sampled_from(["CURRENT ROW", "3 FOLLOWING"]))
+    mode = "GROUPS" if use_groups else "RANGE"
+    filt = " FILTER (WHERE o_totalprice > 100000)" if use_filter else ""
+    ex = f" {exclude}" if exclude else ""
+    # the engine's exclusion rewrite supports SUM/COUNT/AVG only, frames
+    # containing the current row — the generator stays in that envelope
+    # (ORDER BY o_custkey % 97 gives real peer groups for GROUP/TIES)
+    okey = "o_custkey % 97"
+    spark_spec = (f"PARTITION BY o_orderstatus ORDER BY {okey} "
+                  f"{mode} BETWEEN {lo} AND {hi}{ex}")
+    # per-row output (canon is order-insensitive); the GROUPS rewrite
+    # supports top-level windowed SELECTs, so the window stays top-level
+    ssql = (
+        f"SELECT o_orderkey, CAST({fn}{filt} OVER ({spark_spec}) AS BIGINT)"
+        f" AS v FROM orders WHERE o_orderkey < 3000"
+    )
+    if use_groups:
+        duck_inner = (
+            f"SELECT *, DENSE_RANK() OVER (PARTITION BY o_orderstatus"
+            f" ORDER BY {okey}) AS __dr"
+            f" FROM orders WHERE o_orderkey < 3000"
+        )
+        duck_spec = (f"PARTITION BY o_orderstatus ORDER BY __dr "
+                     f"RANGE BETWEEN {lo} AND {hi}{ex}")
+        dsql = (
+            f"SELECT o_orderkey, CAST({fn}{filt} OVER ({duck_spec}) AS BIGINT)"
+            f" AS v FROM ({duck_inner})"
+        )
+    else:
+        dsql = ssql
+    return ssql, dsql
+
+
+@_SETTINGS
+@given(q=composed_window_query())
+def test_fuzz_composed_window_specs(spark, duck, q):
+    from hyrise_spark.engine import Engine
+
+    ssql, dsql = q
+    sdf = Engine(spark).execute(ssql)
+    scols = [c.lower() for c in sdf.columns]
+    srows = [tuple(r) for r in sdf.collect()]
+    res = duck.execute(dsql)
+    ocols = [d[0].lower() for d in res.description]
+    orows = res.fetchall()
+    assert len(srows) == len(orows), f"rowcount\n{ssql}\n{dsql}"
+    assert canon(scols, srows) == canon(ocols, orows), f"{ssql}\n{dsql}"

@@ -1838,3 +1838,29 @@ def test_window_sum_distinct_exact_beyond_double_lattice(engine, spark, duck):
     want = sorted((int(a), int(b)) for a, b in duck.execute(sql).fetchall())
     assert got == want == [(1, 18014398509481988)] * 3
     duck.execute("DROP TABLE biglat_t")
+
+
+def test_groups_frame_composes_with_filter_and_exclude(engine, spark, duck):
+    """One OVER carrying GROUPS + FILTER + EXCLUDE (VERDICT r9 #8): the
+    GROUPS->RANGE-over-dense-rank rewrite carries the EXCLUDE clause and
+    hands the result to the shared window-dialect pass (FILTER first, then
+    exclusion). DuckDB lacks GROUPS mode, so the oracle text hand-derives
+    the same frame (dense_rank + RANGE + native FILTER/EXCLUDE)."""
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet") \
+        .createOrReplaceTempView("lineitem")
+    ssql = ("SELECT l_orderkey, SUM(l_quantity) FILTER (WHERE l_discount > 0.02)"
+            " OVER (PARTITION BY l_returnflag ORDER BY l_orderkey"
+            " GROUPS BETWEEN 2 PRECEDING AND CURRENT ROW EXCLUDE TIES) AS s"
+            " FROM lineitem WHERE l_orderkey < 200")
+    dsql = ("SELECT l_orderkey, SUM(l_quantity) FILTER (WHERE l_discount > 0.02)"
+            " OVER (PARTITION BY l_returnflag ORDER BY dr"
+            " RANGE BETWEEN 2 PRECEDING AND CURRENT ROW EXCLUDE TIES) AS s"
+            " FROM (SELECT *, DENSE_RANK() OVER (PARTITION BY l_returnflag"
+            " ORDER BY l_orderkey) AS dr FROM lineitem WHERE l_orderkey < 200)")
+    from tests.oracle_utils import canon
+
+    sdf = engine.execute(ssql)
+    got = canon([c.lower() for c in sdf.columns], [tuple(r) for r in sdf.collect()])
+    res = duck.execute(dsql)
+    want = canon([d[0].lower() for d in res.description], res.fetchall())
+    assert got == want
