@@ -198,3 +198,30 @@ def test_setop_intersect_decimal_exact_double_misses(spark, decimal_mode):
         " INTERSECT SELECT CAST(0.3 AS DECIMAL(15,2)) AS v"
     ).collect()
     assert len(dec) == 1 and str(dec[0]["v"]) == "0.30"
+
+
+def test_window_sum_distinct_decimal_fold_exact(spark, decimal_mode, duck_decimal):
+    """ADVICE r9: SUM(DISTINCT) OVER folds its collect_set with a typed
+    accumulator — in decimal mode (or for decimal-cast args) a
+    DECIMAL(38,6) accumulator, matching DuckDB's exact native
+    SUM(DISTINCT) over DECIMAL(15,2) monetary columns cent for cent."""
+    from hyrise_spark.engine import Engine
+
+    catalog.load_tables(spark, SF_DIR, ("lineitem",), decimal=True)[
+        "lineitem"
+    ].createOrReplaceTempView("lineitem")
+    sql = ("SELECT l_orderkey, SUM(DISTINCT l_extendedprice) OVER "
+           "(PARTITION BY l_returnflag) AS s FROM lineitem "
+           "WHERE l_orderkey < 500")
+    got = sorted(
+        (r.l_orderkey, str(r.s)) for r in Engine(spark).execute(sql).collect()
+    )
+    want = sorted(
+        (int(k), str(v)) for k, v in duck_decimal.execute(sql).fetchall()
+    )
+    # exact decimal comparison: both engines print full-scale decimals
+    assert [g[0] for g in got] == [w[0] for w in want]
+    from decimal import Decimal
+
+    for (gk, gv), (wk, wv) in zip(got, want):
+        assert Decimal(gv) == Decimal(wv), (gk, gv, wv)
