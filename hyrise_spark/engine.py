@@ -795,6 +795,12 @@ class Engine:
                          r"|\*\s+(?:EXCLUDE\s*(?:\(|\w)|REPLACE\s*\()",
                          _strip_str_literals(m["body"]), re.I)
             or self._has_window_distinct(m["body"])
+            # correlated column in a subquery projection: valid syntax but
+            # Spark analysis fails — EXPLAIN must show the hoisted plan
+            or (re.search(r"\(\s*SELECT\b", _strip_str_literals(m["body"]),
+                          re.I)
+                and self._rewrite_correlated_scalar_projection(m["body"])
+                != m["body"])
         ):
             # EXPLAIN over the engine-dialect SELECT forms (ASOF/QUALIFY):
             # spark.sql cannot parse them, so build the frame through the

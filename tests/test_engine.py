@@ -1864,3 +1864,18 @@ def test_groups_frame_composes_with_filter_and_exclude(engine, spark, duck):
     res = duck.execute(dsql)
     want = canon([d[0].lower() for d in res.description], res.fetchall())
     assert got == want
+
+
+def test_explain_correlated_projection_routes_through_hoist(engine, spark):
+    """EXPLAIN over a correlated-projection SELECT shows the HOISTED plan
+    (one uncorrelated Subquery feeding a projection), not an analysis
+    error — the same EXPLAIN routing the other dialect forms get."""
+    spark.read.parquet("/root/testdata/sf0.001/nation.parquet") \
+        .createOrReplaceTempView("nation")
+    spark.read.parquet("/root/testdata/sf0.001/part.parquet") \
+        .createOrReplaceTempView("part")
+    plan = engine.execute(
+        "EXPLAIN SELECT (SELECT MAX(p_size) + nation.n_nationkey FROM part)"
+        " AS foo FROM nation").collect()[0]["plan"]
+    assert "Subquery" in plan and "foo" in plan
+    assert "AnalysisException" not in plan
