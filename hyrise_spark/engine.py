@@ -923,7 +923,10 @@ class Engine:
                 new = spark.sql(step_sql)
                 if col_list or list(new.columns) != list(acc.columns):
                     new = new.toDF(*acc.columns)
-                new = new.distinct().subtract(acc).localCheckpoint(eager=True)
+                # subtract IS distinct-semantics EXCEPT (dedups its left
+                # side), so no separate .distinct() pass: one aggregation
+                # shuffle per iteration, not two
+                new = new.subtract(acc).localCheckpoint(eager=True)
                 if new.isEmpty():
                     break
                 # eager: the accumulator is re-materialized per round so the

@@ -1981,6 +1981,12 @@ ENGINE_CORPUS: dict[str, str] = {
         "SELECT (SELECT MAX(p.p_size) + nation.n_nationkey FROM part p "
         "WHERE p.p_partkey > 0) AS foo FROM nation"
     ),
+    # IN-list context: the aggregate guarantees one row, so the hoisted
+    # scalar keeps IN's membership semantics (x IN (e) = x = e)
+    "ecsq_outer_col_in_in_list": (
+        "SELECT n_name FROM nation AS r WHERE n_nationkey IN "
+        "(SELECT MIN(p_size) + r.n_regionkey FROM part)"
+    ),
 }
 
 
