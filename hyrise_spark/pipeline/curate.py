@@ -1705,3 +1705,64 @@ def curate_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Classifier calibration: AUC of a quality signal against a weak label via
+# the Mann-Whitney rank-sum identity — the eval-harness leg the curation
+# family lacked (the similarity family's recall@k analog). Every
+# quality-classifier gate (curate_gopher_rules, text_quality_classifier,
+# the streaming classifier gate) ultimately asks "does the score ORDER the
+# corpus correctly?"; AUC is that question as one number.
+#
+# AUC = (sum of positive ranks - n_pos(n_pos+1)/2) / (n_pos * n_neg),
+# ranks ascending by score with AVERAGE ranks for ties. Computed over the
+# SCORE HISTOGRAM, not the rows (the aggregate_percentile_cont pattern):
+# per-score (n_pos, n_total) counts shuffle once, then ONE running-sum
+# window over the distinct-score frame yields every tie group's average
+# rank (cum_before + (|ties|+1)/2) and the rank-sum reduces to
+# sum(n_pos_s * avg_rank). The naive AUC is O(n^2) pair comparisons; a
+# row-level rank is a GLOBAL sort (single-partition window at 100 TB);
+# the histogram form is one partial-aggregable shuffle + a window over
+# the bounded score domain. Ranks stay on the half-integer lattice
+# (x.0/x.5 — exact doubles below 2^53), so the SAME text hash-matches on
+# both engines.
+_AUC_SQL = """
+    WITH scored AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             n_chars AS s
+      FROM documents
+    ), hist AS (
+      SELECT s,
+             CAST(SUM(y) AS BIGINT) AS n_pos_s,
+             CAST(COUNT(*) AS BIGINT) AS n_tot_s
+      FROM scored GROUP BY s
+    ), ranked AS (
+      SELECT n_pos_s, n_tot_s,
+             SUM(n_tot_s) OVER (ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tot_s
+               + (n_tot_s + 1) / CAST(2.0 AS DOUBLE) AS avg_rank
+      FROM hist
+    )
+    SELECT ROUND(CAST((SUM(n_pos_s * avg_rank)
+                   - (SUM(n_pos_s) * (SUM(n_pos_s) + 1)) / CAST(2.0 AS DOUBLE))
+                 / (SUM(n_pos_s) * SUM(n_tot_s - n_pos_s)) AS DOUBLE), 6)
+               AS auc,
+           CAST(SUM(n_pos_s) AS BIGINT) AS n_pos,
+           CAST(SUM(n_tot_s - n_pos_s) AS BIGINT) AS n_neg
+    FROM ranked
+"""
+
+
+@register(
+    "curate_classifier_auc",
+    oracle=_AUC_SQL,
+    tags=("curation", "evaluation", "sql"),
+)
+def curate_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-sum AUC of the n_chars signal against the lang='en' weak label
+    (same text on both engines; windows run over the score histogram,
+    never the data — see the rank-identity note above)."""
+    _docs(spark, sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(_AUC_SQL)
