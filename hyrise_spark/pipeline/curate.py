@@ -1766,3 +1766,51 @@ def curate_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     never the data — see the rank-identity note above)."""
     _docs(spark, sf_dir).createOrReplaceTempView("documents")
     return spark.sql(_AUC_SQL)
+
+
+# Precision/recall curve companion to the AUC: for every decision
+# threshold t (bucketed score domain), the quality gate "keep documents
+# with score >= t" has TP/FP = descending cumulative sums over the same
+# score histogram — so the WHOLE curve (the thing that picks a gate's
+# operating point) is one shuffle + one window over the bounded bucket
+# domain, never a per-threshold rescan.
+_PR_CURVE_SQL = """
+    WITH scored AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             CAST(FLOOR(n_chars / 100.0) AS BIGINT) AS b
+      FROM documents
+    ), hist AS (
+      SELECT b,
+             CAST(SUM(y) AS BIGINT) AS n_pos_b,
+             CAST(COUNT(*) AS BIGINT) AS n_tot_b
+      FROM scored GROUP BY b
+    ), cum AS (
+      SELECT b,
+             CAST(SUM(n_pos_b) OVER (ORDER BY b DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS tp,
+             CAST(SUM(n_tot_b - n_pos_b) OVER (ORDER BY b DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS fp,
+             CAST(SUM(n_pos_b) OVER () AS BIGINT) AS p
+      FROM hist
+    )
+    SELECT b AS threshold_bucket, tp, fp,
+           ROUND(CAST(tp AS DOUBLE) / (tp + fp), 6) AS precision_at,
+           ROUND(CAST(tp AS DOUBLE) / p, 6) AS recall_at
+    FROM cum
+    ORDER BY threshold_bucket DESC
+"""
+
+
+@register(
+    "curate_classifier_pr_curve",
+    oracle=_PR_CURVE_SQL,
+    tags=("curation", "evaluation", "sql"),
+)
+def curate_classifier_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall at every keep-if-score>=t threshold (bucketed
+    n_chars signal vs the lang='en' weak label) — descending cumulative
+    sums over the score histogram; same text on both engines."""
+    _docs(spark, sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(_PR_CURVE_SQL)
