@@ -648,3 +648,93 @@ def cte_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MAX(node) AS BIGINT) AS max_node
     FROM r
     """)
+
+
+# ---------------------------------------------------------------------------
+# Label propagation (community detection — Raghavan et al. 2007, the
+# SYNCHRONOUS deterministic variant): every node starts as its own label;
+# each superstep every node adopts the most frequent label among its
+# undirected neighbors, ties broken by SMALLEST label. Synchronous updates
+# + total-order tiebreak make the fixpoint path deterministic (async LPA is
+# famously order-dependent), so the SAME fixed-superstep computation runs
+# on DuckDB as a chained-CTE oracle and hash-matches.
+#
+# 100 TB shape: per superstep one labels⋈edges equi-join plus two
+# partial-agg shuffles ((node,label) counts, then per-node argmax via a
+# top-1 window — WindowGroupLimit keeps ~1 row/node/partition below the
+# exchange). State is one (node, label) pair per node; T is fixed (the
+# curation use — community-aware sampling/dedup over near-dup graphs —
+# wants coarse communities, not convergence proofs).
+_LPA_ITERS = 3
+_LPA_TOPK = 20
+
+
+def _lpa_oracle() -> str:
+    steps = []
+    prev = "l0"
+    steps.append("l0 AS (SELECT doc_id AS node, doc_id AS label FROM documents)")
+    steps.append(
+        "ue AS (SELECT src AS a, dst AS b FROM edges "
+        "UNION SELECT dst AS a, src AS b FROM edges)"
+    )
+    for t in range(1, _LPA_ITERS + 1):
+        steps.append(f"""n{t} AS (
+          SELECT ue.a AS node, {prev}.label AS nlabel, COUNT(*) AS c
+          FROM ue JOIN {prev} ON {prev}.node = ue.b
+          GROUP BY ue.a, {prev}.label
+        ), l{t} AS (
+          SELECT node, nlabel AS label FROM (
+            SELECT node, nlabel,
+                   ROW_NUMBER() OVER (PARTITION BY node
+                                      ORDER BY c DESC, nlabel) AS rn
+            FROM n{t}
+          ) WHERE rn = 1
+        )""")
+        prev = f"l{t}"
+    return f"""
+    WITH {_EDGES_SQL.strip().rstrip()},
+    {', '.join(steps)}
+    SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS size
+    FROM {prev}
+    GROUP BY label
+    ORDER BY size DESC, community
+    LIMIT {_LPA_TOPK}
+    """
+
+
+@register(
+    "graph_label_propagation",
+    oracle=_lpa_oracle(),
+    tags=("graph", "community", "iterative"),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K communities by size after T synchronous LPA supersteps over
+    the undirected link graph (min-label tiebreak; see module note)."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    e = _edges(spark, sf_dir)
+    ue = e.select(F.col("src").alias("a"), F.col("dst").alias("b")).union(
+        e.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+    ).distinct()
+    labels = docs.select(
+        F.col("doc_id").alias("node"), F.col("doc_id").alias("label")
+    )
+    w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("nlabel"))
+    for _ in range(_LPA_ITERS):
+        counts = (
+            ue.join(labels.withColumnRenamed("node", "b"), "b")
+            .groupBy(F.col("a").alias("node"), F.col("label").alias("nlabel"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", F.col("nlabel").alias("label"))
+        )
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("size"))
+        .orderBy(F.col("size").desc(), "community")
+        .limit(_LPA_TOPK)
+    )

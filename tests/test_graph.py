@@ -168,3 +168,36 @@ def test_kcore_matches_python_peeling(spark):
     expect = sorted(Counter(deg.values()).items())
     got = [(r.deg, r.n_nodes) for r in graph_kcore(spark, SF_DIR).collect()]
     assert got == expect
+
+
+def test_label_propagation_matches_python(spark):
+    """Independent verification: pure-Python synchronous LPA (min-label
+    tiebreak) over the collected edge list reproduces the operator's
+    community sizes exactly (test-SF only; the operator never collects)."""
+    from collections import Counter, defaultdict
+
+    from hyrise_spark.pipeline.graph import (
+        _LPA_ITERS, _LPA_TOPK, _edges, graph_label_propagation,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    edges = [(r.src, r.dst) for r in _edges(spark, sf).collect()]
+    nbrs = defaultdict(set)
+    for a, b in edges:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    nodes = set(nbrs) | {x for e in edges for x in e}
+    label = {v: v for v in nodes}
+    for _ in range(_LPA_ITERS):
+        new = {}
+        for v in nodes:
+            cnt = Counter(label[u] for u in nbrs[v])
+            # most frequent, ties -> smallest label
+            best = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            new[v] = best
+        label = new
+    sizes = Counter(label.values())
+    want = sorted(sizes.items(), key=lambda kv: (-kv[1], kv[0]))[:_LPA_TOPK]
+    got = [(r.community, r.size)
+           for r in graph_label_propagation(spark, sf).collect()]
+    assert got == want
