@@ -540,6 +540,14 @@ _GLOBAL_WINDOW_ALLOWLIST: dict[str, str] = {
     # score.
     "curate_token_budget_select":
         "histogram cumsum over the bounded score domain",
+    # Rank-sum AUC / PR curve: the running-sum window runs over the SCORE
+    # HISTOGRAM (one row per distinct score / 100-char bucket — a bounded
+    # scoring domain), never the documents; that histogram locality is the
+    # operator's documented 100 TB contract (pipeline/curate.py).
+    "curate_classifier_auc":
+        "rank-sum over the bounded score-histogram domain",
+    "curate_classifier_pr_curve":
+        "threshold cumsums over the bounded score-bucket domain",
 }
 
 # Logical nodes whose subtree output is constant-bounded regardless of data
