@@ -702,14 +702,9 @@ def _lpa_oracle() -> str:
     """
 
 
-@register(
-    "graph_label_propagation",
-    oracle=_lpa_oracle(),
-    tags=("graph", "community", "iterative"),
-)
-def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-K communities by size after T synchronous LPA supersteps over
-    the undirected link graph (min-label tiebreak; see module note)."""
+def _lpa_state(spark: SparkSession, sf_dir: str):
+    """(undirected symmetric edge frame, final labels frame) after T
+    synchronous supersteps — shared by the community and modularity ops."""
     from pyspark.sql import Window
 
     docs = _docs(spark, sf_dir).select("doc_id")
@@ -732,9 +727,114 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") == 1)
             .select("node", F.col("nlabel").alias("label"))
         )
+    return ue, labels
+
+
+
+@register(
+    "graph_label_propagation",
+    oracle=_lpa_oracle(),
+    tags=("graph", "community", "iterative"),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K communities by size after T synchronous LPA supersteps over
+    the undirected link graph (min-label tiebreak; see module note)."""
+    _ue, labels = _lpa_state(spark, sf_dir)
     return (
         labels.groupBy(F.col("label").alias("community"))
         .agg(F.count(F.lit(1)).cast("long").alias("size"))
         .orderBy(F.col("size").desc(), "community")
         .limit(_LPA_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Modularity of the LPA partition (Newman-Girvan 2004) — the eval metric
+# for the community op, like recall@k for ANN and AUC for the quality
+# gates: Q = sum_c (e_c/m - (d_c/2m)^2) over communities c, where e_c =
+# intra-community edges, d_c = community degree sum, m = undirected edge
+# count. Everything is computed on the INTEGER lattice: Q * 4m^2 =
+# 4m*sum(e_c) - sum(d_c^2) is a plain BIGINT, so both engines agree bit
+# for bit (the double Q is derived from the integers at the boundary).
+# Cost on top of the LPA supersteps: one labels join per edge endpoint +
+# two community-sized aggregates.
+
+
+def _lpa_modularity_oracle() -> str:
+    base = _lpa_oracle()
+    # reuse the LPA CTE chain up to the final labels (l{T}); swap the
+    # community-size SELECT for the modularity computation
+    head = base[:base.index("SELECT label AS community")].rstrip()
+    t = _LPA_ITERS
+    return f"""{head},
+    und AS (SELECT DISTINCT a AS u, b AS v FROM ue WHERE a < b),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM und),
+    deg AS (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS d FROM ue GROUP BY a),
+    intra AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS e_in
+      FROM und
+      JOIN l{t} lu ON lu.node = und.u
+      JOIN l{t} lv ON lv.node = und.v
+      WHERE lu.label = lv.label
+    ),
+    dsq AS (
+      SELECT CAST(SUM(dc * dc) AS BIGINT) AS sum_dc2 FROM (
+        SELECT CAST(SUM(deg.d) AS BIGINT) AS dc
+        FROM deg JOIN l{t} ON l{t}.node = deg.node
+        GROUP BY l{t}.label
+      )
+    )
+    SELECT m.m AS m, intra.e_in AS intra_edges, dsq.sum_dc2 AS sum_deg_sq,
+           CAST(4 * m.m * intra.e_in - dsq.sum_dc2 AS BIGINT)
+               AS q_times_4m2,
+           ROUND(CAST(4 * m.m * intra.e_in - dsq.sum_dc2 AS DOUBLE)
+                 / (4.0 * m.m * m.m), 6) AS modularity
+    FROM m, intra, dsq
+    """
+
+
+@register(
+    "graph_modularity",
+    oracle=_lpa_modularity_oracle(),
+    tags=("graph", "community", "evaluation"),
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman-Girvan modularity of the LPA partition, integer-lattice
+    exact (see note above)."""
+    ue, labels = _lpa_state(spark, sf_dir)
+    und = ue.filter(F.col("a") < F.col("b")).select(
+        F.col("a").alias("u"), F.col("b").alias("v")
+    ).distinct()
+    deg = ue.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    lab_u = labels.select(F.col("node").alias("u"), F.col("label").alias("lu"))
+    lab_v = labels.select(F.col("node").alias("v"), F.col("label").alias("lv"))
+    e_in = (
+        und.join(lab_u, "u").join(lab_v, "v")
+        .filter(F.col("lu") == F.col("lv"))
+        .agg(F.count(F.lit(1)).cast("long").alias("e_in"))
+    )
+    m = und.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    dsq = (
+        deg.join(labels, "node")
+        .groupBy("label")
+        .agg(F.sum("d").cast("long").alias("dc"))
+        .agg(F.sum(F.col("dc") * F.col("dc")).cast("long").alias("sum_dc2"))
+    )
+    return (
+        m.crossJoin(e_in).crossJoin(dsq)  # three 1-row aggregates
+        .select(
+            "m",
+            F.col("e_in").alias("intra_edges"),
+            F.col("sum_dc2").alias("sum_deg_sq"),
+            (4 * F.col("m") * F.col("e_in") - F.col("sum_dc2"))
+            .cast("long").alias("q_times_4m2"),
+            F.round(
+                (4 * F.col("m") * F.col("e_in") - F.col("sum_dc2"))
+                .cast("double")
+                / (4.0 * F.col("m") * F.col("m")),
+                6,
+            ).alias("modularity"),
+        )
     )

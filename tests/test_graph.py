@@ -201,3 +201,38 @@ def test_label_propagation_matches_python(spark):
     got = [(r.community, r.size)
            for r in graph_label_propagation(spark, sf).collect()]
     assert got == want
+
+
+def test_modularity_matches_python(spark):
+    """Independent verification: pure-Python Newman-Girvan Q over the
+    Python-LPA labels reproduces the operator's integer lattice exactly."""
+    from collections import Counter, defaultdict
+
+    from hyrise_spark.pipeline.graph import (
+        _LPA_ITERS, _edges, graph_modularity,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    edges = [(r.src, r.dst) for r in _edges(spark, sf).collect()]
+    nbrs = defaultdict(set)
+    for a, b in edges:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    nodes = set(nbrs)
+    label = {v: v for v in nodes}
+    for _ in range(_LPA_ITERS):
+        label = {
+            v: min(Counter(label[u] for u in nbrs[v]).items(),
+                   key=lambda kv: (-kv[1], kv[0]))[0]
+            for v in nodes
+        }
+    und = {(min(a, b), max(a, b)) for a, b in edges}
+    m = len(und)
+    e_in = sum(1 for u, v in und if label[u] == label[v])
+    dc = Counter()
+    for v in nodes:
+        dc[label[v]] += len(nbrs[v])
+    sum_dc2 = sum(d * d for d in dc.values())
+    row = graph_modularity(spark, sf).collect()[0]
+    assert (row.m, row.intra_edges, row.sum_deg_sq) == (m, e_in, sum_dc2)
+    assert row.q_times_4m2 == 4 * m * e_in - sum_dc2
