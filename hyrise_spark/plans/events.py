@@ -1983,3 +1983,61 @@ def events_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "x", "y")
         .limit(_COOC_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-series linear trend: closed-form OLS of hourly event counts against a
+# dense hour index — slope/intercept/R^2 per event_type, the "is this
+# signal growing?" primitive time-series monitoring stacks ship. All five
+# sufficient statistics (Sx, Sy, Sxy, Sxx, Syy) are exact BIGINT sums (the
+# hour index is a per-series ROW_NUMBER, so no epoch/timezone dependence —
+# the events_gapfill convention), and the doubles are derived from those
+# integers only at the output boundary, so both engines agree. One
+# groupBy(hour) shuffle + one per-series window + a 5-statistic partial
+# agg: the sufficient-statistic pattern is also the 100 TB contract (OLS
+# over a billion rows is still five sums).
+_LINEAR_TREND_SQL = """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ), idx AS (
+      SELECT event_type,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) - 1
+                  AS BIGINT) AS x,
+             y
+      FROM hourly
+    ), s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM idx GROUP BY event_type
+    )
+    SELECT event_type, n,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / NULLIF(n * sxx - sx * sx, 0), 6) AS slope,
+           ROUND((sy - CAST(n * sxy - sx * sy AS DOUBLE)
+                        / NULLIF(n * sxx - sx * sx, 0) * sx)
+                 / n, 6) AS intercept,
+           ROUND(CAST((n * sxy - sx * sy) * (n * sxy - sx * sy) AS DOUBLE)
+                 / NULLIF(CAST(n * sxx - sx * sx AS DOUBLE)
+                          * (n * syy - sy * sy), 0), 6) AS r2
+    FROM s ORDER BY event_type
+"""
+
+
+@register(
+    "events_linear_trend",
+    oracle=_LINEAR_TREND_SQL,
+    tags=("events", "timeseries", "sql"),
+)
+def events_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS trend per event_type over the hourly count series (same text on
+    both engines; see the sufficient-statistic note above)."""
+    (events,) = _t(spark, sf_dir, "events")
+    events.createOrReplaceTempView("events")
+    return spark.sql(_LINEAR_TREND_SQL)
