@@ -1833,6 +1833,62 @@ def _bq_band_val(word, b_in_word: int):
     return F.shiftright(word, b_in_word * _BQ_BAND_BITS).bitwiseAND(F.lit(255))
 
 
+def _bq_banded_frames(spark: SparkSession, sf_dir: str):
+    """(query, corpus, candidate) frames for the banded BQ retrieval —
+    exposed so tests can measure the candidate-set reduction the banding
+    buys (the op's 100 TB claim, gated in test_ann_recall.py)."""
+    emb = _emb(spark, sf_dir)
+
+    def pack(lo: int) -> Column:
+        w = F.lit(0).cast("long")
+        for i in range(1, 33):
+            w = w.bitwiseOR(
+                F.when(
+                    F.element_at(F.col("v"), i + lo) > 0,
+                    F.lit(1 << (i - 1)).cast("long"),
+                ).otherwise(F.lit(0).cast("long"))
+            )
+        return w
+
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).select("vec_id", "v", pack(0).alias("w1"), pack(32).alias("w2"))
+    nv = _normalize(F.col("v"))
+    q = (
+        e.filter(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("qid"), nv.alias("qv"),
+                F.col("w1").alias("q1"), F.col("w2").alias("q2"))
+        .limit(_N_QUERIES)
+    )
+    c = e.filter(F.col("vec_id") >= _N_QUERIES).select(
+        F.col("vec_id").alias("cid"), nv.alias("cv"),
+        F.col("w1").alias("c1"), F.col("w2").alias("c2")
+    )
+
+    def bands(frame: DataFrame, idcol: str, wa: str, wb: str) -> DataFrame:
+        pairs = [
+            F.struct(
+                F.lit(b).alias("band"),
+                _bq_band_val(F.col(wa if b < 4 else wb), b % 4).alias("val"),
+            )
+            for b in range(_BQ_N_BANDS)
+        ]
+        return frame.select(
+            idcol, F.explode(F.array(*pairs)).alias("bv")
+        ).select(idcol, F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+
+    # candidate generation: bucket equi-join, never a cross join — the
+    # query side (N_QUERIES x 8 band rows) broadcasts
+    cand = (
+        F.broadcast(bands(q, "qid", "q1", "q2"))
+        .join(bands(c, "cid", "c1", "c2"), ["band", "val"])
+        .select("qid", "cid")
+        .distinct()
+    )
+    return q, c, cand
+
+
+
 @register(
     "sim_bq_banded",
     oracle=f"""
@@ -1893,54 +1949,7 @@ def _bq_band_val(word, b_in_word: int):
 def sim_bq_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hamming-LSH banded BQ retrieval: bucket equi-join candidates, full
     hamming only on candidates, exact-cosine rerank of the shortlist."""
-    emb = _emb(spark, sf_dir)
-
-    def pack(lo: int) -> Column:
-        w = F.lit(0).cast("long")
-        for i in range(1, 33):
-            w = w.bitwiseOR(
-                F.when(
-                    F.element_at(F.col("v"), i + lo) > 0,
-                    F.lit(1 << (i - 1)).cast("long"),
-                ).otherwise(F.lit(0).cast("long"))
-            )
-        return w
-
-    e = emb.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    ).select("vec_id", "v", pack(0).alias("w1"), pack(32).alias("w2"))
-    nv = _normalize(F.col("v"))
-    q = (
-        e.filter(F.col("vec_id") < _N_QUERIES)
-        .select(F.col("vec_id").alias("qid"), nv.alias("qv"),
-                F.col("w1").alias("q1"), F.col("w2").alias("q2"))
-        .limit(_N_QUERIES)
-    )
-    c = e.filter(F.col("vec_id") >= _N_QUERIES).select(
-        F.col("vec_id").alias("cid"), nv.alias("cv"),
-        F.col("w1").alias("c1"), F.col("w2").alias("c2")
-    )
-
-    def bands(frame: DataFrame, idcol: str, wa: str, wb: str) -> DataFrame:
-        pairs = [
-            F.struct(
-                F.lit(b).alias("band"),
-                _bq_band_val(F.col(wa if b < 4 else wb), b % 4).alias("val"),
-            )
-            for b in range(_BQ_N_BANDS)
-        ]
-        return frame.select(
-            idcol, F.explode(F.array(*pairs)).alias("bv")
-        ).select(idcol, F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
-
-    # candidate generation: bucket equi-join, never a cross join — the
-    # query side (N_QUERIES x 8 band rows) broadcasts
-    cand = (
-        F.broadcast(bands(q, "qid", "q1", "q2"))
-        .join(bands(c, "cid", "c1", "c2"), ["band", "val"])
-        .select("qid", "cid")
-        .distinct()
-    )
+    q, c, cand = _bq_banded_frames(spark, sf_dir)
     ham = (
         cand.join(F.broadcast(q), "qid")
         .join(c, "cid")

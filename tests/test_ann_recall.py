@@ -142,3 +142,18 @@ def test_bq_banded_recall_vs_lsh_baseline(spark, clustered_dir, truth):
     # banding only ever DROPS candidates vs the full scan; on clustered
     # data it must drop (almost) none of the true neighbors
     assert banded >= fullscan - 0.1, (banded, fullscan)
+
+
+def test_bq_banded_candidate_reduction(spark):
+    """The banding's 100 TB claim, measured: on the driver's near-uniform
+    embeddings (worst case for banding — random sign bits), the candidate
+    set is a small fraction of the full query x corpus cross product
+    (expected ~8/256 ~ 3% per band-OR; gate at 30% for slack), while every
+    candidate pair shares at least one 8-bit band by construction."""
+    from hyrise_spark.pipeline.similarity import _bq_banded_frames
+
+    sf = "/root/testdata/sf0.01"
+    q, c, cand = _bq_banded_frames(spark, sf)
+    nq, nc, ncand = q.count(), c.count(), cand.count()
+    assert ncand > 0
+    assert ncand <= 0.3 * nq * nc, (ncand, nq * nc)
