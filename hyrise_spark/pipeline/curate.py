@@ -1814,3 +1814,49 @@ def curate_classifier_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums over the score histogram; same text on both engines."""
     _docs(spark, sf_dir).createOrReplaceTempView("documents")
     return spark.sql(_PR_CURVE_SQL)
+
+
+# Gate-agreement metric: Cohen's kappa between two binary curation gates —
+# chance-corrected agreement ((po - pe) / (1 - pe)) from one contingency
+# aggregate. The operating question for a gate stack ("does the cheap rule
+# agree with the expensive classifier beyond chance?") answered in a
+# single partial-agg pass; every input to the doubles is an exact BIGINT
+# count, so the same text hash-matches on both engines.
+_KAPPA_SQL = """
+    WITH gated AS (
+      SELECT CASE WHEN n_chars >= 600 THEN 1 ELSE 0 END AS a,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS b
+      FROM documents
+    ), counts AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(a * b) AS BIGINT) AS n11,
+             CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+             CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
+             CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00
+      FROM gated
+    )
+    SELECT n, n11, n10, n01, n00,
+           ROUND(CAST(n11 + n00 AS DOUBLE) / n, 6) AS po,
+           ROUND(CAST((n11 + n10) * (n11 + n01)
+                      + (n01 + n00) * (n10 + n00) AS DOUBLE) / (n * n), 6)
+               AS pe,
+           ROUND((CAST(n11 + n00 AS DOUBLE) / n
+                  - CAST((n11 + n10) * (n11 + n01)
+                         + (n01 + n00) * (n10 + n00) AS DOUBLE) / (n * n))
+                 / NULLIF(1.0 - CAST((n11 + n10) * (n11 + n01)
+                          + (n01 + n00) * (n10 + n00) AS DOUBLE) / (n * n),
+                          0), 6) AS kappa
+    FROM counts
+"""
+
+
+@register(
+    "curate_gate_agreement_kappa",
+    oracle=_KAPPA_SQL,
+    tags=("curation", "evaluation", "sql"),
+)
+def curate_gate_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between a length rule and a language gate over
+    documents (same text on both engines; see note above)."""
+    _docs(spark, sf_dir).createOrReplaceTempView("documents")
+    return spark.sql(_KAPPA_SQL)

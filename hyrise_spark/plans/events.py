@@ -2041,3 +2041,70 @@ def events_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events,) = _t(spark, sf_dir, "events")
     events.createOrReplaceTempView("events")
     return spark.sql(_LINEAR_TREND_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Seasonal/trend strength (Wang-Hyndman-Smith decomposition features, the
+# STL-lite instrumentation forecasting stacks run first): per event_type,
+# decompose the hourly count series into trend (centered 24-term moving
+# average), hour-of-day seasonal means, and residual, then report
+# strength_seasonal = max(0, 1 - var(resid)/var(detrended)) and
+# strength_trend = max(0, 1 - var(detrended)/var(series)).
+#
+# Float discipline: every variance is computed from INTEGER sufficient
+# sums. The only doubles on the path are single divisions (the moving
+# average and the per-hour seasonal mean — one sum/count each, bit-exact
+# on both engines); each is immediately ROUND(..*1e6)-latticed to BIGINT,
+# so n*S2 - S1^2 variance arithmetic stays exact and the same text
+# hash-matches DuckDB. One groupBy(hour) shuffle, two partitioned
+# windows, one (type, hour-of-day) agg, one per-series agg.
+_SEASONAL_STRENGTH_SQL = """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ), trended AS (
+      SELECT event_type, h, y,
+             CAST(ROUND((y - AVG(y) OVER (PARTITION BY event_type ORDER BY h
+                 ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING)) * 1000000)
+               AS BIGINT) AS d6
+      FROM hourly
+    ), seasonal AS (
+      SELECT event_type, h, y, d6,
+             CAST(ROUND(d6 - AVG(d6) OVER (PARTITION BY event_type,
+                 EXTRACT(HOUR FROM h))) AS BIGINT) AS r6
+      FROM trended
+    ), stats AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(d6) AS BIGINT) AS sd,
+             CAST(SUM(d6 * d6) AS BIGINT) AS sdd,
+             CAST(SUM(r6) AS BIGINT) AS sr,
+             CAST(SUM(r6 * r6) AS BIGINT) AS srr
+      FROM seasonal GROUP BY event_type
+    )
+    SELECT event_type, n,
+           ROUND(GREATEST(0.0, 1.0 - CAST(n * srr - sr * sr AS DOUBLE)
+                 / NULLIF(CAST(n * sdd - sd * sd AS DOUBLE), 0)), 6)
+               AS strength_seasonal,
+           ROUND(GREATEST(0.0, 1.0 - CAST(n * sdd - sd * sd AS DOUBLE)
+                 / NULLIF(CAST(n * syy - sy * sy AS DOUBLE) * 1000000
+                          * 1000000, 0)), 6)
+               AS strength_trend
+    FROM stats ORDER BY event_type
+"""
+
+
+@register(
+    "events_seasonal_strength",
+    oracle=_SEASONAL_STRENGTH_SQL,
+    tags=("events", "timeseries", "sql"),
+)
+def events_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wang-Hyndman seasonal/trend strength per event series (same text on
+    both engines; integer-lattice variance discipline — see note)."""
+    (events,) = _t(spark, sf_dir, "events")
+    events.createOrReplaceTempView("events")
+    return spark.sql(_SEASONAL_STRENGTH_SQL)
