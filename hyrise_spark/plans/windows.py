@@ -294,6 +294,51 @@ def window_groups_frame_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return Engine(spark).execute(_GROUPS_SQL)
 
 
+# -- composed window spec: GROUPS frame + FILTER + EXCLUDE in ONE OVER -------
+# (round 10: the engine's window-dialect rewrites compose — the GROUPS ->
+# RANGE-over-dense-rank pass carries the EXCLUDE clause and hands the result
+# to the shared FILTER/exclusion normalization). DuckDB lacks GROUPS mode,
+# so the oracle hand-derives the same frame (dense_rank + RANGE) and runs
+# FILTER/EXCLUDE natively — an independent derivation of the composition.
+_COMPOSED_SQL = """
+    SELECT l_orderkey, l_linenumber,
+           SUM(l_quantity) FILTER (WHERE l_discount > 0.02)
+             OVER (PARTITION BY l_returnflag ORDER BY l_orderkey
+                   GROUPS BETWEEN 2 PRECEDING AND CURRENT ROW EXCLUDE TIES)
+               AS s
+    FROM lineitem
+    WHERE l_orderkey < 500
+    ORDER BY l_orderkey, l_linenumber
+"""
+
+_COMPOSED_ORACLE = """
+    SELECT l_orderkey, l_linenumber,
+           SUM(l_quantity) FILTER (WHERE l_discount > 0.02)
+             OVER (PARTITION BY l_returnflag ORDER BY __dr
+                   RANGE BETWEEN 2 PRECEDING AND CURRENT ROW EXCLUDE TIES)
+               AS s
+    FROM (SELECT *, DENSE_RANK() OVER (PARTITION BY l_returnflag
+                                       ORDER BY l_orderkey) AS __dr
+          FROM lineitem WHERE l_orderkey < 500)
+    ORDER BY l_orderkey, l_linenumber
+"""
+
+
+@register(
+    "window_composed_spec",
+    oracle=_COMPOSED_ORACLE,
+    tags=("window", "frame", "dialect", "sql"),
+)
+def window_composed_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPS + FILTER + EXCLUDE TIES composed in one OVER, through the
+    engine's shared window-dialect normalization (fuzzed across the full
+    GROUPS/RANGE x FILTER x EXCLUDE cross in test_differential_fuzz.py)."""
+    from hyrise_spark.engine import Engine
+
+    load_tables(spark, sf_dir, ("lineitem",))
+    return Engine(spark).execute(_COMPOSED_SQL)
+
+
 # -- QUALIFY clause (DuckDB/Snowflake dialect; engine.py::_qualify_sql) ------
 # The SAME SQL text runs on both engines: DuckDB executes its native
 # QUALIFY, this engine its rewrite (outer-wrap or select-list injection) —
