@@ -1095,6 +1095,32 @@ def subquery_correlated_projection(spark: SparkSession, sf_dir: str) -> DataFram
     return Engine(spark).execute(_CORR_PROJ_SQL)
 
 
+_CORR_PROJ_WHERE_SQL = """
+    SELECT n_name
+    FROM nation AS r
+    WHERE n_nationkey + 1 > (SELECT MIN(p_size) + r.n_nationkey FROM part)
+    ORDER BY n_name
+"""
+
+
+@register(
+    "subquery_correlated_projection_where",
+    oracle=_CORR_PROJ_WHERE_SQL,
+    tags=("subquery", "dialect", "sql"),
+)
+def subquery_correlated_projection_where(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The WHERE-side shape of the correlated-projection hoist (reference
+    corpus sqlite_testrunner_queries.sql:390: the outer ALIAS appears
+    inside the comparison subquery's SELECT list). Same rewrite, same
+    single-broadcast-scalar plan; DuckDB runs the text natively."""
+    from hyrise_spark.engine import Engine
+
+    load_tables(spark, sf_dir, ("nation", "part"))
+    return Engine(spark).execute(_CORR_PROJ_WHERE_SQL)
+
+
 _STAR_MOD_SQL = """
     SELECT * EXCLUDE (o_orderpriority, o_orderstatus)
              REPLACE (ROUND(o_totalprice, 2) AS o_totalprice)
