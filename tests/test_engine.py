@@ -1879,3 +1879,27 @@ def test_explain_correlated_projection_routes_through_hoist(engine, spark):
         " AS foo FROM nation").collect()[0]["plan"]
     assert "Subquery" in plan and "foo" in plan
     assert "AnalysisException" not in plan
+
+
+def test_groups_frame_composes_with_distinct_aggregate(engine, spark, duck):
+    """SUM(DISTINCT ...) over a GROUPS frame: the GROUPS->RANGE rewrite
+    feeds the collect_set DISTINCT rewrite (DuckDB oracle hand-derives the
+    frame via dense_rank; its SUM(DISTINCT) OVER is native)."""
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet") \
+        .createOrReplaceTempView("lineitem")
+    ssql = ("SELECT l_orderkey, SUM(DISTINCT CAST(l_quantity AS BIGINT))"
+            " OVER (PARTITION BY l_returnflag ORDER BY l_orderkey"
+            " GROUPS BETWEEN 3 PRECEDING AND CURRENT ROW) AS s"
+            " FROM lineitem WHERE l_orderkey < 200")
+    dsql = ("SELECT l_orderkey, SUM(DISTINCT CAST(l_quantity AS BIGINT))"
+            " OVER (PARTITION BY l_returnflag ORDER BY dr"
+            " RANGE BETWEEN 3 PRECEDING AND CURRENT ROW) AS s"
+            " FROM (SELECT *, DENSE_RANK() OVER (PARTITION BY l_returnflag"
+            " ORDER BY l_orderkey) AS dr FROM lineitem WHERE l_orderkey < 200)")
+    from tests.oracle_utils import canon
+
+    sdf = engine.execute(ssql)
+    got = canon([c.lower() for c in sdf.columns], [tuple(r) for r in sdf.collect()])
+    res = duck.execute(dsql)
+    want = canon([d[0].lower() for d in res.description], res.fetchall())
+    assert got == want
