@@ -1434,25 +1434,8 @@ class Engine:
                 if fn == "COUNT":
                     expr = f"CAST(SIZE({dset}) AS BIGINT)"
                 else:
-                    # fold accumulator type (ADVICE r9): DOUBLE is exact
-                    # only below 2^53, so integral-cast args fold in
-                    # BIGINT and decimal-mode sessions fold in
-                    # DECIMAL(38,6) (DuckDB's native SUM(DISTINCT) is
-                    # HUGEINT/DECIMAL-exact — the oracle we must match);
-                    # plain DOUBLE stays for float args, documented lossy
-                    # beyond the 2^53 lattice
-                    from hyrise_spark.catalog import DECIMAL_MODE
-
-                    if re.search(r"\bAS\s+(?:BIGINT|INT(?:EGER)?|SMALLINT"
-                                 r"|TINYINT)\s*\)\s*$", arg, re.I):
-                        acc0 = "CAST(0 AS BIGINT)"
-                    elif DECIMAL_MODE or re.search(
-                            r"\bAS\s+DECIMAL\s*\(", arg, re.I):
-                        acc0 = "CAST(0 AS DECIMAL(38,6))"
-                    else:
-                        acc0 = "CAST(0 AS DOUBLE)"
-                    ssum = (f"AGGREGATE({dset}, {acc0}, "
-                            f"(acc, v) -> acc + v)")
+                    acc0, step = self._distinct_fold_acc0(arg)
+                    ssum = f"AGGREGATE({dset}, {acc0}, {step})"
                     cnt = f"SIZE({dset})"
                     if fn == "SUM":
                         expr = (f"(CASE WHEN {cnt} = 0 THEN NULL"
@@ -1464,6 +1447,84 @@ class Engine:
             out.append(expr)
             i = oclose + 1
         return "".join(out)
+
+    @staticmethod
+    def _decimal_fold(scale: int) -> tuple[str, str]:
+        """(accumulator zero, step lambda) for an exact decimal fold.
+        Precision budget: Spark types p1,s + p2,s addition as
+        (max(p1-s, p2-s) + 1 + s, s) and SHAVES THE SCALE when that
+        precision exceeds 38 — a DECIMAL(38,s) accumulator therefore
+        rounds every partial sum at scale s-1 (observed: the 9-scale fold
+        drifted +0.5 ulp-at-8 per addition). Folding at DECIMAL(37,s)
+        with the element pre-cast to DECIMAL(36,s) keeps every
+        intermediate at exactly (38,s): no scale loss, exact while the
+        running sum stays below 10^(37-s). AGGREGATE also requires the
+        step's static type to equal the accumulator's, hence the outer
+        re-cast to (37,s)."""
+        s = min(scale, 36)
+        return (
+            f"CAST(0 AS DECIMAL(37,{s}))",
+            f"(acc, v) -> CAST(acc + CAST(v AS DECIMAL(36,{s}))"
+            f" AS DECIMAL(37,{s}))",
+        )
+
+    def _distinct_fold_acc0(self, arg: str) -> tuple[str, str]:
+        """(accumulator zero, step lambda) for the SUM/AVG(DISTINCT)
+        collect_set fold, chosen from the ARGUMENT's type — never from the
+        session decimal flag (ADVICE r10: Spark's AGGREGATE raises
+        DATATYPE_MISMATCH when a DECIMAL(38,6) zero folds DOUBLE elements,
+        and a fixed scale of 6 silently rounds higher-scale decimal args).
+        Signals, in order:
+
+        - explicit integral cast    -> BIGINT (exact integer lattice)
+        - explicit DECIMAL(p,s) cast -> DECIMAL(38,s), the arg's OWN scale
+        - bare (optionally qualified) column -> the resolved type from the
+          registered views, but only when it is unambiguous: all-integral
+          folds in BIGINT, all-decimal in DECIMAL(38, max s); any float /
+          mixed / unresolved match falls through
+        - anything else -> DOUBLE (always type-legal: Spark widens every
+          numeric element into a DOUBLE accumulator; exact below 2^53,
+          which matches DuckDB's own double arithmetic for float args)
+        """
+        if re.search(r"\bAS\s+(?:BIGINT|INT(?:EGER)?|SMALLINT"
+                     r"|TINYINT)\s*\)\s*$", arg, re.I):
+            return "CAST(0 AS BIGINT)", "(acc, v) -> acc + v"
+        m = re.search(r"\bAS\s+DECIMAL\s*\(\s*\d+\s*,\s*(\d+)\s*\)\s*\)\s*$",
+                      arg, re.I)
+        if m:
+            return self._decimal_fold(int(m.group(1)))
+        cm = re.fullmatch(r"(?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*)", arg.strip())
+        if cm:
+            types = self._registered_column_types(cm.group(1))
+            if types:
+                from pyspark.sql import types as T
+
+                integral = (T.ByteType, T.ShortType, T.IntegerType,
+                            T.LongType)
+                if all(isinstance(t, integral) for t in types):
+                    return "CAST(0 AS BIGINT)", "(acc, v) -> acc + v"
+                if all(isinstance(t, T.DecimalType) for t in types):
+                    return self._decimal_fold(max(t.scale for t in types))
+        return "CAST(0 AS DOUBLE)", "(acc, v) -> acc + v"
+
+    def _registered_column_types(self, col: str) -> list:
+        """Resolved Spark types of every registered view column named
+        `col` (case-insensitive). Best-effort: statement-local aliases and
+        derived tables are invisible here, which is why the caller only
+        trusts an UNANIMOUS answer."""
+        out: list = []
+        try:
+            names = [t.name for t in self.spark.catalog.listTables()]
+        except Exception:
+            return out
+        low = col.lower()
+        for name in names:
+            try:
+                fields = self.spark.table(name).schema.fields
+            except Exception:
+                continue
+            out.extend(f.dataType for f in fields if f.name.lower() == low)
+        return out
 
     def _rewrite_window_filter(self, stmt: str) -> str:
         """FILTER clause on WINDOW functions (SQL:2003 T612; DuckDB/postgres
@@ -1801,6 +1862,13 @@ class Engine:
         alias = re.search(r"\s+AS\s+[A-Za-z_]\w*\s*$", proj, re.I)
         if alias and self._find_top_level(proj, "AS", alias.start()) != -1:
             proj = proj[:alias.start()]
+        # additive hoisting is only sound over a pure +/- expression: a
+        # top-level comparison / logical / concat operator (ADVICE r10:
+        # `MAX(b) > 5 - t.a` must NOT become `(MAX(b) > 5) - t.a`) binds
+        # LOOSER than +/-, so moving a term across it inverts precedence.
+        # Bail and let Spark report the correlation as unsupported.
+        if self._has_top_level_comparison(proj):
+            return sub
         terms = self._split_additive_terms(proj)
         hoisted, kept = [], []
         for sign, text in terms:
@@ -1821,6 +1889,36 @@ class Engine:
         # the caller re-wraps in the original parens, so this yields
         # ((SELECT agg FROM ...) ± outer ...) — a parenthesized expression
         return f"(SELECT {remaining.strip()} {rest}){tail}"
+
+    @staticmethod
+    def _has_top_level_comparison(s: str) -> bool:
+        """True when `s` contains, outside parens and string literals, any
+        operator that binds looser than +/- : comparisons (= < > <> != etc.),
+        string concat ||, or the logical/predicate keywords. Guard for
+        `_hoist_outer_terms` (ADVICE r10)."""
+        depth, quote = 0, None
+        buf = []
+        for ch in s:
+            if quote:
+                if ch == quote:
+                    quote = None
+                buf.append(" ")
+            elif ch in ("'", '"'):
+                quote = ch
+                buf.append(" ")
+            elif ch == "(":
+                depth += 1
+                buf.append(" ")
+            elif ch == ")":
+                depth -= 1
+                buf.append(" ")
+            else:
+                buf.append(ch if depth == 0 else " ")
+        top = "".join(buf)
+        if re.search(r"[=<>!]|\|\|", top):
+            return True
+        return bool(re.search(
+            r"\b(?:AND|OR|NOT|LIKE|ILIKE|IS|IN|BETWEEN|EXISTS)\b", top, re.I))
 
     @staticmethod
     def _split_additive_terms(s: str) -> list[tuple[str, str]]:

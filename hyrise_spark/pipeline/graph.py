@@ -713,9 +713,22 @@ def _lpa_state(spark: SparkSession, sf_dir: str):
     and repeat bench runs — reuse the same immutable frames."""
     from pyspark.sql import Window
 
-    key = (id(spark), sf_dir)
+    # keyed on the session's applicationId, not id(spark): CPython reuses
+    # object ids after GC, so a restarted session could otherwise read
+    # frames bound to a dead SparkContext (ADVICE r10). Entries from other
+    # applications are unpersisted and dropped on sight — bounds executor
+    # storage to the live session's sf_dirs.
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir)
     if key in _LPA_CACHE:
         return _LPA_CACHE[key]
+    for stale in [k for k in _LPA_CACHE if k[0] != app]:
+        ue_s, labels_s = _LPA_CACHE.pop(stale)
+        for fr in (ue_s, labels_s):
+            try:
+                fr.unpersist()
+            except Exception:
+                pass  # owning context already gone
 
     docs = _docs(spark, sf_dir).select("doc_id")
     e = _edges(spark, sf_dir)

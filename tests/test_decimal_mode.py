@@ -225,3 +225,51 @@ def test_window_sum_distinct_decimal_fold_exact(spark, decimal_mode, duck_decima
 
     for (gk, gv), (wk, wv) in zip(got, want):
         assert Decimal(gv) == Decimal(wv), (gk, gv, wv)
+
+
+def test_window_sum_distinct_double_arg_in_decimal_mode(spark, decimal_mode, duck_decimal):
+    """ADVICE r10 regression: the DISTINCT-window fold accumulator comes
+    from the ARGUMENT's type, not the session flag. `l_quantity` stays
+    DOUBLE even in decimal mode — a forced DECIMAL(38,6) zero over DOUBLE
+    elements used to raise DATATYPE_MISMATCH; now it folds in DOUBLE and
+    matches DuckDB exactly (integral quantities, well below 2^53)."""
+    from hyrise_spark.engine import Engine
+
+    catalog.load_tables(spark, SF_DIR, ("lineitem",), decimal=True)[
+        "lineitem"
+    ].createOrReplaceTempView("lineitem")
+    sql = ("SELECT l_orderkey, l_linenumber, SUM(DISTINCT l_quantity) OVER "
+           "(PARTITION BY l_orderkey) AS sd, AVG(DISTINCT l_quantity) OVER "
+           "(PARTITION BY l_orderkey) AS ad FROM lineitem "
+           "WHERE l_orderkey < 200 ORDER BY 1, 2")
+    got = [(r.l_orderkey, r.l_linenumber, float(r.sd), round(float(r.ad), 9))
+           for r in Engine(spark).execute(sql).collect()]
+    want = [(int(a), int(b), float(c), round(float(d), 9))
+            for a, b, c, d in duck_decimal.execute(sql).fetchall()]
+    assert got == want
+
+
+def test_window_sum_distinct_high_scale_decimal_cast_exact(spark, decimal_mode, duck_decimal):
+    """ADVICE r10 regression: an explicit DECIMAL(p,s) cast folds at the
+    arg's OWN scale (DECIMAL(38,s)), not a hardwired scale 6 — a
+    DECIMAL(20,9) arg used to be silently rounded to 6 decimal places on
+    every addition. Both engines now agree digit-for-digit at scale 9."""
+    from decimal import Decimal
+
+    from hyrise_spark.engine import Engine
+
+    catalog.load_tables(spark, SF_DIR, ("lineitem",), decimal=True)[
+        "lineitem"
+    ].createOrReplaceTempView("lineitem")
+    sql = ("SELECT l_orderkey, l_linenumber, SUM(DISTINCT "
+           "CAST((l_orderkey % 97) * 0.000000001 AS DECIMAL(20,9))) OVER "
+           "(PARTITION BY l_returnflag) AS sd "
+           "FROM lineitem WHERE l_orderkey < 500")
+    got = sorted((r.l_orderkey, r.l_linenumber, Decimal(str(r.sd)))
+                 for r in Engine(spark).execute(sql).collect())
+    want = sorted((int(k), int(ln), Decimal(str(v)))
+                  for k, ln, v in duck_decimal.execute(sql).fetchall())
+    assert got == want
+    # the sums carry non-zero scale-9 digits — the old scale-6 fold
+    # would have rounded every addition to .000000
+    assert any(v != v.quantize(Decimal("0.000001")) for _, _, v in got)

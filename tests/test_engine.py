@@ -1751,8 +1751,30 @@ def test_correlated_projection_hoist_no_ops(engine):
         "SELECT (SELECT MAX(b) + t.a FROM mixed UNION SELECT 1) FROM t",
         # string literal containing a fake subquery
         "SELECT '(SELECT MAX(b) + t.a FROM mixed)' AS s FROM t",
+        # top-level comparison in the projection (ADVICE r10): hoisting
+        # t.a across `>` would invert precedence — MAX(b) > (5 - t.a) is
+        # NOT ((SELECT MAX(b) > 5) - t.a). Must stay unchanged.
+        "SELECT (SELECT MAX(b) > 5 - t.a FROM mixed) FROM t",
+        "SELECT (SELECT MAX(b) = t.a FROM mixed) FROM t",
+        "SELECT (SELECT MAX(b) + t.a LIKE 'x%' FROM mixed) FROM t",
+        "SELECT (SELECT MAX(b) + 1 IS NULL AND t.a > 0 FROM mixed) FROM t",
+        "SELECT (SELECT MAX(b) || t.a FROM mixed) FROM t",
+        # comparison inside parens/strings is fine to hoist across — but
+        # the guard must not be fooled INTO hoisting by them either
+        "SELECT (SELECT MAX(b) + t.a BETWEEN 1 AND 2 FROM mixed) FROM t",
     ):
         assert rw(sql) == sql, sql
+
+
+def test_correlated_projection_hoist_comparison_inside_parens_ok(engine):
+    """A comparison fully enclosed in parens (e.g. a CASE or a boolean
+    argument) does NOT block the hoist — only top-level operators do."""
+    rw = engine._rewrite_correlated_scalar_projection
+    assert rw(
+        "SELECT (SELECT MAX(CASE WHEN b > 5 THEN b END) + t.a FROM mixed)"
+        " FROM t"
+    ) == ("SELECT ((SELECT MAX(CASE WHEN b > 5 THEN b END) FROM mixed)"
+          " + t.a) FROM t")
 
 
 def test_correlated_projection_hoist_runs(engine, spark, duck):
