@@ -2839,3 +2839,521 @@ def job_q50(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("cnt"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Simultaneous multi-alias family (JOB 29/33 alias name x3 AND title /
+# cast_info x2 in ONE statement): FOUR relations each joined twice —
+# lineitem x2, supplier x2, nation x2, region x2 — meeting at part. A part
+# shipped from ASIA and from EUROPE in the same year; 9 leaves where 8 are
+# aliased duplicates.
+@register(
+    "job_q51",
+    oracle="""
+    SELECT CAST(MIN(p_partkey) AS BIGINT) AS min_part,
+           MIN(s1.s_name) AS min_asia_supp,
+           MIN(s2.s_name) AS min_europe_supp,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM part
+    JOIN lineitem l1 ON l1.l_partkey = p_partkey
+    JOIN supplier s1 ON l1.l_suppkey = s1.s_suppkey
+    JOIN nation n1 ON s1.s_nationkey = n1.n_nationkey
+    JOIN region r1 ON n1.n_regionkey = r1.r_regionkey
+    JOIN lineitem l2 ON l2.l_partkey = p_partkey
+    JOIN supplier s2 ON l2.l_suppkey = s2.s_suppkey
+    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+    WHERE r1.r_name = 'ASIA' AND r2.r_name = 'EUROPE'
+      AND l1.l_shipdate >= TIMESTAMP '1997-01-01' AND l1.l_shipdate < TIMESTAMP '1998-01-01'
+      AND l2.l_shipdate >= TIMESTAMP '1997-01-01' AND l2.l_shipdate < TIMESTAMP '1998-01-01'
+      AND p_type = 'PROMO'
+    """,
+    tags=("job",),
+)
+def job_q51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part, li, supp, nation, region = _t(
+        spark, sf_dir, "part", "lineitem", "supplier", "nation", "region"
+    )
+
+    def leg(tag: str, rname: str):
+        l = li.filter(_ts_range("l_shipdate", "1997-01-01", "1998-01-01")).select(
+            F.col("l_partkey").alias(f"{tag}_pk"), F.col("l_suppkey").alias(f"{tag}_sk")
+        )
+        s = supp.select(F.col("s_suppkey").alias(f"{tag}_skey"),
+                        F.col("s_name").alias(f"{tag}_sname"),
+                        F.col("s_nationkey").alias(f"{tag}_snat"))
+        n = nation.select(F.col("n_nationkey").alias(f"{tag}_nkey"),
+                          F.col("n_regionkey").alias(f"{tag}_nreg"))
+        r = region.filter(F.col("r_name") == rname).select(
+            F.col("r_regionkey").alias(f"{tag}_rkey"))
+        return (
+            l.join(s, F.col(f"{tag}_sk") == F.col(f"{tag}_skey"))
+            .join(F.broadcast(n), F.col(f"{tag}_snat") == F.col(f"{tag}_nkey"))
+            .join(F.broadcast(r), F.col(f"{tag}_nreg") == F.col(f"{tag}_rkey"))
+        )
+
+    return (
+        part.filter(F.col("p_type") == "PROMO")
+        .join(leg("a", "ASIA"), F.col("a_pk") == F.col("p_partkey"))
+        .join(leg("e", "EUROPE"), F.col("e_pk") == F.col("p_partkey"))
+        .agg(
+            F.min("p_partkey").alias("min_part"),
+            F.min("a_sname").alias("min_asia_supp"),
+            F.min("e_sname").alias("min_europe_supp"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Simultaneous multi-alias, second shape: orders x3 AND lineitem x2 AND
+# part x2 in one graph — loyal customers (an order in each of 1996/97/98)
+# whose 1996 order contains a PROMO item and whose 1998 order contains an
+# ECONOMY item. Three relations multi-aliased at once.
+@register(
+    "job_q52",
+    oracle="""
+    SELECT CAST(MIN(c_custkey) AS BIGINT) AS min_cust,
+           CAST(MIN(o1.o_orderkey) AS BIGINT) AS min_o1,
+           CAST(MIN(o3.o_orderkey) AS BIGINT) AS min_o3,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM customer
+    JOIN orders o1 ON o1.o_custkey = c_custkey
+    JOIN orders o2 ON o2.o_custkey = c_custkey
+    JOIN orders o3 ON o3.o_custkey = c_custkey
+    JOIN lineitem l1 ON l1.l_orderkey = o1.o_orderkey
+    JOIN part p1 ON l1.l_partkey = p1.p_partkey
+    JOIN lineitem l3 ON l3.l_orderkey = o3.o_orderkey
+    JOIN part p3 ON l3.l_partkey = p3.p_partkey
+    WHERE o1.o_orderdate >= TIMESTAMP '1996-01-01' AND o1.o_orderdate < TIMESTAMP '1997-01-01'
+      AND o2.o_orderdate >= TIMESTAMP '1997-01-01' AND o2.o_orderdate < TIMESTAMP '1998-01-01'
+      AND o3.o_orderdate >= TIMESTAMP '1998-01-01' AND o3.o_orderdate < TIMESTAMP '1999-01-01'
+      AND p1.p_type = 'PROMO' AND p3.p_type = 'ECONOMY'
+      AND o2.o_orderpriority = '1-URGENT'
+    """,
+    tags=("job",),
+)
+def job_q52(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders, li, part = _t(spark, sf_dir, "customer", "orders", "lineitem", "part")
+    o1 = orders.filter(_ts_range("o_orderdate", "1996-01-01", "1997-01-01")).select(
+        F.col("o_custkey").alias("o1_ck"), F.col("o_orderkey").alias("o1_ok"))
+    o2 = orders.filter(
+        _ts_range("o_orderdate", "1997-01-01", "1998-01-01")
+        & (F.col("o_orderpriority") == "1-URGENT")
+    ).select(F.col("o_custkey").alias("o2_ck"))
+    o3 = orders.filter(_ts_range("o_orderdate", "1998-01-01", "1999-01-01")).select(
+        F.col("o_custkey").alias("o3_ck"), F.col("o_orderkey").alias("o3_ok"))
+    l1 = li.select(F.col("l_orderkey").alias("l1_ok"), F.col("l_partkey").alias("l1_pk"))
+    l3 = li.select(F.col("l_orderkey").alias("l3_ok"), F.col("l_partkey").alias("l3_pk"))
+    p1 = part.filter(F.col("p_type") == "PROMO").select(
+        F.col("p_partkey").alias("p1_key"))
+    p3 = part.filter(F.col("p_type") == "ECONOMY").select(
+        F.col("p_partkey").alias("p3_key"))
+    return (
+        cust.join(o1, F.col("o1_ck") == F.col("c_custkey"))
+        .join(o2, F.col("o2_ck") == F.col("c_custkey"))
+        .join(o3, F.col("o3_ck") == F.col("c_custkey"))
+        .join(l1, F.col("l1_ok") == F.col("o1_ok"))
+        .join(p1, F.col("l1_pk") == F.col("p1_key"))
+        .join(l3, F.col("l3_ok") == F.col("o3_ok"))
+        .join(p3, F.col("l3_pk") == F.col("p3_key"))
+        .agg(
+            F.min("c_custkey").alias("min_cust"),
+            F.min("o1_ok").alias("min_o1"),
+            F.min("o3_ok").alias("min_o3"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Behavioral triple-alias (JOB's cast_info-per-role shape): THREE copies of
+# events forming a same-day view -> click -> purchase funnel per user,
+# bridged to customer -> nation. Two timestamp-ordering theta edges keep
+# the legs bounded (~1 match per pair) instead of a per-user cross blowup.
+@register(
+    "job_q53",
+    oracle="""
+    SELECT CAST(MIN(e1.event_id) AS BIGINT) AS min_view,
+           CAST(MIN(e3.event_id) AS BIGINT) AS min_purchase,
+           MIN(n_name) AS min_nation,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events e1
+    JOIN events e2 ON e1.user_id = e2.user_id
+      AND CAST(e1.ts AS DATE) = CAST(e2.ts AS DATE) AND e2.ts > e1.ts
+    JOIN events e3 ON e2.user_id = e3.user_id
+      AND CAST(e2.ts AS DATE) = CAST(e3.ts AS DATE) AND e3.ts > e2.ts
+    JOIN customer ON e1.user_id = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE e1.event_type = 'view' AND e2.event_type = 'click'
+      AND e3.event_type = 'purchase'
+    """,
+    tags=("job",),
+)
+def job_q53(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events, cust, nation = _t(spark, sf_dir, "events", "customer", "nation")
+
+    def ev(tag: str, etype: str):
+        return events.filter(F.col("event_type") == etype).select(
+            F.col("event_id").alias(f"{tag}_id"),
+            F.col("user_id").alias(f"{tag}_uid"),
+            F.col("ts").alias(f"{tag}_ts"),
+            F.to_date(f"ts").alias(f"{tag}_day"),
+        )
+
+    e1, e2, e3 = ev("e1", "view"), ev("e2", "click"), ev("e3", "purchase")
+    return (
+        e1.join(
+            e2,
+            (F.col("e1_uid") == F.col("e2_uid"))
+            & (F.col("e1_day") == F.col("e2_day"))
+            & (F.col("e2_ts") > F.col("e1_ts")),
+        )
+        .join(
+            e3,
+            (F.col("e2_uid") == F.col("e3_uid"))
+            & (F.col("e2_day") == F.col("e3_day"))
+            & (F.col("e3_ts") > F.col("e2_ts")),
+        )
+        .join(cust, F.col("e1_uid") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .agg(
+            F.min("e1_id").alias("min_view"),
+            F.min("e3_id").alias("min_purchase"),
+            F.min("n_name").alias("min_nation"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Filter-on-every-hop family (JOB 10): a 7-way graph where EVERY relation
+# carries its own selective predicate — the reorderer has six independent
+# reduction opportunities and must sequence them.
+@register(
+    "job_q54",
+    oracle="""
+    SELECT CAST(MIN(l_orderkey) AS BIGINT) AS min_orderkey,
+           MIN(c_name) AS min_cust,
+           MIN(s_name) AS min_supp,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE r_name = 'ASIA'
+      AND n_name = 'NATION_2'
+      AND c_mktsegment = 'BUILDING'
+      AND l_returnflag = 'R'
+      AND p_type = 'SMALL'
+      AND s_acctbal > 0
+    """,
+    tags=("job",),
+)
+def job_q54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders, cust, nation, region, part, supp = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation", "region",
+        "part", "supplier"
+    )
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust.filter(F.col("c_mktsegment") == "BUILDING"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation.filter(F.col("n_name") == "NATION_2")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(part.filter(F.col("p_type") == "SMALL"),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp.filter(F.col("s_acctbal") > 0),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .agg(
+            F.min("l_orderkey").alias("min_orderkey"),
+            F.min("c_name").alias("min_cust"),
+            F.min("s_name").alias("min_supp"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# OR-of-LIKEs + IN-lists on two dims (JOB 15b/22c): a three-way LIKE
+# disjunction on part plus brand/region/priority IN-lists.
+@register(
+    "job_q55",
+    oracle="""
+    SELECT CAST(MIN(l_orderkey) AS BIGINT) AS min_orderkey,
+           MIN(p_name) AS min_part,
+           MIN(r_name) AS min_region,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE (p_name LIKE 'red%' OR p_name LIKE 'blue%' OR p_name LIKE 'old%')
+      AND p_brand IN ('Brand#1', 'Brand#5', 'Brand#9', 'Brand#21')
+      AND r_name IN ('ASIA', 'AMERICA')
+      AND o_orderpriority IN ('1-URGENT', '5-LOW')
+    """,
+    tags=("job",),
+)
+def job_q55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders, part, supp, nation, region = _t(
+        spark, sf_dir, "lineitem", "orders", "part", "supplier", "nation", "region"
+    )
+    return (
+        li.join(orders.filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW")),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            part.filter(
+                (F.col("p_name").like("red%") | F.col("p_name").like("blue%")
+                 | F.col("p_name").like("old%"))
+                & F.col("p_brand").isin("Brand#1", "Brand#5", "Brand#9", "Brand#21")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.filter(F.col("r_name").isin("ASIA", "AMERICA"))),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .agg(
+            F.min("l_orderkey").alias("min_orderkey"),
+            F.min("p_name").alias("min_part"),
+            F.min("r_name").alias("min_region"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Join-empty family: JOB contains queries whose result is empty; here the
+# emptiness emerges from the JOIN (EUROPE x NATION_0 never meet — NATION_0
+# is in AFRICA), invisible to scan-level statistics. MIN over zero rows
+# must yield the single all-NULL row with cnt = 0 on both engines.
+@register(
+    "job_q56",
+    oracle="""
+    SELECT CAST(MIN(c_custkey) AS BIGINT) AS min_cust,
+           MIN(n_name) AS min_nation,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    JOIN orders ON o_custkey = c_custkey
+    WHERE r_name = 'EUROPE' AND n_name = 'NATION_0'
+    """,
+    tags=("job",),
+)
+def job_q56(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, nation, region, orders = _t(
+        spark, sf_dir, "customer", "nation", "region", "orders"
+    )
+    return (
+        cust.join(F.broadcast(nation.filter(F.col("n_name") == "NATION_0")),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(orders, F.col("o_custkey") == F.col("c_custkey"))
+        .agg(
+            F.min("c_custkey").alias("min_cust"),
+            F.min("n_name").alias("min_nation"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Big-IN-list family (JOB 24/31 carry 15-35 element name/keyword IN-lists):
+# a 41-element customer-name list inside a 4-way chain. Exercises the
+# large-IN planning path (in_expression_rewrite_rule.cpp) in join context.
+_Q57_CUSTS = [f"Customer#{k:09d}" for k in range(7, 1500, 37)]
+
+@register(
+    "job_q57",
+    oracle=f"""
+    SELECT CAST(MIN(l_orderkey) AS BIGINT) AS min_orderkey,
+           MIN(c_name) AS min_cust,
+           MIN(n_name) AS min_nation,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_name IN ({", ".join(repr(c) for c in _Q57_CUSTS)})
+      AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
+    """,
+    tags=("job",),
+)
+def job_q57(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders, cust, nation = _t(spark, sf_dir, "lineitem", "orders", "customer", "nation")
+    return (
+        li.join(orders.filter(_ts_range("o_orderdate", "1997-01-01", "1999-01-01")),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust.filter(F.col("c_name").isin(_Q57_CUSTS)),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .agg(
+            F.min("l_orderkey").alias("min_orderkey"),
+            F.min("c_name").alias("min_cust"),
+            F.min("n_name").alias("min_nation"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Band family (JOB 4/12: numeric bands on mid-chain attributes): four
+# BETWEEN bands on four different relations, no equality dim filters at
+# all — estimation has only range selectivities to work with.
+@register(
+    "job_q58",
+    oracle="""
+    SELECT CAST(MIN(l_orderkey) AS BIGINT) AS min_orderkey,
+           ROUND(MIN(s_acctbal), 2) AS min_sbal,
+           ROUND(MIN(c_acctbal), 2) AS min_cbal,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_acctbal BETWEEN 2000 AND 3500
+      AND c_acctbal BETWEEN -100 AND 900
+      AND l_quantity BETWEEN 20 AND 30
+      AND o_totalprice BETWEEN 50000 AND 250000
+    """,
+    tags=("job",),
+)
+def job_q58(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders, cust, supp, nation = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation"
+    )
+    return (
+        li.filter(F.col("l_quantity").between(20, 30))
+        .join(orders.filter(F.col("o_totalprice").between(50000, 250000)),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust.filter(F.col("c_acctbal").between(-100, 900)),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp.filter(F.col("s_acctbal").between(2000, 3500)),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .agg(
+            F.min("l_orderkey").alias("min_orderkey"),
+            F.round(F.min("s_acctbal"), R2).alias("min_sbal"),
+            F.round(F.min("c_acctbal"), R2).alias("min_cbal"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Dim-inequality edge (JOB 17's k.keyword <> shape): customer and supplier
+# nations must share a REGION but DIFFER as nations — an equality and an
+# inequality between two aliased copies of the same dimension.
+@register(
+    "job_q59",
+    oracle="""
+    SELECT CAST(MIN(l_orderkey) AS BIGINT) AS min_orderkey,
+           MIN(cn.n_name) AS min_cust_nation,
+           MIN(sn.n_name) AS min_supp_nation,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+      AND cn.n_regionkey = sn.n_regionkey
+      AND cn.n_nationkey <> sn.n_nationkey
+    JOIN region ON cn.n_regionkey = r_regionkey
+    WHERE r_name = 'AMERICA'
+      AND l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1999-01-01'
+    """,
+    tags=("job",),
+)
+def job_q59(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders, cust, nation, supp, region = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation", "supplier", "region"
+    )
+    cn = nation.select(F.col("n_nationkey").alias("cn_key"),
+                       F.col("n_name").alias("cn_name"),
+                       F.col("n_regionkey").alias("cn_reg"))
+    sn = nation.select(F.col("n_nationkey").alias("sn_key"),
+                       F.col("n_name").alias("sn_name"),
+                       F.col("n_regionkey").alias("sn_reg"))
+    return (
+        li.filter(_ts_range("l_shipdate", "1998-01-01", "1999-01-01"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(sn),
+            (F.col("s_nationkey") == F.col("sn_key"))
+            & (F.col("cn_reg") == F.col("sn_reg"))
+            & (F.col("cn_key") != F.col("sn_key")),
+        )
+        .join(F.broadcast(region.filter(F.col("r_name") == "AMERICA")),
+              F.col("cn_reg") == F.col("r_regionkey"))
+        .agg(
+            F.min("l_orderkey").alias("min_orderkey"),
+            F.min("cn_name").alias("min_cust_nation"),
+            F.min("sn_name").alias("min_supp_nation"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Cycle + LIKE chain: the q14 cycle (customer/supplier must share a nation,
+# closing customer->order->lineitem->supplier->nation->customer) with three
+# LIKE predicates layered on — JOB 22c's shape.
+@register(
+    "job_q60",
+    oracle="""
+    SELECT CAST(MIN(o_orderkey) AS BIGINT) AS min_orderkey,
+           MIN(p_name) AS min_part,
+           MIN(n_name) AS min_nation,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM customer
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_name LIKE '%widget'
+      AND c_name NOT LIKE '%00'
+      AND n_name LIKE 'NATION_%'
+    """,
+    tags=("job",),
+)
+def job_q60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders, li, supp, nation, part = _t(
+        spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "part"
+    )
+    return (
+        cust.filter(~F.col("c_name").like("%00"))
+        .join(orders, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supp,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .join(F.broadcast(nation.filter(F.col("n_name").like("NATION_%"))),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(part.filter(F.col("p_name").like("%widget")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.min("o_orderkey").alias("min_orderkey"),
+            F.min("p_name").alias("min_part"),
+            F.min("n_name").alias("min_nation"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
