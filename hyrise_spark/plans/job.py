@@ -3357,3 +3357,256 @@ def job_q60(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("cnt"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-relation disjunction over THREE relations (generalizes JOB 15b's
+# two-relation OR): (part OR supplier OR customer attribute) cannot be
+# pushed below ANY single join — the conjunctive date/status terms must
+# still reach the scans while the OR evaluates post-join.
+@register(
+    "job_q61",
+    oracle="""
+    SELECT CAST(MIN(l_orderkey) AS BIGINT) AS min_orderkey,
+           ROUND(MIN(p_retailprice), 2) AS min_rp,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE (p_retailprice > 997 OR s_acctbal < -700 OR c_acctbal > 9900)
+      AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND o_orderstatus = 'F'
+    """,
+    tags=("job",),
+)
+def job_q61(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders, cust, part, supp = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "part", "supplier"
+    )
+    return (
+        li.filter(_ts_range("l_shipdate", "1997-01-01", "1998-01-01"))
+        .join(orders.filter(F.col("o_orderstatus") == "F"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(
+            (F.col("p_retailprice") > 997)
+            | (F.col("s_acctbal") < -700)
+            | (F.col("c_acctbal") > 9900)
+        )
+        .agg(
+            F.min("l_orderkey").alias("min_orderkey"),
+            F.round(F.min("p_retailprice"), R2).alias("min_rp"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Case-insensitive LIKE chain (the reference declares LIKE-CI as its own
+# predicate pair, types.hpp:172): UPPER/LOWER-wrapped patterns including an
+# escaped underscore — the wrapped column defeats prefix pushdown, which is
+# exactly the reference's CI-matcher situation.
+@register(
+    "job_q62",
+    oracle="""
+    SELECT CAST(MIN(l_orderkey) AS BIGINT) AS min_orderkey,
+           MIN(p_name) AS min_part,
+           MIN(n_name) AS min_nation,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE UPPER(p_name) LIKE 'RED%'
+      AND LOWER(n_name) LIKE 'nation\\_1%' ESCAPE '\\'
+      AND UPPER(p_name) NOT LIKE '%ANVIL'
+    """,
+    tags=("job",),
+)
+def job_q62(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, part, supp, nation = _t(spark, sf_dir, "lineitem", "part", "supplier", "nation")
+    return (
+        li.join(
+            part.filter(
+                F.upper(F.col("p_name")).like("RED%")
+                & ~F.upper(F.col("p_name")).like("%ANVIL")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(
+                nation.filter(F.lower(F.col("n_name")).like(r"nation\_1%"))
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .agg(
+            F.min("l_orderkey").alias("min_orderkey"),
+            F.min("p_name").alias("min_part"),
+            F.min("n_name").alias("min_nation"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# NOT-LIKE-dominant d-variant: every string predicate is a negation —
+# negated selectivities are the classic estimator blind spot (JOB 13d).
+@register(
+    "job_q63",
+    oracle="""
+    SELECT CAST(MIN(l_orderkey) AS BIGINT) AS min_orderkey,
+           MIN(p_name) AS min_part,
+           MIN(s_name) AS min_supp,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE p_name NOT LIKE '%bolt' AND p_name NOT LIKE 'small%'
+      AND s_name NOT LIKE '%7'
+      AND c_name NOT LIKE '%0'
+      AND o_orderpriority NOT LIKE '4%'
+      AND l_shipdate >= TIMESTAMP '1999-01-01' AND l_shipdate < TIMESTAMP '1999-04-01'
+    """,
+    tags=("job",),
+)
+def job_q63(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders, cust, part, supp = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "part", "supplier"
+    )
+    return (
+        li.filter(_ts_range("l_shipdate", "1999-01-01", "1999-04-01"))
+        .join(orders.filter(~F.col("o_orderpriority").like("4%")),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust.filter(~F.col("c_name").like("%0")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(part.filter(~F.col("p_name").like("%bolt")
+                          & ~F.col("p_name").like("small%")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp.filter(~F.col("s_name").like("%7")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .agg(
+            F.min("l_orderkey").alias("min_orderkey"),
+            F.min("p_name").alias("min_part"),
+            F.min("s_name").alias("min_supp"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Underscore-wildcard family: single-char wildcards in three positions
+# (leading _, counted-length suffix, fixed-shape priority) — none of these
+# are prefix patterns, so the matcher must run its general path.
+@register(
+    "job_q64",
+    oracle="""
+    SELECT CAST(MIN(l_orderkey) AS BIGINT) AS min_orderkey,
+           MIN(p_name) AS min_part,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE p_name LIKE '_e%'
+      AND p_name LIKE '% ____'
+      AND o_orderpriority LIKE '_-____%'
+      AND l_returnflag = 'N'
+    """,
+    tags=("job",),
+)
+def job_q64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, part, orders = _t(spark, sf_dir, "lineitem", "part", "orders")
+    return (
+        li.filter(F.col("l_returnflag") == "N")
+        .join(part.filter(F.col("p_name").like("_e%")
+                          & F.col("p_name").like("% ____")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders.filter(F.col("o_orderpriority").like("_-____%")),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .agg(
+            F.min("l_orderkey").alias("min_orderkey"),
+            F.min("p_name").alias("min_part"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Kitchen-sink 11-way (JOB 33c): duplicated nation/region dims on BOTH fact
+# sides, a same-order lineitem self-edge with a linenumber ordering, part
+# joined twice, LIKE + NOT LIKE + IN + BETWEEN all present.
+@register(
+    "job_q65",
+    oracle="""
+    SELECT CAST(MIN(l1.l_orderkey) AS BIGINT) AS min_orderkey,
+           MIN(part.p_name) AS min_gear_part,
+           MIN(p2.p_name) AS min_other_part,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem l1
+    JOIN orders o1 ON l1.l_orderkey = o1.o_orderkey
+    JOIN customer ON o1.o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN region cr ON cn.n_regionkey = cr.r_regionkey
+    JOIN supplier ON l1.l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN region sr ON sn.n_regionkey = sr.r_regionkey
+    JOIN part ON l1.l_partkey = p_partkey
+    JOIN lineitem l2 ON l2.l_orderkey = l1.l_orderkey
+      AND l2.l_linenumber < l1.l_linenumber
+    JOIN part p2 ON l2.l_partkey = p2.p_partkey
+    WHERE cr.r_name IN ('ASIA', 'EUROPE')
+      AND sr.r_name IN ('ASIA', 'EUROPE')
+      AND part.p_name LIKE '%gear'
+      AND p2.p_name NOT LIKE '%gear'
+      AND l1.l_quantity BETWEEN 30 AND 50
+      AND o1.o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+    """,
+    tags=("job",),
+)
+def job_q65(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders, cust, nation, region, supp, part = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation", "region",
+        "supplier", "part"
+    )
+    cn = nation.select(F.col("n_nationkey").alias("cn_key"),
+                       F.col("n_regionkey").alias("cn_reg"))
+    sn = nation.select(F.col("n_nationkey").alias("sn_key"),
+                       F.col("n_regionkey").alias("sn_reg"))
+    cr = region.filter(F.col("r_name").isin("ASIA", "EUROPE")).select(
+        F.col("r_regionkey").alias("cr_key"))
+    sr = region.filter(F.col("r_name").isin("ASIA", "EUROPE")).select(
+        F.col("r_regionkey").alias("sr_key"))
+    l2 = li.select(F.col("l_orderkey").alias("l2_ok"),
+                   F.col("l_linenumber").alias("l2_ln"),
+                   F.col("l_partkey").alias("l2_pk"))
+    p2 = part.filter(~F.col("p_name").like("%gear")).select(
+        F.col("p_partkey").alias("p2_key"), F.col("p_name").alias("p2_name"))
+    return (
+        li.filter(F.col("l_quantity").between(30, 50))
+        .join(orders.filter(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH", "3-MEDIUM")),
+            F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(cr), F.col("cn_reg") == F.col("cr_key"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(sr), F.col("sn_reg") == F.col("sr_key"))
+        .join(part.filter(F.col("p_name").like("%gear")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(l2, (F.col("l2_ok") == F.col("l_orderkey"))
+              & (F.col("l2_ln") < F.col("l_linenumber")))
+        .join(p2, F.col("l2_pk") == F.col("p2_key"))
+        .agg(
+            F.min("l_orderkey").alias("min_orderkey"),
+            F.min("p_name").alias("min_gear_part"),
+            F.min("p2_name").alias("min_other_part"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
