@@ -3610,3 +3610,328 @@ def job_q65(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("cnt"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Triple-EXISTS semi tree: two positive semi branches (one a nested 2-hop
+# join inside the EXISTS) and one anti branch, all against the same outer
+# customer — JOB-adjacent subquery-heavy shape the reference's translator
+# handles via semi/anti reductions (sql_translator.cpp).
+@register(
+    "job_q66",
+    oracle="""
+    SELECT CAST(MIN(c_custkey) AS BIGINT) AS min_cust,
+           MIN(n_name) AS min_nation,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE EXISTS (
+        SELECT 1 FROM orders o1 WHERE o1.o_custkey = c_custkey
+          AND o1.o_orderdate >= TIMESTAMP '1996-01-01' AND o1.o_orderdate < TIMESTAMP '1997-01-01')
+      AND EXISTS (
+        SELECT 1 FROM orders o2 JOIN lineitem ON l_orderkey = o2.o_orderkey
+          JOIN part ON l_partkey = p_partkey
+        WHERE o2.o_custkey = c_custkey AND p_type = 'PROMO'
+          AND o2.o_orderdate >= TIMESTAMP '1997-01-01' AND o2.o_orderdate < TIMESTAMP '1998-01-01')
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o3 WHERE o3.o_custkey = c_custkey
+          AND o3.o_orderdate >= TIMESTAMP '1999-01-01' AND o3.o_orderdate < TIMESTAMP '2000-01-01')
+    """,
+    tags=("job",),
+)
+def job_q66(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, nation, orders, li, part = _t(
+        spark, sf_dir, "customer", "nation", "orders", "lineitem", "part"
+    )
+    b1 = orders.filter(_ts_range("o_orderdate", "1996-01-01", "1997-01-01")).select(
+        F.col("o_custkey").alias("b1_ck"))
+    b2 = (
+        orders.filter(_ts_range("o_orderdate", "1997-01-01", "1998-01-01"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(part.filter(F.col("p_type") == "PROMO"),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .select(F.col("o_custkey").alias("b2_ck"))
+    )
+    b3 = orders.filter(_ts_range("o_orderdate", "1999-01-01", "2000-01-01")).select(
+        F.col("o_custkey").alias("b3_ck"))
+    return (
+        cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(b1, F.col("c_custkey") == F.col("b1_ck"), "left_semi")
+        .join(b2, F.col("c_custkey") == F.col("b2_ck"), "left_semi")
+        .join(b3, F.col("c_custkey") == F.col("b3_ck"), "left_anti")
+        .agg(
+            F.min("c_custkey").alias("min_cust"),
+            F.min("n_name").alias("min_nation"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Aggregate node + LIKE chain: the derived per-part average joins back to
+# the fact with a theta edge (l_quantity > avg_qty) while LIKE predicates
+# reduce part and supplier — JOB 20a's derived-relation shape with the
+# LIKE family layered on.
+@register(
+    "job_q67",
+    oracle="""
+    SELECT CAST(MIN(p_partkey) AS BIGINT) AS min_part,
+           MIN(s_name) AS min_supp,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM part
+    JOIN (SELECT l_partkey, AVG(l_quantity) AS avg_qty
+          FROM lineitem GROUP BY l_partkey) pq ON pq.l_partkey = p_partkey
+    JOIN lineitem l ON l.l_partkey = p_partkey AND l.l_quantity > pq.avg_qty
+    JOIN supplier ON l.l_suppkey = s_suppkey
+    WHERE p_name LIKE 'old%'
+      AND s_name NOT LIKE '%3'
+      AND l.l_shipdate >= TIMESTAMP '2000-01-01' AND l.l_shipdate < TIMESTAMP '2000-07-01'
+    """,
+    tags=("job",),
+)
+def job_q67(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part, li, supp = _t(spark, sf_dir, "part", "lineitem", "supplier")
+    pq = li.groupBy(F.col("l_partkey").alias("pq_pk")).agg(
+        F.avg("l_quantity").alias("avg_qty"))
+    return (
+        part.filter(F.col("p_name").like("old%"))
+        .join(pq, F.col("pq_pk") == F.col("p_partkey"))
+        .join(
+            li.filter(_ts_range("l_shipdate", "2000-01-01", "2000-07-01")),
+            (F.col("l_partkey") == F.col("p_partkey"))
+            & (F.col("l_quantity") > F.col("avg_qty")),
+        )
+        .join(supp.filter(~F.col("s_name").like("%3")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .agg(
+            F.min("p_partkey").alias("min_part"),
+            F.min("s_name").alias("min_supp"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Computed-key self-join + multi-LIKE: orders placed the same CALENDAR DAY
+# as a machinery customer's very large order, with LIKE/NOT LIKE splitting
+# the two customer copies — the derived-attribute join (CAST to DATE)
+# cannot use raw column statistics.
+@register(
+    "job_q68",
+    oracle="""
+    SELECT CAST(MIN(o1.o_orderkey) AS BIGINT) AS min_big,
+           CAST(MIN(o2.o_orderkey) AS BIGINT) AS min_same_day,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM orders o1
+    JOIN customer c1 ON o1.o_custkey = c1.c_custkey
+    JOIN orders o2 ON CAST(o2.o_orderdate AS DATE) = CAST(o1.o_orderdate AS DATE)
+      AND o2.o_orderkey <> o1.o_orderkey
+    JOIN customer c2 ON o2.o_custkey = c2.c_custkey
+    WHERE c1.c_mktsegment = 'MACHINERY'
+      AND o1.o_totalprice > 420000
+      AND c1.c_name LIKE '%1'
+      AND c2.c_name NOT LIKE '%1'
+      AND o2.o_orderpriority LIKE '1%'
+    """,
+    tags=("job",),
+)
+def job_q68(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, cust = _t(spark, sf_dir, "orders", "customer")
+    o1 = orders.filter(F.col("o_totalprice") > 420000).select(
+        F.col("o_orderkey").alias("o1_ok"),
+        F.col("o_custkey").alias("o1_ck"),
+        F.to_date("o_orderdate").alias("o1_day"),
+    )
+    c1 = cust.filter((F.col("c_mktsegment") == "MACHINERY")
+                     & F.col("c_name").like("%1")).select(
+        F.col("c_custkey").alias("c1_key"))
+    o2 = orders.filter(F.col("o_orderpriority").like("1%")).select(
+        F.col("o_orderkey").alias("o2_ok"),
+        F.col("o_custkey").alias("o2_ck"),
+        F.to_date("o_orderdate").alias("o2_day"),
+    )
+    c2 = cust.filter(~F.col("c_name").like("%1")).select(
+        F.col("c_custkey").alias("c2_key"))
+    return (
+        o1.join(c1, F.col("o1_ck") == F.col("c1_key"))
+        .join(o2, (F.col("o2_day") == F.col("o1_day"))
+              & (F.col("o2_ok") != F.col("o1_ok")))
+        .join(c2, F.col("o2_ck") == F.col("c2_key"))
+        .agg(
+            F.min("o1_ok").alias("min_big"),
+            F.min("o2_ok").alias("min_same_day"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Outer-then-semi ordering: the left join's null-extended rows must survive
+# INTO the semi reduction on a different key — reordering the semi below
+# the outer would change results; the optimizer must prove it can't.
+@register(
+    "job_q69",
+    oracle="""
+    SELECT CAST(MIN(c_custkey) AS BIGINT) AS min_cust,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_order,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    LEFT JOIN orders ON o_custkey = c_custkey
+      AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+    WHERE r_name = 'EUROPE'
+      AND EXISTS (SELECT 1 FROM events WHERE user_id = c_custkey AND event_type = 'purchase')
+    """,
+    tags=("job",),
+)
+def job_q69(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, nation, region, orders, events = _t(
+        spark, sf_dir, "customer", "nation", "region", "orders", "events"
+    )
+    o97 = orders.filter(_ts_range("o_orderdate", "1997-01-01", "1998-01-01"))
+    purchasers = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu_uid"))
+    return (
+        cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(purchasers, F.col("c_custkey") == F.col("pu_uid"), "left_semi")
+        .join(o97, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .agg(
+            F.min("c_custkey").alias("min_cust"),
+            F.min("o_orderkey").alias("min_order"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Predicate-count maximum, d-variant: 10 relations, 31 predicates — every
+# predicate TYPE the reference's TableScan vocabulary declares
+# (types.hpp:160-178) appears at least once: =, <>, <, <=, >, >=, BETWEEN,
+# IN, NOT IN, LIKE, NOT LIKE, IS NOT NULL, plus an OR-group.
+@register(
+    "job_q70",
+    oracle="""
+    SELECT CAST(MIN(l_orderkey) AS BIGINT) AS min_orderkey,
+           MIN(p_name) AS min_part,
+           MIN(event_type) AS min_event,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN region cr ON cn.n_regionkey = cr.r_regionkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN region sr ON sn.n_regionkey = sr.r_regionkey
+    JOIN part ON l_partkey = p_partkey
+    JOIN events ON c_custkey = user_id
+    WHERE l_quantity BETWEEN 1 AND 49
+      AND l_extendedprice > 950
+      AND l_discount BETWEEN 0.0 AND 0.09
+      AND l_tax <= 0.08
+      AND l_returnflag <> 'A'
+      AND l_linestatus IN ('O', 'F')
+      AND l_shipdate >= TIMESTAMP '1995-03-01' AND l_shipdate < TIMESTAMP '2001-09-01'
+      AND o_totalprice BETWEEN 1000 AND 480000
+      AND o_orderstatus IN ('O', 'F')
+      AND o_orderpriority NOT LIKE '4%'
+      AND o_orderdate >= TIMESTAMP '1995-02-01'
+      AND c_acctbal BETWEEN -990 AND 9990
+      AND c_mktsegment <> 'JEWELRY'
+      AND c_name LIKE 'Customer#00000%'
+      AND (c_acctbal > 5000 OR c_mktsegment = 'BUILDING')
+      AND p_size IN (1, 2, 3, 5, 8, 13, 21, 34, 47)
+      AND p_type <> 'LARGE'
+      AND p_retailprice BETWEEN 901 AND 999
+      AND p_name LIKE '% %'
+      AND p_name NOT LIKE 'new%'
+      AND p_brand NOT IN ('Brand#2', 'Brand#4')
+      AND s_acctbal > -950
+      AND s_name LIKE 'Supplier#0000000%'
+      AND event_type NOT IN ('error')
+      AND value BETWEEN 0 AND 1000
+      AND ts >= TIMESTAMP '2024-01-01'
+      AND cr.r_name IS NOT NULL
+      AND sr.r_name IN ('ASIA', 'EUROPE', 'AMERICA', 'AFRICA')
+      AND cn.n_name <> 'NATION_13'
+      AND sn.n_name NOT LIKE '%_4'
+    """,
+    tags=("job",),
+)
+def job_q70(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders, cust, nation, region, supp, part, events = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation", "region",
+        "supplier", "part", "events"
+    )
+    cn = nation.filter(F.col("n_name") != "NATION_13").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_reg"))
+    sn = nation.filter(~F.col("n_name").like("%_4")).select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_regionkey").alias("sn_reg"))
+    cr = region.filter(F.col("r_name").isNotNull()).select(
+        F.col("r_regionkey").alias("cr_key"))
+    sr = region.filter(F.col("r_name").isin("ASIA", "EUROPE", "AMERICA", "AFRICA")).select(
+        F.col("r_regionkey").alias("sr_key"))
+    ev = events.filter(
+        ~F.col("event_type").isin("error")
+        & F.col("value").between(0, 1000)
+        & (F.col("ts") >= F.lit("2024-01-01"))
+    )
+    return (
+        li.filter(
+            F.col("l_quantity").between(1, 49)
+            & (F.col("l_extendedprice") > 950)
+            & F.col("l_discount").between(0.0, 0.09)
+            & (F.col("l_tax") <= 0.08)
+            & (F.col("l_returnflag") != "A")
+            & F.col("l_linestatus").isin("O", "F")
+            & _ts_range("l_shipdate", "1995-03-01", "2001-09-01")
+        )
+        .join(
+            orders.filter(
+                F.col("o_totalprice").between(1000, 480000)
+                & F.col("o_orderstatus").isin("O", "F")
+                & ~F.col("o_orderpriority").like("4%")
+                & (F.col("o_orderdate") >= F.lit("1995-02-01"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            cust.filter(
+                F.col("c_acctbal").between(-990, 9990)
+                & (F.col("c_mktsegment") != "JEWELRY")
+                & F.col("c_name").like("Customer#00000%")
+                & ((F.col("c_acctbal") > 5000) | (F.col("c_mktsegment") == "BUILDING"))
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(cr), F.col("cn_reg") == F.col("cr_key"))
+        .join(
+            supp.filter((F.col("s_acctbal") > -950)
+                        & F.col("s_name").like("Supplier#0000000%")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(sr), F.col("sn_reg") == F.col("sr_key"))
+        .join(
+            part.filter(
+                F.col("p_size").isin(1, 2, 3, 5, 8, 13, 21, 34, 47)
+                & (F.col("p_type") != "LARGE")
+                & F.col("p_retailprice").between(901, 999)
+                & F.col("p_name").like("% %")
+                & ~F.col("p_name").like("new%")
+                & ~F.col("p_brand").isin("Brand#2", "Brand#4")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(ev, F.col("c_custkey") == F.col("user_id"))
+        .agg(
+            F.min("l_orderkey").alias("min_orderkey"),
+            F.min("p_name").alias("min_part"),
+            F.min("event_type").alias("min_event"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
