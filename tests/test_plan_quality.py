@@ -1029,3 +1029,44 @@ def test_distinct_on_plans_window_group_limit(spark):
     per input partition crosses the shuffle."""
     plan = _plan(spark, "distinct_on_latest")
     assert plan.count("WindowGroupLimit") >= 2, plan
+
+
+# -- round 11: JOB family pins (q45-q70) -------------------------------------
+
+def test_job_like_chain_pushes_string_predicates(spark):
+    """q45 (deep LIKE-chain): prefix and suffix patterns must reach the
+    parquet scans as StringStartsWith / StringEndsWith pushed filters —
+    a LIKE evaluated only post-scan re-reads the full dimension at 100 TB."""
+    plan = _plan(spark, "job_q45")
+    assert "StringStartsWith" in plan, plan
+    assert "StringEndsWith" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.parametrize("name", ["job_q48", "job_q49", "job_q50", "job_q70"])
+def test_job_predicate_monsters_scan_filtered_everywhere(spark, name):
+    """25+-predicate monsters: EVERY scan in the 9/10-relation graph carries
+    pushed filters (no relation is read unfiltered), both duplicated
+    dimension chains broadcast, and no join degenerates to a cartesian."""
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan, name
+    assert "BroadcastNestedLoopJoin" not in plan, name
+    segs = [s.split("]", 1)[0] for s in plan.split("PushedFilters: [")[1:]]
+    assert len(segs) >= 8, f"{name}: expected a wide multi-scan graph"
+    empty = [i for i, s in enumerate(segs) if not s.strip()]
+    assert not empty, f"{name}: scans with no pushed filters: {empty}"
+    assert plan.count("BroadcastHashJoin") >= 8, name
+
+
+@pytest.mark.parametrize(
+    "name", ["job_q51", "job_q52", "job_q53", "job_q65", "job_q68"]
+)
+def test_job_multi_alias_graphs_stay_key_joined(spark, name):
+    """Simultaneous multi-alias graphs (lineitem/supplier/nation/region x2,
+    orders x3 + lineitem x2 + part x2, events x3): every aliased copy joins
+    on a key or theta edge — never a cartesian — and the duplicated small
+    dimensions broadcast rather than shuffle the fact."""
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan, name
+    assert "BroadcastNestedLoopJoin" not in plan, name
+    assert plan.count("BroadcastHashJoin") >= 4, name
