@@ -1596,30 +1596,39 @@ class Engine:
                                 (exactly the peer group)
           EXCLUDE TIES        : full - peer-group total + current row
 
-        GROUP/TIES are valid only for RANGE-mode frames (incl. the default
-        frame): a RANGE frame that contains the current row contains ALL
-        its peers (their order-distance is 0), so subtracting the whole
-        peer total is exact; in a ROWS frame peers can be partially in
-        frame and the rewrite would over-subtract — rejected. SUM/COUNT/
-        AVG only (MIN/MAX are not subtraction-invertible); SUM/AVG yield
-        NULL when the excluded frame is empty. One extra window expression
-        over the SAME partition/order for GROUP/TIES — no extra shuffle."""
+        For RANGE-mode frames (incl. the default frame) the peer total is
+        exact as-is: a RANGE frame containing the current row contains ALL
+        its peers (order-distance 0). For ROWS-mode frames (round 11) the
+        peer group may be PARTIALLY in frame, so the excluded amount is
+        assembled from constant-offset prefix windows — see
+        _rows_group_exclusion_expr. SUM/COUNT/AVG only (MIN/MAX are not
+        subtraction-invertible); SUM/AVG yield NULL when the excluded
+        frame is empty. Every added window expression shares the SAME
+        partition/order — no extra shuffle, one Window pass."""
         out, i = [], 0
-        # arg admits one paren-nesting level (enough for the FILTER
-        # rewrite's CASE WHEN p THEN (x) END and ROUND(x, n)-style args)
-        pat = re.compile(
-            r"(?P<fn>SUM|COUNT|AVG|MIN|MAX)\s*"
-            r"\(\s*(?P<arg>(?:[^()]|\([^()]*\))*?|\*)\s*\)"
-            r"\s+OVER\s*\(", re.I)
+        # find the aggregate call, then paren-match its argument — the
+        # FILTER rewrite can nest CASEs arbitrarily deep (round 11: a
+        # one-nesting-level arg regex silently SKIPPED such calls, leaving
+        # EXCLUDE in the text for Spark's parser to choke on)
+        pat = re.compile(r"\b(?P<fn>SUM|COUNT|AVG|MIN|MAX)\s*\(", re.I)
         while True:
             m = pat.search(stmt, i)
             if not m:
                 out.append(stmt[i:])
                 break
-            close = self._match_paren(stmt, m.end() - 1)
+            aclose = self._match_paren(stmt, m.end() - 1)
+            if aclose == -1:
+                raise ValueError("frame exclusion: unbalanced aggregate")
+            om = re.match(r"\s+OVER\s*\(", stmt[aclose + 1:], re.I)
+            if not om:  # plain GROUP BY aggregate — copy through
+                out.append(stmt[i:m.end()])
+                i = m.end()
+                continue
+            oopen = aclose + 1 + om.end() - 1
+            close = self._match_paren(stmt, oopen)
             if close == -1:
                 raise ValueError("frame exclusion: unbalanced OVER spec")
-            spec = stmt[m.end():close]
+            spec = stmt[oopen + 1:close]
             em = re.search(
                 r"\s*EXCLUDE\s+(?P<mode>CURRENT\s+ROW|GROUP|TIES|"
                 r"NO\s+OTHERS)\s*$",
@@ -1628,7 +1637,7 @@ class Engine:
                 out.append(stmt[i:close + 1])
                 i = close + 1
                 continue
-            fn, arg = m["fn"].upper(), m["arg"].strip()
+            fn, arg = m["fn"].upper(), stmt[m.end():aclose].strip()
             if re.match(r"DISTINCT\b", arg, re.I):
                 raise ValueError(
                     "frame exclusion: DISTINCT aggregates are not "
@@ -1637,7 +1646,7 @@ class Engine:
             mode = re.sub(r"\s+", " ", em["mode"].upper())
             if mode == "NO OTHERS":
                 # SQL:2011's explicit default: exclude nothing — strip it
-                out.append(stmt[i:m.end()])
+                out.append(stmt[i:oopen + 1])
                 out.append(spec[:em.start()].rstrip())
                 out.append(")")
                 i = close + 1
@@ -1673,13 +1682,19 @@ class Engine:
                     else:  # AVG
                         expr = (f"(CASE WHEN {cnt} = 0 THEN NULL"
                                 f" ELSE {sum_ex} / {cnt} END)")
-            else:  # GROUP / TIES — RANGE frames only (see docstring)
-                if bm and bm["mode"].upper() == "ROWS":
-                    raise ValueError(
-                        f"frame exclusion: EXCLUDE {mode} requires a "
-                        "RANGE-mode frame (in a ROWS frame the peer group "
-                        "can be partially in frame; the peer-total rewrite "
-                        "would over-subtract)")
+            elif bm and bm["mode"].upper() == "ROWS":
+                # GROUP / TIES under a ROWS frame (round 11; the reference
+                # declares the full SQL:2011 vocabulary,
+                # window_expression.hpp:11-30). The peer group can be
+                # PARTIALLY in frame, so the excluded amount is
+                #   peers-in-frame = peer-total
+                #                  - peers cut off left of the frame
+                #                  - peers cut off right of the frame
+                # and both cut-offs are prefix-window differences at
+                # CONSTANT row offsets (see _rows_group_exclusion_expr).
+                expr = self._rows_group_exclusion_expr(
+                    fn, arg, spec2, bm["lo"], bm["hi"], keep_self=(mode == "TIES"))
+            else:  # GROUP / TIES — RANGE-mode frames (incl. the default)
                 peer = re.sub(
                     r"\b(?:ROWS|RANGE)\s+BETWEEN\b.*$", "", spec2,
                     flags=re.I | re.S,
@@ -1711,6 +1726,92 @@ class Engine:
             out.append(expr)
             i = close + 1
         return "".join(out)
+
+    def _rows_group_exclusion_expr(self, fn: str, arg: str, spec2: str,
+                                   lo: str, hi: str, keep_self: bool) -> str:
+        """EXCLUDE GROUP/TIES under a ROWS frame `ROWS BETWEEN k1 PRECEDING
+        AND k2 FOLLOWING` (bounds may also be CURRENT ROW / UNBOUNDED).
+
+        Peers occupy the contiguous position interval [first_peer,
+        last_peer]; the frame occupies [pos-k1, pos+k2]. The amount to
+        subtract is the aggregate over their INTERSECTION:
+
+            peers_in_frame = peer_total
+                           - sum over [first_peer, pos-k1-1]   (cut left)
+                           - sum over [pos+k2+1, last_peer]    (cut right)
+
+        Each position-interval sum is a difference of prefix aggregates at
+        CONSTANT row offsets from the current row, all window-expressible:
+
+            prefix(pos-k1-1)   = agg OVER (ROWS UNBOUNDED PRECEDING
+                                           AND (k1+1) PRECEDING)
+            prefix(first_peer-1) = agg OVER (RANGE UNB.PREC AND CURRENT ROW)
+                                 - agg OVER (RANGE CURRENT AND CURRENT)
+            prefix(last_peer)  = agg OVER (RANGE UNB.PREC AND CURRENT ROW)
+            prefix(pos+k2)     = agg OVER (ROWS UNB.PREC AND k2 FOLLOWING)
+
+        with positions from ROW_NUMBER / COUNT(*) prefixes and each cut
+        guarded by a CASE (it applies only when peers actually stick out
+        of the frame on that side). Exact for SUM/COUNT/AVG; all windows
+        share the partition/order, so Spark evaluates them in ONE Window
+        operator — no extra shuffle."""
+        def bound(text: str, side: str):
+            t = re.sub(r"\s+", " ", text.strip().upper())
+            if t == f"UNBOUNDED {side}":
+                return None
+            if t == "CURRENT ROW":
+                return 0
+            km = re.fullmatch(rf"(\d+) {side}", t)
+            if km:
+                return int(km[1])
+            raise ValueError(
+                f"frame exclusion: unsupported ROWS bound {text!r} with "
+                "EXCLUDE GROUP/TIES (integer offsets and CURRENT ROW only)")
+
+        k1, k2 = bound(lo, "PRECEDING"), bound(hi, "FOLLOWING")
+        po = re.sub(r"\b(?:ROWS|RANGE)\s+BETWEEN\b.*$", "", spec2,
+                    flags=re.I | re.S).rstrip()
+        peers = f"{po} RANGE BETWEEN CURRENT ROW AND CURRENT ROW"
+        le = f"{po} RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+        pos = f"ROW_NUMBER() OVER ({po})"
+        last_peer = f"COUNT(*) OVER ({le})"
+        first_peer = f"({last_peer} - COUNT(*) OVER ({peers}) + 1)"
+
+        def excluded(agg: str) -> str:
+            """Aggregate-over-peers-in-frame for `agg` in {SUM(x),
+            COUNT(x), COUNT(*)} as a window-expression string."""
+            peer_tot = f"COALESCE({agg} OVER ({peers}), 0)"
+            terms = [peer_tot]
+            if k1 is not None:
+                cut = (f"(COALESCE({agg} OVER ({po} ROWS BETWEEN UNBOUNDED"
+                       f" PRECEDING AND {k1 + 1} PRECEDING), 0)"
+                       f" - (COALESCE({agg} OVER ({le}), 0) - {peer_tot}))")
+                terms.append(f"CASE WHEN ({pos} - {k1}) > {first_peer}"
+                             f" THEN {cut} ELSE 0 END")
+            if k2 is not None:
+                cut = (f"(COALESCE({agg} OVER ({le}), 0)"
+                       f" - COALESCE({agg} OVER ({po} ROWS BETWEEN UNBOUNDED"
+                       f" PRECEDING AND {k2} FOLLOWING), 0))")
+                terms.append(f"CASE WHEN {last_peer} > ({pos} + {k2})"
+                             f" THEN {cut} ELSE 0 END")
+            return "(" + " - ".join(terms) + ")"
+
+        if fn == "COUNT" and arg == "*":
+            ex = excluded("COUNT(*)")
+            back = " + 1)" if keep_self else ")"
+            return f"(COUNT(*) OVER ({spec2}) - {ex}{back}"
+        this_cnt = f"CASE WHEN ({arg}) IS NULL THEN 0 ELSE 1 END"
+        ex_cnt = excluded(f"COUNT({arg})")
+        cnt = (f"(COUNT({arg}) OVER ({spec2}) - {ex_cnt}"
+               + (f" + {this_cnt})" if keep_self else ")"))
+        if fn == "COUNT":
+            return cnt
+        ex_sum = excluded(f"SUM({arg})")
+        ssum = (f"(COALESCE(SUM({arg}) OVER ({spec2}), 0) - {ex_sum}"
+                + (f" + COALESCE({arg}, 0))" if keep_self else ")"))
+        if fn == "SUM":
+            return f"(CASE WHEN {cnt} = 0 THEN NULL ELSE {ssum} END)"
+        return f"(CASE WHEN {cnt} = 0 THEN NULL ELSE {ssum} / {cnt} END)"
 
     def _star_modifiers_sql(self, stmt: str) -> DataFrame:
         """`SELECT * EXCLUDE (cols) [REPLACE (expr AS col, ...)]` (DuckDB

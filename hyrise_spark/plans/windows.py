@@ -663,3 +663,59 @@ def window_median_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     window median)."""
     load_tables(spark, sf_dir, ("lineitem",))
     return spark.sql(_WINDOW_MEDIAN_SQL)
+
+
+# -- round 11: EXCLUDE GROUP / TIES under ROWS-mode frames -------------------
+# (engine.py::_rows_group_exclusion_expr; completes the SQL:2011 exclusion
+# vocabulary the reference declares at window_expression.hpp:11-30). The
+# peer group can be PARTIALLY inside a ROWS frame, so the rewrite assembles
+# peers-in-frame from constant-offset prefix windows (see the engine
+# docstring). Determinism under ties: the ORDER BY key (l_quantity) is
+# non-unique — real peer groups — and the aggregated value is a FUNCTION
+# of that key (qval = quantity*100+7), so the value sequence BY POSITION is
+# engine-independent. A row's result still depends on its position WITHIN
+# its peer group (a ROWS frame straddles group boundaries), and engines
+# assign tied rows to positions differently — so the output carries NO
+# row-identity columns: per (returnflag, quantity) the MULTISET of window
+# results is deterministic, and the driver's sorted-hash compares exactly
+# that. DuckDB runs the same text natively.
+_FRAME_EXCLUDE_ROWS_GROUP_SQL = """
+    SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+           CAST(SUM(qval) OVER (PARTITION BY l_returnflag
+                ORDER BY l_quantity
+                ROWS BETWEEN 3 PRECEDING AND 2 FOLLOWING
+                EXCLUDE GROUP) AS BIGINT) AS grp_sum,
+           CAST(COUNT(*) OVER (PARTITION BY l_returnflag
+                ORDER BY l_quantity
+                ROWS BETWEEN 3 PRECEDING AND 2 FOLLOWING
+                EXCLUDE GROUP) AS BIGINT) AS grp_cnt,
+           CAST(SUM(qval) OVER (PARTITION BY l_returnflag
+                ORDER BY l_quantity
+                ROWS BETWEEN 3 PRECEDING AND 2 FOLLOWING
+                EXCLUDE TIES) AS BIGINT) AS ties_sum,
+           ROUND(AVG(qval) OVER (PARTITION BY l_returnflag
+                ORDER BY l_quantity
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 FOLLOWING
+                EXCLUDE GROUP), 4) AS grp_avg
+    FROM (SELECT l_returnflag, l_quantity,
+                 CAST(l_quantity * 100 + 7 AS BIGINT) AS qval
+          FROM lineitem WHERE l_orderkey < 400) t
+    ORDER BY l_returnflag, qty
+"""
+
+
+@register(
+    "window_frame_exclude_rows_group",
+    oracle=_FRAME_EXCLUDE_ROWS_GROUP_SQL,
+    tags=("window", "frame", "sql"),
+)
+def window_frame_exclude_rows_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCLUDE GROUP / TIES under ROWS frames (VERDICT r10 task 4): the
+    last declared-but-unsupported corner of the reference's frame grammar.
+    Exact position arithmetic over prefix windows — every added window
+    shares the partition/order, so Spark still plans ONE Window operator
+    (pinned in test_plan_quality.py)."""
+    from hyrise_spark.engine import Engine
+
+    load_tables(spark, sf_dir, ("lineitem",))
+    return Engine(spark).execute(_FRAME_EXCLUDE_ROWS_GROUP_SQL)

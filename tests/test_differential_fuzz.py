@@ -346,9 +346,30 @@ def frame_exclude_query(draw) -> str:
     arg = draw(st.sampled_from([_FX_ARG, "*"])) if fn == "COUNT" else _FX_ARG
     part = draw(st.sampled_from(["", "PARTITION BY o_orderstatus "]))
     mode = draw(st.sampled_from(["ROWS", "RANGE"]))
+    ident = "o_orderkey"
+    filt = draw(st.sampled_from(["", " FILTER (WHERE o_totalprice > 5000)"]))
     if mode == "ROWS":
-        # unique ORDER BY key: ROWS frames over ties are nondeterministic
-        order, excl = "o_orderkey", "CURRENT ROW"
+        excl = draw(st.sampled_from(["CURRENT ROW", "GROUP", "TIES"]))
+        if excl == "CURRENT ROW":
+            # unique ORDER BY key: ROWS frames over ties are nondeterministic
+            order = "o_orderkey"
+        else:
+            # ROWS + GROUP/TIES (round 11, _rows_group_exclusion_expr):
+            # real peer groups need a NON-unique key, and determinism under
+            # tie permutation needs EVERYTHING row-dependent — the
+            # aggregated value, the FILTER predicate, and the projected
+            # identity — to be a FUNCTION of that key (a ROWS frame
+            # straddles group boundaries, so a row's result depends on its
+            # engine-assigned position within its peer group; only the
+            # per-key result MULTISET is deterministic, which the sorted
+            # canon compares). NULLs stay in the lattice for COUNT/SUM.
+            k = draw(st.integers(5, 40))
+            order = ident = f"o_custkey % {k}"
+            if arg != "*":
+                arg = (f"CASE WHEN (o_custkey % {k}) % 7 = 0 THEN NULL"
+                       f" ELSE (o_custkey % {k}) * 3 + 1 END")
+            filt = draw(st.sampled_from(
+                ["", f" FILTER (WHERE (o_custkey % {k}) > 3)"]))
         lo = draw(st.sampled_from(
             [f"{draw(st.integers(0, 4))} PRECEDING", "UNBOUNDED PRECEDING",
              "CURRENT ROW"]))
@@ -366,7 +387,6 @@ def frame_exclude_query(draw) -> str:
         hi = draw(st.sampled_from(
             [f"{draw(st.integers(0, 9))} FOLLOWING", "UNBOUNDED FOLLOWING",
              "CURRENT ROW"]))
-    filt = draw(st.sampled_from(["", " FILTER (WHERE o_totalprice > 5000)"]))
     expr = (f"{fn}({arg}){filt} OVER ({part}ORDER BY {order}"
             f" {mode} BETWEEN {lo} AND {hi} EXCLUDE {excl})")
     if fn == "AVG":
@@ -375,7 +395,7 @@ def frame_exclude_query(draw) -> str:
         expr = f"CAST({expr} AS BIGINT)"
     w = draw(where_clause())
     return (
-        f"SELECT o_orderkey, {expr} AS x FROM orders WHERE {w}"
+        f"SELECT {ident} AS i, {expr} AS x FROM orders WHERE {w}"
     )
 
 

@@ -1360,11 +1360,6 @@ def test_frame_exclude_current_row(engine, spark, duck):
             "SELECT MAX(v) OVER (ORDER BY v ROWS BETWEEN 1 PRECEDING AND"
             " 1 FOLLOWING EXCLUDE CURRENT ROW) AS m FROM fx1"
         )
-    with pytest.raises(Exception, match="EXCLUDE GROUP"):
-        engine.execute(
-            "SELECT SUM(v) OVER (ORDER BY v ROWS BETWEEN 1 PRECEDING AND"
-            " 1 FOLLOWING EXCLUDE GROUP) AS m FROM fx1"
-        )
     with pytest.raises(Exception, match="must contain the current row"):
         engine.execute(
             "SELECT SUM(v) OVER (ORDER BY v ROWS BETWEEN 3 PRECEDING AND"
@@ -1373,8 +1368,10 @@ def test_frame_exclude_current_row(engine, spark, duck):
 
 
 def test_frame_exclude_group_and_ties(engine, spark, duck):
-    """EXCLUDE GROUP/TIES: peer-total rewrite matches DuckDB on tied data,
-    ROWS-mode frames are rejected (peer group can be partially in frame)."""
+    """EXCLUDE GROUP/TIES: peer-total rewrite matches DuckDB on tied data;
+    ROWS-mode frames run through the round-11 position-arithmetic rewrite
+    (the ORDER BY key determines v here, so rows within a peer group are
+    interchangeable and per-row results are deterministic)."""
     q = (
         "SELECT g, v, CAST(SUM(v) OVER (ORDER BY g RANGE BETWEEN"
         " UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE GROUP) AS BIGINT) AS sg,"
@@ -1396,11 +1393,23 @@ def test_frame_exclude_group_and_ties(engine, spark, duck):
     assert got == want
     # first peer group: GROUP-excluded frame is empty -> SUM NULL, COUNT 0
     assert got[0][2] is None and got[0][4] == 0
-    with pytest.raises(Exception, match="RANGE-mode frame"):
-        engine.execute(
-            "SELECT SUM(v) OVER (ORDER BY g ROWS BETWEEN 1 PRECEDING AND"
-            " 1 FOLLOWING EXCLUDE GROUP) AS s FROM fxg"
-        )
+    # ROWS-mode GROUP/TIES (round 11): the aggregated value must be a
+    # function of the ORDER BY key for per-key determinism under ties —
+    # compare the result MULTISET against DuckDB's native execution
+    q2 = (
+        "SELECT g, CAST(SUM(g * 10) OVER (ORDER BY g ROWS BETWEEN 1"
+        " PRECEDING AND 1 FOLLOWING EXCLUDE GROUP) AS BIGINT) AS s,"
+        " CAST(COUNT(*) OVER (ORDER BY g ROWS BETWEEN 1 PRECEDING"
+        " AND 1 FOLLOWING EXCLUDE TIES) AS BIGINT) AS c FROM fxg"
+    )
+    key = lambda t: tuple((x is None, x) for x in t)  # noqa: E731
+    got2 = sorted((tuple(r) for r in engine.execute(q2).collect()), key=key)
+    want2 = sorted(
+        (tuple(int(x) if x is not None else None for x in r)
+         for r in duck.execute(q2).fetchall()),
+        key=key,
+    )
+    assert got2 == want2
 
 
 def test_explain_round9_dialect_selects(engine, spark):

@@ -1070,3 +1070,15 @@ def test_job_multi_alias_graphs_stay_key_joined(spark, name):
     assert "CartesianProduct" not in plan, name
     assert "BroadcastNestedLoopJoin" not in plan, name
     assert plan.count("BroadcastHashJoin") >= 4, name
+
+
+def test_window_qualify_plans_window_group_limit(spark):
+    """VERDICT r10 task 3: `QUALIFY rn <= 5` must compile to the two-stage
+    top-k — a PARTIAL WindowGroupLimit below the exchange (each map task
+    keeps <=5 rows per group before shuffling) and a FINAL one above, same
+    machinery as the DISTINCT ON pin (test_engine.py). Without the partial
+    stage the full fact table shuffles into the window sort at 100 TB."""
+    plan = _plan(spark, "window_qualify")
+    assert plan.count("WindowGroupLimit") >= 2, plan
+    assert "row_number(), 5, Partial" in plan, plan
+    assert "row_number(), 5, Final" in plan, plan
