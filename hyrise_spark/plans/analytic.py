@@ -1046,3 +1046,101 @@ def aggregate_bool_and_or(spark: SparkSession, sf_dir: str) -> DataFrame:
     (independent implementations of the SQL:1999 boolean aggregates)."""
     load_tables(spark, sf_dir, ("orders",))
     return spark.sql(_BOOL_AGG_SQL)
+
+
+# -- round 11 (VERDICT task 7): deterministic companions for the two
+# rows-only sketches. Each engine checks ITS OWN estimator against ITS OWN
+# exact value, and the OUTPUT is the boolean "estimate within bounds" —
+# hash-checkable TRUE on both engines, so the estimator contract itself
+# (not the engine-specific estimate) becomes a hash-green registry row.
+@register(
+    "sketch_approx_distinct_bounds",
+    oracle="""
+    SELECT l_returnflag,
+           ABS(approx_count_distinct(l_orderkey) - COUNT(DISTINCT l_orderkey))
+             <= CAST(CEIL(3 * 0.05 * COUNT(DISTINCT l_orderkey)) AS BIGINT)
+             AS within
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("sketch",),
+)
+def sketch_approx_distinct_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL error-bound contract: |approx - exact| <= 3·rsd·exact per group
+    (rsd = 0.05 — three standard deviations; DuckDB's own HLL sits well
+    inside the same envelope). The estimate itself stays rows-only in
+    sketch_approx_distinct; THIS row is the hash-green bound proof."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", 0.05).alias("a"),
+            F.countDistinct("l_orderkey").alias("e"),
+        )
+        .select(
+            "l_returnflag",
+            (F.abs(F.col("a") - F.col("e"))
+             <= F.ceil(3 * 0.05 * F.col("e")).cast("bigint")).alias("within"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "sketch_percentile_bounds",
+    oracle="""
+    WITH est AS (SELECT approx_quantile(l_extendedprice, 0.5) AS p50,
+                        approx_quantile(l_extendedprice, 0.95) AS p95,
+                        approx_quantile(l_extendedprice, 0.99) AS p99
+                 FROM lineitem),
+         r AS (SELECT
+                 (SELECT COUNT(*) FROM lineitem, est
+                  WHERE l_extendedprice <= p50) AS r50,
+                 (SELECT COUNT(*) FROM lineitem, est
+                  WHERE l_extendedprice <= p95) AS r95,
+                 (SELECT COUNT(*) FROM lineitem, est
+                  WHERE l_extendedprice <= p99) AS r99,
+                 (SELECT COUNT(*) FROM lineitem) AS cnt)
+    SELECT
+      r50 BETWEEN CAST(FLOOR(0.48 * cnt) AS BIGINT)
+              AND CAST(CEIL(0.52 * cnt) AS BIGINT) AS ok50,
+      r95 BETWEEN CAST(FLOOR(0.93 * cnt) AS BIGINT)
+              AND CAST(CEIL(0.97 * cnt) AS BIGINT) AS ok95,
+      r99 BETWEEN CAST(FLOOR(0.98 * cnt) AS BIGINT) AND cnt AS ok99
+    FROM r
+    """,
+    tags=("sketch",),
+)
+def sketch_percentile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch RANK contract: the value returned for quantile q
+    must sit at a rank within a generous ±2-4% band of q·N (Spark's
+    percentile_approx at accuracy 10000 guarantees ~0.01%·N; DuckDB's
+    t-digest is comparably tight — both clear the band by orders of
+    magnitude). Two passes: one to build the sketch, one broadcast-join
+    rank count — no driver-side data path."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    est = li.agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50"),
+        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("p95"),
+        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("p99"),
+    )
+    r = (
+        li.select("l_extendedprice")
+        .crossJoin(F.broadcast(est))
+        .agg(
+            F.sum(F.when(F.col("l_extendedprice") <= F.col("p50"), 1)
+                  .otherwise(0)).alias("r50"),
+            F.sum(F.when(F.col("l_extendedprice") <= F.col("p95"), 1)
+                  .otherwise(0)).alias("r95"),
+            F.sum(F.when(F.col("l_extendedprice") <= F.col("p99"), 1)
+                  .otherwise(0)).alias("r99"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+    c = F.col("cnt")
+    return r.select(
+        ((F.col("r50") >= F.floor(0.48 * c)) & (F.col("r50") <= F.ceil(0.52 * c))).alias("ok50"),
+        ((F.col("r95") >= F.floor(0.93 * c)) & (F.col("r95") <= F.ceil(0.97 * c))).alias("ok95"),
+        ((F.col("r99") >= F.floor(0.98 * c)) & (F.col("r99") <= c)).alias("ok99"),
+    )
