@@ -1195,3 +1195,47 @@ def test_psql_prepare_execute_hits_plan_cache(server):
         assert out.returncode == 0, out.stderr
         assert out.stdout.strip() == "42", out.stdout
     assert eng._plan_cache.hits >= h0 + 1
+
+
+def test_cross_connection_dml_invalidates_plan_cache(server):
+    """VERDICT r10 task 8 — GDFS epoch semantics ACROSS live wire
+    connections (gdfs_cache.hpp:15-20): connection A holds a Parse'd
+    statement and is serving cache HITS; connection B mutates the
+    referenced table; A's next execution of the SAME prepared statement
+    must be an epoch INVALIDATION (not a hit), re-analyze, and read B's
+    write. Counters pin the negative: hits frozen, invalidations +1."""
+    out = _psql(server, "CREATE TABLE pg_xinv AS SELECT 10 AS x")
+    assert out.returncode == 0, out.stderr
+    eng = server.engine
+    a, b = _RawPg(server.port), _RawPg(server.port)
+    try:
+        def run_a():
+            a.bind("", "xi1")
+            a.execute("")
+            a.sync()
+            return [m for t, m in a.drain_until(b"Z") if t == b"D"]
+
+        a.parse("xi1", "SELECT x FROM pg_xinv", oids=())
+        h0, i0 = eng._plan_cache.hits, eng._plan_cache.invalidations
+        rows = run_a()          # miss (first execution of this text)
+        assert rows and rows[-1].endswith(b"10")
+        rows = run_a()          # hit
+        assert eng._plan_cache.hits == h0 + 1
+        assert rows and rows[-1].endswith(b"10")
+
+        # connection B mutates the referenced table over the same wire
+        b.parse("", "UPDATE pg_xinv SET x = 11", oids=())
+        b.bind("", "")
+        b.execute("")
+        b.sync()
+        b.drain_until(b"Z")
+
+        h1 = eng._plan_cache.hits
+        rows = run_a()          # MUST invalidate, not hit
+        assert eng._plan_cache.hits == h1, "stale plan served after DML"
+        assert eng._plan_cache.invalidations >= i0 + 1
+        assert rows and rows[-1].endswith(b"11"), rows
+    finally:
+        a.close()
+        b.close()
+        _psql(server, "DROP TABLE pg_xinv")
