@@ -157,7 +157,49 @@ def _pipeline_builders():
         # per-language window — expect ~linear in the scoring joins alone
         return qs["curate_ccnet_buckets"].builder(spark, d)
 
+    def _purge_lpa(d):
+        # the LPA superstep state is cached per (app, sf_dir): purging it
+        # before every build makes the TIMED runs pay the supersteps —
+        # otherwise the probe would measure cached-frame reads only
+        import hyrise_spark.pipeline.graph as G
+
+        for k in [k for k in G._LPA_CACHE if k[1] == d]:
+            ue, labels = G._LPA_CACHE.pop(k)
+            for fr in (ue, labels):
+                try:
+                    fr.unpersist()
+                except Exception:
+                    pass
+
+    def lpa(spark, d):
+        # round 10 addition: T synchronous supersteps, E-sized shuffles per
+        # superstep — nodes AND edges scale Nx, expect ~linear
+        _purge_lpa(d)
+        return qs["graph_label_propagation"].builder(spark, d)
+
+    def modularity(spark, d):
+        # same superstep state + one extra E-sized community join
+        _purge_lpa(d)
+        return qs["graph_modularity"].builder(spark, d)
+
+    def bq_banded(spark, d):
+        # round 10 addition: hamming-LSH banding — the query side is FIXED
+        # (vec_id < N_QUERIES = base copies) while the searched corpus
+        # grows Nx; candidates are bucket-bounded, expect ~linear in the
+        # corpus scan + candidate join
+        return qs["sim_bq_banded"].builder(spark, d)
+
+    def pr_curve(spark, d):
+        # round 10 addition: PR curve over the score HISTOGRAM — one
+        # shuffle to the bucket lattice (fixed size) + a bounded window;
+        # expect ~linear in the scan alone
+        return qs["curate_classifier_pr_curve"].builder(spark, d)
+
     return {"dedup_exact": exact, "minhash_signatures": minhash_sig,
+            "graph_label_propagation": lpa,
+            "graph_modularity": modularity,
+            "sim_bq_banded": bq_banded,
+            "curate_classifier_pr_curve": pr_curve,
             "dedup_overlap_prefix_filter": prefix_overlap,
             "dedup_lsh_crosscorpus": lsh_cross,
             "text_token_stats": token_stats, "dedup_paragraph": paragraph,
@@ -235,6 +277,15 @@ def build_scaled_docs(spark, scale: int, out_dir: str) -> None:
              for i in range(scale)]
     reduce(lambda a, b: a.unionByName(b), parts).write.mode("overwrite").parquet(
         str(out / "documents.parquet"))
+    # embeddings scale alongside (round 11: the banded-BQ probe): vec_id
+    # shifted, so the FIXED query set (vec_id < N_QUERIES) stays the base
+    # copies while the searched corpus grows Nx — the deployment shape
+    emb = spark.read.parquet(f"{BASE_SF}/embeddings.parquet")
+    eshift = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    eparts = [emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * eshift))
+              for i in range(scale)]
+    reduce(lambda a, b: a.unionByName(b), eparts).write.mode("overwrite").parquet(
+        str(out / "embeddings.parquet"))
     (out / "_done").touch()
 
 
