@@ -3935,3 +3935,368 @@ def job_q70(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("cnt"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Co-occurrence self-link THROUGH the fact (JOB's movie-keyword-movie
+# traversal): part pairs bought together in one order, canonicalized
+# p1 < p2 — the fact table is the link relation, parts hang off both ends.
+@register(
+    "job_q71",
+    oracle="""
+    SELECT CAST(MIN(l1.l_orderkey) AS BIGINT) AS min_orderkey,
+           MIN(p1.p_name) AS min_promo,
+           MIN(p2.p_name) AS min_economy,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem l1
+    JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+    JOIN part p1 ON l1.l_partkey = p1.p_partkey
+    JOIN part p2 ON l2.l_partkey = p2.p_partkey
+    JOIN orders ON l1.l_orderkey = o_orderkey
+    WHERE p1.p_partkey < p2.p_partkey
+      AND p1.p_type = 'PROMO' AND p2.p_type = 'ECONOMY'
+      AND o_orderpriority = '1-URGENT'
+    """,
+    tags=("job",),
+)
+def job_q71(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, part, orders = _t(spark, sf_dir, "lineitem", "part", "orders")
+    l1 = li.select(F.col("l_orderkey").alias("l1_ok"), F.col("l_partkey").alias("l1_pk"))
+    l2 = li.select(F.col("l_orderkey").alias("l2_ok"), F.col("l_partkey").alias("l2_pk"))
+    p1 = part.filter(F.col("p_type") == "PROMO").select(
+        F.col("p_partkey").alias("p1_key"), F.col("p_name").alias("p1_name"))
+    p2 = part.filter(F.col("p_type") == "ECONOMY").select(
+        F.col("p_partkey").alias("p2_key"), F.col("p_name").alias("p2_name"))
+    return (
+        l1.join(l2, F.col("l1_ok") == F.col("l2_ok"))
+        .join(p1, F.col("l1_pk") == F.col("p1_key"))
+        .join(p2, (F.col("l2_pk") == F.col("p2_key"))
+              & (F.col("p1_key") < F.col("p2_key")))
+        .join(orders.filter(F.col("o_orderpriority") == "1-URGENT"),
+              F.col("l1_ok") == F.col("o_orderkey"))
+        .agg(
+            F.min("l1_ok").alias("min_orderkey"),
+            F.min("p1_name").alias("min_promo"),
+            F.min("p2_name").alias("min_economy"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Dimension-bridged BUSHY graph (JOB 32/33's movie_link bridge): two
+# customers of the SAME nation (c1 < c2), each carrying their own order
+# subgraph — the bridge relation is the 25-row dimension, the optimal plan
+# reduces both wings before crossing them.
+@register(
+    "job_q72",
+    oracle="""
+    SELECT CAST(MIN(c1.c_custkey) AS BIGINT) AS min_c1,
+           CAST(MIN(c2.c_custkey) AS BIGINT) AS min_c2,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM customer c1
+    JOIN nation ON c1.c_nationkey = n_nationkey
+    JOIN customer c2 ON c2.c_nationkey = n_nationkey AND c1.c_custkey < c2.c_custkey
+    JOIN orders o1 ON o1.o_custkey = c1.c_custkey
+    JOIN orders o2 ON o2.o_custkey = c2.c_custkey
+    WHERE n_name = 'NATION_7'
+      AND o1.o_orderdate >= TIMESTAMP '1997-01-01' AND o1.o_orderdate < TIMESTAMP '1997-02-01'
+      AND o2.o_orderdate >= TIMESTAMP '1997-01-01' AND o2.o_orderdate < TIMESTAMP '1997-02-01'
+      AND o1.o_totalprice > 200000 AND o2.o_totalprice > 200000
+    """,
+    tags=("job",),
+)
+def job_q72(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, nation, orders = _t(spark, sf_dir, "customer", "nation", "orders")
+    n7 = nation.filter(F.col("n_name") == "NATION_7").select(
+        F.col("n_nationkey").alias("nk"))
+    c1 = cust.select(F.col("c_custkey").alias("c1_key"),
+                     F.col("c_nationkey").alias("c1_nat"))
+    c2 = cust.select(F.col("c_custkey").alias("c2_key"),
+                     F.col("c_nationkey").alias("c2_nat"))
+    big = orders.filter(
+        _ts_range("o_orderdate", "1997-01-01", "1997-02-01")
+        & (F.col("o_totalprice") > 200000)
+    )
+    o1 = big.select(F.col("o_custkey").alias("o1_ck"))
+    o2 = big.select(F.col("o_custkey").alias("o2_ck"))
+    return (
+        c1.join(F.broadcast(n7), F.col("c1_nat") == F.col("nk"))
+        .join(c2, (F.col("c2_nat") == F.col("nk"))
+              & (F.col("c1_key") < F.col("c2_key")))
+        .join(o1, F.col("o1_ck") == F.col("c1_key"))
+        .join(o2, F.col("o2_ck") == F.col("c2_key"))
+        .agg(
+            F.min("c1_key").alias("min_c1"),
+            F.min("c2_key").alias("min_c2"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Interval-OVERLAP theta self-join: two orders by the same customer whose
+# 30-day windows overlap — a two-sided band edge (each side bounds the
+# other), the classic temporal-join shape.
+@register(
+    "job_q73",
+    oracle="""
+    SELECT CAST(MIN(o1.o_orderkey) AS BIGINT) AS min_o1,
+           CAST(MIN(o2.o_orderkey) AS BIGINT) AS min_o2,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM orders o1
+    JOIN orders o2 ON o1.o_custkey = o2.o_custkey
+      AND o1.o_orderkey < o2.o_orderkey
+      AND o2.o_orderdate < o1.o_orderdate + INTERVAL 30 DAY
+      AND o1.o_orderdate < o2.o_orderdate + INTERVAL 30 DAY
+    JOIN customer ON o1.o_custkey = c_custkey
+    WHERE o1.o_orderdate >= TIMESTAMP '1998-01-01' AND o1.o_orderdate < TIMESTAMP '1999-01-01'
+      AND o2.o_orderdate >= TIMESTAMP '1998-01-01' AND o2.o_orderdate < TIMESTAMP '1999-01-01'
+      AND c_mktsegment = 'AUTOMOBILE'
+    """,
+    tags=("job",),
+)
+def job_q73(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, cust = _t(spark, sf_dir, "orders", "customer")
+    o98 = orders.filter(_ts_range("o_orderdate", "1998-01-01", "1999-01-01"))
+    o1 = o98.select(F.col("o_orderkey").alias("o1_ok"),
+                    F.col("o_custkey").alias("o1_ck"),
+                    F.col("o_orderdate").alias("o1_d"))
+    o2 = o98.select(F.col("o_orderkey").alias("o2_ok"),
+                    F.col("o_custkey").alias("o2_ck"),
+                    F.col("o_orderdate").alias("o2_d"))
+    return (
+        o1.join(
+            o2,
+            (F.col("o1_ck") == F.col("o2_ck"))
+            & (F.col("o1_ok") < F.col("o2_ok"))
+            & (F.col("o2_d") < F.col("o1_d") + F.expr("INTERVAL 30 DAY"))
+            & (F.col("o1_d") < F.col("o2_d") + F.expr("INTERVAL 30 DAY")),
+        )
+        .join(cust.filter(F.col("c_mktsegment") == "AUTOMOBILE"),
+              F.col("o1_ck") == F.col("c_custkey"))
+        .agg(
+            F.min("o1_ok").alias("min_o1"),
+            F.min("o2_ok").alias("min_o2"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Sequential (adjacent-position) self-join: consecutive linenumbers of one
+# order with differing part brands — the next-row-by-key join shape.
+@register(
+    "job_q74",
+    oracle="""
+    SELECT CAST(MIN(l1.l_orderkey) AS BIGINT) AS min_orderkey,
+           MIN(p1.p_brand) AS min_b1,
+           MIN(p2.p_brand) AS min_b2,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem l1
+    JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+      AND l2.l_linenumber = l1.l_linenumber + 1
+    JOIN part p1 ON l1.l_partkey = p1.p_partkey
+    JOIN part p2 ON l2.l_partkey = p2.p_partkey
+    WHERE p1.p_brand <> p2.p_brand
+      AND l1.l_quantity > 45
+    """,
+    tags=("job",),
+)
+def job_q74(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, part = _t(spark, sf_dir, "lineitem", "part")
+    l1 = li.filter(F.col("l_quantity") > 45).select(
+        F.col("l_orderkey").alias("l1_ok"),
+        F.col("l_linenumber").alias("l1_ln"),
+        F.col("l_partkey").alias("l1_pk"))
+    l2 = li.select(F.col("l_orderkey").alias("l2_ok"),
+                   F.col("l_linenumber").alias("l2_ln"),
+                   F.col("l_partkey").alias("l2_pk"))
+    p1 = part.select(F.col("p_partkey").alias("p1_key"),
+                     F.col("p_brand").alias("p1_brand"))
+    p2 = part.select(F.col("p_partkey").alias("p2_key"),
+                     F.col("p_brand").alias("p2_brand"))
+    return (
+        l1.join(l2, (F.col("l1_ok") == F.col("l2_ok"))
+                & (F.col("l2_ln") == F.col("l1_ln") + 1))
+        .join(p1, F.col("l1_pk") == F.col("p1_key"))
+        .join(p2, (F.col("l2_pk") == F.col("p2_key"))
+              & (F.col("p1_brand") != F.col("p2_brand")))
+        .agg(
+            F.min("l1_ok").alias("min_orderkey"),
+            F.min("p1_brand").alias("min_b1"),
+            F.min("p2_brand").alias("min_b2"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Correlated AGGREGATE comparison mid-graph: orders more than twice their
+# customer's own average — the correlated scalar decorrelates to a
+# per-customer aggregate joined back (subquery_to_join analog), with the
+# dim chain continuing above it.
+@register(
+    "job_q75",
+    oracle="""
+    SELECT CAST(MIN(o.o_orderkey) AS BIGINT) AS min_orderkey,
+           MIN(n_name) AS min_nation,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM orders o
+    JOIN customer ON o.o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o.o_totalprice > 2 * (SELECT AVG(o2.o_totalprice) FROM orders o2
+                                WHERE o2.o_custkey = o.o_custkey)
+      AND c_mktsegment = 'BUILDING'
+    """,
+    tags=("job",),
+)
+def job_q75(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, cust, nation = _t(spark, sf_dir, "orders", "customer", "nation")
+    avg_per_cust = orders.groupBy(F.col("o_custkey").alias("a_ck")).agg(
+        F.avg("o_totalprice").alias("avg_price"))
+    return (
+        orders.join(avg_per_cust, F.col("o_custkey") == F.col("a_ck"))
+        .filter(F.col("o_totalprice") > 2 * F.col("avg_price"))
+        .join(cust.filter(F.col("c_mktsegment") == "BUILDING"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .agg(
+            F.min("o_orderkey").alias("min_orderkey"),
+            F.min("n_name").alias("min_nation"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# UNION-DISTINCT branch as a graph node (q27 used UNION ALL; the DISTINCT
+# variant forces a dedup exchange inside the branch because the two legs
+# genuinely overlap — urgent AND very-large 1997 orders exist).
+@register(
+    "job_q76",
+    oracle="""
+    SELECT CAST(MIN(u.o_orderkey) AS BIGINT) AS min_orderkey,
+           MIN(n_name) AS min_nation,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (SELECT o_orderkey, o_custkey FROM orders
+          WHERE o_orderpriority = '1-URGENT'
+            AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+          UNION
+          SELECT o_orderkey, o_custkey FROM orders
+          WHERE o_totalprice > 400000
+            AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01') u
+    JOIN customer ON u.o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    """,
+    tags=("job",),
+)
+def job_q76(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, cust, nation, region = _t(
+        spark, sf_dir, "orders", "customer", "nation", "region"
+    )
+    o97 = orders.filter(_ts_range("o_orderdate", "1997-01-01", "1998-01-01"))
+    u = (
+        o97.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", "o_custkey")
+        .union(o97.filter(F.col("o_totalprice") > 400000)
+               .select("o_orderkey", "o_custkey"))
+        .distinct()
+    )
+    return (
+        u.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .agg(
+            F.min("o_orderkey").alias("min_orderkey"),
+            F.min("n_name").alias("min_nation"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# COMPUTED STRING KEY equi-join: customers and suppliers whose names share
+# a last digit — ten 1-char buckets; statistics on the raw columns say
+# nothing about the derived key (JOB's derived-attribute joins).
+@register(
+    "job_q77",
+    oracle="""
+    SELECT CAST(MIN(c_custkey) AS BIGINT) AS min_cust,
+           MIN(s_name) AS min_supp,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM customer
+    JOIN supplier ON SUBSTR(c_name, LENGTH(c_name), 1) = SUBSTR(s_name, LENGTH(s_name), 1)
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE c_acctbal > 9500 AND s_acctbal > 9000
+    """,
+    tags=("job",),
+)
+def job_q77(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, supp, nation = _t(spark, sf_dir, "customer", "supplier", "nation")
+    c = cust.filter(F.col("c_acctbal") > 9500).withColumn(
+        "c_last", F.substring(F.col("c_name"), -1, 1))
+    s = supp.filter(F.col("s_acctbal") > 9000).withColumn(
+        "s_last", F.substring(F.col("s_name"), -1, 1))
+    return (
+        c.join(s, F.col("c_last") == F.col("s_last"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .agg(
+            F.min("c_custkey").alias("min_cust"),
+            F.min("s_name").alias("min_supp"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Nested EXISTS, depth 2: customer has a 1998 order that ITSELF contains a
+# heavy PROMO line — the inner semi must stay correlated to the MIDDLE
+# relation, not the outer (a decorrelation-ordering stressor).
+@register(
+    "job_q78",
+    oracle="""
+    SELECT CAST(MIN(c_custkey) AS BIGINT) AS min_cust,
+           MIN(n_name) AS min_nation,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE EXISTS (
+      SELECT 1 FROM orders o WHERE o.o_custkey = c_custkey
+        AND o.o_orderdate >= TIMESTAMP '1998-01-01' AND o.o_orderdate < TIMESTAMP '1999-01-01'
+        AND EXISTS (
+          SELECT 1 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+          WHERE l.l_orderkey = o.o_orderkey AND p.p_type = 'PROMO'
+            AND l.l_quantity > 40))
+      AND c_acctbal < 0
+    """,
+    tags=("job",),
+)
+def job_q78(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, nation, orders, li, part = _t(
+        spark, sf_dir, "customer", "nation", "orders", "lineitem", "part"
+    )
+    heavy_promo = (
+        li.filter(F.col("l_quantity") > 40)
+        .join(part.filter(F.col("p_type") == "PROMO"),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .select(F.col("l_orderkey").alias("hp_ok"))
+    )
+    o98 = (
+        orders.filter(_ts_range("o_orderdate", "1998-01-01", "1999-01-01"))
+        .join(heavy_promo, F.col("o_orderkey") == F.col("hp_ok"), "left_semi")
+        .select(F.col("o_custkey").alias("q_ck"))
+    )
+    return (
+        cust.filter(F.col("c_acctbal") < 0)
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(o98, F.col("c_custkey") == F.col("q_ck"), "left_semi")
+        .agg(
+            F.min("c_custkey").alias("min_cust"),
+            F.min("n_name").alias("min_nation"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
