@@ -4300,3 +4300,341 @@ def job_q78(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("cnt"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# COMPOSITE-key anti join: current 'N' lines of (part, supplier) pairings
+# that have NEVER had a return — the anti key is two columns, so the
+# exclusion set cannot be a single-column filter.
+@register(
+    "job_q79",
+    oracle="""
+    SELECT CAST(MIN(l1.l_orderkey) AS BIGINT) AS min_orderkey,
+           MIN(p_name) AS min_part,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem l1
+    JOIN part ON l1.l_partkey = p_partkey
+    WHERE l1.l_returnflag = 'N' AND l1.l_shipdate >= TIMESTAMP '2001-01-01'
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_partkey = l1.l_partkey AND l2.l_suppkey = l1.l_suppkey
+          AND l2.l_returnflag = 'R')
+    """,
+    tags=("job",),
+)
+def job_q79(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, part = _t(spark, sf_dir, "lineitem", "part")
+    returned = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_partkey").alias("r_pk"), F.col("l_suppkey").alias("r_sk"))
+    return (
+        li.filter((F.col("l_returnflag") == "N")
+                  & (F.col("l_shipdate") >= F.lit("2001-01-01")))
+        .join(returned,
+              (F.col("l_partkey") == F.col("r_pk"))
+              & (F.col("l_suppkey") == F.col("r_sk")),
+              "left_anti")
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.min("l_orderkey").alias("min_orderkey"),
+            F.min("p_name").alias("min_part"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Dims-only monster: EVERY predicate sits on a dimension; the two fact
+# tables are completely unfiltered — all reduction comes from dim joins,
+# the inverse of q48's fact-heavy selectivity profile.
+@register(
+    "job_q80",
+    oracle="""
+    SELECT CAST(MIN(l_orderkey) AS BIGINT) AS min_orderkey,
+           MIN(c_name) AS min_cust,
+           MIN(p_name) AS min_part,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN region cr ON cn.n_regionkey = cr.r_regionkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN part ON l_partkey = p_partkey
+    WHERE c_mktsegment = 'MACHINERY' AND c_acctbal BETWEEN 0 AND 5000
+      AND p_type = 'STANDARD' AND p_size BETWEEN 10 AND 35
+      AND p_brand IN ('Brand#3', 'Brand#7', 'Brand#11', 'Brand#15', 'Brand#19')
+      AND s_acctbal > 0 AND s_name NOT LIKE '%88'
+      AND cn.n_name IN ('NATION_4', 'NATION_9', 'NATION_14', 'NATION_19', 'NATION_24')
+      AND cr.r_name = 'MIDDLE EAST'
+      AND sn.n_name LIKE 'NATION_1%'
+    """,
+    tags=("job",),
+)
+def job_q80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders, cust, nation, region, supp, part = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation", "region",
+        "supplier", "part"
+    )
+    cn = nation.filter(F.col("n_name").isin(
+        "NATION_4", "NATION_9", "NATION_14", "NATION_19", "NATION_24")).select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_reg"))
+    cr = region.filter(F.col("r_name") == "MIDDLE EAST").select(
+        F.col("r_regionkey").alias("cr_key"))
+    sn = nation.filter(F.col("n_name").like("NATION_1%")).select(
+        F.col("n_nationkey").alias("sn_key"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            cust.filter((F.col("c_mktsegment") == "MACHINERY")
+                        & F.col("c_acctbal").between(0, 5000)),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(cr), F.col("cn_reg") == F.col("cr_key"))
+        .join(supp.filter((F.col("s_acctbal") > 0)
+                          & ~F.col("s_name").like("%88")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(
+            part.filter(
+                (F.col("p_type") == "STANDARD")
+                & F.col("p_size").between(10, 35)
+                & F.col("p_brand").isin(
+                    "Brand#3", "Brand#7", "Brand#11", "Brand#15", "Brand#19")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .agg(
+            F.min("l_orderkey").alias("min_orderkey"),
+            F.min("c_name").alias("min_cust"),
+            F.min("p_name").alias("min_part"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# String-FUNCTION predicate chain: LENGTH + SUBSTR + containment LIKE —
+# none of these push to the scan as-is (function-wrapped columns), so the
+# optimizer must still reduce via the join order.
+@register(
+    "job_q81",
+    oracle="""
+    SELECT CAST(MIN(l_orderkey) AS BIGINT) AS min_orderkey,
+           MIN(p_name) AS min_part,
+           MIN(s_name) AS min_supp,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE LENGTH(p_name) > 8
+      AND p_name LIKE '%e%'
+      AND s_name LIKE 'Supplier#0000000%'
+      AND SUBSTR(p_name, 1, 1) IN ('s', 'l')
+    """,
+    tags=("job",),
+)
+def job_q81(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, part, supp = _t(spark, sf_dir, "lineitem", "part", "supplier")
+    return (
+        li.join(
+            part.filter(
+                (F.length("p_name") > 8)
+                & F.col("p_name").like("%e%")
+                & F.substring("p_name", 1, 1).isin("s", "l")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(supp.filter(F.col("s_name").like("Supplier#0000000%")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .agg(
+            F.min("l_orderkey").alias("min_orderkey"),
+            F.min("p_name").alias("min_part"),
+            F.min("s_name").alias("min_supp"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Behavioral co-activity pairs: two DIFFERENT users purchasing the same
+# calendar day, bridged to their customer rows with a cross-copy equality
+# (same market segment) — events self-join + customer x2.
+@register(
+    "job_q82",
+    oracle="""
+    SELECT CAST(MIN(e1.user_id) AS BIGINT) AS min_u1,
+           CAST(MIN(e2.user_id) AS BIGINT) AS min_u2,
+           MIN(c1.c_mktsegment) AS min_segment,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events e1
+    JOIN events e2 ON CAST(e1.ts AS DATE) = CAST(e2.ts AS DATE)
+      AND e1.user_id < e2.user_id
+    JOIN customer c1 ON e1.user_id = c1.c_custkey
+    JOIN customer c2 ON e2.user_id = c2.c_custkey
+    WHERE e1.event_type = 'purchase' AND e2.event_type = 'purchase'
+      AND e1.value > 100 AND e2.value > 100
+      AND c1.c_mktsegment = c2.c_mktsegment
+    """,
+    tags=("job",),
+)
+def job_q82(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events, cust = _t(spark, sf_dir, "events", "customer")
+    big = events.filter((F.col("event_type") == "purchase")
+                        & (F.col("value") > 100))
+    e1 = big.select(F.col("user_id").alias("e1_uid"),
+                    F.to_date("ts").alias("e1_day"))
+    e2 = big.select(F.col("user_id").alias("e2_uid"),
+                    F.to_date("ts").alias("e2_day"))
+    c1 = cust.select(F.col("c_custkey").alias("c1_key"),
+                     F.col("c_mktsegment").alias("c1_seg"))
+    c2 = cust.select(F.col("c_custkey").alias("c2_key"),
+                     F.col("c_mktsegment").alias("c2_seg"))
+    return (
+        e1.join(e2, (F.col("e1_day") == F.col("e2_day"))
+                & (F.col("e1_uid") < F.col("e2_uid")))
+        .join(c1, F.col("e1_uid") == F.col("c1_key"))
+        .join(c2, (F.col("e2_uid") == F.col("c2_key"))
+              & (F.col("c1_seg") == F.col("c2_seg")))
+        .agg(
+            F.min("e1_uid").alias("min_u1"),
+            F.min("e2_uid").alias("min_u2"),
+            F.min("c1_seg").alias("min_segment"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# DISTINCT dedup node INSIDE the graph: collapse (customer, part) pairs
+# before the dimension joins — the dedup exchange sits mid-plan and the
+# optimizer must not push joins below it.
+@register(
+    "job_q83",
+    oracle="""
+    SELECT CAST(MIN(d.ck) AS BIGINT) AS min_cust,
+           MIN(p_name) AS min_part,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (SELECT DISTINCT o_custkey AS ck, l_partkey AS pk
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE l_shipdate >= TIMESTAMP '2000-01-01') d
+    JOIN customer ON d.ck = c_custkey
+    JOIN part ON d.pk = p_partkey
+    WHERE c_acctbal > 9000 AND p_type = 'PROMO'
+    """,
+    tags=("job",),
+)
+def job_q83(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders, cust, part = _t(spark, sf_dir, "lineitem", "orders", "customer", "part")
+    d = (
+        li.filter(F.col("l_shipdate") >= F.lit("2000-01-01"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    return (
+        d.join(cust.filter(F.col("c_acctbal") > 9000),
+               F.col("ck") == F.col("c_custkey"))
+        .join(part.filter(F.col("p_type") == "PROMO"),
+              F.col("pk") == F.col("p_partkey"))
+        .agg(
+            F.min("ck").alias("min_cust"),
+            F.min("p_name").alias("min_part"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Top-1-per-group derived node: each customer's single largest order
+# (ROW_NUMBER = 1 — Spark plans WindowGroupLimit) feeding the join chain.
+@register(
+    "job_q84",
+    oracle="""
+    SELECT CAST(MIN(big.o_orderkey) AS BIGINT) AS min_orderkey,
+           MIN(c_name) AS min_cust,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice
+          FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                       ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                FROM orders) t WHERE rn = 1) big
+    JOIN customer ON big.o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = big.o_orderkey
+    JOIN part ON l_partkey = p_partkey
+    WHERE c_mktsegment = 'FURNITURE' AND p_size > 40
+    """,
+    tags=("job",),
+)
+def job_q84(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders, cust, li, part = _t(spark, sf_dir, "orders", "customer", "lineitem", "part")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    big = (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+    return (
+        big.join(cust.filter(F.col("c_mktsegment") == "FURNITURE"),
+                 F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(part.filter(F.col("p_size") > 40),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.min("o_orderkey").alias("min_orderkey"),
+            F.min("c_name").alias("min_cust"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Combination variant: NOT LIKE on two dims + a quantity band + a semi
+# branch against events — the three predicate families q63/q58/q85 stress
+# individually, in ONE graph.
+@register(
+    "job_q85",
+    oracle="""
+    SELECT CAST(MIN(l_orderkey) AS BIGINT) AS min_orderkey,
+           MIN(p_name) AS min_part,
+           MIN(n_name) AS min_nation,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_name NOT LIKE '%ring'
+      AND l_quantity BETWEEN 35 AND 45
+      AND n_name NOT LIKE '%_1'
+      AND EXISTS (SELECT 1 FROM events WHERE user_id = c_custkey
+                  AND event_type = 'signup')
+    """,
+    tags=("job",),
+)
+def job_q85(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders, cust, nation, part, events = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation", "part", "events"
+    )
+    signups = events.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("su_uid"))
+    return (
+        li.filter(F.col("l_quantity").between(35, 45))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(signups, F.col("c_custkey") == F.col("su_uid"), "left_semi")
+        .join(F.broadcast(nation.filter(~F.col("n_name").like("%_1"))),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(part.filter(~F.col("p_name").like("%ring")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.min("l_orderkey").alias("min_orderkey"),
+            F.min("p_name").alias("min_part"),
+            F.min("n_name").alias("min_nation"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
