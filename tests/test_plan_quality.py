@@ -1082,3 +1082,24 @@ def test_window_qualify_plans_window_group_limit(spark):
     assert plan.count("WindowGroupLimit") >= 2, plan
     assert "row_number(), 5, Partial" in plan, plan
     assert "row_number(), 5, Final" in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name", ["job_q71", "job_q73", "job_q74", "job_q82"]
+)
+def test_job_self_link_joins_stay_keyed(spark, name):
+    """Fact self-links (co-occurrence, interval overlap, adjacent position,
+    same-day co-activity): the self-join must ride its equality component
+    (orderkey / custkey / day) with the theta terms as residual conditions
+    — never a nested-loop over the full fact."""
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan, name
+    assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_job_q84_top1_node_plans_window_group_limit(spark):
+    """The top-1-per-customer derived node compiles to partial+final
+    WindowGroupLimit (each map task keeps one row per customer before the
+    shuffle) — the group-limit machinery inside a join graph."""
+    plan = _plan(spark, "job_q84")
+    assert plan.count("WindowGroupLimit") >= 2, plan
