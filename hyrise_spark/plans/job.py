@@ -4638,3 +4638,447 @@ def job_q85(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("cnt"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Round-11 second wave: selectivity/structure VARIANTS of the proven
+# templates — JOB's own a/b/c/d discipline (113 queries are 33 templates
+# X shifted constants; each variant's shifted selectivity product flips
+# the optimal join order, which is exactly what the benchmark measures).
+
+# family-1 variant: equality far-end filters (brand + segment + year).
+@register(
+    "job_q86",
+    oracle="""
+    SELECT CAST(MIN(l_orderkey) AS BIGINT) AS min_orderkey,
+           MIN(c_name) AS min_cust,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand = 'Brand#22'
+      AND c_mktsegment = 'HOUSEHOLD'
+      AND o_orderdate >= TIMESTAMP '1999-01-01' AND o_orderdate < TIMESTAMP '2000-01-01'
+    """,
+    tags=("job",),
+)
+def job_q86(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders, cust, part = _t(spark, sf_dir, "lineitem", "orders", "customer", "part")
+    return (
+        li.join(orders.filter(_ts_range("o_orderdate", "1999-01-01", "2000-01-01")),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust.filter(F.col("c_mktsegment") == "HOUSEHOLD"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(part.filter(F.col("p_brand") == "Brand#22"),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.min("l_orderkey").alias("min_orderkey"),
+            F.min("c_name").alias("min_cust"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+# family-6 variant: double dimension chains pinned AMERICA x AFRICA with a
+# narrow retail-price band replacing the year filter's selectivity.
+@register(
+    "job_q87",
+    oracle="""
+    SELECT CAST(MIN(l_orderkey) AS BIGINT) AS min_orderkey,
+           MIN(cn.n_name) AS min_cust_nation,
+           MIN(sn.n_name) AS min_supp_nation,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN region cr ON cn.n_regionkey = cr.r_regionkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN region sr ON sn.n_regionkey = sr.r_regionkey
+    JOIN part ON l_partkey = p_partkey
+    WHERE cr.r_name = 'AMERICA' AND sr.r_name = 'AFRICA'
+      AND p_retailprice BETWEEN 940 AND 960
+      AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    """,
+    tags=("job",),
+)
+def job_q87(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders, cust, nation, region, supp, part = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation", "region",
+        "supplier", "part"
+    )
+    cn = nation.select(F.col("n_nationkey").alias("cn_key"),
+                       F.col("n_name").alias("cn_name"),
+                       F.col("n_regionkey").alias("cn_reg"))
+    sn = nation.select(F.col("n_nationkey").alias("sn_key"),
+                       F.col("n_name").alias("sn_name"),
+                       F.col("n_regionkey").alias("sn_reg"))
+    cr = region.filter(F.col("r_name") == "AMERICA").select(
+        F.col("r_regionkey").alias("cr_key"))
+    sr = region.filter(F.col("r_name") == "AFRICA").select(
+        F.col("r_regionkey").alias("sr_key"))
+    return (
+        li.join(orders.filter(_ts_range("o_orderdate", "1996-01-01", "1997-01-01")),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(cr), F.col("cn_reg") == F.col("cr_key"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(sr), F.col("sn_reg") == F.col("sr_key"))
+        .join(part.filter(F.col("p_retailprice").between(940, 960)),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.min("l_orderkey").alias("min_orderkey"),
+            F.min("cn_name").alias("min_cust_nation"),
+            F.min("sn_name").alias("min_supp_nation"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+# family-3 variant: IN-lists moved to type/priority, band on discount, and
+# a supplier balance cut.
+@register(
+    "job_q88",
+    oracle="""
+    SELECT CAST(MIN(l_orderkey) AS BIGINT) AS min_orderkey,
+           MIN(p_name) AS min_part,
+           MIN(s_name) AS min_supp,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE p_type IN ('SMALL', 'LARGE')
+      AND o_orderpriority IN ('3-MEDIUM', '4-NOT SPECIFIED')
+      AND l_discount BETWEEN 0.08 AND 0.1
+      AND s_acctbal < 2000
+    """,
+    tags=("job",),
+)
+def job_q88(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders, part, supp = _t(spark, sf_dir, "lineitem", "orders", "part", "supplier")
+    return (
+        li.filter(F.col("l_discount").between(0.08, 0.1))
+        .join(orders.filter(F.col("o_orderpriority").isin("3-MEDIUM", "4-NOT SPECIFIED")),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(part.filter(F.col("p_type").isin("SMALL", "LARGE")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp.filter(F.col("s_acctbal") < 2000),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .agg(
+            F.min("l_orderkey").alias("min_orderkey"),
+            F.min("p_name").alias("min_part"),
+            F.min("s_name").alias("min_supp"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+# semi+anti variant over the BEHAVIORAL table: signed-up users with no
+# high-value error event — both branches against events, different preds.
+@register(
+    "job_q89",
+    oracle="""
+    SELECT CAST(MIN(c_custkey) AS BIGINT) AS min_cust,
+           MIN(n_name) AS min_nation,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'AFRICA'
+      AND EXISTS (SELECT 1 FROM events WHERE user_id = c_custkey
+                  AND event_type = 'signup')
+      AND NOT EXISTS (SELECT 1 FROM events WHERE user_id = c_custkey
+                      AND event_type = 'error' AND value > 250)
+    """,
+    tags=("job",),
+)
+def job_q89(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, nation, region, events = _t(
+        spark, sf_dir, "customer", "nation", "region", "events"
+    )
+    signups = events.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("su_uid"))
+    bad = events.filter((F.col("event_type") == "error")
+                        & (F.col("value") > 250)).select(
+        F.col("user_id").alias("er_uid"))
+    return (
+        cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.filter(F.col("r_name") == "AFRICA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(signups, F.col("c_custkey") == F.col("su_uid"), "left_semi")
+        .join(bad, F.col("c_custkey") == F.col("er_uid"), "left_anti")
+        .agg(
+            F.min("c_custkey").alias("min_cust"),
+            F.min("n_name").alias("min_nation"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+# family-18 variant: multiplicative theta edge (the follow-up order is
+# less than HALF the first) across a 1995->1996 year step.
+@register(
+    "job_q90",
+    oracle="""
+    SELECT CAST(MIN(o1.o_orderkey) AS BIGINT) AS min_o1,
+           CAST(MIN(o2.o_orderkey) AS BIGINT) AS min_o2,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM orders o1
+    JOIN orders o2 ON o1.o_custkey = o2.o_custkey
+      AND o2.o_totalprice < o1.o_totalprice * 0.5
+    JOIN customer ON o1.o_custkey = c_custkey
+    WHERE o1.o_orderdate >= TIMESTAMP '1995-01-01' AND o1.o_orderdate < TIMESTAMP '1996-01-01'
+      AND o2.o_orderdate >= TIMESTAMP '1996-01-01' AND o2.o_orderdate < TIMESTAMP '1997-01-01'
+      AND o1.o_totalprice > 400000
+    """,
+    tags=("job",),
+)
+def job_q90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, cust = _t(spark, sf_dir, "orders", "customer")
+    o1 = orders.filter(
+        _ts_range("o_orderdate", "1995-01-01", "1996-01-01")
+        & (F.col("o_totalprice") > 400000)
+    ).select(F.col("o_orderkey").alias("o1_ok"),
+             F.col("o_custkey").alias("o1_ck"),
+             F.col("o_totalprice").alias("o1_tp"))
+    o2 = orders.filter(_ts_range("o_orderdate", "1996-01-01", "1997-01-01")).select(
+        F.col("o_orderkey").alias("o2_ok"),
+        F.col("o_custkey").alias("o2_ck"),
+        F.col("o_totalprice").alias("o2_tp"))
+    return (
+        o1.join(o2, (F.col("o1_ck") == F.col("o2_ck"))
+                & (F.col("o2_tp") < F.col("o1_tp") * 0.5))
+        .join(cust, F.col("o1_ck") == F.col("c_custkey"))
+        .agg(
+            F.min("o1_ok").alias("min_o1"),
+            F.min("o2_ok").alias("min_o2"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+# LIKE-chain f-variant: brand prefix + mid-word space pattern + name prefix.
+@register(
+    "job_q91",
+    oracle="""
+    SELECT CAST(MIN(l_orderkey) AS BIGINT) AS min_orderkey,
+           MIN(p_name) AS min_part,
+           MIN(c_name) AS min_cust,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE p_brand LIKE 'Brand#2%'
+      AND p_name LIKE '% r%'
+      AND c_name LIKE 'Customer#00000%'
+      AND o_orderstatus = 'F'
+      AND l_returnflag <> 'N'
+    """,
+    tags=("job",),
+)
+def job_q91(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, part, orders, cust = _t(spark, sf_dir, "lineitem", "part", "orders", "customer")
+    return (
+        li.filter(F.col("l_returnflag") != "N")
+        .join(part.filter(F.col("p_brand").like("Brand#2%")
+                          & F.col("p_name").like("% r%")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders.filter(F.col("o_orderstatus") == "F"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust.filter(F.col("c_name").like("Customer#00000%")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .agg(
+            F.min("l_orderkey").alias("min_orderkey"),
+            F.min("p_name").alias("min_part"),
+            F.min("c_name").alias("min_cust"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+# balanced monster variant: 18 predicates split evenly across facts and
+# dims, plus the shared-region clique edge (cn.reg = sn.reg).
+@register(
+    "job_q92",
+    oracle="""
+    SELECT CAST(MIN(l_orderkey) AS BIGINT) AS min_orderkey,
+           MIN(p_name) AS min_part,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_quantity > 25 AND l_discount < 0.05 AND l_returnflag = 'A'
+      AND l_shipdate >= TIMESTAMP '1997-06-01' AND l_shipdate < TIMESTAMP '1998-06-01'
+      AND o_totalprice > 100000 AND o_orderstatus = 'F'
+      AND c_acctbal > 2000 AND c_mktsegment IN ('BUILDING', 'MACHINERY')
+      AND p_size > 25 AND p_type <> 'PROMO' AND p_brand NOT LIKE '%4'
+      AND s_acctbal BETWEEN 1000 AND 8000
+      AND cn.n_regionkey = sn.n_regionkey
+    """,
+    tags=("job",),
+)
+def job_q92(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders, cust, nation, supp, part = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation", "supplier", "part"
+    )
+    cn = nation.select(F.col("n_nationkey").alias("cn_key"),
+                       F.col("n_regionkey").alias("cn_reg"))
+    sn = nation.select(F.col("n_nationkey").alias("sn_key"),
+                       F.col("n_regionkey").alias("sn_reg"))
+    return (
+        li.filter(
+            (F.col("l_quantity") > 25) & (F.col("l_discount") < 0.05)
+            & (F.col("l_returnflag") == "A")
+            & _ts_range("l_shipdate", "1997-06-01", "1998-06-01")
+        )
+        .join(orders.filter((F.col("o_totalprice") > 100000)
+                            & (F.col("o_orderstatus") == "F")),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust.filter((F.col("c_acctbal") > 2000)
+                          & F.col("c_mktsegment").isin("BUILDING", "MACHINERY")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(supp.filter(F.col("s_acctbal").between(1000, 8000)),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn),
+              (F.col("s_nationkey") == F.col("sn_key"))
+              & (F.col("cn_reg") == F.col("sn_reg")))
+        .join(part.filter((F.col("p_size") > 25)
+                          & (F.col("p_type") != "PROMO")
+                          & ~F.col("p_brand").like("%4")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.min("l_orderkey").alias("min_orderkey"),
+            F.min("p_name").alias("min_part"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+# aggregate-node variant (family 20): per-supplier revenue derived relation
+# gated by a HAVING-like filter, then the dimension chain.
+@register(
+    "job_q93",
+    oracle="""
+    SELECT CAST(MIN(s_suppkey) AS BIGINT) AS min_supp,
+           MIN(n_name) AS min_nation,
+           ROUND(MIN(r.rev), 2) AS min_rev,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (SELECT l_suppkey AS sk, SUM(l_extendedprice * (1 - l_discount)) AS rev
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1999-01-01'
+          GROUP BY l_suppkey) r
+    JOIN supplier ON r.sk = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE' AND r.rev > 1000000
+    """,
+    tags=("job",),
+)
+def job_q93(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, supp, nation, region = _t(
+        spark, sf_dir, "lineitem", "supplier", "nation", "region"
+    )
+    r = (
+        li.filter(_ts_range("l_shipdate", "1998-01-01", "1999-01-01"))
+        .groupBy(F.col("l_suppkey").alias("sk"))
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+        .filter(F.col("rev") > 1000000)
+    )
+    return (
+        r.join(supp, F.col("sk") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .agg(
+            F.min("s_suppkey").alias("min_supp"),
+            F.min("n_name").alias("min_nation"),
+            F.round(F.min("rev"), R2).alias("min_rev"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+# cycle variant (family 22): domestic-supply cycle under a 2000 date band
+# and a price floor instead of LIKE predicates.
+@register(
+    "job_q94",
+    oracle="""
+    SELECT CAST(MIN(o_orderkey) AS BIGINT) AS min_orderkey,
+           MIN(p_name) AS min_part,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM customer
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+    JOIN part ON l_partkey = p_partkey
+    WHERE o_orderdate >= TIMESTAMP '2000-01-01' AND o_orderdate < TIMESTAMP '2001-01-01'
+      AND p_retailprice > 980
+    """,
+    tags=("job",),
+)
+def job_q94(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders, li, supp, part = _t(
+        spark, sf_dir, "customer", "orders", "lineitem", "supplier", "part"
+    )
+    return (
+        cust.join(orders.filter(_ts_range("o_orderdate", "2000-01-01", "2001-01-01")),
+                  F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supp, (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("s_nationkey") == F.col("c_nationkey")))
+        .join(part.filter(F.col("p_retailprice") > 980),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.min("o_orderkey").alias("min_orderkey"),
+            F.min("p_name").alias("min_part"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+# outer-mid-chain variant (family of q43): suppliers left-joined to one
+# month of their lines — null-extended suppliers (no Jan-2000 shipments)
+# must survive; COALESCE makes them countable.
+@register(
+    "job_q95",
+    oracle="""
+    SELECT CAST(MIN(s_suppkey) AS BIGINT) AS min_supp,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(COUNT(l_orderkey) AS BIGINT) AS matched
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    LEFT JOIN lineitem ON l_suppkey = s_suppkey
+      AND l_shipdate >= TIMESTAMP '2000-01-01' AND l_shipdate < TIMESTAMP '2000-02-01'
+    WHERE r_name = 'AMERICA' AND s_acctbal > 3000
+    """,
+    tags=("job",),
+)
+def job_q95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp, nation, region, li = _t(
+        spark, sf_dir, "supplier", "nation", "region", "lineitem"
+    )
+    jan = li.filter(_ts_range("l_shipdate", "2000-01-01", "2000-02-01"))
+    return (
+        supp.filter(F.col("s_acctbal") > 3000)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.filter(F.col("r_name") == "AMERICA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(jan, F.col("l_suppkey") == F.col("s_suppkey"), "left")
+        .agg(
+            F.min("s_suppkey").alias("min_supp"),
+            F.count(F.lit(1)).alias("cnt"),
+            F.count("l_orderkey").alias("matched"),
+        )
+    )
