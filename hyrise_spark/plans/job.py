@@ -5082,3 +5082,646 @@ def job_q95(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("l_orderkey").alias("matched"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Round-11 third wave (q96-q113): completes the 113-query count parity
+# with the reference corpus (join_order_benchmark.cpp) — each remains a
+# structurally distinguishable graph/predicate combination, not a clone.
+
+# mid-chain-only selectivity: ALL filtering sits on orders, ends open.
+@register(
+    "job_q96",
+    oracle="""
+    SELECT CAST(MIN(l_orderkey) AS BIGINT) AS min_orderkey,
+           MIN(n_name) AS min_nation,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderpriority = '5-LOW' AND o_totalprice < 20000
+    """,
+    tags=("job",),
+)
+def job_q96(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders, cust, nation = _t(spark, sf_dir, "lineitem", "orders", "customer", "nation")
+    return (
+        li.join(orders.filter((F.col("o_orderpriority") == "5-LOW")
+                              & (F.col("o_totalprice") < 20000)),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .agg(F.min("l_orderkey").alias("min_orderkey"),
+             F.min("n_name").alias("min_nation"),
+             F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+# IN + NOT IN mixed on one dim, IN on another.
+@register(
+    "job_q97",
+    oracle="""
+    SELECT CAST(MIN(l_orderkey) AS BIGINT) AS min_orderkey,
+           MIN(p_name) AS min_part,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_brand IN ('Brand#6', 'Brand#16') AND p_size NOT IN (1, 2, 3)
+      AND n_name IN ('NATION_3', 'NATION_8', 'NATION_13')
+    """,
+    tags=("job",),
+)
+def job_q97(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, part, supp, nation = _t(spark, sf_dir, "lineitem", "part", "supplier", "nation")
+    return (
+        li.join(part.filter(F.col("p_brand").isin("Brand#6", "Brand#16")
+                            & ~F.col("p_size").isin(1, 2, 3)),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation.filter(F.col("n_name").isin(
+            "NATION_3", "NATION_8", "NATION_13"))),
+            F.col("s_nationkey") == F.col("n_nationkey"))
+        .agg(F.min("l_orderkey").alias("min_orderkey"),
+             F.min("p_name").alias("min_part"),
+             F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+# same-region BOTH sides + nation inequality (intra-EUROPE cross-border).
+@register(
+    "job_q98",
+    oracle="""
+    SELECT CAST(MIN(l_orderkey) AS BIGINT) AS min_orderkey,
+           MIN(cn.n_name) AS min_cust_nation,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN region cr ON cn.n_regionkey = cr.r_regionkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN region sr ON sn.n_regionkey = sr.r_regionkey
+    WHERE cr.r_name = 'EUROPE' AND sr.r_name = 'EUROPE'
+      AND cn.n_nationkey <> sn.n_nationkey
+      AND l_shipdate >= TIMESTAMP '1999-06-01' AND l_shipdate < TIMESTAMP '1999-09-01'
+    """,
+    tags=("job",),
+)
+def job_q98(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders, cust, nation, region, supp = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation", "region", "supplier"
+    )
+    cn = nation.select(F.col("n_nationkey").alias("cn_key"),
+                       F.col("n_name").alias("cn_name"),
+                       F.col("n_regionkey").alias("cn_reg"))
+    sn = nation.select(F.col("n_nationkey").alias("sn_key"),
+                       F.col("n_regionkey").alias("sn_reg"))
+    cr = region.filter(F.col("r_name") == "EUROPE").select(
+        F.col("r_regionkey").alias("cr_key"))
+    sr = region.filter(F.col("r_name") == "EUROPE").select(
+        F.col("r_regionkey").alias("sr_key"))
+    return (
+        li.filter(_ts_range("l_shipdate", "1999-06-01", "1999-09-01"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(cr), F.col("cn_reg") == F.col("cr_key"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), (F.col("s_nationkey") == F.col("sn_key"))
+              & (F.col("cn_key") != F.col("sn_key")))
+        .join(F.broadcast(sr), F.col("sn_reg") == F.col("sr_key"))
+        .agg(F.min("l_orderkey").alias("min_orderkey"),
+             F.min("cn_name").alias("min_cust_nation"),
+             F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+# semi on one dim, anti on another, both from the fact.
+@register(
+    "job_q99",
+    oracle="""
+    SELECT CAST(MIN(l_orderkey) AS BIGINT) AS min_orderkey,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey AND p_type = 'MEDIUM')
+      AND NOT EXISTS (SELECT 1 FROM supplier WHERE s_suppkey = l_suppkey AND s_acctbal < 0)
+      AND o_orderdate >= TIMESTAMP '2001-01-01'
+    """,
+    tags=("job",),
+)
+def job_q99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders, part, supp = _t(spark, sf_dir, "lineitem", "orders", "part", "supplier")
+    med = part.filter(F.col("p_type") == "MEDIUM").select(
+        F.col("p_partkey").alias("m_pk"))
+    neg = supp.filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("n_sk"))
+    return (
+        li.join(orders.filter(F.col("o_orderdate") >= F.lit("2001-01-01")),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(med, F.col("l_partkey") == F.col("m_pk"), "left_semi")
+        .join(neg, F.col("l_suppkey") == F.col("n_sk"), "left_anti")
+        .agg(F.min("l_orderkey").alias("min_orderkey"),
+             F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+# date theta INSIDE the join condition: late shipments (> order + 60 days).
+@register(
+    "job_q100",
+    oracle="""
+    SELECT CAST(MIN(l_orderkey) AS BIGINT) AS min_orderkey,
+           MIN(c_name) AS min_cust,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING' AND o_orderpriority = '1-URGENT'
+    """,
+    tags=("job",),
+)
+def job_q100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders, cust = _t(spark, sf_dir, "lineitem", "orders", "customer")
+    return (
+        li.join(
+            orders.filter(F.col("o_orderpriority") == "1-URGENT"),
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")),
+        )
+        .join(cust.filter(F.col("c_mktsegment") == "BUILDING"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .agg(F.min("l_orderkey").alias("min_orderkey"),
+             F.min("c_name").alias("min_cust"),
+             F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+# rare-adjective LIKE + supplier suffix + singleton IN.
+@register(
+    "job_q101",
+    oracle="""
+    SELECT CAST(MIN(l_orderkey) AS BIGINT) AS min_orderkey,
+           MIN(p_name) AS min_part,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE p_name LIKE 'cold%' AND s_name LIKE '%5'
+      AND o_orderpriority IN ('2-HIGH')
+    """,
+    tags=("job",),
+)
+def job_q101(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, part, supp, orders = _t(spark, sf_dir, "lineitem", "part", "supplier", "orders")
+    return (
+        li.join(part.filter(F.col("p_name").like("cold%")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp.filter(F.col("s_name").like("%5")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders.filter(F.col("o_orderpriority").isin("2-HIGH")),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .agg(F.min("l_orderkey").alias("min_orderkey"),
+             F.min("p_name").alias("min_part"),
+             F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+# behavioral leg with a value band, joined into the relational chain.
+@register(
+    "job_q102",
+    oracle="""
+    SELECT CAST(MIN(event_id) AS BIGINT) AS min_event,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_orderkey,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events JOIN customer ON user_id = c_custkey
+    JOIN orders ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE event_type = 'click' AND value > 350
+      AND o_orderdate >= TIMESTAMP '2000-01-01' AND o_orderdate < TIMESTAMP '2001-01-01'
+    """,
+    tags=("job",),
+)
+def job_q102(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events, cust, orders, nation = _t(
+        spark, sf_dir, "events", "customer", "orders", "nation"
+    )
+    return (
+        events.filter((F.col("event_type") == "click") & (F.col("value") > 350))
+        .join(cust, F.col("user_id") == F.col("c_custkey"))
+        .join(orders.filter(_ts_range("o_orderdate", "2000-01-01", "2001-01-01")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .agg(F.min("event_id").alias("min_event"),
+             F.min("o_orderkey").alias("min_orderkey"),
+             F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+# orders x3 variant keyed on STATUS (not year): one P, one O, one F.
+@register(
+    "job_q103",
+    oracle="""
+    SELECT CAST(MIN(c_custkey) AS BIGINT) AS min_cust,
+           CAST(MIN(o1.o_orderkey) AS BIGINT) AS min_p_order,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM customer
+    JOIN orders o1 ON o1.o_custkey = c_custkey
+    JOIN orders o2 ON o2.o_custkey = c_custkey
+    JOIN orders o3 ON o3.o_custkey = c_custkey
+    WHERE o1.o_orderstatus = 'P' AND o2.o_orderstatus = 'O' AND o3.o_orderstatus = 'F'
+      AND o1.o_totalprice > 300000
+      AND o2.o_totalprice > 300000 AND o3.o_totalprice > 300000
+    """,
+    tags=("job",),
+)
+def job_q103(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders = _t(spark, sf_dir, "customer", "orders")
+    big = orders.filter(F.col("o_totalprice") > 300000)
+
+    def st(tag, status):
+        return big.filter(F.col("o_orderstatus") == status).select(
+            F.col("o_custkey").alias(f"{tag}_ck"),
+            F.col("o_orderkey").alias(f"{tag}_ok"))
+
+    return (
+        cust.join(st("o1", "P"), F.col("o1_ck") == F.col("c_custkey"))
+        .join(st("o2", "O"), F.col("o2_ck") == F.col("c_custkey"))
+        .join(st("o3", "F"), F.col("o3_ck") == F.col("c_custkey"))
+        .agg(F.min("c_custkey").alias("min_cust"),
+             F.min("o1_ok").alias("min_p_order"),
+             F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+# anti whose exclusion predicate is itself a DISJUNCTION.
+@register(
+    "job_q104",
+    oracle="""
+    SELECT CAST(MIN(c_custkey) AS BIGINT) AS min_cust,
+           MIN(n_name) AS min_nation,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders WHERE o_custkey = c_custkey
+          AND (o_orderstatus = 'P' OR o_totalprice > 450000))
+      AND c_acctbal > 9000
+    """,
+    tags=("job",),
+)
+def job_q104(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, nation, orders = _t(spark, sf_dir, "customer", "nation", "orders")
+    excl = orders.filter((F.col("o_orderstatus") == "P")
+                         | (F.col("o_totalprice") > 450000)).select(
+        F.col("o_custkey").alias("x_ck"))
+    return (
+        cust.filter(F.col("c_acctbal") > 9000)
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(excl, F.col("c_custkey") == F.col("x_ck"), "left_anti")
+        .agg(F.min("c_custkey").alias("min_cust"),
+             F.min("n_name").alias("min_nation"),
+             F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+# CROSS-TABLE correlated scalar: supplier balance vs the average CUSTOMER
+# balance of the supplier's own nation — the correlation key bridges two
+# different dimension tables.
+@register(
+    "job_q105",
+    oracle="""
+    SELECT CAST(MIN(s_suppkey) AS BIGINT) AS min_supp,
+           MIN(n_name) AS min_nation,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM supplier s
+    JOIN nation ON s.s_nationkey = n_nationkey
+    WHERE s.s_acctbal > (SELECT AVG(c_acctbal) FROM customer c
+                         WHERE c.c_nationkey = s.s_nationkey)
+      AND n_name LIKE 'NATION_2%'
+    """,
+    tags=("job",),
+)
+def job_q105(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp, nation, cust = _t(spark, sf_dir, "supplier", "nation", "customer")
+    avg_bal = cust.groupBy(F.col("c_nationkey").alias("ab_nat")).agg(
+        F.avg("c_acctbal").alias("avg_bal"))
+    return (
+        supp.join(F.broadcast(avg_bal), F.col("s_nationkey") == F.col("ab_nat"))
+        .filter(F.col("s_acctbal") > F.col("avg_bal"))
+        .join(F.broadcast(nation.filter(F.col("n_name").like("NATION_2%"))),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .agg(F.min("s_suppkey").alias("min_supp"),
+             F.min("n_name").alias("min_nation"),
+             F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+# derived-month equality (function-wrapped date: December orders of any
+# year) + a tight price band — unpushable date predicate by design.
+@register(
+    "job_q106",
+    oracle="""
+    SELECT CAST(MIN(o_orderkey) AS BIGINT) AS min_orderkey,
+           MIN(c_name) AS min_cust,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE EXTRACT(MONTH FROM o_orderdate) = 12
+      AND o_totalprice BETWEEN 350000 AND 450000
+      AND c_acctbal < 500
+    """,
+    tags=("job",),
+)
+def job_q106(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, cust = _t(spark, sf_dir, "orders", "customer")
+    return (
+        orders.filter((F.month("o_orderdate") == 12)
+                      & F.col("o_totalprice").between(350000, 450000))
+        .join(cust.filter(F.col("c_acctbal") < 500),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .agg(F.min("o_orderkey").alias("min_orderkey"),
+             F.min("c_name").alias("min_cust"),
+             F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+# all-dims star with regionkey literals on both nation copies and a
+# quantity EQUALITY (the rarest fact predicate form).
+@register(
+    "job_q107",
+    oracle="""
+    SELECT CAST(MIN(l_orderkey) AS BIGINT) AS min_orderkey,
+           MIN(p_name) AS min_part,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE c_acctbal > 0 AND p_size < 25 AND s_acctbal > 0
+      AND cn.n_regionkey = 2 AND sn.n_regionkey = 3
+      AND l_quantity = 1
+    """,
+    tags=("job",),
+)
+def job_q107(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders, cust, part, supp, nation = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "part", "supplier", "nation"
+    )
+    cn = nation.filter(F.col("n_regionkey") == 2).select(
+        F.col("n_nationkey").alias("cn_key"))
+    sn = nation.filter(F.col("n_regionkey") == 3).select(
+        F.col("n_nationkey").alias("sn_key"))
+    return (
+        li.filter(F.col("l_quantity") == 1)
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust.filter(F.col("c_acctbal") > 0),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(part.filter(F.col("p_size") < 25),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp.filter(F.col("s_acctbal") > 0),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .agg(F.min("l_orderkey").alias("min_orderkey"),
+             F.min("p_name").alias("min_part"),
+             F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+# same-part cross-ORDER self-join with a time-inversion theta (an earlier
+# ship in a later order) — two theta terms on different columns.
+@register(
+    "job_q108",
+    oracle="""
+    SELECT CAST(MIN(l1.l_orderkey) AS BIGINT) AS min_o1,
+           CAST(MIN(l2.l_orderkey) AS BIGINT) AS min_o2,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem l1
+    JOIN lineitem l2 ON l1.l_partkey = l2.l_partkey
+      AND l1.l_orderkey < l2.l_orderkey
+      AND l2.l_shipdate < l1.l_shipdate
+    JOIN part ON l1.l_partkey = p_partkey
+    WHERE p_type = 'PROMO' AND p_size > 45
+      AND l1.l_shipdate >= TIMESTAMP '2001-06-01'
+    """,
+    tags=("job",),
+)
+def job_q108(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, part = _t(spark, sf_dir, "lineitem", "part")
+    l1 = li.filter(F.col("l_shipdate") >= F.lit("2001-06-01")).select(
+        F.col("l_orderkey").alias("l1_ok"),
+        F.col("l_partkey").alias("l1_pk"),
+        F.col("l_shipdate").alias("l1_sd"))
+    l2 = li.select(F.col("l_orderkey").alias("l2_ok"),
+                   F.col("l_partkey").alias("l2_pk"),
+                   F.col("l_shipdate").alias("l2_sd"))
+    return (
+        l1.join(l2, (F.col("l1_pk") == F.col("l2_pk"))
+                & (F.col("l1_ok") < F.col("l2_ok"))
+                & (F.col("l2_sd") < F.col("l1_sd")))
+        .join(part.filter((F.col("p_type") == "PROMO") & (F.col("p_size") > 45)),
+              F.col("l1_pk") == F.col("p_partkey"))
+        .agg(F.min("l1_ok").alias("min_o1"),
+             F.min("l2_ok").alias("min_o2"),
+             F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+# aggregate OF an aggregate as the graph node: per-nation average of the
+# per-customer lifetime totals — two grouping levels before any dim join.
+@register(
+    "job_q109",
+    oracle="""
+    SELECT CAST(MIN(n_nationkey) AS BIGINT) AS min_nation_key,
+           MIN(n_name) AS min_nation,
+           ROUND(MIN(avg_tot), 2) AS min_avg_total,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (SELECT c_nationkey AS nk, AVG(tot) AS avg_tot
+          FROM (SELECT c_custkey, c_nationkey, SUM(o_totalprice) AS tot
+                FROM customer JOIN orders ON o_custkey = c_custkey
+                GROUP BY c_custkey, c_nationkey) per_cust
+          GROUP BY c_nationkey) per_nation
+    JOIN nation ON nk = n_nationkey
+    WHERE avg_tot > 400000
+    """,
+    tags=("job",),
+)
+def job_q109(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders, nation = _t(spark, sf_dir, "customer", "orders", "nation")
+    per_cust = (
+        cust.join(orders, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(F.sum("o_totalprice").alias("tot"))
+    )
+    per_nation = (
+        per_cust.groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.avg("tot").alias("avg_tot"))
+        .filter(F.col("avg_tot") > 400000)
+    )
+    return (
+        per_nation.join(F.broadcast(nation), F.col("nk") == F.col("n_nationkey"))
+        .agg(F.min("n_nationkey").alias("min_nation_key"),
+             F.min("n_name").alias("min_nation"),
+             F.round(F.min("avg_tot"), R2).alias("min_avg_total"),
+             F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+# EXISTS whose inner body is a 2-way join WITH a LIKE — the semi branch
+# carries its own string predicate.
+@register(
+    "job_q110",
+    oracle="""
+    SELECT CAST(MIN(p_partkey) AS BIGINT) AS min_part,
+           MIN(p_name) AS min_name,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM part
+    WHERE EXISTS (SELECT 1 FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                  WHERE l_partkey = p_partkey AND s_name LIKE '%99'
+                    AND l_quantity > 30)
+      AND p_name LIKE 'new%'
+    """,
+    tags=("job",),
+)
+def job_q110(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part, li, supp = _t(spark, sf_dir, "part", "lineitem", "supplier")
+    inner = (
+        li.filter(F.col("l_quantity") > 30)
+        .join(supp.filter(F.col("s_name").like("%99")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(F.col("l_partkey").alias("i_pk"))
+    )
+    return (
+        part.filter(F.col("p_name").like("new%"))
+        .join(inner, F.col("p_partkey") == F.col("i_pk"), "left_semi")
+        .agg(F.min("p_partkey").alias("min_part"),
+             F.min("p_name").alias("min_name"),
+             F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+# outer join BELOW a dim equality: the nation filter must still apply to
+# null-extended customers (it sits on the preserved side).
+@register(
+    "job_q111",
+    oracle="""
+    SELECT CAST(MIN(c_custkey) AS BIGINT) AS min_cust,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(COUNT(o_orderkey) AS BIGINT) AS matched
+    FROM customer
+    LEFT JOIN orders ON o_custkey = c_custkey
+      AND o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-03-01'
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE n_name = 'NATION_11'
+    """,
+    tags=("job",),
+)
+def job_q111(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust, orders, nation = _t(spark, sf_dir, "customer", "orders", "nation")
+    early = orders.filter(_ts_range("o_orderdate", "1995-01-01", "1995-03-01"))
+    return (
+        cust.join(early, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .join(F.broadcast(nation.filter(F.col("n_name") == "NATION_11")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .agg(F.min("c_custkey").alias("min_cust"),
+             F.count(F.lit(1)).alias("cnt"),
+             F.count("o_orderkey").alias("matched"))
+    )
+
+
+# IN-subquery against a WINDOW-derived set (top-3 orders per status).
+@register(
+    "job_q112",
+    oracle="""
+    SELECT CAST(MIN(o_orderkey) AS BIGINT) AS min_orderkey,
+           ROUND(MIN(o_totalprice), 2) AS min_price,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM orders
+    WHERE o_orderkey IN (
+      SELECT o_orderkey FROM (
+        SELECT o_orderkey, ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                              ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders) t WHERE rn <= 3)
+    """,
+    tags=("job",),
+)
+def job_q112(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    top3 = (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(F.col("o_orderkey").alias("t_ok"))
+    )
+    return (
+        orders.join(F.broadcast(top3), F.col("o_orderkey") == F.col("t_ok"),
+                    "left_semi")
+        .agg(F.min("o_orderkey").alias("min_orderkey"),
+             F.round(F.min("o_totalprice"), R2).alias("min_price"),
+             F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+# closing kitchen sink: 8 relations + a behavioral semi + two NOT LIKEs +
+# a band + a suffix LIKE + an IN — the 113th query.
+@register(
+    "job_q113",
+    oracle="""
+    SELECT CAST(MIN(l_orderkey) AS BIGINT) AS min_orderkey,
+           MIN(p_name) AS min_part,
+           MIN(cn.n_name) AS min_cust_nation,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN region cr ON cn.n_regionkey = cr.r_regionkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN part ON l_partkey = p_partkey
+    WHERE cr.r_name IN ('ASIA', 'MIDDLE EAST')
+      AND sn.n_name NOT LIKE '%_2'
+      AND p_name LIKE '%bolt'
+      AND l_quantity BETWEEN 10 AND 20
+      AND o_totalprice > 50000
+      AND c_name NOT LIKE '%7'
+      AND EXISTS (SELECT 1 FROM events WHERE user_id = c_custkey
+                  AND event_type = 'view')
+    """,
+    tags=("job",),
+)
+def job_q113(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, orders, cust, nation, region, supp, part, events = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation", "region",
+        "supplier", "part", "events"
+    )
+    cn = nation.select(F.col("n_nationkey").alias("cn_key"),
+                       F.col("n_name").alias("cn_name"),
+                       F.col("n_regionkey").alias("cn_reg"))
+    cr = region.filter(F.col("r_name").isin("ASIA", "MIDDLE EAST")).select(
+        F.col("r_regionkey").alias("cr_key"))
+    sn = nation.filter(~F.col("n_name").like("%_2")).select(
+        F.col("n_nationkey").alias("sn_key"))
+    viewers = events.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("vw_uid"))
+    return (
+        li.filter(F.col("l_quantity").between(10, 20))
+        .join(orders.filter(F.col("o_totalprice") > 50000),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust.filter(~F.col("c_name").like("%7")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(viewers, F.col("c_custkey") == F.col("vw_uid"), "left_semi")
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(cr), F.col("cn_reg") == F.col("cr_key"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(part.filter(F.col("p_name").like("%bolt")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .agg(F.min("l_orderkey").alias("min_orderkey"),
+             F.min("p_name").alias("min_part"),
+             F.min("cn_name").alias("min_cust_nation"),
+             F.count(F.lit(1)).alias("cnt"))
+    )
