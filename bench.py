@@ -61,9 +61,12 @@ def main() -> None:
     from hyrise_spark.plans.tpch_datesorted import ensure_date_sorted
     from hyrise_spark.plans.tpch_datepartitioned import ensure_date_partitioned
 
+    from hyrise_spark.plans.jcch_suite import ensure_jcch
+
     ensure_bucketed(spark, sf_dir)
     ensure_date_sorted(spark, sf_dir)
     ensure_date_partitioned(spark, sf_dir)
+    ensure_jcch(spark, sf_dir)
 
     runs = max(1, int(os.environ.get("SPARK_GRAFT_RUNS", "3")))
     # Optional comma-separated subset (e.g. the 20 slowest at runs=5 for a

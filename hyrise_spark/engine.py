@@ -106,6 +106,15 @@ def _strip_str_literals(s: str) -> str:
     return re.sub(r"'[^']*'", "''", s)
 
 
+def _mask_str_literals(s: str) -> str:
+    """LENGTH-PRESERVING variant of _strip_str_literals: literal contents
+    become spaces, so positional scanners (paren matchers, aggregate-call
+    finders) can search the MASKED text and slice the ORIGINAL by the same
+    offsets — a literal containing "SUM(x) OVER (... EXCLUDE GROUP)" must
+    never be rewritten (ADVICE r11)."""
+    return re.sub(r"'[^']*'", lambda m: "'" + " " * (len(m[0]) - 2) + "'", s)
+
+
 def _parse_literal(tok: str):
     """One EXECUTE argument literal -> Python value."""
     t = tok.strip()
@@ -1305,8 +1314,24 @@ class Engine:
     def _window_dialect_sql(self, stmt: str) -> DataFrame:
         """Window dialect forms Spark lacks, composed as text transforms:
         `fn(x) FILTER (WHERE p) OVER (...)` first (it can wrap an excluded
-        frame), then SQL:2011 frame exclusion."""
-        return self.spark.sql(self._rewrite_window_dialect(stmt))
+        frame), then SQL:2011 frame exclusion.
+
+        The DISTINCT-fold type sniff resolves bare columns against the
+        REGISTERED views; a statement-local derived column that shadows a
+        registered integral name can make the BIGINT accumulator type-
+        mismatch at analysis (ADVICE r11). Retry once with the
+        always-type-legal DOUBLE fold before surfacing the error."""
+        try:
+            return self.spark.sql(self._rewrite_window_dialect(stmt))
+        except Exception as e:  # analysis-time accumulator/element clash
+            if ("DATATYPE_MISMATCH" not in str(e)
+                    or not self._has_window_distinct(stmt)):
+                raise
+            self._fold_force_double = True
+            try:
+                return self.spark.sql(self._rewrite_window_dialect(stmt))
+            finally:
+                self._fold_force_double = False
 
     def _rewrite_window_dialect(self, stmt: str) -> str:
         """Both window text transforms in composition order — also applied
@@ -1427,7 +1452,18 @@ class Engine:
                 if oclose == -1:
                     raise ValueError("window DISTINCT: unbalanced OVER spec")
                 spec = stmt[oopen + 1:oclose]
-            if fn in ("MIN", "MAX"):
+            em = re.search(
+                r"\s*EXCLUDE\s+(?P<mode>CURRENT\s+ROW|GROUP|TIES|"
+                r"NO\s+OTHERS)\s*$", _mask_str_literals(spec), re.I)
+            exmode = None
+            if em:  # mask is length-preserving: em offsets index `spec`
+                exmode = re.sub(r"\s+", " ", em["mode"].upper())
+                spec = spec[:em.start()].rstrip()
+                if exmode == "NO OTHERS":
+                    exmode = None  # SQL:2011's explicit default
+            if exmode is not None:
+                expr = self._distinct_exclusion_expr(fn, arg, spec, exmode)
+            elif fn in ("MIN", "MAX"):
                 expr = f"{fn}({arg}) OVER ({spec})"
             else:
                 dset = f"COLLECT_SET({arg}) OVER ({spec})"
@@ -1448,6 +1484,77 @@ class Engine:
             i = oclose + 1
         return "".join(out)
 
+    def _distinct_exclusion_expr(self, fn: str, arg: str, spec: str,
+                                 mode: str) -> str:
+        """DISTINCT window aggregates composed with SQL:2011 frame
+        exclusion (round 12; previously a ValueError at the exclusion
+        rewriter). The frame's VALUE MULTISET decides everything:
+        flist = COLLECT_LIST(arg) OVER (frame) — drops NULLs, which is
+        exactly the DISTINCT-aggregate input — plus plist over the
+        peer-group frame when peers matter.
+
+          EXCLUDE CURRENT ROW: v survives iff it occurs in the frame on
+            some row other than the current one — count(v) > 1 when v
+            equals the current row's value, count(v) >= 1 otherwise.
+            Valid under ANY frame mode containing the current row.
+          EXCLUDE GROUP: v survives iff count_frame(v) > count_peers(v).
+            (VERDICT r11 #6 sketched ARRAY_EXCEPT(frame_set, peer_set);
+            that set-level form wrongly drops a value that occurs BOTH
+            inside and outside the peer group — the per-value multiset
+            count comparison is the correct difference, pinned by a test
+            with exactly that collision.) RANGE-mode frames only, where
+            peers ⊆ frame; ROWS-frame GROUP/TIES raises.
+          EXCLUDE TIES: the GROUP survivors plus the current row's own
+            value (ARRAY_UNION — set semantics are what DISTINCT wants).
+
+        COUNT = SIZE(survivors); SUM/AVG fold the survivor array with
+        the type-sniffed accumulator; MIN/MAX = ARRAY_MIN/ARRAY_MAX —
+        which also closes the MIN/MAX(DISTINCT) + EXCLUDE gap. The frame
+        multiset must fit one row's window state, the same documented
+        bound as the plain DISTINCT rewrite; all windows share the
+        spec's partition/order — ONE Window operator."""
+        ms = _mask_str_literals(spec)
+        bm = re.search(
+            r"\b(?P<m>ROWS|RANGE)\s+BETWEEN\s+(?P<lo>.+?)\s+AND\s+"
+            r"(?P<hi>.+?)\s*$", ms, re.I)
+        po = spec[:bm.start()].rstrip() if bm else spec
+        if bm and (re.search(r"\bFOLLOWING\s*$", bm["lo"], re.I)
+                   or re.search(r"\bPRECEDING\s*$", bm["hi"], re.I)):
+            raise ValueError(
+                "window DISTINCT: EXCLUDE needs a frame containing the "
+                "current row (lower bound PRECEDING/CURRENT ROW, upper "
+                "bound FOLLOWING/CURRENT ROW)")
+        if bm and bm["m"].upper() == "ROWS" and mode != "CURRENT ROW":
+            raise ValueError(
+                "window DISTINCT: EXCLUDE GROUP/TIES under a ROWS frame "
+                "is not supported with DISTINCT aggregates (the peer "
+                "group can be partially in frame) — RANGE-mode/default "
+                "frames only")
+        flist = f"COLLECT_LIST({arg}) OVER ({spec})"
+        if mode == "CURRENT ROW":
+            surv = (f"FILTER(ARRAY_DISTINCT({flist}), v ->"
+                    f" (NOT (v <=> ({arg})))"
+                    f" OR SIZE(FILTER({flist}, e -> e <=> v)) > 1)")
+        else:
+            peers = f"{po} RANGE BETWEEN CURRENT ROW AND CURRENT ROW"
+            plist = f"COLLECT_LIST({arg}) OVER ({peers})"
+            surv = (f"FILTER(ARRAY_DISTINCT({flist}), v ->"
+                    f" SIZE(FILTER({flist}, e -> e <=> v)) >"
+                    f" SIZE(FILTER({plist}, e -> e <=> v)))")
+            if mode == "TIES":
+                surv = (f"(CASE WHEN ({arg}) IS NULL THEN {surv}"
+                        f" ELSE ARRAY_UNION({surv}, ARRAY({arg})) END)")
+        if fn in ("MIN", "MAX"):
+            return f"ARRAY_{fn}({surv})"
+        if fn == "COUNT":
+            return f"CAST(SIZE({surv}) AS BIGINT)"
+        acc0, step = self._distinct_fold_acc0(arg)
+        ssum = f"AGGREGATE({surv}, {acc0}, {step})"
+        cnt = f"SIZE({surv})"
+        if fn == "SUM":
+            return f"(CASE WHEN {cnt} = 0 THEN NULL ELSE {ssum} END)"
+        return f"(CASE WHEN {cnt} = 0 THEN NULL ELSE {ssum} / {cnt} END)"
+
     @staticmethod
     def _decimal_fold(scale: int) -> tuple[str, str]:
         """(accumulator zero, step lambda) for an exact decimal fold.
@@ -1460,8 +1567,18 @@ class Engine:
         intermediate at exactly (38,s): no scale loss, exact while the
         running sum stays below 10^(37-s). AGGREGATE also requires the
         step's static type to equal the accumulator's, hence the outer
-        re-cast to (37,s)."""
-        s = min(scale, 36)
+        re-cast to (37,s).
+
+        Scale > 36 cannot fit this budget: the element pre-cast to
+        DECIMAL(36,s) would silently ROUND (or overflow to NULL under
+        non-ANSI mode) instead of erroring, diverging from an exact
+        decimal oracle — fail loud instead (ADVICE r11)."""
+        if scale > 36:
+            raise ValueError(
+                f"window DISTINCT: decimal scale {scale} exceeds the exact "
+                "fold budget (36) — DECIMAL(36,s) element casts would "
+                "silently round; rewrite with a lower-scale cast")
+        s = scale
         return (
             f"CAST(0 AS DECIMAL(37,{s}))",
             f"(acc, v) -> CAST(acc + CAST(v AS DECIMAL(36,{s}))"
@@ -1486,13 +1603,22 @@ class Engine:
           numeric element into a DOUBLE accumulator; exact below 2^53,
           which matches DuckDB's own double arithmetic for float args)
         """
+        if getattr(self, "_fold_force_double", False):
+            # retry pass after a shadowed-name DATATYPE_MISMATCH — the
+            # always-legal accumulator (see _window_dialect_sql)
+            return "CAST(0 AS DOUBLE)", "(acc, v) -> acc + v"
         if re.search(r"\bAS\s+(?:BIGINT|INT(?:EGER)?|SMALLINT"
                      r"|TINYINT)\s*\)\s*$", arg, re.I):
             return "CAST(0 AS BIGINT)", "(acc, v) -> acc + v"
-        m = re.search(r"\bAS\s+DECIMAL\s*\(\s*\d+\s*,\s*(\d+)\s*\)\s*\)\s*$",
+        m = re.search(r"\bAS\s+DECIMAL\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)\s*\)\s*$",
                       arg, re.I)
         if m:
-            return self._decimal_fold(int(m.group(1)))
+            if int(m.group(1)) > 36:
+                raise ValueError(
+                    f"window DISTINCT: declared DECIMAL precision "
+                    f"{m.group(1)} exceeds the exact fold budget (36) — "
+                    "the element cast would silently narrow (ADVICE r11)")
+            return self._decimal_fold(int(m.group(2)))
         cm = re.fullmatch(r"(?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*)", arg.strip())
         if cm:
             types = self._registered_column_types(cm.group(1))
@@ -1505,7 +1631,57 @@ class Engine:
                     return "CAST(0 AS BIGINT)", "(acc, v) -> acc + v"
                 if all(isinstance(t, T.DecimalType) for t in types):
                     return self._decimal_fold(max(t.scale for t in types))
-        return "CAST(0 AS DOUBLE)", "(acc, v) -> acc + v"
+        return self._expr_fold_acc0(arg)
+
+    def _expr_fold_acc0(self, arg: str) -> tuple[str, str]:
+        """Type sniff for simple ARITHMETIC expression args (ADVICE r11:
+        `SUM(DISTINCT price * 2) OVER ...` on a decimal column fell to the
+        DOUBLE fold, risking last-ulp drift vs DuckDB's exact decimal
+        SUM(DISTINCT)). Accepts expressions built ONLY from (qualified)
+        column names, integer literals, + - * and parens; every named
+        column must resolve UNANIMOUSLY across the registered views:
+
+        - all decimal: exact decimal fold. Scale bound: the max column
+          scale when the expression is additive; the SUM of the decimal
+          operands' scales when `*` appears (a product's scale is the sum
+          of its factors' scales; using the upper bound keeps the fold
+          exact at a higher-than-needed scale).
+        - all integral: BIGINT fold (exact integer lattice).
+
+        Division, floats, functions, string/date literals, or any
+        unresolved/ambiguous column fall through to the DOUBLE fold
+        (exact below 2^53 — documented rows-only risk beyond)."""
+        double = ("CAST(0 AS DOUBLE)", "(acc, v) -> acc + v")
+        s = _strip_str_literals(arg)
+        if not re.fullmatch(r"[\w\s.+\-*()]+", s) or "/" in s:
+            return double
+        idents = re.findall(r"(?:[A-Za-z_]\w*\.)?([A-Za-z_]\w*)", s)
+        if not idents or re.search(r"[A-Za-z_]\w*\s*\(", s):
+            return double
+        if re.search(r"\d\.\d|\.\d|\d\.(?!\w)|\d[eE][+-]?\d", s):
+            return double  # fractional/exponent literal -> not exact lattice
+        from pyspark.sql import types as T
+
+        integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        scales: list[int] = []
+        all_int = True
+        for name in idents:
+            types = self._registered_column_types(name)
+            if not types:
+                return double
+            if all(isinstance(t, T.DecimalType) for t in types):
+                scales.append(max(t.scale for t in types))
+                all_int = False
+            elif all(isinstance(t, integral) for t in types):
+                scales.append(0)
+            else:
+                return double
+        if all_int:
+            return "CAST(0 AS BIGINT)", "(acc, v) -> acc + v"
+        scale = sum(scales) if "*" in s else max(scales)
+        if scale > 36:
+            return double
+        return self._decimal_fold(scale)
 
     def _registered_column_types(self, col: str) -> list:
         """Resolved Spark types of every registered view column named
@@ -1601,48 +1777,59 @@ class Engine:
         its peers (order-distance 0). For ROWS-mode frames (round 11) the
         peer group may be PARTIALLY in frame, so the excluded amount is
         assembled from constant-offset prefix windows — see
-        _rows_group_exclusion_expr. SUM/COUNT/AVG only (MIN/MAX are not
-        subtraction-invertible); SUM/AVG yield NULL when the excluded
+        _rows_group_exclusion_expr. MIN/MAX (round 12) are not
+        subtraction-invertible, so they use SEGMENTATION instead — see
+        _minmax_exclusion_expr; DISTINCT aggregates are left intact here
+        for the DISTINCT-window rewrite, which composes EXCLUDE itself
+        (_distinct_exclusion_expr). SUM/AVG yield NULL when the excluded
         frame is empty. Every added window expression shares the SAME
         partition/order — no extra shuffle, one Window pass."""
         out, i = [], 0
         # find the aggregate call, then paren-match its argument — the
         # FILTER rewrite can nest CASEs arbitrarily deep (round 11: a
         # one-nesting-level arg regex silently SKIPPED such calls, leaving
-        # EXCLUDE in the text for Spark's parser to choke on)
+        # EXCLUDE in the text for Spark's parser to choke on). All
+        # SEARCHING/matching runs over the length-preserving literal mask
+        # so aggregate names, parens and EXCLUDE keywords inside string
+        # literals are invisible (ADVICE r11); OUTPUT slices come from the
+        # original text at the same offsets.
+        masked = _mask_str_literals(stmt)
         pat = re.compile(r"\b(?P<fn>SUM|COUNT|AVG|MIN|MAX)\s*\(", re.I)
         while True:
-            m = pat.search(stmt, i)
+            m = pat.search(masked, i)
             if not m:
                 out.append(stmt[i:])
                 break
-            aclose = self._match_paren(stmt, m.end() - 1)
+            aclose = self._match_paren(masked, m.end() - 1)
             if aclose == -1:
                 raise ValueError("frame exclusion: unbalanced aggregate")
-            om = re.match(r"\s+OVER\s*\(", stmt[aclose + 1:], re.I)
+            om = re.match(r"\s+OVER\s*\(", masked[aclose + 1:], re.I)
             if not om:  # plain GROUP BY aggregate — copy through
                 out.append(stmt[i:m.end()])
                 i = m.end()
                 continue
             oopen = aclose + 1 + om.end() - 1
-            close = self._match_paren(stmt, oopen)
+            close = self._match_paren(masked, oopen)
             if close == -1:
                 raise ValueError("frame exclusion: unbalanced OVER spec")
             spec = stmt[oopen + 1:close]
             em = re.search(
                 r"\s*EXCLUDE\s+(?P<mode>CURRENT\s+ROW|GROUP|TIES|"
                 r"NO\s+OTHERS)\s*$",
-                spec, re.I)
+                masked[oopen + 1:close], re.I)
             if not em:
                 out.append(stmt[i:close + 1])
                 i = close + 1
                 continue
             fn, arg = m["fn"].upper(), stmt[m.end():aclose].strip()
             if re.match(r"DISTINCT\b", arg, re.I):
-                raise ValueError(
-                    "frame exclusion: DISTINCT aggregates are not "
-                    "subtraction-invertible (the excluded row's value may "
-                    "still occur elsewhere in the frame)")
+                # DISTINCT aggregates are handled by the collect-based
+                # DISTINCT-window rewrite, which runs AFTER this one in
+                # _rewrite_window_dialect and understands the trailing
+                # EXCLUDE itself (round 12; VERDICT r11 #6) — copy through
+                out.append(stmt[i:close + 1])
+                i = close + 1
+                continue
             mode = re.sub(r"\s+", " ", em["mode"].upper())
             if mode == "NO OTHERS":
                 # SQL:2011's explicit default: exclude nothing — strip it
@@ -1651,21 +1838,25 @@ class Engine:
                 out.append(")")
                 i = close + 1
                 continue
-            if fn in ("MIN", "MAX"):
-                raise ValueError(
-                    f"frame exclusion: {fn} is not subtraction-invertible — "
-                    "supported aggregates are SUM / COUNT / AVG")
             spec2 = spec[:em.start()].rstrip()
+            ms2 = masked[oopen + 1:close][:em.start()].rstrip()
             bm = re.search(
                 r"\b(?P<mode>ROWS|RANGE)\s+BETWEEN\s+(?P<lo>.+?)\s+AND\s+"
-                r"(?P<hi>.+?)\s*$", spec2, re.I)
+                r"(?P<hi>.+?)\s*$", ms2, re.I)
+            # partition/order prefix of the spec with the frame clause cut
+            # off — sliced from the ORIGINAL text (PARTITION BY expressions
+            # may contain literals), position found on the mask
+            po2 = (spec2[:bm.start()].rstrip() if bm else spec2)
             if bm and (re.search(r"\bFOLLOWING\s*$", bm["lo"], re.I)
                        or re.search(r"\bPRECEDING\s*$", bm["hi"], re.I)):
                 raise ValueError(
                     "frame exclusion: the frame must contain the current "
                     "row (lower bound PRECEDING/CURRENT ROW, upper bound "
                     "FOLLOWING/CURRENT ROW)")
-            if mode == "CURRENT ROW":
+            if fn in ("MIN", "MAX"):
+                expr = self._minmax_exclusion_expr(
+                    fn, arg, spec2, po2, bm, mode)
+            elif mode == "CURRENT ROW":
                 if fn == "COUNT" and arg == "*":
                     expr = f"(COUNT(*) OVER ({spec2}) - 1)"
                 elif fn == "COUNT":
@@ -1693,12 +1884,10 @@ class Engine:
                 # and both cut-offs are prefix-window differences at
                 # CONSTANT row offsets (see _rows_group_exclusion_expr).
                 expr = self._rows_group_exclusion_expr(
-                    fn, arg, spec2, bm["lo"], bm["hi"], keep_self=(mode == "TIES"))
+                    fn, arg, spec2, po2, bm["lo"], bm["hi"],
+                    keep_self=(mode == "TIES"))
             else:  # GROUP / TIES — RANGE-mode frames (incl. the default)
-                peer = re.sub(
-                    r"\b(?:ROWS|RANGE)\s+BETWEEN\b.*$", "", spec2,
-                    flags=re.I | re.S,
-                ).rstrip() + " RANGE BETWEEN CURRENT ROW AND CURRENT ROW"
+                peer = po2 + " RANGE BETWEEN CURRENT ROW AND CURRENT ROW"
                 keep_self = mode == "TIES"
                 if fn == "COUNT" and arg == "*":
                     expr = (f"(COUNT(*) OVER ({spec2})"
@@ -1728,7 +1917,8 @@ class Engine:
         return "".join(out)
 
     def _rows_group_exclusion_expr(self, fn: str, arg: str, spec2: str,
-                                   lo: str, hi: str, keep_self: bool) -> str:
+                                   po: str, lo: str, hi: str,
+                                   keep_self: bool) -> str:
         """EXCLUDE GROUP/TIES under a ROWS frame `ROWS BETWEEN k1 PRECEDING
         AND k2 FOLLOWING` (bounds may also be CURRENT ROW / UNBOUNDED).
 
@@ -1769,8 +1959,6 @@ class Engine:
                 "EXCLUDE GROUP/TIES (integer offsets and CURRENT ROW only)")
 
         k1, k2 = bound(lo, "PRECEDING"), bound(hi, "FOLLOWING")
-        po = re.sub(r"\b(?:ROWS|RANGE)\s+BETWEEN\b.*$", "", spec2,
-                    flags=re.I | re.S).rstrip()
         peers = f"{po} RANGE BETWEEN CURRENT ROW AND CURRENT ROW"
         le = f"{po} RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
         pos = f"ROW_NUMBER() OVER ({po})"
@@ -1812,6 +2000,117 @@ class Engine:
         if fn == "SUM":
             return f"(CASE WHEN {cnt} = 0 THEN NULL ELSE {ssum} END)"
         return f"(CASE WHEN {cnt} = 0 THEN NULL ELSE {ssum} / {cnt} END)"
+
+    def _minmax_exclusion_expr(self, fn: str, arg: str, spec2: str,
+                               po: str, bm, mode: str) -> str:
+        """MIN/MAX under SQL:2011 frame exclusion (round 12; the round-11
+        rewriter rejected them as not subtraction-invertible — the
+        reference declares the full vocabulary for every window function,
+        window_expression.hpp:11-30). Exclusion is SEGMENTATION instead
+        of arithmetic — three strategies by frame mode:
+
+        * EXCLUDE CURRENT ROW, ROWS frame: the frame splits at the
+          current row into two CONSTANT-OFFSET segments
+          (`lo .. 1 PRECEDING` and `1 FOLLOWING .. hi`) combined with
+          LEAST/GREATEST (both skip NULL operands). No arrays, any
+          bounds incl. UNBOUNDED, one Window pass.
+
+        * RANGE-mode frames (incl. the default frame), all three modes:
+          every peer shares the current order value, so survivors are
+          decided per VALUE from two frame multisets — COLLECT_LIST over
+          the frame and over the peer-group frame. A value survives
+          EXCLUDE GROUP iff it occurs MORE times in the frame than among
+          the peers (NB: set-level ARRAY_EXCEPT(frame_set, peer_set)
+          would wrongly drop a value occurring both inside AND outside
+          the peer group — the count comparison is the true multiset
+          difference). TIES adds the current row's value back via
+          LEAST/GREATEST; CURRENT ROW keeps a value equal to the current
+          row's only when it occurs elsewhere too. The frame multiset
+          must fit one row's window state — the bound the
+          DISTINCT-window rewrite already documents; an unbounded-frame
+          min-exclude at 100 TB belongs in a restructured query.
+
+        * EXCLUDE GROUP/TIES, ROWS frame with FINITE integer bounds: the
+          peer group may be PARTIALLY in frame, so survivors are
+          POSITION slices of the frame list. Rows stay order-intact via
+          a struct wrap (COLLECT_LIST drops bare NULLs, which would
+          shift every index); the peer run's in-frame 1-based interval
+          comes from the same ROW_NUMBER/COUNT prefixes
+          _rows_group_exclusion_expr uses; survivors are
+          SLICE(1..A) ++ SLICE(B+1..). Arrays are O(k1+k2+1) — bounded
+          by the frame constants, scale-safe. UNBOUNDED sides raise
+          (the per-row array would be O(partition)).
+
+        All added windows share the spec's partition/order, so Spark
+        plans ONE Window operator. VERDICT r11 #2 sketched
+        `min(prefix ending at group-start-1, suffix starting at
+        group-end+1)` as plain prefix windows, but those endpoints are
+        NOT constant row offsets (the current row's position inside its
+        peer group varies), hence the in-frame index arithmetic here."""
+        comb = "LEAST" if fn == "MIN" else "GREATEST"
+        amin = "ARRAY_MIN" if fn == "MIN" else "ARRAY_MAX"
+        rows_frame = bool(bm) and bm["mode"].upper() == "ROWS"
+        if mode == "CURRENT ROW" and rows_frame:
+            lo, hi = bm["lo"].strip(), bm["hi"].strip()
+            segs = []
+            if not re.fullmatch(r"CURRENT\s+ROW|0\s+PRECEDING", lo, re.I):
+                segs.append(f"{fn}({arg}) OVER ({po} ROWS BETWEEN {lo}"
+                            f" AND 1 PRECEDING)")
+            if not re.fullmatch(r"CURRENT\s+ROW|0\s+FOLLOWING", hi, re.I):
+                segs.append(f"{fn}({arg}) OVER ({po} ROWS BETWEEN"
+                            f" 1 FOLLOWING AND {hi})")
+            if not segs:  # frame was exactly the current row
+                return f"(CASE WHEN FALSE THEN ({arg}) END)"
+            if len(segs) == 1:
+                return f"({segs[0]})"
+            return f"{comb}({segs[0]}, {segs[1]})"
+        if not rows_frame:  # RANGE-mode frames — value-level multisets
+            flist = f"COLLECT_LIST({arg}) OVER ({spec2})"
+            peers = f"{po} RANGE BETWEEN CURRENT ROW AND CURRENT ROW"
+            plist = f"COLLECT_LIST({arg}) OVER ({peers})"
+            if mode == "CURRENT ROW":
+                surv = (f"FILTER(ARRAY_DISTINCT({flist}), v ->"
+                        f" (NOT (v <=> ({arg})))"
+                        f" OR SIZE(FILTER({flist}, e -> e <=> v)) > 1)")
+                return f"{amin}({surv})"
+            surv = (f"FILTER(ARRAY_DISTINCT({flist}), v ->"
+                    f" SIZE(FILTER({flist}, e -> e <=> v)) >"
+                    f" SIZE(FILTER({plist}, e -> e <=> v)))")
+            base = f"{amin}({surv})"
+            return f"{comb}({base}, ({arg}))" if mode == "TIES" else base
+
+        # GROUP / TIES under a ROWS frame: position-slice the frame list
+        def bound(text: str, side: str) -> int:
+            t = re.sub(r"\s+", " ", text.strip().upper())
+            if t == "CURRENT ROW":
+                return 0
+            km = re.fullmatch(rf"(\d+) {side}", t)
+            if km:
+                return int(km[1])
+            raise ValueError(
+                f"frame exclusion: {fn} with EXCLUDE GROUP/TIES under a "
+                f"ROWS frame needs FINITE integer bounds, got {text!r} "
+                "(an UNBOUNDED side would make the per-row frame array "
+                "O(partition))")
+
+        k1 = bound(bm["lo"], "PRECEDING")
+        k2 = bound(bm["hi"], "FOLLOWING")
+        pos = f"ROW_NUMBER() OVER ({po})"
+        le = f"{po} RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+        peers = f"{po} RANGE BETWEEN CURRENT ROW AND CURRENT ROW"
+        last_peer = f"COUNT(*) OVER ({le})"
+        first_peer = f"({last_peer} - COUNT(*) OVER ({peers}) + 1)"
+        fl = f"COLLECT_LIST(NAMED_STRUCT('v', {arg})) OVER ({spec2})"
+        fcnt = f"COUNT(*) OVER ({spec2})"
+        fstart = f"GREATEST(1, {pos} - {k1})"
+        # 1-based in-frame indices: peers occupy [A + 1, B]
+        a_ = f"GREATEST(0, {first_peer} - {fstart})"
+        b_ = f"(LEAST({last_peer}, {fstart} + {fcnt} - 1) - {fstart} + 1)"
+        vals = (f"CONCAT(SLICE({fl}, 1, {a_}),"
+                f" SLICE({fl}, {b_} + 1, GREATEST(0, {fcnt} - {b_})))")
+        nn = f"FILTER(TRANSFORM({vals}, s -> s.v), x -> x IS NOT NULL)"
+        base = f"{amin}({nn})"
+        return f"{comb}({base}, ({arg}))" if mode == "TIES" else base
 
     def _star_modifiers_sql(self, stmt: str) -> DataFrame:
         """`SELECT * EXCLUDE (cols) [REPLACE (expr AS col, ...)]` (DuckDB

@@ -282,6 +282,95 @@ def write_zordered(
 
 
 # ---------------------------------------------------------------------------
+# JCC-H skewed dataset (round 12) — the reference's fourth benchmark suite is
+# the FULL TPC-H query set over skew-correlated data (`-j` flag,
+# /root/reference/src/benchmark/tpch_benchmark.cpp:58-60, generated by
+# src/benchmarklib/jcch/jcch_table_generator.cpp; Boncz et al., "JCC-H:
+# adding join crossing correlations with skew to TPC-H", TPCTC 2017). No
+# dbgen/JCC-H data exists in this sandbox, so the signature is INDUCED as a
+# deterministic key rewrite of the driver's uniform tables and PERSISTED —
+# physical parquet whose hot keys concentrate in real partitions, so AQE's
+# runtime skew detection sees genuine skew, not a synthetic expression.
+
+JCCH_HOT_FRACTION = "l_orderkey % 4 <> 0"  # 75% of rows, documented skew
+JCCH_HOT_CUSTOMERS = 25
+
+
+def write_jcch_skewed(spark: SparkSession, sf_dir: str,
+                      out_dir: str | None = None) -> str:
+    """Persist a JCC-H-style skewed copy of the TPC-H tables; returns its dir.
+
+    Deterministic hot-key rewrite (75% of keys redirected — the JCC-H
+    signature; the EXACT same arithmetic is replayed by the oracle-side
+    CTEs in plans/jcch_suite.py, so every query stays hash-checkable):
+
+      lineitem.l_suppkey -> 1                    when l_orderkey % 4 <> 0
+                            (one supplier owns ~75% of all lineitems)
+      orders.o_custkey   -> ((o_custkey-1) % 25) + 1
+                                                 when o_orderkey % 4 <> 0
+                            (25 hot customers own ~75% of all orders)
+      customer.c_nationkey -> 1                  when c_custkey % 4 <> 0
+                            (join-crossing correlation: one nation holds
+                             ~75% of customers, so nation/region joins
+                             inherit the skew downstream)
+
+    Every other table is symlinked from the source directory (single-file
+    parquet), so `load_tables(spark, out_dir)` serves the full schema.
+    Written with decimal=False: the copy keeps the source's physical types
+    and the session's DECIMAL_MODE applies at load time like everywhere
+    else. Idempotent via a `_done` marker — bench.py builds this during
+    its uncounted warm-up (write-time cost, paid once at ingest)."""
+    import pyspark.sql.functions as F
+
+    from hyrise_spark.catalog import TESTDATA_TABLES, load_tables
+
+    name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = out_dir or os.path.join("/tmp/hyrise_spark_jcch", name)
+    if os.path.exists(os.path.join(out, "_done")):
+        return out
+    os.makedirs(out, exist_ok=True)
+    tabs = load_tables(spark, sf_dir, ("lineitem", "orders", "customer"),
+                       decimal=False)
+    hot = F.col("l_orderkey") % 4 != 0
+    (
+        tabs["lineitem"]
+        .withColumn(
+            "l_suppkey",
+            F.when(hot, F.lit(1).cast(dict(tabs["lineitem"].dtypes)["l_suppkey"]))
+            .otherwise(F.col("l_suppkey")))
+        .write.mode("overwrite").parquet(os.path.join(out, "lineitem.parquet"))
+    )
+    ohot = F.col("o_orderkey") % 4 != 0
+    (
+        tabs["orders"]
+        .withColumn(
+            "o_custkey",
+            F.when(ohot, (F.col("o_custkey") - 1) % JCCH_HOT_CUSTOMERS + 1)
+            .otherwise(F.col("o_custkey")))
+        .write.mode("overwrite").parquet(os.path.join(out, "orders.parquet"))
+    )
+    chot = F.col("c_custkey") % 4 != 0
+    (
+        tabs["customer"]
+        .withColumn(
+            "c_nationkey",
+            F.when(chot, F.lit(1).cast(dict(tabs["customer"].dtypes)["c_nationkey"]))
+            .otherwise(F.col("c_nationkey")))
+        .write.mode("overwrite").parquet(os.path.join(out, "customer.parquet"))
+    )
+    for t in TESTDATA_TABLES:
+        if t in ("lineitem", "orders", "customer"):
+            continue
+        src = os.path.join(sf_dir, f"{t}.parquet")
+        dst = os.path.join(out, f"{t}.parquet")
+        if os.path.exists(src) and not os.path.exists(dst):
+            os.symlink(src, dst)
+    with open(os.path.join(out, "_done"), "w") as fh:
+        fh.write(sf_dir + "\n")
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Continuous aggregate (TimescaleDB-style) — a day-partitioned rollup table
 # plus INCREMENTAL refresh. The matview REFRESH in engine.py recomputes the
 # whole definition; at 100 TB the only viable maintenance is partition-level:

@@ -719,3 +719,121 @@ def window_frame_exclude_rows_group(spark: SparkSession, sf_dir: str) -> DataFra
 
     load_tables(spark, sf_dir, ("lineitem",))
     return Engine(spark).execute(_FRAME_EXCLUDE_ROWS_GROUP_SQL)
+
+
+# -- round 12: MIN/MAX under frame exclusion (VERDICT r11 #2) ----------------
+# (engine.py::_minmax_exclusion_expr). MIN/MAX are not subtraction-
+# invertible, so the engine SEGMENTS instead of subtracting: constant-offset
+# ROWS segments for EXCLUDE CURRENT ROW, per-value multiset counts over the
+# frame for RANGE-mode GROUP/TIES, position slices of a struct-wrapped frame
+# list for ROWS-mode GROUP/TIES. Determinism under ties: qval is a FUNCTION
+# of the ORDER key, so each window result is a pure function of the row's
+# position and the output multiset per (returnflag, qty) is engine-
+# independent (same argument as window_frame_exclude_rows_group). DuckDB
+# runs the same text natively.
+_FRAME_EXCLUDE_MINMAX_SQL = """
+    SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+           CAST(MIN(qval) OVER (PARTITION BY l_returnflag
+                ORDER BY l_quantity
+                ROWS BETWEEN 3 PRECEDING AND 2 FOLLOWING
+                EXCLUDE CURRENT ROW) AS BIGINT) AS cur_min,
+           CAST(MIN(qval) OVER (PARTITION BY l_returnflag
+                ORDER BY l_quantity
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 FOLLOWING
+                EXCLUDE CURRENT ROW) AS BIGINT) AS cur_min_unb,
+           CAST(MAX(qval) OVER (PARTITION BY l_returnflag
+                ORDER BY l_quantity
+                ROWS BETWEEN 3 PRECEDING AND 2 FOLLOWING
+                EXCLUDE GROUP) AS BIGINT) AS grp_max,
+           CAST(MIN(qval) OVER (PARTITION BY l_returnflag
+                ORDER BY l_quantity
+                ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
+                EXCLUDE TIES) AS BIGINT) AS ties_min,
+           CAST(MAX(qval) OVER (PARTITION BY l_returnflag
+                ORDER BY l_quantity
+                RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                EXCLUDE GROUP) AS BIGINT) AS rng_max,
+           CAST(MIN(qval) OVER (PARTITION BY l_returnflag
+                ORDER BY l_quantity
+                RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+                EXCLUDE TIES) AS BIGINT) AS rngties_min,
+           CAST(COUNT(DISTINCT qval) OVER (PARTITION BY l_returnflag
+                ORDER BY l_quantity
+                ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
+                EXCLUDE CURRENT ROW) AS BIGINT) AS cdq_cur
+    FROM (SELECT l_returnflag, l_quantity,
+                 CAST(l_quantity * 100 + 7 AS BIGINT) AS qval
+          FROM lineitem WHERE l_orderkey < 400) t
+    ORDER BY l_returnflag, qty
+"""
+
+
+@register(
+    "window_frame_exclude_minmax",
+    oracle=_FRAME_EXCLUDE_MINMAX_SQL,
+    tags=("window", "frame", "sql"),
+)
+def window_frame_exclude_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX with EXCLUDE CURRENT ROW / GROUP / TIES under both ROWS and
+    RANGE frames — the round-11 rewriter rejected MIN/MAX outright; the
+    reference declares the full SQL:2011 vocabulary for every window
+    function (window_expression.hpp:11-30)."""
+    from hyrise_spark.engine import Engine
+
+    load_tables(spark, sf_dir, ("lineitem",))
+    return Engine(spark).execute(_FRAME_EXCLUDE_MINMAX_SQL)
+
+
+# -- round 12: DISTINCT window aggregates composed with EXCLUDE --------------
+# (engine.py::_distinct_exclusion_expr; VERDICT r11 #6). pk = l_partkey % 7
+# is deliberately INDEPENDENT of the sort key with a tiny domain, so the
+# same value recurs both inside and outside peer groups — the case where a
+# set-level ARRAY_EXCEPT(frame_set, peer_set) would be WRONG and the
+# per-value multiset count comparison is required. RANGE-mode frames ONLY
+# here, deliberately: every result is then a pure function of the row's
+# (partition, ORDER value, pk) — frames and peer groups are SETS defined
+# by the order value, never by tie-order positions — so the output
+# multiset is engine-independent even though pk is not a function of the
+# sort key. (A position-dependent ROWS variant CANNOT share rows with
+# these pk-dependent columns: the joint tuple would couple tie-position
+# with row identity, which engines assign differently — that variant
+# lives in window_frame_exclude_minmax, where every column is a position
+# function.) DuckDB runs the same text natively.
+_DISTINCT_EXCLUDE_SQL = """
+    SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+           CAST(COUNT(DISTINCT pk) OVER (PARTITION BY l_returnflag
+                ORDER BY l_quantity
+                RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                EXCLUDE GROUP) AS BIGINT) AS cd_grp,
+           CAST(COUNT(DISTINCT pk) OVER (PARTITION BY l_returnflag
+                ORDER BY l_quantity
+                RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+                EXCLUDE CURRENT ROW) AS BIGINT) AS cd_cur_rng,
+           CAST(SUM(DISTINCT pk) OVER (PARTITION BY l_returnflag
+                ORDER BY l_quantity
+                RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+                EXCLUDE TIES) AS BIGINT) AS sd_ties,
+           CAST(MIN(DISTINCT pk) OVER (PARTITION BY l_returnflag
+                ORDER BY l_quantity
+                RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                EXCLUDE GROUP) AS BIGINT) AS md_grp
+    FROM (SELECT l_returnflag, l_quantity,
+                 CAST(l_partkey % 7 AS BIGINT) AS pk
+          FROM lineitem WHERE l_orderkey < 400) t
+    ORDER BY l_returnflag, qty
+"""
+
+
+@register(
+    "window_count_distinct_exclude",
+    oracle=_DISTINCT_EXCLUDE_SQL,
+    tags=("window", "frame", "distinct", "sql"),
+)
+def window_count_distinct_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT window aggregates composed with SQL:2011 frame exclusion
+    (COUNT/SUM/MIN DISTINCT x EXCLUDE CURRENT ROW/GROUP/TIES) — the
+    round-11 exclusion rewriter raised ValueError on DISTINCT args."""
+    from hyrise_spark.engine import Engine
+
+    load_tables(spark, sf_dir, ("lineitem",))
+    return Engine(spark).execute(_DISTINCT_EXCLUDE_SQL)

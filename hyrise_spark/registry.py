@@ -51,6 +51,7 @@ def all_queries() -> dict[str, QueryDef]:
     import hyrise_spark.plans.job  # noqa: F401
     import hyrise_spark.plans.tpcc  # noqa: F401
     import hyrise_spark.plans.jcch  # noqa: F401
+    import hyrise_spark.plans.jcch_suite  # noqa: F401  (reuses tpch oracles)
     import hyrise_spark.plans.relational  # noqa: F401
     import hyrise_spark.plans.intervals  # noqa: F401
     import hyrise_spark.plans.windows  # noqa: F401

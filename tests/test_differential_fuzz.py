@@ -342,7 +342,11 @@ _FX_ARG = "CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END"
 
 @st.composite
 def frame_exclude_query(draw) -> str:
-    fn = draw(st.sampled_from(["SUM", "COUNT", "AVG"]))
+    # MIN/MAX (round 12, _minmax_exclusion_expr): segmentation instead of
+    # subtraction — CURRENT ROW under ROWS via constant-offset segments,
+    # RANGE-mode via per-value frame multisets, ROWS GROUP/TIES via
+    # position slices (FINITE bounds only: the generator narrows below)
+    fn = draw(st.sampled_from(["SUM", "COUNT", "AVG", "MIN", "MAX"]))
     arg = draw(st.sampled_from([_FX_ARG, "*"])) if fn == "COUNT" else _FX_ARG
     part = draw(st.sampled_from(["", "PARTITION BY o_orderstatus "]))
     mode = draw(st.sampled_from(["ROWS", "RANGE"]))
@@ -370,12 +374,18 @@ def frame_exclude_query(draw) -> str:
                        f" ELSE (o_custkey % {k}) * 3 + 1 END")
             filt = draw(st.sampled_from(
                 ["", f" FILTER (WHERE (o_custkey % {k}) > 3)"]))
-        lo = draw(st.sampled_from(
-            [f"{draw(st.integers(0, 4))} PRECEDING", "UNBOUNDED PRECEDING",
-             "CURRENT ROW"]))
-        hi = draw(st.sampled_from(
-            [f"{draw(st.integers(0, 4))} FOLLOWING", "UNBOUNDED FOLLOWING",
-             "CURRENT ROW"]))
+        if fn in ("MIN", "MAX") and excl != "CURRENT ROW":
+            # ROWS GROUP/TIES MIN/MAX: finite bounds only (the position-
+            # slice array must stay O(k1+k2); UNBOUNDED sides raise)
+            lo = f"{draw(st.integers(0, 4))} PRECEDING"
+            hi = f"{draw(st.integers(0, 4))} FOLLOWING"
+        else:
+            lo = draw(st.sampled_from(
+                [f"{draw(st.integers(0, 4))} PRECEDING",
+                 "UNBOUNDED PRECEDING", "CURRENT ROW"]))
+            hi = draw(st.sampled_from(
+                [f"{draw(st.integers(0, 4))} FOLLOWING",
+                 "UNBOUNDED FOLLOWING", "CURRENT ROW"]))
     else:
         # non-unique ORDER BY key: peer groups are real; value-based frames
         # are deterministic regardless of tie order
@@ -402,6 +412,52 @@ def frame_exclude_query(draw) -> str:
 @_SETTINGS
 @given(q=frame_exclude_query())
 def test_fuzz_frame_exclusion(spark, duck, q):
+    _run_both_engine(spark, duck, q)
+
+
+@st.composite
+def distinct_exclude_query(draw) -> str:
+    """DISTINCT window aggregates composed with EXCLUDE (round 12,
+    _distinct_exclusion_expr). The DISTINCT arg has a SMALL domain
+    independent of the sort key, so the same value recurs both inside and
+    outside peer groups — the exact case where a set-level ARRAY_EXCEPT
+    would be wrong and per-value multiset counts are required. RANGE-mode
+    frames keep every projected value a pure function of the row (frames
+    and peers are order-VALUE sets), so the sorted canon is deterministic
+    under tie permutation; the ROWS variant is limited to EXCLUDE CURRENT
+    ROW over the UNIQUE key (no tie ambiguity at all)."""
+    fn = draw(st.sampled_from(["COUNT", "SUM", "AVG", "MIN", "MAX"]))
+    arg = draw(st.sampled_from([
+        f"o_orderkey % {draw(st.integers(3, 9))}",
+        f"CASE WHEN o_orderkey % 11 = 0 THEN NULL"
+        f" ELSE o_orderkey % {draw(st.integers(3, 7))} END",
+    ]))
+    excl = draw(st.sampled_from(
+        ["CURRENT ROW", "GROUP", "TIES", "NO OTHERS"]))
+    part = draw(st.sampled_from(["", "PARTITION BY o_orderstatus "]))
+    rows_mode = excl == "CURRENT ROW" and draw(st.booleans())
+    if rows_mode:
+        key, fm = "o_orderkey", "ROWS"
+    else:
+        key, fm = f"o_custkey % {draw(st.integers(5, 40))}", "RANGE"
+    lo = draw(st.sampled_from(
+        [f"{draw(st.integers(0, 9))} PRECEDING", "UNBOUNDED PRECEDING",
+         "CURRENT ROW"]))
+    hi = draw(st.sampled_from(
+        [f"{draw(st.integers(0, 9))} FOLLOWING", "UNBOUNDED FOLLOWING",
+         "CURRENT ROW"]))
+    expr = (f"{fn}(DISTINCT {arg}) OVER ({part}ORDER BY {key}"
+            f" {fm} BETWEEN {lo} AND {hi} EXCLUDE {excl})")
+    expr = (f"ROUND({expr}, 4)" if fn == "AVG"
+            else f"CAST({expr} AS BIGINT)")
+    w = draw(where_clause())
+    return (f"SELECT {key} AS i, {arg} AS a, {expr} AS x"
+            f" FROM orders WHERE {w}")
+
+
+@_SETTINGS
+@given(q=distinct_exclude_query())
+def test_fuzz_distinct_exclusion(spark, duck, q):
     _run_both_engine(spark, duck, q)
 
 

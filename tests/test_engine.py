@@ -1355,11 +1355,13 @@ def test_frame_exclude_current_row(engine, spark, duck):
         " CURRENT ROW EXCLUDE CURRENT ROW) AS BIGINT) AS c FROM fx2"
     ).collect()[0]
     assert r["s"] is None and r["c"] == 0
-    with pytest.raises(Exception, match="not subtraction-invertible"):
-        engine.execute(
-            "SELECT MAX(v) OVER (ORDER BY v ROWS BETWEEN 1 PRECEDING AND"
-            " 1 FOLLOWING EXCLUDE CURRENT ROW) AS m FROM fx1"
-        )
+    # MIN/MAX exclusion is SUPPORTED since round 12 (segmented windows,
+    # _minmax_exclusion_expr) — differential instead of the old raise
+    qm = ("SELECT v, MAX(v) OVER (ORDER BY v NULLS FIRST ROWS BETWEEN"
+          " 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS m"
+          " FROM fx1 ORDER BY v NULLS FIRST")
+    got = [(r["v"], r["m"]) for r in engine.execute(qm).collect()]
+    assert got == [tuple(r) for r in duck.execute(qm).fetchall()]
     with pytest.raises(Exception, match="must contain the current row"):
         engine.execute(
             "SELECT SUM(v) OVER (ORDER BY v ROWS BETWEEN 3 PRECEDING AND"

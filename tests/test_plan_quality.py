@@ -1112,3 +1112,60 @@ def test_job_q84_top1_node_plans_window_group_limit(spark):
     shuffle) — the group-limit machinery inside a join graph."""
     plan = _plan(spark, "job_q84")
     assert plan.count("WindowGroupLimit") >= 2, plan
+
+
+# -- round 12: JOB closing-wave pins (q96-q113; VERDICT r11 #4) ---------------
+
+@pytest.mark.parametrize("name", [f"job_q{i}" for i in range(96, 114)])
+def test_job_closing_wave_never_cartesian(spark, name):
+    """Every q96-q113 shape joins on keys (equality components carried by
+    hash joins, theta terms as residuals) — none may degenerate to a
+    cartesian or an unkeyed nested loop."""
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan, name
+    assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_job_q109_correlated_scalar_plans_one_uncorrelated_tree(spark):
+    """q109's cross-table 'average per nation of per-customer totals' is
+    planned as ONE de-correlated aggregate tree — two stacked hash
+    aggregations over a single customer⋈orders join, then a broadcast to
+    nation — never a per-row re-executed subquery (no nested-loop, one
+    join of the fact pair, nation broadcast)."""
+    plan = _plan(spark, "job_q109")
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    # two aggregation levels (per-customer, then per-nation), partial+final
+    assert plan.count("HashAggregate") >= 4, plan
+    assert plan.count("BroadcastHashJoin") >= 1, plan
+    # the orders fact is scanned ONCE (the subquery is not re-planned per
+    # outer row): one PushedFilters section per scan — customer, orders,
+    # nation and nothing else
+    assert plan.count("PushedFilters: [") <= 3, plan
+
+
+def test_job_q112_window_derived_in_plans_group_limit(spark):
+    """q112's `IN (top-3 per status by window)` must compile the rank
+    filter to partial+final WindowGroupLimit (each map task keeps <=3 rows
+    per status before the exchange) and join it back as a keyed semi —
+    the window-derived IN-set is never a broadcast nested loop."""
+    plan = _plan(spark, "job_q112")
+    assert plan.count("WindowGroupLimit") >= 2, plan
+    assert "row_number(), 3, Partial" in plan, plan
+    assert "row_number(), 3, Final" in plan, plan
+    assert "LeftSemi" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_job_q113_kitchen_sink_scans_filtered_and_dims_broadcast(spark):
+    """The 113th query (8 relations + behavioral semi + NOT LIKEs + band +
+    suffix LIKE): most scans carry pushed filters (suffix LIKE ->
+    StringEndsWith, band -> range pair, semi side -> event_type equality)
+    and every dimension rides a broadcast — the fact side shuffles only on
+    its join keys."""
+    plan = _plan(spark, "job_q113")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "StringEndsWith" in plan, plan  # p_name LIKE '%bolt'
+    segs = [s.split("]", 1)[0] for s in plan.split("PushedFilters: [")[1:]]
+    nonempty = [s for s in segs if s.strip()]
+    assert len(nonempty) >= 6, f"filtered scans: {len(nonempty)} of {len(segs)}"

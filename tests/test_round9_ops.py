@@ -169,9 +169,12 @@ def test_window_distinct_composes_with_filter(spark, duck):
     assert srows == orows
 
 
-def test_frame_exclusion_rejects_distinct(spark):
-    """DISTINCT aggregates are not subtraction-invertible: EXCLUDE must
-    raise a clear error instead of silently over-subtracting."""
+def test_frame_exclusion_distinct_supported(spark, duck):
+    """SUM(DISTINCT) + EXCLUDE CURRENT ROW is SUPPORTED since round 12
+    (_distinct_exclusion_expr: per-value multiset counts over the frame
+    list) — the round-9 'not subtraction-invertible' raise is gone;
+    differential vs DuckDB's native exclusion instead. GROUP/TIES under a
+    ROWS frame still raises (peer groups can be partially in frame)."""
     import pytest
 
     from hyrise_spark.engine import Engine
@@ -180,11 +183,18 @@ def test_frame_exclusion_rejects_distinct(spark):
 
     load_tables(spark, SF_DIR, ("orders",))
     e = Engine(spark)
-    with pytest.raises(ValueError, match="subtraction-invertible"):
+    q = ("SELECT o_orderkey, CAST(SUM(DISTINCT o_custkey % 5)"
+         " OVER (ORDER BY o_orderkey ROWS BETWEEN 2 PRECEDING AND"
+         " CURRENT ROW EXCLUDE CURRENT ROW) AS BIGINT) AS s"
+         " FROM orders WHERE o_orderkey < 500")
+    srows = sorted(tuple(r) for r in e.execute(q).collect())
+    orows = sorted(duck.execute(q).fetchall())
+    assert srows == orows
+    with pytest.raises(ValueError, match="ROWS frame"):
         e.execute(
-            "SELECT CAST(SUM(DISTINCT o_custkey) OVER (ORDER BY o_orderkey"
+            "SELECT SUM(DISTINCT o_custkey) OVER (ORDER BY o_orderkey"
             " ROWS BETWEEN 2 PRECEDING AND CURRENT ROW"
-            " EXCLUDE CURRENT ROW) AS BIGINT) AS s FROM orders"
+            " EXCLUDE GROUP) AS s FROM orders"
         )
 
 

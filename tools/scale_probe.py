@@ -39,6 +39,14 @@ QUERIES = [
     "tpch_q21",  # multi-join with anti/semi
 ]
 
+# --family job (round 12; VERDICT r11 #5): the five slowest round-11 JOB
+# additions — 9/10-relation broadcast-heavy graphs, exactly where a dim
+# that stops being broadcastable would flip the plan. Facts scale 10x/30x
+# while dims stay fixed (build_scaled), so the broadcasts MUST stay
+# broadcasts; a super-linear exponent here means a fact-side shuffle crept
+# into what should be a map-side star.
+JOB_QUERIES = ["job_q70", "job_q87", "job_q88", "job_q92", "job_q93"]
+
 BASE_SF = "/root/testdata/sf0.1"
 
 
@@ -272,7 +280,10 @@ def build_scaled_docs(spark, scale: int, out_dir: str) -> None:
         return
     out.mkdir(parents=True, exist_ok=True)
     docs = spark.read.parquet(f"{BASE_SF}/documents.parquet")
-    shift = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    # empty-source guard (ADVICE r11): max() of an empty frame is NULL ->
+    # None + 1 would TypeError after the documents copy was written
+    shift = (docs.agg(F.coalesce(F.max("doc_id"), F.lit(-1))).collect()[0][0]
+             + 1)
     parts = [docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * shift))
              for i in range(scale)]
     reduce(lambda a, b: a.unionByName(b), parts).write.mode("overwrite").parquet(
@@ -281,7 +292,8 @@ def build_scaled_docs(spark, scale: int, out_dir: str) -> None:
     # shifted, so the FIXED query set (vec_id < N_QUERIES) stays the base
     # copies while the searched corpus grows Nx — the deployment shape
     emb = spark.read.parquet(f"{BASE_SF}/embeddings.parquet")
-    eshift = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    eshift = (emb.agg(F.coalesce(F.max("vec_id"), F.lit(-1))).collect()[0][0]
+              + 1)
     eparts = [emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * eshift))
               for i in range(scale)]
     reduce(lambda a, b: a.unionByName(b), eparts).write.mode("overwrite").parquet(
@@ -448,7 +460,9 @@ def main() -> int:
     ap.add_argument("--max-exponent", type=float, default=1.35)
     ap.add_argument("--only", nargs="*", default=None,
                     help="probe only these builder names within the family")
-    ap.add_argument("--family", choices=["relational", "pipeline", "dims", "skew", "events"],
+    ap.add_argument("--family",
+                    choices=["relational", "pipeline", "dims", "skew",
+                             "events", "job"],
                     default="relational")
     args = ap.parse_args()
 
@@ -476,6 +490,9 @@ def main() -> int:
     elif args.family == "dims":
         builders = {n: qs[n].builder for n in DIM_QUERIES}
         names = DIM_QUERIES
+    elif args.family == "job":
+        builders = {n: qs[n].builder for n in JOB_QUERIES}
+        names = JOB_QUERIES
     else:
         builders = {n: qs[n].builder for n in QUERIES}
         names = QUERIES
@@ -487,7 +504,10 @@ def main() -> int:
         builders = {n: builders[n] for n in names}
     dirs = {1: BASE_SF}
     for s in args.scales:
-        d = f"{args.out}/{args.family}_x{s}"
+        # --family job probes the same scaled-fact layout as relational:
+        # share the build dirs instead of duplicating 30x parquet on disk
+        fam_dir = "relational" if args.family == "job" else args.family
+        d = f"{args.out}/{fam_dir}_x{s}"
         print(f"building x{s} tables in {d} ...", file=sys.stderr)
         if args.family == "pipeline":
             build_scaled_docs(spark, s, d)
