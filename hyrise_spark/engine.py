@@ -1502,8 +1502,13 @@ class Engine:
             that set-level form wrongly drops a value that occurs BOTH
             inside and outside the peer group — the per-value multiset
             count comparison is the correct difference, pinned by a test
-            with exactly that collision.) RANGE-mode frames only, where
-            peers ⊆ frame; ROWS-frame GROUP/TIES raises.
+            with exactly that collision.) RANGE-mode frames use the
+            count comparison directly (peers ⊆ frame); ROWS-mode frames
+            with FINITE bounds (round-12 second wave) take the
+            position-slice route instead — the kept multiset IS the
+            concat of the two slices (_rows_kept_values_expr), so
+            DISTINCT is just ARRAY_DISTINCT over it; unbounded ROWS
+            sides raise.
           EXCLUDE TIES: the GROUP survivors plus the current row's own
             value (ARRAY_UNION — set semantics are what DISTINCT wants).
 
@@ -1524,17 +1529,20 @@ class Engine:
                 "window DISTINCT: EXCLUDE needs a frame containing the "
                 "current row (lower bound PRECEDING/CURRENT ROW, upper "
                 "bound FOLLOWING/CURRENT ROW)")
-        if bm and bm["m"].upper() == "ROWS" and mode != "CURRENT ROW":
-            raise ValueError(
-                "window DISTINCT: EXCLUDE GROUP/TIES under a ROWS frame "
-                "is not supported with DISTINCT aggregates (the peer "
-                "group can be partially in frame) — RANGE-mode/default "
-                "frames only")
         flist = f"COLLECT_LIST({arg}) OVER ({spec})"
         if mode == "CURRENT ROW":
             surv = (f"FILTER(ARRAY_DISTINCT({flist}), v ->"
                     f" (NOT (v <=> ({arg})))"
                     f" OR SIZE(FILTER({flist}, e -> e <=> v)) > 1)")
+        elif bm and bm["m"].upper() == "ROWS":
+            # GROUP/TIES under a bounded ROWS frame: the kept multiset is
+            # the position-slice concat — DISTINCT is a set over it
+            kept = self._rows_kept_values_expr(fn, arg, spec, po,
+                                               bm["lo"], bm["hi"])
+            surv = f"ARRAY_DISTINCT({kept})"
+            if mode == "TIES":
+                surv = (f"(CASE WHEN ({arg}) IS NULL THEN {surv}"
+                        f" ELSE ARRAY_UNION({surv}, ARRAY({arg})) END)")
         else:
             peers = f"{po} RANGE BETWEEN CURRENT ROW AND CURRENT ROW"
             plist = f"COLLECT_LIST({arg}) OVER ({peers})"
@@ -2080,6 +2088,21 @@ class Engine:
             return f"{comb}({base}, ({arg}))" if mode == "TIES" else base
 
         # GROUP / TIES under a ROWS frame: position-slice the frame list
+        nn = self._rows_kept_values_expr(fn, arg, spec2, po,
+                                         bm["lo"], bm["hi"])
+        base = f"{amin}({nn})"
+        return f"{comb}({base}, ({arg}))" if mode == "TIES" else base
+
+    def _rows_kept_values_expr(self, fn: str, arg: str, spec2: str,
+                               po: str, lo: str, hi: str) -> str:
+        """Non-NULL frame values SURVIVING an EXCLUDE GROUP under a ROWS
+        frame with FINITE integer bounds, as position slices of a
+        struct-wrapped frame list (shared by the MIN/MAX and DISTINCT
+        exclusion rewrites). The peer run's 1-based in-frame interval
+        [A+1, B] comes from the same ROW_NUMBER/COUNT prefixes
+        _rows_group_exclusion_expr uses; the struct wrap keeps bare-NULL
+        rows so the index arithmetic never shifts. O(k1+k2+1) per row —
+        bounded by the frame constants; UNBOUNDED sides raise."""
         def bound(text: str, side: str) -> int:
             t = re.sub(r"\s+", " ", text.strip().upper())
             if t == "CURRENT ROW":
@@ -2093,8 +2116,9 @@ class Engine:
                 "(an UNBOUNDED side would make the per-row frame array "
                 "O(partition))")
 
-        k1 = bound(bm["lo"], "PRECEDING")
-        k2 = bound(bm["hi"], "FOLLOWING")
+        k1 = bound(lo, "PRECEDING")
+        bound(hi, "FOLLOWING")  # finiteness validation; the right cut
+        # itself needs only the frame count + last_peer below
         pos = f"ROW_NUMBER() OVER ({po})"
         le = f"{po} RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
         peers = f"{po} RANGE BETWEEN CURRENT ROW AND CURRENT ROW"
@@ -2108,9 +2132,7 @@ class Engine:
         b_ = f"(LEAST({last_peer}, {fstart} + {fcnt} - 1) - {fstart} + 1)"
         vals = (f"CONCAT(SLICE({fl}, 1, {a_}),"
                 f" SLICE({fl}, {b_} + 1, GREATEST(0, {fcnt} - {b_})))")
-        nn = f"FILTER(TRANSFORM({vals}, s -> s.v), x -> x IS NOT NULL)"
-        base = f"{amin}({nn})"
-        return f"{comb}({base}, ({arg}))" if mode == "TIES" else base
+        return f"FILTER(TRANSFORM({vals}, s -> s.v), x -> x IS NOT NULL)"
 
     def _star_modifiers_sql(self, stmt: str) -> DataFrame:
         """`SELECT * EXCLUDE (cols) [REPLACE (expr AS col, ...)]` (DuckDB

@@ -760,7 +760,11 @@ _FRAME_EXCLUDE_MINMAX_SQL = """
            CAST(COUNT(DISTINCT qval) OVER (PARTITION BY l_returnflag
                 ORDER BY l_quantity
                 ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
-                EXCLUDE CURRENT ROW) AS BIGINT) AS cdq_cur
+                EXCLUDE CURRENT ROW) AS BIGINT) AS cdq_cur,
+           CAST(COUNT(DISTINCT qval) OVER (PARTITION BY l_returnflag
+                ORDER BY l_quantity
+                ROWS BETWEEN 3 PRECEDING AND 2 FOLLOWING
+                EXCLUDE GROUP) AS BIGINT) AS cdq_grp
     FROM (SELECT l_returnflag, l_quantity,
                  CAST(l_quantity * 100 + 7 AS BIGINT) AS qval
           FROM lineitem WHERE l_orderkey < 400) t

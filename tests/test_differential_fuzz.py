@@ -435,17 +435,31 @@ def distinct_exclude_query(draw) -> str:
     excl = draw(st.sampled_from(
         ["CURRENT ROW", "GROUP", "TIES", "NO OTHERS"]))
     part = draw(st.sampled_from(["", "PARTITION BY o_orderstatus "]))
-    rows_mode = excl == "CURRENT ROW" and draw(st.booleans())
-    if rows_mode:
-        key, fm = "o_orderkey", "ROWS"
+    rows_mode = excl != "NO OTHERS" and draw(st.booleans())
+    if rows_mode and excl == "CURRENT ROW":
+        key, fm = "o_orderkey", "ROWS"  # unique key: tie-free positions
+    elif rows_mode:
+        # ROWS GROUP/TIES (round-12 second wave: position-slice kept
+        # multiset): non-unique key for REAL straddling peer groups;
+        # determinism under tie permutation needs the DISTINCT arg to be
+        # a FUNCTION of the key (same argument as frame_exclude_query)
+        k = draw(st.integers(5, 40))
+        key, fm = f"o_custkey % {k}", "ROWS"
+        arg = (f"CASE WHEN (o_custkey % {k}) % 5 = 0 THEN NULL"
+               f" ELSE (o_custkey % {k}) % 7 END")
     else:
         key, fm = f"o_custkey % {draw(st.integers(5, 40))}", "RANGE"
-    lo = draw(st.sampled_from(
-        [f"{draw(st.integers(0, 9))} PRECEDING", "UNBOUNDED PRECEDING",
-         "CURRENT ROW"]))
-    hi = draw(st.sampled_from(
-        [f"{draw(st.integers(0, 9))} FOLLOWING", "UNBOUNDED FOLLOWING",
-         "CURRENT ROW"]))
+    if fm == "ROWS" and excl != "CURRENT ROW":
+        # bounded ROWS only — UNBOUNDED sides raise by design
+        lo = f"{draw(st.integers(0, 9))} PRECEDING"
+        hi = f"{draw(st.integers(0, 9))} FOLLOWING"
+    else:
+        lo = draw(st.sampled_from(
+            [f"{draw(st.integers(0, 9))} PRECEDING", "UNBOUNDED PRECEDING",
+             "CURRENT ROW"]))
+        hi = draw(st.sampled_from(
+            [f"{draw(st.integers(0, 9))} FOLLOWING", "UNBOUNDED FOLLOWING",
+             "CURRENT ROW"]))
     expr = (f"{fn}(DISTINCT {arg}) OVER ({part}ORDER BY {key}"
             f" {fm} BETWEEN {lo} AND {hi} EXCLUDE {excl})")
     expr = (f"ROUND({expr}, 4)" if fn == "AVG"

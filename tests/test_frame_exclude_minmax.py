@@ -167,12 +167,28 @@ def test_distinct_exclude_rows_current(fixture):
         FROM fx ORDER BY id""")
 
 
-def test_distinct_exclude_rows_group_raises(fixture):
+@pytest.mark.parametrize("fn,cast", [("COUNT", "BIGINT"), ("SUM", "BIGINT")])
+@pytest.mark.parametrize("excl", ["GROUP", "TIES"])
+def test_distinct_exclude_rows_group_bounded(fixture, fn, cast, excl):
+    """Round-12 second wave: DISTINCT + EXCLUDE GROUP/TIES under a
+    bounded ROWS frame via the shared position-slice kept-multiset
+    (ordering by the unique id keeps peer groups trivial here; the
+    straddling-peer-group case is fuzz-covered with key-functional
+    args)."""
+    _both(fixture, f"""
+        SELECT id, CAST({fn}(DISTINCT x % 3) OVER (PARTITION BY g
+               ORDER BY id
+               ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
+               EXCLUDE {excl}) AS {cast}) AS v
+        FROM fx ORDER BY id""")
+
+
+def test_distinct_exclude_rows_group_unbounded_raises(fixture):
     eng, _ = fixture
-    with pytest.raises(ValueError, match="ROWS frame"):
+    with pytest.raises(ValueError, match="FINITE integer bounds"):
         eng.execute("""
             SELECT COUNT(DISTINCT x) OVER (PARTITION BY g ORDER BY id
-                   ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 2 FOLLOWING
                    EXCLUDE GROUP) AS v FROM fx""")
 
 

@@ -190,10 +190,12 @@ def test_frame_exclusion_distinct_supported(spark, duck):
     srows = sorted(tuple(r) for r in e.execute(q).collect())
     orows = sorted(duck.execute(q).fetchall())
     assert srows == orows
-    with pytest.raises(ValueError, match="ROWS frame"):
+    # GROUP/TIES under BOUNDED ROWS frames works too (position-slice kept
+    # multiset); only UNBOUNDED sides raise (O(partition) per-row array)
+    with pytest.raises(ValueError, match="FINITE integer bounds"):
         e.execute(
             "SELECT SUM(DISTINCT o_custkey) OVER (ORDER BY o_orderkey"
-            " ROWS BETWEEN 2 PRECEDING AND CURRENT ROW"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
             " EXCLUDE GROUP) AS s FROM orders"
         )
 
