@@ -798,6 +798,49 @@ def run_tpch_refresh(spark: SparkSession, sf_dir: str, pairs: int = 2) -> dict:
     }
 
 
+def run_jcch(spark: SparkSession, sf_dir: str, runs: int = 3,
+             verify: bool = False) -> dict:
+    """JCC-H benchmark mode — the reference's `-j` flag: the FULL TPC-H 22
+    over skew-correlated data (tpch_benchmark.cpp:58-60; tables from
+    src/benchmarklib/jcch/jcch_table_generator.cpp). Here the skewed copy
+    is the persisted deterministic hot-key rewrite
+    (layout.write_jcch_skewed, built uncounted like an ingest); each
+    bench_jcch_qNN runs `runs` times (median, noop sink), and --verify
+    cross-checks every result against the DuckDB oracle that replays the
+    identical skew arithmetic over the ORIGINAL tables."""
+    from hyrise_spark.plans.jcch_suite import ensure_jcch
+    from hyrise_spark.registry import all_queries
+
+    qs = all_queries()
+    skew_dir = ensure_jcch(spark, sf_dir)  # uncounted ingest, idempotent
+    items: dict[str, dict] = {}
+    for i in range(1, 23):
+        name = f"bench_jcch_q{i:02d}"
+        qd = qs[name]
+        samples: list[float] = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            df = qd.builder(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        entry: dict = {"median_s": round(samples[len(samples) // 2], 3)}
+        if verify:
+            entry["verified"] = _verify_duckdb(
+                sf_dir, qd.oracle, qd.builder(spark, sf_dir))
+        items[name] = entry
+    ok = all(v.get("verified", True) for v in items.values())
+    return {
+        "mode": "jcch",
+        "sf_dir": sf_dir,
+        "skew_dir": skew_dir,
+        "runs": runs,
+        "total_s": round(sum(v["median_s"] for v in items.values()), 3),
+        "items": items,
+        "verified_ok": ok,
+    }
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--queries", help="directory of *.sql files")
@@ -826,6 +869,14 @@ def main(argv: list[str] | None = None) -> int:
     )
     ap.add_argument("--pairs", type=int, default=2,
                     help="RF1+RF2 rounds (tpch-refresh mode)")
+    ap.add_argument(
+        "--jcch", metavar="SF_DIR",
+        help="JCC-H mode (the reference's -j flag, tpch_benchmark.cpp:"
+             "58-60): run the full TPC-H 22 against the persisted skewed"
+             " copy of SF_DIR (layout.write_jcch_skewed); --verify"
+             " cross-checks each result against the DuckDB oracle"
+             " replaying the same skew arithmetic",
+    )
     ap.add_argument("--districts", type=int, default=4, help="tpcc scale")
     ap.add_argument("--customers", type=int, default=16, help="tpcc scale")
     ap.add_argument("--runs", type=int, default=3)
@@ -856,6 +907,11 @@ def main(argv: list[str] | None = None) -> int:
         result = run_tpch_refresh(spark, args.tpch_refresh, pairs=args.pairs)
         print(json.dumps(result))
         return 0 if result["roundtrip_ok"] else 1
+    if args.jcch:
+        result = run_jcch(spark, args.jcch, runs=args.runs,
+                          verify=args.verify)
+        print(json.dumps(result))
+        return 0 if result["verified_ok"] else 1
     if args.tpcc:
         if args.tpcc_shards > 1:
             result = run_tpcc_sharded(

@@ -135,3 +135,19 @@ def test_tpch_refresh_roundtrip(spark):
     assert all(n > 0 for n in result["orders_per_rf1"])
     assert result["baseline"] == result["final"]
     assert set(result["latency_s"]) == {"rf1", "rf2", "probe"}
+
+
+def test_jcch_mode_runs_and_verifies(spark):
+    """--jcch (the reference's -j flag, tpch_benchmark.cpp:58-60): all 22
+    TPC-H queries over the persisted skewed copy, each DuckDB-verified
+    against the oracle replaying the same skew arithmetic. A subset keeps
+    the test fast; the registry-wide differential covers all 22."""
+    from hyrise_spark.benchmark_runner import run_jcch
+    from tests.conftest import SF_DIR
+
+    result = run_jcch(spark, SF_DIR, runs=1, verify=True)
+    assert result["mode"] == "jcch"
+    assert len(result["items"]) == 22
+    assert result["verified_ok"], {
+        k: v for k, v in result["items"].items() if not v["verified"]}
+    assert all(v["median_s"] >= 0 for v in result["items"].values())
