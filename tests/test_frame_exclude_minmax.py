@@ -251,3 +251,30 @@ def test_shadowed_name_retries_with_double_fold(fixture):
         SELECT CAST(SUM(DISTINCT id) OVER (PARTITION BY g) AS BIGINT) AS s
         FROM (SELECT g, x, id * 0.5 + 0.5 AS id FROM fx) t""")
     assert sdf.count() == len(ROWS)
+
+
+@pytest.mark.parametrize("fn", ["MIN", "MAX"])
+@pytest.mark.parametrize("excl", ["GROUP", "CURRENT ROW", "TIES"])
+def test_minmax_exclude_composes_with_groups_frames(fixture, fn, excl):
+    """GROUPS frames + MIN/MAX EXCLUDE compose through the dialect chain:
+    the engine first rewrites GROUPS to dense-rank RANGE
+    (_groups_frame_sql), whose output is a RANGE-mode frame the new
+    MIN/MAX exclusion handles. DuckDB has no GROUPS mode at all, so the
+    oracle text IS the rank rewrite (same derivation as
+    test_fuzz_composed_window_specs)."""
+    eng, con = fixture
+    spark_q = f"""
+        SELECT id, {fn}(x) OVER (PARTITION BY g ORDER BY x NULLS FIRST
+               GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING
+               EXCLUDE {excl}) AS m
+        FROM fx ORDER BY id"""
+    duck_q = f"""
+        SELECT id, {fn}(x) OVER (PARTITION BY g ORDER BY dr
+               RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING
+               EXCLUDE {excl}) AS m
+        FROM (SELECT *, DENSE_RANK() OVER (PARTITION BY g
+              ORDER BY x NULLS FIRST) AS dr FROM fx) t
+        ORDER BY id"""
+    got = [(r["id"], r["m"]) for r in eng.execute(spark_q).collect()]
+    want = [tuple(r) for r in con.execute(duck_q).fetchall()]
+    assert got == want, (got, want)
