@@ -1419,21 +1419,24 @@ class Engine:
         carries; at 100 TB a high-cardinality distinct-count belongs in
         approx_count_distinct, which IS window-legal in Spark."""
         out, i = [], 0
+        # search/paren-match over the length-preserving literal mask
+        # (round 12: same hardening as the exclusion scanner, ADVICE r11)
+        masked = _mask_str_literals(stmt)
         pat = re.compile(
             r"(?P<fn>COUNT|SUM|AVG|MIN|MAX)\s*\(\s*DISTINCT\b", re.I)
         while True:
-            m = pat.search(stmt, i)
+            m = pat.search(masked, i)
             if not m:
                 out.append(stmt[i:])
                 break
-            op = stmt.index("(", m.start())
-            close = self._match_paren(stmt, op)
+            op = masked.index("(", m.start())
+            close = self._match_paren(masked, op)
             if close == -1:
                 raise ValueError("window DISTINCT: unbalanced aggregate")
-            om = re.match(r"\s*OVER\s*\(", stmt[close + 1:], re.I)
+            om = re.match(r"\s*OVER\s*\(", masked[close + 1:], re.I)
             nm = (None if om else
                   re.match(r"\s*OVER\s+(?P<w>[A-Za-z_]\w*)",
-                           stmt[close + 1:], re.I))
+                           masked[close + 1:], re.I))
             if not om and not nm:  # GROUP BY DISTINCT agg — native in Spark
                 out.append(stmt[i:close + 1])
                 i = close + 1
@@ -1448,7 +1451,7 @@ class Engine:
                 oclose = close + nm.end()  # last char of the window name
             else:
                 oopen = close + 1 + om.end() - 1
-                oclose = self._match_paren(stmt, oopen)
+                oclose = self._match_paren(masked, oopen)
                 if oclose == -1:
                     raise ValueError("window DISTINCT: unbalanced OVER spec")
                 spec = stmt[oopen + 1:oclose]
@@ -1529,6 +1532,12 @@ class Engine:
                 "window DISTINCT: EXCLUDE needs a frame containing the "
                 "current row (lower bound PRECEDING/CURRENT ROW, upper "
                 "bound FOLLOWING/CURRENT ROW)")
+        if (not bm and mode != "CURRENT ROW"
+                and re.search(r"\bROWS\s+(?!BETWEEN)", ms, re.I)):
+            raise ValueError(
+                "window DISTINCT: shorthand ROWS frames (ROWS k PRECEDING) "
+                "with EXCLUDE GROUP/TIES are not supported — spell the "
+                "frame as ROWS BETWEEN k PRECEDING AND CURRENT ROW")
         flist = f"COLLECT_LIST({arg}) OVER ({spec})"
         if mode == "CURRENT ROW":
             surv = (f"FILTER(ARRAY_DISTINCT({flist}), v ->"
@@ -1861,6 +1870,18 @@ class Engine:
                     "frame exclusion: the frame must contain the current "
                     "row (lower bound PRECEDING/CURRENT ROW, upper bound "
                     "FOLLOWING/CURRENT ROW)")
+            if (not bm and mode != "CURRENT ROW"
+                    and re.search(r"\bROWS\s+(?!BETWEEN)", ms2, re.I)):
+                # shorthand `ROWS k PRECEDING` (round-12 review): the peer
+                # group can stick out ABOVE the frame's CURRENT ROW upper
+                # bound, which the peers-in-frame arithmetic below does
+                # not model (RANGE shorthand is safe — its CURRENT ROW
+                # upper bound includes all peers) — fail loud
+                raise ValueError(
+                    "frame exclusion: shorthand ROWS frames (ROWS k "
+                    "PRECEDING) with EXCLUDE GROUP/TIES are not supported "
+                    "— spell the frame as ROWS BETWEEN k PRECEDING AND "
+                    "CURRENT ROW")
             if fn in ("MIN", "MAX"):
                 expr = self._minmax_exclusion_expr(
                     fn, arg, spec2, po2, bm, mode)

@@ -278,3 +278,16 @@ def test_minmax_exclude_composes_with_groups_frames(fixture, fn, excl):
     got = [(r["id"], r["m"]) for r in eng.execute(spark_q).collect()]
     want = [tuple(r) for r in con.execute(duck_q).fetchall()]
     assert got == want, (got, want)
+
+
+@pytest.mark.parametrize("agg", ["SUM(x)", "MIN(x)", "COUNT(DISTINCT x)"])
+def test_shorthand_rows_frame_group_raises(fixture, agg):
+    """Shorthand `ROWS k PRECEDING` with EXCLUDE GROUP/TIES (round-12
+    review): peers can stick out above the frame's CURRENT ROW upper
+    bound, which the peers-in-frame arithmetic does not model — every
+    rewriter fails loud instead of over-subtracting."""
+    eng, _ = fixture
+    with pytest.raises(ValueError, match="shorthand ROWS"):
+        eng.execute(f"""
+            SELECT {agg} OVER (PARTITION BY g ORDER BY x
+                   ROWS 2 PRECEDING EXCLUDE GROUP) AS v FROM fx""")
