@@ -1169,3 +1169,23 @@ def test_job_q113_kitchen_sink_scans_filtered_and_dims_broadcast(spark):
     segs = [s.split("]", 1)[0] for s in plan.split("PushedFilters: [")[1:]]
     nonempty = [s for s in segs if s.strip()]
     assert len(nonempty) >= 6, f"filtered scans: {len(nonempty)} of {len(segs)}"
+
+
+@pytest.mark.parametrize("name", [
+    "window_frame_exclude_minmax", "window_count_distinct_exclude",
+    "window_frame_exclude_rows_group",
+])
+def test_frame_exclusion_rewrites_share_one_window_operator(spark, name):
+    """Every window expression an exclusion rewrite adds (prefix counts,
+    peer totals, frame lists, position slices) shares the query's
+    partition/order, so Spark must plan exactly ONE Window operator —
+    the engine docstrings' zero-extra-shuffle claim. A second Window (or
+    a third Exchange) would mean a rewrite drifted onto its own spec."""
+    plan = _plan(spark, name)
+    # formatted plans repeat node names in the details section: count the
+    # numbered tree entries instead
+    import re as _re
+    wins = len(_re.findall(r"\(\d+\)\s+Window\b", plan))
+    assert wins == 1, f"{name}: {wins} Window operators"
+    exch = len(_re.findall(r"\(\d+\)\s+Exchange\b", plan))
+    assert exch <= 2, f"{name}: {exch} Exchanges"
