@@ -1337,7 +1337,21 @@ class Engine:
         """Both window text transforms in composition order — also applied
         by the QUALIFY / DISTINCT ON rewrites to their inner statements, so
         the dialect forms compose (e.g. DISTINCT ON over an excluded-frame
-        select list). No-ops when the markers are absent."""
+        select list). No-ops when the markers are absent.
+
+        Named windows normalize FIRST (round 12): when a dialect marker is
+        present anywhere, every `OVER w` inlines its WINDOW-clause spec and
+        the clause is dropped — SQL:2011 allows the EXCLUDE to live INSIDE
+        `WINDOW w AS (...)`, which the expression-level rewrites below
+        could otherwise never reach (and Spark's parser would reject the
+        surviving clause text). Marker-free statements keep their WINDOW
+        clause untouched — Spark runs those natively."""
+        stripped = _strip_str_literals(stmt)
+        if (re.search(r"\bWINDOW\s+[A-Za-z_]\w*\s+AS\s*\(", stripped, re.I)
+                and re.search(
+                    r"\bEXCLUDE\s+(?:CURRENT\s+ROW|GROUP|TIES|NO\s+OTHERS)\b"
+                    r"|\bFILTER\s*\(\s*WHERE\b", stripped, re.I)):
+            stmt = self._inline_named_windows(stmt)
         if re.search(r"\bFILTER\s*\(\s*WHERE\b", _strip_str_literals(stmt),
                      re.I):
             stmt = self._rewrite_window_filter(stmt)
@@ -1349,6 +1363,54 @@ class Engine:
                      r"\bOVER\b", _strip_str_literals(stmt), re.I):
             stmt = self._rewrite_window_distinct(stmt)
         return stmt
+
+    def _inline_named_windows(self, stmt: str) -> str:
+        """Inline every `OVER w` against the statement's top-level WINDOW
+        clause and DROP the clause. Parsing runs over the literal mask;
+        specs that reference another named window raise (same restriction
+        as _named_window_spec). Returns the statement unchanged when no
+        parsable clause exists."""
+        w = self._find_top_level(stmt, "WINDOW")
+        if w == -1:
+            return stmt
+        masked = _mask_str_literals(stmt)
+        specs: dict[str, str] = {}
+        i = w + len("WINDOW")
+        clause_end = i
+        while True:
+            dm = re.match(r"\s*([A-Za-z_]\w*)\s+AS\s*\(", stmt[i:], re.I)
+            if not dm:
+                break
+            popen = i + dm.end() - 1
+            pclose = self._match_paren(masked, popen)
+            if pclose == -1:
+                raise ValueError("named window: unbalanced WINDOW spec")
+            spec = stmt[popen + 1:pclose].strip()
+            if re.match(r"^[A-Za-z_]\w*\s*(?:$|ORDER|ROWS|RANGE|GROUPS)",
+                        spec, re.I):
+                raise ValueError(
+                    "named window: WINDOW specs that reference another "
+                    "named window are not supported with dialect rewrites")
+            specs[dm[1].lower()] = spec
+            clause_end = pclose + 1
+            cm = re.match(r"\s*,", stmt[clause_end:])
+            if not cm:
+                break
+            i = clause_end + cm.end()
+        if not specs:
+            return stmt
+        out = stmt[:w] + " " + stmt[clause_end:]
+        mo = _mask_str_literals(out)
+        pieces, j = [], 0
+        for m in re.finditer(r"\bOVER\s+([A-Za-z_]\w*)", mo, re.I):
+            spec = specs.get(m.group(1).lower())
+            if spec is None:
+                continue
+            pieces.append(out[j:m.start()])
+            pieces.append(f"OVER ({spec})")
+            j = m.end()
+        pieces.append(out[j:])
+        return "".join(pieces)
 
     @staticmethod
     def _has_window_distinct(stmt: str) -> bool:

@@ -291,3 +291,50 @@ def test_shorthand_rows_frame_group_raises(fixture, agg):
         eng.execute(f"""
             SELECT {agg} OVER (PARTITION BY g ORDER BY x
                    ROWS 2 PRECEDING EXCLUDE GROUP) AS v FROM fx""")
+
+
+# -- named windows + exclusion (round-12 named-window normalization) ---------
+
+@pytest.mark.parametrize("agg,cast", [
+    ("SUM(x)", "BIGINT"),
+    ("MIN(x)", "INT"),
+    ("COUNT(DISTINCT x % 3)", "BIGINT"),
+])
+def test_named_window_with_exclude_inlines(fixture, agg, cast):
+    """SQL:2011 lets EXCLUDE live inside `WINDOW w AS (...)`; the engine
+    inlines every `OVER w` and drops the clause before the expression
+    rewrites run (Spark's parser would reject the surviving clause).
+    DuckDB runs the same text natively — including the WINDOW clause."""
+    _both(fixture, f"""
+        SELECT id, CAST({agg} OVER w AS {cast}) AS v
+        FROM fx
+        WINDOW w AS (PARTITION BY g ORDER BY id
+                     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     EXCLUDE GROUP)
+        ORDER BY id""")
+
+
+def test_named_window_two_specs_mixed_consumers(fixture):
+    """Two named specs, one excluded and one plain, consumed by different
+    aggregates in one statement — the inliner must rewrite both OVER
+    references and leave no WINDOW clause behind."""
+    _both(fixture, """
+        SELECT id,
+               CAST(SUM(x) OVER wex AS BIGINT) AS s_ex,
+               CAST(COUNT(*) OVER wpl AS BIGINT) AS c_pl
+        FROM fx
+        WINDOW wex AS (PARTITION BY g ORDER BY id
+                       ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
+                       EXCLUDE CURRENT ROW),
+               wpl AS (PARTITION BY g)
+        ORDER BY id""")
+
+
+def test_named_window_without_markers_stays_native(fixture):
+    """A marker-free WINDOW clause must NOT be inlined — Spark supports
+    the clause natively and the text stays byte-identical through the
+    dialect normalization."""
+    eng, _ = fixture
+    q = ("SELECT id, SUM(x) OVER w AS s FROM fx "
+         "WINDOW w AS (PARTITION BY g ORDER BY id) ORDER BY id")
+    assert eng._rewrite_window_dialect(q) == q
