@@ -61,8 +61,23 @@ def get_spark(app_name: str = "hyrise_spark", cpus: int | None = None) -> SparkS
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Deterministic timestamp semantics; matches DuckDB's naive-UTC.
         .config("spark.sql.session.timeZone", "UTC")
-        # Small dimension tables (region/nation/supplier at any SF) broadcast.
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Broadcast threshold 16 MB (round 12; was 64 MB since round 1).
+        # Broadcast relations are built from DESERIALIZED rows, ~8-10x the
+        # compressed estimate the threshold compares against; at 64 MB the
+        # planner broadcast tpch_q18's fact-DERIVED big-orders set on the
+        # 30x-scaled JCC-H probe (~50 MB estimated, ~536 MB as a hash
+        # relation) and GC-thrashed into superlinear wall time — measured
+        # 107 s vs 12 s with the 16 MB cap, a 9x cliff (SCALE.md §20).
+        # 16 MB still statically broadcasts every genuine dimension (all
+        # sf0.1 base tables are smaller; the intended big-dim broadcasts
+        # are explicit F.broadcast hints, which ignore the threshold), and
+        # AQE may still convert runtime-PROVEN-small sides below the same
+        # cap. The principle at 100 TB: estimate-based broadcasts must be
+        # bounded by what a hash relation costs in memory, not by what
+        # compresses well on the wire.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(16 * 1024 * 1024))
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold",
+                str(16 * 1024 * 1024))
         # ANSI off: the reference's expression evaluator is permissive
         # (NULL-propagating arithmetic, no overflow errors).
         .config("spark.sql.ansi.enabled", "false")

@@ -47,6 +47,16 @@ QUERIES = [
 # into what should be a map-side star.
 JOB_QUERIES = ["job_q70", "job_q87", "job_q88", "job_q92", "job_q93"]
 
+# --family jcch (round 12): the JCC-H suite against facts scaled 10x/30x —
+# ensure_jcch() persists a 75%-hot-key copy OF EACH SCALED DIR (a 30x
+# lineitem with one supplier owning ~75% of 18M rows), so the probe
+# measures whether the canonical TPC-H plans stay sublinear as the
+# PATHOLOGICAL key grows with the data (broadcast dims fixed, AQE skew
+# split on what shuffles). q1 scan-agg control, q6 scan control, q9/q18/
+# q21 the reference-named skew victims.
+JCCH_QUERIES = ["bench_jcch_q01", "bench_jcch_q06", "bench_jcch_q09",
+                "bench_jcch_q18", "bench_jcch_q21"]
+
 BASE_SF = "/root/testdata/sf0.1"
 
 
@@ -462,7 +472,7 @@ def main() -> int:
                     help="probe only these builder names within the family")
     ap.add_argument("--family",
                     choices=["relational", "pipeline", "dims", "skew",
-                             "events", "job"],
+                             "events", "job", "jcch"],
                     default="relational")
     args = ap.parse_args()
 
@@ -493,6 +503,9 @@ def main() -> int:
     elif args.family == "job":
         builders = {n: qs[n].builder for n in JOB_QUERIES}
         names = JOB_QUERIES
+    elif args.family == "jcch":
+        builders = {n: qs[n].builder for n in JCCH_QUERIES}
+        names = JCCH_QUERIES
     else:
         builders = {n: qs[n].builder for n in QUERIES}
         names = QUERIES
@@ -506,7 +519,8 @@ def main() -> int:
     for s in args.scales:
         # --family job probes the same scaled-fact layout as relational:
         # share the build dirs instead of duplicating 30x parquet on disk
-        fam_dir = "relational" if args.family == "job" else args.family
+        fam_dir = ("relational" if args.family in ("job", "jcch")
+                   else args.family)
         d = f"{args.out}/{fam_dir}_x{s}"
         print(f"building x{s} tables in {d} ...", file=sys.stderr)
         if args.family == "pipeline":
