@@ -82,6 +82,10 @@ _SKEW_CONF = {
     # AQE's skew detector fire on the toy partitions — at 100 TB the same
     # mechanism fires at the DEFAULT thresholds (256 MB partitions)
     "spark.sql.autoBroadcastJoinThreshold": "-1",
+    # the session sets a SEPARATE AQE runtime conversion threshold (16 MB,
+    # round-12 broadcast-cliff fix); it must be off too or AQE converts
+    # the tiny test-scale joins to broadcast before skew splitting applies
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
     "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
