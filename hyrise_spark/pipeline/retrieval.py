@@ -241,10 +241,15 @@ def _qterms(spark: SparkSession) -> DataFrame:
 
 
 def _tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Materialized once per invocation (lazy localCheckpoint): the tf index
+    # is the hub frame — candidate join, document-frequency agg and
+    # document-length agg all derive from it, and without the checkpoint
+    # each consumer re-runs the tokenize + explode + groupBy pass.
     return (
         _toks(_docs(spark, sf_dir))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
     )
 
 
@@ -255,10 +260,12 @@ def _bm25_scored(
     shared by text_bm25_topk and the RRF fusion. Pass a prebuilt `tf` so a
     caller that also needs the (doc_id, term, tf) frame tokenizes the
     corpus once, not twice."""
-    toks = _toks(_docs(spark, sf_dir))
     if tf is None:
-        tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+        tf = _tf(spark, sf_dir)
+    # dl derives from tf (sum of per-term counts == token count — same
+    # value as counting the exploded tokens), so the corpus is tokenized
+    # exactly once instead of once per aggregate.
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     corpus = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_tokens")

@@ -70,11 +70,18 @@ def _normalize(v: Column) -> Column:
     """,
     tags=("similarity", "topk"),
 )
-def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb(spark, sf_dir)
-    e = emb.select(
-        "vec_id", _normalize(F.col("embedding").cast("array<double>")).alias("v")
-    )
+def sim_bruteforce_topk(
+    spark: SparkSession, sf_dir: str, e: DataFrame | None = None
+) -> DataFrame:
+    """`e` (optional): a prebuilt (vec_id, v=normalized vector, ...) frame —
+    the recall evaluators pass a checkpointed one so the exact arm and the
+    approximate arm share ONE corpus scan + normalize pass."""
+    if e is None:
+        emb = _emb(spark, sf_dir)
+        e = emb.select(
+            "vec_id",
+            _normalize(F.col("embedding").cast("array<double>")).alias("v"),
+        )
     # limit is a no-op (unique vec_id -> < _N_QUERIES rows) that makes the
     # query-set bound statically visible to the broadcast-hint plan lint
     q = e.filter(F.col("vec_id") < _N_QUERIES).select(
@@ -152,7 +159,13 @@ def _bucket_spark(vec: Column) -> Column:
     """,
     tags=("similarity", "lsh"),
 )
-def sim_lsh_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_lsh_bucket_join(
+    spark: SparkSession, sf_dir: str, e: DataFrame | None = None
+) -> DataFrame:
+    """`e` (optional): a prebuilt (vec_id, v=normalized, ...) frame — the
+    recall evaluator passes a checkpointed one shared with the exact arm
+    (bucket bits are sign-of-dot-product, scale-invariant, so computing
+    them from the normalized vector gives identical buckets)."""
     emb = _emb(spark, sf_dir)
     v = F.col("embedding").cast("array<double>")
     # Bucket bits come from the RAW vector (sign of a dot product is
@@ -169,9 +182,16 @@ def sim_lsh_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND at run time, dependent on the
     # session's exprId history). After the checkpoint no lambda expressions
     # remain in the joined plan.
-    sig = emb.select(
-        "vec_id", _normalize(v).alias("v"), _bucket_spark(v).alias("bucket")
-    ).localCheckpoint(eager=False)
+    if e is not None and "bucket" in e.columns:
+        sig = e  # caller already built + checkpointed the signature frame
+    elif e is not None:
+        sig = e.select(
+            "vec_id", "v", _bucket_spark(F.col("v")).alias("bucket")
+        ).localCheckpoint(eager=False)
+    else:
+        sig = emb.select(
+            "vec_id", _normalize(v).alias("v"), _bucket_spark(v).alias("bucket")
+        ).localCheckpoint(eager=False)
     q = sig.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("v").alias("qv"), "bucket"
     )
@@ -930,9 +950,12 @@ _PQ_ANCHOR_IDS = [_N_QUERIES + 31 * j for j in range(_PQ_K)]
 )
 def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
+    # Materialized once: the normalized corpus feeds FIVE branches (query
+    # set, corpus codes, anchors/codebook, and both rerank vector joins) —
+    # without the checkpoint each branch re-runs the scan + normalize.
     n = emb.select(
         "vec_id", _normalize(F.col("embedding").cast("array<double>")).alias("v")
-    )
+    ).localCheckpoint(eager=False)
     # limit is a no-op (unique vec_id -> < _N_QUERIES rows) that makes the
     # query-set bound statically visible to the broadcast-hint plan lint
     q = n.filter(F.col("vec_id") < _N_QUERIES).select(
@@ -1256,9 +1279,17 @@ def sim_linear_probe_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "evaluation", "lsh"),
 )
 def sim_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """recall@k of sim_lsh_bucket_join vs sim_bruteforce_topk, per query."""
-    bf = sim_bruteforce_topk(spark, sf_dir).select("qid", "cid")
-    lsh = sim_lsh_bucket_join(spark, sf_dir).select(
+    """recall@k of sim_lsh_bucket_join vs sim_bruteforce_topk, per query.
+    Both arms read ONE checkpointed signature frame (previously each arm
+    re-scanned and re-normalized the corpus independently; the brute-force
+    arm simply ignores the bucket column)."""
+    emb = _emb(spark, sf_dir)
+    v = F.col("embedding").cast("array<double>")
+    sig = emb.select(
+        "vec_id", _normalize(v).alias("v"), _bucket_spark(v).alias("bucket")
+    ).localCheckpoint(eager=False)
+    bf = sim_bruteforce_topk(spark, sf_dir, e=sig).select("qid", "cid")
+    lsh = sim_lsh_bucket_join(spark, sf_dir, e=sig).select(
         "qid", "cid", F.lit(1).alias("hit")
     )
     return (
@@ -1620,6 +1651,42 @@ def _pack_sql(vec: str, lo: int) -> str:
     )
 
 
+def _pack_word(v: Column, lo: int) -> Column:
+    """32 sign bits of v[lo+1 .. lo+32] as one BIGINT — unrolled 32-term OR
+    of literal bit weights (shiftleft needs a static bit count; the plan is
+    32 fixed codegen'd terms per word). Sign of a coordinate is
+    scale-invariant, so packing a NORMALIZED vector yields the identical
+    words as packing the raw one — the shared frames below exploit that."""
+    w = F.lit(0).cast("long")
+    for i in range(1, 33):
+        w = w.bitwiseOR(
+            F.when(
+                F.element_at(v, i + lo) > 0,
+                F.lit(1 << (i - 1)).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return w
+
+
+def _bq_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, v=normalized vector, w1, w2): one corpus pass computing the
+    normalized vectors AND the packed sign words — the shared input of the
+    whole BQ family. The words are packed from the RAW cast array, not the
+    normalized one (same sign bits — scale invariance): packing the
+    normalized column would let CollapseProject inline the normalize lambda
+    into every one of the 128 pack terms (measured 1.2x slower)."""
+    emb = _emb(spark, sf_dir)
+    raw = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("r")
+    )
+    return raw.select(
+        "vec_id",
+        _normalize(F.col("r")).alias("v"),
+        _pack_word(F.col("r"), 0).alias("w1"),
+        _pack_word(F.col("r"), 32).alias("w2"),
+    )
+
+
 @register(
     "sim_binary_quantization",
     oracle=f"""
@@ -1663,36 +1730,24 @@ def _pack_sql(vec: str, lo: int) -> str:
     """,
     tags=("similarity", "topk", "binary-quantization"),
 )
-def sim_binary_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_binary_quantization(
+    spark: SparkSession, sf_dir: str, e: DataFrame | None = None
+) -> DataFrame:
     """1-bit-per-dim ANN: pack sign bits into two 32-bit words, hamming
-    shortlist (XOR+popcount, whole-stage codegen), exact-cosine rerank."""
-    emb = _emb(spark, sf_dir)
+    shortlist (XOR+popcount, whole-stage codegen), exact-cosine rerank.
 
-    def pack(lo: int) -> Column:
-        # unrolled 32-term OR of literal bit weights (shiftleft needs a
-        # static bit count; the plan is 32 fixed codegen'd terms per word)
-        w = F.lit(0).cast("long")
-        for i in range(1, 33):
-            w = w.bitwiseOR(
-                F.when(
-                    F.element_at(F.col("v"), i + lo) > 0,
-                    F.lit(1 << (i - 1)).cast("long"),
-                ).otherwise(F.lit(0).cast("long"))
-            )
-        return w
-
-    e = emb.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    ).select("vec_id", "v", pack(0).alias("w1"), pack(32).alias("w2"))
-    nv = _normalize(F.col("v"))
+    `e` (optional): a prebuilt (vec_id, v=normalized, w1, w2) frame — the
+    recall evaluator passes a checkpointed one shared with the exact arm."""
+    if e is None:
+        e = _bq_frame(spark, sf_dir)
     q = (
         e.filter(F.col("vec_id") < _N_QUERIES)
-        .select(F.col("vec_id").alias("qid"), nv.alias("qv"),
+        .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
                 F.col("w1").alias("q1"), F.col("w2").alias("q2"))
         .limit(_N_QUERIES)
     )
     c = e.filter(F.col("vec_id") >= _N_QUERIES).select(
-        F.col("vec_id").alias("cid"), nv.alias("cv"),
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"),
         F.col("w1").alias("c1"), F.col("w2").alias("c2")
     )
     ham = (
@@ -1790,9 +1845,12 @@ def sim_binary_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_bq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@k of sim_binary_quantization vs sim_bruteforce_topk, per
-    query — two bounded top-k frames joined at query granularity."""
-    bf = sim_bruteforce_topk(spark, sf_dir).select("qid", "cid")
-    bq = sim_binary_quantization(spark, sf_dir).select(
+    query — two bounded top-k frames joined at query granularity. Both arms
+    read ONE checkpointed normalized+packed corpus frame (previously each
+    arm re-scanned and re-normalized the corpus independently)."""
+    e = _bq_frame(spark, sf_dir).localCheckpoint(eager=False)
+    bf = sim_bruteforce_topk(spark, sf_dir, e=e).select("qid", "cid")
+    bq = sim_binary_quantization(spark, sf_dir, e=e).select(
         "qid", "cid", F.lit(1).alias("hit")
     )
     return (
@@ -1836,32 +1894,21 @@ def _bq_band_val(word, b_in_word: int):
 def _bq_banded_frames(spark: SparkSession, sf_dir: str):
     """(query, corpus, candidate) frames for the banded BQ retrieval —
     exposed so tests can measure the candidate-set reduction the banding
-    buys (the op's 100 TB claim, gated in test_ann_recall.py)."""
-    emb = _emb(spark, sf_dir)
+    buys (the op's 100 TB claim, gated in test_ann_recall.py).
 
-    def pack(lo: int) -> Column:
-        w = F.lit(0).cast("long")
-        for i in range(1, 33):
-            w = w.bitwiseOR(
-                F.when(
-                    F.element_at(F.col("v"), i + lo) > 0,
-                    F.lit(1 << (i - 1)).cast("long"),
-                ).otherwise(F.lit(0).cast("long"))
-            )
-        return w
-
-    e = emb.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    ).select("vec_id", "v", pack(0).alias("w1"), pack(32).alias("w2"))
-    nv = _normalize(F.col("v"))
+    The packed corpus frame is materialized once (lazy localCheckpoint):
+    the corpus side is consumed TWICE (band explode for candidate
+    generation + the hamming join), and without the checkpoint each
+    consumer re-runs the scan + normalize + 128-term pack."""
+    e = _bq_frame(spark, sf_dir).localCheckpoint(eager=False)
     q = (
         e.filter(F.col("vec_id") < _N_QUERIES)
-        .select(F.col("vec_id").alias("qid"), nv.alias("qv"),
+        .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"),
                 F.col("w1").alias("q1"), F.col("w2").alias("q2"))
         .limit(_N_QUERIES)
     )
     c = e.filter(F.col("vec_id") >= _N_QUERIES).select(
-        F.col("vec_id").alias("cid"), nv.alias("cv"),
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv"),
         F.col("w1").alias("c1"), F.col("w2").alias("c2")
     )
 
