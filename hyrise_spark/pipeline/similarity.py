@@ -123,11 +123,25 @@ def _bucket_sql(vec_expr: str) -> str:
     return " + ".join(bits)
 
 
+def _array_literal(nested) -> Column:
+    """Nested float array literal via ONE F.expr parse. F.lit(pylist)
+    converts element-by-element over py4j — measured ~1.4 s for the 2048
+    floats of the multi-table planes (and ~0.35 s for one table's 512),
+    paid at every plan build. The SQL text form is one JVM parse call;
+    the D suffix pins DOUBLE (bare 1.0 would parse as DECIMAL)."""
+    def render(x) -> str:
+        if isinstance(x, (list, tuple)):
+            return "array(" + ",".join(render(e) for e in x) + ")"
+        return f"{float(x)}D"
+
+    return F.expr(render(nested))
+
+
 def _bucket_spark(vec: Column) -> Column:
     # Planes as one nested array literal + higher-order functions: the
     # projection loop runs inside codegen instead of a 512-node expression
     # tree (which costs seconds of Catalyst analysis at plan time).
-    planes = F.lit([[float(w) for w in plane] for plane in _PLANES])
+    planes = _array_literal(_PLANES)
     # Bit order differs from the oracle's (1 << p) packing, but bucket values
     # are only join keys within one engine — any bijection of signatures
     # produces the identical candidate-pair set.
@@ -565,6 +579,11 @@ def sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = pts.crossJoin(F.broadcast(seeds)).select(
         "vec_id", "cell", _dot(F.col("pv"), F.col("cv")).alias("sim")
     )
+    # NOTE (optimization round): a min_by partial-agg argmax (the
+    # dedup_semantic shape) was measured here and ran 4-7% SLOWER than the
+    # row_number window at sf0.1 — the struct-ordered min_by forces
+    # ObjectHashAggregate, which costs more than the tiny per-key sort.
+    # Kept as the window form; revisit if K-wide expands grow.
     w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cell"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
@@ -772,7 +791,7 @@ def _mt_bucket_sql(vec_expr: str, t: int) -> str:
 
 def _mt_buckets_spark(vec: Column) -> Column:
     """array of L bucket ids, one per table (loops run inside codegen)."""
-    tables = F.lit([[[float(w) for w in plane] for plane in t] for t in _MT_PLANES])
+    tables = _array_literal(_MT_PLANES)
     return F.transform(
         tables,
         lambda planes: F.aggregate(
@@ -1583,6 +1602,10 @@ def sim_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@k of first-16-dim prefix retrieval vs the full 64-dim
     brute-force ranking, per query."""
     emb = _emb(spark, sf_dir)
+    # NOTE (optimization round): e is consumed four times (q/c of both
+    # rankings), but a lazy localCheckpoint here measured 6-8% SLOWER at
+    # sf0.1 — each consumer's pruned scan+normalize is cheaper than the
+    # materialization barrier. Left un-checkpointed.
     e = emb.select(
         "vec_id",
         _normalize(F.col("embedding").cast("array<double>")).alias("v"),

@@ -646,7 +646,11 @@ def aggregate_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate — bounded). The profile's cost is a strict lower bound on
     the join it de-risks."""
     (events,) = _t(spark, sf_dir, "events")
-    c = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    # c feeds the totals scalar and the top-k head: materialize the
+    # key-sized count frame once instead of running the fact groupBy twice
+    c = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).localCheckpoint(eager=False)
     t = c.agg(
         F.count(F.lit(1)).alias("n_keys"), F.sum("cnt").alias("total")
     )

@@ -759,7 +759,10 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_cents",
         (F.length(F.expr("bin(n_events)")) - 1).alias("fb"),
         (F.length(F.expr("bin(total_cents)")) - 1).alias("mb"),
-    )
+        # ub feeds the user-count scalar, all three quartile histograms and
+        # the final join — five consumers; materialize the user-sized frame
+        # once instead of re-running the events groupBy per branch
+    ).localCheckpoint(eager=False)
     n = ub.agg(F.count(F.lit(1)).alias("n"))
 
     def cum_hist(col: str, better: str) -> DataFrame:
@@ -1319,7 +1322,8 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.sum(F.round(F.col("value") * 1000).cast("long")).alias("v_milli"),
         F.count(F.lit(1)).alias("n"),
-    )
+    ).localCheckpoint(eager=False)  # feeds the totals scalar + the cusum
+    # window: one day-grain aggregation pass instead of two
     g = daily.agg(
         F.sum("v_milli").alias("tot"), F.sum("n").alias("cnt")
     )
@@ -1515,13 +1519,16 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     is series-sized, never quadratic — and two partial aggs joined at
     series granularity (25 rows)."""
     (events,) = _t(spark, sf_dir, "events")
+    # e (the numbered series — one window shuffle+sort over the data) feeds
+    # the moment agg and BOTH sides of the lag self-join: materialize it
+    # once instead of re-running the window pass three times.
     e = events.select(
         "event_type",
         F.row_number()
         .over(Window.partitionBy("event_type").orderBy("event_id"))
         .alias("rn"),
         F.round(F.col("value") * 100).cast("long").alias("x"),
-    )
+    ).localCheckpoint(eager=False)
     base = e.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("x").cast("long").alias("s1"),
@@ -1638,6 +1645,11 @@ def events_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sequence explode — no data shuffle), a 7-row lag frame, one
     equi-join on h+k (spine-sized per lag), and a 7-row stats frame."""
     (events,) = _t(spark, sf_dir, "events")
+    # hrs (3 consumers) and xs (2 consumers) stay UN-checkpointed
+    # deliberately: each consumer is a 2-column pruned scan + partial agg
+    # (or a spine-sized join), and materializing either measured 14-20%
+    # SLOWER than the cheap re-evaluations — the barrier costs more than
+    # the recompute here.
     hrs = events.filter(F.col("event_type").isin(_CCF_X, _CCF_Y)).select(
         (F.unix_timestamp("ts") / 3600).cast("long").alias("h"), "event_type"
     )
@@ -1954,7 +1966,12 @@ def events_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates."""
     (events,) = _t(spark, sf_dir, "events")
     item = (F.get_json_object("props", "$.k").cast("int") / 5).cast("int")
-    ui = events.select("user_id", item.alias("item")).distinct()
+    # ui feeds the user-count scalar, the per-item counts and BOTH sides of
+    # the per-user self-join — four consumers; materialize the json-parsed
+    # distinct (user, item) frame once instead of re-running parse+distinct
+    ui = events.select(
+        "user_id", item.alias("item")
+    ).distinct().localCheckpoint(eager=False)
     nu = ui.agg(F.countDistinct("user_id").cast("long").alias("nu"))
     item_n = ui.groupBy("item").agg(F.count(F.lit(1)).cast("long").alias("n"))
     a = ui.select("user_id", F.col("item").alias("x"))

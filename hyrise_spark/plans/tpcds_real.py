@@ -3677,10 +3677,16 @@ def tpcds_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpcds_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     li, orders, part = _t(spark, sf_dir, "lineitem", "orders", "part")
     prio = F.col("o_orderpriority")
+    # lo97 feeds the three channel part-sets AND the average-sales scalar —
+    # four consumers, each re-running the lineitem⋈orders(1997) join without
+    # the checkpoint. Project to the four columns the consumers need before
+    # materializing (the raw join output is every column of both tables).
     lo97 = li.join(
         orders.filter(_ts_range("o_orderdate", "1997-01-01", "1998-01-01")),
         F.col("l_orderkey") == F.col("o_orderkey"),
-    )
+    ).select(
+        "o_orderpriority", "l_partkey", "l_quantity", "l_extendedprice"
+    ).localCheckpoint(eager=False)
 
     def chan_pk(prios):
         return lo97.filter(prio.isin(*prios)).select(F.col("l_partkey").alias("pk")).distinct()
@@ -3943,6 +3949,9 @@ def tpcds_q23(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(F.col("o_custkey").alias("ck"))
         .agg(F.sum(F.col("l_quantity") * F.col("l_extendedprice")).alias("sales"))
+        # consumed twice (max-threshold scalar + the cut): materialize the
+        # custkey-sized aggregate once instead of joining the facts twice
+        .localCheckpoint(eager=False)
     )
     threshold = best.agg((F.max("sales") * 0.5).alias("thr"))
     best_cut = (

@@ -523,6 +523,10 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), R2).alias("total_revenue"))
     )
     # CREATE VIEW analog (LQP view, storage/lqp_view.hpp): register + reuse.
+    # Materialized once (lazy localCheckpoint): the view is consumed twice
+    # (MAX scalar + supplier join), which would otherwise run the filtered
+    # lineitem aggregation twice — the supplier-count-sized result is tiny.
+    revenue0 = revenue0.localCheckpoint(eager=False)
     revenue0.createOrReplaceTempView("revenue0")
     spark = supp.sparkSession
     max_rev = spark.table("revenue0").agg(F.max("total_revenue").alias("m"))
@@ -856,6 +860,11 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("l_partkey")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), R2).alias("value"))
+        # the CTE is consumed twice (threshold scalar + final filter):
+        # materialize the partkey-sized aggregate once instead of running
+        # the lineitem⋈supplier⋈nation join+agg twice (2x the fact scan at
+        # warehouse scale)
+        .localCheckpoint(eager=False)
     )
     threshold = supply_value.agg((F.lit(2.0) * F.sum("value") / F.count(F.lit(1))).alias("thr"))
     return (
