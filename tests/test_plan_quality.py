@@ -1189,3 +1189,33 @@ def test_frame_exclusion_rewrites_share_one_window_operator(spark, name):
     assert wins == 1, f"{name}: {wins} Window operators"
     exch = len(_re.findall(r"\(\d+\)\s+Exchange\b", plan))
     assert exch <= 2, f"{name}: {exch} Exchanges"
+
+
+# -- round 12 (optimization): lineage-truncation discipline -----------------
+# The iterative graph operators and the multi-consumer pipeline hubs
+# materialize their loop-invariant / multi-referenced frames with lazy
+# localCheckpoint. Without it, an unrolled fixpoint that references its
+# state twice per round duplicates the upstream subtree exponentially in
+# the round count (measured before the fix: graph_sssp_hops' final plan
+# held 60 parquet scans of the 5k-row documents table, pagerank 52,
+# connected_components 32, pipeline_retention_funnel 78). These pins fail
+# if a refactor ever re-inlines the subtrees.
+@pytest.mark.parametrize("name,max_scans", [
+    ("graph_sssp_hops", 2),
+    ("graph_pagerank_topk", 4),
+    ("graph_connected_components", 4),
+    ("pipeline_retention_funnel", 4),
+    ("text_rrf_fusion", 4),
+    ("curate_importance_resample", 2),
+])
+def test_checkpoint_discipline_bounds_scan_count(spark, name, max_scans):
+    """The final physical plan must reference each base table a bounded
+    number of times — checkpointed hubs appear as Scan ExistingRDD leaves,
+    so duplicated `Scan parquet` nodes mean the truncation regressed."""
+    import re as _re
+    plan = _plan(spark, name)
+    scans = len(_re.findall(r"\(\d+\)\s+Scan parquet\b", plan))
+    assert scans <= max_scans, (
+        f"{name}: {scans} parquet scans in the final plan (max {max_scans})"
+        " — a multi-consumed subtree lost its localCheckpoint"
+    )
