@@ -889,8 +889,14 @@ def curate_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("b"),
     )
     dom = toks.groupBy("domain", "b").agg(F.count(F.lit(1)).alias("c"))
+    # dom is the hub: the per-domain totals AND the reference distribution
+    # are rollups of it (sum of per-domain bucket counts == the direct
+    # bucket count — exact integer associativity), so the token pass runs
+    # ONCE. Previously `ref` re-aggregated `toks` directly, which
+    # re-evaluated the scan + split + explode + md5 a second time.
+    dom = dom.localCheckpoint(eager=False)
     dom_tot = dom.groupBy("domain").agg(F.sum("c").alias("t"))
-    ref = toks.groupBy("b").agg(F.count(F.lit(1)).alias("rc"))
+    ref = dom.groupBy("b").agg(F.sum("c").alias("rc"))
     ref_tot = ref.agg(F.sum("rc").alias("rt"))
     deltas = (
         dom.join(dom_tot, "domain")
@@ -1109,6 +1115,10 @@ def curate_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = F.when(
         F.size("w") >= 2, F.sequence(F.lit(0), F.size(F.col("w")) - 2)
     ).otherwise(F.array().cast("array<int>"))
+    # NOTE (optimization round): adding bg/bc checkpoints here (the
+    # text_kneser_ney_bigram hub treatment) measured exactly 1.00x — the
+    # downstream `doc` checkpoint already confines the duplication to one
+    # subtree where exchange reuse fires. Left without them.
     bg = toks.select("doc_id", "lang", F.explode(idx).alias("i"), "w").select(
         "doc_id", "lang",
         F.element_at("w", F.col("i") + 1).alias("w1"),

@@ -941,6 +941,9 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     toks = docs.select(w.alias("w"))
     uni = toks.select(F.explode("w").alias("tok"))
+    # NOTE (optimization round): checkpointing uc (+ deriving n from it)
+    # measured 1.27x SLOWER — the vocab-sized materialization barrier
+    # loses to the cheap pruned re-evaluations here. Left as-is.
     uc = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     n = uni.agg(F.count(F.lit(1)).alias("n"))
     idx = F.when(F.size("w") >= 2, F.sequence(F.lit(0), F.size(F.col("w")) - 2)).otherwise(
@@ -1039,12 +1042,16 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = F.when(
         F.size("w") >= 2, F.sequence(F.lit(0), F.size(F.col("w")) - 2)
     ).otherwise(F.array().cast("array<int>"))
+    # bg and bc are hubs (the count build AND the scoring join read each) —
+    # materialize once, same treatment as text_kneser_ney_bigram
     bg = toks.select("doc_id", F.explode(idx).alias("i"), "w").select(
         "doc_id",
         F.element_at("w", F.col("i") + 1).alias("w1"),
         F.element_at("w", F.col("i") + 2).alias("w2"),
-    )
-    bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    ).localCheckpoint(eager=False)
+    bc = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c")
+    ).localCheckpoint(eager=False)
     pc = bc.groupBy("w1").agg(F.sum("c").alias("cp"))
     bits = (F.length(F.expr("bin(cp)")) - 1) - (F.length(F.expr("bin(c)")) - 1)
     return (
@@ -1292,12 +1299,18 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = F.when(
         F.size("w") >= 2, F.sequence(F.lit(0), F.size(F.col("w")) - 2)
     ).otherwise(F.array().cast("array<int>"))
+    # bg feeds the bigram-count build AND the final scoring join (2 refs);
+    # bc feeds pc, hist, btot and the scoring join (4 refs) — without the
+    # checkpoints each reference re-runs the explode (+ the bc shuffle).
+    # bg is narrow (doc_id, w1, w2) rows; bc is distinct-bigram-sized.
     bg = toks.select("doc_id", F.explode(idx).alias("i"), "w").select(
         "doc_id",
         F.element_at("w", F.col("i") + 1).alias("w1"),
         F.element_at("w", F.col("i") + 2).alias("w2"),
-    )
-    bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    ).localCheckpoint(eager=False)
+    bc = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).localCheckpoint(eager=False)
     pc = bc.groupBy("w1").agg(
         F.sum("c").cast("long").alias("cp"),
         F.count(F.lit(1)).cast("long").alias("n1p_fwd"),
