@@ -1353,14 +1353,28 @@ def dedup_lsh_crosscorpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     keyed = sig.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bk")
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
-    prev = (
-        keyed.filter(F.col("doc_id") % 2 == 0).select("band", "band_key").distinct()
+    ).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
     )
+    # One signature pass: the prev-crawl membership test and the new-crawl
+    # doc set fold into a single per-bucket aggregate, so the expensive
+    # MinHash build runs once with no materialization barrier (the naive
+    # prev-distinct + semi-join form read `keyed` twice, re-running the
+    # whole tokenize + K-min subtree per branch — 6 parquet scans in the
+    # plan; a lazy checkpoint fixed the double build but its barrier
+    # serialized the branches and measured 1.07-1.10x). The per-bucket
+    # collect_set is bounded by LSH bucket size — the same boundedness the
+    # semi-join's fan-out already relied on.
     flagged = (
-        keyed.filter(F.col("doc_id") % 2 == 1)
-        .join(prev, ["band", "band_key"], "left_semi")
-        .select("doc_id")
+        keyed.groupBy("band", "band_key")
+        .agg(
+            F.max(F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0)).alias("has_prev"),
+            F.collect_set(
+                F.when(F.col("doc_id") % 2 == 1, F.col("doc_id"))
+            ).alias("new_ids"),
+        )
+        .filter((F.col("has_prev") == 1) & (F.size("new_ids") > 0))
+        .select(F.explode("new_ids").alias("doc_id"))
         .distinct()
         .withColumn("hit", F.lit(1))
     )

@@ -497,9 +497,11 @@ def aggregate_mode_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-group max count, min value at that count. Everything after the
     first groupBy is histogram-sized."""
     (li,) = _t(spark, sf_dir, "lineitem")
+    # h is a hub (the max branch AND the join read it): truncate so the
+    # lineitem scan + histogram agg run once, not per branch. Histogram-sized.
     h = li.groupBy(
         "l_returnflag", F.round(F.col("l_quantity")).cast("long").alias("q")
-    ).agg(F.count(F.lit(1)).alias("c"))
+    ).agg(F.count(F.lit(1)).alias("c")).localCheckpoint(eager=False)
     mx = h.groupBy("l_returnflag").agg(F.max("c").alias("mc"))
     return (
         h.join(mx, "l_returnflag")
