@@ -1563,21 +1563,31 @@ class Engine:
         peer-group frame when peers matter.
 
           EXCLUDE CURRENT ROW: v survives iff it occurs in the frame on
-            some row other than the current one — count(v) > 1 when v
-            equals the current row's value, count(v) >= 1 otherwise.
-            Valid under ANY frame mode containing the current row.
+            some row other than the current one. Provably RANGE-mode
+            frames slice the ONE element at the current row's in-frame
+            position out of the frame list (cut="self", O(frame) per
+            row — tie-order independent because the removed element
+            always VALUE-equals the current row); other frame shapes use
+            the per-value survival test — count(v) > 1 when v equals the
+            current row's value, count(v) >= 1 otherwise — valid under
+            ANY frame mode containing the current row.
           EXCLUDE GROUP: v survives iff count_frame(v) > count_peers(v).
             (VERDICT r11 #6 sketched ARRAY_EXCEPT(frame_set, peer_set);
             that set-level form wrongly drops a value that occurs BOTH
             inside and outside the peer group — the per-value multiset
             count comparison is the correct difference, pinned by a test
-            with exactly that collision.) RANGE-mode frames use the
-            count comparison directly (peers ⊆ frame); ROWS-mode frames
-            with FINITE bounds (round-12 second wave) take the
-            position-slice route instead — the kept multiset IS the
-            concat of the two slices (_rows_kept_values_expr), so
-            DISTINCT is just ARRAY_DISTINCT over it; unbounded ROWS
-            sides raise.
+            with exactly that collision.) But counting is only NEEDED
+            when the peer run's frame positions are unknown: RANGE-mode
+            frames hold the WHOLE contiguous peer run (order-distance
+            0), so the kept multiset is a position-slice concat
+            (_range_kept_values_expr, O(frame) per row) and the multiset
+            count comparison (O(frame x distinct)) remains only as the
+            fallback for frame shapes _range_frame_lower cannot
+            classify. ROWS-mode frames with FINITE bounds (round-12
+            second wave) take the same position-slice route via
+            _rows_kept_values_expr — the kept multiset IS the concat of
+            the two slices, so DISTINCT is just ARRAY_DISTINCT over it;
+            unbounded ROWS sides raise.
           EXCLUDE TIES: the GROUP survivors plus the current row's own
             value (ARRAY_UNION — set semantics are what DISTINCT wants).
 
@@ -1591,7 +1601,7 @@ class Engine:
         bm = re.search(
             r"\b(?P<m>ROWS|RANGE)\s+BETWEEN\s+(?P<lo>.+?)\s+AND\s+"
             r"(?P<hi>.+?)\s*$", ms, re.I)
-        po = spec[:bm.start()].rstrip() if bm else spec
+        po = self._window_po(spec, ms, bm)
         if bm and (re.search(r"\bFOLLOWING\s*$", bm["lo"], re.I)
                    or re.search(r"\bPRECEDING\s*$", bm["hi"], re.I)):
             raise ValueError(
@@ -1606,9 +1616,21 @@ class Engine:
                 "frame as ROWS BETWEEN k PRECEDING AND CURRENT ROW")
         flist = f"COLLECT_LIST({arg}) OVER ({spec})"
         if mode == "CURRENT ROW":
-            surv = (f"FILTER(ARRAY_DISTINCT({flist}), v ->"
-                    f" (NOT (v <=> ({arg})))"
-                    f" OR SIZE(FILTER({flist}, e -> e <=> v)) > 1)")
+            lo = self._range_frame_lower(spec, bm)
+            if lo is not None:
+                # provably RANGE-mode frame: the excluded run is ONE
+                # element at the current row's in-frame position —
+                # same O(frame) slice, cut="self"
+                kept = self._range_kept_values_expr(arg, spec, po, lo,
+                                                    cut="self")
+                surv = f"ARRAY_DISTINCT({kept})"
+            else:
+                # ROWS/unclassified frames: per-value multiset survival
+                # (v survives iff it occurs on some row other than the
+                # current one) — works for ANY frame containing the row
+                surv = (f"FILTER(ARRAY_DISTINCT({flist}), v ->"
+                        f" (NOT (v <=> ({arg})))"
+                        f" OR SIZE(FILTER({flist}, e -> e <=> v)) > 1)")
         elif bm and bm["m"].upper() == "ROWS":
             # GROUP/TIES under a bounded ROWS frame: the kept multiset is
             # the position-slice concat — DISTINCT is a set over it
@@ -1619,11 +1641,21 @@ class Engine:
                 surv = (f"(CASE WHEN ({arg}) IS NULL THEN {surv}"
                         f" ELSE ARRAY_UNION({surv}, ARRAY({arg})) END)")
         else:
-            peers = f"{po} RANGE BETWEEN CURRENT ROW AND CURRENT ROW"
-            plist = f"COLLECT_LIST({arg}) OVER ({peers})"
-            surv = (f"FILTER(ARRAY_DISTINCT({flist}), v ->"
-                    f" SIZE(FILTER({flist}, e -> e <=> v)) >"
-                    f" SIZE(FILTER({plist}, e -> e <=> v)))")
+            lo = self._range_frame_lower(spec, bm)
+            if lo is not None:
+                # GROUP/TIES under a provably RANGE-mode frame (round-12
+                # second pass): peers are a CONTIGUOUS run wholly inside
+                # the frame, so the kept multiset is a position-slice
+                # concat — O(frame) per row instead of the multiset
+                # count-comparison's O(frame x distinct)
+                kept = self._range_kept_values_expr(arg, spec, po, lo)
+                surv = f"ARRAY_DISTINCT({kept})"
+            else:
+                peers = f"{po} RANGE BETWEEN CURRENT ROW AND CURRENT ROW"
+                plist = f"COLLECT_LIST({arg}) OVER ({peers})"
+                surv = (f"FILTER(ARRAY_DISTINCT({flist}), v ->"
+                        f" SIZE(FILTER({flist}, e -> e <=> v)) >"
+                        f" SIZE(FILTER({plist}, e -> e <=> v)))")
             if mode == "TIES":
                 surv = (f"(CASE WHEN ({arg}) IS NULL THEN {surv}"
                         f" ELSE ARRAY_UNION({surv}, ARRAY({arg})) END)")
@@ -1926,10 +1958,11 @@ class Engine:
             bm = re.search(
                 r"\b(?P<mode>ROWS|RANGE)\s+BETWEEN\s+(?P<lo>.+?)\s+AND\s+"
                 r"(?P<hi>.+?)\s*$", ms2, re.I)
-            # partition/order prefix of the spec with the frame clause cut
-            # off — sliced from the ORIGINAL text (PARTITION BY expressions
-            # may contain literals), position found on the mask
-            po2 = (spec2[:bm.start()].rstrip() if bm else spec2)
+            # partition/order prefix of the spec with the frame clause
+            # (incl. SHORTHAND frames) cut off — sliced from the ORIGINAL
+            # text (PARTITION BY expressions may contain literals),
+            # position found on the mask
+            po2 = self._window_po(spec2, ms2, bm)
             if bm and (re.search(r"\bFOLLOWING\s*$", bm["lo"], re.I)
                        or re.search(r"\bPRECEDING\s*$", bm["hi"], re.I)):
                 raise ValueError(
@@ -2110,20 +2143,27 @@ class Engine:
           LEAST/GREATEST (both skip NULL operands). No arrays, any
           bounds incl. UNBOUNDED, one Window pass.
 
-        * RANGE-mode frames (incl. the default frame), all three modes:
-          every peer shares the current order value, so survivors are
-          decided per VALUE from two frame multisets — COLLECT_LIST over
-          the frame and over the peer-group frame. A value survives
-          EXCLUDE GROUP iff it occurs MORE times in the frame than among
-          the peers (NB: set-level ARRAY_EXCEPT(frame_set, peer_set)
-          would wrongly drop a value occurring both inside AND outside
-          the peer group — the count comparison is the true multiset
-          difference). TIES adds the current row's value back via
-          LEAST/GREATEST; CURRENT ROW keeps a value equal to the current
-          row's only when it occurs elsewhere too. The frame multiset
-          must fit one row's window state — the bound the
-          DISTINCT-window rewrite already documents; an unbounded-frame
-          min-exclude at 100 TB belongs in a restructured query.
+        * RANGE-mode frames (incl. the default frame), GROUP/TIES: every
+          peer shares the current order value, so the peer group is a
+          CONTIGUOUS run lying WHOLLY inside any frame that contains the
+          current row — survivors are position slices of the frame list
+          around that run (_range_kept_values_expr, round-12 second
+          pass: O(frame) per row). TIES adds the current row's value
+          back via LEAST/GREATEST; CURRENT ROW cuts the ONE element at
+          the current row's in-frame position (cut="self") instead of
+          the peer run. Frame shapes _range_frame_lower cannot classify
+          fall back to per-VALUE multiset comparison over COLLECT_LISTs
+          of the frame and the peer-group frame: a value survives
+          EXCLUDE GROUP iff it occurs
+          MORE times in the frame than among the peers (NB: set-level
+          ARRAY_EXCEPT(frame_set, peer_set) would wrongly drop a value
+          occurring both inside AND outside the peer group — the count
+          comparison is the true multiset difference); under CURRENT ROW
+          a value equal to the current row's survives only when it
+          occurs elsewhere too. Either way the frame multiset must fit
+          one row's window state — the bound the DISTINCT-window rewrite
+          already documents; an unbounded-frame min-exclude at 100 TB
+          belongs in a restructured query.
 
         * EXCLUDE GROUP/TIES, ROWS frame with FINITE integer bounds: the
           peer group may be PARTIALLY in frame, so survivors are
@@ -2159,15 +2199,30 @@ class Engine:
             if len(segs) == 1:
                 return f"({segs[0]})"
             return f"{comb}({segs[0]}, {segs[1]})"
-        if not rows_frame:  # RANGE-mode frames — value-level multisets
+        if not rows_frame:  # RANGE-mode frames
             flist = f"COLLECT_LIST({arg}) OVER ({spec2})"
-            peers = f"{po} RANGE BETWEEN CURRENT ROW AND CURRENT ROW"
-            plist = f"COLLECT_LIST({arg}) OVER ({peers})"
             if mode == "CURRENT ROW":
+                lo = self._range_frame_lower(spec2, bm)
+                if lo is not None:
+                    # provably RANGE-mode: one-element slice cut at the
+                    # current row's in-frame position — O(frame) per row
+                    nn = self._range_kept_values_expr(arg, spec2, po, lo,
+                                                      cut="self")
+                    return f"{amin}({nn})"
                 surv = (f"FILTER(ARRAY_DISTINCT({flist}), v ->"
                         f" (NOT (v <=> ({arg})))"
                         f" OR SIZE(FILTER({flist}, e -> e <=> v)) > 1)")
                 return f"{amin}({surv})"
+            lo = self._range_frame_lower(spec2, bm)
+            if lo is not None:
+                # GROUP/TIES under a provably RANGE-mode frame (round-12
+                # second pass): position-slice the contiguous peer run out
+                # — O(frame) per row, no per-value frame rescans
+                nn = self._range_kept_values_expr(arg, spec2, po, lo)
+                base = f"{amin}({nn})"
+                return f"{comb}({base}, ({arg}))" if mode == "TIES" else base
+            peers = f"{po} RANGE BETWEEN CURRENT ROW AND CURRENT ROW"
+            plist = f"COLLECT_LIST({arg}) OVER ({peers})"
             surv = (f"FILTER(ARRAY_DISTINCT({flist}), v ->"
                     f" SIZE(FILTER({flist}, e -> e <=> v)) >"
                     f" SIZE(FILTER({plist}, e -> e <=> v)))")
@@ -2185,11 +2240,8 @@ class Engine:
         """Non-NULL frame values SURVIVING an EXCLUDE GROUP under a ROWS
         frame with FINITE integer bounds, as position slices of a
         struct-wrapped frame list (shared by the MIN/MAX and DISTINCT
-        exclusion rewrites). The peer run's 1-based in-frame interval
-        [A+1, B] comes from the same ROW_NUMBER/COUNT prefixes
-        _rows_group_exclusion_expr uses; the struct wrap keeps bare-NULL
-        rows so the index arithmetic never shifts. O(k1+k2+1) per row —
-        bounded by the frame constants; UNBOUNDED sides raise."""
+        exclusion rewrites). O(k1+k2+1) per row — bounded by the frame
+        constants; UNBOUNDED sides raise."""
         def bound(text: str, side: str) -> int:
             t = re.sub(r"\s+", " ", text.strip().upper())
             if t == "CURRENT ROW":
@@ -2207,16 +2259,100 @@ class Engine:
         bound(hi, "FOLLOWING")  # finiteness validation; the right cut
         # itself needs only the frame count + last_peer below
         pos = f"ROW_NUMBER() OVER ({po})"
-        le = f"{po} RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
-        peers = f"{po} RANGE BETWEEN CURRENT ROW AND CURRENT ROW"
-        last_peer = f"COUNT(*) OVER ({le})"
-        first_peer = f"({last_peer} - COUNT(*) OVER ({peers}) + 1)"
+        fstart = f"GREATEST(1, {pos} - {k1})"
+        return self._kept_values_expr(arg, spec2, po, fstart)
+
+    @staticmethod
+    def _window_po(spec: str, ms: str, bm) -> str:
+        """Partition/order prefix of a window spec — the frame clause cut
+        off. BETWEEN forms use the caller's frame match; SHORTHAND frames
+        (`RANGE 10 PRECEDING`) need their own scan (round-12 fix: the
+        old `spec if not bm` left the shorthand clause inside `po`, so
+        every derived window the exclusion rewrites appended became
+        `... RANGE 10 PRECEDING RANGE BETWEEN ...` — a parse error).
+        Positions found on the mask, slice from the original text."""
+        if bm:
+            return spec[:bm.start()].rstrip()
+        fm = re.search(r"\b(ROWS|RANGE|GROUPS)\s+(?!BETWEEN\b).*$", ms,
+                       re.I | re.S)
+        return spec[:fm.start()].rstrip() if fm else spec
+
+    @staticmethod
+    def _range_frame_lower(spec: str, bm) -> "str | None":
+        """Original-text LOWER BOUND of a provably RANGE-mode frame —
+        BETWEEN form (from the caller's frame match `bm`), shorthand
+        `RANGE x PRECEDING`, or the default frame (no frame clause at
+        all) — else None, sending the caller to the per-value multiset
+        fallback (e.g. a frame shape this scanner cannot classify).
+        Bounds are SLICED FROM THE ORIGINAL spec text: interval bounds
+        contain string literals the caller's mask blanks out."""
+        if bm is not None:
+            if bm.group(1).upper() != "RANGE":
+                return None
+            return spec[bm.start("lo"):bm.end("lo")]
+        ms = _mask_str_literals(spec)
+        fm = re.search(
+            r"\b(ROWS|RANGE|GROUPS)\s+(?!BETWEEN\b)(?P<lo>.+?)\s*$",
+            ms, re.I)
+        if fm:
+            if fm.group(1).upper() != "RANGE":
+                return None
+            return spec[fm.start("lo"):fm.end("lo")]
+        if re.search(r"\b(ROWS|RANGE|GROUPS)\b", ms, re.I):
+            return None  # unrecognized frame shape — multiset fallback
+        return "UNBOUNDED PRECEDING"  # default frame: RANGE UNB..CURRENT
+
+    def _range_kept_values_expr(self, arg: str, spec2: str, po: str,
+                                lo: str, cut: str = "peers") -> str:
+        """Non-NULL frame values SURVIVING an EXCLUDE GROUP (cut="peers")
+        or EXCLUDE CURRENT ROW (cut="self") under a RANGE-mode frame
+        (incl. the default frame), as position slices (round 12, second
+        pass): peers form a CONTIGUOUS run in row order whose in-frame
+        interval the COUNT prefixes locate, so the kept multiset needs
+        no per-value rescans — O(frame) per row instead of the multiset
+        count-comparison's O(frame x distinct). The frame's first-row
+        position comes from the lower bound: UNBOUNDED PRECEDING pins it
+        at 1; any other RANGE lower bound satisfies `fstart = last_peer
+        + 1 - COUNT(*) over [lo..CURRENT ROW]` because a RANGE frame's
+        CURRENT ROW upper edge is the peer-group END."""
+        t = re.sub(r"\s+", " ", lo.strip().upper())
+        if t == "UNBOUNDED PRECEDING":
+            fstart = "1"
+        else:
+            le = f"{po} RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+            last_peer = f"COUNT(*) OVER ({le})"
+            thru = f"COUNT(*) OVER ({po} RANGE BETWEEN {lo} AND CURRENT ROW)"
+            fstart = f"({last_peer} + 1 - {thru})"
+        return self._kept_values_expr(arg, spec2, po, fstart, cut)
+
+    def _kept_values_expr(self, arg: str, spec2: str, po: str,
+                          fstart: str, cut: str = "peers") -> str:
+        """Shared slice core: non-NULL frame values with a contiguous run
+        cut out, given `fstart` — the 1-based PARTITION position of the
+        frame's first row. cut="peers" removes the whole peer-group run
+        (EXCLUDE GROUP/TIES); cut="self" removes only the current row's
+        own element (EXCLUDE CURRENT ROW — a one-element run; whichever
+        tie-copy sits at that position, the removed VALUE is the current
+        row's, so the kept multiset is tie-order independent). The run's
+        1-based in-frame interval [A+1, B] comes from the same
+        ROW_NUMBER/COUNT prefixes _rows_group_exclusion_expr uses; the
+        struct wrap keeps bare-NULL rows so the index arithmetic never
+        shifts. All windows share the spec's partition/order — one
+        Window operator."""
         fl = f"COLLECT_LIST(NAMED_STRUCT('v', {arg})) OVER ({spec2})"
         fcnt = f"COUNT(*) OVER ({spec2})"
-        fstart = f"GREATEST(1, {pos} - {k1})"
-        # 1-based in-frame indices: peers occupy [A + 1, B]
-        a_ = f"GREATEST(0, {first_peer} - {fstart})"
-        b_ = f"(LEAST({last_peer}, {fstart} + {fcnt} - 1) - {fstart} + 1)"
+        if cut == "self":
+            pos = f"ROW_NUMBER() OVER ({po})"
+            a_ = f"({pos} - {fstart})"
+            b_ = f"({pos} - {fstart} + 1)"
+        else:
+            le = f"{po} RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+            peers = f"{po} RANGE BETWEEN CURRENT ROW AND CURRENT ROW"
+            last_peer = f"COUNT(*) OVER ({le})"
+            first_peer = f"({last_peer} - COUNT(*) OVER ({peers}) + 1)"
+            a_ = f"GREATEST(0, {first_peer} - {fstart})"
+            b_ = (f"(LEAST({last_peer}, {fstart} + {fcnt} - 1)"
+                  f" - {fstart} + 1)")
         vals = (f"CONCAT(SLICE({fl}, 1, {a_}),"
                 f" SLICE({fl}, {b_} + 1, GREATEST(0, {fcnt} - {b_})))")
         return f"FILTER(TRANSFORM({vals}, s -> s.v), x -> x IS NOT NULL)"

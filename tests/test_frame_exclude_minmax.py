@@ -118,6 +118,42 @@ def test_minmax_exclude_group_multiset_collision(fixture):
     assert by_x[20] == 5            # MIN keeps 5; the 10s are NOT peers here
 
 
+@pytest.mark.parametrize("fn", ["MIN", "MAX"])
+@pytest.mark.parametrize("frame,excl", [
+    ("RANGE BETWEEN 10 PRECEDING AND CURRENT ROW", "GROUP"),
+    ("RANGE BETWEEN 10 PRECEDING AND 10 FOLLOWING", "GROUP"),
+    ("RANGE BETWEEN CURRENT ROW AND 10 FOLLOWING", "TIES"),
+    ("RANGE BETWEEN 5 PRECEDING AND 15 FOLLOWING", "TIES"),
+])
+def test_minmax_exclude_range_offset_peers(fixture, fn, frame, excl):
+    """Value-offset RANGE frames ordered by the NON-unique value: real
+    multi-row peer groups exercise the round-12 position-slice fstart
+    arithmetic (fstart = last_peer + 1 - count over [lo..CURRENT ROW]).
+    The aggregated value is a function of the order key, so the result
+    multiset is deterministic under tie permutation."""
+    _both(fixture, f"""
+        SELECT g, x, {fn}(x * 3 + 1) OVER (PARTITION BY g
+               ORDER BY x NULLS FIRST {frame} EXCLUDE {excl}) AS m
+        FROM fx ORDER BY g, x""")
+
+
+@pytest.mark.parametrize("agg,cast", [
+    ("MAX(x * 2)", "INT"),
+    ("SUM(x * 2)", "BIGINT"),
+    ("COUNT(DISTINCT x % 3)", "BIGINT"),
+])
+def test_minmax_exclude_range_shorthand(fixture, agg, cast):
+    """Shorthand `RANGE 10 PRECEDING` (= BETWEEN 10 PRECEDING AND CURRENT
+    ROW) with EXCLUDE GROUP — safe shorthand (all peers inside the frame).
+    Round-12 fix: `po` previously kept the shorthand frame clause for ALL
+    exclusion rewrites (minmax, additive, DISTINCT), so every derived
+    window parsed as `... RANGE 10 PRECEDING RANGE BETWEEN ...`."""
+    _both(fixture, f"""
+        SELECT g, x, CAST({agg} OVER (PARTITION BY g ORDER BY x NULLS FIRST
+               RANGE 10 PRECEDING EXCLUDE GROUP) AS {cast}) AS m
+        FROM fx ORDER BY g, x""")
+
+
 def test_minmax_exclude_rows_group_unbounded_raises(fixture):
     eng, _ = fixture
     with pytest.raises(ValueError, match="FINITE integer bounds"):
@@ -157,6 +193,38 @@ def test_distinct_exclude_group_multiset_collision(fixture):
     # id=1's peer group is just itself (unique id): frame holds x values
     # {10,10,20,20,10,5}; dropping ONE 10 leaves {10,20,5} -> 3 distinct
     assert by_id[1] == 3
+
+
+@pytest.mark.parametrize("fn,cast", [("COUNT", "BIGINT"), ("SUM", "BIGINT")])
+@pytest.mark.parametrize("excl", ["GROUP", "TIES"])
+def test_distinct_exclude_range_offset_peers(fixture, fn, cast, excl):
+    """DISTINCT + GROUP/TIES under a value-offset RANGE frame with real
+    multi-row peer groups (round-12 second pass: position-slice kept
+    multiset; x % 3 is a function of the order key, so the result
+    multiset is tie-permutation deterministic)."""
+    _both(fixture, f"""
+        SELECT g, x, CAST({fn}(DISTINCT x % 3) OVER (PARTITION BY g
+               ORDER BY x NULLS FIRST
+               RANGE BETWEEN 10 PRECEDING AND 10 FOLLOWING
+               EXCLUDE {excl}) AS {cast}) AS v
+        FROM fx ORDER BY g, x""")
+
+
+def test_range_group_rewrites_to_position_slice(fixture):
+    """Round-12 second pass pin: provably RANGE-mode excludes (GROUP/
+    TIES: the peer run; CURRENT ROW: the one-element self cut) rewrite
+    to position slices (O(frame) per row) — no per-value `e <=> v`
+    frame rescans; those remain only for unclassifiable frame shapes
+    and ROWS-mode EXCLUDE CURRENT ROW with DISTINCT."""
+    eng, _ = fixture
+    for agg in ("MIN(x)", "COUNT(DISTINCT x)"):
+        for excl in ("GROUP", "CURRENT ROW"):
+            out = eng._rewrite_window_dialect(f"""
+                SELECT {agg} OVER (PARTITION BY g ORDER BY x
+                       RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       EXCLUDE {excl}) AS m FROM fx""")
+            assert "SLICE(" in out.upper(), out
+            assert "e <=> v" not in out, out
 
 
 def test_distinct_exclude_rows_current(fixture):
