@@ -1096,11 +1096,11 @@ def dedup_overlap_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     reuse never fires: the branches canonicalize differently once column
     pruning and isnotnull pushdown specialize them). Fix is twofold:
     (1) `docs` — the rarest-first sorted-shingle index — is explicitly
-    materialized with `.cache()` (the same move as writing an inverted
-    index once and reusing it; at corpus scale the default
-    MEMORY_AND_DISK level spills rather than OOMs, and the frame is one
-    row per document with a doc-length-bounded array, far smaller than
-    the corpus text); (2) each prefix row carries its doc's full shingle
+    materialized once per invocation with a lazy `localCheckpoint` (the
+    same move as writing an inverted index once and reusing it within the
+    job; the frame is one row per document with a doc-length-bounded
+    array, far smaller than the corpus text); (2) each prefix row carries
+    its doc's full shingle
     array through the join (classic PPJoin record-carry) and the overlap
     is computed per candidate ROW, so only (d1, d2, overlap) ints reach
     the post-filter distinct — the arrays never shuffle past the join.
@@ -1145,7 +1145,12 @@ def prefix_overlap_pairs(toks: DataFrame) -> DataFrame:
             F.col("ds.s").alias("ws"),
             F.size("ds").alias("n"),
         )
-        .cache()  # the sorted-shingle index is used by both join sides
+        # the sorted-shingle index is used by both join sides: lazy
+        # localCheckpoint (per-invocation materialization), NOT .cache() —
+        # CacheManager matches by canonicalized plan, so a cached frame is
+        # silently reused across bench runs (cross-run memoisation,
+        # VERDICT r12 #3)
+        .localCheckpoint(eager=False)
     )
     # AllPairs prefix: the first n-T+1 rarest shingles. Docs with n < T can
     # never reach the threshold — empty prefix, pruned before the join.

