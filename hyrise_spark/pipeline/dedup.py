@@ -1156,6 +1156,16 @@ def prefix_overlap_pairs(toks: DataFrame) -> DataFrame:
     # never reach the threshold — empty prefix, pruned before the join.
     # Each prefix row carries its doc's FULL shingle array so verification
     # needs no second pass over `docs` (see plan-shape note above).
+    #
+    # Round 13, measured and REJECTED (kept for the record): a
+    # light-rows variant — join bare (doc_id, s) triples, DISTINCT the
+    # candidate pairs, re-attach the arrays by two joins against the
+    # checkpointed `docs` (§2.3/§8 shuffle-fewer-bytes, ~190 MB of array
+    # bytes off the self-join exchange at sf0.1) — measured 2.2x SLOWER
+    # in a GC-controlled alternated A/B (old 4.5 s vs new 10.0 s medians,
+    # same window): at this corpus shape the added distinct exchange +
+    # two attach joins cost more than shuffling the record-carry arrays
+    # once, and the intersect count barely drops (203K -> 191K).
     prefix = docs.filter(F.col("n") >= _OV_T).select(
         "doc_id",
         "ws",

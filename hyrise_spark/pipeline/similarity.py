@@ -1005,17 +1005,26 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # codegen scan per subspace) instead of exploding the corpus M ways
     # and re-assembling codes with a (cid, m) groupBy — the corpus never
     # shuffles between the scan and the per-query shortlist window.
-    cb = anchors.groupBy().agg(
-        F.array_sort(F.collect_list(F.struct("m", "code_id", "asub"))).alias("cb")
+    cb = anchors.select(
+        "m", "code_id", "asub", _dot(F.col("asub"), F.col("asub")).alias("a2")
+    ).groupBy().agg(
+        F.array_sort(
+            F.collect_list(F.struct("m", "code_id", "asub", "a2"))
+        ).alias("cb")
     )
     # argmin over the K codebook entries of subspace m, iterated in
     # code_id order with a strict '<' on the ROUNDED distance — keeps the
     # lowest code_id among round-6 ties, exactly the oracle's
-    # ROW_NUMBER(ORDER BY ROUND(d2, 6), code_id) choice.
-    def _encode(s, m):
+    # ROW_NUMBER(ORDER BY ROUND(d2, 6), code_id) choice. |a|^2 comes
+    # precomputed from the codebook row (same sequential fold, identical
+    # value); |s|^2 is bound ONCE per subspace in the staged `subs`
+    # struct — HOF lambdas run interpreted with no common-subexpression
+    # elimination, so an inline dot(s, s) would re-evaluate per codebook
+    # entry (16x; the with_band_keys staging note).
+    def _encode(sub, m):
         def step(acc, k):
-            a = F.element_at(F.col("cb"), (m * _PQ_K + k + 1).cast("int"))["asub"]
-            rd = F.round(_dot(s, s) - 2 * _dot(s, a) + _dot(a, a), 6)
+            e = F.element_at(F.col("cb"), (m * _PQ_K + k + 1).cast("int"))
+            rd = F.round(sub["ss"] - 2 * _dot(sub["s"], e["asub"]) + e["a2"], 6)
             better = (acc["k"] < 0) | (rd < acc["d"])
             return F.when(better, F.struct(rd.alias("d"), k.alias("k"))).otherwise(acc)
 
@@ -1026,13 +1035,17 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sequence(F.lit(0), F.lit(_PQ_K - 1)), init, step, lambda acc: acc["k"]
         )
 
+    def _subs(v):
+        def one(m):
+            s = F.slice(v, m * _PQ_SUB + 1, _PQ_SUB)
+            return F.struct(s.alias("s"), _dot(s, s).alias("ss"))
+
+        return F.transform(F.sequence(F.lit(0), F.lit(_PQ_M - 1)), one)
+
     coded = c.crossJoin(F.broadcast(cb)).select(
         "cid",
         "cv",
-        F.transform(
-            F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
-            lambda m: _encode(F.slice(F.col("cv"), m * _PQ_SUB + 1, _PQ_SUB), m),
-        ).alias("codes"),
+        F.transform(_subs(F.col("cv")), _encode).alias("codes"),
     )
     # Per-query ADC lookup table as ONE row per query: ips[m*K + code + 1]
     # = <query subvector m, codebook entry code>. Tiny (N_QUERIES rows),
