@@ -137,6 +137,7 @@ def test_tpch_refresh_roundtrip(spark):
     assert set(result["latency_s"]) == {"rf1", "rf2", "probe"}
 
 
+@pytest.mark.slow  # heavyweight; full run only (HYRISE_SPARK_FULL_TESTS=1)
 def test_jcch_mode_runs_and_verifies(spark):
     """--jcch (the reference's -j flag, tpch_benchmark.cpp:58-60): all 22
     TPC-H queries over the persisted skewed copy, each DuckDB-verified

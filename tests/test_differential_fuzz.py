@@ -12,6 +12,11 @@ from __future__ import annotations
 import os
 
 import pytest
+
+# hypothesis fuzz sweep — deselected from the driver-window default run (pytest.ini / conftest);
+# runs under HYRISE_SPARK_FULL_TESTS=1.
+pytestmark = pytest.mark.slow
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 

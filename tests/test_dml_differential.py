@@ -424,6 +424,7 @@ def _dml_statement(draw) -> str:
 @settings(max_examples=20 * _FUZZ_X, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(stmts=st.lists(_dml_statement(), min_size=2, max_size=5))
+@pytest.mark.slow  # hypothesis fuzz; full run only
 def test_fuzz_dml_sequences(engines, stmts):
     """Random 2-5 statement DML sequences run verbatim on both engines; the
     final table state must match (each example rebuilds the seed table, so
@@ -457,6 +458,7 @@ def _txn_wrapped_sequence(draw) -> list[str]:
 @settings(max_examples=15 * _FUZZ_X, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(stmts=_txn_wrapped_sequence())
+@pytest.mark.slow  # hypothesis fuzz; full run only
 def test_fuzz_transactional_sequences(engines, stmts):
     """Transaction-wrapped fuzz (round 8): DML + DDL inside BEGIN..
     COMMIT/ROLLBACK runs verbatim on both engines; final state must match
@@ -564,6 +566,7 @@ def _model_apply(stmt: str, rows: list[int], stack: list, begun: list) -> list[i
 @settings(max_examples=15 * _FUZZ_X, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(stmts=_savepoint_program())
+@pytest.mark.slow  # hypothesis fuzz; full run only
 def test_fuzz_savepoints_match_model(spark, stmts):
     """Engine savepoint semantics == the Python snapshot-stack model on
     every generated program, including missing-savepoint errors (both

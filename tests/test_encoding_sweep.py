@@ -16,6 +16,11 @@ from __future__ import annotations
 
 import pytest
 
+# storage-encoding invariance sweep — deselected from the driver-window default run (pytest.ini / conftest);
+# runs under HYRISE_SPARK_FULL_TESTS=1.
+pytestmark = pytest.mark.slow
+
+
 from tests.conftest import SF_DIR
 from tests.test_sql_corpus import CORPUS
 from hyrise_spark.oracle import canon

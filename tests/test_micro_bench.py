@@ -2,6 +2,13 @@
 builds, executes, and reports a positive wall time."""
 
 from __future__ import annotations
+import pytest
+
+
+# timing-oriented micro bench — deselected from the driver-window default run (pytest.ini / conftest);
+# runs under HYRISE_SPARK_FULL_TESTS=1.
+pytestmark = pytest.mark.slow
+
 
 import sys
 from pathlib import Path

@@ -2,8 +2,11 @@
 registry oracles: genuine BinaryType flow through the pandas stages."""
 from __future__ import annotations
 
+import pytest
+
 from tests.conftest import SF_DIR
 
+@pytest.mark.slow  # heavyweight; full run only (HYRISE_SPARK_FULL_TESTS=1)
 def test_resize_emits_real_binary_thumbnails(spark):
     """The resize stage's output column must be genuinely BinaryType (the
     binary->binary contract a real PIL/ffmpeg swap-in needs), thumbnails
@@ -23,6 +26,7 @@ def test_resize_emits_real_binary_thumbnails(spark):
         assert t.thumb_w == (len(r.payload) % 640 + 2) // 2
 
 
+@pytest.mark.slow  # heavyweight; full run only (HYRISE_SPARK_FULL_TESTS=1)
 def test_phash_finds_planted_near_duplicate(spark):
     """Quality gate (the property a pHash user buys): a payload differing
     in ONE character from another lands within the hamming threshold and

@@ -6,6 +6,8 @@ norm sanity on the real corpus."""
 
 import math
 
+import pytest
+
 import numpy as np
 
 from hyrise_spark.pipeline.similarity import pca_power_iteration
@@ -19,6 +21,7 @@ def _df(spark, vecs):
     )
 
 
+@pytest.mark.slow  # heavyweight; full run only (HYRISE_SPARK_FULL_TESTS=1)
 def test_power_iteration_matches_numpy_planted_spike(spark):
     rng = np.random.default_rng(7)
     dim, n = 16, 200
@@ -41,6 +44,7 @@ def test_power_iteration_matches_numpy_planted_spike(spark):
     assert abs(float(got @ got) - 1.0) < 1e-9
 
 
+@pytest.mark.slow  # heavyweight; full run only (HYRISE_SPARK_FULL_TESTS=1)
 def test_power_iteration_rayleigh_on_corpus(spark):
     """On the real (near-degenerate-spectrum) corpus the iterate must still
     be unit-norm and its Rayleigh quotient must land in the top of the

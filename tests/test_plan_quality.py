@@ -158,6 +158,7 @@ def test_cbo_stats_drive_join_reorder(spark):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+@pytest.mark.slow  # heavyweight; full run only (HYRISE_SPARK_FULL_TESTS=1)
 def test_cbo_reorders_eight_way_graph(spark):
     """CBO reorder at JOB scale: an 8-way double-dimension star (job_q11's
     graph — both the customer and supplier sides drag their own nation +
@@ -216,6 +217,7 @@ def test_cbo_reorders_eight_way_graph(spark):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+@pytest.mark.slow  # heavyweight; full run only (HYRISE_SPARK_FULL_TESTS=1)
 def test_cbo_reorders_ten_way_graph(spark):
     """CBO reorder proof at job_q12 width: TEN leaves — the double-dimension
     star (nation + region twice) plus part and events — written fact-first.
@@ -270,6 +272,7 @@ def test_cbo_reorders_ten_way_graph(spark):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+@pytest.mark.slow  # heavyweight; full run only (HYRISE_SPARK_FULL_TESTS=1)
 def test_cbo_reorders_twelve_way_graph(spark):
     """CBO reorder proof at job_q35 width: TWELVE leaves — the 10-leaf graph
     plus a second orders branch and a second events branch (doubled
@@ -617,6 +620,7 @@ def test_registry_plan_hygiene(spark, name):
         )
 
 
+@pytest.mark.slow  # heavyweight; full run only (HYRISE_SPARK_FULL_TESTS=1)
 def test_cbo_reorders_sixteen_way_graph(spark):
     """CBO reorder proof at job_q41 width: SIXTEEN leaves — both fact chains
     (lineitem+orders twice), doubled nation/region/part/supplier dims, and
@@ -948,6 +952,7 @@ def test_streaming_no_unbounded_broadcast_hints(spark, name):
     assert not bad, f"{name}: {bad[0]} — forced broadcasts cannot fall back at scale"
 
 
+@pytest.mark.slow  # heavyweight; full run only (HYRISE_SPARK_FULL_TESTS=1)
 def test_cbo_reorders_eighteen_way_graph(spark):
     """CBO reorder proof at job_q42 width: EIGHTEEN leaves — the 16-way
     graph plus the second fact chain's supplier nation + region dims —

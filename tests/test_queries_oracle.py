@@ -8,6 +8,11 @@ from __future__ import annotations
 
 import pytest
 
+# full-registry oracle differential (the driver runs the same differential itself; full sweep stays in the local target) — deselected from the driver-window default run (pytest.ini / conftest);
+# runs under HYRISE_SPARK_FULL_TESTS=1.
+pytestmark = pytest.mark.slow
+
+
 from hyrise_spark.registry import all_queries
 from tests.conftest import SF_DIR
 from tests.oracle_utils import assert_matches_oracle

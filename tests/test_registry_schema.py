@@ -18,6 +18,8 @@ oracle sweep already pays.
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import types as T
 
 from hyrise_spark.registry import all_queries
@@ -26,6 +28,7 @@ from tests.conftest import SF_DIR
 COMPLEX = (T.ArrayType, T.MapType, T.StructType)
 
 
+@pytest.mark.slow  # full-registry output sweep; full run only (HYRISE_SPARK_FULL_TESTS=1)
 def test_no_complex_types_in_registered_outputs(spark):
     offenders = []
     for name, qd in sorted(all_queries().items()):

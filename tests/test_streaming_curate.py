@@ -305,6 +305,7 @@ def test_with_band_keys_matches_grouped_minhash(spark, docs_dir):
     assert got == want
 
 
+@pytest.mark.slow  # heavyweight; full run only (HYRISE_SPARK_FULL_TESTS=1)
 def test_lsh_gated_stream_drops_near_dups(spark, docs_dir, tmp_path):
     """Self-index sanity + parity: gating a stream against an index built
     from THE SAME corpus drops every doc with a 3-shingle (its own band
