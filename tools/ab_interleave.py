@@ -35,13 +35,13 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def load_head_module(repo_rel_path: str):
-    """Import the HEAD version of a repo module under a scratch name,
+def load_head_module(repo_rel_path: str, rev: str = "HEAD"):
+    """Import the `rev` version of a repo module under a scratch name,
     swallowing its @register calls into a throwaway registry."""
     import hyrise_spark.registry as reg
 
     src = subprocess.run(
-        ["git", "show", f"HEAD:{repo_rel_path}"],
+        ["git", "show", f"{rev}:{repo_rel_path}"],
         capture_output=True, text=True, check=True,
         cwd=Path(__file__).resolve().parent.parent,
     ).stdout
@@ -73,6 +73,14 @@ def main() -> None:
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR",
                                                    "/root/testdata/sf0.1"))
     ap.add_argument("--runs", type=int, default=5)
+    ap.add_argument("--rev", default="HEAD",
+                    help="git rev for the 'old' variant (default HEAD) — "
+                         "use it to A/B an already-committed change")
+    ap.add_argument("--gc", action="store_true",
+                    help="force Python+JVM GC after every run: builders "
+                         "that localCheckpoint per invocation otherwise "
+                         "accumulate pinned RDDs across the A/B session, "
+                         "inflating later runs for both variants")
     ap.add_argument("names", nargs="+")
     args = ap.parse_args()
 
@@ -84,10 +92,10 @@ def main() -> None:
     if args.head_swap:
         swap_name = args.head_swap.replace("/", ".").removesuffix(".py")
         swap_cur = importlib.import_module(swap_name)
-        swap_head, _ = load_head_module(args.head_swap)
+        swap_head, _ = load_head_module(args.head_swap, args.rev)
         head_qs = new_qs
     else:
-        _, head_qs = load_head_module(args.module)
+        _, head_qs = load_head_module(args.module, args.rev)
 
     spark = get_spark("hyrise_spark_ab")
     spark.sparkContext.setLogLevel("ERROR")
@@ -105,6 +113,11 @@ def main() -> None:
         finally:
             if swap_name:
                 sys.modules[swap_name] = swap_cur
+        if args.gc:
+            import gc
+
+            gc.collect()
+            spark._jvm.System.gc()
         return dt
 
     out = {}
