@@ -79,6 +79,8 @@ def main() -> None:
             print(f"bench: unknown SPARK_GRAFT_ONLY names: {sorted(unknown)}", file=sys.stderr)
         qs = {n: qd for n, qd in qs.items() if n in wanted}
     times: dict[str, float] = {}
+    import gc
+
     for name in sorted(qs):
         qd = qs[name]
         samples: list[float] = []
@@ -94,6 +96,17 @@ def main() -> None:
         except Exception as exc:  # keep benching; a failed query reads as -1
             print(f"bench: {name} failed: {exc}", file=sys.stderr)
             times[name] = -1.0
+        # Uncounted hygiene between queries: builders that localCheckpoint
+        # per invocation (the round-13 de-memoisation) leave pinned RDD
+        # blocks behind until a JVM GC notices the dead references; across
+        # 515 queries x 3 runs in one session that storage competes with
+        # the NEXT query's execution memory, so query N's timing would pay
+        # query N-1's garbage (measured: the A/B harness read 3x-inflated
+        # absolutes for checkpoint-heavy queries without this — same fix
+        # as ab_interleave --gc). Runs OUTSIDE the timed region; the
+        # timing methodology (runs, median, noop sink) is unchanged.
+        gc.collect()
+        spark._jvm.System.gc()
 
     total = round(sum(t for t in times.values() if t >= 0), 3)
     payload = {

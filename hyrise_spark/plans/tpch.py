@@ -53,6 +53,68 @@ _DEC_CHARGE = (
     f"{_DEC_DISC_PRICE} * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))"
 )
 
+# q1's full-scan shape pays the decimal form per row (the double->decimal
+# cast goes through Double.toString, charge's (16,4)x(3,2) product is
+# 20 digits — past Spark's compact-long Decimal range — and the 26-digit
+# SUM accumulator is byte-backed in the unsafe aggregation row, so every
+# row decodes/re-encodes a BigDecimal; measured 2.86x on tpch_q1). Same
+# exact lattice, cheaper route: recover the cent grids as BIGINTs (the
+# doubles sit on the cents grid, so ROUND(x*100) is exact in both
+# engines), do the products in long arithmetic (disc_price on the 1e-4
+# lattice <= ~1e11/row, charge on 1e-6 <= ~2e13/row), and aggregate each
+# measure as TWO long sums (hi = u div 1e6, lo = u mod 1e6) so the hot
+# loop is pure integer codegen; the halves recombine in decimal once per
+# group. Long sums are exact and order-independent while they fit; the
+# margin is huge: at 100 TB (~6e11 lineitems) the worst half-sum is
+# lo_charge <= 6e17 vs the 9.2e18 long range (~15x headroom; DuckDB sums
+# BIGINT into a 128-bit accumulator, so only Spark's bound binds). The
+# exact rational value and the HALF_UP rounding are identical to the
+# _DEC_* form; only the arithmetic route differs. Rescaling multiplies by
+# a decimal literal (never division — DuckDB and Spark disagree on
+# decimal-division result scales), and every intermediate precision is
+# audited under both engines' 38-digit cap.
+# FLOOR(x*100 + 0.5), not ROUND(x*100, 0): Spark's Round on DOUBLE goes
+# through BigDecimal.valueOf (a Double.toString per row — the very cost
+# this form exists to avoid), while FLOOR is Math.floor. Exact for these
+# columns: they are non-negative and sit on the cents grid, so x*100 is
+# within ~1e-9 of an integer n and floor(n +- 1e-9 + 0.5) = n in both
+# engines (Spark FLOOR(double) is already a LONG; DuckDB's double FLOOR
+# casts exactly).
+_UL_EXT_CENTS = "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)"
+_UL_DISC_PRICE = (
+    f"({_UL_EXT_CENTS}"
+    " * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)))"
+)
+_UL_CHARGE = (
+    f"({_UL_DISC_PRICE}"
+    " * (100 + CAST(FLOOR(l_tax * 100 + 0.5) AS BIGINT)))"
+)
+
+
+def _split_sum_2dp(u: str, scale_lit: str, scale_prec: str) -> str:
+    """ROUND(SUM(u) * 1e-k, 2) AS DOUBLE via two long half-sums — see the
+    lattice note above. Width audit (Spark infers the tighter of the two):
+    (22,0)x(7,0) -> (30,0); + (22,0) -> (31,0); cast (28,0) holds the 100 TB
+    charge sum (~1.2e25); x (5,4)/(7,6) -> <= (36,6) < 38."""
+    # FLOOR(u / 1e6), not integer division: Spark spells that DIV, DuckDB
+    # spells it //, so the shared text uses the double-division form both
+    # accept. Exact: u <= ~2.1e13 per row is below 2^53, and the true
+    # quotient is >= 1e-6 away from any wrong integer while the division's
+    # rounding error is ~4e-9.
+    hi = f"CAST(SUM(CAST(FLOOR({u} / 1000000) AS BIGINT)) AS DECIMAL(22,0))"
+    lo = f"CAST(SUM({u} % 1000000) AS DECIMAL(22,0))"
+    s = (
+        f"CAST({hi} * CAST(1000000 AS DECIMAL(7,0)) + {lo} AS DECIMAL(28,0))"
+    )
+    return (
+        f"CAST(ROUND({s} * CAST({scale_lit} AS DECIMAL({scale_prec})), 2)"
+        " AS DOUBLE)"
+    )
+
+
+_SUM_DISC_PRICE_2DP = _split_sum_2dp(_UL_DISC_PRICE, "0.0001", "5,4")
+_SUM_CHARGE_2DP = _split_sum_2dp(_UL_CHARGE, "0.000001", "7,6")
+
 
 def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     tabs = load_tables(spark, sf_dir, names)
@@ -68,9 +130,9 @@ def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
            ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
-           -- disc_price/charge on the exact decimal lattice (see _DEC_* note)
-           CAST(ROUND(SUM({_DEC_DISC_PRICE}), 2) AS DOUBLE)                 AS sum_disc_price,
-           CAST(ROUND(SUM({_DEC_CHARGE}), 2) AS DOUBLE)                     AS sum_charge,
+           -- disc_price/charge on the exact integer lattice (see _UL_* note)
+           {_SUM_DISC_PRICE_2DP}                                            AS sum_disc_price,
+           {_SUM_CHARGE_2DP}                                                AS sum_charge,
            -- ROUND(SUM)/COUNT (not ROUND(AVG)): deterministic across engines;
            -- see plans/windows.py moving_avg note.
            ROUND(SUM(l_quantity), 2) / COUNT(*)                             AS avg_qty,
@@ -91,8 +153,8 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.sum("l_quantity"), R2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), R2).alias("sum_base_price"),
-            F.round(F.sum(F.expr(_DEC_DISC_PRICE)), R2).cast("double").alias("sum_disc_price"),
-            F.round(F.sum(F.expr(_DEC_CHARGE)), R2).cast("double").alias("sum_charge"),
+            F.expr(_SUM_DISC_PRICE_2DP).alias("sum_disc_price"),
+            F.expr(_SUM_CHARGE_2DP).alias("sum_charge"),
             (F.round(F.sum("l_quantity"), R2) / F.count(F.lit(1))).alias("avg_qty"),
             (F.round(F.sum("l_extendedprice"), R2) / F.count(F.lit(1))).alias("avg_price"),
             (F.round(F.sum("l_discount"), R2) / F.count(F.lit(1))).alias("avg_disc"),
