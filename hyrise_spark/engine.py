@@ -1540,14 +1540,7 @@ class Engine:
                     expr = f"CAST(SIZE({dset}) AS BIGINT)"
                 else:
                     acc0, step = self._distinct_fold_acc0(arg)
-                    ssum = f"AGGREGATE({dset}, {acc0}, {step})"
-                    cnt = f"SIZE({dset})"
-                    if fn == "SUM":
-                        expr = (f"(CASE WHEN {cnt} = 0 THEN NULL"
-                                f" ELSE {ssum} END)")
-                    else:  # AVG
-                        expr = (f"(CASE WHEN {cnt} = 0 THEN NULL"
-                                f" ELSE {ssum} / {cnt} END)")
+                    expr = self._guarded_fold_expr(fn, dset, acc0, step)
             out.append(stmt[i:m.start()])
             out.append(expr)
             i = oclose + 1
@@ -1648,8 +1641,7 @@ class Engine:
                                                bm["lo"], bm["hi"])
             surv = f"ARRAY_DISTINCT({kept})"
             if mode == "TIES":
-                surv = (f"(CASE WHEN ({arg}) IS NULL THEN {surv}"
-                        f" ELSE ARRAY_UNION({surv}, ARRAY({arg})) END)")
+                surv = self._ties_add_self(surv, arg)
         else:
             lo = self._range_frame_lower(spec, bm)
             if lo is not None:
@@ -1667,18 +1659,61 @@ class Engine:
                         f" SIZE(FILTER({flist}, e -> e <=> v)) >"
                         f" SIZE(FILTER({plist}, e -> e <=> v)))")
             if mode == "TIES":
-                surv = (f"(CASE WHEN ({arg}) IS NULL THEN {surv}"
-                        f" ELSE ARRAY_UNION({surv}, ARRAY({arg})) END)")
+                surv = self._ties_add_self(surv, arg)
         if fn in ("MIN", "MAX"):
             return f"ARRAY_{fn}({surv})"
         if fn == "COUNT":
             return f"CAST(SIZE({surv}) AS BIGINT)"
         acc0, step = self._distinct_fold_acc0(arg)
-        ssum = f"AGGREGATE({surv}, {acc0}, {step})"
-        cnt = f"SIZE({surv})"
-        if fn == "SUM":
-            return f"(CASE WHEN {cnt} = 0 THEN NULL ELSE {ssum} END)"
-        return f"(CASE WHEN {cnt} = 0 THEN NULL ELSE {ssum} / {cnt} END)"
+        return self._guarded_fold_expr(fn, surv, acc0, step)
+
+    @staticmethod
+    def _ties_add_self(surv: str, arg: str) -> str:
+        """EXCLUDE TIES keeps the current row's own value: union the
+        (already-distinct, NULL-free) survivor array with the current
+        value, referencing the survivor expression ONCE. The former
+        `CASE WHEN arg IS NULL THEN surv ELSE ARRAY_UNION(surv,
+        ARRAY(arg)) END` inlined the kept-multiset text twice — every
+        copy re-runs the per-row array chain over the buffered frame
+        (see _guarded_fold_expr for the cost mechanism). ARRAY_UNION with
+        an empty right side returns the distinct left side unchanged, so
+        the NULL case needs no separate branch."""
+        return (f"ARRAY_UNION({surv},"
+                f" FILTER(ARRAY({arg}), x -> x IS NOT NULL))")
+
+    @staticmethod
+    def _guarded_fold_expr(fn: str, arr: str, acc0: str, step: str) -> str:
+        """SUM/AVG fold over a (possibly enormous) array expression with
+        SQL empty-input semantics, referencing the array text exactly ONCE.
+        The former `CASE WHEN SIZE(arr) = 0 THEN NULL ELSE AGGREGATE(arr,
+        ...) [/ SIZE(arr)] END` form inlined `arr` 2-3x. Spark DOES
+        deduplicate the identical COLLECT_* window functions inside the
+        copies (plan evidence: plans/r13/window_count_distinct_exclude_*
+        both buffer 7 collect_lists), but every inlined copy re-runs the
+        O(frame)-per-row FILTER/TRANSFORM/ARRAY_DISTINCT chain over the
+        buffered array in the projection — that interpreted per-row array
+        work is what the dedup removes (measured: SUM(DISTINCT) EXCLUDE
+        TIES alone cost +0.75 s of window_count_distinct_exclude's 1.6 s
+        at sf0.1; this change A/B 0.79x). A struct accumulator counts
+        while folding and the finish lambda supplies the empty->NULL (and
+        AVG's /n) semantics. The element count stays INT (like SIZE) so
+        AVG's division types — and therefore decimal result scales — are
+        unchanged."""
+        m = re.fullmatch(r"\s*\(\s*acc\s*,\s*v\s*\)\s*->\s*(.+)", step,
+                         re.S)
+        if m is None:  # foreign step shape — keep the legacy guarded form
+            ssum = f"AGGREGATE({arr}, {acc0}, {step})"
+            cnt = f"SIZE({arr})"
+            if fn == "SUM":
+                return f"(CASE WHEN {cnt} = 0 THEN NULL ELSE {ssum} END)"
+            return f"(CASE WHEN {cnt} = 0 THEN NULL ELSE {ssum} / {cnt} END)"
+        body = re.sub(r"\bacc\b", "acc.s", m.group(1))
+        start = f"NAMED_STRUCT('s', {acc0}, 'n', 0)"
+        merge = f"(acc, v) -> NAMED_STRUCT('s', {body}, 'n', acc.n + 1)"
+        fin = ("acc -> CASE WHEN acc.n = 0 THEN NULL ELSE acc.s END"
+               if fn == "SUM" else
+               "acc -> CASE WHEN acc.n = 0 THEN NULL ELSE acc.s / acc.n END")
+        return f"AGGREGATE({arr}, {start}, {merge}, {fin})"
 
     @staticmethod
     def _decimal_fold(scale: int) -> tuple[str, str]:
@@ -2397,7 +2432,6 @@ class Engine:
         shifts. All windows share the spec's partition/order — one
         Window operator."""
         fl = f"COLLECT_LIST(NAMED_STRUCT('v', {arg})) OVER ({spec2})"
-        fcnt = f"COUNT(*) OVER ({spec2})"
         if cut == "self":
             pos = f"ROW_NUMBER() OVER ({po})"
             a_ = f"({pos} - {fstart})"
@@ -2405,13 +2439,15 @@ class Engine:
         else:
             le = f"{po} RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
             peers = f"{po} RANGE BETWEEN CURRENT ROW AND CURRENT ROW"
+            fcnt = f"COUNT(*) OVER ({spec2})"
             last_peer = f"COUNT(*) OVER ({le})"
             first_peer = f"({last_peer} - COUNT(*) OVER ({peers}) + 1)"
             a_ = f"GREATEST(0, {first_peer} - {fstart})"
             b_ = (f"(LEAST({last_peer}, {fstart} + {fcnt} - 1)"
                   f" - {fstart} + 1)")
+        fcnt2 = f"COUNT(*) OVER ({spec2})"
         vals = (f"CONCAT(SLICE({fl}, 1, {a_}),"
-                f" SLICE({fl}, {b_} + 1, GREATEST(0, {fcnt} - {b_})))")
+                f" SLICE({fl}, {b_} + 1, GREATEST(0, {fcnt2} - {b_})))")
         return f"FILTER(TRANSFORM({vals}, s -> s.v), x -> x IS NOT NULL)"
 
     def _star_modifiers_sql(self, stmt: str) -> DataFrame:
