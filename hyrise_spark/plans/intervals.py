@@ -16,6 +16,20 @@ Scale design: the explode factor is (interval_len / bin_width) + 1, chosen
 shuffle-hash equi-join on bin — partitionable, AQE-skew-splittable, no
 broadcast of a scaling side, no nested loop. Output is aggregated, so the
 pair stream never materializes driver-side.
+
+Round 13 (guide §2.3 "aggregate before you shuffle"): both queries aggregate
+the pair stream with DISTRIBUTIVE measures (COUNT, SUM), and both sides'
+join-relevant attributes live on a bounded lattice — epoch DAYS in the query
+window × (5 interval lengths | 5 priorities). Identical rows join identically,
+so each side collapses to its (attrs → count/sum) histogram BEFORE the bin
+join and the measures recombine as sum(n_a*n_b) / sum(qty_a*n_b). That turns
+a ~10^8-candidate-pair join (the window holds ~9 seven-day bins, so per-bin
+blocks were ~25k × 700 rows — and only ~9 join tasks could ever be busy) into
+a few-hundred × few-hundred row join, while the fact tables are read once
+through a map-side-aggregable groupBy whose key count is bounded by the date
+lattice, not the row count. The binned-join shape is kept (it is the part
+that survives fact×fact scale when the lattice is NOT bounded); the
+pre-aggregation is what makes the bin blocks small.
 """
 
 from __future__ import annotations
@@ -69,10 +83,17 @@ def join_interval_overlap_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The oracle states the inequality join directly; the Spark plan is the
     binned equi-join described in the module docstring — byte-identical
-    results, but a plan that survives fact×fact scale.
+    results, but a plan that survives fact×fact scale. Both sides are
+    pre-aggregated to their bounded-lattice histograms before the join
+    (§2.3): COUNT/SUM distribute over the group product, so
+    n_pairs = Σ n_li·n_od and sum_qty = Σ qty_li·n_od — exact long
+    arithmetic, no pair ever materialized row-at-a-time.
     """
     t = load_tables(spark, sf_dir, ("lineitem", "orders"))
     epoch = F.lit("1970-01-01").cast("date")
+    # (ship_month, ls, le) lives on the window's day lattice × 5 interval
+    # lengths (~300 combos): the groupBy is map-side-aggregable and the
+    # join input is histogram-sized regardless of fact row count.
     li = (
         t["lineitem"]
         .filter(
@@ -89,7 +110,10 @@ def join_interval_overlap_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + 1
             ).alias("le"),
         )
+        .groupBy("ship_month", "ls", "le")
+        .agg(F.count(F.lit(1)).alias("n_li"), F.sum("lq").alias("qty_li"))
     )
+    # (priority, os) — window days × 5 priorities (~300 combos); oe = os+7.
     od = (
         t["orders"]
         .filter(
@@ -101,6 +125,8 @@ def join_interval_overlap_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff(F.col("o_orderdate").cast("date"), epoch).alias("os"),
             (F.datediff(F.col("o_orderdate").cast("date"), epoch) + 7).alias("oe"),
         )
+        .groupBy("o_orderpriority", "os", "oe")
+        .agg(F.count(F.lit(1)).alias("n_od"))
     )
     li_b = li.withColumn(
         "bin",
@@ -117,8 +143,8 @@ def join_interval_overlap_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("bin") == F.expr(f"greatest(ls, os) div {_BIN}"))
     )
     return pairs.groupBy("o_orderpriority", "ship_month").agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.sum("lq").alias("sum_qty"),
+        F.sum(F.col("n_li") * F.col("n_od")).alias("n_pairs"),
+        F.sum(F.col("qty_li") * F.col("n_od")).alias("sum_qty"),
     )
 
 
@@ -161,9 +187,13 @@ def join_point_in_interval_binned(spark: SparkSession, sf_dir: str) -> DataFrame
     counted per (priority, ship month), Jan-Feb 1998. The oracle states
     containment as an inequality join; Spark gets the binned equi-join —
     point side keys by its single bin, interval side explodes to its <= 2
-    covering bins."""
+    covering bins. Both sides pre-aggregate to their day-lattice histograms
+    before the join (§2.3; see the overlap query above): COUNT/SUM
+    distribute over the group product."""
     t = load_tables(spark, sf_dir, ("lineitem", "orders"))
     epoch = F.lit("1970-01-01").cast("date")
+    # p determines ship_month; the point histogram is one row per window
+    # day (~60 rows) however many fact rows land on the day.
     pt = (
         t["lineitem"]
         .filter(
@@ -175,6 +205,8 @@ def join_point_in_interval_binned(spark: SparkSession, sf_dir: str) -> DataFrame
             F.month(F.col("l_shipdate").cast("date")).alias("ship_month"),
             F.datediff(F.col("l_shipdate").cast("date"), epoch).alias("p"),
         )
+        .groupBy("ship_month", "p")
+        .agg(F.count(F.lit(1)).alias("n_pt"), F.sum("lq").alias("qty_pt"))
         .withColumn("bin", F.expr(f"p div {_BIN}"))
     )
     od = (
@@ -188,6 +220,8 @@ def join_point_in_interval_binned(spark: SparkSession, sf_dir: str) -> DataFrame
             F.datediff(F.col("o_orderdate").cast("date"), epoch).alias("os"),
             (F.datediff(F.col("o_orderdate").cast("date"), epoch) + 7).alias("oe"),
         )
+        .groupBy("o_orderpriority", "os", "oe")
+        .agg(F.count(F.lit(1)).alias("n_od"))
         .withColumn(
             "bin",
             F.explode(
@@ -199,6 +233,6 @@ def join_point_in_interval_binned(spark: SparkSession, sf_dir: str) -> DataFrame
         (F.col("p") >= F.col("os")) & (F.col("p") <= F.col("oe"))
     )
     return contained.groupBy("o_orderpriority", "ship_month").agg(
-        F.count(F.lit(1)).alias("n_contained"),
-        F.sum("lq").alias("sum_qty"),
+        F.sum(F.col("n_pt") * F.col("n_od")).alias("n_contained"),
+        F.sum(F.col("qty_pt") * F.col("n_od")).alias("sum_qty"),
     )

@@ -142,3 +142,28 @@ def test_point_in_interval_matches_naive_and_plans_equi(spark):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_sides_pre_aggregate_before_bin_join(spark):
+    """Round 13 (§2.3): the bin join's inputs must be the bounded-lattice
+    HISTOGRAMS (count/sum per distinct attribute combo), not raw fact rows —
+    the pre-agg measure columns must feed the join and the final aggregate
+    must recombine them as products."""
+    from hyrise_spark.plans.intervals import join_point_in_interval_binned
+
+    for builder, cols in (
+        (join_interval_overlap_binned, ("n_li", "qty_li", "n_od")),
+        (join_point_in_interval_binned, ("n_pt", "qty_pt", "n_od")),
+    ):
+        df = builder(spark, SF_DIR)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        for c in cols:
+            assert c in plan, f"{builder.__name__}: pre-agg column {c} not in plan"
+        # the final agg multiplies the two sides' histogram counts
+        import re
+
+        assert re.search(rf"{cols[0]}#\d+L? \* n_od#\d+L?", plan), (
+            f"{builder.__name__}: histogram-product recombination not in plan"
+        )

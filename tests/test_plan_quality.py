@@ -598,6 +598,7 @@ def _unbounded_global_windows(df) -> list[str]:
     return hits
 
 
+@pytest.mark.slow  # registry-wide sweep (515 plan builds, ~4 min) — full run only
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_registry_plan_hygiene(spark, name):
     """Every registered query, explain-only: (1) no CartesianProduct — the
@@ -786,6 +787,7 @@ def _unbounded_broadcast_hints(df) -> list[str]:
     return hits
 
 
+@pytest.mark.slow  # registry-wide sweep (515 plan builds, ~1.5 min) — full run only
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_registry_no_unbounded_broadcast_hints(spark, name):
     """Every registered query: no broadcast hint may force a frame that
