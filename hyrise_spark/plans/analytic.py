@@ -409,8 +409,10 @@ def aggregate_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     (li,) = _t(spark, sf_dir, "lineitem")
+    # FLOOR(x+0.5) == ROUND(x) (integral-valued positive doubles) without
+    # ROUND's per-row BigDecimal path — see aggregate_percentile_cont.
     hist = li.groupBy(
-        "l_returnflag", F.round(F.col("l_quantity")).cast("long").alias("q")
+        "l_returnflag", F.floor(F.col("l_quantity") + F.lit(0.5)).alias("q")
     ).agg(F.count(F.lit(1)).alias("cnt"))
     w_cum = (
         Window.partitionBy("l_returnflag")
@@ -500,7 +502,7 @@ def aggregate_mode_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
     # h is a hub (the max branch AND the join read it): truncate so the
     # lineitem scan + histogram agg run once, not per branch. Histogram-sized.
     h = li.groupBy(
-        "l_returnflag", F.round(F.col("l_quantity")).cast("long").alias("q")
+        "l_returnflag", F.floor(F.col("l_quantity") + F.lit(0.5)).alias("q")
     ).agg(F.count(F.lit(1)).alias("c")).localCheckpoint(eager=False)
     mx = h.groupBy("l_returnflag").agg(F.max("c").alias("mc"))
     return (
@@ -869,67 +871,62 @@ _PCTS_CONT = (25, 50, 90)
     tags=("aggregate", "percentile", "sql"),
 )
 def aggregate_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 13 (§2.4 remove shuffles / §1.2): the bracketing values are
+    located with CONDITIONAL MINs inside one aggregation over the
+    cumulative histogram — the 0-indexed position k lives in the cents
+    whose cumulative range [cum-cnt, cum) contains it, i.e. the SMALLEST
+    cents with cum > k — replacing the former checkpoint hub + two
+    position-joins + pivot (4 extra jobs and their exchanges). The
+    interpolation arithmetic (r = pct/100.0 * (n-1), v_lo + (r-k)*(v_hi -
+    v_lo)) is kept expression-identical so the IEEE result matches the
+    oracle bit-for-bit."""
     from pyspark.sql import Window
 
     (li,) = _t(spark, sf_dir, "lineitem")
+    # FLOOR(x + 0.5) == ROUND(x) here and skips ROUND's per-row BigDecimal
+    # path (the tpch_q1 integer-lattice finding): l_extendedprice is a
+    # positive cents-lattice double < 2^52, so x + 0.5 is an EXACT fp add;
+    # .50 decimals are exactly representable (k + 1/2), where both FLOOR+0.5
+    # and both engines' ROUND go up; every other fraction sits >= 0.01-1e-11
+    # from the boundary.
     hist = li.groupBy(
         "l_returnflag",
-        F.round(F.col("l_extendedprice")).cast("long").alias("cents"),
+        F.floor(F.col("l_extendedprice") + F.lit(0.5)).alias("cents"),
     ).agg(F.count(F.lit(1)).alias("cnt"))
     w_cum = (
         Window.partitionBy("l_returnflag")
         .orderBy("cents")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    # three consumers (position frame + both bracketing joins) read the
-    # cumulative histogram: materialize it ONCE (it is distinct-cents-sized,
-    # ~groups x value-range rows) instead of re-running the scan+agg per
-    # branch — the same boundary trick as the LSH signature self-join
     cum = hist.select(
         "l_returnflag", "cents", "cnt",
         F.sum("cnt").over(w_cum).alias("cum"),
         F.sum("cnt").over(Window.partitionBy("l_returnflag")).alias("n"),
-    ).localCheckpoint(eager=False)
-    # continuous position r = p*(n-1), 0-indexed; value at integer position
-    # i = the cents whose cumulative range [cum-cnt, cum) contains i
-    pos = (
-        cum.select("l_returnflag", "n").distinct()
-        .select(
-            "l_returnflag", "n",
-            F.explode(F.array(*[F.lit(p) for p in _PCTS_CONT])).alias("pct"),
-        )
-        .select(
-            "l_returnflag", "pct",
-            (F.col("pct") / 100.0 * (F.col("n") - 1)).alias("r"),
-        )
-        .select(
-            "l_returnflag", "pct", "r",
-            F.floor("r").cast("long").alias("k"),
-        )
     )
-    lo = pos.join(cum, "l_returnflag").filter(
-        (F.col("k") >= F.col("cum") - F.col("cnt")) & (F.col("k") < F.col("cum"))
-    ).select("l_returnflag", "pct", "r", "k", F.col("cents").alias("v_lo"))
-    hi_pos = F.least(F.col("k") + 1, F.col("n") - 1)
-    hi = pos.join(cum, "l_returnflag").filter(
-        (hi_pos >= F.col("cum") - F.col("cnt")) & (hi_pos < F.col("cum"))
-    ).select("l_returnflag", "pct", F.col("cents").alias("v_hi"))
-    interp = (
-        F.col("v_lo")
-        + (F.col("r") - F.col("k")) * (F.col("v_hi") - F.col("v_lo"))
-    )
-    wide = (
-        lo.join(hi, ["l_returnflag", "pct"])
-        .select("l_returnflag", "pct", interp.alias("val"))
-        .groupBy("l_returnflag")
-        .pivot("pct", list(_PCTS_CONT))
-        .agg(F.first("val"))
-    )
+
+    def _val_at(k):  # smallest cents whose cumulative count exceeds k
+        return F.min(F.when(F.col("cum") > k, F.col("cents")))
+
+    aggs = []
+    for p in _PCTS_CONT:
+        # n is constant within the group, so k/r are well-defined per row
+        r = F.lit(p) / 100.0 * (F.col("n") - 1)
+        k = F.floor(r).cast("long")
+        aggs.append(_val_at(k).alias(f"lo{p}"))
+        aggs.append(_val_at(F.least(k + 1, F.col("n") - 1)).alias(f"hi{p}"))
+        aggs.append(F.max(r - k).alias(f"frac{p}"))
+    wide = cum.groupBy("l_returnflag").agg(*aggs)
+
+    def _interp(p):
+        return F.col(f"lo{p}") + F.col(f"frac{p}") * (
+            F.col(f"hi{p}") - F.col(f"lo{p}")
+        )
+
     return wide.select(
         "l_returnflag",
-        F.col("25").alias("p25_usd"),
-        F.col("50").alias("med_usd"),
-        F.col("90").alias("p90_usd"),
+        _interp(25).alias("p25_usd"),
+        _interp(50).alias("med_usd"),
+        _interp(90).alias("p90_usd"),
     ).orderBy("l_returnflag")
 
 
