@@ -1714,20 +1714,20 @@ def _pack_sql(vec: str, lo: int) -> str:
 
 
 def _pack_word(v: Column, lo: int) -> Column:
-    """32 sign bits of v[lo+1 .. lo+32] as one BIGINT — unrolled 32-term OR
-    of literal bit weights (shiftleft needs a static bit count; the plan is
-    32 fixed codegen'd terms per word). Sign of a coordinate is
-    scale-invariant, so packing a NORMALIZED vector yields the identical
-    words as packing the raw one — the shared frames below exploit that."""
-    w = F.lit(0).cast("long")
-    for i in range(1, 33):
-        w = w.bitwiseOR(
-            F.when(
-                F.element_at(v, i + lo) > 0,
-                F.lit(1 << (i - 1)).cast("long"),
-            ).otherwise(F.lit(0).cast("long"))
-        )
-    return w
+    """32 sign bits of v[lo+1 .. lo+32] as one BIGINT.
+
+    Round 13 (§1.2 per-task vs per-PLAN work): one compact aggregate-fold
+    expression instead of the former unrolled 32-term OR tree. The unrolled
+    form was 128 py4j-built Catalyst nodes per packed frame — measured as
+    pure plan-BUILD/analysis cost on a corpus of only thousands of rows
+    (the BQ family was build-dominated). Distinct bit weights make bit_or
+    equal to +, so the fold accumulates with addition; values are
+    bit-identical to the unrolled form and to the oracle's bit_or."""
+    col = v._jc.toString() if hasattr(v, "_jc") else str(v)
+    return F.expr(
+        f"aggregate(sequence(1, 32), 0L, (acc, i) -> "
+        f"acc + IF({col}[i + {lo} - 1] > 0D, shiftleft(1L, i - 1), 0L))"
+    )
 
 
 def _bq_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
