@@ -2071,10 +2071,25 @@ def events_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Float discipline: every variance is computed from INTEGER sufficient
 # sums. The only doubles on the path are single divisions (the moving
 # average and the per-hour seasonal mean — one sum/count each, bit-exact
-# on both engines); each is immediately ROUND(..*1e6)-latticed to BIGINT,
-# so n*S2 - S1^2 variance arithmetic stays exact and the same text
+# on both engines); each is immediately ROUND(..*1e6)-latticed, so the
+# n*S2 - S1^2 variance arithmetic stays exact and the same text
 # hash-matches DuckDB. One groupBy(hour) shuffle, two partitioned
 # windows, one (type, hour-of-day) agg, one per-series agg.
+#
+# Round 13 (found by the first full sf0.1 oracle sweep): the QUADRATIC
+# terms do not fit the INT64 lattice — at sf0.1, n*srr = 720 * 1.85e16
+# overflows, which DuckDB raises on and non-ANSI Spark silently WRAPS.
+# All squares/cross-products now run on an explicit DECIMAL lattice,
+# widths chosen so BOTH engines' static rules stay under the shared
+# 38-digit cap (DuckDB mul width = w1+w2; Spark adds 1 and rescales past
+# 38 — scale stays 0 throughout, so values are exact):
+#   element squares  (18,0)x(18,0) -> sums CAST to (30,0)   [|d6| < 1e12 envelope]
+#   n * S2           (7,0)x(30,0)  -> (37,0)                [n < 1e7]
+#   S1 * S1          (18,0)x(18,0) -> (37,0)                [|S1| < 1e18]
+#   difference       (37,0)-(37,0) -> (38,0), then one CAST to DOUBLE.
+# Identical results wherever the old INT64 form was exact (sf0.001/0.01);
+# past the documented envelope both engines now fail LOUDLY (DuckDB
+# raises, Spark nulls) instead of wrapping.
 _SEASONAL_STRENGTH_SQL = """
     WITH hourly AS (
       SELECT event_type, date_trunc('hour', ts) AS h,
@@ -2095,20 +2110,38 @@ _SEASONAL_STRENGTH_SQL = """
       SELECT event_type,
              CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(y) AS BIGINT) AS sy,
-             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(CAST(y AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,0)))
+               AS DECIMAL(30,0)) AS syy,
              CAST(SUM(d6) AS BIGINT) AS sd,
-             CAST(SUM(d6 * d6) AS BIGINT) AS sdd,
+             CAST(SUM(CAST(d6 AS DECIMAL(18,0)) * CAST(d6 AS DECIMAL(18,0)))
+               AS DECIMAL(30,0)) AS sdd,
              CAST(SUM(r6) AS BIGINT) AS sr,
-             CAST(SUM(r6 * r6) AS BIGINT) AS srr
+             CAST(SUM(CAST(r6 AS DECIMAL(18,0)) * CAST(r6 AS DECIMAL(18,0)))
+               AS DECIMAL(30,0)) AS srr
       FROM seasonal GROUP BY event_type
     )
     SELECT event_type, n,
-           ROUND(GREATEST(0.0, 1.0 - CAST(n * srr - sr * sr AS DOUBLE)
-                 / NULLIF(CAST(n * sdd - sd * sd AS DOUBLE), 0)), 6)
+           ROUND(GREATEST(0.0, 1.0 -
+                 CAST(CAST(CAST(n AS DECIMAL(7,0)) * srr AS DECIMAL(37,0))
+                      - CAST(CAST(sr AS DECIMAL(18,0))
+                             * CAST(sr AS DECIMAL(18,0)) AS DECIMAL(37,0))
+                   AS DOUBLE)
+                 / NULLIF(CAST(CAST(CAST(n AS DECIMAL(7,0)) * sdd
+                                 AS DECIMAL(37,0))
+                      - CAST(CAST(sd AS DECIMAL(18,0))
+                             * CAST(sd AS DECIMAL(18,0)) AS DECIMAL(37,0))
+                   AS DOUBLE), 0)), 6)
                AS strength_seasonal,
-           ROUND(GREATEST(0.0, 1.0 - CAST(n * sdd - sd * sd AS DOUBLE)
-                 / NULLIF(CAST(n * syy - sy * sy AS DOUBLE) * 1000000
-                          * 1000000, 0)), 6)
+           ROUND(GREATEST(0.0, 1.0 -
+                 CAST(CAST(CAST(n AS DECIMAL(7,0)) * sdd AS DECIMAL(37,0))
+                      - CAST(CAST(sd AS DECIMAL(18,0))
+                             * CAST(sd AS DECIMAL(18,0)) AS DECIMAL(37,0))
+                   AS DOUBLE)
+                 / NULLIF(CAST(CAST(CAST(n AS DECIMAL(7,0)) * syy
+                                 AS DECIMAL(37,0))
+                      - CAST(CAST(sy AS DECIMAL(18,0))
+                             * CAST(sy AS DECIMAL(18,0)) AS DECIMAL(37,0))
+                   AS DOUBLE) * 1000000 * 1000000, 0)), 6)
                AS strength_trend
     FROM stats ORDER BY event_type
 """
