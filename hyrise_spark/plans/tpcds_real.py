@@ -684,11 +684,15 @@ def tpcds_q31(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE l_shipdate >= DATE '1997-03-01' AND l_shipdate < DATE '1997-04-30'
       )
     GROUP BY p_name, p_retailprice
-    ORDER BY p_name LIMIT 100
+    ORDER BY p_name, p_retailprice LIMIT 100
     """,
     tags=("tpcds", "tpcds-real"),
 )
 def tpcds_q37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ORDER BY covers BOTH output columns (round 13): p_name is not unique,
+    # so `ORDER BY p_name LIMIT 100` left the cut engine-nondeterministic
+    # once name collisions appear (first diverged at sf0.1 — the sf0.01
+    # sweeps agreed by luck). Total order = deterministic LIMIT.
     li, part = _t(spark, sf_dir, "lineitem", "part")
     sold = li.filter(
         (F.col("l_shipdate") >= F.lit("1997-03-01")) & (F.col("l_shipdate") < F.lit("1997-04-30"))
@@ -699,7 +703,7 @@ def tpcds_q37(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_name", F.round("p_retailprice", R2).alias("p_retailprice"))
         .agg(F.lit(1))
         .select("p_name", "p_retailprice")
-        .orderBy("p_name")
+        .orderBy("p_name", "p_retailprice")
         .limit(100)
     )
 
@@ -1379,11 +1383,14 @@ def tpcds_q48(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN supplier ON l_suppkey = s_suppkey
     JOIN part ON l_partkey = p_partkey
     WHERE rev <= 0.3 * avg_rev
-    ORDER BY s_name, p_name LIMIT 100
+    ORDER BY s_name, p_name, rev LIMIT 100
     """,
     tags=("tpcds", "tpcds-real"),
 )
 def tpcds_q65(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ORDER BY covers all three output columns (round 13): p_name repeats
+    # within a supplier, so the (s_name, p_name) prefix left the LIMIT cut
+    # engine-nondeterministic at sf0.1 — see tpcds_q37.
     li, supp, part = _t(spark, sf_dir, "lineitem", "supplier", "part")
     sp = li.groupBy("l_suppkey", "l_partkey").agg(F.sum("l_extendedprice").alias("rev"))
     sa = sp.groupBy(F.col("l_suppkey").alias("sa_suppkey")).agg(F.avg("rev").alias("avg_rev"))
@@ -1393,7 +1400,7 @@ def tpcds_q65(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .select("s_name", "p_name", F.round("rev", R2).alias("rev"))
-        .orderBy("s_name", "p_name")
+        .orderBy("s_name", "p_name", "rev")
         .limit(100)
     )
 
@@ -1982,11 +1989,12 @@ def tpcds_q81(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND l_shipdate >= DATE '1998-01-01' AND l_shipdate < DATE '1998-03-02'
       )
     GROUP BY p_name, p_retailprice
-    ORDER BY p_name LIMIT 100
+    ORDER BY p_name, p_retailprice LIMIT 100
     """,
     tags=("tpcds", "tpcds-real"),
 )
 def tpcds_q82(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # total ORDER BY — see tpcds_q37 (p_name is not unique).
     li, part, supp = _t(spark, sf_dir, "lineitem", "part", "supplier")
     sold = (
         li.filter(
@@ -2001,7 +2009,7 @@ def tpcds_q82(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_name", F.round("p_retailprice", R2).alias("p_retailprice"))
         .agg(F.lit(1))
         .select("p_name", "p_retailprice")
-        .orderBy("p_name")
+        .orderBy("p_name", "p_retailprice")
         .limit(100)
     )
 
